@@ -1,0 +1,173 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The normalize operator: dynamic raw JSONL → fixed normalized schema.
+  *
+  * Re-expresses `/root/reference/internal/stages/normalize.go:11-206` as
+  * pure Catalyst column expressions (whole-stage-codegen friendly, no
+  * UDFs), so Catalyst is free to prune/pipe/pushdown around it and the
+  * same expressions serve batch and Structured Streaming unchanged.
+  *
+  * Semantics reproduced exactly:
+  *   - alias fallback on *empty-after-trim* (not merely absent) for
+  *     ts/time, level/severity, msg/message, service/app/component,
+  *     trace_id/trace (`normalize.go:17-84,137-149`);
+  *   - `kubernetes.{namespace_name,pod_name,node_name}` flattening with
+  *     top-level `namespace`/`pod`/`node` *override* (present wins, even
+  *     when empty) and `hostname` as a final fallback for node only when
+  *     the result is still empty (`normalize.go:87-134`);
+  *   - residual keys → `fields` map (everything not in
+  *     [[LogSchema.CanonicalKeys]], `normalize.go:151-172`);
+  *   - strict RFC3339/RFC3339Nano validation with Go-compatible error
+  *     messages and re-formatting to RFC3339Nano preserving the original
+  *     zone offset (`normalize.go:174-206`);
+  *   - required-field errors in Go's order: timestamp, message, level;
+  *     `upper(level)` applied only on success (`normalize.go:180-189`).
+  *
+  * Documented deltas vs the Go reference (see SURVEY §7.4):
+  *   - JSON scalar values of canonical keys are coerced to string by the
+  *     PERMISSIVE parse (Go ignores non-string values → alias fallback);
+  *   - `fields` values are the raw JSON text of the value rather than a
+  *     typed `any` (re-rendered with types at the sink);
+  *   - fractional seconds are kept to µs (Spark timestamp precision),
+  *     not ns.
+  */
+object Normalize {
+
+  /** Go `time.RFC3339` shape: date 'T' time [.frac] ('Z' | ±hh:mm).
+    * Spark's timestamp cast is far laxer, so this gate reproduces the Go
+    * parser's rejections (`normalize.go:192-206`); range errors (month 13
+    * etc.) are caught by the cast returning null. */
+  private val Rfc3339Regex =
+    "^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}(\\.\\d+)?(Z|[+-]\\d{2}:\\d{2})$"
+
+  private def nonEmpty(c: Column): Column = nullif(trim(c), lit(""))
+
+  /** First value that is non-empty after trimming — the reference's alias
+    * chain (`if out.X == "" { try alias }`). */
+  private def firstNonEmpty(cs: Column*): Column = coalesce(cs.map(nonEmpty): _*)
+
+  /** Zone offset in seconds parsed from the RFC3339 literal's suffix. */
+  private def zoneOffsetSecs(ts: Column): Column = {
+    val suffix = regexp_extract(ts, "(Z|[+-]\\d{2}:\\d{2})$", 1)
+    when(suffix === "Z" || suffix === "", lit(0)).otherwise(
+      (substring(suffix, 2, 2).cast(IntegerType) * 3600 +
+        substring(suffix, 5, 2).cast(IntegerType) * 60) *
+        when(substring(suffix, 1, 1) === "-", lit(-1)).otherwise(lit(1)))
+  }
+
+  /** Render a UTC timestamp + original zone offset as Go's
+    * `time.RFC3339Nano`: trailing zeros of the fraction trimmed, no dot
+    * when the fraction is zero, literal `Z` for zero offset
+    * (`normalize.go:178`). */
+  def rfc3339Nano(tsUtc: Column, offsetSecs: Column): Column = {
+    val local = tsUtc +
+      make_dt_interval(lit(0), lit(0), lit(0), offsetSecs.cast(DecimalType(18, 6)))
+    val base = date_format(local, "yyyy-MM-dd'T'HH:mm:ss")
+    val frac = regexp_replace(date_format(local, "SSSSSS"), "0+$", "")
+    val fracPart = when(frac === "", lit("")).otherwise(concat(lit("."), frac))
+    val absOff = abs(offsetSecs)
+    val offPart = when(offsetSecs === 0, lit("Z")).otherwise(concat(
+      when(offsetSecs < 0, lit("-")).otherwise(lit("+")),
+      lpad((absOff / 3600).cast(IntegerType).cast(StringType), 2, "0"),
+      lit(":"),
+      lpad(((absOff % 3600) / 60).cast(IntegerType).cast(StringType), 2, "0")))
+    concat(base, fracPart, offPart)
+  }
+
+  /** Normalize a DataFrame holding raw JSONL in `lineCol`.
+    *
+    * Output columns: the full [[LogSchema.NormalizedSchema]] plus
+    *   - `line`   — the raw input (for DLQ / debugging),
+    *   - `error`  — null when normalized OK, else the Go-compatible
+    *                message,
+    *   - `error_kind` — null | "json" | "normalize" (drives the A1/A2
+    *                counters without a second pass).
+    *
+    * Blank lines must be filtered out by the caller (the reference skips
+    * them before counting, `cmd/etl/main.go:354-356`); [[parseLines]]
+    * does this.
+    */
+  def normalize(df: DataFrame, lineCol: String = "line"): DataFrame = {
+    val line = col(lineCol)
+    val parsed = from_json(line, LogSchema.RawSchema)
+    val rawMap = from_json(line, MapType(StringType, StringType))
+
+    val withRaw = df
+      .withColumn("_p", parsed)
+      .withColumn("_m", rawMap)
+
+    val p = col("_p")
+    val k8s = p.getField("kubernetes")
+
+    val tsStr = firstNonEmpty(p.getField("ts"), p.getField("time"))
+    val level = firstNonEmpty(p.getField("level"), p.getField("severity"))
+    val message = firstNonEmpty(p.getField("msg"), p.getField("message"))
+    val service = firstNonEmpty(
+      p.getField("service"), p.getField("app"), p.getField("component"))
+    // Top-level namespace/pod override k8s.* when *present* (even empty),
+    // and are not trimmed — coalesce on the un-trimmed columns matches
+    // because PERMISSIVE parse yields null exactly when the key is absent.
+    val namespace = coalesce(p.getField("namespace"), k8s.getField("namespace_name"))
+    val pod = coalesce(p.getField("pod"), k8s.getField("pod_name"))
+    // node: top-level override is trimmed; empty result falls back to
+    // trimmed hostname (`normalize.go:122-134`).
+    val nodePre = coalesce(trim(p.getField("node")), k8s.getField("node_name"))
+    val node = coalesce(nullif(nodePre, lit("")), nonEmpty(p.getField("hostname")))
+    val traceId = firstNonEmpty(p.getField("trace_id"), p.getField("trace"))
+
+    val fields = map_filter(col("_m"),
+      (k, _) => !k.isInCollection(LogSchema.CanonicalKeys))
+
+    val tsShapeOk = tsStr.rlike(Rfc3339Regex)
+    // try_to_timestamp: ANSI-safe (null, not error, on bad input); the
+    // regex above reproduces Go's strictness, the parse catches range
+    // errors (month 13 …).
+    val tsUtc = try_to_timestamp(tsStr)
+    val tsValid = tsShapeOk && tsUtc.isNotNull
+    val offset = zoneOffsetSecs(tsStr)
+
+    // from_json(struct) yields an all-null row (not a null struct) for
+    // corrupt input in PERMISSIVE mode; the map parse does yield null —
+    // use it as the parse-failure signal (P1, `cmd/etl/main.go:365-374`).
+    val jsonFailed = col("_m").isNull
+    val error = when(jsonFailed, lit("invalid JSON"))
+      .when(tsStr.isNull, lit("missing timestamp: expected ts/time in RFC3339"))
+      .when(!tsValid, concat(lit("invalid timestamp \""), tsStr,
+        lit("\": expected RFC3339")))
+      .when(message.isNull, lit("missing message: expected msg/message"))
+      .when(level.isNull, lit("missing level: expected level/severity"))
+
+    withRaw
+      .withColumn("error_kind",
+        when(jsonFailed, lit("json")).when(error.isNotNull, lit("normalize")))
+      .withColumn("error", error)
+      .withColumn("ts_ts", when(tsValid, tsUtc))
+      .withColumn("ts_offset_secs", when(tsValid, offset))
+      .withColumn("ts", when(tsValid, rfc3339Nano(tsUtc, offset)))
+      .withColumn("level", when(error.isNull, upper(level)))
+      .withColumn("message", message)
+      .withColumn("service", coalesce(service, lit("")))
+      .withColumn("namespace", coalesce(namespace, lit("")))
+      .withColumn("pod", coalesce(pod, lit("")))
+      .withColumn("node", coalesce(node, lit("")))
+      .withColumn("trace_id", coalesce(traceId, lit("")))
+      .withColumn("fields", when(!jsonFailed, coalesce(fields,
+        map().cast(MapType(StringType, StringType)))))
+      .drop("_p", "_m")
+  }
+
+  /** S1: JSONL source. Reads path as text, drops blank lines (the
+    * reference skips them before any counter, `main.go:354-356`), yields
+    * one `line` column. Streaming variant: [[StreamingPipeline]] uses
+    * `readStream.text` with the same downstream expressions. */
+  def parseLines(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.textFile(path).toDF("line")
+      .filter(trim(col("line")) =!= "")
+
+  /** Full parse+normalize over a raw-line DataFrame: P1 + P2. */
+  def apply(lines: DataFrame): DataFrame = normalize(lines)
+}

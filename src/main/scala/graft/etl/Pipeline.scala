@@ -1,0 +1,171 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The batch pipeline: source → parse → normalize → transforms → sink +
+  * report — the Spark re-expression of `runPipeline`
+  * (`/root/reference/cmd/etl/main.go:234-455`).
+  *
+  * One declarative plan end-to-end: the only materializations are the
+  * sink write and the single report aggregation pass over the cached
+  * normalized frame. Worker pools / queues / mutexes from the reference
+  * are Spark's task scheduler; stage timings are measured around the two
+  * actions (documented approximation — pipelined stages aren't separately
+  * timable, SURVEY §2.3 A9).
+  */
+object Pipeline {
+
+  case class Result(report: EtlReport, kept: DataFrame)
+
+  /** Run on an already-loaded raw-lines frame (library/test entry —
+    * mirror of `runPipeline(in io.Reader, …)`). */
+  def run(lines: DataFrame, cfg: EtlConfig): Either[String, Result] = {
+    for {
+      _ <- EtlConfig.validate(cfg)
+      sink <- Sinks.build(cfg)
+      normalized0 = Normalize(lines)
+      transformed0 <- TransformRegistry(cfg)(normalized0)
+    } yield {
+      val t0 = System.nanoTime()
+      val transformed = transformed0.cache()
+      val (kept, _, _) = Transforms.split(transformed)
+
+      // Sink write (A6–A8 + DLQ rows from the writer).
+      val writeStart = System.nanoTime()
+      val keptClean = kept.select("ts", "level", "message", "service",
+        "namespace", "pod", "node", "trace_id", "fields")
+      val wr = sink.write(keptClean)
+      val writeSecs = (System.nanoTime() - writeStart) / 1e9
+
+      // Report aggregation (A1–A5) in one pass over the cached frame.
+      val aggStart = System.nanoTime()
+      var report = EtlReport.fromDataFrame(transformed)
+      val aggSecs = (System.nanoTime() - aggStart) / 1e9
+
+      if (cfg.dlqPath.nonEmpty) Sinks.writeDlq(cfg.dlqPath, wr.dlq)
+      report = report.copy(
+        writtenOk = wr.writtenOk,
+        writeFailed = wr.writeFailed,
+        retryStats = wr.retry,
+        dlqWritten = wr.dlq.size.toLong,
+        dlqReasons = wr.dlq.groupBy(_._2).view.mapValues(_.size.toLong).toMap,
+        // Pipelined stages aren't separately timable in a fused
+        // whole-stage-codegen plan (SURVEY §2.3 A9): attribute the
+        // aggregation pass to normalization and the sink action to
+        // writing.
+        stageTimings = StageTimings(
+          parsingSeconds = 0,
+          normalizationSeconds = aggSecs,
+          filteringSeconds = 0,
+          writingSeconds = writeSecs))
+      report = report.withDuration((System.nanoTime() - t0) / 1e9)
+      transformed.unpersist()
+      Result(report, keptClean)
+    }
+  }
+
+  /** Full CLI-equivalent run: read path (or stdin spooled by Main),
+    * execute, write report (`main.go:151-208`). */
+  def runFile(spark: SparkSession, cfg: EtlConfig): Either[String, Result] = {
+    val lines = Normalize.parseLines(spark, cfg.inputPath)
+    run(lines, cfg).map { res =>
+      if (cfg.reportPath.nonEmpty) res.report.writeJson(cfg.reportPath)
+      res
+    }
+  }
+
+  /** The human summary printed after a run (`main.go:166-208`). */
+  def summary(r: EtlReport): String = {
+    val sb = new StringBuilder
+    sb ++= s"Total Lines: ${r.totalLines}  Parsed: ${r.jsonParsed}  JSON Failed: ${r.jsonFailed}\n"
+    sb ++= s"Normalized OK: ${r.normalizedOk}  Failed: ${r.normalizedFailed}\n"
+    sb ++= s"Written OK: ${r.writtenOk}  Failed: ${r.writeFailed}\n"
+    sb ++= s"Filtered: level=${r.filteredLevel} service=${r.filteredService} other=${r.filteredOther}\n"
+    sb ++= f"Duration: ${r.durationSeconds}%.3fs  Throughput: ${r.throughput}%.1f lines/sec\n"
+    if (r.dlqWritten > 0) sb ++= s"DLQ Written: ${r.dlqWritten}\n"
+    sb.toString
+  }
+}
+
+/** CLI entry — config precedence defaults < file < env < flags
+  * (`cmd/etl/main.go:54-137`), validation, run, summary print. */
+object Main {
+  def main(args: Array[String]): Unit = {
+    val flags = parseFlags(args)
+    val fileCfgPath = flags.get("config").orElse(sys.env.get("ETL_CONFIG"))
+    val fileCfg = fileCfgPath match {
+      case Some(p) => EtlConfig.load(p) match {
+        case Right(c) => c
+        case Left(e) => System.err.println(e); sys.exit(2); EtlConfig.zero
+      }
+      case None => EtlConfig.zero
+    }
+    var cfg = EtlConfig.merge(EtlConfig.default, fileCfg)
+    cfg = EtlConfig.fromEnv(cfg)
+    cfg = EtlConfig.merge(cfg, flagsToConfig(flags))
+    EtlConfig.validate(cfg) match {
+      case Left(e) => System.err.println(e); sys.exit(2)
+      case Right(_) =>
+    }
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-etl")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // stdin convenience: `-` spools stdin to a temp file (S2; the
+    // engine itself has no stdin source — SURVEY §2.1 S2).
+    if (cfg.inputPath == "-" || cfg.inputPath.isEmpty) {
+      val tmp = java.nio.file.Files.createTempFile("etl-stdin", ".jsonl")
+      java.nio.file.Files.copy(System.in, tmp,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      cfg = cfg.copy(inputPath = tmp.toString)
+    }
+    Pipeline.runFile(spark, cfg) match {
+      case Right(res) => print(Pipeline.summary(res.report))
+      case Left(e) => System.err.println(e); sys.exit(1)
+    }
+    spark.stop()
+  }
+
+  private def parseFlags(args: Array[String]): Map[String, String] = {
+    val m = scala.collection.mutable.Map[String, String]()
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      if (a.startsWith("--")) {
+        val key = a.drop(2)
+        val eq = key.indexOf('=')
+        if (eq >= 0) m(key.take(eq)) = key.drop(eq + 1)
+        else if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
+          m(key) = args(i + 1); i += 1
+        } else m(key) = "true"
+      }
+      i += 1
+    }
+    m.toMap
+  }
+
+  private def flagsToConfig(f: Map[String, String]): EtlConfig = {
+    import scala.util.Try
+    val z = EtlConfig.zero
+    z.copy(
+      inputPath = f.getOrElse("input", z.inputPath),
+      outputPath = f.getOrElse("output", z.outputPath),
+      reportPath = f.getOrElse("report", z.reportPath),
+      outputType = f.getOrElse("output-type", z.outputType),
+      dlqPath = f.getOrElse("dlq", z.dlqPath),
+      filterLevels = f.get("filter-levels").map(EtlConfig.parseList).getOrElse(z.filterLevels),
+      filterServices = f.get("filter-services").map(EtlConfig.parseList).getOrElse(z.filterServices),
+      redactKeys = f.get("redact-keys").map(EtlConfig.parseList).getOrElse(z.redactKeys),
+      transforms = f.get("transforms").map(EtlConfig.parseList).getOrElse(z.transforms),
+      maxWorkers = f.get("max-workers").flatMap(v => Try(v.toInt).toOption).getOrElse(z.maxWorkers),
+      batchSize = f.get("batch-size").flatMap(v => Try(v.toInt).toOption).getOrElse(z.batchSize),
+      sinkMaxRetries = f.get("sink-max-retries").flatMap(v => Try(v.toInt).toOption).getOrElse(z.sinkMaxRetries))
+  }
+}

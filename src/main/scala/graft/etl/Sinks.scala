@@ -1,0 +1,344 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.util.LongAccumulator
+
+/** K1–K7: sinks.
+  *
+  * Reference surface: stdout / single-file JSONL / rotating JSONL / HTTP
+  * webhook, a batching wrapper, a DLQ, and a builder registry
+  * (`/root/reference/internal/sink/` — jsonl, rotate, http, batched,
+  * builder — `builder.go:15-55`).
+  *
+  * Spark re-expression:
+  *   - the *batched sink wrapper* (K5) is not ported: micro-batch
+  *     execution / per-partition buffered writers already are time+size
+  *     batching (`SURVEY.md §2.4 K5`);
+  *   - the *worker pool + mutex* around the sink is partition parallelism
+  *     (each partition gets its own writer instance);
+  *   - per-record retry w/ exponential backoff + jitter and DLQ capture
+  *     (`cmd/etl/main.go:480-537`) live inside the partition writer; Spark
+  *     task retry is the outer layer;
+  *   - `s3`/`kafka`, declared-but-unimplemented in the reference
+  *     (`builder.go:46-49`), become native here: any Hadoop-FS scheme
+  *     (s3a://, hdfs://) works through the same writers, and parquet is a
+  *     first-class output type.
+  *
+  * Failure protocol: writers NEVER throw for a record-level failure —
+  * failures are captured per-partition and returned as DLQ rows
+  * `{record, reason}` so A6–A8 metrics and the DLQ file work exactly like
+  * the reference.
+  */
+object Sinks {
+
+  /** Go renders `model.Normalized` with struct field names (no json
+    * tags — `internal/model/normalized.go:3-13`): capitalized keys, in
+    * struct order, `Fields` map with sorted keys, HTML-escaped strings
+    * (encoding/json default). Values inside `fields` carry raw JSON text
+    * for non-strings (see [[LogSchema]]), re-rendered typed here. */
+  def renderRecord(r: Row): String = {
+    val sb = new java.lang.StringBuilder(160)
+    sb.append('{')
+    def str(s: String): Unit = {
+      sb.append('"')
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        c match {
+          case '"' => sb.append("\\\"")
+          case '\\' => sb.append("\\\\")
+          case '\n' => sb.append("\\n")
+          case '\r' => sb.append("\\r")
+          case '\t' => sb.append("\\t")
+          // encoding/json escapes HTML-significant chars by default
+          case '<' => sb.append("\\u003c")
+          case '>' => sb.append("\\u003e")
+          case '&' => sb.append("\\u0026")
+          case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+          case c => sb.append(c)
+        }
+        i += 1
+      }
+      sb.append('"')
+    }
+    def field(name: String, v: String, comma: Boolean = true): Unit = {
+      str(name); sb.append(':'); str(if (v == null) "" else v)
+      if (comma) sb.append(',')
+    }
+    field("TS", r.getAs[String]("ts"))
+    field("Level", r.getAs[String]("level"))
+    field("Service", r.getAs[String]("service"))
+    field("Namespace", r.getAs[String]("namespace"))
+    field("Pod", r.getAs[String]("pod"))
+    field("Node", r.getAs[String]("node"))
+    field("Message", r.getAs[String]("message"))
+    field("TraceID", r.getAs[String]("trace_id"))
+    str("Fields"); sb.append(':')
+    val fields = r.getAs[Map[String, String]]("fields")
+    if (fields == null) sb.append("null")
+    else {
+      sb.append('{')
+      var first = true
+      fields.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        if (!first) sb.append(',')
+        first = false
+        str(k); sb.append(':')
+        if (v == null) sb.append("null")
+        else if (isJsonLiteral(v)) sb.append(v)
+        else str(v)
+      }
+      sb.append('}')
+    }
+    sb.append('}')
+    sb.toString
+  }
+
+  /** Raw JSON text that should be emitted unquoted: numbers, booleans,
+    * null, objects, arrays — i.e. everything the map<string,string> parse
+    * produced from a non-string JSON value. */
+  private def isJsonLiteral(v: String): Boolean = {
+    if (v.isEmpty) return false
+    val c = v.charAt(0)
+    c == '{' || c == '[' || v == "true" || v == "false" || v == "null" ||
+      ((c == '-' || (c >= '0' && c <= '9')) &&
+        v.matches("-?\\d+(\\.\\d+)?([eE][+-]?\\d+)?"))
+  }
+
+  /** Per-sink write outcome; feeds A6–A8 + DLQ (report wiring in
+    * [[Pipeline]]). */
+  case class WriteResult(
+      writtenOk: Long,
+      writeFailed: Long,
+      retry: RetryStats,
+      dlq: Seq[(String, String)]) // (record JSON, reason)
+
+  trait Sink {
+    /** Write all rows of a normalized frame; never throws per-record. */
+    def write(df: DataFrame): WriteResult
+  }
+
+  /** Retry policy from `cmd/etl/main.go:480-537`: exponential backoff
+    * base<<attempt capped at max, ±jitter, maxRetries attempts after the
+    * first. Deterministic jitter seed per partition for reproducibility.
+    */
+  final class RetryPolicy(maxRetries: Int, baseMs: Long, maxMs: Long,
+      jitterPct: Double) extends Serializable {
+    def run(attemptIo: () => Unit, rng: java.util.Random): (Boolean, Int) = {
+      var attempt = 0
+      while (true) {
+        try { attemptIo(); return (true, attempt) }
+        catch {
+          case _: Exception if attempt < maxRetries =>
+            var backoff = baseMs << attempt
+            if (maxMs > 0 && backoff > maxMs) backoff = maxMs
+            if (jitterPct > 0) {
+              val d = (backoff * jitterPct).toLong
+              if (d > 0) backoff = backoff - d + math.abs(rng.nextLong() % (2 * d))
+            }
+            Thread.sleep(math.max(backoff, 0))
+            attempt += 1
+          case _: Exception => return (false, attempt)
+        }
+      }
+      (false, attempt) // unreachable
+    }
+  }
+
+  /** K1: stdout JSONL. Inherently a driver-side sink; stream partitions
+    * through `toLocalIterator` so nothing is collected wholesale. */
+  final class StdoutSink(out: java.io.PrintStream = System.out) extends Sink {
+    def write(df: DataFrame): WriteResult = {
+      var n = 0L
+      val it = df.toLocalIterator()
+      while (it.hasNext) { out.println(renderRecord(it.next())); n += 1 }
+      WriteResult(n, 0, RetryStats(), Nil)
+    }
+  }
+
+  /** K2: single-file JSONL, CLI parity with `os.Create` + JSONL encode
+    * (`builder.go:19-27`). Renders distributed (mapPartitions), writes a
+    * part directory, then merges parts into the single target file —
+    * the explicit `coalesce(1)`-style decision documented in SURVEY §7.4.
+    */
+  final class FileSink(path: String) extends Sink {
+    def write(df: DataFrame): WriteResult = {
+      import df.sparkSession.implicits._
+      val tmp = path + ".spark-tmp"
+      val lines = df.mapPartitions(_.map(renderRecord))
+      lines.write.mode("overwrite").text(tmp)
+      val n = mergeParts(df.sparkSession, tmp, path)
+      WriteResult(n, 0, RetryStats(), Nil)
+    }
+  }
+
+  /** Merge a text part-directory into one file; returns line count. */
+  private[etl] def mergeParts(spark: org.apache.spark.sql.SparkSession,
+      dir: String, target: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(dir).getFileSystem(conf)
+    val tgt = new Path(target)
+    if (tgt.getParent != null) fs.mkdirs(tgt.getParent)
+    val parts = fs.listStatus(new Path(dir)).map(_.getPath)
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    var lines = 0L
+    val out = fs.create(tgt, true)
+    try parts.foreach { p =>
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](1 << 16)
+        var r = in.read(buf)
+        while (r > 0) {
+          var i = 0
+          while (i < r) { if (buf(i) == '\n') lines += 1; i += 1 }
+          out.write(buf, 0, r); r = in.read(buf)
+        }
+      } finally in.close()
+    } finally out.close()
+    fs.delete(new Path(dir), true)
+    lines
+  }
+
+  /** K3: rotating JSONL with byte threshold + retention
+    * (`rotate.go:10-93`): `base` then `base.1 … base.N`, delete
+    * `base.(N-maxFiles)`. Rotation is sequential single-writer semantics
+    * by definition, so records stream through the driver; for distributed
+    * rotation-by-size use `maxRecordsPerFile`/parquet instead (§2.4 K3).
+    */
+  final class RotatingSink(basePath: String, maxBytes: Long, maxFiles: Int)
+      extends Sink {
+    def write(df: DataFrame): WriteResult = {
+      val base = java.nio.file.Paths.get(basePath)
+      if (base.getParent != null) java.nio.file.Files.createDirectories(base.getParent)
+      var index = 0
+      var size = 0L
+      def pathFor(i: Int) =
+        if (i == 0) base else java.nio.file.Paths.get(s"$basePath.$i")
+      var out = java.nio.file.Files.newBufferedWriter(pathFor(0))
+      var n = 0L
+      try {
+        val it = df.toLocalIterator()
+        while (it.hasNext) {
+          val data = renderRecord(it.next()) + "\n"
+          val bytes = data.getBytes("UTF-8").length
+          if (size + bytes > maxBytes) {
+            out.close()
+            index += 1
+            if (maxFiles > 0 && index > maxFiles)
+              java.nio.file.Files.deleteIfExists(pathFor(index - maxFiles))
+            out = java.nio.file.Files.newBufferedWriter(pathFor(index))
+            size = 0L
+          }
+          out.write(data); size += bytes; n += 1
+        }
+      } finally out.close()
+      WriteResult(n, 0, RetryStats(), Nil)
+    }
+  }
+
+  /** K4: HTTP/webhook sink — per record `POST url`, JSON body, 30 s
+    * timeout, success = 2xx, retry ≤ maxRetries with backoff
+    * (`internal/sink/http.go:14-97`). One HTTP client per partition;
+    * failures captured (not thrown) and returned as DLQ rows; retry
+    * stats via accumulators (A8). */
+  final class HttpSink(url: String, policy: RetryPolicy,
+      timeoutMs: Int = 30000) extends Sink {
+    def write(df: DataFrame): WriteResult = {
+      val sc = df.sparkSession.sparkContext
+      val okAcc = sc.longAccumulator("http_ok")
+      val failAcc = sc.longAccumulator("http_fail")
+      val retryAcc = sc.longAccumulator("http_retries")
+      val retriedWritesAcc = sc.longAccumulator("http_retried_writes")
+      val maxRetryAcc = new MaxAccumulator
+      sc.register(maxRetryAcc, "http_max_retries")
+      val u = url
+      val pol = policy
+      val tmo = timeoutMs
+      import df.sparkSession.implicits._
+      val failures = df.mapPartitions { rows =>
+        val client = java.net.http.HttpClient.newBuilder()
+          .connectTimeout(java.time.Duration.ofMillis(tmo)).build()
+        val rng = new java.util.Random(
+          org.apache.spark.TaskContext.getPartitionId().toLong)
+        rows.flatMap { row =>
+          val body = renderRecord(row)
+          val (ok, retries) = pol.run(() => {
+            val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(u))
+              .timeout(java.time.Duration.ofMillis(tmo))
+              .header("Content-Type", "application/json")
+              .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+              .build()
+            val resp = client.send(req,
+              java.net.http.HttpResponse.BodyHandlers.discarding())
+            val code = resp.statusCode()
+            if (code < 200 || code >= 300)
+              throw new java.io.IOException(s"unexpected status $code")
+          }, rng)
+          retryAcc.add(retries)
+          if (retries > 0) { retriedWritesAcc.add(1); maxRetryAcc.add(retries) }
+          if (ok) { okAcc.add(1); None }
+          else { failAcc.add(1); Some((body, s"write failed after $retries retries")) }
+        }
+      }.collect() // failures only — small by construction
+      WriteResult(okAcc.value, failAcc.value,
+        RetryStats(retryAcc.value, retriedWritesAcc.value, maxRetryAcc.value),
+        failures.toSeq)
+    }
+  }
+
+  /** Parquet sink — the reference's `s3` placeholder made real: any
+    * Hadoop-FS URI (file://, s3a://, hdfs://) works. Columnar, splittable,
+    * the 100 TB-scale default. */
+  final class ParquetSink(path: String) extends Sink {
+    def write(df: DataFrame): WriteResult = {
+      val n = df.count()
+      df.write.mode("overwrite").parquet(path)
+      WriteResult(n, 0, RetryStats(), Nil)
+    }
+  }
+
+  /** K6: DLQ — JSONL of `{record, reason}` (`cmd/etl/main.go:475-478`,
+    * `319-325`). `record` is the already-rendered record object. */
+  def writeDlq(path: String, entries: Seq[(String, String)]): Unit = {
+    if (path.isEmpty || entries.isEmpty) return
+    val p = java.nio.file.Paths.get(path)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    val out = java.nio.file.Files.newBufferedWriter(p,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    try entries.foreach { case (record, reason) =>
+      val esc = reason.replace("\\", "\\\\").replace("\"", "\\\"")
+      out.write(s"""{"record":$record,"reason":"$esc"}""")
+      out.write("\n")
+    } finally out.close()
+  }
+
+  /** K7: builder — dispatch on output_type (`builder.go:15-55`), with the
+    * Spark-native additions. Unknown type or missing connector → Left. */
+  def build(cfg: EtlConfig): Either[String, Sink] = {
+    val policy = new RetryPolicy(cfg.sinkMaxRetries, cfg.sinkBackoffBaseMs,
+      cfg.sinkBackoffMaxMs, cfg.sinkBackoffJitter)
+    cfg.outputType.toLowerCase match {
+      case "" | "stdout" => Right(new StdoutSink())
+      case "file" => Right(new FileSink(cfg.outputPath))
+      case "rotate" | "rotating" =>
+        Right(new RotatingSink(cfg.outputPath, cfg.outputMaxBytes, cfg.outputMaxFiles))
+      case "http" | "webhook" => Right(new HttpSink(cfg.outputPath, policy))
+      case "parquet" | "s3" | "s3a" => Right(new ParquetSink(cfg.outputPath))
+      case "kafka" => Left("kafka sink requires the spark-sql-kafka connector on the classpath")
+      case other => Left(s"""unsupported output type "$other"""")
+    }
+  }
+}
+
+/** Accumulator for A8's max-retries-per-write. */
+class MaxAccumulator extends org.apache.spark.util.AccumulatorV2[Long, Long] {
+  private var _max = 0L
+  def isZero: Boolean = _max == 0
+  def copy(): MaxAccumulator = { val a = new MaxAccumulator; a._max = _max; a }
+  def reset(): Unit = _max = 0
+  def add(v: Long): Unit = if (v > _max) _max = v
+  def merge(other: org.apache.spark.util.AccumulatorV2[Long, Long]): Unit =
+    if (other.value > _max) _max = other.value
+  def value: Long = _max
+}

@@ -1,0 +1,118 @@
+package graft.etl
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Port of `internal/stages/normalize_test.go` (full record, required
+  * fields, aliases, timestamp matrix) + the residual-field law. */
+class NormalizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def norm(lines: String*): Seq[Row] =
+    Normalize(lines.toDF("line")).collect().toSeq
+
+  private def one(line: String): Row = norm(line).head
+
+  test("complete record incl. nested kubernetes") {
+    val r = one("""{"ts":"2025-12-14T19:25:13.221Z","level":"info","msg":" payment ok ","service":"payments","kubernetes":{"namespace_name":"prod","pod_name":"pay-55fd","node_name":"ip-10-0-2-22"},"trace_id":"c9","extra":1}""")
+    assert(r.getAs[String]("error") == null)
+    assert(r.getAs[String]("ts") == "2025-12-14T19:25:13.221Z")
+    assert(r.getAs[String]("level") == "INFO")
+    assert(r.getAs[String]("message") == "payment ok")
+    assert(r.getAs[String]("service") == "payments")
+    assert(r.getAs[String]("namespace") == "prod")
+    assert(r.getAs[String]("pod") == "pay-55fd")
+    assert(r.getAs[String]("node") == "ip-10-0-2-22")
+    assert(r.getAs[String]("trace_id") == "c9")
+    assert(r.getAs[Map[String, String]]("fields") == Map("extra" -> "1"))
+  }
+
+  test("required-field errors, in Go's precedence order") {
+    // missing ts
+    assert(one("""{"level":"INFO","msg":"x"}""").getAs[String]("error")
+      == "missing timestamp: expected ts/time in RFC3339")
+    // missing msg (ts ok)
+    assert(one("""{"ts":"2025-01-01T00:00:00Z","level":"INFO"}""").getAs[String]("error")
+      == "missing message: expected msg/message")
+    // missing level
+    assert(one("""{"ts":"2025-01-01T00:00:00Z","msg":"x"}""").getAs[String]("error")
+      == "missing level: expected level/severity")
+    // ts error wins over missing msg+level
+    assert(one("""{"ts":"nope"}""").getAs[String]("error")
+      == "invalid timestamp \"nope\": expected RFC3339")
+  }
+
+  test("alias handling: time, severity, message, app, trace") {
+    val r = one("""{"time":"2025-12-14T19:25:14Z","severity":"error","message":"m","app":"auth","trace":"t1"}""")
+    assert(r.getAs[String]("error") == null)
+    assert(r.getAs[String]("level") == "ERROR")
+    assert(r.getAs[String]("message") == "m")
+    assert(r.getAs[String]("service") == "auth")
+    assert(r.getAs[String]("trace_id") == "t1")
+  }
+
+  test("primary wins over alias; empty primary falls back") {
+    val r = one("""{"ts":"2025-01-01T00:00:00Z","time":"2024-01-01T00:00:00Z","level":"warn","severity":"info","msg":"a","message":"b","service":"","app":"backup"}""")
+    assert(r.getAs[String]("ts") == "2025-01-01T00:00:00Z")
+    assert(r.getAs[String]("level") == "WARN")
+    assert(r.getAs[String]("message") == "a")
+    assert(r.getAs[String]("service") == "backup") // empty primary → alias
+  }
+
+  test("timestamp format matrix (normalize_test.go:152-177)") {
+    def err(ts: String): String =
+      one(s"""{"ts":"$ts","level":"INFO","msg":"x"}""").getAs[String]("error")
+    assert(err("2025-12-14T19:25:12.123456789Z") == null) // RFC3339Nano
+    assert(err("2025-12-14T19:25:12Z") == null)           // RFC3339
+    assert(err("2025-12-14T19:25:12+05:30") == null)      // numeric offset
+    assert(err("not-a-date") != null)
+    assert(err("2025-12-14 19:25:12Z") != null)           // space separator
+    assert(err("2025-12-14T19:25:12") != null)            // no zone
+    assert(err("2025-13-14T19:25:12Z") != null)           // month 13
+  }
+
+  test("RFC3339Nano re-format: trailing zeros trimmed, offset preserved") {
+    def ts(s: String): String =
+      one(s"""{"ts":"$s","level":"INFO","msg":"x"}""").getAs[String]("ts")
+    assert(ts("2025-12-14T19:25:12.100Z") == "2025-12-14T19:25:12.1Z")
+    assert(ts("2025-12-14T19:25:12.000Z") == "2025-12-14T19:25:12Z")
+    assert(ts("2025-12-14T19:25:12+05:30") == "2025-12-14T19:25:12+05:30")
+    assert(ts("2025-12-14T19:25:12.25-08:00") == "2025-12-14T19:25:12.25-08:00")
+    assert(ts("2025-12-14T19:25:12+00:00") == "2025-12-14T19:25:12Z")
+  }
+
+  test("k8s flattening with top-level override; hostname fallback for node") {
+    // top-level namespace overrides kubernetes
+    val r1 = one("""{"ts":"2025-01-01T00:00:00Z","level":"I","msg":"x","namespace":"top","kubernetes":{"namespace_name":"k8s","pod_name":"p1","node_name":"n1"}}""")
+    assert(r1.getAs[String]("namespace") == "top")
+    assert(r1.getAs[String]("pod") == "p1")
+    assert(r1.getAs[String]("node") == "n1")
+    // hostname only fills node when still empty
+    val r2 = one("""{"ts":"2025-01-01T00:00:00Z","level":"I","msg":"x","hostname":"h1"}""")
+    assert(r2.getAs[String]("node") == "h1")
+    val r3 = one("""{"ts":"2025-01-01T00:00:00Z","level":"I","msg":"x","hostname":"h1","kubernetes":{"node_name":"n1"}}""")
+    assert(r3.getAs[String]("node") == "n1")
+    // empty top-level node → falls through to hostname (normalize.go:122-134)
+    val r4 = one("""{"ts":"2025-01-01T00:00:00Z","level":"I","msg":"x","node":"","hostname":"h1","kubernetes":{"node_name":"n1"}}""")
+    assert(r4.getAs[String]("node") == "h1")
+  }
+
+  test("residual-field law: canonical keys never land in fields") {
+    val r = one("""{"ts":"2025-01-01T00:00:00Z","level":"I","msg":"x","time":"y","hostname":"h","path":"/a","status":200,"nested":{"a":1},"flag":true}""")
+    val f = r.getAs[Map[String, String]]("fields")
+    assert(f.keySet == Set("path", "status", "nested", "flag"))
+    assert(f("status") == "200")
+    assert(f("flag") == "true")
+    assert(f("nested") == """{"a":1}""")
+  }
+
+  test("invalid JSON → error_kind json") {
+    val r = one("""{truncated""")
+    assert(r.getAs[String]("error_kind") == "json")
+  }
+
+  test("fields is empty map (not null) when no residuals") {
+    val r = one("""{"ts":"2025-01-01T00:00:00Z","level":"I","msg":"x"}""")
+    assert(r.getAs[Map[String, String]]("fields") == Map.empty[String, String])
+  }
+}

@@ -1,0 +1,118 @@
+package graft.etl
+
+import org.apache.spark.sql.functions._
+
+/** Flagship end-to-end: port of `cmd/etl/integration_test.go:16-99` —
+  * the canonical behavioral contract (BASELINE.md functional floor). */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("integration: 6-line fixture → 3 records, redacted, exact report") {
+    val out = java.nio.file.Files.createTempDirectory("etl-it")
+    val cfg = EtlConfig.default.copy(
+      inputPath = fixturePath,
+      outputType = "file",
+      outputPath = s"$out/out.jsonl",
+      reportPath = s"$out/report.json",
+      filterLevels = Seq("WARN", "ERROR"),
+      redactKeys = Seq("user_email", "token"))
+    val res = Pipeline.runFile(spark, cfg)
+    assert(res.isRight, res.left.toOption)
+    val r = res.toOption.get.report
+
+    // report totals (integration_test.go:82-93)
+    assert(r.totalLines == 6)
+    assert(r.jsonParsed == 6)
+    assert(r.jsonFailed == 0)
+    assert(r.normalizedOk == 6)
+    assert(r.normalizedFailed == 0)
+    assert(r.writtenOk == 3)
+    assert(r.writeFailed == 0)
+    assert(r.filteredLevel == 3)
+    assert(r.filteredService == 0)
+    assert(r.durationSeconds > 0)
+    assert(r.throughput > 0)
+    assert(r.byLevel == Map("INFO" -> 3L, "ERROR" -> 2L, "WARN" -> 1L))
+    assert(r.byService == Map("orders" -> 2L, "gateway" -> 1L,
+      "payments" -> 1L, "auth" -> 2L))
+
+    // emitted records: exactly 3, no redacted key survives
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(s"$out/out.jsonl"))
+    assert(lines.size == 3)
+    lines.forEach { l =>
+      assert(!l.contains("user_email"), l)
+      assert(!l.contains("\"token\""), l)
+    }
+    // the ERROR record keeps its non-PII field
+    assert(lines.toString.contains("db_host"))
+    // summary text contract ("Total Lines", integration_test.go:96)
+    assert(Pipeline.summary(r).contains("Total Lines"))
+    // report file exists and parses as JSON object
+    val rep = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/report.json")))
+    assert(rep.trim.startsWith("{") && rep.contains("\"total_lines\": 6"))
+  }
+
+  test("records blocked by filter keep fields un-redacted (filter_test.go:36-53)") {
+    val cfg = EtlConfig.default.copy(
+      filterLevels = Seq("ERROR"), redactKeys = Seq("user_email"))
+    val lines = Seq(
+      """{"ts":"2025-01-01T00:00:00Z","level":"INFO","msg":"m","user_email":"a@b.c"}""").toDF("line")
+    val normalized = Normalize(lines)
+    val transformed = TransformRegistry(cfg)(normalized).toOption.get
+    val blocked = transformed.filter(col(Transforms.DropReasonCol).isNotNull).head()
+    assert(blocked.getAs[Map[String, String]]("fields").contains("user_email"))
+  }
+
+  test("empty filter config allows all (filter_test.go:71-77)") {
+    val cfg = EtlConfig.default.copy(filterLevels = Nil, redactKeys = Nil)
+    val lines = Seq(
+      """{"ts":"2025-01-01T00:00:00Z","level":"TRACE","msg":"m"}""").toDF("line")
+    val res = Pipeline.run(lines, cfg.copy(outputType = "stdout"))
+    assert(res.toOption.get.report.writtenOk == 1)
+  }
+
+  test("service filter is case-insensitive (filter_test.go:55-69)") {
+    val cfg = EtlConfig.default.copy(
+      filterLevels = Nil, filterServices = Seq("Orders"))
+    val lines = Seq(
+      """{"ts":"2025-01-01T00:00:00Z","level":"I","msg":"m","service":"ORDERS"}""",
+      """{"ts":"2025-01-01T00:00:00Z","level":"I","msg":"m","service":"other"}""").toDF("line")
+    val res = Pipeline.run(lines, cfg).toOption.get.report
+    assert(res.writtenOk == 1)
+    assert(res.filteredService == 1)
+  }
+
+  test("unknown transform is a hard error (registry.go:32-34)") {
+    val cfg = EtlConfig.default.copy(transforms = Seq("nope"))
+    val res = Pipeline.run(Seq("""{"a":1}""").toDF("line"), cfg)
+    assert(res == Left("""unknown transform "nope""""))
+  }
+
+  test("corrupt + normalize-failed lines are counted, not fatal") {
+    val cfg = EtlConfig.default.copy(filterLevels = Nil)
+    val lines = Seq(
+      """{"ts":"2025-01-01T00:00:00Z","level":"I","msg":"ok"}""",
+      """not json at all""",
+      """{"level":"I","msg":"no ts"}""").toDF("line")
+    val r = Pipeline.run(lines, cfg).toOption.get.report
+    assert(r.totalLines == 3)
+    assert(r.jsonFailed == 1)
+    assert(r.jsonParsed == 2)
+    assert(r.normalizedFailed == 1)
+    assert(r.normalizedOk == 1)
+    assert(r.writtenOk == 1)
+  }
+
+  test("prometheus rendering exposes the counter surface") {
+    val r = EtlReport(totalLines = 10, jsonParsed = 9, jsonFailed = 1,
+      byLevel = Map("ERROR" -> 4), retryStats = RetryStats(2, 1, 2))
+      .withDuration(2.0)
+    val p = r.prometheus
+    assert(p.contains("etl_total_lines 10"))
+    assert(p.contains("etl_level_total{level=\"ERROR\"} 4"))
+    assert(p.contains("etl_retry_total 2"))
+    assert(p.contains("etl_throughput_lines_per_sec 5.000000"))
+  }
+}
