@@ -1,13 +1,54 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Query naming: `etl_*` = reference-parity operators (SURVEY §2 P1–P5,
+  * A1–A5) exercised through the real normalize/transform code path;
+  * `q*` = relational surface; `ev_*` = event-time analytics; `tx_*` /
+  * `dd_*` / `vec_*` / `mm_*` = LLM-data-pipeline operators (text
+  * analysis, dedup, similarity search, multimodal). Sinks (K1–K7) and
+  * streaming are exercised by the ScalaTest suites + CLI (not
+  * SQL-expressible).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0: the full ETL report over synthesized JSONL (every parity
+    * operator executes). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    EtlQueries.reportQuery(spark, "/root/testdata/sf0.001")
+
+  private val registry:
+      Map[String, ((SparkSession, String) => DataFrame, Option[String])] =
+    EtlQueries.all ++ RelationalQueries.all ++ EventQueries.all ++
+      TextQueries.all ++ VectorQueries.all
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map { case (k, (fn, _)) => k -> fn }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for engine-internal-hash ops
+    * (dd_simhash, vec_knn_lsh) → rows-only check. */
+  def oracleSql: Map[String, String] =
+    registry.collect { case (k, (_, Some(sql))) => k -> sql }
+
+  /** Headline queries benched per round (BENCH_r{N}.json): one per
+    * operator family, heaviest representative. */
+  def benchQueries: Seq[String] = Seq(
+    "etl_report",        // full parse+normalize+filter pipeline
+    "etl_normalize",     // per-record normalize output (wide)
+    "q1_pricing",        // scan + agg
+    "q5_nation_revenue", // multi-join
+    "q_window_top3",     // window functions
+    "ev_sessions",       // sessionization
+    "ev_hourly",         // event-time windows
+    "tx_quality",        // text scoring scan
+    "dd_minhash_lsh",    // minhash + LSH + verify
+    "dd_ngram_jaccard",  // exact similarity join
+    "vec_knn_brute",     // dense similarity search
+    "vec_knn_lsh")       // ANN path
 }

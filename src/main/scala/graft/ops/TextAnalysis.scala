@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-data pipelines over a `documents`-like
+  * table (`doc_id`, `text`, …). All pure column expressions — they fuse
+  * into whole-stage codegen, scale linearly with the scan, and never
+  * shuffle (per-document metrics are embarrassingly parallel, exactly
+  * like the reference's record-at-a-time stages).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. The BPE-ish variant additionally splits
+    * punctuation clusters (see [[bpeishTokens]]). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** A BPE-style pre-tokenization: split on whitespace boundaries AND
+    * punctuation/letter/digit transitions (the regex pre-pass every BPE
+    * tokenizer runs before merges). Token *count* approximates LLM token
+    * counts for budgeting at corpus scale. */
+  def bpeishTokens(text: Column): Column =
+    split(regexp_replace(text,
+      "(\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]+)", "$1"), "\\s*")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** English-ish stopwords present in the synthetic corpus vocabulary. */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "to", "and", "in", "is", "it")
+
+  def stopwordCount(text: Column, stopwords: Seq[String] = Stopwords): Column =
+    size(filter(tokens(text), t => t.isInCollection(stopwords)))
+
+  /** Per-document quality score in [0,1]: length saturation (40%),
+    * type-token ratio (40%), non-stopword density (20%). Deterministic,
+    * SQL-expressible (mirrored by the DuckDB oracle in Queries). */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text).cast("double")
+    val distinctN = size(array_distinct(tokens(text))).cast("double")
+    val stopN = stopwordCount(text).cast("double")
+    round(
+      least(n / 100.0, lit(1.0)) * 0.4 +
+        (distinctN / n) * 0.4 +
+        (lit(1.0) - stopN / n) * 0.2, 4)
+  }
+
+  /** Marker-word language ID. An n-gram/charset heuristic distilled to
+    * its SQL-expressible core: count marker hits per language, argmax
+    * with a fixed precedence, `und` when nothing matches. (The synthetic
+    * corpus shares one vocabulary across its `lang` labels, so scores —
+    * not label recovery — are the verifiable contract.) */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "las", "y", "es"))
+
+  def langScores(text: Column): Seq[(String, Column)] =
+    LangMarkers.map { case (lang, markers) =>
+      lang -> size(filter(tokens(text), t => t.isInCollection(markers)))
+    }
+
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && s > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Content-defined fingerprints. `md5Fingerprint` is the
+    * oracle-checkable exact-dedup key; `normalizedFingerprint` folds
+    * case/whitespace so trivially-edited copies collide. */
+  def md5Fingerprint(text: Column): Column = md5(text.cast("binary"))
+  def normalizedFingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "\\s+", " ").cast("binary"))
+
+  /** Rolling (Rabin-Karp-style) 64-bit fingerprint over tokens —
+    * order-sensitive, cheap to maintain incrementally at ingest. Spark
+    * `aggregate` keeps it sequential per document (deterministic). */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc * 1000003L + crc32(t.cast("binary")).cast("long"))
+
+  /** One-pass document profile. */
+  def profile(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_chars", length(t))
+      .withColumn("ttr", round(size(array_distinct(tokens(t))).cast("double") /
+        tokenCount(t), 4))
+      .withColumn("stop_ratio", round(stopwordCount(t).cast("double") /
+        tokenCount(t), 4))
+      .withColumn("quality", qualityScore(t))
+      .withColumn("lang_pred", langId(t))
+      .withColumn("fingerprint", md5Fingerprint(t))
+  }
+}

@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.TimeSeries
+
+/** Event-stream analytics over `events`: grouped stats, tumbling
+  * windows, sessionization, JSON-props extraction. The same expressions
+  * run under Structured Streaming (graft.streaming.StreamingPipeline).
+  */
+object EventQueries {
+
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+
+  /** Grouped value stats by type (A3-style counts + numeric profile). */
+  def byType(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(avg("value"), 2).as("avg_value"),
+        round(min("value"), 2).as("min_value"),
+        round(max("value"), 2).as("max_value"))
+      .orderBy("event_type")
+
+  val byTypeOracle: String =
+    """SELECT event_type, count(*) AS n, round(avg(value), 2) AS avg_value,
+      |  round(min(value), 2) AS min_value, round(max(value), 2) AS max_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Tumbling hourly counts by type (event-time windowing, batch form).
+    */
+  def hourly(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.tumbling(events(spark, dir), "hour", "event_type")
+      .orderBy("window_start", "event_type")
+
+  val hourlyOracle: String =
+    """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:00') AS window_start,
+      |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  /** Gap-based sessionization (30 min), per-user session counts. */
+  def sessions(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.sessionStats(events(spark, dir), gapSeconds = 1800)
+      .orderBy("user_id")
+
+  val sessionsOracle: String =
+    """WITH x AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |    lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+      |      PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev
+      |  FROM events)
+      |SELECT user_id, count(*) AS n_events,
+      |  count(*) FILTER (WHERE prev IS NULL OR us - prev > 1800000000) AS n_sessions
+      |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** JSON-props field extraction + aggregation (regex form — portable,
+    * and at scale a one-pass scan; `props` stays unparsed otherwise). */
+  def propsStats(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("k",
+        regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long"))
+      .groupBy("event_type")
+      .agg(sum("k").as("sum_k"), round(avg("k"), 2).as("avg_k"),
+        max("k").as("max_k"))
+      .orderBy("event_type")
+
+  val propsStatsOracle: String =
+    """SELECT event_type,
+      |  CAST(sum(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+      |  round(avg(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)), 2) AS avg_k,
+      |  max(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "ev_by_type" -> ((byType _, Some(byTypeOracle))),
+    "ev_hourly" -> ((hourly _, Some(hourlyOracle))),
+    "ev_sessions" -> ((sessions _, Some(sessionsOracle))),
+    "ev_props_stats" -> ((propsStats _, Some(propsStatsOracle))))
+}

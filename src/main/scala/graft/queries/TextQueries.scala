@@ -1,0 +1,178 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, TextAnalysis}
+
+/** Text-analysis + deduplication queries over `documents`. */
+object TextQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** Token/char counts + ratios per document. */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val tks = TextAnalysis.tokens(col("text"))
+    docs(spark, dir).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).as("n_chars"),
+        round(size(array_distinct(tks)).cast("double") /
+          size(tks).cast("double"), 4).as("ttr"),
+        round(TextAnalysis.stopwordCount(col("text")).cast("double") /
+          size(tks).cast("double"), 4).as("stop_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val tokenStatsOracle: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+      |  CAST(length(text) AS INTEGER) AS n_chars,
+      |  round(len(list_distinct(string_split(text, ' '))) * 1.0
+      |        / len(string_split(text, ' ')), 4) AS ttr,
+      |  round(len(list_filter(string_split(text, ' '),
+      |          t -> t IN ('the', 'a', 'of', 'to', 'and', 'in', 'is', 'it'))) * 1.0
+      |        / len(string_split(text, ' ')), 4) AS stop_ratio
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Quality score (formula mirrored exactly by the oracle). */
+  def quality(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  val qualityOracle: String =
+    """WITH s AS (SELECT doc_id,
+      |    len(string_split(text, ' ')) * 1.0 AS n,
+      |    len(list_distinct(string_split(text, ' '))) * 1.0 AS nd,
+      |    len(list_filter(string_split(text, ' '),
+      |        t -> t IN ('the', 'a', 'of', 'to', 'and', 'in', 'is', 'it'))) * 1.0 AS st
+      |  FROM documents)
+      |SELECT doc_id,
+      |  round(least(n / 100.0, 1.0) * 0.4 + (nd / n) * 0.4 + (1.0 - st / n) * 0.2, 4)
+      |    AS quality
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  /** Marker-based language-ID distribution. */
+  def langDist(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(TextAnalysis.langId(col("text")).as("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang_pred")
+
+  val langDistOracle: String =
+    """WITH s AS (SELECT
+      |    len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','is'))) AS e,
+      |    len(list_filter(string_split(text, ' '), t -> t IN ('der','die','das','und','ist'))) AS d,
+      |    len(list_filter(string_split(text, ' '), t -> t IN ('le','la','les','et','est'))) AS f,
+      |    len(list_filter(string_split(text, ' '), t -> t IN ('el','los','las','y','es'))) AS sp
+      |  FROM documents)
+      |SELECT CASE WHEN e > 0 AND e >= greatest(e, d, f, sp) THEN 'en'
+      |            WHEN d > 0 AND d >= greatest(d, f, sp) THEN 'de'
+      |            WHEN f > 0 AND f >= greatest(f, sp) THEN 'fr'
+      |            WHEN sp > 0 THEN 'es'
+      |            ELSE 'und' END AS lang_pred, count(*) AS n
+      |FROM s GROUP BY 1 ORDER BY lang_pred""".stripMargin
+
+  /** Content fingerprints (exact-dedup keys). */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"),
+        TextAnalysis.md5Fingerprint(col("text")).as("fp"),
+        TextAnalysis.normalizedFingerprint(col("text")).as("fp_norm"))
+      .orderBy("doc_id")
+
+  val fingerprintsOracle: String =
+    """SELECT doc_id, md5(text) AS fp,
+      |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp_norm
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Exact dedup profile per source. */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_distinct"))
+      .orderBy("source")
+
+  val exactDedupOracle: String =
+    """SELECT source, count(*) AS n_docs, count(DISTINCT text) AS n_distinct
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  /** Exact 5-gram-shingle Jaccard near-dup pairs (>= 0.5). */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(docs(spark, dir), threshold = 0.5)
+      .orderBy("da", "db")
+
+  val ngramJaccardOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |         list_transform(range(1, greatest(len(w) - 3, 1)),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])))
+      |         AS s
+      |       FROM t WHERE len(w) >= 5),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+      |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2)
+      |SELECT da, db, round(c * 1.0 / (x.n + y.n - c), 4) AS jaccard
+      |FROM p JOIN sz x ON p.da = x.doc_id JOIN sz y ON p.db = y.doc_id
+      |WHERE c * 1.0 / (x.n + y.n - c) >= 0.5 ORDER BY da, db""".stripMargin
+
+  /** MinHash+LSH near-dup pairs (>= 0.8) with exact verification — the
+    * oracle is the exact-Jaccard computation at the same threshold
+    * (banding: P[miss | s >= 0.8] ≈ 2e-4, see Dedup.minhashLshPairs). */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(docs(spark, dir), threshold = 0.8)
+      .orderBy("da", "db")
+
+  val minhashLshOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |         list_transform(range(1, greatest(len(w) - 3, 1)),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])))
+      |         AS s
+      |       FROM t WHERE len(w) >= 5),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+      |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2)
+      |SELECT da, db, round(c * 1.0 / (x.n + y.n - c), 4) AS jaccard
+      |FROM p JOIN sz x ON p.da = x.doc_id JOIN sz y ON p.db = y.doc_id
+      |WHERE c * 1.0 / (x.n + y.n - c) >= 0.8 ORDER BY da, db""".stripMargin
+
+  /** SimHash near-dup pairs — engine-internal hash, no SQL oracle
+    * (rows-only check); recall asserted against exact Jaccard in
+    * DedupSpec. */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(docs(spark, dir), maxHamming = 8)
+      .orderBy("da", "db")
+
+  /** Multimodal plumbing profile: binary payload + typed metadata
+    * (decode path itself is exercised in MultimodalSpec). */
+  def mediaMeta(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Multimodal.withSyntheticMedia(docs(spark, dir))
+      .select(col("media_id"), col("meta.mime").as("mime"),
+        col("meta.byte_len").as("byte_len"),
+        (expr("CAST(meta.byte_len / 256 AS INT)") + 1).as("n_chunks"))
+      .orderBy("media_id")
+
+  val mediaMetaOracle: String =
+    """SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+      |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
+      |       ELSE 'video/mp4' END AS mime,
+      |  CAST(n_chars AS BIGINT) AS byte_len,
+      |  CAST(n_chars // 256 + 1 AS INTEGER) AS n_chunks
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "tx_token_stats" -> ((tokenStats _, Some(tokenStatsOracle))),
+    "tx_quality" -> ((quality _, Some(qualityOracle))),
+    "tx_lang_dist" -> ((langDist _, Some(langDistOracle))),
+    "tx_fingerprints" -> ((fingerprints _, Some(fingerprintsOracle))),
+    "dd_exact" -> ((exactDedup _, Some(exactDedupOracle))),
+    "dd_ngram_jaccard" -> ((ngramJaccard _, Some(ngramJaccardOracle))),
+    "dd_minhash_lsh" -> ((minhashLsh _, Some(minhashLshOracle))),
+    "dd_simhash" -> ((simhashPairs _, None)),
+    "mm_media_meta" -> ((mediaMeta _, Some(mediaMetaOracle))))
+}

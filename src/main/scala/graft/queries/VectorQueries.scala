@@ -1,0 +1,63 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Similarity}
+
+/** Similarity-search queries over `embeddings` (`vec_id`,
+  * `embedding: array<float>`, `label`). */
+object VectorQueries {
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Brute-force cosine top-5 for query vectors (vec_id % 50 == 0). */
+  def knnBrute(spark: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceKnn(emb(spark, dir), k = 5,
+        queryPred = col("vec_id") % 50 === 0)
+      .orderBy("qid", "rn")
+
+  val knnBruteOracle: String =
+    """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+      |           FROM embeddings WHERE vec_id % 50 = 0),
+      |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings),
+      |s AS (SELECT qid, cid,
+      |        round(list_sum(list_transform(range(1, len(qe) + 1), i -> qe[i] * ce[i]))
+      |          / (sqrt(list_sum(list_transform(qe, x -> x * x)))
+      |             * sqrt(list_sum(list_transform(ce, x -> x * x)))), 4) AS sim
+      |      FROM q, c WHERE qid <> cid),
+      |r AS (SELECT qid, cid, sim,
+      |        CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INTEGER) AS rn
+      |      FROM s)
+      |SELECT qid, cid, sim, rn FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+
+  /** Embedding-cosine near-dup pairs (sim >= 0.4). */
+  def nearDupPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupPairs(emb(spark, dir), threshold = 0.4)
+      .orderBy("da", "db")
+
+  val nearDupOracle: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+      |SELECT a.vec_id AS da, b.vec_id AS db,
+      |  round(list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]))
+      |    / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+      |       * sqrt(list_sum(list_transform(b.e, x -> x * x)))), 4) AS sim
+      |FROM v a JOIN v b ON a.vec_id < b.vec_id
+      |WHERE round(list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]))
+      |    / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+      |       * sqrt(list_sum(list_transform(b.e, x -> x * x)))), 4) >= 0.4
+      |ORDER BY da, db""".stripMargin
+
+  /** LSH-bucketed ANN top-5 — the scale path; engine-internal bucketing,
+    * rows-only check (recall vs brute force asserted in SimilaritySpec).
+    */
+  def knnLsh(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshKnn(emb(spark, dir), k = 5,
+        queryPred = col("vec_id") % 50 === 0)
+      .orderBy("qid", "rn")
+
+  val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "vec_knn_brute" -> ((knnBrute _, Some(knnBruteOracle))),
+    "vec_near_dup" -> ((nearDupPairs _, Some(nearDupOracle))),
+    "vec_knn_lsh" -> ((knnLsh _, None)))
+}
