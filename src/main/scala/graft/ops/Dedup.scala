@@ -156,13 +156,25 @@ object Dedup {
     agg.select(col("sid"), sh.as("simhash"))
   }
 
-  /** SimHash near-dup pairs within `maxHamming` bits. */
+  /** SimHash near-dup pairs within `maxHamming` bits.
+    *
+    * Candidate generation uses `maxHamming + 1` disjoint bit-chunks
+    * (pigeonhole: <= maxHamming flipped bits leave >= 1 chunk intact), so
+    * recall is exact; chunk equality is an equi-join. Narrower chunks
+    * (higher maxHamming) mean more bucket collisions — at very large n,
+    * prefer small maxHamming or a second banding stage. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val f = simhashFrame(docs, idCol, textCol)
-    // 4 chunks of 16 bits; hamming<=3 ⇒ at least one chunk identical
-    val chunks = (0 until 4).map(ci => struct(lit(ci).as("ci"),
-      expr(s"(simhash >> ${ci * 16}) & 65535").as("cv")))
+    val numChunks = math.min(maxHamming + 1, 16)
+    val width = 64 / numChunks
+    val chunks = (0 until numChunks).map { ci =>
+      val lo = ci * width
+      val len = if (ci == numChunks - 1) 64 - lo else width
+      val mask = if (len >= 64) -1L else (1L << len) - 1
+      struct(lit(ci).as("ci"),
+        expr(s"shiftright(simhash, $lo) & $mask").as("cv"))
+    }
     val bucketed = f.select(col("sid"), col("simhash"),
       explode(array(chunks: _*)).as("ck"))
     val cand = bucketed.as("l").join(bucketed.as("r"),

@@ -82,12 +82,15 @@ object Similarity {
     }.reduce((x, y) => x.bitwiseOR(y))
   }
 
-  /** ANN via sign-LSH with multi-probe (exact bucket + single-bit
-    * flips): recall-tunable, never computes more than
-    * |bucket| dot products per query. Returns top-k per query among
-    * candidates sharing a (possibly flipped) bucket. */
+  /** ANN via sign-LSH with multi-probe: each query probes its own
+    * bucket plus every bucket within Hamming distance `probeHamming` of
+    * it (bit-flip masks computed at plan time). Recall is tunable via
+    * (numPlanes, probeHamming); work per query is bounded by the probed
+    * buckets' population — never a full scan, and candidate generation
+    * stays an equi-join on the bucket id. Tune numPlanes so
+    * 2^numPlanes ≈ corpus/1k at scale. */
   def lshKnn(emb: DataFrame, k: Int, queryPred: Column,
-      numPlanes: Int = 12, probes: Int = 4,
+      numPlanes: Int = 5, probeHamming: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dim = 64
@@ -95,11 +98,11 @@ object Similarity {
       lshBucket(col(vecCol), numPlanes, dim))
     val cands = withBucket.select(col(idCol).as("cid"),
       asDouble(col(vecCol)).as("ce"), col("bucket"))
-    // multi-probe: original bucket plus single-bit flips 0..probes-1
-    val probeBuckets = array((0 until math.min(probes, numPlanes) + 1).map {
-      case 0 => col("bucket")
-      case i => col("bucket").bitwiseXOR(lit(1L << (i - 1)))
-    }: _*)
+    // all xor masks with <= probeHamming bits set
+    val masks = (0L until (1L << numPlanes))
+      .filter(m => java.lang.Long.bitCount(m) <= probeHamming)
+    val probeBuckets = array(masks.map(m =>
+      col("bucket").bitwiseXOR(lit(m))): _*)
     val q = withBucket.filter(queryPred)
       .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qe"),
         explode(probeBuckets).as("qbucket"))

@@ -75,12 +75,16 @@ object TextAnalysis {
   def normalizedFingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " ").cast("binary"))
 
-  /** Rolling (Rabin-Karp-style) 64-bit fingerprint over tokens —
+  /** Rolling (Rabin-Karp-style) fingerprint over tokens —
     * order-sensitive, cheap to maintain incrementally at ingest. Spark
-    * `aggregate` keeps it sequential per document (deterministic). */
+    * `aggregate` keeps it sequential per document (deterministic). The
+    * accumulator is bounded by a Mersenne-prime modulus so the chained
+    * multiply can't overflow (Spark 4 ANSI mode errors on long
+    * overflow). */
   def rollingFingerprint(text: Column): Column =
     aggregate(tokens(text), lit(0L),
-      (acc, t) => acc * 1000003L + crc32(t.cast("binary")).cast("long"))
+      (acc, t) => pmod(acc * 1000003L + crc32(t.cast("binary")).cast("long"),
+        lit(2305843009213693951L / 1000003L)))
 
   /** One-pass document profile. */
   def profile(docs: DataFrame, textCol: String = "text"): DataFrame = {

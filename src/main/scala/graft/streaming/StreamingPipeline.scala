@@ -1,0 +1,123 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import graft.etl._
+
+/** Structured Streaming form of the ETL pipeline.
+  *
+  * The reference's runtime machinery maps 1:1 onto micro-batch
+  * execution (SURVEY §2.6, §2.8): bounded-queue backpressure →
+  * `maxFilesPerTrigger`; batched sink flush (size+time) → the trigger
+  * interval; worker pool → task parallelism; graceful SIGTERM drain →
+  * `StreamingQuery.stop()`. The *same* column expressions from
+  * [[graft.etl.Normalize]] and [[graft.etl.Transforms]] run unchanged —
+  * batch/streaming parity is structural, not reimplemented.
+  */
+object StreamingPipeline {
+
+  /** S1 (streaming form): watch a directory of JSONL files. */
+  def readLines(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(dir)
+      .toDF("line")
+      .filter(trim(col("line")) =!= "")
+
+  /** The full normalize+transform stream (error/drop rows carried with
+    * their protocol columns, exactly like batch). */
+  def transformedStream(lines: DataFrame, cfg: EtlConfig): DataFrame =
+    TransformRegistry(cfg)(Normalize(lines))
+      .fold(err => throw new IllegalArgumentException(err), identity)
+
+  /** Per-micro-batch sink writer: kept rows go to the configured sink,
+    * failures to the DLQ, counters to the listener bus — the exact
+    * once-per-batch semantics the reference's BatchedSink provided
+    * (`internal/sink/batched.go`), with Spark supplying the
+    * time+size batching. */
+  def writeStream(transformed: DataFrame, cfg: EtlConfig,
+      checkpoint: String,
+      triggerMs: Long = 1000): Either[String, StreamingQuery] = {
+    Sinks.build(cfg).map { sink =>
+      transformed.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.ProcessingTime(triggerMs, java.util.concurrent.TimeUnit.MILLISECONDS))
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val (kept, _, _) = Transforms.split(batch)
+          val clean = kept.select("ts", "level", "message", "service",
+            "namespace", "pod", "node", "trace_id", "fields")
+          val res = sink.write(clean)
+          if (cfg.dlqPath.nonEmpty) Sinks.writeDlq(cfg.dlqPath, res.dlq)
+          ()
+        }
+        .start()
+    }
+  }
+
+  /** Event-time windowed level counts with late-data handling — the
+    * watermarked-aggregation form of report metric A3. */
+  def windowedLevelCounts(transformed: DataFrame,
+      windowDur: String = "1 minute",
+      watermark: String = "2 minutes"): DataFrame =
+    transformed
+      .filter(col("error").isNull)
+      .withWatermark("ts_ts", watermark)
+      .groupBy(window(col("ts_ts"), windowDur), col("level"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("level"), col("n"))
+
+  /** Stateful per-service error-burst detection:
+    * `flatMapGroupsWithState`-style custom state via
+    * mapGroupsWithState — emits (service, burst_len) whenever a service
+    * accumulates `threshold` consecutive ERRORs. Demonstrates the
+    * KeyValueGroupedDataset state API the reference has no analogue for.
+    */
+  def errorBursts(spark: SparkSession, transformed: DataFrame,
+      threshold: Int = 3): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val events = transformed
+      .filter(col("error").isNull)
+      .select(col("service").as[String], col("level").as[String])
+      .as[(String, String)]
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[Int, (String, Int)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (service: String, rows: Iterator[(String, String)], state: GroupState[Int]) =>
+          var run = state.getOption.getOrElse(0)
+          val bursts = scala.collection.mutable.ListBuffer[(String, Int)]()
+          rows.foreach { case (_, level) =>
+            if (level == "ERROR") {
+              run += 1
+              if (run == threshold) bursts += ((service, run))
+            } else run = 0
+          }
+          state.update(run)
+          bursts.iterator
+      }.toDF("service", "burst_len")
+  }
+
+  /** Streaming windowed event aggregation over the events schema
+    * (readStream parquet) — mirrors EventQueries.hourly. */
+  def streamingHourly(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+  }
+}

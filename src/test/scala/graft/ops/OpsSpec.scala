@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.etl.SparkSpec
+
+/** Dedup / similarity / text / multimodal operator contracts on
+  * /root/testdata/sf0.001 (plus synthetic micro-cases). */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet").cache()
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet").cache()
+
+  test("exact dedup: identical texts collapse to min id") {
+    val d = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z")).toDF("doc_id", "text")
+    val r = Dedup.exact(d).collect()
+    assert(r.length == 2)
+    val dup = r.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("shingles: k-grams, distinct, short-doc fallback") {
+    val d = Seq((1L, "a b c d e f"), (2L, "a b")).toDF("doc_id", "text")
+    val s = d.select(col("doc_id"), Dedup.shingles(col("text"), 5).as("sh"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1).toList).toMap
+    assert(s(1L) == "a b c d e f".split(" ").sliding(5).map(_.mkString(" ")).toList)
+    assert(s(2L) == List("a b"))
+  }
+
+  test("minhash-LSH recovers the exact-jaccard pairs at 0.8 (recall)") {
+    val exact = graft.queries.TextQueries.ngramJaccard(spark, sf)
+      .filter(col("jaccard") >= 0.8)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, 0.8)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    assert(lsh == exact, s"missed=${exact -- lsh} extra=${lsh -- exact}")
+  }
+
+  test("simhash: near-identical docs within small hamming distance") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = base.replace("tok7", "changed")
+    val far = (1 to 60).map(i => s"other$i").mkString(" ")
+    val d = Seq((1L, base), (2L, nearDup), (3L, far)).toDF("doc_id", "text")
+    val f = Dedup.simhashFrame(d).collect()
+      .map(r => r.getAs[Long]("sid") -> r.getAs[Long]("simhash")).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(f(1L), f(2L)) < ham(f(1L), f(3L)))
+    // candidate completeness: pairs at maxHamming h == brute pairs at h
+    val h = 12
+    val brute = (for {
+      (i, hi) <- f; (j, hj) <- f if i < j && ham(hi, hj) <= h
+    } yield (i, j)).toSet
+    val pairs = Dedup.simhashPairs(d, maxHamming = h)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == brute)
+  }
+
+  test("cosine: orthogonal/identical sanity") {
+    val d = Seq(
+      (1L, Array(1f, 0f, 0f)), (2L, Array(0f, 1f, 0f)), (3L, Array(2f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosinePairs(d, threshold = -1.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 2L)) == 0.0)
+    assert(pairs((1L, 3L)) == 1.0)
+  }
+
+  test("LSH knn: recall@5 >= 0.5 vs brute force on real embeddings") {
+    val brute = Similarity.bruteForceKnn(emb, 5, col("vec_id") % 50 === 0)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.lshKnn(emb, 5, col("vec_id") % 50 === 0)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ann).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall=$recall")
+  }
+
+  test("language-ID: marker precedence and und fallback") {
+    val d = Seq((1L, "the cat and the dog is here"),
+      (2L, "der hund und die katze ist da"),
+      (3L, "zzz qqq www")).toDF("doc_id", "text")
+    val r = d.select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(r(1L) == "en"); assert(r(2L) == "de"); assert(r(3L) == "und")
+  }
+
+  test("rolling fingerprint: order-sensitive, deterministic") {
+    val d = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c")).toDF("doc_id", "text")
+    val r = d.select(col("doc_id"),
+        TextAnalysis.rollingFingerprint(col("text")).as("f"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(1L) == r(3L))
+    assert(r(1L) != r(2L))
+  }
+
+  test("multimodal: synthetic media -> deterministic features") {
+    val media = Multimodal.withSyntheticMedia(docs.limit(10))
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == 10)
+    feats.foreach { f =>
+      assert(f.byte_len > 0)
+      assert(f.feature.length == 8)
+      assert(f.width % 64 == 0 && f.width > 0)
+    }
+    // content-addressed: same input → same features
+    val again = Multimodal.extractFeatures(media).collect()
+    assert(feats.map(_.feature.toSeq).toSet == again.map(_.feature.toSeq).toSet)
+  }
+
+  test("sessionize: gap splits sessions") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    val d = Seq(
+      (1L, t(0), 10L), (2L, t(10), 10L), (3L, t(90), 10L), // user 10: 2 sessions
+      (4L, t(0), 20L)                                      // user 20: 1 session
+    ).toDF("event_id", "ts", "user_id")
+    val r = TimeSeries.sessionStats(d, gapSeconds = 1800)
+      .collect().map(x => x.getAs[Long]("user_id") ->
+        (x.getAs[Long]("n_events"), x.getAs[Long]("n_sessions"))).toMap
+    assert(r(10L) == ((3L, 2L)))
+    assert(r(20L) == ((1L, 1L)))
+  }
+}

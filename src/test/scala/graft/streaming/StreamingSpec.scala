@@ -1,0 +1,123 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.etl.{EtlConfig, SparkSpec}
+
+/** Structured Streaming parity: the same operators running under
+  * micro-batch execution (memory sink driven synchronously). */
+class StreamingSpec extends SparkSpec {
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("streaming ETL: fixture file streamed -> same kept records as batch") {
+    val in = tmpDir("stream-in")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(fixturePath),
+      java.nio.file.Paths.get(s"$in/batch1.jsonl"))
+    val cfg = EtlConfig.default.copy(
+      filterLevels = Seq("WARN", "ERROR"), redactKeys = Seq("user_email", "token"))
+    val lines = StreamingPipeline.readLines(spark, in)
+    assert(lines.isStreaming)
+    val transformed = StreamingPipeline.transformedStream(lines, cfg)
+    val q = transformed.writeStream
+      .outputMode("append")
+      .format("memory").queryName("etl_stream")
+      .trigger(Trigger.ProcessingTime(100))
+      .start()
+    try {
+      q.processAllAvailable()
+      val all = spark.table("etl_stream")
+      assert(all.count() == 6)
+      val kept = all.filter(col("error").isNull &&
+        col(graft.etl.Transforms.DropReasonCol).isNull)
+      assert(kept.count() == 3)
+      // redaction applied in-stream
+      assert(kept.filter(map_contains_key(col("fields"), "user_email")).count() == 0)
+    } finally q.stop()
+  }
+
+  test("watermarked windowed level counts over the stream") {
+    val in = tmpDir("stream-win")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(fixturePath),
+      java.nio.file.Paths.get(s"$in/batch1.jsonl"))
+    val cfg = EtlConfig.default.copy(filterLevels = Nil)
+    val transformed = StreamingPipeline.transformedStream(
+      StreamingPipeline.readLines(spark, in), cfg)
+    val counts = StreamingPipeline.windowedLevelCounts(transformed)
+    val q = counts.writeStream
+      .outputMode("append")
+      .format("memory").queryName("win_counts")
+      .start()
+    try {
+      q.processAllAvailable()
+      // append mode emits only closed windows; with no further data the
+      // watermark hasn't advanced, so assert the query runs and the
+      // state machinery is in place (complete-mode check below).
+      assert(q.lastProgress != null)
+    } finally q.stop()
+    // same agg in complete mode → all windows visible
+    val q2 = counts.writeStream.outputMode("complete")
+      .format("memory").queryName("win_counts_all").start()
+    try {
+      q2.processAllAvailable()
+      val rows = spark.table("win_counts_all").collect()
+      assert(rows.map(_.getAs[Long]("n")).sum == 6)
+      assert(rows.forall(_.getAs[java.sql.Timestamp]("window_start") != null))
+    } finally q2.stop()
+  }
+
+  test("foreachBatch sink write: records land in file sink + report path") {
+    val in = tmpDir("stream-sink-in")
+    val out = tmpDir("stream-sink-out")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(fixturePath),
+      java.nio.file.Paths.get(s"$in/b1.jsonl"))
+    val cfg = EtlConfig.default.copy(
+      outputType = "file", outputPath = s"$out/out.jsonl",
+      filterLevels = Seq("ERROR"), redactKeys = Seq("user_email", "token"))
+    val transformed = StreamingPipeline.transformedStream(
+      StreamingPipeline.readLines(spark, in), cfg)
+    val q = StreamingPipeline.writeStream(transformed, cfg,
+      checkpoint = tmpDir("ckpt"), triggerMs = 100)
+      .fold(e => fail(e), identity)
+    try q.processAllAvailable() finally q.stop()
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(s"$out/out.jsonl"))
+    assert(lines.size == 2) // 2 ERROR records in the fixture
+    lines.forEach(l => assert(!l.contains("user_email") && !l.contains("\"token\"")))
+  }
+
+  test("stateful error-burst detection emits at threshold") {
+    import spark.implicits._
+    val in = tmpDir("stream-burst")
+    val linesJson = (1 to 5).map(i =>
+      s"""{"ts":"2024-01-01T00:0$i:00Z","level":"ERROR","msg":"boom $i","service":"api"}""") ++
+      Seq("""{"ts":"2024-01-01T00:06:00Z","level":"INFO","msg":"ok","service":"api"}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/b.jsonl"),
+      String.join("\n", linesJson: _*).getBytes)
+    val cfg = EtlConfig.default.copy(filterLevels = Nil)
+    val transformed = StreamingPipeline.transformedStream(
+      StreamingPipeline.readLines(spark, in), cfg)
+    val bursts = StreamingPipeline.errorBursts(spark, transformed, threshold = 3)
+    val q = bursts.writeStream.outputMode("append")
+      .format("memory").queryName("bursts").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("bursts").collect()
+      assert(rows.exists(r => r.getString(0) == "api" && r.getInt(1) == 3))
+    } finally q.stop()
+  }
+
+  test("streaming hourly events agg runs on the testdata schema") {
+    val q = StreamingPipeline.streamingHourly(spark, "/root/testdata/sf0.001")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ev_hourly_stream").start()
+    try {
+      q.processAllAvailable()
+      assert(q.lastProgress != null)
+    } finally q.stop()
+  }
+}
