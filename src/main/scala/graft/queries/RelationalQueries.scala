@@ -33,7 +33,7 @@ object RelationalQueries {
         round(avg("l_quantity"), 4).as("avg_qty"),
         round(avg("l_discount"), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
-      .orderBy("l_returnflag", "l_linestatus")
+      .transform(QueryUtil.ordered("l_returnflag", "l_linestatus"))
 
   val q1Oracle: String =
     """SELECT l_returnflag, l_linestatus,
@@ -117,7 +117,7 @@ object RelationalQueries {
       .groupBy("n_name")
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
         .as("revenue"))
-      .orderBy("n_name")
+      .transform(QueryUtil.ordered("n_name"))
   }
 
   val q5Oracle: String =
@@ -153,7 +153,7 @@ object RelationalQueries {
     t(spark, dir, "orders")
       .join(heavy, col("o_orderkey") === col("l_orderkey"), "left_semi")
       .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
-      .orderBy("o_orderpriority")
+      .transform(QueryUtil.ordered("o_orderpriority"))
   }
 
   val semiJoinOracle: String =
@@ -168,7 +168,7 @@ object RelationalQueries {
       .join(t(spark, dir, "orders"),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
-      .orderBy("c_mktsegment")
+      .transform(QueryUtil.ordered("c_mktsegment"))
 
   val antiJoinOracle: String =
     """SELECT c_mktsegment, count(*) AS n FROM customer
@@ -184,7 +184,7 @@ object RelationalQueries {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
-      .orderBy("o_custkey", "rn")
+      .transform(QueryUtil.ordered("o_custkey", "rn"))
   }
 
   val windowTop3Oracle: String =
@@ -204,7 +204,7 @@ object RelationalQueries {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     monthly.select(col("month"), round(col("rev"), 2).as("revenue"),
         round(sum(col("rev")).over(w), 2).as("cum_revenue"))
-      .orderBy("month")
+      .transform(QueryUtil.ordered("month"))
   }
 
   val runningMonthlyOracle: String =
@@ -225,7 +225,7 @@ object RelationalQueries {
       .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
         coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
         col("n"), col("sum_qty"))
-      .orderBy("rf", "ls")
+      .transform(QueryUtil.ordered("rf", "ls"))
 
   val rollupFlagsOracle: String =
     """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
@@ -242,7 +242,7 @@ object RelationalQueries {
       .agg(countDistinct(col("c_custkey")).as("n_cust"),
         countDistinct(col("o_custkey")).as("n_active_cust"),
         count(col("o_orderkey")).as("n_orders"))
-      .orderBy("c_mktsegment")
+      .transform(QueryUtil.ordered("c_mktsegment"))
   }
 
   val distinctStatsOracle: String =
@@ -259,7 +259,7 @@ object RelationalQueries {
         count(when(col("o_totalprice") > 200000, 1)).as("n_big"),
         round(avg(when(col("o_orderstatus") === "F", col("o_totalprice"))), 2)
           .as("avg_f_price"))
-      .orderBy("o_orderpriority")
+      .transform(QueryUtil.ordered("o_orderpriority"))
 
   val caseAggOracle: String =
     """SELECT o_orderpriority, count(*) AS n,
@@ -279,7 +279,7 @@ object RelationalQueries {
       .groupBy("r_name")
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
         .as("revenue"), count(lit(1)).as("n_lines"))
-      .orderBy("r_name")
+      .transform(QueryUtil.ordered("r_name"))
   }
 
   val regionRevenueOracle: String =

@@ -21,7 +21,7 @@ object TextQueries {
           size(tks).cast("double"), 4).as("ttr"),
         round(TextAnalysis.stopwordCount(col("text")).cast("double") /
           size(tks).cast("double"), 4).as("stop_ratio"))
-      .orderBy("doc_id")
+      .transform(QueryUtil.ordered("doc_id"))
   }
 
   val tokenStatsOracle: String =
@@ -39,7 +39,7 @@ object TextQueries {
   def quality(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(col("doc_id"),
         TextAnalysis.qualityScore(col("text")).as("quality"))
-      .orderBy("doc_id")
+      .transform(QueryUtil.ordered("doc_id"))
 
   val qualityOracle: String =
     """WITH s AS (SELECT doc_id,
@@ -58,7 +58,7 @@ object TextQueries {
     docs(spark, dir)
       .groupBy(TextAnalysis.langId(col("text")).as("lang_pred"))
       .agg(count(lit(1)).as("n"))
-      .orderBy("lang_pred")
+      .transform(QueryUtil.ordered("lang_pred"))
 
   val langDistOracle: String =
     """WITH s AS (SELECT
@@ -79,7 +79,7 @@ object TextQueries {
     docs(spark, dir).select(col("doc_id"),
         TextAnalysis.md5Fingerprint(col("text")).as("fp"),
         TextAnalysis.normalizedFingerprint(col("text")).as("fp_norm"))
-      .orderBy("doc_id")
+      .transform(QueryUtil.ordered("doc_id"))
 
   val fingerprintsOracle: String =
     """SELECT doc_id, md5(text) AS fp,
@@ -92,7 +92,7 @@ object TextQueries {
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("text")).as("n_distinct"))
-      .orderBy("source")
+      .transform(QueryUtil.ordered("source"))
 
   val exactDedupOracle: String =
     """SELECT source, count(*) AS n_docs, count(DISTINCT text) AS n_distinct
@@ -101,7 +101,7 @@ object TextQueries {
   /** Exact 5-gram-shingle Jaccard near-dup pairs (>= 0.5). */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(docs(spark, dir), threshold = 0.5)
-      .orderBy("da", "db")
+      .transform(QueryUtil.ordered("da", "db"))
 
   val ngramJaccardOracle: String =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -123,7 +123,7 @@ object TextQueries {
     * (banding: P[miss | s >= 0.8] ≈ 2e-4, see Dedup.minhashLshPairs). */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(docs(spark, dir), threshold = 0.8)
-      .orderBy("da", "db")
+      .transform(QueryUtil.ordered("da", "db"))
 
   val minhashLshOracle: String =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -145,7 +145,7 @@ object TextQueries {
     * DedupSpec. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(docs(spark, dir), maxHamming = 8)
-      .orderBy("da", "db")
+      .transform(QueryUtil.ordered("da", "db"))
 
   /** Multimodal plumbing profile: binary payload + typed metadata
     * (decode path itself is exercised in MultimodalSpec). */
@@ -154,7 +154,7 @@ object TextQueries {
       .select(col("media_id"), col("meta.mime").as("mime"),
         col("meta.byte_len").as("byte_len"),
         (expr("CAST(meta.byte_len / 256 AS INT)") + 1).as("n_chunks"))
-      .orderBy("media_id")
+      .transform(QueryUtil.ordered("media_id"))
 
   val mediaMetaOracle: String =
     """SELECT doc_id AS media_id,

@@ -15,7 +15,7 @@ object VectorQueries {
   def knnBrute(spark: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceKnn(emb(spark, dir), k = 5,
         queryPred = col("vec_id") % 50 === 0)
-      .orderBy("qid", "rn")
+      .transform(QueryUtil.ordered("qid", "rn"))
 
   val knnBruteOracle: String =
     """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
@@ -34,7 +34,7 @@ object VectorQueries {
   /** Embedding-cosine near-dup pairs (sim >= 0.4). */
   def nearDupPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDupPairs(emb(spark, dir), threshold = 0.4)
-      .orderBy("da", "db")
+      .transform(QueryUtil.ordered("da", "db"))
 
   val nearDupOracle: String =
     """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
@@ -54,7 +54,7 @@ object VectorQueries {
   def knnLsh(spark: SparkSession, dir: String): DataFrame =
     Similarity.lshKnn(emb(spark, dir), k = 5,
         queryPred = col("vec_id") % 50 === 0)
-      .orderBy("qid", "rn")
+      .transform(QueryUtil.ordered("qid", "rn"))
 
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "vec_knn_brute" -> ((knnBrute _, Some(knnBruteOracle))),
