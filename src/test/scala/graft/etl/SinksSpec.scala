@@ -1,0 +1,119 @@
+package graft.etl
+
+import org.apache.spark.sql.functions._
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import java.util.concurrent.atomic.AtomicInteger
+
+/** K1–K7 sink contracts: ports of internal/sink tests —
+  * rotate_test.go, http_test.go (happy / succeed-on-3rd / exhausted),
+  * plus DLQ capture and the Go-compatible record rendering. */
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def normalized(lines: String*) =
+    Transforms.split(TransformRegistry(EtlConfig.default.copy(
+      filterLevels = Nil))(Normalize(lines.toDF("line"))).toOption.get)._1
+      .select("ts", "level", "message", "service", "namespace", "pod",
+        "node", "trace_id", "fields")
+
+  private val recordLine =
+    """{"ts":"2025-01-01T00:00:00Z","level":"INFO","msg":"hello","service":"svc","status":200,"flag":true,"name":"x"}"""
+
+  test("renderRecord: Go field names, order, typed fields, HTML escaping") {
+    val row = normalized(recordLine).head()
+    val json = Sinks.renderRecord(row)
+    assert(json.startsWith("""{"TS":"2025-01-01T00:00:00Z","Level":"INFO","Service":"svc""""))
+    // struct order: TS, Level, Service, Namespace, Pod, Node, Message, TraceID, Fields
+    assert(json.indexOf("\"Message\"") > json.indexOf("\"Node\""))
+    // typed field values: number/bool raw, string quoted; keys sorted
+    assert(json.contains(""""Fields":{"flag":true,"name":"x","status":200}"""))
+    // encoding/json HTML escaping
+    val row2 = normalized(
+      """{"ts":"2025-01-01T00:00:00Z","level":"I","msg":"a<b>&c"}""").head()
+    assert(Sinks.renderRecord(row2).contains("a\\u003cb\\u003e\\u0026c"))
+  }
+
+  test("rotating sink: byte-threshold rotation + retention (rotate_test.go)") {
+    val dir = java.nio.file.Files.createTempDirectory("rot")
+    val base = s"$dir/out.jsonl"
+    // ~190-byte records, 400-byte threshold, keep 2 rotated files
+    val df = normalized((1 to 10).map(i =>
+      s"""{"ts":"2025-01-01T00:00:0${i % 10}Z","level":"INFO","msg":"padding padding padding $i"}"""): _*)
+    val sink = new Sinks.RotatingSink(base, maxBytes = 400, maxFiles = 2)
+    val res = sink.write(df)
+    assert(res.writtenOk == 10)
+    val files = new java.io.File(dir.toString).listFiles().map(_.getName).sorted
+    // retention: at most maxFiles rotated + current
+    assert(files.length <= 3, files.mkString(","))
+    val total = files.map(f => java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(s"$dir/$f")).size).sum
+    assert(total <= 10) // older files deleted
+  }
+
+  test("http sink: happy path + retry-then-success + exhausted-to-DLQ") {
+    val hits = new AtomicInteger(0)
+    val failFirst2 = new AtomicInteger(0)
+    val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    server.createContext("/ok", (ex: HttpExchange) => {
+      hits.incrementAndGet()
+      ex.sendResponseHeaders(200, -1); ex.close()
+    })
+    server.createContext("/flaky", (ex: HttpExchange) => {
+      val n = failFirst2.incrementAndGet()
+      ex.sendResponseHeaders(if (n <= 2) 500 else 200, -1); ex.close()
+    })
+    server.createContext("/dead", (ex: HttpExchange) => {
+      ex.sendResponseHeaders(500, -1); ex.close()
+    })
+    server.start()
+    val port = server.getAddress.getPort
+    try {
+      val df = normalized(recordLine).coalesce(1)
+      val policy = new Sinks.RetryPolicy(3, 1, 5, 0.2)
+      val ok = new Sinks.HttpSink(s"http://localhost:$port/ok", policy).write(df)
+      assert(ok.writtenOk == 1 && ok.writeFailed == 0 && hits.get() == 1)
+
+      val flaky = new Sinks.HttpSink(s"http://localhost:$port/flaky", policy).write(df)
+      assert(flaky.writtenOk == 1)
+      assert(flaky.retry.totalRetries == 2)       // succeeded on 3rd attempt
+      assert(flaky.retry.writesWithRetries == 1)
+      assert(flaky.retry.maxRetriesPerWrite == 2)
+
+      val dead = new Sinks.HttpSink(s"http://localhost:$port/dead", policy).write(df)
+      assert(dead.writtenOk == 0 && dead.writeFailed == 1)
+      assert(dead.dlq.size == 1)
+      assert(dead.dlq.head._2.contains("failed"))
+    } finally server.stop(0)
+  }
+
+  test("DLQ file: {record, reason} JSONL appended (openDLQ semantics)") {
+    val dir = java.nio.file.Files.createTempDirectory("dlq")
+    val path = s"$dir/sub/dlq.jsonl" // parent dirs created
+    Sinks.writeDlq(path, Seq(("""{"TS":"t"}""", "write failed after 3 retries")))
+    Sinks.writeDlq(path, Seq(("""{"TS":"u"}""", "boom")))
+    val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))
+    assert(lines.size == 2)
+    assert(lines.get(0) == """{"record":{"TS":"t"},"reason":"write failed after 3 retries"}""")
+  }
+
+  test("sink builder: dispatch + kafka unavailable + unknown type") {
+    assert(Sinks.build(EtlConfig.default).toOption.get.isInstanceOf[Sinks.StdoutSink])
+    assert(Sinks.build(EtlConfig.default.copy(outputType = "rotate",
+      outputPath = "/tmp/x")).toOption.get.isInstanceOf[Sinks.RotatingSink])
+    assert(Sinks.build(EtlConfig.default.copy(outputType = "parquet",
+      outputPath = "/tmp/x")).toOption.get.isInstanceOf[Sinks.ParquetSink])
+    assert(Sinks.build(EtlConfig.default.copy(outputType = "kafka",
+      outputPath = "t")).isLeft)
+    assert(Sinks.build(EtlConfig.default.copy(outputType = "nope")).isLeft)
+  }
+
+  test("parquet sink: round-trips the normalized schema") {
+    val dir = java.nio.file.Files.createTempDirectory("pq")
+    val df = normalized(recordLine)
+    val res = new Sinks.ParquetSink(s"$dir/out").write(df)
+    assert(res.writtenOk == 1)
+    val back = spark.read.parquet(s"$dir/out")
+    assert(back.count() == 1)
+    assert(back.columns.toSet == df.columns.toSet)
+  }
+}
