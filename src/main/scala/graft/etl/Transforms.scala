@@ -78,10 +78,14 @@ object Transforms {
     if (set.isEmpty) ensureProtocolCols(df)
     else {
       val d = ensureProtocolCols(df)
+      // codegen-capable fixed-key removal (vs map_filter, a
+      // CodegenFallback higher-order function)
+      val removed = org.apache.spark.sql.graft.Bridge.column(
+        expressions.MapRemoveKeys(
+          org.apache.spark.sql.graft.Bridge.expression(col("fields")),
+          set))
       d.withColumn("fields",
-        when(activeIn(d),
-          map_filter(col("fields"), (k, _) => !k.isInCollection(set)))
-          .otherwise(col("fields")))
+        when(activeIn(d), removed).otherwise(col("fields")))
     }
   }
 
