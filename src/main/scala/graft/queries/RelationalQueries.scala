@@ -162,17 +162,22 @@ object RelationalQueries {
       |              WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
-  /** Left-anti join (NOT EXISTS): customers with no orders. */
-  def antiJoin(spark: SparkSession, dir: String): DataFrame =
+  /** Left-anti join (NOT EXISTS): customers with no 1995-H1 orders
+    * (time-bounded so the result is non-trivial at every SF — every
+    * customer has SOME order in this data). */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val early = t(spark, dir, "orders")
+      .filter(col("o_orderdate").cast("date") < lit("1995-07-01").cast("date"))
     t(spark, dir, "customer")
-      .join(t(spark, dir, "orders"),
-        col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(early, col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
       .transform(QueryUtil.ordered("c_mktsegment"))
+  }
 
   val antiJoinOracle: String =
     """SELECT c_mktsegment, count(*) AS n FROM customer
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                  AND CAST(o_orderdate AS DATE) < DATE '1995-07-01')
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
   /** Window ranking: top-3 orders per customer. One shuffle on the

@@ -1,0 +1,60 @@
+package graft
+
+import graft.etl.SparkSpec
+
+/** Driver-contract smoke: every SparkEntry query runs at sf0.001 and
+  * returns a well-formed result; entry() returns rows; every oracle key
+  * has a query; SQL extension functions resolve. */
+class QueriesSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("entry() returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracleSql keys are a subset of queries; bench subset exists") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    assert(SparkEntry.benchQueries.toSet.subsetOf(SparkEntry.queries.keySet))
+    // rows-only ops documented: exactly the engine-internal-hash ones
+    assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet ==
+      Set("dd_simhash", "vec_knn_lsh"))
+  }
+
+  SparkEntry.queries.foreach { case (name, fn) =>
+    test(s"query $name runs at sf0.001") {
+      val df = fn(spark, sf)
+      val n = df.count()
+      assert(n >= 0)
+      // pair/knn queries may be small but the rest must be non-empty
+      if (!name.startsWith("dd_") && !name.startsWith("vec_"))
+        assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("SQL extension functions resolve via GraftExtensions") {
+    // getOrCreate returns the active session (ignoring withExtensions),
+    // so detach the shared test session, build a fresh one (reuses the
+    // SparkContext), and restore afterwards.
+    import org.apache.spark.sql.SparkSession
+    val shared = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val r = s2.sql(
+        """SELECT json_to_string_map('{"a":1,"b":"x"}') AS m,
+          |  map_remove_keys(json_to_string_map('{"a":1,"b":"x"}'), 'a') AS f
+          |""".stripMargin).head()
+      assert(r.getAs[Map[String, String]]("m") == Map("a" -> "1", "b" -> "x"))
+      assert(r.getAs[Map[String, String]]("f") == Map("b" -> "x"))
+    } finally {
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
+}
