@@ -50,9 +50,10 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
-  /** All pairs with cosine >= threshold (embedding near-dup). Bounded
-    * blocks: candidates are generated per LSH bucket when `buckets` > 0,
-    * else exact upper-triangle join. */
+  /** All pairs with cosine >= threshold (embedding near-dup), EXACT:
+    * upper-triangle join. This is the oracle-checkable baseline — fine
+    * to tens of thousands of vectors; beyond that use
+    * [[cosinePairsLsh]]. */
   def cosinePairs(emb: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val a = emb.select(col(idCol).as("da"), asDouble(col(vecCol)).as("ea"))
@@ -61,6 +62,33 @@ object Similarity {
       .select(col("da"), col("db"),
         round(cosine(col("ea"), col("eb")), 4).as("sim"))
       .filter(col("sim") >= threshold)
+  }
+
+  /** Scale path for embedding near-dup: candidates restricted to pairs
+    * whose sign-LSH buckets lie within `probeHamming` bits, then exact
+    * cosine verification — an equi-join on bucket ids instead of an n²
+    * cross join. Recall depends on (threshold, numPlanes, probeHamming):
+    * for genuine near-dups (sim >= ~0.9, angle <= 26°) a plane splits a
+    * pair w.p. ~0.14, so 8 planes + hamming<=2 probing miss ~2% —
+    * tighten probeHamming upward for lower thresholds. */
+  def cosinePairsLsh(emb: DataFrame, threshold: Double,
+      numPlanes: Int = 8, probeHamming: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val withBucket = emb.withColumn("bucket",
+      lshBucket(col(vecCol), numPlanes, 64))
+    val masks = (0L until (1L << numPlanes))
+      .filter(m => java.lang.Long.bitCount(m) <= probeHamming)
+    val l = withBucket.select(col(idCol).as("da"),
+        asDouble(col(vecCol)).as("ea"),
+        explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*))
+          .as("pbucket"))
+    val r = withBucket.select(col(idCol).as("db"),
+      asDouble(col(vecCol)).as("eb"), col("bucket"))
+    l.join(r, col("pbucket") === col("bucket") && col("da") < col("db"))
+      .select(col("da"), col("db"),
+        round(cosine(col("ea"), col("eb")), 4).as("sim"))
+      .filter(col("sim") >= threshold)
+      .dropDuplicates("da", "db")
   }
 
   /** Deterministic pseudo-random hyperplanes: plane p, dim d coefficient

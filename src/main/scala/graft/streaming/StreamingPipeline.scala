@@ -57,6 +57,33 @@ object StreamingPipeline {
     }
   }
 
+  /** A1–A5 as streaming-native `observe()` metrics: per-micro-batch
+    * counter rows on the listener bus with zero extra passes — the
+    * Structured Streaming twin of [[graft.etl.EtlReport.fromDataFrame]].
+    * Read them from `QueryProgressEvent.progress.observedMetrics`
+    * ("etl_counters"). */
+  def observed(transformed: DataFrame): DataFrame =
+    transformed.observe("etl_counters",
+      count(lit(1)).as("total_lines"),
+      count(when(col("error_kind") === "json", 1)).as("json_failed"),
+      count(when(col("error_kind").isNull, 1)).as("normalized_ok"),
+      count(when(col("error_kind") === "normalize", 1)).as("normalized_failed"),
+      count(when(col(Transforms.DropReasonCol) === "level", 1)).as("filtered_level"),
+      count(when(col(Transforms.DropReasonCol) === "service", 1)).as("filtered_service"))
+
+  /** Streaming exact dedup: first occurrence per content fingerprint
+    * wins, with bounded state — duplicates arriving within the
+    * watermark horizon are dropped, state beyond it is evicted
+    * (`dropDuplicatesWithinWatermark`). The streaming twin of
+    * [[graft.ops.Dedup.exact]]. */
+  def streamingExactDedup(transformed: DataFrame,
+      watermark: String = "10 minutes"): DataFrame =
+    transformed
+      .filter(col("error").isNull)
+      .withColumn("fp", md5(col("message").cast("binary")))
+      .withWatermark("ts_ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Event-time windowed level counts with late-data handling — the
     * watermarked-aggregation form of report metric A3. */
   def windowedLevelCounts(transformed: DataFrame,

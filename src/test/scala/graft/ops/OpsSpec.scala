@@ -76,6 +76,16 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall=$recall")
   }
 
+  test("LSH cosine pairs: high recall vs exact at the 0.4 threshold") {
+    val exact = Similarity.cosinePairs(emb, 0.4)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.cosinePairsLsh(emb, 0.4, numPlanes = 5, probeHamming = 2)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH path must verify exactly (no false positives)")
+    val recall = if (exact.isEmpty) 1.0 else (lsh & exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall=$recall")
+  }
+
   test("language-ID: marker precedence and und fallback") {
     val d = Seq((1L, "the cat and the dog is here"),
       (2L, "der hund und die katze ist da"),

@@ -111,6 +111,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("observe(): A1-A5 counters arrive as streaming metrics") {
+    val in = tmpDir("stream-obs")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(fixturePath),
+      java.nio.file.Paths.get(s"$in/b.jsonl"))
+    val cfg = EtlConfig.default.copy(filterLevels = Seq("WARN", "ERROR"))
+    val observed = StreamingPipeline.observed(
+      StreamingPipeline.transformedStream(
+        StreamingPipeline.readLines(spark, in), cfg))
+    val q = observed.writeStream.outputMode("append")
+      .format("memory").queryName("obs_stream").start()
+    try {
+      q.processAllAvailable()
+      val metrics = q.recentProgress.flatMap(p =>
+        Option(p.observedMetrics.get("etl_counters")))
+      assert(metrics.nonEmpty, "no observed metrics surfaced")
+      val m = metrics.last
+      assert(m.getAs[Long]("total_lines") == 6)
+      assert(m.getAs[Long]("json_failed") == 0)
+      assert(m.getAs[Long]("normalized_ok") == 6)
+      assert(m.getAs[Long]("filtered_level") == 3)
+    } finally q.stop()
+  }
+
+  test("streaming exact dedup drops in-watermark duplicates") {
+    val in = tmpDir("stream-dedup")
+    val lines = Seq(
+      """{"ts":"2024-01-01T00:00:00Z","level":"INFO","msg":"same"}""",
+      """{"ts":"2024-01-01T00:01:00Z","level":"INFO","msg":"same"}""",
+      """{"ts":"2024-01-01T00:02:00Z","level":"INFO","msg":"different"}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/b.jsonl"),
+      lines.mkString("\n").getBytes)
+    val cfg = EtlConfig.default.copy(filterLevels = Nil)
+    val deduped = StreamingPipeline.streamingExactDedup(
+      StreamingPipeline.transformedStream(
+        StreamingPipeline.readLines(spark, in), cfg))
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream").start()
+    try {
+      q.processAllAvailable()
+      val msgs = spark.table("dedup_stream")
+        .select("message").collect().map(_.getString(0)).sorted
+      assert(msgs.toSeq == Seq("different", "same"))
+    } finally q.stop()
+  }
+
   test("streaming hourly events agg runs on the testdata schema") {
     val q = StreamingPipeline.streamingHourly(spark, "/root/testdata/sf0.001")
       .writeStream.outputMode("append")
