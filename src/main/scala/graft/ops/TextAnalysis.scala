@@ -15,13 +15,13 @@ object TextAnalysis {
     * punctuation clusters (see [[bpeishTokens]]). */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** A BPE-style pre-tokenization: split on whitespace boundaries AND
-    * punctuation/letter/digit transitions (the regex pre-pass every BPE
-    * tokenizer runs before merges). Token *count* approximates LLM token
-    * counts for budgeting at corpus scale. */
+  /** A BPE-style pre-tokenization: letter runs, digit runs, and
+    * punctuation clusters as separate tokens (the regex pre-pass every
+    * BPE tokenizer runs before merges). Token *count* approximates LLM
+    * token counts for budgeting at corpus scale. */
   def bpeishTokens(text: Column): Column =
-    split(regexp_replace(text,
-      "(\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]+)", "$1"), "\\s*")
+    regexp_extract_all(text,
+      lit("\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]+"), lit(0))
 
   def tokenCount(text: Column): Column = size(tokens(text))
 

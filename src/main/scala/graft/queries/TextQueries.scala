@@ -86,6 +86,29 @@ object TextQueries {
       |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp_norm
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** BPE-ish token counts (LLM token budgeting). DuckDB's
+    * regexp_extract_all mirrors the same pre-tokenization regex. */
+  def bpeTokens(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"),
+        size(TextAnalysis.bpeishTokens(col("text"))).as("n_bpe_tokens"))
+      .transform(QueryUtil.ordered("doc_id"))
+
+  val bpeTokensOracle: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+')) AS INTEGER)
+      |    AS n_bpe_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Exact-dedup canonical keeper: min doc id per content hash. */
+  def exactKeeper(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(docs(spark, dir))
+      .select(col("fp"), col("keep_id"), col("n_copies"))
+      .transform(QueryUtil.ordered("fp"))
+
+  val exactKeeperOracle: String =
+    """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin
+
   /** Exact dedup profile per source. */
   def exactDedup(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
@@ -171,6 +194,8 @@ object TextQueries {
     "tx_lang_dist" -> ((langDist _, Some(langDistOracle))),
     "tx_fingerprints" -> ((fingerprints _, Some(fingerprintsOracle))),
     "dd_exact" -> ((exactDedup _, Some(exactDedupOracle))),
+    "dd_exact_keeper" -> ((exactKeeper _, Some(exactKeeperOracle))),
+    "tx_bpe_tokens" -> ((bpeTokens _, Some(bpeTokensOracle))),
     "dd_ngram_jaccard" -> ((ngramJaccard _, Some(ngramJaccardOracle))),
     "dd_minhash_lsh" -> ((minhashLsh _, Some(minhashLshOracle))),
     "dd_simhash" -> ((simhashPairs _, None)),

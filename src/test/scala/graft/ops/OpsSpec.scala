@@ -95,6 +95,13 @@ class OpsSpec extends SparkSpec {
     assert(r(1L) == "en"); assert(r(2L) == "de"); assert(r(3L) == "und")
   }
 
+  test("BPE-ish tokens split letter/digit/punct runs") {
+    val d = Seq((1L, "hello world42, x-y!")).toDF("doc_id", "text")
+    val toks = d.select(TextAnalysis.bpeishTokens(col("text")).as("t"))
+      .head().getSeq[String](0).toList
+    assert(toks == List("hello", "world", "42", ",", "x", "-", "y", "!"))
+  }
+
   test("rolling fingerprint: order-sensitive, deterministic") {
     val d = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c")).toDF("doc_id", "text")
     val r = d.select(col("doc_id"),
