@@ -72,9 +72,26 @@ object EventQueries {
       |  max(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Exact percentiles by group (interpolating median/p90 — verified
+    * bit-compatible with DuckDB's quantile_cont; rounded for margin). */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy("event_type")
+      .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"))
+      .transform(QueryUtil.ordered("event_type"))
+
+  val percentilesOracle: String =
+    """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50,
+      |  round(quantile_cont(value, 0.9), 4) AS p90,
+      |  round(quantile_cont(value, 0.99), 4) AS p99
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "ev_by_type" -> ((byType _, Some(byTypeOracle))),
     "ev_hourly" -> ((hourly _, Some(hourlyOracle))),
     "ev_sessions" -> ((sessions _, Some(sessionsOracle))),
-    "ev_props_stats" -> ((propsStats _, Some(propsStatsOracle))))
+    "ev_props_stats" -> ((propsStats _, Some(propsStatsOracle))),
+    "ev_percentiles" -> ((percentiles _, Some(percentilesOracle))))
 }
