@@ -296,6 +296,30 @@ object RelationalQueries {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name ORDER BY r_name""".stripMargin
 
+  /** Set operations: customers active in 1995 INTERSECT 1996, and
+    * 1995 EXCEPT 1996 — one row of counts. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    def active(y: Int) = o
+      .filter(col("o_orderdate").cast("date") >= lit(s"$y-01-01").cast("date") &&
+        col("o_orderdate").cast("date") < lit(s"${y + 1}-01-01").cast("date"))
+      .select("o_custkey").distinct()
+    val both = active(1995).intersect(active(1996))
+    val only95 = active(1995).except(active(1996))
+    both.agg(count(lit(1)).as("n_both"))
+      .crossJoin(only95.agg(count(lit(1)).as("n_only_1995")))
+  }
+
+  val setOpsOracle: String =
+    """WITH a95 AS (SELECT DISTINCT o_custkey FROM orders
+      |             WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+      |               AND CAST(o_orderdate AS DATE) < DATE '1996-01-01'),
+      |a96 AS (SELECT DISTINCT o_custkey FROM orders
+      |        WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      |          AND CAST(o_orderdate AS DATE) < DATE '1997-01-01')
+      |SELECT (SELECT count(*) FROM (SELECT * FROM a95 INTERSECT SELECT * FROM a96)) AS n_both,
+      |       (SELECT count(*) FROM (SELECT * FROM a95 EXCEPT SELECT * FROM a96)) AS n_only_1995""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q1_pricing" -> ((q1Pricing _, Some(q1Oracle))),
     "q6_revenue" -> ((q6Revenue _, Some(q6Oracle))),
@@ -309,5 +333,6 @@ object RelationalQueries {
     "q_rollup_flags" -> ((rollupFlags _, Some(rollupFlagsOracle))),
     "q_distinct_stats" -> ((distinctStats _, Some(distinctStatsOracle))),
     "q_case_agg" -> ((caseAgg _, Some(caseAggOracle))),
-    "q_region_revenue" -> ((regionRevenue _, Some(regionRevenueOracle))))
+    "q_region_revenue" -> ((regionRevenue _, Some(regionRevenueOracle))),
+    "q_set_ops" -> ((setOps _, Some(setOpsOracle))))
 }

@@ -125,6 +125,18 @@ class OpsSpec extends SparkSpec {
     assert(feats.map(_.feature.toSeq).toSet == again.map(_.feature.toSeq).toSet)
   }
 
+  test("salted join: exact inner-join semantics under skew") {
+    val left = Seq((1L, "hot"), (2L, "hot"), (3L, "hot"), (4L, "cold"))
+      .toDF("id", "k")
+    val right = Seq(("hot", 100), ("cold", 200)).toDF("k", "v")
+    val plain = left.join(right, "k").select("id", "v")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val salted = Skew.saltedJoin(left, right, "k", saltFactor = 4)
+      .select("id", "v")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(salted == plain)
+  }
+
   test("sessionize: gap splits sessions") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def t(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
