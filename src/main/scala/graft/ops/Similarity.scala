@@ -14,12 +14,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product over double arrays. Matches the
-    * element-order summation the oracle uses (`list_sum` over the
-    * zipped products), so results are bit-reproducible across engines.
-    */
+  /** Sequential tight-loop dot product (custom codegen expression —
+    * the higher-order `aggregate(zip_with(...))` form is interpreted
+    * and runs once per candidate pair). Summation order matches the
+    * oracle's `list_sum`, so results are bit-reproducible across
+    * engines. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.etl.expressions.ArrayDot(
+        org.apache.spark.sql.graft.Bridge.expression(a),
+        org.apache.spark.sql.graft.Bridge.expression(b)))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -37,13 +41,17 @@ object Similarity {
   def bruteForceKnn(emb: DataFrame, k: Int, queryPred: Column,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // per-vector norms hoisted to columns: O(n) norm computations
+    // instead of one per candidate pair
     val q = emb.filter(queryPred)
       .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qe"))
+      .withColumn("qn", norm(col("qe")))
     val c = emb.select(col(idCol).as("cid"), asDouble(col(vecCol)).as("ce"))
+      .withColumn("cn", norm(col("ce")))
     val sims = q.hint("broadcast").crossJoin(c)
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        round(cosine(col("qe"), col("ce")), 4).as("sim"))
+        round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 4).as("sim"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("cid").asc)
     sims.withColumn("rn", row_number().over(w))
@@ -57,10 +65,12 @@ object Similarity {
   def cosinePairs(emb: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val a = emb.select(col(idCol).as("da"), asDouble(col(vecCol)).as("ea"))
+      .withColumn("na", norm(col("ea")))
     val b = emb.select(col(idCol).as("db"), asDouble(col(vecCol)).as("eb"))
+      .withColumn("nb", norm(col("eb")))
     a.crossJoin(b).filter(col("da") < col("db"))
       .select(col("da"), col("db"),
-        round(cosine(col("ea"), col("eb")), 4).as("sim"))
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4).as("sim"))
       .filter(col("sim") >= threshold)
   }
 
@@ -82,11 +92,13 @@ object Similarity {
         asDouble(col(vecCol)).as("ea"),
         explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*))
           .as("pbucket"))
+      .withColumn("na", norm(col("ea")))
     val r = withBucket.select(col(idCol).as("db"),
       asDouble(col(vecCol)).as("eb"), col("bucket"))
+      .withColumn("nb", norm(col("eb")))
     l.join(r, col("pbucket") === col("bucket") && col("da") < col("db"))
       .select(col("da"), col("db"),
-        round(cosine(col("ea"), col("eb")), 4).as("sim"))
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4).as("sim"))
       .filter(col("sim") >= threshold)
       .dropDuplicates("da", "db")
   }
@@ -126,6 +138,7 @@ object Similarity {
       lshBucket(col(vecCol), numPlanes, dim))
     val cands = withBucket.select(col(idCol).as("cid"),
       asDouble(col(vecCol)).as("ce"), col("bucket"))
+      .withColumn("cn", norm(col("ce")))
     // all xor masks with <= probeHamming bits set
     val masks = (0L until (1L << numPlanes))
       .filter(m => java.lang.Long.bitCount(m) <= probeHamming)
@@ -134,10 +147,11 @@ object Similarity {
     val q = withBucket.filter(queryPred)
       .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qe"),
         explode(probeBuckets).as("qbucket"))
+      .withColumn("qn", norm(col("qe")))
     val sims = q.join(cands, col("qbucket") === col("bucket"))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        round(cosine(col("qe"), col("ce")), 4).as("sim"))
+        round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 4).as("sim"))
       .dropDuplicates("qid", "cid")
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("cid").asc)
