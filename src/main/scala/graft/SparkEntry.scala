@@ -50,5 +50,6 @@ object SparkEntry {
     "dd_minhash_lsh",    // minhash + LSH + verify
     "dd_ngram_jaccard",  // exact similarity join
     "vec_knn_brute",     // dense similarity search
+    "vec_near_dup_lsh",  // banded sign-LSH near-dup (scale path)
     "vec_knn_lsh")       // ANN path
 }

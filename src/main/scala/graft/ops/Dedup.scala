@@ -14,10 +14,38 @@ import org.apache.spark.sql.functions._
   *     sparse) or LSH band buckets, and only candidate pairs are
   *     verified (set intersection over the two shingle arrays);
   *   - the only shuffles are the candidate equi-join keys
-  *     (shingle / band-bucket) — high-cardinality, skew-free by
-  *     construction.
+  *     (shingle / band-bucket) — high-cardinality, and hot keys
+  *     (boilerplate shingles shared by millions of docs, band buckets
+  *     of mass-duplicate clusters) are CAPPED out of candidate
+  *     generation while staying in the exact-Jaccard arithmetic, so a
+  *     single hot key can never produce a quadratic pair blow-up in
+  *     one task (see `maxShingleDf` / `maxBandBucket`).
   */
 object Dedup {
+
+  /** Persisted frames from dedup calls, so callers can release them
+    * deterministically: `persist` (not localCheckpoint) is kept because
+    * at scale a lost executor must be able to recompute a cached
+    * partition from lineage — but Spark's CacheManager holds cached
+    * plans for the session lifetime, so without this hook every dedup
+    * call would leak cache. Bench/Verify/tests call [[releaseCaches]]
+    * after materializing results. */
+  private val liveCaches =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private def persistTracked(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    liveCaches.add(p)
+    p
+  }
+
+  /** Unpersist every frame cached by prior dedup calls. Call after the
+    * terminal action on a dedup result (the cache is only useful while
+    * that result's plan is executing). */
+  def releaseCaches(): Unit = {
+    var df = liveCaches.poll()
+    while (df != null) { df.unpersist(blocking = false); df = liveCaches.poll() }
+  }
 
   /** Word k-gram shingles, deduplicated per document. */
   def shingles(text: Column, k: Int = 5): Column = {
@@ -101,24 +129,51 @@ object Dedup {
 
   /** Exact n-gram Jaccard near-dup pairs with similarity >= threshold.
     *
-    * Candidates = docs sharing >= 1 shingle (equi-join on shingle, the
-    * scalable sparse path); Jaccard computed exactly from the shared
-    * counts + set sizes. Output: (da, db, jaccard) with da < db.
+    * Candidates = docs sharing >= 1 RARE shingle (document frequency <=
+    * `maxShingleDf`): the candidate self-join runs over rare shingles
+    * only, so a boilerplate shingle shared by millions of docs cannot
+    * generate a quadratic pair blow-up in one task. Hot shingles stay
+    * in the arithmetic — per-doc set sizes count them, and each
+    * discovered pair's shared count is corrected with the intersection
+    * of the two docs' (tiny) hot-shingle arrays — so the Jaccard of
+    * every emitted pair is EXACT. The one disclosed coverage bound:
+    * a pair sharing ONLY hot shingles is not discovered (boilerplate-
+    * only overlap is not near-duplication).
+    * Output: (da, db, jaccard) with da < db.
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text",
-      k: Int = 5): DataFrame = {
+      k: Int = 5, maxShingleDf: Int = 1000): DataFrame = {
     // the shingle frame feeds candidate-gen, sizes and verification —
     // persist it so one plan doesn't re-shingle the corpus 3x (batch
     // only; streaming callers use the un-persisted building blocks)
     val sh0 = shingleHashFrame(docs, idCol, textCol, k)
-    val sh = if (docs.isStreaming) sh0
-      else sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = if (docs.isStreaming) sh0 else persistTracked(sh0)
     val sizes = sh.groupBy("sid").agg(count(lit(1)).as("n"))
-    val common = sh.as("a").join(sh.as("b"),
+    // hot = shingles with df > cap: tiny relation (<= n_shingles/cap),
+    // broadcast to both the anti-join and the per-doc hot-set build
+    val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDf).select("shingle")
+    val rare = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val commonRare = rare.as("a").join(rare.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.sid") < col("b.sid"))
       .groupBy(col("a.sid").as("da"), col("b.sid").as("db"))
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("cr"))
+    // exact correction: add the hot shingles shared by each discovered
+    // pair (per-doc hot arrays are bounded by the few distinct
+    // boilerplate shingles, so this is a narrow broadcast-ish join)
+    val hotPerDoc = sh.join(broadcast(hot), Seq("shingle"))
+      .groupBy("sid").agg(collect_set(col("shingle")).as("hot_sh"))
+    val emptyArr = array().cast("array<bigint>")
+    val common = commonRare
+      .join(hotPerDoc.select(col("sid").as("da"), col("hot_sh").as("hot_a")),
+        Seq("da"), "left")
+      .join(hotPerDoc.select(col("sid").as("db"), col("hot_sh").as("hot_b")),
+        Seq("db"), "left")
+      .select(col("da"), col("db"),
+        (col("cr") + size(array_intersect(
+          coalesce(col("hot_a"), emptyArr),
+          coalesce(col("hot_b"), emptyArr)))).as("c"))
     jaccardFromPairCounts(common, sizes, threshold)
   }
 
@@ -169,21 +224,35 @@ object Dedup {
     * at a fraction of the join cost on large corpora. */
   def minhashLshPairs(docs: DataFrame, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text",
-      numHashes: Int = 64, bands: Int = 16, k: Int = 5): DataFrame = {
+      numHashes: Int = 64, bands: Int = 16, k: Int = 5,
+      maxBandBucket: Int = 10000): DataFrame = {
     val rows = numHashes / bands
     // ONE persisted shingle scan feeds signatures, sizes and
     // verification (it appears 4x in the plan otherwise)
     val sh0 = shingleHashFrame(docs, idCol, textCol, k)
-    val sh = if (docs.isStreaming) sh0
-      else sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = if (docs.isStreaming) sh0 else persistTracked(sh0)
     val sig = minhashSignaturesFromShingles(sh, numHashes)
     val bandCols = (0 until bands).map { bi =>
       struct(lit(bi).as("band"),
         hash((bi * rows until (bi + 1) * rows).map(i => col(s"m$i")): _*)
           .as("bh"))
     }
-    val buckets = sig.select(col("sid"),
+    // persisted: feeds both the population count and the candidate join
+    // (otherwise the 64-min signature aggregation executes twice)
+    val buckets1 = sig.select(col("sid"),
       explode(array(bandCols: _*)).as("bk"))
+    val buckets0 = if (docs.isStreaming) buckets1 else persistTracked(buckets1)
+    // band-bucket population cap: a bucket of m docs yields m²/2 pairs
+    // in ONE task — mass-duplicate clusters (identical signatures in
+    // every band) would otherwise quadratically blow up here. Capped
+    // buckets are dropped from candidate gen; a true near-dup pair is
+    // lost only if ALL its matching bands are over-populated, i.e. the
+    // docs sit in a >maxBandBucket identical-signature cluster — runs
+    // exact dedup first to collapse those. Jaccard of surviving pairs
+    // is unaffected (verification below is exact).
+    val hotBuckets = buckets0.groupBy("bk").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > maxBandBucket).select("bk")
+    val buckets = buckets0.join(broadcast(hotBuckets), Seq("bk"), "left_anti")
     val cand = buckets.as("l").join(buckets.as("r"),
         col("l.bk") === col("r.bk") && col("l.sid") < col("r.sid"))
       .select(col("l.sid").as("da"), col("r.sid").as("db"))

