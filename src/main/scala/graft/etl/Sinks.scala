@@ -1,7 +1,7 @@
 package graft.etl
 
 import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.util.LongAccumulator
+import org.apache.spark.sql.functions.{coalesce, count, lit, max, sum, when, col}
 
 /** K1–K7: sinks.
   *
@@ -112,6 +112,13 @@ object Sinks {
       retry: RetryStats,
       dlq: Seq[(String, String)]) // (record JSON, reason)
 
+  /** Write lifecycle: a Sink instance has PROCESS semantics — the first
+    * `write` starts the output fresh (the reference CLI's `os.Create`
+    * truncation), every later `write` on the same instance APPENDS.
+    * That makes one instance safe to reuse across foreachBatch
+    * micro-batches (a new batch must never destroy the previous
+    * batches' output) while a one-shot batch run keeps the truncate
+    * semantics. */
   trait Sink {
     /** Write all rows of a normalized frame; never throws per-record. */
     def write(df: DataFrame): WriteResult
@@ -161,19 +168,27 @@ object Sinks {
     * the explicit `coalesce(1)`-style decision documented in SURVEY §7.4.
     */
   final class FileSink(path: String) extends Sink {
+    private var keepExisting = false // first write truncates (os.Create)
     def write(df: DataFrame): WriteResult = {
       import df.sparkSession.implicits._
       val tmp = path + ".spark-tmp"
       val lines = df.mapPartitions(_.map(renderRecord))
       lines.write.mode("overwrite").text(tmp)
-      val n = mergeParts(df.sparkSession, tmp, path)
+      val n = mergeParts(df.sparkSession, tmp, path, keepExisting)
+      keepExisting = true
       WriteResult(n, 0, RetryStats(), Nil)
     }
   }
 
-  /** Merge a text part-directory into one file; returns line count. */
+  /** Merge a text part-directory into one file; returns the number of
+    * NEW lines. With `keepExisting` the previous target content is
+    * carried over (streamed into the staging file first) — Hadoop
+    * local/checksum filesystems don't support `append()`, so
+    * copy-then-rename is the portable append. Rename after delete is a
+    * short non-atomic window; single-writer semantics (which a single
+    * JSONL target file implies anyway) make that safe. */
   private[etl] def mergeParts(spark: org.apache.spark.sql.SparkSession,
-      dir: String, target: String): Long = {
+      dir: String, target: String, keepExisting: Boolean = false): Long = {
     import org.apache.hadoop.fs.Path
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(dir).getFileSystem(conf)
@@ -181,20 +196,30 @@ object Sinks {
     if (tgt.getParent != null) fs.mkdirs(tgt.getParent)
     val parts = fs.listStatus(new Path(dir)).map(_.getPath)
       .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val staging = new Path(target + ".merging")
     var lines = 0L
-    val out = fs.create(tgt, true)
-    try parts.foreach { p =>
+    val out = fs.create(staging, true)
+    def copyInto(p: Path, countLines: Boolean): Unit = {
       val in = fs.open(p)
       try {
         val buf = new Array[Byte](1 << 16)
         var r = in.read(buf)
         while (r > 0) {
-          var i = 0
-          while (i < r) { if (buf(i) == '\n') lines += 1; i += 1 }
+          if (countLines) {
+            var i = 0
+            while (i < r) { if (buf(i) == '\n') lines += 1; i += 1 }
+          }
           out.write(buf, 0, r); r = in.read(buf)
         }
       } finally in.close()
+    }
+    try {
+      if (keepExisting && fs.exists(tgt)) copyInto(tgt, countLines = false)
+      parts.foreach(copyInto(_, countLines = true))
     } finally out.close()
+    fs.delete(tgt, false)
+    if (!fs.rename(staging, tgt))
+      throw new java.io.IOException(s"rename $staging -> $tgt failed")
     fs.delete(new Path(dir), true)
     lines
   }
@@ -207,26 +232,35 @@ object Sinks {
     */
   final class RotatingSink(basePath: String, maxBytes: Long, maxFiles: Int)
       extends Sink {
+    // rotation state survives across write() calls: a later micro-batch
+    // continues the current file + index instead of truncating base
+    private var index = 0
+    private var size = 0L
+    private var initialized = false
     def write(df: DataFrame): WriteResult = {
-      val base = java.nio.file.Paths.get(basePath)
-      if (base.getParent != null) java.nio.file.Files.createDirectories(base.getParent)
-      var index = 0
-      var size = 0L
+      import java.nio.file.{Files, Paths, StandardOpenOption => O}
+      val base = Paths.get(basePath)
+      if (base.getParent != null) Files.createDirectories(base.getParent)
       def pathFor(i: Int) =
-        if (i == 0) base else java.nio.file.Paths.get(s"$basePath.$i")
-      var out = java.nio.file.Files.newBufferedWriter(pathFor(0))
+        if (i == 0) base else Paths.get(s"$basePath.$i")
+      def open(i: Int, fresh: Boolean) =
+        if (fresh) Files.newBufferedWriter(pathFor(i),
+          O.CREATE, O.TRUNCATE_EXISTING, O.WRITE)
+        else Files.newBufferedWriter(pathFor(i), O.CREATE, O.APPEND, O.WRITE)
+      var out = open(index, fresh = !initialized)
+      initialized = true
       var n = 0L
       try {
         val it = df.toLocalIterator()
         while (it.hasNext) {
           val data = renderRecord(it.next()) + "\n"
           val bytes = data.getBytes("UTF-8").length
-          if (size + bytes > maxBytes) {
+          if (size + bytes > maxBytes && size > 0) {
             out.close()
             index += 1
             if (maxFiles > 0 && index > maxFiles)
-              java.nio.file.Files.deleteIfExists(pathFor(index - maxFiles))
-            out = java.nio.file.Files.newBufferedWriter(pathFor(index))
+              Files.deleteIfExists(pathFor(index - maxFiles))
+            out = open(index, fresh = true)
             size = 0L
           }
           out.write(data); size += bytes; n += 1
@@ -239,28 +273,31 @@ object Sinks {
   /** K4: HTTP/webhook sink — per record `POST url`, JSON body, 30 s
     * timeout, success = 2xx, retry ≤ maxRetries with backoff
     * (`internal/sink/http.go:14-97`). One HTTP client per partition;
-    * failures captured (not thrown) and returned as DLQ rows; retry
-    * stats via accumulators (A8). */
+    * failures captured (not thrown) and returned as DLQ rows.
+    *
+    * Delivery is AT-LEAST-ONCE: a Spark task retry or speculative copy
+    * re-sends its partition's records (endpoints needing stronger
+    * guarantees must dedupe on a record key). A6–A8 metrics are NOT
+    * accumulators — accumulator updates in a transformation are
+    * re-counted on exactly such retries — they are aggregated from a
+    * per-record status frame materialized exactly once. */
   final class HttpSink(url: String, policy: RetryPolicy,
       timeoutMs: Int = 30000) extends Sink {
     def write(df: DataFrame): WriteResult = {
-      val sc = df.sparkSession.sparkContext
-      val okAcc = sc.longAccumulator("http_ok")
-      val failAcc = sc.longAccumulator("http_fail")
-      val retryAcc = sc.longAccumulator("http_retries")
-      val retriedWritesAcc = sc.longAccumulator("http_retried_writes")
-      val maxRetryAcc = new MaxAccumulator
-      sc.register(maxRetryAcc, "http_max_retries")
       val u = url
       val pol = policy
       val tmo = timeoutMs
       import df.sparkSession.implicits._
-      val failures = df.mapPartitions { rows =>
+      // one status row per record; the eager localCheckpoint below is
+      // the single execution of the POSTs — metrics + DLQ both read the
+      // materialized result (blocks are freed by the ContextCleaner
+      // when the frame goes out of scope)
+      val status = df.mapPartitions { rows =>
         val client = java.net.http.HttpClient.newBuilder()
           .connectTimeout(java.time.Duration.ofMillis(tmo)).build()
         val rng = new java.util.Random(
           org.apache.spark.TaskContext.getPartitionId().toLong)
-        rows.flatMap { row =>
+        rows.map { row =>
           val body = renderRecord(row)
           val (ok, retries) = pol.run(() => {
             val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(u))
@@ -274,15 +311,25 @@ object Sinks {
             if (code < 200 || code >= 300)
               throw new java.io.IOException(s"unexpected status $code")
           }, rng)
-          retryAcc.add(retries)
-          if (retries > 0) { retriedWritesAcc.add(1); maxRetryAcc.add(retries) }
-          if (ok) { okAcc.add(1); None }
-          else { failAcc.add(1); Some((body, s"write failed after $retries retries")) }
+          (if (ok) 1L else 0L, retries.toLong, if (ok) null else body)
         }
-      }.collect() // failures only — small by construction
-      WriteResult(okAcc.value, failAcc.value,
-        RetryStats(retryAcc.value, retriedWritesAcc.value, maxRetryAcc.value),
-        failures.toSeq)
+      }.toDF("ok", "retries", "body").localCheckpoint(true)
+      val agg = status.agg(
+        coalesce(sum(col("ok")), lit(0L)).as("ok"),
+        count(lit(1)).as("total"),
+        coalesce(sum(col("retries")), lit(0L)).as("retries"),
+        coalesce(sum(when(col("retries") > 0, 1L).otherwise(0L)), lit(0L))
+          .as("retried"),
+        coalesce(max(col("retries")), lit(0L)).as("max_retries")).head()
+      val failures = status.filter(col("ok") === 0)
+        .select("body", "retries").collect() // failures only — small
+        .map(r => (r.getString(0),
+          s"write failed after ${r.getLong(1)} retries")).toSeq
+      WriteResult(agg.getAs[Long]("ok"),
+        agg.getAs[Long]("total") - agg.getAs[Long]("ok"),
+        RetryStats(agg.getAs[Long]("retries"), agg.getAs[Long]("retried"),
+          agg.getAs[Long]("max_retries")),
+        failures)
     }
   }
 
@@ -290,9 +337,16 @@ object Sinks {
     * Hadoop-FS URI (file://, s3a://, hdfs://) works. Columnar, splittable,
     * the 100 TB-scale default. */
   final class ParquetSink(path: String) extends Sink {
+    private var firstWrite = true
     def write(df: DataFrame): WriteResult = {
-      val n = df.count()
-      df.write.mode("overwrite").parquet(path)
+      // row count via observe(): ONE execution of the upstream plan
+      // (count()-then-write would scan everything twice — a full extra
+      // pass at scale just for a counter)
+      val obs = new org.apache.spark.sql.Observation()
+      val mode = if (firstWrite) "overwrite" else "append"
+      df.observe(obs, count(lit(1)).as("n")).write.mode(mode).parquet(path)
+      firstWrite = false
+      val n = obs.get("n").asInstanceOf[Long]
       WriteResult(n, 0, RetryStats(), Nil)
     }
   }
@@ -329,16 +383,4 @@ object Sinks {
       case other => Left(s"""unsupported output type "$other"""")
     }
   }
-}
-
-/** Accumulator for A8's max-retries-per-write. */
-class MaxAccumulator extends org.apache.spark.util.AccumulatorV2[Long, Long] {
-  private var _max = 0L
-  def isZero: Boolean = _max == 0
-  def copy(): MaxAccumulator = { val a = new MaxAccumulator; a._max = _max; a }
-  def reset(): Unit = _max = 0
-  def add(v: Long): Unit = if (v > _max) _max = v
-  def merge(other: org.apache.spark.util.AccumulatorV2[Long, Long]): Unit =
-    if (other.value > _max) _max = other.value
-  def value: Long = _max
 }

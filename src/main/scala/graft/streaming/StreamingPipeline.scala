@@ -36,7 +36,10 @@ object StreamingPipeline {
     * failures to the DLQ, counters to the listener bus — the exact
     * once-per-batch semantics the reference's BatchedSink provided
     * (`internal/sink/batched.go`), with Spark supplying the
-    * time+size batching. */
+    * time+size batching. ONE sink instance serves the whole query:
+    * Sink's write lifecycle (first call truncates, later calls append —
+    * see [[graft.etl.Sinks.Sink]]) makes batch N+1 extend batch N's
+    * output instead of overwriting it. */
   def writeStream(transformed: DataFrame, cfg: EtlConfig,
       checkpoint: String,
       triggerMs: Long = 1000): Either[String, StreamingQuery] = {

@@ -116,4 +116,37 @@ class SinksSpec extends SparkSpec {
     assert(back.count() == 1)
     assert(back.columns.toSet == df.columns.toSet)
   }
+
+  test("sink lifecycle: second write on the same instance appends, fresh instance truncates") {
+    def rec(i: Int) =
+      s"""{"ts":"2025-01-01T00:00:00Z","level":"INFO","msg":"m$i"}"""
+    val dir = java.nio.file.Files.createTempDirectory("appnd")
+
+    // FileSink: batch 2 must extend batch 1's file
+    val f = new Sinks.FileSink(s"$dir/out.jsonl")
+    assert(f.write(normalized(rec(1), rec(2))).writtenOk == 2)
+    assert(f.write(normalized(rec(3))).writtenOk == 1)
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(s"$dir/out.jsonl"))
+    assert(lines.size == 3, s"expected 3 cumulative lines, got $lines")
+    // a NEW instance starts fresh (one-shot CLI semantics)
+    assert(new Sinks.FileSink(s"$dir/out.jsonl")
+      .write(normalized(rec(9))).writtenOk == 1)
+    assert(java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(s"$dir/out.jsonl")).size == 1)
+
+    // ParquetSink: append across writes on one instance
+    val p = new Sinks.ParquetSink(s"$dir/pq")
+    p.write(normalized(rec(1)))
+    p.write(normalized(rec(2)))
+    assert(spark.read.parquet(s"$dir/pq").count() == 2)
+
+    // RotatingSink: rotation state (index/size) survives across writes
+    val r = new Sinks.RotatingSink(s"$dir/rot.jsonl", maxBytes = 10000,
+      maxFiles = 3)
+    r.write(normalized(rec(1)))
+    r.write(normalized(rec(2)))
+    assert(java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(s"$dir/rot.jsonl")).size == 2)
+  }
 }

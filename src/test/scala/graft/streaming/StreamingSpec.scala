@@ -69,7 +69,7 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
-  test("foreachBatch sink write: records land in file sink + report path") {
+  test("foreachBatch sink write: records accumulate across micro-batches") {
     val in = tmpDir("stream-sink-in")
     val out = tmpDir("stream-sink-out")
     java.nio.file.Files.copy(
@@ -83,11 +83,23 @@ class StreamingSpec extends SparkSpec {
     val q = StreamingPipeline.writeStream(transformed, cfg,
       checkpoint = tmpDir("ckpt"), triggerMs = 100)
       .fold(e => fail(e), identity)
-    try q.processAllAvailable() finally q.stop()
-    val lines = java.nio.file.Files.readAllLines(
-      java.nio.file.Paths.get(s"$out/out.jsonl"))
-    assert(lines.size == 2) // 2 ERROR records in the fixture
-    lines.forEach(l => assert(!l.contains("user_email") && !l.contains("\"token\"")))
+    try {
+      q.processAllAvailable()
+      val after1 = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(s"$out/out.jsonl"))
+      assert(after1.size == 2) // 2 ERROR records in the fixture
+      // second micro-batch MUST NOT destroy the first one's output
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/b2.jsonl"),
+        """{"ts":"2024-02-02T00:00:00Z","level":"ERROR","msg":"late burst"}"""
+          .getBytes)
+      q.processAllAvailable()
+      val after2 = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(s"$out/out.jsonl"))
+      assert(after2.size == 3,
+        s"batch 2 should append (got ${after2.size} lines: $after2)")
+      after2.forEach(l =>
+        assert(!l.contains("user_email") && !l.contains("\"token\"")))
+    } finally q.stop()
   }
 
   test("stateful error-burst detection emits at threshold") {
