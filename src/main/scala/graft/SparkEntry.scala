@@ -31,8 +31,8 @@ object SparkEntry {
     registry.map { case (k, (fn, _)) => k -> fn }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for engine-internal-hash ops
-    * (dd_simhash, vec_knn_lsh) → rows-only check. */
+    * the same parquet tables. Omitted for engine-internal-bucketing ops
+    * (vec_knn_lsh) → rows-only check. */
   def oracleSql: Map[String, String] =
     registry.collect { case (k, (_, Some(sql))) => k -> sql }
 

@@ -267,13 +267,18 @@ object Dedup {
   }
 
   /** 64-bit SimHash over tokens: sign-aggregate each bit of the token's
-    * xxhash64 (explode + codegen'd hash aggregation, partial map-side —
-    * same rationale as [[minhashSignatures]]). */
+    * 64-bit hash (explode + codegen'd hash aggregation, partial
+    * map-side — same rationale as [[minhashSignatures]]). The token
+    * hash is the LOW 64 BITS OF MD5 (signed) rather than xxhash64:
+    * md5 is recomputable by any engine, which makes the whole simhash
+    * — and therefore the near-dup pair set — cross-engine verifiable
+    * (the dd_simhash DuckDB oracle recomputes it from SQL). */
   def simhashFrame(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val tok = docs.select(col(idCol).as("sid"),
       explode(split(col(textCol), " ")).as("tok"))
-      .withColumn("t_h", xxhash64(col("tok")))
+      .withColumn("t_h",
+        expr("CAST(conv(substring(md5(CAST(tok AS BINARY)), 1, 16), 16, -10) AS BIGINT)"))
     val bitSums = (0 until 64).map { i =>
       sum(when(col("t_h").bitwiseAND(lit(1L << i)) =!= 0L, 1)
         .otherwise(-1)).as(s"b$i")

@@ -88,10 +88,39 @@ object EventQueries {
       |  round(quantile_cont(value, 0.99), 4) AS p99
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Skew-spread join: events ⋈ per-type averages on `event_type` — a
+    * 5-value key, so a plain shuffle join lands ~20% of the table in
+    * ONE task. [[graft.ops.Skew.saltedJoin]] shuffles on
+    * (event_type, _salt) instead, spreading each hot key over 8 tasks.
+    * Salting is semantics-preserving, so the oracle is the plain join.
+    * The avg threshold is rounded to 2dp on both sides so the
+    * engine-dependent double summation order can't flip a comparison.
+    */
+  def skewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val stats = ev.groupBy("event_type")
+      .agg(round(avg("value"), 2).as("avg_value"))
+    graft.ops.Skew.saltedJoin(ev, stats, "event_type", saltFactor = 8,
+        disableBroadcast = true)
+      .filter(col("value") > col("avg_value"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_above"))
+      .transform(QueryUtil.ordered("event_type"))
+  }
+
+  val skewJoinOracle: String =
+    """WITH s AS (SELECT event_type, round(avg(value), 2) AS avg_value
+      |           FROM events GROUP BY event_type)
+      |SELECT e.event_type AS event_type, count(*) AS n_above
+      |FROM events e JOIN s ON e.event_type = s.event_type
+      |WHERE e.value > s.avg_value
+      |GROUP BY e.event_type ORDER BY 1""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "ev_by_type" -> ((byType _, Some(byTypeOracle))),
     "ev_hourly" -> ((hourly _, Some(hourlyOracle))),
     "ev_sessions" -> ((sessions _, Some(sessionsOracle))),
     "ev_props_stats" -> ((propsStats _, Some(propsStatsOracle))),
-    "ev_percentiles" -> ((percentiles _, Some(percentilesOracle))))
+    "ev_percentiles" -> ((percentiles _, Some(percentilesOracle))),
+    "ev_skew_join" -> ((skewJoin _, Some(skewJoinOracle))))
 }

@@ -163,12 +163,32 @@ object TextQueries {
       |FROM p JOIN sz x ON p.da = x.doc_id JOIN sz y ON p.db = y.doc_id
       |WHERE c * 1.0 / (x.n + y.n - c) >= 0.8 ORDER BY da, db""".stripMargin
 
-  /** SimHash near-dup pairs — engine-internal hash, no SQL oracle
-    * (rows-only check); recall asserted against exact Jaccard in
-    * DedupSpec. */
+  /** SimHash near-dup pairs. Full SQL oracle: the token hash is
+    * md5-low64 (see [[graft.ops.Dedup.simhashFrame]]), so DuckDB
+    * recomputes the exact simhash per doc and brute-forces all pairs
+    * with hamming <= 8 — and the chunk-bucket candidate generation has
+    * exact recall by pigeonhole, so the sets must match exactly. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(docs(spark, dir), maxHamming = 8)
       .transform(QueryUtil.ordered("da", "db"))
+
+  val simhashOracle: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+      |             FROM documents),
+      |th AS (SELECT doc_id,
+      |         ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h FROM tok),
+      |bits AS (SELECT doc_id, i,
+      |           CASE WHEN sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) > 0
+      |                THEN 1 ELSE 0 END AS b
+      |         FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS i)
+      |         GROUP BY doc_id, i),
+      |sh AS (SELECT doc_id, list(b ORDER BY i) AS bv FROM bits GROUP BY doc_id),
+      |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db,
+      |            CAST(len(list_filter(range(1, 65), j -> a.bv[j] != b.bv[j]))
+      |              AS INTEGER) AS hamming
+      |          FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |SELECT da, db, hamming FROM pairs WHERE hamming <= 8
+      |ORDER BY da, db""".stripMargin
 
   /** Multimodal plumbing profile: binary payload + typed metadata
     * (decode path itself is exercised in MultimodalSpec). */
@@ -198,6 +218,6 @@ object TextQueries {
     "tx_bpe_tokens" -> ((bpeTokens _, Some(bpeTokensOracle))),
     "dd_ngram_jaccard" -> ((ngramJaccard _, Some(ngramJaccardOracle))),
     "dd_minhash_lsh" -> ((minhashLsh _, Some(minhashLshOracle))),
-    "dd_simhash" -> ((simhashPairs _, None)),
+    "dd_simhash" -> ((simhashPairs _, Some(simhashOracle))),
     "mm_media_meta" -> ((mediaMeta _, Some(mediaMetaOracle))))
 }

@@ -16,9 +16,10 @@ class QueriesSpec extends SparkSpec {
   test("oracleSql keys are a subset of queries; bench subset exists") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     assert(SparkEntry.benchQueries.toSet.subsetOf(SparkEntry.queries.keySet))
-    // rows-only ops documented: exactly the engine-internal-hash ones
+    // rows-only ops documented: exactly the engine-internal-bucketing
+    // one (dd_simhash gained a SQL oracle via the md5-low64 token hash)
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet ==
-      Set("dd_simhash", "vec_knn_lsh"))
+      Set("vec_knn_lsh"))
   }
 
   SparkEntry.queries.foreach { case (name, fn) =>
