@@ -60,6 +60,86 @@ object StreamingPipeline {
     }
   }
 
+  /** Result of a drain-the-input streaming run: the assembled report
+    * plus the summed `observe()` counters (one entry per A1–A5 metric,
+    * totalled across micro-batches). */
+  case class StreamRunResult(report: EtlReport, observed: Map[String, Long])
+
+  /** Run the full streaming pipeline over `inDir` until the input is
+    * drained (Trigger.AvailableNow) and assemble the SAME [[EtlReport]]
+    * the batch [[graft.etl.Pipeline]] produces: per-micro-batch reports
+    * come from the identical `EtlReport.fromDataFrame` aggregation and
+    * ADD across batches; sink writes go through one Sink instance
+    * (append lifecycle) exactly like the batch run's single write.
+    * This is the reference's integration-test contract
+    * (`cmd/etl/integration_test.go:69-93`) stated as batch↔streaming
+    * equivalence — asserted in StreamingSpec. */
+  def runOnce(spark: SparkSession, inDir: String, cfg: EtlConfig,
+      checkpoint: String,
+      maxFilesPerTrigger: Int = 1): Either[String, StreamRunResult] = {
+    Sinks.build(cfg).map { sink =>
+      @volatile var acc = EtlReport()
+      val transformed = observed(
+        transformedStream(readLines(spark, inDir, maxFilesPerTrigger), cfg))
+      val q = transformed.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val b = batch.cache()
+          try {
+            val part = EtlReport.fromDataFrame(b)
+            val (kept, _, _) = Transforms.split(b)
+            val clean = kept.select("ts", "level", "message", "service",
+              "namespace", "pod", "node", "trace_id", "fields")
+            val wr = sink.write(clean)
+            if (cfg.dlqPath.nonEmpty) Sinks.writeDlq(cfg.dlqPath, wr.dlq)
+            acc = merge(acc, part, wr)
+          } finally b.unpersist()
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      val obs = q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("etl_counters")))
+        .foldLeft(Map.empty[String, Long]) { (m, row) =>
+          row.schema.fieldNames.foldLeft(m)((mm, f) =>
+            mm.updated(f, mm.getOrElse(f, 0L) + row.getAs[Long](f)))
+        }
+      StreamRunResult(acc, obs)
+    }
+  }
+
+  /** Counter fields and breakdown maps add across micro-batches;
+    * retry maxima take the max. Timing-derived fields stay zero (they
+    * are normalized out of equivalence checks). */
+  private def merge(a: EtlReport, b: EtlReport,
+      wr: Sinks.WriteResult): EtlReport = {
+    def addM(x: Map[String, Long], y: Map[String, Long]) =
+      (x.keySet ++ y.keySet).map(k =>
+        k -> (x.getOrElse(k, 0L) + y.getOrElse(k, 0L))).toMap
+    a.copy(
+      totalLines = a.totalLines + b.totalLines,
+      jsonFailed = a.jsonFailed + b.jsonFailed,
+      jsonParsed = a.jsonParsed + b.jsonParsed,
+      normalizedOk = a.normalizedOk + b.normalizedOk,
+      normalizedFailed = a.normalizedFailed + b.normalizedFailed,
+      writtenOk = a.writtenOk + wr.writtenOk,
+      writeFailed = a.writeFailed + wr.writeFailed,
+      byLevel = addM(a.byLevel, b.byLevel),
+      byService = addM(a.byService, b.byService),
+      filteredLevel = a.filteredLevel + b.filteredLevel,
+      filteredService = a.filteredService + b.filteredService,
+      filteredOther = a.filteredOther + b.filteredOther,
+      dlqWritten = a.dlqWritten + wr.dlq.size.toLong,
+      dlqReasons = addM(a.dlqReasons,
+        wr.dlq.groupBy(_._2).view.mapValues(_.size.toLong).toMap),
+      retryStats = RetryStats(
+        a.retryStats.totalRetries + wr.retry.totalRetries,
+        a.retryStats.writesWithRetries + wr.retry.writesWithRetries,
+        math.max(a.retryStats.maxRetriesPerWrite, wr.retry.maxRetriesPerWrite)))
+  }
+
   /** A1–A5 as streaming-native `observe()` metrics: per-micro-batch
     * counter rows on the listener bus with zero extra passes — the
     * Structured Streaming twin of [[graft.etl.EtlReport.fromDataFrame]].

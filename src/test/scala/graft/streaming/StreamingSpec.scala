@@ -102,6 +102,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming run produces the EXACT batch report + sink output (equivalence)") {
+    // fixture split into two files + maxFilesPerTrigger=1 → the
+    // streaming run MUST cross micro-batch boundaries
+    val in = tmpDir("equiv-in")
+    val all = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(fixturePath))
+    val (h1, h2) = (all.subList(0, 3), all.subList(3, all.size))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/a.jsonl"),
+      String.join("\n", h1).getBytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/b.jsonl"),
+      String.join("\n", h2).getBytes)
+    val out = tmpDir("equiv-out")
+    def cfg(p: String) = EtlConfig.default.copy(
+      outputType = "file", outputPath = p,
+      filterLevels = Seq("WARN", "ERROR"),
+      redactKeys = Seq("user_email", "token"))
+
+    // batch reference run over the SAME lines
+    val lines = graft.etl.Normalize.parseLines(spark, s"$in/*.jsonl")
+    val batch = graft.etl.Pipeline.run(lines, cfg(s"$out/batch.jsonl"))
+      .fold(e => fail(e), identity)
+
+    val res = StreamingPipeline.runOnce(spark, in, cfg(s"$out/stream.jsonl"),
+        checkpoint = tmpDir("equiv-ckpt"))
+      .fold(e => fail(e), identity)
+
+    // full report-struct equality modulo timing-derived fields
+    def norm(r: graft.etl.EtlReport) = r.copy(
+      durationSeconds = 0, throughput = 0, jsonErrorRate = 0,
+      normalizeErrorRate = 0, writeErrorRate = 0,
+      stageTimings = graft.etl.StageTimings())
+    assert(norm(res.report) == norm(batch.report),
+      s"streaming=${norm(res.report)}\nbatch=${norm(batch.report)}")
+
+    // observe() counters agree with the batch report too
+    assert(res.observed("total_lines") == batch.report.totalLines)
+    assert(res.observed("json_failed") == batch.report.jsonFailed)
+    assert(res.observed("normalized_ok") == batch.report.normalizedOk)
+    assert(res.observed("normalized_failed") == batch.report.normalizedFailed)
+    assert(res.observed("filtered_level") == batch.report.filteredLevel)
+    assert(res.observed("filtered_service") == batch.report.filteredService)
+
+    // sink outputs: same record set (order is partition/batch dependent)
+    def sortedLines(p: String) = {
+      val l = new java.util.ArrayList(
+        java.nio.file.Files.readAllLines(java.nio.file.Paths.get(p)))
+      java.util.Collections.sort(l); l
+    }
+    assert(sortedLines(s"$out/stream.jsonl") == sortedLines(s"$out/batch.jsonl"))
+  }
+
   test("stateful error-burst detection emits at threshold") {
     import spark.implicits._
     val in = tmpDir("stream-burst")
