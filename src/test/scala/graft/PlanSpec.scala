@@ -1,0 +1,86 @@
+package graft
+
+import graft.etl.SparkSpec
+
+/** Physical-plan regression guard for the headline queries: the
+  * scale-critical plan properties (broadcasts kept, filters pushed to
+  * the parquet scan, no accidental cartesian products, top-k via
+  * TakeOrderedAndProject, salted shuffle keys) are asserted as string
+  * invariants over `queryExecution.sparkPlan`, so a future change that
+  * silently loses one of them fails mechanically instead of just
+  * getting slower. */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // executedPlan (AQE initial plan): EnsureRequirements has inserted
+  // the join/agg Exchanges by this point — sparkPlan predates them and
+  // would under-count shuffles
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  private def countOf(s: String, marker: String): Int =
+    s.sliding(marker.length).count(_ == marker)
+
+  /** Queries whose REGISTERED form is a deliberate exact/brute baseline
+    * (the scale path is the *_lsh twin): cartesian is by design there. */
+  private val exactBaselines = Set("vec_knn_brute", "vec_near_dup")
+
+  test("no headline query plans a cartesian product (baselines excepted)") {
+    (SparkEntry.benchQueries.toSet ++ Set("ev_skew_join") -- exactBaselines)
+      .foreach { name =>
+        val p = plan(name)
+        assert(!p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a cross join:\n$p")
+      }
+  }
+
+  test("q5_nation_revenue: all dimensions broadcast, no sort-merge join") {
+    val p = plan("q5_nation_revenue")
+    assert(countOf(p, "BroadcastHashJoin") >= 4, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q6_revenue: every filter pushed into the parquet scan") {
+    // the plan string truncates long filter lists — substring checks
+    val p = plan("q6_revenue")
+    assert(p.contains("PushedFilters: [IsNotNull"), s"no pushed filters:\n$p")
+    assert(p.contains("GreaterThan"), p)
+  }
+
+  test("scan-shaped queries shuffle at most once (the output ordering)") {
+    for (name <- Seq("etl_normalize", "tx_quality")) {
+      val p = plan(name)
+      assert(countOf(p, "Exchange") <= 1,
+        s"$name has an unexpected shuffle:\n$p")
+    }
+  }
+
+  test("top-k queries use TakeOrderedAndProject, not a global sort") {
+    for (name <- Seq("q3_top_orders", "q_topk_orders"))
+      assert(plan(name).contains("TakeOrderedAndProject"), plan(name))
+  }
+
+  test("ev_skew_join: the shuffle keys include the salt") {
+    val p = plan("ev_skew_join")
+    assert("hashpartitioning\\([^)]*_salt".r.findFirstIn(p).isDefined,
+      s"salt not in shuffle keys:\n$p")
+  }
+
+  test("LSH scale paths stay equi-joins (bucket keys in the join)") {
+    for (name <- Seq("vec_near_dup_lsh", "vec_knn_lsh", "dd_minhash_lsh")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$name:\n$p")
+    }
+  }
+
+  test("column pruning: tx_quality reads only doc_id and text") {
+    val p = plan("tx_quality")
+    val read = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("text") &&
+      !read.contains("source"), s"ReadSchema=$read")
+  }
+}
