@@ -186,6 +186,21 @@ object Normalize {
         "_ts_utc", "_shape_ok", "_off")
   }
 
+  /** Typed residual fields (SURVEY §7.4 option b): add a `fields_v`
+    * VARIANT column holding the same residual keys as `fields` but with
+    * JSON TYPES INTACT — the reference's `Fields map[string]any`
+    * (`normalize.go:151-172`) without the string coercion of the
+    * portable map. Typed access: `variant_get(fields_v, '$.status',
+    * 'int')`, nested paths, `schema_of_variant`. Null exactly when the
+    * line failed the JSON parse (same contract as the map).
+    *
+    * Opt-in and additive: the map<string,string> `fields` stays the
+    * default everywhere (engine-portable, oracle-checked); call this on
+    * a normalized frame when typed field predicates are needed. */
+  def withVariantFields(df: DataFrame, lineCol: String = "line"): DataFrame =
+    df.withColumn("fields_v", exprCol(expressions.JsonResidualVariant(
+      toExpr(col(lineCol)), LogSchema.CanonicalKeys)))
+
   /** S1: JSONL source. Reads path as text, drops blank lines (the
     * reference skips them before any counter, `main.go:354-356`), yields
     * one `line` column. Streaming variant: [[StreamingPipeline]] uses

@@ -15,9 +15,13 @@ class PlanSpec extends SparkSpec {
 
   // executedPlan (AQE initial plan): EnsureRequirements has inserted
   // the join/agg Exchanges by this point — sparkPlan predates them and
-  // would under-count shuffles
-  private def plan(name: String): String =
+  // would under-count shuffles. Cache is cleared first: a table another
+  // suite cached would otherwise replace the FileScan (and its
+  // ReadSchema/PushedFilters) with an InMemoryTableScan.
+  private def plan(name: String): String = {
+    spark.catalog.clearCache()
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+  }
 
   private def countOf(s: String, marker: String): Int =
     s.sliding(marker.length).count(_ == marker)
