@@ -66,13 +66,27 @@ object Pipeline {
   }
 
   /** Full CLI-equivalent run: read path (or stdin spooled by Main),
-    * execute, write report (`main.go:151-208`). */
+    * execute, write report (`main.go:151-208`). Operational lines go
+    * through [[EtlLogger]] (the reference's slog wrapper,
+    * `cmd/etl/main.go:362`); the data path never logs per-record. */
   def runFile(spark: SparkSession, cfg: EtlConfig): Either[String, Result] = {
+    val log = EtlLogger.withAttrs("input" -> cfg.inputPath)
+    log.info("pipeline starting",
+      "output_type" -> (if (cfg.outputType.isEmpty) "stdout" else cfg.outputType))
     val lines = Normalize.parseLines(spark, cfg.inputPath)
-    run(lines, cfg).map { res =>
+    val result = run(lines, cfg).map { res =>
       if (cfg.reportPath.nonEmpty) res.report.writeJson(cfg.reportPath)
       res
     }
+    result match {
+      case Right(res) => log.info("pipeline complete",
+        "total_lines" -> res.report.totalLines,
+        "written_ok" -> res.report.writtenOk,
+        "written_failed" -> res.report.writeFailed,
+        "duration_seconds" -> res.report.durationSeconds)
+      case Left(e) => log.error("pipeline failed", "error" -> e)
+    }
+    result
   }
 
   /** The human summary printed after a run (`main.go:166-208`). */

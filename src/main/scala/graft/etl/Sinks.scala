@@ -351,6 +351,35 @@ object Sinks {
     }
   }
 
+  /** True when the spark-sql-kafka connector is on the classpath (it is
+    * an optional module, not part of core Spark). */
+  def kafkaConnectorAvailable: Boolean =
+    try {
+      Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider")
+      true
+    } catch { case _: ClassNotFoundException => false }
+
+  /** Kafka sink — the reference's declared-but-unimplemented type
+    * (`builder.go:50-52`) made native: when the spark-sql-kafka
+    * connector is present, records are produced to
+    * `outputPath = "broker1:9092,broker2:9092/topic"` with the same
+    * Go-shaped JSON rendering as every other sink as the message value.
+    * Delivery is at-least-once (producer retries + Spark task retries).
+    */
+  final class KafkaSink(bootstrapServers: String, topic: String) extends Sink {
+    def write(df: DataFrame): WriteResult = {
+      import df.sparkSession.implicits._
+      val obs = new org.apache.spark.sql.Observation()
+      df.mapPartitions(_.map(renderRecord)).toDF("value")
+        .observe(obs, count(lit(1)).as("n"))
+        .write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrapServers)
+        .option("topic", topic)
+        .save()
+      WriteResult(obs.get("n").asInstanceOf[Long], 0, RetryStats(), Nil)
+    }
+  }
+
   /** K6: DLQ — JSONL of `{record, reason}` (`cmd/etl/main.go:475-478`,
     * `319-325`). `record` is the already-rendered record object. */
   def writeDlq(path: String, entries: Seq[(String, String)]): Unit = {
@@ -379,7 +408,15 @@ object Sinks {
         Right(new RotatingSink(cfg.outputPath, cfg.outputMaxBytes, cfg.outputMaxFiles))
       case "http" | "webhook" => Right(new HttpSink(cfg.outputPath, policy))
       case "parquet" | "s3" | "s3a" => Right(new ParquetSink(cfg.outputPath))
-      case "kafka" => Left("kafka sink requires the spark-sql-kafka connector on the classpath")
+      case "kafka" =>
+        if (!kafkaConnectorAvailable)
+          Left("kafka sink requires the spark-sql-kafka connector on the classpath")
+        else cfg.outputPath.split("/", 2) match {
+          case Array(servers, topic) if servers.nonEmpty && topic.nonEmpty =>
+            Right(new KafkaSink(servers, topic))
+          case _ => Left(
+            """kafka sink output path must be "bootstrap-servers/topic"""")
+        }
       case other => Left(s"""unsupported output type "$other"""")
     }
   }

@@ -96,14 +96,24 @@ class SinksSpec extends SparkSpec {
     assert(lines.get(0) == """{"record":{"TS":"t"},"reason":"write failed after 3 retries"}""")
   }
 
-  test("sink builder: dispatch + kafka unavailable + unknown type") {
+  test("sink builder: dispatch + kafka gated on connector + unknown type") {
     assert(Sinks.build(EtlConfig.default).toOption.get.isInstanceOf[Sinks.StdoutSink])
     assert(Sinks.build(EtlConfig.default.copy(outputType = "rotate",
       outputPath = "/tmp/x")).toOption.get.isInstanceOf[Sinks.RotatingSink])
     assert(Sinks.build(EtlConfig.default.copy(outputType = "parquet",
       outputPath = "/tmp/x")).toOption.get.isInstanceOf[Sinks.ParquetSink])
-    assert(Sinks.build(EtlConfig.default.copy(outputType = "kafka",
-      outputPath = "t")).isLeft)
+    // kafka: native when the connector jar is present, clear error when
+    // not (this environment ships core Spark only)
+    val kafka = Sinks.build(EtlConfig.default.copy(outputType = "kafka",
+      outputPath = "broker:9092/logs"))
+    if (Sinks.kafkaConnectorAvailable)
+      assert(kafka.toOption.get.isInstanceOf[Sinks.KafkaSink])
+    else
+      assert(kafka.swap.toOption.get.contains("spark-sql-kafka"))
+    // malformed path rejected before any connector use
+    if (Sinks.kafkaConnectorAvailable)
+      assert(Sinks.build(EtlConfig.default.copy(outputType = "kafka",
+        outputPath = "no-topic")).swap.toOption.get.contains("bootstrap-servers/topic"))
     assert(Sinks.build(EtlConfig.default.copy(outputType = "nope")).isLeft)
   }
 
