@@ -32,7 +32,7 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for engine-internal-bucketing ops
-    * (vec_knn_lsh) → rows-only check. */
+    * (vec_knn_lsh, vec_knn_ivf) → rows-only check. */
   def oracleSql: Map[String, String] =
     registry.collect { case (k, (_, Some(sql))) => k -> sql }
 

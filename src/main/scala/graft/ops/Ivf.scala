@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbour — the
+  * data-adaptive complement to sign-LSH ([[Similarity.lshKnn]]):
+  * a coarse quantizer of `numCentroids` k-means centroids partitions
+  * the corpus into cells; a query probes its `nprobe` nearest cells and
+  * exact-scores only their members. Centroids adapt to the data
+  * distribution, so cells are balanced where LSH buckets would be
+  * skewed by density.
+  *
+  * Scale design: the centroid model is TINY (C × dim doubles — model
+  * parameters, not data) and is the only thing ever collected to the
+  * driver; training is `spark.ml`-style iterative DataFrame
+  * aggregation (assign = plan-time-expanded argmin over C codegen dot
+  * products; update = per-dimension avg via posexplode + groupBy —
+  * map-side combined, one narrow shuffle per iteration). Search is an
+  * equi-join on cell id: probe rows ≈ queries × nprobe, candidate rows
+  * ≈ corpus × nprobe / C — never a full scan per query.
+  *
+  * Fully deterministic: seeds are the vectors at evenly-strided ranks
+  * of the vec-id order (no RNG), Lloyd iterations are a fixed count,
+  * ties broken by index — reproducible across sessions like the
+  * MinHash/LSH families.
+  */
+object Ivf {
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Squared L2 distance to a literal centroid, as a codegen-friendly
+    * expression: |v|² - 2·v·c + |c|² needs only the dot product per
+    * centroid (|v|² is shared across centroids, |c|² is a constant). */
+  private def dotLit(vec: Column, centroid: Array[Double]): Column =
+    Similarity.dot(vec, typedLit(centroid.toSeq))
+
+  /** Train `numCentroids` centroids with `iters` Lloyd iterations.
+    * Returns the centroid matrix (model parameters, driver-sized). */
+  def train(emb: DataFrame, numCentroids: Int, iters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] = {
+    import org.apache.spark.sql.expressions.Window
+    require(numCentroids > 0, "numCentroids must be positive")
+    // deterministic seeds WITHOUT a global sort (a partitionless window
+    // would funnel the corpus through one task): the min-id vector of
+    // each id-hash bucket; empty buckets (tiny corpora) just yield
+    // fewer centroids
+    var centroids: Array[Array[Double]] = emb
+      .select(col(idCol).as("sid"), asDouble(col(vecCol)).as("ve"))
+      .withColumn("b", pmod(hash(col("sid")), lit(numCentroids)))
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("b").orderBy("sid")))
+      .filter(col("rk") === 1)
+      .orderBy("b").select("ve").collect()
+      .map(_.getSeq[Double](0).toArray)
+    for (_ <- 1 to iters) {
+      val assigned = assign(emb, centroids, idCol, vecCol)
+        .select(col("cell"), posexplode(asDouble(col(vecCol))).as(Seq("d", "x")))
+      // per-dimension mean per cell: one narrow map-side-combined shuffle
+      val means = assigned.groupBy("cell", "d").agg(avg("x").as("m"))
+        .groupBy("cell").agg(map_from_arrays(
+          collect_list(col("d")), collect_list(col("m"))).as("dm"))
+        .collect()
+      val next = centroids.map(_.clone())
+      means.foreach { r =>
+        val cell = r.getInt(0)
+        r.getMap[Int, Double](1).foreach { case (d, m) => next(cell)(d) = m }
+      }
+      centroids = next
+    }
+    centroids
+  }
+
+  /** Nearest-centroid cell id per vector (argmin over C codegen dot
+    * products — |v|² is constant across centroids so comparing
+    * -2·v·c + |c|² suffices). */
+  def assign(emb: DataFrame, centroids: Array[Array[Double]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x * x).sum
+      struct((dotLit(v, c) * -2d + lit(c2)).as("s"), lit(i).as("i"))
+    }
+    emb.withColumn("cell", array_min(array(scored: _*)).getField("i"))
+  }
+
+  /** Cells ranked by distance for a vector — the probe list. */
+  private def probeCells(vec: Column, centroids: Array[Array[Double]],
+      nprobe: Int): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x * x).sum
+      struct((dotLit(vec, c) * -2d + lit(c2)).as("s"), lit(i).as("i"))
+    }
+    slice(transform(array_sort(array(scored: _*)), s => s.getField("i")),
+      1, nprobe)
+  }
+
+  /** IVF top-k cosine search: queries selected by `queryPred` probe
+    * their `nprobe` nearest cells; exact cosine over cell members only;
+    * deterministic ranking (rounded sim, id tiebreak) like
+    * [[Similarity.bruteForceKnn]]. */
+  def knn(emb: DataFrame, k: Int, queryPred: Column,
+      numCentroids: Int = 16, nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centroids = train(emb, numCentroids)
+    val cells = assign(emb, centroids, idCol, vecCol)
+      .select(col(idCol).as("cid"), asDouble(col(vecCol)).as("ce"),
+        col("cell"))
+      .withColumn("cn", Similarity.norm(col("ce")))
+    val q = emb.filter(queryPred)
+      .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qe"))
+      .withColumn("qn", Similarity.norm(col("qe")))
+      .withColumn("cell", explode(probeCells(col("qe"), centroids, nprobe)))
+    val sims = q.join(cells, "cell")
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(Similarity.dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 4)
+          .as("sim"))
+      .dropDuplicates("qid", "cid")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("cid").asc)
+    sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+}

@@ -68,9 +68,22 @@ object VectorQueries {
         queryPred = col("vec_id") % 50 === 0)
       .transform(QueryUtil.ordered("qid", "rn"))
 
+  /** IVF ANN top-5 — the data-adaptive scale path (k-means cells +
+    * nprobe search); engine-internal cell assignment, rows-only check
+    * (recall vs brute force asserted in OpsSpec). nprobe=8 of 16 cells:
+    * the fixture's near-uniform high-d vectors quantize poorly
+    * (measured recall 0.94/0.83 at sf0.001/sf0.1) — clustered real
+    * embedding corpora separate far better and run lower nprobe/C. */
+  def knnIvf(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Ivf.knn(emb(spark, dir), k = 5,
+        queryPred = col("vec_id") % 50 === 0,
+        numCentroids = 16, nprobe = 8)
+      .transform(QueryUtil.ordered("qid", "rn"))
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "vec_knn_brute" -> ((knnBrute _, Some(knnBruteOracle))),
     "vec_near_dup" -> ((nearDupPairs _, Some(nearDupOracle))),
     "vec_near_dup_lsh" -> ((nearDupPairsLsh _, Some(nearDupOracle))),
-    "vec_knn_lsh" -> ((knnLsh _, None)))
+    "vec_knn_lsh" -> ((knnLsh _, None)),
+    "vec_knn_ivf" -> ((knnIvf _, None)))
 }

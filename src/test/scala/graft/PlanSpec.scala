@@ -73,7 +73,8 @@ class PlanSpec extends SparkSpec {
   }
 
   test("LSH scale paths stay equi-joins (bucket keys in the join)") {
-    for (name <- Seq("vec_near_dup_lsh", "vec_knn_lsh", "dd_minhash_lsh")) {
+    for (name <- Seq("vec_near_dup_lsh", "vec_knn_lsh", "vec_knn_ivf",
+        "dd_minhash_lsh")) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin"), s"$name:\n$p")

@@ -17,9 +17,9 @@ class QueriesSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     assert(SparkEntry.benchQueries.toSet.subsetOf(SparkEntry.queries.keySet))
     // rows-only ops documented: exactly the engine-internal-bucketing
-    // one (dd_simhash gained a SQL oracle via the md5-low64 token hash)
+    // ones (dd_simhash gained a SQL oracle via the md5-low64 token hash)
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet ==
-      Set("vec_knn_lsh"))
+      Set("vec_knn_lsh", "vec_knn_ivf"))
   }
 
   SparkEntry.queries.foreach { case (name, fn) =>

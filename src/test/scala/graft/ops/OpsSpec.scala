@@ -76,6 +76,19 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall=$recall")
   }
 
+  test("IVF knn: deterministic centroids; recall@5 >= 0.6 vs brute force") {
+    val brute = Similarity.bruteForceKnn(emb, 5, col("vec_id") % 50 === 0)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ivf.knn(emb, 5, col("vec_id") % 50 === 0)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.6, s"recall=$recall")
+    // determinism: same data → identical centroid model
+    val c1 = Ivf.train(emb, 16)
+    val c2 = Ivf.train(emb, 16)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+  }
+
   test("LSH cosine pairs: recall >= 0.98 vs exact at the 0.4 threshold") {
     val exact = Similarity.cosinePairs(emb, 0.4)
       .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
