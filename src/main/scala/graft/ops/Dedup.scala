@@ -325,4 +325,50 @@ object Dedup {
   def embeddingNearDupPairs(emb: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     Similarity.cosinePairs(emb, threshold, idCol, vecCol)
+
+  /** Connected components over a near-dup pair frame `(da, db)` —
+    * the clustering step a dedup pipeline needs between "pairs found"
+    * and "keep one per group": each doc in any pair gets the min doc id
+    * reachable through the pair graph as its `component`.
+    *
+    * Iterative min-label propagation: per round, every node takes the
+    * min of its own label and its neighbours' labels; near-dup
+    * clusters have tiny diameters, so rounds ≈ longest chain (a planted
+    * A-B-C chain converges in 2). Each round is one equi-join + one
+    * map-side-combined min — and the frame is eagerly
+    * `localCheckpoint`ed so the plan does not grow with iterations
+    * (iterative self-join lineage otherwise compounds). Convergence is
+    * checked with a cheap count of changed labels; `maxIters` bounds
+    * pathological chains (at web scale, switch to the
+    * large-star/small-star formulation — same per-round shape, fewer
+    * rounds on long chains).
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges0 = pairs.select(col("da").as("src"), col("db").as("dst"))
+      .union(pairs.select(col("db").as("src"), col("da").as("dst")))
+    val edges = if (pairs.isStreaming) edges0
+      else persistTracked(edges0)
+    var labels = edges.select(col("src").as("sid")).distinct()
+      .withColumn("component", col("sid"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("sid", "dst"), "dst")
+        .groupBy(col("src").as("sid"))
+        .agg(min("component").as("n_min"))
+      val next = labels.join(neighborMin, Seq("sid"), "left")
+        .select(col("sid"),
+          least(col("component"), coalesce(col("n_min"), col("component")))
+            .as("component"))
+        .localCheckpoint(true)
+      val changed = next.as("n").join(labels.as("o"), "sid")
+        .filter(col("n.component") =!= col("o.component")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
 }

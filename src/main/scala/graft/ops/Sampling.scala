@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic stratified sampling — the data-mixing primitive of a
+  * training-data pipeline ("keep 30% of crawl, 100% of wiki, 5% of
+  * logs"): per-stratum keep fractions applied by a content-independent
+  * hash of the row id, so
+  *   - the sample is REPRODUCIBLE across runs, sessions and engines
+  *     (no RNG, no `sample()` seed/partitioning sensitivity — Spark's
+  *     `sample` draws per-partition and changes with repartitioning);
+  *   - it is STABLE under corpus growth: a row's keep/drop never
+  *     changes when other rows appear, so incremental re-runs agree
+  *     with full runs (the property mixtures need for dataset
+  *     versioning);
+  *   - the oracle can recompute it exactly (md5, not xxhash64).
+  *
+  * The hash is the first 8 hex chars of md5(id-as-string) scaled to
+  * [0, 1) — a scan-fused column expression, zero shuffle.
+  */
+object Sampling {
+
+  /** Uniform-in-[0,1) deterministic hash of a column's string form. */
+  def unitHash(id: Column): Column =
+    conv(substring(md5(id.cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long") / lit(4294967296.0)
+
+  /** Keep rows whose unit-hash falls below their stratum's fraction.
+    * Strata absent from `fractions` get `defaultFraction` (0 = drop —
+    * explicit allowlist semantics). */
+  def stratified(df: DataFrame, strataCol: String, idCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 0.0): DataFrame = {
+    require(fractions.values.forall(f => f >= 0 && f <= 1) &&
+      defaultFraction >= 0 && defaultFraction <= 1,
+      "fractions must be in [0, 1]")
+    val frac = fractions.foldLeft(lit(defaultFraction)) {
+      case (acc, (stratum, f)) =>
+        when(col(strataCol) === stratum, lit(f)).otherwise(acc)
+    }
+    df.filter(unitHash(col(idCol)) < frac)
+  }
+}

@@ -190,6 +190,59 @@ object TextQueries {
       |SELECT da, db, hamming FROM pairs WHERE hamming <= 8
       |ORDER BY da, db""".stripMargin
 
+  /** Near-dup clusters: connected components over the 0.5-Jaccard pair
+    * graph — (doc, component) where component = min reachable doc id.
+    * Oracle: DuckDB recursive CTE over the SAME pair SQL (exact
+    * transitive closure; fixture clusters are tiny). */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(docs(spark, dir), threshold = 0.5))
+      .transform(QueryUtil.ordered("sid"))
+
+  val dedupClustersOracle: String =
+    """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |         list_transform(range(1, greatest(len(w) - 3, 1)),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])))
+      |         AS s
+      |       FROM t WHERE len(w) >= 5),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+      |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2),
+      |pairs AS (SELECT da, db
+      |          FROM p JOIN sz x ON p.da = x.doc_id JOIN sz y ON p.db = y.doc_id
+      |          WHERE c * 1.0 / (x.n + y.n - c) >= 0.5),
+      |edges AS (SELECT da AS a, db AS b FROM pairs
+      |          UNION ALL SELECT db, da FROM pairs),
+      |reach(n, m) AS (SELECT a, a FROM edges
+      |                UNION
+      |                SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a)
+      |SELECT n AS sid, min(m) AS component FROM reach GROUP BY n
+      |ORDER BY sid""".stripMargin
+
+  /** Deterministic stratified sample (data mixing): per-source keep
+    * fractions via a content-independent md5 unit hash — reproducible
+    * across engines, stable under corpus growth. */
+  def sampleStrata(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    // mixture: keep 80% of src0, 50% of src1, 25% of src2, 10% of the
+    // long tail — the "lots of crawl, little of everything else" shape
+    val fractions = Map("src0" -> 0.8, "src1" -> 0.5, "src2" -> 0.25)
+    graft.ops.Sampling.stratified(d, "source", "doc_id", fractions,
+        defaultFraction = 0.1)
+      .select("doc_id", "source")
+      .transform(QueryUtil.ordered("doc_id"))
+  }
+
+  val sampleStrataOracle: String =
+    """SELECT doc_id, source FROM documents
+      |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+      |        / 4294967296.0
+      |      < CASE source WHEN 'src0' THEN 0.8 WHEN 'src1' THEN 0.5
+      |                    WHEN 'src2' THEN 0.25 ELSE 0.1 END
+      |ORDER BY doc_id""".stripMargin
+
   /** Multimodal plumbing profile: binary payload + typed metadata
     * (decode path itself is exercised in MultimodalSpec). */
   def mediaMeta(spark: SparkSession, dir: String): DataFrame =
@@ -219,5 +272,7 @@ object TextQueries {
     "dd_ngram_jaccard" -> ((ngramJaccard _, Some(ngramJaccardOracle))),
     "dd_minhash_lsh" -> ((minhashLsh _, Some(minhashLshOracle))),
     "dd_simhash" -> ((simhashPairs _, Some(simhashOracle))),
+    "dd_clusters" -> ((dedupClusters _, Some(dedupClustersOracle))),
+    "tx_sample_strata" -> ((sampleStrata _, Some(sampleStrataOracle))),
     "mm_media_meta" -> ((mediaMeta _, Some(mediaMetaOracle))))
 }

@@ -146,6 +146,41 @@ class OpsSpec extends SparkSpec {
     Dedup.releaseCaches()
   }
 
+  test("connected components: chain A-B-C collapses to one cluster, isolated pair separate") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("da", "db")
+    val comp = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // reversed edge direction and long chain still converge to min id
+    val chain = Seq((9L, 8L), (8L, 7L), (7L, 6L), (6L, 5L)).toDF("da", "db")
+    val c2 = Dedup.connectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c2.values.toSet == Set(5L))
+    Dedup.releaseCaches()
+  }
+
+  test("stratified sample: deterministic, per-stratum rates, stable under growth") {
+    val d = (1L to 1000L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
+    val fr = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.0)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      Sampling.stratified(df, "source", "doc_id", fr, defaultFraction = 0.1)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s1 = ids(d)
+    assert(ids(d) == s1, "same input must give the identical sample")
+    val bySrc = d.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val counts = s1.groupBy(bySrc).view.mapValues(_.size).toMap
+    assert(counts.getOrElse("src0", 0) == 250)            // fraction 1.0
+    assert(!counts.contains("src2"))                      // fraction 0.0
+    val r1 = counts.getOrElse("src1", 0) / 250.0
+    assert(math.abs(r1 - 0.5) < 0.15, s"src1 rate=$r1")
+    val r3 = counts.getOrElse("src3", 0) / 250.0          // default 0.1
+    assert(math.abs(r3 - 0.1) < 0.08, s"src3 rate=$r3")
+    // stability: a row's keep/drop never changes when the corpus grows
+    val grown = ids(d.union(
+      (2001L to 2500L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")))
+    assert((grown & (1L to 1000L).toSet) == s1)
+  }
+
   test("language-ID: marker precedence and und fallback") {
     val d = Seq((1L, "the cat and the dog is here"),
       (2L, "der hund und die katze ist da"),
