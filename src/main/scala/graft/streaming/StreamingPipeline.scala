@@ -180,6 +180,24 @@ object StreamingPipeline {
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"), col("level"), col("n"))
 
+  /** Gap-based sessionization of the log stream, keyed by service —
+    * the Structured Streaming twin of [[graft.ops.TimeSeries]]'s batch
+    * sessionization, via the native `session_window` (state merges
+    * adjacent events within `gap`; watermark closes and emits sessions
+    * and evicts their state — bounded like every stateful op here).
+    * Emitted rows: (session_start, session_end, service, n_events). */
+  def serviceSessions(transformed: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    transformed
+      .filter(col("error").isNull)
+      .withWatermark("ts_ts", watermark)
+      .groupBy(session_window(col("ts_ts"), gap), col("service"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("service"), col("n_events"))
+
   /** Stateful per-service error-burst detection:
     * `flatMapGroupsWithState`-style custom state via
     * mapGroupsWithState — emits (service, burst_len) whenever a service

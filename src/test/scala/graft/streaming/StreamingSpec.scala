@@ -174,6 +174,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session_window: gap splits sessions, watermark emits closed ones") {
+    val in = tmpDir("stream-sess")
+    // svc api: events at t0, t0+10m (one session), t0+90m (a second,
+    // still-open session); svc db: one event at t0.
+    val lines = Seq(
+      """{"ts":"2024-01-01T00:00:00Z","level":"INFO","msg":"a1","service":"api"}""",
+      """{"ts":"2024-01-01T00:10:00Z","level":"INFO","msg":"a2","service":"api"}""",
+      """{"ts":"2024-01-01T01:30:00Z","level":"INFO","msg":"a3","service":"api"}""",
+      """{"ts":"2024-01-01T00:00:00Z","level":"INFO","msg":"d1","service":"db"}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/b.jsonl"),
+      lines.mkString("\n").getBytes)
+    val cfg = EtlConfig.default.copy(filterLevels = Nil)
+    val sessions = StreamingPipeline.serviceSessions(
+      StreamingPipeline.transformedStream(
+        StreamingPipeline.readLines(spark, in), cfg))
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("svc_sessions").start()
+    try {
+      q.processAllAvailable()
+      // final watermark = 01:30 - 30m = 01:00; the two sessions ending
+      // 00:40 (api: 2 events) and 00:30 (db: 1 event) are closed and
+      // emitted; api's 01:30 session is still open.
+      val rows = spark.table("svc_sessions")
+        .collect().map(r => (r.getAs[String]("service"),
+          r.getAs[Long]("n_events"))).toSet
+      assert(rows == Set(("api", 2L), ("db", 1L)), s"got=$rows")
+    } finally q.stop()
+  }
+
   test("observe(): A1-A5 counters arrive as streaming metrics") {
     val in = tmpDir("stream-obs")
     java.nio.file.Files.copy(
