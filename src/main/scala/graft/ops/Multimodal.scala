@@ -73,6 +73,26 @@ object Multimodal {
         octet_length(col(textCol).cast("binary")).cast("long").as("byte_len"))
         .as("meta"))
 
+  /** Split each blob into fixed-size chunk rows (chunk_idx, chunk,
+    * chunk_len) — the sharding step before parallel decode / upload /
+    * rolling-hash dedup of large media: a 4 GB video becomes
+    * independently-schedulable chunk tasks instead of one task pinned
+    * to one executor. Pure column expressions (sequence + explode +
+    * substring on binary) — scan-fused, no shuffle; the blob never
+    * travels beyond its own chunk rows. */
+  def chunked(media: DataFrame, chunkBytes: Int = 262144): DataFrame = {
+    require(chunkBytes > 0, "chunkBytes must be positive")
+    val nChunks = ceil(octet_length(col("payload")).cast("double") /
+      chunkBytes).cast("int")
+    media.select(col("media_id"), col("payload"),
+        explode(sequence(lit(0), greatest(nChunks, lit(1)) - 1))
+          .as("chunk_idx"))
+      .select(col("media_id"), col("chunk_idx"),
+        col("payload").substr(col("chunk_idx") * chunkBytes + 1,
+          lit(chunkBytes)).as("chunk"))
+      .withColumn("chunk_len", octet_length(col("chunk")))
+  }
+
   /** Per-partition decode → typed features. One decoder per task. */
   def extractFeatures(media: DataFrame,
       decoder: MediaDecoder = DeterministicFakeDecoder): Dataset[MediaFeatures] = {

@@ -261,6 +261,24 @@ object TextQueries {
       |  CAST(n_chars // 256 + 1 AS INTEGER) AS n_chunks
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** Media chunk profile: every blob as fixed-size chunk rows — the
+    * sharding step before parallel decode; oracle recomputes chunk
+    * layout from byte lengths. */
+  def mediaChunks(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Multimodal.chunked(
+        graft.ops.Multimodal.withSyntheticMedia(docs(spark, dir)),
+        chunkBytes = 256)
+      .select("media_id", "chunk_idx", "chunk_len")
+      .transform(QueryUtil.ordered("media_id", "chunk_idx"))
+
+  val mediaChunksOracle: String =
+    """SELECT doc_id AS media_id, CAST(i AS INT) AS chunk_idx,
+      |  CAST(least(256, strlen(text) - i * 256) AS INT) AS chunk_len
+      |FROM documents,
+      |  LATERAL (SELECT unnest(range(0,
+      |    greatest(CAST(ceil(strlen(text) / 256.0) AS BIGINT), 1))) AS i)
+      |ORDER BY media_id, chunk_idx""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "tx_token_stats" -> ((tokenStats _, Some(tokenStatsOracle))),
     "tx_quality" -> ((quality _, Some(qualityOracle))),
@@ -274,5 +292,6 @@ object TextQueries {
     "dd_simhash" -> ((simhashPairs _, Some(simhashOracle))),
     "dd_clusters" -> ((dedupClusters _, Some(dedupClustersOracle))),
     "tx_sample_strata" -> ((sampleStrata _, Some(sampleStrataOracle))),
-    "mm_media_meta" -> ((mediaMeta _, Some(mediaMetaOracle))))
+    "mm_media_meta" -> ((mediaMeta _, Some(mediaMetaOracle))),
+    "mm_chunks" -> ((mediaChunks _, Some(mediaChunksOracle))))
 }

@@ -116,6 +116,32 @@ class NormalizeSpec extends SparkSpec {
     assert(r.getAs[Map[String, String]]("fields") == Map.empty[String, String])
   }
 
+  test("variant fields and map fields agree on the residual key set") {
+    val lines = Seq(
+      """{"ts":"2025-01-01T00:00:00Z","level":"I","msg":"x","a":1,"b":"s","c":null}""",
+      """{"ts":"2025-01-01T00:00:00Z","level":"I","msg":"x","nested":{"k":[1,2]},"uni":"héllo ☃"}""",
+      """{"ts":"2025-01-01T00:00:00Z","level":"I","msg":"x"}""",
+      """{"ts":"2025-01-01T00:00:00Z","level":"I","msg":"x","kubernetes":{"pod_name":"p"},"extra":true}""")
+    val df = Normalize.withVariantFields(Normalize(lines.toDF("line")))
+    val rows = df.select(map_keys(col("fields")).as("mk"),
+      to_json(col("fields_v")).as("vj")).collect()
+    val factory = new com.fasterxml.jackson.core.JsonFactory()
+    rows.foreach { r =>
+      val mapKeys = r.getSeq[String](0).toSet
+      val parser = factory.createParser(r.getString(1))
+      val vKeys = scala.collection.mutable.Set[String]()
+      var tok = parser.nextToken() // START_OBJECT
+      tok = parser.nextToken()
+      while (tok == com.fasterxml.jackson.core.JsonToken.FIELD_NAME) {
+        vKeys += parser.currentName()
+        parser.nextToken(); parser.skipChildren()
+        tok = parser.nextToken()
+      }
+      assert(vKeys.toSet == mapKeys,
+        s"variant keys $vKeys != map keys $mapKeys")
+    }
+  }
+
   test("variant fields: typed matrix mirroring Go's Fields map[string]any") {
     // number / string / bool / null / nested / array all keep their
     // JSON types — in particular 123 vs "123", which the portable map

@@ -206,6 +206,25 @@ class OpsSpec extends SparkSpec {
     assert(r(1L) != r(2L))
   }
 
+  test("multimodal chunker: lossless reassembly, fixed sizes, no shuffle keys lost") {
+    val media = Multimodal.withSyntheticMedia(docs.limit(20))
+    val payloads = media.select("media_id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val chunks = Multimodal.chunked(media, chunkBytes = 100)
+      .collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Int]("chunk_idx"),
+        r.getAs[Array[Byte]]("chunk")))
+      .groupBy(_._1)
+    assert(chunks.keySet == payloads.keySet)
+    chunks.foreach { case (id, cs) =>
+      val ordered = cs.sortBy(_._2)
+      assert(ordered.map(_._2).toSeq == ordered.indices.toSeq) // dense idx
+      ordered.init.foreach(c => assert(c._3.length == 100))
+      assert(ordered.flatMap(_._3).toSeq == payloads(id).toSeq,
+        s"media $id does not reassemble")
+    }
+  }
+
   test("multimodal: synthetic media -> deterministic features") {
     val media = Multimodal.withSyntheticMedia(docs.limit(10))
     val feats = Multimodal.extractFeatures(media).collect()
