@@ -13,7 +13,7 @@ import org.apache.spark.sql.types._
   *     session TZ) plus the original zone offset in seconds, so that event
   *     time ops (windows, watermarks) are native and the exact
   *     RFC3339Nano rendering (including the original numeric offset) can
-  *     be reproduced at the sink — see [[Normalize.rfc3339Nano]].
+  *     be reproduced at the sink — see [[expressions.Rfc3339Parse]].
   *   - `Fields` is `map[string]any` in Go; here it is
   *     `MapType(String, String)` where non-string JSON values keep their
   *     raw JSON text ("200", "true", "{\"a\":1}"). [[Sinks.recordJson]]

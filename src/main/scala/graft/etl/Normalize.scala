@@ -37,46 +37,11 @@ import org.apache.spark.sql.types._
   */
 object Normalize {
 
-  /** Go `time.RFC3339` shape: date 'T' time [.frac] ('Z' | ±hh:mm).
-    * Spark's timestamp cast is far laxer, so this gate reproduces the Go
-    * parser's rejections (`normalize.go:192-206`); range errors (month 13
-    * etc.) are caught by the cast returning null. */
-  private val Rfc3339Regex =
-    "^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}(\\.\\d+)?(Z|[+-]\\d{2}:\\d{2})$"
-
   private def nonEmpty(c: Column): Column = nullif(trim(c), lit(""))
 
   /** First value that is non-empty after trimming — the reference's alias
     * chain (`if out.X == "" { try alias }`). */
   private def firstNonEmpty(cs: Column*): Column = coalesce(cs.map(nonEmpty): _*)
-
-  /** Zone offset in seconds parsed from the RFC3339 literal's suffix. */
-  private def zoneOffsetSecs(ts: Column): Column = {
-    val suffix = regexp_extract(ts, "(Z|[+-]\\d{2}:\\d{2})$", 1)
-    when(suffix === "Z" || suffix === "", lit(0)).otherwise(
-      (substring(suffix, 2, 2).cast(IntegerType) * 3600 +
-        substring(suffix, 5, 2).cast(IntegerType) * 60) *
-        when(substring(suffix, 1, 1) === "-", lit(-1)).otherwise(lit(1)))
-  }
-
-  /** Render a UTC timestamp + original zone offset as Go's
-    * `time.RFC3339Nano`: trailing zeros of the fraction trimmed, no dot
-    * when the fraction is zero, literal `Z` for zero offset
-    * (`normalize.go:178`). */
-  def rfc3339Nano(tsUtc: Column, offsetSecs: Column): Column = {
-    val local = tsUtc +
-      make_dt_interval(lit(0), lit(0), lit(0), offsetSecs.cast(DecimalType(18, 6)))
-    val base = date_format(local, "yyyy-MM-dd'T'HH:mm:ss")
-    val frac = regexp_replace(date_format(local, "SSSSSS"), "0+$", "")
-    val fracPart = when(frac === "", lit("")).otherwise(concat(lit("."), frac))
-    val absOff = abs(offsetSecs)
-    val offPart = when(offsetSecs === 0, lit("Z")).otherwise(concat(
-      when(offsetSecs < 0, lit("-")).otherwise(lit("+")),
-      lpad((absOff / 3600).cast(IntegerType).cast(StringType), 2, "0"),
-      lit(":"),
-      lpad(((absOff % 3600) / 60).cast(IntegerType).cast(StringType), 2, "0")))
-    concat(base, fracPart, offPart)
-  }
 
   /** Normalize a DataFrame holding raw JSONL in `lineCol`.
     *
@@ -153,15 +118,15 @@ object Normalize {
       "_fields_raw" -> exprCol(expressions.MapRemoveKeys(toExpr(m),
         LogSchema.CanonicalKeys))))
 
-    // try_to_timestamp: ANSI-safe (null, not error, on bad input); the
-    // regex reproduces Go's strictness, the parse catches range errors
-    // (month 13 …).
+    // ONE-pass strict RFC3339 validate+parse+render via the codegen
+    // [[expressions.Rfc3339Parse]] — replaces six chained regex/format
+    // expressions (shape rlike, zone regexp_extracts, try_to_timestamp,
+    // RFC3339Nano re-render); same accept set, same rendering
+    // (oracle-verified, see the expression's scaladoc).
     val stage2 = stage1.withColumns(Map(
-      "_ts_utc" -> try_to_timestamp(col("_ts_str")),
-      "_shape_ok" -> col("_ts_str").rlike(Rfc3339Regex),
-      "_off" -> zoneOffsetSecs(col("_ts_str"))))
+      "_rfc" -> exprCol(expressions.Rfc3339Parse(toExpr(col("_ts_str"))))))
 
-    val tsValid = col("_shape_ok") && col("_ts_utc").isNotNull
+    val tsValid = col("_rfc").isNotNull
     val error = when(col("_json_failed"), lit("invalid JSON"))
       .when(col("_ts_str").isNull,
         lit("missing timestamp: expected ts/time in RFC3339"))
@@ -172,9 +137,9 @@ object Normalize {
 
     val stage3 = stage2.withColumns(Map(
       "error" -> error,
-      "ts_ts" -> when(tsValid, col("_ts_utc")),
-      "ts_offset_secs" -> when(tsValid, col("_off")),
-      "ts" -> when(tsValid, rfc3339Nano(col("_ts_utc"), col("_off"))),
+      "ts_ts" -> timestamp_micros(col("_rfc.us")),
+      "ts_offset_secs" -> col("_rfc.off"),
+      "ts" -> col("_rfc.rendered"),
       "fields" -> when(!col("_json_failed"), coalesce(col("_fields_raw"),
         map().cast(MapType(StringType, StringType))))))
 
@@ -183,7 +148,7 @@ object Normalize {
         .when(col("error").isNotNull, lit("normalize")))
       .withColumn("level", when(col("error").isNull, upper(col("_lvl"))))
       .drop("_m", "_k8s", "_ts_str", "_lvl", "_json_failed", "_fields_raw",
-        "_ts_utc", "_shape_ok", "_off")
+        "_rfc")
   }
 
   /** Typed residual fields (SURVEY §7.4 option b): add a `fields_v`
