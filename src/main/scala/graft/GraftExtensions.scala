@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.etl.expressions.{JsonToStringMap, MapRemoveKeys}
+import graft.etl.expressions.{ArrayDot, JsonResidualVariant, JsonToStringMap, LshSignBands, MapRemoveKeys, Rfc3339Parse}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * expressions as SQL functions, so `spark.sql` users get them too:
@@ -11,12 +11,27 @@ import graft.etl.expressions.{JsonToStringMap, MapRemoveKeys}
   * // or: --conf spark.sql.extensions=graft.GraftExtensions
   * spark.sql("SELECT json_to_string_map(line) FROM logs")
   * spark.sql("SELECT map_remove_keys(fields, 'user_email', 'token') FROM t")
+  * spark.sql("SELECT array_dot(a, b), rfc3339_parse(ts).rendered FROM t")
+  * spark.sql("SELECT json_residual_variant(line, 'ts', 'msg') FROM logs")
+  * spark.sql("SELECT lsh_sign_bands(CAST(e AS ARRAY<DOUBLE>), 128, 4) FROM v")
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
   import org.apache.spark.unsafe.types.UTF8String
+
+  private def litString(fn: String)(e: Expression): String = e match {
+    case Literal(s: UTF8String, _) => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument must be a string literal, got $other")
+  }
+
+  private def litInt(fn: String)(e: Expression): Int = e match {
+    case Literal(i: Int, _) => i
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument must be an integer literal, got $other")
+  }
 
   def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
@@ -27,10 +42,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("map_remove_keys"),
       new ExpressionInfo(classOf[MapRemoveKeys].getName, "map_remove_keys"),
       (args: Seq[Expression]) => MapRemoveKeys(args.head,
-        args.tail.map {
-          case Literal(s: UTF8String, _) => s.toString
-          case other => throw new IllegalArgumentException(
-            s"map_remove_keys: key arguments must be string literals, got $other")
-        })))
+        args.tail.map(litString("map_remove_keys")))))
+    e.injectFunction((
+      FunctionIdentifier("array_dot"),
+      new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
+      (args: Seq[Expression]) => ArrayDot(args.head, args(1))))
+    e.injectFunction((
+      FunctionIdentifier("rfc3339_parse"),
+      new ExpressionInfo(classOf[Rfc3339Parse].getName, "rfc3339_parse"),
+      (args: Seq[Expression]) => Rfc3339Parse(args.head)))
+    e.injectFunction((
+      FunctionIdentifier("json_residual_variant"),
+      new ExpressionInfo(classOf[JsonResidualVariant].getName,
+        "json_residual_variant"),
+      (args: Seq[Expression]) => JsonResidualVariant(args.head,
+        args.tail.map(litString("json_residual_variant")))))
+    e.injectFunction((
+      FunctionIdentifier("lsh_sign_bands"),
+      new ExpressionInfo(classOf[LshSignBands].getName, "lsh_sign_bands"),
+      (args: Seq[Expression]) => LshSignBands(args.head,
+        litInt("lsh_sign_bands")(args(1)), litInt("lsh_sign_bands")(args(2)))))
   }
 }

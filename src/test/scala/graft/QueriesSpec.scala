@@ -49,10 +49,18 @@ class QueriesSpec extends SparkSpec {
         .getOrCreate()
       val r = s2.sql(
         """SELECT json_to_string_map('{"a":1,"b":"x"}') AS m,
-          |  map_remove_keys(json_to_string_map('{"a":1,"b":"x"}'), 'a') AS f
+          |  map_remove_keys(json_to_string_map('{"a":1,"b":"x"}'), 'a') AS f,
+          |  array_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dot,
+          |  rfc3339_parse('2025-01-02T03:04:05.500Z').rendered AS ts,
+          |  variant_get(json_residual_variant('{"a":1,"b":"x"}', 'b'), '$.a', 'int') AS va,
+          |  size(lsh_sign_bands(array(1.0d, -1.0d), 8, 4)) AS nbands
           |""".stripMargin).head()
       assert(r.getAs[Map[String, String]]("m") == Map("a" -> "1", "b" -> "x"))
       assert(r.getAs[Map[String, String]]("f") == Map("b" -> "x"))
+      assert(r.getAs[Double]("dot") == 11.0)
+      assert(r.getAs[String]("ts") == "2025-01-02T03:04:05.5Z")
+      assert(r.getAs[Int]("va") == 1)
+      assert(r.getAs[Int]("nbands") == 2)
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)
