@@ -214,7 +214,10 @@ object Dedup {
     val mins = hashParams(numHashes).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * a + b, lit(P))).as(s"m$i")
     }
-    hashed.groupBy(col("sid")).agg(mins.head, mins.tail: _*)
+    // set size rides along in the SAME aggregation (same sid key) —
+    // callers needing sizes skip a second full pass over the shingles
+    val aggs = mins :+ count(lit(1)).as("n")
+    hashed.groupBy(col("sid")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** MinHash + LSH banding: candidate pairs from band-bucket collisions,
@@ -257,7 +260,8 @@ object Dedup {
         col("l.bk") === col("r.bk") && col("l.sid") < col("r.sid"))
       .select(col("l.sid").as("da"), col("r.sid").as("db"))
       .distinct()
-    val sizes = sh.groupBy("sid").agg(count(lit(1)).as("n"))
+    // sizes fused into the signature aggregation (one pass, same key)
+    val sizes = sig.select(col("sid"), col("n"))
     val common = cand
       .join(sh.as("a"), col("da") === col("a.sid"))
       .join(sh.as("b"),
