@@ -21,6 +21,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
   import org.apache.spark.unsafe.types.UTF8String
 
+  private def arity(fn: String, args: Seq[Expression], min: Int,
+      max: Int): Unit =
+    if (args.length < min || args.length > max)
+      throw new IllegalArgumentException(
+        s"$fn expects ${if (min == max) s"$min" else s"$min to $max"} " +
+          s"argument(s), got ${args.length}")
+
   private def litString(fn: String)(e: Expression): String = e match {
     case Literal(s: UTF8String, _) => s.toString
     case other => throw new IllegalArgumentException(
@@ -37,30 +44,47 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("json_to_string_map"),
       new ExpressionInfo(classOf[JsonToStringMap].getName, "json_to_string_map"),
-      (args: Seq[Expression]) => JsonToStringMap(args.head)))
+      (args: Seq[Expression]) => {
+        arity("json_to_string_map", args, 1, 1)
+        JsonToStringMap(args.head)
+      }))
     e.injectFunction((
       FunctionIdentifier("map_remove_keys"),
       new ExpressionInfo(classOf[MapRemoveKeys].getName, "map_remove_keys"),
-      (args: Seq[Expression]) => MapRemoveKeys(args.head,
-        args.tail.map(litString("map_remove_keys")))))
+      (args: Seq[Expression]) => {
+        arity("map_remove_keys", args, 2, Int.MaxValue)
+        MapRemoveKeys(args.head, args.tail.map(litString("map_remove_keys")))
+      }))
     e.injectFunction((
       FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
-      (args: Seq[Expression]) => ArrayDot(args.head, args(1))))
+      (args: Seq[Expression]) => {
+        arity("array_dot", args, 2, 2)
+        ArrayDot(args.head, args(1))
+      }))
     e.injectFunction((
       FunctionIdentifier("rfc3339_parse"),
       new ExpressionInfo(classOf[Rfc3339Parse].getName, "rfc3339_parse"),
-      (args: Seq[Expression]) => Rfc3339Parse(args.head)))
+      (args: Seq[Expression]) => {
+        arity("rfc3339_parse", args, 1, 1)
+        Rfc3339Parse(args.head)
+      }))
     e.injectFunction((
       FunctionIdentifier("json_residual_variant"),
       new ExpressionInfo(classOf[JsonResidualVariant].getName,
         "json_residual_variant"),
-      (args: Seq[Expression]) => JsonResidualVariant(args.head,
-        args.tail.map(litString("json_residual_variant")))))
+      (args: Seq[Expression]) => {
+        arity("json_residual_variant", args, 1, Int.MaxValue)
+        JsonResidualVariant(args.head,
+          args.tail.map(litString("json_residual_variant")))
+      }))
     e.injectFunction((
       FunctionIdentifier("lsh_sign_bands"),
       new ExpressionInfo(classOf[LshSignBands].getName, "lsh_sign_bands"),
-      (args: Seq[Expression]) => LshSignBands(args.head,
-        litInt("lsh_sign_bands")(args(1)), litInt("lsh_sign_bands")(args(2)))))
+      (args: Seq[Expression]) => {
+        arity("lsh_sign_bands", args, 3, 3)
+        LshSignBands(args.head,
+          litInt("lsh_sign_bands")(args(1)), litInt("lsh_sign_bands")(args(2)))
+      }))
   }
 }

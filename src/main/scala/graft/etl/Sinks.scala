@@ -118,7 +118,11 @@ object Sinks {
     * That makes one instance safe to reuse across foreachBatch
     * micro-batches (a new batch must never destroy the previous
     * batches' output) while a one-shot batch run keeps the truncate
-    * semantics. */
+    * semantics. A RESTARTED streaming query resuming from a checkpoint
+    * must not truncate either — `build(cfg, resume = true)` constructs
+    * sinks that append from their very first write (the streaming layer
+    * passes resume when the checkpoint already exists, so reprocessing
+    * only continues the output). */
   trait Sink {
     /** Write all rows of a normalized frame; never throws per-record. */
     def write(df: DataFrame): WriteResult
@@ -167,8 +171,11 @@ object Sinks {
     * part directory, then merges parts into the single target file —
     * the explicit `coalesce(1)`-style decision documented in SURVEY §7.4.
     */
-  final class FileSink(path: String) extends Sink {
-    private var keepExisting = false // first write truncates (os.Create)
+  final class FileSink(path: String, startAppend: Boolean = false)
+      extends Sink {
+    // first write truncates (os.Create) unless resuming a checkpointed
+    // stream, where prior batches' output must survive the restart
+    private var keepExisting = startAppend
     def write(df: DataFrame): WriteResult = {
       import df.sparkSession.implicits._
       val tmp = path + ".spark-tmp"
@@ -230,13 +237,19 @@ object Sinks {
     * by definition, so records stream through the driver; for distributed
     * rotation-by-size use `maxRecordsPerFile`/parquet instead (§2.4 K3).
     */
-  final class RotatingSink(basePath: String, maxBytes: Long, maxFiles: Int)
-      extends Sink {
+  final class RotatingSink(basePath: String, maxBytes: Long, maxFiles: Int,
+      startAppend: Boolean = false) extends Sink {
     // rotation state survives across write() calls: a later micro-batch
-    // continues the current file + index instead of truncating base
+    // continues the current file + index instead of truncating base.
+    // On checkpoint resume (startAppend) the base file is continued in
+    // APPEND; its current size is re-read so rotation thresholds hold.
     private var index = 0
-    private var size = 0L
-    private var initialized = false
+    private var size =
+      if (startAppend)
+        try java.nio.file.Files.size(java.nio.file.Paths.get(basePath))
+        catch { case _: java.io.IOException => 0L }
+      else 0L
+    private var initialized = startAppend
     def write(df: DataFrame): WriteResult = {
       import java.nio.file.{Files, Paths, StandardOpenOption => O}
       val base = Paths.get(basePath)
@@ -288,10 +301,12 @@ object Sinks {
       val pol = policy
       val tmo = timeoutMs
       import df.sparkSession.implicits._
-      // one status row per record; the eager localCheckpoint below is
-      // the single execution of the POSTs — metrics + DLQ both read the
-      // materialized result (blocks are freed by the ContextCleaner
-      // when the frame goes out of scope)
+      // one status row per record, persisted so the metrics agg and the
+      // failure collect read one materialization. persist (not
+      // localCheckpoint): on executor loss the partition RECOMPUTES —
+      // re-sending its records, which the documented at-least-once
+      // contract already covers — instead of failing the whole write on
+      // an unrecoverable checkpoint block. Unpersisted before return.
       val status = df.mapPartitions { rows =>
         val client = java.net.http.HttpClient.newBuilder()
           .connectTimeout(java.time.Duration.ofMillis(tmo)).build()
@@ -313,7 +328,8 @@ object Sinks {
           }, rng)
           (if (ok) 1L else 0L, retries.toLong, if (ok) null else body)
         }
-      }.toDF("ok", "retries", "body").localCheckpoint(true)
+      }.toDF("ok", "retries", "body")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val agg = status.agg(
         coalesce(sum(col("ok")), lit(0L)).as("ok"),
         count(lit(1)).as("total"),
@@ -325,6 +341,7 @@ object Sinks {
         .select("body", "retries").collect() // failures only — small
         .map(r => (r.getString(0),
           s"write failed after ${r.getLong(1)} retries")).toSeq
+      status.unpersist(blocking = false)
       WriteResult(agg.getAs[Long]("ok"),
         agg.getAs[Long]("total") - agg.getAs[Long]("ok"),
         RetryStats(agg.getAs[Long]("retries"), agg.getAs[Long]("retried"),
@@ -336,8 +353,9 @@ object Sinks {
   /** Parquet sink — the reference's `s3` placeholder made real: any
     * Hadoop-FS URI (file://, s3a://, hdfs://) works. Columnar, splittable,
     * the 100 TB-scale default. */
-  final class ParquetSink(path: String) extends Sink {
-    private var firstWrite = true
+  final class ParquetSink(path: String, startAppend: Boolean = false)
+      extends Sink {
+    private var firstWrite = !startAppend
     def write(df: DataFrame): WriteResult = {
       // row count via observe(): ONE execution of the upstream plan
       // (count()-then-write would scan everything twice — a full extra
@@ -397,17 +415,21 @@ object Sinks {
   }
 
   /** K7: builder — dispatch on output_type (`builder.go:15-55`), with the
-    * Spark-native additions. Unknown type or missing connector → Left. */
-  def build(cfg: EtlConfig): Either[String, Sink] = {
+    * Spark-native additions. Unknown type or missing connector → Left.
+    * `resume = true` (checkpoint restart) → sinks append from their
+    * first write instead of truncating. */
+  def build(cfg: EtlConfig, resume: Boolean = false): Either[String, Sink] = {
     val policy = new RetryPolicy(cfg.sinkMaxRetries, cfg.sinkBackoffBaseMs,
       cfg.sinkBackoffMaxMs, cfg.sinkBackoffJitter)
     cfg.outputType.toLowerCase match {
       case "" | "stdout" => Right(new StdoutSink())
-      case "file" => Right(new FileSink(cfg.outputPath))
+      case "file" => Right(new FileSink(cfg.outputPath, resume))
       case "rotate" | "rotating" =>
-        Right(new RotatingSink(cfg.outputPath, cfg.outputMaxBytes, cfg.outputMaxFiles))
+        Right(new RotatingSink(cfg.outputPath, cfg.outputMaxBytes,
+          cfg.outputMaxFiles, resume))
       case "http" | "webhook" => Right(new HttpSink(cfg.outputPath, policy))
-      case "parquet" | "s3" | "s3a" => Right(new ParquetSink(cfg.outputPath))
+      case "parquet" | "s3" | "s3a" =>
+        Right(new ParquetSink(cfg.outputPath, resume))
       case "kafka" =>
         if (!kafkaConnectorAvailable)
           Left("kafka sink requires the spark-sql-kafka connector on the classpath")

@@ -230,6 +230,11 @@ case class LshSignBands(child: Expression, numPlanes: Int, rowsPerBand: Int)
     extends UnaryExpression {
   require(numPlanes % rowsPerBand == 0,
     s"numPlanes=$numPlanes must be a multiple of rowsPerBand=$rowsPerBand")
+  // patterns are packed into a NON-NEGATIVE Int: rowsPerBand >= 32
+  // would wrap `1 << r` (silently merging planes) or set the sign bit
+  // (corrupting the (band << 32 | pattern) long key downstream)
+  require(rowsPerBand >= 1 && rowsPerBand <= 31,
+    s"rowsPerBand=$rowsPerBand must be in [1, 31]")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess

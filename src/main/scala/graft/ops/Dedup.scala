@@ -373,6 +373,12 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    // silently-partial clusters would be indistinguishable from
+    // converged ones — fail loudly instead (raise maxIters for chains
+    // longer than it, or use large-star/small-star at web scale)
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIters iterations — " +
+        "a component's label-propagation distance exceeds maxIters")
     labels
   }
 }

@@ -40,10 +40,19 @@ object StreamingPipeline {
     * Sink's write lifecycle (first call truncates, later calls append —
     * see [[graft.etl.Sinks.Sink]]) makes batch N+1 extend batch N's
     * output instead of overwriting it. */
+  /** True when `checkpoint` holds a prior run's state — the restart
+    * case where sinks must append from their first write instead of
+    * truncating (the checkpointed source will NOT re-read already
+    * processed input, so truncation would lose those batches). */
+  private def isResume(checkpoint: String): Boolean = {
+    val d = new java.io.File(checkpoint)
+    d.isDirectory && d.list() != null && d.list().nonEmpty
+  }
+
   def writeStream(transformed: DataFrame, cfg: EtlConfig,
       checkpoint: String,
       triggerMs: Long = 1000): Either[String, StreamingQuery] = {
-    Sinks.build(cfg).map { sink =>
+    Sinks.build(cfg, resume = isResume(checkpoint)).map { sink =>
       transformed.writeStream
         .outputMode("append")
         .option("checkpointLocation", checkpoint)
@@ -77,36 +86,70 @@ object StreamingPipeline {
   def runOnce(spark: SparkSession, inDir: String, cfg: EtlConfig,
       checkpoint: String,
       maxFilesPerTrigger: Int = 1): Either[String, StreamRunResult] = {
-    Sinks.build(cfg).map { sink =>
+    Sinks.build(cfg, resume = isResume(checkpoint)).map { sink =>
       @volatile var acc = EtlReport()
-      val transformed = observed(
-        transformedStream(readLines(spark, inDir, maxFilesPerTrigger), cfg))
-      val q = transformed.writeStream
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint)
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val b = batch.cache()
-          try {
-            val part = EtlReport.fromDataFrame(b)
-            val (kept, _, _) = Transforms.split(b)
-            val clean = kept.select("ts", "level", "message", "service",
-              "namespace", "pod", "node", "trace_id", "fields")
-            val wr = sink.write(clean)
-            if (cfg.dlqPath.nonEmpty) Sinks.writeDlq(cfg.dlqPath, wr.dlq)
-            acc = merge(acc, part, wr)
-          } finally b.unpersist()
-          ()
+      // observed metrics come from a listener, NOT q.recentProgress:
+      // recentProgress is a ring buffer capped at
+      // spark.sql.streaming.numRecentProgressUpdates (default 100), so
+      // a >100-micro-batch run would silently undercount there
+      // accumulate per (queryId, field) so no filtering happens inside
+      // the callback — the query id is only known after start(), and a
+      // shared session may run concurrent queries
+      val obsAcc =
+        new java.util.concurrent.ConcurrentHashMap[(String, String), Long]()
+      val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = {
+          val row = e.progress.observedMetrics.get("etl_counters")
+          if (row != null) row.schema.fieldNames.foreach { f =>
+            obsAcc.merge((e.progress.id.toString, f), row.getAs[Long](f),
+              (a, b) => a + b)
+          }
         }
-        .start()
-      q.awaitTermination()
-      val obs = q.recentProgress.toSeq
-        .flatMap(p => Option(p.observedMetrics.get("etl_counters")))
-        .foldLeft(Map.empty[String, Long]) { (m, row) =>
-          row.schema.fieldNames.foldLeft(m)((mm, f) =>
-            mm.updated(f, mm.getOrElse(f, 0L) + row.getAs[Long](f)))
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      }
+      spark.streams.addListener(listener)
+      try {
+        val transformed = observed(
+          transformedStream(readLines(spark, inDir, maxFilesPerTrigger), cfg))
+        val q = transformed.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", checkpoint)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val b = batch.cache()
+            try {
+              val part = EtlReport.fromDataFrame(b)
+              val (kept, _, _) = Transforms.split(b)
+              val clean = kept.select("ts", "level", "message", "service",
+                "namespace", "pod", "node", "trace_id", "fields")
+              val wr = sink.write(clean)
+              if (cfg.dlqPath.nonEmpty) Sinks.writeDlq(cfg.dlqPath, wr.dlq)
+              acc = merge(acc, part, wr)
+            } finally b.unpersist()
+            ()
+          }
+          .start()
+        q.awaitTermination()
+        // listener events are delivered asynchronously (the internal
+        // bus-drain API is private) — wait for the accumulated counters
+        // to go quiescent before reading them
+        import scala.jdk.CollectionConverters._
+        val qid = q.id.toString
+        def snapshot(): Map[String, Long] = obsAcc.asScala.collect {
+          case ((id, f), v) if id == qid => f -> v
+        }.toMap
+        var prev = snapshot()
+        var stable = 0
+        var waitedMs = 0
+        while (stable < 2 && waitedMs < 5000) {
+          Thread.sleep(50); waitedMs += 50
+          val cur = snapshot()
+          if (cur == prev) stable += 1 else { stable = 0; prev = cur }
         }
-      StreamRunResult(acc, obs)
+        StreamRunResult(acc, prev)
+      } finally spark.streams.removeListener(listener)
     }
   }
 

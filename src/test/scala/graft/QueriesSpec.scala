@@ -61,6 +61,10 @@ class QueriesSpec extends SparkSpec {
       assert(r.getAs[String]("ts") == "2025-01-02T03:04:05.5Z")
       assert(r.getAs[Int]("va") == 1)
       assert(r.getAs[Int]("nbands") == 2)
+      // wrong arity fails with an argument error, not an index crash
+      val err = intercept[Exception] { s2.sql("SELECT array_dot(array(1.0d))") }
+      assert(err.getMessage.contains("array_dot expects 2"),
+        s"unexpected: ${err.getMessage}")
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)

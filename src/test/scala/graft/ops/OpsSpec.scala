@@ -156,6 +156,12 @@ class OpsSpec extends SparkSpec {
     val c2 = Dedup.connectedComponents(chain)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(c2.values.toSet == Set(5L))
+    // label distance beyond maxIters must fail loudly, not return a
+    // silently-partial clustering
+    val long = (1L until 10L).map(i => (i, i + 1)).toDF("da", "db")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(long, maxIters = 4).collect()
+    }
     Dedup.releaseCaches()
   }
 

@@ -102,6 +102,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("checkpoint restart: a new query on the same checkpoint appends, not truncates") {
+    val in = tmpDir("restart-in")
+    val out = tmpDir("restart-out")
+    val ckpt = tmpDir("restart-ckpt")
+    val cfg = EtlConfig.default.copy(
+      outputType = "file", outputPath = s"$out/out.jsonl", filterLevels = Nil)
+    def runDrain(): Unit = {
+      val q = StreamingPipeline.writeStream(
+        StreamingPipeline.transformedStream(
+          StreamingPipeline.readLines(spark, in), cfg),
+        cfg, checkpoint = ckpt, triggerMs = 100).fold(e => fail(e), identity)
+      try q.processAllAvailable() finally q.stop()
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/a.jsonl"),
+      """{"ts":"2024-01-01T00:00:00Z","level":"INFO","msg":"first"}""".getBytes)
+    runDrain()
+    assert(java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(s"$out/out.jsonl")).size == 1)
+    // restart: the checkpointed source will NOT re-read a.jsonl, so a
+    // truncating sink would lose "first" forever
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/b.jsonl"),
+      """{"ts":"2024-01-01T00:01:00Z","level":"INFO","msg":"second"}""".getBytes)
+    runDrain()
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(s"$out/out.jsonl"))
+    assert(lines.size == 2, s"restart truncated prior output: $lines")
+  }
+
   test("streaming run produces the EXACT batch report + sink output (equivalence)") {
     // fixture split into two files + maxFilesPerTrigger=1 → the
     // streaming run MUST cross micro-batch boundaries
