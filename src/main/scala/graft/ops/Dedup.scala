@@ -325,6 +325,20 @@ object Dedup {
       .select(col("da"), col("db"), col("hamming"))
   }
 
+  /** The corpus with near-duplicate clusters collapsed to their
+    * canonical member: docs whose component label differs from their
+    * own id (i.e. a smaller near-dup exists) are dropped, everything
+    * unpaired survives untouched — the "pairs found → one kept" step
+    * a dedup pipeline actually ships. One anti-join against the
+    * (tiny) non-canonical id set. */
+  def keepCanonical(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val dropIds = connectedComponents(pairs)
+      .filter(col("sid") =!= col("component"))
+      .select(col("sid").as(idCol))
+    docs.join(dropIds, Seq(idCol), "left_anti")
+  }
+
   /** Embedding-cosine near-dup pairs (delegates to [[Similarity]]). */
   def embeddingNearDupPairs(emb: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =

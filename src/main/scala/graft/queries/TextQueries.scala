@@ -221,6 +221,94 @@ object TextQueries {
       |SELECT n AS sid, min(m) AS component FROM reach GROUP BY n
       |ORDER BY sid""".stripMargin
 
+  /** Canonical survivors after near-dup collapse: every doc not
+    * shadowed by a smaller near-duplicate (0.5-Jaccard clusters). */
+  def dedupKeep(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    Dedup.keepCanonical(d,
+        Dedup.ngramJaccardPairs(d, threshold = 0.5))
+      .select("doc_id", "source")
+      .transform(QueryUtil.ordered("doc_id"))
+  }
+
+  val dedupKeepOracle: String =
+    """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |         list_transform(range(1, greatest(len(w) - 3, 1)),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])))
+      |         AS s
+      |       FROM t WHERE len(w) >= 5),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+      |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2),
+      |pairs AS (SELECT da, db
+      |          FROM p JOIN sz x ON p.da = x.doc_id JOIN sz y ON p.db = y.doc_id
+      |          WHERE c * 1.0 / (x.n + y.n - c) >= 0.5),
+      |edges AS (SELECT da AS a, db AS b FROM pairs
+      |          UNION ALL SELECT db, da FROM pairs),
+      |reach(n, m) AS (SELECT a, a FROM edges
+      |                UNION
+      |                SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a),
+      |drops AS (SELECT n AS doc_id FROM reach GROUP BY n HAVING min(m) <> n)
+      |SELECT doc_id, source FROM documents
+      |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+      |ORDER BY doc_id""".stripMargin
+
+  /** End-to-end curation pipeline — the composite a training-data run
+    * ships: language filter → quality floor → length floor → exact
+    * dedup (min-id keeper) → deterministic stratified sample → counts
+    * per source. Every stage is one of this engine's operators; the
+    * whole thing stays a single declarative plan (filters fused into
+    * the scan, one dedup shuffle, sample is a scan-local hash). */
+  def curation(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val filtered = d.filter(
+      TextAnalysis.langId(col("text")) === "en" &&
+        TextAnalysis.qualityScore(col("text")) >= 0.58 &&
+        TextAnalysis.tokenCount(col("text")) >= 20)
+    val keeper = filtered.withColumn("fp",
+        TextAnalysis.md5Fingerprint(col("text")))
+      .withColumn("keep",
+        col("doc_id") === min("doc_id").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      .filter(col("keep"))
+    val sampled = graft.ops.Sampling.stratified(
+      keeper, "source", "doc_id",
+      Map("src0" -> 1.0, "src1" -> 1.0), defaultFraction = 0.5)
+    sampled.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .transform(QueryUtil.ordered("source"))
+  }
+
+  val curationOracle: String =
+    """WITH s AS (SELECT doc_id, source, text,
+      |    len(string_split(text, ' ')) * 1.0 AS n,
+      |    len(list_distinct(string_split(text, ' '))) * 1.0 AS nd,
+      |    len(list_filter(string_split(text, ' '),
+      |        t -> t IN ('the', 'a', 'of', 'to', 'and', 'in', 'is', 'it'))) * 1.0 AS st,
+      |    len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','is'))) AS e,
+      |    len(list_filter(string_split(text, ' '), t -> t IN ('der','die','das','und','ist'))) AS d,
+      |    len(list_filter(string_split(text, ' '), t -> t IN ('le','la','les','et','est'))) AS f,
+      |    len(list_filter(string_split(text, ' '), t -> t IN ('el','los','las','y','es'))) AS sp
+      |  FROM documents),
+      |filtered AS (SELECT doc_id, source, text FROM s
+      |  WHERE (CASE WHEN e > 0 AND e >= greatest(e, d, f, sp) THEN 'en'
+      |              WHEN d > 0 AND d >= greatest(d, f, sp) THEN 'de'
+      |              WHEN f > 0 AND f >= greatest(f, sp) THEN 'fr'
+      |              WHEN sp > 0 THEN 'es' ELSE 'und' END) = 'en'
+      |    AND round(least(n / 100.0, 1.0) * 0.4 + (nd / n) * 0.4 + (1.0 - st / n) * 0.2, 4) >= 0.58
+      |    AND n >= 20),
+      |kept AS (SELECT * FROM filtered
+      |  WHERE doc_id = (SELECT min(doc_id) FROM filtered f2
+      |                  WHERE md5(f2.text) = md5(filtered.text))),
+      |sampled AS (SELECT * FROM kept
+      |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+      |          / 4294967296.0
+      |        < CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 1.0
+      |                      ELSE 0.5 END)
+      |SELECT source, count(*) AS n_docs FROM sampled
+      |GROUP BY source ORDER BY source""".stripMargin
+
   /** Deterministic stratified sample (data mixing): per-source keep
     * fractions via a content-independent md5 unit hash — reproducible
     * across engines, stable under corpus growth. */
@@ -291,6 +379,8 @@ object TextQueries {
     "dd_minhash_lsh" -> ((minhashLsh _, Some(minhashLshOracle))),
     "dd_simhash" -> ((simhashPairs _, Some(simhashOracle))),
     "dd_clusters" -> ((dedupClusters _, Some(dedupClustersOracle))),
+    "dd_keep" -> ((dedupKeep _, Some(dedupKeepOracle))),
+    "tx_curation" -> ((curation _, Some(curationOracle))),
     "tx_sample_strata" -> ((sampleStrata _, Some(sampleStrataOracle))),
     "mm_media_meta" -> ((mediaMeta _, Some(mediaMetaOracle))),
     "mm_chunks" -> ((mediaChunks _, Some(mediaChunksOracle))))
