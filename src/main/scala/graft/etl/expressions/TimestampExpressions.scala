@@ -22,8 +22,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *     `time.RFC3339` strictness (`normalize.go:192-206`);
   *   - ranges: proleptic-Gregorian field validation (java.time), the
   *     same set Spark's `stringToTimestamp` accepts; offsets beyond
-  *     ±18:00 rejected (ZoneOffset limit); fraction digits beyond 9
-  *     rejected, nanos truncated to micros (Spark timestamp precision);
+  *     ±18:00 rejected (ZoneOffset limit); fraction of any length
+  *     accepted, truncated to micros (Spark timestamp precision);
   *   - render: Go `time.RFC3339Nano` — the input's own civil fields,
   *     fraction with trailing zeros trimmed (omitted when zero), `Z`
   *     for zero offset, otherwise the original `±HH:MM`.
@@ -88,22 +88,24 @@ object Rfc3339Parse {
     if (y1 < 0 || y2 < 0 || mo < 0 || da < 0 || ho < 0 || mi < 0 || se < 0)
       return null
     val year = y1 * 100 + y2
-    // optional fraction
+    // optional fraction: any number of digits, truncated (not rounded)
+    // to micros — exactly Spark's stringToTimestamp and Go's
+    // RFC3339Nano behavior (differentially tested in
+    // TimestampParitySpec)
     var i = 19
     var micros = 0L
-    var fracDigits = 0
     if (s.charAt(i) == '.') {
       i += 1
+      var cnt = 0
       var v = 0L
-      while (i < n && fracDigits < 9 && dig(s, i) >= 0) {
-        v = v * 10 + dig(s, i); fracDigits += 1; i += 1
+      while (i < n && dig(s, i) >= 0) {
+        if (cnt < 6) v = v * 10 + dig(s, i)
+        cnt += 1; i += 1
       }
-      if (fracDigits == 0) return null
-      if (i < n && dig(s, i) >= 0) return null // >9 fraction digits
-      // scale to nanos then truncate to micros (Spark precision)
-      var k = fracDigits
-      while (k < 9) { v *= 10; k += 1 }
-      micros = v / 1000
+      if (cnt == 0) return null
+      var k = math.min(cnt, 6)
+      while (k < 6) { v *= 10; k += 1 }
+      micros = v
     }
     // zone suffix
     if (i >= n) return null
