@@ -331,6 +331,36 @@ object TextQueries {
       |                    WHEN 'src2' THEN 0.25 ELSE 0.1 END
       |ORDER BY doc_id""".stripMargin
 
+  /** Corpus profile per source — the dataset-card numbers a curation
+    * run reports: doc counts, token-count percentiles, mean quality.
+    * One map-side-combined aggregation over a single scan. */
+  def corpusProfile(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("source"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(expr("percentile(n_tokens, 0.5)"), 2).as("tok_p50"),
+        round(expr("percentile(n_tokens, 0.9)"), 2).as("tok_p90"),
+        round(avg("quality"), 4).as("avg_quality"))
+      .transform(QueryUtil.ordered("source"))
+
+  val corpusProfileOracle: String =
+    """WITH s AS (SELECT source,
+      |    len(string_split(text, ' ')) AS n_tokens,
+      |    len(string_split(text, ' ')) * 1.0 AS n,
+      |    len(list_distinct(string_split(text, ' '))) * 1.0 AS nd,
+      |    len(list_filter(string_split(text, ' '),
+      |        t -> t IN ('the', 'a', 'of', 'to', 'and', 'in', 'is', 'it'))) * 1.0 AS st
+      |  FROM documents)
+      |SELECT source, count(*) AS n_docs,
+      |  round(quantile_cont(n_tokens, 0.5), 2) AS tok_p50,
+      |  round(quantile_cont(n_tokens, 0.9), 2) AS tok_p90,
+      |  round(avg(round(least(n / 100.0, 1.0) * 0.4 + (nd / n) * 0.4
+      |    + (1.0 - st / n) * 0.2, 4)), 4) AS avg_quality
+      |FROM s GROUP BY source ORDER BY source""".stripMargin
+
   /** Multimodal plumbing profile: binary payload + typed metadata
     * (decode path itself is exercised in MultimodalSpec). */
   def mediaMeta(spark: SparkSession, dir: String): DataFrame =
@@ -382,6 +412,7 @@ object TextQueries {
     "dd_keep" -> ((dedupKeep _, Some(dedupKeepOracle))),
     "tx_curation" -> ((curation _, Some(curationOracle))),
     "tx_sample_strata" -> ((sampleStrata _, Some(sampleStrataOracle))),
+    "tx_corpus_profile" -> ((corpusProfile _, Some(corpusProfileOracle))),
     "mm_media_meta" -> ((mediaMeta _, Some(mediaMetaOracle))),
     "mm_chunks" -> ((mediaChunks _, Some(mediaChunksOracle))))
 }
