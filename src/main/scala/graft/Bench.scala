@@ -10,15 +10,20 @@ import org.apache.spark.sql.SparkSession
   * Results are forced with a `noop`-format write so every column of
   * every operator is fully computed (a bare `count()` would let Catalyst
   * prune the very expressions being measured). Each query gets one
-  * untimed warm-up (JVM boot, codegen compile, FS cache), and ALL
-  * caches — operator-internal persists included — are dropped between
-  * the warm-up and the timed run, so the timed number is the
-  * steady-state plan cost, not a cache-hit artifact.
+  * untimed warm-up (JVM boot, codegen compile, FS cache) and THREE timed
+  * runs; the reported per-query number is the MEDIAN (single-shot
+  * timings on a shared box drift ±30% — r2's etl_report "regression"
+  * was exactly that), with every raw run kept in the JSON under `runs`
+  * so spreads stay auditable. ALL caches — operator-internal persists
+  * included — are dropped between runs, so every timed number is the
+  * steady-state cold-plan cost, not a cache-hit artifact.
   *
   * A query that throws is recorded as value -1 plus an `errors` entry
   * (never a silently-tiny elapsed time).
   */
 object Bench {
+  private val TimedRuns = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -45,29 +50,41 @@ object Bench {
       case c => c.toString
     } + "\""
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val allRuns = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val results = names.map { name =>
       try force(name) catch { case e: Throwable =>
         System.err.println(s"[bench] warm-up $name failed: $e")
       }
       dropAllCaches()
-      val t0 = System.nanoTime()
-      val elapsed =
-        try { force(name); (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
-          errors(name) = e.toString.take(500)
-          System.err.println(s"[bench] $name FAILED: $e")
-          -1.0
-        }
-      dropAllCaches()
-      name -> elapsed
+      val runs = (1 to TimedRuns).map { _ =>
+        val t0 = System.nanoTime()
+        val r =
+          try { force(name); (System.nanoTime() - t0) / 1e9 }
+          catch { case e: Throwable =>
+            if (!errors.contains(name)) errors(name) = e.toString.take(500)
+            System.err.println(s"[bench] $name FAILED: $e")
+            -1.0
+          }
+        dropAllCaches()
+        r
+      }
+      allRuns(name) = runs
+      val ok = runs.filter(_ >= 0)
+      val median =
+        if (ok.isEmpty) -1.0
+        else ok.sorted.apply(ok.size / 2)
+      name -> median
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val runsJson = allRuns.map { case (k, v) =>
+      "\"" + k + "\":" + v.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"errors":$errJson,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_result.json"), line + "\n")
     spark.stop()

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: time individual queries by name (same harness discipline
+  * as [[Bench]] — noop-forced, warm-up + cold-cache timed runs) without
+  * paying for the whole headline suite. `sbt "runMain graft.BenchOne
+  * q1 q2 ..."`; SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS as in Bench. */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def force(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+    def dropAllCaches(): Unit = {
+      graft.ops.Dedup.releaseCaches()
+      spark.catalog.clearCache()
+    }
+    args.foreach { name =>
+      try force(name) catch { case e: Throwable =>
+        System.err.println(s"[benchone] warm-up $name failed: $e")
+      }
+      dropAllCaches()
+      val ts = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        force(name)
+        val t = (System.nanoTime() - t0) / 1e9
+        dropAllCaches()
+        t
+      }
+      println(f"[benchone] $name: median=${ts.sorted.apply(ts.size / 2)}%.3f runs=${ts.map(t => f"$t%.3f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}

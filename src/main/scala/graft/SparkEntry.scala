@@ -31,8 +31,9 @@ object SparkEntry {
     registry.map { case (k, (fn, _)) => k -> fn }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for engine-internal-bucketing ops
-    * (vec_knn_lsh, vec_knn_ivf) → rows-only check. */
+    * the same parquet tables. Every registered query has one (the LSH
+    * ANN oracle replays the deterministic pipeline from literal plane
+    * coefficients; the IVF check is a per-query recall floor). */
   def oracleSql: Map[String, String] =
     registry.collect { case (k, (_, Some(sql))) => k -> sql }
 
@@ -50,6 +51,7 @@ object SparkEntry {
     "dd_minhash_lsh",    // minhash + LSH + verify
     "dd_ngram_jaccard",  // exact similarity join
     "vec_knn_brute",     // dense similarity search
-    "vec_near_dup_lsh",  // banded sign-LSH near-dup (scale path)
+    "vec_near_dup",      // exact all-pairs crossJoin (the pruning reference)
+    "vec_near_dup_lsh",  // banded sign-LSH near-dup at 0.9 (scale path)
     "vec_knn_lsh")       // ANN path
 }

@@ -101,9 +101,10 @@ object Ivf {
     * [[Similarity.bruteForceKnn]]. */
   def knn(emb: DataFrame, k: Int, queryPred: Column,
       numCentroids: Int = 16, nprobe: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      iters: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val centroids = train(emb, numCentroids)
+    val centroids = train(emb, numCentroids, iters, idCol, vecCol)
     val cells = assign(emb, centroids, idCol, vecCol)
       .select(col(idCol).as("cid"), asDouble(col(vecCol)).as("ce"),
         col("cell"))

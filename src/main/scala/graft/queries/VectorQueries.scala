@@ -5,11 +5,28 @@ import org.apache.spark.sql.functions._
 import graft.ops.{Dedup, Similarity}
 
 /** Similarity-search queries over `embeddings` (`vec_id`,
-  * `embedding: array<float>`, `label`). */
+  * `embedding: array<float>`, `label`).
+  *
+  * Every query here is driver-verifiable: the LSH ANN pipeline is
+  * deterministic down to the bit (splitmix64 hyperplanes, sequential
+  * dot-product summation), so its DuckDB oracle REPLAYS the whole ANN —
+  * plane projections, sign buckets, Hamming-ball probing, top-k — from
+  * literal plane coefficients embedded in the SQL. IVF centroids are
+  * data-derived floats (k-means averages, not bit-reproducible across
+  * engines), so its check is a per-query recall floor against the
+  * brute-force oracle instead. */
 object VectorQueries {
 
   private def emb(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Query selector shared by every kNN form (and their oracles). */
+  private val queryPredSql = "vec_id % 50 = 0"
+
+  private def cosineSql(a: String, b: String): String =
+    s"""round(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))
+       |    / (sqrt(list_sum(list_transform($a, x -> x * x)))
+       |       * sqrt(list_sum(list_transform($b, x -> x * x)))), 4)""".stripMargin
 
   /** Brute-force cosine top-5 for query vectors (vec_id % 50 == 0). */
   def knnBrute(spark: SparkSession, dir: String): DataFrame =
@@ -18,72 +35,193 @@ object VectorQueries {
       .transform(QueryUtil.ordered("qid", "rn"))
 
   val knnBruteOracle: String =
-    """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
-      |           FROM embeddings WHERE vec_id % 50 = 0),
+    s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+      |           FROM embeddings WHERE $queryPredSql),
       |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings),
-      |s AS (SELECT qid, cid,
-      |        round(list_sum(list_transform(range(1, len(qe) + 1), i -> qe[i] * ce[i]))
-      |          / (sqrt(list_sum(list_transform(qe, x -> x * x)))
-      |             * sqrt(list_sum(list_transform(ce, x -> x * x)))), 4) AS sim
+      |s AS (SELECT qid, cid, ${cosineSql("qe", "ce")} AS sim
       |      FROM q, c WHERE qid <> cid),
       |r AS (SELECT qid, cid, sim,
       |        CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INTEGER) AS rn
       |      FROM s)
       |SELECT qid, cid, sim, rn FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
 
-  /** Embedding-cosine near-dup pairs (sim >= 0.4). */
+  private def nearDupOracle(threshold: Double): String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+      |SELECT a.vec_id AS da, b.vec_id AS db, ${cosineSql("a.e", "b.e")} AS sim
+      |FROM v a JOIN v b ON a.vec_id < b.vec_id
+      |WHERE ${cosineSql("a.e", "b.e")} >= $threshold
+      |ORDER BY da, db""".stripMargin
+
+  /** Embedding-cosine near-dup pairs (sim >= 0.4), EXACT upper-triangle
+    * cross join — the declared correctness baseline the LSH twins are
+    * judged against (and the bench's crossJoin reference point). */
   def nearDupPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDupPairs(emb(spark, dir), threshold = 0.4)
       .transform(QueryUtil.ordered("da", "db"))
 
-  val nearDupOracle: String =
-    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
-      |SELECT a.vec_id AS da, b.vec_id AS db,
-      |  round(list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]))
-      |    / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
-      |       * sqrt(list_sum(list_transform(b.e, x -> x * x)))), 4) AS sim
-      |FROM v a JOIN v b ON a.vec_id < b.vec_id
-      |WHERE round(list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]))
-      |    / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
-      |       * sqrt(list_sum(list_transform(b.e, x -> x * x)))), 4) >= 0.4
-      |ORDER BY da, db""".stripMargin
-
-  /** Embedding near-dup via banded sign-LSH — the SCALE path (equi-join
-    * on band sign-patterns, exact cosine verification of candidates,
-    * never a cross join). Deterministic hyperplanes + exact verify make
-    * the output reproducible; with 32×4 banding the miss probability
-    * per true pair at sim>=0.4 is <0.03% (48 bands) and the fixture
-    * recall is exactly 1.0 at sf0.001 and sf0.01 (deterministic planes;
-    * asserted >=0.98 vs [[Similarity.cosinePairs]] in OpsSpec), so the
-    * exact-pairs SQL doubles as the oracle. */
+  /** Banded sign-LSH near-dup at the PRODUCTION threshold (0.9) with
+    * the scaladoc-prescribed banding (64 bands × 16 rows): recall per
+    * true pair 99.6%, while a random pair collides in some band w.p.
+    * ~0.1% — the band join prunes ~99.9% of the n² pair space before
+    * any dot product runs (the bench demonstrates actual pruning vs the
+    * exact crossJoin). The fixture's synthetic corpus has NO pairs at
+    * sim >= 0.9 (max off-diagonal sim ≈ 0.62), so the verified result —
+    * like the exact oracle's — is empty; the low-threshold twin below
+    * carries the row-mass recall demonstration. */
   def nearDupPairsLsh(spark: SparkSession, dir: String): DataFrame =
+    Similarity.cosinePairsLsh(emb(spark, dir), threshold = 0.9,
+        bands = 64, rowsPerBand = 16)
+      .transform(QueryUtil.ordered("da", "db"))
+
+  /** Banded sign-LSH near-dup at a LOW threshold (0.4, 48×4 banding):
+    * recall-preserving bands at this threshold collide ~95% of random
+    * pairs, so the operator honestly degrades to verified all-pairs
+    * (intrinsic to low-threshold similarity — the output itself can be
+    * Θ(n²)); registered because the fixture's pair mass lives here, so
+    * this is the query that demonstrates LSH recall (deterministic 1.0
+    * at sf0.001/0.01/0.1) against the exact-pairs oracle. */
+  def nearDupPairsLshLow(spark: SparkSession, dir: String): DataFrame =
     Similarity.cosinePairsLsh(emb(spark, dir), threshold = 0.4, bands = 48)
       .transform(QueryUtil.ordered("da", "db"))
 
-  /** LSH-bucketed ANN top-5 — the scale path; engine-internal bucketing,
-    * rows-only check (recall vs brute force asserted in SimilaritySpec).
-    */
+  // --- LSH ANN: parameters shared by the engine call and its oracle.
+  // (5, 3) is the compute-positive recall-0.9 point on this fixture:
+  // bucket signatures cost numPlanes×dim per corpus row while pruning
+  // saves (1-scannedFrac)×nQueries×dim, so with 40 queries and the
+  // structureless corpus forcing ~81% scan for recall 0.9, more planes
+  // than ~5 cost more than they prune (see Similarity.lshKnn). ---
+  private val LshPlanes = 5
+  private val LshProbeHamming = 3
+  // oracle plane table width; >= fixture dim (the engine reads dim from
+  // each vector, the SQL literal just needs enough columns)
+  private val OracleDim = 64
+
+  private def probeMasks: Seq[Int] =
+    (0 until (1 << LshPlanes)).filter(m => Integer.bitCount(m) <= LshProbeHamming)
+
+  /** The common table expressions replaying the sign-LSH ANN in DuckDB:
+    * plane coefficients as literals (splitmix64 — identical bits to
+    * [[graft.etl.expressions.LshSignBands.planeCoef]]), sequential-sum
+    * projections (list_sum matches the ArrayDot loop order; min |proj|
+    * on the fixture is ~3e-5, nine orders above any summation-order
+    * noise, so signs are engine-stable), packed sign buckets, and the
+    * Hamming-<=4 probe mask list. */
+  private def lshAnnCtes: String = {
+    val planes = (0 until LshPlanes).map { p =>
+      val cs = (0 until OracleDim)
+        .map(d => graft.etl.expressions.LshSignBands.planeCoef(p, d).toString)
+        .mkString("[", ", ", "]")
+      s"($p, $cs::DOUBLE[])"
+    }.mkString(",\n|    ")
+    val masks = probeMasks.map(m => s"($m)").mkString(", ")
+    s"""pl(p, pc) AS (VALUES
+      |    $planes),
+      |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |proj AS (SELECT v.vec_id, pl.p,
+      |    list_sum(list_transform(range(1, len(v.e) + 1), i -> v.e[i] * pl.pc[i])) AS s
+      |  FROM v, pl),
+      |b AS (SELECT vec_id, CAST(sum(CASE WHEN s >= 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM proj GROUP BY vec_id),
+      |m(mask) AS (VALUES $masks),
+      |qp AS (SELECT b.vec_id AS qid, xor(b.bucket, CAST(m.mask AS BIGINT)) AS pb
+      |  FROM b, m WHERE $queryPredSql),
+      |cand AS (SELECT qp.qid, cb.vec_id AS cid
+      |  FROM qp JOIN b cb ON cb.bucket = qp.pb WHERE cb.vec_id <> qp.qid),
+      |sims AS (SELECT cand.qid, cand.cid, ${cosineSql("qv.e", "cv.e")} AS sim
+      |  FROM cand JOIN v qv ON qv.vec_id = cand.qid
+      |            JOIN v cv ON cv.vec_id = cand.cid),
+      |ann AS (SELECT qid, cid, sim,
+      |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INTEGER) AS rn
+      |  FROM sims)""".stripMargin
+  }
+
+  /** Sign-LSH multi-probe ANN top-5 — fully oracle-checked: the
+    * pipeline is deterministic, so DuckDB replays it end-to-end (see
+    * [[lshAnnCtes]]) and the driver hash-compares the actual ANN rows.
+    * Recall@5 vs brute force >= 0.9 on the fixture is asserted in
+    * OpsSpec and surfaced per-query by `vec_knn_lsh_recall`. */
   def knnLsh(spark: SparkSession, dir: String): DataFrame =
     Similarity.lshKnn(emb(spark, dir), k = 5,
-        queryPred = col("vec_id") % 50 === 0)
+        queryPred = col("vec_id") % 50 === 0,
+        numPlanes = LshPlanes, probeHamming = LshProbeHamming)
       .transform(QueryUtil.ordered("qid", "rn"))
 
-  /** IVF ANN top-5 — the data-adaptive scale path (k-means cells +
-    * nprobe search); engine-internal cell assignment, rows-only check
-    * (recall vs brute force asserted in OpsSpec). nprobe=8 of 16 cells:
-    * the fixture's near-uniform high-d vectors quantize poorly
-    * (measured recall 0.94/0.83 at sf0.001/sf0.1) — clustered real
-    * embedding corpora separate far better and run lower nprobe/C. */
-  def knnIvf(spark: SparkSession, dir: String): DataFrame =
-    graft.ops.Ivf.knn(emb(spark, dir), k = 5,
-        queryPred = col("vec_id") % 50 === 0,
-        numCentroids = 16, nprobe = 8)
-      .transform(QueryUtil.ordered("qid", "rn"))
+  val knnLshOracle: String =
+    s"""WITH $lshAnnCtes
+      |SELECT qid, cid, sim, rn FROM ann WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+
+  /** Per-query ANN recall surfaced as driver-checkable rows:
+    * hits = |LSH top-5 ∩ brute-force top-5| per query, computed
+    * in-engine; the oracle recomputes BOTH sides in DuckDB (the ANN via
+    * the replayed pipeline, the truth via the brute-force SQL) so the
+    * intersection counts hash-match exactly. */
+  def knnLshRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val pred = col("vec_id") % 50 === 0
+    val ann = Similarity.lshKnn(e, k = 5, queryPred = pred,
+      numPlanes = LshPlanes, probeHamming = LshProbeHamming)
+      .select(col("qid"), col("cid"))
+    val brute = Similarity.bruteForceKnn(e, k = 5, queryPred = pred)
+      .select(col("qid"), col("cid"))
+    val hits = ann.join(brute, Seq("qid", "cid"))
+      .groupBy("qid").agg(count(lit(1)).as("hits"))
+    e.filter(pred).select(col("vec_id").as("qid"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"))
+      .transform(QueryUtil.ordered("qid"))
+  }
+
+  val knnLshRecallOracle: String =
+    s"""WITH $lshAnnCtes,
+      |qv2 AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+      |        FROM embeddings WHERE $queryPredSql),
+      |s2 AS (SELECT qid, cid, ${cosineSql("qe", "ce")} AS sim
+      |       FROM qv2, (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings) c
+      |       WHERE qid <> cid),
+      |brute AS (SELECT qid, cid FROM (
+      |    SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+      |    FROM s2) WHERE rn <= 5),
+      |annhits AS (SELECT a.qid AS hq, count(*) AS h
+      |  FROM (SELECT qid, cid FROM ann WHERE rn <= 5) a
+      |  JOIN brute ON brute.qid = a.qid AND brute.cid = a.cid GROUP BY a.qid)
+      |SELECT q.vec_id AS qid, CAST(coalesce(annhits.h, 0) AS BIGINT) AS hits
+      |FROM embeddings q LEFT JOIN annhits ON annhits.hq = q.vec_id
+      |WHERE q.vec_id % 50 = 0
+      |ORDER BY qid""".stripMargin
+
+  /** Driver-verifiable IVF recall floor: emits every query id whose IVF
+    * top-5 recovers >= 3 of the true (brute-force) top-5. The oracle is
+    * the full query list — so the check FAILS loudly if any query's
+    * recall drops below 0.6, turning the former rows-only entry into a
+    * real correctness row. (Mean recall >= 0.9 at sf0.1 is asserted in
+    * OpsSpec; the per-query floor is what is provable cross-engine.)
+    * nprobe 12 of 16 cells: measured mean recall 0.94 / per-query min
+    * 0.8 at sf0.01 AND sf0.1 — the near-uniform fixture quantizes
+    * poorly (true neighbours sit at sim ≈ 0.35), so a real clustered
+    * corpus runs far lower nprobe/C for the same recall. */
+  def knnIvfRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val pred = col("vec_id") % 50 === 0
+    val ann = graft.ops.Ivf.knn(e, k = 5, queryPred = pred,
+      numCentroids = 16, nprobe = 12).select(col("qid"), col("cid"))
+    val brute = Similarity.bruteForceKnn(e, k = 5, queryPred = pred)
+      .select(col("qid"), col("cid"))
+    ann.join(brute, Seq("qid", "cid"))
+      .groupBy("qid").agg(count(lit(1)).as("hits"))
+      .filter(col("hits") >= 3)
+      .select(col("qid"))
+      .transform(QueryUtil.ordered("qid"))
+  }
+
+  val knnIvfRecallOracle: String =
+    s"""SELECT vec_id AS qid FROM embeddings WHERE $queryPredSql ORDER BY qid""".stripMargin
 
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "vec_knn_brute" -> ((knnBrute _, Some(knnBruteOracle))),
-    "vec_near_dup" -> ((nearDupPairs _, Some(nearDupOracle))),
-    "vec_near_dup_lsh" -> ((nearDupPairsLsh _, Some(nearDupOracle))),
-    "vec_knn_lsh" -> ((knnLsh _, None)),
-    "vec_knn_ivf" -> ((knnIvf _, None)))
+    "vec_near_dup" -> ((nearDupPairs _, Some(nearDupOracle(0.4)))),
+    "vec_near_dup_lsh" -> ((nearDupPairsLsh _, Some(nearDupOracle(0.9)))),
+    "vec_near_dup_lsh_low" -> ((nearDupPairsLshLow _, Some(nearDupOracle(0.4)))),
+    "vec_knn_lsh" -> ((knnLsh _, Some(knnLshOracle))),
+    "vec_knn_lsh_recall" -> ((knnLshRecall _, Some(knnLshRecallOracle))),
+    "vec_knn_ivf_recall" -> ((knnIvfRecall _, Some(knnIvfRecallOracle))))
 }

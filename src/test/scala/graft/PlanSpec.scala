@@ -73,12 +73,21 @@ class PlanSpec extends SparkSpec {
   }
 
   test("LSH scale paths stay equi-joins (bucket keys in the join)") {
-    for (name <- Seq("vec_near_dup_lsh", "vec_knn_lsh", "vec_knn_ivf",
-        "dd_minhash_lsh")) {
+    for (name <- Seq("vec_near_dup_lsh", "vec_knn_lsh", "dd_minhash_lsh")) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin"), s"$name:\n$p")
     }
+    // the IVF op directly (its registered query is the recall form,
+    // which deliberately contains the brute-force reference crossJoin)
+    spark.catalog.clearCache()
+    val ivf = graft.ops.Ivf.knn(
+      spark.read.parquet(s"$sf/embeddings.parquet"), 5,
+      org.apache.spark.sql.functions.col("vec_id") % 50 === 0,
+      numCentroids = 16, nprobe = 12)
+      .queryExecution.executedPlan.toString
+    assert(!ivf.contains("CartesianProduct") &&
+      !ivf.contains("BroadcastNestedLoopJoin"), s"vec_knn_ivf:\n$ivf")
   }
 
   test("column pruning: tx_quality reads only doc_id and text") {

@@ -13,13 +13,14 @@ class QueriesSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("oracleSql keys are a subset of queries; bench subset exists") {
+  test("oracleSql covers EVERY query; bench subset exists") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     assert(SparkEntry.benchQueries.toSet.subsetOf(SparkEntry.queries.keySet))
-    // rows-only ops documented: exactly the engine-internal-bucketing
-    // ones (dd_simhash gained a SQL oracle via the md5-low64 token hash)
+    // r3: no rows-only entries remain — the LSH ANN gained a full
+    // replay oracle (deterministic planes as SQL literals) and the IVF
+    // check is the per-query recall floor
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet ==
-      Set("vec_knn_lsh", "vec_knn_ivf"))
+      Set.empty[String])
   }
 
   SparkEntry.queries.foreach { case (name, fn) =>

@@ -67,22 +67,26 @@ class OpsSpec extends SparkSpec {
     assert(pairs((1L, 3L)) == 1.0)
   }
 
-  test("LSH knn: recall@5 >= 0.5 vs brute force on real embeddings") {
+  test("LSH knn: recall@5 >= 0.9 vs brute force on real embeddings") {
     val brute = Similarity.bruteForceKnn(emb, 5, col("vec_id") % 50 === 0)
       .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val ann = Similarity.lshKnn(emb, 5, col("vec_id") % 50 === 0)
       .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (brute & ann).size.toDouble / brute.size
-    assert(recall >= 0.5, s"recall=$recall")
+    assert(recall >= 0.9, s"recall=$recall")
   }
 
-  test("IVF knn: deterministic centroids; recall@5 >= 0.6 vs brute force") {
-    val brute = Similarity.bruteForceKnn(emb, 5, col("vec_id") % 50 === 0)
+  test("IVF knn: recall@5 >= 0.9 at sf0.1 (registered params); deterministic centroids") {
+    // judged at the BENCH scale factor: the registered (C=16, nprobe=12)
+    // measures mean recall 0.94 / per-query min 0.8 on sf0.1
+    val emb01 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val brute = Similarity.bruteForceKnn(emb01, 5, col("vec_id") % 50 === 0)
       .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivf = Ivf.knn(emb, 5, col("vec_id") % 50 === 0)
+    val ivf = Ivf.knn(emb01, 5, col("vec_id") % 50 === 0,
+        numCentroids = 16, nprobe = 12)
       .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (brute & ivf).size.toDouble / brute.size
-    assert(recall >= 0.6, s"recall=$recall")
+    assert(recall >= 0.9, s"recall=$recall")
     // determinism: same data → identical centroid model
     val c1 = Ivf.train(emb, 16)
     val c2 = Ivf.train(emb, 16)
