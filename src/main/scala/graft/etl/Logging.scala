@@ -69,8 +69,12 @@ object EtlLogger {
     case n: Short => n.toString
     case n: Int => n.toString
     case n: Long => n.toString
-    case n: Float => n.toString
-    case n: Double => n.toString
+    // JSON has no NaN/Infinity tokens — a bare NaN would make the whole
+    // log line unparseable (slog quotes them too: +Inf etc. are emitted
+    // as strings by encoding/json-compatible handlers)
+    case n: Float if java.lang.Float.isFinite(n) => n.toString
+    case n: Double if java.lang.Double.isFinite(n) => n.toString
+    case n @ (_: Float | _: Double) => "\"" + n.toString + "\""
     case other => "\"" + esc(other.toString) + "\""
   }
 

@@ -121,8 +121,12 @@ object Sinks {
     * semantics. A RESTARTED streaming query resuming from a checkpoint
     * must not truncate either — `build(cfg, resume = true)` constructs
     * sinks that append from their very first write (the streaming layer
-    * passes resume when the checkpoint already exists, so reprocessing
-    * only continues the output). */
+    * passes resume when the checkpoint already exists). Delivery across
+    * restarts is AT-LEAST-ONCE: the streaming layer skips micro-batches
+    * its last-batch marker says were already written, which shrinks —
+    * but cannot close — the replay window of a crash between the sink
+    * write and the marker write (see
+    * [[graft.streaming.StreamingPipeline.writeStream]]). */
   trait Sink {
     /** Write all rows of a normalized frame; never throws per-record. */
     def write(df: DataFrame): WriteResult
@@ -239,14 +243,41 @@ object Sinks {
     */
   final class RotatingSink(basePath: String, maxBytes: Long, maxFiles: Int,
       startAppend: Boolean = false) extends Sink {
+    private def pathFor(i: Int) =
+      if (i == 0) java.nio.file.Paths.get(basePath)
+      else java.nio.file.Paths.get(s"$basePath.$i")
+    // On checkpoint resume the highest existing rotation index is the
+    // live write target (newest data rotates to ever-higher N; retention
+    // deletes from the low end) — resuming at 0 would append to the
+    // OLDEST file and the first rotation's open(1, fresh=true) would
+    // TRUNCATE the existing basePath.1, destroying committed output.
+    // The index scan tolerates retention gaps (max over name matches).
+    private def highestExistingIndex(): Int = {
+      import java.nio.file.{Files, Paths}
+      val base = Paths.get(basePath)
+      val parent = Option(base.getParent).getOrElse(Paths.get("."))
+      val prefix = base.getFileName.toString + "."
+      if (!Files.isDirectory(parent)) 0
+      else {
+        val s = Files.list(parent)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.map(_.getFileName.toString)
+            .filter(_.startsWith(prefix))
+            .flatMap(_.stripPrefix(prefix).toIntOption)
+            .foldLeft(0)(math.max)
+        } finally s.close()
+      }
+    }
     // rotation state survives across write() calls: a later micro-batch
     // continues the current file + index instead of truncating base.
-    // On checkpoint resume (startAppend) the base file is continued in
-    // APPEND; its current size is re-read so rotation thresholds hold.
-    private var index = 0
+    // On checkpoint resume (startAppend) the newest rotated file is
+    // continued in APPEND; its current size is re-read so rotation
+    // thresholds hold.
+    private var index = if (startAppend) highestExistingIndex() else 0
     private var size =
       if (startAppend)
-        try java.nio.file.Files.size(java.nio.file.Paths.get(basePath))
+        try java.nio.file.Files.size(pathFor(index))
         catch { case _: java.io.IOException => 0L }
       else 0L
     private var initialized = startAppend
@@ -254,8 +285,6 @@ object Sinks {
       import java.nio.file.{Files, Paths, StandardOpenOption => O}
       val base = Paths.get(basePath)
       if (base.getParent != null) Files.createDirectories(base.getParent)
-      def pathFor(i: Int) =
-        if (i == 0) base else Paths.get(s"$basePath.$i")
       def open(i: Int, fresh: Boolean) =
         if (fresh) Files.newBufferedWriter(pathFor(i),
           O.CREATE, O.TRUNCATE_EXISTING, O.WRITE)

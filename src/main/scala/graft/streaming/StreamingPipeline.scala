@@ -49,6 +49,27 @@ object StreamingPipeline {
     d.isDirectory && d.list() != null && d.list().nonEmpty
   }
 
+  /** foreachBatch replay guard: Spark's contract is at-least-once — a
+    * crash after the sink write but before the checkpoint commit
+    * re-runs that micro-batch on restart, and with resume-append sinks
+    * its records would be appended twice. A marker file beside the
+    * checkpoint records the last successfully written batchId; replayed
+    * batches (batchId <= marker) are skipped. The marker is written
+    * AFTER the sink write, so the remaining duplicate window is a crash
+    * between those two writes — disclosed at-least-once, not
+    * exactly-once (exactly-once to an appended file would need a
+    * transactional commit per batch). */
+  private def lastWrittenBatch(checkpoint: String): Long =
+    try java.nio.file.Files.readString(
+      java.nio.file.Paths.get(checkpoint, "graft-last-batch")).trim.toLong
+    catch { case _: Exception => -1L }
+
+  private def markBatchWritten(checkpoint: String, batchId: Long): Unit = {
+    val p = java.nio.file.Paths.get(checkpoint, "graft-last-batch")
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p, batchId.toString)
+  }
+
   def writeStream(transformed: DataFrame, cfg: EtlConfig,
       checkpoint: String,
       triggerMs: Long = 1000): Either[String, StreamingQuery] = {
@@ -58,11 +79,14 @@ object StreamingPipeline {
         .option("checkpointLocation", checkpoint)
         .trigger(Trigger.ProcessingTime(triggerMs, java.util.concurrent.TimeUnit.MILLISECONDS))
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val (kept, _, _) = Transforms.split(batch)
-          val clean = kept.select("ts", "level", "message", "service",
-            "namespace", "pod", "node", "trace_id", "fields")
-          val res = sink.write(clean)
-          if (cfg.dlqPath.nonEmpty) Sinks.writeDlq(cfg.dlqPath, res.dlq)
+          if (batchId > lastWrittenBatch(checkpoint)) {
+            val (kept, _, _) = Transforms.split(batch)
+            val clean = kept.select("ts", "level", "message", "service",
+              "namespace", "pod", "node", "trace_id", "fields")
+            val res = sink.write(clean)
+            if (cfg.dlqPath.nonEmpty) Sinks.writeDlq(cfg.dlqPath, res.dlq)
+            markBatchWritten(checkpoint, batchId)
+          }
           ()
         }
         .start()

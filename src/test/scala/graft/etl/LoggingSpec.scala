@@ -60,6 +60,15 @@ class LoggingSpec extends AnyFunSuite {
       """time=2026-01-02T03:04:05Z level=ERROR msg="boom" code=2"""))
   }
 
+  test("non-finite floats stay parseable JSON (quoted, not bare NaN)") {
+    val lines = captured {
+      EtlLogger.info("rates", "a" -> Double.NaN,
+        "b" -> Double.PositiveInfinity, "c" -> 0.5, "d" -> Float.NegativeInfinity)
+    }
+    assert(lines == Seq(
+      """{"time":"2026-01-02T03:04:05Z","level":"INFO","msg":"rates","a":"NaN","b":"Infinity","c":0.5,"d":"-Infinity"}"""))
+  }
+
   test("escaping: quotes and control chars never break the JSON line") {
     val lines = captured {
       EtlLogger.info("he said \"hi\"\n", "path" -> "a\\b")

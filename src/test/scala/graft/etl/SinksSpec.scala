@@ -33,6 +33,29 @@ class SinksSpec extends SparkSpec {
     assert(Sinks.renderRecord(row2).contains("a\\u003cb\\u003e\\u0026c"))
   }
 
+  test("rotating sink: checkpoint resume continues the NEWEST rotated file") {
+    // a prior run rotated: base holds the oldest records, base.1 the
+    // newest. Resume must continue at index 1 — resuming at 0 would
+    // append to the oldest file and the first rotation would TRUNCATE
+    // the existing base.1 (the 'restart must not truncate' contract).
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("rotres")
+    val base = s"$dir/out.jsonl"
+    Files.writeString(Paths.get(base), "old-run-base\n")
+    Files.writeString(Paths.get(s"$base.1"), "old-run-rotated\n")
+    val sink = new Sinks.RotatingSink(base, maxBytes = 10000, maxFiles = 3,
+      startAppend = true)
+    sink.write(normalized(
+      """{"ts":"2025-01-01T00:00:00Z","level":"INFO","msg":"resumed"}"""))
+    assert(Files.readAllLines(Paths.get(base)).size == 1,
+      "base (oldest) must be untouched on resume")
+    val rotated = Files.readAllLines(Paths.get(s"$base.1"))
+    assert(rotated.get(0) == "old-run-rotated",
+      "pre-restart output must survive")
+    assert(rotated.size == 2 && rotated.get(1).contains("resumed"),
+      "resume must append to the newest rotated file")
+  }
+
   test("rotating sink: byte-threshold rotation + retention (rotate_test.go)") {
     val dir = java.nio.file.Files.createTempDirectory("rot")
     val base = s"$dir/out.jsonl"
