@@ -40,8 +40,13 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
     def dropAllCaches(): Unit = {
-      graft.ops.Dedup.releaseCaches()
+      graft.ops.Dedup.releaseCaches(blocking = true)
       spark.catalog.clearCache()
+      // deterministic cleanup point: ContextCleaner frees broadcasts /
+      // shuffle files when their driver references are GC'd — without
+      // this, a GC lands inside some LATER timed run and its cleanup
+      // storm shows up as a 2-3x outlier on an unrelated query
+      System.gc()
     }
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""

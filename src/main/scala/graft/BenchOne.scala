@@ -23,8 +23,9 @@ object BenchOne {
       SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
     def dropAllCaches(): Unit = {
-      graft.ops.Dedup.releaseCaches()
+      graft.ops.Dedup.releaseCaches(blocking = true)
       spark.catalog.clearCache()
+      System.gc() // see Bench.dropAllCaches
     }
     args.foreach { name =>
       try force(name) catch { case e: Throwable =>

@@ -41,10 +41,13 @@ object Dedup {
 
   /** Unpersist every frame cached by prior dedup calls. Call after the
     * terminal action on a dedup result (the cache is only useful while
-    * that result's plan is executing). */
-  def releaseCaches(): Unit = {
+    * that result's plan is executing). `blocking = true` waits for the
+    * blocks to actually drop — benchmark hygiene: lazily-evicted blocks
+    * from a previous query otherwise compete with the next query's
+    * memory and skew its timing. */
+  def releaseCaches(blocking: Boolean = false): Unit = {
     var df = liveCaches.poll()
-    while (df != null) { df.unpersist(blocking = false); df = liveCaches.poll() }
+    while (df != null) { df.unpersist(blocking); df = liveCaches.poll() }
   }
 
   /** Word k-gram shingles, deduplicated per document. */
