@@ -20,6 +20,20 @@ import org.apache.spark.sql.SparkSession
   *
   * A query that throws is recorded as value -1 plus an `errors` entry
   * (never a silently-tiny elapsed time).
+  *
+  * Outlier policy (r4): r3's `dd_minhash_lsh` showed a 26 s first timed
+  * run against a 6.7 s median — in-isolation reruns measure < 1.3x
+  * spread, so the outlier is cross-query interference (async
+  * ContextCleaner shuffle/broadcast cleanup from the PREVIOUS query's
+  * runs landing inside the next timed region, plus box noise). Two
+  * defenses: (a) every cache drop is followed by a settle phase — a
+  * second GC and a short sleep so the cleaner drains its ref queue
+  * OUTSIDE the timed region, then a trivial barrier job proving the
+  * scheduler is idle-clean; (b) any raw run slower than 2x the median
+  * of its query's runs is re-measured once after an extra settle — the
+  * replacement is reported in `runs` and the original is preserved in
+  * `discarded` so the spread stays auditable (nothing is silently
+  * dropped; a query whose re-run is STILL >2x keeps the slow number).
   */
 object Bench {
   private val TimedRuns = 3
@@ -45,8 +59,14 @@ object Bench {
       // deterministic cleanup point: ContextCleaner frees broadcasts /
       // shuffle files when their driver references are GC'd — without
       // this, a GC lands inside some LATER timed run and its cleanup
-      // storm shows up as a 2-3x outlier on an unrelated query
+      // storm shows up as a 2-3x outlier on an unrelated query. The
+      // cleaner drains its queue on its own thread, so give it a beat
+      // (sleep) and a second GC for refs surfaced by the first, then a
+      // barrier job so the next timed run starts from a quiet scheduler.
       System.gc()
+      Thread.sleep(250)
+      System.gc()
+      spark.sparkContext.parallelize(0 until 2, 2).count(): Unit
     }
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""
@@ -56,12 +76,17 @@ object Bench {
     } + "\""
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val allRuns = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    val discarded = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    def medianOf(rs: Seq[Double]): Double = {
+      val ok = rs.filter(_ >= 0)
+      if (ok.isEmpty) -1.0 else ok.sorted.apply(ok.size / 2)
+    }
     val results = names.map { name =>
       try force(name) catch { case e: Throwable =>
         System.err.println(s"[bench] warm-up $name failed: $e")
       }
       dropAllCaches()
-      val runs = (1 to TimedRuns).map { _ =>
+      def timedRun(): Double = {
         val t0 = System.nanoTime()
         val r =
           try { force(name); (System.nanoTime() - t0) / 1e9 }
@@ -73,12 +98,19 @@ object Bench {
         dropAllCaches()
         r
       }
+      var runs = (1 to TimedRuns).map(_ => timedRun())
+      // interference guard: re-measure (once per slot) any run >2x the
+      // median; originals kept in `discarded` — see scaladoc
+      val med0 = medianOf(runs)
+      if (med0 > 0 && runs.exists(r => r > 2 * med0)) {
+        val dropped = scala.collection.mutable.ArrayBuffer[Double]()
+        runs = runs.map { r =>
+          if (r > 2 * med0) { dropped += r; timedRun() } else r
+        }
+        discarded(name) = dropped.toSeq
+      }
       allRuns(name) = runs
-      val ok = runs.filter(_ >= 0)
-      val median =
-        if (ok.isEmpty) -1.0
-        else ok.sorted.apply(ok.size / 2)
-      name -> median
+      name -> medianOf(runs)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -87,9 +119,12 @@ object Bench {
     }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
+    val discJson = discarded.map { case (k, v) =>
+      "\"" + k + "\":" + v.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"discarded":$discJson,"errors":$errJson,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_result.json"), line + "\n")
     spark.stop()

@@ -25,7 +25,16 @@ object BenchOne {
     def dropAllCaches(): Unit = {
       graft.ops.Dedup.releaseCaches(blocking = true)
       spark.catalog.clearCache()
-      System.gc() // see Bench.dropAllCaches
+      // settle phase — see Bench.dropAllCaches
+      System.gc()
+      Thread.sleep(250)
+      System.gc()
+      spark.sparkContext.parallelize(0 until 2, 2).count(): Unit
+    }
+    def gcMillis: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
     }
     args.foreach { name =>
       try force(name) catch { case e: Throwable =>
@@ -33,9 +42,12 @@ object BenchOne {
       }
       dropAllCaches()
       val ts = (1 to runs).map { _ =>
+        val gc0 = gcMillis
         val t0 = System.nanoTime()
         force(name)
         val t = (System.nanoTime() - t0) / 1e9
+        val gcd = gcMillis - gc0
+        System.err.println(f"[benchone-run] $name t=$t%.3f gcInRun=${gcd}ms")
         dropAllCaches()
         t
       }
