@@ -43,13 +43,16 @@ object Pipeline {
       var report = EtlReport.fromDataFrame(transformed)
       val aggSecs = (System.nanoTime() - aggStart) / 1e9
 
-      if (cfg.dlqPath.nonEmpty) Sinks.writeDlq(cfg.dlqPath, wr.dlq)
+      // a sink with dlqHandled wrote its DLQ distributed already —
+      // re-writing the (sampled) dlq seq would duplicate and undercount
+      if (cfg.dlqPath.nonEmpty && wr.dlqHandled.isEmpty)
+        Sinks.writeDlq(cfg.dlqPath, wr.dlq)
       report = report.copy(
         writtenOk = wr.writtenOk,
         writeFailed = wr.writeFailed,
         retryStats = wr.retry,
-        dlqWritten = wr.dlq.size.toLong,
-        dlqReasons = wr.dlq.groupBy(_._2).view.mapValues(_.size.toLong).toMap,
+        dlqWritten = wr.dlqWritten,
+        dlqReasons = wr.dlqReasons,
         // Pipelined stages aren't separately timable in a fused
         // whole-stage-codegen plan (SURVEY §2.3 A9): attribute the
         // aggregation pass to normalization and the sink action to

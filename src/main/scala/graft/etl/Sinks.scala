@@ -105,12 +105,25 @@ object Sinks {
   }
 
   /** Per-sink write outcome; feeds A6–A8 + DLQ (report wiring in
-    * [[Pipeline]]). */
+    * [[Pipeline]]).
+    *
+    * `dlq` carries record-level failures as (record JSON, reason). For
+    * driver-side sinks it is complete and the pipeline writes it to the
+    * DLQ file; a sink that persists its own DLQ distributed (HttpSink)
+    * sets `dlqHandled = Some((written, reasonCounts))` and `dlq` is only
+    * a CAPPED SAMPLE — callers must use [[WriteResult.dlqWritten]] /
+    * [[WriteResult.dlqReasons]] instead of sizing `dlq`, and must NOT
+    * re-write `dlq` to the DLQ path when `dlqHandled` is set. */
   case class WriteResult(
       writtenOk: Long,
       writeFailed: Long,
       retry: RetryStats,
-      dlq: Seq[(String, String)]) // (record JSON, reason)
+      dlq: Seq[(String, String)], // (record JSON, reason)
+      dlqHandled: Option[(Long, Map[String, Long])] = None) {
+    def dlqWritten: Long = dlqHandled.map(_._1).getOrElse(dlq.size.toLong)
+    def dlqReasons: Map[String, Long] = dlqHandled.map(_._2).getOrElse(
+      dlq.groupBy(_._2).view.mapValues(_.size.toLong).toMap)
+  }
 
   /** Write lifecycle: a Sink instance has PROCESS semantics — the first
     * `write` starts the output fresh (the reference CLI's `os.Create`
@@ -322,9 +335,18 @@ object Sinks {
     * guarantees must dedupe on a record key). A6–A8 metrics are NOT
     * accumulators — accumulator updates in a transformation are
     * re-counted on exactly such retries — they are aggregated from a
-    * per-record status frame materialized exactly once. */
+    * per-record status frame materialized exactly once.
+    *
+    * Failures are NEVER collected wholesale to the driver: under a total
+    * endpoint outage the failure set is the whole batch, and a driver
+    * materialization is an OOM exactly when the system is already
+    * degraded. Instead, when `dlqPath` is set the failure frame is
+    * rendered and written DISTRIBUTED (part files merged into the single
+    * JSONL target, same machinery as FileSink); the report gets exact
+    * counts + per-reason totals from a tiny aggregation, and `dlq`
+    * carries only a `DlqSampleCap`-bounded sample for logs/summary. */
   final class HttpSink(url: String, policy: RetryPolicy,
-      timeoutMs: Int = 30000) extends Sink {
+      timeoutMs: Int = 30000, dlqPath: String = "") extends Sink {
     def write(df: DataFrame): WriteResult = {
       val u = url
       val pol = policy
@@ -366,17 +388,47 @@ object Sinks {
         coalesce(sum(when(col("retries") > 0, 1L).otherwise(0L)), lit(0L))
           .as("retried"),
         coalesce(max(col("retries")), lit(0L)).as("max_retries")).head()
-      val failures = status.filter(col("ok") === 0)
-        .select("body", "retries").collect() // failures only — small
-        .map(r => (r.getString(0),
-          s"write failed after ${r.getLong(1)} retries")).toSeq
+      val okCount = agg.getAs[Long]("ok")
+      val failed = agg.getAs[Long]("total") - okCount
+      var sample: Seq[(String, String)] = Nil
+      var handled: Option[(Long, Map[String, Long])] = None
+      if (failed > 0) {
+        import org.apache.spark.sql.functions.concat
+        val failFrame = status.filter(col("ok") === 0)
+        val reasonCol = concat(lit("write failed after "),
+          col("retries").cast("string"), lit(" retries"))
+        // reason cardinality ≤ distinct retry counts ≤ maxRetries+1 —
+        // a tiny aggregate, safe to collect
+        val reasons = failFrame.groupBy(col("retries")).count().collect()
+          .map(r => (s"write failed after ${r.getLong(0)} retries",
+            r.getLong(1))).toMap
+        sample = failFrame.select(col("body"), reasonCol.as("reason"))
+          .limit(HttpSink.DlqSampleCap).collect()
+          .map(r => (r.getString(0), r.getString(1))).toSeq
+        if (dlqPath.nonEmpty) {
+          // distributed DLQ write: render lines on executors, merge the
+          // part files into the single JSONL target (append semantics —
+          // prior DLQ content from earlier batches is carried over)
+          val lines = failFrame.select(concat(
+            lit("{\"record\":"), col("body"),
+            lit(",\"reason\":\""), reasonCol, lit("\"}")).as("value"))
+          val tmp = dlqPath + ".spark-tmp"
+          lines.write.mode("overwrite").text(tmp)
+          mergeParts(df.sparkSession, tmp, dlqPath, keepExisting = true)
+        }
+        handled = Some((failed, reasons))
+      }
       status.unpersist(blocking = false)
-      WriteResult(agg.getAs[Long]("ok"),
-        agg.getAs[Long]("total") - agg.getAs[Long]("ok"),
+      WriteResult(okCount, failed,
         RetryStats(agg.getAs[Long]("retries"), agg.getAs[Long]("retried"),
           agg.getAs[Long]("max_retries")),
-        failures)
+        sample, handled)
     }
+  }
+
+  object HttpSink {
+    /** Max failure rows surfaced driver-side (summary/log sample). */
+    val DlqSampleCap = 100
   }
 
   /** Parquet sink — the reference's `s3` placeholder made real: any
@@ -456,7 +508,8 @@ object Sinks {
       case "rotate" | "rotating" =>
         Right(new RotatingSink(cfg.outputPath, cfg.outputMaxBytes,
           cfg.outputMaxFiles, resume))
-      case "http" | "webhook" => Right(new HttpSink(cfg.outputPath, policy))
+      case "http" | "webhook" =>
+        Right(new HttpSink(cfg.outputPath, policy, dlqPath = cfg.dlqPath))
       case "parquet" | "s3" | "s3a" =>
         Right(new ParquetSink(cfg.outputPath, resume))
       case "kafka" =>

@@ -84,7 +84,8 @@ object StreamingPipeline {
             val clean = kept.select("ts", "level", "message", "service",
               "namespace", "pod", "node", "trace_id", "fields")
             val res = sink.write(clean)
-            if (cfg.dlqPath.nonEmpty) Sinks.writeDlq(cfg.dlqPath, res.dlq)
+            if (cfg.dlqPath.nonEmpty && res.dlqHandled.isEmpty)
+              Sinks.writeDlq(cfg.dlqPath, res.dlq)
             markBatchWritten(checkpoint, batchId)
           }
           ()
@@ -149,7 +150,8 @@ object StreamingPipeline {
               val clean = kept.select("ts", "level", "message", "service",
                 "namespace", "pod", "node", "trace_id", "fields")
               val wr = sink.write(clean)
-              if (cfg.dlqPath.nonEmpty) Sinks.writeDlq(cfg.dlqPath, wr.dlq)
+              if (cfg.dlqPath.nonEmpty && wr.dlqHandled.isEmpty)
+                Sinks.writeDlq(cfg.dlqPath, wr.dlq)
               acc = merge(acc, part, wr)
             } finally b.unpersist()
             ()
@@ -198,9 +200,8 @@ object StreamingPipeline {
       filteredLevel = a.filteredLevel + b.filteredLevel,
       filteredService = a.filteredService + b.filteredService,
       filteredOther = a.filteredOther + b.filteredOther,
-      dlqWritten = a.dlqWritten + wr.dlq.size.toLong,
-      dlqReasons = addM(a.dlqReasons,
-        wr.dlq.groupBy(_._2).view.mapValues(_.size.toLong).toMap),
+      dlqWritten = a.dlqWritten + wr.dlqWritten,
+      dlqReasons = addM(a.dlqReasons, wr.dlqReasons),
       retryStats = RetryStats(
         a.retryStats.totalRetries + wr.retry.totalRetries,
         a.retryStats.writesWithRetries + wr.retry.writesWithRetries,

@@ -109,6 +109,46 @@ class SinksSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("http sink: total outage writes DLQ distributed, no driver materialization") {
+    // EVERY record fails — the failure set is the whole batch. The sink
+    // must (a) write the full DLQ via the distributed path, (b) report
+    // exact counts + reasons from aggregation, (c) surface only a
+    // capped driver-side sample.
+    val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    server.createContext("/dead", (ex: HttpExchange) => {
+      ex.sendResponseHeaders(500, -1); ex.close()
+    })
+    server.start()
+    val port = server.getAddress.getPort
+    try {
+      val n = 1200
+      val df = normalized((1 to n).map(i =>
+        s"""{"ts":"2025-01-01T00:00:00Z","level":"INFO","msg":"m$i"}"""): _*)
+        .repartition(8)
+      val dir = java.nio.file.Files.createTempDirectory("dlqdist")
+      val dlq = s"$dir/dlq.jsonl"
+      val policy = new Sinks.RetryPolicy(0, 1, 2, 0)
+      val res = new Sinks.HttpSink(s"http://localhost:$port/dead", policy,
+        dlqPath = dlq).write(df)
+      assert(res.writtenOk == 0 && res.writeFailed == n)
+      assert(res.dlqWritten == n)
+      assert(res.dlqReasons == Map("write failed after 0 retries" -> n.toLong))
+      assert(res.dlq.size == Sinks.HttpSink.DlqSampleCap,
+        s"driver sample must be capped, got ${res.dlq.size}")
+      assert(res.dlqHandled.nonEmpty, "sink must own the DLQ write")
+      val lines = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(dlq))
+      assert(lines.size == n, s"distributed DLQ must hold all $n failures")
+      assert(lines.get(0).startsWith("""{"record":{"TS":"""))
+      assert(lines.get(0).endsWith(""","reason":"write failed after 0 retries"}"""))
+      // a second failing write APPENDS (openDLQ semantics)
+      new Sinks.HttpSink(s"http://localhost:$port/dead", policy,
+        dlqPath = dlq).write(normalized(recordLine))
+      assert(java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(dlq)).size == n + 1)
+    } finally server.stop(0)
+  }
+
   test("DLQ file: {record, reason} JSONL appended (openDLQ semantics)") {
     val dir = java.nio.file.Files.createTempDirectory("dlq")
     val path = s"$dir/sub/dlq.jsonl" // parent dirs created
