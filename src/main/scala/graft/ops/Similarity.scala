@@ -115,6 +115,44 @@ object Similarity {
     * distinct'd and vectors fetched for survivors (measured 2× faster
     * than carrying vectors through the band join even at bench scale,
     * where the wide-row join materialization dominates). */
+  /** Size-adaptive banding: pick (bands, rowsPerBand) from the corpus
+    * size and the threshold instead of hard-coding scale-tuned values.
+    *
+    * rowsPerBand ≈ log2(n): a random pair agrees with a plane w.p. 1/2,
+    * so it collides in one band w.p. 2^-rowsPerBand — at log2(n) bits
+    * the expected candidate volume is O(n·bands) (linear), independent
+    * of corpus growth. bands then holds the per-true-pair miss bound:
+    * a pair AT the threshold agrees per plane w.p. 1-arccos(s)/π, so
+    * miss = (1-(agree^rpb))^bands <= missBound solves for bands.
+    *
+    * The r3 bench ran the fixed 64×16 production banding on a 3k-vector
+    * fixture — 1,024 plane dots per vector, ~2× slower than the exact
+    * crossJoin it exists to beat. Adaptive params (32×12 at n=3k,
+    * s=0.9) cut plane work ~3× while KEEPING linear candidate volume,
+    * and grow with n exactly as the scaladoc heuristic prescribes, so
+    * the same call is right at 3k and at 10^9 vectors. */
+  def adaptiveBandParams(n: Long, threshold: Double,
+      missBound: Double = 5e-3): (Int, Int) = {
+    require(threshold > 0 && threshold < 1, s"threshold=$threshold")
+    val agree = 1.0 - math.acos(threshold) / math.Pi
+    val rpb = math.max(2, math.min(31,
+      math.ceil(math.log(math.max(n, 2).toDouble) / math.log(2.0)).toInt))
+    val bandMatch = math.pow(agree, rpb)
+    val bands = math.max(1, math.ceil(
+      math.log(missBound) / math.log1p(-bandMatch)).toInt)
+    (bands, rpb)
+  }
+
+  /** [[cosinePairsLsh]] with [[adaptiveBandParams]] banding. Costs one
+    * zero-column count job at plan-build time (parquet count() is
+    * row-group-metadata work, not a data scan) — negligible next to the
+    * pair join it parameterizes. */
+  def cosinePairsLshAuto(emb: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (bands, rpb) = adaptiveBandParams(emb.count(), threshold)
+    cosinePairsLsh(emb, threshold, bands, rpb, idCol, vecCol)
+  }
+
   def cosinePairsLsh(emb: DataFrame, threshold: Double,
       bands: Int = 32, rowsPerBand: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

@@ -60,17 +60,19 @@ object VectorQueries {
       .transform(QueryUtil.ordered("da", "db"))
 
   /** Banded sign-LSH near-dup at the PRODUCTION threshold (0.9) with
-    * the scaladoc-prescribed banding (64 bands × 16 rows): recall per
-    * true pair 99.6%, while a random pair collides in some band w.p.
-    * ~0.1% — the band join prunes ~99.9% of the n² pair space before
-    * any dot product runs (the bench demonstrates actual pruning vs the
-    * exact crossJoin). The fixture's synthetic corpus has NO pairs at
-    * sim >= 0.9 (max off-diagonal sim ≈ 0.62), so the verified result —
-    * like the exact oracle's — is empty; the low-threshold twin below
-    * carries the row-mass recall demonstration. */
+    * SIZE-ADAPTIVE banding ([[Similarity.adaptiveBandParams]]):
+    * rowsPerBand ≈ log2(n) keeps random-pair candidate volume linear in
+    * n at any corpus size, bands holds per-true-pair recall ≥ 99.5% —
+    * at the 3k-vector bench fixture that resolves to 32×12 (vs r3's
+    * hard-coded 64×16, whose 1,024 plane dots per vector made the
+    * "scale path" slower than the exact crossJoin it exists to beat);
+    * at 10^9 vectors the same call grows to ~30 bits per band. The
+    * fixture's synthetic corpus has NO pairs at sim >= 0.9 (max
+    * off-diagonal sim ≈ 0.62), so the verified result — like the exact
+    * oracle's — is empty; the low-threshold twin below carries the
+    * row-mass recall demonstration. */
   def nearDupPairsLsh(spark: SparkSession, dir: String): DataFrame =
-    Similarity.cosinePairsLsh(emb(spark, dir), threshold = 0.9,
-        bands = 64, rowsPerBand = 16)
+    Similarity.cosinePairsLshAuto(emb(spark, dir), threshold = 0.9)
       .transform(QueryUtil.ordered("da", "db"))
 
   /** Banded sign-LSH near-dup at a LOW threshold (0.4, 48×4 banding):

@@ -104,6 +104,32 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.98, s"recall=$recall missed=${exact -- lsh}")
   }
 
+  test("adaptive banding: rowsPerBand tracks log2(n), miss bound holds, auto path verifies exactly") {
+    // rowsPerBand ≈ log2(n): candidate volume stays linear at any scale
+    assert(Similarity.adaptiveBandParams(3000L, 0.9)._2 == 12)
+    assert(Similarity.adaptiveBandParams(1000000000L, 0.9)._2 == 30)
+    // analytic per-true-pair miss bound <= 5e-3 at the chosen params
+    for (n <- Seq(1000L, 100000L, 10000000L); s <- Seq(0.7, 0.9, 0.95)) {
+      val (bands, rpb) = Similarity.adaptiveBandParams(n, s)
+      val agree = 1.0 - math.acos(s) / math.Pi
+      val miss = math.pow(1.0 - math.pow(agree, rpb), bands)
+      assert(miss <= 5e-3, s"n=$n s=$s → ${bands}x$rpb miss=$miss")
+      assert(rpb <= 31, "LshSignBands pattern must fit its guard")
+    }
+    // auto path: subset of exact (verification step admits no false
+    // positives) and full recall on the fixture's planted 0.9+ pairs
+    val d = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(0.999f, 0.04f, 0f, 0f)),
+      (3L, Array(0f, 1f, 0f, 0f)), (4L, Array(0f, 0.999f, 0.04f, 0f)),
+      (5L, Array(0f, 0f, 1f, 0f))).toDF("vec_id", "embedding")
+    val auto = Similarity.cosinePairsLshAuto(d, 0.9)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactHi = Similarity.cosinePairs(d, 0.9)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactHi == Set((1L, 2L), (3L, 4L)))
+    assert(auto == exactHi, s"missed=${exactHi -- auto} extra=${auto -- exactHi}")
+  }
+
   test("ngram jaccard: hot-shingle cap keeps Jaccard exact under planted boilerplate") {
     // every doc shares the same 5-gram footer; pairs must still be
     // discovered via their rare shingles and the Jaccard must include
