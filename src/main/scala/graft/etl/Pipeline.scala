@@ -135,6 +135,10 @@ object Main {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SIGINT/SIGTERM → bounded drain (reference cmd/etl/main.go:148):
+    // streaming queries finish their in-flight micro-batch within
+    // shutdown_timeout_seconds; batch jobs are cancelled.
+    Shutdown.install(spark, cfg.shutdownTimeoutSeconds)
     // stdin convenience: `-` spools stdin to a temp file (S2; the
     // engine itself has no stdin source — SURVEY §2.1 S2).
     if (cfg.inputPath == "-" || cfg.inputPath.isEmpty) {

@@ -277,6 +277,82 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("graceful shutdown: stop() drains the in-flight micro-batch, output adds up") {
+    import org.apache.spark.sql.DataFrame
+    val in = tmpDir("drain-in")
+    val out = java.nio.file.Paths.get(tmpDir("drain-out"), "out.txt")
+    val linesJson = (1 to 4).map(i =>
+      s"""{"ts":"2024-01-01T00:0$i:00Z","level":"ERROR","msg":"m$i"}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/a.jsonl"),
+      linesJson.mkString("\n").getBytes)
+    val cfg = EtlConfig.default.copy(filterLevels = Nil)
+    val transformed = StreamingPipeline.transformedStream(
+      StreamingPipeline.readLines(spark, in), cfg)
+    // a deliberately SLOW sink: the batch is guaranteed in flight when
+    // the signal lands, so the drain contract is actually exercised
+    val inFlight = new java.util.concurrent.CountDownLatch(1)
+    val q = transformed.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("drain-ckpt"))
+      .trigger(Trigger.ProcessingTime(100))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val msgs = batch.filter(col("error").isNull)
+          .select("message").collect().map(_.getString(0))
+        if (msgs.nonEmpty) {
+          inFlight.countDown()
+          Thread.sleep(1500) // signal arrives while this batch is open
+          java.nio.file.Files.write(out,
+            (msgs.mkString("\n") + "\n").getBytes,
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.APPEND)
+        }
+        ()
+      }.start()
+    try {
+      assert(inFlight.await(30, java.util.concurrent.TimeUnit.SECONDS),
+        "first micro-batch never started")
+      // "Ctrl-C" now: the batch is mid-write (sleeping). A bare stop()
+      // would interrupt it; the graceful path must let it finish.
+      val drained = graft.etl.Shutdown.stopGracefully(q, timeoutSeconds = 30)
+      assert(drained, "drain should succeed well inside the timeout")
+      assert(!q.isActive)
+      val written = java.nio.file.Files.readAllLines(out)
+      assert(written.size == 4,
+        s"in-flight batch must complete its sink write before stop: $written")
+    } finally if (q.isActive) q.stop()
+    // the hook install path is idempotent and removable
+    graft.etl.Shutdown.install(spark, 30)
+    graft.etl.Shutdown.install(spark, 30)
+  }
+
+  test("graceful shutdown: timeout exceeded reports false, still stops") {
+    import org.apache.spark.sql.DataFrame
+    val in = tmpDir("drain-to-in")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/a.jsonl"),
+      """{"ts":"2024-01-01T00:00:00Z","level":"ERROR","msg":"slow"}""".getBytes)
+    val cfg = EtlConfig.default.copy(filterLevels = Nil)
+    val transformed = StreamingPipeline.transformedStream(
+      StreamingPipeline.readLines(spark, in), cfg)
+    val inFlight = new java.util.concurrent.CountDownLatch(1)
+    val q = transformed.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("drain-to-ckpt"))
+      .trigger(Trigger.ProcessingTime(100))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (batch.count() > 0) { inFlight.countDown(); Thread.sleep(8000) }
+        ()
+      }.start()
+    try {
+      assert(inFlight.await(30, java.util.concurrent.TimeUnit.SECONDS))
+      // 1 s budget against an 8 s batch: the reference's "shutdown
+      // timeout exceeded" path (main.go:439-441) — warn, stop anyway
+      val drained = graft.etl.Shutdown.stopGracefully(q, timeoutSeconds = 1)
+      assert(!drained, "an 8s batch cannot drain in a 1s budget")
+      q.awaitTermination(30000)
+      assert(!q.isActive, "stop must still be issued on timeout")
+    } finally if (q.isActive) q.stop()
+  }
+
   test("streaming hourly events agg runs on the testdata schema") {
     val q = StreamingPipeline.streamingHourly(spark, "/root/testdata/sf0.001")
       .writeStream.outputMode("append")
