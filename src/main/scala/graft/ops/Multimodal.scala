@@ -8,10 +8,11 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, decoded/feature-extracted per partition.
   *
   * The Spark-side contract (schema, partition-iterator batching, feature
-  * schema) is real and tested; the actual codec call is STUBBED behind
-  * [[MediaDecoder]] (no image/audio libraries in this container) with a
-  * deterministic fake so every downstream op is exercisable. Swapping in
-  * a real decoder is a one-class change and touches no plan logic.
+  * schema) is real and tested. IMAGE decode is real ([[ImageIoDecoder]],
+  * JDK `javax.imageio` — no new dependency); audio/video codecs are not
+  * in this container, so those mimes fall back to a deterministic fake
+  * behind the same [[MediaDecoder]] seam — the disclosed remaining stub.
+  * Swapping in further codecs is a one-class change, no plan logic.
   *
   * Scale notes: binaries stay columnar in parquet; decode runs
   * per-partition (one decoder instance per task, amortized init —
@@ -55,6 +56,51 @@ object Multimodal {
         height = (((h >> 4) % 16) + 1).toInt * 64,
         n_frames = len / 256 + 1,
         feature = feat)
+    }
+  }
+
+  /** Real image decoder: `javax.imageio` — PNG/GIF/BMP/JPEG codecs ship
+    * with the JDK, so no new dependency. Decodes image-mime payloads to
+    * true width/height and an 8-bin luminance histogram feature
+    * (Rec.601 luma, bins of 32, normalized to sum 1 — a real, if small,
+    * perceptual signature: content-addressed like the fake, but derived
+    * from decoded pixels, so a re-encoded identical image maps to the
+    * same feature while any byte-level hash would not).
+    *
+    * Non-image mimes (audio/video codecs are NOT in this container)
+    * still fall back to [[DeterministicFakeDecoder]] — the disclosed
+    * remaining stub. An unreadable/corrupt image payload yields the
+    * sentinel (width = -1, height = -1, n_frames = 0, zero feature)
+    * instead of failing the task: at scale a single corrupt blob must
+    * not kill a 10^6-row partition, and the sentinel rows are trivially
+    * filterable downstream (`width < 0`). */
+  object ImageIoDecoder extends MediaDecoder {
+    def decode(id: Long, mime: String, bytes: Array[Byte]): MediaFeatures = {
+      if (mime == null || !mime.startsWith("image/"))
+        return DeterministicFakeDecoder.decode(id, mime, bytes)
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
+      if (img == null)
+        return MediaFeatures(id, mime, bytes.length.toLong,
+          width = -1, height = -1, n_frames = 0, feature = new Array[Float](8))
+      val (w, h) = (img.getWidth, img.getHeight)
+      val hist = new Array[Long](8)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
+            + 114 * (rgb & 0xff)) / 1000
+          hist(math.min(7, lum >> 5)) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w.toLong * h).toFloat
+      MediaFeatures(id, mime, bytes.length.toLong, w, h, n_frames = 1,
+        feature = hist.map(_ / n))
     }
   }
 

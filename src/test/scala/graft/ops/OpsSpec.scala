@@ -275,6 +275,33 @@ class OpsSpec extends SparkSpec {
     assert(feats.map(_.feature.toSeq).toSet == again.map(_.feature.toSeq).toSet)
   }
 
+  test("multimodal: ImageIoDecoder decodes a real PNG to true dims + luminance histogram") {
+    // committed 74-byte fixture: 4x2 RGB — 2 black px (luma bin 0),
+    // 4 mid-gray (128 → bin 4), 2 white (255 → bin 7)
+    val png = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/tiny.png").toURI))
+    val media = Seq((1L, png, "image/png"), (2L, "not an image".getBytes, "image/png"),
+        (3L, "audio bytes here".getBytes, "audio/wav"))
+      .toDF("media_id", "payload", "mime")
+      .select(col("media_id"), col("payload"),
+        struct(col("mime"), octet_length(col("payload")).cast("long").as("byte_len")).as("meta"))
+    val feats = Multimodal.extractFeatures(media, Multimodal.ImageIoDecoder)
+      .collect().map(f => f.media_id -> f).toMap
+    // real decode: true dimensions + exact histogram
+    val img = feats(1L)
+    assert(img.width == 4 && img.height == 2 && img.n_frames == 1)
+    assert(img.feature.toSeq == Seq(0.25f, 0f, 0f, 0f, 0.5f, 0f, 0f, 0.25f))
+    // corrupt image → sentinel row, task survives
+    val bad = feats(2L)
+    assert(bad.width == -1 && bad.n_frames == 0 && bad.feature.forall(_ == 0f))
+    // non-image mime → deterministic fake (disclosed stub path)
+    val wav = feats(3L)
+    val fake = Multimodal.DeterministicFakeDecoder
+      .decode(3L, "audio/wav", "audio bytes here".getBytes)
+    assert((wav.width, wav.height, wav.n_frames, wav.feature.toSeq) ==
+      ((fake.width, fake.height, fake.n_frames, fake.feature.toSeq)))
+  }
+
   test("salted join: exact inner-join semantics under skew") {
     val left = Seq((1L, "hot"), (2L, "hot"), (3L, "hot"), (4L, "cold"))
       .toDF("id", "k")
