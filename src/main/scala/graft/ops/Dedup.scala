@@ -388,8 +388,11 @@ object Dedup {
     * map-side-combined min — and the frame is eagerly
     * `localCheckpoint`ed so the plan does not grow with iterations
     * (iterative self-join lineage otherwise compounds). Convergence is
-    * checked with a cheap count of changed labels; `maxIters` bounds
-    * pathological chains (at web scale, switch to the
+    * observed INSIDE the checkpoint job (`observe()` sums a changed
+    * flag — a label changes iff a neighbour's min undercuts it, so no
+    * old-vs-new comparison join and no second action): exactly ONE
+    * Spark job per round, asserted by a job-counting test. `maxIters`
+    * bounds pathological chains (at web scale, switch to the
     * large-star/small-star formulation — same per-round shape, fewer
     * rounds on long chains).
     */
@@ -408,15 +411,21 @@ object Dedup {
         .join(labels.withColumnRenamed("sid", "dst"), "dst")
         .groupBy(col("src").as("sid"))
         .agg(min("component").as("n_min"))
+      // changed iff a neighbour's min undercuts the current label —
+      // computable in-row, so the convergence count rides the SAME job
+      // that materializes the checkpoint (observe() metrics are
+      // delivered by the localCheckpoint action's listener)
+      val obs = new org.apache.spark.sql.Observation(s"cc_changed_$iter")
       val next = labels.join(neighborMin, Seq("sid"), "left")
         .select(col("sid"),
           least(col("component"), coalesce(col("n_min"), col("component")))
-            .as("component"))
+            .as("component"),
+          (coalesce(col("n_min"), col("component")) < col("component"))
+            .cast("long").as("chg"))
+        .observe(obs, coalesce(sum(col("chg")), lit(0L)).as("changed"))
         .localCheckpoint(true)
-      val changed = next.as("n").join(labels.as("o"), "sid")
-        .filter(col("n.component") =!= col("o.component")).count()
-      labels = next
-      converged = changed == 0
+      labels = next.select("sid", "component")
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
       iter += 1
     }
     // silently-partial clusters would be indistinguishable from

@@ -195,6 +195,50 @@ class OpsSpec extends SparkSpec {
     Dedup.releaseCaches()
   }
 
+  test("connected components: exactly one action per propagation round, no count() job") {
+    // "one job per round" up to broadcast builds: a broadcast join's
+    // build side always materializes in its own (cheap, async) job, so
+    // the countable contract is ACTION jobs — one localCheckpoint per
+    // round, and convergence observed inside it instead of a count()
+    // action (which the old code ran per round, broadcast jobs and all)
+    val actionJobs = new java.util.concurrent.atomic.AtomicInteger
+    val countJobs = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val names = js.stageInfos.map(_.name).mkString(" ")
+        if (names.contains("localCheckpoint at")) actionJobs.incrementAndGet()
+        if (names.contains("count at")) countJobs.incrementAndGet()
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    // AQE re-plans per exchange stage and can split one action into
+    // several samely-named jobs — pin it off so action→job is 1:1
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // chain 1-2-3: rounds = 2 label-changing + 1 confirming = 3
+    val comp = try {
+      val c = Dedup.connectedComponents(Seq((1L, 2L), (2L, 3L)).toDF("da", "db"))
+      assert(c.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+        Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+      // listener bus is async — poll the counter to stable
+      var (prev, stable, waited) = (actionJobs.get(), 0, 0)
+      while (stable < 3 && waited < 5000) {
+        Thread.sleep(100); waited += 100
+        val cur = actionJobs.get()
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+      }
+      prev
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.sparkContext.removeSparkListener(l)
+    }
+    assert(comp == 4, s"expected 4 action jobs (1 init + 3 rounds), got $comp")
+    assert(countJobs.get() == 0,
+      "convergence must ride the checkpoint job, not a count() action")
+    Dedup.releaseCaches()
+  }
+
   test("stratified sample: deterministic, per-stratum rates, stable under growth") {
     val d = (1L to 1000L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
     val fr = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.0)
