@@ -174,6 +174,33 @@ object Normalize {
     spark.read.textFile(path).toDF("line")
       .filter(trim(col("line")) =!= "")
 
+  /** S1 breadth: structured record sources (CSV / ORC / parquet /
+    * json-per-record). Rows are re-encoded into the SAME
+    * one-JSON-object-per-line protocol the JSONL path consumes
+    * (`to_json` omits null cells, so an empty CSV cell behaves exactly
+    * like an absent JSON key) and every downstream operator — alias
+    * resolution, RFC3339 parse, residual-field capture, filters,
+    * redaction — runs unchanged. CSV reads with a header and WITHOUT
+    * schema inference: all cells arrive as strings, which coerce
+    * identically to the JSON path's `map<string,string>` residuals
+    * (and inference would cost a second pass over the data at scale).
+    *
+    * The re-encode is one codegen'd projection fused into the scan —
+    * format breadth costs no extra pass and no shuffle. */
+  def parseRecordLines(spark: org.apache.spark.sql.SparkSession, path: String,
+      format: String, options: Map[String, String] = Map.empty): DataFrame = {
+    val reader = spark.read.format(format)
+      .options(if (format == "csv") Map("header" -> "true") ++ options else options)
+    val df = reader.load(path)
+    df.select(to_json(struct(df.columns.map(col).toSeq: _*)).as("line"))
+      .filter(col("line") =!= "{}") // all-null row = blank line (skipped)
+  }
+
+  /** CSV log source (S1 breadth) — see [[parseRecordLines]]. */
+  def parseCsvLines(spark: org.apache.spark.sql.SparkSession, path: String,
+      options: Map[String, String] = Map.empty): DataFrame =
+    parseRecordLines(spark, path, "csv", options)
+
   /** Full parse+normalize over a raw-line DataFrame: P1 + P2. */
   def apply(lines: DataFrame): DataFrame = normalize(lines)
 }

@@ -141,8 +141,43 @@ object EtlQueries {
        |  CAST(0 AS BIGINT) AS pii_after
        |FROM c WHERE cat = 'kept'""".stripMargin
 
+  /** S1 breadth: the events-derived CSV twin round-tripped through a
+    * real CSV file and the FULL normalize chain (CSV rows re-encoded to
+    * the line protocol by [[graft.etl.Normalize.parseCsvLines]] — empty
+    * cells behave as absent keys, so the missing-level error path fires
+    * exactly like the JSONL twin's). `event_id` rides the residual
+    * fields map, proving unknown CSV columns land there too. */
+  def csvSourceQuery(spark: SparkSession, dir: String): DataFrame = {
+    val n = graft.etl.Normalize(EventsAsLogs.csvLines(spark, dir))
+    n.select(
+        try_element_at(col("fields"), lit("event_id")).cast("long").as("event_id"),
+        errKind,
+        when(isErr, lit(null).cast("string")).otherwise(col("ts")).as("ts_str"),
+        col("level"),
+        col("message"),
+        col("service"),
+        size(col("fields")).as("n_fields"))
+      .transform(QueryUtil.ordered("event_id"))
+  }
+
+  val csvSourceOracle: String =
+    """SELECT event_id,
+      |  CASE WHEN event_id % 83 = 0 OR event_id % 89 = 0 THEN 'normalize' END AS error_kind,
+      |  CASE WHEN event_id % 83 = 0 OR event_id % 89 = 0 THEN NULL
+      |       ELSE strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%SZ') END AS ts_str,
+      |  CASE WHEN event_id % 83 = 0 OR event_id % 89 = 0 THEN NULL
+      |       WHEN event_id % 5 IN (0, 4) THEN 'INFO'
+      |       WHEN event_id % 5 = 1 THEN 'WARN'
+      |       WHEN event_id % 5 = 2 THEN 'ERROR'
+      |       ELSE 'DEBUG' END AS level,
+      |  'evt ' || event_type AS message,
+      |  event_type AS service,
+      |  CAST(3 + CASE WHEN event_id % 11 = 0 THEN 1 ELSE 0 END AS INTEGER) AS n_fields
+      |FROM events ORDER BY event_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "etl_normalize" -> ((normalizeQuery _, Some(normalizeOracle))),
+    "etl_csv_source" -> ((csvSourceQuery _, Some(csvSourceOracle))),
     "etl_breakdown" -> ((breakdownQuery _, Some(breakdownOracle))),
     "etl_report" -> ((reportQuery _, Some(reportOracle))),
     "etl_by_level" -> ((byLevelQuery _, Some(byLevelOracle))),

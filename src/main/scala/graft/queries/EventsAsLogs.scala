@@ -64,6 +64,38 @@ object EventsAsLogs {
     e.select(id.as("event_id"), line.as("line"))
   }
 
+  /** CSV twin of the JSONL synthesis (S1 breadth): the same
+    * deterministic per-row content expressed as a real CSV FILE —
+    * written to a temp dir, then read back through the production
+    * [[graft.etl.Normalize.parseCsvLines]] source, so the CSV path is
+    * driver-verifiable END-TO-END (file round-trip included, not just
+    * an in-memory frame). A CSV has a fixed header, so the key-alias
+    * and corrupt-JSON variants don't apply; the twin keeps the
+    * invalid-timestamp (`%83`) and missing-level (`%89` → empty cell →
+    * absent key) error paths and the PII column (`%11`). */
+  def csvLines(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val id = col("event_id")
+    val tsStr = date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    val level = when(id % 5 === 0, "info").when(id % 5 === 1, "WARN")
+      .when(id % 5 === 2, "error").when(id % 5 === 3, "DEBUG")
+      .otherwise("Info")
+    val csv = e.select(
+      id.as("event_id"),
+      when(id % 83 === 0, lit("not-a-date")).otherwise(tsStr).as("ts"),
+      when(id % 89 === 0, lit(null).cast("string")).otherwise(level).as("level"),
+      concat(lit("evt "), col("event_type")).as("message"),
+      col("event_type").as("service"),
+      col("user_id"),
+      col("value"),
+      when(id % 11 === 0,
+        concat(lit("u"), col("user_id"), lit("@example.com")))
+        .otherwise(lit(null).cast("string")).as("user_email"))
+    val out = s"${sys.props("java.io.tmpdir")}/graft-csv-twin-${math.abs(dir.hashCode)}"
+    csv.write.mode("overwrite").option("header", "true").csv(out)
+    graft.etl.Normalize.parseCsvLines(spark, out)
+  }
+
   /** Synthesized lines run through the real Normalize + transform chain
     * under [[QueryConfig]]. */
   def transformed(spark: SparkSession, dir: String): DataFrame = {

@@ -199,4 +199,34 @@ class NormalizeSpec extends SparkSpec {
     assert(dup.selectExpr("variant_get(fields_v, '$.k', 'int') AS k")
       .head().getAs[Int]("k") == 2)
   }
+
+  test("CSV source: rows normalize identically to their JSONL twins") {
+    // a real CSV file (header, alias columns, empty cells, PII column)
+    val dir = java.nio.file.Files.createTempDirectory("csv-src")
+    java.nio.file.Files.write(dir.resolve("logs.csv"),
+      ("""time,severity,msg,app,user_email,extra
+        |2025-01-02T03:04:05Z,warn,disk low,storage,u1@example.com,42
+        |2025-01-02T03:04:06Z,,no level,storage,,7
+        |not-a-date,info,bad ts,api,,8
+        |""".stripMargin).getBytes)
+    val csvRows = Normalize(Normalize.parseCsvLines(spark, dir.toString))
+      .collect().map(r => (r.getAs[String]("error_kind"),
+        r.getAs[String]("ts"), r.getAs[String]("level"),
+        r.getAs[String]("message"), r.getAs[String]("service"),
+        r.getAs[Map[String, String]]("fields"))).toSet
+    // the same records as JSONL through the same chain
+    val jsonRows = norm(
+      """{"time":"2025-01-02T03:04:05Z","severity":"warn","msg":"disk low","app":"storage","user_email":"u1@example.com","extra":"42"}""",
+      """{"time":"2025-01-02T03:04:06Z","msg":"no level","app":"storage","extra":"7"}""",
+      """{"time":"not-a-date","severity":"info","msg":"bad ts","app":"api","extra":"8"}""")
+      .map(r => (r.getAs[String]("error_kind"),
+        r.getAs[String]("ts"), r.getAs[String]("level"),
+        r.getAs[String]("message"), r.getAs[String]("service"),
+        r.getAs[Map[String, String]]("fields"))).toSet
+    assert(csvRows == jsonRows, s"csv=$csvRows\njson=$jsonRows")
+    // sanity on content: aliases resolved, empty cell = missing key
+    assert(csvRows.exists(r => r._1 == null && r._3 == "WARN" &&
+      r._5 == "storage" && r._6 == Map("user_email" -> "u1@example.com", "extra" -> "42")))
+    assert(csvRows.count(_._1 == "normalize") == 2)
+  }
 }
