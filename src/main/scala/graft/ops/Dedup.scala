@@ -194,8 +194,8 @@ object Dedup {
   /** Deterministic MinHash parameter family (no RNG at plan time —
     * reproducible across runs/sessions, a requirement for incremental
     * dedup at scale). Mersenne prime modulus. */
-  private val P = 2147483647L // 2^31 - 1
-  private def hashParams(numHashes: Int): Seq[(Long, Long)] =
+  private[graft] val P = 2147483647L // 2^31 - 1
+  private[graft] def hashParams(numHashes: Int): Seq[(Long, Long)] =
     (1 to numHashes).map { i =>
       // Knuth-style multiplicative constants, odd, < P
       val a = (2654435761L * i + 1) % P

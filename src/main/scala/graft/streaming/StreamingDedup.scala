@@ -1,0 +1,137 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.ops.Dedup
+
+/** Streaming MinHash-LSH near-duplicate pairing: the streaming twin of
+  * [[graft.ops.Dedup.minhashLshPairs]], for "is this incoming document
+  * a near-dup of anything seen recently?" over an unbounded stream.
+  *
+  * Architecture (all state watermark-bounded):
+  *  1. Per-row signature: each doc is ONE row, so its `numHashes`
+  *     MinHash mins are computed with array lambdas over its own
+  *     shingle set — no groupBy, no shuffle, stateless (the batch op
+  *     explodes + hash-aggregates instead purely for codegen
+  *     throughput; per-row lambdas are the streaming-safe shape, same
+  *     `hashParams` family, so signatures agree with the batch op's).
+  *  2. Band explosion: `bands` bucket keys per doc — the ONLY shuffle.
+  *  3. `flatMapGroupsWithState` keyed by band bucket: state = the
+  *     signatures seen in this bucket inside the watermark horizon.
+  *     Each arriving doc pairs against them; state entries older than
+  *     the watermark are pruned on every visit and the whole group
+  *     times out (EventTimeTimeout) once the watermark passes its
+  *     newest entry — state is bounded by bucket population within the
+  *     horizon, the same guarantee `dropDuplicatesWithinWatermark`
+  *     gives exact streaming dedup.
+  *
+  * Exactly-once pair emission WITHOUT a second stateful stage: a pair
+  * colliding in several bands would be emitted by several buckets, so
+  * each emission is gated on "this band == the pair's canonical band"
+  * — the LOWEST band index on which the two signatures agree
+  * component-wise. Both signatures are in hand wherever the pair is
+  * discovered, so every bucket computes the same canonical band and
+  * exactly one emits (asserted cross-micro-batch in StreamingSpec).
+  *
+  * Disclosed semantics vs the batch op: similarity is the MinHash
+  * ESTIMATE (matching-component fraction, ±~0.06 at 64 hashes) — exact
+  * verification would need the candidate's TEXT retained in state or a
+  * stream-batch join back to storage; the batch op remains the
+  * backfill/exact path (reference: no streaming analog — this is
+  * beyond-reference surface). A true near-dup pair is missed only if
+  * no band agrees fully (the standard LSH recall bound: at 16×4 and
+  * s = 0.8, P[miss] ≈ 2e-4) or its bucket-mates aged out of the
+  * watermark horizon.
+  */
+object StreamingDedup {
+
+  /** Per-row MinHash signature column (`array<bigint>`, length
+    * `numHashes`) — shingle hashing hoisted by the caller into its own
+    * projection (codegen CSE does not reach lambda bodies). */
+  private def sigCol(hashedShingles: Column, numHashes: Int): Column =
+    array(Dedup.hashParams(numHashes).map { case (a, b) =>
+      array_min(transform(hashedShingles,
+        h => pmod(h * a + b, lit(Dedup.P))))
+    }: _*)
+
+  /** Streaming near-dup pairs `(da, db, est_jaccard)` with `da < db`,
+    * each emitted exactly once across all micro-batches. Input must
+    * carry an event-time column `tsCol`; docs arriving more than
+    * `watermarkDelayMs` late are dropped by the watermark (standard
+    * streaming contract). */
+  def minhashLshPairs(docs: DataFrame, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text",
+      tsCol: String = "ts",
+      numHashes: Int = 64, bands: Int = 16, k: Int = 5,
+      watermarkDelayMs: Long = 600000L): DataFrame = {
+    require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
+    val rows = numHashes / bands
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val withSig = docs
+      .select(col(idCol).cast("long").as("sid"),
+        col(tsCol).cast("timestamp").as("ts"),
+        transform(Dedup.shingles(col(textCol), k),
+          s => pmod(hash(s).cast("long"), lit(Dedup.P))).as("hs"))
+      // watermark AFTER the projection: a cast/alias mints a fresh
+      // attribute without the eventTime metadata, so marking first
+      // would leave the stateful op watermark-less
+      .withWatermark("ts", s"$watermarkDelayMs milliseconds")
+      .withColumn("sig", sigCol(col("hs"), numHashes))
+    // band bucket key packed into one long: (band << 32) | hash(rows)
+    val bandKeys = (0 until bands).map { bi =>
+      val bh = hash((bi * rows until (bi + 1) * rows)
+        .map(i => element_at(col("sig"), i + 1)): _*)
+      shiftleft(lit(bi.toLong), 32).bitwiseOR(bh.cast("long").bitwiseAND(lit(0xffffffffL)))
+    }
+    val exploded = withSig
+      .select(col("sid"), col("ts"), col("sig"),
+        explode(array(bandKeys: _*)).as("bucket"))
+      .select(col("bucket"), col("sid"), col("sig"),
+        unix_millis(col("ts")).as("ts_ms"), col("ts"))
+      .as[(Long, Long, Seq[Long], Long, java.sql.Timestamp)]
+
+    def estSim(a: Seq[Long], b: Seq[Long]): Double =
+      a.iterator.zip(b.iterator).count { case (x, y) => x == y }.toDouble / numHashes
+    def canonicalBand(a: Seq[Long], b: Seq[Long]): Int =
+      (0 until bands).indexWhere(bi =>
+        (bi * rows until (bi + 1) * rows).forall(i => a(i) == b(i)))
+
+    exploded.groupByKey(_._1)
+      .flatMapGroupsWithState[List[(Long, Seq[Long], Long)], (Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (bucket: Long,
+         rowsIt: Iterator[(Long, Long, Seq[Long], Long, java.sql.Timestamp)],
+         state: GroupState[List[(Long, Seq[Long], Long)]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val myBand = (bucket >>> 32).toInt
+            val wm = state.getCurrentWatermarkMs()
+            // prune aged-out entries on every visit (bounded state)
+            var seen = state.getOption.getOrElse(Nil).filter(_._3 >= wm)
+            val out = scala.collection.mutable.ListBuffer[(Long, Long, Double)]()
+            rowsIt.foreach { case (_, sid, sig, tsMs, _) =>
+              if (!seen.exists(_._1 == sid)) {
+                seen.foreach { case (osid, osig, _) =>
+                  val sim = estSim(sig, osig)
+                  if (sim >= threshold && canonicalBand(sig, osig) == myBand)
+                    out += ((math.min(sid, osid), math.max(sid, osid),
+                      math.rint(sim * 10000) / 10000))
+                }
+                seen = (sid, sig, tsMs) :: seen
+              }
+            }
+            // group expires once the watermark passes its newest doc
+            // (clamped above the current watermark — a batch of
+            // entirely-late docs must not set a timeout in the past)
+            val newest = seen.map(_._3).maxOption.getOrElse(wm)
+            state.update(seen)
+            state.setTimeoutTimestamp(math.max(newest + watermarkDelayMs, wm + 1))
+            out.iterator
+          }
+      }
+      .toDF("da", "db", "est_jaccard")
+  }
+}

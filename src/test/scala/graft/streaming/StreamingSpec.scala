@@ -353,6 +353,50 @@ class StreamingSpec extends SparkSpec {
     } finally if (q.isActive) q.stop()
   }
 
+  test("streaming minhash-LSH near-dup: cross-batch pairs found exactly once") {
+    val in = tmpDir("stream-neardup")
+    val base = (1 to 50).map(i => s"tok$i").mkString(" ")
+    val nearDup = base.replace("tok7 ", "tok7x ")   // ~0.9 jaccard vs base
+    val far = (1 to 50).map(i => s"other$i").mkString(" ")
+    val schema = "doc_id LONG, text STRING, ts TIMESTAMP"
+    def jline(id: Long, text: String, ts: String) =
+      s"""{"doc_id":$id,"text":"$text","ts":"$ts"}"""
+    // batch 1: the base doc + an unrelated doc
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/b1.json"),
+      Seq(jline(1, base, "2024-01-01T00:00:00Z"),
+        jline(2, far, "2024-01-01T00:00:10Z")).mkString("\n").getBytes)
+    val docs = spark.readStream.schema(schema).json(in)
+    val pairs = StreamingDedup.minhashLshPairs(docs, threshold = 0.5)
+    val q = pairs.writeStream.outputMode("append")
+      .format("memory").queryName("near_dup_stream").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("near_dup_stream").count() == 0,
+        "no pair exists inside batch 1")
+      // batch 2: the near-dup arrives LATER — must pair against the
+      // batch-1 doc held in state, and only once despite colliding in
+      // many of the 16 bands; plus another unrelated doc (no pair)
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/b2.json"),
+        Seq(jline(3, nearDup, "2024-01-01T00:01:00Z"),
+          jline(4, (1 to 50).map(i => s"zzz$i").mkString(" "), "2024-01-01T00:01:10Z"))
+          .mkString("\n").getBytes)
+      q.processAllAvailable()
+      val rows = spark.table("near_dup_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.length == 1,
+        s"cross-batch near-dup must be paired EXACTLY once, got ${rows.toSeq}")
+      val (da, db, sim) = rows.head
+      assert((da, db) == ((1L, 3L)))
+      assert(sim >= 0.5 && sim <= 1.0)
+      // idempotence under further unrelated batches: no re-emission
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/b3.json"),
+        Seq(jline(5, (1 to 50).map(i => s"qqq$i").mkString(" "), "2024-01-01T00:02:00Z"))
+          .mkString("\n").getBytes)
+      q.processAllAvailable()
+      assert(spark.table("near_dup_stream").count() == 1)
+    } finally q.stop()
+  }
+
   test("streaming hourly events agg runs on the testdata schema") {
     val q = StreamingPipeline.streamingHourly(spark, "/root/testdata/sf0.001")
       .writeStream.outputMode("append")
