@@ -176,7 +176,27 @@ object EtlReport {
     * merged on the driver — a single narrow pass at any scale, no
     * repeated scans of the input.
     */
-  def fromDataFrame(df: DataFrame): EtlReport = {
+  /** Deterministic top-N breakdown with an `(other)` rollup: the
+    * driver-side map is bounded by `cap` keys no matter the corpus —
+    * a `by_service` map over a 100 TB multi-tenant stream is otherwise
+    * unbounded exactly where the driver is most precious. `orderBy +
+    * limit` plans as TakeOrderedAndProject (per-partition top-N, ~cap
+    * rows shuffled); the remainder is reconstructed from the already-
+    * computed total so the map still sums to it. Ties broken by key, so
+    * the reported map is stable run-to-run. With distinct keys <= cap
+    * (every fixture, and the reference's own use) the map is bit-equal
+    * to the reference's full map. */
+  private def breakdown(grouped: DataFrame, keyCol: String, keyTotal: Long,
+      cap: Int): Map[String, Long] = {
+    val top = grouped
+      .orderBy(col("count").desc, col(keyCol).asc)
+      .limit(cap)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rest = keyTotal - top.values.sum
+    if (rest > 0) top + ("(other)" -> rest) else top
+  }
+
+  def fromDataFrame(df: DataFrame, maxBreakdownKeys: Int = 10000): EtlReport = {
     // Counters (A1, A2, A5) in one aggregate row. By-level/by-service
     // (A3, A4) need a groupBy each, but all three jobs share the cached
     // normalized frame; at 100 TB each is a partial-agg + tiny shuffle.
@@ -184,6 +204,7 @@ object EtlReport {
     val isNormErr = (col("error_kind") === "normalize") ||
       col(Transforms.TransformErrorCol).isNotNull
     val normalizedOkC = col("error_kind").isNull
+    val withServiceC = normalizedOkC && col("service") =!= ""
     val row = df.agg(
       count(lit(1)).as("total"),
       sum(when(isJson, 1L).otherwise(0L)).as("json_failed"),
@@ -196,17 +217,16 @@ object EtlReport {
       sum(when(col(Transforms.DropReasonCol) === "service", 1L).otherwise(0L)).as("f_service"),
       sum(when(col(Transforms.DropReasonCol).isNotNull &&
         !col(Transforms.DropReasonCol).isin("level", "service"), 1L)
-        .otherwise(0L)).as("f_other")).head()
+        .otherwise(0L)).as("f_other"),
+      sum(when(withServiceC, 1L).otherwise(0L)).as("with_service")).head()
 
     // A3: counted after normalize, before filtering (`main.go:387`);
     // empty level impossible post-normalize, empty service skipped
-    // (`report.go:71-88`).
-    val byLevel = df.filter(normalizedOkC)
-      .groupBy("level").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val byService = df.filter(normalizedOkC && col("service") =!= "")
-      .groupBy("service").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // (`report.go:71-88`). Both maps bounded by [[breakdown]]'s top-N.
+    val byLevel = breakdown(df.filter(normalizedOkC).groupBy("level").count(),
+      "level", row.getLong(3), maxBreakdownKeys)
+    val byService = breakdown(df.filter(withServiceC).groupBy("service").count(),
+      "service", row.getLong(7), maxBreakdownKeys)
 
     val total = row.getLong(0)
     EtlReport(

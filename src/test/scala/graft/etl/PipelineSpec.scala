@@ -105,6 +105,24 @@ class PipelineSpec extends SparkSpec {
     assert(r.writtenOk == 1)
   }
 
+  test("breakdown maps are capped at top-N with an (other) rollup that still sums") {
+    // services s1..s5 with counts 5,4,3,2,1 — cap 3 keeps the top three
+    // and rolls the rest up; totals stay exact
+    val lines = (1 to 5).flatMap(s => (1 to (6 - s)).map(_ =>
+      s"""{"ts":"2025-01-01T00:00:00Z","level":"I","msg":"m","service":"s$s"}"""))
+      .toDF("line")
+    val norm = TransformRegistry(EtlConfig.default.copy(filterLevels = Nil))(
+      Normalize(lines)).fold(e => fail(e), identity)
+    val full = EtlReport.fromDataFrame(norm)
+    val capped = EtlReport.fromDataFrame(norm, maxBreakdownKeys = 3)
+    assert(full.byService == Map("s1" -> 5L, "s2" -> 4L, "s3" -> 3L,
+      "s4" -> 2L, "s5" -> 1L))
+    assert(capped.byService == Map("s1" -> 5L, "s2" -> 4L, "s3" -> 3L,
+      "(other)" -> 3L))
+    assert(capped.byService.values.sum == full.byService.values.sum)
+    assert(capped.byLevel == full.byLevel) // under the cap → identical
+  }
+
   test("prometheus rendering exposes the counter surface") {
     val r = EtlReport(totalLines = 10, jsonParsed = 9, jsonFailed = 1,
       byLevel = Map("ERROR" -> 4), retryStats = RetryStats(2, 1, 2))
