@@ -229,4 +229,22 @@ class NormalizeSpec extends SparkSpec {
       r._5 == "storage" && r._6 == Map("user_email" -> "u1@example.com", "extra" -> "42")))
     assert(csvRows.count(_._1 == "normalize") == 2)
   }
+
+  test("ORC source: typed records normalize through the same chain") {
+    import spark.implicits._
+    val dir = s"${java.nio.file.Files.createTempDirectory("orc-src")}/logs.orc"
+    // typed columns (long/double) — to_json renders them as JSON
+    // numbers, which coerce into the map<string,string> residuals
+    Seq(("2025-01-02T03:04:05Z", "error", "oom", "api", 17L, 0.5),
+        ("2025-01-02T03:04:06Z", "info", "ok", "web", 18L, 1.5))
+      .toDF("ts", "level", "msg", "service", "attempt", "ratio")
+      .write.orc(dir)
+    val rows = Normalize(Normalize.parseRecordLines(spark, dir, "orc"))
+      .collect().map(r => (r.getAs[String]("level"),
+        r.getAs[String]("message"), r.getAs[String]("service"),
+        r.getAs[Map[String, String]]("fields"))).toSet
+    assert(rows == Set(
+      ("ERROR", "oom", "api", Map("attempt" -> "17", "ratio" -> "0.5")),
+      ("INFO", "ok", "web", Map("attempt" -> "18", "ratio" -> "1.5"))))
+  }
 }

@@ -346,6 +346,27 @@ class OpsSpec extends SparkSpec {
       ((fake.width, fake.height, fake.n_frames, fake.feature.toSeq)))
   }
 
+  test("multimodal: WavDecoder decodes real PCM audio; JdkMediaDecoder dispatches") {
+    // committed 172-byte fixture: 8 kHz mono 16-bit, 32 silence samples
+    // (amp bin 0) + 32 half-amplitude samples (0.5 → bin 4)
+    val wav = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/tiny.wav").toURI))
+    val f = Multimodal.WavDecoder.decode(1L, "audio/wav", wav)
+    assert(f.width == 8000 && f.height == 1 && f.n_frames == 64)
+    assert(f.feature.toSeq == Seq(0.5f, 0f, 0f, 0f, 0.5f, 0f, 0f, 0f))
+    // corrupt audio → sentinel
+    val bad = Multimodal.WavDecoder.decode(2L, "audio/wav", "nope".getBytes)
+    assert(bad.width == -1 && bad.feature.forall(_ == 0f))
+    // dispatch: image → ImageIO, wav → Wav, video → deterministic fake
+    val png = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/tiny.png").toURI))
+    assert(Multimodal.JdkMediaDecoder.decode(3L, "image/png", png).width == 4)
+    assert(Multimodal.JdkMediaDecoder.decode(4L, "audio/wav", wav).width == 8000)
+    val mp4 = Multimodal.JdkMediaDecoder.decode(5L, "video/mp4", "vid".getBytes)
+    val fake = Multimodal.DeterministicFakeDecoder.decode(5L, "video/mp4", "vid".getBytes)
+    assert(mp4.width == fake.width && mp4.feature.toSeq == fake.feature.toSeq)
+  }
+
   test("salted join: exact inner-join semantics under skew") {
     val left = Seq((1L, "hot"), (2L, "hot"), (3L, "hot"), (4L, "cold"))
       .toDF("id", "k")
