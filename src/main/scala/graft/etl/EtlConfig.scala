@@ -15,6 +15,7 @@ import scala.util.Try
   */
 case class EtlConfig(
     inputPath: String = "examples/k8s_logs.jsonl",
+    inputFormat: String = "jsonl",
     outputPath: String = "",
     reportPath: String = "report.json",
     outputType: String = "stdout",
@@ -42,7 +43,7 @@ object EtlConfig {
   def default: EtlConfig = EtlConfig()
 
   /** Zero config — the identity for [[merge]] (Go's `Config{}`). */
-  def zero: EtlConfig = EtlConfig(inputPath = "", reportPath = "",
+  def zero: EtlConfig = EtlConfig(inputPath = "", inputFormat = "", reportPath = "",
     outputType = "", outputMaxBytes = 0, outputMaxFiles = 0,
     filterLevels = Seq.empty, transforms = Seq.empty, maxWorkers = 0,
     queueSize = 0, sinkMaxRetries = 0, sinkBackoffBaseMs = 0,
@@ -54,6 +55,7 @@ object EtlConfig {
     * (`config.go:70-141`). */
   def merge(base: EtlConfig, o: EtlConfig): EtlConfig = EtlConfig(
     inputPath = if (o.inputPath.nonEmpty) o.inputPath else base.inputPath,
+    inputFormat = if (o.inputFormat.nonEmpty) o.inputFormat else base.inputFormat,
     outputPath = if (o.outputPath.nonEmpty) o.outputPath else base.outputPath,
     reportPath = if (o.reportPath.nonEmpty) o.reportPath else base.reportPath,
     outputType = if (o.outputType.nonEmpty) o.outputType else base.outputType,
@@ -94,6 +96,7 @@ object EtlConfig {
       env.get(k).filter(_.nonEmpty).map(parseList).getOrElse(cur)
     base.copy(
       inputPath = s("ETL_INPUT", base.inputPath),
+      inputFormat = s("ETL_INPUT_FORMAT", base.inputFormat),
       outputPath = s("ETL_OUTPUT", base.outputPath),
       outputType = s("ETL_OUTPUT_TYPE", base.outputType),
       outputMaxBytes = l("ETL_OUTPUT_MAX_BYTES", base.outputMaxBytes),
@@ -200,6 +203,7 @@ object EtlConfig {
     val z = zero
     z.copy(
       inputPath = s("input", z.inputPath),
+      inputFormat = s("input_format", z.inputFormat),
       outputPath = s("output", z.outputPath),
       reportPath = s("report", z.reportPath),
       outputType = s("output_type", z.outputType),
@@ -227,6 +231,9 @@ object EtlConfig {
     * (`config.go:362-451`). Returns the full joined error or unit. */
   def validate(cfg: EtlConfig): Either[String, Unit] = {
     val errs = scala.collection.mutable.ListBuffer[String]()
+    val validInputFormats = Set("jsonl", "csv", "orc", "parquet", "json")
+    if (cfg.inputFormat.nonEmpty && !validInputFormats(cfg.inputFormat.toLowerCase))
+      errs += s"""invalid input_format "${cfg.inputFormat}": must be jsonl, csv, orc, parquet, or json"""
     val validTypes = Set("stdout", "file", "rotate", "rotating",
       "parquet", "s3", "s3a", "kafka", "http", "webhook")
     if (cfg.outputType.nonEmpty && !validTypes(cfg.outputType))

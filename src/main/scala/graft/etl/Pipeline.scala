@@ -76,7 +76,12 @@ object Pipeline {
     val log = EtlLogger.withAttrs("input" -> cfg.inputPath)
     log.info("pipeline starting",
       "output_type" -> (if (cfg.outputType.isEmpty) "stdout" else cfg.outputType))
-    val lines = Normalize.parseLines(spark, cfg.inputPath)
+    // S1 breadth: structured formats re-encode to the same line
+    // protocol (empty cell = absent key) — downstream unchanged
+    val lines = cfg.inputFormat.toLowerCase match {
+      case "" | "jsonl" => Normalize.parseLines(spark, cfg.inputPath)
+      case fmt => Normalize.parseRecordLines(spark, cfg.inputPath, fmt)
+    }
     val result = run(lines, cfg).map { res =>
       if (cfg.reportPath.nonEmpty) res.report.writeJson(cfg.reportPath)
       res
@@ -177,6 +182,7 @@ object Main {
     val z = EtlConfig.zero
     z.copy(
       inputPath = f.getOrElse("input", z.inputPath),
+      inputFormat = f.getOrElse("input-format", z.inputFormat),
       outputPath = f.getOrElse("output", z.outputPath),
       reportPath = f.getOrElse("report", z.reportPath),
       outputType = f.getOrElse("output-type", z.outputType),

@@ -23,6 +23,20 @@ class EtlConfigSpec extends AnyFunSuite {
     assert(d.logLevel == "info" && d.logFormat == "json")
   }
 
+  test("input_format: default jsonl, env/flag precedence, validation") {
+    assert(EtlConfig.default.inputFormat == "jsonl")
+    val env = EtlConfig.fromEnv(EtlConfig.default,
+      Map("ETL_INPUT_FORMAT" -> "csv"))
+    assert(env.inputFormat == "csv")
+    // flag-style merge wins over env (same precedence path as Main)
+    val flag = EtlConfig.merge(env, EtlConfig.zero.copy(inputFormat = "orc"))
+    assert(flag.inputFormat == "orc")
+    val bad = EtlConfig.validate(EtlConfig.default.copy(inputFormat = "xml"))
+    assert(bad.left.exists(_.contains("invalid input_format \"xml\"")))
+    for (f <- Seq("jsonl", "csv", "orc", "parquet", "json"))
+      assert(EtlConfig.validate(EtlConfig.default.copy(inputFormat = f)).isRight)
+  }
+
   test("merge: non-zero override wins (config.go:70-141)") {
     val merged = EtlConfig.merge(EtlConfig.default,
       EtlConfig.zero.copy(inputPath = "x.jsonl", maxWorkers = 8))

@@ -123,6 +123,29 @@ class PipelineSpec extends SparkSpec {
     assert(capped.byLevel == full.byLevel) // under the cap → identical
   }
 
+  test("runFile with input_format=csv: full pipeline over a CSV file") {
+    val dir = java.nio.file.Files.createTempDirectory("csv-cli")
+    java.nio.file.Files.write(dir.resolve("logs.csv"),
+      ("""ts,level,msg,service,user_email
+        |2025-01-01T00:00:00Z,ERROR,boom,api,u1@example.com
+        |2025-01-01T00:00:01Z,INFO,fine,api,
+        |2025-01-01T00:00:02Z,WARN,hmm,db,
+        |""".stripMargin).getBytes)
+    val out = s"$dir/out.jsonl"
+    val cfg = EtlConfig.default.copy(
+      inputPath = dir.toString, inputFormat = "csv",
+      outputType = "file", outputPath = out, reportPath = "",
+      filterLevels = Seq("WARN", "ERROR"), redactKeys = Seq("user_email"))
+    val res = Pipeline.runFile(spark, cfg).fold(e => fail(e), identity)
+    assert(res.report.totalLines == 3)
+    assert(res.report.normalizedOk == 3)
+    assert(res.report.filteredLevel == 1)  // INFO dropped
+    assert(res.report.writtenOk == 2)
+    val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(out))
+    assert(lines.size == 2)
+    lines.forEach(l => assert(!l.contains("user_email")))
+  }
+
   test("prometheus rendering exposes the counter surface") {
     val r = EtlReport(totalLines = 10, jsonParsed = 9, jsonFailed = 1,
       byLevel = Map("ERROR" -> 4), retryStats = RetryStats(2, 1, 2))
