@@ -430,10 +430,93 @@ object Dedup {
     }
     // silently-partial clusters would be indistinguishable from
     // converged ones — fail loudly instead (raise maxIters for chains
-    // longer than it, or use large-star/small-star at web scale)
+    // longer than it, or use [[connectedComponentsStar]] at web scale)
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIters iterations — " +
         "a component's label-propagation distance exceeds maxIters")
     labels
+  }
+
+  /** Web-scale connected components: alternating large-star /
+    * small-star contraction (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14) — converges in O(log n) rounds on
+    * ANY graph, vs [[connectedComponents]]'s diameter-bound label
+    * propagation (the right default for near-dup clusters, whose
+    * diameters are tiny; this is the swap for long-chain / adversarial
+    * pair graphs).
+    *
+    * Per round (all equi-shuffles, no broadcast of anything
+    * node-count-sized): large-star points every neighbor v > u at
+    * m = min(N(u) ∪ {u}); small-star points every neighbor v <= u
+    * (and u) at m. At the fixed point the edge set IS the answer —
+    * stars rooted at component minima. Convergence is detected from
+    * (count, hash-sum) of the edge set observed inside the round's
+    * checkpoint job ([[connectedComponents]]'s one-action-per-round
+    * discipline; the hash-sum is order-independent and a collision
+    * would need two edge multisets agreeing on count AND a 40-bit-term
+    * sum — not a realistic failure mode, and one extra identical round
+    * is the worst case anyway since the check only ever DELAYS
+    * convergence detection, never falsifies the labels).
+    *
+    * Same output contract as [[connectedComponents]]: (sid, component)
+    * with component = min reachable id. */
+  def connectedComponentsStar(pairs: DataFrame, maxIters: Int = 40): DataFrame = {
+    val nodes0 = pairs.select(col("da").as("sid"))
+      .union(pairs.select(col("db").as("sid"))).distinct()
+    val nodes = persistTracked(nodes0)
+    var edges = pairs
+      .select(least(col("da"), col("db")).as("src"),
+        greatest(col("da"), col("db")).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(true)
+
+    def symmetric(e: DataFrame): DataFrame =
+      e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    // min over N(u) ∪ {u} for every u, as (src, m)
+    def mins(sym: DataFrame): DataFrame =
+      sym.groupBy("src").agg(min("dst").as("nmin"))
+        .select(col("src"), least(col("src"), col("nmin")).as("m"))
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = symmetric(e)
+      sym.join(mins(sym), "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val sym = symmetric(e)
+      val m = mins(sym)
+      sym.join(m, "src")
+        .filter(col("dst") <= col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .union(m.select(col("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst")).distinct()
+    }
+
+    var signature = (-1L, -1L)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val obs = new org.apache.spark.sql.Observation(s"ccs_$iter")
+      val next = smallStar(largeStar(edges))
+        .observe(obs,
+          count(lit(1)).as("n"),
+          // order-independent multiset signature; pmod keeps the ANSI
+          // sum far from Long overflow (2^40 terms x edge count)
+          coalesce(sum(pmod(xxhash64(col("src"), col("dst")),
+            lit(1L << 40))), lit(0L)).as("hs"))
+        .localCheckpoint(true)
+      edges = next
+      val sig = (obs.get("n").asInstanceOf[Long], obs.get("hs").asInstanceOf[Long])
+      converged = sig == signature
+      signature = sig
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsStar did not converge in $maxIters rounds")
+    // fixed point = stars (v -> component min); roots label themselves
+    nodes.join(edges.select(col("src").as("sid"), col("dst").as("component")),
+        Seq("sid"), "left")
+      .select(col("sid"), coalesce(col("component"), col("sid")).as("component"))
   }
 }

@@ -195,6 +195,26 @@ class OpsSpec extends SparkSpec {
     Dedup.releaseCaches()
   }
 
+  test("star-contraction components: agrees with label propagation, O(log n) on chains") {
+    def labels(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // chain + isolated pair (the min-label test graph)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("da", "db")
+    assert(labels(Dedup.connectedComponentsStar(pairs)) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // the long chain that label propagation needs 9+ rounds for (and
+    // throws on at maxIters=4): star contraction finishes in O(log n)
+    val long = (1L until 10L).map(i => (i, i + 1)).toDF("da", "db")
+    assert(labels(Dedup.connectedComponentsStar(long, maxIters = 8)).values.toSet
+      == Set(1L))
+    // random-ish dense blob + reversed edges: same answer as min-label
+    val blob = Seq((5L, 3L), (7L, 5L), (3L, 9L), (20L, 21L), (21L, 20L),
+      (9L, 7L), (2L, 9L)).toDF("da", "db")
+    assert(labels(Dedup.connectedComponentsStar(blob)) ==
+      labels(Dedup.connectedComponents(blob)))
+    Dedup.releaseCaches()
+  }
+
   test("connected components: exactly one action per propagation round, no count() job") {
     // "one job per round" up to broadcast builds: a broadcast join's
     // build side always materializes in its own (cheap, async) job, so
