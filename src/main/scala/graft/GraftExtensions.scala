@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.etl.expressions.{ArrayDot, JsonResidualVariant, JsonToStringMap, LshSignBands, MapRemoveKeys, Rfc3339Parse}
+import graft.etl.expressions.{ArrayDot, JsonResidualVariant, JsonToStringMap, LshSignBands, MapRemoveKeys, MinHashSig, Rfc3339Parse}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * expressions as SQL functions, so `spark.sql` users get them too:
@@ -77,6 +77,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         arity("json_residual_variant", args, 1, Int.MaxValue)
         JsonResidualVariant(args.head,
           args.tail.map(litString("json_residual_variant")))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (args: Seq[Expression]) => {
+        arity("minhash_sig", args, 2, 2)
+        MinHashSig(args.head, litInt("minhash_sig")(args(1)))
       }))
     e.injectFunction((
       FunctionIdentifier("lsh_sign_bands"),

@@ -310,3 +310,86 @@ object LshSignBands {
     new GenericArrayData(out)
   }
 }
+
+/** Codegen-capable per-document MinHash signature: all `numHashes`
+  * permutation minima over a doc's hashed-shingle array in ONE tight
+  * loop.
+  *
+  * The aggregate form (explode shingles → groupBy(doc) with 64 `min`
+  * columns) pays 100-300× row amplification plus a 65-slot aggregation
+  * buffer update per shingle row — measured as the dominant cost of
+  * `dd_minhash_lsh` (~3 s of 3.9 s at sf0.1). A document is one row,
+  * so the signature is row-local: this expression computes the same
+  * 64 minima (identical `(a, b)` parameter family, identical pmod
+  * arithmetic — signatures are bit-equal to the aggregate path's) with
+  * no explode, no aggregation machinery, and no shuffle of partials,
+  * inside whole-stage codegen. */
+case class MinHashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  require(numHashes >= 1 && numHashes <= 4096, s"numHashes=$numHashes")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashSig.sig(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = MinHashSig.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $cls.sig($c, $numHashes);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  /** Mersenne-prime universal-hash family — the single source of truth
+    * shared with the aggregate path (`Dedup.hashParams` delegates
+    * here), so both paths produce bit-identical signatures. */
+  val P = 2147483647L // 2^31 - 1
+  def params(numHashes: Int): (Array[Long], Array[Long]) = {
+    val as = new Array[Long](numHashes)
+    val bs = new Array[Long](numHashes)
+    var i = 1
+    while (i <= numHashes) {
+      val a = (2654435761L * i + 1) % P
+      as(i - 1) = if (a == 0) 1L else a
+      bs(i - 1) = (40503L * i * i + 2654435769L) % P
+      i += 1
+    }
+    (as, bs)
+  }
+
+  private val paramCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+  private def cachedParams(n: Int): (Array[Long], Array[Long]) =
+    paramCache.computeIfAbsent(n, params(_))
+
+  def sig(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      numHashes: Int): GenericArrayData = {
+    val (as, bs) = cachedParams(numHashes)
+    val out = new Array[Long](numHashes)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      val hp = java.lang.Math.floorMod(a.getLong(i), P)
+      var k = 0
+      while (k < numHashes) {
+        val v = java.lang.Math.floorMod(hp * as(k) + bs(k), P)
+        if (v < out(k)) out(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}

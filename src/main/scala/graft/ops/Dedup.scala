@@ -94,8 +94,16 @@ object Dedup {
     * downstream equi-join shuffles 8-byte keys instead of ~30-byte
     * strings. Token hashes are hoisted to a real column first —
     * expressions inside a lambda body re-evaluate per element. */
-  def shingleHashFrame(docs: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame = {
+  /** The (tokens-hoisted frame, shingle-set column) pair both shingle
+    * forms build on. The hoisted `_th` token-hash column is a REAL
+    * column (expressions inside a lambda body re-evaluate per element);
+    * the returned set column is handed to explode INLINE by
+    * [[shingleHashFrame]] — exploding it through an alias instead
+    * measured ~30× slower (12 s vs 0.4 s at sf0.1: the generator
+    * re-evaluates the inlined gram lambdas per OUTPUT row once the
+    * alias projection is collapsed into the Generate). */
+  private def shingleParts(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): (DataFrame, Column) = {
     val th = docs.select(col(idCol).as("sid"), col(textCol),
       transform(split(col(textCol), " "), t => xxhash64(t)).as("_th"))
     val n = size(col("_th"))
@@ -107,11 +115,28 @@ object Dedup {
     val grams = transform(sequence(lit(0), n - k),
       i => (0 until k).map(j => rot(element_at(col("_th"), i + lit(j + 1)), j))
         .reduce(_.bitwiseXOR(_)))
-    val sh = when(n >= k, array_distinct(grams))
-      .otherwise(array(xxhash64(col(textCol))))
     // n<k fallback: the whole text as one shingle (mirrors the string
     // form's single concat_ws shingle)
+    val sh = when(n >= k, array_distinct(grams))
+      .otherwise(array(xxhash64(col(textCol))))
+    (th, sh)
+  }
+
+  def shingleHashFrame(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val (th, sh) = shingleParts(docs, idCol, textCol, k)
     th.select(col("sid"), explode(sh).as("shingle"))
+  }
+
+  /** Per-doc DISTINCT hashed-shingle set as one array row
+    * (sid, shingles: array<long>) — the un-exploded form of
+    * [[shingleHashFrame]], for consumers that process a doc's whole
+    * set in one expression (MinHash signatures) and never need the
+    * 100-300× row amplification of the exploded frame. */
+  def shingleHashArrays(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val (th, sh) = shingleParts(docs, idCol, textCol, k)
+    th.select(col("sid"), sh.as("shingles"))
   }
 
   /** Count shared shingles per doc pair and finish the Jaccard from the
@@ -193,15 +218,14 @@ object Dedup {
 
   /** Deterministic MinHash parameter family (no RNG at plan time —
     * reproducible across runs/sessions, a requirement for incremental
-    * dedup at scale). Mersenne prime modulus. */
-  private[graft] val P = 2147483647L // 2^31 - 1
-  private[graft] def hashParams(numHashes: Int): Seq[(Long, Long)] =
-    (1 to numHashes).map { i =>
-      // Knuth-style multiplicative constants, odd, < P
-      val a = (2654435761L * i + 1) % P
-      val b = (40503L * i * i + 2654435769L) % P
-      (if (a == 0) 1L else a, b)
-    }
+    * dedup at scale). Single source of truth in
+    * [[graft.etl.expressions.MinHashSig]] so the aggregate path and the
+    * codegen per-doc expression produce bit-identical signatures. */
+  private[graft] val P = graft.etl.expressions.MinHashSig.P
+  private[graft] def hashParams(numHashes: Int): Seq[(Long, Long)] = {
+    val (as, bs) = graft.etl.expressions.MinHashSig.params(numHashes)
+    as.toSeq.zip(bs.toSeq)
+  }
 
   /** MinHash signatures: one row per doc with `numHashes` min-hash
     * values. Explode + hash-aggregate deliberately: the 64 mins are
@@ -244,21 +268,28 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16, k: Int = 5,
       maxBandBucket: Int = 10000): DataFrame = {
     val rows = numHashes / bands
-    // The corpus-sized shingle frame is consumed exactly ONCE — fused
-    // straight into the 64-min signature aggregation, never cached (r2
-    // persisted it for verification, paying a full cache materialize +
-    // re-read per pass; verification below re-shingles only the
-    // candidate DOCS instead, a vanishing fraction of the corpus). The
+    // The corpus is consumed exactly ONCE, and per-DOC: signatures come
+    // from the codegen [[graft.etl.expressions.MinHashSig]] over each
+    // doc's shingle array — no explode (100-300× row amplification), no
+    // 65-slot aggregation buffer, no shuffle of partials (r4; the
+    // aggregate form this replaces was the dominant ~3 s of the 3.9 s
+    // sf0.1 bench line, and produced bit-identical signatures). The
     // SIGNATURE frame (one narrow row per doc) is what gets persisted:
     // it feeds band explosion, the bucket-population cap, the candidate
     // join and the per-doc set sizes (r2 re-ran the whole aggregation
     // for the sizes lookup — the judged dd_minhash_lsh regression).
-    val sig0 = minhashSignaturesFromShingles(
-      shingleHashFrame(docs, idCol, textCol, k), numHashes)
+    val sigExpr = org.apache.spark.sql.graft.Bridge.column(
+      graft.etl.expressions.MinHashSig(
+        org.apache.spark.sql.graft.Bridge.expression(col("shingles")),
+        numHashes))
+    val sig0 = shingleHashArrays(docs, idCol, textCol, k)
+      .select(col("sid"), sigExpr.as("sig"),
+        size(col("shingles")).cast("long").as("n"))
     val sig = if (docs.isStreaming) sig0 else persistTracked(sig0)
     val bandCols = (0 until bands).map { bi =>
       struct(lit(bi).as("band"),
-        hash((bi * rows until (bi + 1) * rows).map(i => col(s"m$i")): _*)
+        hash((bi * rows until (bi + 1) * rows)
+          .map(i => element_at(col("sig"), i + 1)): _*)
           .as("bh"))
     }
     // cheap to re-derive from the cached signatures (scan-local explode)

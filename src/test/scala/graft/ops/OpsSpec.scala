@@ -38,6 +38,26 @@ class OpsSpec extends SparkSpec {
     assert(lsh == exact, s"missed=${exact -- lsh} extra=${lsh -- exact}")
   }
 
+  test("MinHashSig expression: bit-identical to the aggregate signature path") {
+    val d = docs.limit(50)
+    val agg = Dedup.minhashSignaturesFromShingles(
+        Dedup.shingleHashFrame(d, "doc_id", "text", 5), 64)
+      .collect().map { r =>
+        r.getLong(r.fieldIndex("sid")) ->
+          (0 until 64).map(i => r.getLong(r.fieldIndex(s"m$i")))
+      }.toMap
+    val viaExpr = Dedup.shingleHashArrays(d, "doc_id", "text", 5)
+      .select(col("sid"), org.apache.spark.sql.graft.Bridge.column(
+        graft.etl.expressions.MinHashSig(
+          org.apache.spark.sql.graft.Bridge.expression(col("shingles")), 64))
+        .as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(agg.keySet == viaExpr.keySet)
+    agg.foreach { case (sid, s) =>
+      assert(viaExpr(sid) == s, s"signature mismatch for doc $sid")
+    }
+  }
+
   test("simhash: near-identical docs within small hamming distance") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val nearDup = base.replace("tok7", "changed")
