@@ -26,6 +26,28 @@ object StreamingPipeline {
       .toDF("line")
       .filter(trim(col("line")) =!= "")
 
+  /** S1 breadth, streaming form: watch a directory of structured
+    * records (csv/orc/parquet/json). Streaming file sources require an
+    * explicit schema (no inference job on an unbounded directory); rows
+    * re-encode to the same line protocol as batch
+    * [[graft.etl.Normalize.parseRecordLines]] — `to_json` omits null
+    * cells, so empty cells behave as absent keys and the downstream
+    * expressions run unchanged. */
+  def readRecords(spark: SparkSession, dir: String, format: String,
+      schema: org.apache.spark.sql.types.StructType,
+      options: Map[String, String] = Map.empty,
+      maxFilesPerTrigger: Int = 16): DataFrame = {
+    val base = spark.readStream
+      .format(format)
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .options(if (format == "csv") Map("header" -> "true") ++ options
+        else options)
+      .load(dir)
+    base.select(to_json(struct(base.columns.map(col).toSeq: _*)).as("line"))
+      .filter(col("line") =!= "{}")
+  }
+
   /** The full normalize+transform stream (error/drop rows carried with
     * their protocol columns, exactly like batch). */
   def transformedStream(lines: DataFrame, cfg: EtlConfig): DataFrame =

@@ -353,6 +353,36 @@ class StreamingSpec extends SparkSpec {
     } finally if (q.isActive) q.stop()
   }
 
+  test("streaming CSV records: same kept records as the JSONL stream") {
+    val in = tmpDir("stream-csv")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/a.csv"),
+      ("""ts,level,msg,service,user_email
+        |2025-01-01T00:00:00Z,ERROR,boom,api,u1@example.com
+        |2025-01-01T00:00:01Z,INFO,fine,api,
+        |""".stripMargin).getBytes)
+    val schema = org.apache.spark.sql.types.StructType(
+      Seq("ts", "level", "msg", "service", "user_email").map(n =>
+        org.apache.spark.sql.types.StructField(n,
+          org.apache.spark.sql.types.StringType)))
+    val cfg = EtlConfig.default.copy(
+      filterLevels = Seq("ERROR"), redactKeys = Seq("user_email"))
+    val lines = StreamingPipeline.readRecords(spark, in, "csv", schema)
+    assert(lines.isStreaming)
+    val q = StreamingPipeline.transformedStream(lines, cfg)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("csv_stream").start()
+    try {
+      q.processAllAvailable()
+      val all = spark.table("csv_stream")
+      assert(all.count() == 2)
+      val kept = all.filter(col("error").isNull &&
+        col(graft.etl.Transforms.DropReasonCol).isNull).collect()
+      assert(kept.length == 1)
+      assert(kept.head.getAs[String]("message") == "boom")
+      assert(!kept.head.getAs[Map[String, String]]("fields").contains("user_email"))
+    } finally q.stop()
+  }
+
   test("streaming minhash-LSH near-dup: cross-batch pairs found exactly once") {
     val in = tmpDir("stream-neardup")
     val base = (1 to 50).map(i => s"tok$i").mkString(" ")
