@@ -221,6 +221,15 @@ object TextQueries {
       |SELECT n AS sid, min(m) AS component FROM reach GROUP BY n
       |ORDER BY sid""".stripMargin
 
+  /** The same clustering through the web-scale star-contraction path
+    * ([[Dedup.connectedComponentsStar]], O(log n) rounds) — registered
+    * against the IDENTICAL recursive-CTE oracle, so the alternative
+    * algorithm is cross-engine-verified, not just unit-tested. */
+  def dedupClustersStar(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponentsStar(
+        Dedup.ngramJaccardPairs(docs(spark, dir), threshold = 0.5))
+      .transform(QueryUtil.ordered("sid"))
+
   /** Canonical survivors after near-dup collapse: every doc not
     * shadowed by a smaller near-duplicate (0.5-Jaccard clusters). */
   def dedupKeep(spark: SparkSession, dir: String): DataFrame = {
@@ -409,6 +418,7 @@ object TextQueries {
     "dd_minhash_lsh" -> ((minhashLsh _, Some(minhashLshOracle))),
     "dd_simhash" -> ((simhashPairs _, Some(simhashOracle))),
     "dd_clusters" -> ((dedupClusters _, Some(dedupClustersOracle))),
+    "dd_clusters_star" -> ((dedupClustersStar _, Some(dedupClustersOracle))),
     "dd_keep" -> ((dedupKeep _, Some(dedupKeepOracle))),
     "tx_curation" -> ((curation _, Some(curationOracle))),
     "tx_sample_strata" -> ((sampleStrata _, Some(sampleStrataOracle))),

@@ -86,6 +86,33 @@ object VectorQueries {
     Similarity.cosinePairsLsh(emb(spark, dir), threshold = 0.4, bands = 48)
       .transform(QueryUtil.ordered("da", "db"))
 
+  /** End-to-end embedding dedup: exact near-dup pairs at 0.4 →
+    * connected components → keep the canonical (min-id) member of each
+    * cluster — the embedding twin of the text corpus' `dd_keep`.
+    * Oracle: recursive-CTE transitive closure over the exact-pairs
+    * SQL. */
+  def nearDupKeep(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    Dedup.keepCanonical(e,
+        Dedup.embeddingNearDupPairs(e, threshold = 0.4), idCol = "vec_id")
+      .select("vec_id", "label")
+      .transform(QueryUtil.ordered("vec_id"))
+  }
+
+  val nearDupKeepOracle: String =
+    s"""WITH RECURSIVE v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |p AS (SELECT a.vec_id AS da, b.vec_id AS db
+      |      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      |      WHERE ${cosineSql("a.e", "b.e")} >= 0.4),
+      |edges AS (SELECT da AS a, db AS b FROM p UNION ALL SELECT db, da FROM p),
+      |reach(n, m) AS (SELECT a, a FROM edges
+      |                UNION
+      |                SELECT r.n, e2.b FROM reach r JOIN edges e2 ON r.m = e2.a),
+      |drops AS (SELECT n FROM reach GROUP BY n HAVING min(m) <> n)
+      |SELECT vec_id, label FROM embeddings
+      |WHERE vec_id NOT IN (SELECT n FROM drops)
+      |ORDER BY vec_id""".stripMargin
+
   // --- LSH ANN: parameters shared by the engine call and its oracle.
   // (5, 3) is the compute-positive recall-0.9 point on this fixture:
   // bucket signatures cost numPlanes×dim per corpus row while pruning
@@ -221,6 +248,7 @@ object VectorQueries {
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "vec_knn_brute" -> ((knnBrute _, Some(knnBruteOracle))),
     "vec_near_dup" -> ((nearDupPairs _, Some(nearDupOracle(0.4)))),
+    "vec_keep" -> ((nearDupKeep _, Some(nearDupKeepOracle))),
     "vec_near_dup_lsh" -> ((nearDupPairsLsh _, Some(nearDupOracle(0.9)))),
     "vec_near_dup_lsh_low" -> ((nearDupPairsLshLow _, Some(nearDupOracle(0.4)))),
     "vec_knn_lsh" -> ((knnLsh _, Some(knnLshOracle))),
