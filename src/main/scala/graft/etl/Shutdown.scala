@@ -61,10 +61,12 @@ object Shutdown {
   def drainAll(spark: SparkSession, timeoutSeconds: Int): Boolean = {
     val timeout = if (timeoutSeconds <= 0) 30 else timeoutSeconds
     val deadlineNs = System.nanoTime() + timeout * 1000000000L
-    spark.streams.active.forall { q =>
+    // map THEN forall: a query that blows its budget must not
+    // short-circuit the stop() of the remaining queries
+    spark.streams.active.map { q =>
       val remainS = math.max(1L, (deadlineNs - System.nanoTime()) / 1000000000L)
       stopGracefully(q, remainS.toInt)
-    }
+    }.forall(identity)
   }
 
   @volatile private var hook: Thread = _

@@ -132,15 +132,23 @@ object Similarity {
     * and grow with n exactly as the scaladoc heuristic prescribes, so
     * the same call is right at 3k and at 10^9 vectors. */
   def adaptiveBandParams(n: Long, threshold: Double,
-      missBound: Double = 5e-3): (Int, Int) = {
+      missBound: Double = 5e-3, maxBands: Int = 512): (Int, Int) = {
     require(threshold > 0 && threshold < 1, s"threshold=$threshold")
     val agree = 1.0 - math.acos(threshold) / math.Pi
-    val rpb = math.max(2, math.min(31,
+    def bandsFor(rpb: Int): Int = {
+      val bandMatch = math.pow(agree, rpb)
+      math.max(1, math.ceil(math.log(missBound) / math.log1p(-bandMatch)).toInt)
+    }
+    // start at the pruning-optimal log2(n) bits; at LOW thresholds the
+    // recall-holding band count explodes (agree^rpb → 0), so walk rpb
+    // down until the plane budget is feasible — each step doubles the
+    // random-collision rate, degrading smoothly toward the verified
+    // all-pairs behaviour that low-threshold similarity intrinsically
+    // is (see [[cosinePairsLsh]] parameter physics)
+    var rpb = math.max(2, math.min(31,
       math.ceil(math.log(math.max(n, 2).toDouble) / math.log(2.0)).toInt))
-    val bandMatch = math.pow(agree, rpb)
-    val bands = math.max(1, math.ceil(
-      math.log(missBound) / math.log1p(-bandMatch)).toInt)
-    (bands, rpb)
+    while (rpb > 2 && bandsFor(rpb) > maxBands) rpb -= 1
+    (math.min(bandsFor(rpb), maxBands), rpb)
   }
 
   /** [[cosinePairsLsh]] with [[adaptiveBandParams]] banding. Costs one

@@ -127,7 +127,9 @@ class OpsSpec extends SparkSpec {
   test("adaptive banding: rowsPerBand tracks log2(n), miss bound holds, auto path verifies exactly") {
     // rowsPerBand ≈ log2(n): candidate volume stays linear at any scale
     assert(Similarity.adaptiveBandParams(3000L, 0.9)._2 == 12)
-    assert(Similarity.adaptiveBandParams(1000000000L, 0.9)._2 == 30)
+    // log2(1e9) = 30 bits wants 548 recall-holding bands — one step
+    // over the 512 plane-budget cap walks rowsPerBand down to 29
+    assert(Similarity.adaptiveBandParams(1000000000L, 0.9)._2 == 29)
     // analytic per-true-pair miss bound <= 5e-3 at the chosen params
     for (n <- Seq(1000L, 100000L, 10000000L); s <- Seq(0.7, 0.9, 0.95)) {
       val (bands, rpb) = Similarity.adaptiveBandParams(n, s)
@@ -135,6 +137,16 @@ class OpsSpec extends SparkSpec {
       val miss = math.pow(1.0 - math.pow(agree, rpb), bands)
       assert(miss <= 5e-3, s"n=$n s=$s → ${bands}x$rpb miss=$miss")
       assert(rpb <= 31, "LshSignBands pattern must fit its guard")
+    }
+    // LOW thresholds: the recall-holding band count explodes at
+    // log2(n) bits — params must stay feasible (plane budget bounded)
+    // by walking rowsPerBand down, never by silently dropping recall
+    for (s <- Seq(0.1, 0.3); n <- Seq(100000L, 1000000000L)) {
+      val (bands, rpb) = Similarity.adaptiveBandParams(n, s)
+      assert(bands <= 512 && bands * rpb <= 4096, s"s=$s n=$n → ${bands}x$rpb")
+      val agree = 1.0 - math.acos(s) / math.Pi
+      val miss = math.pow(1.0 - math.pow(agree, rpb), bands)
+      assert(miss <= 5e-3, s"low-threshold recall must hold: $miss")
     }
     // auto path: subset of exact (verification step admits no false
     // positives) and full recall on the fixture's planted 0.9+ pairs
