@@ -409,14 +409,31 @@ class OpsSpec extends SparkSpec {
     // corrupt audio → sentinel
     val bad = Multimodal.WavDecoder.decode(2L, "audio/wav", "nope".getBytes)
     assert(bad.width == -1 && bad.feature.forall(_ == 0f))
-    // dispatch: image → ImageIO, wav → Wav, video → deterministic fake
+    // dispatch: image → ImageIO, wav → Wav, mp4 → container parser
+    // (sentinel on non-BMFF bytes), unknown mimes → deterministic fake
     val png = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
       getClass.getResource("/tiny.png").toURI))
     assert(Multimodal.JdkMediaDecoder.decode(3L, "image/png", png).width == 4)
     assert(Multimodal.JdkMediaDecoder.decode(4L, "audio/wav", wav).width == 8000)
-    val mp4 = Multimodal.JdkMediaDecoder.decode(5L, "video/mp4", "vid".getBytes)
-    val fake = Multimodal.DeterministicFakeDecoder.decode(5L, "video/mp4", "vid".getBytes)
-    assert(mp4.width == fake.width && mp4.feature.toSeq == fake.feature.toSeq)
+    assert(Multimodal.JdkMediaDecoder.decode(5L, "video/mp4", "vid".getBytes).width == -1)
+    val webm = Multimodal.JdkMediaDecoder.decode(6L, "video/webm", "vid".getBytes)
+    val fake = Multimodal.DeterministicFakeDecoder.decode(6L, "video/webm", "vid".getBytes)
+    assert(webm.width == fake.width && webm.feature.toSeq == fake.feature.toSeq)
+  }
+
+  test("multimodal: Mp4MetaDecoder reads real container metadata without a codec") {
+    // committed 588-byte fixture: ftyp + moov(mvhd, trak(tkhd 320x240,
+    // mdia/minf/stbl/stsz with 10 samples)) + mdat
+    val mp4 = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/tiny.mp4").toURI))
+    val f = Multimodal.Mp4MetaDecoder.decode(1L, "video/mp4", mp4)
+    assert(f.width == 320 && f.height == 240 && f.n_frames == 10)
+    assert(math.abs(f.feature.sum - 1.0f) < 1e-5)
+    // corrupt / non-BMFF payload → sentinel, task survives
+    val bad = Multimodal.Mp4MetaDecoder.decode(2L, "video/mp4", "AVI?".getBytes)
+    assert(bad.width == -1 && bad.n_frames == 0)
+    // dispatch routes mp4 to the container parser
+    assert(Multimodal.JdkMediaDecoder.decode(3L, "video/mp4", mp4).width == 320)
   }
 
   test("salted join: exact inner-join semantics under skew") {
