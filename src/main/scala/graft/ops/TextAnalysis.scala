@@ -86,6 +86,40 @@ object TextAnalysis {
       (acc, t) => pmod(acc * 1000003L + crc32(t.cast("binary")).cast("long"),
         lit(2305843009213693951L / 1000003L)))
 
+  /** Token n-grams (space-joined) from a HOISTED token-array column.
+    * Callers must materialize the tokens as a real column first —
+    * expressions inside the lambda body re-evaluate per element, so an
+    * inline `split()` here would cost O(len²) per document. */
+  def ngramsFromTokens(tk: Column, n: Int): Column =
+    when(size(tk) >= n,
+      transform(sequence(lit(1), size(tk) - (n - 1)),
+        i => concat_ws(" ", slice(tk, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Repetition signals (the Gopher/RefinedWeb-style quality gates for
+    * pretraining data): documents dominated by repeated n-grams are
+    * boilerplate/spam and get filtered before training. Both operate on
+    * a hoisted n-gram array column, are scan-fused, and shuffle
+    * nothing. */
+  /** Fraction of n-gram occurrences that repeat an earlier occurrence
+    * (0 = no internal repetition, → 1 as the doc degenerates into one
+    * repeated phrase). */
+  def dupNgramFraction(grams: Column): Column =
+    when(size(grams) > 0,
+      round((size(grams) - size(array_distinct(grams))).cast("double") /
+        size(grams), 4))
+      .otherwise(lit(0.0))
+
+  /** Fraction of occurrences taken by the single most frequent n-gram.
+    * The modal count is O(distinct × total) per document — bounded by
+    * the doc's own length, embarrassingly parallel, no shuffle. */
+  def topNgramFraction(grams: Column): Column = {
+    val top = array_max(transform(array_distinct(grams),
+      x => size(filter(grams, y => y === x))))
+    when(size(grams) > 0,
+      round(top.cast("double") / size(grams), 4)).otherwise(lit(0.0))
+  }
+
   /** One-pass document profile. */
   def profile(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

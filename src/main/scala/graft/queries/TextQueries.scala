@@ -36,6 +36,40 @@ object TextQueries {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Quality score (formula mirrored exactly by the oracle). */
+  /** Repetition/boilerplate signals per doc (the Gopher-style gates):
+    * duplicate-3-gram occurrence fraction + modal-bigram fraction.
+    * Token and n-gram arrays are hoisted into real columns (lambda
+    * bodies re-evaluate inline expressions per element). */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("_tk", TextAnalysis.tokens(col("text")))
+      .withColumn("_g3", TextAnalysis.ngramsFromTokens(col("_tk"), 3))
+      .withColumn("_g2", TextAnalysis.ngramsFromTokens(col("_tk"), 2))
+      .select(col("doc_id"),
+        TextAnalysis.dupNgramFraction(col("_g3")).as("dup3_frac"),
+        TextAnalysis.topNgramFraction(col("_g2")).as("top2_frac"))
+      .transform(QueryUtil.ordered("doc_id"))
+
+  val repetitionOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT doc_id,
+      |        CASE WHEN len(w) >= 3
+      |             THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+      |             ELSE [] END AS g3,
+      |        CASE WHEN len(w) >= 2
+      |             THEN list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' '))
+      |             ELSE [] END AS g2
+      |      FROM t)
+      |SELECT doc_id,
+      |  CASE WHEN len(g3) > 0
+      |       THEN round((len(g3) - len(list_distinct(g3))) * 1.0 / len(g3), 4)
+      |       ELSE 0.0 END AS dup3_frac,
+      |  CASE WHEN len(g2) > 0
+      |       THEN round(list_max(list_transform(list_distinct(g2),
+      |              x -> len(list_filter(g2, y -> y = x)))) * 1.0 / len(g2), 4)
+      |       ELSE 0.0 END AS top2_frac
+      |FROM g ORDER BY doc_id""".stripMargin
+
   def quality(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(col("doc_id"),
         TextAnalysis.qualityScore(col("text")).as("quality"))
@@ -409,6 +443,7 @@ object TextQueries {
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "tx_token_stats" -> ((tokenStats _, Some(tokenStatsOracle))),
     "tx_quality" -> ((quality _, Some(qualityOracle))),
+    "tx_repetition" -> ((repetition _, Some(repetitionOracle))),
     "tx_lang_dist" -> ((langDist _, Some(langDistOracle))),
     "tx_fingerprints" -> ((fingerprints _, Some(fingerprintsOracle))),
     "dd_exact" -> ((exactDedup _, Some(exactDedupOracle))),

@@ -313,6 +313,24 @@ class OpsSpec extends SparkSpec {
     assert((grown & (1L to 1000L).toSet) == s1)
   }
 
+  test("repetition signals: duplicate and modal n-gram fractions") {
+    val d = Seq(
+      (1L, "a b a b a b"),        // 2-grams: ab ba ab ba ab → top=3/5; 3-grams: aba bab aba bab → dup 2/4
+      (2L, "w1 w2 w3 w4 w5 w6"),  // no repetition at all
+      (3L, "x y")                 // too short for 3-grams → dup3 = 0
+    ).toDF("doc_id", "text")
+      .withColumn("_tk", TextAnalysis.tokens(col("text")))
+      .withColumn("_g3", TextAnalysis.ngramsFromTokens(col("_tk"), 3))
+      .withColumn("_g2", TextAnalysis.ngramsFromTokens(col("_tk"), 2))
+      .select(col("doc_id"),
+        TextAnalysis.dupNgramFraction(col("_g3")).as("dup3"),
+        TextAnalysis.topNgramFraction(col("_g2")).as("top2"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(d(1L) == ((0.5, 0.6)))
+    assert(d(2L) == ((0.0, 0.2)))   // 5 distinct bigrams → modal = 1/5
+    assert(d(3L) == ((0.0, 1.0)))   // single bigram is 100% of mass
+  }
+
   test("language-ID: marker precedence and und fallback") {
     val d = Seq((1L, "the cat and the dog is here"),
       (2L, "der hund und die katze ist da"),
