@@ -54,11 +54,19 @@ class PlanSpec extends SparkSpec {
   }
 
   test("scan-shaped queries shuffle at most once (the output ordering)") {
-    for (name <- Seq("etl_normalize", "tx_quality")) {
+    for (name <- Seq("etl_normalize", "tx_quality", "tx_repetition")) {
       val p = plan(name)
       assert(countOf(p, "Exchange") <= 1,
         s"$name has an unexpected shuffle:\n$p")
     }
+  }
+
+  test("dd_minhash_lsh: signatures come from the codegen expression, not the 65-column agg") {
+    val p = plan("dd_minhash_lsh")
+    assert(p.contains("minhash_sig"), s"minhash_sig not in plan:\n$p")
+    // the old shape aggregated 64 separate min columns — its signature
+    // was 64 partial-min aggregate expressions in one HashAggregate
+    assert(!p.contains("min(m0"), p)
   }
 
   test("top-k queries use TakeOrderedAndProject, not a global sort") {
