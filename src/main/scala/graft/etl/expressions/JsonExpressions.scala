@@ -393,3 +393,71 @@ object MinHashSig {
     new GenericArrayData(out)
   }
 }
+
+/** Codegen-capable PQ encoder: nearest sub-codebook index per subspace
+  * in one tight loop. The column-expression form (plan-time argmin over
+  * m × kSub literal-coefficient dot products) generates Janino-breaking
+  * method bodies already at 16 × 32 codebooks — the same wall
+  * [[LshSignBands]] documents for plane projections. Codebooks are
+  * DATA-derived (k-means output), so they ride along as a serialized
+  * reference object rather than literals. Ties break to the lowest
+  * index (matching the struct-argmin ordering used elsewhere). */
+case class PqEncode(child: Expression,
+    codebooks: Array[Array[Array[Double]]]) extends UnaryExpression {
+  require(codebooks.nonEmpty && codebooks.head.nonEmpty)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got $other")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  override def nullSafeEval(input: Any): Any =
+    PqEncode.encode(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      codebooks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = PqEncode.getClass.getName.stripSuffix("$")
+    val cb = ctx.addReferenceObj("pqCodebooks", codebooks,
+      "double[][][]")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $cls.encode($c, $cb);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+object PqEncode {
+  def encode(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      cb: Array[Array[Array[Double]]]): GenericArrayData = {
+    val m = cb.length
+    val subDim = cb(0)(0).length
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val base = j * subDim
+      val book = cb(j)
+      var best = 0
+      var bestD = Double.MaxValue
+      var ci = 0
+      while (ci < book.length) {
+        val c = book(ci)
+        var d = 0.0
+        var t = 0
+        while (t < subDim) {
+          val diff = a.getDouble(base + t) - c(t)
+          d += diff * diff
+          t += 1
+        }
+        if (d < bestD) { bestD = d; best = ci }
+        ci += 1
+      }
+      out(j) = best
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}

@@ -245,6 +245,28 @@ object VectorQueries {
   val knnIvfRecallOracle: String =
     s"""SELECT vec_id AS qid FROM embeddings WHERE $queryPredSql ORDER BY qid""".stripMargin
 
+  /** PQ ANN recall floor, same driver contract as [[knnIvfRecall]]:
+    * every query whose PQ top-5 recovers >= 3 of the true top-5 — the
+    * oracle is the FULL query list, so one bad query fails the check.
+    * (Measured recall 1.0 at sf0.01/sf0.1 with the defaults; the ADC
+    * scan reads 16 codes + 1 norm per row, never the float vectors.) */
+  def knnPqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val pred = col("vec_id") % 50 === 0
+    val ann = graft.ops.Pq.knn(e, k = 5, queryPred = pred)
+      .select(col("qid"), col("cid"))
+    val brute = Similarity.bruteForceKnn(e, k = 5, queryPred = pred)
+      .select(col("qid"), col("cid"))
+    ann.join(brute, Seq("qid", "cid"))
+      .groupBy("qid").agg(count(lit(1)).as("hits"))
+      .filter(col("hits") >= 3)
+      .select(col("qid"))
+      .transform(QueryUtil.ordered("qid"))
+  }
+
+  val knnPqRecallOracle: String =
+    s"""SELECT vec_id AS qid FROM embeddings WHERE $queryPredSql ORDER BY qid""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "vec_knn_brute" -> ((knnBrute _, Some(knnBruteOracle))),
     "vec_near_dup" -> ((nearDupPairs _, Some(nearDupOracle(0.4)))),
@@ -253,5 +275,6 @@ object VectorQueries {
     "vec_near_dup_lsh_low" -> ((nearDupPairsLshLow _, Some(nearDupOracle(0.4)))),
     "vec_knn_lsh" -> ((knnLsh _, Some(knnLshOracle))),
     "vec_knn_lsh_recall" -> ((knnLshRecall _, Some(knnLshRecallOracle))),
-    "vec_knn_ivf_recall" -> ((knnIvfRecall _, Some(knnIvfRecallOracle))))
+    "vec_knn_ivf_recall" -> ((knnIvfRecall _, Some(knnIvfRecallOracle))),
+    "vec_knn_pq_recall" -> ((knnPqRecall _, Some(knnPqRecallOracle))))
 }

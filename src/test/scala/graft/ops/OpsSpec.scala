@@ -113,6 +113,25 @@ class OpsSpec extends SparkSpec {
     assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
   }
 
+  test("PQ knn: recall@5 >= 0.9 at sf0.1; deterministic codebooks; ADC reads codes only") {
+    val emb01 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val pred = col("vec_id") % 50 === 0
+    val brute = Similarity.bruteForceKnn(emb01, 5, pred)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Pq.knn(emb01, 5, pred)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & pq).size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall=$recall")
+    // same data → identical codebooks (seeded k-means, no RNG)
+    val cb1 = Pq.train(emb, 4, 8)
+    val cb2 = Pq.train(emb, 4, 8)
+    assert(cb1.map(_.map(_.toSeq).toSeq).toSeq == cb2.map(_.map(_.toSeq).toSeq).toSeq)
+    // encoded row carries only (id, m codes, norm) — never the vector
+    val enc = Pq.encode(emb, cb1)
+    assert(enc.columns.toSeq == Seq("vec_id", "code", "vnorm"))
+    assert(enc.head().getSeq[Int](1).length == 4)
+  }
+
   test("LSH cosine pairs: recall >= 0.98 vs exact at the 0.4 threshold") {
     val exact = Similarity.cosinePairs(emb, 0.4)
       .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
