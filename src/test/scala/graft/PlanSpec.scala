@@ -98,6 +98,32 @@ class PlanSpec extends SparkSpec {
       !ivf.contains("BroadcastNestedLoopJoin"), s"vec_knn_ivf:\n$ivf")
   }
 
+  test("bucketed layout: co-located join plans with ZERO exchanges") {
+    import org.apache.spark.sql.functions._
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val lineitem = spark.read.parquet(s"$sf/lineitem.parquet")
+    try {
+      graft.ops.Layout.writeBucketed(orders, "orders_b", "o_orderkey", 4,
+        sortCol = Some("o_orderkey"))
+      graft.ops.Layout.writeBucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "lineitem_b", "o_orderkey", 4, sortCol = Some("o_orderkey"))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = graft.ops.Layout.readTable(spark, "orders_b")
+        .join(graft.ops.Layout.readTable(spark, "lineitem_b"), "o_orderkey")
+        .groupBy("o_orderkey").agg(count(lit(1)).as("n"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"bucketed join/agg must not shuffle:\n$p")
+      // and it still computes the right thing
+      assert(joined.agg(sum("n")).head().getLong(0) == lineitem.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+
   test("column pruning: tx_quality reads only doc_id and text") {
     val p = plan("tx_quality")
     val read = "ReadSchema: struct<([^>]*)>".r
