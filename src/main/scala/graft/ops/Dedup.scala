@@ -388,6 +388,87 @@ object Dedup {
       .select(col("da"), col("db"), col("hamming"))
   }
 
+  /** Cross-corpus exact dedup: `incoming` rows whose content already
+    * exists in `corpus` are DROPPED; survivors pass through unchanged.
+    * The backfill twin of streaming dedup ("dedupe the new crawl
+    * against what we already trained on"): one anti-join on 16-byte
+    * fingerprints — corpus text is never read beyond the fingerprint
+    * scan, and within-incoming duplicates are deliberately NOT
+    * collapsed (that is [[exact]]'s job; composability over magic). */
+  def exactAgainst(incoming: DataFrame, corpus: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val fp = TextAnalysis.md5Fingerprint(col(textCol))
+    incoming.withColumn("fp", fp)
+      .join(corpus.select(fp.as("fp")).distinct(), Seq("fp"), "left_anti")
+      .drop("fp")
+  }
+
+  /** Cross-corpus NEAR-dup detection: (incoming_id, corpus_id, jaccard)
+    * for every incoming doc within `threshold` Jaccard of a corpus doc.
+    * Same banded-MinHash candidate generation as [[minhashLshPairs]]
+    * but the band join is ASYMMETRIC (incoming buckets × corpus
+    * buckets) — no within-side pairs are generated or verified, so the
+    * cost scales with the overlap, not with |corpus|². Verification is
+    * exact Jaccard over re-shingled candidate docs from each side. */
+  def minhashLshAgainst(incoming: DataFrame, corpus: DataFrame,
+      threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text",
+      numHashes: Int = 64, bands: Int = 16, k: Int = 5,
+      maxBandBucket: Int = 10000): DataFrame = {
+    val rows = numHashes / bands
+    def sigFrame(docs: DataFrame): DataFrame = {
+      val sigExpr = org.apache.spark.sql.graft.Bridge.column(
+        graft.etl.expressions.MinHashSig(
+          org.apache.spark.sql.graft.Bridge.expression(col("shingles")),
+          numHashes))
+      shingleHashArrays(docs, idCol, textCol, k)
+        .select(col("sid"), sigExpr.as("sig"),
+          size(col("shingles")).cast("long").as("n"))
+    }
+    def buckets(sig: DataFrame): DataFrame = {
+      val bandCols = (0 until bands).map { bi =>
+        struct(lit(bi).as("band"),
+          hash((bi * rows until (bi + 1) * rows)
+            .map(i => element_at(col("sig"), i + 1)): _*).as("bh"))
+      }
+      sig.select(col("sid"), explode(array(bandCols: _*)).as("bk"))
+    }
+    val sigIn = persistTracked(sigFrame(incoming))
+    val sigCo = persistTracked(sigFrame(corpus))
+    val bIn = buckets(sigIn)
+    val bCo = buckets(sigCo)
+    // bucket-population cap against mass-dup clusters, as in the
+    // symmetric op — population counted on the CORPUS side (the big one)
+    val hot = bCo.groupBy("bk").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > maxBandBucket).select("bk")
+    val cand = bIn.join(broadcast(hot), Seq("bk"), "left_anti").as("l")
+      .join(bCo.as("r"), col("l.bk") === col("r.bk"))
+      .select(col("l.sid").as("da"), col("r.sid").as("db"))
+      .filter(col("da") =!= col("db"))
+      .distinct()
+    def candShingles(docs: DataFrame, ids: DataFrame): DataFrame =
+      shingleHashFrame(docs.join(ids, Seq(idCol), "left_semi"),
+        idCol, textCol, k)
+    val shIn = candShingles(incoming,
+      cand.select(col("da").as(idCol)).distinct())
+    val shCo = candShingles(corpus,
+      cand.select(col("db").as(idCol)).distinct())
+    val common = cand
+      .join(shIn.as("a"), col("da") === col("a.sid"))
+      .join(shCo.as("b"),
+        col("db") === col("b.sid") && col("a.shingle") === col("b.shingle"))
+      .groupBy("da", "db").agg(count(lit(1)).as("c"))
+    // per-side size lookups (id spaces of the two corpora may overlap
+    // arbitrarily, so sizes must come from each pair-member's OWN side)
+    val jac = col("c").cast("double") /
+      (col("na") + col("nb") - col("c")).cast("double")
+    common
+      .join(sigIn.select(col("sid").as("da"), col("n").as("na")), "da")
+      .join(sigCo.select(col("sid").as("db"), col("n").as("nb")), "db")
+      .filter(jac >= threshold)
+      .select(col("da"), col("db"), round(jac, 4).as("jaccard"))
+  }
+
   /** The corpus with near-duplicate clusters collapsed to their
     * canonical member: docs whose component label differs from their
     * own id (i.e. a smaller near-dup exists) are dropped, everything

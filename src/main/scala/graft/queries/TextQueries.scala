@@ -255,6 +255,37 @@ object TextQueries {
       |SELECT n AS sid, min(m) AS component FROM reach GROUP BY n
       |ORDER BY sid""".stripMargin
 
+  /** Cross-corpus (incremental) near-dup: the fixture split by doc-id
+    * parity into "incoming" (odd) vs "history" (even) — every incoming
+    * doc within 0.8 Jaccard of a history doc, via the ASYMMETRIC banded
+    * MinHash join ([[Dedup.minhashLshAgainst]]: candidates only across
+    * the two sides, cost scales with the overlap, not |history|²).
+    * Oracle: exact cross-side Jaccard at the same threshold. */
+  def crossCorpusMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    Dedup.minhashLshAgainst(
+        d.filter(col("doc_id") % 2 === 1),
+        d.filter(col("doc_id") % 2 === 0), threshold = 0.8)
+      .transform(QueryUtil.ordered("da", "db"))
+  }
+
+  val crossCorpusMinhashOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |         list_transform(range(1, greatest(len(w) - 3, 1)),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])))
+      |         AS s
+      |       FROM t WHERE len(w) >= 5),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+      |      FROM sh a JOIN sh b ON a.s = b.s
+      |      WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+      |      GROUP BY 1, 2)
+      |SELECT da, db, round(c * 1.0 / (x.n + y.n - c), 4) AS jaccard
+      |FROM p JOIN sz x ON p.da = x.doc_id JOIN sz y ON p.db = y.doc_id
+      |WHERE c * 1.0 / (x.n + y.n - c) >= 0.8
+      |ORDER BY da, db""".stripMargin
+
   /** The same clustering through the web-scale star-contraction path
     * ([[Dedup.connectedComponentsStar]], O(log n) rounds) — registered
     * against the IDENTICAL recursive-CTE oracle, so the alternative
@@ -451,6 +482,7 @@ object TextQueries {
     "tx_bpe_tokens" -> ((bpeTokens _, Some(bpeTokensOracle))),
     "dd_ngram_jaccard" -> ((ngramJaccard _, Some(ngramJaccardOracle))),
     "dd_minhash_lsh" -> ((minhashLsh _, Some(minhashLshOracle))),
+    "dd_cross_corpus" -> ((crossCorpusMinhash _, Some(crossCorpusMinhashOracle))),
     "dd_simhash" -> ((simhashPairs _, Some(simhashOracle))),
     "dd_clusters" -> ((dedupClusters _, Some(dedupClustersOracle))),
     "dd_clusters_star" -> ((dedupClustersStar _, Some(dedupClustersOracle))),

@@ -227,6 +227,31 @@ class OpsSpec extends SparkSpec {
     Dedup.releaseCaches()
   }
 
+  test("cross-corpus dedup: incoming vs history, asymmetric, within-side pairs excluded") {
+    val history = Seq(
+      (100L, (1 to 40).map(i => s"h$i").mkString(" ")),
+      (101L, (1 to 40).map(i => s"x$i").mkString(" "))).toDF("doc_id", "text")
+    val base = (1 to 40).map(i => s"h$i").mkString(" ")
+    val incoming = Seq(
+      (1L, base),                              // exact dup of history 100
+      (2L, base.replace("h3 ", "h3z ")),       // near-dup of history 100
+      (3L, (1 to 40).map(i => s"new$i").mkString(" ")), // genuinely new
+      (4L, (1 to 40).map(i => s"new$i").mkString(" "))  // dup WITHIN incoming
+    ).toDF("doc_id", "text")
+    // exact: only content present in history is dropped; the
+    // within-incoming duplicate pair (3,4) survives — that's exact()'s job
+    val survivors = Dedup.exactAgainst(incoming, history)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(2L, 3L, 4L))
+    // near-dup: asymmetric pairs only (incoming x history)
+    val pairs = Dedup.minhashLshAgainst(incoming, history, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.keySet == Set((1L, 100L), (2L, 100L)), s"got=${pairs.keySet}")
+    assert(pairs((1L, 100L)) == 1.0)
+    assert(pairs((2L, 100L)) >= 0.5 && pairs((2L, 100L)) < 1.0)
+    Dedup.releaseCaches()
+  }
+
   test("connected components: chain A-B-C collapses to one cluster, isolated pair separate") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("da", "db")
     val comp = Dedup.connectedComponents(pairs)
