@@ -85,7 +85,7 @@ object Ivf {
   }
 
   /** Cells ranked by distance for a vector — the probe list. */
-  private def probeCells(vec: Column, centroids: Array[Array[Double]],
+  private[ops] def probeCells(vec: Column, centroids: Array[Array[Double]],
       nprobe: Int): Column = {
     val scored = centroids.zipWithIndex.map { case (c, i) =>
       val c2 = c.map(x => x * x).sum

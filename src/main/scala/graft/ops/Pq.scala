@@ -63,6 +63,93 @@ object Pq {
       Similarity.norm(v).as("vnorm"))
   }
 
+  /** Full IVF-PQ (the production ANN architecture, FAISS-style): a
+    * coarse quantizer partitions the corpus into [[Ivf]] cells and PQ
+    * codebooks are trained on RESIDUALS (v − centroid[cell]) — far less
+    * variance than raw vectors, so the same codebook budget quantizes
+    * finer — while search probes only `nprobe` cells and ADC-scans
+    * their members' codes.
+    *
+    * The ADC decomposition that makes probing cheap:
+    * dot(q, v) = dot(q, c_cell) + dot(q, r) ≈ dot(q, c_cell) +
+    * Σ_j LUT[j][code_j], where the LUT is built from q against the
+    * GLOBAL residual codebooks (cell-independent — one LUT per query)
+    * and dot(q, c_cell) is one scalar per (query, probed cell). Scan
+    * cost: corpus × nprobe / C rows of m codes each, never a float
+    * vector until the exact top-`rerank` re-rank. */
+  def ivfPqKnn(emb: DataFrame, k: Int, queryPred: Column,
+      numCentroids: Int = 16, nprobe: Int = 12,
+      m: Int = 16, kSub: Int = 32, rerank: Int = 256, iters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centroids = Ivf.train(emb, numCentroids, iters, idCol, vecCol)
+    val centsLit = typedLit(centroids.map(_.toSeq).toSeq)
+    // residual per row: v - centroid[cell] (array lambda over the
+    // broadcast-literal centroid table)
+    val withRes = Ivf.assign(emb, centroids, idCol, vecCol)
+      .withColumn("res", zip_with(asDouble(col(vecCol)),
+        element_at(centsLit, col("cell") + 1), (a, b) => a - b))
+    val codebooks = train(withRes.select(col(idCol), col("res")),
+      m, kSub, iters, idCol, "res")
+    val subDim = codebooks.head.head.length
+    val enc = encode(withRes.select(col(idCol), col("res"), col("cell"),
+        asDouble(col(vecCol)).as("orig")), codebooks, idCol, "res")
+      .join(withRes.select(col(idCol), col("cell"),
+        Similarity.norm(asDouble(col(vecCol))).as("tn")), Seq(idCol))
+      .select(col(idCol).as("cid"), col("code"), col("cell"),
+        col("tn").as("vnorm"))
+    val queries = emb.filter(queryPred)
+      .select(col(idCol), asDouble(col(vecCol))).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    // per query: one global-residual-codebook LUT + per-probed-cell
+    // scalar q·c — all model-sized driver arithmetic
+    val probeRows = queries.flatMap { case (qid, qv) =>
+      val lut = (0 until m).map { j =>
+        val sub = qv.slice(j * subDim, (j + 1) * subDim)
+        codebooks(j).map(c =>
+          c.zip(sub).map { case (a, b) => a * b }.sum).toSeq
+      }
+      val qn = math.sqrt(qv.map(x => x * x).sum)
+      val byDist = centroids.zipWithIndex.map { case (c, i) =>
+        val d = c.zip(qv).map { case (a, b) => val t = a - b; t * t }.sum
+        (d, i)
+      }.sortBy(x => (x._1, x._2)).take(nprobe)
+      byDist.map { case (_, cell) =>
+        val qdotc = centroids(cell).zip(qv).map { case (a, b) => a * b }.sum
+        (qid, cell, qdotc, lut, qn)
+      }
+    }.toSeq
+    val qdf = probeRows.toDF("qid", "cell", "qdotc", "lut", "qn")
+    val adcSim = (col("qdotc") + aggregate(
+      zip_with(col("code"), col("lut"), (c, l) => element_at(l, c + 1)),
+      lit(0.0), (acc, x) => acc + x)) / (col("qn") * col("vnorm"))
+    val wAdc = Window.partitionBy(col("qid"))
+      .orderBy(col("sim_adc").desc, col("cid").asc)
+    val shortlist = enc.join(broadcast(qdf), "cell")
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), adcSim.as("sim_adc"))
+      .withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") <= rerank)
+      .select("qid", "cid")
+    val vecs = emb.select(col(idCol).as("cid"), asDouble(col(vecCol)).as("ce"))
+      .withColumn("cn", Similarity.norm(col("ce")))
+    val qvecs = queries.map { case (qid, qv) =>
+      (qid, qv.toSeq, math.sqrt(qv.map(x => x * x).sum))
+    }.toSeq.toDF("qid", "qe", "qn2")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("cid").asc)
+    shortlist
+      .join(vecs, "cid")
+      .join(broadcast(qvecs), "qid")
+      .select(col("qid"), col("cid"),
+        round(Similarity.dot(col("qe"), col("ce")) / (col("qn2") * col("cn")), 4)
+          .as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
   /** PQ top-k cosine search with ADC scan + exact re-rank.
     *
     * Defaults (m=16 subspaces × 32 codes, rerank 256) measure recall@5

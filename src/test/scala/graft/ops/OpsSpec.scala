@@ -132,6 +132,17 @@ class OpsSpec extends SparkSpec {
     assert(enc.head().getSeq[Int](1).length == 4)
   }
 
+  test("IVF-PQ knn: recall@5 >= 0.9 at sf0.1 (probe-bounded, residual codes)") {
+    val emb01 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val pred = col("vec_id") % 50 === 0
+    val brute = Similarity.bruteForceKnn(emb01, 5, pred)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Pq.ivfPqKnn(emb01, 5, pred)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ann).size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall=$recall")
+  }
+
   test("LSH cosine pairs: recall >= 0.98 vs exact at the 0.4 threshold") {
     val exact = Similarity.cosinePairs(emb, 0.4)
       .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
