@@ -192,7 +192,11 @@ object Normalize {
     val reader = spark.read.format(format)
       .options(if (format == "csv") Map("header" -> "true") ++ options else options)
     val df = reader.load(path)
-    df.select(to_json(struct(df.columns.map(col).toSeq: _*)).as("line"))
+    // backtick-quote names: a CSV header like `user.name` is a legal
+    // flat column, but a bare col() call would parse the dot as
+    // nested-field access and fail analysis
+    val cols = df.columns.toSeq.map(c => col("`" + c.replace("`", "``") + "`"))
+    df.select(to_json(struct(cols: _*)).as("line"))
       .filter(col("line") =!= "{}") // all-null row = blank line (skipped)
   }
 

@@ -69,17 +69,22 @@ object Shutdown {
     }.forall(identity)
   }
 
-  @volatile private var hook: Thread = _
+  @volatile private var hook: AnyRef = _
 
   /** Install the SIGINT/SIGTERM drain (idempotent — re-install replaces
-    * the previous hook so a later session/timeout wins). Batch jobs are
-    * cancelled after streaming drains: the reference's context cancel
-    * aborts in-flight batch work too. */
+    * the previous hook so a later session/timeout wins). Registered
+    * through Spark's ORDERED ShutdownHookManager, not the raw JVM API:
+    * JVM hooks run concurrently in unspecified order, so a raw hook
+    * would race Spark's own hook stopping the SparkContext and the
+    * drain could see a dying context mid-poll. Priority is above the
+    * SparkContext-stop priority, so the drain fully completes before
+    * context teardown starts. Batch jobs are cancelled after streaming
+    * drains: the reference's context cancel aborts in-flight batch
+    * work too. */
   def install(spark: SparkSession, timeoutSeconds: Int): Unit = synchronized {
-    if (hook != null)
-      try Runtime.getRuntime.removeShutdownHook(hook)
-      catch { case _: IllegalStateException => () }
-    hook = new Thread(() => {
+    val B = org.apache.spark.sql.graft.Bridge
+    if (hook != null) B.removeShutdownHook(hook)
+    hook = B.addShutdownHook(B.SparkContextShutdownPriority + 10) { () =>
       try {
         if (spark.streams.active.nonEmpty) {
           log.info("signal received, draining streaming queries",
@@ -90,7 +95,6 @@ object Shutdown {
         }
         spark.sparkContext.cancelAllJobs()
       } catch { case _: Exception => () } // never block JVM teardown
-    }, "graft-graceful-shutdown")
-    Runtime.getRuntime.addShutdownHook(hook)
+    }
   }
 }

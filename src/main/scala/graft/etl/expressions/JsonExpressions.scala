@@ -435,6 +435,12 @@ object PqEncode {
       cb: Array[Array[Array[Double]]]): GenericArrayData = {
     val m = cb.length
     val subDim = cb(0)(0).length
+    // fail fast on ragged vectors: getDouble past numElements is an
+    // UNCHECKED off-heap read on UnsafeArrayData — silent garbage
+    // codes, not an exception (dim contract as in Similarity.inferDim)
+    if (a.numElements() != m * subDim) throw new IllegalArgumentException(
+      s"pq_encode: vector dim ${a.numElements()} does not match " +
+        s"codebooks ($m x $subDim)")
     val out = new Array[Int](m)
     var j = 0
     while (j < m) {

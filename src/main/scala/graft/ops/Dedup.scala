@@ -278,23 +278,10 @@ object Dedup {
     // it feeds band explosion, the bucket-population cap, the candidate
     // join and the per-doc set sizes (r2 re-ran the whole aggregation
     // for the sizes lookup — the judged dd_minhash_lsh regression).
-    val sigExpr = org.apache.spark.sql.graft.Bridge.column(
-      graft.etl.expressions.MinHashSig(
-        org.apache.spark.sql.graft.Bridge.expression(col("shingles")),
-        numHashes))
-    val sig0 = shingleHashArrays(docs, idCol, textCol, k)
-      .select(col("sid"), sigExpr.as("sig"),
-        size(col("shingles")).cast("long").as("n"))
+    val sig0 = minhashSigFrame(docs, idCol, textCol, numHashes, k)
     val sig = if (docs.isStreaming) sig0 else persistTracked(sig0)
-    val bandCols = (0 until bands).map { bi =>
-      struct(lit(bi).as("band"),
-        hash((bi * rows until (bi + 1) * rows)
-          .map(i => element_at(col("sig"), i + 1)): _*)
-          .as("bh"))
-    }
     // cheap to re-derive from the cached signatures (scan-local explode)
-    val buckets0 = sig.select(col("sid"),
-      explode(array(bandCols: _*)).as("bk"))
+    val buckets0 = bandBuckets(sig, bands, rows)
     // band-bucket population cap: a bucket of m docs yields m²/2 pairs
     // in ONE task — mass-duplicate clusters (identical signatures in
     // every band) would otherwise quadratically blow up here. Capped
@@ -303,9 +290,8 @@ object Dedup {
     // docs sit in a >maxBandBucket identical-signature cluster — runs
     // exact dedup first to collapse those. Jaccard of surviving pairs
     // is unaffected (verification below is exact).
-    val hotBuckets = buckets0.groupBy("bk").agg(count(lit(1)).as("bn"))
-      .filter(col("bn") > maxBandBucket).select("bk")
-    val buckets = buckets0.join(broadcast(hotBuckets), Seq("bk"), "left_anti")
+    val buckets = buckets0.join(
+      broadcast(hotBucketKeys(buckets0, maxBandBucket)), Seq("bk"), "left_anti")
     val cand = buckets.as("l").join(buckets.as("r"),
         col("l.bk") === col("r.bk") && col("l.sid") < col("r.sid"))
       .select(col("l.sid").as("da"), col("r.sid").as("db"))
@@ -396,12 +382,43 @@ object Dedup {
     * scan, and within-incoming duplicates are deliberately NOT
     * collapsed (that is [[exact]]'s job; composability over magic). */
   def exactAgainst(incoming: DataFrame, corpus: DataFrame,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame = {
     val fp = TextAnalysis.md5Fingerprint(col(textCol))
     incoming.withColumn("fp", fp)
       .join(corpus.select(fp.as("fp")).distinct(), Seq("fp"), "left_anti")
       .drop("fp")
   }
+
+  /** (sid, sig, n) per-doc signature frame — the SHARED construction
+    * for the symmetric and cross-corpus ops: signatures must stay
+    * bit-identical across ops for their buckets to be comparable. */
+  private def minhashSigFrame(docs: DataFrame, idCol: String,
+      textCol: String, numHashes: Int, k: Int): DataFrame = {
+    val sigExpr = org.apache.spark.sql.graft.Bridge.column(
+      graft.etl.expressions.MinHashSig(
+        org.apache.spark.sql.graft.Bridge.expression(col("shingles")),
+        numHashes))
+    shingleHashArrays(docs, idCol, textCol, k)
+      .select(col("sid"), sigExpr.as("sig"),
+        size(col("shingles")).cast("long").as("n"))
+  }
+
+  /** (sid, bk) band-bucket keys from a signature frame (scan-local
+    * explode; shared construction, see [[minhashSigFrame]]). */
+  private def bandBuckets(sig: DataFrame, bands: Int, rows: Int): DataFrame = {
+    val bandCols = (0 until bands).map { bi =>
+      struct(lit(bi).as("band"),
+        hash((bi * rows until (bi + 1) * rows)
+          .map(i => element_at(col("sig"), i + 1)): _*).as("bh"))
+    }
+    sig.select(col("sid"), explode(array(bandCols: _*)).as("bk"))
+  }
+
+  /** Over-populated band buckets of a bucket frame (the quadratic
+    * blow-up guard — see [[minhashLshPairs]]). */
+  private def hotBucketKeys(buckets: DataFrame, cap: Int): DataFrame =
+    buckets.groupBy("bk").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > cap).select("bk")
 
   /** Cross-corpus NEAR-dup detection: (incoming_id, corpus_id, jaccard)
     * for every incoming doc within `threshold` Jaccard of a corpus doc.
@@ -409,42 +426,31 @@ object Dedup {
     * but the band join is ASYMMETRIC (incoming buckets × corpus
     * buckets) — no within-side pairs are generated or verified, so the
     * cost scales with the overlap, not with |corpus|². Verification is
-    * exact Jaccard over re-shingled candidate docs from each side. */
+    * exact Jaccard over re-shingled candidate docs from each side.
+    * Id spaces of the two corpora may overlap arbitrarily: a pair is
+    * reported even when both sides carry the same id (sizes and
+    * shingles always come from each member's OWN side). */
   def minhashLshAgainst(incoming: DataFrame, corpus: DataFrame,
       threshold: Double,
       idCol: String = "doc_id", textCol: String = "text",
       numHashes: Int = 64, bands: Int = 16, k: Int = 5,
       maxBandBucket: Int = 10000): DataFrame = {
     val rows = numHashes / bands
-    def sigFrame(docs: DataFrame): DataFrame = {
-      val sigExpr = org.apache.spark.sql.graft.Bridge.column(
-        graft.etl.expressions.MinHashSig(
-          org.apache.spark.sql.graft.Bridge.expression(col("shingles")),
-          numHashes))
-      shingleHashArrays(docs, idCol, textCol, k)
-        .select(col("sid"), sigExpr.as("sig"),
-          size(col("shingles")).cast("long").as("n"))
-    }
-    def buckets(sig: DataFrame): DataFrame = {
-      val bandCols = (0 until bands).map { bi =>
-        struct(lit(bi).as("band"),
-          hash((bi * rows until (bi + 1) * rows)
-            .map(i => element_at(col("sig"), i + 1)): _*).as("bh"))
-      }
-      sig.select(col("sid"), explode(array(bandCols: _*)).as("bk"))
-    }
-    val sigIn = persistTracked(sigFrame(incoming))
-    val sigCo = persistTracked(sigFrame(corpus))
-    val bIn = buckets(sigIn)
-    val bCo = buckets(sigCo)
-    // bucket-population cap against mass-dup clusters, as in the
-    // symmetric op — population counted on the CORPUS side (the big one)
-    val hot = bCo.groupBy("bk").agg(count(lit(1)).as("bn"))
-      .filter(col("bn") > maxBandBucket).select("bk")
+    val sigIn = persistTracked(
+      minhashSigFrame(incoming, idCol, textCol, numHashes, k))
+    val sigCo = persistTracked(
+      minhashSigFrame(corpus, idCol, textCol, numHashes, k))
+    val bIn = bandBuckets(sigIn, bands, rows)
+    val bCo = bandBuckets(sigCo, bands, rows)
+    // bucket-population cap against mass-dup clusters on EITHER side:
+    // a boilerplate cluster in the incoming batch would otherwise
+    // multiply |incoming bucket| × |corpus bucket| rows in one task
+    // just like a corpus-side cluster would
+    val hot = hotBucketKeys(bIn, maxBandBucket)
+      .union(hotBucketKeys(bCo, maxBandBucket)).distinct()
     val cand = bIn.join(broadcast(hot), Seq("bk"), "left_anti").as("l")
       .join(bCo.as("r"), col("l.bk") === col("r.bk"))
       .select(col("l.sid").as("da"), col("r.sid").as("db"))
-      .filter(col("da") =!= col("db"))
       .distinct()
     def candShingles(docs: DataFrame, ids: DataFrame): DataFrame =
       shingleHashFrame(docs.join(ids, Seq(idCol), "left_semi"),

@@ -197,7 +197,10 @@ object Multimodal {
           if (Containers(typ)) walk(ps, pe, depth + 1)
           else if (typ == "tkhd" && pe - ps >= 84) {
             val v = bytes(ps) & 0xff
-            val whOff = ps + (if (v == 1) 84 else 76) // after matrix
+            // v0 payload: 4 vf + 20 times/ids + 16 layer/group/volume
+            // + 36 matrix = 76 before width (84 total); v1 widens the
+            // three time/duration fields to 64-bit: +12 → 88 (96 total)
+            val whOff = ps + (if (v == 1) 88 else 76)
             if (whOff + 8 <= pe) {
               val w = (be32(bytes, whOff) >> 16).toInt   // 16.16 fixed
               val h = (be32(bytes, whOff + 4) >> 16).toInt

@@ -63,6 +63,53 @@ object Pq {
       Similarity.norm(v).as("vnorm"))
   }
 
+
+  /** Query vectors collected to the driver — tiny by contract (same
+    * rationale as the broadcast side of [[Similarity.bruteForceKnn]]);
+    * everything derived from them (LUTs, probe lists) is model-sized. */
+  private def collectQueries(emb: DataFrame, queryPred: Column,
+      idCol: String, vecCol: String): Array[(Long, Array[Double])] =
+    emb.filter(queryPred)
+      .select(col(idCol), asDouble(col(vecCol))).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+
+  /** LUT[j][c] = q_j . C_j[c] for one query against the codebooks. */
+  private def lutFor(qv: Array[Double],
+      codebooks: Array[Array[Array[Double]]]): Seq[Seq[Double]] = {
+    val subDim = codebooks.head.head.length
+    codebooks.indices.map { j =>
+      val sub = qv.slice(j * subDim, (j + 1) * subDim)
+      codebooks(j).map(c =>
+        c.zip(sub).map { case (a, b) => a * b }.sum).toSeq
+    }
+  }
+
+  /** Exact cosine re-rank of an ADC shortlist (candidates-then-fetch):
+    * shared tail of [[knn]] and [[ivfPqKnn]], so tie-breaks and
+    * rounding stay identical across the two ANN paths. */
+  private def exactRerank(shortlist: DataFrame, emb: DataFrame,
+      queries: Array[(Long, Array[Double])], k: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vecs = emb.select(col(idCol).as("cid"), asDouble(col(vecCol)).as("ce"))
+      .withColumn("cn", Similarity.norm(col("ce")))
+    val qvecs = queries.map { case (qid, qv) =>
+      (qid, qv.toSeq, math.sqrt(qv.map(x => x * x).sum))
+    }.toSeq.toDF("qid", "qe", "qn2")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("cid").asc)
+    shortlist
+      .join(vecs, "cid")
+      .join(broadcast(qvecs), "qid")
+      .select(col("qid"), col("cid"),
+        round(Similarity.dot(col("qe"), col("ce")) / (col("qn2") * col("cn")), 4)
+          .as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
   /** Full IVF-PQ (the production ANN architecture, FAISS-style): a
     * coarse quantizer partitions the corpus into [[Ivf]] cells and PQ
     * codebooks are trained on RESIDUALS (v − centroid[cell]) — far less
@@ -93,61 +140,43 @@ object Pq {
         element_at(centsLit, col("cell") + 1), (a, b) => a - b))
     val codebooks = train(withRes.select(col(idCol), col("res")),
       m, kSub, iters, idCol, "res")
-    val subDim = codebooks.head.head.length
     val enc = encode(withRes.select(col(idCol), col("res"), col("cell"),
         asDouble(col(vecCol)).as("orig")), codebooks, idCol, "res")
       .join(withRes.select(col(idCol), col("cell"),
         Similarity.norm(asDouble(col(vecCol))).as("tn")), Seq(idCol))
       .select(col(idCol).as("cid"), col("code"), col("cell"),
         col("tn").as("vnorm"))
-    val queries = emb.filter(queryPred)
-      .select(col(idCol), asDouble(col(vecCol))).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val queries = collectQueries(emb, queryPred, idCol, vecCol)
     // per query: one global-residual-codebook LUT + per-probed-cell
-    // scalar q·c — all model-sized driver arithmetic
+    // scalar q·c — all model-sized driver arithmetic. The LUT frame is
+    // broadcast ONCE per query (joined on qid) rather than duplicated
+    // into each of its nprobe probe rows.
     val probeRows = queries.flatMap { case (qid, qv) =>
-      val lut = (0 until m).map { j =>
-        val sub = qv.slice(j * subDim, (j + 1) * subDim)
-        codebooks(j).map(c =>
-          c.zip(sub).map { case (a, b) => a * b }.sum).toSeq
-      }
-      val qn = math.sqrt(qv.map(x => x * x).sum)
-      val byDist = centroids.zipWithIndex.map { case (c, i) =>
+      centroids.zipWithIndex.map { case (c, i) =>
         val d = c.zip(qv).map { case (a, b) => val t = a - b; t * t }.sum
         (d, i)
-      }.sortBy(x => (x._1, x._2)).take(nprobe)
-      byDist.map { case (_, cell) =>
+      }.sortBy(x => (x._1, x._2)).take(nprobe).map { case (_, cell) =>
         val qdotc = centroids(cell).zip(qv).map { case (a, b) => a * b }.sum
-        (qid, cell, qdotc, lut, qn)
+        (qid, cell, qdotc)
       }
     }.toSeq
-    val qdf = probeRows.toDF("qid", "cell", "qdotc", "lut", "qn")
+    val probeDf = probeRows.toDF("qid", "cell", "qdotc")
+    val lutDf = queries.map { case (qid, qv) =>
+      (qid, lutFor(qv, codebooks), math.sqrt(qv.map(x => x * x).sum))
+    }.toSeq.toDF("qid", "lut", "qn")
     val adcSim = (col("qdotc") + aggregate(
       zip_with(col("code"), col("lut"), (c, l) => element_at(l, c + 1)),
       lit(0.0), (acc, x) => acc + x)) / (col("qn") * col("vnorm"))
     val wAdc = Window.partitionBy(col("qid"))
       .orderBy(col("sim_adc").desc, col("cid").asc)
-    val shortlist = enc.join(broadcast(qdf), "cell")
+    val shortlist = enc.join(broadcast(probeDf), "cell")
+      .join(broadcast(lutDf), "qid")
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), adcSim.as("sim_adc"))
       .withColumn("rn", row_number().over(wAdc))
       .filter(col("rn") <= rerank)
       .select("qid", "cid")
-    val vecs = emb.select(col(idCol).as("cid"), asDouble(col(vecCol)).as("ce"))
-      .withColumn("cn", Similarity.norm(col("ce")))
-    val qvecs = queries.map { case (qid, qv) =>
-      (qid, qv.toSeq, math.sqrt(qv.map(x => x * x).sum))
-    }.toSeq.toDF("qid", "qe", "qn2")
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("sim").desc, col("cid").asc)
-    shortlist
-      .join(vecs, "cid")
-      .join(broadcast(qvecs), "qid")
-      .select(col("qid"), col("cid"),
-        round(Similarity.dot(col("qe"), col("ce")) / (col("qn2") * col("cn")), 4)
-          .as("sim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+    exactRerank(shortlist, emb, queries, k, idCol, vecCol)
   }
 
   /** PQ top-k cosine search with ADC scan + exact re-rank.
@@ -167,24 +196,12 @@ object Pq {
     val spark = emb.sparkSession
     import spark.implicits._
     val codebooks = train(emb, m, kSub, iters, idCol, vecCol)
-    val subDim = codebooks.head.head.length
     val enc = encode(emb, codebooks, idCol, vecCol)
       .select(col(idCol).as("cid"), col("code"), col("vnorm"))
-    // the query set is tiny by contract (same rationale as the
-    // broadcast side of bruteForceKnn); its LUTs are model-derived
-    val queries = emb.filter(queryPred)
-      .select(col(idCol), asDouble(col(vecCol))).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val lutRows = queries.map { case (qid, qv) =>
-      val lut = (0 until m).map { j =>
-        val sub = qv.slice(j * subDim, (j + 1) * subDim)
-        codebooks(j).map(c =>
-          c.zip(sub).map { case (a, b) => a * b }.sum).toSeq
-      }
-      val qn = math.sqrt(qv.map(x => x * x).sum)
-      (qid, lut, qn)
-    }.toSeq
-    val qdf = lutRows.toDF("qid", "lut", "qn")
+    val queries = collectQueries(emb, queryPred, idCol, vecCol)
+    val qdf = queries.map { case (qid, qv) =>
+      (qid, lutFor(qv, codebooks), math.sqrt(qv.map(x => x * x).sum))
+    }.toSeq.toDF("qid", "lut", "qn")
     // ADC: pure LUT lookups per corpus row — no vector access
     val adcSim = aggregate(
       zip_with(col("code"), col("lut"), (c, l) => element_at(l, c + 1)),
@@ -197,21 +214,6 @@ object Pq {
       .withColumn("rn", row_number().over(wAdc))
       .filter(col("rn") <= rerank)
       .select("qid", "cid")
-    // exact re-rank of the shortlist: candidates-then-fetch
-    val vecs = emb.select(col(idCol).as("cid"), asDouble(col(vecCol)).as("ce"))
-      .withColumn("cn", Similarity.norm(col("ce")))
-    val qvecs = queries.map { case (qid, qv) =>
-      (qid, qv.toSeq, math.sqrt(qv.map(x => x * x).sum))
-    }.toSeq.toDF("qid", "qe", "qn2")
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("sim").desc, col("cid").asc)
-    shortlist
-      .join(vecs, "cid")
-      .join(broadcast(qvecs), "qid")
-      .select(col("qid"), col("cid"),
-        round(Similarity.dot(col("qe"), col("ce")) / (col("qn2") * col("cn")), 4)
-          .as("sim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+    exactRerank(shortlist, emb, queries, k, idCol, vecCol)
   }
 }

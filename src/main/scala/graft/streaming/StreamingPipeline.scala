@@ -44,7 +44,9 @@ object StreamingPipeline {
       .options(if (format == "csv") Map("header" -> "true") ++ options
         else options)
       .load(dir)
-    base.select(to_json(struct(base.columns.map(col).toSeq: _*)).as("line"))
+    // backtick-quote names (dotted CSV headers parse as nested access)
+    val cols = base.columns.toSeq.map(c => col("`" + c.replace("`", "``") + "`"))
+    base.select(to_json(struct(cols: _*)).as("line"))
       .filter(col("line") =!= "{}")
   }
 

@@ -13,4 +13,19 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a shutdown hook through Spark's ordered
+    * ShutdownHookManager (private[spark]) instead of the raw JVM API:
+    * JVM shutdown hooks run CONCURRENTLY in unspecified order, so a
+    * raw hook draining streaming queries races Spark's own hook
+    * stopping the SparkContext. Priorities run highest-first;
+    * SparkContext stops at priority 50, so a drain registered above
+    * that completes before context teardown begins. Returns a handle
+    * accepted by [[removeShutdownHook]]. */
+  val SparkContextShutdownPriority: Int =
+    org.apache.spark.util.ShutdownHookManager.SPARK_CONTEXT_SHUTDOWN_PRIORITY
+  def addShutdownHook(priority: Int)(f: () => Unit): AnyRef =
+    org.apache.spark.util.ShutdownHookManager.addShutdownHook(priority)(f)
+  def removeShutdownHook(handle: AnyRef): Boolean =
+    org.apache.spark.util.ShutdownHookManager.removeShutdownHook(handle)
 }

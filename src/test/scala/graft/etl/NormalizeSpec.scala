@@ -230,6 +230,17 @@ class NormalizeSpec extends SparkSpec {
     assert(csvRows.count(_._1 == "normalize") == 2)
   }
 
+  test("CSV source: dotted header is a flat residual key, not nested access") {
+    val dir = java.nio.file.Files.createTempDirectory("csv-dot")
+    java.nio.file.Files.write(dir.resolve("logs.csv"),
+      ("""ts,level,msg,user.name
+        |2025-01-02T03:04:05Z,INFO,ok,jo
+        |""".stripMargin).getBytes)
+    val r = Normalize(Normalize.parseCsvLines(spark, dir.toString)).collect().head
+    assert(r.getAs[String]("error_kind") == null)
+    assert(r.getAs[Map[String, String]]("fields") == Map("user.name" -> "jo"))
+  }
+
   test("ORC source: typed records normalize through the same chain") {
     import spark.implicits._
     val dir = s"${java.nio.file.Files.createTempDirectory("orc-src")}/logs.orc"

@@ -130,6 +130,15 @@ class OpsSpec extends SparkSpec {
     val enc = Pq.encode(emb, cb1)
     assert(enc.columns.toSeq == Seq("vec_id", "code", "vnorm"))
     assert(enc.head().getSeq[Int](1).length == 4)
+    // ragged vector = data error → loud failure, not an unchecked
+    // off-heap read producing silent garbage codes
+    val ragged = Seq((1L, Array.fill(7)(0.5f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Pq.encode(ragged, cb1).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("pq_encode")), msgs(e).mkString(" | "))
   }
 
   test("IVF-PQ knn: recall@5 >= 0.9 at sf0.1 (probe-bounded, residual codes)") {
@@ -260,6 +269,12 @@ class OpsSpec extends SparkSpec {
     assert(pairs.keySet == Set((1L, 100L), (2L, 100L)), s"got=${pairs.keySet}")
     assert(pairs((1L, 100L)) == 1.0)
     assert(pairs((2L, 100L)) >= 0.5 && pairs((2L, 100L)) < 1.0)
+    // id spaces may collide: incoming id 100 (different doc) pairing
+    // with corpus id 100 must still be reported, not self-filtered
+    val collide = Seq((100L, base.replace("h5 ", "h5q "))).toDF("doc_id", "text")
+    val cp = Dedup.minhashLshAgainst(collide, history, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cp == Set((100L, 100L)), s"same-id cross pair dropped: $cp")
     Dedup.releaseCaches()
   }
 
@@ -502,6 +517,12 @@ class OpsSpec extends SparkSpec {
     val f = Multimodal.Mp4MetaDecoder.decode(1L, "video/mp4", mp4)
     assert(f.width == 320 && f.height == 240 && f.n_frames == 10)
     assert(math.abs(f.feature.sum - 1.0f) < 1e-5)
+    // version-1 tkhd (64-bit timestamps) shifts width/height by 12
+    val mp4v1 = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/tiny_v1.mp4").toURI))
+    val f1 = Multimodal.Mp4MetaDecoder.decode(9L, "video/mp4", mp4v1)
+    assert(f1.width == 640 && f1.height == 480 && f1.n_frames == 7,
+      s"v1 tkhd parse: ${(f1.width, f1.height, f1.n_frames)}")
     // corrupt / non-BMFF payload → sentinel, task survives
     val bad = Multimodal.Mp4MetaDecoder.decode(2L, "video/mp4", "AVI?".getBytes)
     assert(bad.width == -1 && bad.n_frames == 0)
