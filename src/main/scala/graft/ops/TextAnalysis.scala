@@ -120,6 +120,54 @@ object TextAnalysis {
       round(top.cast("double") / size(grams), 4)).otherwise(lit(0.0))
   }
 
+  /** Deterministic feature-hashing text embedder (the "hashing trick"):
+    * tokens hash into `dim` buckets (md5 low-64 — the same cross-engine
+    * recomputable hash as SimHash), each token contributes ±1 by an
+    * independent hash bit, and the bucket sums are L2-normalized. The
+    * classical no-model text-vectorization baseline — closes the
+    * text → vector loop IN-ENGINE, so documents can flow straight into
+    * the vec_* similarity/dedup/ANN operators without an external
+    * embedding model. Signed-hash cancellation makes the estimator
+    * unbiased (Weinberger et al., feature hashing).
+    *
+    * Sparse form (doc_id, b, v): one row per OCCUPIED bucket with the
+    * normalized component — exploded scalars, exactly hash-checkable
+    * cross-engine. Two narrow shuffles (bucket sums, per-doc norm). */
+  def hashEmbedSparse(docs: DataFrame, dim: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .withColumn("t_h",
+        expr("CAST(conv(substring(md5(CAST(tok AS BINARY)), 1, 16), 16, -10) AS BIGINT)"))
+    val w = tok.select(col("doc_id"), pmod(col("t_h"), lit(dim)).as("b"),
+        when(shiftrightunsigned(col("t_h"), 62).bitwiseAND(lit(1L)) === 1L,
+          lit(1.0)).otherwise(lit(-1.0)).as("s"))
+      .groupBy("doc_id", "b").agg(sum("s").as("w"))
+    val nrm = sqrt(sum(col("w") * col("w"))
+      .over(Window.partitionBy(col("doc_id"))))
+    w.select(col("doc_id"), col("b"),
+      round(when(nrm > 0, col("w") / nrm).otherwise(lit(0.0)), 4).as("v"))
+  }
+
+  /** Dense form (doc_id, embedding: array<float>) — schema-compatible
+    * with the `embeddings` table, so the output feeds
+    * [[Similarity]] / [[Dedup.embeddingNearDupPairs]] / [[Ivf]] / [[Pq]]
+    * directly. Assembled from the sparse rows (scatter into a
+    * zero-array per doc). */
+  def hashEmbedDense(docs: DataFrame, dim: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    hashEmbedSparse(docs, dim, idCol, textCol)
+      .groupBy(col("doc_id").as(idCol))
+      .agg(collect_list(struct(col("b"), col("v"))).as("es"))
+      .select(col(idCol),
+        aggregate(col("es"),
+          array_repeat(lit(0.0f), dim),
+          (acc, e) => transform(acc, (x, i) =>
+            when(i === e.getField("b").cast("int"),
+              x + e.getField("v").cast("float")).otherwise(x)))
+          .as("embedding"))
+
   /** One-pass document profile. */
   def profile(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

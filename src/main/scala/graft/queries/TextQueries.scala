@@ -70,6 +70,27 @@ object TextQueries {
       |       ELSE 0.0 END AS top2_frac
       |FROM g ORDER BY doc_id""".stripMargin
 
+  /** In-engine feature-hashing embeddings, sparse form — the DuckDB
+    * oracle recomputes the full pipeline (md5-low64 token hash, signed
+    * buckets, L2 normalization) from scratch. */
+  def hashEmbed(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.hashEmbedSparse(docs(spark, dir))
+      .transform(QueryUtil.ordered("doc_id", "b"))
+
+  val hashEmbedOracle: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+      |             FROM documents),
+      |th AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h
+      |       FROM tok),
+      |w AS (SELECT doc_id, CAST(h % 64 AS BIGINT) AS b,
+      |        sum(CASE WHEN (h >> 62) & 1 = 1 THEN 1.0 ELSE -1.0 END) AS w
+      |      FROM th GROUP BY 1, 2),
+      |n AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1)
+      |SELECT w.doc_id AS doc_id, b,
+      |  round(CASE WHEN nrm > 0 THEN w / nrm ELSE 0 END, 4) AS v
+      |FROM w JOIN n ON w.doc_id = n.doc_id
+      |ORDER BY w.doc_id, b""".stripMargin
+
   def quality(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(col("doc_id"),
         TextAnalysis.qualityScore(col("text")).as("quality"))
@@ -475,6 +496,7 @@ object TextQueries {
     "tx_token_stats" -> ((tokenStats _, Some(tokenStatsOracle))),
     "tx_quality" -> ((quality _, Some(qualityOracle))),
     "tx_repetition" -> ((repetition _, Some(repetitionOracle))),
+    "tx_hash_embed" -> ((hashEmbed _, Some(hashEmbedOracle))),
     "tx_lang_dist" -> ((langDist _, Some(langDistOracle))),
     "tx_fingerprints" -> ((fingerprints _, Some(fingerprintsOracle))),
     "dd_exact" -> ((exactDedup _, Some(exactDedupOracle))),

@@ -401,6 +401,31 @@ class OpsSpec extends SparkSpec {
     assert(d(3L) == ((0.0, 1.0)))   // single bigram is 100% of mass
   }
 
+  test("hash embeddings: unit norm, deterministic, feed the vec operators directly") {
+    val e = TextAnalysis.hashEmbedDense(docs.limit(20))
+    val rows = e.collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1)
+      assert(v.length == 64)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      assert(math.abs(n - 1.0) < 0.01, s"norm=$n") // rounding at 4dp
+    }
+    // deterministic across invocations
+    val again = TextAnalysis.hashEmbedDense(docs.limit(20)).collect()
+    assert(rows.map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap ==
+      again.map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap)
+    // schema-compatible with the similarity surface: identical texts
+    // map to identical vectors → cosine 1.0 via the real operator
+    val twins = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+        (3L, "totally different words here")).toDF("doc_id", "text")
+    val sims = Similarity.cosinePairs(
+        TextAnalysis.hashEmbedDense(twins), threshold = -1.0, idCol = "doc_id")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(sims((1L, 2L)) == 1.0)
+    assert(sims((1L, 3L)) < 0.9)
+  }
+
   test("language-ID: marker precedence and und fallback") {
     val d = Seq((1L, "the cat and the dog is here"),
       (2L, "der hund und die katze ist da"),
