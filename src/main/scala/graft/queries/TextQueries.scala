@@ -404,6 +404,46 @@ object TextQueries {
       |SELECT source, count(*) AS n_docs FROM sampled
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** Curation v2: the v1 pipeline plus the Gopher-style repetition
+    * gate (duplicate-3-gram fraction ≤ 0.2) — boilerplate/spam docs
+    * are dropped BEFORE dedup/sampling, exactly where a production
+    * pretraining pipeline applies it. Still one declarative plan. */
+  def curation2(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .withColumn("_tk", TextAnalysis.tokens(col("text")))
+      .withColumn("_g3", TextAnalysis.ngramsFromTokens(col("_tk"), 3))
+    val filtered = d.filter(
+      TextAnalysis.langId(col("text")) === "en" &&
+        TextAnalysis.qualityScore(col("text")) >= 0.58 &&
+        TextAnalysis.tokenCount(col("text")) >= 20 &&
+        TextAnalysis.dupNgramFraction(col("_g3")) <= 0.2)
+    val keeper = filtered.withColumn("fp",
+        TextAnalysis.md5Fingerprint(col("text")))
+      .withColumn("keep",
+        col("doc_id") === min("doc_id").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      .filter(col("keep"))
+    val sampled = graft.ops.Sampling.stratified(
+      keeper, "source", "doc_id",
+      Map("src0" -> 1.0, "src1" -> 1.0), defaultFraction = 0.5)
+    sampled.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .transform(QueryUtil.ordered("source"))
+  }
+
+  /** v1 oracle with the repetition predicate injected into the same
+    * CTE pipeline. */
+  val curation2Oracle: String = curationOracle
+    .replace("    len(list_filter(string_split(text, ' '), t -> t IN ('el','los','las','y','es'))) AS sp",
+      """    len(list_filter(string_split(text, ' '), t -> t IN ('el','los','las','y','es'))) AS sp,
+        |    CASE WHEN len(string_split(text, ' ')) >= 3
+        |         THEN list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |                i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))
+        |         ELSE [] END AS g3""".stripMargin)
+    .replace("    AND n >= 20),",
+      """    AND n >= 20
+        |    AND (len(g3) = 0 OR
+        |         round((len(g3) - len(list_distinct(g3))) * 1.0 / len(g3), 4) <= 0.2)),""".stripMargin)
+
   /** Deterministic stratified sample (data mixing): per-source keep
     * fractions via a content-independent md5 unit hash — reproducible
     * across engines, stable under corpus growth. */
@@ -510,6 +550,7 @@ object TextQueries {
     "dd_clusters_star" -> ((dedupClustersStar _, Some(dedupClustersOracle))),
     "dd_keep" -> ((dedupKeep _, Some(dedupKeepOracle))),
     "tx_curation" -> ((curation _, Some(curationOracle))),
+    "tx_curation2" -> ((curation2 _, Some(curation2Oracle))),
     "tx_sample_strata" -> ((sampleStrata _, Some(sampleStrataOracle))),
     "tx_corpus_profile" -> ((corpusProfile _, Some(corpusProfileOracle))),
     "mm_media_meta" -> ((mediaMeta _, Some(mediaMetaOracle))),
