@@ -29,35 +29,12 @@ object LogSchema {
     "service", "app", "component", "kubernetes", "trace_id", "trace",
     "namespace", "pod", "node")
 
-  /** Superset struct used for the typed PERMISSIVE parse of a raw line.
-    * Every alias the normalizer consults gets a column; `kubernetes` is the
-    * single nested object the reference understands
-    * (`normalize.go:87-108`). */
-  val RawSchema: StructType = StructType(Seq(
-    StructField("ts", StringType),
-    StructField("time", StringType),
-    StructField("level", StringType),
-    StructField("severity", StringType),
-    StructField("msg", StringType),
-    StructField("message", StringType),
-    StructField("service", StringType),
-    StructField("app", StringType),
-    StructField("component", StringType),
-    StructField("namespace", StringType),
-    StructField("pod", StringType),
-    StructField("node", StringType),
-    StructField("hostname", StringType),
-    StructField("trace_id", StringType),
-    StructField("trace", StringType),
-    StructField("kubernetes", StructType(Seq(
-      StructField("namespace_name", StringType),
-      StructField("pod_name", StringType),
-      StructField("node_name", StringType))))))
-
   /** Normalized output schema (order matches the reference's JSON render,
     * `normalized.go:3-13`). `ts` is the canonical RFC3339Nano string (sink
     * surface); `ts_ts`/`ts_offset_secs` are the engine-internal typed
-    * representation. */
+    * representation. NOT free-floating documentation: NormalizeSpec
+    * binds this struct (and [[LogRecord]]) field-for-field against the
+    * actual normalize output, so drift fails a test. */
   val NormalizedSchema: StructType = StructType(Seq(
     StructField("ts", StringType, nullable = false),
     StructField("level", StringType, nullable = false),

@@ -28,6 +28,9 @@ object Pipeline {
       transformed0 <- TransformRegistry(cfg)(normalized0)
     } yield {
       val t0 = System.nanoTime()
+      // fresh run: truncate the DLQ like the reference's os.Create —
+      // stale failure entries from a prior run must not accumulate
+      Sinks.initDlq(cfg.dlqPath)
       val transformed = transformed0.cache()
       val (kept, _, _) = Transforms.split(transformed)
 

@@ -205,20 +205,24 @@ object EtlReport {
       col(Transforms.TransformErrorCol).isNotNull
     val normalizedOkC = col("error_kind").isNull
     val withServiceC = normalizedOkC && col("service") =!= ""
+    // every sum is coalesced: a global aggregate over ZERO rows (empty
+    // input file, empty streaming micro-batch) yields NULL sums, and a
+    // bare getLong would NPE where the reference prints a zero report
+    def zsum(c: org.apache.spark.sql.Column) = coalesce(sum(c), lit(0L))
     val row = df.agg(
       count(lit(1)).as("total"),
-      sum(when(isJson, 1L).otherwise(0L)).as("json_failed"),
-      sum(when(isNormErr, 1L).otherwise(0L)).as("norm_failed"),
+      zsum(when(isJson, 1L).otherwise(0L)).as("json_failed"),
+      zsum(when(isNormErr, 1L).otherwise(0L)).as("norm_failed"),
       // NormalizedOK is incremented BEFORE the transform chain runs
       // (`main.go:386-397`), so a transform error leaves it counted here
       // AND adds to normalized_failed — reproduce both.
-      sum(when(normalizedOkC, 1L).otherwise(0L)).as("norm_ok"),
-      sum(when(col(Transforms.DropReasonCol) === "level", 1L).otherwise(0L)).as("f_level"),
-      sum(when(col(Transforms.DropReasonCol) === "service", 1L).otherwise(0L)).as("f_service"),
-      sum(when(col(Transforms.DropReasonCol).isNotNull &&
+      zsum(when(normalizedOkC, 1L).otherwise(0L)).as("norm_ok"),
+      zsum(when(col(Transforms.DropReasonCol) === "level", 1L).otherwise(0L)).as("f_level"),
+      zsum(when(col(Transforms.DropReasonCol) === "service", 1L).otherwise(0L)).as("f_service"),
+      zsum(when(col(Transforms.DropReasonCol).isNotNull &&
         !col(Transforms.DropReasonCol).isin("level", "service"), 1L)
         .otherwise(0L)).as("f_other"),
-      sum(when(withServiceC, 1L).otherwise(0L)).as("with_service")).head()
+      zsum(when(withServiceC, 1L).otherwise(0L)).as("with_service")).head()
 
     // A3: counted after normalize, before filtering (`main.go:387`);
     // empty level impossible post-normalize, empty service skipped

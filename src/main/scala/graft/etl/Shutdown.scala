@@ -61,11 +61,14 @@ object Shutdown {
   def drainAll(spark: SparkSession, timeoutSeconds: Int): Boolean = {
     val timeout = if (timeoutSeconds <= 0) 30 else timeoutSeconds
     val deadlineNs = System.nanoTime() + timeout * 1000000000L
-    // map THEN forall: a query that blows its budget must not
-    // short-circuit the stop() of the remaining queries
+    // map THEN forall, with per-query exception isolation: neither a
+    // blown budget nor a throwing stop() (q.stop() declares
+    // TimeoutException past spark.sql.streaming.stopTimeout) may
+    // short-circuit the drain/stop of the remaining queries
     spark.streams.active.map { q =>
       val remainS = math.max(1L, (deadlineNs - System.nanoTime()) / 1000000000L)
-      stopGracefully(q, remainS.toInt)
+      try stopGracefully(q, remainS.toInt)
+      catch { case _: Exception => false }
     }.forall(identity)
   }
 

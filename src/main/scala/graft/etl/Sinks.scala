@@ -95,14 +95,29 @@ object Sinks {
 
   /** Raw JSON text that should be emitted unquoted: numbers, booleans,
     * null, objects, arrays — i.e. everything the map<string,string> parse
-    * produced from a non-string JSON value. */
+    * produced from a non-string JSON value. Object/array-looking text is
+    * VERIFIED to parse: a string VALUE like "{oops" must be quoted, or
+    * the whole output line becomes invalid JSON (Go json.Marshal always
+    * quotes strings). Documented remaining delta: a string value whose
+    * text IS valid JSON (e.g. "[1]") re-types on render, and raw number
+    * text is emitted verbatim ("5.0" stays 5.0 where Go re-renders the
+    * parsed float as 5) — both still valid JSON. */
   private def isJsonLiteral(v: String): Boolean = {
     if (v.isEmpty) return false
     val c = v.charAt(0)
-    c == '{' || c == '[' || v == "true" || v == "false" || v == "null" ||
+    ((c == '{' || c == '[') && parsesAsJson(v)) ||
+      v == "true" || v == "false" || v == "null" ||
       ((c == '-' || (c >= '0' && c <= '9')) &&
         v.matches("-?\\d+(\\.\\d+)?([eE][+-]?\\d+)?"))
   }
+
+  private val jsonCheckFactory = new com.fasterxml.jackson.core.JsonFactory()
+  private def parsesAsJson(v: String): Boolean =
+    try {
+      val p = jsonCheckFactory.createParser(v)
+      try { while (p.nextToken() != null) {} } finally p.close()
+      true
+    } catch { case _: Exception => false }
 
   /** Per-sink write outcome; feeds A6–A8 + DLQ (report wiring in
     * [[Pipeline]]).
@@ -146,8 +161,11 @@ object Sinks {
   }
 
   /** Retry policy from `cmd/etl/main.go:480-537`: exponential backoff
-    * base<<attempt capped at max, ±jitter, maxRetries attempts after the
-    * first. Deterministic jitter seed per partition for reproducibility.
+    * base<<attempt capped at max, plus ADDITIVE jitter in
+    * [0, sleep·jitterPct) on top of the capped backoff (main.go:516-524
+    * — a symmetric ±jitter would undershoot the reference's minimum
+    * wait). Deterministic jitter seed per partition for
+    * reproducibility.
     */
   final class RetryPolicy(maxRetries: Int, baseMs: Long, maxMs: Long,
       jitterPct: Double) extends Serializable {
@@ -159,11 +177,10 @@ object Sinks {
           case _: Exception if attempt < maxRetries =>
             var backoff = baseMs << attempt
             if (maxMs > 0 && backoff > maxMs) backoff = maxMs
-            if (jitterPct > 0) {
-              val d = (backoff * jitterPct).toLong
-              if (d > 0) backoff = backoff - d + math.abs(rng.nextLong() % (2 * d))
-            }
-            Thread.sleep(math.max(backoff, 0))
+            val jitter =
+              if (jitterPct > 0) (rng.nextDouble() * backoff * jitterPct).toLong
+              else 0L
+            Thread.sleep(math.max(backoff + jitter, 0))
             attempt += 1
           case _: Exception => return (false, attempt)
         }
@@ -310,7 +327,10 @@ object Sinks {
         while (it.hasNext) {
           val data = renderRecord(it.next()) + "\n"
           val bytes = data.getBytes("UTF-8").length
-          if (size + bytes > maxBytes && size > 0) {
+          // rotate whenever the record would overflow — even into an
+          // empty base (rotate.go:41 has no size>0 guard: an oversized
+          // first record shifts the empty base and lands in a fresh one)
+          if (size + bytes > maxBytes) {
             out.close()
             index += 1
             if (maxFiles > 0 && index > maxFiles)
@@ -365,21 +385,28 @@ object Sinks {
           org.apache.spark.TaskContext.getPartitionId().toLong)
         rows.map { row =>
           val body = renderRecord(row)
+          var lastErr: String = null
           val (ok, retries) = pol.run(() => {
-            val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(u))
-              .timeout(java.time.Duration.ofMillis(tmo))
-              .header("Content-Type", "application/json")
-              .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
-              .build()
-            val resp = client.send(req,
-              java.net.http.HttpResponse.BodyHandlers.discarding())
-            val code = resp.statusCode()
-            if (code < 200 || code >= 300)
-              throw new java.io.IOException(s"unexpected status $code")
+            try {
+              val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(u))
+                .timeout(java.time.Duration.ofMillis(tmo))
+                .header("Content-Type", "application/json")
+                .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+                .build()
+              val resp = client.send(req,
+                java.net.http.HttpResponse.BodyHandlers.discarding())
+              val code = resp.statusCode()
+              if (code < 200 || code >= 300)
+                throw new java.io.IOException(s"unexpected status $code")
+            } catch { case e: Exception =>
+              lastErr = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+              throw e
+            }
           }, rng)
-          (if (ok) 1L else 0L, retries.toLong, if (ok) null else body)
+          (if (ok) 1L else 0L, retries.toLong,
+            if (ok) null else body, if (ok) null else lastErr)
         }
-      }.toDF("ok", "retries", "body")
+      }.toDF("ok", "retries", "body", "err")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val agg = status.agg(
         coalesce(sum(col("ok")), lit(0L)).as("ok"),
@@ -395,13 +422,16 @@ object Sinks {
       if (failed > 0) {
         import org.apache.spark.sql.functions.concat
         val failFrame = status.filter(col("ok") === 0)
-        val reasonCol = concat(lit("write failed after "),
-          col("retries").cast("string"), lit(" retries"))
-        // reason cardinality ≤ distinct retry counts ≤ maxRetries+1 —
-        // a tiny aggregate, safe to collect
-        val reasons = failFrame.groupBy(col("retries")).count().collect()
-          .map(r => (s"write failed after ${r.getLong(0)} retries",
-            r.getLong(1))).toMap
+        // the ACTUAL last error (e.g. "unexpected status 500") — the
+        // reference keys DLQ reasons on err.Error() (main.go:319-325),
+        // so an operator can tell 4xx from 5xx from timeouts
+        val reasonCol = coalesce(col("err"),
+          concat(lit("write failed after "),
+            col("retries").cast("string"), lit(" retries")))
+        // reason cardinality = distinct error messages (HTTP failures
+        // are low-cardinality by nature) — a tiny aggregate
+        val reasons = failFrame.groupBy(reasonCol.as("reason")).count()
+          .collect().map(r => (r.getString(0), r.getLong(1))).toMap
         sample = failFrame.select(col("body"), reasonCol.as("reason"))
           .limit(HttpSink.DlqSampleCap).collect()
           .map(r => (r.getString(0), r.getString(1))).toSeq
@@ -416,7 +446,11 @@ object Sinks {
           lines.write.mode("overwrite").text(tmp)
           mergeParts(df.sparkSession, tmp, dlqPath, keepExisting = true)
         }
-        handled = Some((failed, reasons))
+        // no DLQ configured → failures are LOST, not "written": the
+        // reference only counts dlq_written with a live dlqWriter
+        // (main.go:319-325); the capped sample still feeds logs
+        handled = Some(if (dlqPath.nonEmpty) (failed, reasons)
+          else (0L, Map.empty[String, Long]))
       }
       status.unpersist(blocking = false)
       WriteResult(okCount, failed,
@@ -479,6 +513,21 @@ object Sinks {
     }
   }
 
+  /** Truncate/create the DLQ file at pipeline start — the reference
+    * opens it with os.Create before the run (`main.go:475-478`), so a
+    * fresh run never appends onto a previous run's stale failure
+    * entries. Batch runs call this always; a streaming query calls it
+    * only when NOT resuming from a checkpoint (resume must keep the
+    * prior batches' DLQ, same contract as the sinks). */
+  def initDlq(path: String): Unit = {
+    if (path.isEmpty) return
+    val p = java.nio.file.Paths.get(path)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.newBufferedWriter(p,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING).close()
+  }
+
   /** K6: DLQ — JSONL of `{record, reason}` (`cmd/etl/main.go:475-478`,
     * `319-325`). `record` is the already-rendered record object. */
   def writeDlq(path: String, entries: Seq[(String, String)]): Unit = {
@@ -500,14 +549,22 @@ object Sinks {
     * `resume = true` (checkpoint restart) → sinks append from their
     * first write instead of truncating. */
   def build(cfg: EtlConfig, resume: Boolean = false): Either[String, Sink] = {
-    val policy = new RetryPolicy(cfg.sinkMaxRetries, cfg.sinkBackoffBaseMs,
-      cfg.sinkBackoffMaxMs, cfg.sinkBackoffJitter)
+    // the reference floors zero/unset values at USE time, after
+    // validation passed them as non-negative: backoff base 100 ms, cap
+    // 2 s, jitter 0.2 (main.go:485-495); rotation 10 MB / 5 files
+    // (builder.go:33-39). Without the floors, base=0 is a zero-backoff
+    // hot spin and max_bytes=0 rotates on every record.
+    val policy = new RetryPolicy(math.max(cfg.sinkMaxRetries, 0),
+      if (cfg.sinkBackoffBaseMs > 0) cfg.sinkBackoffBaseMs else 100,
+      if (cfg.sinkBackoffMaxMs > 0) cfg.sinkBackoffMaxMs else 2000,
+      if (cfg.sinkBackoffJitter > 0) cfg.sinkBackoffJitter else 0.2)
     cfg.outputType.toLowerCase match {
       case "" | "stdout" => Right(new StdoutSink())
       case "file" => Right(new FileSink(cfg.outputPath, resume))
       case "rotate" | "rotating" =>
-        Right(new RotatingSink(cfg.outputPath, cfg.outputMaxBytes,
-          cfg.outputMaxFiles, resume))
+        Right(new RotatingSink(cfg.outputPath,
+          if (cfg.outputMaxBytes > 0) cfg.outputMaxBytes else 10L * 1024 * 1024,
+          if (cfg.outputMaxFiles > 0) cfg.outputMaxFiles else 5, resume))
       case "http" | "webhook" =>
         Right(new HttpSink(cfg.outputPath, policy, dlqPath = cfg.dlqPath))
       case "parquet" | "s3" | "s3a" =>

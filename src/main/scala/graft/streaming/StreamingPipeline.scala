@@ -97,6 +97,7 @@ object StreamingPipeline {
   def writeStream(transformed: DataFrame, cfg: EtlConfig,
       checkpoint: String,
       triggerMs: Long = 1000): Either[String, StreamingQuery] = {
+    if (!isResume(checkpoint)) Sinks.initDlq(cfg.dlqPath)
     Sinks.build(cfg, resume = isResume(checkpoint)).map { sink =>
       transformed.writeStream
         .outputMode("append")
@@ -135,6 +136,7 @@ object StreamingPipeline {
   def runOnce(spark: SparkSession, inDir: String, cfg: EtlConfig,
       checkpoint: String,
       maxFilesPerTrigger: Int = 1): Either[String, StreamRunResult] = {
+    if (!isResume(checkpoint)) Sinks.initDlq(cfg.dlqPath)
     Sinks.build(cfg, resume = isResume(checkpoint)).map { sink =>
       @volatile var acc = EtlReport()
       // observed metrics come from a listener, NOT q.recentProgress:

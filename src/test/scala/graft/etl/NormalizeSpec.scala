@@ -230,6 +230,20 @@ class NormalizeSpec extends SparkSpec {
     assert(csvRows.count(_._1 == "normalize") == 2)
   }
 
+  test("NormalizedSchema and LogRecord bind to the actual normalize output") {
+    import spark.implicits._
+    val out = Normalize(Seq(
+        """{"ts":"2025-01-02T03:04:05Z","level":"info","msg":"ok","service":"s"}""")
+      .toDF("line")).filter(col("error").isNull)
+    val names = LogSchema.NormalizedSchema.fieldNames.toSeq
+    val typed = out.select(names.map(col): _*)
+    assert(typed.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      LogSchema.NormalizedSchema.fields.map(f => (f.name, f.dataType)).toSeq)
+    val rec = typed.as[LogRecord].head()
+    assert(rec.level == "INFO" && rec.message == "ok" && rec.service == "s")
+    assert(rec.fields == Map.empty)
+  }
+
   test("CSV source: dotted header is a flat residual key, not nested access") {
     val dir = java.nio.file.Files.createTempDirectory("csv-dot")
     java.nio.file.Files.write(dir.resolve("logs.csv"),

@@ -146,6 +146,15 @@ class PipelineSpec extends SparkSpec {
     lines.forEach(l => assert(!l.contains("user_email")))
   }
 
+  test("empty input: zero report, no crash (the reference prints a zero report)") {
+    val res = Pipeline.run(Seq.empty[String].toDF("line"),
+      EtlConfig.default.copy(filterLevels = Nil)).fold(e => fail(e), identity)
+    val r = res.report
+    assert(r.totalLines == 0 && r.jsonParsed == 0 && r.jsonFailed == 0)
+    assert(r.normalizedOk == 0 && r.normalizedFailed == 0)
+    assert(r.writtenOk == 0 && r.byLevel.isEmpty && r.byService.isEmpty)
+  }
+
   test("prometheus rendering exposes the counter surface") {
     val r = EtlReport(totalLines = 10, jsonParsed = 9, jsonFailed = 1,
       byLevel = Map("ERROR" -> 4), retryStats = RetryStats(2, 1, 2))

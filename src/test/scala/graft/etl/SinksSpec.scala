@@ -105,7 +105,11 @@ class SinksSpec extends SparkSpec {
       val dead = new Sinks.HttpSink(s"http://localhost:$port/dead", policy).write(df)
       assert(dead.writtenOk == 0 && dead.writeFailed == 1)
       assert(dead.dlq.size == 1)
-      assert(dead.dlq.head._2.contains("failed"))
+      // reasons carry the ACTUAL error (err.Error() parity) ...
+      assert(dead.dlq.head._2 == "unexpected status 500")
+      // ... and with NO dlq configured nothing was "written" anywhere
+      // (the reference only counts dlq_written with a live dlqWriter)
+      assert(dead.dlqWritten == 0 && dead.dlqReasons.isEmpty)
     } finally server.stop(0)
   }
 
@@ -132,7 +136,7 @@ class SinksSpec extends SparkSpec {
         dlqPath = dlq).write(df)
       assert(res.writtenOk == 0 && res.writeFailed == n)
       assert(res.dlqWritten == n)
-      assert(res.dlqReasons == Map("write failed after 0 retries" -> n.toLong))
+      assert(res.dlqReasons == Map("unexpected status 500" -> n.toLong))
       assert(res.dlq.size == Sinks.HttpSink.DlqSampleCap,
         s"driver sample must be capped, got ${res.dlq.size}")
       assert(res.dlqHandled.nonEmpty, "sink must own the DLQ write")
@@ -140,7 +144,7 @@ class SinksSpec extends SparkSpec {
         java.nio.file.Paths.get(dlq))
       assert(lines.size == n, s"distributed DLQ must hold all $n failures")
       assert(lines.get(0).startsWith("""{"record":{"TS":"""))
-      assert(lines.get(0).endsWith(""","reason":"write failed after 0 retries"}"""))
+      assert(lines.get(0).endsWith(""","reason":"unexpected status 500"}"""))
       // a second failing write APPENDS (openDLQ semantics)
       new Sinks.HttpSink(s"http://localhost:$port/dead", policy,
         dlqPath = dlq).write(normalized(recordLine))
@@ -221,5 +225,60 @@ class SinksSpec extends SparkSpec {
     r.write(normalized(rec(2)))
     assert(java.nio.file.Files.readAllLines(
       java.nio.file.Paths.get(s"$dir/rot.jsonl")).size == 2)
+  }
+  test("render: a string field that LOOKS like JSON but is not stays quoted") {
+    // "{oops" must not be emitted raw — the whole line would be invalid
+    val dir = java.nio.file.Files.createTempDirectory("jsonq")
+    val out = s"$dir/out.jsonl"
+    new Sinks.FileSink(out).write(normalized(
+      """{"ts":"2025-01-01T00:00:00Z","level":"INFO","msg":"x","bad":"{oops","good":"{\"a\":1}","num":"5"}"""))
+    val line = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(out)).get(0)
+    // the full line must parse as JSON
+    new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+    assert(line.contains(""""bad":"{oops""""))
+    assert(line.contains(""""good":{"a":1}""")) // valid JSON stays raw
+    assert(line.contains(""""num":5"""))
+  }
+
+  test("fresh pipeline run truncates the DLQ (os.Create parity); resume keeps it") {
+    val dir = java.nio.file.Files.createTempDirectory("dlqfresh")
+    val path = s"$dir/dlq.jsonl"
+    Sinks.writeDlq(path, Seq(("""{"TS":"stale"}""", "old failure")))
+    assert(java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(path)).size == 1)
+    Sinks.initDlq(path) // what a fresh run does before writing
+    assert(java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(path)).isEmpty, "fresh run must truncate")
+    Sinks.writeDlq(path, Seq(("""{"TS":"new"}""", "boom")))
+    val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))
+    assert(lines.size == 1 && lines.get(0).contains("new"))
+  }
+
+  test("rotating sink: oversized record rotates even into an empty base (rotate.go:41)") {
+    val dir = java.nio.file.Files.createTempDirectory("rotbig")
+    val base = s"$dir/out.jsonl"
+    val sink = new Sinks.RotatingSink(base, maxBytes = 10, maxFiles = 5)
+    sink.write(normalized(recordLine)) // record far over 10 bytes
+    // rotate happens BEFORE the first write, like rotate.go:41 (no
+    // size>0 guard); in this sink's documented ordering (base oldest →
+    // base.N newest) the empty base is left behind and the record
+    // lands in the fresh base.1
+    assert(java.nio.file.Files.size(java.nio.file.Paths.get(base)) == 0)
+    assert(java.nio.file.Files.size(java.nio.file.Paths.get(s"$base.1")) > 0)
+  }
+
+  test("builder floors zero config values like the reference") {
+    // output_max_bytes=0 must mean 10MB, not rotate-per-record
+    val dir = java.nio.file.Files.createTempDirectory("floors")
+    val cfg = EtlConfig.default.copy(outputType = "rotate",
+      outputPath = s"$dir/r.jsonl", outputMaxBytes = 0, outputMaxFiles = 0,
+      sinkBackoffBaseMs = 0, sinkBackoffMaxMs = 0)
+    val sink = Sinks.build(cfg).fold(e => fail(e), identity)
+    sink.write(normalized(recordLine, recordLine, recordLine))
+    assert(java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(s"$dir/r.jsonl")).size == 3,
+      "3 small records must stay in one un-rotated file under the 10MB floor")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/r.jsonl.1")))
   }
 }
