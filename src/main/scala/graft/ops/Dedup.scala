@@ -33,7 +33,7 @@ object Dedup {
   private val liveCaches =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
-  private def persistTracked(df: DataFrame): DataFrame = {
+  private[ops] def persistTracked(df: DataFrame): DataFrame = {
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     liveCaches.add(p)
     p
@@ -84,24 +84,19 @@ object Dedup {
     withShingleSets(docs, idCol, textCol, k)
       .select(col("sid"), explode(col("sh")).as("shingle"))
 
-  /** Exploded (sid, shingle: long) frame of HASHED k-gram shingles.
-    *
-    * Joins/dedup only need shingle identity, so the k-gram string is
-    * never materialized: token xxhash64s are combined by
-    * position-rotated XOR (order-sensitive, 2^-64 collision odds —
-    * equality matches string-shingle equality for any realistic
-    * corpus). Measured ~3× cheaper than string shingling and the
-    * downstream equi-join shuffles 8-byte keys instead of ~30-byte
-    * strings. Token hashes are hoisted to a real column first —
-    * expressions inside a lambda body re-evaluate per element. */
   /** The (tokens-hoisted frame, shingle-set column) pair both shingle
-    * forms build on. The hoisted `_th` token-hash column is a REAL
-    * column (expressions inside a lambda body re-evaluate per element);
-    * the returned set column is handed to explode INLINE by
-    * [[shingleHashFrame]] — exploding it through an alias instead
-    * measured ~30× slower (12 s vs 0.4 s at sf0.1: the generator
-    * re-evaluates the inlined gram lambdas per OUTPUT row once the
-    * alias projection is collapsed into the Generate). */
+    * forms build on: HASHED k-gram shingles — joins/dedup only need
+    * shingle identity, so the k-gram string is never materialized
+    * (token xxhash64s combined by position-rotated XOR: order-
+    * sensitive, 2^-64 collision odds, measured ~3× cheaper than string
+    * shingling, and the downstream equi-join shuffles 8-byte keys).
+    * The hoisted `_th` token-hash column is a REAL column (expressions
+    * inside a lambda body re-evaluate per element); the returned set
+    * column is handed to explode INLINE by [[shingleHashFrame]] —
+    * exploding it through an alias instead measured ~30× slower (12 s
+    * vs 0.4 s at sf0.1: the generator re-evaluates the inlined gram
+    * lambdas per OUTPUT row once the alias projection is collapsed
+    * into the Generate). */
   private def shingleParts(docs: DataFrame, idCol: String, textCol: String,
       k: Int): (DataFrame, Column) = {
     val th = docs.select(col(idCol).as("sid"), col(textCol),
@@ -267,6 +262,11 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text",
       numHashes: Int = 64, bands: Int = 16, k: Int = 5,
       maxBandBucket: Int = 10000): DataFrame = {
+    // non-divisible bands would silently IGNORE the trailing minhashes
+    // (wrong effective miss bound); bands > numHashes would build a
+    // zero-argument band hash (same guard as LshSignBands)
+    require(bands >= 1 && numHashes % bands == 0,
+      s"bands=$bands must divide numHashes=$numHashes")
     val rows = numHashes / bands
     // The corpus is consumed exactly ONCE, and per-DOC: signatures come
     // from the codegen [[graft.etl.expressions.MinHashSig]] over each
@@ -330,8 +330,7 @@ object Dedup {
       textCol: String = "text"): DataFrame = {
     val tok = docs.select(col(idCol).as("sid"),
       explode(split(col(textCol), " ")).as("tok"))
-      .withColumn("t_h",
-        expr("CAST(conv(substring(md5(CAST(tok AS BINARY)), 1, 16), 16, -10) AS BIGINT)"))
+      .withColumn("t_h", TextAnalysis.md5Low64(col("tok")))
     val bitSums = (0 until 64).map { i =>
       sum(when(col("t_h").bitwiseAND(lit(1L << i)) =!= 0L, 1)
         .otherwise(-1)).as(s"b$i")
@@ -352,8 +351,14 @@ object Dedup {
     * prefer small maxHamming or a second banding stage. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // the exact-recall pigeonhole needs maxHamming+1 disjoint chunks;
+    // a silent cap at 16 chunks would void the documented guarantee
+    // (a pair with one flipped bit per chunk would match no bucket)
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming=$maxHamming: the 64-bit pigeonhole supports at most 15 " +
+        "(needs maxHamming+1 <= 16 disjoint chunks for exact recall)")
     val f = simhashFrame(docs, idCol, textCol)
-    val numChunks = math.min(maxHamming + 1, 16)
+    val numChunks = maxHamming + 1
     val width = 64 / numChunks
     val chunks = (0 until numChunks).map { ci =>
       val lo = ci * width
@@ -435,6 +440,8 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text",
       numHashes: Int = 64, bands: Int = 16, k: Int = 5,
       maxBandBucket: Int = 10000): DataFrame = {
+    require(bands >= 1 && numHashes % bands == 0,
+      s"bands=$bands must divide numHashes=$numHashes")
     val rows = numHashes / bands
     val sigIn = persistTracked(
       minhashSigFrame(incoming, idCol, textCol, numHashes, k))
@@ -619,10 +626,14 @@ object Dedup {
       val next = smallStar(largeStar(edges))
         .observe(obs,
           count(lit(1)).as("n"),
-          // order-independent multiset signature; pmod keeps the ANSI
-          // sum far from Long overflow (2^40 terms x edge count)
-          coalesce(sum(pmod(xxhash64(col("src"), col("dst")),
-            lit(1L << 40))), lit(0L)).as("hs"))
+          // order-independent SET signature via bit_xor: commutative,
+          // and — unlike a sum — cannot overflow under ANSI mode no
+          // matter how many edges a round carries (a sum of 40-bit
+          // terms would throw past ~8M edges, exactly the scale this
+          // operator exists for). Edges are distinct, so xor
+          // cancellation of duplicates cannot occur.
+          coalesce(bit_xor(xxhash64(col("src"), col("dst"))), lit(0L))
+            .as("hs"))
         .localCheckpoint(true)
       edges = next
       val sig = (obs.get("n").asInstanceOf[Long], obs.get("hs").asInstanceOf[Long])

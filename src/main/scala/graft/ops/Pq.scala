@@ -134,10 +134,16 @@ object Pq {
     val centroids = Ivf.train(emb, numCentroids, iters, idCol, vecCol)
     val centsLit = typedLit(centroids.map(_.toSeq).toSeq)
     // residual per row: v - centroid[cell] (array lambda over the
-    // broadcast-literal centroid table)
-    val withRes = Ivf.assign(emb, centroids, idCol, vecCol)
-      .withColumn("res", zip_with(asDouble(col(vecCol)),
-        element_at(centsLit, col("cell") + 1), (a, b) => a - b))
+    // broadcast-literal centroid table). PERSISTED: the per-subspace
+    // codebook training alone re-reads this frame m x (1 + iters)
+    // times (driver-collected means), and encode scans it again —
+    // without the cache that is ~50 full corpus scans re-running the
+    // C-way assign each time. Released by Dedup.releaseCaches() like
+    // every operator-internal cache.
+    val withRes = Dedup.persistTracked(
+      Ivf.assign(emb, centroids, idCol, vecCol)
+        .withColumn("res", zip_with(asDouble(col(vecCol)),
+          element_at(centsLit, col("cell") + 1), (a, b) => a - b)))
     val codebooks = train(withRes.select(col(idCol), col("res")),
       m, kSub, iters, idCol, "res")
     val enc = encode(withRes.select(col(idCol), col("res"), col("cell"),
@@ -195,8 +201,12 @@ object Pq {
     import org.apache.spark.sql.expressions.Window
     val spark = emb.sparkSession
     import spark.implicits._
-    val codebooks = train(emb, m, kSub, iters, idCol, vecCol)
-    val enc = encode(emb, codebooks, idCol, vecCol)
+    // the m-subspace training loop re-reads the corpus m x (1 + iters)
+    // times — persist the narrow (id, vec) projection it slices from
+    val base = Dedup.persistTracked(
+      emb.select(col(idCol), asDouble(col(vecCol)).as(vecCol)))
+    val codebooks = train(base, m, kSub, iters, idCol, vecCol)
+    val enc = encode(base, codebooks, idCol, vecCol)
       .select(col(idCol).as("cid"), col("code"), col("vnorm"))
     val queries = collectQueries(emb, queryPred, idCol, vecCol)
     val qdf = queries.map { case (qid, qv) =>

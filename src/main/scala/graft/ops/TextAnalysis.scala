@@ -68,6 +68,14 @@ object TextAnalysis {
     }
   }
 
+  /** Signed low-64 bits of md5 — the ONE cross-engine-recomputable
+    * token hash shared by SimHash and the hashing embedder (each copy
+    * is mirrored by a DuckDB oracle, so the definition must not fork:
+    * DuckDB recomputes it as ('0x' || substr(md5(t),1,16))::UBIGINT).
+    * conv's NEGATIVE target base yields the SIGNED 64-bit value. */
+  def md5Low64(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 16), 16, -10).cast("long")
+
   /** Content-defined fingerprints. `md5Fingerprint` is the
     * oracle-checkable exact-dedup key; `normalizedFingerprint` folds
     * case/whitespace so trivially-edited copies collide. */
@@ -96,11 +104,10 @@ object TextAnalysis {
         i => concat_ws(" ", slice(tk, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
 
-  /** Repetition signals (the Gopher/RefinedWeb-style quality gates for
-    * pretraining data): documents dominated by repeated n-grams are
-    * boilerplate/spam and get filtered before training. Both operate on
-    * a hoisted n-gram array column, are scan-fused, and shuffle
-    * nothing. */
+  // Repetition signals (the Gopher/RefinedWeb-style quality gates for
+  // pretraining data): documents dominated by repeated n-grams are
+  // boilerplate/spam and get filtered before training. Both operate on
+  // a hoisted n-gram array column, are scan-fused, and shuffle nothing.
   /** Fraction of n-gram occurrences that repeat an earlier occurrence
     * (0 = no internal repetition, → 1 as the doc degenerates into one
     * repeated phrase). */
@@ -138,8 +145,7 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val tok = docs.select(col(idCol).as("doc_id"),
         explode(split(col(textCol), " ")).as("tok"))
-      .withColumn("t_h",
-        expr("CAST(conv(substring(md5(CAST(tok AS BINARY)), 1, 16), 16, -10) AS BIGINT)"))
+      .withColumn("t_h", md5Low64(col("tok")))
     val w = tok.select(col("doc_id"), pmod(col("t_h"), lit(dim)).as("b"),
         when(shiftrightunsigned(col("t_h"), 62).bitwiseAND(lit(1L)) === 1L,
           lit(1.0)).otherwise(lit(-1.0)).as("s"))

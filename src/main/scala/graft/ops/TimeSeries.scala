@@ -16,14 +16,23 @@ object TimeSeries {
     * read and DuckDB's `CAST(ts AS TIMESTAMP)` truncate ns → µs). */
   def epochUs(ts: Column): Column = unix_micros(ts.cast("timestamp"))
 
-  /** Tumbling-window counts/sums by a key. `unit`: "hour"/"day"/... */
+  /** Tumbling-window counts/sums by a key. `unit`: any `date_trunc`
+    * unit ("second"/"minute"/"hour"/"day"/...). The label format must
+    * keep every truncated component — a fixed "HH:00" label silently
+    * MERGED all sub-hour windows of an hour into one mislabeled row. */
   def tumbling(events: DataFrame, unit: String, keyCol: String,
-      tsCol: String = "ts", valueCol: String = "value"): DataFrame =
+      tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
+    val fmt = unit.toLowerCase match {
+      case "second" => "yyyy-MM-dd HH:mm:ss"
+      case "minute" => "yyyy-MM-dd HH:mm"
+      case "hour" => "yyyy-MM-dd HH:00"
+      case _ => "yyyy-MM-dd" // day and coarser
+    }
     events.groupBy(
-        date_format(date_trunc(unit, col(tsCol)), "yyyy-MM-dd HH:00")
-          .as("window_start"),
+        date_format(date_trunc(unit, col(tsCol)), fmt).as("window_start"),
         col(keyCol))
       .agg(count(lit(1)).as("n"), round(sum(col(valueCol)), 2).as("sum_value"))
+  }
 
   /** Gap-based sessionization: a new session starts after `gapSeconds`
     * of inactivity. Pure window functions — one shuffle on the user key,

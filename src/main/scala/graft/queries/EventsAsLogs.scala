@@ -91,7 +91,11 @@ object EventsAsLogs {
       when(id % 11 === 0,
         concat(lit("u"), col("user_id"), lit("@example.com")))
         .otherwise(lit(null).cast("string")).as("user_email"))
-    val out = s"${sys.props("java.io.tmpdir")}/graft-csv-twin-${math.abs(dir.hashCode)}"
+    // a fresh per-call temp dir: a FIXED path derived from `dir` would
+    // race concurrent sessions on the same fixture (one JVM's overwrite
+    // deleting files under another's in-flight scan)
+    val out = java.nio.file.Files.createTempDirectory("graft-csv-twin-")
+      .toString
     csv.write.mode("overwrite").option("header", "true").csv(out)
     graft.etl.Normalize.parseCsvLines(spark, out)
   }

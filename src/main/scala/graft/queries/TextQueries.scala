@@ -35,7 +35,6 @@ object TextQueries {
       |        / len(string_split(text, ' ')), 4) AS stop_ratio
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Quality score (formula mirrored exactly by the oracle). */
   /** Repetition/boilerplate signals per doc (the Gopher-style gates):
     * duplicate-3-gram occurrence fraction + modal-bigram fraction.
     * Token and n-gram arrays are hoisted into real columns (lambda
@@ -91,6 +90,7 @@ object TextQueries {
       |FROM w JOIN n ON w.doc_id = n.doc_id
       |ORDER BY w.doc_id, b""".stripMargin
 
+  /** Quality score (formula mirrored exactly by the oracle). */
   def quality(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(col("doc_id"),
         TextAnalysis.qualityScore(col("text")).as("quality"))
@@ -150,7 +150,7 @@ object TextQueries {
 
   val bpeTokensOracle: String =
     """SELECT doc_id,
-      |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+')) AS INTEGER)
+      |  CAST(len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]+')) AS INTEGER)
       |    AS n_bpe_tokens
       |FROM documents ORDER BY doc_id""".stripMargin
 
@@ -502,7 +502,11 @@ object TextQueries {
     graft.ops.Multimodal.withSyntheticMedia(docs(spark, dir))
       .select(col("media_id"), col("meta.mime").as("mime"),
         col("meta.byte_len").as("byte_len"),
-        (expr("CAST(meta.byte_len / 256 AS INT)") + 1).as("n_chunks"))
+        // MUST agree with Multimodal.chunked's layout: ceil, floored at
+        // one chunk (a floor+1 formula disagreed with the actual chunk
+        // rows for payloads that are exact multiples of the chunk size)
+        greatest(ceil(col("meta.byte_len") / 256.0), lit(1))
+          .cast("int").as("n_chunks"))
       .transform(QueryUtil.ordered("media_id"))
 
   val mediaMetaOracle: String =
@@ -511,7 +515,7 @@ object TextQueries {
       |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
       |       ELSE 'video/mp4' END AS mime,
       |  CAST(n_chars AS BIGINT) AS byte_len,
-      |  CAST(n_chars // 256 + 1 AS INTEGER) AS n_chunks
+      |  CAST(greatest((n_chars + 255) // 256, 1) AS INTEGER) AS n_chunks
       |FROM documents ORDER BY media_id""".stripMargin
 
   /** Media chunk profile: every blob as fixed-size chunk rows — the

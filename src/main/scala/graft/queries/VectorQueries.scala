@@ -228,19 +228,28 @@ object VectorQueries {
     * 0.8 at sf0.01 AND sf0.1 — the near-uniform fixture quantizes
     * poorly (true neighbours sit at sim ≈ 0.35), so a real clustered
     * corpus runs far lower nprobe/C for the same recall. */
-  def knnIvfRecall(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared recall-floor harness: emit every query id whose ANN top-5
+    * recovers >= 3 of the true (brute-force) top-5 — used by the IVF /
+    * PQ / IVF-PQ recall queries so the floor and tiebreak contract
+    * live in ONE place. The oracle for each is the full query list, so
+    * one below-floor query fails the driver check loudly. */
+  private def recallFloor(spark: SparkSession, dir: String)(
+      ann: DataFrame => DataFrame): DataFrame = {
     val e = emb(spark, dir)
     val pred = col("vec_id") % 50 === 0
-    val ann = graft.ops.Ivf.knn(e, k = 5, queryPred = pred,
-      numCentroids = 16, nprobe = 12).select(col("qid"), col("cid"))
+    val annPairs = ann(e).select(col("qid"), col("cid"))
     val brute = Similarity.bruteForceKnn(e, k = 5, queryPred = pred)
       .select(col("qid"), col("cid"))
-    ann.join(brute, Seq("qid", "cid"))
+    annPairs.join(brute, Seq("qid", "cid"))
       .groupBy("qid").agg(count(lit(1)).as("hits"))
       .filter(col("hits") >= 3)
       .select(col("qid"))
       .transform(QueryUtil.ordered("qid"))
   }
+
+  def knnIvfRecall(spark: SparkSession, dir: String): DataFrame =
+    recallFloor(spark, dir)(e => graft.ops.Ivf.knn(e, k = 5,
+      queryPred = col("vec_id") % 50 === 0, numCentroids = 16, nprobe = 12))
 
   val knnIvfRecallOracle: String =
     s"""SELECT vec_id AS qid FROM embeddings WHERE $queryPredSql ORDER BY qid""".stripMargin
@@ -250,19 +259,9 @@ object VectorQueries {
     * oracle is the FULL query list, so one bad query fails the check.
     * (Measured recall 1.0 at sf0.01/sf0.1 with the defaults; the ADC
     * scan reads 16 codes + 1 norm per row, never the float vectors.) */
-  def knnPqRecall(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
-    val pred = col("vec_id") % 50 === 0
-    val ann = graft.ops.Pq.knn(e, k = 5, queryPred = pred)
-      .select(col("qid"), col("cid"))
-    val brute = Similarity.bruteForceKnn(e, k = 5, queryPred = pred)
-      .select(col("qid"), col("cid"))
-    ann.join(brute, Seq("qid", "cid"))
-      .groupBy("qid").agg(count(lit(1)).as("hits"))
-      .filter(col("hits") >= 3)
-      .select(col("qid"))
-      .transform(QueryUtil.ordered("qid"))
-  }
+  def knnPqRecall(spark: SparkSession, dir: String): DataFrame =
+    recallFloor(spark, dir)(e =>
+      graft.ops.Pq.knn(e, k = 5, queryPred = col("vec_id") % 50 === 0))
 
   val knnPqRecallOracle: String =
     s"""SELECT vec_id AS qid FROM embeddings WHERE $queryPredSql ORDER BY qid""".stripMargin
@@ -272,19 +271,9 @@ object VectorQueries {
     * Measured mean 0.94 / min 0.8 at sf0.01 AND sf0.1: bounded by the
     * IVF probe truncation (nprobe 12/16), with residual quantization +
     * deep re-rank recovering everything the probed cells contain. */
-  def knnIvfPqRecall(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
-    val pred = col("vec_id") % 50 === 0
-    val ann = graft.ops.Pq.ivfPqKnn(e, k = 5, queryPred = pred)
-      .select(col("qid"), col("cid"))
-    val brute = Similarity.bruteForceKnn(e, k = 5, queryPred = pred)
-      .select(col("qid"), col("cid"))
-    ann.join(brute, Seq("qid", "cid"))
-      .groupBy("qid").agg(count(lit(1)).as("hits"))
-      .filter(col("hits") >= 3)
-      .select(col("qid"))
-      .transform(QueryUtil.ordered("qid"))
-  }
+  def knnIvfPqRecall(spark: SparkSession, dir: String): DataFrame =
+    recallFloor(spark, dir)(e =>
+      graft.ops.Pq.ivfPqKnn(e, k = 5, queryPred = col("vec_id") % 50 === 0))
 
   val knnIvfPqRecallOracle: String =
     s"""SELECT vec_id AS qid FROM embeddings WHERE $queryPredSql ORDER BY qid""".stripMargin
