@@ -53,5 +53,11 @@ object SparkEntry {
     "vec_knn_brute",     // dense similarity search
     "vec_near_dup",      // exact all-pairs crossJoin (the pruning reference)
     "vec_near_dup_lsh",  // banded sign-LSH near-dup at 0.9 (scale path)
-    "vec_knn_lsh")       // ANN path
+    "vec_knn_lsh",       // ANN path
+    // r5: previously-unbenched families — a regression here was invisible
+    "vec_knn_pq_recall", // PQ train+encode+ADC scan+re-rank (codegen PqAdc)
+    "dd_clusters_star",  // large-star/small-star contraction rounds
+    "dd_cross_corpus",   // asymmetric new-vs-history band join
+    "tx_hash_embed",     // feature-hashing embedder (text→vector)
+    "mm_media_meta")     // real media decoders over binary columns
 }

@@ -430,6 +430,72 @@ case class PqEncode(child: Expression,
     copy(child = newChild)
 }
 
+/** Codegen-capable PQ asymmetric-distance (ADC) accumulation:
+  * Σ_j lut[j][code[j]] in one tight loop.
+  *
+  * This is THE loop product quantization exists to make cheap — it runs
+  * once per (corpus row × query) during the ADC scan. The built-in form
+  * (`aggregate(zip_with(code, lut, (c, l) => element_at(l, c + 1)),
+  * 0.0, _+_)`) is two nested higher-order functions: CodegenFallback,
+  * per-element lambda dispatch, and a fresh zipped array materialized
+  * per row — interpreted overhead that erases most of the compressed-
+  * scan win at scale. Here it is one static call inside whole-stage
+  * codegen. Fold order is ascending j, identical to `aggregate`'s
+  * sequential fold, so results are bit-equal to the interpreted form
+  * (asserted in PqSpec).
+  *
+  * The LUT is a per-query DATA column (broadcast-joined), not a
+  * plan-time constant — hence a binary expression over two columns
+  * rather than a reference object like [[PqEncode]]'s codebooks. */
+case class PqAdc(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<int>, array<array<double>>), got $other")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc"
+
+  override def nullSafeEval(code: Any, lut: Any): Any =
+    PqAdc.adc(code.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      lut.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = PqAdc.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, (c, l) => s"${ev.value} = $cls.adc($c, $l);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdc =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqAdc {
+  def adc(code: org.apache.spark.sql.catalyst.util.ArrayData,
+      lut: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val m = code.numElements()
+    // strict like the ANSI element_at it replaces: a code outside its
+    // LUT row means corrupted encode output — fail, don't read garbage
+    if (lut.numElements() != m) throw new IllegalArgumentException(
+      s"pq_adc: code length $m != lut length ${lut.numElements()}")
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      val row = lut.getArray(j)
+      val c = code.getInt(j)
+      if (c < 0 || c >= row.numElements()) throw new IllegalArgumentException(
+        s"pq_adc: code $c out of range for LUT row of ${row.numElements()}")
+      s += row.getDouble(c)
+      j += 1
+    }
+    s
+  }
+}
+
 object PqEncode {
   def encode(a: org.apache.spark.sql.catalyst.util.ArrayData,
       cb: Array[Array[Array[Double]]]): GenericArrayData = {

@@ -36,6 +36,25 @@ object Pq {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** Σ_j lut[j][code[j]] — the ADC hot loop as a codegen expression
+    * ([[graft.etl.expressions.PqAdc]]). Runs per (corpus row × query);
+    * the `aggregate(zip_with(...))` column form it replaces is two
+    * interpreted higher-order functions in exactly the loop PQ exists
+    * to make cheap. Bit-equal to that form (sequential ascending fold;
+    * asserted in PqSpec). */
+  private[ops] def adcDot(code: Column, lut: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.etl.expressions.PqAdc(
+        org.apache.spark.sql.graft.Bridge.expression(code),
+        org.apache.spark.sql.graft.Bridge.expression(lut)))
+
+  /** The interpreted higher-order form of [[adcDot]] — kept ONLY as the
+    * bit-equality witness for PqSpec; never used in an operator path. */
+  private[ops] def adcDotInterpreted(code: Column, lut: Column): Column =
+    aggregate(
+      zip_with(code, lut, (c, l) => element_at(l, c + 1)),
+      lit(0.0), (acc, x) => acc + x)
+
   /** Per-subspace codebooks: m entries of kSub × subDim. */
   def train(emb: DataFrame, m: Int, kSub: Int, iters: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
@@ -74,7 +93,7 @@ object Pq {
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
 
   /** LUT[j][c] = q_j . C_j[c] for one query against the codebooks. */
-  private def lutFor(qv: Array[Double],
+  private[ops] def lutFor(qv: Array[Double],
       codebooks: Array[Array[Array[Double]]]): Seq[Seq[Double]] = {
     val subDim = codebooks.head.head.length
     codebooks.indices.map { j =>
@@ -170,9 +189,8 @@ object Pq {
     val lutDf = queries.map { case (qid, qv) =>
       (qid, lutFor(qv, codebooks), math.sqrt(qv.map(x => x * x).sum))
     }.toSeq.toDF("qid", "lut", "qn")
-    val adcSim = (col("qdotc") + aggregate(
-      zip_with(col("code"), col("lut"), (c, l) => element_at(l, c + 1)),
-      lit(0.0), (acc, x) => acc + x)) / (col("qn") * col("vnorm"))
+    val adcSim = (col("qdotc") + adcDot(col("code"), col("lut"))) /
+      (col("qn") * col("vnorm"))
     val wAdc = Window.partitionBy(col("qid"))
       .orderBy(col("sim_adc").desc, col("cid").asc)
     val shortlist = enc.join(broadcast(probeDf), "cell")
@@ -213,9 +231,7 @@ object Pq {
       (qid, lutFor(qv, codebooks), math.sqrt(qv.map(x => x * x).sum))
     }.toSeq.toDF("qid", "lut", "qn")
     // ADC: pure LUT lookups per corpus row — no vector access
-    val adcSim = aggregate(
-      zip_with(col("code"), col("lut"), (c, l) => element_at(l, c + 1)),
-      lit(0.0), (acc, x) => acc + x) / (col("qn") * col("vnorm"))
+    val adcSim = adcDot(col("code"), col("lut")) / (col("qn") * col("vnorm"))
     val wAdc = Window.partitionBy(col("qid"))
       .orderBy(col("sim_adc").desc, col("cid").asc)
     val shortlist = enc.crossJoin(broadcast(qdf))

@@ -141,6 +141,40 @@ class OpsSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("pq_encode")), msgs(e).mkString(" | "))
   }
 
+  test("PqAdc codegen is bit-equal to the interpreted higher-order ADC form") {
+    val cb = Pq.train(emb, 4, 8)
+    val enc = Pq.encode(emb, cb)
+    val qv = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val lutDf = qv.map { case (qid, v) => (qid, Pq.lutFor(v, cb)) }
+      .toSeq.toDF("qid", "lut")
+    val both = enc.crossJoin(broadcast(lutDf))
+      .select(col("vec_id"), col("qid"),
+        Pq.adcDot(col("code"), col("lut")).as("fast"),
+        Pq.adcDotInterpreted(col("code"), col("lut")).as("slow"))
+      .collect()
+    assert(both.length == emb.count() * 3)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(2)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(3)), r.toString)
+    }
+    // corrupted codes fail loudly (strict like the ANSI element_at it
+    // replaces), never an out-of-range off-heap read
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val lutRows = new GenericArrayData(Array[Any](
+      new GenericArrayData(Array(1.0, 2.0)), new GenericArrayData(Array(3.0, 4.0))))
+    val e1 = intercept[IllegalArgumentException] {
+      graft.etl.expressions.PqAdc.adc(
+        new GenericArrayData(Array(0, 5)), lutRows)
+    }
+    assert(e1.getMessage.contains("pq_adc"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.etl.expressions.PqAdc.adc(new GenericArrayData(Array(0)), lutRows)
+    }
+    assert(e2.getMessage.contains("pq_adc"))
+  }
+
   test("IVF-PQ knn: recall@5 >= 0.9 at sf0.1 (probe-bounded, residual codes)") {
     val emb01 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     val pred = col("vec_id") % 50 === 0
