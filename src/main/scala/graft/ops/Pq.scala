@@ -55,17 +55,57 @@ object Pq {
       zip_with(code, lut, (c, l) => element_at(l, c + 1)),
       lit(0.0), (acc, x) => acc + x)
 
-  /** Per-subspace codebooks: m entries of kSub × subDim. */
+  /** Per-subspace codebooks: m entries of kSub × subDim.
+    *
+    * All m subspaces train FUSED (r5): the per-subspace [[Ivf.train]]
+    * loop this replaces ran m × (1 + iters) separate jobs — 48 corpus
+    * scans at the defaults, which dominated the benched PQ runtime
+    * (scheduling overhead locally; real re-scans at scale). Here the
+    * whole training is 1 + iters jobs regardless of m:
+    *  - seeds: ONE pass — the min-id vector per id-hash bucket (the
+    *    exact rows each per-subspace Ivf.train call selected, since
+    *    bucketing is on ids, not values), sliced into m seed books;
+    *  - each Lloyd iteration: assignment for ALL subspaces at once via
+    *    the codegen [[graft.etl.expressions.PqEncode]] (argmin per
+    *    subspace, ties to lowest index — Ivf.assign's ordering), then
+    *    one map-side-combined groupBy (j, cluster, coord) avg; clusters
+    *    with no members keep their previous centroid, as in Ivf.
+    * Deterministic (no RNG, fixed iterations) like everything else in
+    * the ANN family. */
   def train(emb: DataFrame, m: Int, kSub: Int, iters: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    import org.apache.spark.sql.expressions.Window
     val dim = Similarity.inferDim(emb, vecCol)
     require(dim % m == 0, s"dim=$dim must be divisible by m=$m")
     val subDim = dim / m
-    (0 until m).map { j =>
-      val sub = emb.select(col(idCol),
-        slice(asDouble(col(vecCol)), j * subDim + 1, subDim).as("sub"))
-      Ivf.train(sub, kSub, iters, idCol, "sub")
-    }.toArray
+    val v = asDouble(col(vecCol))
+    val seedRows = emb
+      .select(col(idCol).as("sid"), v.as("ve"))
+      .withColumn("b", pmod(hash(col("sid")), lit(kSub)))
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("b").orderBy("sid")))
+      .filter(col("rk") === 1)
+      .orderBy("b").select("ve").collect()
+      .map(_.getSeq[Double](0).toArray)
+    var codebooks: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(j => seedRows.map(_.slice(j * subDim, (j + 1) * subDim)))
+    for (_ <- 1 to iters) {
+      val codeCol = org.apache.spark.sql.graft.Bridge.column(
+        graft.etl.expressions.PqEncode(
+          org.apache.spark.sql.graft.Bridge.expression(v), codebooks))
+      val means = emb
+        .select(posexplode(codeCol).as(Seq("j", "c")), v.as("ve"))
+        .select(col("j"), col("c"), posexplode(
+          slice(col("ve"), col("j") * subDim + 1, lit(subDim))).as(Seq("t", "x")))
+        .groupBy("j", "c", "t").agg(avg("x").as("mu"))
+        .collect()
+      val next = codebooks.map(_.map(_.clone()))
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+      }
+      codebooks = next
+    }
+    codebooks
   }
 
   /** (id, code: array<int>, vnorm) — the compressed corpus row. One

@@ -151,13 +151,17 @@ object Similarity {
     (math.min(bandsFor(rpb), maxBands), rpb)
   }
 
-  /** [[cosinePairsLsh]] with [[adaptiveBandParams]] banding. Costs one
-    * zero-column count job at plan-build time (parquet count() is
-    * row-group-metadata work, not a data scan) — negligible next to the
-    * pair join it parameterizes. */
+  /** [[cosinePairsLsh]] with [[adaptiveBandParams]] banding. Without
+    * `numRows`, costs one zero-column count job at plan-build time —
+    * row-group-metadata work on a parquet scan, but a REAL pass on a
+    * composed input (union, transform, join), so composed pipelines
+    * should pass the corpus size (or any estimate within ~2×: only
+    * log2(n) feeds the banding, so precision is irrelevant). */
   def cosinePairsLshAuto(emb: DataFrame, threshold: Double,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val (bands, rpb) = adaptiveBandParams(emb.count(), threshold)
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      numRows: Option[Long] = None): DataFrame = {
+    val (bands, rpb) =
+      adaptiveBandParams(numRows.getOrElse(emb.count()), threshold)
     cosinePairsLsh(emb, threshold, bands, rpb, idCol, vecCol)
   }
 

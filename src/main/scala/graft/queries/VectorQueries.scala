@@ -62,18 +62,56 @@ object VectorQueries {
   /** Banded sign-LSH near-dup at the PRODUCTION threshold (0.9) with
     * SIZE-ADAPTIVE banding ([[Similarity.adaptiveBandParams]]):
     * rowsPerBand ≈ log2(n) keeps random-pair candidate volume linear in
-    * n at any corpus size, bands holds per-true-pair recall ≥ 99.5% —
-    * at the 3k-vector bench fixture that resolves to 32×12 (vs r3's
-    * hard-coded 64×16, whose 1,024 plane dots per vector made the
-    * "scale path" slower than the exact crossJoin it exists to beat);
-    * at 10^9 vectors the same call grows to ~30 bits per band. The
-    * fixture's synthetic corpus has NO pairs at sim >= 0.9 (max
-    * off-diagonal sim ≈ 0.62), so the verified result — like the exact
-    * oracle's — is empty; the low-threshold twin below carries the
-    * row-mass recall demonstration. */
-  def nearDupPairsLsh(spark: SparkSession, dir: String): DataFrame =
-    Similarity.cosinePairsLshAuto(emb(spark, dir), threshold = 0.9)
+    * n at any corpus size, bands holds per-true-pair recall ≥ 99.5%;
+    * at 10^9 vectors the same call grows to ~30 bits per band.
+    *
+    * The raw synthetic corpus has NO pairs at sim >= 0.9 (max
+    * off-diagonal sim ≈ 0.62), which made this row's green check
+    * vacuous (0 = 0). The corpus is therefore AUGMENTED in-query with
+    * deterministic planted near-dups — both engine and oracle apply the
+    * identical augmentation, so the hash compare covers real rows:
+    *  - `vec_id % 50 == 0` → a copy at id+1,000,000 shifted by +0.05
+    *    per coordinate: cosine lands in [0.92, 0.95] on the unit-norm
+    *    fixture — INSIDE the 0.9 band, every pair must be found;
+    *  - `vec_id % 50 == 25` → a copy at id+2,000,000 shifted by +0.08:
+    *    cosine lands in [0.82, 0.90) — decoys straddling the threshold
+    *    from BELOW, proving the filter excludes near-misses.
+    * The shift arithmetic is double-precision and order-identical in
+    * both engines (float→double cast is exact, IEEE add is
+    * deterministic), so sims are bit-equal and round identically.
+    * `numRows` is passed explicitly: the augmented union frame has no
+    * metadata count, and only log2(n) feeds the banding. */
+  def nearDupPairsLsh(spark: SparkSession, dir: String): DataFrame = {
+    val raw = emb(spark, dir)
+    val n0 = raw.count() // parquet metadata count (raw scan, no union)
+    val base = raw.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    def planted(offset: Long, delta: Double, residue: Int): DataFrame =
+      base.filter(col("vec_id") % 50 === residue)
+        .select((col("vec_id") + offset).as("vec_id"),
+          transform(col("embedding"), x => x + lit(delta)).as("embedding"))
+    val aug = base
+      .unionAll(planted(1000000L, 0.05, 0))
+      .unionAll(planted(2000000L, 0.08, 25))
+    Similarity.cosinePairsLshAuto(aug, threshold = 0.9,
+        numRows = Some(n0 + 2 * (n0 / 50 + 1)))
       .transform(QueryUtil.ordered("da", "db"))
+  }
+
+  /** The oracle twin of [[nearDupPairsLsh]]'s augmentation. */
+  private val plantedNearDupOracle: String =
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |v AS (SELECT vec_id, e FROM base
+      |      UNION ALL
+      |      SELECT vec_id + 1000000, list_transform(e, x -> x + 0.05::DOUBLE)
+      |      FROM base WHERE vec_id % 50 = 0
+      |      UNION ALL
+      |      SELECT vec_id + 2000000, list_transform(e, x -> x + 0.08::DOUBLE)
+      |      FROM base WHERE vec_id % 50 = 25)
+      |SELECT a.vec_id AS da, b.vec_id AS db, ${cosineSql("a.e", "b.e")} AS sim
+      |FROM v a JOIN v b ON a.vec_id < b.vec_id
+      |WHERE ${cosineSql("a.e", "b.e")} >= 0.9
+      |ORDER BY da, db""".stripMargin
 
   /** Banded sign-LSH near-dup at a LOW threshold (0.4, 48×4 banding):
     * recall-preserving bands at this threshold collide ~95% of random
@@ -282,7 +320,7 @@ object VectorQueries {
     "vec_knn_brute" -> ((knnBrute _, Some(knnBruteOracle))),
     "vec_near_dup" -> ((nearDupPairs _, Some(nearDupOracle(0.4)))),
     "vec_keep" -> ((nearDupKeep _, Some(nearDupKeepOracle))),
-    "vec_near_dup_lsh" -> ((nearDupPairsLsh _, Some(nearDupOracle(0.9)))),
+    "vec_near_dup_lsh" -> ((nearDupPairsLsh _, Some(plantedNearDupOracle))),
     "vec_near_dup_lsh_low" -> ((nearDupPairsLshLow _, Some(nearDupOracle(0.4)))),
     "vec_knn_lsh" -> ((knnLsh _, Some(knnLshOracle))),
     "vec_knn_lsh_recall" -> ((knnLshRecall _, Some(knnLshRecallOracle))),

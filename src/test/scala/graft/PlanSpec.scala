@@ -26,9 +26,14 @@ class PlanSpec extends SparkSpec {
   private def countOf(s: String, marker: String): Int =
     s.sliding(marker.length).count(_ == marker)
 
-  /** Queries whose REGISTERED form is a deliberate exact/brute baseline
-    * (the scale path is the *_lsh twin): cartesian is by design there. */
-  private val exactBaselines = Set("vec_knn_brute", "vec_near_dup")
+  /** Queries whose REGISTERED form deliberately contains an exact/brute
+    * computation: the *_lsh twins are the scale paths for the first
+    * two; vec_knn_pq_recall contains (a) the brute-force TRUTH side of
+    * the recall compare and (b) PQ's ADC pass, which by design is a
+    * full-corpus-per-query scan over COMPRESSED codes (plain PQ trades
+    * footprint, not row count — IVF-PQ is the pruned composition). */
+  private val exactBaselines =
+    Set("vec_knn_brute", "vec_near_dup", "vec_knn_pq_recall")
 
   test("no headline query plans a cartesian product (baselines excepted)") {
     (SparkEntry.benchQueries.toSet ++ Set("ev_skew_join") -- exactBaselines)

@@ -233,6 +233,20 @@ class OpsSpec extends SparkSpec {
       .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exactHi == Set((1L, 2L), (3L, 4L)))
     assert(auto == exactHi, s"missed=${exactHi -- auto} extra=${auto -- exactHi}")
+    // numRows override: composed (non-parquet) inputs pass the corpus
+    // size instead of paying a count scan — the banding in the plan
+    // must be the override's, and the default path must match count()
+    def lshParams(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      val e = df.queryExecution.analyzed
+        .collect { case p => p.expressions }.flatten
+        .flatMap(_.collect { case x: graft.etl.expressions.LshSignBands => x })
+        .head
+      (e.numPlanes / e.rowsPerBand, e.rowsPerBand)
+    }
+    assert(lshParams(Similarity.cosinePairsLshAuto(d, 0.9, numRows = Some(1L << 20)))
+      == Similarity.adaptiveBandParams(1L << 20, 0.9))
+    assert(lshParams(Similarity.cosinePairsLshAuto(d, 0.9))
+      == Similarity.adaptiveBandParams(d.count(), 0.9))
   }
 
   test("ngram jaccard: hot-shingle cap keeps Jaccard exact under planted boilerplate") {
