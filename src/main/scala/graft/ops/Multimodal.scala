@@ -158,6 +158,98 @@ object Multimodal {
     }
   }
 
+  /** Real MP3 frame-header metadata parser — the most common crawled-
+    * audio mime, previously falling to the deterministic fake. No MP3
+    * codec ships with the JDK, but the frame STRUCTURE is a plain
+    * big-endian parse (the audio analogue of [[Mp4MetaDecoder]]'s box
+    * walk): an optional ID3v2 tag (syncsafe length) is skipped, then
+    * 4-byte frame headers carry version/layer/bitrate/sample-rate/
+    * channel-mode and imply each frame's byte length, so walking
+    * header-to-header yields the true sample rate, channel count, and
+    * frame count — duration = frames × samplesPerFrame / rate — without
+    * decoding a single audio sample. That is the pre-decode gate
+    * metadata a pipeline filters on (rate/duration caps, corrupt-file
+    * rejection). VBR streams are handled naturally (each frame declares
+    * its own length); a trailing ID3v1 tag or junk after the last full
+    * frame is tolerated. [[MediaFeatures]] field reuse as in
+    * [[WavDecoder]]: `width` = sample rate (Hz), `height` = channels,
+    * `n_frames` = MPEG frame count. Feature = normalized 8-bin
+    * byte-value histogram (content-derived, like MP4). Non-MP3 mimes →
+    * the fake; no parseable frame → the filterable width=-1 sentinel. */
+  object Mp3MetaDecoder extends MediaDecoder {
+    private val Mp3Mimes = Set("audio/mpeg", "audio/mp3", "audio/x-mpeg-3")
+    // sample-rate tables by version bits (0=MPEG2.5, 2=MPEG2, 3=MPEG1)
+    private val Rates = Map(
+      3 -> Array(44100, 48000, 32000),
+      2 -> Array(22050, 24000, 16000),
+      0 -> Array(11025, 12000, 8000))
+    // Layer III bitrates (kbps); index 0 (free) and 15 are invalid here
+    private val KbpsV1 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+      160, 192, 224, 256, 320)
+    private val KbpsV2 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80,
+      96, 112, 128, 144, 160)
+
+    def decode(id: Long, mime: String, bytes: Array[Byte]): MediaFeatures = {
+      if (mime == null || !Mp3Mimes.contains(mime))
+        return DeterministicFakeDecoder.decode(id, mime, bytes)
+      val sentinel = MediaFeatures(id, mime, bytes.length.toLong,
+        width = -1, height = -1, n_frames = 0, feature = new Array[Float](8))
+      try {
+        val len = bytes.length
+        var off = 0
+        // ID3v2 prefix: "ID3" + ver(2) + flags(1) + syncsafe size(4)
+        if (len >= 10 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') {
+          val sz = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+            ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+          off = 10 + sz
+        }
+        var frames = 0
+        var rate = 0
+        var channels = 0
+        var done = false
+        while (!done && off + 4 <= len) {
+          val h1 = bytes(off) & 0xff
+          val h2 = bytes(off + 1) & 0xff
+          val h3 = bytes(off + 2) & 0xff
+          val h4 = bytes(off + 3) & 0xff
+          val version = (h2 >> 3) & 3
+          val layer = (h2 >> 1) & 3
+          val brIdx = (h3 >> 4) & 0xf
+          val srIdx = (h3 >> 2) & 3
+          if (h1 != 0xff || (h2 & 0xe0) != 0xe0 || version == 1 ||
+              layer != 1 /* Layer III */ || brIdx == 0 || brIdx == 15 ||
+              srIdx == 3) {
+            // junk/ID3v1 after at least one good frame = normal EOF;
+            // before any frame = not an MP3 we can read
+            done = true
+          } else {
+            val sr = Rates(version)(srIdx)
+            val kbps = (if (version == 3) KbpsV1 else KbpsV2)(brIdx)
+            val padding = (h3 >> 1) & 1
+            // samplesPerFrame/8 = 144 (MPEG1) or 72 (MPEG2/2.5), L III
+            val frameLen = (if (version == 3) 144 else 72) *
+              (kbps * 1000) / sr + padding
+            if (frameLen < 4 || off + frameLen > len) done = true
+            else {
+              if (frames == 0) {
+                rate = sr
+                channels = if (((h4 >> 6) & 3) == 3) 1 else 2
+              }
+              frames += 1
+              off += frameLen
+            }
+          }
+        }
+        if (frames == 0) return sentinel
+        val hist = new Array[Long](8)
+        bytes.foreach(b => hist((b & 0xff) >> 5) += 1)
+        MediaFeatures(id, mime, bytes.length.toLong, width = rate,
+          height = channels, n_frames = frames,
+          feature = hist.map(_.toFloat / bytes.length))
+      } catch { case _: Exception => sentinel }
+    }
+  }
+
   /** Real MP4 (ISO BMFF) container metadata parser — no video CODEC
     * ships with the JDK, but the container structure is plain
     * big-endian box walking: `moov > trak > tkhd` carries the true
@@ -227,14 +319,18 @@ object Multimodal {
 
   /** Production dispatch decoder: real JDK decode where the platform
     * provides it (images → [[ImageIoDecoder]], WAV audio →
-    * [[WavDecoder]]), real container-metadata parsing for MP4 video
-    * ([[Mp4MetaDecoder]] — per-frame pixel decode is the one remaining
+    * [[WavDecoder]]), real header/container-metadata parsing where it
+    * doesn't (MP3 audio → [[Mp3MetaDecoder]], MP4 video →
+    * [[Mp4MetaDecoder]] — per-frame pixel decode is the one remaining
     * stub, as no video codec ships with the JDK), the deterministic
     * fake for everything else. */
   object JdkMediaDecoder extends MediaDecoder {
+    private val Mp3Mimes = Set("audio/mpeg", "audio/mp3", "audio/x-mpeg-3")
     def decode(id: Long, mime: String, bytes: Array[Byte]): MediaFeatures =
       if (mime != null && mime.startsWith("image/"))
         ImageIoDecoder.decode(id, mime, bytes)
+      else if (mime != null && Mp3Mimes.contains(mime))
+        Mp3MetaDecoder.decode(id, mime, bytes)
       else if (mime != null && mime.startsWith("audio/"))
         WavDecoder.decode(id, mime, bytes)
       else if (mime == "video/mp4" || mime == "video/quicktime")

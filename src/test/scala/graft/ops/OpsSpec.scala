@@ -582,6 +582,28 @@ class OpsSpec extends SparkSpec {
     assert(webm.width == fake.width && webm.feature.toSeq == fake.feature.toSeq)
   }
 
+  test("multimodal: Mp3MetaDecoder reads true rate/channels/frames from frame headers") {
+    // committed 2,243-byte fixture: ID3v2 tag (30 B, syncsafe-skipped)
+    // + 5 CBR frames (MPEG1 Layer III, 128 kbps, 44.1 kHz, joint
+    // stereo, 417 B each) + a trailing ID3v1 "TAG" block (tolerated)
+    val mp3 = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/tiny.mp3").toURI))
+    val f = Multimodal.Mp3MetaDecoder.decode(1L, "audio/mpeg", mp3)
+    assert(f.width == 44100 && f.height == 2 && f.n_frames == 5,
+      s"mp3 parse: ${(f.width, f.height, f.n_frames)}")
+    assert(math.abs(f.feature.sum - 1.0f) < 1e-5)
+    // corrupt payload → filterable sentinel, task survives
+    val bad = Multimodal.Mp3MetaDecoder.decode(2L, "audio/mpeg", "ID3 junk".getBytes)
+    assert(bad.width == -1 && bad.n_frames == 0)
+    // non-MP3 audio mime → unchanged fake path (flac has no JDK parser)
+    val flac = Multimodal.Mp3MetaDecoder.decode(3L, "audio/flac", "fLaC".getBytes)
+    val fake = Multimodal.DeterministicFakeDecoder.decode(3L, "audio/flac", "fLaC".getBytes)
+    assert(flac.width == fake.width && flac.feature.toSeq == fake.feature.toSeq)
+    // dispatch: mp3 mimes route to the frame parser, wav still to Wav
+    assert(Multimodal.JdkMediaDecoder.decode(4L, "audio/mpeg", mp3).width == 44100)
+    assert(Multimodal.JdkMediaDecoder.decode(5L, "audio/mp3", mp3).n_frames == 5)
+  }
+
   test("multimodal: Mp4MetaDecoder reads real container metadata without a codec") {
     // committed 588-byte fixture: ftyp + moov(mvhd, trak(tkhd 320x240,
     // mdia/minf/stbl/stsz with 10 samples)) + mdat
