@@ -34,12 +34,15 @@ import graft.ops.Dedup
   * discovered, so every bucket computes the same canonical band and
   * exactly one emits (asserted cross-micro-batch in StreamingSpec).
   *
-  * Disclosed semantics vs the batch op: similarity is the MinHash
-  * ESTIMATE (matching-component fraction, ±~0.06 at 64 hashes) — exact
-  * verification would need the candidate's TEXT retained in state or a
-  * stream-batch join back to storage; the batch op remains the
-  * backfill/exact path (reference: no streaming analog — this is
-  * beyond-reference surface). A true near-dup pair is missed only if
+  * Similarity semantics: by default the emitted value is the MinHash
+  * ESTIMATE (matching-component fraction, ±~0.06 at 64 hashes);
+  * passing `verifyWith = Some(corpusSnapshot)` adds a stateless
+  * stream-static join that re-scores every candidate pair EXACTLY
+  * (same hashed-shingle arithmetic as the batch op) and re-applies the
+  * threshold on the exact value — the streaming counterpart of the
+  * batch verify stage. The batch op remains the backfill path
+  * (reference: no streaming analog — this is beyond-reference
+  * surface). A true near-dup pair is missed only if
   * no band agrees fully (the standard LSH recall bound: at 16×4 and
   * s = 0.8, P[miss] ≈ 2e-4) or its bucket-mates aged out of the
   * watermark horizon.
@@ -59,12 +62,26 @@ object StreamingDedup {
     * each emitted exactly once across all micro-batches. Input must
     * carry an event-time column `tsCol`; docs arriving more than
     * `watermarkDelayMs` late are dropped by the watermark (standard
-    * streaming contract). */
+    * streaming contract).
+    *
+    * `verifyWith` (r5): a STATIC corpus frame closes the estimate gap
+    * disclosed above — each emitted candidate pair is stream-static
+    * joined back to the corpus (stateless, no extra streaming state),
+    * its EXACT Jaccard computed over the same hashed-shingle sets the
+    * batch op uses, and the threshold re-applied on the exact value;
+    * output gains a `jaccard` column. A candidate whose estimate
+    * cleared the threshold but whose exact similarity does not is
+    * dropped — so a user gating deletions at 0.85 acts on exact
+    * arithmetic, matching the batch `dd_minhash_lsh` contract. Pairs
+    * whose docs are missing from the snapshot are dropped (inner
+    * join) — point the snapshot at the same storage the stream
+    * ingests so it lags at most one sync. */
   def minhashLshPairs(docs: DataFrame, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text",
       tsCol: String = "ts",
       numHashes: Int = 64, bands: Int = 16, k: Int = 5,
-      watermarkDelayMs: Long = 600000L): DataFrame = {
+      watermarkDelayMs: Long = 600000L,
+      verifyWith: Option[DataFrame] = None): DataFrame = {
     require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
     val rows = numHashes / bands
     val spark = docs.sparkSession
@@ -99,7 +116,7 @@ object StreamingDedup {
       (0 until bands).indexWhere(bi =>
         (bi * rows until (bi + 1) * rows).forall(i => a(i) == b(i)))
 
-    exploded.groupByKey(_._1)
+    val pairs = exploded.groupByKey(_._1)
       .flatMapGroupsWithState[List[(Long, Seq[Long], Long)], (Long, Long, Double)](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (bucket: Long,
@@ -133,5 +150,23 @@ object StreamingDedup {
           }
       }
       .toDF("da", "db", "est_jaccard")
+
+    verifyWith match {
+      case None => pairs
+      case Some(corpus) =>
+        // hashed-distinct shingle sets, the exact form the batch op
+        // scores — estimate and exact value share one hash family
+        val sets = corpus.select(col(idCol).cast("long").as("vid"),
+          array_distinct(transform(Dedup.shingles(col(textCol), k),
+            s => pmod(hash(s).cast("long"), lit(Dedup.P)))).as("vset"))
+        val exact = size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))).cast("double")
+        pairs
+          .join(sets.select(col("vid").as("da"), col("vset").as("sa")), "da")
+          .join(sets.select(col("vid").as("db"), col("vset").as("sb")), "db")
+          .withColumn("jaccard", round(exact, 4))
+          .filter(col("jaccard") >= threshold)
+          .select("da", "db", "est_jaccard", "jaccard")
+    }
   }
 }

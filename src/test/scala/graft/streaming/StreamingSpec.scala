@@ -427,6 +427,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming minhash-LSH verify mode: exact jaccard via stream-static join") {
+    val in = tmpDir("stream-neardup-verify")
+    val base = (1 to 50).map(i => s"tok$i").mkString(" ")
+    // tok7 -> tok7x rewrites the 5 shingles covering position 7:
+    // common 41, union 51 -> exact J = 41/51 = 0.8039 (the estimate
+    // would be a multiple of 1/64 — never this value)
+    val nearDup = base.replace("tok7 ", "tok7x ")
+    val far = (1 to 50).map(i => s"other$i").mkString(" ")
+    val schema = "doc_id LONG, text STRING, ts TIMESTAMP"
+    def jline(id: Long, text: String, ts: String) =
+      s"""{"doc_id":$id,"text":"$text","ts":"$ts"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/b1.json"),
+      Seq(jline(1, base, "2024-01-01T00:00:00Z"),
+        jline(2, far, "2024-01-01T00:00:10Z")).mkString("\n").getBytes)
+    // the static snapshot carries every doc the stream will see
+    import spark.implicits._
+    val snapshot = Seq((1L, base), (2L, far), (3L, nearDup))
+      .toDF("doc_id", "text")
+    val docs = spark.readStream.schema(schema).json(in)
+    val pairs = StreamingDedup.minhashLshPairs(docs, threshold = 0.5,
+      verifyWith = Some(snapshot))
+    val q = pairs.writeStream.outputMode("append")
+      .format("memory").queryName("near_dup_verified").start()
+    try {
+      q.processAllAvailable()
+      // the near-dup arrives in a LATER batch — the emitted pair must
+      // carry the exact jaccard, not the signature estimate
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/b2.json"),
+        Seq(jline(3, nearDup, "2024-01-01T00:01:00Z")).mkString("\n").getBytes)
+      q.processAllAvailable()
+      val rows = spark.table("near_dup_verified").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      assert(rows.length == 1, s"got ${rows.toSeq}")
+      val (da, db, est, exact) = rows.head
+      assert((da, db) == ((1L, 3L)))
+      assert(exact == 0.8039, // round(41/51, 4)
+        s"exact jaccard must be round(41/51, 4) = 0.8039, got $exact")
+      assert(est != exact, "estimate and exact coincide — verify is a no-op?")
+    } finally q.stop()
+  }
+
   test("streaming hourly events agg runs on the testdata schema") {
     val q = StreamingPipeline.streamingHourly(spark, "/root/testdata/sf0.001")
       .writeStream.outputMode("append")
