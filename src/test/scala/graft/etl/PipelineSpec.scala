@@ -54,6 +54,39 @@ class PipelineSpec extends SparkSpec {
     assert(rep.trim.startsWith("{") && rep.contains("\"total_lines\": 6"))
   }
 
+  test("golden: rendered report bytes match the reference renderer exactly") {
+    // The JSON golden is byte-for-byte what Go's json.Encoder
+    // (SetIndent "", "  ") emits for report.go's struct on the 6-line
+    // fixture — field order = struct order, map keys sorted (Go's
+    // encoder sorts them), compact float rendering. The Prometheus
+    // golden follows report.go:213-248 line order; Go map iteration is
+    // randomized, so the golden pins the SORTED-map rendering (one
+    // valid reference serialization — ours is deterministic by
+    // design). Runtime-dependent fields (duration, throughput, stage
+    // timings) are fixed to exactly-representable values so the bytes
+    // are stable.
+    val cfg = EtlConfig.default.copy(
+      inputPath = fixturePath,
+      outputType = "file",
+      outputPath = s"${java.nio.file.Files.createTempDirectory("etl-golden")}/out.jsonl",
+      filterLevels = Seq("WARN", "ERROR"),
+      redactKeys = Seq("user_email", "token"))
+    val r0 = Pipeline.runFile(spark, cfg).toOption.get.report
+    val r = r0
+      .withDuration(2.0)
+      .copy(stageTimings = StageTimings(
+        parsingSeconds = 0.25, normalizationSeconds = 0.5,
+        filteringSeconds = 0.125, writingSeconds = 1.125))
+    def golden(name: String): String = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        getClass.getResource(name).toURI)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(r.toJson + "\n" == golden("/report_golden.json"),
+      "JSON rendering drifted from the reference renderer")
+    assert(r.prometheus == golden("/report_golden.prom"),
+      "Prometheus rendering drifted from the reference renderer")
+  }
+
   test("records blocked by filter keep fields un-redacted (filter_test.go:36-53)") {
     val cfg = EtlConfig.default.copy(
       filterLevels = Seq("ERROR"), redactKeys = Seq("user_email"))
