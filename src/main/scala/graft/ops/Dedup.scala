@@ -33,7 +33,7 @@ object Dedup {
   private val liveCaches =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
-  private[ops] def persistTracked(df: DataFrame): DataFrame = {
+  private[graft] def persistTracked(df: DataFrame): DataFrame = {
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     liveCaches.add(p)
     p

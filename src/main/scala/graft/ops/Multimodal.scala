@@ -317,6 +317,158 @@ object Multimodal {
     }
   }
 
+  /** Shared ISO-BMFF primitives for the MP4 metadata walk and the
+    * MJPEG frame sampler. */
+  private[ops] object Bmff {
+    def box4(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    def be32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    /** Direct children `(type, payloadStart, boxEnd)` of `[start, end)`;
+      * stops at the first malformed size (truncated tail tolerated). */
+    def children(b: Array[Byte], start: Int, end: Int): List[(String, Int, Int)] = {
+      val out = scala.collection.mutable.ListBuffer[(String, Int, Int)]()
+      var o = start
+      var ok = true
+      while (ok && o + 8 <= end) {
+        val size = be32(b, o)
+        if (size < 8 || o + size > end) ok = false
+        else {
+          out += ((box4(b, o + 4), o + 8, o + size.toInt))
+          o += size.toInt
+        }
+      }
+      out.toList
+    }
+    def firstChild(b: Array[Byte], start: Int, end: Int,
+        typ: String): Option[(Int, Int)] =
+      children(b, start, end).collectFirst { case (`typ`, s, e) => (s, e) }
+  }
+
+  /** One decoded video frame (same field conventions as
+    * [[MediaFeatures]]: 8-bin luminance histogram, width = -1
+    * sentinel on a corrupt frame). */
+  case class FrameFeatures(
+      media_id: Long,
+      frame_idx: Int,
+      width: Int,
+      height: Int,
+      feature: Array[Float])
+
+  /** REAL per-frame video pixel decode for the one codec family the
+    * JDK can decode: MJPEG (QuickTime/MP4 `stsd` formats `jpeg`,
+    * `mjpa`, `mjpb`), where every sample is a complete JPEG image. The
+    * sample tables (`stsz` sizes, `stco` chunk offsets, `stsc`
+    * sample-to-chunk) give each frame's exact byte range in `mdat`, and
+    * [[ImageIoDecoder]] decodes the pixels — true dimensions + the same
+    * luminance-histogram feature as still images, per frame. This
+    * closes the "per-frame pixel decode" stub for MJPEG tracks;
+    * inter-frame codecs (H.264 etc.) still need a codec the JDK does
+    * not ship, and fall out as "no JPEG track" = no frames. */
+  object Mp4FrameSampler {
+
+    private val JpegFormats = Set("jpeg", "mjpa", "mjpb")
+
+    /** (offset, length) of every sample in the first MJPEG trak, in
+      * presentation order; Nil when the container has none. */
+    private[ops] def jpegSampleRanges(bytes: Array[Byte]): Seq[(Long, Int)] = {
+      import Bmff._
+      if (bytes.length < 12 || box4(bytes, 4) != "ftyp") return Nil
+      val stbls = for {
+        (t, ms, me) <- children(bytes, 0, bytes.length) if t == "moov"
+        (tt, ts, te) <- children(bytes, ms, me) if tt == "trak"
+        (mt, mds, mde) <- children(bytes, ts, te) if mt == "mdia"
+        (it, ifs, ife) <- children(bytes, mds, mde) if it == "minf"
+        (st, ss, se) <- children(bytes, ifs, ife) if st == "stbl"
+      } yield (ss, se)
+      stbls.iterator.map { case (ss, se) =>
+        val ranges = for {
+          (sds, sde) <- firstChild(bytes, ss, se, "stsd")
+          // stsd payload: ver/flags + entry_count, then the first
+          // entry's size + format fourcc
+          if sde - sds >= 16 && be32(bytes, sds + 4) >= 1 &&
+            JpegFormats(box4(bytes, sds + 12))
+          (szs, _) <- firstChild(bytes, ss, se, "stsz")
+          (cos, _) <- firstChild(bytes, ss, se, "stco")
+          (scs, _) <- firstChild(bytes, ss, se, "stsc")
+        } yield {
+          // stsz: flags, uniform size (0 = per-sample table), count
+          val uniform = be32(bytes, szs + 4).toInt
+          val n = be32(bytes, szs + 8).toInt
+          val sizes = Array.tabulate(n)(i =>
+            if (uniform != 0) uniform else be32(bytes, szs + 12 + 4 * i).toInt)
+          val nCh = be32(bytes, cos + 4).toInt
+          val chunkOff = Array.tabulate(nCh)(i => be32(bytes, cos + 8 + 4 * i))
+          val nSc = be32(bytes, scs + 4).toInt
+          val stsc = Array.tabulate(nSc)(i =>
+            (be32(bytes, scs + 8 + 12 * i).toInt,   // first_chunk, 1-based
+              be32(bytes, scs + 12 + 12 * i).toInt)) // samples_per_chunk
+          val out = scala.collection.mutable.ArrayBuffer[(Long, Int)]()
+          var sample = 0
+          var c = 0
+          while (c < nCh && sample < n) {
+            val spc = stsc.takeWhile(_._1 <= c + 1)
+              .lastOption.map(_._2).getOrElse(0)
+            var off = chunkOff(c)
+            var k = 0
+            while (k < spc && sample < n) {
+              out += ((off, sizes(sample)))
+              off += sizes(sample)
+              sample += 1
+              k += 1
+            }
+            c += 1
+          }
+          out.toSeq
+        }
+        ranges.getOrElse(Nil)
+      }.find(_.nonEmpty).getOrElse(Nil)
+    }
+
+    /** Decode up to `maxFrames` evenly-strided frames of an MJPEG
+      * track. Non-video mimes, containers without a JPEG track, and
+      * corrupt containers yield Nil (nothing to decode — the metadata
+      * path still reports them); an individually corrupt FRAME yields
+      * the width = -1 sentinel row like every other decoder here. */
+    def decodeFrames(id: Long, mime: String, bytes: Array[Byte],
+        maxFrames: Int = 4): Seq[FrameFeatures] = {
+      if (mime != "video/mp4" && mime != "video/quicktime") return Nil
+      val ranges =
+        try jpegSampleRanges(bytes) catch { case _: Exception => Nil }
+      if (ranges.isEmpty) return Nil
+      val n = ranges.length
+      val take = math.max(1, math.min(maxFrames, n))
+      (0 until take).map { i =>
+        val fi = i * n / take // even stride across the track
+        val (off, len) = ranges(fi)
+        val f =
+          if (off >= 0 && len > 0 && off + len <= bytes.length)
+            ImageIoDecoder.decode(id, "image/jpeg",
+              java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + len))
+          else MediaFeatures(id, mime, bytes.length.toLong, -1, -1, 0,
+            new Array[Float](8))
+        FrameFeatures(id, fi, f.width, f.height, f.feature)
+      }
+    }
+  }
+
+  /** Per-partition frame sampling over a media frame — the video twin
+    * of [[extractFeatures]]: blobs stay in their partition, each task
+    * walks its containers once and emits narrow per-frame feature rows
+    * (media_id, frame_idx, dims, luminance histogram). */
+  def sampleFrames(media: DataFrame, maxFrames: Int = 4): Dataset[FrameFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"), col("meta.mime"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes, mime) =>
+          Mp4FrameSampler.decodeFrames(id, mime, bytes, maxFrames)
+        }
+      }
+  }
+
   /** Production dispatch decoder: real JDK decode where the platform
     * provides it (images → [[ImageIoDecoder]], WAV audio →
     * [[WavDecoder]]), real header/container-metadata parsing where it

@@ -90,9 +90,13 @@ object VectorQueries {
       base.filter(col("vec_id") % 50 === residue)
         .select((col("vec_id") + offset).as("vec_id"),
           transform(col("embedding"), x => x + lit(delta)).as("embedding"))
-    val aug = base
+    // persistTracked: the LSH op scans its input three times (signature
+    // pass + both sides of the candidate fetch) — cheap re-reads on a
+    // parquet scan, but a composed union+transform would recompute; the
+    // cache is released by the harness like every operator-internal one
+    val aug = Dedup.persistTracked(base
       .unionAll(planted(1000000L, 0.05, 0))
-      .unionAll(planted(2000000L, 0.08, 25))
+      .unionAll(planted(2000000L, 0.08, 25)))
     Similarity.cosinePairsLshAuto(aug, threshold = 0.9,
         numRows = Some(n0 + 2 * (n0 / 50 + 1)))
       .transform(QueryUtil.ordered("da", "db"))

@@ -625,6 +625,41 @@ class OpsSpec extends SparkSpec {
     assert(Multimodal.JdkMediaDecoder.decode(3L, "video/mp4", mp4).width == 320)
   }
 
+  test("multimodal: MJPEG frame sampler decodes real per-frame pixels") {
+    // committed 1,638-byte fixture: ftyp + mdat(two 631-byte JPEGs:
+    // 4x2 solid black, 4x2 solid white) + moov(trak(tkhd 4x2,
+    // stbl(stsd 'jpeg', stsz [631, 631], stco [28], stsc 1x2)))
+    val mp4 = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/tiny_mjpeg.mp4").toURI))
+    val frames = Multimodal.Mp4FrameSampler.decodeFrames(1L, "video/mp4", mp4)
+    assert(frames.map(_.frame_idx) == Seq(0, 1), frames.toString)
+    frames.foreach(f => assert(f.width == 4 && f.height == 2, f.toString))
+    // true PIXELS, not container metadata: black frame -> all luma in
+    // bin 0, white frame -> all luma in bin 7
+    assert(frames(0).feature(0) == 1.0f, frames(0).feature.toSeq.toString)
+    assert(frames(1).feature(7) == 1.0f, frames(1).feature.toSeq.toString)
+    // maxFrames strides evenly (1 of 2 -> the first frame)
+    assert(Multimodal.Mp4FrameSampler.decodeFrames(1L, "video/mp4", mp4,
+      maxFrames = 1).map(_.frame_idx) == Seq(0))
+    // the metadata walk still reads this container (tkhd + stsz)
+    val meta = Multimodal.Mp4MetaDecoder.decode(1L, "video/mp4", mp4)
+    assert(meta.width == 4 && meta.height == 2 && meta.n_frames == 2)
+    // no JPEG track (the h264-shaped tiny.mp4) / corrupt bytes -> Nil
+    val h264 = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/tiny.mp4").toURI))
+    assert(Multimodal.Mp4FrameSampler.decodeFrames(2L, "video/mp4", h264).isEmpty)
+    assert(Multimodal.Mp4FrameSampler.decodeFrames(3L, "video/mp4",
+      "garbage".getBytes).isEmpty)
+    // dataset path: per-partition flatMap emits narrow frame rows
+    val media = Seq((7L, mp4, "video/mp4"), (8L, "x".getBytes, "video/mp4"))
+      .toDF("media_id", "payload", "mime")
+      .select(col("media_id"), col("payload"),
+        struct(col("mime"), octet_length(col("payload")).cast("long")
+          .as("byte_len")).as("meta"))
+    val rows = Multimodal.sampleFrames(media).collect()
+    assert(rows.length == 2 && rows.forall(_.media_id == 7L))
+  }
+
   test("salted join: exact inner-join semantics under skew") {
     val left = Seq((1L, "hot"), (2L, "hot"), (3L, "hot"), (4L, "cold"))
       .toDF("id", "k")
