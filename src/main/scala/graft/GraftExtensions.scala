@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.etl.expressions.{ArrayDot, JsonResidualVariant, JsonToStringMap, LshSignBands, MapRemoveKeys, MinHashSig, Rfc3339Parse}
+import graft.etl.expressions.{ArrayDot, JsonResidualVariant, JsonToStringMap, LshSignBands, MapRemoveKeys, MinHashSig, PqAdc, Rfc3339Parse}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * expressions as SQL functions, so `spark.sql` users get them too:
@@ -92,6 +92,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         arity("lsh_sign_bands", args, 3, 3)
         LshSignBands(args.head,
           litInt("lsh_sign_bands")(args(1)), litInt("lsh_sign_bands")(args(2)))
+      }))
+    // pq_adc(code ARRAY<INT>, lut ARRAY<ARRAY<DOUBLE>>): the ADC scan
+    // loop for SQL users who store PQ codes + broadcast a LUT table.
+    // (pq_encode is NOT injectable: its codebooks are a data-derived
+    // reference object, not expressible as SQL literals.)
+    e.injectFunction((
+      FunctionIdentifier("pq_adc"),
+      new ExpressionInfo(classOf[PqAdc].getName, "pq_adc"),
+      (args: Seq[Expression]) => {
+        arity("pq_adc", args, 2, 2)
+        PqAdc(args.head, args(1))
       }))
   }
 }

@@ -54,7 +54,8 @@ class QueriesSpec extends SparkSpec {
           |  array_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dot,
           |  rfc3339_parse('2025-01-02T03:04:05.500Z').rendered AS ts,
           |  variant_get(json_residual_variant('{"a":1,"b":"x"}', 'b'), '$.a', 'int') AS va,
-          |  size(lsh_sign_bands(array(1.0d, -1.0d), 8, 4)) AS nbands
+          |  size(lsh_sign_bands(array(1.0d, -1.0d), 8, 4)) AS nbands,
+          |  pq_adc(array(1, 0), array(array(0.5d, 2.0d), array(3.0d, 4.0d))) AS adc
           |""".stripMargin).head()
       assert(r.getAs[Map[String, String]]("m") == Map("a" -> "1", "b" -> "x"))
       assert(r.getAs[Map[String, String]]("f") == Map("b" -> "x"))
@@ -62,6 +63,7 @@ class QueriesSpec extends SparkSpec {
       assert(r.getAs[String]("ts") == "2025-01-02T03:04:05.5Z")
       assert(r.getAs[Int]("va") == 1)
       assert(r.getAs[Int]("nbands") == 2)
+      assert(r.getAs[Double]("adc") == 5.0) // lut[0][1] + lut[1][0]
       // wrong arity fails with an argument error, not an index crash
       val err = intercept[Exception] { s2.sql("SELECT array_dot(array(1.0d))") }
       assert(err.getMessage.contains("array_dot expects 2"),
