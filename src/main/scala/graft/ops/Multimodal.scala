@@ -453,6 +453,61 @@ object Multimodal {
     }
   }
 
+  /** One resized image row: the re-encoded payload plus its true
+    * output dimensions (width = -1 sentinel for non-image/corrupt
+    * inputs, payload passed through untouched so downstream stages
+    * still see the blob). */
+  case class ResizedMedia(
+      media_id: Long,
+      mime: String,
+      width: Int,
+      height: Int,
+      payload: Array[Byte])
+
+  /** REAL image resize (the `resize` step of the decode /
+    * feature-extract / resize / frame-sample quartet): ImageIO decode →
+    * `Graphics2D` bilinear scale onto a bounded `maxDim` box
+    * (aspect-preserving, never upscales) → PNG re-encode. Pure JDK.
+    * At 100 TB this is the normalization pass before feature
+    * extraction or storage tiering — blobs never leave their
+    * partition, output rows carry the (smaller) re-encoded payload.
+    * Non-image mimes and corrupt payloads pass through with the
+    * width = -1 sentinel rather than failing the task. */
+  def resizeImages(media: DataFrame, maxDim: Int = 256): Dataset[ResizedMedia] = {
+    require(maxDim > 0, "maxDim must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"), col("meta.mime"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes, mime) =>
+          val img =
+            if (mime == null || !mime.startsWith("image/")) null
+            else try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+          if (img == null) ResizedMedia(id, mime, -1, -1, bytes)
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
+            val nw = math.max(1, math.round(w * scale).toInt)
+            val nh = math.max(1, math.round(h * scale).toInt)
+            val out = new java.awt.image.BufferedImage(nw, nh,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, nw, nh, null)
+            g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            ResizedMedia(id, mime, nw, nh, bos.toByteArray)
+          }
+        }
+      }
+  }
+
   /** Per-partition frame sampling over a media frame — the video twin
     * of [[extractFeatures]]: blobs stay in their partition, each task
     * walks its containers once and emits narrow per-frame feature rows

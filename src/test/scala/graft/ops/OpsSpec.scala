@@ -660,6 +660,32 @@ class OpsSpec extends SparkSpec {
     assert(rows.length == 2 && rows.forall(_.media_id == 7L))
   }
 
+  test("multimodal: resizeImages scales real pixels, passes non-images through") {
+    val png = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/tiny.png").toURI))
+    val media = Seq(
+        (1L, png, "image/png"),          // 4x2 -> maxDim 2 -> 2x1
+        (2L, png, "image/png"),          // maxDim larger than image: no upscale
+        (3L, "nope".getBytes, "image/png"), // corrupt -> sentinel
+        (4L, "au".getBytes, "audio/wav"))   // non-image -> sentinel
+      .toDF("media_id", "payload", "mime")
+      .select(col("media_id"), col("payload"),
+        struct(col("mime"), octet_length(col("payload")).cast("long")
+          .as("byte_len")).as("meta"))
+    val small = Multimodal.resizeImages(media.filter(col("media_id") === 1), maxDim = 2)
+      .collect().head
+    assert(small.width == 2 && small.height == 1)
+    // output payload is a real decodable image of the claimed size
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(small.payload))
+    assert(back.getWidth == 2 && back.getHeight == 1)
+    val rest = Multimodal.resizeImages(media.filter(col("media_id") > 1), maxDim = 64)
+      .collect().map(r => r.media_id -> r).toMap
+    assert(rest(2L).width == 4 && rest(2L).height == 2, "must not upscale")
+    assert(rest(3L).width == -1 && rest(3L).payload.sameElements("nope".getBytes))
+    assert(rest(4L).width == -1 && rest(4L).payload.sameElements("au".getBytes))
+  }
+
   test("salted join: exact inner-join semantics under skew") {
     val left = Seq((1L, "hot"), (2L, "hot"), (3L, "hot"), (4L, "cold"))
       .toDF("id", "k")
