@@ -430,6 +430,141 @@ case class PqEncode(child: Expression,
     copy(child = newChild)
 }
 
+/** Codegen-capable k-nearest-centroid selection: the `k` cell ids
+  * whose centroids minimize squared L2 distance to the vector, ranked
+  * by (distance, index) — `k = 1` is the IVF assignment, `k = nprobe`
+  * the probe list.
+  *
+  * The column form this replaces (a plan-time argmin/array_sort over C
+  * struct(dot, i) terms, each dot a literal-coefficient expansion) is
+  * C × dim Catalyst nodes: fine at C = 16, Janino-breaking well before
+  * the C ≈ √n a real IVF wants at 10^9 vectors (~30k centroids) — the
+  * same wall [[LshSignBands]] and [[PqEncode]] document. Here the
+  * centroid matrix rides along as a reference object and the argmin is
+  * one tight loop. Arithmetic is IDENTICAL to the old column form
+  * (sequential dot, s = dot * -2 + |c|², ties to the lowest index), so
+  * assignments — and therefore trained models — are bit-equal. */
+case class NearestCells(child: Expression,
+    centroids: Array[Array[Double]], k: Int) extends UnaryExpression {
+  require(centroids.nonEmpty && k >= 1, s"centroids=${centroids.length} k=$k")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got $other")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_cells"
+
+  // |c|² per centroid, folded in the same order the column form used
+  @transient private lazy val c2: Array[Double] =
+    centroids.map(_.map(x => x * x).sum)
+
+  override def nullSafeEval(input: Any): Any =
+    NearestCells.cells(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      centroids, c2, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = NearestCells.getClass.getName.stripSuffix("$")
+    val cents = ctx.addReferenceObj("ivfCentroids", centroids, "double[][]")
+    val norms = ctx.addReferenceObj("ivfCentroidNorms", c2, "double[]")
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = $cls.cells($c, $cents, $norms, $k);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCells =
+    copy(child = newChild)
+}
+
+object NearestCells {
+  def cells(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      cents: Array[Array[Double]], c2: Array[Double],
+      k: Int): GenericArrayData = {
+    val C = cents.length
+    val kk = math.min(k, C)
+    val bestS = new Array[Double](kk)
+    val bestI = new Array[Int](kk)
+    var filled = 0
+    var i = 0
+    while (i < C) {
+      val c = cents(i)
+      val n = math.min(a.numElements(), c.length)
+      var dot = 0.0
+      var d = 0
+      while (d < n) { dot += a.getDouble(d) * c(d); d += 1 }
+      val s = dot * -2.0 + c2(i)
+      // insertion position: strictly-greater entries shift right, so
+      // equal distances keep the earlier (lower) centroid index first
+      var p = filled
+      while (p > 0 && bestS(p - 1) > s) p -= 1
+      if (p < kk) {
+        var m = math.min(filled, kk - 1)
+        while (m > p) { bestS(m) = bestS(m - 1); bestI(m) = bestI(m - 1); m -= 1 }
+        bestS(p) = s
+        bestI(p) = i
+        if (filled < kk) filled += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(bestI, filled))
+  }
+}
+
+/** Codegen-capable centroid residual: out[d] = vec[d] − centroid[cell][d].
+  * The interpreted form it replaces (`zip_with(vec,
+  * element_at(centroidsLiteral, cell + 1), _ - _)`) is a higher-order
+  * lambda over a C × dim array literal, evaluated per CORPUS row in
+  * IVF-PQ training and encode — the same interpreted-hot-loop class as
+  * the ADC scan [[PqAdc]] killed. Dimension mismatch fails loudly
+  * (PqEncode's contract: silent garbage is worse than an exception). */
+case class CentroidResidual(left: Expression, right: Expression,
+    centroids: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  require(centroids.nonEmpty)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<double>, int), got $other")
+    }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "centroid_residual"
+
+  override def nullSafeEval(vec: Any, cell: Any): Any =
+    CentroidResidual.residual(
+      vec.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      cell.asInstanceOf[Int], centroids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = CentroidResidual.getClass.getName.stripSuffix("$")
+    val cents = ctx.addReferenceObj("ivfCentroids", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev,
+      (v, c) => s"${ev.value} = $cls.residual($v, $c, $cents);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CentroidResidual =
+    copy(left = newLeft, right = newRight)
+}
+
+object CentroidResidual {
+  def residual(a: org.apache.spark.sql.catalyst.util.ArrayData, cell: Int,
+      cents: Array[Array[Double]]): GenericArrayData = {
+    if (cell < 0 || cell >= cents.length) throw new IllegalArgumentException(
+      s"centroid_residual: cell $cell out of range for ${cents.length} centroids")
+    val c = cents(cell)
+    if (a.numElements() != c.length) throw new IllegalArgumentException(
+      s"centroid_residual: vector dim ${a.numElements()} != centroid dim ${c.length}")
+    val out = new Array[Double](c.length)
+    var d = 0
+    while (d < c.length) { out(d) = a.getDouble(d) - c(d); d += 1 }
+    new GenericArrayData(out)
+  }
+}
+
 /** Codegen-capable PQ asymmetric-distance (ADC) accumulation:
   * Σ_j lut[j][code[j]] in one tight loop.
   *

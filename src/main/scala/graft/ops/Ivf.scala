@@ -29,11 +29,17 @@ object Ivf {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
-  /** Squared L2 distance to a literal centroid, as a codegen-friendly
-    * expression: |v|² - 2·v·c + |c|² needs only the dot product per
-    * centroid (|v|² is shared across centroids, |c|² is a constant). */
-  private def dotLit(vec: Column, centroid: Array[Double]): Column =
-    Similarity.dot(vec, typedLit(centroid.toSeq))
+  /** The k nearest cell ids by squared L2, as ONE codegen expression
+    * ([[graft.etl.expressions.NearestCells]]) with the centroid matrix
+    * as a reference object. The plan-time-expanded argmin this replaces
+    * (C struct terms × dim literal coefficients each) breaks Janino
+    * long before the C ≈ √n a real IVF runs at 10^9 vectors; arithmetic
+    * and tie order are bit-identical to that form. */
+  private def nearestCells(vec: Column, centroids: Array[Array[Double]],
+      k: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.etl.expressions.NearestCells(
+        org.apache.spark.sql.graft.Bridge.expression(vec), centroids, k))
 
   /** Train `numCentroids` centroids with `iters` Lloyd iterations.
     * Returns the centroid matrix (model parameters, driver-sized). */
@@ -71,29 +77,17 @@ object Ivf {
     centroids
   }
 
-  /** Nearest-centroid cell id per vector (argmin over C codegen dot
-    * products — |v|² is constant across centroids so comparing
-    * -2·v·c + |c|² suffices). */
+  /** Nearest-centroid cell id per vector (argmin over squared L2:
+    * |v|² is constant across centroids so -2·v·c + |c|² suffices —
+    * computed inside [[nearestCells]]'s single codegen loop). */
   def assign(emb: DataFrame, centroids: Array[Array[Double]],
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val v = asDouble(col(vecCol))
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      val c2 = c.map(x => x * x).sum
-      struct((dotLit(v, c) * -2d + lit(c2)).as("s"), lit(i).as("i"))
-    }
-    emb.withColumn("cell", array_min(array(scored: _*)).getField("i"))
-  }
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    emb.withColumn("cell",
+      element_at(nearestCells(asDouble(col(vecCol)), centroids, 1), 1))
 
   /** Cells ranked by distance for a vector — the probe list. */
   private[ops] def probeCells(vec: Column, centroids: Array[Array[Double]],
-      nprobe: Int): Column = {
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      val c2 = c.map(x => x * x).sum
-      struct((dotLit(vec, c) * -2d + lit(c2)).as("s"), lit(i).as("i"))
-    }
-    slice(transform(array_sort(array(scored: _*)), s => s.getField("i")),
-      1, nprobe)
-  }
+      nprobe: Int): Column = nearestCells(vec, centroids, nprobe)
 
   /** IVF top-k cosine search: queries selected by `queryPred` probe
     * their `nprobe` nearest cells; exact cosine over cell members only;

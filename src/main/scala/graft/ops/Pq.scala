@@ -191,18 +191,20 @@ object Pq {
     val spark = emb.sparkSession
     import spark.implicits._
     val centroids = Ivf.train(emb, numCentroids, iters, idCol, vecCol)
-    val centsLit = typedLit(centroids.map(_.toSeq).toSeq)
-    // residual per row: v - centroid[cell] (array lambda over the
-    // broadcast-literal centroid table). PERSISTED: the per-subspace
-    // codebook training alone re-reads this frame m x (1 + iters)
-    // times (driver-collected means), and encode scans it again —
-    // without the cache that is ~50 full corpus scans re-running the
-    // C-way assign each time. Released by Dedup.releaseCaches() like
-    // every operator-internal cache.
+    // residual per row: v - centroid[cell], as a codegen expression
+    // ([[graft.etl.expressions.CentroidResidual]] — the interpreted
+    // zip_with-over-literal-table form ran per corpus row). PERSISTED:
+    // codebook training re-reads this frame per iteration and encode
+    // scans it again; released by Dedup.releaseCaches() like every
+    // operator-internal cache.
+    val residualCol = org.apache.spark.sql.graft.Bridge.column(
+      graft.etl.expressions.CentroidResidual(
+        org.apache.spark.sql.graft.Bridge.expression(asDouble(col(vecCol))),
+        org.apache.spark.sql.graft.Bridge.expression(col("cell")),
+        centroids))
     val withRes = Dedup.persistTracked(
       Ivf.assign(emb, centroids, idCol, vecCol)
-        .withColumn("res", zip_with(asDouble(col(vecCol)),
-          element_at(centsLit, col("cell") + 1), (a, b) => a - b)))
+        .withColumn("res", residualCol))
     val codebooks = train(withRes.select(col(idCol), col("res")),
       m, kSub, iters, idCol, "res")
     val enc = encode(withRes.select(col(idCol), col("res"), col("cell"),

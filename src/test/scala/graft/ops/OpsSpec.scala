@@ -141,6 +141,66 @@ class OpsSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("pq_encode")), msgs(e).mkString(" | "))
   }
 
+  test("NearestCells/CentroidResidual codegen match the column forms; large C compiles") {
+    import org.apache.spark.sql.graft.Bridge
+    import graft.etl.expressions.{CentroidResidual, NearestCells}
+    val centroids = Ivf.train(emb, 16)
+    val v = col("embedding").cast("array<double>")
+    def cellsCol(k: Int) =
+      Bridge.column(NearestCells(Bridge.expression(v), centroids, k))
+    // old assignment form: argmin over plan-time struct(dot, i) terms
+    val oldScored = centroids.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x * x).sum
+      struct((Similarity.dot(v, typedLit(c.toSeq)) * -2d + lit(c2)).as("s"),
+        lit(i).as("i"))
+    }
+    val oldResidual = zip_with(v,
+      element_at(typedLit(centroids.map(_.toSeq).toSeq),
+        array_min(array(oldScored: _*)).getField("i") + 1), (a, b) => a - b)
+    val both = emb.select(col("vec_id"),
+        element_at(cellsCol(1), 1).as("cellNew"),
+        array_min(array(oldScored: _*)).getField("i").as("cellOld"),
+        cellsCol(4).as("probeNew"),
+        slice(transform(array_sort(array(oldScored: _*)),
+          s => s.getField("i")), 1, 4).as("probeOld"),
+        Bridge.column(CentroidResidual(Bridge.expression(v),
+          Bridge.expression(element_at(cellsCol(1), 1)), centroids)).as("resNew"),
+        oldResidual.as("resOld"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getInt(1) == r.getInt(2), s"assign mismatch: $r")
+      assert(r.getSeq[Int](3) == r.getSeq[Int](4), s"probe mismatch: $r")
+      val (rn, ro) = (r.getSeq[Double](5), r.getSeq[Double](6))
+      assert(rn.length == ro.length &&
+        rn.zip(ro).forall { case (a, b) =>
+          java.lang.Double.doubleToRawLongBits(a) ==
+            java.lang.Double.doubleToRawLongBits(b) }, s"residual mismatch: $r")
+    }
+    // the scale story: C = 1024 centroids compile and evaluate as ONE
+    // expression — the plan-expanded form is ~65k Catalyst nodes here
+    // and breaks codegen long before real-IVF centroid counts
+    val bigC = Array.tabulate(1024, 64)((i, d) =>
+      graft.etl.expressions.LshSignBands.planeCoef(i, d))
+    val bigAssign = emb.select(
+      element_at(Bridge.column(NearestCells(
+        Bridge.expression(v), bigC, 1)), 1).as("cell"))
+      .groupBy("cell").count().collect()
+    assert(bigAssign.map(_.getLong(1)).sum == emb.count())
+    // corrupted cell / ragged vector fail loudly, never garbage reads
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val e1 = intercept[IllegalArgumentException] {
+      graft.etl.expressions.CentroidResidual.residual(
+        new GenericArrayData(Array(1.0)), 99, centroids)
+    }
+    assert(e1.getMessage.contains("centroid_residual"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.etl.expressions.CentroidResidual.residual(
+        new GenericArrayData(Array(1.0)), 0, centroids)
+    }
+    assert(e2.getMessage.contains("dim"))
+  }
+
   test("PqAdc codegen is bit-equal to the interpreted higher-order ADC form") {
     val cb = Pq.train(emb, 4, 8)
     val enc = Pq.encode(emb, cb)
