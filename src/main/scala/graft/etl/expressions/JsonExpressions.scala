@@ -430,6 +430,58 @@ case class PqEncode(child: Expression,
     copy(child = newChild)
 }
 
+/** Codegen-capable modal multiplicity of a string array: the count of
+  * the single most frequent element, in one O(n) hash pass.
+  *
+  * The column form it replaces —
+  * `array_max(transform(array_distinct(g), x => size(filter(g, _ === x))))`
+  * — is O(distinct × total) per DOCUMENT with interpreted per-element
+  * lambda dispatch: quadratic in document length, so one pathological
+  * 100k-token document becomes a ~10^10-operation straggler pinning a
+  * single task. Per-row work must stay linear in row size at 100 TB. */
+case class ModalCount(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got $other")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "modal_count"
+
+  override def nullSafeEval(input: Any): Any =
+    ModalCount.modal(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = ModalCount.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $cls.modal($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ModalCount =
+    copy(child = newChild)
+}
+
+object ModalCount {
+  def modal(a: org.apache.spark.sql.catalyst.util.ArrayData): Int = {
+    val n = a.numElements()
+    if (n == 0) return 0
+    val counts = new java.util.HashMap[UTF8String, Int](n * 2)
+    var best = 0
+    var i = 0
+    while (i < n) {
+      // null elements count as a value like the SQL equality they
+      // replace would NOT — but n-gram arrays are containsNull=false
+      // by construction; guard anyway
+      val s = if (a.isNullAt(i)) null else a.getUTF8String(i)
+      val c = counts.merge(s, 1, (x, y) => x + y)
+      if (c > best) best = c
+      i += 1
+    }
+    best
+  }
+}
+
 /** Codegen-capable k-nearest-centroid selection: the `k` cell ids
   * whose centroids minimize squared L2 distance to the vector, ranked
   * by (distance, index) — `k = 1` is the IVF assignment, `k = nprobe`

@@ -118,11 +118,15 @@ object TextAnalysis {
       .otherwise(lit(0.0))
 
   /** Fraction of occurrences taken by the single most frequent n-gram.
-    * The modal count is O(distinct × total) per document — bounded by
-    * the doc's own length, embarrassingly parallel, no shuffle. */
+    * The modal count is ONE codegen hash pass per document
+    * ([[graft.etl.expressions.ModalCount]]) — O(n) in document length;
+    * the nested higher-order column form it replaces was
+    * O(distinct × total), i.e. quadratic per row, which turns one
+    * pathological long document into a task-pinning straggler. */
   def topNgramFraction(grams: Column): Column = {
-    val top = array_max(transform(array_distinct(grams),
-      x => size(filter(grams, y => y === x))))
+    val top = org.apache.spark.sql.graft.Bridge.column(
+      graft.etl.expressions.ModalCount(
+        org.apache.spark.sql.graft.Bridge.expression(grams)))
     when(size(grams) > 0,
       round(top.cast("double") / size(grams), 4)).otherwise(lit(0.0))
   }
