@@ -83,6 +83,38 @@ object TextAnalysis {
   def normalizedFingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " ").cast("binary"))
 
+  // --- Content-level PII scrubbing -----------------------------------
+  // The reference redacts by FIELD KEY (`redact_keys`); crawled
+  // training text needs the content-level counterpart: PII patterns
+  // scrubbed inside the text itself before the corpus is stored or
+  // trained on. Patterns are deliberately conservative (precision over
+  // recall — a scrubber that eats code identifiers is worse than one
+  // that misses an exotic phone format) and restricted to syntax whose
+  // semantics are identical in Java regex and RE2, so the DuckDB
+  // oracle replays the exact pipeline (`tx_pii_scrub`).
+
+  /** Email addresses (user@host.tld, tld >= 2 letters). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** Dotted-quad IPv4 (word-bounded; no octet range check — precision
+    * is acceptable because stray a.b.c.d number runs are rare in prose
+    * and scrubbing one is harmless). */
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  /** Separator-delimited phone numbers (NNN-NNN-NNNN with -, space or
+    * dot): requires separators so plain 10-digit ids in data/text are
+    * not eaten. */
+  val PhoneRe = "\\+?\\d{3}[- .]\\d{3}[- .]\\d{4}"
+
+  /** Scrub emails → `<EMAIL>`, IPv4 → `<IP>`, phones → `<PHONE>`, in
+    * that order (emails first so their host dots can never half-match
+    * the IP pattern on the rewritten string). Codegen-friendly: three
+    * `regexp_replace` column ops, scan-fused, no shuffle. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
   /** Rolling (Rabin-Karp-style) fingerprint over tokens —
     * order-sensitive, cheap to maintain incrementally at ingest. Spark
     * `aggregate` keeps it sequential per document (deterministic). The

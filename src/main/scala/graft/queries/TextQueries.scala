@@ -496,6 +496,53 @@ object TextQueries {
       |    + (1.0 - st / n) * 0.2, 4)), 4) AS avg_quality
       |FROM s GROUP BY source ORDER BY source""".stripMargin
 
+  /** Content-level PII scrubbing over the corpus — the in-text
+    * counterpart of the reference's key-based redaction. The synthetic
+    * corpus contains no PII, so the check would be a no-op rewrite;
+    * like `vec_near_dup_lsh`, the corpus is AUGMENTED identically in
+    * engine and oracle: every `doc_id % 7 == 0` doc gains an email, an
+    * IP and a US-format phone (all three must be scrubbed), every
+    * `doc_id % 7 == 3` doc gains an email, an IP and a UK-format phone
+    * whose separators do NOT match the conservative pattern (must
+    * survive — pins the precision boundary). The full scrubbed text is
+    * hash-compared, plus per-kind match counts on the planted text. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.TextAnalysis._
+    val planted = docs(spark, dir).select(col("doc_id"),
+      when(col("doc_id") % 7 === 0, concat(col("text"),
+        lit(" contact alice.smith+x@mail.example.org or 10.42.7.19 or 415-555-2671")))
+      .when(col("doc_id") % 7 === 3, concat(col("text"),
+        lit(" mail bob@ex.io via 192.168.0.1 call 020-7946-0958")))
+      .otherwise(col("text")).as("text"))
+    planted.select(col("doc_id"),
+        scrubPii(col("text")).as("scrubbed"),
+        regexp_count(col("text"), lit(EmailRe)).as("n_emails"),
+        regexp_count(col("text"), lit(Ipv4Re)).as("n_ips"),
+        regexp_count(col("text"), lit(PhoneRe)).as("n_phones"))
+      .transform(QueryUtil.ordered("doc_id"))
+  }
+
+  val piiScrubOracle: String = {
+    import graft.ops.TextAnalysis._
+    // DuckDB single-quoted strings do not process backslashes, so the
+    // Java pattern strings drop in verbatim; RE2 and Java agree on
+    // every construct used (classes, \b, \d, {m,n}, ?).
+    s"""WITH planted AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 7 = 0 THEN text || ' contact alice.smith+x@mail.example.org or 10.42.7.19 or 415-555-2671'
+      |       WHEN doc_id % 7 = 3 THEN text || ' mail bob@ex.io via 192.168.0.1 call 020-7946-0958'
+      |       ELSE text END AS text
+      |  FROM documents)
+      |SELECT doc_id,
+      |  regexp_replace(regexp_replace(regexp_replace(text,
+      |    '$EmailRe', '<EMAIL>', 'g'),
+      |    '$Ipv4Re', '<IP>', 'g'),
+      |    '$PhoneRe', '<PHONE>', 'g') AS scrubbed,
+      |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS INT) AS n_emails,
+      |  CAST(len(regexp_extract_all(text, '$Ipv4Re')) AS INT) AS n_ips,
+      |  CAST(len(regexp_extract_all(text, '$PhoneRe')) AS INT) AS n_phones
+      |FROM planted ORDER BY doc_id""".stripMargin
+  }
+
   /** Multimodal plumbing profile: binary payload + typed metadata
     * (decode path itself is exercised in MultimodalSpec). */
   def mediaMeta(spark: SparkSession, dir: String): DataFrame =
@@ -542,6 +589,7 @@ object TextQueries {
     "tx_repetition" -> ((repetition _, Some(repetitionOracle))),
     "tx_hash_embed" -> ((hashEmbed _, Some(hashEmbedOracle))),
     "tx_lang_dist" -> ((langDist _, Some(langDistOracle))),
+    "tx_pii_scrub" -> ((piiScrub _, Some(piiScrubOracle))),
     "tx_fingerprints" -> ((fingerprints _, Some(fingerprintsOracle))),
     "dd_exact" -> ((exactDedup _, Some(exactDedupOracle))),
     "dd_exact_keeper" -> ((exactKeeper _, Some(exactKeeperOracle))),

@@ -720,6 +720,25 @@ class OpsSpec extends SparkSpec {
     assert(rows.length == 2 && rows.forall(_.media_id == 7L))
   }
 
+  test("PII scrubbing: emails/IPs/phones replaced, look-alikes survive") {
+    val d = Seq(
+      (1L, "write alice.smith+x@mail.example.org today"),
+      (2L, "server 10.42.7.19 and 255.255.255.255 up"),
+      (3L, "call 415-555-2671 or 415 555 2671 now"),
+      (4L, "version 1.2.3 of pkg@2 stays; 020-7946-0958 too"), // look-alikes
+      (5L, "a@b.co 1.2.3.4 999-888-7777")) // all three kinds in one doc
+      .toDF("doc_id", "text")
+    val r = d.select(col("doc_id"), TextAnalysis.scrubPii(col("text")).as("s"))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r(1L) == "write <EMAIL> today")
+    assert(r(2L) == "server <IP> and <IP> up")
+    assert(r(3L) == "call <PHONE> or <PHONE> now")
+    // 1.2.3 is not a dotted quad, pkg@2 has no tld, UK separators do
+    // not fit the conservative phone shape — precision boundary holds
+    assert(r(4L) == "version 1.2.3 of pkg@2 stays; 020-7946-0958 too")
+    assert(r(5L) == "<EMAIL> <IP> <PHONE>")
+  }
+
   test("multimodal: resizeImages scales real pixels, passes non-images through") {
     val png = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
       getClass.getResource("/tiny.png").toURI))
