@@ -61,4 +61,54 @@ object TimeSeries {
       .groupBy(col(userCol))
       .agg(count(lit(1)).as("n_events"),
         max(col("session_idx")).as("n_sessions"))
+
+  /** Backward as-of join: each left row gains the `payload` columns of
+    * the LATEST right row with the same key and right.ts <= left.ts
+    * (inclusive — DuckDB `ASOF JOIN ... ON l.ts >= r.ts` semantics),
+    * or nulls if no such row (LEFT join). Spark has no asof operator;
+    * the naive encoding (inequality join + row_number) plans a
+    * per-key-pair range join that degenerates toward |L|×|R| on hot
+    * keys. This is the merge formulation instead: union both sides
+    * with a marker, ONE shuffle on the key, one ordered window pass
+    * carrying the last-seen right payload forward — the same linear
+    * merge DuckDB plans natively, and the shape that survives 10^9
+    * rows per side (cost = sort of |L|+|R| within each key).
+    *
+    * Contract: `right` must be unique per (key, ts) — at equal sort
+    * position the carried row would otherwise be partition-order
+    * dependent; pre-aggregate (see `EventQueries.asof`). Payload
+    * values ride in a struct, so a right row whose payload column is
+    * legitimately NULL still overwrites an older match (the struct
+    * itself is never null on right rows).
+    *
+    * Both frames must share `keyCol`/`tsCol` names; every other left
+    * column passes through; the matched right timestamp surfaces as
+    * `asofTsName`.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, payload: Seq[String],
+      asofTsName: String = "asof_ts"): DataFrame = {
+    val leftOthers = left.columns.filterNot(c => c == keyCol || c == tsCol)
+    require(!(leftOthers :+ tsCol).exists(c => payload.contains(c) || c == asofTsName),
+      s"payload/asof column names collide with left columns")
+    val rSel = right.select(col(keyCol), col(tsCol), lit(0).as("_side"),
+      struct(col(tsCol).as(asofTsName) +: payload.map(col): _*).as("_p"))
+    val pType = rSel.schema("_p").dataType
+    val lSel = left.select(
+      Seq(col(keyCol), col(tsCol), lit(1).as("_side"),
+        lit(null).cast(pType).as("_p")) ++ leftOthers.map(col): _*)
+    val rAligned = rSel.select(
+      Seq(col(keyCol), col(tsCol), col("_side"), col("_p")) ++
+        leftOthers.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    // right rows (_side = 0) sort BEFORE left rows at an equal ts, so a
+    // same-instant right row is visible to the left row => inclusive.
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lSel.unionByName(rAligned)
+      .withColumn("_m", last(col("_p"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select((keyCol +: tsCol +: leftOthers).map(col) ++
+        (asofTsName +: payload).map(f => col("_m").getField(f).as(f)): _*)
+  }
 }

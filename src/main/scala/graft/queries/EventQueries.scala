@@ -116,7 +116,43 @@ object EventQueries {
       |WHERE e.value > s.avg_value
       |GROUP BY e.event_type ORDER BY 1""".stripMargin
 
+  /** As-of join: each non-purchase event gains the latest preceding
+    * purchase (same user, purchase.ts <= event.ts) — the classic
+    * attribution query. Purchases are pre-aggregated to unique
+    * (user, ts) — [[graft.ops.TimeSeries.asofJoin]]'s contract — with
+    * `max(value)` (deterministic, no summation-order sensitivity).
+    * Times surface as epoch-µs deltas (portable, no timestamp
+    * rendering drift). Oracle: DuckDB's native ASOF LEFT JOIN. */
+  def asof(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts").agg(max("value").as("last_purchase_value"))
+    val rest = ev.filter(col("event_type") =!= "purchase")
+      .select("event_id", "user_id", "ts")
+    TimeSeries.asofJoin(rest, purchases, "user_id", "ts",
+        payload = Seq("last_purchase_value"))
+      .select(col("event_id"), col("user_id"),
+        (TimeSeries.epochUs(col("ts")) - TimeSeries.epochUs(col("asof_ts")))
+          .as("us_since_purchase"),
+        col("last_purchase_value"))
+      .transform(QueryUtil.ordered("event_id"))
+  }
+
+  val asofOracle: String =
+    """WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS pts,
+      |             max(value) AS pval
+      |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ets
+      |      FROM events WHERE event_type <> 'purchase')
+      |SELECT e.event_id, e.user_id,
+      |  epoch_us(e.ets) - epoch_us(p.pts) AS us_since_purchase,
+      |  p.pval AS last_purchase_value
+      |FROM e ASOF LEFT JOIN p
+      |  ON e.user_id = p.user_id AND e.ets >= p.pts
+      |ORDER BY e.event_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "ev_asof" -> ((asof _, Some(asofOracle))),
     "ev_by_type" -> ((byType _, Some(byTypeOracle))),
     "ev_hourly" -> ((hourly _, Some(hourlyOracle))),
     "ev_sessions" -> ((sessions _, Some(sessionsOracle))),

@@ -66,6 +66,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("ev_asof: merge formulation — one key shuffle, no join operator at all") {
+    // the union+window encoding must plan ZERO joins (the naive
+    // inequality-join form would appear as a BroadcastNestedLoopJoin or
+    // a range SortMergeJoin); exchanges are bounded by: purchase
+    // (user, ts) pre-agg + the user_id window partition + the
+    // output-ordering repartition(1)
+    val p = plan("ev_asof")
+    assert(!p.contains("Join"), s"asof should be join-free:\n$p")
+    assert(countOf(p, "Exchange") <= 3,
+      s"ev_asof shuffles more than pre-agg+key+ordering:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
   test("dd_minhash_lsh: signatures come from the codegen expression, not the 65-column agg") {
     val p = plan("dd_minhash_lsh")
     assert(p.contains("minhash_sig"), s"minhash_sig not in plan:\n$p")

@@ -790,4 +790,42 @@ class OpsSpec extends SparkSpec {
     assert(r(10L) == ((3L, 2L)))
     assert(r(20L) == ((1L, 1L)))
   }
+
+  test("asofJoin: backward inclusive match, left rows without match survive") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    val left = Seq(
+      (1L, 10L, t(5)),   // after r@0 -> 1.0
+      (2L, 10L, t(10)),  // tie with r@10 -> inclusive -> 2.0
+      (3L, 10L, t(11)),  // after r@10 -> 2.0
+      (4L, 20L, t(3)),   // key 20 has r@7 only, later -> no match
+      (5L, 30L, t(1))    // key absent on the right -> no match
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, t(0), 1.0), (10L, t(10), 2.0), (20L, t(7), 9.0)
+    ).toDF("user_id", "ts", "v")
+    val r = TimeSeries.asofJoin(left, right, "user_id", "ts", Seq("v"))
+      .collect().map(x => x.getAs[Long]("event_id") ->
+        (Option(x.getAs[java.sql.Timestamp]("asof_ts")),
+          Option(x.getAs[Any]("v")))).toMap
+    assert(r.size == 5)
+    assert(r(1L) == ((Some(t(0)), Some(1.0))))
+    assert(r(2L) == ((Some(t(10)), Some(2.0))), "equal ts must match (inclusive)")
+    assert(r(3L) == ((Some(t(10)), Some(2.0))))
+    assert(r(4L) == ((None, None)), "right row strictly later must not match")
+    assert(r(5L) == ((None, None)))
+  }
+
+  test("asofJoin: a right row with a NULL payload value still wins over older rows") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    val left = Seq((1L, 10L, t(20))).toDF("event_id", "user_id", "ts")
+    val right = Seq((10L, t(0), Some(1.0)), (10L, t(10), Option.empty[Double]))
+      .toDF("user_id", "ts", "v")
+    val row = TimeSeries.asofJoin(left, right, "user_id", "ts", Seq("v"))
+      .collect().head
+    // the latest right row matched (its ts), even though its payload is null
+    assert(row.getAs[java.sql.Timestamp]("asof_ts") == t(10))
+    assert(row.isNullAt(row.fieldIndex("v")))
+  }
 }
