@@ -62,6 +62,46 @@ object TimeSeries {
       .agg(count(lit(1)).as("n_events"),
         max(col("session_idx")).as("n_sessions"))
 
+  /** Point-in-interval range join: every (point, interval) pair with
+    * the same key and `start <= point.ts < end` (half-open). Spark
+    * plans a raw inequality predicate as BroadcastNestedLoopJoin —
+    * quadratic per key, dead at scale. Bucketizing makes it an
+    * EQUI-join: each interval explodes into the `grainUs`-sized time
+    * buckets it overlaps, each point lives in exactly one bucket, and
+    * the join runs on (key, bucket) with the exact range predicate as
+    * a post-filter. Each qualifying pair is produced exactly once (a
+    * point has ONE bucket — no dedup pass). Pick `grainUs` near the
+    * typical interval length: fanout per interval is
+    * ceil(len/grain)+1 rows, and a too-fine grain multiplies the
+    * shuffled interval side. Cost: shuffle of |P| + fanout·|I| on
+    * high-cardinality (key, bucket) keys — 100 TB-shaped; skewed
+    * buckets are ordinary equi-join skew (AQE handles).
+    *
+    * Both ts columns must be timestamps; intervals with end <= start
+    * are dropped (match nothing under half-open semantics). Non-key
+    * column names must be disjoint across the two frames.
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, keyCol: String,
+      pointTsCol: String, startCol: String, endCol: String,
+      grainUs: Long): DataFrame = {
+    require(grainUs > 0, "grainUs must be positive")
+    val p = points
+      .withColumn("_pus", epochUs(col(pointTsCol)))
+      .withColumn("_b", floor(col("_pus") / grainUs))
+    val i = intervals
+      .withColumn("_sus", epochUs(col(startCol)))
+      .withColumn("_eus", epochUs(col(endCol)))
+      .filter(col("_eus") > col("_sus"))
+      .withColumn("_b",
+        explode(sequence(floor(col("_sus") / grainUs),
+          floor((col("_eus") - 1) / grainUs))))
+      .withColumnRenamed(keyCol, "_ikey")
+    p.join(i,
+        col("_ikey") === col(keyCol) && i("_b") === p("_b") &&
+          col("_pus") >= col("_sus") && col("_pus") < col("_eus"))
+      .drop("_pus", "_sus", "_eus", "_ikey").drop(p("_b")).drop(i("_b"))
+  }
+
   /** Backward as-of join: each left row gains the `payload` columns of
     * the LATEST right row with the same key and right.ts <= left.ts
     * (inclusive — DuckDB `ASOF JOIN ... ON l.ts >= r.ts` semantics),

@@ -151,8 +151,40 @@ object EventQueries {
       |  ON e.user_id = p.user_id AND e.ets >= p.pts
       |ORDER BY e.event_id""".stripMargin
 
+  /** Range join: for every error event, how many events the same user
+    * produced inside the 10-minute window starting at it (incident
+    * blast radius). [[graft.ops.TimeSeries.rangeJoin]] bucketizes the
+    * windows to a 10-minute grain, so the plan is an equi-join on
+    * (user, bucket) with the exact range as a post-filter — never the
+    * nested-loop a raw inequality join plans. Count is always >= 1
+    * (the incident contains itself), so a plain inner join suffices. */
+  def rangeJoinQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val incidents = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("incident_id"), col("user_id"),
+        col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 10 MINUTES")).as("w_end"))
+    val points = ev.select("user_id", "ts")
+    TimeSeries.rangeJoin(points, incidents, "user_id",
+        "ts", "w_start", "w_end", grainUs = 600L * 1000000L)
+      .groupBy("incident_id")
+      .agg(count(lit(1)).as("n_in_window"))
+      .transform(QueryUtil.ordered("incident_id"))
+  }
+
+  val rangeJoinOracle: String =
+    """WITH i AS (SELECT event_id AS incident_id, user_id,
+      |             epoch_us(CAST(ts AS TIMESTAMP)) AS s
+      |           FROM events WHERE event_type = 'error'),
+      |e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events)
+      |SELECT i.incident_id, count(*) AS n_in_window
+      |FROM i JOIN e ON i.user_id = e.user_id
+      |  AND e.t >= i.s AND e.t < i.s + 600000000
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "ev_asof" -> ((asof _, Some(asofOracle))),
+    "ev_range_join" -> ((rangeJoinQ _, Some(rangeJoinOracle))),
     "ev_by_type" -> ((byType _, Some(byTypeOracle))),
     "ev_hourly" -> ((hourly _, Some(hourlyOracle))),
     "ev_sessions" -> ((sessions _, Some(sessionsOracle))),

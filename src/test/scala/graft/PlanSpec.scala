@@ -79,6 +79,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), p)
   }
 
+  test("ev_range_join: bucketized intervals make the range join an equi-join") {
+    // a raw inequality join would plan BroadcastNestedLoopJoin; the
+    // bucketized form must be a hash/sort-merge EQUI-join whose keys
+    // include the grain bucket (_b), with the range as a post-filter
+    val p = plan("ev_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), s"range join is not equi:\n$p")
+    assert(p.contains("_b"), s"grain bucket not in the join keys:\n$p")
+  }
+
   test("dd_minhash_lsh: signatures come from the codegen expression, not the 65-column agg") {
     val p = plan("dd_minhash_lsh")
     assert(p.contains("minhash_sig"), s"minhash_sig not in plan:\n$p")

@@ -816,6 +816,32 @@ class OpsSpec extends SparkSpec {
     assert(r(5L) == ((None, None)))
   }
 
+  test("rangeJoin: half-open boundaries, multi-grain spans, key isolation, exactly-once pairs") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(sec: Int) = new java.sql.Timestamp(base.getTime + sec * 1000L)
+    val points = Seq(
+      (1L, 10L, t(0)),    // == start of iv1 -> in (inclusive start)
+      (2L, 10L, t(59)),   // inside iv1
+      (3L, 10L, t(60)),   // == end of iv1 -> out (exclusive end); == start of iv2 -> in
+      (4L, 10L, t(200)),  // inside iv2 only (iv2 = [60, 360) spans several 1-min grains)
+      (5L, 20L, t(30)),   // right time range but key 20 has no interval
+      (6L, 10L, t(400))   // after every interval
+    ).toDF("event_id", "user_id", "ts")
+    val ivs = Seq(
+      (100L, 10L, t(0), t(60)),   // [0, 60)
+      (200L, 10L, t(60), t(360)), // [60, 360) — spans 5 one-minute grains
+      (300L, 30L, t(0), t(0))     // empty interval: matches nothing
+    ).toDF("iv_id", "user_id", "w_start", "w_end")
+    val r = TimeSeries.rangeJoin(points, ivs, "user_id",
+        "ts", "w_start", "w_end", grainUs = 60L * 1000000L)
+      .select("event_id", "iv_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toList
+    // exactly-once: no pair may appear twice even though iv2 spans
+    // multiple grains (each point lives in ONE bucket)
+    assert(r.distinct.length == r.length, s"duplicated pairs: $r")
+    assert(r.toSet == Set((1L, 100L), (2L, 100L), (3L, 200L), (4L, 200L)))
+  }
+
   test("asofJoin: a right row with a NULL payload value still wins over older rows") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def t(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
