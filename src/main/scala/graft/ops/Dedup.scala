@@ -394,6 +394,43 @@ object Dedup {
       .drop("fp")
   }
 
+  /** Benchmark decontamination: flag every corpus document sharing at
+    * least one word `k`-gram with a benchmark/test set — the standard
+    * pre-training gate against evaluation leakage (any doc that could
+    * teach the model a test answer verbatim must not be trained on).
+    *
+    * Shape for 100 TB: the benchmark is by-contract small (an eval
+    * set), so its DISTINCT hashed-shingle set broadcasts and the
+    * corpus-side join is map-side — the corpus is scanned ONCE and
+    * never shuffled; only the (tiny) hit stream shuffles for the
+    * per-doc count, and the final id←hits join broadcasts the hits.
+    * `broadcastBenchmark = false` drops the hint for an unusually
+    * large benchmark (AQE then picks the strategy).
+    *
+    * Returns one row per corpus doc: (idCol, n_contaminated = distinct
+    * shared k-grams, keep = no overlap). Uses the same hashed-shingle
+    * machinery as the near-dup ops ([[shingleHashFrame]], 8-byte keys,
+    * whole-text fallback for docs shorter than k words).
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, k: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text",
+      benchTextCol: String = "text",
+      broadcastBenchmark: Boolean = true): DataFrame = {
+    val cs = shingleHashFrame(corpus, idCol, textCol, k)
+    val bs0 = benchmark
+      .select(lit(0L).as("sid"), col(benchTextCol).as("_btext"))
+    val bs = shingleHashFrame(bs0, "sid", "_btext", k)
+      .select("shingle").distinct()
+    val hits = cs
+      .join(if (broadcastBenchmark) broadcast(bs) else bs, Seq("shingle"))
+      .groupBy("sid").agg(count(lit(1)).as("n_contaminated"))
+    corpus.select(col(idCol))
+      .join(hits, col(idCol) === col("sid"), "left")
+      .select(col(idCol),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        col("sid").isNull.as("keep"))
+  }
+
   /** (sid, sig, n) per-doc signature frame — the SHARED construction
     * for the symmetric and cross-corpus ops: signatures must stay
     * bit-identical across ops for their buckets to be comparable. */

@@ -307,6 +307,34 @@ object TextQueries {
       |WHERE c * 1.0 / (x.n + y.n - c) >= 0.8
       |ORDER BY da, db""".stripMargin
 
+  /** Benchmark decontamination: every doc sharing an 8-gram with the
+    * "benchmark" slice (doc_id % 37 = 0 — stands in for an external
+    * eval set) is flagged; benchmark members flag themselves (total
+    * self-overlap), near-dups of them flag through shared grams. The
+    * corpus is scanned once and never shuffled — the benchmark
+    * shingle set broadcasts ([[Dedup.decontaminate]]). */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    Dedup.decontaminate(d, d.filter(col("doc_id") % 37 === 0), k = 8)
+      .transform(QueryUtil.ordered("doc_id"))
+  }
+
+  val decontaminateOracle: String =
+    """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 8
+      |         THEN list_distinct(list_transform(range(1, len(w) - 6),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+      |             || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]))
+      |         ELSE [text] END) AS s
+      |       FROM t),
+      |bs AS (SELECT DISTINCT s FROM sh WHERE doc_id % 37 = 0),
+      |hits AS (SELECT sh.doc_id, count(*) AS n
+      |         FROM sh JOIN bs ON sh.s = bs.s GROUP BY 1)
+      |SELECT d.doc_id, COALESCE(hits.n, 0) AS n_contaminated,
+      |  hits.n IS NULL AS keep
+      |FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   /** The same clustering through the web-scale star-contraction path
     * ([[Dedup.connectedComponentsStar]], O(log n) rounds) — registered
     * against the IDENTICAL recursive-CTE oracle, so the alternative
@@ -597,6 +625,7 @@ object TextQueries {
     "dd_ngram_jaccard" -> ((ngramJaccard _, Some(ngramJaccardOracle))),
     "dd_minhash_lsh" -> ((minhashLsh _, Some(minhashLshOracle))),
     "dd_cross_corpus" -> ((crossCorpusMinhash _, Some(crossCorpusMinhashOracle))),
+    "dd_decontaminate" -> ((decontaminate _, Some(decontaminateOracle))),
     "dd_simhash" -> ((simhashPairs _, Some(simhashOracle))),
     "dd_clusters" -> ((dedupClusters _, Some(dedupClustersOracle))),
     "dd_clusters_star" -> ((dedupClustersStar _, Some(dedupClustersOracle))),

@@ -89,6 +89,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("_b"), s"grain bucket not in the join keys:\n$p")
   }
 
+  test("dd_decontaminate: benchmark shingles broadcast — the corpus never shuffles pre-join") {
+    val p = plan("dd_decontaminate")
+    assert(countOf(p, "BroadcastHashJoin") >= 1,
+      s"benchmark side should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("dd_minhash_lsh: signatures come from the codegen expression, not the 65-column agg") {
     val p = plan("dd_minhash_lsh")
     assert(p.contains("minhash_sig"), s"minhash_sig not in plan:\n$p")

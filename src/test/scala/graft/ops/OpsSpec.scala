@@ -816,6 +816,26 @@ class OpsSpec extends SparkSpec {
     assert(r(5L) == ((None, None)))
   }
 
+  test("decontaminate: shared k-grams flag docs, clean docs keep, short docs use whole-text fallback") {
+    val eightGram = "the quick brown fox jumps over the lazy"
+    val corpus = Seq(
+      (1L, s"intro words then $eightGram dog and more trailing text here"), // shares the 8-gram
+      (2L, "completely different content with no overlap at all in any gram"),
+      (3L, "tiny doc"),              // <8 words, text != any benchmark text
+      (4L, s"$eightGram")            // exactly the benchmark fragment (8 words -> 1 gram)
+    ).toDF("doc_id", "text")
+    val benchmark = Seq(
+      (100L, s"benchmark question mentions $eightGram dog today right now ok")
+    ).toDF("doc_id", "text")
+    val r = Dedup.decontaminate(corpus, benchmark, k = 8)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getBoolean(2))).toMap
+    assert(r(1L)._1 >= 1 && !r(1L)._2, "doc sharing an 8-gram must be flagged")
+    assert(r(2L) == ((0L, true)))
+    assert(r(3L) == ((0L, true)), "short doc with unique text stays clean")
+    assert(r(4L)._1 == 1L && !r(4L)._2)
+  }
+
   test("rangeJoin: half-open boundaries, multi-grain spans, key isolation, exactly-once pairs") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def t(sec: Int) = new java.sql.Timestamp(base.getTime + sec * 1000L)
