@@ -182,9 +182,59 @@ object EventQueries {
       |  AND e.t >= i.s AND e.t < i.s + 600000000
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Sketch accuracy gate: HLL++ distinct counts and t-digest-style
+    * approximate percentiles checked against their exact twins, per
+    * event_type. At 100 TB the exact forms are the bottleneck —
+    * `countDistinct` shuffles every (key, user) pair, exact
+    * `percentile` buffers whole groups — while the sketches are
+    * fixed-size, map-side-merged state; this query is the
+    * verification harness that keeps the cheap path honest. Same
+    * pattern as the ANN recall floors: the engine computes BOTH and
+    * emits per-key booleans, and the oracle asserts `true`. Bounds
+    * match what each sketch actually guarantees: 5% relative on
+    * distincts at rsd = 2% (2.5σ); for percentiles the gate is on the
+    * RANK of the returned value — `approx_percentile` promises a real
+    * sample whose rank is within n/accuracy of the target, so the
+    * check counts values <= the sketch's answer and allows
+    * 2 + 2n/accuracy ranks of slack (discreteness + 2× the ε
+    * guarantee). A value-space envelope is NOT sound here: on a
+    * 200-row group, ±0.002 in q is under one rank, and interpolated
+    * exact percentiles can exclude the (correct) sample answer.
+    * Sketches are deterministic (hash-based, commutative merges), so
+    * a pass at a given SF is stable, not a lucky draw. */
+  def sketchAccuracy(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val sk = ev.groupBy("event_type").agg(
+      approx_count_distinct(col("user_id"), rsd = 0.02).as("ad"),
+      countDistinct(col("user_id")).as("ed"),
+      expr("approx_percentile(value, array(0.5, 0.9), 10000)").as("ap"))
+    ev.join(broadcast(sk), "event_type")
+      .groupBy("event_type")
+      .agg(first(col("ad")).as("ad"), first(col("ed")).as("ed"),
+        count(lit(1)).as("n"),
+        sum(when(col("value") <= element_at(col("ap"), 1), 1L)
+          .otherwise(0L)).as("r50"),
+        sum(when(col("value") <= element_at(col("ap"), 2), 1L)
+          .otherwise(0L)).as("r90"))
+      .select(col("event_type"),
+        (abs(col("ad") - col("ed")).cast("double") / col("ed") <= 0.05)
+          .as("distinct_ok"),
+        (abs(col("r50") - lit(0.5) * col("n")) <=
+          lit(2.0) + col("n") * lit(2e-4)).as("p50_ok"),
+        (abs(col("r90") - lit(0.9) * col("n")) <=
+          lit(2.0) + col("n") * lit(2e-4)).as("p90_ok"))
+      .transform(QueryUtil.ordered("event_type"))
+  }
+
+  val sketchAccuracyOracle: String =
+    """SELECT event_type, true AS distinct_ok, true AS p50_ok,
+      |  true AS p90_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "ev_asof" -> ((asof _, Some(asofOracle))),
     "ev_range_join" -> ((rangeJoinQ _, Some(rangeJoinOracle))),
+    "ev_sketch_accuracy" -> ((sketchAccuracy _, Some(sketchAccuracyOracle))),
     "ev_by_type" -> ((byType _, Some(byTypeOracle))),
     "ev_hourly" -> ((hourly _, Some(hourlyOracle))),
     "ev_sessions" -> ((sessions _, Some(sessionsOracle))),
