@@ -115,6 +115,42 @@ object TextAnalysis {
         Ipv4Re, "<IP>"),
       PhoneRe, "<PHONE>")
 
+  // --- URL / domain analysis -----------------------------------------
+  // Crawled corpora are curated by WHERE text came from as much as by
+  // what it says: per-domain corpus composition and domain blocklists
+  // are standard gates. Host extraction shares the PII-scrub contract:
+  // Java∩RE2-identical syntax so the DuckDB oracle replays the exact
+  // pipeline (`tx_url_gate`, `tx_domain_stats`).
+
+  /** URL host capture: `http(s)://` followed by the host (letters,
+    * digits, dots, dashes — port/path/query stop the match). Group 1
+    * is the host. */
+  val UrlHostRe = "https?://([A-Za-z0-9.-]+)"
+
+  /** All URL hosts in a document, lower-cased, document order.
+    * Scan-fused, zero shuffle. */
+  def urlHosts(text: Column): Column =
+    transform(regexp_extract_all(text, lit(UrlHostRe), lit(1)),
+      h => lower(h))
+
+  /** Registrable-domain approximation: the last two dot-labels of a
+    * host (`docs.example.com` → `example.com`). Deliberately NOT a
+    * public-suffix-list lookup (so `foo.co.uk` maps to `co.uk`) —
+    * composition stats want a cheap stable key, and the PSL is a
+    * refresh-managed external artifact; documented boundary. */
+  def registrableDomain(host: Column): Column =
+    regexp_extract(host, "([A-Za-z0-9-]+\\.[A-Za-z0-9-]+)$", 1)
+
+  /** Per-document blocklist gate: n_urls, how many hit the (small,
+    * broadcast-as-literal) blocked-host set, and keep = none did. */
+  def urlGate(text: Column, blockedHosts: Seq[String])
+      : (Column, Column, Column) = {
+    val hosts = urlHosts(text)
+    val blocked = filter(hosts,
+      h => blockedHosts.map(b => h === lit(b)).reduce(_ || _))
+    (size(hosts), size(blocked), size(blocked) === 0)
+  }
+
   /** Rolling (Rabin-Karp-style) fingerprint over tokens —
     * order-sensitive, cheap to maintain incrementally at ingest. Spark
     * `aggregate` keeps it sequential per document (deterministic). The

@@ -571,6 +571,81 @@ object TextQueries {
       |FROM planted ORDER BY doc_id""".stripMargin
   }
 
+  /** Blocked hosts for the URL gate — by-contract a small set, so it
+    * rides as literal predicates (a large blocklist would broadcast a
+    * frame and semi-join instead). */
+  private val BlockedHosts = Seq("spam.example.com", "tracker.example.net")
+
+  private val urlPlantSql =
+    """CASE WHEN doc_id % 5 = 0 THEN text ||
+      |       ' see https://docs.example.com/guide and http://spam.example.com/offer now'
+      |     WHEN doc_id % 5 = 2 THEN text || ' ref https://Wiki.Example.org/page ok'
+      |     ELSE text END""".stripMargin
+
+  /** The synthetic corpus has no URLs; like `tx_pii_scrub`, AUGMENT it
+    * identically in engine and oracle: every `doc_id % 5 == 0` doc
+    * gains a clean and a blocklisted URL (must be flagged, keep =
+    * false), every `doc_id % 5 == 2` doc a mixed-case clean one (must
+    * lower-case and keep). */
+  private def urlPlanted(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"),
+      when(col("doc_id") % 5 === 0, concat(col("text"),
+        lit(" see https://docs.example.com/guide and http://spam.example.com/offer now")))
+      .when(col("doc_id") % 5 === 2, concat(col("text"),
+        lit(" ref https://Wiki.Example.org/page ok")))
+      .otherwise(col("text")).as("text"))
+
+  /** Per-doc domain blocklist gate — the "where did this text come
+    * from" curation filter. Scan-fused, zero shuffle. */
+  def urlGate(spark: SparkSession, dir: String): DataFrame = {
+    val (nUrls, nBlocked, keep) =
+      TextAnalysis.urlGate(col("text"), BlockedHosts)
+    urlPlanted(spark, dir).select(col("doc_id"), nUrls.as("n_urls"),
+        nBlocked.as("n_blocked"), keep.as("keep"))
+      .transform(QueryUtil.ordered("doc_id"))
+  }
+
+  val urlGateOracle: String = {
+    import graft.ops.TextAnalysis.UrlHostRe
+    s"""WITH planted AS (SELECT doc_id, $urlPlantSql AS text FROM documents),
+      |h AS (SELECT doc_id, list_transform(
+      |        regexp_extract_all(text, '$UrlHostRe', 1), x -> lower(x)) AS hosts
+      |      FROM planted)
+      |SELECT doc_id, CAST(len(hosts) AS INT) AS n_urls,
+      |  CAST(len(list_filter(hosts,
+      |    x -> x = 'spam.example.com' OR x = 'tracker.example.net')) AS INT)
+      |    AS n_blocked,
+      |  len(list_filter(hosts,
+      |    x -> x = 'spam.example.com' OR x = 'tracker.example.net')) = 0
+      |    AS keep
+      |FROM h ORDER BY doc_id""".stripMargin
+  }
+
+  /** Corpus composition by registrable domain (last-two-labels
+    * approximation — see [[TextAnalysis.registrableDomain]]). One
+    * shuffle on the domain key. */
+  def domainStats(spark: SparkSession, dir: String): DataFrame =
+    urlPlanted(spark, dir)
+      .select(col("doc_id"),
+        explode(TextAnalysis.urlHosts(col("text"))).as("host"))
+      .select(col("doc_id"),
+        TextAnalysis.registrableDomain(col("host")).as("domain"))
+      .groupBy("domain")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_urls"))
+      .transform(QueryUtil.ordered("domain"))
+
+  val domainStatsOracle: String = {
+    import graft.ops.TextAnalysis.UrlHostRe
+    s"""WITH planted AS (SELECT doc_id, $urlPlantSql AS text FROM documents),
+      |h AS (SELECT doc_id, unnest(list_transform(
+      |        regexp_extract_all(text, '$UrlHostRe', 1), x -> lower(x))) AS host
+      |      FROM planted)
+      |SELECT regexp_extract(host, '([A-Za-z0-9-]+\\.[A-Za-z0-9-]+)$$', 1) AS domain,
+      |  count(DISTINCT doc_id) AS n_docs, count(*) AS n_urls
+      |FROM h GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Multimodal plumbing profile: binary payload + typed metadata
     * (decode path itself is exercised in MultimodalSpec). */
   def mediaMeta(spark: SparkSession, dir: String): DataFrame =
@@ -618,6 +693,8 @@ object TextQueries {
     "tx_hash_embed" -> ((hashEmbed _, Some(hashEmbedOracle))),
     "tx_lang_dist" -> ((langDist _, Some(langDistOracle))),
     "tx_pii_scrub" -> ((piiScrub _, Some(piiScrubOracle))),
+    "tx_url_gate" -> ((urlGate _, Some(urlGateOracle))),
+    "tx_domain_stats" -> ((domainStats _, Some(domainStatsOracle))),
     "tx_fingerprints" -> ((fingerprints _, Some(fingerprintsOracle))),
     "dd_exact" -> ((exactDedup _, Some(exactDedupOracle))),
     "dd_exact_keeper" -> ((exactKeeper _, Some(exactKeeperOracle))),

@@ -816,6 +816,26 @@ class OpsSpec extends SparkSpec {
     assert(r(5L) == ((None, None)))
   }
 
+  test("URL gate: hosts extracted and lower-cased, blocklist flags, registrable domains") {
+    val d = Seq(
+      (1L, "read https://Docs.Example.COM/a?q=1 and http://spam.example.com/x"),
+      (2L, "no urls at all here"),
+      (3L, "ftp://not-http.example.com stays; https://sub.deep.example.org/p ok"))
+      .toDF("doc_id", "text")
+    val (nUrls, nBlocked, keep) =
+      TextAnalysis.urlGate(col("text"), Seq("spam.example.com"))
+    val r = d.select(col("doc_id"), nUrls.as("n"), nBlocked.as("b"), keep.as("k"))
+      .collect().map(x => x.getLong(0) ->
+        (x.getInt(1), x.getInt(2), x.getBoolean(3))).toMap
+    assert(r(1L) == ((2, 1, false)), "mixed-case host must lower-case and match blocklist")
+    assert(r(2L) == ((0, 0, true)))
+    assert(r(3L) == ((1, 0, true)), "ftp scheme must not match")
+    val doms = d.select(explode(TextAnalysis.urlHosts(col("text"))).as("h"))
+      .select(TextAnalysis.registrableDomain(col("h")).as("dom"))
+      .collect().map(_.getString(0)).sorted.toList
+    assert(doms == List("example.com", "example.com", "example.org"))
+  }
+
   test("decontaminate: shared k-grams flag docs, clean docs keep, short docs use whole-text fallback") {
     val eightGram = "the quick brown fox jumps over the lazy"
     val corpus = Seq(
