@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Token-budget sequence packing: assign documents (in stable id
+  * order) to fixed-token-budget training shards — the shard-cutting
+  * step of a pre-training data pipeline ("fill each shard with ~N
+  * tokens of consecutive curated text").
+  *
+  * The naive form is a GLOBAL running sum (`Window.orderBy(id)` with
+  * no partition key), which Spark executes in a single partition —
+  * the whole corpus through one task. This is the two-level prefix
+  * sum instead, all DataFrame ops:
+  *
+  *   1. bucket rows by an id range (`bucketWidth` ids per bucket) and
+  *      cumsum WITHIN each bucket — parallel window, one shuffle on
+  *      the bucket key;
+  *   2. cumsum the per-bucket totals (tiny frame: one row per bucket
+  *      — the only single-partition step, O(corpus / bucketWidth)
+  *      rows) into per-bucket offsets, broadcast back;
+  *   3. global running total = bucket offset + within-bucket cumsum.
+  *
+  * A document is assigned to the shard its FIRST token lands in
+  * (exclusive-prefix / budget) — whole docs are never split, so
+  * shards overflow by at most one document (the standard
+  * don't-break-documents packing; splitting is a tokenizer-level
+  * concern, disclosed).
+  */
+object Packing {
+
+  /** Per-doc shard assignment: (idCol, n_tokens, shard). `tokenCount`
+    * defaults to whitespace tokens ([[TextAnalysis.tokenCount]]). */
+  def packByTokenBudget(docs: DataFrame, budget: Long,
+      idCol: String = "doc_id", textCol: String = "text",
+      bucketWidth: Long = 100000L): DataFrame = {
+    require(budget > 0 && bucketWidth > 0)
+    val base = docs.select(col(idCol),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("_bkt", floor(col(idCol) / bucketWidth))
+    val within = base.withColumn("_wcum",
+      sum(col("n_tokens")).over(Window.partitionBy(col("_bkt"))
+        .orderBy(col(idCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val offsets = base.groupBy("_bkt")
+      .agg(sum(col("n_tokens")).as("_btot"))
+      .withColumn("_off",
+        coalesce(sum(col("_btot")).over(Window.orderBy(col("_bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_bkt", "_off")
+    within.join(broadcast(offsets), Seq("_bkt"))
+      .select(col(idCol), col("n_tokens"),
+        floor((col("_off") + col("_wcum") - col("n_tokens"))
+          .cast("double") / budget).cast("long").as("shard"))
+  }
+
+  /** Shard profile from [[packByTokenBudget]]: docs and tokens per
+    * shard. Every shard holds >= budget tokens except the last, and
+    * < budget + max doc length (no doc is split). */
+  def shardProfile(docs: DataFrame, budget: Long,
+      idCol: String = "doc_id", textCol: String = "text",
+      bucketWidth: Long = 100000L): DataFrame =
+    packByTokenBudget(docs, budget, idCol, textCol, bucketWidth)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+}

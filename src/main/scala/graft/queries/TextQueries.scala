@@ -646,6 +646,26 @@ object TextQueries {
       |FROM h GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Token-budget shard packing profile (budget 10k tokens, small
+    * bucket width so the two-level prefix sum exercises multiple
+    * buckets even at sf0.001). Oracle = the straightforward global
+    * running sum — DuckDB can afford single-threaded semantics; the
+    * engine must not ([[graft.ops.Packing]]). */
+  def packShards(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Packing.shardProfile(docs(spark, dir), budget = 10000L,
+        bucketWidth = 64L)
+      .transform(QueryUtil.ordered("shard"))
+
+  val packShardsOracle: String =
+    """WITH t AS (SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+      |    sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+      |      OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM documents)
+      |SELECT (cum - n) // 10000 AS shard, count(*) AS n_docs,
+      |  sum(n) AS n_tokens
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Multimodal plumbing profile: binary payload + typed metadata
     * (decode path itself is exercised in MultimodalSpec). */
   def mediaMeta(spark: SparkSession, dir: String): DataFrame =
@@ -695,6 +715,7 @@ object TextQueries {
     "tx_pii_scrub" -> ((piiScrub _, Some(piiScrubOracle))),
     "tx_url_gate" -> ((urlGate _, Some(urlGateOracle))),
     "tx_domain_stats" -> ((domainStats _, Some(domainStatsOracle))),
+    "tx_pack_shards" -> ((packShards _, Some(packShardsOracle))),
     "tx_fingerprints" -> ((fingerprints _, Some(fingerprintsOracle))),
     "dd_exact" -> ((exactDedup _, Some(exactDedupOracle))),
     "dd_exact_keeper" -> ((exactKeeper _, Some(exactKeeperOracle))),

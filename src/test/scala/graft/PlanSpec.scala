@@ -89,6 +89,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("_b"), s"grain bucket not in the join keys:\n$p")
   }
 
+  test("tx_pack_shards: corpus-sized cumsum windows on the bucket key, never one partition") {
+    // the two-level prefix sum must keep the per-row window PARTITIONED
+    // (hashpartitioning on _bkt); only the per-bucket offsets frame —
+    // one row per bucket — may pass through a single partition
+    val p = plan("tx_pack_shards")
+    assert(p.contains("hashpartitioning(_bkt"),
+      s"per-row cumsum lost its bucket partitioning:\n$p")
+  }
+
   test("dd_decontaminate: benchmark shingles broadcast — the corpus never shuffles pre-join") {
     val p = plan("dd_decontaminate")
     assert(countOf(p, "BroadcastHashJoin") >= 1,

@@ -816,6 +816,27 @@ class OpsSpec extends SparkSpec {
     assert(r(5L) == ((None, None)))
   }
 
+  test("packByTokenBudget: two-level prefix sum equals the naive global cumsum") {
+    // docs with known token counts; tiny bucketWidth forces many buckets
+    val d = (1L to 40L).map(i => (i, Seq.fill((i % 7 + 1).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Packing.packByTokenBudget(d, budget = 10L, bucketWidth = 4L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // naive reference: exclusive global prefix / budget, in id order
+    var cum = 0L
+    (1L to 40L).foreach { i =>
+      val n = i % 7 + 1
+      assert(got(i) == ((n, cum / 10L)), s"doc $i: got ${got(i)}, cum=$cum")
+      cum += n
+    }
+    // packing law: every shard except the last reaches the budget once
+    // its docs are laid out consecutively (no doc is split)
+    val shards = Packing.shardProfile(d, 10L, bucketWidth = 4L)
+      .orderBy("shard").collect().map(r => (r.getLong(0), r.getLong(2)))
+    shards.dropRight(1).foreach { case (s, tok) =>
+      assert(tok >= 4 && tok <= 10 + 7, s"shard $s tokens=$tok out of band") }
+  }
+
   test("URL gate: hosts extracted and lower-cased, blocklist flags, registrable domains") {
     val d = Seq(
       (1L, "read https://Docs.Example.COM/a?q=1 and http://spam.example.com/x"),
