@@ -718,6 +718,54 @@ object TextQueries {
       |FROM h GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** BM25 top-10 for a fixed three-term query (k1 = 1.2, b = 0.75) —
+    * corpus search over the curated store. Scale shape: the token
+    * stream is filtered to the QUERY terms before any shuffle (the tf
+    * groupBy sees ~query-term-df rows, not the corpus token count);
+    * document-frequency and the (N, avgdl) scalars are tiny frames
+    * broadcast back; the corpus is scanned once. Scores round to 4dp
+    * with doc_id tie-break — same float-determinism contract as the
+    * jaccard/quality queries. */
+  def bm25(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("hash", "join", "vector")
+    val (k1, b) = (1.2, 0.75)
+    val d = docs(spark, dir).select(col("doc_id"),
+        TextAnalysis.tokens(col("text")).as("tk"))
+      .withColumn("dl", size(col("tk")).cast("double"))
+    val stats = d.agg(count(lit(1)).cast("double").as("n"),
+      avg(col("dl")).as("avgdl"))
+    val tf = d.select(col("doc_id"), col("dl"), explode(col("tk")).as("t"))
+      .filter(col("t").isin(terms: _*))
+      .groupBy("doc_id", "dl", "t")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy("t")
+      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    tf.join(broadcast(dfreq), "t").crossJoin(broadcast(stats))
+      .withColumn("w",
+        log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          col("tf") * (k1 + 1) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id").agg(round(sum(col("w")), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(10)
+  }
+
+  val bm25Oracle: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |dl AS (SELECT doc_id, len(tk) * 1.0 AS dl FROM d),
+      |stats AS (SELECT count(*) * 1.0 AS n, avg(dl) AS avgdl FROM dl),
+      |tf AS (SELECT doc_id, t, count(*) * 1.0 AS tf
+      |       FROM (SELECT doc_id, unnest(tk) AS t FROM d)
+      |       WHERE t IN ('hash', 'join', 'vector') GROUP BY 1, 2),
+      |df AS (SELECT t, count(DISTINCT doc_id) * 1.0 AS df FROM tf GROUP BY 1)
+      |SELECT tf.doc_id, round(sum(
+      |    ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) *
+      |    tf.tf * (1.2 + 1) /
+      |    (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))), 4) AS score
+      |FROM tf JOIN df USING (t) JOIN dl ON tf.doc_id = dl.doc_id
+      |  CROSS JOIN stats s
+      |GROUP BY tf.doc_id
+      |ORDER BY score DESC, tf.doc_id LIMIT 10""".stripMargin
+
   /** Token-budget shard packing profile (budget 10k tokens, small
     * bucket width so the two-level prefix sum exercises multiple
     * buckets even at sf0.001). Oracle = the straightforward global
@@ -788,6 +836,7 @@ object TextQueries {
     "tx_url_gate" -> ((urlGate _, Some(urlGateOracle))),
     "tx_domain_stats" -> ((domainStats _, Some(domainStatsOracle))),
     "tx_pack_shards" -> ((packShards _, Some(packShardsOracle))),
+    "tx_bm25" -> ((bm25 _, Some(bm25Oracle))),
     "tx_fingerprints" -> ((fingerprints _, Some(fingerprintsOracle))),
     "dd_exact" -> ((exactDedup _, Some(exactDedupOracle))),
     "dd_exact_keeper" -> ((exactKeeper _, Some(exactKeeperOracle))),
