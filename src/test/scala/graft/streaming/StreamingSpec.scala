@@ -477,4 +477,54 @@ class StreamingSpec extends SparkSpec {
       assert(q.lastProgress != null)
     } finally q.stop()
   }
+
+  test("streaming curation gates: PII scrub + URL gate + quality are batch-identical") {
+    // the content gates are stateless column ops, so the SAME
+    // expressions must produce the SAME rows under readStream,
+    // micro-batch by micro-batch — the streaming-equals-batch claim
+    // for the curation surface
+    import org.apache.spark.sql.functions._
+    import graft.ops.TextAnalysis
+    val in = tmpDir("stream-curation")
+    val schema = "doc_id LONG, text STRING"
+    def jl(id: Long, t: String) = s"""{"doc_id":$id,"text":"$t"}"""
+    val b1 = Seq(
+      jl(1, "mail me at alice@example.org about https://spam.example.com/x now"),
+      jl(2, "a clean long document " + (1 to 30).map(i => s"w$i").mkString(" ")))
+    val b2 = Seq(
+      jl(3, "server 10.1.2.3 docs at https://docs.example.org/a ok"),
+      jl(4, "short"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/b1.json"),
+      b1.mkString("\n").getBytes)
+    def gates(df: org.apache.spark.sql.DataFrame) = {
+      val (nUrls, nBlocked, keep) =
+        TextAnalysis.urlGate(col("text"), Seq("spam.example.com"))
+      df.select(col("doc_id"),
+        TextAnalysis.scrubPii(col("text")).as("scrubbed"),
+        nUrls.as("n_urls"), keep.as("url_ok"),
+        (TextAnalysis.tokenCount(col("text")) >= 5).as("len_ok"))
+    }
+    val q = gates(spark.readStream.schema(schema).json(in))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("curation_stream").start()
+    try {
+      q.processAllAvailable()
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/b2.json"),
+        b2.mkString("\n").getBytes)
+      q.processAllAvailable()
+      val streamed = spark.table("curation_stream").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+          r.getBoolean(3), r.getBoolean(4))).toSet
+      val batch = gates(spark.read.schema(schema).json(in)).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+          r.getBoolean(3), r.getBoolean(4))).toSet
+      assert(streamed == batch)
+      assert(streamed.size == 4)
+      val byId = streamed.map(t => t._1 -> t).toMap
+      assert(byId(1L)._2.contains("<EMAIL>") && !byId(1L)._4,
+        "doc 1: email scrubbed, blocklisted URL flagged")
+      assert(byId(3L)._2.contains("<IP>") && byId(3L)._4)
+      assert(!byId(4L)._5, "short doc fails the length gate")
+    } finally q.stop()
+  }
 }
