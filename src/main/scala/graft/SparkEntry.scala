@@ -59,5 +59,11 @@ object SparkEntry {
     "dd_clusters_star",  // large-star/small-star contraction rounds
     "dd_cross_corpus",   // asymmetric new-vs-history band join
     "tx_hash_embed",     // feature-hashing embedder (text→vector)
-    "mm_media_meta")     // real media decoders over binary columns
+    "mm_media_meta",     // real media decoders over binary columns
+    // r5 (cont.): the new operator families
+    "ev_asof",           // merge-formulation as-of join
+    "ev_range_join",     // grain-bucketized interval join
+    "dd_decontaminate",  // broadcast benchmark 8-gram gate
+    "tx_pack_shards",    // two-level prefix-sum shard packing
+    "tx_bm25")           // BM25 search with query-term prefilter
 }

@@ -30,4 +30,39 @@ object Layout {
 
   def readTable(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * ~`targetBytes`-sized files. Ingest (especially streaming
+    * micro-batches) leaves thousands of KB-scale files; at 100 TB the
+    * per-file open/footer cost and the scheduler's per-split overhead
+    * dominate scans long before I/O does, and a nightly compaction
+    * pass is the standard fix.
+    *
+    * File count comes from the INPUT's on-disk bytes (a driver-side
+    * metadata listing — same cost class as planning the scan itself),
+    * so the output sizing survives compression: parquet-in ≈
+    * parquet-out for the same codec. `shuffle = false` uses
+    * `coalesce` — no shuffle, but input-order file packing (can skew
+    * when input files vary wildly in size); `shuffle = true` (default)
+    * pays one even repartition — for a compaction job that runs once
+    * and amortizes over every later scan, even output beats cheap.
+    *
+    * Returns (input file count, output file count). */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+      targetBytes: Long = 128L << 20, shuffle: Boolean = true): (Int, Int) = {
+    require(targetBytes > 0)
+    val path = new org.apache.hadoop.fs.Path(inDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(path)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    require(files.nonEmpty, s"no parquet files under $inDir")
+    val totalBytes = files.map(_.getLen).sum
+    val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.parquet(inDir)
+    (if (shuffle) df.repartition(n) else df.coalesce(n))
+      .write.mode("overwrite").parquet(outDir)
+    val out = fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    (files.length, out)
+  }
 }

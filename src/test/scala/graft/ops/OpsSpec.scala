@@ -816,6 +816,31 @@ class OpsSpec extends SparkSpec {
     assert(r(5L) == ((None, None)))
   }
 
+  test("compact: fragmented parquet rewrites to sized files with identical data") {
+    val in = java.nio.file.Files.createTempDirectory("compact-in").toString
+    val out = java.nio.file.Files.createTempDirectory("compact-out").toString + "/d"
+    // 64 tiny files
+    docs.limit(64).repartition(64).write.mode("overwrite").parquet(in)
+    val inFiles = new java.io.File(in).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(inFiles == 64)
+    val totalBytes = new java.io.File(in).listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val target = totalBytes / 4 + 1 // expect ~4-5 output files
+    val (nIn, nOut) = Layout.compact(spark, in, out, targetBytes = target)
+    assert(nIn == 64)
+    assert(nOut >= 3 && nOut <= 6, s"expected ~4 output files, got $nOut")
+    // content identical
+    val a = docs.limit(64).select("doc_id").collect().map(_.getLong(0)).sorted
+    val b = spark.read.parquet(out).select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(a.toSeq == b.toSeq)
+    // coalesce path: no shuffle, still compacts
+    val out2 = java.nio.file.Files.createTempDirectory("compact-out2").toString + "/d"
+    val (_, nOut2) = Layout.compact(spark, in, out2, targetBytes = target,
+      shuffle = false)
+    assert(nOut2 >= 3 && nOut2 <= 6)
+    assert(spark.read.parquet(out2).count() == 64)
+  }
+
   test("packByTokenBudget: two-level prefix sum equals the naive global cumsum") {
     // docs with known token counts; tiny bucketWidth forces many buckets
     val d = (1L to 40L).map(i => (i, Seq.fill((i % 7 + 1).toInt)("w").mkString(" ")))
