@@ -726,8 +726,10 @@ object TextQueries {
     * broadcast back; the corpus is scanned once. Scores round to 4dp
     * with doc_id tie-break — same float-determinism contract as the
     * jaccard/quality queries. */
-  def bm25(spark: SparkSession, dir: String): DataFrame = {
-    val terms = Seq("hash", "join", "vector")
+  /** (doc_id, 4dp score) for every doc matching >= 1 term — shared by
+    * [[bm25]] and [[hybridSearch]]. */
+  private def bm25Scores(spark: SparkSession, dir: String,
+      terms: Seq[String]): DataFrame = {
     val (k1, b) = (1.2, 0.75)
     val d = docs(spark, dir).select(col("doc_id"),
         TextAnalysis.tokens(col("text")).as("tk"))
@@ -746,8 +748,11 @@ object TextQueries {
           col("tf") * (k1 + 1) /
           (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
       .groupBy("doc_id").agg(round(sum(col("w")), 4).as("score"))
-      .orderBy(col("score").desc, col("doc_id")).limit(10)
   }
+
+  def bm25(spark: SparkSession, dir: String): DataFrame =
+    bm25Scores(spark, dir, Seq("hash", "join", "vector"))
+      .orderBy(col("score").desc, col("doc_id")).limit(10)
 
   val bm25Oracle: String =
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
@@ -765,6 +770,87 @@ object TextQueries {
       |  CROSS JOIN stats s
       |GROUP BY tf.doc_id
       |ORDER BY score DESC, tf.doc_id LIMIT 10""".stripMargin
+
+  /** Hybrid retrieval: BM25 lexical candidates re-ranked with the
+    * in-engine hashing embedder, fused by reciprocal-rank fusion
+    * (RRF, k = 60) — the standard two-tower hybrid without any
+    * external model. Scale shape: BM25 prunes the corpus to a 50-doc
+    * candidate set (broadcast semi-join), so the embedding pass runs
+    * over 50 docs, not the corpus; the query's own vector comes from
+    * the SAME `hashEmbedSparse` pipeline over a one-row frame. RRF is
+    * rank-based, so fusion never mixes raw score scales (integer
+    * ranks; the only floats are the final 1/(60+r) sums, rounded).
+    * The 50-row rank windows are single-partition by construction —
+    * the candidate set is the contract, not the corpus. */
+  def hybridSearch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = Seq("hash", "join", "vector")
+    val cand = bm25Scores(spark, dir, terms)
+      .orderBy(col("score").desc, col("doc_id")).limit(50)
+    val candDocs = docs(spark, dir)
+      .join(broadcast(cand.select("doc_id")), Seq("doc_id"), "left_semi")
+    val dv = TextAnalysis.hashEmbedSparse(candDocs)
+    val q = spark.range(1).select(lit(0L).as("doc_id"),
+      lit(terms.mkString(" ")).as("text"))
+    val qv = TextAnalysis.hashEmbedSparse(q)
+      .select(col("b"), col("v").as("qv"))
+    val cos = dv.join(broadcast(qv), Seq("b"))
+      .groupBy("doc_id").agg(round(sum(col("v") * col("qv")), 4).as("cos"))
+    val wb = Window.orderBy(col("score").desc, col("doc_id"))
+    val wc = Window.orderBy(col("cos").desc, col("doc_id"))
+    cand.join(cos, Seq("doc_id"), "left")
+      .withColumn("cos", coalesce(col("cos"), lit(0.0)))
+      .withColumn("rb", row_number().over(wb))
+      .withColumn("rc", row_number().over(wc))
+      .withColumn("rrf", round(lit(1.0) / (lit(60.0) + col("rb")) +
+        lit(1.0) / (lit(60.0) + col("rc")), 6))
+      .select("doc_id", "score", "cos", "rrf")
+      .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+  }
+
+  val hybridSearchOracle: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |dl AS (SELECT doc_id, len(tk) * 1.0 AS dl FROM d),
+      |stats AS (SELECT count(*) * 1.0 AS n, avg(dl) AS avgdl FROM dl),
+      |tf AS (SELECT doc_id, t, count(*) * 1.0 AS tf
+      |       FROM (SELECT doc_id, unnest(tk) AS t FROM d)
+      |       WHERE t IN ('hash', 'join', 'vector') GROUP BY 1, 2),
+      |df AS (SELECT t, count(DISTINCT doc_id) * 1.0 AS df FROM tf GROUP BY 1),
+      |bm AS (SELECT tf.doc_id, round(sum(
+      |    ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * tf.tf * (1.2 + 1) /
+      |    (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))), 4) AS score
+      |  FROM tf JOIN df USING (t) JOIN dl ON tf.doc_id = dl.doc_id
+      |    CROSS JOIN stats s GROUP BY tf.doc_id),
+      |cand AS (SELECT doc_id, score FROM bm ORDER BY score DESC, doc_id LIMIT 50),
+      |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+      |        WHERE doc_id IN (SELECT doc_id FROM cand)),
+      |th AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h FROM tok),
+      |w AS (SELECT doc_id, CAST(h % 64 AS BIGINT) AS b,
+      |        sum(CASE WHEN (h >> 62) & 1 = 1 THEN 1.0 ELSE -1.0 END) AS w
+      |      FROM th GROUP BY 1, 2),
+      |nn AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+      |dv AS (SELECT w.doc_id, b,
+      |         round(CASE WHEN nrm > 0 THEN w / nrm ELSE 0 END, 4) AS v
+      |       FROM w JOIN nn ON w.doc_id = nn.doc_id),
+      |qth AS (SELECT ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h
+      |        FROM (SELECT unnest(['hash', 'join', 'vector']) AS t)),
+      |qw AS (SELECT CAST(h % 64 AS BIGINT) AS b,
+      |         sum(CASE WHEN (h >> 62) & 1 = 1 THEN 1.0 ELSE -1.0 END) AS w
+      |       FROM qth GROUP BY 1),
+      |qn AS (SELECT sqrt(sum(w * w)) AS nrm FROM qw),
+      |qv AS (SELECT b, round(CASE WHEN qn.nrm > 0 THEN w / qn.nrm ELSE 0 END, 4) AS qv
+      |       FROM qw CROSS JOIN qn),
+      |cs AS (SELECT dv.doc_id, round(sum(dv.v * qv.qv), 4) AS cos
+      |       FROM dv JOIN qv USING (b) GROUP BY 1),
+      |j AS (SELECT cand.doc_id, cand.score, COALESCE(cs.cos, 0.0) AS cos
+      |      FROM cand LEFT JOIN cs ON cand.doc_id = cs.doc_id),
+      |r AS (SELECT doc_id, score, cos,
+      |        row_number() OVER (ORDER BY score DESC, doc_id) AS rb,
+      |        row_number() OVER (ORDER BY cos DESC, doc_id) AS rc
+      |      FROM j)
+      |SELECT doc_id, score, cos,
+      |  round(1.0 / (60 + rb) + 1.0 / (60 + rc), 6) AS rrf
+      |FROM r ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
 
   /** Token-budget shard packing profile (budget 10k tokens, small
     * bucket width so the two-level prefix sum exercises multiple
@@ -837,6 +923,7 @@ object TextQueries {
     "tx_domain_stats" -> ((domainStats _, Some(domainStatsOracle))),
     "tx_pack_shards" -> ((packShards _, Some(packShardsOracle))),
     "tx_bm25" -> ((bm25 _, Some(bm25Oracle))),
+    "tx_hybrid_search" -> ((hybridSearch _, Some(hybridSearchOracle))),
     "tx_fingerprints" -> ((fingerprints _, Some(fingerprintsOracle))),
     "dd_exact" -> ((exactDedup _, Some(exactDedupOracle))),
     "dd_exact_keeper" -> ((exactKeeper _, Some(exactKeeperOracle))),
