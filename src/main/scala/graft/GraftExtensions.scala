@@ -104,5 +104,44 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         arity("pq_adc", args, 2, 2)
         PqAdc(args.head, args(1))
       }))
+    // Curation surface: the content gates as SQL functions. These are
+    // compositions of built-in expressions (regexp engine is the cost,
+    // not dispatch — no custom codegen needed), injected so SQL users
+    // run the EXACT pipeline the Scala ops run.
+    locally {
+      import org.apache.spark.sql.catalyst.expressions.{ArrayTransform, LambdaFunction, Lower, RegExpExtract, RegExpExtractAll, RegExpReplace, UnresolvedNamedLambdaVariable}
+      import graft.ops.TextAnalysis
+      def s(v: String) = Literal.create(v)
+      e.injectFunction((
+        FunctionIdentifier("scrub_pii"),
+        new ExpressionInfo(classOf[RegExpReplace].getName, "scrub_pii"),
+        (args: Seq[Expression]) => {
+          arity("scrub_pii", args, 1, 1)
+          RegExpReplace(
+            RegExpReplace(
+              RegExpReplace(args.head, s(TextAnalysis.EmailRe), s("<EMAIL>")),
+              s(TextAnalysis.Ipv4Re), s("<IP>")),
+            s(TextAnalysis.PhoneRe), s("<PHONE>"))
+        }))
+      e.injectFunction((
+        FunctionIdentifier("url_hosts"),
+        new ExpressionInfo(classOf[RegExpExtractAll].getName, "url_hosts"),
+        (args: Seq[Expression]) => {
+          arity("url_hosts", args, 1, 1)
+          val h = UnresolvedNamedLambdaVariable(Seq("h"))
+          ArrayTransform(
+            RegExpExtractAll(args.head, s(TextAnalysis.UrlHostRe),
+              Literal.create(1)),
+            LambdaFunction(Lower(h), Seq(h)))
+        }))
+      e.injectFunction((
+        FunctionIdentifier("registrable_domain"),
+        new ExpressionInfo(classOf[RegExpExtract].getName, "registrable_domain"),
+        (args: Seq[Expression]) => {
+          arity("registrable_domain", args, 1, 1)
+          RegExpExtract(args.head, s("([A-Za-z0-9-]+\\.[A-Za-z0-9-]+)$"),
+            Literal.create(1))
+        }))
+    }
   }
 }

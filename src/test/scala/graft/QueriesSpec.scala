@@ -64,6 +64,15 @@ class QueriesSpec extends SparkSpec {
       assert(r.getAs[Int]("va") == 1)
       assert(r.getAs[Int]("nbands") == 2)
       assert(r.getAs[Double]("adc") == 5.0) // lut[0][1] + lut[1][0]
+      val c = s2.sql(
+        """SELECT scrub_pii('mail a@b.co from 10.0.0.1') AS sc,
+          |  url_hosts('x https://A.Example.com/p y http://b.org') AS uh,
+          |  registrable_domain('deep.sub.example.org') AS rd
+          |""".stripMargin).head()
+      assert(c.getAs[String]("sc") == "mail <EMAIL> from <IP>")
+      assert(c.getSeq[String](c.fieldIndex("uh")) ==
+        Seq("a.example.com", "b.org"))
+      assert(c.getAs[String]("rd") == "example.org")
       // wrong arity fails with an argument error, not an index crash
       val err = intercept[Exception] { s2.sql("SELECT array_dot(array(1.0d))") }
       assert(err.getMessage.contains("array_dot expects 2"),
