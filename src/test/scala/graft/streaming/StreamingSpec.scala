@@ -478,6 +478,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming range join: stream-static interval match equals batch") {
+    // rangeJoin is bucket-equi-join + filter on plain column
+    // expressions, so a STREAMING points side against static intervals
+    // must plan as a supported stream-static join and match batch
+    import graft.ops.TimeSeries
+    import spark.implicits._
+    val in = tmpDir("stream-range")
+    def jl(id: Long, u: Long, ts: String) =
+      s"""{"event_id":$id,"user_id":$u,"ts":"$ts"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/b1.json"),
+      Seq(jl(1, 10, "2024-01-01T00:00:30Z"),   // inside iv 100
+        jl(2, 10, "2024-01-01T00:05:00Z"),     // outside
+        jl(3, 20, "2024-01-01T00:00:30Z")      // right time, wrong key
+      ).mkString("\n").getBytes)
+    val schema = "event_id LONG, user_id LONG, ts TIMESTAMP"
+    val ivs = Seq(
+      (100L, 10L,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-01-01 00:01:00")))
+      .toDF("iv_id", "user_id", "w_start", "w_end")
+    val stream = spark.readStream.schema(schema).json(in)
+    val joined = TimeSeries.rangeJoin(stream, ivs, "user_id",
+      "ts", "w_start", "w_end", grainUs = 60L * 1000000L)
+    val q = joined.select("event_id", "iv_id").writeStream
+      .outputMode("append").format("memory").queryName("range_stream").start()
+    try {
+      q.processAllAvailable()
+      // second batch arrives later, matches the same static interval
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/b2.json"),
+        Seq(jl(4, 10, "2024-01-01T00:00:59Z")).mkString("\n").getBytes)
+      q.processAllAvailable()
+      val got = spark.table("range_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 100L), (4L, 100L)))
+      val batch = TimeSeries.rangeJoin(
+          spark.read.schema(schema).json(in), ivs, "user_id",
+          "ts", "w_start", "w_end", grainUs = 60L * 1000000L)
+        .select("event_id", "iv_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("streaming curation gates: PII scrub + URL gate + quality are batch-identical") {
     // the content gates are stateless column ops, so the SAME
     // expressions must produce the SAME rows under readStream,
