@@ -816,6 +816,48 @@ class OpsSpec extends SparkSpec {
     assert(r(5L) == ((None, None)))
   }
 
+  test("zorder: morton interleave is exact; z-layout narrows per-file 2-D ranges") {
+    // hand-computed morton codes
+    val m = Seq((3L, 1L), (0L, 0L), (5L, 2L), (7L, 7L)).toDF("a", "b")
+      .select(Layout.mortonInterleave(col("a"), col("b"), 4).as("z"))
+      .collect().map(_.getLong(0)).toList
+    // a bits land on even positions, b bits on odd
+    assert(m == List(7L, 0L, 25L, 63L),
+      s"morton(3,1)=7 morton(0,0)=0 morton(5,2)=25 morton(7,7)=63, got $m")
+
+    val ev = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("user_id"), col("value"))
+    val zDir = java.nio.file.Files.createTempDirectory("zord").toString + "/d"
+    val uDir = java.nio.file.Files.createTempDirectory("unsort").toString + "/d"
+    Layout.zorderWrite(ev, zDir, "user_id", "value", numFiles = 8)
+    ev.repartition(8).write.mode("overwrite").parquet(uDir)
+    // same data back
+    assert(spark.read.parquet(zDir).select("event_id").collect()
+      .map(_.getLong(0)).sorted.toSeq ==
+      ev.select("event_id").collect().map(_.getLong(0)).sorted.toSeq)
+    // per-FILE min/max envelopes (what parquet stats give the reader):
+    // count files whose envelope overlaps a 2-D box — the z layout
+    // must allow skipping, the random layout cannot
+    val q = ev.agg(
+      expr("percentile(user_id, 0.4)").cast("long"),
+      expr("percentile(user_id, 0.6)").cast("long"),
+      expr("percentile(value, 0.4)"),
+      expr("percentile(value, 0.6)")).head()
+    val (uLo, uHi, vLo, vHi) =
+      (q.getLong(0), q.getLong(1), q.getDouble(2), q.getDouble(3))
+    def overlapping(dir: String): Long =
+      spark.read.parquet(dir)
+        .groupBy(col("_metadata.file_path"))
+        .agg(min("user_id").as("u0"), max("user_id").as("u1"),
+          min("value").as("v0"), max("value").as("v1"))
+        .filter(col("u1") >= uLo && col("u0") <= uHi &&
+          col("v1") >= vLo && col("v0") <= vHi)
+        .count()
+    val (zN, uN) = (overlapping(zDir), overlapping(uDir))
+    assert(uN == 8, s"random layout should overlap everywhere, got $uN")
+    assert(zN < uN, s"z-order must allow file skipping: z=$zN unsorted=$uN")
+  }
+
   test("compact: fragmented parquet rewrites to sized files with identical data") {
     val in = java.nio.file.Files.createTempDirectory("compact-in").toString
     val out = java.nio.file.Files.createTempDirectory("compact-out").toString + "/d"
