@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.etl.expressions.{ArrayDot, JsonResidualVariant, JsonToStringMap, LshSignBands, MapRemoveKeys, MinHashSig, PqAdc, Rfc3339Parse}
+import graft.etl.expressions.{ArrayDot, JsonResidualVariant, JsonToStringMap, LshSignBands, MapRemoveKeys, MinHashSig, PqAdc, Rfc3339Parse, SortedAsofIndex}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * expressions as SQL functions, so `spark.sql` users get them too:
@@ -103,6 +103,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         arity("pq_adc", args, 2, 2)
         PqAdc(args.head, args(1))
+      }))
+    // sorted_asof_idx(ts BIGINT, hist ARRAY<BIGINT>): the broadcast
+    // as-of binary search, for SQL users who keep per-key sorted
+    // histories (pair with element_at(payload_arr, idx + 1)).
+    e.injectFunction((
+      FunctionIdentifier("sorted_asof_idx"),
+      new ExpressionInfo(classOf[SortedAsofIndex].getName, "sorted_asof_idx"),
+      (args: Seq[Expression]) => {
+        arity("sorted_asof_idx", args, 2, 2)
+        SortedAsofIndex(args.head, args(1))
       }))
     // Curation surface: the content gates as SQL functions. These are
     // compositions of built-in expressions (regexp engine is the cost,

@@ -720,3 +720,65 @@ object PqEncode {
     new GenericArrayData(out)
   }
 }
+
+/** Codegen-capable sorted as-of index: the 0-based index of the
+  * GREATEST element of an ASCENDING-sorted `array<long>` that is
+  * <= `ts`, or NULL if every element is greater — the binary-search
+  * kernel of the broadcast as-of join (`TimeSeries.asofJoinBroadcast`):
+  * the big side probes a per-key sorted history in O(log h) with no
+  * shuffle and no per-row array scan (the higher-order
+  * `filter`/`array_max` encoding walks the whole history per row,
+  * interpreted). Returns the index rather than a value so callers
+  * extract ANY payload column with native `element_at(arr, idx + 1)` —
+  * one search serves many payloads. Sortedness is the caller's
+  * contract (`sort_array` at history build time); unsorted input
+  * returns an arbitrary crossing index, garbage-in-garbage-out like
+  * any binary search. */
+case class SortedAsofIndex(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (long, array<long>), got $other")
+    }
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "sorted_asof_idx"
+
+  override def nullSafeEval(ts: Any, arr: Any): Any = {
+    val i = SortedAsofIndex.search(ts.asInstanceOf[Long],
+      arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    if (i < 0) null else i
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = SortedAsofIndex.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, (ts, arr) => s"""
+      int graft_asof_i = $cls.search($ts, $arr);
+      if (graft_asof_i < 0) { ${ev.isNull} = true; }
+      else { ${ev.value} = graft_asof_i; }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedAsofIndex =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedAsofIndex {
+  /** Greatest i with arr(i) <= ts, else -1 (arr ascending). */
+  def search(ts: Long,
+      arr: org.apache.spark.sql.catalyst.util.ArrayData): Int = {
+    var lo = 0
+    var hi = arr.numElements() - 1
+    var res = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (arr.getLong(mid) <= ts) { res = mid; lo = mid + 1 }
+      else hi = mid - 1
+    }
+    res
+  }
+}

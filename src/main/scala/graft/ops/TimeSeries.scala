@@ -62,6 +62,47 @@ object TimeSeries {
       .agg(count(lit(1)).as("n_events"),
         max(col("session_idx")).as("n_sessions"))
 
+  /** Broadcast as-of join — the small-dimension twin of [[asofJoin]]:
+    * when the right side is dimension-sized (price history, config
+    * rollouts, slowly-changing attributes), collapsing it to ONE row
+    * per key holding the ascending (ts, payload) history and
+    * broadcasting lets every left row resolve its as-of match with a
+    * codegen'd O(log h) binary search
+    * ([[graft.etl.expressions.SortedAsofIndex]]) — ZERO shuffle of
+    * the big side (vs [[asofJoin]]'s one key shuffle of both sides,
+    * which remains the right tool when both sides are big). Because
+    * the probe is stateless against a static frame, the SAME call
+    * works with a STREAMING left side (stream-static join), which the
+    * union+window merge formulation cannot.
+    *
+    * Same contract as [[asofJoin]]: inclusive backward match, right
+    * unique per (key, ts), nulls when no match; `asofTsName` is
+    * µs-truncated (the search runs on epoch-µs). */
+  def asofJoinBroadcast(left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String, payload: Seq[String],
+      asofTsName: String = "asof_ts"): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val hist = right
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(
+        epochUs(col(tsCol)).as("_t"),
+        struct(payload.map(col): _*).as("_p")))).as("_h"))
+      .select(col(keyCol),
+        transform(col("_h"), x => x.getField("_t")).as("_hts"),
+        transform(col("_h"), x => x.getField("_p")).as("_hp"))
+    val idx = Bridge.column(graft.etl.expressions.SortedAsofIndex(
+      Bridge.expression(epochUs(col(tsCol))),
+      Bridge.expression(col("_hts"))))
+    val leftCols = left.columns.map(col)
+    left.join(broadcast(hist), Seq(keyCol), "left")
+      .withColumn("_i", idx)
+      .select(leftCols ++
+        (timestamp_micros(element_at(col("_hts"), col("_i") + 1))
+          .as(asofTsName) +:
+          payload.map(p =>
+            element_at(col("_hp"), col("_i") + 1).getField(p).as(p))): _*)
+  }
+
   /** Point-in-interval range join: every (point, interval) pair with
     * the same key and `start <= point.ts < end` (half-open). Spark
     * plans a raw inequality predicate as BroadcastNestedLoopJoin —

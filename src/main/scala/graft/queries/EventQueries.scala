@@ -231,8 +231,29 @@ object EventQueries {
       |  true AS p90_ok
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** The SAME attribution query through the broadcast binary-search
+    * path ([[graft.ops.TimeSeries.asofJoinBroadcast]]) — registered
+    * against the IDENTICAL DuckDB ASOF oracle, so the alternative
+    * algorithm is cross-engine-verified, not just unit-tested
+    * (the dd_clusters / dd_clusters_star precedent). */
+  def asofBroadcast(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts").agg(max("value").as("last_purchase_value"))
+    val rest = ev.filter(col("event_type") =!= "purchase")
+      .select("event_id", "user_id", "ts")
+    TimeSeries.asofJoinBroadcast(rest, purchases, "user_id", "ts",
+        payload = Seq("last_purchase_value"))
+      .select(col("event_id"), col("user_id"),
+        (TimeSeries.epochUs(col("ts")) - TimeSeries.epochUs(col("asof_ts")))
+          .as("us_since_purchase"),
+        col("last_purchase_value"))
+      .transform(QueryUtil.ordered("event_id"))
+  }
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "ev_asof" -> ((asof _, Some(asofOracle))),
+    "ev_asof_bc" -> ((asofBroadcast _, Some(asofOracle))),
     "ev_range_join" -> ((rangeJoinQ _, Some(rangeJoinOracle))),
     "ev_sketch_accuracy" -> ((sketchAccuracy _, Some(sketchAccuracyOracle))),
     "ev_by_type" -> ((byType _, Some(byTypeOracle))),

@@ -73,6 +73,12 @@ class QueriesSpec extends SparkSpec {
       assert(c.getSeq[String](c.fieldIndex("uh")) ==
         Seq("a.example.com", "b.org"))
       assert(c.getAs[String]("rd") == "example.org")
+      val a = s2.sql(
+        """SELECT sorted_asof_idx(7L, array(5L, 10L)) AS i,
+          |  sorted_asof_idx(1L, array(5L, 10L)) AS none
+          |""".stripMargin).head()
+      assert(a.getAs[Int]("i") == 0)
+      assert(a.isNullAt(a.fieldIndex("none")))
       // wrong arity fails with an argument error, not an index crash
       val err = intercept[Exception] { s2.sql("SELECT array_dot(array(1.0d))") }
       assert(err.getMessage.contains("array_dot expects 2"),

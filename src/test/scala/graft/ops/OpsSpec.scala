@@ -970,6 +970,45 @@ class OpsSpec extends SparkSpec {
     assert(r.toSet == Set((1L, 100L), (2L, 100L), (3L, 200L), (4L, 200L)))
   }
 
+  test("asofJoinBroadcast: binary-search path matches the merge path row-for-row") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    val left = Seq(
+      (1L, 10L, t(5)), (2L, 10L, t(10)), (3L, 10L, t(11)),
+      (4L, 20L, t(3)), (5L, 30L, t(1))
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, t(0), 1.0), (10L, t(10), 2.0), (20L, t(7), 9.0)
+    ).toDF("user_id", "ts", "v")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("event_id"),
+        graft.ops.TimeSeries.epochUs(col("asof_ts")).as("ats"), col("v"))
+        .collect().map(r => (r.getLong(0),
+          Option(r.get(r.fieldIndex("ats"))), Option(r.get(r.fieldIndex("v")))))
+        .toSet
+    val merge = norm(TimeSeries.asofJoin(left, right, "user_id", "ts", Seq("v")))
+    val bcast = norm(
+      TimeSeries.asofJoinBroadcast(left, right, "user_id", "ts", Seq("v")))
+    assert(merge == bcast, s"merge=$merge bcast=$bcast")
+    assert(bcast.size == 5)
+  }
+
+  test("SortedAsofIndex: binary search boundaries") {
+    import org.apache.spark.sql.graft.Bridge
+    import graft.etl.expressions.SortedAsofIndex
+    val d = Seq((0L), (5L), (10L), (15L), (99L)).toDF("ts")
+      .withColumn("arr", typedLit(Seq(5L, 10L, 20L)))
+    val idx = Bridge.column(SortedAsofIndex(
+      Bridge.expression(col("ts")), Bridge.expression(col("arr"))))
+    val r = d.select(col("ts"), idx.as("i")).collect()
+      .map(x => x.getLong(0) -> Option(x.get(1))).toMap
+    assert(r(0L) == None, "before first element -> null")
+    assert(r(5L) == Some(0), "equal is inclusive")
+    assert(r(10L) == Some(1))
+    assert(r(15L) == Some(1), "between elements -> lower")
+    assert(r(99L) == Some(2), "after last -> last")
+  }
+
   test("asofJoin: a right row with a NULL payload value still wins over older rows") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def t(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)

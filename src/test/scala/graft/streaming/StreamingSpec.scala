@@ -521,6 +521,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of: broadcast binary-search path enriches a stream, equals batch") {
+    // asofJoinBroadcast probes a STATIC per-key sorted history with a
+    // stateless codegen'd binary search, so it runs under readStream as
+    // a plain stream-static join — the as-of capability the
+    // union+window merge formulation cannot stream
+    import graft.ops.TimeSeries
+    import spark.implicits._
+    val in = tmpDir("stream-asof")
+    def jl(id: Long, u: Long, ts: String) =
+      s"""{"event_id":$id,"user_id":$u,"ts":"$ts"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/b1.json"),
+      Seq(jl(1, 10, "2024-01-01T00:05:00Z"),
+        jl(2, 20, "2024-01-01T00:05:00Z")).mkString("\n").getBytes)
+    val schema = "event_id LONG, user_id LONG, ts TIMESTAMP"
+    val hist = Seq(
+      (10L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.5),
+      (10L, java.sql.Timestamp.valueOf("2024-01-01 00:04:00"), 2.5),
+      (20L, java.sql.Timestamp.valueOf("2024-01-01 00:09:00"), 9.9)
+    ).toDF("user_id", "ts", "price")
+    val stream = spark.readStream.schema(schema).json(in)
+    val q = TimeSeries.asofJoinBroadcast(stream, hist, "user_id", "ts",
+        Seq("price"))
+      .select("event_id", "price").writeStream
+      .outputMode("append").format("memory").queryName("asof_stream").start()
+    try {
+      q.processAllAvailable()
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/b2.json"),
+        Seq(jl(3, 10, "2024-01-01T00:03:00Z"),
+          jl(4, 20, "2024-01-01T00:10:00Z")).mkString("\n").getBytes)
+      q.processAllAvailable()
+      val got = spark.table("asof_stream").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+      assert(got == Map(
+        1L -> Some(2.5),  // latest 10-history row <= 00:05
+        2L -> None,       // 20's only history row is later
+        3L -> Some(1.5),  // second micro-batch still probes correctly
+        4L -> Some(9.9)))
+      val batch = TimeSeries.asofJoinBroadcast(
+          spark.read.schema(schema).json(in), hist, "user_id", "ts",
+          Seq("price"))
+        .select("event_id", "price").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("streaming curation gates: PII scrub + URL gate + quality are batch-identical") {
     // the content gates are stateless column ops, so the SAME
     // expressions must produce the SAME rows under readStream,
