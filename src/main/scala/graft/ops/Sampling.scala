@@ -41,4 +41,34 @@ object Sampling {
     }
     df.filter(unitHash(col(idCol)) < frac)
   }
+
+  /** Temperature-based source mixing: per-source keep fractions from
+    * the α-tempered source distribution — w_s ∝ n_s^α, per-source
+    * quota = w_s · targetFraction · N, keep fraction = min(1, quota /
+    * n_s). α < 1 flattens the mixture (rare sources keep MORE than
+    * proportional, dominant sources less) — the standard multilingual
+    * / multi-source rebalancing rule; α = 1 degenerates to plain
+    * `targetFraction` sampling everywhere.
+    *
+    * The per-source fractions derive from one tiny counts agg
+    * (broadcast back); row keep/drop is the same [[unitHash]] rule as
+    * [[stratified]] — reproducible, growth-stable per source, and
+    * exactly recomputable by the oracle. One corpus scan + the counts
+    * agg; zero shuffle of the data itself. */
+  def temperatureMix(df: DataFrame, alpha: Double,
+      targetFraction: Double, strataCol: String, idCol: String): DataFrame = {
+    require(alpha > 0 && targetFraction > 0 && targetFraction <= 1)
+    val counts = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).cast("double").as("_ns"))
+    val denom = counts.agg(sum(pow(col("_ns"), alpha)).as("_den"),
+      sum(col("_ns")).as("_n"))
+    val fracs = counts.crossJoin(broadcast(denom))
+      .select(col(strataCol),
+        least(lit(1.0),
+          pow(col("_ns"), alpha) / col("_den") *
+            lit(targetFraction) * col("_n") / col("_ns")).as("_keep_frac"))
+    df.join(broadcast(fracs), Seq(strataCol))
+      .filter(unitHash(col(idCol)) < col("_keep_frac"))
+      .drop("_keep_frac")
+  }
 }

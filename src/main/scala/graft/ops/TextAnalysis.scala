@@ -151,6 +151,34 @@ object TextAnalysis {
     (size(hosts), size(blocked), size(blocked) === 0)
   }
 
+  // --- Unigram LM scoring ---------------------------------------------
+  // The CCNet-style quality signal: score each document by the mean
+  // log-probability of its tokens under a unigram model trained on the
+  // corpus itself (boilerplate/gibberish scores low, fluent text high).
+  // A full LM is external; the unigram model IS computable in-engine.
+
+  /** Per-document mean log10 unigram probability. The model is the
+    * top-`vocab` corpus tokens (count desc, token asc tie-break —
+    * deterministic at any engine); out-of-vocabulary tokens get the
+    * 1/T floor. Two corpus scans (model pass + scoring pass) and the
+    * model frame BROADCASTS — at 100 TB a capped-vocab unigram LM is
+    * a few MB regardless of corpus size, so the scoring pass is
+    * map-side with one per-doc agg shuffle. */
+  def unigramLogProb(docs: DataFrame, vocab: Int = 1000,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("t"))
+    val total = tok.agg(count(lit(1)).cast("double").as("_tot"))
+    val lm = tok.groupBy("t").agg(count(lit(1)).cast("double").as("c"))
+      .orderBy(col("c").desc, col("t")).limit(vocab)
+    tok.join(broadcast(lm), Seq("t"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        log10(coalesce(col("c"), lit(1.0)) / col("_tot")).as("lp"))
+      .groupBy("doc_id")
+      .agg(round(avg(col("lp")), 4).as("mean_log10p"))
+  }
+
   /** Rolling (Rabin-Karp-style) fingerprint over tokens —
     * order-sensitive, cheap to maintain incrementally at ingest. Spark
     * `aggregate` keeps it sequential per document (deterministic). The

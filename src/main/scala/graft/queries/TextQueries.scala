@@ -643,6 +643,53 @@ object TextQueries {
       |FROM planted ORDER BY doc_id""".stripMargin
   }
 
+  /** Unigram-LM quality scores (top-1000 vocab, 1/T OOV floor) — the
+    * in-engine stand-in for a perplexity filter. */
+  def unigramLogProb(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramLogProb(docs(spark, dir))
+      .transform(QueryUtil.ordered("doc_id"))
+
+  val unigramLogProbOracle: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+      |             FROM documents),
+      |total AS (SELECT count(*) * 1.0 AS T FROM tok),
+      |lm AS (SELECT t, count(*) * 1.0 AS c FROM tok GROUP BY t
+      |       ORDER BY c DESC, t LIMIT 1000)
+      |SELECT doc_id,
+      |  round(avg(log10(COALESCE(lm.c, 1.0) / total.T)), 4) AS mean_log10p
+      |FROM tok LEFT JOIN lm ON tok.t = lm.t CROSS JOIN total
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Temperature-based source mixing (α = 0.5, target 50%) — rare
+    * sources keep more than proportional, dominant ones less. */
+  def tempMix(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val kept = graft.ops.Sampling.temperatureMix(d, alpha = 0.5,
+        targetFraction = 0.5, strataCol = "source", idCol = "doc_id")
+      .groupBy("source").agg(count(lit(1)).as("n_kept"))
+    d.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .transform(QueryUtil.ordered("source"))
+  }
+
+  val tempMixOracle: String =
+    """WITH c AS (SELECT source, count(*) * 1.0 AS ns
+      |           FROM documents GROUP BY source),
+      |d AS (SELECT sum(pow(ns, 0.5)) AS den, sum(ns) AS n FROM c),
+      |f AS (SELECT source, least(1.0, pow(ns, 0.5) / d.den * 0.5 * d.n / ns) AS kf
+      |      FROM c CROSS JOIN d),
+      |kept AS (SELECT doc.source, count(*) AS n_kept
+      |         FROM documents doc JOIN f ON doc.source = f.source
+      |         WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+      |                 / 4294967296.0 < kf
+      |         GROUP BY doc.source)
+      |SELECT c.source, CAST(c.ns AS BIGINT) AS n_docs,
+      |  COALESCE(kept.n_kept, 0) AS n_kept
+      |FROM c LEFT JOIN kept ON c.source = kept.source
+      |ORDER BY c.source""".stripMargin
+
   /** Blocked hosts for the URL gate — by-contract a small set, so it
     * rides as literal predicates (a large blocklist would broadcast a
     * frame and semi-join instead). */
@@ -924,6 +971,8 @@ object TextQueries {
     "tx_pack_shards" -> ((packShards _, Some(packShardsOracle))),
     "tx_bm25" -> ((bm25 _, Some(bm25Oracle))),
     "tx_hybrid_search" -> ((hybridSearch _, Some(hybridSearchOracle))),
+    "tx_unigram_logprob" -> ((unigramLogProb _, Some(unigramLogProbOracle))),
+    "tx_temp_mix" -> ((tempMix _, Some(tempMixOracle))),
     "tx_fingerprints" -> ((fingerprints _, Some(fingerprintsOracle))),
     "dd_exact" -> ((exactDedup _, Some(exactDedupOracle))),
     "dd_exact_keeper" -> ((exactKeeper _, Some(exactKeeperOracle))),

@@ -816,6 +816,27 @@ class OpsSpec extends SparkSpec {
     assert(r(5L) == ((None, None)))
   }
 
+  test("temperatureMix: alpha<1 up-weights rare sources; alpha=1 is plain sampling") {
+    val d = ((1L to 900L).map(i => (i, "big")) ++
+      (901L to 1000L).map(i => (i, "small")))
+      .toDF("doc_id", "source")
+    def keptFrac(alpha: Double): Map[String, Double] = {
+      val k = Sampling.temperatureMix(d, alpha, targetFraction = 0.5,
+          strataCol = "source", idCol = "doc_id")
+        .groupBy("source").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+      Map("big" -> k.getOrElse("big", 0.0) / 900.0,
+        "small" -> k.getOrElse("small", 0.0) / 100.0)
+    }
+    val flat = keptFrac(0.3)
+    assert(flat("small") > flat("big"),
+      s"alpha<1 must up-weight the rare source: $flat")
+    // alpha=1: w_s proportional to n_s, so every source keeps ~targetFraction
+    val prop = keptFrac(1.0)
+    assert(math.abs(prop("big") - 0.5) < 0.1 &&
+      math.abs(prop("small") - 0.5) < 0.2, s"alpha=1 should be uniform: $prop")
+  }
+
   test("zorder: morton interleave is exact; z-layout narrows per-file 2-D ranges") {
     // hand-computed morton codes
     val m = Seq((3L, 1L), (0L, 0L), (5L, 2L), (7L, 7L)).toDF("a", "b")
