@@ -36,9 +36,13 @@ object Packing {
       idCol: String = "doc_id", textCol: String = "text",
       bucketWidth: Long = 100000L): DataFrame = {
     require(budget > 0 && bucketWidth > 0)
-    val base = docs.select(col(idCol),
+    // narrow (id, count, bucket) frame persisted: both the per-bucket
+    // window and the offsets agg read it — without the persist each
+    // plans its OWN corpus scan + tokenize (verified in docs/PLANS.md
+    // history), i.e. the whole input twice for a layout job
+    val base = Dedup.persistTracked(docs.select(col(idCol),
         TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
-      .withColumn("_bkt", floor(col(idCol) / bucketWidth))
+      .withColumn("_bkt", floor(col(idCol) / bucketWidth)))
     val within = base.withColumn("_wcum",
       sum(col("n_tokens")).over(Window.partitionBy(col("_bkt"))
         .orderBy(col(idCol))

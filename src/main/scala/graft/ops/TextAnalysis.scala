@@ -168,9 +168,14 @@ object TextAnalysis {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val tok = docs.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("t"))
-    val total = tok.agg(count(lit(1)).cast("double").as("_tot"))
-    val lm = tok.groupBy("t").agg(count(lit(1)).cast("double").as("c"))
-      .orderBy(col("c").desc, col("t")).limit(vocab)
+    // ONE model pass: the vocab-sized counts frame is persisted and
+    // serves both the total-token scalar and the top-V cut — without
+    // it, total/lm/scoring each plan their own corpus scan (three
+    // full passes for a two-pass algorithm)
+    val counts = Dedup.persistTracked(
+      tok.groupBy("t").agg(count(lit(1)).cast("double").as("c")))
+    val total = counts.agg(sum(col("c")).as("_tot"))
+    val lm = counts.orderBy(col("c").desc, col("t")).limit(vocab)
     tok.join(broadcast(lm), Seq("t"), "left")
       .crossJoin(broadcast(total))
       .select(col("doc_id"),

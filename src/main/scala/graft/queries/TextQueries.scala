@@ -783,10 +783,14 @@ object TextQueries {
       .withColumn("dl", size(col("tk")).cast("double"))
     val stats = d.agg(count(lit(1)).cast("double").as("n"),
       avg(col("dl")).as("avgdl"))
-    val tf = d.select(col("doc_id"), col("dl"), explode(col("tk")).as("t"))
-      .filter(col("t").isin(terms: _*))
-      .groupBy("doc_id", "dl", "t")
-      .agg(count(lit(1)).cast("double").as("tf"))
+    // tf is df-sized (query-term rows only) but derives from a full
+    // corpus scan; persisting it keeps the dfreq agg from re-planning
+    // that scan (one corpus pass for tf + one for the stats scalars)
+    val tf = Dedup.persistTracked(
+      d.select(col("doc_id"), col("dl"), explode(col("tk")).as("t"))
+        .filter(col("t").isin(terms: _*))
+        .groupBy("doc_id", "dl", "t")
+        .agg(count(lit(1)).cast("double").as("tf")))
     val dfreq = tf.groupBy("t")
       .agg(countDistinct(col("doc_id")).cast("double").as("df"))
     tf.join(broadcast(dfreq), "t").crossJoin(broadcast(stats))

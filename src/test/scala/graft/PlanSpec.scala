@@ -98,6 +98,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("_b"), s"grain bucket not in the join keys:\n$p")
   }
 
+  test("shared frames are persisted, not re-scanned (direct corpus scans bounded)") {
+    // a cached frame prints its build recipe (incl. its FileScan)
+    // under each InMemoryRelation, so the DIRECT scan count is
+    // FileScan minus InMemoryRelation occurrences. Without the
+    // tracked persists, pack_shards plans 2 direct corpus scans
+    // (window + offsets re-tokenize the input) and bm25 3 (stats,
+    // tf join side, dfreq)
+    for ((name, maxDirect) <- Seq("tx_pack_shards" -> 0, "tx_bm25" -> 1)) {
+      val p = plan(name)
+      val direct = countOf(p, "FileScan") - countOf(p, "InMemoryRelation")
+      assert(direct <= maxDirect,
+        s"$name re-scans its input ($direct direct FileScans > $maxDirect):\n$p")
+      assert(p.contains("InMemoryTableScan"),
+        s"$name lost its shared-frame persist:\n$p")
+    }
+  }
+
   test("tx_pack_shards: corpus-sized cumsum windows on the bucket key, never one partition") {
     // the two-level prefix sum must keep the per-row window PARTITIONED
     // (hashpartitioning on _bkt); only the per-bucket offsets frame —
