@@ -690,6 +690,80 @@ object TextQueries {
       |FROM c LEFT JOIN kept ON c.source = kept.source
       |ORDER BY c.source""".stripMargin
 
+  /** Curation v4: the v3 chain (decontamination → language/quality/
+    * length/repetition gates → exact-dedup keeper) finished with
+    * TEMPERATURE mixing over the surviving per-source distribution
+    * (α = 0.5, target 50%) instead of fixed per-source fractions —
+    * the mixture adapts to whatever the upstream gates left, which is
+    * how a production pipeline actually composes ("rebalance what
+    * survived curation", not "rebalance the raw crawl"). */
+  def curation4(spark: SparkSession, dir: String): DataFrame = {
+    val d0 = docs(spark, dir)
+    val clean = Dedup.decontaminate(d0,
+        d0.filter(col("doc_id") % 37 === 0), k = 8)
+      .filter(col("keep")).select("doc_id")
+    val d = d0.join(clean, Seq("doc_id"), "left_semi")
+      .withColumn("_tk", TextAnalysis.tokens(col("text")))
+      .withColumn("_g3", TextAnalysis.ngramsFromTokens(col("_tk"), 3))
+    val filtered = d.filter(
+      TextAnalysis.langId(col("text")) === "en" &&
+        TextAnalysis.qualityScore(col("text")) >= 0.58 &&
+        TextAnalysis.tokenCount(col("text")) >= 20 &&
+        TextAnalysis.dupNgramFraction(col("_g3")) <= 0.2)
+    val keeper = filtered.withColumn("fp",
+        TextAnalysis.md5Fingerprint(col("text")))
+      .withColumn("keep",
+        col("doc_id") === min("doc_id").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      .filter(col("keep"))
+      .select("doc_id", "source")
+    graft.ops.Sampling.temperatureMix(keeper, alpha = 0.5,
+        targetFraction = 0.5, strataCol = "source", idCol = "doc_id")
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .transform(QueryUtil.ordered("source"))
+  }
+
+  val curation4Oracle: String =
+    """WITH t8 AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+      |sh8 AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 8
+      |         THEN list_distinct(list_transform(range(1, len(w) - 6),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+      |             || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]))
+      |         ELSE [text] END) AS s
+      |       FROM t8),
+      |bs8 AS (SELECT DISTINCT s FROM sh8 WHERE doc_id % 37 = 0),
+      |dirty AS (SELECT DISTINCT sh8.doc_id FROM sh8 JOIN bs8 ON sh8.s = bs8.s),
+      |s AS (SELECT doc_id, source, text,
+      |    len(string_split(text, ' ')) * 1.0 AS n,
+      |    len(list_distinct(string_split(text, ' '))) * 1.0 AS nd,
+      |    len(list_filter(string_split(text, ' '),
+      |        t -> t IN ('the', 'a', 'of', 'to', 'and', 'in', 'is', 'it'))) * 1.0 AS st,
+      |    len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','is'))) AS e,
+      |    len(list_filter(string_split(text, ' '), t -> t IN ('der','die','das','und','ist'))) AS d,
+      |    len(list_filter(string_split(text, ' '), t -> t IN ('le','la','les','et','est'))) AS f,
+      |    len(list_filter(string_split(text, ' '), t -> t IN ('el','los','las','y','es'))) AS sp
+      |  FROM documents
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+      |filtered AS (SELECT doc_id, source, text FROM s
+      |  WHERE (CASE WHEN e > 0 AND e >= greatest(e, d, f, sp) THEN 'en'
+      |              WHEN d > 0 AND d >= greatest(d, f, sp) THEN 'de'
+      |              WHEN f > 0 AND f >= greatest(f, sp) THEN 'fr'
+      |              WHEN sp > 0 THEN 'es' ELSE 'und' END) = 'en'
+      |    AND round(least(n / 100.0, 1.0) * 0.4 + (nd / n) * 0.4 + (1.0 - st / n) * 0.2, 4) >= 0.58
+      |    AND n >= 20),
+      |kept AS (SELECT doc_id, source FROM filtered
+      |  WHERE doc_id = (SELECT min(doc_id) FROM filtered f2
+      |                  WHERE md5(f2.text) = md5(filtered.text))),
+      |c AS (SELECT source, count(*) * 1.0 AS ns FROM kept GROUP BY source),
+      |dn AS (SELECT sum(pow(ns, 0.5)) AS den, sum(ns) AS nn FROM c),
+      |fr AS (SELECT source, least(1.0, pow(ns, 0.5) / dn.den * 0.5 * dn.nn / ns) AS kf
+      |       FROM c CROSS JOIN dn),
+      |sampled AS (SELECT k.doc_id, k.source FROM kept k JOIN fr ON k.source = fr.source
+      |  WHERE ('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+      |          / 4294967296.0 < fr.kf)
+      |SELECT source, count(*) AS n_docs FROM sampled
+      |GROUP BY source ORDER BY source""".stripMargin
+
   /** Blocked hosts for the URL gate — by-contract a small set, so it
     * rides as literal predicates (a large blocklist would broadcast a
     * frame and semi-join instead). */
@@ -992,6 +1066,7 @@ object TextQueries {
     "tx_curation" -> ((curation _, Some(curationOracle))),
     "tx_curation2" -> ((curation2 _, Some(curation2Oracle))),
     "tx_curation3" -> ((curation3 _, Some(curation3Oracle))),
+    "tx_curation4" -> ((curation4 _, Some(curation4Oracle))),
     "tx_sample_strata" -> ((sampleStrata _, Some(sampleStrataOracle))),
     "tx_corpus_profile" -> ((corpusProfile _, Some(corpusProfileOracle))),
     "mm_media_meta" -> ((mediaMeta _, Some(mediaMetaOracle))),
