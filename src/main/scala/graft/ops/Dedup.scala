@@ -350,14 +350,22 @@ object Dedup {
     * (higher maxHamming) mean more bucket collisions — at very large n,
     * prefer small maxHamming or a second banding stage. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    hammingPairs64(simhashFrame(docs, idCol, textCol), maxHamming)
+
+  /** Exact-recall Hamming pairing over ANY 64-bit fingerprint frame
+    * (sid, simhash) — the pigeonhole chunk-bucket core shared by text
+    * SimHash and image dHash ([[Multimodal.imageNearDupPairs]]): a
+    * pair within `maxHamming` must agree on >= 1 of the maxHamming+1
+    * disjoint chunks, so candidates come from chunk equi-joins, never
+    * all pairs. */
+  private[ops] def hammingPairs64(f: DataFrame, maxHamming: Int): DataFrame = {
     // the exact-recall pigeonhole needs maxHamming+1 disjoint chunks;
     // a silent cap at 16 chunks would void the documented guarantee
     // (a pair with one flipped bit per chunk would match no bucket)
     require(maxHamming >= 0 && maxHamming <= 15,
       s"maxHamming=$maxHamming: the 64-bit pigeonhole supports at most 15 " +
         "(needs maxHamming+1 <= 16 disjoint chunks for exact recall)")
-    val f = simhashFrame(docs, idCol, textCol)
     val numChunks = maxHamming + 1
     val width = 64 / numChunks
     val chunks = (0 until numChunks).map { ci =>

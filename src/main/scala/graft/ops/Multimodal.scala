@@ -508,6 +508,68 @@ object Multimodal {
       }
   }
 
+  /** Perceptual difference hash (dHash): bilinear-scale to 9×8
+    * grayscale, set one bit per adjacent-luminance comparison → a
+    * 64-bit fingerprint that survives re-encoding, mild resizing and
+    * small edits — the image counterpart of text SimHash, and the
+    * standard cheap image-dedup signal. */
+  private[ops] def dhashOf(img: java.awt.image.BufferedImage): Long = {
+    val small = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = small.createGraphics()
+    g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g.drawImage(img, 0, 0, 9, 8, null)
+    g.dispose()
+    def lum(x: Int, y: Int): Int = {
+      val rgb = small.getRGB(x, y)
+      (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
+        + 114 * (rgb & 0xff)) / 1000
+    }
+    var bits = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (lum(x, y) > lum(x + 1, y)) bits |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
+  /** (media_id, dhash) for every decodable image payload; non-images
+    * and corrupt payloads are DROPPED (a sentinel hash would collide
+    * all failures into one giant near-dup cluster). Per-partition
+    * decode — blobs never shuffle. */
+  def imageDHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"), col("meta.mime"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes, mime) =>
+          val img =
+            if (mime == null || !mime.startsWith("image/")) null
+            else try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+          if (img == null) None else Some((id, dhashOf(img)))
+        }
+      }.toDF("media_id", "dhash")
+  }
+
+  /** Image near-dup pairs within `maxHamming` dHash bits — rides the
+    * SAME exact-recall pigeonhole chunk buckets as text SimHash
+    * ([[Dedup.hammingPairs64]]): candidates from chunk equi-joins,
+    * never all pairs; only 8-byte hashes shuffle, payloads stay put.
+    * Returns (da, db, hamming). */
+  def imageNearDupPairs(media: DataFrame, maxHamming: Int = 8): DataFrame =
+    Dedup.hammingPairs64(
+      imageDHashes(media).select(col("media_id").as("sid"),
+        col("dhash").as("simhash")), maxHamming)
+
   /** Per-partition frame sampling over a media frame — the video twin
     * of [[extractFeatures]]: blobs stay in their partition, each task
     * walks its containers once and emits narrow per-frame feature rows

@@ -739,6 +739,42 @@ class OpsSpec extends SparkSpec {
     assert(r(5L) == "<EMAIL> <IP> <PHONE>")
   }
 
+  test("multimodal: dHash near-dup pairs survive edits, distinct images stay apart") {
+    def png(paint: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 32) {
+        val v = paint(x, y) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val gradient = png((x, _) => x * 8)
+    // the same gradient with a small local edit (one bright patch)
+    val edited = png((x, y) => if (x < 4 && y < 4) 255 else x * 8)
+    val checker = png((x, y) => if (((x / 4) + (y / 4)) % 2 == 0) 0 else 255)
+    val media = Seq(
+        (1L, gradient, "image/png"), (2L, edited, "image/png"),
+        (3L, checker, "image/png"), (4L, "bad".getBytes, "image/png"),
+        (5L, "au".getBytes, "audio/wav"))
+      .toDF("media_id", "payload", "mime")
+      .select(col("media_id"), col("payload"),
+        struct(col("mime"), octet_length(col("payload")).cast("long")
+          .as("byte_len")).as("meta"))
+    val hashes = Multimodal.imageDHashes(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes.keySet == Set(1L, 2L, 3L),
+      "corrupt + non-image payloads must be dropped, not sentinel-hashed")
+    val pairs = Multimodal.imageNearDupPairs(media, maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)),
+      s"only the edited copy may pair with the original: ${pairs.toSeq}")
+    assert(java.lang.Long.bitCount(hashes(1L) ^ hashes(3L)) > 8,
+      "gradient vs checkerboard must be far apart")
+  }
+
   test("multimodal: resizeImages scales real pixels, passes non-images through") {
     val png = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
       getClass.getResource("/tiny.png").toURI))
