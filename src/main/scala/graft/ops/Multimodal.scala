@@ -508,6 +508,137 @@ object Multimodal {
       }
   }
 
+  case class AudioSpectrum(
+      media_id: Long,
+      sample_rate: Int,
+      n_samples: Long,
+      centroid_hz: Double,
+      band_energy: Array[Float])
+
+  /** In-place iterative radix-2 FFT (Cooley-Tukey) — the JDK ships no
+    * FFT; ~30 lines beats a dependency the container cannot resolve.
+    * `re.length` must be a power of two. */
+  private[ops] def fft(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    require((n & (n - 1)) == 0, s"FFT size $n must be a power of two")
+    var i = 1
+    var j = 0
+    while (i < n) { // bit-reversal permutation
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    var len = 2
+    while (len <= n) {
+      val ang = -2.0 * math.Pi / len
+      val (wr, wi) = (math.cos(ang), math.sin(ang))
+      var blk = 0
+      while (blk < n) {
+        var cr = 1.0
+        var ci = 0.0
+        var k = 0
+        while (k < len / 2) {
+          val (ur, ui) = (re(blk + k), im(blk + k))
+          val vr = re(blk + k + len / 2) * cr - im(blk + k + len / 2) * ci
+          val vi = re(blk + k + len / 2) * ci + im(blk + k + len / 2) * cr
+          re(blk + k) = ur + vr; im(blk + k) = ui + vi
+          re(blk + k + len / 2) = ur - vr; im(blk + k + len / 2) = ui - vi
+          val ncr = cr * wr - ci * wi
+          ci = cr * wi + ci * wr; cr = ncr
+          k += 1
+        }
+        blk += len
+      }
+      len <<= 1
+    }
+  }
+
+  /** Spectral features per WAV payload — the audio `feature-extract`
+    * step a curation pipeline gates on (silence/tone/speech-band
+    * heuristics): Hann-windowed `fftSize`-point FFT over the first
+    * channel → spectral centroid (Hz) + 8 octave-band energies
+    * (normalized). Decode + FFT run per partition (payloads never
+    * shuffle); non-WAV/corrupt payloads are dropped, same contract as
+    * [[imageDHashes]]. */
+  def audioSpectra(media: DataFrame, fftSize: Int = 4096): Dataset[AudioSpectrum] = {
+    require(fftSize >= 64 && (fftSize & (fftSize - 1)) == 0)
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"), col("meta.mime"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes, mime) =>
+          if (mime == null || !mime.contains("wav")) None
+          else try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val fmt = ais.getFormat
+            if (fmt.getSampleSizeInBits != 16) None
+            else {
+              val rate = fmt.getSampleRate.toInt
+              val ch = fmt.getChannels
+              val frameBytes = 2 * ch
+              val buf = new Array[Byte](fftSize * frameBytes)
+              var off = 0
+              var r = 0
+              while (off < buf.length && r >= 0) {
+                r = ais.read(buf, off, buf.length - off)
+                if (r > 0) off += r
+              }
+              val nFrames = off / frameBytes
+              val re = new Array[Double](fftSize)
+              val im = new Array[Double](fftSize)
+              val le = fmt.isBigEndian == false
+              var k = 0
+              while (k < nFrames) {
+                val b0 = buf(k * frameBytes) & 0xff
+                val b1 = buf(k * frameBytes + 1) & 0xff
+                val s = (if (le) (b1 << 8) | b0 else (b0 << 8) | b1).toShort
+                // Hann window: kills the rectangular-window leakage
+                // that would smear a pure tone across every bin
+                val w = 0.5 * (1 - math.cos(2 * math.Pi * k / (fftSize - 1)))
+                re(k) = s / 32768.0 * w
+                k += 1
+              }
+              fft(re, im)
+              val bins = fftSize / 2
+              val mags = new Array[Double](bins)
+              var num = 0.0
+              var den = 0.0
+              var bi = 0
+              while (bi < bins) {
+                mags(bi) = math.sqrt(re(bi) * re(bi) + im(bi) * im(bi))
+                num += (bi.toDouble * rate / fftSize) * mags(bi)
+                den += mags(bi)
+                bi += 1
+              }
+              val bands = new Array[Float](8)
+              var total = 0.0
+              bi = 1 // skip DC
+              while (bi < bins) {
+                // octave bands: band = floor(log2(bin)) clamped to 8
+                val b = math.min(7,
+                  (math.log(bi.toDouble) / math.log(2.0)).toInt * 8 /
+                    (math.log(bins.toDouble) / math.log(2.0)).toInt)
+                bands(b) = bands(b) + (mags(bi) * mags(bi)).toFloat
+                total += mags(bi) * mags(bi)
+                bi += 1
+              }
+              if (total > 0) { var q = 0; while (q < 8) {
+                bands(q) = (bands(q) / total).toFloat; q += 1 } }
+              Some(AudioSpectrum(id, rate, nFrames.toLong,
+                if (den > 0) num / den else 0.0, bands))
+            }
+          } catch { case _: Exception => None }
+        }
+      }
+  }
+
   /** Perceptual difference hash (dHash): bilinear-scale to 9×8
     * grayscale, set one bit per adjacent-luminance comparison → a
     * 64-bit fingerprint that survives re-encoding, mild resizing and

@@ -739,6 +739,48 @@ class OpsSpec extends SparkSpec {
     assert(r(5L) == "<EMAIL> <IP> <PHONE>")
   }
 
+  test("multimodal: audioSpectra recovers tone frequency from real WAV bytes") {
+    def sineWav(freq: Double, rate: Int, n: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+      val data = new Array[Byte](n * 2)
+      for (i <- 0 until n) {
+        val s = (math.sin(2 * math.Pi * freq * i / rate) * 30000).toShort
+        data(2 * i) = (s & 0xff).toByte
+        data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, n)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+        (1L, sineWav(1000, 16000, 4096), "audio/wav"),
+        (2L, sineWav(4000, 16000, 4096), "audio/wav"),
+        (3L, "junk".getBytes, "audio/wav"),
+        (4L, "img".getBytes, "image/png"))
+      .toDF("media_id", "payload", "mime")
+      .select(col("media_id"), col("payload"),
+        struct(col("mime"), octet_length(col("payload")).cast("long")
+          .as("byte_len")).as("meta"))
+    val r = Multimodal.audioSpectra(media).collect()
+      .map(s => s.media_id -> s).toMap
+    assert(r.keySet == Set(1L, 2L), "corrupt/non-audio payloads must drop")
+    assert(r(1L).sample_rate == 16000 && r(1L).n_samples == 4096)
+    // Hann-windowed pure tones: centroid lands on the tone
+    assert(math.abs(r(1L).centroid_hz - 1000) < 100,
+      s"1 kHz tone centroid was ${r(1L).centroid_hz}")
+    assert(math.abs(r(2L).centroid_hz - 4000) < 300,
+      s"4 kHz tone centroid was ${r(2L).centroid_hz}")
+    // energy is concentrated: the dominant octave band carries nearly
+    // everything, and the two tones dominate different bands
+    def top(s: graft.ops.Multimodal.AudioSpectrum) =
+      s.band_energy.zipWithIndex.maxBy(_._1)
+    assert(top(r(1L))._1 > 0.8 && top(r(2L))._1 > 0.8)
+    assert(top(r(1L))._2 != top(r(2L))._2)
+  }
+
   test("multimodal: dHash near-dup pairs survive edits, distinct images stay apart") {
     def png(paint: (Int, Int) => Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(32, 32,
