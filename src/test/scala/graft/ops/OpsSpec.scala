@@ -1069,6 +1069,37 @@ class OpsSpec extends SparkSpec {
     assert(r.toSet == Set((1L, 100L), (2L, 100L), (3L, 200L), (4L, 200L)))
   }
 
+  test("asof property: both implementations equal a naive reference on random data") {
+    // deterministic pseudo-random instances (fixed seed): small key
+    // range forces dense per-key histories and plenty of ties
+    val rnd = new scala.util.Random(42)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def t(ms: Long) = new java.sql.Timestamp(base + ms)
+    for (trial <- 1 to 3) {
+      val left = (1L to 60L).map(i =>
+        (i, rnd.nextInt(5).toLong, t(rnd.nextInt(1000) * 1000L)))
+      val right0 = (1 to 40).map(_ =>
+        (rnd.nextInt(5).toLong, t(rnd.nextInt(1000) * 1000L), rnd.nextInt(100).toDouble))
+        // contract: unique per (key, ts)
+        .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      val leftDf = left.toDF("event_id", "user_id", "ts")
+      val rightDf = right0.toDF("user_id", "ts", "v")
+      // naive reference: latest right with rts <= lts per key
+      val expect = left.map { case (id, k, ts) =>
+        val m = right0.filter(r => r._1 == k && !r._2.after(ts))
+          .sortBy(_._2.getTime).lastOption
+        id -> m.map(_._3)
+      }.toMap
+      def run(df: org.apache.spark.sql.DataFrame) = df
+        .collect().map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[Any]("v")).map(_.asInstanceOf[Double])).toMap
+      val merge = run(TimeSeries.asofJoin(leftDf, rightDf, "user_id", "ts", Seq("v")))
+      val bcast = run(TimeSeries.asofJoinBroadcast(leftDf, rightDf, "user_id", "ts", Seq("v")))
+      assert(merge == expect, s"trial $trial: merge path diverged")
+      assert(bcast == expect, s"trial $trial: broadcast path diverged")
+    }
+  }
+
   test("asofJoinBroadcast: binary-search path matches the merge path row-for-row") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def t(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
