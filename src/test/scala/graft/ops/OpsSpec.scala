@@ -1100,6 +1100,34 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("rangeJoin property: equals a naive all-pairs reference on random data") {
+    val rnd = new scala.util.Random(7)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def t(ms: Long) = new java.sql.Timestamp(base + ms)
+    for (trial <- 1 to 3) {
+      val pts = (1L to 50L).map(i =>
+        (i, rnd.nextInt(4).toLong, t(rnd.nextInt(600) * 1000L)))
+      val ivs = (100L to 130L).map { i =>
+        val s = rnd.nextInt(600) * 1000L
+        (i, rnd.nextInt(4).toLong, t(s), t(s + (rnd.nextInt(5) * 45 + 1) * 1000L))
+      }
+      val expect = (for {
+        (pid, pk, pts_) <- pts
+        (iid, ik, s, e) <- ivs
+        if pk == ik && !pts_.before(s) && pts_.before(e)
+      } yield (pid, iid)).toSet
+      val got = TimeSeries.rangeJoin(
+          pts.toDF("event_id", "user_id", "ts"),
+          ivs.toDF("iv_id", "user_id", "w_start", "w_end"),
+          "user_id", "ts", "w_start", "w_end", grainUs = 60L * 1000000L)
+        .select("event_id", "iv_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length == got.distinct.length, s"trial $trial: duplicate pairs")
+      assert(got.toSet == expect, s"trial $trial: " +
+        s"missing=${expect -- got.toSet} extra=${got.toSet -- expect}")
+    }
+  }
+
   test("asofJoinBroadcast: binary-search path matches the merge path row-for-row") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def t(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
