@@ -88,6 +88,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), p)
   }
 
+  test("ev_asof_bc: history broadcasts and the probe is the codegen binary search") {
+    val p = plan("ev_asof_bc")
+    assert(p.contains("BroadcastExchange"),
+      s"per-key history should broadcast:\n$p")
+    assert(p.contains("sorted_asof_idx"),
+      s"probe should be the SortedAsofIndex expression:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"big side must not shuffle:\n$p")
+  }
+
   test("ev_range_join: bucketized intervals make the range join an equi-join") {
     // a raw inequality join would plan BroadcastNestedLoopJoin; the
     // bucketized form must be a hash/sort-merge EQUI-join whose keys
