@@ -764,6 +764,108 @@ object TextQueries {
       |SELECT source, count(*) AS n_docs FROM sampled
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** Curation funnel: how many documents survive each pipeline stage
+    * (input → decontamination → content gates → exact-dedup keeper →
+    * tempered mixing) — the observability counterpart of the ETL
+    * report for the curation surface: a mixture that silently loses a
+    * source shows up HERE, not in a training run three weeks later.
+    * One corpus pass builds per-doc stage FLAGS (persisted, narrow);
+    * every count and the tempered fractions derive from that frame —
+    * no stage is recomputed. */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val d0 = docs(spark, dir)
+    val clean = Dedup.decontaminate(d0,
+        d0.filter(col("doc_id") % 37 === 0), k = 8)
+      .select(col("doc_id"), col("keep").as("f_clean"))
+    val flags0 = d0.join(clean, Seq("doc_id"))
+      .withColumn("_tk", TextAnalysis.tokens(col("text")))
+      .withColumn("_g3", TextAnalysis.ngramsFromTokens(col("_tk"), 3))
+      .withColumn("f_gates", col("f_clean") &&
+        TextAnalysis.langId(col("text")) === "en" &&
+        TextAnalysis.qualityScore(col("text")) >= 0.58 &&
+        TextAnalysis.tokenCount(col("text")) >= 20 &&
+        TextAnalysis.dupNgramFraction(col("_g3")) <= 0.2)
+      .withColumn("fp", TextAnalysis.md5Fingerprint(col("text")))
+    // keeper among gate-survivors only: min id per fingerprint
+    val keepWin = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    val flags = graft.ops.Dedup.persistTracked(flags0
+      .withColumn("f_keep", col("f_gates") &&
+        col("doc_id") === min(when(col("f_gates"), col("doc_id")))
+          .over(keepWin))
+      .select("doc_id", "source", "f_clean", "f_gates", "f_keep"))
+    val c = flags.filter(col("f_keep")).groupBy("source")
+      .agg(count(lit(1)).cast("double").as("ns"))
+    val dn = c.agg(sum(pow(col("ns"), 0.5)).as("den"), sum(col("ns")).as("nn"))
+    val fr = c.crossJoin(broadcast(dn))
+      .select(col("source"), least(lit(1.0),
+        pow(col("ns"), 0.5) / col("den") * lit(0.5) * col("nn") / col("ns"))
+        .as("kf"))
+    val sampled = flags.join(broadcast(fr), Seq("source"), "left")
+      .withColumn("f_sampled", col("f_keep") &&
+        graft.ops.Sampling.unitHash(col("doc_id")) < col("kf"))
+    sampled.agg(
+        count(lit(1)).as("input"),
+        sum(when(col("f_clean"), 1L).otherwise(0L)).as("decontaminated"),
+        sum(when(col("f_gates"), 1L).otherwise(0L)).as("gates"),
+        sum(when(col("f_keep"), 1L).otherwise(0L)).as("keeper"),
+        sum(when(col("f_sampled"), 1L).otherwise(0L)).as("sampled"))
+      .select(expr("stack(5, 'a_input', input, 'b_decontaminated', " +
+        "decontaminated, 'c_gates', gates, 'd_keeper', keeper, " +
+        "'e_sampled', sampled) AS (stage, n_docs)"))
+      .transform(QueryUtil.ordered("stage"))
+  }
+
+  val curationFunnelOracle: String =
+    """WITH t8 AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+      |sh8 AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 8
+      |         THEN list_distinct(list_transform(range(1, len(w) - 6),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+      |             || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]))
+      |         ELSE [text] END) AS s
+      |       FROM t8),
+      |bs8 AS (SELECT DISTINCT s FROM sh8 WHERE doc_id % 37 = 0),
+      |dirty AS (SELECT DISTINCT sh8.doc_id FROM sh8 JOIN bs8 ON sh8.s = bs8.s),
+      |s AS (SELECT doc_id, source, text,
+      |    doc_id NOT IN (SELECT doc_id FROM dirty) AS f_clean,
+      |    len(string_split(text, ' ')) * 1.0 AS n,
+      |    len(list_distinct(string_split(text, ' '))) * 1.0 AS nd,
+      |    len(list_filter(string_split(text, ' '),
+      |        t -> t IN ('the', 'a', 'of', 'to', 'and', 'in', 'is', 'it'))) * 1.0 AS st,
+      |    len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','is'))) AS e,
+      |    len(list_filter(string_split(text, ' '), t -> t IN ('der','die','das','und','ist'))) AS d,
+      |    len(list_filter(string_split(text, ' '), t -> t IN ('le','la','les','et','est'))) AS f,
+      |    len(list_filter(string_split(text, ' '), t -> t IN ('el','los','las','y','es'))) AS sp
+      |  FROM documents),
+      |g AS (SELECT doc_id, source, text, f_clean,
+      |    f_clean AND
+      |    (CASE WHEN e > 0 AND e >= greatest(e, d, f, sp) THEN 'en'
+      |          WHEN d > 0 AND d >= greatest(d, f, sp) THEN 'de'
+      |          WHEN f > 0 AND f >= greatest(f, sp) THEN 'fr'
+      |          WHEN sp > 0 THEN 'es' ELSE 'und' END) = 'en'
+      |    AND round(least(n / 100.0, 1.0) * 0.4 + (nd / n) * 0.4 + (1.0 - st / n) * 0.2, 4) >= 0.58
+      |    AND n >= 20 AS f_gates
+      |  FROM s),
+      |k AS (SELECT doc_id, source, f_clean, f_gates,
+      |    f_gates AND doc_id = (SELECT min(g2.doc_id) FROM g g2
+      |                          WHERE g2.f_gates AND md5(g2.text) = md5(g.text))
+      |      AS f_keep
+      |  FROM g),
+      |c AS (SELECT source, count(*) * 1.0 AS ns FROM k WHERE f_keep GROUP BY source),
+      |dn AS (SELECT sum(pow(ns, 0.5)) AS den, sum(ns) AS nn FROM c),
+      |fr AS (SELECT source, least(1.0, pow(ns, 0.5) / dn.den * 0.5 * dn.nn / ns) AS kf
+      |       FROM c CROSS JOIN dn),
+      |sm AS (SELECT k.*, COALESCE(k.f_keep AND
+      |         ('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+      |           / 4294967296.0 < fr.kf, false) AS f_sampled
+      |       FROM k LEFT JOIN fr ON k.source = fr.source)
+      |SELECT stage, n_docs FROM (
+      |  SELECT 'a_input' AS stage, count(*) AS n_docs FROM sm
+      |  UNION ALL SELECT 'b_decontaminated', count(*) FILTER (WHERE f_clean) FROM sm
+      |  UNION ALL SELECT 'c_gates', count(*) FILTER (WHERE f_gates) FROM sm
+      |  UNION ALL SELECT 'd_keeper', count(*) FILTER (WHERE f_keep) FROM sm
+      |  UNION ALL SELECT 'e_sampled', count(*) FILTER (WHERE f_sampled) FROM sm)
+      |ORDER BY stage""".stripMargin
+
   /** Blocked hosts for the URL gate — by-contract a small set, so it
     * rides as literal predicates (a large blocklist would broadcast a
     * frame and semi-join instead). */
@@ -1067,6 +1169,7 @@ object TextQueries {
     "tx_curation2" -> ((curation2 _, Some(curation2Oracle))),
     "tx_curation3" -> ((curation3 _, Some(curation3Oracle))),
     "tx_curation4" -> ((curation4 _, Some(curation4Oracle))),
+    "tx_curation_funnel" -> ((curationFunnel _, Some(curationFunnelOracle))),
     "tx_sample_strata" -> ((sampleStrata _, Some(sampleStrataOracle))),
     "tx_corpus_profile" -> ((corpusProfile _, Some(corpusProfileOracle))),
     "mm_media_meta" -> ((mediaMeta _, Some(mediaMetaOracle))),
