@@ -894,6 +894,36 @@ class OpsSpec extends SparkSpec {
     assert(r(5L) == ((None, None)))
   }
 
+  test("AnnModels: saved models load bit-identical; assign/encode unchanged") {
+    val cDir = java.nio.file.Files.createTempDirectory("ivf-model").toString + "/c"
+    val bDir = java.nio.file.Files.createTempDirectory("pq-model").toString + "/b"
+    val centroids = Ivf.train(emb, numCentroids = 8)
+    AnnModels.saveCentroids(spark, centroids, cDir)
+    val loadedC = AnnModels.loadCentroids(spark, cDir)
+    assert(loadedC.length == centroids.length &&
+      loadedC.zip(centroids).forall { case (a, b) => a.sameElements(b) },
+      "centroids must round-trip bit-identical")
+    val freshCells = Ivf.assign(emb, centroids).select("vec_id", "cell")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val loadedCells = Ivf.assign(emb, loadedC).select("vec_id", "cell")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(freshCells == loadedCells)
+
+    val books = Pq.train(emb, m = 8, kSub = 16)
+    AnnModels.saveCodebooks(spark, books, bDir)
+    val loadedB = AnnModels.loadCodebooks(spark, bDir)
+    assert(loadedB.length == books.length &&
+      loadedB.zip(books).forall { case (ba, bb) =>
+        ba.length == bb.length &&
+          ba.zip(bb).forall { case (a, b) => a.sameElements(b) } },
+      "codebooks must round-trip bit-identical")
+    val freshCodes = Pq.encode(emb, books).select("vec_id", "code")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toMap
+    val loadedCodes = Pq.encode(emb, loadedB).select("vec_id", "code")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toMap
+    assert(freshCodes == loadedCodes)
+  }
+
   test("temperatureMix: alpha<1 up-weights rare sources; alpha=1 is plain sampling") {
     val d = ((1L to 900L).map(i => (i, "big")) ++
       (901L to 1000L).map(i => (i, "small")))
