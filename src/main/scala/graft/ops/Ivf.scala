@@ -96,9 +96,17 @@ object Ivf {
   def knn(emb: DataFrame, k: Int, queryPred: Column,
       numCentroids: Int = 16, nprobe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2): DataFrame =
+    knnWithModel(emb, k, queryPred,
+      train(emb, numCentroids, iters, idCol, vecCol), nprobe, idCol, vecCol)
+
+  /** [[knn]] against a PREBUILT centroid model (trained earlier, or
+    * loaded via [[AnnModels.loadCentroids]]) — no training scans in
+    * the query session. */
+  def knnWithModel(emb: DataFrame, k: Int, queryPred: Column,
+      centroids: Array[Array[Double]], nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val centroids = train(emb, numCentroids, iters, idCol, vecCol)
     val cells = assign(emb, centroids, idCol, vecCol)
       .select(col(idCol).as("cid"), asDouble(col(vecCol)).as("ce"),
         col("cell"))

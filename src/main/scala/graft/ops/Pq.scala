@@ -258,14 +258,25 @@ object Pq {
   def knn(emb: DataFrame, k: Int, queryPred: Column,
       m: Int = 16, kSub: Int = 32, rerank: Int = 256, iters: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val spark = emb.sparkSession
-    import spark.implicits._
     // the m-subspace training loop re-reads the corpus m x (1 + iters)
     // times — persist the narrow (id, vec) projection it slices from
     val base = Dedup.persistTracked(
       emb.select(col(idCol), asDouble(col(vecCol)).as(vecCol)))
-    val codebooks = train(base, m, kSub, iters, idCol, vecCol)
+    knnWithModel(emb, k, queryPred,
+      train(base, m, kSub, iters, idCol, vecCol), rerank, idCol, vecCol)
+  }
+
+  /** [[knn]] against a PREBUILT codebook model (trained earlier, or
+    * loaded via [[AnnModels.loadCodebooks]]) — the query-session half
+    * of the train-once lifecycle: no training scans, just encode +
+    * ADC + re-rank. */
+  def knnWithModel(emb: DataFrame, k: Int, queryPred: Column,
+      codebooks: Array[Array[Array[Double]]], rerank: Int = 256,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val base = emb.select(col(idCol), asDouble(col(vecCol)).as(vecCol))
     val enc = encode(base, codebooks, idCol, vecCol)
       .select(col(idCol).as("cid"), col("code"), col("vnorm"))
     val queries = collectQueries(emb, queryPred, idCol, vecCol)

@@ -922,6 +922,15 @@ class OpsSpec extends SparkSpec {
     val loadedCodes = Pq.encode(emb, loadedB).select("vec_id", "code")
       .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toMap
     assert(freshCodes == loadedCodes)
+
+    // end-to-end: a search in a "later session" (loaded model, no
+    // training) returns byte-equal top-k
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("qid", "cid", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pred = col("vec_id") % 97 === 0
+    assert(rows(Ivf.knnWithModel(emb, k = 5, pred, loadedC, nprobe = 4)) ==
+      rows(Ivf.knnWithModel(emb, k = 5, pred, centroids, nprobe = 4)))
   }
 
   test("temperatureMix: alpha<1 up-weights rare sources; alpha=1 is plain sampling") {
