@@ -1108,6 +1108,41 @@ class OpsSpec extends SparkSpec {
     assert(r.toSet == Set((1L, 100L), (2L, 100L), (3L, 200L), (4L, 200L)))
   }
 
+  test("new-op argument guards fail loudly, not silently") {
+    val l = Seq((1L, 1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val r = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0))
+      .toDF("user_id", "ts", "v")
+    // asof: payload name colliding with a left column
+    intercept[IllegalArgumentException] {
+      TimeSeries.asofJoin(l, r.withColumnRenamed("v", "event_id"),
+        "user_id", "ts", Seq("event_id"))
+    }
+    // range join: non-positive grain
+    intercept[IllegalArgumentException] {
+      TimeSeries.rangeJoin(l, r.withColumn("w_end", col("ts")),
+        "user_id", "ts", "ts", "w_end", grainUs = 0L)
+    }
+    // packing: non-positive budget
+    intercept[IllegalArgumentException] {
+      Packing.packByTokenBudget(Seq((1L, "a")).toDF("doc_id", "text"), 0L)
+    }
+    // temperature mix: invalid alpha / fraction
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMix(Seq((1L, "s")).toDF("doc_id", "source"),
+        alpha = 0.0, targetFraction = 0.5, "source", "doc_id")
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMix(Seq((1L, "s")).toDF("doc_id", "source"),
+        alpha = 0.5, targetFraction = 1.5, "source", "doc_id")
+    }
+    // compaction: empty input dir
+    val empty = java.nio.file.Files.createTempDirectory("cmp-empty").toString
+    intercept[IllegalArgumentException] {
+      Layout.compact(spark, empty, empty + "/out")
+    }
+  }
+
   test("asof property: both implementations equal a naive reference on random data") {
     // deterministic pseudo-random instances (fixed seed): small key
     // range forces dense per-key histories and plenty of ties
