@@ -817,6 +817,39 @@ class OpsSpec extends SparkSpec {
       "gradient vs checkerboard must be far apart")
   }
 
+  test("multimodal: dHash pairs compose with star-contraction clustering") {
+    // an edit CHAIN (original -> light edit -> heavier edit): adjacent
+    // pairs sit within the Hamming radius, the endpoints may not —
+    // clustering must still pull all three into one component while
+    // the unrelated image stays a singleton
+    def png(paint: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 32) {
+        val v = paint(x, y) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val base = png((x, _) => x * 8)
+    val edit1 = png((x, y) => if (x < 4 && y < 4) 255 else x * 8)
+    val edit2 = png((x, y) => if (x < 4 && y < 12) 255 else x * 8)
+    val other = png((x, y) => if (((x / 4) + (y / 4)) % 2 == 0) 0 else 255)
+    val media = Seq((1L, base), (2L, edit1), (3L, edit2), (4L, other))
+      .toDF("media_id", "payload")
+      .select(col("media_id"), col("payload"),
+        struct(lit("image/png").as("mime"),
+          octet_length(col("payload")).cast("long").as("byte_len")).as("meta"))
+    val pairs = Multimodal.imageNearDupPairs(media, maxHamming = 8)
+    val comp = Dedup.connectedComponentsStar(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp(1L) == comp(2L) && comp(2L) == comp(3L),
+      s"edit chain must cluster: $comp")
+    assert(comp.getOrElse(4L, 4L) != comp(1L), s"unrelated image joined: $comp")
+  }
+
   test("multimodal: resizeImages scales real pixels, passes non-images through") {
     val png = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
       getClass.getResource("/tiny.png").toURI))
