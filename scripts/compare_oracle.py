@@ -37,10 +37,18 @@ for name in sorted(os.listdir(vqdir)):
     if ok_schema and ok_rows:
         a = sp2.sort_values(by=list(sp2.columns)).reset_index(drop=True)
         b = od2.sort_values(by=list(od2.columns)).reset_index(drop=True)
-        try:
-            ok_hash = a.equals(b.astype(a.dtypes.to_dict()))
-        except Exception:
+        # Driver semantics are dtype-strict: a DuckDB HUGEINT sum that
+        # pandas materializes as float64 must NOT silently match Spark's
+        # int64 — the oracle SQL has to CAST to the engine's type.
+        if list(map(str, a.dtypes)) != list(map(str, b.dtypes)):
+            print(f"    dtype diff: spark={list(map(str, a.dtypes))} "
+                  f"oracle={list(map(str, b.dtypes))}")
             ok_hash = False
+        else:
+            try:
+                ok_hash = a.equals(b)
+            except Exception:
+                ok_hash = False
         if not ok_hash:
             # show first diff
             for i in range(len(a)):

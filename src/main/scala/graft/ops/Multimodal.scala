@@ -619,12 +619,16 @@ object Multimodal {
               }
               val bands = new Array[Float](8)
               var total = 0.0
+              // exact floor(log2): the double-division form can land
+              // just below the integer at exact powers of two and
+              // truncate to k-1, shifting energy across a band edge
+              def log2floor(v: Int): Int =
+                31 - java.lang.Integer.numberOfLeadingZeros(v)
               bi = 1 // skip DC
               while (bi < bins) {
                 // octave bands: band = floor(log2(bin)) clamped to 8
                 val b = math.min(7,
-                  (math.log(bi.toDouble) / math.log(2.0)).toInt * 8 /
-                    (math.log(bins.toDouble) / math.log(2.0)).toInt)
+                  log2floor(bi) * 8 / log2floor(bins))
                 bands(b) = bands(b) + (mags(bi) * mags(bi)).toFloat
                 total += mags(bi) * mags(bi)
                 bi += 1

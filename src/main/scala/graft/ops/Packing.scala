@@ -60,8 +60,12 @@ object Packing {
   }
 
   /** Shard profile from [[packByTokenBudget]]: docs and tokens per
-    * shard. Every shard holds >= budget tokens except the last, and
-    * < budget + max doc length (no doc is split). */
+    * shard. Invariant (no doc is split, docs assigned by first-token
+    * shard): an interior shard's token count lies in
+    * (budget - maxDocLen, budget + maxDocLen) — a doc overflowing a
+    * boundary pushes the next shard's first doc forward, so interior
+    * shards can run UNDER budget by up to a doc length; and a doc
+    * longer than the whole budget makes shard ids skip. */
   def shardProfile(docs: DataFrame, budget: Long,
       idCol: String = "doc_id", textCol: String = "text",
       bucketWidth: Long = 100000L): DataFrame =

@@ -11,8 +11,16 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokens. The BPE-ish variant additionally splits
-    * punctuation clusters (see [[bpeishTokens]]). */
+  /** Single-space tokens — THE pinned tokenizer contract for every
+    * oracle-checked token-sensitive op (`tx_pack_shards`, `tx_bm25`
+    * dl/avgdl, `tx_repetition`, the unigram LM): Spark
+    * `split(text, " ")` and DuckDB `string_split(text, ' ')` agree on
+    * ANY input (both keep interior and trailing empties from runs of
+    * spaces), so engine/oracle agreement holds by construction, not by
+    * corpus blandness — TokenizerContractSpec probes punctuation,
+    * underscores, multi-space and trailing-space docs. The BPE-ish
+    * variant additionally splits punctuation clusters (see
+    * [[bpeishTokens]]) and is used only where its scaladoc says so. */
   def tokens(text: Column): Column = split(text, " ")
 
   /** A BPE-style pre-tokenization: letter runs, digit runs, and
@@ -122,10 +130,14 @@ object TextAnalysis {
   // Java∩RE2-identical syntax so the DuckDB oracle replays the exact
   // pipeline (`tx_url_gate`, `tx_domain_stats`).
 
-  /** URL host capture: `http(s)://` followed by the host (letters,
-    * digits, dots, dashes — port/path/query stop the match). Group 1
-    * is the host. */
-  val UrlHostRe = "https?://([A-Za-z0-9.-]+)"
+  /** URL host capture: `http(s)://`, an OPTIONAL userinfo segment
+    * (`user@` / `user:pass@` — skipped, not captured, so
+    * `http://spam.example.com@evil.com` extracts `evil.com` and the
+    * blocklist gate cannot be evaded via the userinfo URL form),
+    * then the host (letters, digits, dots, dashes — port/path/query
+    * stop the match). Group 1 is the host. Java∩RE2 syntax so the
+    * DuckDB oracles replay it verbatim. */
+  val UrlHostRe = "https?://(?:[^/@\\s]+@)?([A-Za-z0-9.-]+)"
 
   /** All URL hosts in a document, lower-cased, document order.
     * Scan-fused, zero shuffle. */
@@ -146,8 +158,10 @@ object TextAnalysis {
   def urlGate(text: Column, blockedHosts: Seq[String])
       : (Column, Column, Column) = {
     val hosts = urlHosts(text)
+    // foldLeft over lit(false): an empty blocklist is a trivially-true
+    // keep, not a plan-build crash (reduce on Nil throws)
     val blocked = filter(hosts,
-      h => blockedHosts.map(b => h === lit(b)).reduce(_ || _))
+      h => blockedHosts.foldLeft(lit(false))((acc, b) => acc || (h === lit(b))))
     (size(hosts), size(blocked), size(blocked) === 0)
   }
 

@@ -1095,8 +1095,72 @@ object TextQueries {
       |    sum(CAST(len(string_split(text, ' ')) AS BIGINT))
       |      OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
       |  FROM documents)
-      |SELECT (cum - n) // 10000 AS shard, count(*) AS n_docs,
-      |  sum(n) AS n_tokens
+      |SELECT CAST((cum - n) // 10000 AS BIGINT) AS shard,
+      |  count(*) AS n_docs,
+      |  CAST(sum(n) AS BIGINT) AS n_tokens
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- Tokenizer-contract probes --------------------------------------
+  // The synthetic corpus is whitespace-bland (no punctuation runs, no
+  // double spaces), so token-sensitive oracle rows could be green by
+  // corpus luck rather than by tokenizer agreement. These two queries
+  // append punctuation / underscore / multi-space / trailing-space
+  // segments (deterministic per doc_id, replayed verbatim in the
+  // oracle) so engine-vs-DuckDB tokenizer agreement is exercised on
+  // divergence-probing text every round.
+
+  private val ProbeSegments: Seq[(Int, String)] = Seq(
+    0 -> " alpha,beta  gamma_delta! (x.y)",
+    1 -> " multi  space   runs here",
+    2 -> " trailing space ",
+    3 -> " under_score mixed123tokens ,,;;")
+
+  private def probedDocs(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).withColumn("text", concat(col("text"),
+      ProbeSegments.foldRight(lit("")) { case ((m, seg), acc) =>
+        when(col("doc_id") % 5 === m, lit(seg)).otherwise(acc)
+      }))
+
+  private val probeCaseSql: String =
+    ProbeSegments.map { case (m, seg) =>
+      s"WHEN doc_id % 5 = $m THEN '$seg'"
+    }.mkString("CASE ", " ", " ELSE '' END")
+
+  /** Whitespace + BPE-ish token counts over the probed text. */
+  def tokenizerProbe(spark: SparkSession, dir: String): DataFrame =
+    probedDocs(spark, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_ws"),
+        size(TextAnalysis.bpeishTokens(col("text"))).as("n_bpe"))
+      .transform(QueryUtil.ordered("doc_id"))
+
+  val tokenizerProbeOracle: String =
+    s"""WITH p AS (SELECT doc_id, text || $probeCaseSql AS text
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws,
+      |  CAST(len(regexp_extract_all(text, '\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]+')) AS INTEGER)
+      |    AS n_bpe
+      |FROM p ORDER BY doc_id""".stripMargin
+
+  /** Shard packing over the probed text — de-lucks `tx_pack_shards`:
+    * the engine's prefix sum and the oracle's global running sum must
+    * agree on token counts of punctuation/multi-space docs too. */
+  def packShardsProbe(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Packing.shardProfile(probedDocs(spark, dir),
+        budget = 10000L, bucketWidth = 64L)
+      .transform(QueryUtil.ordered("shard"))
+
+  val packShardsProbeOracle: String =
+    s"""WITH p AS (SELECT doc_id, text || $probeCaseSql AS text
+      |  FROM documents),
+      |t AS (SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+      |    sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+      |      OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM p)
+      |SELECT CAST((cum - n) // 10000 AS BIGINT) AS shard,
+      |  count(*) AS n_docs,
+      |  CAST(sum(n) AS BIGINT) AS n_tokens
       |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Multimodal plumbing profile: binary payload + typed metadata
@@ -1149,6 +1213,8 @@ object TextQueries {
     "tx_url_gate" -> ((urlGate _, Some(urlGateOracle))),
     "tx_domain_stats" -> ((domainStats _, Some(domainStatsOracle))),
     "tx_pack_shards" -> ((packShards _, Some(packShardsOracle))),
+    "tx_tokenizer_probe" -> ((tokenizerProbe _, Some(tokenizerProbeOracle))),
+    "tx_pack_shards_probe" -> ((packShardsProbe _, Some(packShardsProbeOracle))),
     "tx_bm25" -> ((bm25 _, Some(bm25Oracle))),
     "tx_hybrid_search" -> ((hybridSearch _, Some(hybridSearchOracle))),
     "tx_unigram_logprob" -> ((unigramLogProb _, Some(unigramLogProbOracle))),
