@@ -39,6 +39,31 @@ object Dedup {
     p
   }
 
+  /** Live localCheckpoint frames (iterative CC rounds). Checkpoint
+    * blocks are invisible to both `unpersist` and
+    * `catalog.clearCache`, so without explicit tracking every
+    * contraction round leaks its blocks for the session — at 100 TB a
+    * round's edge frame is large, and the accumulated blocks evict the
+    * storage/shuffle memory later queries need. */
+  private val liveCheckpoints =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Eager localCheckpoint (truncates iterative lineage) whose blocks
+    * are released deterministically: the caller frees the previous
+    * round via [[freeCheckpoint]] the moment the next round is
+    * materialized; whatever is still live at [[releaseCaches]] time
+    * (the final round backing the returned frame) is freed there. */
+  private def checkpointTracked(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint(true)
+    liveCheckpoints.add(cp)
+    cp
+  }
+
+  private def freeCheckpoint(df: DataFrame): Unit = {
+    liveCheckpoints.remove(df)
+    org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(df)
+  }
+
   /** Unpersist every frame cached by prior dedup calls. Call after the
     * terminal action on a dedup result (the cache is only useful while
     * that result's plan is executing). `blocking = true` waits for the
@@ -48,6 +73,11 @@ object Dedup {
   def releaseCaches(blocking: Boolean = false): Unit = {
     var df = liveCaches.poll()
     while (df != null) { df.unpersist(blocking); df = liveCaches.poll() }
+    var cp = liveCheckpoints.poll()
+    while (cp != null) {
+      org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(cp, blocking)
+      cp = liveCheckpoints.poll()
+    }
   }
 
   /** Word k-gram shingles, deduplicated per document. */
@@ -571,9 +601,9 @@ object Dedup {
       .union(pairs.select(col("db").as("src"), col("da").as("dst")))
     val edges = if (pairs.isStreaming) edges0
       else persistTracked(edges0)
-    var labels = edges.select(col("src").as("sid")).distinct()
-      .withColumn("component", col("sid"))
-      .localCheckpoint(true)
+    var labels = checkpointTracked(
+      edges.select(col("src").as("sid")).distinct()
+        .withColumn("component", col("sid")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -586,14 +616,16 @@ object Dedup {
       // that materializes the checkpoint (observe() metrics are
       // delivered by the localCheckpoint action's listener)
       val obs = new org.apache.spark.sql.Observation(s"cc_changed_$iter")
-      val next = labels.join(neighborMin, Seq("sid"), "left")
+      val next = checkpointTracked(labels.join(neighborMin, Seq("sid"), "left")
         .select(col("sid"),
           least(col("component"), coalesce(col("n_min"), col("component")))
             .as("component"),
           (coalesce(col("n_min"), col("component")) < col("component"))
             .cast("long").as("chg"))
-        .observe(obs, coalesce(sum(col("chg")), lit(0L)).as("changed"))
-        .localCheckpoint(true)
+        .observe(obs, coalesce(sum(col("chg")), lit(0L)).as("changed")))
+      // next is materialized (eager checkpoint) — the previous round's
+      // blocks can never be read again
+      freeCheckpoint(labels)
       labels = next.select("sid", "component")
       converged = obs.get("changed").asInstanceOf[Long] == 0L
       iter += 1
@@ -630,15 +662,24 @@ object Dedup {
     *
     * Same output contract as [[connectedComponents]]: (sid, component)
     * with component = min reachable id. */
+  /** Rounds the last [[connectedComponentsStar]] call took to converge
+    * (including the one confirming round the set-signature check
+    * needs). Diagnostic only — read by specs/bench notes to keep the
+    * O(log n) claim observable. */
+  @volatile private[graft] var lastStarRounds: Int = -1
+
   def connectedComponentsStar(pairs: DataFrame, maxIters: Int = 40): DataFrame = {
-    val nodes0 = pairs.select(col("da").as("sid"))
-      .union(pairs.select(col("db").as("sid"))).distinct()
-    val nodes = persistTracked(nodes0)
-    var edges = pairs
+    // ONE pass over the (expensive — typically an LSH/shingle join)
+    // pair input: `base` keeps self-pairs so the node set is derivable
+    // from the checkpoint blocks instead of a SECOND pair-generation
+    // pass (nodes' persist is lazy — it materializes at the final
+    // join, long after the pair plan's internal caches are released)
+    val base = checkpointTracked(pairs
       .select(least(col("da"), col("db")).as("src"),
-        greatest(col("da"), col("db")).as("dst"))
-      .filter(col("src") =!= col("dst")).distinct()
-      .localCheckpoint(true)
+        greatest(col("da"), col("db")).as("dst")).distinct())
+    val nodes = persistTracked(base.select(col("src").as("sid"))
+      .union(base.select(col("dst").as("sid"))).distinct())
+    var edges = base.filter(col("src") =!= col("dst"))
 
     def symmetric(e: DataFrame): DataFrame =
       e.union(e.select(col("dst").as("src"), col("src").as("dst")))
@@ -666,9 +707,13 @@ object Dedup {
     var signature = (-1L, -1L)
     var iter = 0
     var converged = false
+    // round 0's input plan reads base's blocks, which `nodes` still
+    // needs at the final join — free interior rounds only; base and
+    // the final round are released by releaseCaches
+    var freeable = false
     while (!converged && iter < maxIters) {
       val obs = new org.apache.spark.sql.Observation(s"ccs_$iter")
-      val next = smallStar(largeStar(edges))
+      val next = checkpointTracked(smallStar(largeStar(edges))
         .observe(obs,
           count(lit(1)).as("n"),
           // order-independent SET signature via bit_xor: commutative,
@@ -678,14 +723,17 @@ object Dedup {
           // operator exists for). Edges are distinct, so xor
           // cancellation of duplicates cannot occur.
           coalesce(bit_xor(xxhash64(col("src"), col("dst"))), lit(0L))
-            .as("hs"))
-        .localCheckpoint(true)
+            .as("hs")))
+      // next is materialized — the previous round's blocks are dead
+      if (freeable) freeCheckpoint(edges)
+      freeable = true
       edges = next
       val sig = (obs.get("n").asInstanceOf[Long], obs.get("hs").asInstanceOf[Long])
       converged = sig == signature
       signature = sig
       iter += 1
     }
+    lastStarRounds = iter
     if (!converged) throw new IllegalStateException(
       s"connectedComponentsStar did not converge in $maxIters rounds")
     // fixed point = stars (v -> component min); roots label themselves

@@ -28,4 +28,20 @@ object Bridge {
     org.apache.spark.util.ShutdownHookManager.addShutdownHook(priority)(f)
   def removeShutdownHook(handle: AnyRef): Boolean =
     org.apache.spark.util.ShutdownHookManager.removeShutdownHook(handle)
+
+  /** Unpersist the storage blocks behind a `localCheckpoint()`ed
+    * Dataset (the `LogicalRDD` leaf's RDD — private[sql], hence here).
+    * A local checkpoint truncates lineage, so after this the Dataset
+    * can NEVER be recomputed: callers free only frames whose consumers
+    * have fully materialized (an iterative algorithm's previous round,
+    * or a finished query's result). Without it every round of an
+    * iterative job leaks its blocks for the session lifetime —
+    * `Dataset.unpersist`/`catalog.clearCache` only cover CacheManager
+    * entries, not checkpoint blocks. */
+  def unpersistLocalCheckpoint(df: org.apache.spark.sql.Dataset[_],
+      blocking: Boolean = false): Unit =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.foreach(_.unpersist(blocking))
 }

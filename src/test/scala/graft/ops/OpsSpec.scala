@@ -422,7 +422,31 @@ class OpsSpec extends SparkSpec {
       (9L, 7L), (2L, 9L)).toDF("da", "db")
     assert(labels(Dedup.connectedComponentsStar(blob)) ==
       labels(Dedup.connectedComponents(blob)))
+    // the O(log n) claim, observable: a 10-node chain converges in a
+    // handful of contraction rounds (incl. the confirming round)
+    assert(Dedup.lastStarRounds > 0 && Dedup.lastStarRounds <= 8,
+      s"star contraction took ${Dedup.lastStarRounds} rounds on a 7-edge blob")
     Dedup.releaseCaches()
+  }
+
+  test("iterative CC frees round checkpoints: no storage-block leak") {
+    // localCheckpoint blocks are invisible to unpersist/clearCache; the
+    // contraction loop must free each round as the next materializes
+    // (at 100 TB a round's edge frame is large — retaining every round
+    // for the session evicts the memory later queries need)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("da", "db")
+    Dedup.connectedComponentsStar(pairs).collect()
+    // mid-flight (before releaseCaches): only the edge base (one pair
+    // pass, feeds nodes), the node persist, and the FINAL round's
+    // checkpoint may be live — interior rounds are freed the moment
+    // their successor materializes
+    val mid = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(mid.size <= 3, s"interior contraction rounds leaked: $mid")
+    Dedup.connectedComponents(pairs).collect()
+    Dedup.releaseCaches(blocking = true)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked storage RDDs after releaseCaches: $leaked")
   }
 
   test("connected components: exactly one action per propagation round, no count() job") {
