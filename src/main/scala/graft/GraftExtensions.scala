@@ -149,8 +149,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[RegExpExtract].getName, "registrable_domain"),
         (args: Seq[Expression]) => {
           arity("registrable_domain", args, 1, 1)
-          RegExpExtract(args.head, s("([A-Za-z0-9-]+\\.[A-Za-z0-9-]+)$"),
-            Literal.create(1))
+          // single source of truth: the catalyst-level PSL lookup that
+          // the Column op also wraps, so the two surfaces cannot fork
+          graft.ops.PublicSuffix.registrableDomainExpr(args.head)
         }))
     }
   }

@@ -145,13 +145,13 @@ object TextAnalysis {
     transform(regexp_extract_all(text, lit(UrlHostRe), lit(1)),
       h => lower(h))
 
-  /** Registrable-domain approximation: the last two dot-labels of a
-    * host (`docs.example.com` → `example.com`). Deliberately NOT a
-    * public-suffix-list lookup (so `foo.co.uk` maps to `co.uk`) —
-    * composition stats want a cheap stable key, and the PSL is a
-    * refresh-managed external artifact; documented boundary. */
+  /** Registrable domain of a host: public-suffix-list lookup against
+    * the committed snapshot ([[PublicSuffix]]) + one label, so
+    * `news.bbc.co.uk` groups as `bbc.co.uk`, not `co.uk`. Pure column
+    * expressions (InSet probes in codegen), oracle-replayed from the
+    * same snapshot. */
   def registrableDomain(host: Column): Column =
-    regexp_extract(host, "([A-Za-z0-9-]+\\.[A-Za-z0-9-]+)$", 1)
+    PublicSuffix.registrableDomain(host)
 
   /** Per-document blocklist gate: n_urls, how many hit the (small,
     * broadcast-as-literal) blocked-host set, and keep = none did. */

@@ -875,19 +875,28 @@ object TextQueries {
     """CASE WHEN doc_id % 5 = 0 THEN text ||
       |       ' see https://docs.example.com/guide and http://spam.example.com/offer now'
       |     WHEN doc_id % 5 = 2 THEN text || ' ref https://Wiki.Example.org/page ok'
+      |     WHEN doc_id % 5 = 4 THEN text ||
+      |       ' src http://news.bbc.co.uk/story https://Shop.Example.co.jp/item' ||
+      |       ' http://site.k12.ca.us/page http://foo.bar.ck/x'
       |     ELSE text END""".stripMargin
 
   /** The synthetic corpus has no URLs; like `tx_pii_scrub`, AUGMENT it
     * identically in engine and oracle: every `doc_id % 5 == 0` doc
     * gains a clean and a blocklisted URL (must be flagged, keep =
     * false), every `doc_id % 5 == 2` doc a mixed-case clean one (must
-    * lower-case and keep). */
+    * lower-case and keep), and every `doc_id % 5 == 4` doc
+    * multi-label-suffix hosts (`co.uk` / `co.jp` 2-label rules, a
+    * `k12.ca.us` 3-label rule, a `*.ck` wildcard) so the PSL-backed
+    * registrable-domain grouping is exercised, not just `.com`. */
   private def urlPlanted(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(col("doc_id"),
       when(col("doc_id") % 5 === 0, concat(col("text"),
         lit(" see https://docs.example.com/guide and http://spam.example.com/offer now")))
       .when(col("doc_id") % 5 === 2, concat(col("text"),
         lit(" ref https://Wiki.Example.org/page ok")))
+      .when(col("doc_id") % 5 === 4, concat(col("text"),
+        lit(" src http://news.bbc.co.uk/story https://Shop.Example.co.jp/item" +
+          " http://site.k12.ca.us/page http://foo.bar.ck/x")))
       .otherwise(col("text")).as("text"))
 
   /** Per-doc domain blocklist gate — the "where did this text come
@@ -916,9 +925,9 @@ object TextQueries {
       |FROM h ORDER BY doc_id""".stripMargin
   }
 
-  /** Corpus composition by registrable domain (last-two-labels
-    * approximation — see [[TextAnalysis.registrableDomain]]). One
-    * shuffle on the domain key. */
+  /** Corpus composition by registrable domain (public-suffix-list
+    * snapshot lookup — see [[graft.ops.PublicSuffix]]). One shuffle on
+    * the domain key. */
   def domainStats(spark: SparkSession, dir: String): DataFrame =
     urlPlanted(spark, dir)
       .select(col("doc_id"),
@@ -932,13 +941,19 @@ object TextQueries {
 
   val domainStatsOracle: String = {
     import graft.ops.TextAnalysis.UrlHostRe
+    import graft.ops.PublicSuffix
     s"""WITH planted AS (SELECT doc_id, $urlPlantSql AS text FROM documents),
       |h AS (SELECT doc_id, unnest(list_transform(
       |        regexp_extract_all(text, '$UrlHostRe', 1), x -> lower(x))) AS host
-      |      FROM planted)
-      |SELECT regexp_extract(host, '([A-Za-z0-9-]+\\.[A-Za-z0-9-]+)$$', 1) AS domain,
-      |  count(DISTINCT doc_id) AS n_docs, count(*) AS n_urls
-      |FROM h GROUP BY 1 ORDER BY 1""".stripMargin
+      |      FROM planted),
+      |hw AS (SELECT doc_id, string_split(host, '.') AS w FROM h),
+      |hp AS (SELECT doc_id, w, ${PublicSuffix.duckdbSuffixLenCase("w")} AS plen
+      |       FROM hw),
+      |hd AS (SELECT doc_id,
+      |         ${PublicSuffix.duckdbDomainSlice("w", "plen")} AS domain
+      |       FROM hp)
+      |SELECT domain, count(DISTINCT doc_id) AS n_docs, count(*) AS n_urls
+      |FROM hd GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   /** BM25 top-10 for a fixed three-term query (k1 = 1.2, b = 0.75) —

@@ -67,12 +67,16 @@ class QueriesSpec extends SparkSpec {
       val c = s2.sql(
         """SELECT scrub_pii('mail a@b.co from 10.0.0.1') AS sc,
           |  url_hosts('x https://A.Example.com/p y http://b.org') AS uh,
-          |  registrable_domain('deep.sub.example.org') AS rd
+          |  registrable_domain('deep.sub.example.org') AS rd,
+          |  registrable_domain('news.bbc.co.uk') AS rduk
           |""".stripMargin).head()
       assert(c.getAs[String]("sc") == "mail <EMAIL> from <IP>")
       assert(c.getSeq[String](c.fieldIndex("uh")) ==
         Seq("a.example.com", "b.org"))
       assert(c.getAs[String]("rd") == "example.org")
+      // PSL snapshot path (not last-two-labels): SQL function and
+      // Column op share the same catalyst implementation
+      assert(c.getAs[String]("rduk") == "bbc.co.uk")
       val a = s2.sql(
         """SELECT sorted_asof_idx(7L, array(5L, 10L)) AS i,
           |  sorted_asof_idx(1L, array(5L, 10L)) AS none

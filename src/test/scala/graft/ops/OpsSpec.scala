@@ -1119,6 +1119,31 @@ class OpsSpec extends SparkSpec {
     assert(doms == List("example.com", "example.com", "example.org"))
   }
 
+  test("registrable domain: PSL snapshot rules, wildcards, exceptions, clamps") {
+    val cases = Seq(
+      "news.bbc.co.uk" -> "bbc.co.uk", // 2-label rule
+      "bbc.co.uk" -> "bbc.co.uk",
+      "co.uk" -> "co.uk", // host IS a public suffix -> clamp to itself
+      "shop.example.co.jp" -> "example.co.jp",
+      "docs.example.com" -> "example.com", // implicit 1-label rule
+      "example.com" -> "example.com",
+      "com" -> "com", // single label -> clamp
+      "site.k12.ca.us" -> "site.k12.ca.us", // 3-label rule + one
+      "a.site.k12.ca.us" -> "site.k12.ca.us",
+      "foo.bar.ck" -> "foo.bar.ck", // *.ck wildcard: bar.ck is public
+      "x.foo.bar.ck" -> "foo.bar.ck",
+      "www.ck" -> "www.ck", // !www.ck exception: registrable itself
+      "sub.www.ck" -> "www.ck",
+      "deep.sub.example.org" -> "example.org")
+    val got = cases.map(_._1).zipWithIndex.map { case (h, i) => (i, h) }
+      .toDF("i", "h")
+      .select(col("i"), TextAnalysis.registrableDomain(col("h")).as("d"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    cases.zipWithIndex.foreach { case ((h, exp), i) =>
+      assert(got(i) == exp, s"$h: expected $exp got ${got(i)}")
+    }
+  }
+
   test("decontaminate: shared k-grams flag docs, clean docs keep, short docs use whole-text fallback") {
     val eightGram = "the quick brown fox jumps over the lazy"
     val corpus = Seq(
