@@ -105,13 +105,44 @@ object Ivf {
     * the query session. */
   def knnWithModel(emb: DataFrame, k: Int, queryPred: Column,
       centroids: Array[Array[Double]], nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    knnEncoded(encodeCorpus(emb, centroids, idCol, vecCol), k, queryPred,
+      centroids, nprobe, idCol, vecCol)
+
+  /** The stored IVF index rows — (idCol, vecCol as array<double>,
+    * cell): assignment against a frozen model, writable next to the
+    * model's [[AnnModels.saveCentroids]] parquet and appendable as new
+    * vectors arrive ([[appendToIndex]]). */
+  def encodeCorpus(emb: DataFrame, centroids: Array[Array[Double]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    assign(emb, centroids, idCol, vecCol)
+      .select(col(idCol), asDouble(col(vecCol)).as(vecCol), col("cell"))
+
+  /** Daily-ingest append: assign NEW vectors against the FROZEN model
+    * and append their encoded rows to the stored index — no retrain,
+    * no rewrite of existing rows, and searches over the loaded index
+    * ([[knnEncoded]]) see the union. Encodings are byte-identical to
+    * what a full re-encode under the same model would produce
+    * (assignment is deterministic), asserted in OpsSpec. */
+  def appendToIndex(newVecs: DataFrame, centroids: Array[Array[Double]],
+      indexPath: String, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit =
+    encodeCorpus(newVecs, centroids, idCol, vecCol)
+      .write.mode("append").parquet(indexPath)
+
+  /** [[knnWithModel]] over an ALREADY-ENCODED index (the
+    * [[encodeCorpus]] layout, typically read back from parquet): the
+    * query session re-assigns nothing — queries compute their probe
+    * list against the model and equi-join the stored cells. */
+  def knnEncoded(index: DataFrame, k: Int, queryPred: Column,
+      centroids: Array[Array[Double]], nprobe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cells = assign(emb, centroids, idCol, vecCol)
+    val cells = index
       .select(col(idCol).as("cid"), asDouble(col(vecCol)).as("ce"),
         col("cell"))
       .withColumn("cn", Similarity.norm(col("ce")))
-    val q = emb.filter(queryPred)
+    val q = index.filter(queryPred)
       .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qe"))
       .withColumn("qn", Similarity.norm(col("qe")))
       .withColumn("cell", explode(probeCells(col("qe"), centroids, nprobe)))

@@ -273,12 +273,37 @@ object Pq {
   def knnWithModel(emb: DataFrame, k: Int, queryPred: Column,
       codebooks: Array[Array[Array[Double]]], rerank: Int = 256,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val base = emb.select(col(idCol), asDouble(col(vecCol)).as(vecCol))
+    knnEncoded(encode(base, codebooks, idCol, vecCol), emb, k, queryPred,
+      codebooks, rerank, idCol, vecCol)
+  }
+
+  /** Daily-ingest append: PQ-encode NEW vectors against the FROZEN
+    * codebooks and append the (id, code, vnorm) rows to the stored
+    * index — no retrain, no rewrite of existing rows; encodings are
+    * byte-identical to a full re-encode under the same model
+    * ([[graft.etl.expressions.PqEncode]] is deterministic), asserted
+    * in OpsSpec. Searches over the loaded index ([[knnEncoded]]) see
+    * the union. */
+  def appendToIndex(newVecs: DataFrame,
+      codebooks: Array[Array[Array[Double]]], indexPath: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    encode(newVecs.select(col(idCol), asDouble(col(vecCol)).as(vecCol)),
+        codebooks, idCol, vecCol)
+      .write.mode("append").parquet(indexPath)
+
+  /** [[knnWithModel]] over an ALREADY-ENCODED corpus (the [[encode]]
+    * layout — (idCol, code, vnorm) — typically read back from
+    * parquet): the query session encodes nothing corpus-sized. `emb`
+    * still supplies the query vectors and the exact re-rank's float
+    * vectors (the raw corpus table — candidates-then-fetch). */
+  def knnEncoded(enc: DataFrame, emb: DataFrame, k: Int, queryPred: Column,
+      codebooks: Array[Array[Array[Double]]], rerank: Int = 256,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = emb.sparkSession
     import spark.implicits._
-    val base = emb.select(col(idCol), asDouble(col(vecCol)).as(vecCol))
-    val enc = encode(base, codebooks, idCol, vecCol)
-      .select(col(idCol).as("cid"), col("code"), col("vnorm"))
+    val encSel = enc.select(col(idCol).as("cid"), col("code"), col("vnorm"))
     val queries = collectQueries(emb, queryPred, idCol, vecCol)
     val qdf = queries.map { case (qid, qv) =>
       (qid, lutFor(qv, codebooks), math.sqrt(qv.map(x => x * x).sum))
@@ -287,7 +312,7 @@ object Pq {
     val adcSim = adcDot(col("code"), col("lut")) / (col("qn") * col("vnorm"))
     val wAdc = Window.partitionBy(col("qid"))
       .orderBy(col("sim_adc").desc, col("cid").asc)
-    val shortlist = enc.crossJoin(broadcast(qdf))
+    val shortlist = encSel.crossJoin(broadcast(qdf))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), adcSim.as("sim_adc"))
       .withColumn("rn", row_number().over(wAdc))

@@ -320,6 +320,29 @@ object VectorQueries {
   val knnIvfPqRecallOracle: String =
     s"""SELECT vec_id AS qid FROM embeddings WHERE $queryPredSql ORDER BY qid""".stripMargin
 
+  /** Incremental-append lifecycle, driver-checked: the centroid model
+    * trains on the historical 90% only, the remaining 10% is appended
+    * to the encoded index with the model FROZEN
+    * ([[graft.ops.Ivf.appendToIndex]] semantics — the union built here
+    * via encodeCorpus twice is what the parquet append stores, proven
+    * byte-equal in OpsSpec), and the search runs over the union index.
+    * Same per-query recall floor vs the FULL-corpus brute force as
+    * [[knnIvfRecall]]: a lost appended vector or a drifting frozen
+    * model drops a query below the floor and fails the row loudly. */
+  def knnIvfAppend(spark: SparkSession, dir: String): DataFrame =
+    recallFloor(spark, dir) { e =>
+      val old = e.filter(col("vec_id") % 10 =!= 0)
+      val fresh = e.filter(col("vec_id") % 10 === 0)
+      val cents = graft.ops.Ivf.train(old, numCentroids = 16)
+      val index = graft.ops.Ivf.encodeCorpus(old, cents)
+        .unionByName(graft.ops.Ivf.encodeCorpus(fresh, cents))
+      graft.ops.Ivf.knnEncoded(index, k = 5,
+        col("vec_id") % 50 === 0, cents, nprobe = 12)
+    }
+
+  val knnIvfAppendOracle: String =
+    s"""SELECT vec_id AS qid FROM embeddings WHERE $queryPredSql ORDER BY qid""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "vec_knn_brute" -> ((knnBrute _, Some(knnBruteOracle))),
     "vec_near_dup" -> ((nearDupPairs _, Some(nearDupOracle(0.4)))),
@@ -329,6 +352,7 @@ object VectorQueries {
     "vec_knn_lsh" -> ((knnLsh _, Some(knnLshOracle))),
     "vec_knn_lsh_recall" -> ((knnLshRecall _, Some(knnLshRecallOracle))),
     "vec_knn_ivf_recall" -> ((knnIvfRecall _, Some(knnIvfRecallOracle))),
+    "vec_knn_ivf_append" -> ((knnIvfAppend _, Some(knnIvfAppendOracle))),
     "vec_knn_pq_recall" -> ((knnPqRecall _, Some(knnPqRecallOracle))),
     "vec_knn_ivfpq_recall" -> ((knnIvfPqRecall _, Some(knnIvfPqRecallOracle))))
 }

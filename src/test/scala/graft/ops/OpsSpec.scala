@@ -990,6 +990,49 @@ class OpsSpec extends SparkSpec {
       rows(Ivf.knnWithModel(emb, k = 5, pred, centroids, nprobe = 4)))
   }
 
+  test("incremental ANN append: frozen-model append equals full re-encode; searches see the union") {
+    // the daily-ingest lifecycle: train on history, encode + store the
+    // index, append each day's new vectors with the model FROZEN
+    val old = emb.filter(col("vec_id") % 10 =!= 0)
+    val fresh = emb.filter(col("vec_id") % 10 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("ann-idx").toString
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("qid", "cid", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    // --- IVF: assign-and-append, byte-equal to a full frozen re-encode
+    val cents = Ivf.train(old, numCentroids = 8)
+    Ivf.encodeCorpus(old, cents).write.parquet(s"$dir/ivf")
+    Ivf.appendToIndex(fresh, cents, s"$dir/ivf")
+    val ivfIdx = spark.read.parquet(s"$dir/ivf")
+    val ivfFull = Ivf.encodeCorpus(emb, cents)
+    def ivfRows(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(ivfRows(ivfIdx) == ivfRows(ivfFull),
+      "appended index must equal a full re-encode under the frozen model")
+    val pred = col("vec_id") % 97 === 0
+    assert(rows(Ivf.knnEncoded(ivfIdx, k = 5, pred, cents, nprobe = 4)) ==
+      rows(Ivf.knnWithModel(emb, k = 5, pred, cents, nprobe = 4)),
+      "search over the appended index must see the union byte-equal")
+
+    // --- PQ: encode-and-append, byte-equal codes, union search
+    val books = Pq.train(old, m = 8, kSub = 16)
+    Pq.encode(emb.filter(col("vec_id") % 10 =!= 0), books)
+      .write.parquet(s"$dir/pq")
+    Pq.appendToIndex(fresh, books, s"$dir/pq")
+    val pqIdx = spark.read.parquet(s"$dir/pq")
+    def pqRows(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "code").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1))).toMap
+    assert(pqRows(pqIdx) == pqRows(Pq.encode(emb, books)),
+      "appended codes must equal a full re-encode under the frozen codebooks")
+    assert(rows(Pq.knnEncoded(pqIdx, emb, k = 5, pred, books, rerank = 64)) ==
+      rows(Pq.knnWithModel(emb, k = 5, pred, books, rerank = 64)),
+      "PQ search over the appended index must see the union byte-equal")
+    Dedup.releaseCaches()
+  }
+
   test("temperatureMix: alpha<1 up-weights rare sources; alpha=1 is plain sampling") {
     val d = ((1L to 900L).map(i => (i, "big")) ++
       (901L to 1000L).map(i => (i, "small")))
