@@ -31,11 +31,15 @@ import org.apache.spark.sql.expressions.Window
 object Packing {
 
   /** Per-doc shard assignment: (idCol, n_tokens, shard). `tokenCount`
-    * defaults to whitespace tokens ([[TextAnalysis.tokenCount]]). */
+    * is whitespace tokens ([[TextAnalysis.tokenCount]] — the pinned
+    * tokenizer contract). `startOffset` shifts the global prefix sum
+    * by tokens that came BEFORE this frame — 0 for a batch corpus; the
+    * carried cumulative total for a streaming micro-batch
+    * ([[graft.streaming.StreamingPacking]]). */
   def packByTokenBudget(docs: DataFrame, budget: Long,
       idCol: String = "doc_id", textCol: String = "text",
-      bucketWidth: Long = 100000L): DataFrame = {
-    require(budget > 0 && bucketWidth > 0)
+      bucketWidth: Long = 100000L, startOffset: Long = 0L): DataFrame = {
+    require(budget > 0 && bucketWidth > 0 && startOffset >= 0)
     // narrow (id, count, bucket) frame persisted: both the per-bucket
     // window and the offsets agg read it — without the persist each
     // plans its OWN corpus scan + tokenize (verified in docs/PLANS.md
@@ -55,7 +59,7 @@ object Packing {
       .select("_bkt", "_off")
     within.join(broadcast(offsets), Seq("_bkt"))
       .select(col(idCol), col("n_tokens"),
-        floor((col("_off") + col("_wcum") - col("n_tokens"))
+        floor((col("_off") + col("_wcum") - col("n_tokens") + startOffset)
           .cast("double") / budget).cast("long").as("shard"))
   }
 

@@ -38,6 +38,70 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming shard packing: two micro-batches equal the batch packing") {
+    import org.apache.spark.sql.DataFrame
+    val in = tmpDir("pack-in")
+    val state = tmpDir("pack-state")
+    // two id-ordered files -> two micro-batches (maxFilesPerTrigger=1,
+    // modification times force a.jsonl first); nasty token shapes
+    // (punctuation, double spaces) ride along per the tokenizer contract
+    def txt(i: Long): String = i % 3 match {
+      case 0 => s"alpha beta gamma doc$i"
+      case 1 => s"x,y  z doc$i pad pad"
+      case _ => s"short doc$i"
+    }
+    def doc(i: Long): String = s"""{"doc_id":$i,"text":"${txt(i)}"}"""
+    val fa = java.nio.file.Paths.get(s"$in/a.jsonl")
+    val fb = java.nio.file.Paths.get(s"$in/b.jsonl")
+    java.nio.file.Files.write(fa,
+      (0L until 10L).map(doc).mkString("\n").getBytes)
+    java.nio.file.Files.write(fb,
+      (10L until 20L).map(doc).mkString("\n").getBytes)
+    fa.toFile.setLastModified(System.currentTimeMillis() - 60000)
+    fb.toFile.setLastModified(System.currentTimeMillis())
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("text", "string")
+    val got = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    val sink: DataFrame => Unit = { packed =>
+      got.synchronized {
+        got ++= packed.collect().map(r =>
+          (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+            r.getAs[Long]("shard")))
+      }
+      ()
+    }
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(in)
+      .writeStream
+      .option("checkpointLocation", tmpDir("pack-ckpt"))
+      .foreachBatch(StreamingPacking.foreachBatchPacker(
+        budget = 12L, stateDir = state, sink = sink, bucketWidth = 4L))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // the batch reference over the concatenation
+    import spark.implicits._
+    val all = (0L until 20L).map(i => (i, txt(i))).toDF("doc_id", "text")
+    val exp = graft.ops.Packing
+      .packByTokenBudget(all, budget = 12L, bucketWidth = 4L)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("shard"))).toSet
+    assert(got.toSet == exp,
+      s"stream=${got.toSet -- exp} batch-only=${exp -- got.toSet}")
+    assert(got.size == 20)
+    // replay idempotency: re-running batch 1 against the persisted
+    // offsets reads the SAME prior total and emits identical shards
+    val batch1 = all.filter(col("doc_id") >= 10)
+    val replayGot = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    StreamingPacking.foreachBatchPacker(12L, state,
+      { p: DataFrame => replayGot ++= p.collect().map(r =>
+          (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+            r.getAs[Long]("shard"))); () },
+      bucketWidth = 4L)(batch1, 1L)
+    assert(replayGot.toSet == got.filter(_._1 >= 10).toSet,
+      "a replayed micro-batch must emit identical shard ids")
+    graft.ops.Dedup.releaseCaches()
+  }
+
   test("watermarked windowed level counts over the stream") {
     val in = tmpDir("stream-win")
     java.nio.file.Files.copy(
