@@ -211,4 +211,22 @@ class PlanSpec extends SparkSpec {
     assert(read.contains("doc_id") && read.contains("text") &&
       !read.contains("source"), s"ReadSchema=$read")
   }
+
+  test("tx_domain_stats: PSL lookup is pure expressions — no UDF in the plan") {
+    // the registrable-domain rules compile to InSet probes inside the
+    // scan projection; a regression to a UDF/ScalaUDF would fall out of
+    // whole-stage codegen exactly where the per-row work is hottest
+    val p = plan("tx_domain_stats")
+    assert(!p.contains("ScalaUDF") && !p.toLowerCase.contains("batchevalpython"),
+      s"PSL lookup left codegen:\n$p")
+    val read = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("text") &&
+      !read.contains("source"), s"ReadSchema=$read")
+  }
+
+  test("tokenizer probe stays scan-shaped: at most the ordering shuffle") {
+    val p = plan("tx_tokenizer_probe")
+    assert(countOf(p, "Exchange") <= 1, s"unexpected shuffle:\n$p")
+  }
 }
