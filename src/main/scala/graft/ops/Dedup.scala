@@ -101,6 +101,53 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
   }
 
+  /** C4/RefinedWeb-style LINE-level dedup: drop every line whose
+    * normalized form (lower-cased, trimmed) occurs more than
+    * `maxOccurrences` times across the WHOLE corpus — the standard
+    * boilerplate-removal stage ("subscribe to our newsletter", cookie
+    * banners, nav menus) that whole-document dedup cannot touch —
+    * then reassemble each document from its surviving lines in
+    * original order.
+    *
+    * Contract details (all replayed by the `tx_line_dedup` oracle):
+    * occurrences count EVERY copy, including repeats inside one
+    * document, so at the default `maxOccurrences = 1` an
+    * intra-document repeated line is boilerplate too and drops from
+    * all copies; a document whose every line drops survives with
+    * `text = ""` (curation gates downstream decide its fate — silent
+    * row loss would corrupt corpus accounting).
+    *
+    * Scale shape: one posexplode scan; the per-line occurrence count
+    * is a window over the normalized key (one shuffle — same shape as
+    * the shingle-df pass in [[ngramJaccardPairs]]); reassembly is one
+    * groupBy on the doc id. Keys are lines — high-cardinality,
+    * boilerplate keys are the hot ones but carry counter rows, never
+    * payload fan-out. */
+  def lineDedup(docs: DataFrame, maxOccurrences: Long = 1,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxOccurrences >= 1, "maxOccurrences must be >= 1")
+    val lines = docs
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("k", lower(trim(col("line"))))
+    val withOcc = lines.withColumn("occ",
+      count(lit(1)).over(Window.partitionBy(col("k"))))
+    val kept = withOcc.filter(col("occ") <= maxOccurrences)
+      .groupBy(idCol)
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line")), "\n").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    docs.select(col(idCol), size(split(col(textCol), "\n")).cast("long")
+        .as("n_lines"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
   /** (sid, sh: array<string>) — hoisted as a real column so downstream
     * references don't recompute the shingling (codegen CSE does not
     * reach into conditional/lambda contexts). */

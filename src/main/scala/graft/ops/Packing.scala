@@ -36,10 +36,11 @@ object Packing {
     * by tokens that came BEFORE this frame — 0 for a batch corpus; the
     * carried cumulative total for a streaming micro-batch
     * ([[graft.streaming.StreamingPacking]]). */
-  def packByTokenBudget(docs: DataFrame, budget: Long,
-      idCol: String = "doc_id", textCol: String = "text",
-      bucketWidth: Long = 100000L, startOffset: Long = 0L): DataFrame = {
-    require(budget > 0 && bucketWidth > 0 && startOffset >= 0)
+  /** The two-level prefix-sum core: (idCol, n_tokens, _gp) where `_gp`
+    * is each doc's GLOBAL exclusive token prefix (tokens before its
+    * first token, `startOffset` included). */
+  private def withGlobalPrefix(docs: DataFrame, idCol: String,
+      textCol: String, bucketWidth: Long, startOffset: Long): DataFrame = {
     // narrow (id, count, bucket) frame persisted: both the per-bucket
     // window and the offsets agg read it — without the persist each
     // plans its OWN corpus scan + tokenize (verified in docs/PLANS.md
@@ -59,8 +60,34 @@ object Packing {
       .select("_bkt", "_off")
     within.join(broadcast(offsets), Seq("_bkt"))
       .select(col(idCol), col("n_tokens"),
-        floor((col("_off") + col("_wcum") - col("n_tokens") + startOffset)
-          .cast("double") / budget).cast("long").as("shard"))
+        (col("_off") + col("_wcum") - col("n_tokens") + startOffset).as("_gp"))
+  }
+
+  def packByTokenBudget(docs: DataFrame, budget: Long,
+      idCol: String = "doc_id", textCol: String = "text",
+      bucketWidth: Long = 100000L, startOffset: Long = 0L): DataFrame = {
+    require(budget > 0 && bucketWidth > 0 && startOffset >= 0)
+    withGlobalPrefix(docs, idCol, textCol, bucketWidth, startOffset)
+      .select(col(idCol), col("n_tokens"),
+        floor(col("_gp").cast("double") / budget).cast("long").as("shard"))
+  }
+
+  /** [[packByTokenBudget]] plus each doc's token POSITION within its
+    * shard (`pos` = first-token offset relative to the shard's first
+    * doc) — the sample-boundary metadata sequence packing emits so
+    * training can mask attention across document boundaries inside a
+    * packed shard. One extra bounded shuffle (a min window keyed by
+    * shard — shards are budget-sized, never one partition). */
+  def packWithPositions(docs: DataFrame, budget: Long,
+      idCol: String = "doc_id", textCol: String = "text",
+      bucketWidth: Long = 100000L, startOffset: Long = 0L): DataFrame = {
+    require(budget > 0 && bucketWidth > 0 && startOffset >= 0)
+    withGlobalPrefix(docs, idCol, textCol, bucketWidth, startOffset)
+      .withColumn("shard",
+        floor(col("_gp").cast("double") / budget).cast("long"))
+      .withColumn("pos",
+        col("_gp") - min(col("_gp")).over(Window.partitionBy(col("shard"))))
+      .select(col(idCol), col("n_tokens"), col("shard"), col("pos"))
   }
 
   /** Shard profile from [[packByTokenBudget]]: docs and tokens per

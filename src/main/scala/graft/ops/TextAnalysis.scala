@@ -198,6 +198,58 @@ object TextAnalysis {
       .agg(round(avg(col("lp")), 4).as("mean_log10p"))
   }
 
+  /** Per-document mean log10 bigram probability under an add-one-
+    * smoothed, capped bigram model trained on the corpus itself — the
+    * next notch of the CCNet-style quality ladder above
+    * [[unigramLogProb]]: word-ORDER sensitivity, so shuffled or
+    * keyword-stuffed text keeps its unigram mass but loses its bigram
+    * mass.
+    *
+    * Model (deterministic in any engine — count desc, key asc): the
+    * top-`vocab` contexts by c(u) = Σ_v c(u,v), and the top-`bigrams`
+    * bigram counts RESTRICTED to modeled contexts (so
+    * p = (c(u,v)+1)/(c(u)+V) ≤ 1 always; V = |modeled contexts|).
+    * Unseen context scores 1/V, unseen bigram under a seen context
+    * 1/(c(u)+V). Docs with < 2 tokens score NULL (no bigram evidence
+    * — downstream gates decide, the row is never lost).
+    *
+    * Scale shape: ONE bigram-position scan persisted as counts; the
+    * context frame derives from the bigram counts (no second corpus
+    * pass); both model frames are capped → broadcast at any corpus
+    * size; scoring is map-side joins + one per-doc agg shuffle. */
+  def bigramLogProb(docs: DataFrame, vocab: Int = 1000,
+      bigrams: Int = 4000,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tk = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_tk"))
+    val bi = tk
+      .select(col("doc_id"), explode(
+        when(size(col("_tk")) >= 2,
+          transform(sequence(lit(2), size(col("_tk"))),
+            i => struct(element_at(col("_tk"), i - 1).as("u"),
+              element_at(col("_tk"), i).as("v"))))
+        .otherwise(array().cast("array<struct<u:string,v:string>>"))).as("b"))
+      .select(col("doc_id"), col("b.u").as("u"), col("b.v").as("v"))
+    val biCounts = Dedup.persistTracked(
+      bi.groupBy("u", "v").agg(count(lit(1)).cast("double").as("cuv")))
+    val ctx = biCounts.groupBy("u").agg(sum(col("cuv")).as("cu"))
+    val topCtx = ctx.orderBy(col("cu").desc, col("u")).limit(vocab)
+    val vFrame = topCtx.agg(count(lit(1)).cast("double").as("_v"))
+    val topBi = biCounts.join(topCtx.select("u"), Seq("u"), "left_semi")
+      .orderBy(col("cuv").desc, col("u"), col("v")).limit(bigrams)
+    val scored = bi
+      .join(broadcast(topBi), Seq("u", "v"), "left")
+      .join(broadcast(topCtx), Seq("u"), "left")
+      .crossJoin(broadcast(vFrame))
+      .select(col("doc_id"),
+        log10((coalesce(col("cuv"), lit(0.0)) + 1.0) /
+          (coalesce(col("cu"), lit(0.0)) + col("_v"))).as("lp"))
+      .groupBy("doc_id")
+      .agg(round(avg(col("lp")), 4).as("mean_log10p"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("mean_log10p"))
+  }
+
   /** Rolling (Rabin-Karp-style) fingerprint over tokens —
     * order-sensitive, cheap to maintain incrementally at ingest. Spark
     * `aggregate` keeps it sequential per document (deterministic). The

@@ -956,6 +956,61 @@ object TextQueries {
       |FROM hd GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // --- Line-level dedup ------------------------------------------------
+  // The corpus is single-line, so the query PLANTS lines identically on
+  // both sides: a unique per-doc marker (must survive), two boilerplate
+  // lines shared across many docs (must drop), and a case/whitespace
+  // variant pair normalizing to one key (must drop via normalization).
+
+  // single-line (embedded into a stripMargin oracle — a leading "||"
+  // after a newline would be eaten as a margin)
+  private val linePlantSql: String =
+    """text || chr(10) || 'marker ' || doc_id
+      |  || CASE WHEN doc_id % 3 = 0
+      |       THEN chr(10) || 'Subscribe to our newsletter!' ELSE '' END
+      |  || CASE WHEN doc_id % 5 = 1
+      |       THEN chr(10) || 'Terms of service apply.' ELSE '' END
+      |  || CASE WHEN doc_id % 7 = 2
+      |       THEN chr(10) || 'follow us on social media'
+      |         || chr(10) || 'Follow us on social media  ' ELSE '' END"""
+      .stripMargin.replace("\n", " ")
+
+  private def linePlanted(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"),
+      concat(col("text"),
+        lit("\nmarker "), col("doc_id").cast("string"),
+        when(col("doc_id") % 3 === 0,
+          lit("\nSubscribe to our newsletter!")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 1,
+          lit("\nTerms of service apply.")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 2,
+          lit("\nfollow us on social media\nFollow us on social media  "))
+          .otherwise(lit(""))).as("text"))
+
+  /** C4-style corpus-wide line dedup over the planted corpus. */
+  def lineDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.lineDedup(linePlanted(spark, dir))
+      .transform(QueryUtil.ordered("doc_id"))
+
+  val lineDedupOracle: String =
+    s"""WITH planted AS (SELECT doc_id, $linePlantSql AS text FROM documents),
+      |l AS (SELECT doc_id,
+      |        unnest(string_split(text, chr(10))) AS line,
+      |        unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+      |      FROM planted),
+      |k AS (SELECT doc_id, pos, line, lower(trim(line)) AS key FROM l),
+      |occ AS (SELECT key, count(*) AS c FROM k GROUP BY 1),
+      |kept AS (SELECT k.doc_id, k.pos, k.line
+      |         FROM k JOIN occ USING (key) WHERE occ.c <= 1),
+      |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+      |          count(*) AS n_kept FROM kept GROUP BY 1),
+      |n AS (SELECT doc_id,
+      |        len(string_split(text, chr(10))) AS n_lines FROM planted)
+      |SELECT n.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+      |  CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
+      |  CAST(n.n_lines - coalesce(agg.n_kept, 0) AS BIGINT) AS n_dropped
+      |FROM n LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
+
   /** BM25 top-10 for a fixed three-term query (k1 = 1.2, b = 0.75) —
     * corpus search over the curated store. Scale shape: the token
     * stream is filtered to the QUERY terms before any shuffle (the tf
@@ -1115,6 +1170,51 @@ object TextQueries {
       |  CAST(sum(n) AS BIGINT) AS n_tokens
       |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Bigram-LM quality scoring (word-order-sensitive — see
+    * [[graft.ops.TextAnalysis.bigramLogProb]]). */
+  def bigramLogProb(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramLogProb(docs(spark, dir))
+      .transform(QueryUtil.ordered("doc_id"))
+
+  val bigramLogProbOracle: String =
+    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |bi AS (SELECT doc_id, unnest(w[1:len(w)-1]) AS u, unnest(w[2:len(w)]) AS v
+      |       FROM tk WHERE len(w) >= 2),
+      |bc AS (SELECT u, v, count(*) * 1.0 AS cuv FROM bi GROUP BY 1, 2),
+      |cx AS (SELECT u, sum(cuv) AS cu FROM bc GROUP BY 1),
+      |topcx AS (SELECT u, cu FROM cx ORDER BY cu DESC, u LIMIT 1000),
+      |vsz AS (SELECT count(*) * 1.0 AS vv FROM topcx),
+      |topbi AS (SELECT bc.u, bc.v, bc.cuv FROM bc JOIN topcx ON bc.u = topcx.u
+      |          ORDER BY bc.cuv DESC, bc.u, bc.v LIMIT 4000),
+      |sc AS (SELECT bi.doc_id,
+      |         log10((coalesce(tb.cuv, 0) + 1) / (coalesce(tc.cu, 0) + vsz.vv)) AS lp
+      |       FROM bi
+      |       LEFT JOIN topbi tb ON bi.u = tb.u AND bi.v = tb.v
+      |       LEFT JOIN topcx tc ON bi.u = tc.u
+      |       CROSS JOIN vsz),
+      |agg AS (SELECT doc_id, round(avg(lp), 4) AS mean_log10p FROM sc GROUP BY 1)
+      |SELECT d.doc_id, agg.mean_log10p
+      |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
+  /** Per-doc shard + within-shard token position (sample-boundary
+    * metadata for attention masking across packed documents). */
+  def packPositions(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Packing.packWithPositions(docs(spark, dir), budget = 10000L,
+        bucketWidth = 64L)
+      .transform(QueryUtil.ordered("doc_id"))
+
+  val packPositionsOracle: String =
+    """WITH t AS (SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+      |    sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+      |      OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM documents),
+      |g AS (SELECT doc_id, n, cum - n AS gp,
+      |        CAST((cum - n) // 10000 AS BIGINT) AS shard FROM t)
+      |SELECT doc_id, n AS n_tokens, shard,
+      |  CAST(gp - min(gp) OVER (PARTITION BY shard) AS BIGINT) AS pos
+      |FROM g ORDER BY doc_id""".stripMargin
+
   // --- Tokenizer-contract probes --------------------------------------
   // The synthetic corpus is whitespace-bland (no punctuation runs, no
   // double spaces), so token-sensitive oracle rows could be green by
@@ -1229,10 +1329,13 @@ object TextQueries {
     "tx_domain_stats" -> ((domainStats _, Some(domainStatsOracle))),
     "tx_pack_shards" -> ((packShards _, Some(packShardsOracle))),
     "tx_tokenizer_probe" -> ((tokenizerProbe _, Some(tokenizerProbeOracle))),
+    "tx_line_dedup" -> ((lineDedup _, Some(lineDedupOracle))),
     "tx_pack_shards_probe" -> ((packShardsProbe _, Some(packShardsProbeOracle))),
+    "tx_pack_positions" -> ((packPositions _, Some(packPositionsOracle))),
     "tx_bm25" -> ((bm25 _, Some(bm25Oracle))),
     "tx_hybrid_search" -> ((hybridSearch _, Some(hybridSearchOracle))),
     "tx_unigram_logprob" -> ((unigramLogProb _, Some(unigramLogProbOracle))),
+    "tx_bigram_logprob" -> ((bigramLogProb _, Some(bigramLogProbOracle))),
     "tx_temp_mix" -> ((tempMix _, Some(tempMixOracle))),
     "tx_fingerprints" -> ((fingerprints _, Some(fingerprintsOracle))),
     "dd_exact" -> ((exactDedup _, Some(exactDedupOracle))),

@@ -1142,6 +1142,52 @@ class OpsSpec extends SparkSpec {
       assert(tok >= 4 && tok <= 10 + 7, s"shard $s tokens=$tok out of band") }
   }
 
+  test("bigram LM: word order matters, short docs score NULL, probs stay <= 1") {
+    // docs 1 and 2 have IDENTICAL token multisets — a unigram model
+    // cannot tell them apart; the bigram model must score the one
+    // whose transitions dominate the corpus higher
+    val d = Seq(
+      (1L, "a b a b a b a b"),
+      (2L, "b b b a a a a b"),
+      (3L, "a b a b a b a b"), // reinforces the a->b transition
+      (4L, "a b a b a b a b"),
+      (5L, "x")) // single token: no bigram evidence
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.bigramLogProb(d).collect()
+      .map(x => x.getLong(0) ->
+        (if (x.isNullAt(1)) None else Some(x.getDouble(1)))).toMap
+    assert(r(5L).isEmpty, "a one-token doc must score NULL, not drop")
+    assert(r(1L).isDefined && r(2L).isDefined)
+    assert(r(1L).get > r(2L).get,
+      s"fluent transitions must outscore shuffled ones: ${r(1L)} vs ${r(2L)}")
+    // add-one smoothing keeps every probability in (0, 1]
+    r.values.flatten.foreach(lp => assert(lp <= 0.0, s"log10 p > 0: $lp"))
+    Dedup.releaseCaches()
+  }
+
+  test("line dedup: corpus-duplicated and intra-doc-repeated lines drop, order survives") {
+    val d = Seq(
+      (1L, "unique alpha\nSubscribe now!\nunique beta"),
+      (2L, "subscribe NOW! \nunique gamma"), // normalizes to doc 1's boilerplate
+      (3L, "twice\ntwice\nunique delta"), // intra-doc repeat is boilerplate too
+      (4L, "Subscribe now!")) // every line dropped -> empty survivor
+      .toDF("doc_id", "text")
+    val r = Dedup.lineDedup(d).collect()
+      .map(x => x.getLong(0) -> ((x.getString(1), x.getLong(2), x.getLong(3))))
+      .toMap
+    assert(r(1L) == (("unique alpha\nunique beta", 2L, 1L)))
+    assert(r(2L) == (("unique gamma", 1L, 1L)),
+      "case/trailing-space variants must normalize to one key")
+    assert(r(3L) == (("unique delta", 1L, 2L)),
+      "a line repeated within one doc counts as duplicated")
+    assert(r(4L) == (("", 0L, 1L)),
+      "a fully-boilerplate doc survives as an empty row, not a lost row")
+    // maxOccurrences = 3 keeps the 3-copy boilerplate
+    val loose = Dedup.lineDedup(d, maxOccurrences = 3).collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(loose(1L).contains("Subscribe now!"))
+  }
+
   test("URL gate: hosts extracted and lower-cased, blocklist flags, registrable domains") {
     val d = Seq(
       (1L, "read https://Docs.Example.COM/a?q=1 and http://spam.example.com/x"),

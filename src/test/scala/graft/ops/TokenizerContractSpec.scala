@@ -67,6 +67,28 @@ class TokenizerContractSpec extends SparkSpec {
     assert(got.toSeq == exp, s"got=${got.toSeq} exp=$exp")
   }
 
+  test("packWithPositions: within-shard offsets match the sequential reference") {
+    val texts = Seq("a b c", "d e", "f g h i", "j", "k l m", "n o")
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = graft.ops.Packing
+      .packWithPositions(d, budget = 5L, bucketWidth = 2L)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getAs[Long]("shard"), r.getAs[Long]("pos")))
+    // sequential reference: pos resets at each shard's first doc
+    val ns = texts.map(_.split(" ", -1).length.toLong)
+    var cum = 0L
+    val gps = ns.map { n => val g = cum; cum += n; g }
+    val shards = gps.map(_ / 5L)
+    val exp = gps.zip(shards).map { case (g, s) =>
+      (s, g - gps.zip(shards).filter(_._2 == s).map(_._1).min)
+    }
+    assert(got.toSeq == exp, s"got=${got.toSeq} exp=$exp")
+    // the first doc of every shard sits at position 0
+    got.toSeq.groupBy(_._1).values.foreach(g => assert(g.map(_._2).min == 0L))
+    graft.ops.Dedup.releaseCaches()
+  }
+
   test("urlGate: empty blocklist is a trivially-true keep, not a crash") {
     val d = Seq((1L, "see https://a.example.com/x")).toDF("doc_id", "text")
     val (nUrls, nBlocked, keep) = TextAnalysis.urlGate(col("text"), Seq.empty)
