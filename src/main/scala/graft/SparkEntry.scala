@@ -65,5 +65,8 @@ object SparkEntry {
     "ev_range_join",     // grain-bucketized interval join
     "dd_decontaminate",  // broadcast benchmark 8-gram gate
     "tx_pack_shards",    // two-level prefix-sum shard packing
-    "tx_bm25")           // BM25 search with query-term prefilter
+    "tx_bm25",           // BM25 search with query-term prefilter
+    // r6: the new heavy text families
+    "tx_line_dedup",     // corpus-wide line window + reassembly
+    "tx_bigram_logprob") // capped bigram model + broadcast scoring
 }

@@ -90,6 +90,32 @@ object Packing {
       .select(col(idCol), col("n_tokens"), col("shard"), col("pos"))
   }
 
+  /** GPT-style packing WITH document splitting: shards are EXACT
+    * fixed-size token windows ([s·budget, (s+1)·budget)) and a doc
+    * crossing a boundary is sliced — each output row is one
+    * (doc, shard) slice with the doc-relative token range
+    * [slice_start, slice_start + slice_len). Every shard except the
+    * last holds exactly `budget` tokens (the invariant no-split
+    * packing trades away; [[packByTokenBudget]] is the
+    * don't-break-documents mode). Same distributed prefix-sum core;
+    * the explode emits one extra row per boundary crossing —
+    * corpus_tokens / budget rows total, independent of doc count. */
+  def packWithSplitting(docs: DataFrame, budget: Long,
+      idCol: String = "doc_id", textCol: String = "text",
+      bucketWidth: Long = 100000L, startOffset: Long = 0L): DataFrame = {
+    require(budget > 0 && bucketWidth > 0 && startOffset >= 0)
+    withGlobalPrefix(docs, idCol, textCol, bucketWidth, startOffset)
+      .withColumn("_s0", floor(col("_gp").cast("double") / budget).cast("long"))
+      .withColumn("_s1", floor((col("_gp") + col("n_tokens") - 1)
+        .cast("double") / budget).cast("long"))
+      .select(col(idCol), col("n_tokens"), col("_gp"),
+        explode(sequence(col("_s0"), col("_s1"))).as("shard"))
+      .select(col(idCol), col("shard"),
+        greatest(col("shard") * budget - col("_gp"), lit(0L)).as("slice_start"),
+        (least((col("shard") + 1) * budget - col("_gp"), col("n_tokens")) -
+          greatest(col("shard") * budget - col("_gp"), lit(0L))).as("slice_len"))
+  }
+
   /** Shard profile from [[packByTokenBudget]]: docs and tokens per
     * shard. Invariant (no doc is split, docs assigned by first-token
     * shard): an interior shard's token count lies in

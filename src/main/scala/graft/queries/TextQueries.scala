@@ -1215,6 +1215,29 @@ object TextQueries {
       |  CAST(gp - min(gp) OVER (PARTITION BY shard) AS BIGINT) AS pos
       |FROM g ORDER BY doc_id""".stripMargin
 
+  /** Split-mode packing: exact fixed-size shards, docs sliced across
+    * boundaries (slice ranges are doc-relative token offsets). */
+  def packSplit(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Packing.packWithSplitting(docs(spark, dir), budget = 10000L,
+        bucketWidth = 64L)
+      .transform(QueryUtil.ordered("doc_id", "shard"))
+
+  val packSplitOracle: String =
+    """WITH t AS (SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+      |    sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+      |      OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM documents),
+      |g AS (SELECT doc_id, n, CAST(cum - n AS BIGINT) AS gp FROM t),
+      |e AS (SELECT doc_id, n, gp,
+      |        unnest(range(gp // 10000, (gp + n - 1) // 10000 + 1)) AS shard
+      |      FROM g)
+      |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+      |  CAST(greatest(shard * 10000 - gp, 0) AS BIGINT) AS slice_start,
+      |  CAST(least((shard + 1) * 10000 - gp, n)
+      |    - greatest(shard * 10000 - gp, 0) AS BIGINT) AS slice_len
+      |FROM e ORDER BY doc_id, shard""".stripMargin
+
   // --- Tokenizer-contract probes --------------------------------------
   // The synthetic corpus is whitespace-bland (no punctuation runs, no
   // double spaces), so token-sensitive oracle rows could be green by
@@ -1332,6 +1355,7 @@ object TextQueries {
     "tx_line_dedup" -> ((lineDedup _, Some(lineDedupOracle))),
     "tx_pack_shards_probe" -> ((packShardsProbe _, Some(packShardsProbeOracle))),
     "tx_pack_positions" -> ((packPositions _, Some(packPositionsOracle))),
+    "tx_pack_split" -> ((packSplit _, Some(packSplitOracle))),
     "tx_bm25" -> ((bm25 _, Some(bm25Oracle))),
     "tx_hybrid_search" -> ((hybridSearch _, Some(hybridSearchOracle))),
     "tx_unigram_logprob" -> ((unigramLogProb _, Some(unigramLogProbOracle))),

@@ -89,6 +89,38 @@ class TokenizerContractSpec extends SparkSpec {
     graft.ops.Dedup.releaseCaches()
   }
 
+  test("packWithSplitting: exact shard fill, contiguous doc slices") {
+    val texts = Seq("a b c", "d e f g h i j", "k l", "m n o p q")
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val rows = graft.ops.Packing
+      .packWithSplitting(d, budget = 4L, bucketWidth = 2L)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"),
+        r.getAs[Long]("slice_start"), r.getAs[Long]("slice_len")))
+    val ns = texts.map(_.split(" ", -1).length.toLong)
+    // every slice positive; per-doc slices contiguous and cover the doc
+    rows.foreach { case (_, _, _, len) => assert(len > 0) }
+    rows.groupBy(_._1).foreach { case (id, sl) =>
+      val sorted = sl.sortBy(_._2)
+      assert(sorted.head._3 == 0L, s"doc $id first slice must start at 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._2 == a._2 + 1, s"doc $id must cover consecutive shards")
+          assert(b._3 == a._3 + a._4, s"doc $id slices must be contiguous")
+        case _ =>
+      }
+      assert(sorted.map(_._4).sum == ns(id.toInt), s"doc $id slices must cover it")
+    }
+    // every shard except the last holds EXACTLY the budget
+    val byShard = rows.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+    val last = byShard.keys.max
+    byShard.foreach { case (s, tot) =>
+      if (s != last) assert(tot == 4L, s"shard $s holds $tot != budget")
+    }
+    assert(byShard(last) == ns.sum - last * 4L)
+    graft.ops.Dedup.releaseCaches()
+  }
+
   test("urlGate: empty blocklist is a trivially-true keep, not a crash") {
     val d = Seq((1L, "see https://a.example.com/x")).toDF("doc_id", "text")
     val (nUrls, nBlocked, keep) = TextAnalysis.urlGate(col("text"), Seq.empty)
