@@ -183,36 +183,101 @@ object Pq {
     * and dot(q, c_cell) is one scalar per (query, probed cell). Scan
     * cost: corpus × nprobe / C rows of m codes each, never a float
     * vector until the exact top-`rerank` re-rank. */
-  def ivfPqKnn(emb: DataFrame, k: Int, queryPred: Column,
-      numCentroids: Int = 16, nprobe: Int = 12,
-      m: Int = 16, kSub: Int = 32, rerank: Int = 256, iters: Int = 2,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val centroids = Ivf.train(emb, numCentroids, iters, idCol, vecCol)
-    // residual per row: v - centroid[cell], as a codegen expression
-    // ([[graft.etl.expressions.CentroidResidual]] — the interpreted
-    // zip_with-over-literal-table form ran per corpus row). PERSISTED:
-    // codebook training re-reads this frame per iteration and encode
-    // scans it again; released by Dedup.releaseCaches() like every
-    // operator-internal cache.
+  /** Residual-annotated corpus: (input columns, cell, res) where
+    * res = v − centroid[cell] via the codegen
+    * [[graft.etl.expressions.CentroidResidual]]. PERSISTED: codebook
+    * training re-reads it per iteration, encode scans it again, and
+    * Spark's CacheManager matches the identical plan subtree from the
+    * with-model encode path — released by `Dedup.releaseCaches()`
+    * like every operator-internal cache. */
+  private def withResiduals(emb: DataFrame,
+      centroids: Array[Array[Double]],
+      idCol: String, vecCol: String): DataFrame = {
     val residualCol = org.apache.spark.sql.graft.Bridge.column(
       graft.etl.expressions.CentroidResidual(
         org.apache.spark.sql.graft.Bridge.expression(asDouble(col(vecCol))),
         org.apache.spark.sql.graft.Bridge.expression(col("cell")),
         centroids))
-    val withRes = Dedup.persistTracked(
+    Dedup.persistTracked(
       Ivf.assign(emb, centroids, idCol, vecCol)
         .withColumn("res", residualCol))
+  }
+
+  /** Train the full IVF-PQ model pair: coarse centroids, then residual
+    * codebooks on v − centroid[cell]. Persist both via [[AnnModels]]
+    * for the train-once lifecycle. */
+  def ivfPqTrain(emb: DataFrame, numCentroids: Int = 16,
+      m: Int = 16, kSub: Int = 32, iters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val centroids = Ivf.train(emb, numCentroids, iters, idCol, vecCol)
+    val withRes = withResiduals(emb, centroids, idCol, vecCol)
     val codebooks = train(withRes.select(col(idCol), col("res")),
       m, kSub, iters, idCol, "res")
-    val enc = encode(withRes.select(col(idCol), col("res"), col("cell"),
-        asDouble(col(vecCol)).as("orig")), codebooks, idCol, "res")
+    (centroids, codebooks)
+  }
+
+  /** The stored IVF-PQ index rows — (idCol, cell, code, vnorm):
+    * assignment + residual PQ codes against FROZEN models, writable
+    * next to the [[AnnModels]] parquet and appendable via
+    * [[ivfPqAppendToIndex]]. */
+  def ivfPqEncodeCorpus(emb: DataFrame, centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val withRes = withResiduals(emb, centroids, idCol, vecCol)
+    encode(withRes.select(col(idCol), col("res"), col("cell"),
+        asDouble(col(vecCol)).as("_orig")), codebooks, idCol, "res")
       .join(withRes.select(col(idCol), col("cell"),
-        Similarity.norm(asDouble(col(vecCol))).as("tn")), Seq(idCol))
-      .select(col(idCol).as("cid"), col("code"), col("cell"),
-        col("tn").as("vnorm"))
+        Similarity.norm(asDouble(col(vecCol))).as("_tn")), Seq(idCol))
+      .select(col(idCol), col("cell"), col("code"), col("_tn").as("vnorm"))
+  }
+
+  /** Daily-ingest append for the full IVF-PQ index: assign + encode
+    * ONLY the new vectors against the frozen model pair, append the
+    * rows — byte-identical to a full re-encode (both expressions are
+    * deterministic), asserted in OpsSpec. */
+  def ivfPqAppendToIndex(newVecs: DataFrame,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], indexPath: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    ivfPqEncodeCorpus(newVecs, centroids, codebooks, idCol, vecCol)
+      .write.mode("append").parquet(indexPath)
+
+  def ivfPqKnn(emb: DataFrame, k: Int, queryPred: Column,
+      numCentroids: Int = 16, nprobe: Int = 12,
+      m: Int = 16, kSub: Int = 32, rerank: Int = 256, iters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (centroids, codebooks) =
+      ivfPqTrain(emb, numCentroids, m, kSub, iters, idCol, vecCol)
+    ivfPqKnnWithModel(emb, k, queryPred, centroids, codebooks, nprobe,
+      rerank, idCol, vecCol)
+  }
+
+  /** [[ivfPqKnn]] against a PREBUILT model pair — encode + probe +
+    * ADC + re-rank, no training scans. */
+  def ivfPqKnnWithModel(emb: DataFrame, k: Int, queryPred: Column,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      nprobe: Int = 12, rerank: Int = 256,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfPqKnnEncoded(
+      ivfPqEncodeCorpus(emb, centroids, codebooks, idCol, vecCol),
+      emb, k, queryPred, centroids, codebooks, nprobe, rerank, idCol, vecCol)
+
+  /** [[ivfPqKnnWithModel]] over an ALREADY-ENCODED index (the
+    * [[ivfPqEncodeCorpus]] layout, typically read back from parquet):
+    * the query session touches no corpus-sized float vectors until
+    * the exact re-rank fetch. */
+  def ivfPqKnnEncoded(encIndex: DataFrame, emb: DataFrame, k: Int,
+      queryPred: Column, centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      nprobe: Int = 12, rerank: Int = 256,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val enc = encIndex.select(col(idCol).as("cid"), col("code"),
+      col("cell"), col("vnorm"))
     val queries = collectQueries(emb, queryPred, idCol, vecCol)
     // per query: one global-residual-codebook LUT + per-probed-cell
     // scalar q·c — all model-sized driver arithmetic. The LUT frame is

@@ -165,6 +165,32 @@ object TextAnalysis {
     (size(hosts), size(blocked), size(blocked) === 0)
   }
 
+  // --- Encoding quality (mojibake / control chars) --------------------
+  // Crawled text arrives with decode damage: U+FFFD replacement chars
+  // (a miscoded byte sequence) and stray C0/DEL control chars. Both are
+  // strong junk signals a curation pipeline gates on before training.
+
+  /** C0 controls except \t \n \r, plus DEL — Java∩RE2-identical so the
+    * DuckDB oracle replays it. */
+  val ControlCharRe = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+  /** Encoding-quality signals: (n_replacement, n_control, bad_ratio,
+    * keep). `keep` = no replacement char at all (one U+FFFD proves a
+    * decode error) AND (replacement+control)/chars <= `maxBadRatio`.
+    * Length-difference counting (strip-and-subtract) keeps it three
+    * codegen regexp/length expressions — scan-fused, zero shuffle. */
+  def encodingQuality(text: Column, maxBadRatio: Double = 0.01)
+      : (Column, Column, Column, Column) = {
+    val nRepl = (length(text) -
+      length(regexp_replace(text, "\\uFFFD", ""))).cast("long")
+    val nCtrl = (length(text) -
+      length(regexp_replace(text, ControlCharRe, ""))).cast("long")
+    val ratio = round((nRepl + nCtrl).cast("double") /
+      greatest(length(text).cast("double"), lit(1.0)), 4)
+    val keep = nRepl === 0 && ratio <= maxBadRatio
+    (nRepl, nCtrl, ratio, keep)
+  }
+
   // --- Unigram LM scoring ---------------------------------------------
   // The CCNet-style quality signal: score each document by the mean
   // log-probability of its tokens under a unigram model trained on the

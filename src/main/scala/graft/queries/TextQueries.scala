@@ -956,6 +956,53 @@ object TextQueries {
       |FROM hd GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // --- Encoding quality -------------------------------------------------
+  // The corpus is clean UTF-8, so decode damage is PLANTED identically
+  // on both sides: replacement chars (decode-error proof), a sprinkle
+  // of control chars (ratio below the gate), and a control-char flood
+  // (ratio above it).
+
+  private val encPlantSql =
+    """text || CASE WHEN doc_id % 11 = 0 THEN ' bad' || chr(65533) || chr(65533)
+      |  WHEN doc_id % 13 = 5 THEN ' ' || repeat(chr(7), 40)
+      |  WHEN doc_id % 17 = 3 THEN ' x' || chr(1) || 'y' ELSE '' END"""
+      .stripMargin.replace("\n", " ")
+
+  private def encPlanted(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 11 === 0, lit(" bad\uFFFD\uFFFD"))
+        .when(col("doc_id") % 13 === 5, lit(" " + "\u0007" * 40))
+        .when(col("doc_id") % 17 === 3, lit(" x\u0001y"))
+        .otherwise(lit(""))).as("text"))
+
+  /** Encoding-quality gate over the planted corpus. */
+  def encodingGate(spark: SparkSession, dir: String): DataFrame = {
+    val (nRepl, nCtrl, ratio, keep) =
+      TextAnalysis.encodingQuality(col("text"))
+    encPlanted(spark, dir).select(col("doc_id"), nRepl.as("n_repl"),
+        nCtrl.as("n_ctrl"), ratio.as("bad_ratio"), keep.as("keep"))
+      .transform(QueryUtil.ordered("doc_id"))
+  }
+
+  val encodingGateOracle: String = {
+    // the runtime constant already holds single-backslash \xNN escapes,
+    // which RE2 (DuckDB) reads identically to Java
+    val ctl = graft.ops.TextAnalysis.ControlCharRe
+    s"""WITH planted AS (SELECT doc_id, $encPlantSql AS text FROM documents),
+      |m AS (SELECT doc_id, length(text) AS n,
+      |        length(text) - length(regexp_replace(text, chr(65533), '', 'g'))
+      |          AS n_repl,
+      |        length(text) - length(regexp_replace(text, '$ctl', '', 'g'))
+      |          AS n_ctrl
+      |      FROM planted)
+      |SELECT doc_id, CAST(n_repl AS BIGINT) AS n_repl,
+      |  CAST(n_ctrl AS BIGINT) AS n_ctrl,
+      |  round((n_repl + n_ctrl) * 1.0 / greatest(n, 1), 4) AS bad_ratio,
+      |  n_repl = 0 AND (n_repl + n_ctrl) * 1.0 / greatest(n, 1) <= 0.01 AS keep
+      |FROM m ORDER BY doc_id""".stripMargin
+  }
+
   // --- Line-level dedup ------------------------------------------------
   // The corpus is single-line, so the query PLANTS lines identically on
   // both sides: a unique per-doc marker (must survive), two boilerplate
@@ -1353,6 +1400,7 @@ object TextQueries {
     "tx_pack_shards" -> ((packShards _, Some(packShardsOracle))),
     "tx_tokenizer_probe" -> ((tokenizerProbe _, Some(tokenizerProbeOracle))),
     "tx_line_dedup" -> ((lineDedup _, Some(lineDedupOracle))),
+    "tx_encoding_gate" -> ((encodingGate _, Some(encodingGateOracle))),
     "tx_pack_shards_probe" -> ((packShardsProbe _, Some(packShardsProbeOracle))),
     "tx_pack_positions" -> ((packPositions _, Some(packPositionsOracle))),
     "tx_pack_split" -> ((packSplit _, Some(packSplitOracle))),

@@ -343,6 +343,25 @@ object VectorQueries {
   val knnIvfAppendOracle: String =
     s"""SELECT vec_id AS qid FROM embeddings WHERE $queryPredSql ORDER BY qid""".stripMargin
 
+  /** The [[knnIvfAppend]] lifecycle for the full IVF-PQ composition:
+    * both models (coarse centroids + residual codebooks) train on the
+    * historical 90%, the rest appends frozen, search runs over the
+    * union index with no training or corpus-encoding scans. Same
+    * per-query recall floor. */
+  def knnIvfPqAppend(spark: SparkSession, dir: String): DataFrame =
+    recallFloor(spark, dir) { e =>
+      val old = e.filter(col("vec_id") % 10 =!= 0)
+      val fresh = e.filter(col("vec_id") % 10 === 0)
+      val (cents, books) = graft.ops.Pq.ivfPqTrain(old)
+      val index = graft.ops.Pq.ivfPqEncodeCorpus(old, cents, books)
+        .unionByName(graft.ops.Pq.ivfPqEncodeCorpus(fresh, cents, books))
+      graft.ops.Pq.ivfPqKnnEncoded(index, e, k = 5,
+        col("vec_id") % 50 === 0, cents, books)
+    }
+
+  val knnIvfPqAppendOracle: String =
+    s"""SELECT vec_id AS qid FROM embeddings WHERE $queryPredSql ORDER BY qid""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "vec_knn_brute" -> ((knnBrute _, Some(knnBruteOracle))),
     "vec_near_dup" -> ((nearDupPairs _, Some(nearDupOracle(0.4)))),
@@ -353,6 +372,7 @@ object VectorQueries {
     "vec_knn_lsh_recall" -> ((knnLshRecall _, Some(knnLshRecallOracle))),
     "vec_knn_ivf_recall" -> ((knnIvfRecall _, Some(knnIvfRecallOracle))),
     "vec_knn_ivf_append" -> ((knnIvfAppend _, Some(knnIvfAppendOracle))),
+    "vec_knn_ivfpq_append" -> ((knnIvfPqAppend _, Some(knnIvfPqAppendOracle))),
     "vec_knn_pq_recall" -> ((knnPqRecall _, Some(knnPqRecallOracle))),
     "vec_knn_ivfpq_recall" -> ((knnIvfPqRecall _, Some(knnIvfPqRecallOracle))))
 }

@@ -1030,6 +1030,23 @@ class OpsSpec extends SparkSpec {
     assert(rows(Pq.knnEncoded(pqIdx, emb, k = 5, pred, books, rerank = 64)) ==
       rows(Pq.knnWithModel(emb, k = 5, pred, books, rerank = 64)),
       "PQ search over the appended index must see the union byte-equal")
+
+    // --- IVF-PQ: the production composition gets the same lifecycle
+    val (ipCents, ipBooks) = Pq.ivfPqTrain(old, numCentroids = 8, m = 8,
+      kSub = 16)
+    Pq.ivfPqEncodeCorpus(old, ipCents, ipBooks).write.parquet(s"$dir/ivfpq")
+    Pq.ivfPqAppendToIndex(fresh, ipCents, ipBooks, s"$dir/ivfpq")
+    val ipIdx = spark.read.parquet(s"$dir/ivfpq")
+    def ipRows(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "cell", "code").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+    assert(ipRows(ipIdx) == ipRows(Pq.ivfPqEncodeCorpus(emb, ipCents, ipBooks)),
+      "appended IVF-PQ rows must equal a full re-encode under frozen models")
+    assert(rows(Pq.ivfPqKnnEncoded(ipIdx, emb, k = 5, pred, ipCents, ipBooks,
+        nprobe = 6, rerank = 64)) ==
+      rows(Pq.ivfPqKnnWithModel(emb, k = 5, pred, ipCents, ipBooks,
+        nprobe = 6, rerank = 64)),
+      "IVF-PQ search over the appended index must see the union byte-equal")
     Dedup.releaseCaches()
   }
 
@@ -1140,6 +1157,28 @@ class OpsSpec extends SparkSpec {
       .orderBy("shard").collect().map(r => (r.getLong(0), r.getLong(2)))
     shards.dropRight(1).foreach { case (s, tok) =>
       assert(tok >= 4 && tok <= 10 + 7, s"shard $s tokens=$tok out of band") }
+  }
+
+  test("encoding quality: one replacement char fails the gate, control flood fails on ratio") {
+    // long enough that ONE control char stays under the 1% ratio gate
+    val clean = ("a perfectly ordinary sentence with plenty of characters " +
+      "in it and then some more words to push the length comfortably " +
+      "past the one hundred character mark for the ratio arithmetic")
+    val d = Seq(
+      (1L, clean),
+      (2L, clean + "\uFFFD"), // ONE replacement char proves a decode error
+      (3L, clean + " x\u0001y"), // sprinkle: ratio under the 1% gate, but counted
+      (4L, clean + " " + "\u0007" * 40)) // flood: ratio over the gate
+      .toDF("doc_id", "text")
+    val (nr, nc, ratio, keep) = TextAnalysis.encodingQuality(col("text"))
+    val r = d.select(col("doc_id"), nr.as("r"), nc.as("c"),
+        ratio.as("br"), keep.as("k"))
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getBoolean(4)))).toMap
+    assert(r(1L) == ((0L, 0L, true)))
+    assert(r(2L) == ((1L, 0L, false)), "a single U+FFFD must fail the gate")
+    assert(r(3L)._2 == 1L && r(3L)._3, "a lone control char stays under the ratio gate")
+    assert(r(4L)._2 == 40L && !r(4L)._3, "a control-char flood must fail on ratio")
   }
 
   test("bigram LM: word order matters, short docs score NULL, probs stay <= 1") {

@@ -102,6 +102,60 @@ class StreamingSpec extends SparkSpec {
     graft.ops.Dedup.releaseCaches()
   }
 
+  test("streaming ANN ingest: streamed index equals batch encode, replays don't duplicate") {
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    val in = tmpDir("ann-in")
+    val idx = tmpDir("ann-idx") + "/ivf"
+    // deterministic vectors, dim 4: ids 0-29 are history, 30-39 stream in
+    def vec(i: Long): Seq[Double] =
+      Seq(math.sin(i * 1.7), math.cos(i * 0.9), (i % 7) / 7.0, 1.0 - (i % 5) / 5.0)
+    val hist = (0L until 30L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val all = (0L until 40L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val cents = graft.ops.Ivf.train(hist, numCentroids = 4)
+    // history seeds the index through the same appender (batch -1)
+    StreamingAnn.ivfAppender(cents, idx)(hist, -1L)
+    def jline(i: Long): String =
+      s"""{"vec_id":$i,"embedding":[${vec(i).mkString(",")}]}"""
+    val fa = java.nio.file.Paths.get(s"$in/a.jsonl")
+    val fb = java.nio.file.Paths.get(s"$in/b.jsonl")
+    java.nio.file.Files.write(fa,
+      (30L until 35L).map(jline).mkString("\n").getBytes)
+    java.nio.file.Files.write(fb,
+      (35L until 40L).map(jline).mkString("\n").getBytes)
+    fa.toFile.setLastModified(System.currentTimeMillis() - 60000)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("vec_id", "long")
+      .add("embedding", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(in)
+      .writeStream
+      .option("checkpointLocation", tmpDir("ann-ckpt"))
+      .foreachBatch(StreamingAnn.ivfAppender(cents, idx))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val loaded = spark.read.parquet(idx)
+    assert(loaded.count() == 40, "history + both streamed batches")
+    // streamed index rows byte-equal the frozen-model batch encode
+    def cells(df: DataFrame) = df.select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(cells(loaded) == cells(graft.ops.Ivf.encodeCorpus(all, cents)))
+    // searches over the streamed index equal the raw-union search
+    def rows(df: DataFrame) = df.select("qid", "cid", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows(graft.ops.Ivf.knnEncoded(loaded, k = 3,
+        col("vec_id") < 2, cents, nprobe = 2)) ==
+      rows(graft.ops.Ivf.knnWithModel(all, k = 3,
+        col("vec_id") < 2, cents, nprobe = 2)))
+    // replay: re-running a batch overwrites its own partition — no dupes
+    val batch1 = (35L until 40L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    StreamingAnn.ivfAppender(cents, idx)(batch1, 1L)
+    assert(spark.read.parquet(idx).count() == 40,
+      "a replayed micro-batch must not duplicate index rows")
+    graft.ops.Dedup.releaseCaches()
+  }
+
   test("watermarked windowed level counts over the stream") {
     val in = tmpDir("stream-win")
     java.nio.file.Files.copy(
