@@ -165,6 +165,44 @@ object TextAnalysis {
     (size(hosts), size(blocked), size(blocked) === 0)
   }
 
+  // --- HTML -> text extraction -----------------------------------------
+  // Crawled corpora start as markup; the extraction step (strip
+  // script/style/comments, drop tags, decode entities, normalize
+  // whitespace) runs before every text gate in this file. This is the
+  // regexp-chain core of that stage (a trafilatura-class extractor
+  // additionally does boilerplate DOM scoring — out of scope, the
+  // line-dedup op covers boilerplate REMOVAL corpus-wide). Every
+  // pattern is Java∩RE2 (inline (?is) flags, non-greedy spans, no
+  // backreferences) so the DuckDB oracle replays the chain verbatim.
+
+  /** script/style elements WITH their content, then comments. */
+  val HtmlScriptRe = "(?is)<script[^>]*>.*?</script>"
+  val HtmlStyleRe = "(?is)<style[^>]*>.*?</style>"
+  val HtmlCommentRe = "(?s)<!--.*?-->"
+  /** Any remaining tag. */
+  val HtmlTagRe = "<[^>]+>"
+
+  /** Visible text of an HTML fragment: remove script/style/comments,
+    * replace every other tag with a space, decode the common entities,
+    * collapse whitespace runs, trim. Pure codegen regexp_replace
+    * chain — scan-fused, zero shuffle. */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(
+      regexp_replace(
+        regexp_replace(html, HtmlScriptRe, " "),
+        HtmlStyleRe, " "),
+      HtmlCommentRe, " ")
+    val noTags = regexp_replace(noScript, HtmlTagRe, " ")
+    // entity names contain no regex metachars and the replacements no
+    // Matcher specials ($, \), so plain patterns are literal-safe in
+    // Java AND RE2 (no \Q...\E needed)
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'")
+      .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   // --- Encoding quality (mojibake / control chars) --------------------
   // Crawled text arrives with decode damage: U+FFFD replacement chars
   // (a miscoded byte sequence) and stray C0/DEL control chars. Both are

@@ -956,6 +956,57 @@ object TextQueries {
       |FROM hd GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // --- HTML extraction ---------------------------------------------------
+  // Wrap a slice of the corpus in markup (script+style payloads that
+  // must vanish, block structure, entities) identically on both sides;
+  // the extractor must recover whitespace-normalized visible text.
+
+  private val htmlPlantSql =
+    """CASE WHEN doc_id % 4 = 1 THEN
+      |  '<html><head><style>p { color: red; }</style>' ||
+      |  '<script type="text/javascript">var x = 1 < 2; alert("drop me");</script>' ||
+      |  '</head><body><!-- nav boilerplate --><div class="main"><p>' || text ||
+      |  '</p><br><p>Tom &amp; Jerry say &quot;hi&quot; &#39;now&#39; 1 &lt; 2</p>' ||
+      |  '</div></body></html>'
+      |ELSE text END""".stripMargin.replace("\n", " ")
+
+  private def htmlPlanted(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"),
+      when(col("doc_id") % 4 === 1, concat(
+        lit("<html><head><style>p { color: red; }</style>"),
+        lit("<script type=\"text/javascript\">var x = 1 < 2; alert(\"drop me\");</script>"),
+        lit("</head><body><!-- nav boilerplate --><div class=\"main\"><p>"),
+        col("text"),
+        lit("</p><br><p>Tom &amp; Jerry say &quot;hi&quot; &#39;now&#39; 1 &lt; 2</p>"),
+        lit("</div></body></html>")))
+      .otherwise(col("text")).as("text"))
+
+  /** HTML -> visible text over the planted corpus. */
+  def htmlExtract(spark: SparkSession, dir: String): DataFrame =
+    htmlPlanted(spark, dir).select(col("doc_id"),
+        TextAnalysis.htmlToText(col("text")).as("text"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .transform(QueryUtil.ordered("doc_id"))
+
+  val htmlExtractOracle: String = {
+    import graft.ops.TextAnalysis._
+    s"""WITH planted AS (SELECT doc_id, $htmlPlantSql AS text FROM documents),
+      |s1 AS (SELECT doc_id, regexp_replace(text, '$HtmlScriptRe', ' ', 'g') AS t
+      |       FROM planted),
+      |s2 AS (SELECT doc_id, regexp_replace(t, '$HtmlStyleRe', ' ', 'g') AS t FROM s1),
+      |s3 AS (SELECT doc_id, regexp_replace(t, '$HtmlCommentRe', ' ', 'g') AS t FROM s2),
+      |s4 AS (SELECT doc_id, regexp_replace(t, '$HtmlTagRe', ' ', 'g') AS t FROM s3),
+      |s5 AS (SELECT doc_id,
+      |         replace(replace(replace(replace(replace(replace(t,
+      |           '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+      |           '&quot;', '"'), '&#39;', chr(39)) AS t
+      |       FROM s4),
+      |s6 AS (SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS text
+      |       FROM s5)
+      |SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars
+      |FROM s6 ORDER BY doc_id""".stripMargin
+  }
+
   // --- Encoding quality -------------------------------------------------
   // The corpus is clean UTF-8, so decode damage is PLANTED identically
   // on both sides: replacement chars (decode-error proof), a sprinkle
@@ -1401,6 +1452,7 @@ object TextQueries {
     "tx_tokenizer_probe" -> ((tokenizerProbe _, Some(tokenizerProbeOracle))),
     "tx_line_dedup" -> ((lineDedup _, Some(lineDedupOracle))),
     "tx_encoding_gate" -> ((encodingGate _, Some(encodingGateOracle))),
+    "tx_html_extract" -> ((htmlExtract _, Some(htmlExtractOracle))),
     "tx_pack_shards_probe" -> ((packShardsProbe _, Some(packShardsProbeOracle))),
     "tx_pack_positions" -> ((packPositions _, Some(packPositionsOracle))),
     "tx_pack_split" -> ((packSplit _, Some(packSplitOracle))),

@@ -1159,6 +1159,22 @@ class OpsSpec extends SparkSpec {
       assert(tok >= 4 && tok <= 10 + 7, s"shard $s tokens=$tok out of band") }
   }
 
+  test("htmlToText: script/style/comments vanish, tags drop, entities decode") {
+    val html = """<html><head><title>T</title>
+      |<style>body { font: 12px; }</style>
+      |<script>if (a < b) { alert("x"); }</script></head>
+      |<body><!-- menu --><div><p>Hello &amp; welcome</p>
+      |<p>1 &lt; 2 &gt; 0 &quot;q&quot; &#39;a&#39;&nbsp;end</p></div></body></html>"""
+      .stripMargin
+    val got = Seq((1L, html)).toDF("doc_id", "text")
+      .select(TextAnalysis.htmlToText(col("text"))).collect()(0).getString(0)
+    assert(got == """T Hello & welcome 1 < 2 > 0 "q" 'a' end""", s"got: $got")
+    // a plain-text doc passes through whitespace-normalized
+    val plain = Seq((1L, "  already   plain\ttext ")).toDF("doc_id", "text")
+      .select(TextAnalysis.htmlToText(col("text"))).collect()(0).getString(0)
+    assert(plain == "already plain text")
+  }
+
   test("encoding quality: one replacement char fails the gate, control flood fails on ratio") {
     // long enough that ONE control char stays under the 1% ratio gate
     val clean = ("a perfectly ordinary sentence with plenty of characters " +
