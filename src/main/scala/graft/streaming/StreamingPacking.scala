@@ -36,11 +36,15 @@ object StreamingPacking {
     * batch_id < N, never their own possibly-duplicated row. */
   private[streaming] def priorOffset(spark: SparkSession, stateDir: String,
       batchId: Long): Long = {
-    val p = new java.io.File(offsetPath(stateDir))
-    if (!p.exists()) 0L
+    // Hadoop FS, not java.io.File: the state dir of a production
+    // stream lives on HDFS/S3, where the local-file API silently sees
+    // nothing and every batch would restart the count at zero
+    val p = new org.apache.hadoop.fs.Path(offsetPath(stateDir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
     else {
       import spark.implicits._
-      spark.read.parquet(p.getAbsolutePath)
+      spark.read.parquet(offsetPath(stateDir))
         .filter(col("batch_id") < batchId)
         .orderBy(col("batch_id").desc).limit(1)
         .select("total_after").as[Long].collect()
