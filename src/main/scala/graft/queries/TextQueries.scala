@@ -1007,6 +1007,100 @@ object TextQueries {
       |FROM s6 ORDER BY doc_id""".stripMargin
   }
 
+  // --- Curation v5: the crawl-to-corpus FRONT half ----------------------
+  // v1–v4 curate already-extracted text; v5 composes the r6 stages that
+  // come BEFORE them: raw markup + decode damage → HTML extraction →
+  // encoding gate → quality floor → exact-dedup keeper → per-source
+  // profile. Plants: every doc gains its unique marker damage profile
+  // (decode damage survives extraction — U+FFFD and C0 chars are not
+  // markup), %4==1 docs additionally arrive wrapped in full HTML.
+
+  private val curation5PlantSql: String = {
+    val damaged = s"""text || CASE WHEN doc_id % 11 = 0 THEN ' bad' || chr(65533)
+      |  WHEN doc_id % 13 = 5 THEN ' ' || repeat(chr(7), 40) ELSE '' END"""
+      .stripMargin.replace("\n", " ")
+    s"""CASE WHEN doc_id % 4 = 1 THEN
+      |  '<html><head><style>p {{ color: red; }}</style>' ||
+      |  '<script>var x = 1 < 2;</script></head><body><!-- nav --><p>' ||
+      |  ($damaged) || '</p><p>Tom &amp; Jerry &#39;now&#39;</p></body></html>'
+      |ELSE ($damaged) END""".stripMargin.replace("\n", " ")
+      .replace("{{", "{").replace("}}", "}")
+  }
+
+  private def curation5Planted(spark: SparkSession, dir: String): DataFrame = {
+    val damaged = concat(col("text"),
+      when(col("doc_id") % 11 === 0, lit(" bad\uFFFD"))
+        .when(col("doc_id") % 13 === 5, lit(" " + "\u0007" * 40))
+        .otherwise(lit("")))
+    docs(spark, dir).select(col("doc_id"), col("source"),
+      when(col("doc_id") % 4 === 1, concat(
+        lit("<html><head><style>p { color: red; }</style>"),
+        lit("<script>var x = 1 < 2;</script></head><body><!-- nav --><p>"),
+        damaged,
+        lit("</p><p>Tom &amp; Jerry &#39;now&#39;</p></body></html>")))
+      .otherwise(damaged).as("text"))
+  }
+
+  /** Crawl-front curation profile: survivors per source after
+    * extract → encoding gate → quality floor → exact keeper. */
+  def curation5(spark: SparkSession, dir: String): DataFrame = {
+    val extracted = curation5Planted(spark, dir)
+      .withColumn("text", TextAnalysis.htmlToText(col("text")))
+    val (_, _, _, encKeep) = TextAnalysis.encodingQuality(col("text"))
+    val gated = extracted.filter(encKeep)
+      .filter(TextAnalysis.qualityScore(col("text")) >= 0.5)
+    val keeper = gated.withColumn("fp",
+        TextAnalysis.md5Fingerprint(col("text")))
+      .withColumn("keep", col("doc_id") === min("doc_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      .filter(col("keep"))
+    keeper.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .transform(QueryUtil.ordered("source"))
+  }
+
+  val curation5Oracle: String = {
+    import graft.ops.TextAnalysis._
+    s"""WITH planted AS (SELECT doc_id, source, $curation5PlantSql AS text
+      |  FROM documents),
+      |x1 AS (SELECT doc_id, source,
+      |         regexp_replace(text, '$HtmlScriptRe', ' ', 'g') AS t FROM planted),
+      |x2 AS (SELECT doc_id, source,
+      |         regexp_replace(t, '$HtmlStyleRe', ' ', 'g') AS t FROM x1),
+      |x3 AS (SELECT doc_id, source,
+      |         regexp_replace(t, '$HtmlCommentRe', ' ', 'g') AS t FROM x2),
+      |x4 AS (SELECT doc_id, source,
+      |         regexp_replace(t, '$HtmlTagRe', ' ', 'g') AS t FROM x3),
+      |x5 AS (SELECT doc_id, source,
+      |         replace(replace(replace(replace(replace(replace(t,
+      |           '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+      |           '&quot;', '"'), '&#39;', chr(39)) AS t FROM x4),
+      |ex AS (SELECT doc_id, source,
+      |         trim(regexp_replace(t, '\\s+', ' ', 'g')) AS text FROM x5),
+      |enc AS (SELECT doc_id, source, text,
+      |          length(text) - length(regexp_replace(text, chr(65533), '', 'g'))
+      |            AS n_repl,
+      |          length(text) - length(regexp_replace(text, '$ControlCharRe', '', 'g'))
+      |            AS n_ctrl
+      |        FROM ex),
+      |gated0 AS (SELECT doc_id, source, text FROM enc
+      |  WHERE n_repl = 0
+      |    AND (n_repl + n_ctrl) * 1.0 / greatest(length(text), 1) <= 0.01),
+      |q AS (SELECT doc_id, source, text,
+      |        len(string_split(text, ' ')) * 1.0 AS n,
+      |        len(list_distinct(string_split(text, ' '))) * 1.0 AS nd,
+      |        len(list_filter(string_split(text, ' '),
+      |          t -> t IN ('the', 'a', 'of', 'to', 'and', 'in', 'is', 'it'))) * 1.0 AS st
+      |      FROM gated0),
+      |gated AS (SELECT doc_id, source, text FROM q
+      |  WHERE round(least(n / 100.0, 1.0) * 0.4 + (nd / n) * 0.4
+      |          + (1.0 - st / n) * 0.2, 4) >= 0.5),
+      |kept AS (SELECT doc_id, source FROM gated
+      |  WHERE doc_id = (SELECT min(doc_id) FROM gated g2
+      |                  WHERE md5(g2.text) = md5(gated.text)))
+      |SELECT source, count(*) AS n_docs FROM kept
+      |GROUP BY source ORDER BY source""".stripMargin
+  }
+
   // --- Encoding quality -------------------------------------------------
   // The corpus is clean UTF-8, so decode damage is PLANTED identically
   // on both sides: replacement chars (decode-error proof), a sprinkle
@@ -1478,6 +1572,7 @@ object TextQueries {
     "tx_curation3" -> ((curation3 _, Some(curation3Oracle))),
     "tx_curation4" -> ((curation4 _, Some(curation4Oracle))),
     "tx_curation_funnel" -> ((curationFunnel _, Some(curationFunnelOracle))),
+    "tx_curation5" -> ((curation5 _, Some(curation5Oracle))),
     "tx_sample_strata" -> ((sampleStrata _, Some(sampleStrataOracle))),
     "tx_corpus_profile" -> ((corpusProfile _, Some(corpusProfileOracle))),
     "mm_media_meta" -> ((mediaMeta _, Some(mediaMetaOracle))),
