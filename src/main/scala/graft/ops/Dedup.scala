@@ -117,35 +117,44 @@ object Dedup {
     * `text = ""` (curation gates downstream decide its fate — silent
     * row loss would corrupt corpus accounting).
     *
-    * Scale shape: one posexplode scan; the per-line occurrence count
-    * is a window over the normalized key (one shuffle — same shape as
-    * the shingle-df pass in [[ngramJaccardPairs]]); reassembly is one
-    * groupBy on the doc id. Keys are lines — high-cardinality,
-    * boilerplate keys are the hot ones but carry counter rows, never
-    * payload fan-out. */
+    * Scale shape: ONE posexplode scan, persisted as the narrow
+    * `(id, pos, line, k)` frame every later pass reads (the corpus is
+    * never re-scanned — `n_lines` derives from the same frame). The
+    * per-line occurrence count is `groupBy(k).count()`, NOT a window
+    * over `k`: a window has no map-side partial aggregation, so every
+    * copy of a hot boilerplate line ("subscribe to our newsletter" at
+    * 10⁸ copies — the reason this operator exists) would funnel through
+    * ONE task, and AQE skew handling does not apply to Window. The
+    * groupBy's partial aggregation shrinks each hot key to one row per
+    * map task before the shuffle; the join-back of lines to surviving
+    * keys IS skewed on those keys, but it is an outer equi-join, which
+    * AQE skew-join splits at runtime. The join carries a keep MARKER
+    * (left outer) rather than filtering, so one doc-id aggregation
+    * computes `n_lines`, `n_kept`, and the reassembled text together —
+    * three shuffles of the exploded frame total (key count, key join,
+    * doc reassembly), none partitioned by a single hot value. */
   def lineDedup(docs: DataFrame, maxOccurrences: Long = 1,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(maxOccurrences >= 1, "maxOccurrences must be >= 1")
-    val lines = docs
+    val lines = persistTracked(docs
       .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
-      .withColumn("k", lower(trim(col("line"))))
-    val withOcc = lines.withColumn("occ",
-      count(lit(1)).over(Window.partitionBy(col("k"))))
-    val kept = withOcc.filter(col("occ") <= maxOccurrences)
+      .withColumn("k", lower(trim(col("line")))))
+    val keptKeys = lines.groupBy("k").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") <= maxOccurrences)
+      .select(col("k"), lit(1).as("_keep"))
+    lines.join(keptKeys, Seq("k"), "left")
       .groupBy(idCol)
       .agg(
+        // collect_list skips nulls: only marker-carrying (kept) lines
+        // enter the reassembly array
         array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("line")))),
+          array_sort(collect_list(when(col("_keep").isNotNull,
+            struct(col("pos"), col("line"))))),
           s => s.getField("line")), "\n").as("clean_text"),
-        count(lit(1)).as("n_kept"))
-    docs.select(col(idCol), size(split(col(textCol), "\n")).cast("long")
-        .as("n_lines"))
-      .join(kept, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+        count(col("_keep")).as("n_kept"),
+        count(lit(1)).as("n_lines"))
+      .select(col(idCol), col("clean_text"), col("n_kept"),
+        (col("n_lines") - col("n_kept")).as("n_dropped"))
   }
 
   /** (sid, sh: array<string>) — hoisted as a real column so downstream

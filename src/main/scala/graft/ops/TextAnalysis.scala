@@ -195,10 +195,12 @@ object TextAnalysis {
     val noTags = regexp_replace(noScript, HtmlTagRe, " ")
     // entity names contain no regex metachars and the replacements no
     // Matcher specials ($, \), so plain patterns are literal-safe in
-    // Java AND RE2 (no \Q...\E needed)
+    // Java AND RE2 (no \Q...\E needed). `&amp;` decodes LAST — HTML
+    // semantics: a double-escaped `&amp;lt;` is the literal text
+    // `&lt;`, and decoding `&amp;` first would double-decode it to `<`
     val decoded = Seq(
-      "&nbsp;" -> " ", "&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
-      "&quot;" -> "\"", "&#39;" -> "'")
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
     trim(regexp_replace(decoded, "\\s+", " "))
   }
@@ -216,17 +218,21 @@ object TextAnalysis {
     * keep). `keep` = no replacement char at all (one U+FFFD proves a
     * decode error) AND (replacement+control)/chars <= `maxBadRatio`.
     * Length-difference counting (strip-and-subtract) keeps it three
-    * codegen regexp/length expressions — scan-fused, zero shuffle. */
+    * codegen regexp/length expressions — scan-fused, zero shuffle.
+    * The gate compares the UNROUNDED ratio (the emitted `bad_ratio`
+    * column is rounded for display only) — gating on the rounded value
+    * would keep raw ratios in (maxBadRatio, round-up boundary] that the
+    * exact-arithmetic oracle drops. */
   def encodingQuality(text: Column, maxBadRatio: Double = 0.01)
       : (Column, Column, Column, Column) = {
     val nRepl = (length(text) -
       length(regexp_replace(text, "\\uFFFD", ""))).cast("long")
     val nCtrl = (length(text) -
       length(regexp_replace(text, ControlCharRe, ""))).cast("long")
-    val ratio = round((nRepl + nCtrl).cast("double") /
-      greatest(length(text).cast("double"), lit(1.0)), 4)
-    val keep = nRepl === 0 && ratio <= maxBadRatio
-    (nRepl, nCtrl, ratio, keep)
+    val rawRatio = (nRepl + nCtrl).cast("double") /
+      greatest(length(text).cast("double"), lit(1.0))
+    val keep = nRepl === 0 && rawRatio <= maxBadRatio
+    (nRepl, nCtrl, round(rawRatio, 4), keep)
   }
 
   // --- Unigram LM scoring ---------------------------------------------

@@ -966,7 +966,7 @@ object TextQueries {
       |  '<html><head><style>p { color: red; }</style>' ||
       |  '<script type="text/javascript">var x = 1 < 2; alert("drop me");</script>' ||
       |  '</head><body><!-- nav boilerplate --><div class="main"><p>' || text ||
-      |  '</p><br><p>Tom &amp; Jerry say &quot;hi&quot; &#39;now&#39; 1 &lt; 2</p>' ||
+      |  '</p><br><p>Tom &amp; Jerry say &quot;hi&quot; &#39;now&#39; 1 &lt; 2 esc &amp;lt;b&amp;gt;</p>' ||
       |  '</div></body></html>'
       |ELSE text END""".stripMargin.replace("\n", " ")
 
@@ -977,7 +977,7 @@ object TextQueries {
         lit("<script type=\"text/javascript\">var x = 1 < 2; alert(\"drop me\");</script>"),
         lit("</head><body><!-- nav boilerplate --><div class=\"main\"><p>"),
         col("text"),
-        lit("</p><br><p>Tom &amp; Jerry say &quot;hi&quot; &#39;now&#39; 1 &lt; 2</p>"),
+        lit("</p><br><p>Tom &amp; Jerry say &quot;hi&quot; &#39;now&#39; 1 &lt; 2 esc &amp;lt;b&amp;gt;</p>"),
         lit("</div></body></html>")))
       .otherwise(col("text")).as("text"))
 
@@ -998,8 +998,8 @@ object TextQueries {
       |s4 AS (SELECT doc_id, regexp_replace(t, '$HtmlTagRe', ' ', 'g') AS t FROM s3),
       |s5 AS (SELECT doc_id,
       |         replace(replace(replace(replace(replace(replace(t,
-      |           '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
-      |           '&quot;', '"'), '&#39;', chr(39)) AS t
+      |           '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+      |           '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&') AS t
       |       FROM s4),
       |s6 AS (SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS text
       |       FROM s5)
@@ -1022,7 +1022,7 @@ object TextQueries {
     s"""CASE WHEN doc_id % 4 = 1 THEN
       |  '<html><head><style>p {{ color: red; }}</style>' ||
       |  '<script>var x = 1 < 2;</script></head><body><!-- nav --><p>' ||
-      |  ($damaged) || '</p><p>Tom &amp; Jerry &#39;now&#39;</p></body></html>'
+      |  ($damaged) || '</p><p>Tom &amp; Jerry &#39;now&#39; esc &amp;lt;b&amp;gt;</p></body></html>'
       |ELSE ($damaged) END""".stripMargin.replace("\n", " ")
       .replace("{{", "{").replace("}}", "}")
   }
@@ -1037,7 +1037,7 @@ object TextQueries {
         lit("<html><head><style>p { color: red; }</style>"),
         lit("<script>var x = 1 < 2;</script></head><body><!-- nav --><p>"),
         damaged,
-        lit("</p><p>Tom &amp; Jerry &#39;now&#39;</p></body></html>")))
+        lit("</p><p>Tom &amp; Jerry &#39;now&#39; esc &amp;lt;b&amp;gt;</p></body></html>")))
       .otherwise(damaged).as("text"))
   }
 
@@ -1072,8 +1072,8 @@ object TextQueries {
       |         regexp_replace(t, '$HtmlTagRe', ' ', 'g') AS t FROM x3),
       |x5 AS (SELECT doc_id, source,
       |         replace(replace(replace(replace(replace(replace(t,
-      |           '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
-      |           '&quot;', '"'), '&#39;', chr(39)) AS t FROM x4),
+      |           '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+      |           '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&') AS t FROM x4),
       |ex AS (SELECT doc_id, source,
       |         trim(regexp_replace(t, '\\s+', ' ', 'g')) AS text FROM x5),
       |enc AS (SELECT doc_id, source, text,

@@ -76,6 +76,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("tx_line_dedup: line counts partial-aggregate — no Window on the line key") {
+    // a count-over-window on `k` would funnel every copy of a hot
+    // boilerplate line through ONE task (Window has no map-side partial
+    // aggregation and AQE skew handling does not apply to it); the
+    // groupBy form partial-aggregates, and the join-back is an AQE-
+    // splittable equi-join
+    val p = plan("tx_line_dedup")
+    assert(!p.contains("Window"), s"line counts must not use a window:\n$p")
+    assert(p.contains("HashAggregate"), s"expected partial aggregation:\n$p")
+  }
+
   test("ev_asof: merge formulation — one key shuffle, no join operator at all") {
     // the union+window encoding must plan ZERO joins (the naive
     // inequality-join form would appear as a BroadcastNestedLoopJoin or
