@@ -12,14 +12,28 @@ import graft.ops.Packing
   * sum runs unchanged — fully distributed, the global-window
   * single-partition trap avoided exactly as in batch. ACROSS
   * micro-batches the only state is the cumulative token total: one
-  * long, persisted per batch id under `stateDir`, so a replayed batch
-  * (restart from checkpoint re-runs the last uncommitted batch) reads
-  * the SAME prior offset and emits identical shard ids —
-  * deterministic input → idempotent output. A
-  * `flatMapGroupsWithState` formulation would funnel every doc
-  * through one state key (the serial trap the batch op exists to
-  * avoid); carrying one scalar through `foreachBatch` keeps the
-  * per-batch plan parallel and the state O(1).
+  * long per batch id under `stateDir`, so a replayed batch (restart
+  * from checkpoint re-runs the last uncommitted batch) reads the SAME
+  * prior offset and emits identical shard ids — deterministic input →
+  * idempotent output. A `flatMapGroupsWithState` formulation would
+  * funnel every doc through one state key (the serial trap the batch
+  * op exists to avoid); carrying one scalar through `foreachBatch`
+  * keeps the per-batch plan parallel and the state O(1).
+  *
+  * State layout (O(1) reads AND O(1) files, for 100k-batch streams):
+  * batch N's cumulative total lives in the driver-written text file
+  * `offsets/batch-N`; the prior offset is a DIRECT read of
+  * `batch-(N-1)` — no directory listing, no Spark job — and after
+  * writing its own file a batch prunes everything older than its
+  * predecessor, so the directory never holds more than ~3 files (the
+  * earlier parquet-append layout re-listed and re-read every
+  * batch-appended file per batch: the listing would dominate a
+  * long-lived stream). Keeping the predecessor is what makes replay
+  * safe: Structured Streaming re-runs only the last uncommitted
+  * batch, which re-reads `batch-(N-1)` and overwrites `batch-N` with
+  * the same value. The rare non-contiguous-id path (a first batch
+  * that isn't 0, ids skipping) falls back to one bounded listing of
+  * the pruned directory.
   *
   * Ordering contract: docs pack in arrival order (within a batch:
   * `idCol` order) — the streaming analogue of the batch contract's
@@ -29,26 +43,69 @@ import graft.ops.Packing
   */
 object StreamingPacking {
 
-  private def offsetPath(stateDir: String) = s"$stateDir/offsets"
+  private def offsetDir(stateDir: String) =
+    new org.apache.hadoop.fs.Path(s"$stateDir/offsets")
 
-  /** Cumulative token total persisted after the newest batch BEFORE
-    * `batchId` (0 when none): replays of batch N read only rows with
-    * batch_id < N, never their own possibly-duplicated row. */
+  private def batchFile(stateDir: String, batchId: Long) =
+    new org.apache.hadoop.fs.Path(offsetDir(stateDir), s"batch-$batchId")
+
+  // Hadoop FS, not java.io.File: the state dir of a production stream
+  // lives on HDFS/S3, where the local-file API silently sees nothing
+  // and every batch would restart the count at zero
+  private def fsFor(spark: SparkSession, stateDir: String) =
+    offsetDir(stateDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def readOffsetFile(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Long = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+    finally in.close()
+  }
+
+  private def batchIdOf(p: org.apache.hadoop.fs.Path): Option[Long] = {
+    val n = p.getName
+    if (n.startsWith("batch-")) n.stripPrefix("batch-").toLongOption
+    else None
+  }
+
+  /** Cumulative token total persisted by the newest batch BEFORE
+    * `batchId` (0 when none): replays of batch N read only state
+    * written by batches < N, never their own possibly-rewritten file.
+    * Fast path is ONE file read (`batch-(N-1)`); the listing fallback
+    * only fires for non-contiguous ids, over a directory pruning keeps
+    * ~3 files small. */
   private[streaming] def priorOffset(spark: SparkSession, stateDir: String,
       batchId: Long): Long = {
-    // Hadoop FS, not java.io.File: the state dir of a production
-    // stream lives on HDFS/S3, where the local-file API silently sees
-    // nothing and every batch would restart the count at zero
-    val p = new org.apache.hadoop.fs.Path(offsetPath(stateDir))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) 0L
+    val fs = fsFor(spark, stateDir)
+    val direct = batchFile(stateDir, batchId - 1)
+    if (fs.exists(direct)) readOffsetFile(fs, direct)
+    else if (!fs.exists(offsetDir(stateDir))) 0L
     else {
-      import spark.implicits._
-      spark.read.parquet(offsetPath(stateDir))
-        .filter(col("batch_id") < batchId)
-        .orderBy(col("batch_id").desc).limit(1)
-        .select("total_after").as[Long].collect()
-        .headOption.getOrElse(0L)
+      val prior = fs.listStatus(offsetDir(stateDir)).toSeq
+        .flatMap(s => batchIdOf(s.getPath).map(_ -> s.getPath))
+        .filter(_._1 < batchId)
+      if (prior.isEmpty) 0L
+      else readOffsetFile(fs, prior.maxBy(_._1)._2)
+    }
+  }
+
+  /** Persist batch `batchId`'s cumulative total and prune state older
+    * than its predecessor. The create-overwrite is safe without a
+    * rename dance: a torn `batch-N` can only exist if batch N never
+    * committed, in which case the replay of N rewrites it (same prior
+    * offset + deterministic input → same bytes) before any batch N+1
+    * reads it. */
+  private def writeOffset(spark: SparkSession, stateDir: String,
+      batchId: Long, totalAfter: Long): Unit = {
+    val fs = fsFor(spark, stateDir)
+    val out = fs.create(batchFile(stateDir, batchId), true)
+    try out.write(totalAfter.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.listStatus(offsetDir(stateDir)).foreach { s =>
+      batchIdOf(s.getPath).foreach { id =>
+        if (id < batchId - 1) { fs.delete(s.getPath, false); () }
+      }
     }
   }
 
@@ -74,8 +131,7 @@ object StreamingPacking {
       // must not depend on whether the sink materialized its frame
       val batchTokens = packed.agg(coalesce(sum(col("n_tokens")), lit(0L)))
         .as[Long].head()
-      Seq((batchId, prior + batchTokens)).toDF("batch_id", "total_after")
-        .coalesce(1).write.mode("append").parquet(offsetPath(stateDir))
+      writeOffset(spark, stateDir, batchId, prior + batchTokens)
       // the packing op's internal persist must not outlive its batch
       graft.ops.Dedup.releaseCaches()
   }

@@ -99,6 +99,18 @@ class StreamingSpec extends SparkSpec {
       bucketWidth = 4L)(batch1, 1L)
     assert(replayGot.toSet == got.filter(_._1 >= 10).toSet,
       "a replayed micro-batch must emit identical shard ids")
+    // O(1) state: each batch writes ONE offsets file and prunes
+    // everything older than its predecessor, so the directory never
+    // grows with stream lifetime (the old parquet-append layout
+    // re-listed every batch's file on every batch)
+    (2L to 6L).foreach { bid =>
+      StreamingPacking.foreachBatchPacker(12L, state, { _: DataFrame => () },
+        bucketWidth = 4L)(all.limit(0), bid)
+    }
+    val od = new org.apache.hadoop.fs.Path(s"$state/offsets")
+    val files = od.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(od).map(_.getPath.getName).filter(_.startsWith("batch-"))
+    assert(files.length <= 2, s"offsets dir must stay pruned: ${files.mkString(",")}")
     graft.ops.Dedup.releaseCaches()
   }
 
