@@ -69,7 +69,14 @@ object Dedup {
     * that result's plan is executing). `blocking = true` waits for the
     * blocks to actually drop — benchmark hygiene: lazily-evicted blocks
     * from a previous query otherwise compete with the next query's
-    * memory and skew its timing. */
+    * memory and skew its timing.
+    *
+    * CONTRACT: this also destroys live localCheckpoint blocks, whose
+    * truncated lineage can never recompute — a frame returned by an
+    * iterative op (`connectedComponents`/`connectedComponentsStar`)
+    * throws SparkException on any action after release, it does not
+    * fall back to a slow recompute. Materialize (write/collect) every
+    * result you still need BEFORE calling this. */
   def releaseCaches(blocking: Boolean = false): Unit = {
     var df = liveCaches.poll()
     while (df != null) { df.unpersist(blocking); df = liveCaches.poll() }

@@ -102,12 +102,14 @@ object Ivf {
 
   /** [[knn]] against a PREBUILT centroid model (trained earlier, or
     * loaded via [[AnnModels.loadCentroids]]) — no training scans in
-    * the query session. */
+    * the query session. Queries are selected from `emb` itself (NOT
+    * the narrower encoded projection), so `queryPred` may reference
+    * any `emb` column — consistent with [[Pq.knnWithModel]]. */
   def knnWithModel(emb: DataFrame, k: Int, queryPred: Column,
       centroids: Array[Array[Double]], nprobe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     knnEncoded(encodeCorpus(emb, centroids, idCol, vecCol), k, queryPred,
-      centroids, nprobe, idCol, vecCol)
+      centroids, nprobe, idCol, vecCol, queriesFrom = Some(emb))
 
   /** The stored IVF index rows — (idCol, vecCol as array<double>,
     * cell): assignment against a frozen model, writable next to the
@@ -133,16 +135,21 @@ object Ivf {
   /** [[knnWithModel]] over an ALREADY-ENCODED index (the
     * [[encodeCorpus]] layout, typically read back from parquet): the
     * query session re-assigns nothing — queries compute their probe
-    * list against the model and equi-join the stored cells. */
+    * list against the model and equi-join the stored cells.
+    * `queriesFrom` optionally supplies the query rows (a wider corpus
+    * table whose extra columns `queryPred` may reference); by default
+    * queries come from the index itself, so the predicate may only
+    * reference the index columns (idCol, vecCol, cell). */
   def knnEncoded(index: DataFrame, k: Int, queryPred: Column,
       centroids: Array[Array[Double]], nprobe: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queriesFrom: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cells = index
       .select(col(idCol).as("cid"), asDouble(col(vecCol)).as("ce"),
         col("cell"))
       .withColumn("cn", Similarity.norm(col("ce")))
-    val q = index.filter(queryPred)
+    val q = queriesFrom.getOrElse(index).filter(queryPred)
       .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qe"))
       .withColumn("qn", Similarity.norm(col("qe")))
       .withColumn("cell", explode(probeCells(col("qe"), centroids, nprobe)))

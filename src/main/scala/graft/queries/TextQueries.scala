@@ -877,7 +877,9 @@ object TextQueries {
       |     WHEN doc_id % 5 = 2 THEN text || ' ref https://Wiki.Example.org/page ok'
       |     WHEN doc_id % 5 = 4 THEN text ||
       |       ' src http://news.bbc.co.uk/story https://Shop.Example.co.jp/item' ||
-      |       ' http://site.k12.ca.us/page http://foo.bar.ck/x'
+      |       ' http://site.k12.ca.us/page http://foo.bar.ck/x' ||
+      |       ' http://web.myschool.pvt.k12.ma.us/hall http://www.city.kawasaki.jp/e' ||
+      |       ' http://foo.aisai.aichi.jp/z'
       |     ELSE text END""".stripMargin
 
   /** The synthetic corpus has no URLs; like `tx_pii_scrub`, AUGMENT it
@@ -886,8 +888,11 @@ object TextQueries {
     * false), every `doc_id % 5 == 2` doc a mixed-case clean one (must
     * lower-case and keep), and every `doc_id % 5 == 4` doc
     * multi-label-suffix hosts (`co.uk` / `co.jp` 2-label rules, a
-    * `k12.ca.us` 3-label rule, a `*.ck` wildcard) so the PSL-backed
-    * registrable-domain grouping is exercised, not just `.com`. */
+    * `k12.ca.us` 3-label rule, a `*.ck` wildcard, a `pvt.k12.ma.us`
+    * 4-label rule, the `*.kawasaki.jp`/`!city.kawasaki.jp`
+    * wildcard+exception pair, and an `aisai.aichi.jp` municipality
+    * rule) so the PSL-backed registrable-domain grouping is exercised
+    * across every rule arity the full ICANN section contains. */
   private def urlPlanted(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(col("doc_id"),
       when(col("doc_id") % 5 === 0, concat(col("text"),
@@ -896,7 +901,9 @@ object TextQueries {
         lit(" ref https://Wiki.Example.org/page ok")))
       .when(col("doc_id") % 5 === 4, concat(col("text"),
         lit(" src http://news.bbc.co.uk/story https://Shop.Example.co.jp/item" +
-          " http://site.k12.ca.us/page http://foo.bar.ck/x")))
+          " http://site.k12.ca.us/page http://foo.bar.ck/x" +
+          " http://web.myschool.pvt.k12.ma.us/hall http://www.city.kawasaki.jp/e" +
+          " http://foo.aisai.aichi.jp/z")))
       .otherwise(col("text")).as("text"))
 
   /** Per-doc domain blocklist gate — the "where did this text come

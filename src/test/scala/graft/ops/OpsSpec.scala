@@ -1278,7 +1278,18 @@ class OpsSpec extends SparkSpec {
       "x.foo.bar.ck" -> "foo.bar.ck",
       "www.ck" -> "www.ck", // !www.ck exception: registrable itself
       "sub.www.ck" -> "www.ck",
-      "deep.sub.example.org" -> "example.org")
+      "deep.sub.example.org" -> "example.org",
+      // full-ICANN-section shapes (r7): 4-label plain rule,
+      // 2-label-base wildcard, 3-label exception carving out of it
+      "web.myschool.pvt.k12.ma.us" -> "myschool.pvt.k12.ma.us",
+      "myschool.pvt.k12.ma.us" -> "myschool.pvt.k12.ma.us",
+      "pvt.k12.ma.us" -> "pvt.k12.ma.us", // host IS the 4-label suffix
+      "foo.bar.kawasaki.jp" -> "foo.bar.kawasaki.jp", // *.kawasaki.jp
+      "x.foo.bar.kawasaki.jp" -> "foo.bar.kawasaki.jp",
+      "www.city.kawasaki.jp" -> "city.kawasaki.jp", // !city.kawasaki.jp
+      "city.kawasaki.jp" -> "city.kawasaki.jp",
+      "foo.aisai.aichi.jp" -> "foo.aisai.aichi.jp", // municipality rule
+      "b.foo.aisai.aichi.jp" -> "foo.aisai.aichi.jp")
     val got = cases.map(_._1).zipWithIndex.map { case (h, i) => (i, h) }
       .toDF("i", "h")
       .select(col("i"), TextAnalysis.registrableDomain(col("h")).as("d"))
