@@ -143,11 +143,26 @@ object Dedup {
   def lineDedup(docs: DataFrame, maxOccurrences: Long = 1,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(maxOccurrences >= 1, "maxOccurrences must be >= 1")
-    val lines = persistTracked(docs
-      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
-      .withColumn("k", lower(trim(col("line")))))
-    val keptKeys = lines.groupBy("k").agg(count(lit(1)).as("occ"))
-      .filter(col("occ") <= maxOccurrences)
+    val lines = persistTracked(explodeLines(docs, idCol, textCol))
+    val counts = lines.groupBy("k").agg(count(lit(1)).as("occ"))
+    reassembleAgainstCounts(lines, counts, maxOccurrences, idCol)
+  }
+
+  /** The exploded narrow `(idCol, pos, line, k)` frame batch and
+    * streaming line dedup share (`k` = the normalized occurrence key). */
+  private[graft] def explodeLines(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("k", lower(trim(col("line"))))
+
+  /** Reassemble documents from `lines` judged against `counts`
+    * (`(k, occ)` — cumulative over whatever corpus the caller counts):
+    * the shared tail of [[lineDedup]] and the streaming twin, so the
+    * keep rule and output schema cannot fork. */
+  private[graft] def reassembleAgainstCounts(lines: DataFrame,
+      counts: DataFrame, maxOccurrences: Long, idCol: String): DataFrame = {
+    val keptKeys = counts.filter(col("occ") <= maxOccurrences)
       .select(col("k"), lit(1).as("_keep"))
     lines.join(keptKeys, Seq("k"), "left")
       .groupBy(idCol)

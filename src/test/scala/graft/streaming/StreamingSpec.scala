@@ -114,6 +114,81 @@ class StreamingSpec extends SparkSpec {
     graft.ops.Dedup.releaseCaches()
   }
 
+  test("streaming line dedup: upserted sink equals batch lineDedup, replay emits identical rows") {
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    val in = tmpDir("ld-in")
+    val state = tmpDir("ld-state")
+    // 'subscribe now' has one copy in each batch: it only goes hot once
+    // batch 1 arrives, so doc 0 (emitted clean in batch 0) MUST be
+    // re-emitted corrected — the retroactive case the upsert contract
+    // exists for. Doc 1 repeats a line within itself (hot immediately);
+    // doc 11 is all boilerplate (must survive as an empty row).
+    def txt(i: Long): String = i match {
+      case 0L => "keep alpha\\nsubscribe now\\nunique zero"
+      case 1L => "dup line\\ndup line\\nkeep beta"
+      case 10L => "subscribe now\\nkeep gamma"
+      case 11L => "dup line\\nDup Line  "
+      case _ => s"solo $i"
+    }
+    def doc(i: Long): String = s"""{"doc_id":$i,"text":"${txt(i)}"}"""
+    val fa = java.nio.file.Paths.get(s"$in/a.jsonl")
+    val fb = java.nio.file.Paths.get(s"$in/b.jsonl")
+    java.nio.file.Files.write(fa,
+      (0L until 5L).map(doc).mkString("\n").getBytes)
+    java.nio.file.Files.write(fb,
+      (10L until 15L).map(doc).mkString("\n").getBytes)
+    fa.toFile.setLastModified(System.currentTimeMillis() - 60000)
+    fb.toFile.setLastModified(System.currentTimeMillis())
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("text", "string")
+    val upserts = scala.collection.mutable.Map[Long, (String, Long, Long)]()
+    val perBatch = scala.collection.mutable.ArrayBuffer[Set[(Long, String, Long, Long)]]()
+    def collectRows(out: DataFrame): Seq[(Long, String, Long, Long)] =
+      out.collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("clean_text"), r.getAs[Long]("n_kept"),
+        r.getAs[Long]("n_dropped"))).toSeq
+    val sink: DataFrame => Unit = { out =>
+      val rows = collectRows(out)
+      upserts.synchronized {
+        perBatch += rows.toSet
+        rows.foreach(t => upserts(t._1) = (t._2, t._3, t._4))
+      }
+      ()
+    }
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(in)
+      .writeStream
+      .option("checkpointLocation", tmpDir("ld-ckpt"))
+      .foreachBatch(StreamingLineDedup.foreachBatchLineDeduper(
+        maxOccurrences = 1, stateDir = state, sink = sink))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // upserted sink state == batch lineDedup over the concatenation
+    val all = ((0L until 5L) ++ (10L until 15L))
+      .map(i => (i, txt(i).replace("\\n", "\n"))).toDF("doc_id", "text")
+    val exp = graft.ops.Dedup.lineDedup(all).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[String]("clean_text"),
+        r.getAs[Long]("n_kept"), r.getAs[Long]("n_dropped"))).toMap
+    graft.ops.Dedup.releaseCaches()
+    assert(upserts.toMap == exp,
+      s"stream-only=${upserts.toMap.toSet -- exp.toSet} batch-only=${exp.toSet -- upserts.toMap.toSet}")
+    // the retroactive re-emission actually happened: batch 1 re-emitted
+    // doc 0 with 'subscribe now' dropped
+    assert(perBatch.size == 2)
+    assert(perBatch(1).exists(t => t._1 == 0L && t._2 == "keep alpha\nunique zero"),
+      s"batch 1 must re-emit doc 0 corrected: ${perBatch(1)}")
+    // replay idempotency: re-running batch 1 against the persisted
+    // state emits exactly the rows batch 1 emitted the first time
+    val batch1 = all.filter(col("doc_id") >= 10L)
+    val replayed = scala.collection.mutable.ArrayBuffer[(Long, String, Long, Long)]()
+    StreamingLineDedup.foreachBatchLineDeduper(1L, state,
+      { p: DataFrame => replayed ++= collectRows(p); () })(batch1, 1L)
+    assert(replayed.toSet == perBatch(1),
+      "a replayed micro-batch must emit identical rows")
+    graft.ops.Dedup.releaseCaches()
+  }
+
   test("streaming ANN ingest: streamed index equals batch encode, replays don't duplicate") {
     import org.apache.spark.sql.DataFrame
     import spark.implicits._
