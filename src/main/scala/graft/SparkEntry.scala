@@ -68,5 +68,7 @@ object SparkEntry {
     "tx_bm25",           // BM25 search with query-term prefilter
     // r6: the new heavy text families
     "tx_line_dedup",     // corpus-wide line window + reassembly
-    "tx_bigram_logprob") // capped bigram model + broadcast scoring
+    "tx_bigram_logprob", // capped bigram model + broadcast scoring
+    // r7: the whole pipeline front to back as one declarative plan
+    "tx_curation6")      // extract -> enc -> line dedup -> decon -> gates -> keeper -> bigram -> mix
 }

@@ -52,8 +52,18 @@ object Dedup {
     * are released deterministically: the caller frees the previous
     * round via [[freeCheckpoint]] the moment the next round is
     * materialized; whatever is still live at [[releaseCaches]] time
-    * (the final round backing the returned frame) is freed there. */
-  private def checkpointTracked(df: DataFrame): DataFrame = {
+    * (the final round backing the returned frame) is freed there.
+    *
+    * Also the stage-boundary tool for DEEP COMPOSED pipelines
+    * (curation v6): a stage that references its upstream frame k
+    * times builds a plan tree k× its ancestor's, so a chained
+    * pipeline's logical plan grows near-exponentially — and
+    * cache-lookup canonicalization walks that whole tree on EVERY
+    * action (measured: ~5 s of pure driver time per count at sf0.1,
+    * zero stage time). Checkpointing each stage collapses downstream
+    * plans to a leaf scan. Same rule as [[releaseCaches]]: blocks die
+    * at release, materialize results first. */
+  private[graft] def checkpointTracked(df: DataFrame): DataFrame = {
     val cp = df.localCheckpoint(true)
     liveCheckpoints.add(cp)
     cp

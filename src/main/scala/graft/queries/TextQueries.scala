@@ -1108,6 +1108,281 @@ object TextQueries {
       |GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // --- Curation v6: the whole pipeline, front to back -------------------
+  // The thesis query: crawl-shaped input (markup, decode damage,
+  // boilerplate lines, exact-dup pairs) through EVERY stage the repo
+  // implements, as one declarative plan, reported as a funnel —
+  //   a_input -> b_encoding (extract + U+FFFD/control gate)
+  //   -> c_line (corpus-wide line dedup, maxOccurrences=2, empty docs out)
+  //   -> d_decon (8-gram benchmark decontamination)
+  //   -> e_gates (language / quality / length / repetition)
+  //   -> f_keeper (exact-dedup min-id keeper)
+  //   -> g_bigram (bigram-LM fluency floor: >= corpus-average score)
+  //   -> h_sampled (temperature mixing alpha=0.5, target 50%).
+  // Every stage drops non-vacuously: damage plants fail the encoding
+  // gate; %19 docs are ALL boilerplate (lose every line); %37 docs are
+  // the benchmark slice; the word-salad corpus feeds the content
+  // gates; %23 pair plants are exact dups that SURVIVE line dedup
+  // (2 copies <= maxOccurrences) so the keeper has real work; the
+  // >=-average bigram floor splits any population; the tempered mix
+  // downsamples the dominant source. HTML extraction is CONDITIONAL
+  // (content sniff) so the line structure of plain-text docs survives
+  // — the reason v5's unconditional extract could never feed a line
+  // stage. maxOccurrences=2 is the load-bearing constant: at 1, any
+  // exact-dup pair is destroyed at the line stage before the keeper
+  // can see it (their shared lines have 2 copies).
+
+  /** Pair-doc body segments with the pair id INTERLEAVED every six
+    * words: no 8-gram window avoids the id token, so no 8-gram is
+    * shared ACROSS pairs — a pair doc landing in the %37 benchmark
+    * slice must not decontaminate every other pair away (it did: all
+    * pairs shared their leading 8-grams, and one benchmark pair doc
+    * killed the keeper stage's entire dup supply). */
+  private val curation6PairSegs = Seq(
+    "the quick brown fox jumps over p",
+    " a lazy dog sits very still p",
+    " while seven wizards mix bright potions p",
+    " near an old stone tower tonight p")
+
+  private val curation6PlantSql: String = {
+    val damaged = """CASE WHEN doc_id % 11 = 0 THEN ' bad' || chr(65533)
+      |  WHEN doc_id % 13 = 5 THEN ' ' || repeat(chr(7), 40) ELSE '' END"""
+      .stripMargin.replace("\n", " ")
+    val lineTails =
+      """CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'Subscribe to our newsletter!' ELSE '' END
+        | || CASE WHEN doc_id % 5 = 1 THEN chr(10) || 'Terms of service apply.' ELSE '' END"""
+        .stripMargin.replace("\n", " ")
+    def pairSql(idExpr: String) = curation6PairSegs
+      .map(seg => s"'$seg' || $idExpr").mkString(" || ")
+    s"""CASE WHEN doc_id % 19 = 4 THEN 'all rights reserved.'
+      |  WHEN doc_id % 23 = 6 THEN ${pairSql("CAST(doc_id AS VARCHAR)")}
+      |  WHEN doc_id % 23 = 7 THEN ${pairSql("CAST(doc_id - 1 AS VARCHAR)")}
+      |  WHEN doc_id % 4 = 1 THEN
+      |    '<html><head><style>p { color: red; }</style>' ||
+      |    '<script>var x = 1 < 2;</script></head><body><!-- nav --><p>' ||
+      |    (text || ($damaged)) ||
+      |    '</p><p>Tom &amp; Jerry &#39;now&#39; esc &amp;lt;b&amp;gt;</p></body></html>'
+      |  ELSE text || ($lineTails) || ($damaged) END"""
+      .stripMargin.replace("\n", " ")
+  }
+
+  private[graft] def curation6Planted(spark: SparkSession, dir: String): DataFrame = {
+    val damaged = when(col("doc_id") % 11 === 0, lit(" bad\uFFFD"))
+      .when(col("doc_id") % 13 === 5, lit(" " + "\u0007" * 40))
+      .otherwise(lit(""))
+    val lineTails = concat(
+      when(col("doc_id") % 3 === 0, lit("\nSubscribe to our newsletter!"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 1, lit("\nTerms of service apply."))
+        .otherwise(lit("")))
+    def pairCol(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      concat(curation6PairSegs.flatMap(seg =>
+        Seq(lit(seg), id.cast("string"))): _*)
+    docs(spark, dir).select(col("doc_id"), col("source"),
+      when(col("doc_id") % 19 === 4, lit("all rights reserved."))
+        .when(col("doc_id") % 23 === 6, pairCol(col("doc_id")))
+        .when(col("doc_id") % 23 === 7, pairCol(col("doc_id") - 1))
+        .when(col("doc_id") % 4 === 1, concat(
+          lit("<html><head><style>p { color: red; }</style>"),
+          lit("<script>var x = 1 < 2;</script></head><body><!-- nav --><p>"),
+          col("text"), damaged,
+          lit("</p><p>Tom &amp; Jerry &#39;now&#39; esc &amp;lt;b&amp;gt;</p></body></html>")))
+        .otherwise(concat(col("text"), lineTails, damaged)).as("text"))
+  }
+
+  /** The full-pipeline funnel (stage, n_docs) — see the section
+    * comment for the stage list and why each drop is non-vacuous.
+    *
+    * Stage boundaries are eager tracked localCheckpoints, not
+    * persists: each stage here references its upstream frame several
+    * times (decon reads `cleaned` three ways, the bigram scorer reads
+    * `keeper` six), so with lazy caching the LOGICAL tree compounds
+    * near-exponentially down the chain and the driver spends ~10× the
+    * cluster time canonicalizing plans for cache lookups (measured
+    * 50 s query / <15 s of stage work at sf0.1). Checkpointing
+    * collapses every downstream reference to a leaf scan — the
+    * composed pipeline costs the sum of its stages, which is also the
+    * 100 TB shape (a production pipeline materializes stage outputs
+    * between phases for exactly this reason). */
+  def curation6(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.DataFrame
+    val planted = curation6Planted(spark, dir)
+    // conditional extraction: only markup-bearing docs go through
+    // htmlToText (its whitespace collapse would destroy the line
+    // structure the next stage needs on plain-text docs)
+    val extracted = planted.withColumn("text",
+      when(col("text").contains("<html"),
+        TextAnalysis.htmlToText(col("text"))).otherwise(col("text")))
+    val (_, _, _, encKeep) = TextAnalysis.encodingQuality(col("text"))
+    val enc = Dedup.checkpointTracked(extracted.filter(encKeep))
+    val cleaned = Dedup.checkpointTracked(
+      Dedup.lineDedup(enc, maxOccurrences = 2)
+        .filter(length(col("clean_text")) > 0)
+        .join(enc.select("doc_id", "source"), Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("clean_text").as("text")))
+    val clean = Dedup.decontaminate(cleaned,
+        cleaned.filter(col("doc_id") % 37 === 0), k = 8)
+      .filter(col("keep")).select("doc_id")
+    val deconned = Dedup.checkpointTracked(
+      cleaned.join(clean, Seq("doc_id"), "left_semi"))
+    val gated = Dedup.checkpointTracked(deconned
+      .withColumn("_tk", TextAnalysis.tokens(col("text")))
+      .withColumn("_g3", TextAnalysis.ngramsFromTokens(col("_tk"), 3))
+      .filter(TextAnalysis.langId(col("text")) === "en" &&
+        TextAnalysis.qualityScore(col("text")) >= 0.58 &&
+        TextAnalysis.tokenCount(col("text")) >= 20 &&
+        TextAnalysis.dupNgramFraction(col("_g3")) <= 0.2)
+      .select("doc_id", "source", "text"))
+    val keeper = Dedup.checkpointTracked(gated
+      .withColumn("fp", TextAnalysis.md5Fingerprint(col("text")))
+      .withColumn("keep", col("doc_id") === min("doc_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      .filter(col("keep"))
+      .select("doc_id", "source", "text"))
+    // bigram fluency floor: model trained on the keeper survivors,
+    // keep docs scoring at or above the (rounded) corpus average —
+    // population-relative, so the stage splits non-vacuously at any
+    // corpus size; the threshold is one broadcast scalar
+    // scored feeds both the threshold scalar and the join — checkpoint
+    // so the bigram scoring pass runs once, not twice
+    val scored = Dedup.checkpointTracked(TextAnalysis.bigramLogProb(keeper))
+    val thr = scored.agg(round(avg(col("mean_log10p")), 4).as("_avg"))
+    val bigramKept = Dedup.checkpointTracked(keeper
+      .join(scored, Seq("doc_id"))
+      .crossJoin(broadcast(thr))
+      .filter(col("mean_log10p").isNotNull &&
+        col("mean_log10p") >= col("_avg"))
+      .select("doc_id", "source"))
+    val sampled = graft.ops.Sampling.temperatureMix(bigramKept, alpha = 0.5,
+      targetFraction = 0.5, strataCol = "source", idCol = "doc_id")
+    def cnt(df: DataFrame, stage: String): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(stage).as("stage"), col("n_docs"))
+    cnt(planted, "a_input")
+      .unionByName(cnt(enc, "b_encoding"))
+      .unionByName(cnt(cleaned, "c_line"))
+      .unionByName(cnt(deconned, "d_decon"))
+      .unionByName(cnt(gated, "e_gates"))
+      .unionByName(cnt(keeper, "f_keeper"))
+      .unionByName(cnt(bigramKept, "g_bigram"))
+      .unionByName(cnt(sampled, "h_sampled"))
+      .transform(QueryUtil.ordered("stage"))
+  }
+
+  val curation6Oracle: String = {
+    import graft.ops.TextAnalysis._
+    s"""WITH planted AS (SELECT doc_id, source, $curation6PlantSql AS text
+      |  FROM documents),
+      |x1 AS (SELECT doc_id,
+      |         regexp_replace(text, '$HtmlScriptRe', ' ', 'g') AS t FROM planted),
+      |x2 AS (SELECT doc_id, regexp_replace(t, '$HtmlStyleRe', ' ', 'g') AS t FROM x1),
+      |x3 AS (SELECT doc_id, regexp_replace(t, '$HtmlCommentRe', ' ', 'g') AS t FROM x2),
+      |x4 AS (SELECT doc_id, regexp_replace(t, '$HtmlTagRe', ' ', 'g') AS t FROM x3),
+      |x5 AS (SELECT doc_id,
+      |         replace(replace(replace(replace(replace(replace(t,
+      |           '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+      |           '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&') AS t FROM x4),
+      |ex AS (SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS t FROM x5),
+      |sel AS (SELECT p.doc_id, p.source,
+      |          CASE WHEN p.text LIKE '%<html%' THEN ex.t ELSE p.text END AS text
+      |        FROM planted p JOIN ex USING (doc_id)),
+      |encm AS (SELECT doc_id, source, text,
+      |           length(text) - length(regexp_replace(text, chr(65533), '', 'g'))
+      |             AS n_repl,
+      |           length(text) - length(regexp_replace(text, '$ControlCharRe', '', 'g'))
+      |             AS n_ctrl
+      |         FROM sel),
+      |encok AS (SELECT doc_id, source, text FROM encm
+      |  WHERE n_repl = 0
+      |    AND (n_repl + n_ctrl) * 1.0 / greatest(length(text), 1) <= 0.01),
+      |l AS (SELECT doc_id,
+      |        unnest(string_split(text, chr(10))) AS line,
+      |        unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+      |      FROM encok),
+      |lk AS (SELECT doc_id, pos, line, lower(trim(line)) AS key FROM l),
+      |occ AS (SELECT key, count(*) AS c FROM lk GROUP BY 1),
+      |keptl AS (SELECT lk.doc_id, lk.pos, lk.line
+      |          FROM lk JOIN occ USING (key) WHERE occ.c <= 2),
+      |cleaned AS (SELECT e.doc_id, e.source,
+      |              string_agg(keptl.line, chr(10) ORDER BY keptl.pos) AS text
+      |            FROM encok e JOIN keptl ON e.doc_id = keptl.doc_id
+      |            GROUP BY 1, 2),
+      |t8 AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM cleaned),
+      |sh8 AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 8
+      |         THEN list_distinct(list_transform(range(1, len(w) - 6),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+      |             || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]))
+      |         ELSE [text] END) AS s
+      |       FROM t8),
+      |bs8 AS (SELECT DISTINCT s FROM sh8 WHERE doc_id % 37 = 0),
+      |dirty AS (SELECT DISTINCT sh8.doc_id FROM sh8 JOIN bs8 ON sh8.s = bs8.s),
+      |deconned AS (SELECT doc_id, source, text FROM cleaned
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+      |s AS (SELECT doc_id, source, text,
+      |    len(string_split(text, ' ')) * 1.0 AS n,
+      |    len(list_distinct(string_split(text, ' '))) * 1.0 AS nd,
+      |    len(list_filter(string_split(text, ' '),
+      |        t -> t IN ('the', 'a', 'of', 'to', 'and', 'in', 'is', 'it'))) * 1.0 AS st,
+      |    len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','is'))) AS e,
+      |    len(list_filter(string_split(text, ' '), t -> t IN ('der','die','das','und','ist'))) AS d,
+      |    len(list_filter(string_split(text, ' '), t -> t IN ('le','la','les','et','est'))) AS f,
+      |    len(list_filter(string_split(text, ' '), t -> t IN ('el','los','las','y','es'))) AS sp,
+      |    CASE WHEN len(string_split(text, ' ')) >= 3
+      |         THEN list_transform(range(1, len(string_split(text, ' ')) - 1),
+      |                i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))
+      |         ELSE [] END AS g3
+      |  FROM deconned),
+      |gated AS (SELECT doc_id, source, text FROM s
+      |  WHERE (CASE WHEN e > 0 AND e >= greatest(e, d, f, sp) THEN 'en'
+      |              WHEN d > 0 AND d >= greatest(d, f, sp) THEN 'de'
+      |              WHEN f > 0 AND f >= greatest(f, sp) THEN 'fr'
+      |              WHEN sp > 0 THEN 'es' ELSE 'und' END) = 'en'
+      |    AND round(least(n / 100.0, 1.0) * 0.4 + (nd / n) * 0.4 + (1.0 - st / n) * 0.2, 4) >= 0.58
+      |    AND n >= 20
+      |    AND (len(g3) = 0 OR
+      |         round((len(g3) - len(list_distinct(g3))) * 1.0 / len(g3), 4) <= 0.2)),
+      |kept AS (SELECT doc_id, source, text FROM gated
+      |  WHERE doc_id = (SELECT min(doc_id) FROM gated g2
+      |                  WHERE md5(g2.text) = md5(gated.text))),
+      |tkb AS (SELECT doc_id, string_split(text, ' ') AS w FROM kept),
+      |bi AS (SELECT doc_id, unnest(w[1:len(w)-1]) AS u, unnest(w[2:len(w)]) AS v
+      |       FROM tkb WHERE len(w) >= 2),
+      |bc AS (SELECT u, v, count(*) * 1.0 AS cuv FROM bi GROUP BY 1, 2),
+      |cx AS (SELECT u, sum(cuv) AS cu FROM bc GROUP BY 1),
+      |topcx AS (SELECT u, cu FROM cx ORDER BY cu DESC, u LIMIT 1000),
+      |vsz AS (SELECT count(*) * 1.0 AS vv FROM topcx),
+      |topbi AS (SELECT bc.u, bc.v, bc.cuv FROM bc JOIN topcx ON bc.u = topcx.u
+      |          ORDER BY bc.cuv DESC, bc.u, bc.v LIMIT 4000),
+      |sc AS (SELECT bi.doc_id,
+      |         log10((coalesce(tb.cuv, 0) + 1) / (coalesce(tc.cu, 0) + vsz.vv)) AS lp
+      |       FROM bi
+      |       LEFT JOIN topbi tb ON bi.u = tb.u AND bi.v = tb.v
+      |       LEFT JOIN topcx tc ON bi.u = tc.u
+      |       CROSS JOIN vsz),
+      |scored AS (SELECT doc_id, round(avg(lp), 4) AS mlp FROM sc GROUP BY 1),
+      |thr AS (SELECT round(avg(mlp), 4) AS av FROM scored),
+      |bkept AS (SELECT k.doc_id, k.source FROM kept k
+      |          JOIN scored USING (doc_id) CROSS JOIN thr
+      |          WHERE scored.mlp >= thr.av),
+      |c AS (SELECT source, count(*) * 1.0 AS ns FROM bkept GROUP BY source),
+      |dn AS (SELECT sum(pow(ns, 0.5)) AS den, sum(ns) AS nn FROM c),
+      |fr AS (SELECT source, least(1.0, pow(ns, 0.5) / dn.den * 0.5 * dn.nn / ns) AS kf
+      |       FROM c CROSS JOIN dn),
+      |sampled AS (SELECT b.doc_id FROM bkept b JOIN fr ON b.source = fr.source
+      |  WHERE ('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+      |          / 4294967296.0 < fr.kf)
+      |SELECT stage, n_docs FROM (
+      |  SELECT 'a_input' AS stage, count(*) AS n_docs FROM planted
+      |  UNION ALL SELECT 'b_encoding', count(*) FROM encok
+      |  UNION ALL SELECT 'c_line', count(*) FROM cleaned
+      |  UNION ALL SELECT 'd_decon', count(*) FROM deconned
+      |  UNION ALL SELECT 'e_gates', count(*) FROM gated
+      |  UNION ALL SELECT 'f_keeper', count(*) FROM kept
+      |  UNION ALL SELECT 'g_bigram', count(*) FROM bkept
+      |  UNION ALL SELECT 'h_sampled', count(*) FROM sampled)
+      |ORDER BY stage""".stripMargin
+  }
+
   // --- Encoding quality -------------------------------------------------
   // The corpus is clean UTF-8, so decode damage is PLANTED identically
   // on both sides: replacement chars (decode-error proof), a sprinkle
@@ -1580,6 +1855,7 @@ object TextQueries {
     "tx_curation4" -> ((curation4 _, Some(curation4Oracle))),
     "tx_curation_funnel" -> ((curationFunnel _, Some(curationFunnelOracle))),
     "tx_curation5" -> ((curation5 _, Some(curation5Oracle))),
+    "tx_curation6" -> ((curation6 _, Some(curation6Oracle))),
     "tx_sample_strata" -> ((sampleStrata _, Some(sampleStrataOracle))),
     "tx_corpus_profile" -> ((corpusProfile _, Some(corpusProfileOracle))),
     "mm_media_meta" -> ((mediaMeta _, Some(mediaMetaOracle))),
