@@ -70,5 +70,6 @@ object SparkEntry {
     "tx_line_dedup",     // corpus-wide line window + reassembly
     "tx_bigram_logprob", // capped bigram model + broadcast scoring
     // r7: the whole pipeline front to back as one declarative plan
-    "tx_curation6")      // extract -> enc -> line dedup -> decon -> gates -> keeper -> bigram -> mix
+    "tx_curation6",      // extract -> enc -> line dedup -> decon -> gates -> keeper -> bigram -> mix
+    "tx_substr_dedup")   // ExactSubstr-style repeated-span removal (bounded per-doc window)
 }

@@ -189,6 +189,78 @@ object Dedup {
         (col("n_lines") - col("n_kept")).as("n_dropped"))
   }
 
+  /** Exact repeated-SUBSTRING removal in the spirit of ExactSubstr
+    * from "Deduplicating Training Data Makes Language Models Better"
+    * (Lee et al. 2022, arXiv:2107.06499), at token-window granularity
+    * where [[lineDedup]] works at line granularity: any k-token window
+    * whose space-joined form occurs more than `maxOccurrences` times
+    * corpus-wide marks ALL k of its token positions for removal in
+    * every occurrence; overlapping repeated windows merge into maximal
+    * spans by construction, and each document reassembles from its
+    * surviving tokens in order. Deliberate deviation from the paper:
+    * the paper's suffix-array form keeps ONE occurrence of each
+    * repeated span; this operator removes every copy — the same
+    * boilerplate-is-noise contract as [[lineDedup]]'s
+    * `maxOccurrences`, symmetric and order-free (raise
+    * `maxOccurrences` to tolerate n-way repeats instead). A document
+    * losing every token survives with `clean_text = ""` — no silent
+    * row loss.
+    *
+    * Scale shape, mirroring [[lineDedup]]'s de-skewed form: gram
+    * occurrence counts are `groupBy(gram).count()` (map-side partial
+    * aggregation — a hot boilerplate gram shrinks to one row per map
+    * task, never funnels through one window task), the hot-gram
+    * join-back is an AQE-splittable equi-join, and span merging is a
+    * BOUNDED range window (k-1 preceding) partitioned BY DOCUMENT —
+    * per-doc work, no corpus-wide ordering anywhere. Two persisted
+    * narrow frames (token array; exploded grams) — the corpus is
+    * scanned once. */
+  def exactSubstringDedup(docs: DataFrame, k: Int = 8,
+      maxOccurrences: Long = 1,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, "k must be >= 2")
+    require(maxOccurrences >= 1, "maxOccurrences must be >= 1")
+    val base = persistTracked(docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_tk")))
+    // 1-based gram start positions, matching the 1-based token
+    // positions below (and the DuckDB oracle's list indexing)
+    val grams = persistTracked(base.select(col(idCol), posexplode(
+        when(size(col("_tk")) >= k,
+          transform(sequence(lit(1), size(col("_tk")) - (k - 1)),
+            i => concat_ws(" ", slice(col("_tk"), i, lit(k)))))
+          .otherwise(array().cast("array<string>"))).as(Seq("g0", "gram")))
+      .select(col(idCol), (col("g0") + 1).as("gpos"), col("gram")))
+    val hot = grams.groupBy("gram").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > maxOccurrences)
+      .select(col("gram"), lit(1).as("_hot"))
+    val hotStarts = grams.join(hot, Seq("gram"))
+      .select(col(idCol), col("gpos"))
+    val toks = base
+      .select(col(idCol), posexplode(col("_tk")).as(Seq("p0", "tok")))
+      .select(col(idCol), (col("p0") + 1).as("pos"), col("tok"))
+    // token at pos is removed iff some hot gram starts in
+    // [pos-k+1, pos]: flag hot starts on their start position, then a
+    // bounded per-document range window ORs the flag forward k-1 slots
+    // grams are unique per (doc, start), so the flag side needs no
+    // dedup before the join
+    val flagged = toks.join(
+        hotStarts.select(col(idCol), col("gpos").as("pos"), lit(1).as("hs")),
+        Seq(idCol, "pos"), "left")
+    val covered = max(coalesce(col("hs"), lit(0)))
+      .over(Window.partitionBy(col(idCol)).orderBy(col("pos"))
+        .rangeBetween(-(k - 1), 0))
+    flagged.withColumn("cv", covered)
+      .groupBy(idCol)
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("cv") === 0,
+            struct(col("pos"), col("tok"))))),
+          s => s.getField("tok")), " ").as("clean_text"),
+        count(lit(1)).as("n_tokens"),
+        sum(col("cv")).cast("long").as("n_removed"))
+  }
+
   /** (sid, sh: array<string>) — hoisted as a real column so downstream
     * references don't recompute the shingling (codegen CSE does not
     * reach into conditional/lambda contexts). */

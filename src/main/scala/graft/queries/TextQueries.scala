@@ -1485,6 +1485,73 @@ object TextQueries {
       |  CAST(n.n_lines - coalesce(agg.n_kept, 0) AS BIGINT) AS n_dropped
       |FROM n LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  // --- Exact substring dedup (ExactSubstr, Lee et al. 2022) ------------
+  // The corpus is word-salad with no repeated spans, so the query
+  // PLANTS them identically on both sides: a cross-document repeated
+  // 9-token tail (every copy must vanish, 2 overlapping hot 8-grams
+  // merging into one span) and an intra-document doubled 9-token run
+  // (repeats inside one doc count too). Body tokens stay: grams
+  // STARTING in the unique body don't repeat even when they extend
+  // into the planted tail.
+
+  private val substrPlantSql =
+    """text || CASE WHEN doc_id % 6 = 3
+      |  THEN ' legal notice the terms of service apply here today' ELSE '' END
+      |  || CASE WHEN doc_id % 10 = 2
+      |  THEN ' rep one two three four five six seven eight'
+      |    || ' rep one two three four five six seven eight' ELSE '' END"""
+      .stripMargin.replace("\n", " ")
+
+  private def substrPlanted(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 6 === 3,
+          lit(" legal notice the terms of service apply here today"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 10 === 2,
+          lit(" rep one two three four five six seven eight" +
+            " rep one two three four five six seven eight"))
+          .otherwise(lit(""))).as("text"))
+
+  /** Corpus-wide repeated-substring removal over the planted corpus. */
+  def substrDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.exactSubstringDedup(substrPlanted(spark, dir))
+      .transform(QueryUtil.ordered("doc_id"))
+
+  val substrDedupOracle: String =
+    s"""WITH planted AS (SELECT doc_id, $substrPlantSql AS text FROM documents),
+      |tk AS (SELECT doc_id, string_split(text, ' ') AS w FROM planted),
+      |tok AS (SELECT doc_id, unnest(w) AS tok,
+      |          unnest(range(1, len(w) + 1)) AS pos FROM tk),
+      |gr AS (SELECT doc_id,
+      |         unnest(CASE WHEN len(w) >= 8 THEN list_transform(
+      |             range(1, len(w) - 6), i -> array_to_string(w[i:i+7], ' '))
+      |           ELSE [] END) AS gram,
+      |         unnest(CASE WHEN len(w) >= 8 THEN range(1, len(w) - 6)
+      |           ELSE [] END) AS gpos
+      |       FROM tk),
+      |occ AS (SELECT gram, count(*) AS c FROM gr GROUP BY 1),
+      |hot AS (SELECT gr.doc_id, gr.gpos FROM gr JOIN occ USING (gram)
+      |        WHERE occ.c > 1),
+      |fl AS (SELECT tok.doc_id, tok.pos, tok.tok,
+      |         CASE WHEN hot.gpos IS NOT NULL THEN 1 ELSE 0 END AS hs
+      |       FROM tok LEFT JOIN hot
+      |         ON tok.doc_id = hot.doc_id AND tok.pos = hot.gpos),
+      |cov AS (SELECT doc_id, pos, tok,
+      |          max(hs) OVER (PARTITION BY doc_id ORDER BY pos
+      |            RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) AS cv
+      |        FROM fl),
+      |agg AS (SELECT doc_id,
+      |          string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE cv = 0)
+      |            AS clean_text,
+      |          count(*) AS n_tokens,
+      |          count(*) FILTER (WHERE cv = 1) AS n_removed
+      |        FROM cov GROUP BY 1)
+      |SELECT doc_id, coalesce(clean_text, '') AS clean_text,
+      |  CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(n_removed AS BIGINT) AS n_removed
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   /** BM25 top-10 for a fixed three-term query (k1 = 1.2, b = 0.75) —
     * corpus search over the curated store. Scale shape: the token
     * stream is filtered to the QUERY terms before any shuffle (the tf
@@ -1827,6 +1894,7 @@ object TextQueries {
     "tx_pack_shards" -> ((packShards _, Some(packShardsOracle))),
     "tx_tokenizer_probe" -> ((tokenizerProbe _, Some(tokenizerProbeOracle))),
     "tx_line_dedup" -> ((lineDedup _, Some(lineDedupOracle))),
+    "tx_substr_dedup" -> ((substrDedup _, Some(substrDedupOracle))),
     "tx_encoding_gate" -> ((encodingGate _, Some(encodingGateOracle))),
     "tx_html_extract" -> ((htmlExtract _, Some(htmlExtractOracle))),
     "tx_pack_shards_probe" -> ((packShardsProbe _, Some(packShardsProbeOracle))),

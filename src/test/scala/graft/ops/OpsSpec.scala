@@ -1243,6 +1243,34 @@ class OpsSpec extends SparkSpec {
     assert(loose(1L).contains("Subscribe now!"))
   }
 
+  test("exact substring dedup: repeated k-windows vanish everywhere, spans merge, unique text survives") {
+    // k=4: docs 1 and 2 share the 5-token run "a b c d e" -> two
+    // overlapping hot 4-grams merge into one 5-token span, removed
+    // from BOTH docs; doc 3 repeats a 4-gram within itself; doc 4 is
+    // untouched unique text; doc 5 is nothing but the shared run
+    val d = Seq(
+      (1L, "x1 x2 a b c d e y1 y2"),
+      (2L, "z1 a b c d e z2 z3"),
+      (3L, "p q r s p q r s tail1"),
+      (4L, "all of these tokens appear exactly once here"),
+      (5L, "a b c d e"))
+      .toDF("doc_id", "text")
+    val r = Dedup.exactSubstringDedup(d, k = 4).collect()
+      .map(x => x.getLong(0) ->
+        ((x.getString(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r(1L) == (("x1 x2 y1 y2", 9L, 5L)),
+      "overlapping hot windows must merge into one removed span")
+    assert(r(2L) == (("z1 z2 z3", 8L, 5L)))
+    assert(r(3L) == (("tail1", 9L, 8L)),
+      "a window repeated within one doc is removed from both copies")
+    assert(r(4L) == (("all of these tokens appear exactly once here", 8L, 0L)))
+    assert(r(5L) == (("", 5L, 5L)),
+      "a fully-repeated doc survives as an empty row")
+    // grams that START in unique text and extend into the shared run
+    // must not fire (doc 1's "x2 a b c" occurs once)
+    assert(r(1L)._1.startsWith("x1 x2"))
+  }
+
   test("URL gate: hosts extracted and lower-cased, blocklist flags, registrable domains") {
     val d = Seq(
       (1L, "read https://Docs.Example.COM/a?q=1 and http://spam.example.com/x"),
