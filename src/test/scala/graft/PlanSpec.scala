@@ -90,6 +90,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), s"expected partial aggregation:\n$p")
   }
 
+  test("tx_substr_dedup: gram counts partial-aggregate; the only window is per-document and bounded") {
+    // hot-gram occurrence counting must be a groupBy (partial agg — a
+    // boilerplate gram at 10^8 copies shrinks to one row per map
+    // task), never a window on the gram key; the span-merge window is
+    // partitioned by DOCUMENT with a bounded (k-1 preceding) frame —
+    // per-doc work that AQE/document-count parallelism scales
+    val p = plan("tx_substr_dedup")
+    assert(p.contains("HashAggregate"), s"expected partial aggregation:\n$p")
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toList
+    assert(windows.nonEmpty, s"span merge should be a window:\n$p")
+    assert(windows.forall(_.contains("doc_id")),
+      s"every window must partition by the document, not the gram:\n$windows")
+  }
+
   test("ev_asof: merge formulation — one key shuffle, no join operator at all") {
     // the union+window encoding must plan ZERO joins (the naive
     // inequality-join form would appear as a BroadcastNestedLoopJoin or

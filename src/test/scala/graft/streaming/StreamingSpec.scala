@@ -189,6 +189,72 @@ class StreamingSpec extends SparkSpec {
     graft.ops.Dedup.releaseCaches()
   }
 
+  test("streaming crawl front half: extract + encoding gate + line dedup equal the batch chain") {
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    val in = tmpDir("cf-in")
+    val state = tmpDir("cf-state")
+    // crawl-shaped plants: doc 0 arrives as HTML (markup must strip),
+    // doc 1 carries decode damage (must drop at the encoding gate),
+    // 'cookie policy' has one copy per batch (goes hot only once
+    // batch 1 arrives -> retroactive re-emission through the shared
+    // upsert contract)
+    def txt(i: Long): String = i match {
+      case 0L => "<html><body><p>extracted zero</p></body></html>"
+      case 1L => "damaged one \\uFFFD\\uFFFD\\uFFFD"
+      case 2L => "keep two\\ncookie policy"
+      case 10L => "cookie policy\\nkeep ten"
+      case _ => s"solo text $i"
+    }
+    def doc(i: Long): String = s"""{"doc_id":$i,"text":"${txt(i)}"}"""
+    val fa = java.nio.file.Paths.get(s"$in/a.jsonl")
+    val fb = java.nio.file.Paths.get(s"$in/b.jsonl")
+    java.nio.file.Files.write(fa,
+      (0L until 5L).map(doc).mkString("\n").getBytes)
+    java.nio.file.Files.write(fb,
+      (10L until 15L).map(doc).mkString("\n").getBytes)
+    fa.toFile.setLastModified(System.currentTimeMillis() - 60000)
+    fb.toFile.setLastModified(System.currentTimeMillis())
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("text", "string")
+    val upserts = scala.collection.mutable.Map[Long, (String, Long, Long)]()
+    val sink: DataFrame => Unit = { out =>
+      upserts.synchronized {
+        out.collect().foreach(r => upserts(r.getAs[Long]("doc_id")) =
+          ((r.getAs[String]("clean_text"), r.getAs[Long]("n_kept"),
+            r.getAs[Long]("n_dropped"))))
+      }
+      ()
+    }
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(in)
+      .writeStream
+      .option("checkpointLocation", tmpDir("cf-ckpt"))
+      .foreachBatch(StreamingCuration.frontHalfBody(
+        maxOccurrences = 1, stateDir = state, sink = sink))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // batch reference: the same stateless gates + batch lineDedup over
+    // the concatenation (decoded \uXXXX escapes become real chars via
+    // the JSON reader; mirror that here)
+    val all = ((0L until 5L) ++ (10L until 15L))
+      .map(i => (i, txt(i).replace("\\n", "\n").replace("\\uFFFD", "�")))
+      .toDF("doc_id", "text")
+    val exp = graft.ops.Dedup.lineDedup(
+        StreamingCuration.frontGates(all)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[String]("clean_text"),
+        r.getAs[Long]("n_kept"), r.getAs[Long]("n_dropped")))).toMap
+    graft.ops.Dedup.releaseCaches()
+    assert(upserts.toMap == exp,
+      s"stream-only=${upserts.toMap.toSet -- exp.toSet} batch-only=${exp.toSet -- upserts.toMap.toSet}")
+    // the gates actually fired: the damaged doc never reached the sink,
+    // the HTML doc arrived extracted, the cross-batch boilerplate line
+    // is gone from both its docs
+    assert(!upserts.contains(1L), "encoding-gated doc must not be emitted")
+    assert(upserts(0L)._1 == "extracted zero")
+    assert(upserts(2L)._1 == "keep two" && upserts(10L)._1 == "keep ten")
+  }
+
   test("streaming ANN ingest: streamed index equals batch encode, replays don't duplicate") {
     import org.apache.spark.sql.DataFrame
     import spark.implicits._
