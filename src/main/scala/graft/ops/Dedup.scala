@@ -214,22 +214,34 @@ object Dedup {
     * BOUNDED range window (k-1 preceding) partitioned BY DOCUMENT —
     * per-doc work, no corpus-wide ordering anywhere. Two persisted
     * narrow frames (token array; exploded grams) — the corpus is
-    * scanned once. */
+    * scanned once. Gram identity is HASHED, as in the shingle family:
+    * each token xxhash64s once, a gram key is the position-rotated XOR
+    * of its k token hashes — order-sensitive, 2^-64 collision odds,
+    * and the count/join shuffles move 8-byte longs instead of k-token
+    * strings (the k-gram string is never materialized). */
   def exactSubstringDedup(docs: DataFrame, k: Int = 8,
       maxOccurrences: Long = 1,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 2, "k must be >= 2")
     require(maxOccurrences >= 1, "maxOccurrences must be >= 1")
+    def rot(h: Column, j: Int): Column =
+      if (j == 0) h
+      else shiftleft(h, j).bitwiseOR(shiftrightunsigned(h, 64 - j))
     val base = persistTracked(docs
-      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_tk")))
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_tk"))
+      // token hashes hoisted as a REAL column: expressions inside the
+      // gram lambda re-evaluate per element
+      .withColumn("_th", transform(col("_tk"), t => xxhash64(t))))
     // 1-based gram start positions, matching the 1-based token
     // positions below (and the DuckDB oracle's list indexing)
     val grams = persistTracked(base.select(col(idCol), posexplode(
-        when(size(col("_tk")) >= k,
-          transform(sequence(lit(1), size(col("_tk")) - (k - 1)),
-            i => concat_ws(" ", slice(col("_tk"), i, lit(k)))))
-          .otherwise(array().cast("array<string>"))).as(Seq("g0", "gram")))
+        when(size(col("_th")) >= k,
+          transform(sequence(lit(1), size(col("_th")) - (k - 1)),
+            i => (0 until k).map(j =>
+              rot(element_at(col("_th"), i + lit(j)), j))
+              .reduce(_.bitwiseXOR(_))))
+          .otherwise(array().cast("array<long>"))).as(Seq("g0", "gram")))
       .select(col(idCol), (col("g0") + 1).as("gpos"), col("gram")))
     val hot = grams.groupBy("gram").agg(count(lit(1)).as("occ"))
       .filter(col("occ") > maxOccurrences)
