@@ -222,35 +222,25 @@ object Dedup {
   def exactSubstringDedup(docs: DataFrame, k: Int = 8,
       maxOccurrences: Long = 1,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(k >= 2, "k must be >= 2")
     require(maxOccurrences >= 1, "maxOccurrences must be >= 1")
-    def rot(h: Column, j: Int): Column =
-      if (j == 0) h
-      else shiftleft(h, j).bitwiseOR(shiftrightunsigned(h, 64 - j))
-    val base = persistTracked(docs
-      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_tk"))
-      // token hashes hoisted as a REAL column: expressions inside the
-      // gram lambda re-evaluate per element
-      .withColumn("_th", transform(col("_tk"), t => xxhash64(t))))
-    // 1-based gram start positions, matching the 1-based token
-    // positions below (and the DuckDB oracle's list indexing)
-    val grams = persistTracked(base.select(col(idCol), posexplode(
-        when(size(col("_th")) >= k,
-          transform(sequence(lit(1), size(col("_th")) - (k - 1)),
-            i => (0 until k).map(j =>
-              rot(element_at(col("_th"), i + lit(j)), j))
-              .reduce(_.bitwiseXOR(_))))
-          .otherwise(array().cast("array<long>"))).as(Seq("g0", "gram")))
-      .select(col(idCol), (col("g0") + 1).as("gpos"), col("gram")))
+    val (toks, gramsRaw) = substringFrames(docs, k, idCol, textCol)
+    val grams = persistTracked(gramsRaw)
     val hot = grams.groupBy("gram").agg(count(lit(1)).as("occ"))
       .filter(col("occ") > maxOccurrences)
       .select(col("gram"), lit(1).as("_hot"))
     val hotStarts = grams.join(hot, Seq("gram"))
       .select(col(idCol), col("gpos"))
-    val toks = base
-      .select(col(idCol), posexplode(col("_tk")).as(Seq("p0", "tok")))
-      .select(col(idCol), (col("p0") + 1).as("pos"), col("tok"))
+    removeCoveredTokens(toks, hotStarts, k, idCol)
+  }
+
+  /** The shared tail of [[exactSubstringDedup]] and its streaming
+    * twin: given the 1-based `(idCol, pos, tok)` token frame and the
+    * hot-gram start positions `(idCol, gpos)`, remove every token
+    * covered by a hot k-window and reassemble — so the keep rule and
+    * output schema cannot fork between batch and streaming. */
+  private[graft] def removeCoveredTokens(toks: DataFrame,
+      hotStarts: DataFrame, k: Int, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // token at pos is removed iff some hot gram starts in
     // [pos-k+1, pos]: flag hot starts on their start position, then a
     // bounded per-document range window ORs the flag forward k-1 slots
@@ -271,6 +261,36 @@ object Dedup {
           s => s.getField("tok")), " ").as("clean_text"),
         count(lit(1)).as("n_tokens"),
         sum(col("cv")).cast("long").as("n_removed"))
+  }
+
+  /** The exploded hashed-gram and token frames [[exactSubstringDedup]]
+    * builds — exposed for the streaming twin, which persists them as
+    * per-batch state. Returns `(toks, grams)`:
+    * `(idCol, pos, tok)` and `(idCol, gpos, gram)` (both 1-based). */
+  private[graft] def substringFrames(docs: DataFrame, k: Int,
+      idCol: String, textCol: String): (DataFrame, DataFrame) = {
+    require(k >= 2, "k must be >= 2")
+    def rot(h: Column, j: Int): Column =
+      if (j == 0) h
+      else shiftleft(h, j).bitwiseOR(shiftrightunsigned(h, 64 - j))
+    // token hashes hoisted as a REAL column: expressions inside the
+    // gram lambda re-evaluate per element. The narrow base is
+    // persisted so the gram and token explosions scan the corpus once.
+    val base = persistTracked(docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_tk"))
+      .withColumn("_th", transform(col("_tk"), t => xxhash64(t))))
+    val grams = base.select(col(idCol), posexplode(
+        when(size(col("_th")) >= k,
+          transform(sequence(lit(1), size(col("_th")) - (k - 1)),
+            i => (0 until k).map(j =>
+              rot(element_at(col("_th"), i + lit(j)), j))
+              .reduce(_.bitwiseXOR(_))))
+          .otherwise(array().cast("array<long>"))).as(Seq("g0", "gram")))
+      .select(col(idCol), (col("g0") + 1).as("gpos"), col("gram"))
+    val toks = base
+      .select(col(idCol), posexplode(col("_tk")).as(Seq("p0", "tok")))
+      .select(col(idCol), (col("p0") + 1).as("pos"), col("tok"))
+    (toks, grams)
   }
 
   /** (sid, sh: array<string>) — hoisted as a real column so downstream

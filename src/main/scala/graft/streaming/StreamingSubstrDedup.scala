@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.Dedup
+
+/** Streaming exact repeated-substring removal — the `foreachBatch`
+  * twin of [[graft.ops.Dedup.exactSubstringDedup]], with the same
+  * UPSERT contract as [[StreamingLineDedup]] and for the same reason:
+  * a k-token span only reveals itself as repeated once enough copies
+  * arrive, possibly batches after its first document was emitted, so
+  * the sink keys on the doc id and after batch N its latest rows
+  * equal the batch operator over the concatenation of batches 0..N.
+  *
+  * State layout: each batch overwrites its OWN `batch_id=N` partition
+  * in TWO tables — the hashed-gram frame `(doc_id, gpos, gram)` (what
+  * occurrence counting and hot-start lookup need) and the token frame
+  * `(doc_id, pos, tok)` (what reassembly of an affected doc needs) —
+  * so a checkpoint-replayed batch rewrites its files instead of
+  * duplicating rows. State is corpus-sized, as for the batch op and
+  * the line twin (exact corpus-wide counts cost the corpus).
+  *
+  * Per-batch work is NOT history-sized: gram counts aggregate the
+  * 8-byte hashed key (map-side combined); documents re-emit only when
+  * their judgment could have changed — the current batch's, plus
+  * historical docs holding a gram THIS batch pushed over
+  * `maxOccurrences` (grams hot before this batch already had their
+  * spans removed from every prior emission); reassembly reads history
+  * tokens via a semi-join on the affected ids. */
+object StreamingSubstrDedup {
+
+  private def gramsDir(stateDir: String) = s"$stateDir/grams"
+  private def toksDir(stateDir: String) = s"$stateDir/toks"
+
+  /** The `foreachBatch` body. `sink` receives the batch operator's
+    * `(idCol, clean_text, n_tokens, n_removed)` schema and must
+    * upsert by `idCol`. */
+  def foreachBatchSubstrDeduper(k: Int, maxOccurrences: Long,
+      stateDir: String, sink: DataFrame => Unit,
+      idCol: String = "doc_id", textCol: String = "text")
+      : (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      require(maxOccurrences >= 1, "maxOccurrences must be >= 1")
+      val (toks, grams) = Dedup.substringFrames(batch, k, idCol, textCol)
+      def writeState(df: DataFrame, dir: String): Unit =
+        df.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .partitionBy("batch_id")
+          .option("partitionOverwriteMode", "dynamic")
+          .parquet(dir)
+      writeState(grams, gramsDir(stateDir))
+      writeState(toks, toksDir(stateDir))
+      // manual replays must stay blind to partitions written after them
+      val allGrams = Dedup.persistTracked(
+        spark.read.parquet(gramsDir(stateDir))
+          .filter(col("batch_id") <= batchId))
+      val hot = allGrams.groupBy("gram").agg(count(lit(1)).as("occ"))
+        .filter(col("occ") > maxOccurrences).select("gram")
+      val batchGrams = allGrams.filter(col("batch_id") === batchId)
+      val newlyHot = hot.join(batchGrams.select("gram").distinct(), Seq("gram"))
+      val affected = batchGrams.select(idCol).union(
+          allGrams.filter(col("batch_id") < batchId)
+            .join(newlyHot, Seq("gram")).select(idCol))
+        .distinct()
+      val hotStarts = allGrams.join(affected, Seq(idCol), "left_semi")
+        .join(hot, Seq("gram"))
+        .select(col(idCol), col("gpos"))
+      val affToks = spark.read.parquet(toksDir(stateDir))
+        .filter(col("batch_id") <= batchId)
+        .join(affected, Seq(idCol), "left_semi")
+        .select(idCol, "pos", "tok")
+      sink(Dedup.removeCoveredTokens(affToks, hotStarts, k, idCol))
+      Dedup.releaseCaches()
+  }
+}

@@ -189,6 +189,79 @@ class StreamingSpec extends SparkSpec {
     graft.ops.Dedup.releaseCaches()
   }
 
+  test("streaming substring dedup: upserted sink equals batch op, spans go hot retroactively") {
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    val in = tmpDir("sd-in")
+    val state = tmpDir("sd-state")
+    // k=4: the run "r1 r2 r3 r4 r5" has one copy in each batch — it
+    // goes hot only once batch 1 arrives, so doc 0 (emitted intact in
+    // batch 0) must be re-emitted with the span removed; doc 2 repeats
+    // a 4-gram within itself (hot immediately)
+    def txt(i: Long): String = i match {
+      case 0L => "head zero r1 r2 r3 r4 r5 tail zero"
+      case 2L => "s1 s2 s3 s4 s1 s2 s3 s4 unique two"
+      case 10L => "start ten r1 r2 r3 r4 r5 end ten"
+      case _ => s"plain text number $i only once"
+    }
+    def doc(i: Long): String = s"""{"doc_id":$i,"text":"${txt(i)}"}"""
+    val fa = java.nio.file.Paths.get(s"$in/a.jsonl")
+    val fb = java.nio.file.Paths.get(s"$in/b.jsonl")
+    java.nio.file.Files.write(fa,
+      (0L until 5L).map(doc).mkString("\n").getBytes)
+    java.nio.file.Files.write(fb,
+      (10L until 15L).map(doc).mkString("\n").getBytes)
+    fa.toFile.setLastModified(System.currentTimeMillis() - 60000)
+    fb.toFile.setLastModified(System.currentTimeMillis())
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("text", "string")
+    val upserts = scala.collection.mutable.Map[Long, (String, Long, Long)]()
+    val perBatch = scala.collection.mutable.ArrayBuffer[Set[(Long, String, Long, Long)]]()
+    def rows(out: DataFrame): Seq[(Long, String, Long, Long)] =
+      out.collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("clean_text"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_removed"))).toSeq
+    val sink: DataFrame => Unit = { out =>
+      val rs = rows(out)
+      upserts.synchronized {
+        perBatch += rs.toSet
+        rs.foreach(t => upserts(t._1) = ((t._2, t._3, t._4)))
+      }
+      ()
+    }
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(in)
+      .writeStream
+      .option("checkpointLocation", tmpDir("sd-ckpt"))
+      .foreachBatch(StreamingSubstrDedup.foreachBatchSubstrDeduper(
+        k = 4, maxOccurrences = 1, stateDir = state, sink = sink))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val all = ((0L until 5L) ++ (10L until 15L))
+      .map(i => (i, txt(i))).toDF("doc_id", "text")
+    val exp = graft.ops.Dedup.exactSubstringDedup(all, k = 4).collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[String]("clean_text"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed")))).toMap
+    graft.ops.Dedup.releaseCaches()
+    assert(upserts.toMap == exp,
+      s"stream-only=${upserts.toMap.toSet -- exp.toSet} batch-only=${exp.toSet -- upserts.toMap.toSet}")
+    // the retroactive correction happened: batch 1 re-emitted doc 0
+    // with the cross-batch span gone
+    assert(perBatch.size == 2)
+    assert(perBatch(1).exists(t => t._1 == 0L && t._2 == "head zero tail zero"),
+      s"batch 1 must re-emit doc 0 corrected: ${perBatch(1)}")
+    // intra-doc repeat was caught already in batch 0
+    assert(perBatch(0).exists(t => t._1 == 2L && t._2 == "unique two"))
+    // replay idempotency
+    val batch1 = all.filter(col("doc_id") >= 10L)
+    val replayed = scala.collection.mutable.ArrayBuffer[(Long, String, Long, Long)]()
+    StreamingSubstrDedup.foreachBatchSubstrDeduper(4, 1L, state,
+      { p: DataFrame => replayed ++= rows(p); () })(batch1, 1L)
+    assert(replayed.toSet == perBatch(1),
+      "a replayed micro-batch must emit identical rows")
+    graft.ops.Dedup.releaseCaches()
+  }
+
   test("streaming crawl front half: extract + encoding gate + line dedup equal the batch chain") {
     import org.apache.spark.sql.DataFrame
     import spark.implicits._
