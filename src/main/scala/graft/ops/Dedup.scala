@@ -159,11 +159,17 @@ object Dedup {
   }
 
   /** The exploded narrow `(idCol, pos, line, k)` frame batch and
-    * streaming line dedup share (`k` = the normalized occurrence key). */
+    * streaming line dedup share (`k` = the normalized occurrence key).
+    * NULL text coalesces to "" BEFORE the explode: posexplode emits
+    * zero rows for a NULL split, and since the operator's output is
+    * built entirely from this frame, an unguarded NULL row would
+    * vanish from the output — the silent row loss the contract
+    * forbids. */
   private[graft] def explodeLines(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
     docs.select(col(idCol),
-        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+        posexplode(split(coalesce(col(textCol), lit("")), "\n"))
+          .as(Seq("pos", "line")))
       .withColumn("k", lower(trim(col("line"))))
 
   /** Reassemble documents from `lines` judged against `counts`
@@ -276,8 +282,11 @@ object Dedup {
     // token hashes hoisted as a REAL column: expressions inside the
     // gram lambda re-evaluate per element. The narrow base is
     // persisted so the gram and token explosions scan the corpus once.
+    // NULL text coalesces to "" so the row survives (same no-silent-
+    // row-loss contract as explodeLines).
     val base = persistTracked(docs
-      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_tk"))
+      .select(col(idCol),
+        TextAnalysis.tokens(coalesce(col(textCol), lit(""))).as("_tk"))
       .withColumn("_th", transform(col("_tk"), t => xxhash64(t))))
     val grams = base.select(col(idCol), posexplode(
         when(size(col("_th")) >= k,

@@ -205,6 +205,25 @@ object TextAnalysis {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** The crawl FRONT GATES as one frame transform — markup-sniffed
+    * conditional HTML extraction, then the encoding gate: the
+    * canonical implementation batch curation (`tx_curation6`) and the
+    * streaming front half ([[graft.streaming.StreamingCuration]])
+    * both call, so the sniff string, extraction conditionality, and
+    * gate threshold cannot fork between the two. Extraction is
+    * conditional because [[htmlToText]]'s whitespace collapse would
+    * destroy the line structure plain-text docs carry into line-level
+    * dedup. Stateless, scan-fused, zero shuffle. */
+  def crawlFrontGates(docs: org.apache.spark.sql.DataFrame,
+      textCol: String = "text",
+      maxBadRatio: Double = 0.01): org.apache.spark.sql.DataFrame = {
+    val extracted = docs.withColumn(textCol,
+      when(col(textCol).contains("<html"),
+        htmlToText(col(textCol))).otherwise(col(textCol)))
+    val (_, _, _, encKeep) = encodingQuality(col(textCol), maxBadRatio)
+    extracted.filter(encKeep)
+  }
+
   // --- Encoding quality (mojibake / control chars) --------------------
   // Crawled text arrives with decode damage: U+FFFD replacement chars
   // (a miscoded byte sequence) and stray C0/DEL control chars. Both are

@@ -1207,14 +1207,9 @@ object TextQueries {
   def curation6(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.DataFrame
     val planted = curation6Planted(spark, dir)
-    // conditional extraction: only markup-bearing docs go through
-    // htmlToText (its whitespace collapse would destroy the line
-    // structure the next stage needs on plain-text docs)
-    val extracted = planted.withColumn("text",
-      when(col("text").contains("<html"),
-        TextAnalysis.htmlToText(col("text"))).otherwise(col("text")))
-    val (_, _, _, encKeep) = TextAnalysis.encodingQuality(col("text"))
-    val enc = Dedup.checkpointTracked(extracted.filter(encKeep))
+    // conditional extraction + encoding gate: the canonical
+    // crawlFrontGates transform the streaming front half also uses
+    val enc = Dedup.checkpointTracked(TextAnalysis.crawlFrontGates(planted))
     val cleaned = Dedup.checkpointTracked(
       Dedup.lineDedup(enc, maxOccurrences = 2)
         .filter(length(col("clean_text")) > 0)

@@ -18,15 +18,11 @@ import graft.ops.TextAnalysis
 object StreamingCuration {
 
   /** Stateless front gates shared by the streaming body and the batch
-    * reference: markup-sniffed HTML extraction, then the U+FFFD /
-    * control-char encoding gate. */
-  def frontGates(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val extracted = docs.withColumn(textCol,
-      when(col(textCol).contains("<html"),
-        TextAnalysis.htmlToText(col(textCol))).otherwise(col(textCol)))
-    val (_, _, _, encKeep) = TextAnalysis.encodingQuality(col(textCol))
-    extracted.filter(encKeep)
-  }
+    * reference — delegates to the canonical
+    * [[TextAnalysis.crawlFrontGates]] (also what `tx_curation6`'s
+    * batch pipeline uses, so the two surfaces cannot fork). */
+  def frontGates(docs: DataFrame, textCol: String = "text"): DataFrame =
+    TextAnalysis.crawlFrontGates(docs, textCol)
 
   /** The `foreachBatch` body: stateless gates, then the line-dedup
     * upsert body against `stateDir` (same replay-idempotence and

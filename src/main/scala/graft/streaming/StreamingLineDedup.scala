@@ -56,7 +56,8 @@ object StreamingLineDedup {
       require(maxOccurrences >= 1, "maxOccurrences must be >= 1")
       // 1. this batch's exploded lines land in the batch's own
       //    partition FIRST (replay rewrites the same files)
-      Dedup.explodeLines(batch, idCol, textCol)
+      val batchExploded = Dedup.explodeLines(batch, idCol, textCol)
+      batchExploded
         .withColumn("batch_id", lit(batchId))
         .write.mode("overwrite")
         .partitionBy("batch_id")
@@ -64,23 +65,36 @@ object StreamingLineDedup {
         .parquet(linesDir(stateDir))
       // 2. cumulative counts over batches <= this one (the filter keeps
       //    a manually replayed batch blind to partitions written after
-      //    it — live streams never have any)
+      //    it — live streams never have any). The read supplies the
+      //    schema: an EMPTY first batch writes a partitionless dir
+      //    that schema inference would reject, and the stream must
+      //    survive empty triggers
+      val stateSchema = batchExploded.schema
+        .add("batch_id", org.apache.spark.sql.types.LongType)
       val allLines = Dedup.persistTracked(
-        spark.read.parquet(linesDir(stateDir))
+        spark.read.schema(stateSchema).parquet(linesDir(stateDir))
           .filter(col("batch_id") <= batchId))
       val counts = allLines.groupBy("k").agg(count(lit(1)).as("occ"))
       val batchLines = allLines.filter(col("batch_id") === batchId)
       // 3. docs whose judgment could have changed: this batch's, plus
-      //    historical docs holding a key this batch made hot
-      val newlyHot = counts.filter(col("occ") > maxOccurrences)
-        .join(batchLines.select("k").distinct(), "k")
+      //    historical docs holding a key this batch pushed OVER the
+      //    threshold. Keys already hot before this batch are excluded
+      //    (their lines were dropped from every prior emission, and a
+      //    hot boilerplate line recurs in EVERY batch — including them
+      //    would re-emit its entire history each batch, making
+      //    per-batch work history-sized)
+      val batchCounts = batchLines.groupBy("k").agg(count(lit(1)).as("bocc"))
+      val newlyHot = counts.join(batchCounts, Seq("k"))
+        .filter(col("occ") > maxOccurrences &&
+          col("occ") - col("bocc") <= maxOccurrences)
         .select("k")
       val affected = batchLines.select(idCol).union(
           allLines.filter(col("batch_id") < batchId)
             .join(newlyHot, Seq("k")).select(idCol))
         .distinct()
       val out = Dedup.reassembleAgainstCounts(
-        allLines.join(affected, Seq(idCol)).select(idCol, "pos", "line", "k"),
+        allLines.join(affected, Seq(idCol), "left_semi")
+          .select(idCol, "pos", "line", "k"),
         counts, maxOccurrences, idCol)
       sink(out)
       Dedup.releaseCaches()

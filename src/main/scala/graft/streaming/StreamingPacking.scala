@@ -73,7 +73,12 @@ object StreamingPacking {
     * written by batches < N, never their own possibly-rewritten file.
     * Fast path is ONE file read (`batch-(N-1)`); the listing fallback
     * only fires for non-contiguous ids, over a directory pruning keeps
-    * ~3 files small. */
+    * ~3 files small. Re-running a batch OLDER than the pruning horizon
+    * (files exist, but all for batches >= `batchId`) throws instead of
+    * silently restarting the count at zero — Structured Streaming only
+    * ever replays the LAST uncommitted batch, so that state is
+    * unreachable in a live stream and means an off-contract manual
+    * invocation. */
   private[streaming] def priorOffset(spark: SparkSession, stateDir: String,
       batchId: Long): Long = {
     val fs = fsFor(spark, stateDir)
@@ -81,11 +86,19 @@ object StreamingPacking {
     if (fs.exists(direct)) readOffsetFile(fs, direct)
     else if (!fs.exists(offsetDir(stateDir))) 0L
     else {
-      val prior = fs.listStatus(offsetDir(stateDir)).toSeq
+      val ids = fs.listStatus(offsetDir(stateDir)).toSeq
         .flatMap(s => batchIdOf(s.getPath).map(_ -> s.getPath))
-        .filter(_._1 < batchId)
-      if (prior.isEmpty) 0L
-      else readOffsetFile(fs, prior.maxBy(_._1)._2)
+      val prior = ids.filter(_._1 < batchId)
+      if (prior.nonEmpty) readOffsetFile(fs, prior.maxBy(_._1)._2)
+      // a file with id > batchId proves later batches ran and pruning
+      // discarded this batch's predecessor; a file with id == batchId
+      // is only this replay's own partial write (first batch, crashed
+      // before commit) and legitimately means offset 0
+      else if (ids.exists(_._1 > batchId)) throw new IllegalStateException(
+        s"packing offset state for batches before $batchId was pruned " +
+          s"(oldest retained: ${ids.map(_._1).min}); only the last " +
+          "uncommitted batch is replayable")
+      else 0L
     }
   }
 

@@ -51,23 +51,40 @@ object StreamingSubstrDedup {
           .parquet(dir)
       writeState(grams, gramsDir(stateDir))
       writeState(toks, toksDir(stateDir))
+      // schema-supplied reads: an empty first batch writes a
+      // partitionless dir that schema inference would reject, and
       // manual replays must stay blind to partitions written after them
+      def readState(dir: String,
+          template: DataFrame): DataFrame =
+        spark.read.schema(template.schema
+            .add("batch_id", org.apache.spark.sql.types.LongType))
+          .parquet(dir)
+          .filter(col("batch_id") <= batchId)
       val allGrams = Dedup.persistTracked(
-        spark.read.parquet(gramsDir(stateDir))
-          .filter(col("batch_id") <= batchId))
-      val hot = allGrams.groupBy("gram").agg(count(lit(1)).as("occ"))
-        .filter(col("occ") > maxOccurrences).select("gram")
+        readState(gramsDir(stateDir), grams))
+      val counts = allGrams.groupBy("gram").agg(count(lit(1)).as("occ"))
+      val hot = counts.filter(col("occ") > maxOccurrences).select("gram")
       val batchGrams = allGrams.filter(col("batch_id") === batchId)
-      val newlyHot = hot.join(batchGrams.select("gram").distinct(), Seq("gram"))
-      val affected = batchGrams.select(idCol).union(
+      // threshold-CROSSING grams only (a gram hot before this batch
+      // already had its span removed from every prior emission —
+      // re-including it would make per-batch work history-sized)
+      val batchCounts = batchGrams.groupBy("gram")
+        .agg(count(lit(1)).as("bocc"))
+      val newlyHot = counts.join(batchCounts, Seq("gram"))
+        .filter(col("occ") > maxOccurrences &&
+          col("occ") - col("bocc") <= maxOccurrences)
+        .select("gram")
+      // affected docs seed from the batch's TOKEN frame, not its gram
+      // frame: a doc shorter than k tokens has no grams at all but
+      // must still be emitted (batch parity — no silent row loss)
+      val affected = toks.select(idCol).union(
           allGrams.filter(col("batch_id") < batchId)
             .join(newlyHot, Seq("gram")).select(idCol))
         .distinct()
       val hotStarts = allGrams.join(affected, Seq(idCol), "left_semi")
         .join(hot, Seq("gram"))
         .select(col(idCol), col("gpos"))
-      val affToks = spark.read.parquet(toksDir(stateDir))
-        .filter(col("batch_id") <= batchId)
+      val affToks = readState(toksDir(stateDir), toks)
         .join(affected, Seq(idCol), "left_semi")
         .select(idCol, "pos", "tok")
       sink(Dedup.removeCoveredTokens(affToks, hotStarts, k, idCol))

@@ -1243,6 +1243,22 @@ class OpsSpec extends SparkSpec {
     assert(loose(1L).contains("Subscribe now!"))
   }
 
+  test("line and substring dedup: NULL text behaves as empty text, the row is never lost") {
+    // posexplode of a NULL split yields zero rows, and both operators
+    // build output purely from the exploded frame — without the
+    // coalesce guard a NULL-text row would silently vanish
+    val d = Seq((1L, "real line"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val lr = Dedup.lineDedup(d).collect()
+      .map(x => x.getLong(0) -> ((x.getString(1), x.getLong(2)))).toMap
+    assert(lr.contains(2L), "NULL-text row lost by lineDedup")
+    assert(lr(2L) == (("", 1L)))
+    val sr = Dedup.exactSubstringDedup(d, k = 2).collect()
+      .map(x => x.getLong(0) -> ((x.getString(1), x.getLong(2)))).toMap
+    assert(sr.contains(2L), "NULL-text row lost by exactSubstringDedup")
+    assert(sr(2L) == (("", 1L)))
+  }
+
   test("exact substring dedup: repeated k-windows vanish everywhere, spans merge, unique text survives") {
     // k=4: docs 1 and 2 share the 5-token run "a b c d e" -> two
     // overlapping hot 4-grams merge into one 5-token span, removed

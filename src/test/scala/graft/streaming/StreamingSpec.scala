@@ -186,6 +186,18 @@ class StreamingSpec extends SparkSpec {
       { p: DataFrame => replayed ++= collectRows(p); () })(batch1, 1L)
     assert(replayed.toSet == perBatch(1),
       "a replayed micro-batch must emit identical rows")
+    // bounded re-emission: 'dup line' was ALREADY hot after batch 0
+    // (doc 1's intra-doc repeat), so batch 1 carrying more copies
+    // (doc 11) must NOT re-emit doc 1 — only threshold-CROSSING keys
+    // trigger retro-correction, else every batch re-emits the whole
+    // history of every recurring boilerplate line
+    assert(!perBatch(1).exists(_._1 == 1L),
+      s"already-hot keys must not re-emit history: ${perBatch(1)}")
+    // an empty micro-batch must neither crash the state read nor emit
+    val emptied = scala.collection.mutable.ArrayBuffer[(Long, String, Long, Long)]()
+    StreamingLineDedup.foreachBatchLineDeduper(1L, state,
+      { p: DataFrame => emptied ++= collectRows(p); () })(all.limit(0), 2L)
+    assert(emptied.isEmpty, "an empty batch must emit nothing")
     graft.ops.Dedup.releaseCaches()
   }
 
@@ -201,6 +213,7 @@ class StreamingSpec extends SparkSpec {
     def txt(i: Long): String = i match {
       case 0L => "head zero r1 r2 r3 r4 r5 tail zero"
       case 2L => "s1 s2 s3 s4 s1 s2 s3 s4 unique two"
+      case 3L => "ab cd" // shorter than k: no grams, must STILL emit
       case 10L => "start ten r1 r2 r3 r4 r5 end ten"
       case _ => s"plain text number $i only once"
     }
@@ -252,6 +265,9 @@ class StreamingSpec extends SparkSpec {
       s"batch 1 must re-emit doc 0 corrected: ${perBatch(1)}")
     // intra-doc repeat was caught already in batch 0
     assert(perBatch(0).exists(t => t._1 == 2L && t._2 == "unique two"))
+    // a sub-k-token doc has no grams but must not be silently lost
+    assert(perBatch(0).exists(t => t._1 == 3L && t._2 == "ab cd"),
+      s"gramless doc must still emit: ${perBatch(0)}")
     // replay idempotency
     val batch1 = all.filter(col("doc_id") >= 10L)
     val replayed = scala.collection.mutable.ArrayBuffer[(Long, String, Long, Long)]()
