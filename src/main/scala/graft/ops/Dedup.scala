@@ -398,17 +398,24 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text",
       k: Int = 5, maxShingleDf: Int = 1000): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // ONE pass annotates every (sid, shingle) row with the shingle's
-    // document frequency (count over a shingle-partitioned window —
-    // a single shuffle), and the persisted result feeds candidate-gen,
-    // sizes, and the hot-correction: hot/rare become FILTERS on the
+    // Every (sid, shingle) row is annotated with the shingle's
+    // document frequency via groupBy + join-back, NOT a count-over-
+    // window on the shingle key: a window has no map-side partial
+    // aggregation, so a boilerplate shingle shared by 10^8 docs would
+    // funnel every one of its rows through ONE task (the lineDedup r6
+    // finding — same class). The groupBy shrinks each hot shingle to
+    // one row per map task; the join-back is an AQE-splittable
+    // equi-join. The persisted annotated frame feeds candidate-gen,
+    // sizes, and the hot-correction: hot/rare are FILTERS on the
     // cached frame instead of r2's extra aggregate + broadcast
     // anti-join passes (the judged dd regression). Batch only;
     // streaming callers use the un-persisted building blocks.
-    val sh0 = shingleHashFrame(docs, idCol, textCol, k)
-      .withColumn("df",
-        count(lit(1)).over(Window.partitionBy(col("shingle"))))
+    val shRaw0 = shingleHashFrame(docs, idCol, textCol, k)
+    // the raw frame is read twice (count side + join side) — persist
+    // it so the shingling runs once
+    val shRaw = if (docs.isStreaming) shRaw0 else persistTracked(shRaw0)
+    val dfCounts = shRaw.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val sh0 = shRaw.join(dfCounts, Seq("shingle"))
     val sh = if (docs.isStreaming) sh0 else persistTracked(sh0)
     val sizes = sh.groupBy("sid").agg(count(lit(1)).as("n"))
     // rare = shingles with df <= cap: a boilerplate shingle shared by

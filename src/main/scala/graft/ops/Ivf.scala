@@ -45,19 +45,20 @@ object Ivf {
     * Returns the centroid matrix (model parameters, driver-sized). */
   def train(emb: DataFrame, numCentroids: Int, iters: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] = {
-    import org.apache.spark.sql.expressions.Window
     require(numCentroids > 0, "numCentroids must be positive")
-    // deterministic seeds WITHOUT a global sort (a partitionless window
-    // would funnel the corpus through one task): the min-id vector of
-    // each id-hash bucket; empty buckets (tiny corpora) just yield
-    // fewer centroids
+    // deterministic seeds WITHOUT a global sort and WITHOUT a bucket
+    // window (row_number over a bucket key has no partial aggregation:
+    // corpus/numCentroids rows would funnel through each bucket's ONE
+    // task): min(struct(sid, ve)) per id-hash bucket partial-aggregates
+    // to one candidate row per bucket per map task, and struct ordering
+    // compares sid first (unique), so the selected rows are IDENTICAL
+    // to the row_number form. Empty buckets (tiny corpora) just yield
+    // fewer centroids.
     var centroids: Array[Array[Double]] = emb
       .select(col(idCol).as("sid"), asDouble(col(vecCol)).as("ve"))
       .withColumn("b", pmod(hash(col("sid")), lit(numCentroids)))
-      .withColumn("rk",
-        row_number().over(Window.partitionBy("b").orderBy("sid")))
-      .filter(col("rk") === 1)
-      .orderBy("b").select("ve").collect()
+      .groupBy("b").agg(min(struct(col("sid"), col("ve"))).as("_s"))
+      .orderBy("b").select("_s.ve").collect()
       .map(_.getSeq[Double](0).toArray)
     for (_ <- 1 to iters) {
       val assigned = assign(emb, centroids, idCol, vecCol)

@@ -74,18 +74,17 @@ object Pq {
     * the ANN family. */
   def train(emb: DataFrame, m: Int, kSub: Int, iters: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
-    import org.apache.spark.sql.expressions.Window
     val dim = Similarity.inferDim(emb, vecCol)
     require(dim % m == 0, s"dim=$dim must be divisible by m=$m")
     val subDim = dim / m
     val v = asDouble(col(vecCol))
+    // min-struct per bucket instead of a bucket-window row_number:
+    // partial aggregation, identical selected rows (see Ivf.train)
     val seedRows = emb
       .select(col(idCol).as("sid"), v.as("ve"))
       .withColumn("b", pmod(hash(col("sid")), lit(kSub)))
-      .withColumn("rk",
-        row_number().over(Window.partitionBy("b").orderBy("sid")))
-      .filter(col("rk") === 1)
-      .orderBy("b").select("ve").collect()
+      .groupBy("b").agg(min(struct(col("sid"), col("ve"))).as("_s"))
+      .orderBy("b").select("_s.ve").collect()
       .map(_.getSeq[Double](0).toArray)
     var codebooks: Array[Array[Array[Double]]] =
       Array.tabulate(m)(j => seedRows.map(_.slice(j * subDim, (j + 1) * subDim)))

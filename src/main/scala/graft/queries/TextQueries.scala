@@ -384,18 +384,28 @@ object TextQueries {
     * per source. Every stage is one of this engine's operators; the
     * whole thing stays a single declarative plan (filters fused into
     * the scan, one dedup shuffle, sample is a scan-local hash). */
+  /** Exact-dedup keeper used by every curation composition: the
+    * min-id `(doc_id, source, text)` row per content fingerprint via
+    * ONE map-side-combined aggregation — NOT a min-over-window on the
+    * fingerprint (a window has no partial aggregation, so a crawl-hot
+    * fingerprint — 10^6 copies of one boilerplate page — would funnel
+    * every copy through ONE task; the r6 lineDedup finding, same
+    * class). min(struct) compares doc_id first (unique), so the kept
+    * rows are identical to the window form's. */
+  private def fpKeeper(df: DataFrame): DataFrame =
+    df.withColumn("fp", TextAnalysis.md5Fingerprint(col("text")))
+      .groupBy("fp")
+      .agg(min(struct(col("doc_id"), col("source"), col("text"))).as("_k"))
+      .select(col("_k.doc_id").as("doc_id"),
+        col("_k.source").as("source"), col("_k.text").as("text"))
+
   def curation(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     val filtered = d.filter(
       TextAnalysis.langId(col("text")) === "en" &&
         TextAnalysis.qualityScore(col("text")) >= 0.58 &&
         TextAnalysis.tokenCount(col("text")) >= 20)
-    val keeper = filtered.withColumn("fp",
-        TextAnalysis.md5Fingerprint(col("text")))
-      .withColumn("keep",
-        col("doc_id") === min("doc_id").over(
-          org.apache.spark.sql.expressions.Window.partitionBy("fp")))
-      .filter(col("keep"))
+    val keeper = fpKeeper(filtered)
     val sampled = graft.ops.Sampling.stratified(
       keeper, "source", "doc_id",
       Map("src0" -> 1.0, "src1" -> 1.0), defaultFraction = 0.5)
@@ -445,12 +455,7 @@ object TextQueries {
         TextAnalysis.qualityScore(col("text")) >= 0.58 &&
         TextAnalysis.tokenCount(col("text")) >= 20 &&
         TextAnalysis.dupNgramFraction(col("_g3")) <= 0.2)
-    val keeper = filtered.withColumn("fp",
-        TextAnalysis.md5Fingerprint(col("text")))
-      .withColumn("keep",
-        col("doc_id") === min("doc_id").over(
-          org.apache.spark.sql.expressions.Window.partitionBy("fp")))
-      .filter(col("keep"))
+    val keeper = fpKeeper(filtered)
     val sampled = graft.ops.Sampling.stratified(
       keeper, "source", "doc_id",
       Map("src0" -> 1.0, "src1" -> 1.0), defaultFraction = 0.5)
@@ -482,12 +487,7 @@ object TextQueries {
         TextAnalysis.qualityScore(col("text")) >= 0.58 &&
         TextAnalysis.tokenCount(col("text")) >= 20 &&
         TextAnalysis.dupNgramFraction(col("_g3")) <= 0.2)
-    val keeper = filtered.withColumn("fp",
-        TextAnalysis.md5Fingerprint(col("text")))
-      .withColumn("keep",
-        col("doc_id") === min("doc_id").over(
-          org.apache.spark.sql.expressions.Window.partitionBy("fp")))
-      .filter(col("keep"))
+    val keeper = fpKeeper(filtered)
     val sampled = graft.ops.Sampling.stratified(
       keeper, "source", "doc_id",
       Map("src0" -> 1.0, "src1" -> 1.0), defaultFraction = 0.5)
@@ -710,13 +710,7 @@ object TextQueries {
         TextAnalysis.qualityScore(col("text")) >= 0.58 &&
         TextAnalysis.tokenCount(col("text")) >= 20 &&
         TextAnalysis.dupNgramFraction(col("_g3")) <= 0.2)
-    val keeper = filtered.withColumn("fp",
-        TextAnalysis.md5Fingerprint(col("text")))
-      .withColumn("keep",
-        col("doc_id") === min("doc_id").over(
-          org.apache.spark.sql.expressions.Window.partitionBy("fp")))
-      .filter(col("keep"))
-      .select("doc_id", "source")
+    val keeper = fpKeeper(filtered).select("doc_id", "source")
     graft.ops.Sampling.temperatureMix(keeper, alpha = 0.5,
         targetFraction = 0.5, strataCol = "source", idCol = "doc_id")
       .groupBy("source").agg(count(lit(1)).as("n_docs"))
@@ -786,12 +780,17 @@ object TextQueries {
         TextAnalysis.tokenCount(col("text")) >= 20 &&
         TextAnalysis.dupNgramFraction(col("_g3")) <= 0.2)
       .withColumn("fp", TextAnalysis.md5Fingerprint(col("text")))
-    // keeper among gate-survivors only: min id per fingerprint
-    val keepWin = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    // keeper among gate-survivors only: min id per fingerprint,
+    // computed by groupBy + join-back rather than a min-over-window on
+    // fp (partial aggregation — a crawl-hot fingerprint must not
+    // funnel its copies through one window task; same class as the r6
+    // lineDedup finding)
+    val minKeep = flags0.filter(col("f_gates"))
+      .groupBy("fp").agg(min(col("doc_id")).as("_min_keep"))
     val flags = graft.ops.Dedup.persistTracked(flags0
-      .withColumn("f_keep", col("f_gates") &&
-        col("doc_id") === min(when(col("f_gates"), col("doc_id")))
-          .over(keepWin))
+      .join(minKeep, Seq("fp"), "left")
+      .withColumn("f_keep", coalesce(
+        col("f_gates") && col("doc_id") === col("_min_keep"), lit(false)))
       .select("doc_id", "source", "f_clean", "f_gates", "f_keep"))
     val c = flags.filter(col("f_keep")).groupBy("source")
       .agg(count(lit(1)).cast("double").as("ns"))
@@ -1056,12 +1055,7 @@ object TextQueries {
     val (_, _, _, encKeep) = TextAnalysis.encodingQuality(col("text"))
     val gated = extracted.filter(encKeep)
       .filter(TextAnalysis.qualityScore(col("text")) >= 0.5)
-    val keeper = gated.withColumn("fp",
-        TextAnalysis.md5Fingerprint(col("text")))
-      .withColumn("keep", col("doc_id") === min("doc_id").over(
-        org.apache.spark.sql.expressions.Window.partitionBy("fp")))
-      .filter(col("keep"))
-    keeper.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    fpKeeper(gated).groupBy("source").agg(count(lit(1)).as("n_docs"))
       .transform(QueryUtil.ordered("source"))
   }
 
@@ -1228,12 +1222,7 @@ object TextQueries {
         TextAnalysis.tokenCount(col("text")) >= 20 &&
         TextAnalysis.dupNgramFraction(col("_g3")) <= 0.2)
       .select("doc_id", "source", "text"))
-    val keeper = Dedup.checkpointTracked(gated
-      .withColumn("fp", TextAnalysis.md5Fingerprint(col("text")))
-      .withColumn("keep", col("doc_id") === min("doc_id").over(
-        org.apache.spark.sql.expressions.Window.partitionBy("fp")))
-      .filter(col("keep"))
-      .select("doc_id", "source", "text"))
+    val keeper = Dedup.checkpointTracked(fpKeeper(gated))
     // bigram fluency floor: model trained on the keeper survivors,
     // keep docs scoring at or above the (rounded) corpus average —
     // population-relative, so the stage splits non-vacuously at any
