@@ -221,10 +221,11 @@ object Dedup {
     * per-doc work, no corpus-wide ordering anywhere. Two persisted
     * narrow frames (token array; exploded grams) — the corpus is
     * scanned once. Gram identity is HASHED, as in the shingle family:
-    * each token xxhash64s once, a gram key is the position-rotated XOR
-    * of its k token hashes — order-sensitive, 2^-64 collision odds,
-    * and the count/join shuffles move 8-byte longs instead of k-token
-    * strings (the k-gram string is never materialized). */
+    * each token xxhash64s once, a gram key is the XOR of its k
+    * position-keyed token hashes — order-sensitive, 2^-64 collision
+    * odds at ANY k (no rotation stride to wrap), and the count/join
+    * shuffles move 8-byte longs instead of k-token strings (the
+    * k-gram string is never materialized). */
   def exactSubstringDedup(docs: DataFrame, k: Int = 8,
       maxOccurrences: Long = 1,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -233,7 +234,7 @@ object Dedup {
     val grams = persistTracked(gramsRaw)
     val hot = grams.groupBy("gram").agg(count(lit(1)).as("occ"))
       .filter(col("occ") > maxOccurrences)
-      .select(col("gram"), lit(1).as("_hot"))
+      .select("gram")
     val hotStarts = grams.join(hot, Seq("gram"))
       .select(col(idCol), col("gpos"))
     removeCoveredTokens(toks, hotStarts, k, idCol)
@@ -276,9 +277,13 @@ object Dedup {
   private[graft] def substringFrames(docs: DataFrame, k: Int,
       idCol: String, textCol: String): (DataFrame, DataFrame) = {
     require(k >= 2, "k must be >= 2")
-    def rot(h: Column, j: Int): Column =
-      if (j == 0) h
-      else shiftleft(h, j).bitwiseOR(shiftrightunsigned(h, 64 - j))
+    // position-KEYED hash contributions, not position-rotated ones:
+    // rotation strides wrap at 64 bits, so for k >= 65 (ExactSubstr
+    // literature tunes k around 50-100) two positions would share a
+    // rotation and distinct grams could collide deterministically;
+    // hashing (tokenHash, position) pairs has no wrap at any k and
+    // keeps the 2^-64 pairwise odds
+    def posHash(h: Column, j: Int): Column = xxhash64(h, lit(j))
     // token hashes hoisted as a REAL column: expressions inside the
     // gram lambda re-evaluate per element. The narrow base is
     // persisted so the gram and token explosions scan the corpus once.
@@ -292,7 +297,7 @@ object Dedup {
         when(size(col("_th")) >= k,
           transform(sequence(lit(1), size(col("_th")) - (k - 1)),
             i => (0 until k).map(j =>
-              rot(element_at(col("_th"), i + lit(j)), j))
+              posHash(element_at(col("_th"), i + lit(j)), j))
               .reduce(_.bitwiseXOR(_))))
           .otherwise(array().cast("array<long>"))).as(Seq("g0", "gram")))
       .select(col(idCol), (col("g0") + 1).as("gpos"), col("gram"))
@@ -408,15 +413,15 @@ object Dedup {
     // equi-join. The persisted annotated frame feeds candidate-gen,
     // sizes, and the hot-correction: hot/rare are FILTERS on the
     // cached frame instead of r2's extra aggregate + broadcast
-    // anti-join passes (the judged dd regression). Batch only;
-    // streaming callers use the un-persisted building blocks.
-    val shRaw0 = shingleHashFrame(docs, idCol, textCol, k)
-    // the raw frame is read twice (count side + join side) — persist
-    // it so the shingling runs once
-    val shRaw = if (docs.isStreaming) shRaw0 else persistTracked(shRaw0)
+    // anti-join passes (the judged dd regression). Batch only — an
+    // aggregation-followed-by-join is unsupported under Structured
+    // Streaming anyway; streaming near-dup is [[graft.streaming
+    // .StreamingDedup]]'s band-state form.
+    // The raw frame is read twice (count side + join side) — persist
+    // it so the shingling runs once.
+    val shRaw = persistTracked(shingleHashFrame(docs, idCol, textCol, k))
     val dfCounts = shRaw.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val sh0 = shRaw.join(dfCounts, Seq("shingle"))
-    val sh = if (docs.isStreaming) sh0 else persistTracked(sh0)
+    val sh = persistTracked(shRaw.join(dfCounts, Seq("shingle")))
     val sizes = sh.groupBy("sid").agg(count(lit(1)).as("n"))
     // rare = shingles with df <= cap: a boilerplate shingle shared by
     // millions of docs cannot generate a quadratic pair blow-up in one

@@ -771,7 +771,11 @@ object TextQueries {
     val clean = Dedup.decontaminate(d0,
         d0.filter(col("doc_id") % 37 === 0), k = 8)
       .select(col("doc_id"), col("keep").as("f_clean"))
-    val flags0 = d0.join(clean, Seq("doc_id"))
+    // persisted BEFORE the keeper self-join below: both its sides
+    // (the min-per-fp aggregation and the row frame) read this, and
+    // unpersisted they would each re-run the per-row gate expressions
+    // — the whole point of the flags frame is one gate pass
+    val flags0 = graft.ops.Dedup.persistTracked(d0.join(clean, Seq("doc_id"))
       .withColumn("_tk", TextAnalysis.tokens(col("text")))
       .withColumn("_g3", TextAnalysis.ngramsFromTokens(col("_tk"), 3))
       .withColumn("f_gates", col("f_clean") &&
@@ -780,6 +784,7 @@ object TextQueries {
         TextAnalysis.tokenCount(col("text")) >= 20 &&
         TextAnalysis.dupNgramFraction(col("_g3")) <= 0.2)
       .withColumn("fp", TextAnalysis.md5Fingerprint(col("text")))
+      .select("doc_id", "source", "f_clean", "f_gates", "fp"))
     // keeper among gate-survivors only: min id per fingerprint,
     // computed by groupBy + join-back rather than a min-over-window on
     // fp (partial aggregation — a crawl-hot fingerprint must not
