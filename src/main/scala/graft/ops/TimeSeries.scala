@@ -192,4 +192,68 @@ object TimeSeries {
       .select((keyCol +: tsCol +: leftOthers).map(col) ++
         (asofTsName +: payload).map(f => col("_m").getField(f).as(f)): _*)
   }
+
+  /** Conversion funnel over an ordered step sequence: a user reaches
+    * step i+1 by producing a step-(i+1) event STRICTLY AFTER their
+    * earliest step-i completion, within `withinSeconds` of it. Output
+    * is one row per step — `(step_idx, step, n_users)`.
+    *
+    * Scale shape: one narrow persisted `(user, us, type)` projection
+    * feeds every pass; each step is a map-side-combined `min` per user
+    * plus an AQE-splittable equi-join on the user key — `steps.length`
+    * cheap passes, no windows, no per-event state. The earliest-
+    * completion chain (not any-pair matching) is the standard greedy
+    * funnel semantics and needs only one timestamp of state per
+    * (user, step). */
+  def funnel(events: DataFrame, steps: Seq[String],
+      withinSeconds: Long = 86400L,
+      userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(withinSeconds > 0, "withinSeconds must be positive")
+    // micros arithmetic rather than interval arithmetic: exactly
+    // replayable by the DuckDB oracle (epoch_us), no calendar edge
+    val ev = Dedup.persistTracked(events.select(
+      col(userCol).as("_u"), unix_micros(col(tsCol)).as("_us"),
+      col(typeCol).as("_ty")))
+    val reachedPerStep = steps.zipWithIndex.scanLeft(
+        Option.empty[DataFrame]) { case (prev, (step, _)) =>
+      val stepEvents = ev.filter(col("_ty") === step)
+      Some(prev match {
+        case None => stepEvents.groupBy("_u").agg(min(col("_us")).as("_t"))
+        case Some(p) => stepEvents
+          .join(p.select(col("_u"), col("_t").as("_pt")), Seq("_u"))
+          .filter(col("_us") > col("_pt") &&
+            col("_us") <= col("_pt") + lit(withinSeconds * 1000000L))
+          .groupBy("_u").agg(min(col("_us")).as("_t"))
+      })
+    }.flatten
+    steps.zip(reachedPerStep).zipWithIndex.map {
+      case ((step, reached), i) =>
+        reached.agg(count(lit(1)).as("n_users"))
+          .select(lit(i + 1).as("step_idx"), lit(step).as("step"),
+            col("n_users"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Weekly cohort retention: users bucket into the ISO week of their
+    * FIRST event; `n_users` counts the cohort's distinct users active
+    * in each later week, keyed by `(cohort_week, week_offset)`.
+    *
+    * Scale shape: distinct `(user, week)` and min-week-per-user are
+    * both map-side-combined aggregations; the join back is on the user
+    * key; the final rollup groups by (cohort, offset) — no windows,
+    * nothing funnels through a single task. */
+  def retention(events: DataFrame,
+      userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    val weeks = Dedup.persistTracked(events
+      .select(col(userCol).as("_u"),
+        date_trunc("week", col(tsCol)).as("_w"))
+      .distinct())
+    val cohorts = weeks.groupBy("_u").agg(min(col("_w")).as("_cw"))
+    weeks.join(cohorts, Seq("_u"))
+      .groupBy(date_format(col("_cw"), "yyyy-MM-dd").as("cohort_week"),
+        (datediff(col("_w"), col("_cw")) / 7).cast("long").as("week_offset"))
+      .agg(count_distinct(col("_u")).as("n_users"))
+  }
 }

@@ -251,7 +251,53 @@ object EventQueries {
       .transform(QueryUtil.ordered("event_id"))
   }
 
+  /** Conversion funnel view → click → purchase, each step within one
+    * day of the previous step's earliest completion. The window is
+    * what makes the per-step decay non-vacuous on the sparse uniform
+    * fixture (~2 events/type/user/day): measured 150 → 60 → 25 at
+    * sf0.01 (15 → 6 → 3 and 1500 → 536 → 217 at sf0.001/0.1) — a
+    * loose window converts nearly everyone, a 1-hour one reaches
+    * zero. */
+  def funnelQ(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.funnel(events(spark, dir),
+        steps = Seq("view", "click", "purchase"), withinSeconds = 86400L)
+      .transform(QueryUtil.ordered("step_idx"))
+
+  val funnelOracle: String =
+    """WITH e AS (SELECT user_id AS u, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |            event_type AS ty FROM events),
+      |s1 AS (SELECT u, min(us) AS t FROM e WHERE ty = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.u, min(e.us) AS t FROM e JOIN s1 USING (u)
+      |       WHERE e.ty = 'click' AND e.us > s1.t
+      |         AND e.us <= s1.t + 86400000000 GROUP BY 1),
+      |s3 AS (SELECT e.u, min(e.us) AS t FROM e JOIN s2 USING (u)
+      |       WHERE e.ty = 'purchase' AND e.us > s2.t
+      |         AND e.us <= s2.t + 86400000000 GROUP BY 1)
+      |SELECT step_idx, step, n_users FROM (
+      |  SELECT 1 AS step_idx, 'view' AS step,
+      |    (SELECT count(*) FROM s1) AS n_users
+      |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+      |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+      |ORDER BY step_idx""".stripMargin
+
+  /** Weekly cohort retention matrix over the events table. */
+  def retentionQ(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.retention(events(spark, dir))
+      .transform(QueryUtil.ordered("cohort_week", "week_offset"))
+
+  val retentionOracle: String =
+    """WITH w AS (SELECT DISTINCT user_id AS u,
+      |             date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk FROM events),
+      |c AS (SELECT u, min(wk) AS cw FROM w GROUP BY 1)
+      |SELECT strftime(c.cw, '%Y-%m-%d') AS cohort_week,
+      |  CAST(date_diff('day', c.cw, w.wk) // 7 AS BIGINT) AS week_offset,
+      |  count(DISTINCT w.u) AS n_users
+      |FROM w JOIN c USING (u)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "ev_funnel" -> ((funnelQ _, Some(funnelOracle))),
+    "ev_retention" -> ((retentionQ _, Some(retentionOracle))),
     "ev_asof" -> ((asof _, Some(asofOracle))),
     "ev_asof_bc" -> ((asofBroadcast _, Some(asofOracle))),
     "ev_range_join" -> ((rangeJoinQ _, Some(rangeJoinOracle))),

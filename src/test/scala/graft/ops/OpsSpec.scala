@@ -1287,6 +1287,42 @@ class OpsSpec extends SparkSpec {
     assert(r(1L)._1.startsWith("x1 x2"))
   }
 
+  test("funnel: earliest-completion chain, strict order, window bound, per-step decay") {
+    import java.sql.Timestamp
+    def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    val ev = Seq(
+      // user 1 converts fully in order
+      (1L, ts(0), "view"), (1L, ts(10), "click"), (1L, ts(20), "purchase"),
+      // user 2: click BEFORE the first view never counts; no click after
+      (2L, ts(5), "click"), (2L, ts(10), "view"), (2L, ts(15), "purchase"),
+      // user 3: click after view but purchase OUTSIDE the window
+      (3L, ts(0), "view"), (3L, ts(10), "click"), (3L, ts(200), "purchase"),
+      // user 4: never views
+      (4L, ts(0), "click"), (4L, ts(5), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val r = TimeSeries.funnel(ev, Seq("view", "click", "purchase"),
+        withinSeconds = 3600L).collect()
+      .map(x => x.getString(1) -> x.getLong(2)).toMap
+    assert(r == Map("view" -> 3L, "click" -> 2L, "purchase" -> 1L), r.toString)
+  }
+
+  test("retention: cohorts key on first-seen week, offsets count distinct active users") {
+    import java.sql.Timestamp
+    // 2024-01-01 and 2024-01-08 are Mondays (week starts)
+    def t(day: Int) = Timestamp.valueOf(f"2024-01-${day}%02d 12:00:00")
+    val ev = Seq(
+      (1L, t(1)), (1L, t(9)), (1L, t(16)),  // cohort wk0, active 0,1,2
+      (2L, t(2)), (2L, t(10)),              // cohort wk0, active 0,1 (churns)
+      (3L, t(9)), (3L, t(17)))              // cohort wk1, active 0,1
+      .toDF("user_id", "ts")
+    val r = TimeSeries.retention(ev).collect()
+      .map(x => (x.getString(0), x.getLong(1)) -> x.getLong(2)).toMap
+    assert(r == Map(
+      ("2024-01-01", 0L) -> 2L, ("2024-01-01", 1L) -> 2L,
+      ("2024-01-01", 2L) -> 1L,
+      ("2024-01-08", 0L) -> 1L, ("2024-01-08", 1L) -> 1L), r.toString)
+  }
+
   test("URL gate: hosts extracted and lower-cased, blocklist flags, registrable domains") {
     val d = Seq(
       (1L, "read https://Docs.Example.COM/a?q=1 and http://spam.example.com/x"),
