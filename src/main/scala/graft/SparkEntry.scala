@@ -71,5 +71,7 @@ object SparkEntry {
     "tx_bigram_logprob", // capped bigram model + broadcast scoring
     // r7: the whole pipeline front to back as one declarative plan
     "tx_curation6",      // extract -> enc -> line dedup -> decon -> gates -> keeper -> bigram -> mix
-    "tx_substr_dedup")   // ExactSubstr-style repeated-span removal (bounded per-doc window)
+    "tx_substr_dedup",   // ExactSubstr-style repeated-span removal (bounded per-doc window)
+    "ev_funnel",         // ordered-step conversion funnel (per-step min + user-key join)
+    "ev_retention")      // weekly cohort retention (distinct user-week rollup)
 }
