@@ -71,4 +71,37 @@ object Sampling {
       .filter(unitHash(col(idCol)) < col("_keep_frac"))
       .drop("_keep_frac")
   }
+
+  /** Per-group quota: keep the `k` rows of each `groupCol` group that
+    * rank FIRST by ascending `rankKey` (rank descending by negating the
+    * key; make it a total order — e.g. `struct(-quality, id)` — for a
+    * deterministic result, exactly as with `ORDER BY`). The
+    * crawl-curation "cap documents per registrable domain" rule
+    * (C4/RefinedWeb-style host quotas) is this op with
+    * `groupCol = domain, rankKey = struct(-quality, doc_id)`.
+    *
+    * Scale shape: ONE aggregation with [[graft.etl.expressions.BoundedTopK]]
+    * — a typed imperative aggregate whose buffer is capped at k in
+    * every mode, so map-side partial aggregation reduces a hot group
+    * (some domain with 10⁸ docs) to ≤ k rows PER MAP TASK before the
+    * shuffle. The window formulation
+    * (`row_number().over(partitionBy(group))`) would funnel every row
+    * of the hot group through one task; a `collect_list` + slice would
+    * hold the whole group in one reduce buffer. Both rejected — see
+    * the BoundedTopK scaladoc. Null FIELDS inside `rankKey` sort
+    * first (Spark's ascending null ordering) and would win the quota —
+    * callers coalesce or pre-filter, same as they would before an
+    * `ORDER BY`. */
+  def topKPerGroup(df: DataFrame, groupCol: String, rankKey: Column,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val packed = struct(rankKey.as("_r"),
+      struct(df.columns.map(col).toIndexedSeq: _*).as("_p"))
+    val topk = Bridge.column(
+      graft.etl.expressions.BoundedTopK(Bridge.expression(packed), k)
+        .toAggregateExpression())
+    df.groupBy(col(groupCol)).agg(topk.as("_top"))
+      .select(explode(col("_top")).as("_e"))
+      .select(col("_e._p.*"))
+  }
 }

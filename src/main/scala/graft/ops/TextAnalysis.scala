@@ -339,6 +339,59 @@ object TextAnalysis {
       .select(col("doc_id"), col("mean_log10p"))
   }
 
+  // --- DSIR data selection --------------------------------------------
+  // Data Selection via Importance Resampling (Xie et al. 2023,
+  // arXiv:2302.03169): score raw documents by their importance weight
+  // under hashed n-gram bucket models of a TARGET distribution vs the
+  // raw corpus, then keep the high-weight docs — "select crawl text
+  // that looks like the high-quality subset" without training a
+  // classifier. The published method uses hashed n-gram features
+  // exactly because they need no model artifact; that also makes the
+  // whole op in-engine computable and oracle-replayable.
+
+  /** Per-document DSIR score: the mean (per token) log-likelihood
+    * ratio log p̂_target(b) − log p̂_raw(b) over the doc's hashed
+    * unigram buckets, add-one smoothed. `targetPred` marks the target
+    * rows (a trusted source, a language, a quality gate — any doc
+    * predicate); the raw model is the whole corpus. Positive score =
+    * looks more like the target than the average raw doc.
+    *
+    * Scale shape: ONE corpus tokenize pass persisted narrow
+    * (id, target-flag, bucket); both bucket models come from a single
+    * `numBuckets`-row partial aggregation of it (the target counts
+    * ride as a conditional sum — no second pass); the ratio frame is
+    * ≤ numBuckets rows and BROADCASTS, so scoring is a map-side join
+    * plus one per-doc agg. Nothing scales with corpus size except the
+    * two linear scans. `numBuckets` must be a power of two: the
+    * oracle recomputes the bucket as an UNSIGNED md5 mod, the engine
+    * as a SIGNED pmod — equal exactly when the modulus divides 2^64.
+    *
+    * Docs with null text score as the empty-string token (the row is
+    * never lost, matching [[graft.ops.Dedup.lineDedup]]'s contract). */
+  def dsirScore(docs: DataFrame, targetPred: Column, numBuckets: Int = 1024,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(numBuckets > 0 && (numBuckets & (numBuckets - 1)) == 0,
+      s"numBuckets must be a power of two, got $numBuckets")
+    val tok = Dedup.persistTracked(docs.select(
+        col(idCol).as("doc_id"), targetPred.as("_tgt"),
+        explode(tokens(coalesce(col(textCol), lit("")))).as("_t"))
+      .select(col("doc_id"), col("_tgt"),
+        pmod(md5Low64(col("_t")), lit(numBuckets.toLong)).as("_b")))
+    val counts = tok.groupBy("_b").agg(
+      count(lit(1)).cast("double").as("_cr"),
+      sum(when(col("_tgt"), 1.0).otherwise(0.0)).as("_ct"))
+    val totals = counts.agg(sum(col("_cr")).as("_tr"), sum(col("_ct")).as("_tt"))
+    val smooth = lit(numBuckets.toDouble)
+    val ratios = counts.crossJoin(broadcast(totals))
+      .select(col("_b"),
+        (log((col("_ct") + 1.0) / (col("_tt") + smooth)) -
+          log((col("_cr") + 1.0) / (col("_tr") + smooth))).as("_lr"))
+    tok.join(broadcast(ratios), Seq("_b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(col("_lr")), 4).as("dsir_score"))
+  }
+
   /** Rolling (Rabin-Karp-style) fingerprint over tokens —
     * order-sensitive, cheap to maintain incrementally at ingest. Spark
     * `aggregate` keeps it sequential per document (deterministic). The

@@ -967,6 +967,90 @@ object TextQueries {
       |FROM hd GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Per-domain quota (the C4/RefinedWeb "cap documents per host"
+    * curation rule): keep at most 3 docs per registrable domain, ranked
+    * by (quality desc, doc_id) — the best representatives of an
+    * over-crawled site survive, the long tail of its pages drops. A
+    * doc's domain is the lexicographic min of its URL hosts' registrable
+    * domains (deterministic for multi-URL docs); docs without URLs pool
+    * under `(none)` and get the same quota. One [[graft.ops.Sampling
+    * .topKPerGroup]] aggregation — bounded top-k partial agg, no
+    * row_number window on the (hot at crawl scale) domain key. */
+  def domainCap(spark: SparkSession, dir: String): DataFrame = {
+    val base = urlPlanted(spark, dir)
+    val dom = base.select(col("doc_id"),
+        explode(TextAnalysis.urlHosts(col("text"))).as("host"))
+      .select(col("doc_id"),
+        TextAnalysis.registrableDomain(col("host")).as("domain"))
+      .groupBy("doc_id").agg(min(col("domain")).as("domain"))
+    val scored = base.join(dom, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("domain"), lit("(none)")).as("domain"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+    graft.ops.Sampling.topKPerGroup(scored, "domain",
+        struct(negate(col("quality")), col("doc_id")), k = 3)
+      .transform(QueryUtil.ordered("domain", "doc_id"))
+  }
+
+  val domainCapOracle: String = {
+    import graft.ops.TextAnalysis.UrlHostRe
+    import graft.ops.PublicSuffix
+    s"""WITH planted AS (SELECT doc_id, $urlPlantSql AS text FROM documents),
+      |h AS (SELECT doc_id, unnest(list_transform(
+      |        regexp_extract_all(text, '$UrlHostRe', 1), x -> lower(x))) AS host
+      |      FROM planted),
+      |hw AS (SELECT doc_id, string_split(host, '.') AS w FROM h),
+      |hp AS (SELECT doc_id, w, ${PublicSuffix.duckdbSuffixLenCase("w")} AS plen
+      |       FROM hw),
+      |hd AS (SELECT doc_id,
+      |         ${PublicSuffix.duckdbDomainSlice("w", "plen")} AS domain
+      |       FROM hp),
+      |dom AS (SELECT doc_id, min(domain) AS domain FROM hd GROUP BY 1),
+      |s AS (SELECT doc_id,
+      |    len(string_split(text, ' ')) * 1.0 AS n,
+      |    len(list_distinct(string_split(text, ' '))) * 1.0 AS nd,
+      |    len(list_filter(string_split(text, ' '),
+      |        t -> t IN ('the', 'a', 'of', 'to', 'and', 'in', 'is', 'it'))) * 1.0 AS st
+      |  FROM planted),
+      |q AS (SELECT doc_id,
+      |    round(least(n / 100.0, 1.0) * 0.4 + (nd / n) * 0.4 + (1.0 - st / n) * 0.2, 4)
+      |      AS quality
+      |  FROM s),
+      |j AS (SELECT q.doc_id, COALESCE(dom.domain, '(none)') AS domain, q.quality
+      |      FROM q LEFT JOIN dom ON q.doc_id = dom.doc_id),
+      |r AS (SELECT *, row_number() OVER
+      |        (PARTITION BY domain ORDER BY quality DESC, doc_id) AS rn
+      |      FROM j)
+      |SELECT doc_id, domain, quality FROM r WHERE rn <= 3
+      |ORDER BY domain, doc_id""".stripMargin
+  }
+
+  /** DSIR data-selection scores (Xie et al. 2023): importance weight
+    * of every doc under hashed-unigram models of target = English docs
+    * vs the raw multilingual corpus — the "select text that looks like
+    * my trusted subset" op. See [[graft.ops.TextAnalysis.dsirScore]]. */
+  def dsir(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dsirScore(docs(spark, dir), col("lang") === "en")
+      .transform(QueryUtil.ordered("doc_id"))
+
+  val dsirOracle: String =
+    """WITH tok AS (SELECT doc_id, lang = 'en' AS tgt,
+      |               unnest(string_split(text, ' ')) AS t
+      |             FROM documents),
+      |bk AS (SELECT doc_id, tgt,
+      |         CAST(('0x' || substr(md5(t), 1, 16))::UBIGINT % 1024 AS BIGINT) AS b
+      |       FROM tok),
+      |c AS (SELECT b, count(*) * 1.0 AS cr,
+      |        count(*) FILTER (WHERE tgt) * 1.0 AS ct
+      |      FROM bk GROUP BY 1),
+      |tt AS (SELECT sum(cr) AS tr, sum(ct) AS ts FROM c),
+      |r AS (SELECT b, ln((ct + 1.0) / (tt.ts + 1024.0)) -
+      |        ln((cr + 1.0) / (tt.tr + 1024.0)) AS lr
+      |      FROM c CROSS JOIN tt)
+      |SELECT bk.doc_id, count(*) AS n_tokens, round(avg(r.lr), 4) AS dsir_score
+      |FROM bk JOIN r ON bk.b = r.b
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --- HTML extraction ---------------------------------------------------
   // Wrap a slice of the corpus in markup (script+style payloads that
   // must vanish, block structure, entities) identically on both sides;
@@ -1880,6 +1964,8 @@ object TextQueries {
     "tx_pii_scrub" -> ((piiScrub _, Some(piiScrubOracle))),
     "tx_url_gate" -> ((urlGate _, Some(urlGateOracle))),
     "tx_domain_stats" -> ((domainStats _, Some(domainStatsOracle))),
+    "tx_domain_cap" -> ((domainCap _, Some(domainCapOracle))),
+    "tx_dsir" -> ((dsir _, Some(dsirOracle))),
     "tx_pack_shards" -> ((packShards _, Some(packShardsOracle))),
     "tx_tokenizer_probe" -> ((tokenizerProbe _, Some(tokenizerProbeOracle))),
     "tx_line_dedup" -> ((lineDedup _, Some(lineDedupOracle))),

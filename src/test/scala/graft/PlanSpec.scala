@@ -104,6 +104,32 @@ class PlanSpec extends SparkSpec {
       s"every window must partition by the document, not the gram:\n$windows")
   }
 
+  test("tx_domain_cap: quota is a bounded top-k PARTIAL aggregation, never a domain window") {
+    // the C4-style per-domain cap must map-side-combine: a hot domain
+    // (10^8 pages of one site at crawl scale) shrinks to ≤ k rows per
+    // map task before the shuffle. A row_number window on the domain
+    // key — the lineDedup r6 failure class — funnels the whole domain
+    // through one task.
+    val p = plan("tx_domain_cap")
+    assert(p.contains("partial_bounded_top_k"),
+      s"expected map-side partial bounded_top_k:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"typed imperative agg should plan as ObjectHashAggregate:\n$p")
+    assert(!p.contains("windowspecdefinition"),
+      s"no window allowed anywhere in the quota plan:\n$p")
+  }
+
+  test("tx_dsir: bucket models broadcast — the corpus never sort-merge-joins") {
+    // both bucket-model frames are ≤ numBuckets rows; scoring must be
+    // a broadcast join against the persisted token frame plus one
+    // per-doc aggregation, not a corpus-wide shuffle join
+    val p = plan("tx_dsir")
+    assert(p.contains("BroadcastHashJoin"),
+      s"ratio frame must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-side shuffle join defeats the broadcast design:\n$p")
+  }
+
   test("ev_asof: merge formulation — one key shuffle, no join operator at all") {
     // the union+window encoding must plan ZERO joins (the naive
     // inequality-join form would appear as a BroadcastNestedLoopJoin or

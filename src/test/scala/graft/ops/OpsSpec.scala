@@ -1558,6 +1558,77 @@ class OpsSpec extends SparkSpec {
     assert(r(99L) == Some(2), "after last -> last")
   }
 
+  test("topKPerGroup: per-group quota by rank key, ties broken by id, small groups keep all") {
+    val d = Seq(
+      (1L, "g1", 0.9), (2L, "g1", 0.7), (3L, "g1", 0.9),
+      (4L, "g1", 0.5), (5L, "g1", 0.8),
+      (6L, "g2", 0.1), (7L, "g2", 0.2)).toDF("doc_id", "grp", "q")
+    val kept = Sampling.topKPerGroup(d, "grp",
+        struct(negate(col("q")), col("doc_id")), k = 3)
+      .collect().map(r => r.getAs[String]("grp") -> r.getAs[Long]("doc_id"))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // g1 top-3 by (q desc, id asc): 0.9@1, 0.9@3 (tie -> lower id first), 0.8@5
+    assert(kept("g1") == Set(1L, 3L, 5L))
+    assert(kept("g2") == Set(6L, 7L), "group smaller than k keeps all rows")
+  }
+
+  test("topKPerGroup: output rows carry the full original row, k=1 degenerates to argmin") {
+    val d = Seq((1L, "a", 3.0, "x"), (2L, "a", 1.0, "y"), (3L, "b", 2.0, "z"))
+      .toDF("id", "grp", "v", "payload")
+    val r = Sampling.topKPerGroup(d, "grp", struct(col("v"), col("id")), k = 1)
+      .collect().map(x => x.getAs[String]("grp") ->
+        ((x.getAs[Long]("id"), x.getAs[String]("payload")))).toMap
+    assert(r == Map("a" -> ((2L, "y")), "b" -> ((3L, "z"))))
+  }
+
+  test("BoundedTopK: survives multi-partition partial aggregation (serialize path)") {
+    // force many input partitions so map-side partials must merge and
+    // (in ObjectHashAggregate) serialize across the exchange
+    val d = spark.range(0, 1000, 1, 32)
+      .select((col("id") % 7).as("grp"), col("id"))
+    val r = Sampling.topKPerGroup(d.toDF, "grp", struct(col("id")), k = 4)
+      .collect().map(x => x.getAs[Long]("grp") -> x.getAs[Long]("id"))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    (0L until 7L).foreach { g =>
+      assert(r(g) == Set(g, g + 7, g + 14, g + 21),
+        s"group $g should keep its 4 smallest ids, got ${r(g)}")
+    }
+  }
+
+  test("dsirScore: target-like docs out-score off-target docs; scores are finite") {
+    val d = Seq(
+      (1L, "the cat is in the house and it is fine", "en"),
+      (2L, "der hund ist in dem haus und er ist gut", "de"),
+      (3L, "the dog is in the garden and it is good", "en"),
+      (4L, "die katze ist in dem garten und sie ist gut", "de"))
+      .toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.dsirScore(d, col("lang") === "en")
+      .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[Double]("dsir_score"))
+      .toMap
+    assert(r(1L) > r(2L) && r(3L) > r(4L),
+      s"en docs must out-score de docs under an en target: $r")
+    assert(r.values.forall(v => !v.isNaN && !v.isInfinite))
+  }
+
+  test("dsirScore: a doc mixing target and off-target text lands between the pure docs") {
+    val d = Seq(
+      (1L, "the house is fine the garden is good", "en"),
+      (2L, "haus und garten und hund und katze gut", "de"),
+      (3L, "the house is fine und hund und katze", "xx"))
+      .toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.dsirScore(d, col("lang") === "en")
+      .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[Double]("dsir_score"))
+      .toMap
+    assert(r(1L) > r(3L) && r(3L) > r(2L), s"mixed doc must rank between: $r")
+  }
+
+  test("dsirScore: null text scores as empty token — the row is never lost") {
+    val d = Seq((1L, Some("a b"), "en"), (2L, Option.empty[String], "de"))
+      .toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.dsirScore(d, col("lang") === "en").collect()
+    assert(r.length == 2, "null-text doc must still emit a score row")
+  }
+
   test("asofJoin: a right row with a NULL payload value still wins over older rows") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def t(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
