@@ -114,6 +114,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         arity("sorted_asof_idx", args, 2, 2)
         SortedAsofIndex(args.head, args(1))
       }))
+    // bounded_top_k(key, k): the k smallest values of `key` per group
+    // as an ascending array — O(k) buffer in every aggregation mode,
+    // so per-group quotas map-side-combine instead of funneling hot
+    // groups through a window task (the analyzer wraps the
+    // AggregateFunction for SQL use; see Sampling.topKPerGroup for
+    // the DataFrame quota composition).
+    e.injectFunction((
+      FunctionIdentifier("bounded_top_k"),
+      new ExpressionInfo(classOf[graft.etl.expressions.BoundedTopK].getName,
+        "bounded_top_k"),
+      (args: Seq[Expression]) => {
+        arity("bounded_top_k", args, 2, 2)
+        graft.etl.expressions.BoundedTopK(args.head,
+          litInt("bounded_top_k")(args(1)))
+      }))
     // Curation surface: the content gates as SQL functions. These are
     // compositions of built-in expressions (regexp engine is the cost,
     // not dispatch — no custom codegen needed), injected so SQL users

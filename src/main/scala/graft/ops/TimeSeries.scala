@@ -216,7 +216,16 @@ object TimeSeries {
     val ev = Dedup.persistTracked(events.select(
       col(userCol).as("_u"), unix_micros(col(tsCol)).as("_us"),
       col(typeCol).as("_ty")))
-    val reachedPerStep = steps.zipWithIndex.scanLeft(
+    funnelCounts(funnelReachedPerStep(ev, steps, withinSeconds), steps)
+  }
+
+  /** The chain core shared with [[graft.streaming.StreamingFunnel]]
+    * (shared so the step semantics cannot fork): one frame per step of
+    * the users reaching it, from a normalized `(_u, _us, _ty)` event
+    * frame (callers persist it — each step plans two passes over it). */
+  private[graft] def funnelReachedPerStep(ev: DataFrame, steps: Seq[String],
+      withinSeconds: Long): Seq[DataFrame] =
+    steps.zipWithIndex.scanLeft(
         Option.empty[DataFrame]) { case (prev, (step, _)) =>
       val stepEvents = ev.filter(col("_ty") === step)
       Some(prev match {
@@ -228,13 +237,26 @@ object TimeSeries {
           .groupBy("_u").agg(min(col("_us")).as("_t"))
       })
     }.flatten
+
+  private[graft] def funnelCounts(reachedPerStep: Seq[DataFrame],
+      steps: Seq[String]): DataFrame =
     steps.zip(reachedPerStep).zipWithIndex.map {
       case ((step, reached), i) =>
         reached.agg(count(lit(1)).as("n_users"))
           .select(lit(i + 1).as("step_idx"), lit(step).as("step"),
             col("n_users"))
     }.reduce(_.unionByName(_))
-  }
+
+  /** Per-user deepest step reached — `(_u, max_step)`, one row per
+    * user that completed at least step 1. The reach is monotone (step
+    * i+1 requires step i), so the single max is the whole funnel state
+    * for a user; [[graft.streaming.StreamingFunnel]] upserts it. */
+  private[graft] def funnelReach(ev: DataFrame, steps: Seq[String],
+      withinSeconds: Long): DataFrame =
+    funnelReachedPerStep(ev, steps, withinSeconds).zipWithIndex.map {
+      case (reached, i) => reached.select(col("_u"), lit(i + 1).as("_step"))
+    }.reduce(_.unionByName(_))
+      .groupBy("_u").agg(max(col("_step")).as("max_step"))
 
   /** Weekly cohort retention: users bucket into the ISO week of their
     * FIRST event; `n_users` counts the cohort's distinct users active
@@ -250,6 +272,14 @@ object TimeSeries {
       .select(col(userCol).as("_u"),
         date_trunc("week", col(tsCol)).as("_w"))
       .distinct())
+    retentionFromWeeks(weeks)
+  }
+
+  /** The rollup core over a distinct `(_u, _w)` frame — shared with
+    * [[graft.streaming.StreamingRetention]], whose state IS that frame
+    * (shared so the cohort semantics cannot fork). Callers persist the
+    * input (it is read twice: cohorts + join-back). */
+  private[graft] def retentionFromWeeks(weeks: DataFrame): DataFrame = {
     val cohorts = weeks.groupBy("_u").agg(min(col("_w")).as("_cw"))
     weeks.join(cohorts, Seq("_u"))
       .groupBy(date_format(col("_cw"), "yyyy-MM-dd").as("cohort_week"),

@@ -83,6 +83,14 @@ class QueriesSpec extends SparkSpec {
           |""".stripMargin).head()
       assert(a.getAs[Int]("i") == 0)
       assert(a.isNullAt(a.fieldIndex("none")))
+      // bounded_top_k: an AGGREGATE extension function — the analyzer
+      // wraps the AggregateFunction, GROUP BY semantics apply
+      val t = s2.sql(
+        """SELECT g, bounded_top_k(v, 2) AS top2 FROM VALUES
+          |  ('a', 3), ('a', 1), ('a', 2), ('b', 9) AS t(g, v)
+          |GROUP BY g ORDER BY g""".stripMargin).collect()
+      assert(t(0).getSeq[Int](1) == Seq(1, 2), "k smallest, ascending")
+      assert(t(1).getSeq[Int](1) == Seq(9))
       // wrong arity fails with an argument error, not an index crash
       val err = intercept[Exception] { s2.sql("SELECT array_dot(array(1.0d))") }
       assert(err.getMessage.contains("array_dot expects 2"),

@@ -344,6 +344,130 @@ class StreamingSpec extends SparkSpec {
     assert(upserts(2L)._1 == "keep two" && upserts(10L)._1 == "keep ten")
   }
 
+  test("streaming retention: snapshots equal batch retention; a late event shifts a cohort") {
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    val in = tmpDir("rt-in")
+    val state = tmpDir("rt-state")
+    // weeks: jan1 / jan8 / jan15 (all Mondays). u2's batch-1 event is
+    // EARLIER than anything it showed in batch 0 — its cohort must
+    // shift retroactively from jan8 to jan1.
+    def ev(u: Long, day: String): String =
+      s"""{"user_id":$u,"ts":"2024-01-${day}T12:00:00.000Z"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/a.jsonl"),
+      Seq(ev(1, "01"), ev(1, "08"), ev(2, "08")).mkString("\n").getBytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/b.jsonl"),
+      Seq(ev(1, "15"), ev(2, "01"), ev(3, "15")).mkString("\n").getBytes)
+    new java.io.File(s"$in/a.jsonl").setLastModified(System.currentTimeMillis() - 60000)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("user_id", "long").add("ts", "timestamp")
+    def rows(df: DataFrame): Set[(String, Long, Long)] =
+      df.collect().map(r => (r.getAs[String]("cohort_week"),
+        r.getAs[Long]("week_offset"), r.getAs[Long]("n_users"))).toSet
+    val snapshots = scala.collection.mutable.ArrayBuffer[Set[(String, Long, Long)]]()
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(in)
+      .writeStream
+      .option("checkpointLocation", tmpDir("rt-ckpt"))
+      .foreachBatch(StreamingRetention.foreachBatchRetention(
+        state, { out: DataFrame => snapshots.synchronized { snapshots += rows(out) }; () }))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(snapshots.size == 2)
+    def batchOf(days: Seq[(Long, String)]): DataFrame =
+      days.map { case (u, d) => (u, s"2024-01-${d}T12:00:00.000Z") }
+        .toDF("user_id", "s").select(col("user_id"), to_timestamp(col("s")).as("ts"))
+    val b0 = Seq((1L, "01"), (1L, "08"), (2L, "08"))
+    val b1 = Seq((1L, "15"), (2L, "01"), (3L, "15"))
+    val exp0 = rows(graft.ops.TimeSeries.retention(batchOf(b0)))
+    val expAll = rows(graft.ops.TimeSeries.retention(batchOf(b0 ++ b1)))
+    graft.ops.Dedup.releaseCaches()
+    assert(snapshots(0) == exp0, s"got ${snapshots(0)} want $exp0")
+    assert(snapshots(1) == expAll, s"got ${snapshots(1)} want $expAll")
+    // the retro shift actually happened: a jan-08 cohort existed after
+    // batch 0 and is GONE from the final snapshot (u2 moved to jan-01)
+    assert(snapshots(0).exists(_._1 == "2024-01-08"))
+    assert(!snapshots(1).exists(_._1 == "2024-01-08"))
+    // replay idempotence: re-running batch 1 emits the identical snapshot
+    val replayed = scala.collection.mutable.ArrayBuffer[Set[(String, Long, Long)]]()
+    StreamingRetention.foreachBatchRetention(state,
+      { out: DataFrame => replayed += rows(out); () })(batchOf(b1), 1L)
+    assert(replayed.head == snapshots(1))
+    // an empty batch leaves the snapshot unchanged (and doesn't crash)
+    StreamingRetention.foreachBatchRetention(state,
+      { out: DataFrame => replayed += rows(out); () })(batchOf(b1).limit(0), 2L)
+    assert(replayed(1) == snapshots(1))
+    graft.ops.Dedup.releaseCaches()
+  }
+
+  test("streaming funnel: snapshots equal batch funnel; late events grant AND revoke steps") {
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    val in = tmpDir("fn-in")
+    val state = tmpDir("fn-state")
+    // within = 1h. u3: click arrives BEFORE any view — batch 1's view
+    // retro-GRANTS step 2. u4: batch 1 delivers an EARLIER view that
+    // shifts the window so the already-counted click falls outside —
+    // retro-REVOKES step 2. u5 is untouched by batch 1 (state carries).
+    def ev(u: Long, ty: String, hm: String): String =
+      s"""{"user_id":$u,"event_type":"$ty","ts":"2024-01-01T${hm}:00.000Z"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/a.jsonl"), Seq(
+      ev(1, "view", "10:00"), ev(1, "click", "10:30"), ev(1, "purchase", "10:45"),
+      ev(2, "view", "10:00"), ev(2, "click", "12:00"),
+      ev(3, "click", "10:30"),
+      ev(4, "view", "10:00"), ev(4, "click", "10:30"),
+      ev(5, "view", "10:00")).mkString("\n").getBytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/b.jsonl"), Seq(
+      ev(3, "view", "10:00"),
+      ev(4, "view", "08:00")).mkString("\n").getBytes)
+    new java.io.File(s"$in/a.jsonl").setLastModified(System.currentTimeMillis() - 60000)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("user_id", "long").add("event_type", "string").add("ts", "timestamp")
+    val steps = Seq("view", "click", "purchase")
+    def rows(df: DataFrame): Set[(Int, String, Long)] =
+      df.collect().map(r => (r.getAs[Int]("step_idx"),
+        r.getAs[String]("step"), r.getAs[Long]("n_users"))).toSet
+    val snapshots = scala.collection.mutable.ArrayBuffer[Set[(Int, String, Long)]]()
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(in)
+      .writeStream
+      .option("checkpointLocation", tmpDir("fn-ckpt"))
+      .foreachBatch(StreamingFunnel.foreachBatchFunnel(steps, 3600L, state,
+        { out: DataFrame => snapshots.synchronized { snapshots += rows(out) }; () }))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(snapshots.size == 2)
+    def batchOf(evs: Seq[(Long, String, String)]): DataFrame =
+      evs.map { case (u, ty, hm) => (u, ty, s"2024-01-01T$hm:00.000Z") }
+        .toDF("user_id", "event_type", "s")
+        .select(col("user_id"), col("event_type"), to_timestamp(col("s")).as("ts"))
+    val b0 = Seq((1L, "view", "10:00"), (1L, "click", "10:30"),
+      (1L, "purchase", "10:45"), (2L, "view", "10:00"), (2L, "click", "12:00"),
+      (3L, "click", "10:30"), (4L, "view", "10:00"), (4L, "click", "10:30"),
+      (5L, "view", "10:00"))
+    val b1 = Seq((3L, "view", "10:00"), (4L, "view", "08:00"))
+    val exp0 = rows(graft.ops.TimeSeries.funnel(batchOf(b0), steps, 3600L))
+    val expAll = rows(graft.ops.TimeSeries.funnel(batchOf(b0 ++ b1), steps, 3600L))
+    graft.ops.Dedup.releaseCaches()
+    assert(snapshots(0) == exp0, s"got ${snapshots(0)} want $exp0")
+    assert(snapshots(1) == expAll, s"got ${snapshots(1)} want $expAll")
+    // the grant+revoke actually moved counts: step 1 grew (u3 gained a
+    // view), step 2 membership rotated (u3 in, u4 out — count level
+    // pinned by the batch-op equality above)
+    assert(snapshots(0).contains((1, "view", 4L)) &&
+      snapshots(1).contains((1, "view", 5L)))
+    // replay idempotence
+    val replayed = scala.collection.mutable.ArrayBuffer[Set[(Int, String, Long)]]()
+    StreamingFunnel.foreachBatchFunnel(steps, 3600L, state,
+      { out: DataFrame => replayed += rows(out); () })(batchOf(b1), 1L)
+    assert(replayed.head == snapshots(1))
+    // an empty batch leaves the snapshot unchanged
+    StreamingFunnel.foreachBatchFunnel(steps, 3600L, state,
+      { out: DataFrame => replayed += rows(out); () })(batchOf(b1).limit(0), 2L)
+    assert(replayed(1) == snapshots(1))
+    graft.ops.Dedup.releaseCaches()
+  }
+
   test("streaming ANN ingest: streamed index equals batch encode, replays don't duplicate") {
     import org.apache.spark.sql.DataFrame
     import spark.implicits._
