@@ -392,6 +392,38 @@ object TextAnalysis {
         round(avg(col("_lr")), 4).as("dsir_score"))
   }
 
+  // --- Retrieval chunking ---------------------------------------------
+  // The RAG-prep counterpart of sequence packing: split each document
+  // into overlapping fixed-size token windows (overlap preserves
+  // context across chunk boundaries for retrieval; packing's split
+  // mode deliberately has none — training shards must not duplicate
+  // tokens). Scan-fused explode, zero shuffle: chunk counts derive
+  // from per-row arithmetic, never from corpus state.
+
+  /** Sliding token windows: chunks start at 0, stride, 2·stride, …;
+    * each takes `chunkSize` tokens (the last may be shorter); every
+    * doc — including an empty one — emits at least one chunk, and
+    * emits no chunk that merely re-covers the previous one (the last
+    * start is the smallest multiple of stride reaching the doc's
+    * tail). Output `(doc_id, chunk_idx, chunk_text, n_tokens)`. */
+  def chunkSliding(docs: DataFrame, chunkSize: Int = 64, stride: Int = 48,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
+    val tk = docs.select(col(idCol).as("doc_id"),
+      tokens(coalesce(col(textCol), lit(""))).as("_tk"))
+    val numChunks = lit(1) + floor(
+      (greatest(size(col("_tk")) - chunkSize, lit(0)) + (stride - 1))
+        .cast("double") / stride).cast("int")
+    tk.select(col("doc_id"), col("_tk"),
+        explode(sequence(lit(0), numChunks - 1)).as("_i"))
+      .select(col("doc_id"), col("_i").cast("long").as("chunk_idx"),
+        concat_ws(" ", slice(col("_tk"), col("_i") * stride + 1, lit(chunkSize)))
+          .as("chunk_text"),
+        size(slice(col("_tk"), col("_i") * stride + 1, lit(chunkSize))).cast("long")
+          .as("n_tokens"))
+  }
+
   /** Rolling (Rabin-Karp-style) fingerprint over tokens —
     * order-sensitive, cheap to maintain incrementally at ingest. Spark
     * `aggregate` keeps it sequential per document (deterministic). The

@@ -1025,6 +1025,25 @@ object TextQueries {
       |ORDER BY domain, doc_id""".stripMargin
   }
 
+  /** Retrieval chunking: overlapping fixed-size token windows per doc
+    * (64-token chunks, stride 48 → 16-token overlap) — the RAG-prep
+    * op; chunks feed BM25 / the hashing embedder / ANN directly.
+    * Scan-fused explode, zero shuffle. */
+  def chunkSliding(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkSliding(docs(spark, dir))
+      .transform(QueryUtil.ordered("doc_id", "chunk_idx"))
+
+  val chunkSlidingOracle: String =
+    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |c AS (SELECT doc_id, t,
+      |        1 + (greatest(len(t) - 64, 0) + 47) // 48 AS nc
+      |      FROM tk),
+      |e AS (SELECT doc_id, t, unnest(generate_series(0, nc - 1)) AS i FROM c)
+      |SELECT doc_id, i AS chunk_idx,
+      |  array_to_string(t[i*48+1 : i*48+64], ' ') AS chunk_text,
+      |  CAST(len(t[i*48+1 : i*48+64]) AS BIGINT) AS n_tokens
+      |FROM e ORDER BY doc_id, chunk_idx""".stripMargin
+
   /** DSIR data-selection scores (Xie et al. 2023): importance weight
     * of every doc under hashed-unigram models of target = English docs
     * vs the raw multilingual corpus — the "select text that looks like
@@ -1966,6 +1985,7 @@ object TextQueries {
     "tx_domain_stats" -> ((domainStats _, Some(domainStatsOracle))),
     "tx_domain_cap" -> ((domainCap _, Some(domainCapOracle))),
     "tx_dsir" -> ((dsir _, Some(dsirOracle))),
+    "tx_chunk_sliding" -> ((chunkSliding _, Some(chunkSlidingOracle))),
     "tx_pack_shards" -> ((packShards _, Some(packShardsOracle))),
     "tx_tokenizer_probe" -> ((tokenizerProbe _, Some(tokenizerProbeOracle))),
     "tx_line_dedup" -> ((lineDedup _, Some(lineDedupOracle))),

@@ -1629,6 +1629,31 @@ class OpsSpec extends SparkSpec {
     assert(r.length == 2, "null-text doc must still emit a score row")
   }
 
+  test("chunkSliding: overlap, ragged tail, short and empty docs") {
+    val d = Seq(
+      (1L, (1 to 11).map(i => s"t$i").mkString(" ")), // 11 tokens
+      (2L, "a b"),                                    // shorter than a chunk
+      (3L, "")).toDF("doc_id", "text")                // empty -> one "" token
+    val r = TextAnalysis.chunkSliding(d, chunkSize = 4, stride = 3)
+      .collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("chunk_idx")) ->
+        ((x.getAs[String]("chunk_text"), x.getAs[Long]("n_tokens")))).toMap
+    // starts 0,3,6,9: full windows then the ragged 2-token tail
+    assert(r((1L, 0L)) == (("t1 t2 t3 t4", 4L)))
+    assert(r((1L, 1L)) == (("t4 t5 t6 t7", 4L)), "chunks overlap by size-stride")
+    assert(r((1L, 2L)) == (("t7 t8 t9 t10", 4L)))
+    assert(r((1L, 3L)) == (("t10 t11", 2L)))
+    assert(r((2L, 0L)) == (("a b", 2L)) && !r.contains((2L, 1L)),
+      "short doc = exactly one whole-doc chunk")
+    assert(r((3L, 0L)) == (("", 1L)), "empty text still emits its chunk row")
+    // no chunk starts at/after the tail: 12 tokens, size 4, stride 4
+    val even = TextAnalysis.chunkSliding(
+        Seq((9L, (1 to 12).map(_.toString).mkString(" "))).toDF("doc_id", "text"),
+        chunkSize = 4, stride = 4)
+      .collect()
+    assert(even.length == 3, s"exact multiple -> no empty trailing chunk: ${even.length}")
+  }
+
   test("asofJoin: a right row with a NULL payload value still wins over older rows") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def t(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
