@@ -275,6 +275,33 @@ object TimeSeries {
     retentionFromWeeks(weeks)
   }
 
+  /** Event-type transition matrix (first-order Markov path analysis):
+    * per-user event sequences ordered by `(ts, orderCol)` yield
+    * `(from_type, to_type)` adjacent pairs, rolled up corpus-wide with
+    * each from-type's transition probability.
+    *
+    * Scale shape: the lag window partitions by USER — a bounded domain
+    * (one person's events), the audit-approved window class, never the
+    * type key (event types are few and colossally hot). The rollup is
+    * a map-side-combined groupBy on the pair key, and the probability
+    * denominator joins from a types-sized frame (broadcast). */
+  def transitions(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", orderCol: String = "event_id",
+      typeCol: String = "event_type"): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(orderCol))
+    val counts = events
+      .select(col(userCol), col(tsCol), col(orderCol), col(typeCol))
+      .withColumn("_prev", lag(col(typeCol), 1).over(w))
+      .filter(col("_prev").isNotNull)
+      .groupBy(col("_prev").as("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("from_type").agg(sum(col("n")).as("_tot"))
+    counts.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n") / col("_tot"), 4).as("p"))
+  }
+
   /** The rollup core over a distinct `(_u, _w)` frame — shared with
     * [[graft.streaming.StreamingRetention]], whose state IS that frame
     * (shared so the cohort semantics cannot fork). Callers persist the

@@ -295,8 +295,32 @@ object EventQueries {
       |FROM w JOIN c USING (u)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Event-type transition matrix (path analysis) over the events
+    * table — which event types follow which, per user, with
+    * per-from-type probabilities. */
+  def transitionsQ(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.transitions(events(spark, dir))
+      .transform(QueryUtil.ordered("from_type", "to_type"))
+
+  /** Ties at equal micros order by event_id on BOTH sides (the cast to
+    * TIMESTAMP truncates DuckDB's nanos to the engine's micros grain —
+    * ordering by raw nanos could break ties the engine can't see). */
+  val transitionsOracle: String =
+    """WITH s AS (SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS prev
+      |  FROM events),
+      |c AS (SELECT prev AS from_type, event_type AS to_type, count(*) AS n
+      |      FROM s WHERE prev IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY 1)
+      |SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
+      |  round(c.n / t.tot, 4) AS p
+      |FROM c JOIN t USING (from_type)
+      |ORDER BY 1, 2""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "ev_funnel" -> ((funnelQ _, Some(funnelOracle))),
+    "ev_transitions" -> ((transitionsQ _, Some(transitionsOracle))),
     "ev_retention" -> ((retentionQ _, Some(retentionOracle))),
     "ev_asof" -> ((asof _, Some(asofOracle))),
     "ev_asof_bc" -> ((asofBroadcast _, Some(asofOracle))),

@@ -1654,6 +1654,26 @@ class OpsSpec extends SparkSpec {
     assert(even.length == 3, s"exact multiple -> no empty trailing chunk: ${even.length}")
   }
 
+  test("transitions: per-user adjacency, id tiebreak, probabilities sum per from-type") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    // u1: view->click->view; u2: view->purchase. The two t(5) events of
+    // u1 tie on ts and must order by event_id (2 then 3), and u2's
+    // events never pair with u1's.
+    val ev = Seq(
+      (1L, 10L, t(0), "view"), (2L, 10L, t(5), "click"),
+      (3L, 10L, t(5), "view"),
+      (4L, 20L, t(0), "view"), (5L, 20L, t(9), "purchase"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val r = TimeSeries.transitions(ev).collect()
+      .map(x => (x.getAs[String]("from_type"), x.getAs[String]("to_type")) ->
+        ((x.getAs[Long]("n"), x.getAs[Double]("p")))).toMap
+    assert(r == Map(
+      ("view", "click") -> ((1L, 0.5)),
+      ("click", "view") -> ((1L, 1.0)),
+      ("view", "purchase") -> ((1L, 0.5))), s"got $r")
+  }
+
   test("asofJoin: a right row with a NULL payload value still wins over older rows") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def t(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
