@@ -287,15 +287,29 @@ object TimeSeries {
     * denominator joins from a types-sized frame (broadcast). */
   def transitions(events: DataFrame, userCol: String = "user_id",
       tsCol: String = "ts", orderCol: String = "event_id",
-      typeCol: String = "event_type"): DataFrame = {
+      typeCol: String = "event_type"): DataFrame =
+    transitionProbabilities(
+      adjacentPairs(events, userCol, tsCol, orderCol, typeCol)
+        .groupBy("from_type", "to_type")
+        .agg(count(lit(1)).as("n")))
+
+  /** Per-user adjacent `(_u, from_type, to_type)` pairs — shared with
+    * [[graft.streaming.StreamingTransitions]] so the adjacency
+    * semantics (ordering, tiebreak) cannot fork. */
+  private[graft] def adjacentPairs(events: DataFrame, userCol: String,
+      tsCol: String, orderCol: String, typeCol: String): DataFrame = {
     val w = Window.partitionBy(col(userCol))
       .orderBy(col(tsCol), col(orderCol))
-    val counts = events
-      .select(col(userCol), col(tsCol), col(orderCol), col(typeCol))
+    events.select(col(userCol), col(tsCol), col(orderCol), col(typeCol))
       .withColumn("_prev", lag(col(typeCol), 1).over(w))
       .filter(col("_prev").isNotNull)
-      .groupBy(col("_prev").as("from_type"), col(typeCol).as("to_type"))
-      .agg(count(lit(1)).as("n"))
+      .select(col(userCol).as("_u"), col("_prev").as("from_type"),
+        col(typeCol).as("to_type"))
+  }
+
+  /** Probability tail over a `(from_type, to_type, n)` counts frame —
+    * shared with the streaming twin. */
+  private[graft] def transitionProbabilities(counts: DataFrame): DataFrame = {
     val totals = counts.groupBy("from_type").agg(sum(col("n")).as("_tot"))
     counts.join(broadcast(totals), Seq("from_type"))
       .select(col("from_type"), col("to_type"), col("n"),

@@ -38,12 +38,12 @@ class PlanSpec extends SparkSpec {
   /** Queries that deliberately cross-join a SINGLE-ROW broadcast
     * scalar frame (BM25's (N, avgdl) stats; the bigram LM's |V|
     * scalar; curation6's bigram-floor average and tempered-mix
-    * denominator): the plan prints a BroadcastNestedLoopJoin, but
-    * with |right| = 1 it is a constant per-row lookup, not a
-    * quadratic pairing. CartesianProduct stays forbidden even for
-    * these. */
+    * denominator; DSIR's (T_target, T_raw) totals): the plan prints a
+    * BroadcastNestedLoopJoin, but with |right| = 1 it is a constant
+    * per-row lookup, not a quadratic pairing. CartesianProduct stays
+    * forbidden even for these. */
   private val scalarCrossJoins =
-    Set("tx_bm25", "tx_bigram_logprob", "tx_curation6")
+    Set("tx_bm25", "tx_bigram_logprob", "tx_curation6", "tx_dsir")
 
   test("no headline query plans a cartesian product (baselines excepted)") {
     (SparkEntry.benchQueries.toSet ++ Set("ev_skew_join") -- exactBaselines)

@@ -468,6 +468,70 @@ class StreamingSpec extends SparkSpec {
     graft.ops.Dedup.releaseCaches()
   }
 
+  test("streaming transitions: snapshots equal batch op; a mid-sequence late event rewrites pairs") {
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    val in = tmpDir("tr-in")
+    val state = tmpDir("tr-state")
+    // u1's batch-1 'view' at 10:05 lands in the MIDDLE of its known
+    // sequence (10:00 view -> 10:10 click): the old view->click pair
+    // must be REPLACED by view->view + view->click (plus the appended
+    // click->purchase) — the non-append-only case the wholesale
+    // per-user replace exists for.
+    def ev(id: Long, u: Long, ty: String, hm: String): String =
+      s"""{"event_id":$id,"user_id":$u,"event_type":"$ty","ts":"2024-01-01T${hm}:00.000Z"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/a.jsonl"), Seq(
+      ev(1, 1, "view", "10:00"), ev(2, 1, "click", "10:10"),
+      ev(3, 2, "view", "10:00")).mkString("\n").getBytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/b.jsonl"), Seq(
+      ev(4, 1, "view", "10:05"), ev(5, 1, "purchase", "10:20"),
+      ev(6, 3, "view", "11:00")).mkString("\n").getBytes)
+    new java.io.File(s"$in/a.jsonl").setLastModified(System.currentTimeMillis() - 60000)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("event_id", "long").add("user_id", "long")
+      .add("event_type", "string").add("ts", "timestamp")
+    def rows(df: DataFrame): Set[(String, String, Long, Double)] =
+      df.collect().map(r => (r.getAs[String]("from_type"),
+        r.getAs[String]("to_type"), r.getAs[Long]("n"),
+        r.getAs[Double]("p"))).toSet
+    val snapshots = scala.collection.mutable.ArrayBuffer[Set[(String, String, Long, Double)]]()
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(in)
+      .writeStream
+      .option("checkpointLocation", tmpDir("tr-ckpt"))
+      .foreachBatch(StreamingTransitions.foreachBatchTransitions(state,
+        { out: DataFrame => snapshots.synchronized { snapshots += rows(out) }; () }))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(snapshots.size == 2)
+    def batchOf(evs: Seq[(Long, Long, String, String)]): DataFrame =
+      evs.map { case (id, u, ty, hm) => (id, u, ty, s"2024-01-01T$hm:00.000Z") }
+        .toDF("event_id", "user_id", "event_type", "s")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          to_timestamp(col("s")).as("ts"))
+    val b0 = Seq((1L, 1L, "view", "10:00"), (2L, 1L, "click", "10:10"),
+      (3L, 2L, "view", "10:00"))
+    val b1 = Seq((4L, 1L, "view", "10:05"), (5L, 1L, "purchase", "10:20"),
+      (6L, 3L, "view", "11:00"))
+    val exp0 = rows(graft.ops.TimeSeries.transitions(batchOf(b0)))
+    val expAll = rows(graft.ops.TimeSeries.transitions(batchOf(b0 ++ b1)))
+    graft.ops.Dedup.releaseCaches()
+    assert(snapshots(0) == exp0, s"got ${snapshots(0)} want $exp0")
+    assert(snapshots(1) == expAll, s"got ${snapshots(1)} want $expAll")
+    // the rewrite really happened: view->view exists only after batch 1
+    assert(!snapshots(0).exists(t => t._1 == "view" && t._2 == "view"))
+    assert(snapshots(1).exists(t => t._1 == "view" && t._2 == "view"))
+    // replay idempotence + empty batch
+    val replayed = scala.collection.mutable.ArrayBuffer[Set[(String, String, Long, Double)]]()
+    StreamingTransitions.foreachBatchTransitions(state,
+      { out: DataFrame => replayed += rows(out); () })(batchOf(b1), 1L)
+    assert(replayed.head == snapshots(1))
+    StreamingTransitions.foreachBatchTransitions(state,
+      { out: DataFrame => replayed += rows(out); () })(batchOf(b1).limit(0), 2L)
+    assert(replayed(1) == snapshots(1))
+    graft.ops.Dedup.releaseCaches()
+  }
+
   test("streaming ANN ingest: streamed index equals batch encode, replays don't duplicate") {
     import org.apache.spark.sql.DataFrame
     import spark.implicits._
