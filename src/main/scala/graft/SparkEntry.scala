@@ -74,7 +74,8 @@ object SparkEntry {
     "tx_substr_dedup",   // ExactSubstr-style repeated-span removal (bounded per-doc window)
     "ev_funnel",         // ordered-step conversion funnel (per-step min + user-key join)
     "ev_retention",      // weekly cohort retention (distinct user-week rollup)
-    // r7 (cont.): bounded top-k quota + DSIR selection
+    // r7 (cont.): bounded top-k quota + DSIR selection + path analysis
     "tx_domain_cap",     // per-domain quota via BoundedTopK partial agg
-    "tx_dsir")           // hashed-unigram importance weights (broadcast models)
+    "tx_dsir",           // hashed-unigram importance weights (broadcast models)
+    "ev_transitions")    // per-user lag window + broadcast-totals rollup
 }

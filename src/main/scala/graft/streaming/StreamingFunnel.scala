@@ -48,49 +48,39 @@ object StreamingFunnel {
       stateDir: String, sink: DataFrame => Unit,
       userCol: String = "user_id", tsCol: String = "ts",
       typeCol: String = "event_type"): (DataFrame, Long) => Unit = {
+    // fail at wiring time, not hours later on the first trigger
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(withinSeconds > 0, "withinSeconds must be positive")
     (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
-      require(steps.nonEmpty, "funnel needs at least one step")
-      require(withinSeconds > 0, "withinSeconds must be positive")
       val batchEv = batch
         .filter(col(typeCol).isin(steps: _*))
         .select(col(userCol).as("_u"), unix_micros(col(tsCol)).as("_us"),
           col(typeCol).as("_ty"))
         .distinct()
-      batchEv.withColumn("batch_id", lit(batchId))
-        .write.mode("overwrite")
-        .partitionBy("batch_id")
-        .option("partitionOverwriteMode", "dynamic")
-        .parquet(eventsDir(stateDir))
-      // schema-supplied reads: empty first batches write partitionless
-      // dirs schema inference would reject; <= batchId keeps a manual
-      // replay blind to later partitions
-      val evSchema = batchEv.schema
-        .add("batch_id", org.apache.spark.sql.types.LongType)
-      val allEv = spark.read.schema(evSchema).parquet(eventsDir(stateDir))
-        .filter(col("batch_id") <= batchId)
-      val affected = batchEv.select("_u").distinct()
+      StreamingState.writePartition(batchEv, eventsDir(stateDir), batchId)
+      val allEv = StreamingState.readUpTo(spark, eventsDir(stateDir),
+        batchEv.schema, batchId)
+      val affected = batchEv.select(col("_u").as("_au")).distinct()
       // recompute ONLY the affected users, from their full history —
       // distinct across batches (the same event replayed into a later
-      // batch must not double-count as two step completions)
+      // batch must not double-count as two step completions). The semi
+      // join is NULL-SAFE: the batch op's groupBy keeps a null-user
+      // group, so the twin must recompute it too, or its snapshot
+      // diverges from the batch op on null-user events
       val affectedEv = Dedup.persistTracked(
         allEv.select("_u", "_us", "_ty").distinct()
-          .join(affected, Seq("_u"), "left_semi"))
+          .join(affected, col("_u") <=> col("_au"), "left_semi"))
       val reach = TimeSeries.funnelReach(affectedEv, steps, withinSeconds)
-      reach.withColumn("batch_id", lit(batchId))
-        .write.mode("overwrite")
-        .partitionBy("batch_id")
-        .option("partitionOverwriteMode", "dynamic")
-        .parquet(reachDir(stateDir))
+      StreamingState.writePartition(reach, reachDir(stateDir), batchId)
       // current reach table = latest row per user (a user recomputed
       // by several batches keeps the newest verdict; reaches can DROP
       // under retro-shifts, so newest wins, not max)
       val reachSchema = new org.apache.spark.sql.types.StructType()
         .add("_u", batchEv.schema("_u").dataType)
         .add("max_step", org.apache.spark.sql.types.IntegerType)
-        .add("batch_id", org.apache.spark.sql.types.LongType)
-      val latest = spark.read.schema(reachSchema).parquet(reachDir(stateDir))
-        .filter(col("batch_id") <= batchId)
+      val latest = StreamingState.readUpTo(spark, reachDir(stateDir),
+          reachSchema, batchId)
         .groupBy("_u")
         .agg(max_by(col("max_step"), col("batch_id")).as("max_step"))
       val counts = Dedup.persistTracked(

@@ -57,23 +57,12 @@ object StreamingLineDedup {
       // 1. this batch's exploded lines land in the batch's own
       //    partition FIRST (replay rewrites the same files)
       val batchExploded = Dedup.explodeLines(batch, idCol, textCol)
-      batchExploded
-        .withColumn("batch_id", lit(batchId))
-        .write.mode("overwrite")
-        .partitionBy("batch_id")
-        .option("partitionOverwriteMode", "dynamic")
-        .parquet(linesDir(stateDir))
-      // 2. cumulative counts over batches <= this one (the filter keeps
-      //    a manually replayed batch blind to partitions written after
-      //    it — live streams never have any). The read supplies the
-      //    schema: an EMPTY first batch writes a partitionless dir
-      //    that schema inference would reject, and the stream must
-      //    survive empty triggers
-      val stateSchema = batchExploded.schema
-        .add("batch_id", org.apache.spark.sql.types.LongType)
+      StreamingState.writePartition(batchExploded, linesDir(stateDir), batchId)
+      // 2. cumulative counts over batches <= this one (replay blinding
+      //    + schema-supplied empty-batch safety live in StreamingState)
       val allLines = Dedup.persistTracked(
-        spark.read.schema(stateSchema).parquet(linesDir(stateDir))
-          .filter(col("batch_id") <= batchId))
+        StreamingState.readUpTo(spark, linesDir(stateDir),
+          batchExploded.schema, batchId))
       val counts = allLines.groupBy("k").agg(count(lit(1)).as("occ"))
       val batchLines = allLines.filter(col("batch_id") === batchId)
       // 3. docs whose judgment could have changed: this batch's, plus

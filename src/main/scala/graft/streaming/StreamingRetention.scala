@@ -41,20 +41,10 @@ object StreamingRetention {
       val batchWeeks = batch.select(col(userCol).as("_u"),
           date_trunc("week", col(tsCol)).as("_w"))
         .distinct()
-      batchWeeks.withColumn("batch_id", lit(batchId))
-        .write.mode("overwrite")
-        .partitionBy("batch_id")
-        .option("partitionOverwriteMode", "dynamic")
-        .parquet(weeksDir(stateDir))
-      // schema-supplied read: an empty first batch writes a
-      // partitionless dir that schema inference would reject, and the
-      // stream must survive empty triggers. The batch_id <= filter
-      // keeps a manually replayed batch blind to later partitions.
-      val stateSchema = batchWeeks.schema
-        .add("batch_id", org.apache.spark.sql.types.LongType)
+      StreamingState.writePartition(batchWeeks, weeksDir(stateDir), batchId)
       val weeks = Dedup.persistTracked(
-        spark.read.schema(stateSchema).parquet(weeksDir(stateDir))
-          .filter(col("batch_id") <= batchId)
+        StreamingState.readUpTo(spark, weeksDir(stateDir),
+            batchWeeks.schema, batchId)
           .select("_u", "_w").distinct())
       sink(TimeSeries.retentionFromWeeks(weeks))
       Dedup.releaseCaches()

@@ -43,23 +43,12 @@ object StreamingSubstrDedup {
       val spark = batch.sparkSession
       require(maxOccurrences >= 1, "maxOccurrences must be >= 1")
       val (toks, grams) = Dedup.substringFrames(batch, k, idCol, textCol)
-      def writeState(df: DataFrame, dir: String): Unit =
-        df.withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .partitionBy("batch_id")
-          .option("partitionOverwriteMode", "dynamic")
-          .parquet(dir)
-      writeState(grams, gramsDir(stateDir))
-      writeState(toks, toksDir(stateDir))
-      // schema-supplied reads: an empty first batch writes a
-      // partitionless dir that schema inference would reject, and
-      // manual replays must stay blind to partitions written after them
-      def readState(dir: String,
-          template: DataFrame): DataFrame =
-        spark.read.schema(template.schema
-            .add("batch_id", org.apache.spark.sql.types.LongType))
-          .parquet(dir)
-          .filter(col("batch_id") <= batchId)
+      StreamingState.writePartition(grams, gramsDir(stateDir), batchId)
+      StreamingState.writePartition(toks, toksDir(stateDir), batchId)
+      // replay blinding + schema-supplied empty-batch safety live in
+      // StreamingState
+      def readState(dir: String, template: DataFrame): DataFrame =
+        StreamingState.readUpTo(spark, dir, template.schema, batchId)
       val allGrams = Dedup.persistTracked(
         readState(gramsDir(stateDir), grams))
       val counts = allGrams.groupBy("gram").agg(count(lit(1)).as("occ"))

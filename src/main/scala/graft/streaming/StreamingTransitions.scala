@@ -51,43 +51,35 @@ object StreamingTransitions {
           unix_micros(col(tsCol)).as("_us"), col(orderCol).as("_oid"),
           col(typeCol).as("_ty"))
         .distinct()
-      batchEv.withColumn("batch_id", lit(batchId))
-        .write.mode("overwrite")
-        .partitionBy("batch_id")
-        .option("partitionOverwriteMode", "dynamic")
-        .parquet(eventsDir(stateDir))
-      // schema-supplied reads (empty first batches write partitionless
-      // dirs); <= batchId keeps a manual replay blind to later state
-      val evSchema = batchEv.schema
-        .add("batch_id", org.apache.spark.sql.types.LongType)
-      val allEv = spark.read.schema(evSchema).parquet(eventsDir(stateDir))
-        .filter(col("batch_id") <= batchId)
-      val affected = batchEv.select("_u").distinct()
+      StreamingState.writePartition(batchEv, eventsDir(stateDir), batchId)
+      val allEv = StreamingState.readUpTo(spark, eventsDir(stateDir),
+        batchEv.schema, batchId)
+      val affected = batchEv.select(col("_u").as("_au")).distinct()
+      // NULL-SAFE semi join: the batch op's user window keeps a
+      // null-user partition, so the twin must recompute it too
       val affectedEv = Dedup.persistTracked(
         allEv.select("_u", "_us", "_oid", "_ty").distinct()
-          .join(affected, Seq("_u"), "left_semi"))
+          .join(affected, col("_u") <=> col("_au"), "left_semi"))
       val uvec = TimeSeries.adjacentPairs(affectedEv,
           userCol = "_u", tsCol = "_us", orderCol = "_oid", typeCol = "_ty")
         .groupBy("_u", "from_type", "to_type")
         .agg(count(lit(1)).as("n"))
-      uvec.withColumn("batch_id", lit(batchId))
-        .write.mode("overwrite")
-        .partitionBy("batch_id")
-        .option("partitionOverwriteMode", "dynamic")
-        .parquet(upairsDir(stateDir))
+      StreamingState.writePartition(uvec, upairsDir(stateDir), batchId)
       val upSchema = new org.apache.spark.sql.types.StructType()
         .add("_u", batchEv.schema("_u").dataType)
         .add("from_type", org.apache.spark.sql.types.StringType)
         .add("to_type", org.apache.spark.sql.types.StringType)
         .add("n", org.apache.spark.sql.types.LongType)
-        .add("batch_id", org.apache.spark.sql.types.LongType)
       val upairs = Dedup.persistTracked(
-        spark.read.schema(upSchema).parquet(upairsDir(stateDir))
-          .filter(col("batch_id") <= batchId))
+        StreamingState.readUpTo(spark, upairsDir(stateDir), upSchema, batchId))
       // newest-wins wholesale per user: only the rows from each user's
-      // LAST recompute are live
-      val lastBatch = upairs.groupBy("_u").agg(max(col("batch_id")).as("_mb"))
-      val latest = upairs.join(lastBatch, Seq("_u"))
+      // LAST recompute are live (null-safe on the user key for the
+      // same reason as the semi join above)
+      val lastBatch = upairs.groupBy("_u")
+        .agg(max(col("batch_id")).as("_mb"))
+        .select(col("_u").as("_lu"), col("_mb"))
+      val latest = upairs
+        .join(lastBatch, upairs("_u") <=> col("_lu"))
         .filter(col("batch_id") === col("_mb"))
       sink(TimeSeries.transitionProbabilities(
         latest.groupBy("from_type", "to_type").agg(sum(col("n")).as("n"))))

@@ -130,6 +130,22 @@ class PlanSpec extends SparkSpec {
       s"corpus-side shuffle join defeats the broadcast design:\n$p")
   }
 
+  test("ev_transitions: the lag window partitions by USER, never the hot type key; totals broadcast") {
+    // event types are few and colossally hot — a window or shuffle
+    // join keyed on them is the lineDedup r6 failure class. The only
+    // window must partition by user (bounded domain) and the
+    // per-from-type totals frame must broadcast.
+    val p = plan("ev_transitions")
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toList
+    assert(windows.nonEmpty, s"adjacency should be a lag window:\n$p")
+    assert(windows.forall(_.contains("user_id")),
+      s"every window must partition by the user, not the type:\n$windows")
+    assert(p.contains("BroadcastHashJoin"),
+      s"totals frame must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no shuffle join anywhere in the transitions plan:\n$p")
+  }
+
   test("ev_asof: merge formulation — one key shuffle, no join operator at all") {
     // the union+window encoding must plan ZERO joins (the naive
     // inequality-join form would appear as a BroadcastNestedLoopJoin or

@@ -417,9 +417,14 @@ class StreamingSpec extends SparkSpec {
       ev(3, "click", "10:30"),
       ev(4, "view", "10:00"), ev(4, "click", "10:30"),
       ev(5, "view", "10:00")).mkString("\n").getBytes)
-    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/b.jsonl"), Seq(
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/b.jsonl"), (Seq(
       ev(3, "view", "10:00"),
-      ev(4, "view", "08:00")).mkString("\n").getBytes)
+      ev(4, "view", "08:00")) :+
+      // a NULL-user event: the batch op's groupBy keeps the null group
+      // (step-1 counts it), so the twin must recompute it too — the
+      // null-safe semi join is what this row pins
+      """{"user_id":null,"event_type":"view","ts":"2024-01-01T09:00:00.000Z"}""")
+      .mkString("\n").getBytes)
     new java.io.File(s"$in/a.jsonl").setLastModified(System.currentTimeMillis() - 60000)
     val schema = new org.apache.spark.sql.types.StructType()
       .add("user_id", "long").add("event_type", "string").add("ts", "timestamp")
@@ -437,25 +442,28 @@ class StreamingSpec extends SparkSpec {
       .start()
     try q.processAllAvailable() finally q.stop()
     assert(snapshots.size == 2)
-    def batchOf(evs: Seq[(Long, String, String)]): DataFrame =
+    def batchOf(evs: Seq[(Option[Long], String, String)]): DataFrame =
       evs.map { case (u, ty, hm) => (u, ty, s"2024-01-01T$hm:00.000Z") }
         .toDF("user_id", "event_type", "s")
         .select(col("user_id"), col("event_type"), to_timestamp(col("s")).as("ts"))
-    val b0 = Seq((1L, "view", "10:00"), (1L, "click", "10:30"),
-      (1L, "purchase", "10:45"), (2L, "view", "10:00"), (2L, "click", "12:00"),
-      (3L, "click", "10:30"), (4L, "view", "10:00"), (4L, "click", "10:30"),
-      (5L, "view", "10:00"))
-    val b1 = Seq((3L, "view", "10:00"), (4L, "view", "08:00"))
+    val b0 = Seq((Some(1L), "view", "10:00"), (Some(1L), "click", "10:30"),
+      (Some(1L), "purchase", "10:45"), (Some(2L), "view", "10:00"),
+      (Some(2L), "click", "12:00"), (Some(3L), "click", "10:30"),
+      (Some(4L), "view", "10:00"), (Some(4L), "click", "10:30"),
+      (Some(5L), "view", "10:00"))
+    val b1 = Seq((Some(3L), "view", "10:00"), (Some(4L), "view", "08:00"),
+      (Option.empty[Long], "view", "09:00"))
     val exp0 = rows(graft.ops.TimeSeries.funnel(batchOf(b0), steps, 3600L))
     val expAll = rows(graft.ops.TimeSeries.funnel(batchOf(b0 ++ b1), steps, 3600L))
     graft.ops.Dedup.releaseCaches()
     assert(snapshots(0) == exp0, s"got ${snapshots(0)} want $exp0")
     assert(snapshots(1) == expAll, s"got ${snapshots(1)} want $expAll")
-    // the grant+revoke actually moved counts: step 1 grew (u3 gained a
-    // view), step 2 membership rotated (u3 in, u4 out — count level
-    // pinned by the batch-op equality above)
+    // the grant+revoke actually moved counts: step 1 grew by two (u3
+    // gained a view, and the NULL user counts exactly as the batch op
+    // counts it), step 2 membership rotated (u3 in, u4 out — count
+    // level pinned by the batch-op equality above)
     assert(snapshots(0).contains((1, "view", 4L)) &&
-      snapshots(1).contains((1, "view", 5L)))
+      snapshots(1).contains((1, "view", 6L)))
     // replay idempotence
     val replayed = scala.collection.mutable.ArrayBuffer[Set[(Int, String, Long)]]()
     StreamingFunnel.foreachBatchFunnel(steps, 3600L, state,
@@ -483,9 +491,14 @@ class StreamingSpec extends SparkSpec {
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/a.jsonl"), Seq(
       ev(1, 1, "view", "10:00"), ev(2, 1, "click", "10:10"),
       ev(3, 2, "view", "10:00")).mkString("\n").getBytes)
-    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/b.jsonl"), Seq(
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/b.jsonl"), (Seq(
       ev(4, 1, "view", "10:05"), ev(5, 1, "purchase", "10:20"),
-      ev(6, 3, "view", "11:00")).mkString("\n").getBytes)
+      ev(6, 3, "view", "11:00")) ++ Seq(
+      // NULL-user pair: the batch op's user window keeps the null
+      // partition (view->click counted) — pins the null-safe joins
+      """{"event_id":7,"user_id":null,"event_type":"view","ts":"2024-01-01T11:00:00.000Z"}""",
+      """{"event_id":8,"user_id":null,"event_type":"click","ts":"2024-01-01T11:10:00.000Z"}"""))
+      .mkString("\n").getBytes)
     new java.io.File(s"$in/a.jsonl").setLastModified(System.currentTimeMillis() - 60000)
     val schema = new org.apache.spark.sql.types.StructType()
       .add("event_id", "long").add("user_id", "long")
@@ -504,15 +517,16 @@ class StreamingSpec extends SparkSpec {
       .start()
     try q.processAllAvailable() finally q.stop()
     assert(snapshots.size == 2)
-    def batchOf(evs: Seq[(Long, Long, String, String)]): DataFrame =
+    def batchOf(evs: Seq[(Long, Option[Long], String, String)]): DataFrame =
       evs.map { case (id, u, ty, hm) => (id, u, ty, s"2024-01-01T$hm:00.000Z") }
         .toDF("event_id", "user_id", "event_type", "s")
         .select(col("event_id"), col("user_id"), col("event_type"),
           to_timestamp(col("s")).as("ts"))
-    val b0 = Seq((1L, 1L, "view", "10:00"), (2L, 1L, "click", "10:10"),
-      (3L, 2L, "view", "10:00"))
-    val b1 = Seq((4L, 1L, "view", "10:05"), (5L, 1L, "purchase", "10:20"),
-      (6L, 3L, "view", "11:00"))
+    val b0 = Seq((1L, Some(1L), "view", "10:00"), (2L, Some(1L), "click", "10:10"),
+      (3L, Some(2L), "view", "10:00"))
+    val b1 = Seq((4L, Some(1L), "view", "10:05"), (5L, Some(1L), "purchase", "10:20"),
+      (6L, Some(3L), "view", "11:00"), (7L, Option.empty[Long], "view", "11:00"),
+      (8L, Option.empty[Long], "click", "11:10"))
     val exp0 = rows(graft.ops.TimeSeries.transitions(batchOf(b0)))
     val expAll = rows(graft.ops.TimeSeries.transitions(batchOf(b0 ++ b1)))
     graft.ops.Dedup.releaseCaches()
