@@ -77,5 +77,6 @@ object SparkEntry {
     // r7 (cont.): bounded top-k quota + DSIR selection + path analysis
     "tx_domain_cap",     // per-domain quota via BoundedTopK partial agg
     "tx_dsir",           // hashed-unigram importance weights (broadcast models)
-    "ev_transitions")    // per-user lag window + broadcast-totals rollup
+    "ev_transitions",    // per-user lag window + broadcast-totals rollup
+    "tx_rank_deciles")   // distributed global rank (range partition + offsets)
 }

@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Global ranking and percentile/decile bucketing — the curriculum
+  * primitive of a training-data pipeline ("order the corpus by quality
+  * and bin it into difficulty tiers").
+  *
+  * The naive form is `row_number().over(Window.orderBy(...))` — a
+  * window with NO partition key, which Spark executes in a SINGLE
+  * partition: the whole corpus sorted through one task (the same
+  * failure class as the lineDedup r6 window, but unconditionally,
+  * for every input). This is the distributed form instead:
+  *
+  *   1. `repartitionByRange` on the sort key (one shuffle; Spark
+  *      samples range boundaries so partitions balance) +
+  *      `sortWithinPartitions` — a full distributed sort;
+  *   2. within-partition row index for free from
+  *      `monotonically_increasing_id()` (partition id in the upper
+  *      31 bits, row index within the partition in the lower 33 —
+  *      assigned in partition iteration order, which IS the sorted
+  *      order after step 1);
+  *   3. per-partition row counts cumsum'd into global offsets — a
+  *      frame of one row per PARTITION (the only single-partition
+  *      step, O(shuffle partitions) rows) broadcast back;
+  *   4. global rank = partition offset + within-partition index + 1.
+  *
+  * Ties: callers must pass a TOTAL order (e.g. `quality desc, id`) for
+  * a deterministic result, exactly as with `ORDER BY`. Range
+  * partitioning sends equal keys to one partition, so any total order
+  * makes ranks reproducible regardless of where boundary sampling
+  * lands the partition splits.
+  */
+object Ranking {
+
+  /** All input columns plus a 1-based global `rankName` column under
+    * the total order `order` (sort-direction Columns, e.g.
+    * `Seq(col("q").desc, col("id"))`). Persists the sorted frame
+    * (offsets agg + output both read it); caller releases via
+    * [[Dedup.releaseCaches]] after the terminal action. */
+  def withGlobalRank(df: DataFrame, order: Seq[Column],
+      rankName: String = "rank"): DataFrame = {
+    require(order.nonEmpty, "rank needs at least one sort column")
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    // monotonically_increasing_id is non-deterministic to Catalyst, so
+    // it cannot be reordered below the sort it must observe
+    val sorted = df.repartitionByRange(n, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("_mid", monotonically_increasing_id())
+    val indexed = Dedup.persistTracked(sorted
+      .withColumn("_pid", shiftrightunsigned(col("_mid"), 33))
+      .withColumn("_idx", col("_mid").bitwiseAND(lit((1L << 33) - 1))))
+    // ascending partition id = ascending key range (range exchange
+    // numbers partitions in sort order), so offsets cumsum in _pid
+    // order — one row per shuffle partition, the bounded single-
+    // partition step (same shape as Packing's per-bucket offsets)
+    val offsets = indexed.groupBy("_pid").agg(count(lit(1)).as("_c"))
+      .withColumn("_off", coalesce(
+        sum(col("_c")).over(Window.orderBy(col("_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_pid", "_off")
+    indexed.join(broadcast(offsets), Seq("_pid"))
+      .withColumn(rankName, col("_off") + col("_idx") + lit(1L))
+      .drop("_mid", "_pid", "_idx", "_off")
+  }
+
+  /** [[withGlobalRank]] plus an equal-frequency bucket column:
+    * `bucketName = floor((rank - 1) · buckets / N)` ∈ [0, buckets) —
+    * deciles at `buckets = 10`; bucket sizes differ by at most one.
+    * The double division is exact against an integer-division oracle
+    * while `(rank − 1) · buckets < 2^53` (ranks to ~9·10^14 at
+    * buckets = 10 — comfortably past any corpus). N comes from the
+    * offsets frame already aggregated in [[withGlobalRank]]'s plan,
+    * via one extra count over the persisted frame, broadcast as a
+    * one-row scalar. */
+  def withRankBucket(df: DataFrame, order: Seq[Column], buckets: Int = 10,
+      rankName: String = "rank", bucketName: String = "bucket"): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val ranked = withGlobalRank(df, order, rankName)
+    val total = ranked.agg(count(lit(1)).as("_n"))
+    ranked.crossJoin(broadcast(total))
+      .withColumn(bucketName,
+        floor(((col(rankName) - 1) * buckets).cast("double") / col("_n"))
+          .cast("long"))
+      .drop("_n")
+  }
+}

@@ -1070,6 +1070,40 @@ object TextQueries {
       |FROM bk JOIN r ON bk.b = r.b
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Curriculum ranking: every doc's global quality rank (1 = best)
+    * and decile tier — the "order the corpus by quality and bin it"
+    * step of curriculum-style data scheduling. Distributed rank via
+    * [[graft.ops.Ranking]] (range repartition + per-partition offsets),
+    * never a single-task global window; the oracle replays the same
+    * total order with `row_number()`. */
+  def rankDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val scored = docs(spark, dir).select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+    graft.ops.Ranking.withRankBucket(scored,
+        Seq(col("quality").desc, col("doc_id")),
+        buckets = 10, rankName = "rank", bucketName = "decile")
+      .transform(QueryUtil.ordered("doc_id"))
+  }
+
+  val rankDecilesOracle: String =
+    """WITH s AS (SELECT doc_id,
+      |    len(string_split(text, ' ')) * 1.0 AS n,
+      |    len(list_distinct(string_split(text, ' '))) * 1.0 AS nd,
+      |    len(list_filter(string_split(text, ' '),
+      |        t -> t IN ('the', 'a', 'of', 'to', 'and', 'in', 'is', 'it'))) * 1.0 AS st
+      |  FROM documents),
+      |q AS (SELECT doc_id,
+      |    round(least(n / 100.0, 1.0) * 0.4 + (nd / n) * 0.4 + (1.0 - st / n) * 0.2, 4)
+      |      AS quality
+      |  FROM s),
+      |r AS (SELECT doc_id, quality,
+      |        row_number() OVER (ORDER BY quality DESC, doc_id) AS rk,
+      |        count(*) OVER () AS nn
+      |      FROM q)
+      |SELECT doc_id, quality, CAST(rk AS BIGINT) AS "rank",
+      |  CAST(floor(((rk - 1) * 10.0) / nn) AS BIGINT) AS decile
+      |FROM r ORDER BY doc_id""".stripMargin
+
   // --- HTML extraction ---------------------------------------------------
   // Wrap a slice of the corpus in markup (script+style payloads that
   // must vanish, block structure, entities) identically on both sides;
@@ -1985,6 +2019,7 @@ object TextQueries {
     "tx_domain_stats" -> ((domainStats _, Some(domainStatsOracle))),
     "tx_domain_cap" -> ((domainCap _, Some(domainCapOracle))),
     "tx_dsir" -> ((dsir _, Some(dsirOracle))),
+    "tx_rank_deciles" -> ((rankDeciles _, Some(rankDecilesOracle))),
     "tx_chunk_sliding" -> ((chunkSliding _, Some(chunkSlidingOracle))),
     "tx_pack_shards" -> ((packShards _, Some(packShardsOracle))),
     "tx_tokenizer_probe" -> ((tokenizerProbe _, Some(tokenizerProbeOracle))),

@@ -204,6 +204,18 @@ class PlanSpec extends SparkSpec {
       s"per-row cumsum lost its bucket partitioning:\n$p")
   }
 
+  test("tx_rank_deciles: distributed rank — range partition, windows only on the per-partition offsets frame") {
+    // the naive global row_number window would sort the whole corpus
+    // in ONE task; the distributed form must range-partition the data
+    // and confine every window to the O(#partitions) offsets frame
+    val p = plan("tx_rank_deciles")
+    assert(p.contains("rangepartitioning"),
+      s"rank lost its range repartition:\n$p")
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toList
+    assert(windows.nonEmpty && windows.forall(_.contains("_pid")),
+      s"every window must run on the offsets frame (_pid), found:\n$windows")
+  }
+
   test("dd_decontaminate: benchmark shingles broadcast — the corpus never shuffles pre-join") {
     val p = plan("dd_decontaminate")
     assert(countOf(p, "BroadcastHashJoin") >= 1,

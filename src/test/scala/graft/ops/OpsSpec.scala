@@ -1595,6 +1595,44 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("withGlobalRank: equals a driver-side total sort on a shuffled multi-partition frame") {
+    val d = spark.range(0, 1000)
+      .select((col("id") * 2654435761L % 997).as("v"), col("id"))
+    val got = Ranking.withGlobalRank(d.repartition(13), Seq(col("v"), col("id")))
+      .collect().map(x => x.getAs[Long]("id") -> x.getAs[Long]("rank")).toMap
+    val want = d.collect().map(x => (x.getLong(0), x.getLong(1)))
+      .sortBy(identity).zipWithIndex
+      .map { case ((_, id), i) => id -> (i + 1L) }.toMap
+    Dedup.releaseCaches()
+    assert(got == want)
+  }
+
+  test("withGlobalRank: sort-direction columns rank descending first") {
+    val d = Seq((1L, 0.2), (2L, 0.9), (3L, 0.9), (4L, 0.5)).toDF("id", "q")
+    val got = Ranking.withGlobalRank(d.repartition(5),
+        Seq(col("q").desc, col("id")))
+      .collect().map(x => x.getAs[Long]("id") -> x.getAs[Long]("rank")).toMap
+    Dedup.releaseCaches()
+    // q desc, id asc tiebreak: 0.9@2, 0.9@3, 0.5@4, 0.2@1
+    assert(got == Map(2L -> 1L, 3L -> 2L, 4L -> 3L, 1L -> 4L))
+  }
+
+  test("withRankBucket: equal-frequency buckets match integer division; sizes differ by at most one") {
+    val d = spark.range(0, 97).toDF("id")
+    val rows = Ranking.withRankBucket(d.repartition(7), Seq(col("id")),
+        buckets = 10, bucketName = "decile")
+      .collect().map(x => (x.getAs[Long]("id"), x.getAs[Long]("rank"),
+        x.getAs[Long]("decile")))
+    Dedup.releaseCaches()
+    assert(rows.length == 97)
+    rows.foreach { case (id, rank, dec) =>
+      assert(rank == id + 1, s"rank of $id")
+      assert(dec == (rank - 1) * 10 / 97, s"decile of rank $rank")
+    }
+    val sizes = rows.groupBy(_._3).view.mapValues(_.length).values.toSet
+    assert(sizes == Set(9, 10), s"bucket sizes: $sizes")
+  }
+
   test("dsirScore: target-like docs out-score off-target docs; scores are finite") {
     val d = Seq(
       (1L, "the cat is in the house and it is fine", "en"),
