@@ -1178,4 +1178,82 @@ class StreamingSpec extends SparkSpec {
       assert(!byId(4L)._5, "short doc fails the length gate")
     } finally q.stop()
   }
+
+  test("streaming per-group top-k: upserts equal the batch quota, late better docs evict") {
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    val in = tmpDir("tk-in")
+    val state = tmpDir("tk-state")
+    def doc(i: Long, dom: String, q: Double): String =
+      if (dom == null) s"""{"doc_id":$i,"domain":null,"quality":$q}"""
+      else s"""{"doc_id":$i,"domain":"$dom","quality":$q}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/a.jsonl"), Seq(
+      doc(1, "x.com", 0.9), doc(2, "x.com", 0.5), doc(3, "x.com", 0.3),
+      doc(4, "y.org", 0.4), doc(8, null, 0.3)).mkString("\n").getBytes)
+    // batch 1: a BETTER x.com doc (evicts doc 2), a new group, and a
+    // null-domain doc (the null quota pool must recompute null-safely)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/b.jsonl"), Seq(
+      doc(5, "x.com", 0.7), doc(6, "z.net", 0.2), doc(7, null, 0.5))
+      .mkString("\n").getBytes)
+    new java.io.File(s"$in/a.jsonl").setLastModified(System.currentTimeMillis() - 60000)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("domain", "string").add("quality", "double")
+    val kept = scala.collection.mutable.Map[Option[String], Set[Long]]()
+    val perBatch = scala.collection.mutable.ArrayBuffer[Set[(Option[String], Long)]]()
+    def collectRows(out: DataFrame): Seq[(Option[String], Long)] =
+      out.collect().map(r => (Option(r.getAs[String]("domain")),
+        r.getAs[Long]("doc_id"))).toSeq
+    val sink: DataFrame => Unit = { out =>
+      val rows = collectRows(out)
+      kept.synchronized {
+        perBatch += rows.toSet
+        rows.groupBy(_._1).foreach { case (d, rs) => kept(d) = rs.map(_._2).toSet }
+      }
+      ()
+    }
+    val rankKey = struct(negate(col("quality")), col("doc_id"))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(in)
+      .writeStream
+      .option("checkpointLocation", tmpDir("tk-ckpt"))
+      .foreachBatch(StreamingTopK.foreachBatchTopK(
+        "domain", rankKey, k = 2, stateDir = state, sink = sink))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(perBatch.size == 2)
+    // upserted sink state == batch topKPerGroup over the concatenation
+    val all = Seq(
+      (1L, Some("x.com"), 0.9), (2L, Some("x.com"), 0.5),
+      (3L, Some("x.com"), 0.3), (4L, Some("y.org"), 0.4),
+      (8L, Option.empty[String], 0.3), (5L, Some("x.com"), 0.7),
+      (6L, Some("z.net"), 0.2), (7L, Option.empty[String], 0.5))
+      .toDF("doc_id", "domain", "quality")
+    val exp = graft.ops.Sampling.topKPerGroup(all, "domain", rankKey, 2)
+      .collect().map(r => (Option(r.getAs[String]("domain")), r.getAs[Long]("doc_id")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    graft.ops.Dedup.releaseCaches()
+    assert(kept.toMap == exp, s"stream=$kept batch=$exp")
+    // the retro EVICTION happened: batch 0 admitted {1, 2} for x.com,
+    // batch 1 re-emits x.com as {1, 5} — wholesale replace drops doc 2
+    assert(perBatch(0).filter(_._1.contains("x.com")).map(_._2) == Set(1L, 2L))
+    assert(perBatch(1).filter(_._1.contains("x.com")).map(_._2) == Set(1L, 5L))
+    // groups absent from the batch never re-emit (emission is
+    // batch-bounded, not history-sized)
+    assert(!perBatch(1).exists(_._1.contains("y.org")),
+      s"unaffected group re-emitted: ${perBatch(1)}")
+    assert(kept(None) == Set(7L, 8L), "null group is a recomputed quota pool")
+    // replay idempotence: re-running batch 1 emits identical rows
+    val batch1 = all.filter(col("doc_id").isin(5L, 6L, 7L))
+    val replayed = scala.collection.mutable.ArrayBuffer[(Option[String], Long)]()
+    StreamingTopK.foreachBatchTopK("domain", rankKey, 2, state,
+      { p: DataFrame => replayed ++= collectRows(p); () })(batch1, 1L)
+    assert(replayed.toSet == perBatch(1),
+      "a replayed micro-batch must emit identical rows")
+    // an empty micro-batch must neither crash the state read nor emit
+    val emptied = scala.collection.mutable.ArrayBuffer[(Option[String], Long)]()
+    StreamingTopK.foreachBatchTopK("domain", rankKey, 2, state,
+      { p: DataFrame => emptied ++= collectRows(p); () })(all.limit(0), 2L)
+    assert(emptied.isEmpty, "an empty batch must emit nothing")
+    graft.ops.Dedup.releaseCaches()
+  }
 }
