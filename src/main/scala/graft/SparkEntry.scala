@@ -78,5 +78,6 @@ object SparkEntry {
     "tx_domain_cap",     // per-domain quota via BoundedTopK partial agg
     "tx_dsir",           // hashed-unigram importance weights (broadcast models)
     "ev_transitions",    // per-user lag window + broadcast-totals rollup
-    "tx_rank_deciles")   // distributed global rank (range partition + offsets)
+    "tx_rank_deciles",   // distributed global rank (range partition + offsets)
+    "vec_semdedup")      // k-means cluster-blocked semantic near-dup
 }

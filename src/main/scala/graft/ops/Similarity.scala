@@ -279,4 +279,49 @@ object Similarity {
       .orderBy(col("sim").desc, col("cid").asc)
     sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
+
+  /** SemDeDup-style semantic near-dup (Abbas et al. 2023,
+    * arXiv:2303.09540): candidate pairs are blocked by k-means CLUSTER
+    * instead of sign-LSH bands — the data-adaptive blocking that
+    * motivated SemDeDup (centroids follow the embedding density, so
+    * cells stay balanced where random-hyperplane buckets skew), with
+    * exact cosine verification inside each cell (never a false
+    * positive, like every candidate-verify op in this repo).
+    *
+    * Deviation from the published form, documented: each vector is
+    * blocked into its `probes` nearest cells (multi-cell assignment),
+    * not just its argmin cell — pairs straddling a cell boundary are
+    * the published algorithm's accepted miss class, and probing 2
+    * cells shrinks it the same way IVF's nprobe > 1 does for search.
+    * A pair is a candidate iff the two vectors SHARE any of their
+    * probed cells.
+    *
+    * Scale shape: one tiny trained model (deterministic
+    * [[Ivf.train]] — no RNG, reproducible across sessions), one
+    * equi-join on the cell id (candidate volume ≈ Σ_cell |cell|²,
+    * balanced by k-means; never an n² cross join), duplicate
+    * candidates from shared probe cells compacted AFTER the sim
+    * filter (the distinct shuffles surviving pairs only, not
+    * vectors). numCentroids should grow ~√n with the corpus exactly
+    * as for [[Ivf.knn]]. */
+  def semDedupPairs(emb: DataFrame, threshold: Double,
+      numCentroids: Int = 16, probes: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(probes >= 1, "probes must be >= 1")
+    val centroids = Ivf.train(emb, numCentroids, idCol = idCol, vecCol = vecCol)
+    val assigned = Dedup.persistTracked(
+      emb.select(col(idCol), asDouble(col(vecCol)).as("e"))
+        .withColumn("n", norm(col("e")))
+        .withColumn("cell",
+          explode(Ivf.probeCells(col("e"), centroids, probes))))
+    val a = assigned.select(col("cell"), col(idCol).as("da"),
+      col("e").as("ea"), col("n").as("na"))
+    val b = assigned.select(col("cell"), col(idCol).as("db"),
+      col("e").as("eb"), col("n").as("nb"))
+    a.join(b, Seq("cell")).filter(col("da") < col("db"))
+      .select(col("da"), col("db"),
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4).as("sim"))
+      .filter(col("sim") >= threshold)
+      .distinct()
+  }
 }

@@ -81,7 +81,16 @@ object VectorQueries {
     * deterministic), so sims are bit-equal and round identically.
     * `numRows` is passed explicitly: the augmented union frame has no
     * metadata count, and only log2(n) feeds the banding. */
-  def nearDupPairsLsh(spark: SparkSession, dir: String): DataFrame = {
+  /** The deterministic planted-near-dup augmentation shared by the
+    * 0.9-threshold twins ([[nearDupPairsLsh]], [[semDedup]]): the
+    * persisted augmented frame plus the raw-corpus row count (taken
+    * from parquet metadata BEFORE the union). `copyDelta` sets how
+    * tight the planted must-find copies are: 0.05 → cos ∈ [0.92, 0.95]
+    * (wide pairs — stress LSH recall), 0.01 → cos ≥ 0.995 (the
+    * SemDeDup operating point — near-identical duplicates). The 0.08
+    * decoys straddle the threshold from BELOW in both variants. */
+  private def plantedAug(spark: SparkSession, dir: String,
+      copyDelta: Double = 0.05): (DataFrame, Long) = {
     val raw = emb(spark, dir)
     val n0 = raw.count() // parquet metadata count (raw scan, no union)
     val base = raw.select(col("vec_id"),
@@ -94,20 +103,41 @@ object VectorQueries {
     // pass + both sides of the candidate fetch) — cheap re-reads on a
     // parquet scan, but a composed union+transform would recompute; the
     // cache is released by the harness like every operator-internal one
-    val aug = Dedup.persistTracked(base
-      .unionAll(planted(1000000L, 0.05, 0))
-      .unionAll(planted(2000000L, 0.08, 25)))
+    (Dedup.persistTracked(base
+      .unionAll(planted(1000000L, copyDelta, 0))
+      .unionAll(planted(2000000L, 0.08, 25))), n0)
+  }
+
+  def nearDupPairsLsh(spark: SparkSession, dir: String): DataFrame = {
+    val (aug, n0) = plantedAug(spark, dir)
     Similarity.cosinePairsLshAuto(aug, threshold = 0.9,
         numRows = Some(n0 + 2 * (n0 / 50 + 1)))
       .transform(QueryUtil.ordered("da", "db"))
   }
 
-  /** The oracle twin of [[nearDupPairsLsh]]'s augmentation. */
-  private val plantedNearDupOracle: String =
+  /** SemDeDup against the exact-pairs oracle at its designed operating
+    * point: the planted must-find copies are TIGHT (+0.01 → cos ≥
+    * 0.995 — near-identical semantic duplicates, the regime SemDeDup
+    * exists for), the +0.08 decoys still straddle the threshold from
+    * below. Cluster blocking must recover every copy and the exact
+    * verify must exclude every decoy, so a boundary-split miss or a
+    * verify slip fails the row loudly. (The 0.05-delta corpus the LSH
+    * twin uses is cos ≈ 0.93 ≈ 21° apart — adversarially WIDE for any
+    * cluster blocking: with pruning-preserving probes/centroids those
+    * pairs legitimately split, which is the published algorithm's
+    * accepted miss class, not a bug; banded LSH covers that regime.)
+    * See [[graft.ops.Similarity.semDedupPairs]]. */
+  def semDedup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semDedupPairs(plantedAug(spark, dir, copyDelta = 0.01)._1,
+        threshold = 0.9)
+      .transform(QueryUtil.ordered("da", "db"))
+
+  /** The oracle twin of [[plantedAug]], parameterized the same way. */
+  private def plantedNearDupOracleFor(copyDelta: Double): String =
     s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
       |v AS (SELECT vec_id, e FROM base
       |      UNION ALL
-      |      SELECT vec_id + 1000000, list_transform(e, x -> x + 0.05::DOUBLE)
+      |      SELECT vec_id + 1000000, list_transform(e, x -> x + $copyDelta::DOUBLE)
       |      FROM base WHERE vec_id % 50 = 0
       |      UNION ALL
       |      SELECT vec_id + 2000000, list_transform(e, x -> x + 0.08::DOUBLE)
@@ -116,6 +146,8 @@ object VectorQueries {
       |FROM v a JOIN v b ON a.vec_id < b.vec_id
       |WHERE ${cosineSql("a.e", "b.e")} >= 0.9
       |ORDER BY da, db""".stripMargin
+
+  private val plantedNearDupOracle: String = plantedNearDupOracleFor(0.05)
 
   /** Banded sign-LSH near-dup at a LOW threshold (0.4, 48×4 banding):
     * recall-preserving bands at this threshold collide ~95% of random
@@ -367,6 +399,7 @@ object VectorQueries {
     "vec_near_dup" -> ((nearDupPairs _, Some(nearDupOracle(0.4)))),
     "vec_keep" -> ((nearDupKeep _, Some(nearDupKeepOracle))),
     "vec_near_dup_lsh" -> ((nearDupPairsLsh _, Some(plantedNearDupOracle))),
+    "vec_semdedup" -> ((semDedup _, Some(plantedNearDupOracleFor(0.01)))),
     "vec_near_dup_lsh_low" -> ((nearDupPairsLshLow _, Some(nearDupOracle(0.4)))),
     "vec_knn_lsh" -> ((knnLsh _, Some(knnLshOracle))),
     "vec_knn_lsh_recall" -> ((knnLshRecall _, Some(knnLshRecallOracle))),

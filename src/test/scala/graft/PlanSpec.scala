@@ -216,6 +216,13 @@ class PlanSpec extends SparkSpec {
       s"every window must run on the offsets frame (_pid), found:\n$windows")
   }
 
+  test("vec_semdedup: cluster blocking is an equi-join on the cell id — never a cross join") {
+    val p = plan("vec_semdedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"semdedup candidate generation must stay an equi-join:\n$p")
+  }
+
   test("dd_decontaminate: benchmark shingles broadcast — the corpus never shuffles pre-join") {
     val p = plan("dd_decontaminate")
     assert(countOf(p, "BroadcastHashJoin") >= 1,

@@ -1595,6 +1595,27 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("semDedupPairs: equals exact cosine pairs on tight duplicates, no false positives") {
+    // 8 spike groups of 5 near-identical vectors: same-spike cosine
+    // ≈ 0.999 (must all pair), cross-spike ≈ 0.02 (must never pair);
+    // k-means cells align with spikes, so cluster blocking loses
+    // nothing at the operating point SemDeDup is designed for
+    val vecs = (0L until 40L).map { i =>
+      val arr = Array.fill(8)(0.01 * ((i % 5) + 1))
+      arr((i % 8).toInt) = 1.0
+      (i, arr.toSeq)
+    }
+    val d = vecs.toDF("vec_id", "embedding")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("da", "db").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.cosinePairs(d, 0.99))
+    val sem = pairs(Similarity.semDedupPairs(d, 0.99, numCentroids = 4))
+    Dedup.releaseCaches()
+    assert(exact.size == 8 * 10, s"8 groups x C(5,2) pairs, got ${exact.size}")
+    assert(sem == exact, s"missed=${exact -- sem} extra=${sem -- exact}")
+  }
+
   test("withGlobalRank: equals a driver-side total sort on a shuffled multi-partition frame") {
     val d = spark.range(0, 1000)
       .select((col("id") * 2654435761L % 997).as("v"), col("id"))
