@@ -1,0 +1,39 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dataset versioning: diff two corpus versions — the "what changed
+  * between crawl v1 and v2" audit every dataset release needs (and the
+  * input to incremental re-processing: re-run the pipeline on `added ∪
+  * changed` only, instead of the full corpus).
+  *
+  * Scale shape: each side reduces to a narrow `(id, fingerprint)`
+  * projection BEFORE the join — 16 bytes a row, not the payload — so
+  * the full-outer equi-join on the unique id shuffles fingerprints
+  * only (AQE-balanced; no hot keys on a unique id). Text never moves.
+  */
+object Versioning {
+
+  /** One row per difference: `(idCol, status)` with status ∈
+    * `removed` (in v1 only), `added` (in v2 only), `changed` (both,
+    * different `textCol` fingerprint). Unchanged docs emit nothing.
+    * NULL text fingerprints as the empty string on both sides (a doc
+    * flipping null ↔ "" counts as unchanged — disclosed). Collisions:
+    * xxhash64 pairs at ~2⁻⁶⁴ — a changed doc misread as unchanged at
+    * odds no release audit resolves anyway. */
+  def corpusDiff(v1: DataFrame, v2: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val a = v1.select(col(idCol).as("_id1"),
+      xxhash64(coalesce(col(textCol), lit(""))).as("_fp1"))
+    val b = v2.select(col(idCol).as("_id2"),
+      xxhash64(coalesce(col(textCol), lit(""))).as("_fp2"))
+    a.join(b, col("_id1") === col("_id2"), "full_outer")
+      .filter(col("_id1").isNull || col("_id2").isNull ||
+        col("_fp1") =!= col("_fp2"))
+      .select(coalesce(col("_id1"), col("_id2")).as(idCol),
+        when(col("_id2").isNull, "removed")
+          .when(col("_id1").isNull, "added")
+          .otherwise("changed").as("status"))
+  }
+}

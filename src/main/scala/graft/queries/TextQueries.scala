@@ -1104,6 +1104,41 @@ object TextQueries {
       |  CAST(floor(((rk - 1) * 10.0) / nn) AS BIGINT) AS decile
       |FROM r ORDER BY doc_id""".stripMargin
 
+  /** Corpus version diff over a planted v2: v1 = the documents table;
+    * v2 drops every doc_id % 7 == 0 (removed), rewrites the text of
+    * doc_id % 11 == 0 survivors (changed), and re-keys doc_id % 13 == 0
+    * docs at +1,000,000 (added) — both sides replay the identical
+    * projection, so every status class is non-vacuous at every SF.
+    * See [[graft.ops.Versioning.corpusDiff]]. */
+  def corpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = docs(spark, dir)
+    val v2 = v1.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionAll(v1.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    graft.ops.Versioning.corpusDiff(v1, v2)
+      .transform(QueryUtil.ordered("doc_id"))
+  }
+
+  val corpusDiffOracle: String =
+    """WITH v2 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 7 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 13 = 0),
+      |a AS (SELECT doc_id AS id1, md5(coalesce(text, '')) AS fp1 FROM documents),
+      |b AS (SELECT doc_id AS id2, md5(coalesce(text, '')) AS fp2 FROM v2)
+      |SELECT coalesce(id1, id2) AS doc_id,
+      |  CASE WHEN id2 IS NULL THEN 'removed'
+      |       WHEN id1 IS NULL THEN 'added'
+      |       ELSE 'changed' END AS status
+      |FROM a FULL JOIN b ON id1 = id2
+      |WHERE id1 IS NULL OR id2 IS NULL OR fp1 <> fp2
+      |ORDER BY doc_id""".stripMargin
+
   // --- HTML extraction ---------------------------------------------------
   // Wrap a slice of the corpus in markup (script+style payloads that
   // must vanish, block structure, entities) identically on both sides;
@@ -2020,6 +2055,7 @@ object TextQueries {
     "tx_domain_cap" -> ((domainCap _, Some(domainCapOracle))),
     "tx_dsir" -> ((dsir _, Some(dsirOracle))),
     "tx_rank_deciles" -> ((rankDeciles _, Some(rankDecilesOracle))),
+    "tx_corpus_diff" -> ((corpusDiff _, Some(corpusDiffOracle))),
     "tx_chunk_sliding" -> ((chunkSliding _, Some(chunkSlidingOracle))),
     "tx_pack_shards" -> ((packShards _, Some(packShardsOracle))),
     "tx_tokenizer_probe" -> ((tokenizerProbe _, Some(tokenizerProbeOracle))),

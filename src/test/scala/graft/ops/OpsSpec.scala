@@ -1616,6 +1616,17 @@ class OpsSpec extends SparkSpec {
     assert(sem == exact, s"missed=${exact -- sem} extra=${sem -- exact}")
   }
 
+  test("corpusDiff: added/removed/changed statuses; null text fingerprints as empty") {
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c"),
+      (4L, null.asInstanceOf[String]), (5L, "e")).toDF("doc_id", "text")
+    val v2 = Seq((1L, "a"), (2L, "B"), (4L, ""), (6L, "f")).toDF("doc_id", "text")
+    val r = Versioning.corpusDiff(v1, v2).collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    // doc 1 unchanged (absent); doc 4 null -> "" counts unchanged (disclosed)
+    assert(r == Map(2L -> "changed", 3L -> "removed",
+      5L -> "removed", 6L -> "added"))
+  }
+
   test("withGlobalRank: equals a driver-side total sort on a shuffled multi-partition frame") {
     val d = spark.range(0, 1000)
       .select((col("id") * 2654435761L % 997).as("v"), col("id"))
