@@ -129,6 +129,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.etl.expressions.BoundedTopK(args.head,
           litInt("bounded_top_k")(args(1)))
       }))
+    // space_saving_top_k(key, capacity): bounded-memory heavy-hitters
+    // summary (SpaceSaving) as array<struct<key, cnt, err>> — cnt-err
+    // <= true <= cnt; err = 0 certifies exactness. The one-pass
+    // top-frequent-items primitive (see Frequency.heavyHitters).
+    e.injectFunction((
+      FunctionIdentifier("space_saving_top_k"),
+      new ExpressionInfo(classOf[graft.etl.expressions.SpaceSavingTopK].getName,
+        "space_saving_top_k"),
+      (args: Seq[Expression]) => {
+        arity("space_saving_top_k", args, 2, 2)
+        graft.etl.expressions.SpaceSavingTopK(args.head,
+          litInt("space_saving_top_k")(args(1)))
+      }))
     // Curation surface: the content gates as SQL functions. These are
     // compositions of built-in expressions (regexp engine is the cost,
     // not dispatch — no custom codegen needed), injected so SQL users

@@ -79,5 +79,6 @@ object SparkEntry {
     "tx_dsir",           // hashed-unigram importance weights (broadcast models)
     "ev_transitions",    // per-user lag window + broadcast-totals rollup
     "tx_rank_deciles",   // distributed global rank (range partition + offsets)
-    "vec_semdedup")      // k-means cluster-blocked semantic near-dup
+    "vec_semdedup",      // k-means cluster-blocked semantic near-dup
+    "tx_heavy_hitters")  // two-pass SpaceSaving exact top-k
 }

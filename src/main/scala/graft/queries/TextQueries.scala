@@ -1139,6 +1139,30 @@ object TextQueries {
       |WHERE id1 IS NULL OR id2 IS NULL OR fp1 <> fp2
       |ORDER BY doc_id""".stripMargin
 
+  /** Exact top-20 most frequent keys via the two-pass SpaceSaving
+    * scheme ([[graft.ops.Frequency.topKExact]]). The key stream is the
+    * corpus token stream UNIONed with one planted singleton per doc
+    * (`rare_<doc_id>`) — a long tail that overflows the 256-entry
+    * sketch and forces real evictions, so the candidate pass exercises
+    * the bounded-memory machinery non-vacuously while the true top-20
+    * (corpus tokens, each ~N/31 occurrences) clears the
+    * N/capacity monitoring guarantee by orders of magnitude. */
+  def heavyHittersTop(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val keys = d.select(explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .unionAll(d.select(concat(lit("rare_"), col("doc_id")).as("t")))
+    graft.ops.Frequency.topKExact(keys, col("t"), n = 20, capacity = 256)
+      .transform(QueryUtil.ordered("key"))
+  }
+
+  val heavyHittersOracle: String =
+    """WITH k AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents
+      |           UNION ALL
+      |           SELECT 'rare_' || doc_id FROM documents),
+      |c AS (SELECT t AS key, CAST(count(*) AS BIGINT) AS cnt FROM k GROUP BY 1),
+      |r AS (SELECT key, cnt FROM c ORDER BY cnt DESC, key LIMIT 20)
+      |SELECT key, cnt FROM r ORDER BY key""".stripMargin
+
   // --- HTML extraction ---------------------------------------------------
   // Wrap a slice of the corpus in markup (script+style payloads that
   // must vanish, block structure, entities) identically on both sides;
@@ -2056,6 +2080,7 @@ object TextQueries {
     "tx_dsir" -> ((dsir _, Some(dsirOracle))),
     "tx_rank_deciles" -> ((rankDeciles _, Some(rankDecilesOracle))),
     "tx_corpus_diff" -> ((corpusDiff _, Some(corpusDiffOracle))),
+    "tx_heavy_hitters" -> ((heavyHittersTop _, Some(heavyHittersOracle))),
     "tx_chunk_sliding" -> ((chunkSliding _, Some(chunkSlidingOracle))),
     "tx_pack_shards" -> ((packShards _, Some(packShardsOracle))),
     "tx_tokenizer_probe" -> ((tokenizerProbe _, Some(tokenizerProbeOracle))),

@@ -216,6 +216,20 @@ class PlanSpec extends SparkSpec {
       s"every window must run on the offsets frame (_pid), found:\n$windows")
   }
 
+  test("tx_heavy_hitters: map-side sketch partials; exact pass counts broadcast candidates only") {
+    // the sketch must partial-aggregate (bounded buffer per map task),
+    // and the exact re-count must reach the corpus through a BROADCAST
+    // semi-join on the candidate set — a sort-merge join or a plain
+    // vocabulary-wide groupBy would shuffle corpus-sized key sets
+    val p = plan("tx_heavy_hitters")
+    assert(p.contains("partial_space_saving_top_k"),
+      s"expected map-side partial space_saving_top_k:\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"candidate filter must be a broadcast semi-join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no shuffle join anywhere in the heavy-hitters plan:\n$p")
+  }
+
   test("vec_semdedup: cluster blocking is an equi-join on the cell id — never a cross join") {
     val p = plan("vec_semdedup")
     assert(!p.contains("CartesianProduct") &&

@@ -91,6 +91,14 @@ class QueriesSpec extends SparkSpec {
           |GROUP BY g ORDER BY g""".stripMargin).collect()
       assert(t(0).getSeq[Int](1) == Seq(1, 2), "k smallest, ascending")
       assert(t(1).getSeq[Int](1) == Seq(9))
+      // space_saving_top_k: bounded heavy-hitters summary — exact
+      // counts (err = 0) at capacity >= distinct, (cnt desc, key) order
+      val ss = s2.sql(
+        """SELECT space_saving_top_k(v, 4) AS s FROM VALUES
+          |  ('x'), ('y'), ('x'), ('z'), ('x'), ('y') AS t(v)""".stripMargin)
+        .head().getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(ss == Seq(("x", 3L, 0L), ("y", 2L, 0L), ("z", 1L, 0L)))
       // wrong arity fails with an argument error, not an index crash
       val err = intercept[Exception] { s2.sql("SELECT array_dot(array(1.0d))") }
       assert(err.getMessage.contains("array_dot expects 2"),

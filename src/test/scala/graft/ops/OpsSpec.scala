@@ -1616,6 +1616,61 @@ class OpsSpec extends SparkSpec {
     assert(sem == exact, s"missed=${exact -- sem} extra=${sem -- exact}")
   }
 
+  test("SpaceSaving summary: monitoring guarantee and count bounds under real evictions") {
+    // 5 heavies (600..1000), 20 mids (50), 1000 singletons — 1025
+    // distinct keys through a 64-entry sketch across 16 partitions:
+    // evictions and partial-merge trims both happen
+    val heavies = (0 until 5).flatMap(i => Seq.fill(600 + i * 100)(s"h$i"))
+    val mids = (0 until 20).flatMap(i => Seq.fill(50)(s"m$i"))
+    val tail = (0 until 1000).map(i => s"r$i")
+    val all = (heavies ++ mids ++ tail).sortBy(s => s.hashCode * 2654435761L)
+    val trueCounts = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val df = all.toDF("k").repartition(16)
+    val hh = Frequency.heavyHitters(df, col("k"), capacity = 64)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    Dedup.releaseCaches()
+    assert(hh.size <= 64)
+    val n = all.size.toLong
+    (0 until 5).foreach { i =>
+      assert(hh.contains(s"h$i"),
+        s"key h$i with true count > N/capacity (${n / 64}) must be monitored")
+    }
+    hh.foreach { case (k, (cnt, err)) =>
+      val t = trueCounts(k)
+      assert(t <= cnt && cnt - err <= t,
+        s"bounds violated for $k: true=$t cnt=$cnt err=$err")
+    }
+    // heavies' counts are exact and certified
+    (0 until 5).foreach(i => assert(hh(s"h$i") == ((trueCounts(s"h$i"), 0L))))
+  }
+
+  test("Frequency.topKExact: equals the exact groupBy top-k with capacity far below distinct") {
+    val data = ((0 until 8).flatMap(i => Seq.fill(200 + i * 50)(s"top$i")) ++
+      (0 until 2000).map(i => s"noise$i")).sortBy(_.hashCode)
+    val df = data.toDF("k").repartition(16)
+    val got = Frequency.topKExact(df, col("k"), n = 8, capacity = 32)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    Dedup.releaseCaches()
+    val want = data.groupBy(identity).view.mapValues(_.size.toLong).toList
+      .sortBy { case (k, c) => (-c, k) }.take(8)
+      .map { case (k, c) => (k, c) }
+    assert(got == want, s"got=$got want=$want")
+  }
+
+  test("Frequency.certifiedTopK: emits only exact counts, always a prefix of the true ranking") {
+    val data = ((0 until 6).flatMap(i => Seq.fill(300 + i * 100)(s"c$i")) ++
+      (0 until 1500).map(i => s"z$i")).sortBy(_.hashCode)
+    val df = data.toDF("k").repartition(16)
+    val got = Frequency.certifiedTopK(df, col("k"), n = 10, capacity = 48)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    Dedup.releaseCaches()
+    val ranking = data.groupBy(identity).view.mapValues(_.size.toLong).toList
+      .sortBy { case (k, c) => (-c, k) }
+    assert(got.nonEmpty, "the planted heavies must certify")
+    assert(got == ranking.take(got.size),
+      s"certified rows must be an exact prefix: got=$got want=${ranking.take(got.size)}")
+  }
+
   test("corpusDiff: added/removed/changed statuses; null text fingerprints as empty") {
     val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c"),
       (4L, null.asInstanceOf[String]), (5L, "e")).toDF("doc_id", "text")
