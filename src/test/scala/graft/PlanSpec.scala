@@ -43,7 +43,8 @@ class PlanSpec extends SparkSpec {
     * per-row lookup, not a quadratic pairing. CartesianProduct stays
     * forbidden even for these. */
   private val scalarCrossJoins =
-    Set("tx_bm25", "tx_bigram_logprob", "tx_curation6", "tx_dsir")
+    Set("tx_bm25", "tx_bigram_logprob", "tx_curation6", "tx_dsir",
+      "tx_rank_deciles") // N = one-row corpus count for the bucket formula
 
   test("no headline query plans a cartesian product (baselines excepted)") {
     (SparkEntry.benchQueries.toSet ++ Set("ev_skew_join") -- exactBaselines)
