@@ -156,7 +156,7 @@ case class BoundedTopK(child: Expression, k: Int,
   * Keys are hashed for O(1) update and indexed by (count, key-order)
   * for O(log m) min eviction; stored keys are detached copies (inputs
   * arrive on reused unsafe buffers). */
-private[expressions] final class SpaceSavingSummary(val capacity: Int,
+private[graft] final class SpaceSavingSummary(val capacity: Int,
     ord: Ordering[Any]) {
   final class Entry(val key: Any) {
     var count: Long = 0L
@@ -210,6 +210,50 @@ private[expressions] final class SpaceSavingSummary(val capacity: Int,
     val it = byCount.iterator()
     while (it.hasNext) { arr(i) = it.next(); i -= 1 }
     arr
+  }
+
+  /** The mergeable-summaries rule (Agarwal et al. 2012): a key absent
+    * from one side is credited that side's [[minCount]] as pure error
+    * (the tight upper bound on what it could have counted there), the
+    * union trims back to capacity keeping the largest (count desc,
+    * key-order tie). Shared by the aggregate's distributed merge and
+    * the streaming twin's cross-batch carry — the rule cannot fork. */
+  def mergeWith(other: SpaceSavingSummary): SpaceSavingSummary = {
+    val minA = minCount
+    val minB = other.minCount
+    val merged = new java.util.ArrayList[(Any, Long, Long)](
+      entries.size + other.entries.size)
+    val itA = entries.values().iterator()
+    while (itA.hasNext) {
+      val a = itA.next()
+      val b = other.entries.get(a.key)
+      if (b != null) merged.add((a.key, a.count + b.count, a.err + b.err))
+      else merged.add((a.key, a.count + minB, a.err + minB))
+    }
+    val itB = other.entries.values().iterator()
+    while (itB.hasNext) {
+      val b = itB.next()
+      if (entries.get(b.key) == null)
+        merged.add((b.key, b.count + minA, b.err + minA))
+    }
+    val arr = new Array[(Any, Long, Long)](merged.size())
+    merged.toArray(arr.asInstanceOf[Array[Object]])
+    java.util.Arrays.sort(arr.asInstanceOf[Array[Object]],
+      new java.util.Comparator[Object] {
+        def compare(x: Object, y: Object): Int = {
+          val a = x.asInstanceOf[(Any, Long, Long)]
+          val b = y.asInstanceOf[(Any, Long, Long)]
+          val c = java.lang.Long.compare(b._2, a._2)
+          if (c != 0) c else ord.compare(a._1, b._1)
+        }
+      })
+    val out = new SpaceSavingSummary(capacity, ord)
+    var i = 0
+    while (i < arr.length && i < capacity) {
+      out.add(arr(i)._1, arr(i)._2, arr(i)._3)
+      i += 1
+    }
+    out
   }
 }
 
@@ -275,44 +319,8 @@ case class SpaceSavingTopK(child: Expression, capacity: Int,
     buf
   }
 
-  override def merge(buf: SpaceSavingSummary, other: SpaceSavingSummary): SpaceSavingSummary = {
-    val minA = buf.minCount
-    val minB = other.minCount
-    val merged = new java.util.ArrayList[(Any, Long, Long)](
-      buf.entries.size + other.entries.size)
-    val itA = buf.entries.values().iterator()
-    while (itA.hasNext) {
-      val a = itA.next()
-      val b = other.entries.get(a.key)
-      if (b != null) merged.add((a.key, a.count + b.count, a.err + b.err))
-      else merged.add((a.key, a.count + minB, a.err + minB))
-    }
-    val itB = other.entries.values().iterator()
-    while (itB.hasNext) {
-      val b = itB.next()
-      if (buf.entries.get(b.key) == null)
-        merged.add((b.key, b.count + minA, b.err + minA))
-    }
-    // trim to capacity keeping the largest (count desc, key-order tie)
-    val arr = new Array[(Any, Long, Long)](merged.size())
-    merged.toArray(arr.asInstanceOf[Array[Object]])
-    java.util.Arrays.sort(arr.asInstanceOf[Array[Object]],
-      new java.util.Comparator[Object] {
-        def compare(x: Object, y: Object): Int = {
-          val a = x.asInstanceOf[(Any, Long, Long)]
-          val b = y.asInstanceOf[(Any, Long, Long)]
-          val c = java.lang.Long.compare(b._2, a._2)
-          if (c != 0) c else ord.compare(a._1, b._1)
-        }
-      })
-    val out = new SpaceSavingSummary(capacity, ord)
-    var i = 0
-    while (i < arr.length && i < capacity) {
-      out.add(arr(i)._1, arr(i)._2, arr(i)._3)
-      i += 1
-    }
-    out
-  }
+  override def merge(buf: SpaceSavingSummary, other: SpaceSavingSummary): SpaceSavingSummary =
+    buf.mergeWith(other)
 
   override def eval(buf: SpaceSavingSummary): Any =
     new GenericArrayData(buf.sorted.map { e =>

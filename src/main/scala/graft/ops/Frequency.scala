@@ -59,6 +59,26 @@ object Frequency {
     * at most `capacity` distinct keys. Two scans of the input, both
     * bounded-memory — the standard trade for exact heavy hitters at
     * scale. */
+  /** Driver-side merge of two STRING-keyed summary row sets (each the
+    * complete `(key, cnt, err)` entry list of a summary, ≤ capacity
+    * rows — driver-sized model state, like the IVF centroid matrix):
+    * rebuilds both summaries and applies the SAME
+    * [[graft.etl.expressions.SpaceSavingSummary.mergeWith]] rule the
+    * aggregate's distributed merge uses — the cross-batch carry of
+    * [[graft.streaming.StreamingHeavyHitters]] cannot fork from the
+    * in-query semantics. */
+  private[graft] def mergeSummaryRows(a: Seq[(String, Long, Long)],
+      b: Seq[(String, Long, Long)], capacity: Int): Seq[(String, Long, Long)] = {
+    val ord = Ordering.by[Any, String](_.asInstanceOf[String])
+    def mk(rows: Seq[(String, Long, Long)]) = {
+      val s = new graft.etl.expressions.SpaceSavingSummary(capacity, ord)
+      rows.foreach { case (k, c, e) => s.add(k, c, e) }
+      s
+    }
+    mk(a).mergeWith(mk(b)).sorted.toSeq
+      .map(e => (e.key.asInstanceOf[String], e.count, e.err))
+  }
+
   def topKExact(df: DataFrame, keyCol: Column, n: Int,
       capacity: Int): DataFrame = {
     val cands = heavyHitters(df, keyCol, capacity).select(col("key"))

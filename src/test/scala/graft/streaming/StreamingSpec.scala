@@ -1179,6 +1179,68 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming heavy hitters: summary carry holds SpaceSaving bounds, O(1) state files") {
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    val in = tmpDir("hh-in")
+    val state = tmpDir("hh-state")
+    // per-batch distinct (12) fits the capacity (16), so each batch
+    // summary is exact and the carry is deterministic; the cumulative
+    // distinct (23) exceeds it, so the cross-batch merge trims
+    val b0Keys = Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ (0 until 10).map(i => s"t$i")
+    val b1Keys = Seq.fill(2)("a") ++ Seq.fill(4)("c") ++ (10 until 20).map(i => s"t$i")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/a.jsonl"),
+      b0Keys.map(k => s"""{"k":"$k"}""").mkString("\n").getBytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/b.jsonl"),
+      b1Keys.map(k => s"""{"k":"$k"}""").mkString("\n").getBytes)
+    new java.io.File(s"$in/a.jsonl").setLastModified(System.currentTimeMillis() - 60000)
+    val schema = new org.apache.spark.sql.types.StructType().add("k", "string")
+    val snapshots = scala.collection.mutable.ArrayBuffer[Map[String, (Long, Long)]]()
+    def toMap(out: DataFrame): Map[String, (Long, Long)] =
+      out.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val sink: DataFrame => Unit = { out =>
+      snapshots.synchronized { snapshots += toMap(out) }
+      ()
+    }
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(in)
+      .writeStream
+      .option("checkpointLocation", tmpDir("hh-ckpt"))
+      .foreachBatch(StreamingHeavyHitters.foreachBatchHeavyHitters(
+        col("k"), capacity = 16, stateDir = state, sink = sink))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(snapshots.size == 2)
+    // batch 0: 12 distinct keys, summary exact
+    assert(snapshots(0)("a") == ((5L, 0L)) && snapshots(0)("b") == ((3L, 0L)))
+    assert(snapshots(0).size == 12)
+    // final: heavies carry exact certified counts across the merge;
+    // the summary trimmed to capacity
+    assert(snapshots(1)("a") == ((7L, 0L)), "a = 5 + 2 exact across batches")
+    assert(snapshots(1)("c") == ((4L, 0L)) && snapshots(1)("b") == ((3L, 0L)))
+    assert(snapshots(1).size == 16, "summary must trim to capacity")
+    // SpaceSaving bounds vs true counts for every monitored key
+    val trueCounts = (b0Keys ++ b1Keys).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    snapshots(1).foreach { case (k, (cnt, err)) =>
+      val t = trueCounts(k)
+      assert(t <= cnt && cnt - err <= t, s"bounds violated for $k")
+    }
+    // O(1) state: pruning keeps at most the predecessor + own file
+    val files = new java.io.File(s"$state/summary").listFiles()
+      .map(_.getName).filter(_.startsWith("batch-"))
+    assert(files.length <= 2, s"state must stay O(1) files: ${files.toList}")
+    // replay idempotence: re-running batch 1 reads batch-0 state and
+    // emits the identical snapshot
+    val replayed = scala.collection.mutable.ArrayBuffer[Map[String, (Long, Long)]]()
+    StreamingHeavyHitters.foreachBatchHeavyHitters(col("k"), 16, state,
+      { p: DataFrame => replayed += toMap(p); () })(
+      b1Keys.toDF("k"), 1L)
+    assert(replayed.head == snapshots(1),
+      "a replayed micro-batch must emit the identical summary")
+    graft.ops.Dedup.releaseCaches()
+  }
+
   test("streaming per-group top-k: upserts equal the batch quota, late better docs evict") {
     import org.apache.spark.sql.DataFrame
     import spark.implicits._
