@@ -81,10 +81,22 @@ object Frequency {
 
   def topKExact(df: DataFrame, keyCol: Column, n: Int,
       capacity: Int): DataFrame = {
-    val cands = heavyHitters(df, keyCol, capacity).select(col("key"))
+    val hh = Dedup.persistTracked(heavyHitters(df, keyCol, capacity))
+    // certification floor: any UNMONITORED key's true count is at most
+    // the summary's min monitored count (exactly the SpaceSaving
+    // eviction floor; 0 while the summary never filled). Emitting only
+    // exact counts ABOVE it guarantees no unmonitored key could truly
+    // outrank an emitted one — an under-sized capacity yields fewer
+    // than n rows (a loud row-count miss), never a silently wrong
+    // top-k.
+    val floor = hh.agg(coalesce(
+      when(count(lit(1)) >= capacity, min(col("cnt"))), lit(0L)).as("_floor"))
     df.select(keyCol.as("key"))
-      .join(broadcast(cands), Seq("key"), "left_semi")
+      .join(broadcast(hh.select(col("key"))), Seq("key"), "left_semi")
       .groupBy("key").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(floor))
+      .filter(col("cnt") > col("_floor"))
+      .drop("_floor")
       .orderBy(col("cnt").desc, col("key"))
       .limit(n)
   }

@@ -44,7 +44,8 @@ class PlanSpec extends SparkSpec {
     * forbidden even for these. */
   private val scalarCrossJoins =
     Set("tx_bm25", "tx_bigram_logprob", "tx_curation6", "tx_dsir",
-      "tx_rank_deciles") // N = one-row corpus count for the bucket formula
+      "tx_rank_deciles",  // N = one-row corpus count for the bucket formula
+      "tx_heavy_hitters") // one-row certification floor scalar
 
   test("no headline query plans a cartesian product (baselines excepted)") {
     (SparkEntry.benchQueries.toSet ++ Set("ev_skew_join") -- exactBaselines)

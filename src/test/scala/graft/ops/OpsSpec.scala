@@ -1657,6 +1657,19 @@ class OpsSpec extends SparkSpec {
     assert(got == want, s"got=$got want=$want")
   }
 
+  test("Frequency.topKExact: under-sized capacity fails loudly with fewer rows, never silently wrong") {
+    // flat distribution through a sketch far too small: the
+    // certification floor (min monitored count >= any unmonitored
+    // key's true count) rises above every exact re-count, so the op
+    // emits fewer than n rows instead of an arbitrary, unstable top-k
+    val flat = (0 until 100).flatMap(i => Seq.fill(5)(s"f$i"))
+    val got = Frequency.topKExact(flat.toDF("k"), col("k"), n = 10,
+      capacity = 8).collect()
+    Dedup.releaseCaches()
+    assert(got.length < 10,
+      s"a flat distribution cannot certify a top-10 at capacity 8: ${got.toList}")
+  }
+
   test("Frequency.certifiedTopK: emits only exact counts, always a prefix of the true ranking") {
     val data = ((0 until 6).flatMap(i => Seq.fill(300 + i * 100)(s"c$i")) ++
       (0 until 1500).map(i => s"z$i")).sortBy(_.hashCode)
