@@ -33,6 +33,17 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Canonical text for fuzzy-exact dedup and stable fingerprints:
+    * C0/DEL control bytes become spaces, whitespace runs collapse to
+    * one space, edges trim, case folds to lower — the normalization
+    * pass that makes "same page, different crawl formatting" collapse
+    * under EXACT dedup instead of needing the fuzzy machinery. Pure
+    * codegen'd built-ins (regexp engine is the cost), Java∩RE2 regex
+    * so the DuckDB oracle replays it verbatim. */
+  def canonicalText(text: Column): Column =
+    lower(trim(regexp_replace(
+      regexp_replace(text, "[\\x00-\\x1f\\x7f]", " "), " +", " ")))
+
   /** English-ish stopwords present in the synthetic corpus vocabulary. */
   val Stopwords: Seq[String] = Seq("the", "a", "of", "to", "and", "in", "is", "it")
 

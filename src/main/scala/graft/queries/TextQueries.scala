@@ -1163,6 +1163,63 @@ object TextQueries {
       |r AS (SELECT key, cnt FROM c ORDER BY cnt DESC, key LIMIT 20)
       |SELECT key, cnt FROM r ORDER BY key""".stripMargin
 
+  /** Text canonicalization ([[graft.ops.TextAnalysis.canonicalText]])
+    * over a corpus planted with crawl formatting damage (tabs, CRLF,
+    * a BEL byte, doubled spaces on doc_id % 5 == 0): control bytes →
+    * spaces, runs collapse, edges trim, case folds — plus the md5
+    * canonical fingerprint that makes reformatted copies collapse
+    * under EXACT dedup. */
+  def textCanon(spark: SparkSession, dir: String): DataFrame = {
+    val planted = docs(spark, dir).select(col("doc_id"),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" \t"), col("text"), lit("\u0007 End  Block\r\n")))
+        .otherwise(col("text")).as("text"))
+    planted.select(col("doc_id"),
+        TextAnalysis.canonicalText(col("text")).as("canon"))
+      .withColumn("fp", md5(col("canon")))
+      .transform(QueryUtil.ordered("doc_id"))
+  }
+
+  val textCanonOracle: String =
+    """WITH p AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0
+      |         THEN ' ' || chr(9) || text || chr(7) || ' End  Block' ||
+      |              chr(13) || chr(10)
+      |         ELSE text END AS text
+      |  FROM documents),
+      |c AS (SELECT doc_id,
+      |    lower(trim(regexp_replace(regexp_replace(
+      |      text, '[\x00-\x1f\x7f]', ' ', 'g'), ' +', ' ', 'g'))) AS canon
+      |  FROM p)
+      |SELECT doc_id, canon, md5(canon) AS fp
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  /** Corpus report card: per-language doc/token/unique counts and mean
+    * quality — the dataset-release summary every corpus version ships
+    * with. One aggregation pass; text reduces to md5 fingerprints for
+    * the distinct count (never shuffles payloads). */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n_tokens"),
+        countDistinct(md5(col("text"))).as("n_unique"),
+        round(avg(TextAnalysis.qualityScore(col("text"))), 4).as("avg_quality"))
+      .transform(QueryUtil.ordered("lang"))
+
+  val corpusStatsOracle: String =
+    """WITH s AS (SELECT lang, text,
+      |    len(string_split(text, ' ')) * 1.0 AS n,
+      |    len(list_distinct(string_split(text, ' '))) * 1.0 AS nd,
+      |    len(list_filter(string_split(text, ' '),
+      |        t -> t IN ('the', 'a', 'of', 'to', 'and', 'in', 'is', 'it'))) * 1.0 AS st
+      |  FROM documents)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CAST(n AS BIGINT)) AS BIGINT) AS n_tokens,
+      |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+      |  round(avg(round(least(n / 100.0, 1.0) * 0.4 + (nd / n) * 0.4 +
+      |    (1.0 - st / n) * 0.2, 4)), 4) AS avg_quality
+      |FROM s GROUP BY lang ORDER BY lang""".stripMargin
+
   // --- HTML extraction ---------------------------------------------------
   // Wrap a slice of the corpus in markup (script+style payloads that
   // must vanish, block structure, entities) identically on both sides;
@@ -2081,6 +2138,8 @@ object TextQueries {
     "tx_rank_deciles" -> ((rankDeciles _, Some(rankDecilesOracle))),
     "tx_corpus_diff" -> ((corpusDiff _, Some(corpusDiffOracle))),
     "tx_heavy_hitters" -> ((heavyHittersTop _, Some(heavyHittersOracle))),
+    "tx_text_canon" -> ((textCanon _, Some(textCanonOracle))),
+    "tx_corpus_stats" -> ((corpusStats _, Some(corpusStatsOracle))),
     "tx_chunk_sliding" -> ((chunkSliding _, Some(chunkSlidingOracle))),
     "tx_pack_shards" -> ((packShards _, Some(packShardsOracle))),
     "tx_tokenizer_probe" -> ((tokenizerProbe _, Some(tokenizerProbeOracle))),

@@ -1684,6 +1684,18 @@ class OpsSpec extends SparkSpec {
       s"certified rows must be an exact prefix: got=$got want=${ranking.take(got.size)}")
   }
 
+  test("canonicalText: control bytes to spaces, runs collapse, edges trim, case folds; idempotent") {
+    val d = Seq((1L, " \tA  B\u0007C\r\nD  "), (2L, "ok")).toDF("doc_id", "text")
+    val once = d.select(col("doc_id"),
+      TextAnalysis.canonicalText(col("text")).as("c"))
+    val r = once.collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r(1L) == "a b c d" && r(2L) == "ok")
+    val twice = once.select(col("doc_id"),
+        TextAnalysis.canonicalText(col("c")).as("c2"))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(twice == r, "canonicalization must be idempotent")
+  }
+
   test("corpusDiff: added/removed/changed statuses; null text fingerprints as empty") {
     val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c"),
       (4L, null.asInstanceOf[String]), (5L, "e")).toDF("doc_id", "text")
