@@ -80,5 +80,6 @@ object SparkEntry {
     "ev_transitions",    // per-user lag window + broadcast-totals rollup
     "tx_rank_deciles",   // distributed global rank (range partition + offsets)
     "vec_semdedup",      // k-means cluster-blocked semantic near-dup
-    "tx_heavy_hitters")  // two-pass SpaceSaving exact top-k
+    "tx_heavy_hitters",  // two-pass SpaceSaving exact top-k
+    "tx_curation7")      // selection back half: gate -> quota -> rank -> cut
 }

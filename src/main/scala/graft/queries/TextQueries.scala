@@ -1025,6 +1025,99 @@ object TextQueries {
       |ORDER BY domain, doc_id""".stripMargin
   }
 
+  /** Curation v7 — the SELECTION back half over the URL-planted
+    * corpus, composing this round's new primitives end to end:
+    * provenance gate → per-domain quota (BoundedTopK partial agg — no
+    * hot-domain window) → distributed global quality rank (range
+    * partition — no single-task window) → top-half curriculum cut.
+    * Docs without URLs bypass the quota (a quota pools real domains;
+    * the unattributed pool is not a "domain"). Funnel counts per
+    * stage; every stage drops non-vacuously at every SF (the %5==0
+    * plant carries a blocked host, %5∈{2,4} plants share one
+    * registrable domain each so the quota bites, the decile cut
+    * halves whatever survives). */
+  def curation7(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.DataFrame
+    val base = Dedup.persistTracked(urlPlanted(spark, dir))
+    val (_, _, keepGate) = TextAnalysis.urlGate(col("text"), BlockedHosts)
+    val gated = Dedup.checkpointTracked(base.filter(keepGate))
+    val dom = gated.select(col("doc_id"),
+        explode(TextAnalysis.urlHosts(col("text"))).as("host"))
+      .select(col("doc_id"),
+        TextAnalysis.registrableDomain(col("host")).as("domain"))
+      .groupBy("doc_id").agg(min(col("domain")).as("domain"))
+    val scored = gated.join(dom, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("domain"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+    val withUrl = scored.filter(col("domain").isNotNull)
+    val noUrl = scored.filter(col("domain").isNull)
+    val capped = Dedup.checkpointTracked(
+      graft.ops.Sampling.topKPerGroup(withUrl, "domain",
+          struct(negate(col("quality")), col("doc_id")), k = 2)
+        .unionByName(noUrl))
+    val ranked = graft.ops.Ranking.withRankBucket(capped,
+      Seq(col("quality").desc, col("doc_id")), buckets = 10,
+      bucketName = "decile")
+    val top = ranked.filter(col("decile") < 5)
+    def cnt(df: DataFrame, stage: String): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(stage).as("stage"), col("n_docs"))
+    cnt(base, "a_input")
+      .unionByName(cnt(gated, "b_url_gate"))
+      .unionByName(cnt(capped, "c_domain_cap"))
+      .unionByName(cnt(top, "d_top_half"))
+      .transform(QueryUtil.ordered("stage"))
+  }
+
+  val curation7Oracle: String = {
+    import graft.ops.TextAnalysis.UrlHostRe
+    import graft.ops.PublicSuffix
+    s"""WITH planted AS (SELECT doc_id, $urlPlantSql AS text FROM documents),
+      |hh AS (SELECT doc_id, list_transform(
+      |         regexp_extract_all(text, '$UrlHostRe', 1), x -> lower(x)) AS hosts
+      |       FROM planted),
+      |g AS (SELECT p.doc_id, p.text FROM planted p JOIN hh USING (doc_id)
+      |      WHERE len(list_filter(hh.hosts,
+      |        x -> x = 'spam.example.com' OR x = 'tracker.example.net')) = 0),
+      |h AS (SELECT doc_id, unnest(list_transform(
+      |        regexp_extract_all(text, '$UrlHostRe', 1), x -> lower(x))) AS host
+      |      FROM g),
+      |hw AS (SELECT doc_id, string_split(host, '.') AS w FROM h),
+      |hp AS (SELECT doc_id, w, ${PublicSuffix.duckdbSuffixLenCase("w")} AS plen
+      |       FROM hw),
+      |hd AS (SELECT doc_id,
+      |         ${PublicSuffix.duckdbDomainSlice("w", "plen")} AS domain
+      |       FROM hp),
+      |dom AS (SELECT doc_id, min(domain) AS domain FROM hd GROUP BY 1),
+      |s AS (SELECT doc_id,
+      |    len(string_split(text, ' ')) * 1.0 AS n,
+      |    len(list_distinct(string_split(text, ' '))) * 1.0 AS nd,
+      |    len(list_filter(string_split(text, ' '),
+      |        t -> t IN ('the', 'a', 'of', 'to', 'and', 'in', 'is', 'it'))) * 1.0 AS st
+      |  FROM g),
+      |q AS (SELECT doc_id,
+      |    round(least(n / 100.0, 1.0) * 0.4 + (nd / n) * 0.4 + (1.0 - st / n) * 0.2, 4)
+      |      AS quality
+      |  FROM s),
+      |j AS (SELECT q.doc_id, dom.domain, q.quality
+      |      FROM q LEFT JOIN dom ON q.doc_id = dom.doc_id),
+      |r AS (SELECT doc_id, quality, row_number() OVER
+      |        (PARTITION BY domain ORDER BY quality DESC, doc_id) AS rn
+      |      FROM j WHERE domain IS NOT NULL),
+      |capped AS (SELECT doc_id, quality FROM r WHERE rn <= 2
+      |           UNION ALL
+      |           SELECT doc_id, quality FROM j WHERE domain IS NULL),
+      |rk AS (SELECT doc_id, row_number() OVER (ORDER BY quality DESC, doc_id) AS rk,
+      |         count(*) OVER () AS nn
+      |       FROM capped),
+      |top AS (SELECT doc_id FROM rk WHERE floor(((rk - 1) * 10.0) / nn) < 5)
+      |SELECT 'a_input' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM planted
+      |UNION ALL SELECT 'b_url_gate', CAST(count(*) AS BIGINT) FROM g
+      |UNION ALL SELECT 'c_domain_cap', CAST(count(*) AS BIGINT) FROM capped
+      |UNION ALL SELECT 'd_top_half', CAST(count(*) AS BIGINT) FROM top
+      |ORDER BY stage""".stripMargin
+  }
+
   /** Retrieval chunking: overlapping fixed-size token windows per doc
     * (64-token chunks, stride 48 → 16-token overlap) — the RAG-prep
     * op; chunks feed BM25 / the hashing embedder / ANN directly.
@@ -2140,6 +2233,7 @@ object TextQueries {
     "tx_heavy_hitters" -> ((heavyHittersTop _, Some(heavyHittersOracle))),
     "tx_text_canon" -> ((textCanon _, Some(textCanonOracle))),
     "tx_corpus_stats" -> ((corpusStats _, Some(corpusStatsOracle))),
+    "tx_curation7" -> ((curation7 _, Some(curation7Oracle))),
     "tx_chunk_sliding" -> ((chunkSliding _, Some(chunkSlidingOracle))),
     "tx_pack_shards" -> ((packShards _, Some(packShardsOracle))),
     "tx_tokenizer_probe" -> ((tokenizerProbe _, Some(tokenizerProbeOracle))),

@@ -45,7 +45,8 @@ class PlanSpec extends SparkSpec {
   private val scalarCrossJoins =
     Set("tx_bm25", "tx_bigram_logprob", "tx_curation6", "tx_dsir",
       "tx_rank_deciles",  // N = one-row corpus count for the bucket formula
-      "tx_heavy_hitters") // one-row certification floor scalar
+      "tx_heavy_hitters", // one-row certification floor scalar
+      "tx_curation7")     // rank stage's one-row corpus count
 
   test("no headline query plans a cartesian product (baselines excepted)") {
     (SparkEntry.benchQueries.toSet ++ Set("ev_skew_join") -- exactBaselines)
@@ -231,6 +232,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"no shuffle join anywhere in the heavy-hitters plan:\n$p")
   }
+
+  // tx_curation7 has no plan pin of its own: its checkpointed stage
+  // boundaries collapse every upstream plan to a leaf scan in the
+  // funnel plan, so the quota/rank shapes are invisible there — they
+  // are pinned on tx_domain_cap and tx_rank_deciles directly.
 
   test("vec_semdedup: cluster blocking is an equi-join on the cell id — never a cross join") {
     val p = plan("vec_semdedup")
