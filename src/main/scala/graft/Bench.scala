@@ -94,7 +94,7 @@ object Bench {
         val r =
           try { force(name); (System.nanoTime() - t0) / 1e9 }
           catch { case e: Throwable =>
-            if (!errors.contains(name)) errors(name) = e.toString.take(500)
+            if (!errors.contains(name)) errors(name) = e.toString.take(160)
             System.err.println(s"[bench] $name FAILED: $e")
             -1.0
           }
@@ -126,8 +126,12 @@ object Bench {
       "\"" + k + "\":" + v.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // key order is deliberate: the driver keeps only the LAST ~2k chars
+    // of stdout, so the headline medians and total go at the END of the
+    // line — bulky runs/errors payloads first (r7: three long error
+    // strings pushed every number out of the recorded tail)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"discarded":$discJson,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"runs":$runsJson,"discarded":$discJson,"errors":$errJson,"sf":"$sfDir","queries":$qs,"metric":"total","value":$total,"unit":"sec"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_result.json"), line + "\n")
     spark.stop()

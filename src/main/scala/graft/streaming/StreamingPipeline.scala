@@ -324,18 +324,19 @@ object StreamingPipeline {
   }
 
   /** Streaming windowed event aggregation over the events schema
-    * (readStream parquet) — mirrors EventQueries.hourly. */
+    * (readStream parquet) — mirrors EventQueries.hourly. The stream's
+    * declared schema (readStream requires one) is taken from a batch
+    * peek of the SAME file, so either historical `ts` encoding
+    * (nanos-long or TIMESTAMP_NTZ — see [[graft.queries.Tables]]) plans
+    * correctly. */
   def streamingHourly(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
-      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
-    spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // FileStreamSource requires a DIRECTORY path; the glob filter keeps
+    // the sibling tables of a testdata dir out of the stream
+    graft.queries.Tables.withNormalizedTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
