@@ -81,5 +81,7 @@ object SparkEntry {
     "tx_rank_deciles",   // distributed global rank (range partition + offsets)
     "vec_semdedup",      // k-means cluster-blocked semantic near-dup
     "tx_heavy_hitters",  // two-pass SpaceSaving exact top-k
-    "tx_curation7")      // selection back half: gate -> quota -> rank -> cut
+    "tx_curation7",      // selection back half: gate -> quota -> rank -> cut
+    // r8: in-engine model training
+    "tx_clf_quality")    // logistic-regression quality classifier (5 GD epochs)
 }

@@ -403,6 +403,89 @@ object TextAnalysis {
         round(avg(col("_lr")), 4).as("dsir_score"))
   }
 
+  // --- Trained quality classifier -------------------------------------
+  // The CCNet/fastText-style quality filter (Wenzek et al. 2020,
+  // arXiv:1911.00359 use a trained linear classifier where DSIR uses
+  // closed-form importance ratios): logistic regression over hashed
+  // unigram term-frequency features, trained IN the engine by
+  // deterministic full-batch gradient descent. This is the canonical
+  // distributed-ML shape — broadcast the (tiny) weight vector, compute
+  // per-partition partial gradients map-side, reduce to one
+  // buckets-sized frame, update on the driver, repeat — the same loop
+  // MLlib's own LogisticRegression runs via treeAggregate. Per
+  // iteration: two scans of one persisted narrow (doc, bucket, tf)
+  // frame and two partial-aggregated shuffles; nothing but the two
+  // linear scans grows with the corpus, and the model state crossing
+  // the driver is `numBuckets + 1` doubles per iteration (allowed
+  // driver-sized model parameters, the k-means-seed precedent).
+  //
+  // Everything is closed-form deterministic (w₀ = 0, fixed learning
+  // rate and iteration count, no sampling), so the DuckDB oracle can
+  // replay the entire training run as a generated CTE chain — a
+  // *trained* model with an exact SQL oracle.
+
+  /** Per-document probability that the doc belongs to the positive
+    * class (`labelPred`), under a logistic model trained here by
+    * `iterations` full-batch GD steps on hashed-unigram TF features.
+    * Emits `(doc_id, clf_score)`, score rounded to 4 places. Null-text
+    * docs tokenize as the empty-string token, so every input row
+    * appears in the output (the [[dsirScore]] contract).
+    *
+    * Features: x_b = (count of tokens hashing to bucket b) / n_tokens —
+    * the per-doc TF vector has L1 norm 1, which bounds every margin by
+    * max|w| and keeps fixed-η GD stable without per-feature scaling.
+    * The intercept is an always-on feature at bucket −1 (md5 buckets
+    * are non-negative, so −1 cannot collide), which folds the bias
+    * update into the SAME partial-aggregated gradient job — one action
+    * per iteration, not two. `numBuckets` must be a power of two
+    * (signed pmod ≡ the oracle's unsigned md5 mod, as in
+    * [[dsirScore]]). */
+  def logisticScore(docs: DataFrame, labelPred: Column,
+      numBuckets: Int = 256, iterations: Int = 5, learningRate: Double = 2.0,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(numBuckets > 0 && (numBuckets & (numBuckets - 1)) == 0,
+      s"numBuckets must be a power of two, got $numBuckets")
+    require(iterations >= 1, s"need at least one GD step, got $iterations")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // one tokenize pass; n_tokens rides scan-side (no corpus shuffle)
+    val tk = docs.select(col(idCol).as("doc_id"),
+      labelPred.cast("double").as("_y"),
+      tokens(coalesce(col(textCol), lit(""))).as("_tk"))
+    val feat = Dedup.persistTracked(
+      tk.select(col("doc_id"), col("_y"),
+          size(col("_tk")).cast("double").as("_n"), explode(col("_tk")).as("_t"))
+        .select(col("doc_id"), col("_y"), col("_n"),
+          pmod(md5Low64(col("_t")), lit(numBuckets.toLong)).as("_b"))
+        .groupBy("doc_id", "_y", "_n", "_b")
+        .agg((count(lit(1)) / col("_n")).as("_x"))
+        .select(col("doc_id"), col("_y"), col("_b"), col("_x"))
+        .union(tk.select(col("doc_id"), col("_y"),
+          lit(-1L).as("_b"), lit(1.0).as("_x"))))
+    val eta = learningRate / docs.count()
+    // margins under the CURRENT weights; w crosses as a broadcast
+    // buckets-sized frame (never a per-row UDF closure)
+    def margins(w: Map[Long, Double]): DataFrame = {
+      val wDf = broadcast(w.toSeq.toDF("_b", "_w"))
+      feat.join(wDf, Seq("_b"), "left")
+        .groupBy("doc_id")
+        .agg(min(col("_y")).as("_y"),
+          sum(coalesce(col("_w"), lit(0.0)) * col("_x")).as("_m"))
+    }
+    var w = Map.empty[Long, Double]
+    for (_ <- 1 to iterations) {
+      val res = margins(w).select(col("doc_id"),
+        (col("_y") - lit(1.0) / (lit(1.0) + exp(-col("_m")))).as("_r"))
+      // partial-aggregated: each map task reduces to ≤ numBuckets+1 rows
+      val grad = feat.join(res, Seq("doc_id"))
+        .groupBy("_b").agg(sum(col("_x") * col("_r")).as("_g"))
+        .as[(Long, Double)].collect()
+      w = w ++ grad.map { case (b, g) => b -> (w.getOrElse(b, 0.0) + eta * g) }
+    }
+    margins(w).select(col("doc_id"),
+      round(lit(1.0) / (lit(1.0) + exp(-col("_m"))), 4).as("clf_score"))
+  }
+
   // --- Retrieval chunking ---------------------------------------------
   // The RAG-prep counterpart of sequence packing: split each document
   // into overlapping fixed-size token windows (overlap preserves

@@ -1163,6 +1163,61 @@ object TextQueries {
       |FROM bk JOIN r ON bk.b = r.b
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Trained quality classifier (CCNet/fastText-style, Wenzek et al.
+    * 2020): logistic regression over hashed-unigram TF features,
+    * trained in-engine by 5 deterministic full-batch GD steps with
+    * target = English docs, then every doc scored. The oracle replays
+    * the ENTIRE training run — feature build, all five weight
+    * iterations, final sigmoid — as a generated CTE chain, so the
+    * trained model itself is exact-checked, not just the scoring pass.
+    * See [[graft.ops.TextAnalysis.logisticScore]]. */
+  def clfQuality(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.logisticScore(docs(spark, dir), col("lang") === "en",
+        numBuckets = ClfBuckets, iterations = ClfIters, learningRate = ClfLr)
+      .transform(QueryUtil.ordered("doc_id"))
+
+  private val ClfBuckets = 256
+  private val ClfIters = 5
+  private val ClfLr = 2.0
+
+  /** The oracle is generated for (buckets, iterations, lr) so the SQL
+    * cannot drift from the engine's constants: iteration t computes
+    * margins m_t under w_{t-1}, residuals r_t = y − σ(m_t), and
+    * w_t = w_{t-1} + lr/N · Xᵀr_t — the intercept rides as the
+    * always-on bucket −1 feature exactly as in the engine. */
+  val clfQualityOracle: String = {
+    val (nb, lr, iters) = (ClfBuckets, ClfLr, ClfIters)
+    val head =
+      s"""WITH tok AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         |    len(string_split(text, ' ')) * 1.0 AS n,
+         |    unnest(string_split(text, ' ')) AS t FROM documents),
+         |feat0 AS (SELECT doc_id, y,
+         |    CAST(('0x' || substr(md5(t), 1, 16))::UBIGINT % $nb AS BIGINT) AS b,
+         |    count(*) * 1.0 / n AS x FROM tok GROUP BY doc_id, y, n, b),
+         |feat AS (SELECT * FROM feat0
+         |  UNION ALL SELECT DISTINCT doc_id, y, -1 AS b, 1.0 AS x FROM feat0),
+         |nd AS (SELECT count(*) * 1.0 AS n FROM documents),
+         |m1 AS (SELECT DISTINCT doc_id, y, 0.0 AS m FROM feat0),
+         |r1 AS (SELECT doc_id, y - 1.0/(1.0 + exp(-m)) AS r FROM m1),
+         |w1 AS (SELECT f.b, $lr * sum(f.x * r.r) / (SELECT n FROM nd) AS w
+         |       FROM feat f JOIN r1 r USING (doc_id) GROUP BY f.b)""".stripMargin
+    val steps = (2 to iters).map { t =>
+      s"""m$t AS (SELECT f.doc_id, min(f.y) AS y, coalesce(sum(f.x * w.w), 0.0) AS m
+         |       FROM feat f LEFT JOIN w${t - 1} w ON f.b = w.b GROUP BY f.doc_id),
+         |r$t AS (SELECT doc_id, y - 1.0/(1.0 + exp(-m)) AS r FROM m$t),
+         |w$t AS (SELECT g.b, coalesce(w.w, 0.0) + g.u AS w
+         |       FROM (SELECT f.b, $lr * sum(f.x * r.r) / (SELECT n FROM nd) AS u
+         |             FROM feat f JOIN r$t r USING (doc_id) GROUP BY f.b) g
+         |       LEFT JOIN w${t - 1} w ON g.b = w.b)""".stripMargin
+    }
+    val tail =
+      s"""mf AS (SELECT f.doc_id, coalesce(sum(f.x * w.w), 0.0) AS m
+         |       FROM feat f LEFT JOIN w$iters w ON f.b = w.b GROUP BY f.doc_id)
+         |SELECT doc_id, round(1.0/(1.0 + exp(-m)), 4) AS clf_score
+         |FROM mf ORDER BY doc_id""".stripMargin
+    (Seq(head) ++ steps ++ Seq(tail)).mkString(",\n")
+  }
+
   /** Curriculum ranking: every doc's global quality rank (1 = best)
     * and decile tier — the "order the corpus by quality and bin it"
     * step of curriculum-style data scheduling. Distributed rank via
@@ -2228,6 +2283,7 @@ object TextQueries {
     "tx_domain_stats" -> ((domainStats _, Some(domainStatsOracle))),
     "tx_domain_cap" -> ((domainCap _, Some(domainCapOracle))),
     "tx_dsir" -> ((dsir _, Some(dsirOracle))),
+    "tx_clf_quality" -> ((clfQuality _, Some(clfQualityOracle))),
     "tx_rank_deciles" -> ((rankDeciles _, Some(rankDecilesOracle))),
     "tx_corpus_diff" -> ((corpusDiff _, Some(corpusDiffOracle))),
     "tx_heavy_hitters" -> ((heavyHittersTop _, Some(heavyHittersOracle))),

@@ -133,6 +133,20 @@ class PlanSpec extends SparkSpec {
       s"corpus-side shuffle join defeats the broadcast design:\n$p")
   }
 
+  test("tx_clf_quality: weights broadcast to the feature frame; no shuffle join, no window") {
+    // the trained weight vector is a numBuckets-sized frame — scoring
+    // must broadcast it against the persisted feature frame (map-side
+    // join + one per-doc aggregation); a sort-merge join or any window
+    // would shuffle the corpus for a 257-row model
+    val p = plan("tx_clf_quality")
+    assert(p.contains("BroadcastHashJoin"),
+      s"weight frame must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-side shuffle join defeats the broadcast design:\n$p")
+    assert(!p.contains("windowspecdefinition"),
+      s"no window belongs in the scoring plan:\n$p")
+  }
+
   test("ev_transitions: the lag window partitions by USER, never the hot type key; totals broadcast") {
     // event types are few and colossally hot — a window or shuffle
     // join keyed on them is the lineDedup r6 failure class. The only

@@ -1779,6 +1779,49 @@ class OpsSpec extends SparkSpec {
     assert(r.length == 2, "null-text doc must still emit a score row")
   }
 
+  test("logisticScore: trained model separates the label classes; scores in (0,1)") {
+    val d = Seq(
+      (1L, "the cat is in the house and it is fine", "en"),
+      (2L, "der hund ist in dem haus und er ist gut", "de"),
+      (3L, "the dog is in the garden and it is good", "en"),
+      (4L, "die katze ist in dem garten und sie ist gut", "de"))
+      .toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.logisticScore(d, col("lang") === "en")
+      .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[Double]("clf_score"))
+      .toMap
+    assert(r(1L) > r(2L) && r(3L) > r(4L),
+      s"positive-class docs must out-score negatives: $r")
+    assert(r.values.forall(v => v > 0.0 && v < 1.0), s"scores must be probabilities: $r")
+  }
+
+  test("logisticScore: matches a driver-side GD replica exactly (after rounding)") {
+    // two one-token docs with distinct hash buckets: the whole training
+    // run collapses to a scalar recursion the test replays in plain
+    // Scala — the engine's distributed gradient loop must land on the
+    // same rounded sigmoid (w₀=0, η=lr/N, symmetric labels keep the
+    // intercept at 0 throughout)
+    val d = Seq((1L, "alpha", "en"), (2L, "bravo", "de"))
+      .toDF("doc_id", "text", "lang")
+    def sigma(m: Double) = 1.0 / (1.0 + math.exp(-m))
+    var wA = 0.0 // bucket("alpha") weight; bucket("bravo") = -wA by symmetry
+    for (_ <- 1 to 5) wA += (2.0 / 2.0) * (1.0 - sigma(wA))
+    val expected = BigDecimal(sigma(wA)).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    val r = TextAnalysis.logisticScore(d, col("lang") === "en")
+      .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[Double]("clf_score"))
+      .toMap
+    assert(BigDecimal(r(1L)) == expected, s"engine ${r(1L)} vs replica $expected")
+    assert(BigDecimal(r(2L)) ==
+      BigDecimal(sigma(-wA)).setScale(4, BigDecimal.RoundingMode.HALF_UP),
+      s"symmetric negative doc: ${r(2L)}")
+  }
+
+  test("logisticScore: null text row never lost; every doc scored") {
+    val d = Seq((1L, Some("a b"), "en"), (2L, Option.empty[String], "de"))
+      .toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.logisticScore(d, col("lang") === "en").collect()
+    assert(r.length == 2, "null-text doc must still emit a score row")
+  }
+
   test("chunkSliding: overlap, ragged tail, short and empty docs") {
     val d = Seq(
       (1L, (1 to 11).map(i => s"t$i").mkString(" ")), // 11 tokens
