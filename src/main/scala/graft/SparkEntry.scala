@@ -82,6 +82,7 @@ object SparkEntry {
     "vec_semdedup",      // k-means cluster-blocked semantic near-dup
     "tx_heavy_hitters",  // two-pass SpaceSaving exact top-k
     "tx_curation7",      // selection back half: gate -> quota -> rank -> cut
-    // r8: in-engine model training
-    "tx_clf_quality")    // logistic-regression quality classifier (5 GD epochs)
+    // r8: in-engine model training + incremental release processing
+    "tx_clf_quality",    // logistic-regression quality classifier (5 GD epochs)
+    "tx_incremental")    // delta-only gate recompute via corpus diff
 }

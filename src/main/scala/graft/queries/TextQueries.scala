@@ -1287,6 +1287,54 @@ object TextQueries {
       |WHERE id1 IS NULL OR id2 IS NULL OR fp1 <> fp2
       |ORDER BY doc_id""".stripMargin
 
+  /** Incremental re-processing over the same planted v2 as
+    * [[corpusDiff]]: per-doc curation gates (quality ≥ 0.6, emitting
+    * lang/quality/token counts) run ONLY on the `added ∪ changed`
+    * delta, unchanged docs reuse their materialized v1 output rows,
+    * removed docs drop out — and the result must equal a FULL
+    * recompute over v2, which is exactly what the oracle computes.
+    * See [[graft.ops.Versioning.incrementalApply]]. */
+  def incremental(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = docs(spark, dir)
+    val v2 = v1.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), col("lang"),
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionAll(v1.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+          col("text")))
+    def gates(d: DataFrame): DataFrame =
+      d.select(col("doc_id"), col("lang"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .filter(col("quality") >= 0.6)
+    // v1's outputs are materialized tables in a real release pipeline;
+    // derived inline here so the oracle stays closed-form
+    graft.ops.Versioning.incrementalApply(v1, gates(v1), v2, gates)
+      .transform(QueryUtil.ordered("doc_id"))
+  }
+
+  val incrementalOracle: String =
+    """WITH v2 AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 7 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, lang, text FROM documents WHERE doc_id % 13 = 0),
+      |s AS (SELECT doc_id, lang,
+      |    len(string_split(text, ' ')) * 1.0 AS n,
+      |    len(list_distinct(string_split(text, ' '))) * 1.0 AS nd,
+      |    len(list_filter(string_split(text, ' '),
+      |        t -> t IN ('the', 'a', 'of', 'to', 'and', 'in', 'is', 'it'))) * 1.0 AS st
+      |  FROM v2),
+      |q AS (SELECT doc_id, lang,
+      |    round(least(n / 100.0, 1.0) * 0.4 + (nd / n) * 0.4 + (1.0 - st / n) * 0.2, 4)
+      |      AS quality,
+      |    CAST(n AS BIGINT) AS n_tokens
+      |  FROM s)
+      |SELECT doc_id, lang, quality, n_tokens FROM q
+      |WHERE quality >= 0.6 ORDER BY doc_id""".stripMargin
+
   /** Exact top-20 most frequent keys via the two-pass SpaceSaving
     * scheme ([[graft.ops.Frequency.topKExact]]). The key stream is the
     * corpus token stream UNIONed with one planted singleton per doc
@@ -2286,6 +2334,7 @@ object TextQueries {
     "tx_clf_quality" -> ((clfQuality _, Some(clfQualityOracle))),
     "tx_rank_deciles" -> ((rankDeciles _, Some(rankDecilesOracle))),
     "tx_corpus_diff" -> ((corpusDiff _, Some(corpusDiffOracle))),
+    "tx_incremental" -> ((incremental _, Some(incrementalOracle))),
     "tx_heavy_hitters" -> ((heavyHittersTop _, Some(heavyHittersOracle))),
     "tx_text_canon" -> ((textCanon _, Some(textCanonOracle))),
     "tx_corpus_stats" -> ((corpusStats _, Some(corpusStatsOracle))),

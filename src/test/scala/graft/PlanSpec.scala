@@ -147,6 +147,17 @@ class PlanSpec extends SparkSpec {
       s"no window belongs in the scoring plan:\n$p")
   }
 
+  test("tx_incremental: reuse is an anti join, recompute a semi join; no window, no shuffle of text") {
+    // the incremental contract in plan form: v1 outputs survive via a
+    // LEFT ANTI against the dirty-id frame, the delta flows in via a
+    // LEFT SEMI — both equi-joins on the unique id (AQE-splittable),
+    // never a window or cartesian form
+    val p = plan("tx_incremental")
+    assert(p.contains("LeftAnti"), s"reuse path must be an anti join:\n$p")
+    assert(p.contains("LeftSemi"), s"delta path must be a semi join:\n$p")
+    assert(!p.contains("windowspecdefinition"), s"no window:\n$p")
+  }
+
   test("ev_transitions: the lag window partitions by USER, never the hot type key; totals broadcast") {
     // event types are few and colossally hot — a window or shuffle
     // join keyed on them is the lineDedup r6 failure class. The only

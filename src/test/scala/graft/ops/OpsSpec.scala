@@ -1707,6 +1707,30 @@ class OpsSpec extends SparkSpec {
       5L -> "removed", 6L -> "added"))
   }
 
+  test("incrementalApply: equals full recompute; transform provably never sees a clean doc") {
+    val v1 = Seq((1L, "one"), (2L, "two"), (3L, "three"), (4L, "four"))
+      .toDF("doc_id", "text")
+    // 1 removed, 3 changed, 5 added; 2 and 4 unchanged
+    val v2 = Seq((2L, "two"), (3L, "THREE"), (4L, "four"), (5L, "five"))
+      .toDF("doc_id", "text")
+    def gates(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("doc_id"), length(col("text")).cast("long").as("len"))
+    // the delta-only contract enforced mechanically: this transform
+    // RAISES on any doc outside {changed, added} — reaching into a
+    // clean or removed doc fails the test at execution, not by audit
+    def guardedGates(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("doc_id"),
+        when(col("doc_id").isin(3L, 5L), length(col("text")).cast("long"))
+          .otherwise(raise_error(concat(lit("transform touched clean doc "),
+            col("doc_id")))).as("len"))
+    val r = Versioning.incrementalApply(v1, gates(v1), v2, guardedGates)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    Dedup.releaseCaches()
+    val full = gates(v2).collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == full, s"incremental $r must equal full recompute $full")
+    assert(r == Map(2L -> 3L, 3L -> 5L, 4L -> 4L, 5L -> 4L))
+  }
+
   test("withGlobalRank: equals a driver-side total sort on a shuffled multi-partition frame") {
     val d = spark.range(0, 1000)
       .select((col("id") * 2654435761L % 997).as("v"), col("id"))
