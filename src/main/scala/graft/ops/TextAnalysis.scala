@@ -123,14 +123,53 @@ object TextAnalysis {
     * not eaten. */
   val PhoneRe = "\\+?\\d{3}[- .]\\d{3}[- .]\\d{4}"
 
-  /** Scrub emails → `<EMAIL>`, IPv4 → `<IP>`, phones → `<PHONE>`, in
-    * that order (emails first so their host dots can never half-match
-    * the IP pattern on the rewritten string). Codegen-friendly: three
-    * `regexp_replace` column ops, scan-fused, no shuffle. */
+  /** Card-number candidates: 13–19 digits with at most one space or
+    * dash between digits (the common 4-4-4-4 / 4-6-5 groupings and the
+    * contiguous form). A syntactic match alone is NOT scrubbed — only
+    * candidates passing the Luhn checksum ([[luhnValid]]) are, which is
+    * what keeps long ids, timestamps and order numbers out of the
+    * scrubber (the precision-over-recall contract, now with an actual
+    * checksum instead of a prayer). Java∩RE2 syntax. */
+  val CardCandidateRe = "\\b(?:\\d[ -]?){12,18}\\d\\b"
+
+  /** Luhn checksum (ISO/IEC 7812) over a digit string as pure column
+    * arithmetic: from the rightmost digit, double every second digit,
+    * subtract 9 when doubling exceeds 9, sum ≡ 0 (mod 10). The indexed
+    * lambda mirrors the oracle's 1-based DuckDB list lambda exactly. */
+  def luhnValid(digits: Column): Column = {
+    val rev = reverse(digits)
+    val contribs = transform(sequence(lit(1), length(rev)), i => {
+      val d = rev.substr(i, lit(1)).cast("int")
+      when((i - 1) % 2 === 0, d)
+        .otherwise(when(d * 2 > 9, d * 2 - 9).otherwise(d * 2))
+    })
+    aggregate(contribs, lit(0), (a, x) => a + x) % 10 === 0
+  }
+
+  /** The document's Luhn-valid card-number matches, document order. */
+  def validCardNumbers(text: Column): Column =
+    filter(regexp_extract_all(text, lit(CardCandidateRe), lit(0)),
+      c => luhnValid(regexp_replace(c, "[ -]", "")))
+
+  /** Scrub every Luhn-valid card candidate to `<CC>` via a literal
+    * replace-fold over the (per-doc, tiny) valid-match list. A literal
+    * replace also rewrites an equal digit substring embedded in a
+    * LONGER run the regex never matched — disclosed; the oracle's
+    * list_reduce replays the identical fold. */
+  def scrubCards(text: Column): Column =
+    aggregate(validCardNumbers(text), text,
+      (acc, c) => replace(acc, c, lit("<CC>")))
+
+  /** Scrub emails → `<EMAIL>`, Luhn-valid cards → `<CC>`, IPv4 →
+    * `<IP>`, phones → `<PHONE>`, in that order (emails first so their
+    * host dots can never half-match the IP pattern on the rewritten
+    * string; cards before phones so a separator-grouped card is never
+    * half-eaten as a phone). Codegen-friendly: scan-fused column ops,
+    * no shuffle; the card fold is bounded by the per-doc match list. */
   def scrubPii(text: Column): Column =
     regexp_replace(
       regexp_replace(
-        regexp_replace(text, EmailRe, "<EMAIL>"),
+        scrubCards(regexp_replace(text, EmailRe, "<EMAIL>")),
         Ipv4Re, "<IP>"),
       PhoneRe, "<PHONE>")
 

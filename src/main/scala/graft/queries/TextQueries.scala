@@ -601,24 +601,28 @@ object TextQueries {
     * corpus contains no PII, so the check would be a no-op rewrite;
     * like `vec_near_dup_lsh`, the corpus is AUGMENTED identically in
     * engine and oracle: every `doc_id % 7 == 0` doc gains an email, an
-    * IP and a US-format phone (all three must be scrubbed), every
-    * `doc_id % 7 == 3` doc gains an email, an IP and a UK-format phone
-    * whose separators do NOT match the conservative pattern (must
-    * survive — pins the precision boundary). The full scrubbed text is
-    * hash-compared, plus per-kind match counts on the planted text. */
+    * IP, a US-format phone and a Luhn-VALID card number (all four must
+    * be scrubbed), every `doc_id % 7 == 3` doc gains an email, an IP,
+    * a UK-format phone whose separators do NOT match the conservative
+    * pattern, and a card-shaped number whose Luhn checksum FAILS (both
+    * must survive — pins the precision boundary, and proves the
+    * checksum actually gates the card scrub). The full scrubbed text
+    * is hash-compared, plus per-kind match counts on the planted
+    * text. */
   def piiScrub(spark: SparkSession, dir: String): DataFrame = {
     import graft.ops.TextAnalysis._
     val planted = docs(spark, dir).select(col("doc_id"),
       when(col("doc_id") % 7 === 0, concat(col("text"),
-        lit(" contact alice.smith+x@mail.example.org or 10.42.7.19 or 415-555-2671")))
+        lit(" contact alice.smith+x@mail.example.org or 10.42.7.19 or 415-555-2671 card 4111-1111-1111-1111")))
       .when(col("doc_id") % 7 === 3, concat(col("text"),
-        lit(" mail bob@ex.io via 192.168.0.1 call 020-7946-0958")))
+        lit(" mail bob@ex.io via 192.168.0.1 call 020-7946-0958 ref 4111-1111-1111-1112")))
       .otherwise(col("text")).as("text"))
     planted.select(col("doc_id"),
         scrubPii(col("text")).as("scrubbed"),
         regexp_count(col("text"), lit(EmailRe)).as("n_emails"),
         regexp_count(col("text"), lit(Ipv4Re)).as("n_ips"),
-        regexp_count(col("text"), lit(PhoneRe)).as("n_phones"))
+        regexp_count(col("text"), lit(PhoneRe)).as("n_phones"),
+        size(validCardNumbers(col("text"))).as("n_cards"))
       .transform(QueryUtil.ordered("doc_id"))
   }
 
@@ -626,21 +630,36 @@ object TextQueries {
     import graft.ops.TextAnalysis._
     // DuckDB single-quoted strings do not process backslashes, so the
     // Java pattern strings drop in verbatim; RE2 and Java agree on
-    // every construct used (classes, \b, \d, {m,n}, ?).
+    // every construct used (classes, \b, \d, {m,n}, ?). The card stage
+    // replays the engine exactly: extract candidates, keep the
+    // Luhn-valid ones (1-based indexed list lambda = the engine's
+    // 1-based sequence), literal replace-fold via list_reduce seeded
+    // with the post-email text.
+    val luhn = "list_sum(list_transform(range(1, length(reverse(regexp_replace(c, '[ -]', '', 'g'))) + 1, 1), i -> CASE WHEN (i-1) % 2 = 0 THEN CAST(substr(reverse(regexp_replace(c, '[ -]', '', 'g')), CAST(i AS INT), 1) AS INT) ELSE CASE WHEN CAST(substr(reverse(regexp_replace(c, '[ -]', '', 'g')), CAST(i AS INT), 1) AS INT) * 2 > 9 THEN CAST(substr(reverse(regexp_replace(c, '[ -]', '', 'g')), CAST(i AS INT), 1) AS INT) * 2 - 9 ELSE CAST(substr(reverse(regexp_replace(c, '[ -]', '', 'g')), CAST(i AS INT), 1) AS INT) * 2 END END)) % 10 = 0"
     s"""WITH planted AS (SELECT doc_id,
-      |  CASE WHEN doc_id % 7 = 0 THEN text || ' contact alice.smith+x@mail.example.org or 10.42.7.19 or 415-555-2671'
-      |       WHEN doc_id % 7 = 3 THEN text || ' mail bob@ex.io via 192.168.0.1 call 020-7946-0958'
+      |  CASE WHEN doc_id % 7 = 0 THEN text || ' contact alice.smith+x@mail.example.org or 10.42.7.19 or 415-555-2671 card 4111-1111-1111-1111'
+      |       WHEN doc_id % 7 = 3 THEN text || ' mail bob@ex.io via 192.168.0.1 call 020-7946-0958 ref 4111-1111-1111-1112'
       |       ELSE text END AS text
-      |  FROM documents)
+      |  FROM documents),
+      |e1 AS (SELECT doc_id, text,
+      |         regexp_replace(text, '$EmailRe', '<EMAIL>', 'g') AS em
+      |       FROM planted),
+      |cc AS (SELECT doc_id, text,
+      |         list_reduce(list_prepend(em,
+      |           list_filter(regexp_extract_all(em, '$CardCandidateRe'),
+      |             c -> $luhn)),
+      |           (acc, c) -> replace(acc, c, '<CC>')) AS ct
+      |       FROM e1)
       |SELECT doc_id,
-      |  regexp_replace(regexp_replace(regexp_replace(text,
-      |    '$EmailRe', '<EMAIL>', 'g'),
+      |  regexp_replace(regexp_replace(ct,
       |    '$Ipv4Re', '<IP>', 'g'),
       |    '$PhoneRe', '<PHONE>', 'g') AS scrubbed,
       |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS INT) AS n_emails,
       |  CAST(len(regexp_extract_all(text, '$Ipv4Re')) AS INT) AS n_ips,
-      |  CAST(len(regexp_extract_all(text, '$PhoneRe')) AS INT) AS n_phones
-      |FROM planted ORDER BY doc_id""".stripMargin
+      |  CAST(len(regexp_extract_all(text, '$PhoneRe')) AS INT) AS n_phones,
+      |  CAST(len(list_filter(regexp_extract_all(text, '$CardCandidateRe'),
+      |    c -> $luhn)) AS INT) AS n_cards
+      |FROM cc ORDER BY doc_id""".stripMargin
   }
 
   /** Unigram-LM quality scores (top-1000 vocab, 1/T OOV floor) — the

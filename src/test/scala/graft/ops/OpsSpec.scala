@@ -763,6 +763,29 @@ class OpsSpec extends SparkSpec {
     assert(r(5L) == "<EMAIL> <IP> <PHONE>")
   }
 
+  test("card scrubbing: only Luhn-valid numbers scrubbed; boundaries hold") {
+    val d = Seq(
+      (1L, "pay 4111-1111-1111-1111 now"),          // valid Visa, dashed
+      (2L, "pay 4111 1111 1111 1111 now"),          // valid, spaced
+      (3L, "pay 4111111111111111 now"),             // valid, contiguous
+      (4L, "amex 371449635398431 ok"),              // valid 15-digit
+      (5L, "ref 4111-1111-1111-1112 kept"),         // checksum FAILS -> kept
+      (6L, "id 12345678901234567890 kept"),         // 20 digits: no boundary match
+      (7L, "short 123456789012 kept"))              // 12 digits < minimum
+      .toDF("doc_id", "text")
+    val r = d.select(col("doc_id"), TextAnalysis.scrubCards(col("text")).as("s"))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r(1L) == "pay <CC> now")
+    assert(r(2L) == "pay <CC> now")
+    assert(r(3L) == "pay <CC> now")
+    assert(r(4L) == "amex <CC> ok")
+    assert(r(5L) == "ref 4111-1111-1111-1112 kept",
+      "a Luhn-invalid candidate must survive — the checksum is the gate")
+    assert(r(6L) == "id 12345678901234567890 kept",
+      "a 20-digit run has no digit/non-digit boundary for the pattern")
+    assert(r(7L) == "short 123456789012 kept")
+  }
+
   test("multimodal: audioSpectra recovers tone frequency from real WAV bytes") {
     def sineWav(freq: Double, rate: Int, n: Int): Array[Byte] = {
       val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
