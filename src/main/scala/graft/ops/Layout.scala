@@ -105,6 +105,25 @@ object Layout {
     * 1-row frame) + one range shuffle — a layout job, amortized over
     * every later scan, same contract as [[writeBucketed]]/[[compact]].
     */
+  /** Hive-style partitioned layout (`outDir/col=value/...`): the
+    * third leg of the layout family. Bucketing co-locates JOIN keys,
+    * z-order narrows 2-D range scans, partitioning makes an
+    * equality/IN predicate on the partition column skip whole
+    * directories at PLANNING time — and, through dynamic partition
+    * pruning, a JOIN against a filtered dimension skips them at
+    * RUNTIME (the fact side scans only partitions the dim filter
+    * admits; at 100 TB a `lang = 'en'` dim cut reads the English
+    * shard, not the corpus). The pre-write `repartition` on the
+    * partition column gives each partition directory one task's worth
+    * of files instead of tasks × partitions small files.
+    *
+    * The DPP proof lives in OpsSpec: same join, DPP on vs off, scan
+    * metrics must show fewer files read with pruning. */
+  def writePartitioned(df: DataFrame, outDir: String,
+      partitionCol: String): Unit =
+    df.repartition(col(partitionCol))
+      .write.mode("overwrite").partitionBy(partitionCol).parquet(outDir)
+
   def zorderWrite(df: DataFrame, outDir: String, col1: String,
       col2: String, numFiles: Int, bits: Int = 16): Unit = {
     require(numFiles > 0 && bits > 0 && bits <= 31)

@@ -1136,6 +1136,48 @@ class OpsSpec extends SparkSpec {
     assert(zN < uN, s"z-order must allow file skipping: z=$zN unsorted=$uN")
   }
 
+  test("partitioned layout: a filtered dimension prunes fact partitions at runtime (DPP)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = java.nio.file.Files.createTempDirectory("part").toString + "/d"
+    val fact = (0 until 400).map(i =>
+      (i.toLong, Seq("en", "de", "fr", "es")(i % 4), i * 1.0))
+      .toDF("doc_id", "lang", "w")
+    Layout.writePartitioned(fact, dir, "lang")
+    // the dim filter admits ONE of four partition values; only a
+    // runtime (DPP) subquery can push that through the join into the
+    // fact scan — a static planner sees no literal predicate on lang.
+    // The dim must be file-backed: a filter over a local relation is
+    // constant-folded away and DPP sees no selective predicate
+    val dimDir = java.nio.file.Files.createTempDirectory("dim").toString + "/d"
+    Seq(("en", 1), ("de", 2), ("fr", 3), ("es", 4))
+      .toDF("lang", "grp").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter(col("grp") === 1)
+    def filesRead(dpp: Boolean): (Long, Long) = {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.enabled", dpp.toString)
+      try {
+        val j = spark.read.parquet(dir).join(broadcast(dim), "lang")
+        // collect() drives j's OWN QueryExecution — count() would build
+        // a second plan whose metrics are not the ones inspected below
+        val rows = j.collect().length.toLong
+        val scanned = j.queryExecution.executedPlan.collect {
+          case f: FileSourceScanExec if f.metadata("Location").contains("/d") =>
+            f.metrics("numFiles").value
+        }.sum
+        (rows, scanned)
+      } finally {
+        spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.enabled")
+        spark.conf.unset("spark.sql.adaptive.enabled")
+      }
+    }
+    val (rowsOn, filesOn) = filesRead(dpp = true)
+    val (rowsOff, filesOff) = filesRead(dpp = false)
+    assert(rowsOn == 100 && rowsOff == 100, "pruning must not change results")
+    assert(filesOn < filesOff,
+      s"DPP must scan fewer fact files: on=$filesOn off=$filesOff")
+  }
+
   test("compact: fragmented parquet rewrites to sized files with identical data") {
     val in = java.nio.file.Files.createTempDirectory("compact-in").toString
     val out = java.nio.file.Files.createTempDirectory("compact-out").toString + "/d"
