@@ -84,5 +84,6 @@ object SparkEntry {
     "tx_curation7",      // selection back half: gate -> quota -> rank -> cut
     // r8: in-engine model training + incremental release processing
     "tx_clf_quality",    // logistic-regression quality classifier (5 GD epochs)
-    "tx_incremental")    // delta-only gate recompute via corpus diff
+    "tx_incremental",    // delta-only gate recompute via corpus diff
+    "tx_curation8")      // model-driven selection: clf floor -> rank cut
 }

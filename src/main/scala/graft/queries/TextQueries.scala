@@ -1137,6 +1137,58 @@ object TextQueries {
       |ORDER BY stage""".stripMargin
   }
 
+  /** Curation v8 — model-driven selection: the trained logistic
+    * classifier ([[clfQuality]]) becomes a pipeline stage. Train on
+    * the corpus (English as the positive class), keep docs scoring at
+    * or above the corpus-average score (one broadcast scalar, the
+    * curation6 bigram-floor pattern — splits non-vacuously at any SF;
+    * the nearest score sits ~1e-5 from the boundary, five orders
+    * above cross-engine summation noise), then cut to the top half by
+    * DISTRIBUTED rank on the model score. Funnel counts per stage.
+    * This is the CCNet shape end to end: a trained filter, not a
+    * hand-tuned heuristic, deciding what survives — with the entire
+    * training run inside the oracle. */
+  def curation8(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.DataFrame
+    val base = docs(spark, dir)
+    val scored = Dedup.checkpointTracked(
+      TextAnalysis.logisticScore(base, col("lang") === "en",
+        numBuckets = ClfBuckets, iterations = ClfIters, learningRate = ClfLr))
+    val flr = scored.agg(avg(col("clf_score")).as("_flr"))
+    val kept = Dedup.checkpointTracked(
+      scored.crossJoin(broadcast(flr))
+        .filter(col("clf_score") >= col("_flr"))
+        .select(col("doc_id"), col("clf_score")))
+    val top = graft.ops.Ranking.withRankBucket(kept,
+        Seq(col("clf_score").desc, col("doc_id")), buckets = 10,
+        bucketName = "decile")
+      .filter(col("decile") < 5)
+    def cnt(df: DataFrame, stage: String): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(stage).as("stage"), col("n_docs"))
+    cnt(base, "a_input")
+      .unionByName(cnt(kept, "b_clf_floor"))
+      .unionByName(cnt(top, "c_top_half"))
+      .transform(QueryUtil.ordered("stage"))
+  }
+
+  // lazy: clfChainSql is declared later in the file (with the clf
+  // constants it derives from); a strict val here would read null
+  lazy val curation8Oracle: String =
+    s"""$clfChainSql,
+       |flr AS (SELECT avg(clf_score) AS f FROM scored),
+       |kept AS (SELECT doc_id, clf_score FROM scored
+       |         WHERE clf_score >= (SELECT f FROM flr)),
+       |rk AS (SELECT doc_id, row_number() OVER
+       |         (ORDER BY clf_score DESC, doc_id) AS rk,
+       |         count(*) OVER () AS nn
+       |       FROM kept),
+       |top AS (SELECT doc_id FROM rk WHERE floor(((rk - 1) * 10.0) / nn) < 5)
+       |SELECT 'a_input' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+       |UNION ALL SELECT 'b_clf_floor', CAST(count(*) AS BIGINT) FROM kept
+       |UNION ALL SELECT 'c_top_half', CAST(count(*) AS BIGINT) FROM top
+       |ORDER BY stage""".stripMargin
+
   /** Retrieval chunking: overlapping fixed-size token windows per doc
     * (64-token chunks, stride 48 → 16-token overlap) — the RAG-prep
     * op; chunks feed BM25 / the hashing embedder / ANN directly.
@@ -1203,8 +1255,10 @@ object TextQueries {
     * cannot drift from the engine's constants: iteration t computes
     * margins m_t under w_{t-1}, residuals r_t = y − σ(m_t), and
     * w_t = w_{t-1} + lr/N · Xᵀr_t — the intercept rides as the
-    * always-on bucket −1 feature exactly as in the engine. */
-  val clfQualityOracle: String = {
+    * always-on bucket −1 feature exactly as in the engine. The CTE
+    * chain is shared with the curation8 oracle, which composes the
+    * trained model into a selection pipeline. */
+  private val clfChainSql: String = {
     val (nb, lr, iters) = (ClfBuckets, ClfLr, ClfIters)
     val head =
       s"""WITH tok AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
@@ -1231,11 +1285,15 @@ object TextQueries {
     }
     val tail =
       s"""mf AS (SELECT f.doc_id, coalesce(sum(f.x * w.w), 0.0) AS m
-         |       FROM feat f LEFT JOIN w$iters w ON f.b = w.b GROUP BY f.doc_id)
-         |SELECT doc_id, round(1.0/(1.0 + exp(-m)), 4) AS clf_score
-         |FROM mf ORDER BY doc_id""".stripMargin
+         |       FROM feat f LEFT JOIN w$iters w ON f.b = w.b GROUP BY f.doc_id),
+         |scored AS (SELECT doc_id, round(1.0/(1.0 + exp(-m)), 4) AS clf_score
+         |           FROM mf)""".stripMargin
     (Seq(head) ++ steps ++ Seq(tail)).mkString(",\n")
   }
+
+  val clfQualityOracle: String =
+    s"""$clfChainSql
+       |SELECT doc_id, clf_score FROM scored ORDER BY doc_id""".stripMargin
 
   /** Curriculum ranking: every doc's global quality rank (1 = best)
     * and decile tier — the "order the corpus by quality and bin it"
@@ -2358,6 +2416,7 @@ object TextQueries {
     "tx_text_canon" -> ((textCanon _, Some(textCanonOracle))),
     "tx_corpus_stats" -> ((corpusStats _, Some(corpusStatsOracle))),
     "tx_curation7" -> ((curation7 _, Some(curation7Oracle))),
+    "tx_curation8" -> ((curation8 _, Some(curation8Oracle))),
     "tx_chunk_sliding" -> ((chunkSliding _, Some(chunkSlidingOracle))),
     "tx_pack_shards" -> ((packShards _, Some(packShardsOracle))),
     "tx_tokenizer_probe" -> ((tokenizerProbe _, Some(tokenizerProbeOracle))),

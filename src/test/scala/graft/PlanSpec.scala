@@ -46,7 +46,8 @@ class PlanSpec extends SparkSpec {
     Set("tx_bm25", "tx_bigram_logprob", "tx_curation6", "tx_dsir",
       "tx_rank_deciles",  // N = one-row corpus count for the bucket formula
       "tx_heavy_hitters", // one-row certification floor scalar
-      "tx_curation7")     // rank stage's one-row corpus count
+      "tx_curation7",     // rank stage's one-row corpus count
+      "tx_curation8")     // clf-floor scalar + rank stage's corpus count
 
   test("no headline query plans a cartesian product (baselines excepted)") {
     (SparkEntry.benchQueries.toSet ++ Set("ev_skew_join") -- exactBaselines)
