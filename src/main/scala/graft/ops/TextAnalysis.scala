@@ -482,38 +482,87 @@ object TextAnalysis {
   def logisticScore(docs: DataFrame, labelPred: Column,
       numBuckets: Int = 256, iterations: Int = 5, learningRate: Double = 2.0,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val (feat, w) = logisticCore(docs, labelPred, numBuckets, iterations,
+      learningRate, idCol, textCol)
+    logisticMargins(feat, w).select(col("doc_id"),
+      round(lit(1.0) / (lit(1.0) + exp(-col("_m"))), 4).as("clf_score"))
+  }
+
+  /** Train only — returns the weight map (hashed buckets plus the
+    * bucket −1 intercept), the artifact [[saveClfWeights]] persists
+    * and [[scoreWithClfModel]] / the streaming scorer consume. */
+  def trainLogistic(docs: DataFrame, labelPred: Column,
+      numBuckets: Int = 256, iterations: Int = 5, learningRate: Double = 2.0,
+      idCol: String = "doc_id", textCol: String = "text"): Map[Long, Double] =
+    logisticCore(docs, labelPred, numBuckets, iterations, learningRate,
+      idCol, textCol)._2
+
+  /** Score ANY docs frame under a FROZEN weight map — no labels, no
+    * training scans: one featurize pass, one broadcast join, one
+    * per-doc aggregation. This is the inference half of the
+    * train-once / score-forever lifecycle (the [[graft.ops.Ivf]]
+    * encode-with-frozen-model contract), and the body the streaming
+    * twin runs per micro-batch. */
+  def scoreWithClfModel(docs: DataFrame, weights: Map[Long, Double],
+      numBuckets: Int = 256, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val feat = clfFeatures(docs, numBuckets, idCol, textCol)
+    logisticMargins(feat, weights)
+      .select(col("doc_id"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("_m"))), 4).as("clf_score"))
+  }
+
+  /** Sparse hashed-TF features `(doc_id, [_y,] _b, _x)` with the
+    * always-on bucket −1 intercept row; `_y` rides only when a label
+    * predicate is given (training). */
+  private def clfFeatures(docs: DataFrame, numBuckets: Int, idCol: String,
+      textCol: String, labelPred: Option[Column] = None): DataFrame = {
     require(numBuckets > 0 && (numBuckets & (numBuckets - 1)) == 0,
       s"numBuckets must be a power of two, got $numBuckets")
+    val lbl = labelPred.map(p => Seq(p.cast("double").as("_y")))
+      .getOrElse(Nil)
+    val yCols = if (lbl.isEmpty) Nil else Seq(col("_y"))
+    val tk = docs.select(col(idCol).as("doc_id") +: lbl :+
+      tokens(coalesce(col(textCol), lit(""))).as("_tk"): _*)
+    tk.select(Seq(col("doc_id")) ++ yCols ++ Seq(
+        size(col("_tk")).cast("double").as("_n"), explode(col("_tk")).as("_t")): _*)
+      .select(Seq(col("doc_id")) ++ yCols ++ Seq(col("_n"),
+        pmod(md5Low64(col("_t")), lit(numBuckets.toLong)).as("_b")): _*)
+      .groupBy((Seq(col("doc_id")) ++ yCols ++ Seq(col("_n"), col("_b"))): _*)
+      .agg((count(lit(1)) / col("_n")).as("_x"))
+      .select(Seq(col("doc_id")) ++ yCols ++ Seq(col("_b"), col("_x")): _*)
+      .union(tk.select(Seq(col("doc_id")) ++ yCols ++ Seq(
+        lit(-1L).as("_b"), lit(1.0).as("_x")): _*))
+  }
+
+  /** Per-doc margins under broadcast weights; `feat` may carry `_y`
+    * (training) or not (inference). */
+  private def logisticMargins(feat: DataFrame,
+      w: Map[Long, Double]): DataFrame = {
+    val spark = feat.sparkSession
+    import spark.implicits._
+    val wDf = broadcast(w.toSeq.toDF("_b", "_w"))
+    val hasY = feat.columns.contains("_y")
+    val aggs = (if (hasY) Seq(min(col("_y")).as("_y")) else Nil) :+
+      sum(coalesce(col("_w"), lit(0.0)) * col("_x")).as("_m")
+    feat.join(wDf, Seq("_b"), "left")
+      .groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  private def logisticCore(docs: DataFrame, labelPred: Column,
+      numBuckets: Int, iterations: Int, learningRate: Double,
+      idCol: String, textCol: String): (DataFrame, Map[Long, Double]) = {
     require(iterations >= 1, s"need at least one GD step, got $iterations")
     val spark = docs.sparkSession
     import spark.implicits._
-    // one tokenize pass; n_tokens rides scan-side (no corpus shuffle)
-    val tk = docs.select(col(idCol).as("doc_id"),
-      labelPred.cast("double").as("_y"),
-      tokens(coalesce(col(textCol), lit(""))).as("_tk"))
+    // one tokenize pass persisted; n_tokens rides scan-side
     val feat = Dedup.persistTracked(
-      tk.select(col("doc_id"), col("_y"),
-          size(col("_tk")).cast("double").as("_n"), explode(col("_tk")).as("_t"))
-        .select(col("doc_id"), col("_y"), col("_n"),
-          pmod(md5Low64(col("_t")), lit(numBuckets.toLong)).as("_b"))
-        .groupBy("doc_id", "_y", "_n", "_b")
-        .agg((count(lit(1)) / col("_n")).as("_x"))
-        .select(col("doc_id"), col("_y"), col("_b"), col("_x"))
-        .union(tk.select(col("doc_id"), col("_y"),
-          lit(-1L).as("_b"), lit(1.0).as("_x"))))
+      clfFeatures(docs, numBuckets, idCol, textCol, Some(labelPred)))
     val eta = learningRate / docs.count()
-    // margins under the CURRENT weights; w crosses as a broadcast
-    // buckets-sized frame (never a per-row UDF closure)
-    def margins(w: Map[Long, Double]): DataFrame = {
-      val wDf = broadcast(w.toSeq.toDF("_b", "_w"))
-      feat.join(wDf, Seq("_b"), "left")
-        .groupBy("doc_id")
-        .agg(min(col("_y")).as("_y"),
-          sum(coalesce(col("_w"), lit(0.0)) * col("_x")).as("_m"))
-    }
     var w = Map.empty[Long, Double]
     for (_ <- 1 to iterations) {
-      val res = margins(w).select(col("doc_id"),
+      val res = logisticMargins(feat, w).select(col("doc_id"),
         (col("_y") - lit(1.0) / (lit(1.0) + exp(-col("_m")))).as("_r"))
       // partial-aggregated: each map task reduces to ≤ numBuckets+1 rows
       val grad = feat.join(res, Seq("doc_id"))
@@ -521,9 +570,23 @@ object TextAnalysis {
         .as[(Long, Double)].collect()
       w = w ++ grad.map { case (b, g) => b -> (w.getOrElse(b, 0.0) + eta * g) }
     }
-    margins(w).select(col("doc_id"),
-      round(lit(1.0) / (lit(1.0) + exp(-col("_m"))), 4).as("clf_score"))
+    (feat, w)
   }
+
+  /** Classifier weights → parquet `(b, w)`; parquet round-trips IEEE
+    * doubles exactly, so a loaded model scores BYTE-IDENTICALLY (the
+    * [[graft.ops.AnnModels]] contract, asserted in OpsSpec). */
+  def saveClfWeights(spark: org.apache.spark.sql.SparkSession,
+      weights: Map[Long, Double], path: String): Unit = {
+    import spark.implicits._
+    weights.toSeq.sortBy(_._1).toDF("b", "w").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def loadClfWeights(spark: org.apache.spark.sql.SparkSession,
+      path: String): Map[Long, Double] =
+    spark.read.parquet(path).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
 
   // --- Retrieval chunking ---------------------------------------------
   // The RAG-prep counterpart of sequence packing: split each document

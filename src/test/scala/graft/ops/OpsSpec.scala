@@ -1911,6 +1911,27 @@ class OpsSpec extends SparkSpec {
     assert(r.length == 2, "null-text doc must still emit a score row")
   }
 
+  test("clf model lifecycle: weights round-trip parquet; frozen-model scoring equals train-time scoring") {
+    val d = Seq(
+      (1L, "the cat is in the house and it is fine", "en"),
+      (2L, "der hund ist in dem haus und er ist gut", "de"),
+      (3L, "the dog is in the garden and it is good", "en"),
+      (4L, "die katze ist in dem garten und sie ist gut", "de"))
+      .toDF("doc_id", "text", "lang")
+    def scores(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Double]("clf_score")).toMap
+    val trained = scores(TextAnalysis.logisticScore(d, col("lang") === "en"))
+    val w = TextAnalysis.trainLogistic(d, col("lang") === "en")
+    assert(scores(TextAnalysis.scoreWithClfModel(d, w)) == trained,
+      "scoreWithClfModel under the trained weights must equal logisticScore")
+    val path = java.nio.file.Files.createTempDirectory("clfw").toString + "/w"
+    TextAnalysis.saveClfWeights(spark, w, path)
+    val w2 = TextAnalysis.loadClfWeights(spark, path)
+    assert(w2 == w, "parquet round-trip must be bit-identical")
+    assert(scores(TextAnalysis.scoreWithClfModel(d, w2)) == trained,
+      "a loaded model must score byte-identically")
+  }
+
   test("chunkSliding: overlap, ragged tail, short and empty docs") {
     val d = Seq(
       (1L, (1 to 11).map(i => s"t$i").mkString(" ")), // 11 tokens

@@ -600,6 +600,58 @@ class StreamingSpec extends SparkSpec {
     graft.ops.Dedup.releaseCaches()
   }
 
+  test("streaming clf scoring: frozen-model stream equals batch scores, replays don't duplicate") {
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    val in = tmpDir("clf-in")
+    val out = tmpDir("clf-out") + "/scores"
+    // train batch-side on a small labeled corpus; stream UNSEEN docs
+    val trainDocs = Seq(
+      (1L, "the cat is in the house and it is fine", "en"),
+      (2L, "der hund ist in dem haus und er ist gut", "de"),
+      (3L, "the dog is in the garden and it is good", "en"),
+      (4L, "die katze ist in dem garten und sie ist gut", "de"))
+      .toDF("doc_id", "text", "lang")
+    val w = graft.ops.TextAnalysis.trainLogistic(trainDocs, col("lang") === "en")
+    val streamDocs = Seq(
+      (10L, "the house and the garden is fine"),
+      (11L, "der haus und der garten ist gut"),
+      (12L, "the cat and the dog is good"),
+      (13L, "die katze und der hund ist gut"))
+    def jline(id: Long, t: String) = s"""{"doc_id":$id,"text":"$t"}"""
+    val fa = java.nio.file.Paths.get(s"$in/a.jsonl")
+    val fb = java.nio.file.Paths.get(s"$in/b.jsonl")
+    java.nio.file.Files.write(fa,
+      streamDocs.take(2).map((jline _).tupled).mkString("\n").getBytes)
+    java.nio.file.Files.write(fb,
+      streamDocs.drop(2).map((jline _).tupled).mkString("\n").getBytes)
+    fa.toFile.setLastModified(System.currentTimeMillis() - 60000)
+    val q = spark.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1).json(in)
+      .writeStream
+      .option("checkpointLocation", tmpDir("clf-ckpt"))
+      .foreachBatch(StreamingClf.scoringAppender(w, out))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    def rows(df: DataFrame) = df.select("doc_id", "clf_score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val streamed = rows(spark.read.parquet(out))
+    val batch = rows(graft.ops.TextAnalysis.scoreWithClfModel(
+      streamDocs.toDF("doc_id", "text"), w))
+    assert(streamed == batch,
+      s"frozen-model stream scores $streamed must equal batch $batch")
+    assert(streamed.size == 4)
+    // en-like stream docs must out-score de-like under the trained model
+    val s = streamed.toMap
+    assert(s(10L) > s(11L) && s(12L) > s(13L), s"separation on unseen docs: $s")
+    // replay: re-running a batch overwrites its own partition — no dupes
+    StreamingClf.scoringAppender(w, out)(
+      streamDocs.drop(2).toDF("doc_id", "text"), 1L)
+    assert(rows(spark.read.parquet(out)) == streamed,
+      "a replayed micro-batch must not duplicate or change score rows")
+    graft.ops.Dedup.releaseCaches()
+  }
+
   test("watermarked windowed level counts over the stream") {
     val in = tmpDir("stream-win")
     java.nio.file.Files.copy(
