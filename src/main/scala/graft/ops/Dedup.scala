@@ -151,12 +151,21 @@ object Dedup {
     * three shuffles of the exploded frame total (key count, key join,
     * doc reassembly), none partitioned by a single hot value. */
   def lineDedup(docs: DataFrame, maxOccurrences: Long = 1,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      sep: String = "\n"): DataFrame = {
     require(maxOccurrences >= 1, "maxOccurrences must be >= 1")
-    val lines = persistTracked(explodeLines(docs, idCol, textCol))
+    val lines = persistTracked(explodeLines(docs, idCol, textCol, sep))
     val counts = lines.groupBy("k").agg(count(lit(1)).as("occ"))
-    reassembleAgainstCounts(lines, counts, maxOccurrences, idCol)
+    reassembleAgainstCounts(lines, counts, maxOccurrences, idCol, sep)
   }
+
+  /** [[lineDedup]] at PARAGRAPH granularity (RefinedWeb's other
+    * boilerplate unit): split on blank lines instead of newlines —
+    * nothing else changes, which is the point of the shared
+    * separator-generalized core. */
+  def paragraphDedup(docs: DataFrame, maxOccurrences: Long = 1,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    lineDedup(docs, maxOccurrences, idCol, textCol, sep = "\n\n")
 
   /** The exploded narrow `(idCol, pos, line, k)` frame batch and
     * streaming line dedup share (`k` = the normalized occurrence key).
@@ -166,9 +175,10 @@ object Dedup {
     * vanish from the output — the silent row loss the contract
     * forbids. */
   private[graft] def explodeLines(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame =
+      textCol: String, sep: String = "\n"): DataFrame =
     docs.select(col(idCol),
-        posexplode(split(coalesce(col(textCol), lit("")), "\n"))
+        posexplode(split(coalesce(col(textCol), lit("")),
+          java.util.regex.Pattern.quote(sep)))
           .as(Seq("pos", "line")))
       .withColumn("k", lower(trim(col("line"))))
 
@@ -177,7 +187,8 @@ object Dedup {
     * the shared tail of [[lineDedup]] and the streaming twin, so the
     * keep rule and output schema cannot fork. */
   private[graft] def reassembleAgainstCounts(lines: DataFrame,
-      counts: DataFrame, maxOccurrences: Long, idCol: String): DataFrame = {
+      counts: DataFrame, maxOccurrences: Long, idCol: String,
+      sep: String = "\n"): DataFrame = {
     val keptKeys = counts.filter(col("occ") <= maxOccurrences)
       .select(col("k"), lit(1).as("_keep"))
     lines.join(keptKeys, Seq("k"), "left")
@@ -188,7 +199,7 @@ object Dedup {
         array_join(transform(
           array_sort(collect_list(when(col("_keep").isNotNull,
             struct(col("pos"), col("line"))))),
-          s => s.getField("line")), "\n").as("clean_text"),
+          s => s.getField("line")), sep).as("clean_text"),
         count(col("_keep")).as("n_kept"),
         count(lit(1)).as("n_lines"))
       .select(col(idCol), col("clean_text"), col("n_kept"),

@@ -2000,6 +2000,55 @@ object TextQueries {
       |  CAST(n.n_lines - coalesce(agg.n_kept, 0) AS BIGINT) AS n_dropped
       |FROM n LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** Paragraph-level dedup — [[graft.ops.Dedup.paragraphDedup]], the
+    * separator-generalized lineDedup at RefinedWeb's other boilerplate
+    * unit. The corpus is single-line, so the query PLANTS paragraphs
+    * on both sides: a hot boilerplate paragraph on every `%4==1` doc
+    * (must drop from all of them) and an intra-document repeated
+    * unique paragraph on `%9==5` docs (repeats inside one doc count
+    * too); each doc's own word-salad body stays. */
+  private val paraPlantSql =
+    """text || CASE WHEN doc_id % 4 = 1
+      |  THEN chr(10) || chr(10) || 'Subscribe to our newsletter today'
+      |  ELSE '' END
+      |  || CASE WHEN doc_id % 9 = 5
+      |  THEN repeat(chr(10) || chr(10) || 'twice para ' || doc_id, 2)
+      |  ELSE '' END""".stripMargin.replace("\n", " ")
+
+  private def paraPlanted(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 4 === 1,
+          lit("\n\nSubscribe to our newsletter today")).otherwise(lit("")),
+        when(col("doc_id") % 9 === 5,
+          concat(lit("\n\ntwice para "), col("doc_id"),
+            lit("\n\ntwice para "), col("doc_id"))).otherwise(lit("")))
+        .as("text"))
+
+  def paraDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.paragraphDedup(paraPlanted(spark, dir))
+      .transform(QueryUtil.ordered("doc_id"))
+
+  val paraDedupOracle: String =
+    s"""WITH planted AS (SELECT doc_id, $paraPlantSql AS text FROM documents),
+      |l AS (SELECT doc_id,
+      |        unnest(string_split(text, chr(10) || chr(10))) AS line,
+      |        unnest(range(1, len(string_split(text, chr(10) || chr(10))) + 1)) AS pos
+      |      FROM planted),
+      |k AS (SELECT doc_id, pos, line, lower(trim(line)) AS key FROM l),
+      |occ AS (SELECT key, count(*) AS c FROM k GROUP BY 1),
+      |kept AS (SELECT k.doc_id, k.pos, k.line
+      |         FROM k JOIN occ USING (key) WHERE occ.c <= 1),
+      |agg AS (SELECT doc_id,
+      |          string_agg(line, chr(10) || chr(10) ORDER BY pos) AS clean_text,
+      |          count(*) AS n_kept FROM kept GROUP BY 1),
+      |n AS (SELECT doc_id,
+      |        len(string_split(text, chr(10) || chr(10))) AS n_lines FROM planted)
+      |SELECT n.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+      |  CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
+      |  CAST(n.n_lines - coalesce(agg.n_kept, 0) AS BIGINT) AS n_dropped
+      |FROM n LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
+
   // --- Exact substring dedup (ExactSubstr, Lee et al. 2022) ------------
   // The corpus is word-salad with no repeated spans, so the query
   // PLANTS them identically on both sides: a cross-document repeated
@@ -2421,6 +2470,7 @@ object TextQueries {
     "tx_pack_shards" -> ((packShards _, Some(packShardsOracle))),
     "tx_tokenizer_probe" -> ((tokenizerProbe _, Some(tokenizerProbeOracle))),
     "tx_line_dedup" -> ((lineDedup _, Some(lineDedupOracle))),
+    "tx_para_dedup" -> ((paraDedup _, Some(paraDedupOracle))),
     "tx_substr_dedup" -> ((substrDedup _, Some(substrDedupOracle))),
     "tx_encoding_gate" -> ((encodingGate _, Some(encodingGateOracle))),
     "tx_html_extract" -> ((htmlExtract _, Some(htmlExtractOracle))),

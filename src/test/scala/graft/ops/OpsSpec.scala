@@ -1772,6 +1772,27 @@ class OpsSpec extends SparkSpec {
       5L -> "removed", 6L -> "added"))
   }
 
+  test("paragraphDedup: blank-line units; hot and intra-doc repeated paragraphs drop") {
+    val boiler = "Subscribe now"
+    val d = Seq(
+      (1L, s"unique one\n\n$boiler"),
+      (2L, s"unique two\n\n$boiler\n\nunique three"),
+      (3L, "solo para"),
+      (4L, "twice\n\ntwice"),            // intra-doc repeat drops both
+      (5L, "keep a\nkeep b"))            // single \n is NOT a separator here
+      .toDF("doc_id", "text")
+    val r = Dedup.paragraphDedup(d).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[String]("clean_text"), x.getAs[Long]("n_dropped")))).toMap
+    assert(r(1L) == (("unique one", 1L)))
+    assert(r(2L) == (("unique two\n\nunique three", 1L)))
+    assert(r(3L) == (("solo para", 0L)))
+    assert(r(4L) == (("", 2L)), "intra-doc repeated paragraph drops every copy")
+    assert(r(5L) == (("keep a\nkeep b", 0L)),
+      "a single newline must not split paragraphs")
+    Dedup.releaseCaches()
+  }
+
   test("incrementalApply: equals full recompute; transform provably never sees a clean doc") {
     val v1 = Seq((1L, "one"), (2L, "two"), (3L, "three"), (4L, "four"))
       .toDF("doc_id", "text")
