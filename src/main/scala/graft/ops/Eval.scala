@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model evaluation over scored corpora — the missing half of training
+  * a filter in-engine ([[TextAnalysis.trainLogistic]]): measure how
+  * well the score actually ranks the positive class before gating a
+  * corpus on it.
+  */
+object Eval {
+
+  /** Tie-corrected ROC AUC (the Mann-Whitney U statistic with average
+    * ranks for tied scores) of `scoreCol` against a boolean label.
+    * Emits one row `(n_pos, n_neg, auc)`; `auc` is NULL when either
+    * class is empty (undefined, not 0).
+    *
+    * Scale shape: the corpus reduces MAP-SIDE to one row per DISTINCT
+    * score (partial-aggregated groupBy); the rank window runs over
+    * that per-score frame, whose size is bounded by the score GRAIN —
+    * a 4-decimal score has ≤ 10,001 distinct values — never by the
+    * corpus (the bounded-window class of the packing `_pid` offsets
+    * frame, not the lineDedup hot-key class). All rank arithmetic
+    * stays in integers (2·avgrank = 2·cum − n + 1) until the final
+    * division, so the engine and the DuckDB oracle agree exactly —
+    * no float-order noise to round away. */
+  def aucBinary(scored: DataFrame, labelPred: Column,
+      scoreCol: String = "clf_score"): DataFrame = {
+    val perScore = scored
+      .select(col(scoreCol).as("_s"), labelPred.cast("long").as("_y"))
+      .groupBy("_s")
+      .agg(count(lit(1)).as("_n"), sum(col("_y")).as("_np"))
+    val ranked = perScore.withColumn("_cum",
+      sum(col("_n")).over(Window.orderBy("_s")))
+    ranked.agg(
+        sum(col("_np") * (lit(2) * col("_cum") - col("_n") + 1)).as("_s2"),
+        sum(col("_np")).as("_n1"),
+        sum(col("_n")).as("_nn"))
+      .select(col("_n1").as("n_pos"), (col("_nn") - col("_n1")).as("n_neg"),
+        round(when(col("_n1") > 0 && col("_nn") > col("_n1"),
+          (col("_s2").cast("double") / 2.0 -
+            col("_n1").cast("double") * (col("_n1") + 1).cast("double") / 2.0) /
+            (col("_n1") * (col("_nn") - col("_n1"))).cast("double")), 6)
+          .as("auc"))
+  }
+}

@@ -1295,6 +1295,36 @@ object TextQueries {
     s"""$clfChainSql
        |SELECT doc_id, clf_score FROM scored ORDER BY doc_id""".stripMargin
 
+  /** ROC AUC of the trained classifier against its own label — the
+    * evaluation every trained filter needs before it gates a corpus:
+    * does the score actually RANK English above non-English? Engine:
+    * [[graft.ops.Eval.aucBinary]] (tie-corrected Mann-Whitney over a
+    * per-distinct-score frame, integer rank arithmetic → exact
+    * cross-engine agreement); oracle: the full training-run CTE chain
+    * plus the same windowed rank replay. */
+  def clfAuc(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val scored = TextAnalysis.logisticScore(d, col("lang") === "en",
+      numBuckets = ClfBuckets, iterations = ClfIters, learningRate = ClfLr)
+    graft.ops.Eval.aucBinary(
+      scored.join(d.select(col("doc_id"), col("lang")), Seq("doc_id")),
+      col("lang") === "en")
+  }
+
+  lazy val clfAucOracle: String =
+    s"""$clfChainSql,
+       |lab AS (SELECT s.clf_score, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+       |        FROM scored s JOIN documents d USING (doc_id)),
+       |ps AS (SELECT clf_score AS s, count(*) AS n, sum(y) AS np
+       |       FROM lab GROUP BY 1),
+       |rk AS (SELECT s, n, np, sum(n) OVER (ORDER BY s) AS cum FROM ps),
+       |agg AS (SELECT sum(np * (2 * cum - n + 1)) AS s2, sum(np) AS n1,
+       |          sum(n) AS nn FROM rk)
+       |SELECT CAST(n1 AS BIGINT) AS n_pos, CAST(nn - n1 AS BIGINT) AS n_neg,
+       |  round(CASE WHEN n1 > 0 AND nn > n1
+       |    THEN (s2 / 2.0 - n1 * (n1 + 1) / 2.0) / (n1 * (nn - n1)) END, 6) AS auc
+       |FROM agg""".stripMargin
+
   /** Curriculum ranking: every doc's global quality rank (1 = best)
     * and decile tier — the "order the corpus by quality and bin it"
     * step of curriculum-style data scheduling. Distributed rank via
@@ -2458,6 +2488,7 @@ object TextQueries {
     "tx_domain_cap" -> ((domainCap _, Some(domainCapOracle))),
     "tx_dsir" -> ((dsir _, Some(dsirOracle))),
     "tx_clf_quality" -> ((clfQuality _, Some(clfQualityOracle))),
+    "tx_clf_auc" -> ((clfAuc _, Some(clfAucOracle))),
     "tx_rank_deciles" -> ((rankDeciles _, Some(rankDecilesOracle))),
     "tx_corpus_diff" -> ((corpusDiff _, Some(corpusDiffOracle))),
     "tx_incremental" -> ((incremental _, Some(incrementalOracle))),

@@ -1932,6 +1932,23 @@ class OpsSpec extends SparkSpec {
     assert(r.length == 2, "null-text doc must still emit a score row")
   }
 
+  test("aucBinary: perfect separation, known mixed case, ties, empty class") {
+    def auc(rows: Seq[(Double, String)]): Option[Double] = {
+      val r = Eval.aucBinary(rows.toDF("clf_score", "lang"),
+        col("lang") === "en").head()
+      Option(r.get(r.fieldIndex("auc"))).map(_.asInstanceOf[Double])
+    }
+    assert(auc(Seq((0.9, "en"), (0.8, "en"), (0.2, "de"), (0.1, "de")))
+      .contains(1.0))
+    // hand-counted pairs: (.8>.6)+(.8>.2)+(.4<.6=0)+(.4>.2) = 3 of 4
+    assert(auc(Seq((0.8, "en"), (0.4, "en"), (0.6, "de"), (0.2, "de")))
+      .contains(0.75))
+    assert(auc(Seq((0.5, "en"), (0.5, "de"))).contains(0.5),
+      "all-tied scores must give 0.5 via average ranks, not 0 or 1")
+    assert(auc(Seq((0.5, "en"), (0.6, "en"))).isEmpty,
+      "an empty negative class has no defined AUC — NULL, not a number")
+  }
+
   test("clf model lifecycle: weights round-trip parquet; frozen-model scoring equals train-time scoring") {
     val d = Seq(
       (1L, "the cat is in the house and it is fine", "en"),
