@@ -44,4 +44,56 @@ object Eval {
             (col("_n1") * (col("_nn") - col("_n1"))).cast("double")), 6)
           .as("auc"))
   }
+
+  /** Precision/recall/F1 at every distinct-score threshold ("keep
+    * score ≥ t") — the threshold-picking table for a trained gate
+    * (curation8's floor is one row of this). Same bounded shape as
+    * [[aucBinary]]: per-distinct-score partial agg, then descending
+    * cumulative sums over the score-grain-bounded frame; counts stay
+    * integers until the final divisions, so engine ≡ oracle exactly.
+    * F1 is NULL at thresholds keeping no true positive. */
+  def prCurve(scored: DataFrame, labelPred: Column,
+      scoreCol: String = "clf_score"): DataFrame = {
+    val perScore = scored
+      .select(col(scoreCol).as("threshold"), labelPred.cast("long").as("_y"))
+      .groupBy("threshold")
+      .agg(count(lit(1)).as("_n"), sum(col("_y")).as("_np"))
+    val wDesc = Window.orderBy(col("threshold").desc)
+    val wAll = Window.partitionBy()
+    perScore
+      .withColumn("n_kept", sum(col("_n")).over(wDesc))
+      .withColumn("tp", sum(col("_np")).over(wDesc))
+      .withColumn("_n1", sum(col("_np")).over(wAll))
+      .select(col("threshold"), col("n_kept"), col("tp"),
+        // "prec"/"rec": PRECISION is a reserved type keyword in the
+        // oracle's SQL dialect
+        (col("tp").cast("double") / col("n_kept")).as("prec"),
+        when(col("_n1") > 0, col("tp").cast("double") / col("_n1"))
+          .as("rec"))
+      .withColumn("f1",
+        when(col("tp") > 0,
+          lit(2.0) * col("prec") * col("rec") /
+            (col("prec") + col("rec"))))
+  }
+
+  /** Reliability (calibration) bins: does a predicted 0.7 come true
+    * ~70% of the time? `bins` equal-width score bins; emits per-bin
+    * count, mean predicted score, and observed positive fraction.
+    * The mean rides as an integer sum of ten-thousandths (scores are
+    * 4-decimal), so no float-summation-order noise can split engine
+    * and oracle. One partial-aggregated groupBy on ≤ `bins` keys. */
+  def calibrationBins(scored: DataFrame, labelPred: Column,
+      scoreCol: String = "clf_score", bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"need at least 2 bins, got $bins")
+    val s = col(scoreCol)
+    scored.select(
+        least(floor(s * bins), lit(bins - 1)).cast("long").as("bin"),
+        round(s * 10000).cast("long").as("_s4"),
+        labelPred.cast("long").as("_y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        (sum(col("_s4")).cast("double") / (count(lit(1)) * 10000))
+          .as("mean_score"),
+        (sum(col("_y")).cast("double") / count(lit(1))).as("frac_pos"))
+  }
 }

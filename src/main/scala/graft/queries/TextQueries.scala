@@ -1325,6 +1325,61 @@ object TextQueries {
        |    THEN (s2 / 2.0 - n1 * (n1 + 1) / 2.0) / (n1 * (nn - n1)) END, 6) AS auc
        |FROM agg""".stripMargin
 
+  /** Precision/recall/F1 at every distinct-score threshold of the
+    * trained classifier — the threshold-picking table behind a gate
+    * like curation8's floor. See [[graft.ops.Eval.prCurve]]. */
+  def clfPr(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val scored = TextAnalysis.logisticScore(d, col("lang") === "en",
+      numBuckets = ClfBuckets, iterations = ClfIters, learningRate = ClfLr)
+    graft.ops.Eval.prCurve(
+        scored.join(d.select(col("doc_id"), col("lang")), Seq("doc_id")),
+        col("lang") === "en")
+      .transform(QueryUtil.ordered("threshold"))
+  }
+
+  lazy val clfPrOracle: String =
+    s"""$clfChainSql,
+       |lab AS (SELECT s.clf_score, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+       |        FROM scored s JOIN documents d USING (doc_id)),
+       |ps AS (SELECT clf_score AS threshold, count(*) AS n, sum(y) AS np
+       |       FROM lab GROUP BY 1),
+       |c AS (SELECT threshold,
+       |        sum(n) OVER (ORDER BY threshold DESC) AS n_kept,
+       |        sum(np) OVER (ORDER BY threshold DESC) AS tp,
+       |        sum(np) OVER () AS n1 FROM ps)
+       |SELECT threshold, CAST(n_kept AS BIGINT) AS n_kept,
+       |  CAST(tp AS BIGINT) AS tp,
+       |  tp * 1.0 / n_kept AS prec,
+       |  CASE WHEN n1 > 0 THEN tp * 1.0 / n1 END AS rec,
+       |  CASE WHEN tp > 0 THEN 2.0 * (tp * 1.0 / n_kept) * (tp * 1.0 / n1)
+       |    / ((tp * 1.0 / n_kept) + (tp * 1.0 / n1)) END AS f1
+       |FROM c ORDER BY threshold""".stripMargin
+
+  /** Reliability bins of the trained classifier: per decile-of-score
+    * bin, count, mean predicted score, observed positive fraction.
+    * See [[graft.ops.Eval.calibrationBins]]. */
+  def clfCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val scored = TextAnalysis.logisticScore(d, col("lang") === "en",
+      numBuckets = ClfBuckets, iterations = ClfIters, learningRate = ClfLr)
+    graft.ops.Eval.calibrationBins(
+        scored.join(d.select(col("doc_id"), col("lang")), Seq("doc_id")),
+        col("lang") === "en")
+      .transform(QueryUtil.ordered("bin"))
+  }
+
+  lazy val clfCalibrationOracle: String =
+    s"""$clfChainSql,
+       |lab AS (SELECT s.clf_score, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+       |        FROM scored s JOIN documents d USING (doc_id)),
+       |b AS (SELECT CAST(least(floor(clf_score * 10), 9) AS BIGINT) AS bin,
+       |        CAST(round(clf_score * 10000, 0) AS BIGINT) AS s4, y FROM lab)
+       |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       |  sum(s4) * 1.0 / (count(*) * 10000) AS mean_score,
+       |  sum(y) * 1.0 / count(*) AS frac_pos
+       |FROM b GROUP BY 1 ORDER BY bin""".stripMargin
+
   /** Curriculum ranking: every doc's global quality rank (1 = best)
     * and decile tier — the "order the corpus by quality and bin it"
     * step of curriculum-style data scheduling. Distributed rank via
@@ -2489,6 +2544,8 @@ object TextQueries {
     "tx_dsir" -> ((dsir _, Some(dsirOracle))),
     "tx_clf_quality" -> ((clfQuality _, Some(clfQualityOracle))),
     "tx_clf_auc" -> ((clfAuc _, Some(clfAucOracle))),
+    "tx_clf_pr" -> ((clfPr _, Some(clfPrOracle))),
+    "tx_clf_calibration" -> ((clfCalibration _, Some(clfCalibrationOracle))),
     "tx_rank_deciles" -> ((rankDeciles _, Some(rankDecilesOracle))),
     "tx_corpus_diff" -> ((corpusDiff _, Some(corpusDiffOracle))),
     "tx_incremental" -> ((incremental _, Some(incrementalOracle))),

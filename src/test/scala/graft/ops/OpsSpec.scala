@@ -1949,6 +1949,29 @@ class OpsSpec extends SparkSpec {
       "an empty negative class has no defined AUC — NULL, not a number")
   }
 
+  test("prCurve: hand-counted thresholds; calibrationBins: edges and boundary score") {
+    val d = Seq((0.8, "en"), (0.4, "en"), (0.6, "de"), (0.2, "de"))
+      .toDF("clf_score", "lang")
+    val pr = Eval.prCurve(d, col("lang") === "en").collect()
+      .map(r => r.getAs[Double]("threshold") ->
+        ((r.getAs[Long]("n_kept"), r.getAs[Long]("tp"),
+          r.getAs[Double]("prec"), r.getAs[Double]("rec")))).toMap
+    assert(pr(0.8) == ((1L, 1L, 1.0, 0.5)))
+    assert(pr(0.6) == ((2L, 1L, 0.5, 0.5)))
+    assert(pr(0.4) == ((3L, 2L, 2.0 / 3.0, 1.0)))
+    assert(pr(0.2) == ((4L, 2L, 0.5, 1.0)))
+    val cal = Eval.calibrationBins(
+      Seq((0.05, "de"), (0.95, "en"), (0.95, "de"), (1.0, "en"))
+        .toDF("clf_score", "lang"), col("lang") === "en").collect()
+      .map(r => r.getAs[Long]("bin") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("mean_score"),
+          r.getAs[Double]("frac_pos")))).toMap
+    assert(cal(0L) == ((1L, 0.05, 0.0)))
+    // a score of exactly 1.0 clamps into the top bin, not bin 10
+    assert(cal(9L) == ((3L, (0.95 + 0.95 + 1.0) / 3.0, 2.0 / 3.0)))
+    assert(cal.size == 2)
+  }
+
   test("clf model lifecycle: weights round-trip parquet; frozen-model scoring equals train-time scoring") {
     val d = Seq(
       (1L, "the cat is in the house and it is fine", "en"),
