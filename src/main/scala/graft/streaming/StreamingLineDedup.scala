@@ -50,13 +50,13 @@ object StreamingLineDedup {
     * schema as the batch operator and must upsert by `idCol`. */
   def foreachBatchLineDeduper(maxOccurrences: Long, stateDir: String,
       sink: DataFrame => Unit, idCol: String = "doc_id",
-      textCol: String = "text"): (DataFrame, Long) => Unit = {
+      textCol: String = "text", sep: String = "\n"): (DataFrame, Long) => Unit = {
     (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       require(maxOccurrences >= 1, "maxOccurrences must be >= 1")
       // 1. this batch's exploded lines land in the batch's own
       //    partition FIRST (replay rewrites the same files)
-      val batchExploded = Dedup.explodeLines(batch, idCol, textCol)
+      val batchExploded = Dedup.explodeLines(batch, idCol, textCol, sep)
       StreamingState.writePartition(batchExploded, linesDir(stateDir), batchId)
       // 2. cumulative counts over batches <= this one (replay blinding
       //    + schema-supplied empty-batch safety live in StreamingState)
@@ -84,7 +84,7 @@ object StreamingLineDedup {
       val out = Dedup.reassembleAgainstCounts(
         allLines.join(affected, Seq(idCol), "left_semi")
           .select(idCol, "pos", "line", "k"),
-        counts, maxOccurrences, idCol)
+        counts, maxOccurrences, idCol, sep)
       sink(out)
       Dedup.releaseCaches()
   }

@@ -201,6 +201,36 @@ class StreamingSpec extends SparkSpec {
     graft.ops.Dedup.releaseCaches()
   }
 
+  test("streaming paragraph dedup: the separator-generalized twin equals batch paragraphDedup") {
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    val state = tmpDir("pd-state")
+    // the boilerplate paragraph goes hot only when batch 1 arrives:
+    // doc 0 must be retro-corrected through the SAME upsert contract,
+    // proving the sep parameter reaches both explode and reassembly
+    val b0 = Seq((0L, "keep alpha\n\nSubscribe now"), (1L, "solo one"))
+      .toDF("doc_id", "text")
+    val b1 = Seq((10L, "Subscribe now\n\nkeep beta")).toDF("doc_id", "text")
+    val upserts = scala.collection.mutable.Map[Long, (String, Long, Long)]()
+    val sink: DataFrame => Unit = { out =>
+      out.collect().foreach(r => upserts(r.getAs[Long]("doc_id")) =
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_kept"),
+          r.getAs[Long]("n_dropped"))))
+      ()
+    }
+    val body = StreamingLineDedup.foreachBatchLineDeduper(
+      maxOccurrences = 1, stateDir = state, sink = sink, sep = "\n\n")
+    body(b0, 0L)
+    body(b1, 1L)
+    val exp = graft.ops.Dedup.paragraphDedup(b0.unionByName(b1)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[String]("clean_text"),
+        r.getAs[Long]("n_kept"), r.getAs[Long]("n_dropped")))).toMap
+    graft.ops.Dedup.releaseCaches()
+    assert(upserts.toMap == exp,
+      s"stream=${upserts.toMap} batch=$exp")
+    assert(upserts(0L)._1 == "keep alpha", "doc 0 retro-corrected at para grain")
+  }
+
   test("streaming substring dedup: upserted sink equals batch op, spans go hot retroactively") {
     import org.apache.spark.sql.DataFrame
     import spark.implicits._
