@@ -1793,6 +1793,55 @@ class OpsSpec extends SparkSpec {
     Dedup.releaseCaches()
   }
 
+  test("curation pipeline: config-built chain equals hand-built; registry contract holds") {
+    val docs = Seq(
+      (1L, "<html><body>Hello <b>world</b> of text</body></html>", "en"),
+      (2L, "damaged � text here", "en"),          // encoding gate drops
+      (3L, "subscribe now\nunique three keeps", "en"), // boilerplate line
+      (4L, "subscribe now\nunique four keeps", "en"),
+      (5L, "twin text body", "en"),                    // exact pair: keep 5
+      (6L, "twin text body", "de"))
+      .toDF("doc_id", "text", "lang")
+    val cfg = """stages:
+                |  # crawl front half, then keeper
+                |  - html_extract
+                |  - encoding_gate max_bad_ratio=0.01
+                |  - line_dedup max_occurrences=1
+                |  - Exact_Keeper
+                |""".stripMargin
+    val got = CurationPipeline.fromConfig(docs, cfg).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("text"), r.getAs[String]("lang")))).toMap
+    val hand = {
+      val a = docs.withColumn("text", when(col("text").contains("<html"),
+        TextAnalysis.htmlToText(col("text"))).otherwise(col("text")))
+      val (_, _, _, keep) = TextAnalysis.encodingQuality(col("text"), 0.01)
+      val b = a.filter(keep)
+      val c = b.drop("text").join(Dedup.lineDedup(b)
+        .select(col("doc_id"), col("clean_text").as("text")), Seq("doc_id"))
+      val ids = c.select(TextAnalysis.md5Fingerprint(col("text")).as("f"),
+          col("doc_id")).groupBy("f").agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      c.join(ids, Seq("doc_id"), "left_semi")
+    }.collect().map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[String]("text"), r.getAs[String]("lang")))).toMap
+    Dedup.releaseCaches()
+    assert(got == hand, s"config=$got hand=$hand")
+    assert(!got.contains(2L), "mojibake doc must be gated")
+    assert(!got.contains(6L), "exact twin keeps the min doc_id")
+    assert(got(3L)._1 == "unique three keeps", "boilerplate line dropped")
+    assert(got(1L)._2 == "en", "passthrough columns must survive the chain")
+    // registry contract: unknown stage is a hard error NAMING the registry
+    val err = intercept[IllegalArgumentException] {
+      CurationPipeline.apply(docs, Seq("no_such_stage" -> Map.empty))
+    }
+    assert(err.getMessage.contains("no_such_stage") &&
+      err.getMessage.contains("line_dedup"), err.getMessage)
+    // parser errors are loud, not silent no-ops
+    assert(CurationPipeline.parseStages("not a config").isLeft)
+    assert(CurationPipeline.parseStages("stages:\n  oops").isLeft)
+  }
+
   test("incrementalApply: equals full recompute; transform provably never sees a clean doc") {
     val v1 = Seq((1L, "one"), (2L, "two"), (3L, "three"), (4L, "four"))
       .toDF("doc_id", "text")
