@@ -150,17 +150,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       import org.apache.spark.sql.catalyst.expressions.{ArrayTransform, LambdaFunction, Lower, RegExpExtract, RegExpExtractAll, RegExpReplace, UnresolvedNamedLambdaVariable}
       import graft.ops.TextAnalysis
       def s(v: String) = Literal.create(v)
-      e.injectFunction((
-        FunctionIdentifier("scrub_pii"),
-        new ExpressionInfo(classOf[RegExpReplace].getName, "scrub_pii"),
-        (args: Seq[Expression]) => {
-          arity("scrub_pii", args, 1, 1)
-          RegExpReplace(
-            RegExpReplace(
-              RegExpReplace(args.head, s(TextAnalysis.EmailRe), s("<EMAIL>")),
-              s(TextAnalysis.Ipv4Re), s("<IP>")),
-            s(TextAnalysis.PhoneRe), s("<PHONE>"))
-        }))
+      // catalyst builders (a DSL Column cannot cross injectFunction —
+      // see CurationSqlExprs scaladoc); QueriesSpec's mirror test pins
+      // SQL ≡ Column on a branch-covering probe set so the surfaces
+      // cannot fork silently
+      import graft.etl.expressions.CurationSqlExprs
+      def inject1(name: String, b: Expression => Expression): Unit =
+        e.injectFunction((
+          FunctionIdentifier(name),
+          new ExpressionInfo(classOf[RegExpReplace].getName, name),
+          (args: Seq[Expression]) => {
+            arity(name, args, 1, 1)
+            b(args.head)
+          }))
+      inject1("scrub_pii", CurationSqlExprs.scrubPii)
+      inject1("luhn_valid", CurationSqlExprs.luhnValid)
+      inject1("canonical_text", CurationSqlExprs.canonicalText)
+      inject1("quality_score", CurationSqlExprs.qualityScore)
       e.injectFunction((
         FunctionIdentifier("url_hosts"),
         new ExpressionInfo(classOf[RegExpExtractAll].getName, "url_hosts"),

@@ -71,6 +71,46 @@ class QueriesSpec extends SparkSpec {
           |  registrable_domain('news.bbc.co.uk') AS rduk
           |""".stripMargin).head()
       assert(c.getAs[String]("sc") == "mail <EMAIL> from <IP>")
+      // the SQL surface delegates through the SAME Column ops (Bridge):
+      // the card stage, checksum gate and all — a hand-maintained
+      // regexp copy here would have silently missed it
+      val lc = s2.sql(
+        """SELECT scrub_pii('pay 4111-1111-1111-1111 or 4111-1111-1111-1112') AS sc,
+          |  luhn_valid('4111111111111111') AS lv,
+          |  luhn_valid('4111111111111112') AS li,
+          |  canonical_text('  A  B ') AS ct,
+          |  quality_score('the quick brown fox') AS qs
+          |""".stripMargin).head()
+      assert(lc.getAs[String]("sc") == "pay <CC> or 4111-1111-1111-1112",
+        "valid card scrubbed, checksum-failing twin kept — via SQL")
+      assert(lc.getAs[Boolean]("lv") && !lc.getAs[Boolean]("li"))
+      assert(lc.getAs[String]("ct") == "a b")
+      assert(lc.getAs[Double]("qs") > 0.0 && lc.getAs[Double]("qs") <= 1.0)
+      // MIRROR: SQL function ≡ Column op on a branch-covering probe set
+      // (the anti-fork guard — CurationSqlExprs restates the plumbing
+      // at catalyst level, so equality must be proven, not assumed)
+      locally {
+        import graft.ops.TextAnalysis
+        import org.apache.spark.sql.functions.col
+        import s2.implicits._
+        val probes = Seq(
+          "mail a@b.co 10.0.0.1 call 415-555-2671 pay 4111 1111 1111 1111",
+          "ref 4111-1111-1111-1112 amex 371449635398431",
+          "id 12345678901234567890 short 123456789012",
+          "  Mixed\tCASE  ctrl  runs  ",
+          "the quick the fox of it is a and in")
+        val df = probes.toDF("t")
+        df.createOrReplaceTempView("probes")
+        val viaSql = s2.sql(
+          """SELECT scrub_pii(t) AS sc, canonical_text(t) AS ct,
+            |  quality_score(t) AS qs FROM probes""".stripMargin).collect()
+        val viaCol = df.select(TextAnalysis.scrubPii(col("t")).as("sc"),
+          TextAnalysis.canonicalText(col("t")).as("ct"),
+          TextAnalysis.qualityScore(col("t")).as("qs")).collect()
+        viaSql.zip(viaCol).foreach { case (a, b) =>
+          assert(a == b, s"SQL/Column fork: $a vs $b")
+        }
+      }
       assert(c.getSeq[String](c.fieldIndex("uh")) ==
         Seq("a.example.com", "b.org"))
       assert(c.getAs[String]("rd") == "example.org")
