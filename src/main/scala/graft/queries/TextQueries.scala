@@ -2360,6 +2360,37 @@ object TextQueries {
       |  CAST(sum(n) AS BIGINT) AS n_tokens
       |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Release-shard manifest ([[graft.ops.Release.manifest]]): per
+    * token-budgeted shard, doc count, token total, and the
+    * order-independent bit-XOR content checksum of per-doc md5-low64
+    * fingerprints. The oracle replays the single-threaded prefix-sum
+    * shard assignment (the tx_pack_shards contract) plus the same
+    * rollup, XOR-folding in unsigned space and converting the one
+    * final value to the engine's signed 64-bit domain. */
+  def releaseManifest(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Release.manifest(docs(spark, dir), budget = 10000L)
+      .transform(QueryUtil.ordered("shard"))
+
+  val releaseManifestOracle: String =
+    """WITH t AS (SELECT doc_id, text,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+      |    sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+      |      OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM documents),
+      |s AS (SELECT doc_id, text, n,
+      |        CAST((cum - n) // 10000 AS BIGINT) AS shard FROM t),
+      |f AS (SELECT shard, n,
+      |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' ||
+      |          coalesce(text, '')), 1, 16))::UBIGINT AS fp
+      |      FROM s),
+      |g AS (SELECT shard, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
+      |        bit_xor(fp) AS h FROM f GROUP BY 1)
+      |SELECT shard, n_docs, n_tokens,
+      |  CAST(h::HUGEINT - CASE WHEN h >= 9223372036854775808::UBIGINT
+      |    THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT)
+      |    AS content_hash
+      |FROM g ORDER BY shard""".stripMargin
+
   /** Bigram-LM quality scoring (word-order-sensitive — see
     * [[graft.ops.TextAnalysis.bigramLogProb]]). */
   def bigramLogProb(spark: SparkSession, dir: String): DataFrame =
@@ -2556,6 +2587,7 @@ object TextQueries {
     "tx_curation8" -> ((curation8 _, Some(curation8Oracle))),
     "tx_chunk_sliding" -> ((chunkSliding _, Some(chunkSlidingOracle))),
     "tx_pack_shards" -> ((packShards _, Some(packShardsOracle))),
+    "tx_release_manifest" -> ((releaseManifest _, Some(releaseManifestOracle))),
     "tx_tokenizer_probe" -> ((tokenizerProbe _, Some(tokenizerProbeOracle))),
     "tx_line_dedup" -> ((lineDedup _, Some(lineDedupOracle))),
     "tx_para_dedup" -> ((paraDedup _, Some(paraDedupOracle))),

@@ -1793,6 +1793,40 @@ class OpsSpec extends SparkSpec {
     Dedup.releaseCaches()
   }
 
+  test("release shards: manifest round-trip verifies intact; tampering is detected") {
+    val out = java.nio.file.Files.createTempDirectory("release").toString
+    val d = (0L until 40L)
+      .map(i => (i, s"doc $i body ${"tok " * (i % 7).toInt}".trim))
+      .toDF("doc_id", "text")
+    val m = Release.writeShards(d, out, budget = 30L)
+    Dedup.releaseCaches()
+    assert(m.agg(sum(col("n_docs"))).head().getLong(0) == 40L,
+      "every doc lands in exactly one shard")
+    val v1 = Release.verifyShards(spark, out).collect()
+      .map(r => r.getAs[Long]("shard") -> r.getAs[Boolean]("intact")).toMap
+    Dedup.releaseCaches()
+    assert(v1.nonEmpty && v1.values.forall(identity),
+      s"a faithful delivery must verify intact: $v1")
+    // tamper with one shard: rewrite its partition with one doc's text
+    // flipped — only that shard's checksum may break
+    val victim = v1.keys.min
+    val part = s"$out/shards/shard=$victim"
+    val rows = spark.read.parquet(part)
+    val scratch = s"$out/tamper-scratch" // OUTSIDE shards/: a sibling
+    // dir inside it would join partition discovery as shard='N.tmp'
+    rows.withColumn("text",
+        when(col("doc_id") === rows.agg(min("doc_id")).head().getLong(0),
+          concat(col("text"), lit(" TAMPERED"))).otherwise(col("text")))
+      .write.mode("overwrite").parquet(scratch)
+    spark.read.parquet(scratch).write.mode("overwrite").parquet(part)
+    val v2 = Release.verifyShards(spark, out).collect()
+      .map(r => r.getAs[Long]("shard") -> r.getAs[Boolean]("intact")).toMap
+    Dedup.releaseCaches()
+    assert(!v2(victim), "the tampered shard must fail verification")
+    assert((v2 - victim).values.forall(identity),
+      s"untampered shards must still verify: $v2")
+  }
+
   test("curation pipeline: config-built chain equals hand-built; registry contract holds") {
     val docs = Seq(
       (1L, "<html><body>Hello <b>world</b> of text</body></html>", "en"),
