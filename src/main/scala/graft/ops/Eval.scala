@@ -33,8 +33,15 @@ object Eval {
       .agg(count(lit(1)).as("_n"), sum(col("_y")).as("_np"))
     val ranked = perScore.withColumn("_cum",
       sum(col("_n")).over(Window.orderBy("_s")))
+    // the rank-sum accumulator grows as n_pos × 2N — a LongType sum
+    // overflows (ANSI: aborts) around 10^9.5 positives, which the
+    // 100 TB bar actually reaches; decimal(38,0) keeps it exact to
+    // ~10^19 docs and both engines convert the one final value to
+    // double identically
     ranked.agg(
-        sum(col("_np") * (lit(2) * col("_cum") - col("_n") + 1)).as("_s2"),
+        sum(col("_np").cast("decimal(38,0)") *
+          (lit(2) * col("_cum") - col("_n") + 1).cast("decimal(38,0)"))
+          .as("_s2"),
         sum(col("_np")).as("_n1"),
         sum(col("_n")).as("_nn"))
       .select(col("_n1").as("n_pos"), (col("_nn") - col("_n1")).as("n_neg"),

@@ -105,6 +105,24 @@ object Layout {
     * 1-row frame) + one range shuffle — a layout job, amortized over
     * every later scan, same contract as [[writeBucketed]]/[[compact]].
     */
+  def zorderWrite(df: DataFrame, outDir: String, col1: String,
+      col2: String, numFiles: Int, bits: Int = 16): Unit = {
+    require(numFiles > 0 && bits > 0 && bits <= 31)
+    val stats = df.agg(
+      min(col(col1)).cast("double").as("_mn1"),
+      max(col(col1)).cast("double").as("_mx1"),
+      min(col(col2)).cast("double").as("_mn2"),
+      max(col(col2)).cast("double").as("_mx2"))
+    df.crossJoin(broadcast(stats))
+      .withColumn("_z", zValue(
+        col(col1), col("_mn1"), col("_mx1"),
+        col(col2), col("_mn2"), col("_mx2"), bits))
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_mn1", "_mx1", "_mn2", "_mx2", "_z")
+      .write.mode("overwrite").parquet(outDir)
+  }
+
   /** Hive-style partitioned layout (`outDir/col=value/...`): the
     * third leg of the layout family. Bucketing co-locates JOIN keys,
     * z-order narrows 2-D range scans, partitioning makes an
@@ -123,22 +141,4 @@ object Layout {
       partitionCol: String): Unit =
     df.repartition(col(partitionCol))
       .write.mode("overwrite").partitionBy(partitionCol).parquet(outDir)
-
-  def zorderWrite(df: DataFrame, outDir: String, col1: String,
-      col2: String, numFiles: Int, bits: Int = 16): Unit = {
-    require(numFiles > 0 && bits > 0 && bits <= 31)
-    val stats = df.agg(
-      min(col(col1)).cast("double").as("_mn1"),
-      max(col(col1)).cast("double").as("_mx1"),
-      min(col(col2)).cast("double").as("_mn2"),
-      max(col(col2)).cast("double").as("_mx2"))
-    df.crossJoin(broadcast(stats))
-      .withColumn("_z", zValue(
-        col(col1), col("_mn1"), col("_mx1"),
-        col(col2), col("_mn2"), col("_mx2"), bits))
-      .repartitionByRange(numFiles, col("_z"))
-      .sortWithinPartitions("_z")
-      .drop("_mn1", "_mx1", "_mn2", "_mx2", "_z")
-      .write.mode("overwrite").parquet(outDir)
-  }
 }

@@ -24,34 +24,42 @@ object Release {
       TextAnalysis.md5Low64(concat(col(idCol).cast("string"), lit("|"),
         coalesce(col(textCol), lit("")))).as("_fp"))
 
-  /** Per-shard manifest `(shard, n_docs, n_tokens, content_hash)`
-    * under [[Packing.packByTokenBudget]] assignment. One equi-join of
-    * the 16-byte fingerprint frame against the narrow assignment
-    * frame, then a partial-aggregated rollup — text crosses no
-    * shuffle. */
-  def manifest(docs: DataFrame, budget: Long, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val assigned = Packing.packByTokenBudget(docs, budget, idCol, textCol)
+  private def manifestFromAssigned(docs: DataFrame, assigned: DataFrame,
+      idCol: String, textCol: String): DataFrame =
     fingerprinted(docs, idCol, textCol)
       .join(assigned, Seq(idCol))
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
         expr("bit_xor(_fp)").as("content_hash"))
-  }
+
+  /** Per-shard manifest `(shard, n_docs, n_tokens, content_hash)`
+    * under [[Packing.packByTokenBudget]] assignment. One equi-join of
+    * the 16-byte fingerprint frame against the narrow assignment
+    * frame, then a partial-aggregated rollup — text crosses no
+    * shuffle. */
+  def manifest(docs: DataFrame, budget: Long, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    manifestFromAssigned(docs,
+      Packing.packByTokenBudget(docs, budget, idCol, textCol),
+      idCol, textCol)
 
   /** Write the shards (parquet partitioned by `shard=`) and the
     * manifest next to them; returns the manifest. A reader verifies a
     * delivery by recomputing [[verifyShards]] against the stored
-    * manifest. */
+    * manifest. The packing pipeline (tokenize + two-level prefix sum
+    * — the expensive phase of a release job) runs ONCE; its persisted
+    * narrow assignment frame feeds both the shard write and the
+    * manifest rollup. */
   def writeShards(docs: DataFrame, outDir: String, budget: Long,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val assigned = Packing.packByTokenBudget(docs, budget, idCol, textCol)
+    val assigned = Dedup.persistTracked(
+      Packing.packByTokenBudget(docs, budget, idCol, textCol))
     docs.join(assigned.select(col(idCol), col("shard")), Seq(idCol))
       .repartition(col("shard"))
       .write.mode("overwrite").partitionBy("shard")
       .parquet(s"$outDir/shards")
-    val m = manifest(docs, budget, idCol, textCol)
+    val m = manifestFromAssigned(docs, assigned, idCol, textCol)
     m.coalesce(1).write.mode("overwrite").parquet(s"$outDir/manifest")
     m
   }

@@ -506,6 +506,13 @@ object TextAnalysis {
   def scoreWithClfModel(docs: DataFrame, weights: Map[Long, Double],
       numBuckets: Int = 256, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    // a weight outside [−1, numBuckets) proves the model was trained
+    // under a different hash width — scoring would be silently wrong
+    // (wrong-bucket joins, unreachable weights), so fail loudly; the
+    // persisted artifact carries its numBuckets for exactly this check
+    require(weights.keys.forall(b => b >= -1L && b < numBuckets),
+      s"weight buckets exceed numBuckets=$numBuckets — model trained " +
+        "under a different hash width (use the loaded model's numBuckets)")
     val feat = clfFeatures(docs, numBuckets, idCol, textCol)
     logisticMargins(feat, weights)
       .select(col("doc_id"),
@@ -573,20 +580,27 @@ object TextAnalysis {
     (feat, w)
   }
 
-  /** Classifier weights → parquet `(b, w)`; parquet round-trips IEEE
-    * doubles exactly, so a loaded model scores BYTE-IDENTICALLY (the
-    * [[graft.ops.AnnModels]] contract, asserted in OpsSpec). */
+  /** Classifier weights → parquet `(b, w, nb)`; parquet round-trips
+    * IEEE doubles exactly, so a loaded model scores BYTE-IDENTICALLY
+    * (the [[graft.ops.AnnModels]] contract, asserted in OpsSpec). The
+    * hash width rides IN the artifact: a model is meaningless without
+    * it, and scoring under a different width is silently wrong — the
+    * loader returns both and [[scoreWithClfModel]] cross-checks. */
   def saveClfWeights(spark: org.apache.spark.sql.SparkSession,
-      weights: Map[Long, Double], path: String): Unit = {
+      weights: Map[Long, Double], numBuckets: Int, path: String): Unit = {
     import spark.implicits._
-    weights.toSeq.sortBy(_._1).toDF("b", "w").coalesce(1)
+    weights.toSeq.sortBy(_._1).map { case (b, w) => (b, w, numBuckets) }
+      .toDF("b", "w", "nb").coalesce(1)
       .write.mode("overwrite").parquet(path)
   }
 
+  /** → (weights, numBuckets). */
   def loadClfWeights(spark: org.apache.spark.sql.SparkSession,
-      path: String): Map[Long, Double] =
-    spark.read.parquet(path).collect()
-      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      path: String): (Map[Long, Double], Int) = {
+    val rows = spark.read.parquet(path).collect()
+    (rows.map(r => r.getLong(0) -> r.getDouble(1)).toMap,
+      rows.head.getInt(2))
+  }
 
   // --- Retrieval chunking ---------------------------------------------
   // The RAG-prep counterpart of sequence packing: split each document

@@ -37,7 +37,7 @@ object Versioning {
           .otherwise("changed").as("status"))
   }
 
-  /** Incremental re-processing driven by [[corpusDiff]]: apply a
+  /** Incremental re-processing in [[corpusDiff]]'s mold: apply a
     * PER-DOCUMENT `transform` (gates, scores, projections — anything
     * whose output for a doc depends only on that doc's row) to corpus
     * version v2, given v1 and the already-materialized
@@ -45,6 +45,12 @@ object Versioning {
     * row; `added ∪ changed` docs — and ONLY those — flow through
     * `transform`; `removed` docs drop out. The result equals
     * `transform(v2)` exactly, row for row.
+    *
+    * Unlike [[corpusDiff]] (a TEXT-content audit), change detection
+    * here fingerprints EVERY non-id column: the transform may read
+    * any of them (the quality gates read `lang`), so a doc whose text
+    * is identical but whose metadata moved must recompute — a
+    * text-only hash would silently reuse a stale output row.
     *
     * This is the 100 TB release cadence: a daily crawl delta of 1%
     * costs 1% of the gate compute instead of a full recompute. The
@@ -58,9 +64,29 @@ object Versioning {
     * carry state like the streaming twins do); OpsSpec enforces it
     * mechanically with a transform that throws on any clean doc. */
   def incrementalApply(v1: DataFrame, v1Out: DataFrame, v2: DataFrame,
-      transform: DataFrame => DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val diff = Dedup.persistTracked(corpusDiff(v1, v2, idCol, textCol))
+      transform: DataFrame => DataFrame, idCol: String = "doc_id")
+      : DataFrame = {
+    // whole-row fingerprint (canonical column order, which v1 must
+    // share): nulls coalesce to a sentinel BEFORE the U+0001-joined
+    // concat — both xxhash64 and concat_ws silently SKIP nulls, which
+    // would let a value sliding between columns evade detection
+    require(v1.columns.sorted.sameElements(v2.columns.sorted),
+      s"v1/v2 schemas differ: ${v1.columns.toSeq} vs ${v2.columns.toSeq}")
+    val payload = v2.columns.filter(_ != idCol).sorted.toSeq
+    def fp(d: DataFrame, id: String, h: String): DataFrame =
+      d.select(col(idCol).as(id),
+        xxhash64(concat_ws("\u0001",
+          payload.map(c => coalesce(col(c).cast("string"),
+            lit("\u0000"))): _*)).as(h))
+    val diff = Dedup.persistTracked(
+      fp(v1, "_id1", "_fp1").join(fp(v2, "_id2", "_fp2"),
+          col("_id1") === col("_id2"), "full_outer")
+        .filter(col("_id1").isNull || col("_id2").isNull ||
+          col("_fp1") =!= col("_fp2"))
+        .select(coalesce(col("_id1"), col("_id2")).as(idCol),
+          when(col("_id2").isNull, "removed")
+            .when(col("_id1").isNull, "added")
+            .otherwise("changed").as("status")))
     val dirty = diff.filter(col("status").isin("removed", "changed"))
       .select(col(idCol))
     val delta = diff.filter(col("status").isin("added", "changed"))

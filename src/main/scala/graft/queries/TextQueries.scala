@@ -1457,7 +1457,10 @@ object TextQueries {
     * recompute over v2, which is exactly what the oracle computes.
     * See [[graft.ops.Versioning.incrementalApply]]. */
   def incremental(spark: SparkSession, dir: String): DataFrame = {
-    val v1 = docs(spark, dir)
+    // project to the columns the gates read: incrementalApply
+    // fingerprints EVERY non-id column (metadata changes must
+    // recompute), so v1/v2 must share a schema
+    val v1 = docs(spark, dir).select(col("doc_id"), col("lang"), col("text"))
     val v2 = v1.filter(col("doc_id") % 7 =!= 0)
       .select(col("doc_id"), col("lang"),
         when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))

@@ -1877,27 +1877,32 @@ class OpsSpec extends SparkSpec {
   }
 
   test("incrementalApply: equals full recompute; transform provably never sees a clean doc") {
-    val v1 = Seq((1L, "one"), (2L, "two"), (3L, "three"), (4L, "four"))
-      .toDF("doc_id", "text")
-    // 1 removed, 3 changed, 5 added; 2 and 4 unchanged
-    val v2 = Seq((2L, "two"), (3L, "THREE"), (4L, "four"), (5L, "five"))
-      .toDF("doc_id", "text")
+    val v1 = Seq((1L, "one", "en"), (2L, "two", "en"), (3L, "three", "en"),
+      (4L, "four", "en")).toDF("doc_id", "text", "lang")
+    // 1 removed, 3 text-changed, 4 METADATA-only-changed (same text,
+    // lang flips — a text-only fingerprint would reuse 4's stale row),
+    // 5 added; 2 unchanged
+    val v2 = Seq((2L, "two", "en"), (3L, "THREE", "en"), (4L, "four", "de"),
+      (5L, "five", "en")).toDF("doc_id", "text", "lang")
     def gates(d: org.apache.spark.sql.DataFrame) =
-      d.select(col("doc_id"), length(col("text")).cast("long").as("len"))
+      d.select(col("doc_id"),
+        concat(col("lang"), lit(":"), length(col("text"))).as("out"))
     // the delta-only contract enforced mechanically: this transform
     // RAISES on any doc outside {changed, added} — reaching into a
     // clean or removed doc fails the test at execution, not by audit
     def guardedGates(d: org.apache.spark.sql.DataFrame) =
       d.select(col("doc_id"),
-        when(col("doc_id").isin(3L, 5L), length(col("text")).cast("long"))
+        when(col("doc_id").isin(3L, 4L, 5L),
+          concat(col("lang"), lit(":"), length(col("text"))))
           .otherwise(raise_error(concat(lit("transform touched clean doc "),
-            col("doc_id")))).as("len"))
+            col("doc_id")))).as("out"))
     val r = Versioning.incrementalApply(v1, gates(v1), v2, guardedGates)
-      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
     Dedup.releaseCaches()
-    val full = gates(v2).collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val full = gates(v2).collect().map(x => x.getLong(0) -> x.getString(1)).toMap
     assert(r == full, s"incremental $r must equal full recompute $full")
-    assert(r == Map(2L -> 3L, 3L -> 5L, 4L -> 4L, 5L -> 4L))
+    assert(r == Map(2L -> "en:3", 3L -> "en:5", 4L -> "de:4", 5L -> "en:4"),
+      s"metadata-only change must be recomputed, not reused stale: $r")
   }
 
   test("withGlobalRank: equals a driver-side total sort on a shuffled multi-partition frame") {
@@ -2069,11 +2074,18 @@ class OpsSpec extends SparkSpec {
     assert(scores(TextAnalysis.scoreWithClfModel(d, w)) == trained,
       "scoreWithClfModel under the trained weights must equal logisticScore")
     val path = java.nio.file.Files.createTempDirectory("clfw").toString + "/w"
-    TextAnalysis.saveClfWeights(spark, w, path)
-    val w2 = TextAnalysis.loadClfWeights(spark, path)
-    assert(w2 == w, "parquet round-trip must be bit-identical")
-    assert(scores(TextAnalysis.scoreWithClfModel(d, w2)) == trained,
+    TextAnalysis.saveClfWeights(spark, w, 256, path)
+    val (w2, nb2) = TextAnalysis.loadClfWeights(spark, path)
+    assert(w2 == w && nb2 == 256, "parquet round-trip must be bit-identical")
+    assert(scores(TextAnalysis.scoreWithClfModel(d, w2, nb2)) == trained,
       "a loaded model must score byte-identically")
+    // a hash-width mismatch must fail LOUDLY, not score wrongly: train
+    // wide, score narrow
+    val wWide = TextAnalysis.trainLogistic(d, col("lang") === "en",
+      numBuckets = 512)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.scoreWithClfModel(d, wWide, numBuckets = 256)
+    }
   }
 
   test("chunkSliding: overlap, ragged tail, short and empty docs") {
