@@ -85,5 +85,6 @@ object SparkEntry {
     // r8: in-engine model training + incremental release processing
     "tx_clf_quality",    // logistic-regression quality classifier (5 GD epochs)
     "tx_incremental",    // delta-only gate recompute via corpus diff
-    "tx_curation8")      // model-driven selection: clf floor -> rank cut
+    "tx_curation8",      // model-driven selection: clf floor -> rank cut
+    "tx_release_manifest") // shard rollup + XOR content checksums
 }
