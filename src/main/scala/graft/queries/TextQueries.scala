@@ -1819,6 +1819,27 @@ object TextQueries {
     * between phases for exactly this reason). */
   def curation6(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.DataFrame
+    val f = curation6Frames(spark, dir)
+    def cnt(df: DataFrame, stage: String): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(stage).as("stage"), col("n_docs"))
+    cnt(f("planted"), "a_input")
+      .unionByName(cnt(f("enc"), "b_encoding"))
+      .unionByName(cnt(f("cleaned"), "c_line"))
+      .unionByName(cnt(f("deconned"), "d_decon"))
+      .unionByName(cnt(f("gated"), "e_gates"))
+      .unionByName(cnt(f("keeper"), "f_keeper"))
+      .unionByName(cnt(f("bigramKept"), "g_bigram"))
+      .unionByName(cnt(f("sampled"), "h_sampled"))
+      .transform(QueryUtil.ordered("stage"))
+  }
+
+  /** The curation6 pipeline's stage frames, shared by the funnel query
+    * and curation9's crawl-to-shards composition (the stage semantics
+    * cannot fork between the two). */
+  private def curation6Frames(spark: SparkSession, dir: String)
+      : Map[String, DataFrame] = {
+    import org.apache.spark.sql.DataFrame
     val planted = curation6Planted(spark, dir)
     // conditional extraction + encoding gate: the canonical
     // crawlFrontGates transform the streaming front half also uses
@@ -1858,21 +1879,54 @@ object TextQueries {
       .select("doc_id", "source"))
     val sampled = graft.ops.Sampling.temperatureMix(bigramKept, alpha = 0.5,
       targetFraction = 0.5, strataCol = "source", idCol = "doc_id")
-    def cnt(df: DataFrame, stage: String): DataFrame =
-      df.agg(count(lit(1)).as("n_docs"))
-        .select(lit(stage).as("stage"), col("n_docs"))
-    cnt(planted, "a_input")
-      .unionByName(cnt(enc, "b_encoding"))
-      .unionByName(cnt(cleaned, "c_line"))
-      .unionByName(cnt(deconned, "d_decon"))
-      .unionByName(cnt(gated, "e_gates"))
-      .unionByName(cnt(keeper, "f_keeper"))
-      .unionByName(cnt(bigramKept, "g_bigram"))
-      .unionByName(cnt(sampled, "h_sampled"))
-      .transform(QueryUtil.ordered("stage"))
+    Map("planted" -> planted, "enc" -> enc, "cleaned" -> cleaned,
+      "deconned" -> deconned, "gated" -> gated, "keeper" -> keeper,
+      "bigramKept" -> bigramKept, "sampled" -> sampled)
   }
 
-  val curation6Oracle: String = {
+  /** Curation v9 — crawl to SHIPPED dataset in one declarative plan:
+    * the entire v6 pipeline (extract → encoding gate → line dedup →
+    * decon → gates → keeper → bigram floor → tempered mix) feeding
+    * directly into release packaging — the surviving docs' CLEANED
+    * text packs into token-budgeted shards and emits the verifiable
+    * manifest ([[graft.ops.Release.manifest]]). The oracle chains the
+    * full v6 replay into the prefix-sum shard assignment and the
+    * unsigned-XOR rollup. Output: one manifest row per shard. */
+  def curation9(spark: SparkSession, dir: String): DataFrame = {
+    val f = curation6Frames(spark, dir)
+    val shipped = f("keeper")
+      .join(f("sampled").select("doc_id"), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("text"))
+    graft.ops.Release.manifest(shipped, budget = 500L)
+      .transform(QueryUtil.ordered("shard"))
+  }
+
+  // chain concatenated, not re-stripMargin'd — see curation6Oracle
+  lazy val curation9Oracle: String = curation6ChainSql + ",\n" +
+    """shipped AS (SELECT k.doc_id, k.text FROM kept k
+      |            JOIN sampled USING (doc_id)),
+      |pt AS (SELECT doc_id, text,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+      |    sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+      |      OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM shipped),
+      |ps AS (SELECT doc_id, text, n,
+      |        CAST((cum - n) // 500 AS BIGINT) AS shard FROM pt),
+      |pf AS (SELECT shard, n,
+      |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' ||
+      |          coalesce(text, '')), 1, 16))::UBIGINT AS fp
+      |      FROM ps),
+      |pg AS (SELECT shard, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
+      |        bit_xor(fp) AS h FROM pf GROUP BY 1)
+      |SELECT shard, n_docs, n_tokens,
+      |  CAST(h::HUGEINT - CASE WHEN h >= 9223372036854775808::UBIGINT
+      |    THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT)
+      |    AS content_hash
+      |FROM pg ORDER BY shard""".stripMargin
+
+  /** The v6 replay's WITH chain (through `sampled`), shared with the
+    * curation9 oracle so the two cannot fork. */
+  private lazy val curation6ChainSql: String = {
     import graft.ops.TextAnalysis._
     s"""WITH planted AS (SELECT doc_id, source, $curation6PlantSql AS text
       |  FROM documents),
@@ -1973,8 +2027,14 @@ object TextQueries {
       |       FROM c CROSS JOIN dn),
       |sampled AS (SELECT b.doc_id FROM bkept b JOIN fr ON b.source = fr.source
       |  WHERE ('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 8))::UBIGINT
-      |          / 4294967296.0 < fr.kf)
-      |SELECT stage, n_docs FROM (
+      |          / 4294967296.0 < fr.kf)""".stripMargin
+  }
+
+  // NB: the chain is CONCATENATED, never re-interpolated under a
+  // second stripMargin — the chain's SQL `||` continuation lines begin
+  // with a pipe, and a second strip silently eats one of them
+  lazy val curation6Oracle: String = curation6ChainSql + "\n" +
+    """SELECT stage, n_docs FROM (
       |  SELECT 'a_input' AS stage, count(*) AS n_docs FROM planted
       |  UNION ALL SELECT 'b_encoding', count(*) FROM encok
       |  UNION ALL SELECT 'c_line', count(*) FROM cleaned
@@ -1984,7 +2044,6 @@ object TextQueries {
       |  UNION ALL SELECT 'g_bigram', count(*) FROM bkept
       |  UNION ALL SELECT 'h_sampled', count(*) FROM sampled)
       |ORDER BY stage""".stripMargin
-  }
 
   // --- Encoding quality -------------------------------------------------
   // The corpus is clean UTF-8, so decode damage is PLANTED identically
@@ -2588,6 +2647,7 @@ object TextQueries {
     "tx_corpus_stats" -> ((corpusStats _, Some(corpusStatsOracle))),
     "tx_curation7" -> ((curation7 _, Some(curation7Oracle))),
     "tx_curation8" -> ((curation8 _, Some(curation8Oracle))),
+    "tx_curation9" -> ((curation9 _, Some(curation9Oracle))),
     "tx_chunk_sliding" -> ((chunkSliding _, Some(chunkSlidingOracle))),
     "tx_pack_shards" -> ((packShards _, Some(packShardsOracle))),
     "tx_release_manifest" -> ((releaseManifest _, Some(releaseManifestOracle))),
