@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   */
 object Release {
 
-  private def fingerprinted(docs: DataFrame, idCol: String,
+  private[graft] def fingerprinted(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
     docs.select(col(idCol),
       TextAnalysis.md5Low64(concat(col(idCol).cast("string"), lit("|"),

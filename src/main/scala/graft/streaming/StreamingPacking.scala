@@ -108,7 +108,7 @@ object StreamingPacking {
     * committed, in which case the replay of N rewrites it (same prior
     * offset + deterministic input → same bytes) before any batch N+1
     * reads it. */
-  private def writeOffset(spark: SparkSession, stateDir: String,
+  private[streaming] def writeOffset(spark: SparkSession, stateDir: String,
       batchId: Long, totalAfter: Long): Unit = {
     val fs = fsFor(spark, stateDir)
     val out = fs.create(batchFile(stateDir, batchId), true)

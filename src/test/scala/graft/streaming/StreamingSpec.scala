@@ -201,6 +201,44 @@ class StreamingSpec extends SparkSpec {
     graft.ops.Dedup.releaseCaches()
   }
 
+  test("streaming release manifest: merged contributions equal the batch manifest, boundary shard included") {
+    import org.apache.spark.sql.DataFrame
+    import graft.ops.Release
+    import spark.implicits._
+    val state = tmpDir("rel-state")
+    // budget 10, docs of 4 tokens each: batch 0's last doc starts at
+    // prefix 12 (shard 1), batch 1's first at prefix 16 (shard 1 too)
+    // — the straddling shard whose two contribution rows must merge
+    // into exactly the batch-manifest row
+    def mk(ids: Range) = ids.map(i => (i.toLong, s"w$i x$i y$i z$i"))
+      .toDF("doc_id", "text")
+    val b0 = mk(0 until 4)
+    val b1 = mk(4 until 9)
+    val snaps = scala.collection.mutable.ArrayBuffer[Set[(Long, Long, Long, Long)]]()
+    def rows(df: DataFrame) = df.collect().map(r => (r.getAs[Long]("shard"),
+      r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+      r.getAs[Long]("content_hash"))).toSet
+    val body = StreamingRelease.foreachBatchManifester(
+      budget = 10L, stateDir = state, sink = { out => snaps += rows(out); () })
+    body(b0, 0L)
+    body(b1, 1L)
+    val expFull = rows(Release.manifest(mk(0 until 9), budget = 10L))
+    graft.ops.Dedup.releaseCaches()
+    assert(snaps(1) == expFull,
+      s"stream=${snaps(1)} batch=$expFull")
+    // the straddle actually happened: shard 1 has docs from BOTH
+    // batches (batch-0 snapshot shows it partial, final shows it full)
+    val s1first = snaps(0).find(_._1 == 1L).get
+    val s1final = snaps(1).find(_._1 == 1L).get
+    assert(s1first._2 < s1final._2,
+      s"shard 1 must straddle the batch boundary: $s1first -> $s1final")
+    // replay idempotence: re-running batch 1 rewrites its contribution
+    // partition and emits the identical snapshot
+    body(b1, 1L)
+    graft.ops.Dedup.releaseCaches()
+    assert(snaps(2) == snaps(1), "a replayed batch must change nothing")
+  }
+
   test("streaming paragraph dedup: the separator-generalized twin equals batch paragraphDedup") {
     import org.apache.spark.sql.DataFrame
     import spark.implicits._
