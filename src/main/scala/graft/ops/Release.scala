@@ -24,7 +24,7 @@ object Release {
       TextAnalysis.md5Low64(concat(col(idCol).cast("string"), lit("|"),
         coalesce(col(textCol), lit("")))).as("_fp"))
 
-  private def manifestFromAssigned(docs: DataFrame, assigned: DataFrame,
+  private[graft] def manifestFromAssigned(docs: DataFrame, assigned: DataFrame,
       idCol: String, textCol: String): DataFrame =
     fingerprinted(docs, idCol, textCol)
       .join(assigned, Seq(idCol))

@@ -1901,28 +1901,12 @@ object TextQueries {
       .transform(QueryUtil.ordered("shard"))
   }
 
-  // chain concatenated, not re-stripMargin'd — see curation6Oracle
+  // chain concatenated, not re-stripMargin'd — see curation6Oracle;
+  // the manifest replay comes from the shared manifestSqlTail
   lazy val curation9Oracle: String = curation6ChainSql + ",\n" +
     """shipped AS (SELECT k.doc_id, k.text FROM kept k
-      |            JOIN sampled USING (doc_id)),
-      |pt AS (SELECT doc_id, text,
-      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
-      |    sum(CAST(len(string_split(text, ' ')) AS BIGINT))
-      |      OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
-      |  FROM shipped),
-      |ps AS (SELECT doc_id, text, n,
-      |        CAST((cum - n) // 500 AS BIGINT) AS shard FROM pt),
-      |pf AS (SELECT shard, n,
-      |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' ||
-      |          coalesce(text, '')), 1, 16))::UBIGINT AS fp
-      |      FROM ps),
-      |pg AS (SELECT shard, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
-      |        bit_xor(fp) AS h FROM pf GROUP BY 1)
-      |SELECT shard, n_docs, n_tokens,
-      |  CAST(h::HUGEINT - CASE WHEN h >= 9223372036854775808::UBIGINT
-      |    THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT)
-      |    AS content_hash
-      |FROM pg ORDER BY shard""".stripMargin
+      |            JOIN sampled USING (doc_id)),""".stripMargin + "\n" +
+    manifestSqlTail("shipped", 500L)
 
   /** The v6 replay's WITH chain (through `sampled`), shared with the
     * curation9 oracle so the two cannot fork. */
@@ -2433,25 +2417,32 @@ object TextQueries {
     graft.ops.Release.manifest(docs(spark, dir), budget = 10000L)
       .transform(QueryUtil.ordered("shard"))
 
-  val releaseManifestOracle: String =
-    """WITH t AS (SELECT doc_id, text,
+  /** The manifest replay (prefix-sum shard assignment → per-shard
+    * rollup → unsigned-XOR → one signed conversion) over any source
+    * CTE — the ONE copy both `tx_release_manifest` and `tx_curation9`
+    * chain onto, so the replay cannot fork between them. */
+  private def manifestSqlTail(srcCte: String, budget: Long): String =
+    s"""pt AS (SELECT doc_id, text,
       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
       |    sum(CAST(len(string_split(text, ' ')) AS BIGINT))
       |      OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
-      |  FROM documents),
-      |s AS (SELECT doc_id, text, n,
-      |        CAST((cum - n) // 10000 AS BIGINT) AS shard FROM t),
-      |f AS (SELECT shard, n,
+      |  FROM $srcCte),
+      |ps AS (SELECT doc_id, text, n,
+      |        CAST((cum - n) // $budget AS BIGINT) AS shard FROM pt),
+      |pf AS (SELECT shard, n,
       |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' ||
       |          coalesce(text, '')), 1, 16))::UBIGINT AS fp
-      |      FROM s),
-      |g AS (SELECT shard, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
-      |        bit_xor(fp) AS h FROM f GROUP BY 1)
+      |      FROM ps),
+      |pg AS (SELECT shard, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
+      |        bit_xor(fp) AS h FROM pf GROUP BY 1)
       |SELECT shard, n_docs, n_tokens,
       |  CAST(h::HUGEINT - CASE WHEN h >= 9223372036854775808::UBIGINT
       |    THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT)
       |    AS content_hash
-      |FROM g ORDER BY shard""".stripMargin
+      |FROM pg ORDER BY shard""".stripMargin
+
+  lazy val releaseManifestOracle: String =
+    "WITH " + manifestSqlTail("documents", 10000L)
 
   /** Bigram-LM quality scoring (word-order-sensitive — see
     * [[graft.ops.TextAnalysis.bigramLogProb]]). */

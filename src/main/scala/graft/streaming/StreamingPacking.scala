@@ -122,6 +122,32 @@ object StreamingPacking {
     }
   }
 
+  /** The offsets-carry protocol as a shared wrapper: packs the batch
+    * against the carried offset, runs `body(batch, packed, batchId)`,
+    * then persists the new cumulative total and drops operator
+    * caches. Every carry subtlety lives HERE once — the packer and
+    * the release manifester ([[StreamingRelease]]) both wear it, so
+    * the carry semantics cannot fork between twins. The batch total
+    * re-reads the operator's persisted narrow (id, count) frame, not
+    * the input — a second tiny job, and it must not depend on whether
+    * `body` materialized its frame. */
+  private[streaming] def withOffsetsCarry(budget: Long, stateDir: String,
+      idCol: String, textCol: String, bucketWidth: Long)(
+      body: (DataFrame, DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      import spark.implicits._
+      val prior = priorOffset(spark, stateDir, batchId)
+      val packed = Packing.packByTokenBudget(batch, budget, idCol, textCol,
+        bucketWidth, startOffset = prior)
+      body(batch, packed, batchId)
+      val batchTokens = packed.agg(coalesce(sum(col("n_tokens")), lit(0L)))
+        .as[Long].head()
+      writeOffset(spark, stateDir, batchId, prior + batchTokens)
+      // the packing op's internal persist must not outlive its batch
+      graft.ops.Dedup.releaseCaches()
+  }
+
   /** The `foreachBatch` body: packs each micro-batch against the
     * carried offset, hands the (idCol, n_tokens, shard) frame to
     * `sink`, then persists the new cumulative total. Wire as
@@ -131,21 +157,8 @@ object StreamingPacking {
   def foreachBatchPacker(budget: Long, stateDir: String,
       sink: DataFrame => Unit,
       idCol: String = "doc_id", textCol: String = "text",
-      bucketWidth: Long = 100000L): (DataFrame, Long) => Unit = {
-    (batch: DataFrame, batchId: Long) =>
-      val spark = batch.sparkSession
-      import spark.implicits._
-      val prior = priorOffset(spark, stateDir, batchId)
-      val packed = Packing.packByTokenBudget(batch, budget, idCol, textCol,
-        bucketWidth, startOffset = prior)
-      sink(packed)
-      // the batch total re-reads the operator's persisted narrow
-      // (id, count) frame, not the input — a second tiny job, and it
-      // must not depend on whether the sink materialized its frame
-      val batchTokens = packed.agg(coalesce(sum(col("n_tokens")), lit(0L)))
-        .as[Long].head()
-      writeOffset(spark, stateDir, batchId, prior + batchTokens)
-      // the packing op's internal persist must not outlive its batch
-      graft.ops.Dedup.releaseCaches()
-  }
+      bucketWidth: Long = 100000L): (DataFrame, Long) => Unit =
+    withOffsetsCarry(budget, stateDir, idCol, textCol, bucketWidth) {
+      (_, packed, _) => sink(packed)
+    }
 }

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Packing, Release}
+import graft.ops.Release
 
 /** Streaming release-manifest maintenance — the `foreachBatch` twin of
   * [[graft.ops.Release.manifest]], built on two existing contracts:
@@ -33,18 +33,15 @@ object StreamingRelease {
   def foreachBatchManifester(budget: Long, stateDir: String,
       sink: DataFrame => Unit, idCol: String = "doc_id",
       textCol: String = "text", bucketWidth: Long = 100000L)
-      : (DataFrame, Long) => Unit = {
-    (batch: DataFrame, batchId: Long) =>
+      : (DataFrame, Long) => Unit =
+    // the carry protocol and the per-shard rollup definition both come
+    // from their single sources of truth (withOffsetsCarry,
+    // manifestFromAssigned) — neither can fork from its batch twin
+    StreamingPacking.withOffsetsCarry(budget, stateDir, idCol, textCol,
+        bucketWidth) { (batch, assigned, batchId) =>
       val spark = batch.sparkSession
-      import spark.implicits._
-      val prior = StreamingPacking.priorOffset(spark, stateDir, batchId)
-      val assigned = Packing.packByTokenBudget(batch, budget, idCol, textCol,
-        bucketWidth, startOffset = prior)
-      val contrib = Release.fingerprinted(batch, idCol, textCol)
-        .join(assigned, Seq(idCol))
-        .groupBy("shard")
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
-          expr("bit_xor(_fp)").as("content_hash"))
+      val contrib = Release.manifestFromAssigned(batch, assigned,
+        idCol, textCol)
       StreamingState.writePartition(contrib, s"$stateDir/contrib", batchId)
       val all = StreamingState.readUpTo(spark, s"$stateDir/contrib",
         contrib.schema, batchId)
@@ -52,10 +49,5 @@ object StreamingRelease {
         .agg(sum(col("n_docs")).as("n_docs"),
           sum(col("n_tokens")).as("n_tokens"),
           expr("bit_xor(content_hash)").as("content_hash")))
-      val batchTokens = assigned.agg(coalesce(sum(col("n_tokens")), lit(0L)))
-        .as[Long].head()
-      StreamingPacking.writeOffset(spark, stateDir, batchId,
-        prior + batchTokens)
-      Dedup.releaseCaches()
-  }
+    }
 }
