@@ -1258,18 +1258,23 @@ object TextQueries {
     * always-on bucket −1 feature exactly as in the engine. The CTE
     * chain is shared with the curation8 oracle, which composes the
     * trained model into a selection pipeline. */
-  private val clfChainSql: String = {
+  /** Training-run CTE chain over an arbitrary training source —
+    * `src` is any FROM-able relation with (doc_id, text, lang). The
+    * chain ends at `w$iters` (the trained weights); callers append
+    * their own scoring tail. Parameterized so the holdout oracle can
+    * train on a SPLIT of documents with the identical replay. */
+  private def clfTrainChainSql(src: String): String = {
     val (nb, lr, iters) = (ClfBuckets, ClfLr, ClfIters)
     val head =
       s"""WITH tok AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
          |    len(string_split(text, ' ')) * 1.0 AS n,
-         |    unnest(string_split(text, ' ')) AS t FROM documents),
+         |    unnest(string_split(text, ' ')) AS t FROM $src),
          |feat0 AS (SELECT doc_id, y,
          |    CAST(('0x' || substr(md5(t), 1, 16))::UBIGINT % $nb AS BIGINT) AS b,
          |    count(*) * 1.0 / n AS x FROM tok GROUP BY doc_id, y, n, b),
          |feat AS (SELECT * FROM feat0
          |  UNION ALL SELECT DISTINCT doc_id, y, -1 AS b, 1.0 AS x FROM feat0),
-         |nd AS (SELECT count(*) * 1.0 AS n FROM documents),
+         |nd AS (SELECT count(*) * 1.0 AS n FROM $src),
          |m1 AS (SELECT DISTINCT doc_id, y, 0.0 AS m FROM feat0),
          |r1 AS (SELECT doc_id, y - 1.0/(1.0 + exp(-m)) AS r FROM m1),
          |w1 AS (SELECT f.b, $lr * sum(f.x * r.r) / (SELECT n FROM nd) AS w
@@ -1283,12 +1288,17 @@ object TextQueries {
          |             FROM feat f JOIN r$t r USING (doc_id) GROUP BY f.b) g
          |       LEFT JOIN w${t - 1} w ON g.b = w.b)""".stripMargin
     }
+    (Seq(head) ++ steps).mkString(",\n")
+  }
+
+  private val clfChainSql: String = {
+    val iters = ClfIters
     val tail =
       s"""mf AS (SELECT f.doc_id, coalesce(sum(f.x * w.w), 0.0) AS m
          |       FROM feat f LEFT JOIN w$iters w ON f.b = w.b GROUP BY f.doc_id),
          |scored AS (SELECT doc_id, round(1.0/(1.0 + exp(-m)), 4) AS clf_score
          |           FROM mf)""".stripMargin
-    (Seq(head) ++ steps ++ Seq(tail)).mkString(",\n")
+    clfTrainChainSql("documents") + ",\n" + tail
   }
 
   val clfQualityOracle: String =
@@ -1379,6 +1389,62 @@ object TextQueries {
        |  sum(s4) * 1.0 / (count(*) * 10000) AS mean_score,
        |  sum(y) * 1.0 / count(*) AS frac_pos
        |FROM b GROUP BY 1 ORDER BY bin""".stripMargin
+
+  /** Held-out classifier evaluation — the honest counterpart of
+    * [[clfAuc]]: that row measures the model on its own TRAINING
+    * corpus, which overstates a real gate's quality. Here documents
+    * split deterministically by the md5 unit hash of doc_id (the
+    * [[graft.ops.Sampling.unitHash]] rule, so both engines replay the
+    * split exactly): hash < 0.8 trains, the held-out rest is scored
+    * under the FROZEN model ([[graft.ops.TextAnalysis.scoreWithClfModel]])
+    * and AUC'd. The oracle replays the ENTIRE pipeline — split,
+    * training run on the train half, frozen scoring of the holdout,
+    * tie-corrected rank AUC. Output `(n_pos, n_neg, auc)` counts the
+    * HOLDOUT half only. */
+  def clfHoldout(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val isTrain = graft.ops.Sampling.unitHash(col("doc_id")) < ClfTrainFrac
+    val model = TextAnalysis.trainLogistic(d.filter(isTrain),
+      col("lang") === "en", numBuckets = ClfBuckets, iterations = ClfIters,
+      learningRate = ClfLr)
+    val hold = d.filter(!isTrain)
+    graft.ops.Eval.aucBinary(
+      TextAnalysis.scoreWithClfModel(hold, model)
+        .join(hold.select(col("doc_id"), col("lang")), Seq("doc_id")),
+      col("lang") === "en")
+  }
+
+  private val ClfTrainFrac = 0.8
+
+  lazy val clfHoldoutOracle: String = {
+    val (nb, iters) = (ClfBuckets, ClfIters)
+    val splitPred = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))" +
+      s"::UBIGINT / 4294967296.0 < $ClfTrainFrac"
+    s"""${clfTrainChainSql(s"(SELECT * FROM documents WHERE $splitPred)")},
+       |htok AS (SELECT doc_id, len(string_split(text, ' ')) * 1.0 AS n,
+       |    unnest(string_split(text, ' ')) AS t
+       |    FROM documents WHERE NOT ($splitPred)),
+       |hfeat0 AS (SELECT doc_id,
+       |    CAST(('0x' || substr(md5(t), 1, 16))::UBIGINT % $nb AS BIGINT) AS b,
+       |    count(*) * 1.0 / n AS x FROM htok GROUP BY doc_id, n, b),
+       |hfeat AS (SELECT * FROM hfeat0
+       |  UNION ALL SELECT DISTINCT doc_id, -1 AS b, 1.0 AS x FROM hfeat0),
+       |hmf AS (SELECT f.doc_id, coalesce(sum(f.x * w.w), 0.0) AS m
+       |       FROM hfeat f LEFT JOIN w$iters w ON f.b = w.b GROUP BY f.doc_id),
+       |hscored AS (SELECT doc_id, round(1.0/(1.0 + exp(-m)), 4) AS clf_score
+       |           FROM hmf),
+       |lab AS (SELECT s.clf_score, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+       |        FROM hscored s JOIN documents d USING (doc_id)),
+       |ps AS (SELECT clf_score AS s, count(*) AS n, sum(y) AS np
+       |       FROM lab GROUP BY 1),
+       |rk AS (SELECT s, n, np, sum(n) OVER (ORDER BY s) AS cum FROM ps),
+       |agg AS (SELECT sum(np * (2 * cum - n + 1)) AS s2, sum(np) AS n1,
+       |          sum(n) AS nn FROM rk)
+       |SELECT CAST(n1 AS BIGINT) AS n_pos, CAST(nn - n1 AS BIGINT) AS n_neg,
+       |  round(CASE WHEN n1 > 0 AND nn > n1
+       |    THEN (s2 / 2.0 - n1 * (n1 + 1) / 2.0) / (n1 * (nn - n1)) END, 6) AS auc
+       |FROM agg""".stripMargin
+  }
 
   /** Curriculum ranking: every doc's global quality rank (1 = best)
     * and decile tier — the "order the corpus by quality and bin it"
@@ -2630,6 +2696,7 @@ object TextQueries {
     "tx_clf_auc" -> ((clfAuc _, Some(clfAucOracle))),
     "tx_clf_pr" -> ((clfPr _, Some(clfPrOracle))),
     "tx_clf_calibration" -> ((clfCalibration _, Some(clfCalibrationOracle))),
+    "tx_clf_holdout" -> ((clfHoldout _, Some(clfHoldoutOracle))),
     "tx_rank_deciles" -> ((rankDeciles _, Some(rankDecilesOracle))),
     "tx_corpus_diff" -> ((corpusDiff _, Some(corpusDiffOracle))),
     "tx_incremental" -> ((incremental _, Some(incrementalOracle))),

@@ -2109,6 +2109,35 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("clf holdout: held-out AUC <= training-set AUC on a separable fixture") {
+    // 30 docs, two separable vocabularies plus per-doc noise tokens;
+    // the md5 unit-hash split (the tx_clf_holdout rule) puts both
+    // classes on both sides of the 0.8 boundary for these ids
+    val d = (1L to 30L).map { i =>
+      if (i % 2 == 0) (i, s"the cat and the dog sat in the house n$i x$i", "en")
+      else (i, s"der hund und die katze ist in dem haus n$i x$i", "de")
+    }.toDF("doc_id", "text", "lang")
+    val isTrain = graft.ops.Sampling.unitHash(col("doc_id")) < 0.8
+    val train = d.filter(isTrain)
+    val hold = d.filter(!isTrain)
+    assert(train.filter(col("lang") === "en").count() > 0 &&
+      train.filter(col("lang") === "de").count() > 0 &&
+      hold.filter(col("lang") === "en").count() > 0 &&
+      hold.filter(col("lang") === "de").count() > 0,
+      "fixture must have both classes on both sides of the split")
+    val model = TextAnalysis.trainLogistic(train, col("lang") === "en")
+    def auc(part: org.apache.spark.sql.DataFrame): Double =
+      graft.ops.Eval.aucBinary(
+          TextAnalysis.scoreWithClfModel(part, model)
+            .join(part.select(col("doc_id"), col("lang")), Seq("doc_id")),
+          col("lang") === "en")
+        .collect().head.getAs[Double]("auc")
+    val (trainAuc, holdAuc) = (auc(train), auc(hold))
+    assert(trainAuc > 0.9, s"fixture must be separable on the train half: $trainAuc")
+    assert(holdAuc <= trainAuc,
+      s"held-out AUC $holdAuc must not exceed training-set AUC $trainAuc")
+  }
+
   test("chunkSliding: overlap, ragged tail, short and empty docs") {
     val d = Seq(
       (1L, (1 to 11).map(i => s"t$i").mkString(" ")), // 11 tokens
