@@ -8,10 +8,19 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, decoded/feature-extracted per partition.
   *
   * The Spark-side contract (schema, partition-iterator batching, feature
-  * schema) is real and tested. IMAGE decode is real ([[ImageIoDecoder]],
-  * JDK `javax.imageio` — no new dependency); audio/video codecs are not
-  * in this container, so those mimes fall back to a deterministic fake
-  * behind the same [[MediaDecoder]] seam — the disclosed remaining stub.
+  * schema) is real and tested, and most decode paths are REAL pure-JDK
+  * parses (see [[JdkMediaDecoder]]): images via `javax.imageio`
+  * (PNG/GIF/BMP/JPEG), WAV audio via `javax.sound.sampled`, MP3
+  * frame-header and MP4 (ISO BMFF) container metadata via plain
+  * big-endian walks, MJPEG frame sampling via the stsz/stco sample
+  * tables + ImageIO. The one remaining stub is inter-frame video PIXEL
+  * decode (H.264-class — no codec ships with the JDK): those mimes,
+  * and anything unrecognized, fall to [[DeterministicFakeDecoder]]
+  * behind the same [[MediaDecoder]] seam. Every [[MediaFeatures]] row
+  * carries `decoder` PROVENANCE naming the decoder that actually
+  * produced it, so fake-featured rows are filterable downstream
+  * (`decoder != "fake"`) instead of silently trusted — at 100 TB a
+  * gate must be able to drop synthetic features mechanically.
   * Swapping in further codecs is a one-class change, no plan logic.
   *
   * Scale notes: binaries stay columnar in parquet; decode runs
@@ -29,7 +38,34 @@ object Multimodal {
       width: Int,
       height: Int,
       n_frames: Int,
-      feature: Array[Float])
+      feature: Array[Float],
+      decoder: String)
+
+  private val Mp3Mimes = Set("audio/mpeg", "audio/mp3", "audio/x-mpeg-3")
+  private val WavMimes = Set("audio/wav", "audio/x-wav", "audio/wave")
+  private val Mp4Mimes = Set("video/mp4", "video/quicktime")
+
+  /** The decoder name [[JdkMediaDecoder]] will route `mime` to — the
+    * single source of truth for decoder provenance. `decoderCol` is
+    * the Column mirror for query-side planning (MultimodalSpec pins
+    * the two against each other and against the actual rows, so the
+    * mapping cannot fork). */
+  def plannedDecoder(mime: String): String =
+    if (mime == null) "fake"
+    else if (mime.startsWith("image/")) "imageio"
+    else if (Mp3Mimes(mime)) "mp3-meta"
+    else if (WavMimes(mime)) "wav"
+    else if (Mp4Mimes(mime)) "mp4-meta"
+    else "fake"
+
+  /** Column mirror of [[plannedDecoder]]. */
+  def decoderCol(mime: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(mime.isNull, "fake")
+      .when(mime.startsWith("image/"), "imageio")
+      .when(mime.isin(Mp3Mimes.toSeq: _*), "mp3-meta")
+      .when(mime.isin(WavMimes.toSeq: _*), "wav")
+      .when(mime.isin(Mp4Mimes.toSeq: _*), "mp4-meta")
+      .otherwise("fake")
 
   /** Decoder boundary. Real implementations (JPEG via ImageIO, audio
     * via javax.sound, frames via jcodec/ffmpeg) plug in here. */
@@ -55,7 +91,8 @@ object Multimodal {
         width = ((h % 16) + 1).toInt * 64,
         height = (((h >> 4) % 16) + 1).toInt * 64,
         n_frames = len / 256 + 1,
-        feature = feat)
+        feature = feat,
+        decoder = "fake")
     }
   }
 
@@ -83,7 +120,8 @@ object Multimodal {
         catch { case _: Exception => null }
       if (img == null)
         return MediaFeatures(id, mime, bytes.length.toLong,
-          width = -1, height = -1, n_frames = 0, feature = new Array[Float](8))
+          width = -1, height = -1, n_frames = 0, feature = new Array[Float](8),
+          decoder = "imageio")
       val (w, h) = (img.getWidth, img.getHeight)
       val hist = new Array[Long](8)
       var y = 0
@@ -100,7 +138,7 @@ object Multimodal {
       }
       val n = (w.toLong * h).toFloat
       MediaFeatures(id, mime, bytes.length.toLong, w, h, n_frames = 1,
-        feature = hist.map(_ / n))
+        feature = hist.map(_ / n), decoder = "imageio")
     }
   }
 
@@ -114,10 +152,9 @@ object Multimodal {
     * or a corrupt payload — yields the same filterable sentinel as
     * [[ImageIoDecoder]] (width = -1) rather than killing the task. */
   object WavDecoder extends MediaDecoder {
-    private val WavMimes = Set("audio/wav", "audio/x-wav", "audio/wave")
     private def sentinel(id: Long, mime: String, len: Long) =
       MediaFeatures(id, mime, len, width = -1, height = -1, n_frames = 0,
-        feature = new Array[Float](8))
+        feature = new Array[Float](8), decoder = "wav")
     def decode(id: Long, mime: String, bytes: Array[Byte]): MediaFeatures = {
       if (mime == null || !WavMimes.contains(mime))
         return DeterministicFakeDecoder.decode(id, mime, bytes)
@@ -153,7 +190,7 @@ object Multimodal {
         MediaFeatures(id, mime, bytes.length.toLong,
           width = fmt.getSampleRate.toInt, height = fmt.getChannels,
           n_frames = ais.getFrameLength.toInt,
-          feature = hist.map(_.toFloat / count))
+          feature = hist.map(_.toFloat / count), decoder = "wav")
       } catch { case _: Exception => sentinel(id, mime, bytes.length.toLong) }
     }
   }
@@ -177,7 +214,6 @@ object Multimodal {
     * byte-value histogram (content-derived, like MP4). Non-MP3 mimes →
     * the fake; no parseable frame → the filterable width=-1 sentinel. */
   object Mp3MetaDecoder extends MediaDecoder {
-    private val Mp3Mimes = Set("audio/mpeg", "audio/mp3", "audio/x-mpeg-3")
     // sample-rate tables by version bits (0=MPEG2.5, 2=MPEG2, 3=MPEG1)
     private val Rates = Map(
       3 -> Array(44100, 48000, 32000),
@@ -193,7 +229,8 @@ object Multimodal {
       if (mime == null || !Mp3Mimes.contains(mime))
         return DeterministicFakeDecoder.decode(id, mime, bytes)
       val sentinel = MediaFeatures(id, mime, bytes.length.toLong,
-        width = -1, height = -1, n_frames = 0, feature = new Array[Float](8))
+        width = -1, height = -1, n_frames = 0, feature = new Array[Float](8),
+        decoder = "mp3-meta")
       try {
         val len = bytes.length
         var off = 0
@@ -245,7 +282,7 @@ object Multimodal {
         bytes.foreach(b => hist((b & 0xff) >> 5) += 1)
         MediaFeatures(id, mime, bytes.length.toLong, width = rate,
           height = channels, n_frames = frames,
-          feature = hist.map(_.toFloat / bytes.length))
+          feature = hist.map(_.toFloat / bytes.length), decoder = "mp3-meta")
       } catch { case _: Exception => sentinel }
     }
   }
@@ -272,7 +309,8 @@ object Multimodal {
 
     def decode(id: Long, mime: String, bytes: Array[Byte]): MediaFeatures = {
       val sentinel = MediaFeatures(id, mime, bytes.length.toLong,
-        width = -1, height = -1, n_frames = 0, feature = new Array[Float](8))
+        width = -1, height = -1, n_frames = 0, feature = new Array[Float](8),
+        decoder = "mp4-meta")
       if (mime != "video/mp4" && mime != "video/quicktime") return sentinel
       var width = 0
       var height = 0
@@ -312,7 +350,8 @@ object Multimodal {
         val hist = new Array[Long](8)
         bytes.foreach(b => hist((b & 0xff) >> 5) += 1)
         MediaFeatures(id, mime, bytes.length.toLong, width, height,
-          n_frames = frames, feature = hist.map(_.toFloat / bytes.length))
+          n_frames = frames, feature = hist.map(_.toFloat / bytes.length),
+          decoder = "mp4-meta")
       } catch { case _: Exception => sentinel }
     }
   }
@@ -447,7 +486,7 @@ object Multimodal {
             ImageIoDecoder.decode(id, "image/jpeg",
               java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + len))
           else MediaFeatures(id, mime, bytes.length.toLong, -1, -1, 0,
-            new Array[Float](8))
+            new Array[Float](8), decoder = "imageio")
         FrameFeatures(id, fi, f.width, f.height, f.feature)
       }
     }
@@ -729,17 +768,14 @@ object Multimodal {
     * stub, as no video codec ships with the JDK), the deterministic
     * fake for everything else. */
   object JdkMediaDecoder extends MediaDecoder {
-    private val Mp3Mimes = Set("audio/mpeg", "audio/mp3", "audio/x-mpeg-3")
     def decode(id: Long, mime: String, bytes: Array[Byte]): MediaFeatures =
-      if (mime != null && mime.startsWith("image/"))
-        ImageIoDecoder.decode(id, mime, bytes)
-      else if (mime != null && Mp3Mimes.contains(mime))
-        Mp3MetaDecoder.decode(id, mime, bytes)
-      else if (mime != null && mime.startsWith("audio/"))
-        WavDecoder.decode(id, mime, bytes)
-      else if (mime == "video/mp4" || mime == "video/quicktime")
-        Mp4MetaDecoder.decode(id, mime, bytes)
-      else DeterministicFakeDecoder.decode(id, mime, bytes)
+      plannedDecoder(mime) match {
+        case "imageio"  => ImageIoDecoder.decode(id, mime, bytes)
+        case "mp3-meta" => Mp3MetaDecoder.decode(id, mime, bytes)
+        case "wav"      => WavDecoder.decode(id, mime, bytes)
+        case "mp4-meta" => Mp4MetaDecoder.decode(id, mime, bytes)
+        case _          => DeterministicFakeDecoder.decode(id, mime, bytes)
+      }
   }
 
   /** Attach a synthetic media column to any (id, text) frame — binary

@@ -2641,8 +2641,12 @@ object TextQueries {
       |  CAST(sum(n) AS BIGINT) AS n_tokens
       |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** Multimodal plumbing profile: binary payload + typed metadata
-    * (decode path itself is exercised in MultimodalSpec). */
+  /** Multimodal plumbing profile: binary payload + typed metadata,
+    * plus the DECODER each row will route to ([[graft.ops.Multimodal
+    * .plannedDecoder]] provenance — synthetic-feature rows are
+    * filterable by `decoder = 'fake'`; the decode paths themselves are
+    * exercised in MultimodalSpec, which also pins the Column mirror
+    * used here against the Scala dispatch). */
   def mediaMeta(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Multimodal.withSyntheticMedia(docs(spark, dir))
       .select(col("media_id"), col("meta.mime").as("mime"),
@@ -2651,7 +2655,8 @@ object TextQueries {
         // one chunk (a floor+1 formula disagreed with the actual chunk
         // rows for payloads that are exact multiples of the chunk size)
         greatest(ceil(col("meta.byte_len") / 256.0), lit(1))
-          .cast("int").as("n_chunks"))
+          .cast("int").as("n_chunks"),
+        graft.ops.Multimodal.decoderCol(col("meta.mime")).as("decoder"))
       .transform(QueryUtil.ordered("media_id"))
 
   val mediaMetaOracle: String =
@@ -2660,7 +2665,10 @@ object TextQueries {
       |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
       |       ELSE 'video/mp4' END AS mime,
       |  CAST(n_chars AS BIGINT) AS byte_len,
-      |  CAST(greatest((n_chars + 255) // 256, 1) AS INTEGER) AS n_chunks
+      |  CAST(greatest((n_chars + 255) // 256, 1) AS INTEGER) AS n_chunks,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'imageio'
+      |       WHEN doc_id % 3 = 1 THEN 'wav'
+      |       ELSE 'mp4-meta' END AS decoder
       |FROM documents ORDER BY media_id""".stripMargin
 
   /** Media chunk profile: every blob as fixed-size chunk rows — the

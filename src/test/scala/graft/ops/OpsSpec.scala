@@ -666,6 +666,45 @@ class OpsSpec extends SparkSpec {
     assert(webm.width == fake.width && webm.feature.toSeq == fake.feature.toSeq)
   }
 
+  test("multimodal: decoder provenance — rows name their real decoder, fakes are flagged, Column mirror agrees") {
+    // the mirror guard: plannedDecoder (Scala dispatch truth) vs
+    // decoderCol (query-side Column mirror) vs the decoder name the
+    // actual decode row carries — all three must agree per mime class
+    val probes = Seq("image/png", "image/jpeg", "audio/wav", "audio/x-wav",
+      "audio/mpeg", "audio/mp3", "audio/ogg", "video/mp4",
+      "video/quicktime", "video/webm", "application/octet-stream", null)
+    val mirror = probes.toDF("mime")
+      .select(col("mime"), Multimodal.decoderCol(col("mime")).as("d"))
+      .collect().map(r => Option(r.getString(0)).orNull -> r.getString(1)).toMap
+    probes.foreach { m =>
+      assert(mirror(m) == Multimodal.plannedDecoder(m),
+        s"decoderCol and plannedDecoder fork on $m")
+    }
+    // actual rows carry the planned name — including sentinel rows
+    // (provenance says who TRIED), and fake-decoded rows are "fake"
+    val wav = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/tiny.wav").toURI))
+    val png = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/tiny.png").toURI))
+    assert(Multimodal.JdkMediaDecoder.decode(1L, "image/png", png).decoder == "imageio")
+    assert(Multimodal.JdkMediaDecoder.decode(2L, "audio/wav", wav).decoder == "wav")
+    assert(Multimodal.JdkMediaDecoder.decode(3L, "video/mp4", "x".getBytes).decoder == "mp4-meta")
+    assert(Multimodal.JdkMediaDecoder.decode(4L, "video/webm", "x".getBytes).decoder == "fake",
+      "an inter-frame-codec mime must be FLAGGED as fake-decoded")
+    assert(Multimodal.JdkMediaDecoder.decode(5L, null, "x".getBytes).decoder == "fake")
+    // end-to-end: a mixed frame through extractFeatures is filterable
+    val media = Seq(
+        (1L, png, "image/png"), (2L, wav, "audio/wav"),
+        (3L, "vid".getBytes, "video/webm"))
+      .toDF("media_id", "payload", "mime")
+      .select(col("media_id"), col("payload"),
+        struct(col("mime"), octet_length(col("payload")).cast("long")
+          .as("byte_len")).as("meta"))
+    val feats = Multimodal.extractFeatures(media, Multimodal.JdkMediaDecoder)
+      .collect().map(f => f.media_id -> f.decoder).toMap
+    assert(feats == Map(1L -> "imageio", 2L -> "wav", 3L -> "fake"))
+  }
+
   test("multimodal: Mp3MetaDecoder reads true rate/channels/frames from frame headers") {
     // committed 2,243-byte fixture: ID3v2 tag (30 B, syncsafe-skipped)
     // + 5 CBR frames (MPEG1 Layer III, 128 kbps, 44.1 kHz, joint
