@@ -25,6 +25,7 @@ case class EtlConfig(
     filterServices: Seq[String] = Seq.empty,
     redactKeys: Seq[String] = Seq.empty,
     transforms: Seq[String] = Seq("filter_redact"),
+    curationConfig: String = "",
     maxWorkers: Int = 4,
     queueSize: Int = 128,
     sinkMaxRetries: Int = 3,
@@ -65,6 +66,8 @@ object EtlConfig {
     filterServices = if (o.filterServices.nonEmpty) o.filterServices else base.filterServices,
     redactKeys = if (o.redactKeys.nonEmpty) o.redactKeys else base.redactKeys,
     transforms = if (o.transforms.nonEmpty) o.transforms else base.transforms,
+    curationConfig =
+      if (o.curationConfig.nonEmpty) o.curationConfig else base.curationConfig,
     maxWorkers = if (o.maxWorkers > 0) o.maxWorkers else base.maxWorkers,
     queueSize = if (o.queueSize > 0) o.queueSize else base.queueSize,
     sinkMaxRetries = if (o.sinkMaxRetries > 0) o.sinkMaxRetries else base.sinkMaxRetries,
@@ -113,6 +116,7 @@ object EtlConfig {
       filterServices = list("ETL_FILTER_SERVICES", base.filterServices),
       redactKeys = list("ETL_REDACT_KEYS", base.redactKeys),
       transforms = list("ETL_TRANSFORMS", base.transforms),
+      curationConfig = s("ETL_CURATION_CONFIG", base.curationConfig),
       batchSize = i("ETL_BATCH_SIZE", base.batchSize),
       batchFlushIntervalMs = i("ETL_BATCH_FLUSH_INTERVAL_MS", base.batchFlushIntervalMs),
       shutdownTimeoutSeconds = i("ETL_SHUTDOWN_TIMEOUT_SECONDS", base.shutdownTimeoutSeconds),
@@ -213,6 +217,7 @@ object EtlConfig {
       filterServices = list("filter_services", z.filterServices),
       redactKeys = list("redact_keys", z.redactKeys),
       transforms = list("transforms", z.transforms),
+      curationConfig = s("curation_config", z.curationConfig),
       maxWorkers = i("max_workers", z.maxWorkers),
       queueSize = i("queue_size", z.queueSize),
       sinkMaxRetries = i("sink_max_retries", z.sinkMaxRetries),

@@ -100,6 +100,57 @@ object Pipeline {
     result
   }
 
+  /** Config-driven corpus curation from the CLI (`--curation-config
+    * stages.yaml`): the curation registry
+    * ([[graft.ops.CurationPipeline]]) applied to a documents table —
+    * the reference's config-file-driven transform chain
+    * (`internal/plugins/registry.go:26-28`, the config `transforms`
+    * list) scaled from log records to corpus curation. Input `jsonl`
+    * (schema inferred) or `parquet`; output parquet
+    * (`output_type=parquet`) or single-file JSONL (streamed through
+    * `toLocalIterator`, never collected). Returns (docs_in, docs_out).
+    * Config-shape errors come back Left BEFORE any Spark job runs. */
+  def runCuration(spark: SparkSession, cfg: EtlConfig)
+      : Either[String, (Long, Long)] = {
+    if (cfg.outputPath.isEmpty)
+      return Left("curation mode requires --output")
+    val cfgText =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(cfg.curationConfig)), "UTF-8")
+      catch { case e: Exception =>
+        return Left(s"read ${cfg.curationConfig}: ${e.getMessage}") }
+    graft.ops.CurationPipeline.parseStages(cfgText)
+      .left.map(e => s"curation config: $e").flatMap { stages =>
+      val docs = cfg.inputFormat match {
+        case "parquet" => spark.read.parquet(cfg.inputPath)
+        case _ => spark.read.json(cfg.inputPath)
+      }
+      val missing = Seq("doc_id", "text").filterNot(docs.columns.contains)
+      if (missing.nonEmpty)
+        Left(s"curation input lacks column(s) ${missing.mkString(", ")} " +
+          s"(found: ${docs.columns.sorted.mkString(", ")})")
+      else {
+        val nIn = docs.count()
+        val out = graft.ops.CurationPipeline(docs, stages)
+        val nOut =
+          if (cfg.outputType == "parquet") {
+            out.write.mode("overwrite").parquet(cfg.outputPath)
+            spark.read.parquet(cfg.outputPath).count()
+          } else {
+            val w = new java.io.PrintWriter(new java.io.BufferedWriter(
+              new java.io.FileWriter(cfg.outputPath)))
+            try {
+              val it = out.toJSON.toLocalIterator()
+              var n = 0L
+              while (it.hasNext) { w.println(it.next()); n += 1 }
+              n
+            } finally w.close()
+          }
+        Right((nIn, nOut))
+      }
+    }
+  }
+
   /** The human summary printed after a run (`main.go:166-208`). */
   def summary(r: EtlReport): String = {
     val sb = new StringBuilder
@@ -155,6 +206,22 @@ object Main {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       cfg = cfg.copy(inputPath = tmp.toString)
     }
+    // curation mode: --curation-config stages.yaml runs the corpus
+    // curation registry instead of the log pipeline
+    if (cfg.curationConfig.nonEmpty) {
+      Pipeline.runCuration(spark, cfg) match {
+        case Right((nIn, nOut)) =>
+          println(s"Curation: $nIn docs in, $nOut docs out -> ${cfg.outputPath}")
+        case Left(e) =>
+          System.err.println(e); spark.stop()
+          // config-shape errors (bad stages file, missing output) are
+          // validation failures → 2, like the reference's config errors
+          sys.exit(if (e.startsWith("curation config:") ||
+            e.contains("requires --output")) 2 else 1)
+      }
+      spark.stop()
+      return
+    }
     Pipeline.runFile(spark, cfg) match {
       case Right(res) => print(Pipeline.summary(res.report))
       case Left(e) => System.err.println(e); sys.exit(1)
@@ -194,6 +261,7 @@ object Main {
       filterServices = f.get("filter-services").map(EtlConfig.parseList).getOrElse(z.filterServices),
       redactKeys = f.get("redact-keys").map(EtlConfig.parseList).getOrElse(z.redactKeys),
       transforms = f.get("transforms").map(EtlConfig.parseList).getOrElse(z.transforms),
+      curationConfig = f.getOrElse("curation-config", z.curationConfig),
       maxWorkers = f.get("max-workers").flatMap(v => Try(v.toInt).toOption).getOrElse(z.maxWorkers),
       batchSize = f.get("batch-size").flatMap(v => Try(v.toInt).toOption).getOrElse(z.batchSize),
       sinkMaxRetries = f.get("sink-max-retries").flatMap(v => Try(v.toInt).toOption).getOrElse(z.sinkMaxRetries))

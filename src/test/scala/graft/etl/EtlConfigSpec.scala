@@ -111,4 +111,24 @@ class EtlConfigSpec extends AnyFunSuite {
     assert(err.contains("output_path is required when output_type is file or rotate"))
     assert(EtlConfig.validate(EtlConfig.default).isRight)
   }
+
+  test("curation_config: default off, file/env/merge precedence chain") {
+    assert(EtlConfig.default.curationConfig.isEmpty)
+    // file key
+    val dir = java.nio.file.Files.createTempDirectory("cfg").toString
+    val p = s"$dir/c.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+      """{"curation_config": "stages.yaml"}""")
+    assert(EtlConfig.load(p).toOption.get.curationConfig == "stages.yaml")
+    // env override beats file (the fromEnv layer runs after file merge)
+    val envd = EtlConfig.fromEnv(EtlConfig.default.copy(
+        curationConfig = "from-file.yaml"),
+      Map("ETL_CURATION_CONFIG" -> "from-env.yaml"))
+    assert(envd.curationConfig == "from-env.yaml")
+    // merge: non-empty override wins, empty preserves base
+    val base = EtlConfig.default.copy(curationConfig = "base.yaml")
+    assert(EtlConfig.merge(base, EtlConfig.zero).curationConfig == "base.yaml")
+    assert(EtlConfig.merge(base, EtlConfig.zero.copy(
+      curationConfig = "flag.yaml")).curationConfig == "flag.yaml")
+  }
 }

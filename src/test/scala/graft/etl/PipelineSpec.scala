@@ -54,6 +54,55 @@ class PipelineSpec extends SparkSpec {
     assert(rep.trim.startsWith("{") && rep.contains("\"total_lines\": 6"))
   }
 
+  test("curation mode: 3-stage config file drives the curation registry end-to-end") {
+    val dir = java.nio.file.Files.createTempDirectory("cur-it").toString
+    // corpus: shared boilerplate line across two docs, one too-short doc
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/docs.jsonl"),
+      Seq(
+        """{"doc_id":1,"text":"Hello  World\nshared boilerplate","lang":"en"}""",
+        """{"doc_id":2,"text":"another doc here\nshared boilerplate","lang":"en"}""",
+        """{"doc_id":3,"text":"tiny","lang":"en"}""").mkString("\n"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/stages.yaml"),
+      """stages:
+        |# drop corpus-repeated lines, then normalize, then gate length
+        |  - line_dedup max_occurrences=1
+        |  - canonicalize
+        |  - length_gate min_tokens=2
+        |""".stripMargin)
+    val cfg = EtlConfig.default.copy(
+      inputPath = s"$dir/docs.jsonl",
+      outputPath = s"$dir/out.jsonl",
+      curationConfig = s"$dir/stages.yaml")
+    val res = Pipeline.runCuration(spark, cfg)
+    assert(res == Right((3L, 2L)), res)
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(s"$dir/out.jsonl"))
+    assert(lines.size == 2)
+    val byId = lines.toArray.map(_.toString).map { l =>
+      val id = "\"doc_id\":(\\d+)".r.findFirstMatchIn(l).get.group(1).toLong
+      id -> l
+    }.toMap
+    // boilerplate line deduped away, text canonicalized, passthrough
+    // column (lang) survives the dedup rejoin
+    assert(byId(1L).contains("\"text\":\"hello world\""), byId(1L))
+    assert(byId(2L).contains("\"text\":\"another doc here\""), byId(2L))
+    assert(!byId.contains(3L), "the 1-token doc must be gated out")
+    assert(byId.values.forall(_.contains("\"lang\":\"en\"")))
+    // config-shape errors are Left before any job runs
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/bad.yaml"), "not-stages:\n- x\n")
+    val bad = Pipeline.runCuration(spark,
+      cfg.copy(curationConfig = s"$dir/bad.yaml"))
+    assert(bad.isLeft && bad.left.toOption.get.startsWith("curation config:"), bad)
+    // unknown stage name is a hard error naming the registry
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/unk.yaml"), "stages:\n  - nope\n")
+    val unk = intercept[IllegalArgumentException] {
+      Pipeline.runCuration(spark, cfg.copy(curationConfig = s"$dir/unk.yaml"))
+    }
+    assert(unk.getMessage.contains("unknown curation stage"))
+  }
+
   test("golden: rendered report bytes match the reference renderer exactly") {
     // The JSON golden is byte-for-byte what Go's json.Encoder
     // (SetIndent "", "  ") emits for report.go's struct on the 6-line
