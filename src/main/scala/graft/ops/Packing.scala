@@ -40,13 +40,24 @@ object Packing {
     * is each doc's GLOBAL exclusive token prefix (tokens before its
     * first token, `startOffset` included). */
   private def withGlobalPrefix(docs: DataFrame, idCol: String,
-      textCol: String, bucketWidth: Long, startOffset: Long): DataFrame = {
+      textCol: String, bucketWidth: Long, startOffset: Long): DataFrame =
+    withGlobalPrefixFromCounts(
+      docs.select(col(idCol),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens")),
+      idCol, bucketWidth, startOffset)
+
+  /** [[withGlobalPrefix]] over a precomputed `(idCol, n_tokens)` frame
+    * — the narrow-stats path ([[Release.incrementalManifest]] carries
+    * per-doc stats across releases, so assignment math reruns with NO
+    * text scan; identical results by construction). */
+  private[ops] def withGlobalPrefixFromCounts(counts: DataFrame,
+      idCol: String, bucketWidth: Long, startOffset: Long): DataFrame = {
     // narrow (id, count, bucket) frame persisted: both the per-bucket
     // window and the offsets agg read it — without the persist each
     // plans its OWN corpus scan + tokenize (verified in docs/PLANS.md
     // history), i.e. the whole input twice for a layout job
-    val base = Dedup.persistTracked(docs.select(col(idCol),
-        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val base = Dedup.persistTracked(counts
+      .select(col(idCol), col("n_tokens").cast("long").as("n_tokens"))
       .withColumn("_bkt", floor(col(idCol) / bucketWidth)))
     val within = base.withColumn("_wcum",
       sum(col("n_tokens")).over(Window.partitionBy(col("_bkt"))
@@ -68,6 +79,17 @@ object Packing {
       bucketWidth: Long = 100000L, startOffset: Long = 0L): DataFrame = {
     require(budget > 0 && bucketWidth > 0 && startOffset >= 0)
     withGlobalPrefix(docs, idCol, textCol, bucketWidth, startOffset)
+      .select(col(idCol), col("n_tokens"),
+        floor(col("_gp").cast("double") / budget).cast("long").as("shard"))
+  }
+
+  /** [[packByTokenBudget]] from a precomputed `(idCol, n_tokens)`
+    * frame: no tokenize, no text scan — same assignment. */
+  def packFromCounts(counts: DataFrame, budget: Long,
+      idCol: String = "doc_id", bucketWidth: Long = 100000L,
+      startOffset: Long = 0L): DataFrame = {
+    require(budget > 0 && bucketWidth > 0 && startOffset >= 0)
+    withGlobalPrefixFromCounts(counts, idCol, bucketWidth, startOffset)
       .select(col(idCol), col("n_tokens"),
         floor(col("_gp").cast("double") / budget).cast("long").as("shard"))
   }

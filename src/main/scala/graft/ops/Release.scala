@@ -44,6 +44,59 @@ object Release {
       Packing.packByTokenBudget(docs, budget, idCol, textCol),
       idCol, textCol)
 
+  /** Per-doc release stats `(idCol, n_tokens, _fp)` — ONE text scan
+    * producing everything [[manifest]] needs from a document: its
+    * token count (assignment math) and its content fingerprint
+    * (checksum). Materialize this at release time and the NEXT
+    * release's manifest costs text reads over the corpus DELTA only
+    * ([[incrementalManifest]]). */
+  def docStats(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+      TextAnalysis.md5Low64(concat(col(idCol).cast("string"), lit("|"),
+        coalesce(col(textCol), lit("")))).as("_fp"))
+
+  /** [[manifest]] from a precomputed stats frame: the prefix-sum
+    * assignment reruns over `(id, n_tokens)` and the rollup XORs the
+    * carried fingerprints — identical output to a full repack, zero
+    * text reads. */
+  def manifestFromStats(stats: DataFrame, budget: Long,
+      idCol: String = "doc_id"): DataFrame =
+    Packing.packFromCounts(stats.select(col(idCol), col("n_tokens")),
+        budget, idCol)
+      .join(stats.select(col(idCol), col("_fp")), Seq(idCol))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        expr("bit_xor(_fp)").as("content_hash"))
+
+  /** Incremental release manifest: given corpus v1, its materialized
+    * [[docStats]], and corpus v2, produce v2's manifest EQUAL to a
+    * full repack (`manifest(v2, budget)`) while reading text for the
+    * v1→v2 DELTA only — [[Versioning.incrementalApply]] diffs the two
+    * versions by whole-row fingerprint, reuses v1's per-doc stats for
+    * unchanged docs, recomputes `added ∪ changed` and drops `removed`
+    * (delta-only contract enforced there); the manifest then rolls up
+    * from the narrow stats frame. At a daily 1% crawl delta this is
+    * 1% of the tokenize/fingerprint compute plus a stats-sized
+    * (≤ 24 B/doc) rollup, instead of a full-corpus text pass.
+    *
+    * Deliberately NOT a per-shard XOR subtract-and-add against the
+    * stored manifest: under prefix-sum packing a single changed token
+    * COUNT shifts the assignment of every later doc, so "update only
+    * the shards containing changed docs" is unsound in general — the
+    * algebra only balances when token counts are unchanged, and a
+    * correctness contract that holds "usually" is not one. The
+    * carried-stats form is exact for every delta shape. */
+  def incrementalManifest(v1: DataFrame, v1Stats: DataFrame, v2: DataFrame,
+      budget: Long, idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame =
+    manifestFromStats(
+      Versioning.incrementalApply(v1, v1Stats, v2,
+        docStats(_, idCol, textCol), idCol),
+      budget, idCol)
+
   /** Write the shards (parquet partitioned by `shard=`) and the
     * manifest next to them; returns the manifest. A reader verifies a
     * delivery by recomputing [[verifyShards]] against the stored

@@ -67,17 +67,22 @@ object Versioning {
       transform: DataFrame => DataFrame, idCol: String = "doc_id")
       : DataFrame = {
     // whole-row fingerprint (canonical column order, which v1 must
-    // share): nulls coalesce to a sentinel BEFORE the U+0001-joined
-    // concat — both xxhash64 and concat_ws silently SKIP nulls, which
-    // would let a value sliding between columns evade detection
+    // share): each column contributes TWO hash children in fixed
+    // order — a never-null null-flag and the coalesced value. Children
+    // fold into the xxhash64 accumulator as separate steps (no string
+    // concatenation), so a value cannot slide across a column
+    // boundary, and NULL differs from any literal value in the flag.
+    // A separator-joined concat was injectable (a U+0001 inside a
+    // value shifted content between columns) and a bare multi-arg
+    // hash SKIPS null children, aliasing ("a", NULL) with (NULL, "a").
     require(v1.columns.sorted.sameElements(v2.columns.sorted),
       s"v1/v2 schemas differ: ${v1.columns.toSeq} vs ${v2.columns.toSeq}")
     val payload = v2.columns.filter(_ != idCol).sorted.toSeq
     def fp(d: DataFrame, id: String, h: String): DataFrame =
       d.select(col(idCol).as(id),
-        xxhash64(concat_ws("\u0001",
-          payload.map(c => coalesce(col(c).cast("string"),
-            lit("\u0000"))): _*)).as(h))
+        xxhash64(payload.flatMap(c => Seq(
+          col(c).isNull.cast("int"),
+          coalesce(col(c).cast("string"), lit("")))): _*).as(h))
     val diff = Dedup.persistTracked(
       fp(v1, "_id1", "_fp1").join(fp(v2, "_id2", "_fp2"),
           col("_id1") === col("_id2"), "full_outer")

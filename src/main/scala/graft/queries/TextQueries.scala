@@ -2510,6 +2510,35 @@ object TextQueries {
   lazy val releaseManifestOracle: String =
     "WITH " + manifestSqlTail("documents", 10000L)
 
+  /** Incremental release manifest over the planted v1→v2 delta (the
+    * [[incremental]] corpus construction restricted to the columns a
+    * release reads): v1's per-doc stats are carried, only the delta's
+    * text is re-read, and the result must EQUAL a full repack of v2 —
+    * which is exactly what the oracle computes, so the
+    * equals-full-repack contract IS the correctness check. See
+    * [[graft.ops.Release.incrementalManifest]]. */
+  def incrementalRelease(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = docs(spark, dir).select(col("doc_id"), col("text"))
+    val v2 = v1.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionAll(v1.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    graft.ops.Release.incrementalManifest(v1,
+        graft.ops.Release.docStats(v1), v2, budget = 10000L)
+      .transform(QueryUtil.ordered("shard"))
+  }
+
+  lazy val incrementalReleaseOracle: String =
+    """WITH v2 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 7 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 13 = 0),
+      |""".stripMargin + manifestSqlTail("v2", 10000L)
+
   /** Bigram-LM quality scoring (word-order-sensitive — see
     * [[graft.ops.TextAnalysis.bigramLogProb]]). */
   def bigramLogProb(spark: SparkSession, dir: String): DataFrame =
@@ -2717,6 +2746,7 @@ object TextQueries {
     "tx_chunk_sliding" -> ((chunkSliding _, Some(chunkSlidingOracle))),
     "tx_pack_shards" -> ((packShards _, Some(packShardsOracle))),
     "tx_release_manifest" -> ((releaseManifest _, Some(releaseManifestOracle))),
+    "tx_incremental_release" -> ((incrementalRelease _, Some(incrementalReleaseOracle))),
     "tx_tokenizer_probe" -> ((tokenizerProbe _, Some(tokenizerProbeOracle))),
     "tx_line_dedup" -> ((lineDedup _, Some(lineDedupOracle))),
     "tx_para_dedup" -> ((paraDedup _, Some(paraDedupOracle))),

@@ -1944,6 +1944,60 @@ class OpsSpec extends SparkSpec {
       s"metadata-only change must be recomputed, not reused stale: $r")
   }
 
+  test("incrementalApply: fingerprint is injection-proof across column boundaries and null vs literal") {
+    // doc 1: content slides across the column boundary via a U+0001
+    // payload - a U+0001-separator-joined fingerprint read both
+    // versions as the same joined string a\u0001b\u0001c; doc 2: NULL
+    // flips to the literal U+0000 the old scheme used as its null
+    // sentinel. Both MUST be detected as changed and recomputed.
+    val v1 = Seq((1L, "a\u0001b", "c"), (2L, null, "x"))
+      .toDF("doc_id", "text", "lang")
+    val v2 = Seq((1L, "a", "b\u0001c"), (2L, "\u0000", "x"))
+      .toDF("doc_id", "text", "lang")
+    def f(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("doc_id"), coalesce(col("text"), lit("<null>")).as("out"))
+    val r = Versioning.incrementalApply(v1, f(v1), v2, f)
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    Dedup.releaseCaches()
+    assert(r == Map(1L -> "a", 2L -> "\u0000"),
+      s"aliased rows must be detected as changed and recomputed: $r")
+  }
+
+  test("incrementalManifest: equals full repack; text of clean docs provably never read") {
+    val v1 = Seq((1L, "a b c"), (2L, "d e"), (3L, "f g h i"), (4L, "j k"))
+      .toDF("doc_id", "text")
+    // 1 removed, 3 changed (token count changes too — the case where
+    // per-shard XOR subtract-and-add would corrupt later shards),
+    // 5 added; 2 and 4 unchanged
+    val v2 = Seq((2L, "d e"), (3L, "f g h i j k l"), (4L, "j k"),
+      (5L, "m n o")).toDF("doc_id", "text")
+    val budget = 4L
+    val inc = Release.incrementalManifest(v1, Release.docStats(v1), v2, budget)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    Dedup.releaseCaches()
+    val full = Release.manifest(v2, budget)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    Dedup.releaseCaches()
+    assert(inc == full, s"incremental manifest $inc must equal full repack $full")
+    // the delta-only contract, mechanically: stats recompute RAISES on
+    // any doc outside {changed, added} — same guard shape as the
+    // incrementalApply spec, composed through the manifest path
+    def guardedStats(d: org.apache.spark.sql.DataFrame) =
+      Release.docStats(d.select(col("doc_id"),
+        when(col("doc_id").isin(3L, 5L), col("text"))
+          .otherwise(raise_error(concat(lit("read clean doc "),
+            col("doc_id")))).as("text")))
+    val guarded = Release.manifestFromStats(
+      Versioning.incrementalApply(v1, Release.docStats(v1), v2, guardedStats),
+      budget).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    Dedup.releaseCaches()
+    assert(guarded == full,
+      "guarded incremental path must also equal the full repack")
+  }
+
   test("withGlobalRank: equals a driver-side total sort on a shuffled multi-partition frame") {
     val d = spark.range(0, 1000)
       .select((col("id") * 2654435761L % 997).as("v"), col("id"))
