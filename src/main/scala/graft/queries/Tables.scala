@@ -34,8 +34,11 @@ object Tables {
       case _ => df
     }
 
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  /** No accessor-side session mutation: the nanosAsLong flag (needed
+    * only when the driver regenerates events.parquet with NANOS
+    * timestamps) is set at session BUILD in Verify/Bench/the test
+    * session; [[withNormalizedTs]] dispatches on whichever physical
+    * type the scan then produces. */
+  def events(spark: SparkSession, dir: String): DataFrame =
     withNormalizedTs(table(spark, dir, "events"))
-  }
 }

@@ -330,7 +330,8 @@ object StreamingPipeline {
     * (nanos-long or TIMESTAMP_NTZ — see [[graft.queries.Tables]]) plans
     * correctly. */
   def streamingHourly(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // nanosAsLong is a session-build conf (Verify/Bench/test session)
+    // — see graft.queries.Tables; no accessor-side mutation here either
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // FileStreamSource requires a DIRECTORY path; the glob filter keeps
     // the sibling tables of a testdata dir out of the stream
