@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bloom-filter blocklist gate — the scan-side pre-filter for "drop
+  * every document on a known-bad content list" (hash blocklists of
+  * contaminated / copyrighted / NSFW material are standard curation
+  * inputs; the reference's level/service allowlists are the same gate
+  * shape at config scale, `internal/stages/filter.go`).
+  *
+  * Why not a plain anti join: at 100 TB the corpus side of an equi-join
+  * shuffles every row's key — 25 B fingerprints through the wire to
+  * discard 99% of them. The Bloom gate moves the 99%-negative decision
+  * INTO the corpus scan: the blocklist compresses to an m-bit bitset
+  * (driver-built, model-sized like the IVF centroid matrix: ~12 MB for
+  * 10 M entries at 10 bits/entry), rides into the scan as a LITERAL
+  * array of longs, and each row answers "definitely absent" with k
+  * codegen'd element_at probes — zero shuffle, zero join for the
+  * negative mass. Only the bloom-POSITIVE sliver (true hits + the
+  * calibrated false-positive rate) proceeds to the exact equi-join that
+  * confirms or clears it, so the final result is EXACT: bloom placement
+  * affects cost, never semantics.
+  *
+  * Everything is md5-derived, so a SQL oracle replays bit positions,
+  * bitset and membership verdicts exactly — the false positives
+  * included (deterministic: they are a function of the hash family and
+  * m, not of run order).
+  *
+  * Hash family: double hashing (Kirsch–Mitzenmacher) over the signed
+  * low-64 md5 ([[TextAnalysis.md5Low64]], the repo-wide cross-engine
+  * hash): h1 = low 32 bits, h2 = high 32 bits forced odd, position_i =
+  * (h1 + i·h2) mod m for i < k. All intermediates are non-negative
+  * longs, so Spark's `pmod` and the oracle's `%` agree.
+  */
+object Bloom {
+
+  /** k probe positions (each in [0, m)) for one value column. */
+  private[ops] def positions(value: Column, mBits: Int, k: Int): Seq[Column] = {
+    val h = TextAnalysis.md5Low64(value)
+    val h1 = h.bitwiseAND(lit(0xFFFFFFFFL))
+    val h2 = shiftrightunsigned(h, 32).bitwiseOR(lit(1L))
+    (0 until k).map(i => pmod(h1 + lit(i.toLong) * h2, lit(mBits.toLong)))
+  }
+
+  /** Build the bitset over `values(valueCol)` as an Array[Long] of
+    * m/64 words (word w holds bits [64w, 64w+64)). Distributed until
+    * the last step: positions partial-aggregate to ≤ m/64 (word,
+    * bits) rows via bit_or before the driver ever sees them. */
+  def buildBits(values: DataFrame, valueCol: String, mBits: Int,
+      k: Int): Array[Long] = {
+    require(mBits > 0 && mBits % 64 == 0, s"mBits must be a multiple of 64, got $mBits")
+    require(k > 0, s"k must be positive, got $k")
+    val pos = values.select(explode(array(
+        positions(col(valueCol), mBits, k): _*)).as("_p"))
+      .select((col("_p") / 64).cast("long").as("_w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(_p % 64 AS INT))").as("_v"))
+      .groupBy("_w").agg(expr("bit_or(_v)").as("_bits"))
+    val words = new Array[Long](mBits / 64)
+    pos.collect().foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
+    words
+  }
+
+  /** Membership probe against a literal word array: true = "possibly
+    * present" (the k probed bits are all set), false = "definitely
+    * absent". Scan-fused, codegen, no join. */
+  def mightContain(value: Column, words: Array[Long], k: Int): Column = {
+    val wl = typedlit(words.toSeq)
+    positions(value, words.length * 64, k)
+      .map { p =>
+        val word = element_at(wl, (p / 64).cast("int") + 1)
+        // shiftrightunsigned(Column, Int) only — route the columnar
+        // shift count through the SQL form
+        call_function("shiftrightunsigned", word, (p % 64).cast("int"))
+          .bitwiseAND(lit(1L)) === 1L
+      }
+      .reduce(_ && _)
+  }
+
+  /** Gate `df` against a blocklist of values: returns every input row
+    * plus `bloom_candidate` (the scan-side verdict) and `keep` (the
+    * EXACT verdict — false iff `df(valueCol) ∈ blocklist`). Only
+    * bloom-positive rows reach the confirming equi-join; the negative
+    * mass (keep = true, candidate = false) never shuffles. The join is
+    * a plain AQE-splittable equi-join on the value — at blocklist ≫
+    * broadcast size it sort-merges over the candidate SLIVER, not the
+    * corpus. */
+  def gate(df: DataFrame, blocklist: DataFrame, valueCol: String,
+      blockCol: String, mBits: Int = 4096, k: Int = 3): DataFrame = {
+    val words = buildBits(blocklist.select(col(blockCol)).distinct(),
+      blockCol, mBits, k)
+    val flagged = df.withColumn("bloom_candidate",
+      mightContain(col(valueCol), words, k))
+    val negatives = flagged.filter(!col("bloom_candidate"))
+      .withColumn("keep", lit(true))
+    val hits = blocklist.select(col(blockCol).as("_blk")).distinct()
+    val confirmed = flagged.filter(col("bloom_candidate"))
+      .join(hits, col(valueCol) === col("_blk"), "left")
+      .withColumn("keep", col("_blk").isNull)
+      .drop("_blk")
+    negatives.unionByName(confirmed)
+  }
+}

@@ -335,6 +335,47 @@ object TextQueries {
       |FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Bloom-gated hash-blocklist filter ([[graft.ops.Bloom]]): the
+    * corpus gated against a known-bad content-fingerprint list (every
+    * `src3` doc's md5 — the "remove these exact texts wherever they
+    * appear" list). `bloom_candidate` is the scan-side verdict — its
+    * false positives are deterministic (a function of the md5 hash
+    * family and m=4096), so the oracle replays bit positions, bitset
+    * and probes exactly; `keep` is the exact verdict after the
+    * confirming join over the candidate sliver only. */
+  def bloomGate(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val fp = md5(coalesce(col("text"), lit("")).cast("binary"))
+    graft.ops.Bloom.gate(
+        d.select(col("doc_id"), fp.as("_fp")),
+        d.filter(col("source") === "src3").select(fp.as("_fp")),
+        "_fp", "_fp", mBits = 4096, k = 3)
+      .select(col("doc_id"), col("bloom_candidate"), col("keep"))
+      .transform(QueryUtil.ordered("doc_id"))
+  }
+
+  val bloomGateOracle: String =
+    """WITH fp AS (SELECT doc_id, md5(coalesce(text, '')) AS f, source
+      |            FROM documents),
+      |blk AS (SELECT DISTINCT f FROM fp WHERE source = 'src3'),
+      |bh AS (SELECT f, ('0x' || substr(md5(f), 1, 16))::UBIGINT AS u FROM blk),
+      |bbits AS (SELECT DISTINCT
+      |    (CAST(u & 4294967295 AS BIGINT)
+      |     + i * CAST((u >> 32) | 1 AS BIGINT)) % 4096 AS p
+      |  FROM bh, (SELECT unnest([0, 1, 2]) AS i)),
+      |dh AS (SELECT doc_id, f, ('0x' || substr(md5(f), 1, 16))::UBIGINT AS u
+      |       FROM fp),
+      |pos AS (SELECT doc_id,
+      |    (CAST(u & 4294967295 AS BIGINT)
+      |     + i * CAST((u >> 32) | 1 AS BIGINT)) % 4096 AS p
+      |  FROM dh, (SELECT unnest([0, 1, 2]) AS i)),
+      |cand AS (SELECT pos.doc_id, bool_and(b.p IS NOT NULL) AS c
+      |         FROM pos LEFT JOIN bbits b ON pos.p = b.p GROUP BY 1)
+      |SELECT dh.doc_id, cand.c AS bloom_candidate,
+      |  dh.f NOT IN (SELECT f FROM blk) AS keep
+      |FROM dh JOIN cand ON dh.doc_id = cand.doc_id
+      |ORDER BY dh.doc_id""".stripMargin
+
   /** The same clustering through the web-scale star-contraction path
     * ([[Dedup.connectedComponentsStar]], O(log n) rounds) — registered
     * against the IDENTICAL recursive-CTE oracle, so the alternative
@@ -2769,6 +2810,7 @@ object TextQueries {
     "dd_minhash_lsh" -> ((minhashLsh _, Some(minhashLshOracle))),
     "dd_cross_corpus" -> ((crossCorpusMinhash _, Some(crossCorpusMinhashOracle))),
     "dd_decontaminate" -> ((decontaminate _, Some(decontaminateOracle))),
+    "tx_bloom_gate" -> ((bloomGate _, Some(bloomGateOracle))),
     "dd_simhash" -> ((simhashPairs _, Some(simhashOracle))),
     "dd_clusters" -> ((dedupClusters _, Some(dedupClustersOracle))),
     "dd_clusters_star" -> ((dedupClustersStar _, Some(dedupClustersOracle))),

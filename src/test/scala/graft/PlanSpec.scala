@@ -134,18 +134,34 @@ class PlanSpec extends SparkSpec {
       s"corpus-side shuffle join defeats the broadcast design:\n$p")
   }
 
-  test("tx_clf_quality: weights broadcast to the feature frame; no shuffle join, no window") {
-    // the trained weight vector is a numBuckets-sized frame — scoring
-    // must broadcast it against the persisted feature frame (map-side
-    // join + one per-doc aggregation); a sort-merge join or any window
-    // would shuffle the corpus for a 257-row model
+  test("tx_clf_quality: weights ride as a literal map; no join at all, no window") {
+    // the trained weight vector is ≤ numBuckets+1 doubles — scoring
+    // inlines it as a LITERAL map into the per-doc zip_with/aggregate
+    // expression over the persisted feature frame, so the scoring pass
+    // is pure map-side: NO join of any kind (the pre-r9 design
+    // broadcast a 257-row weight frame; the literal is strictly
+    // stronger), and certainly never a corpus shuffle or window
     val p = plan("tx_clf_quality")
-    assert(p.contains("BroadcastHashJoin"),
-      s"weight frame must broadcast:\n$p")
-    assert(!p.contains("SortMergeJoin"),
-      s"corpus-side shuffle join defeats the broadcast design:\n$p")
+    assert(p.contains("element_at(map("),
+      s"weights must be inlined as a literal map lookup:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"scoring must be join-free (weights are a literal):\n$p")
     assert(!p.contains("windowspecdefinition"),
       s"no window belongs in the scoring plan:\n$p")
+  }
+
+  test("tx_bloom_gate: scan-fused literal probes; exactly one join, fed only by bloom candidates") {
+    // the negative mass decides at the scan (k element_at probes into
+    // the literal word array) and never joins; the one equi-join in
+    // the plan confirms the candidate sliver. A second join, a window
+    // or a cartesian means the literal-bitset design regressed.
+    val p = plan("tx_bloom_gate")
+    assert(p.contains("element_at("),
+      s"bitset probes must be inlined literal lookups:\n$p")
+    val joins = countOf(p, "SortMergeJoin") + countOf(p, "BroadcastHashJoin")
+    assert(joins == 1, s"expected exactly one confirming join, got $joins:\n$p")
+    assert(!p.contains("windowspecdefinition") && !p.contains("CartesianProduct"),
+      s"no window / cartesian in the gate plan:\n$p")
   }
 
   test("tx_incremental: reuse is an anti join, recompute a semi join; no window, no shuffle of text") {

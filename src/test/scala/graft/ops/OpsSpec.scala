@@ -2276,6 +2276,44 @@ class OpsSpec extends SparkSpec {
       ("view", "purchase") -> ((1L, 0.5))), s"got $r")
   }
 
+  test("bloom gate: no false negatives; keep is the exact anti-join verdict") {
+    val corpus = (1L to 200L).map(i => (i, s"doc text $i")).toDF("id", "v")
+    val blocked = corpus.filter(col("id") % 7 === 0).select(col("v"))
+    val r = Bloom.gate(corpus, blocked, "v", "v", mBits = 1024, k = 3)
+      .collect().map(x => x.getAs[Long]("id") ->
+        ((x.getAs[Boolean]("bloom_candidate"), x.getAs[Boolean]("keep")))).toMap
+    assert(r.size == 200, "every input row survives with flags")
+    (1L to 200L).foreach { i =>
+      val (cand, keep) = r(i)
+      assert(keep == (i % 7 != 0), s"exact verdict wrong for $i")
+      if (i % 7 == 0) assert(cand, s"false negative: blocked $i not a candidate")
+    }
+  }
+
+  test("bloom gate: false positives at tiny m are confirmed clear by the exact join") {
+    // 64 bits for 28 keys × 3 probes — false positives are certain;
+    // the gate must still return the exact verdict for every row
+    val corpus = (1L to 200L).map(i => (i, s"doc text $i")).toDF("id", "v")
+    val blocked = corpus.filter(col("id") % 7 === 0).select(col("v"))
+    val rows = Bloom.gate(corpus, blocked, "v", "v", mBits = 64, k = 3).collect()
+    val fp = rows.count(x =>
+      x.getAs[Boolean]("bloom_candidate") && x.getAs[Boolean]("keep"))
+    assert(fp > 0, "tiny filter must produce confirmed-clear false positives")
+    rows.foreach { x =>
+      assert(x.getAs[Boolean]("keep") == (x.getAs[Long]("id") % 7 != 0),
+        s"exact verdict wrong for ${x.getAs[Long]("id")}")
+    }
+  }
+
+  test("bloom buildBits: word array bounds and parameter validation") {
+    val vals = Seq("a", "b", "c").toDF("v")
+    val words = Bloom.buildBits(vals, "v", mBits = 128, k = 3)
+    assert(words.length == 2)
+    assert(words.exists(_ != 0L), "some bits must be set")
+    intercept[IllegalArgumentException] { Bloom.buildBits(vals, "v", 100, 3) }
+    intercept[IllegalArgumentException] { Bloom.buildBits(vals, "v", 128, 0) }
+  }
+
   test("asofJoin: a right row with a NULL payload value still wins over older rows") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def t(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
