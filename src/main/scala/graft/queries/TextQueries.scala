@@ -335,6 +335,36 @@ object TextQueries {
       |FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Per-language distinct 5-gram-shingle count via the HyperLogLog
+    * sketch ([[graft.ops.Sketch]]) — the capacity-planning statistic
+    * behind every shingle-keyed dedup index ("how many distinct
+    * shingles will MinHash/LSH hold"), computed without shuffling a
+    * single shingle: map tasks reduce to ≤ 512 (bucket, max-rho)
+    * integers per language. p=9 puts every language in the raw-HLL
+    * regime at all three SFs (3–100k distinct vs the 1280 linear-
+    * counting ceiling). The oracle replays the sketch exactly (md5
+    * buckets, bin()-derived rho, DECIMAL indicator sum), so the
+    * approximate answer is still hash-checked to the last digit. */
+  def distinctHll(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketch.hllDistinct(
+        docs(spark, dir)
+          .withColumn("_tk", TextAnalysis.tokens(col("text")))
+          .select(col("lang"),
+            explode(TextAnalysis.ngramsFromTokens(col("_tk"), 5)).as("v")),
+        Seq("lang"), "v", p = 9)
+      .transform(QueryUtil.ordered("lang"))
+
+  val distinctHllOracle: String =
+    """WITH t AS (SELECT lang, string_split(text, ' ') AS w FROM documents),
+      |tok AS (SELECT lang, unnest(CASE WHEN len(w) >= 5
+      |          THEN list_transform(range(1, len(w) - 3),
+      |                 i -> array_to_string(w[i:i+4], ' '))
+      |          ELSE [] END) AS v
+      |        FROM t),
+      |""".stripMargin +
+      graft.ops.Sketch.hllOracleSql("tok", "lang", 9) +
+      "\nORDER BY lang"
+
   /** Bloom-gated hash-blocklist filter ([[graft.ops.Bloom]]): the
     * corpus gated against a known-bad content-fingerprint list (every
     * `src3` doc's md5 — the "remove these exact texts wherever they
@@ -2811,6 +2841,7 @@ object TextQueries {
     "dd_cross_corpus" -> ((crossCorpusMinhash _, Some(crossCorpusMinhashOracle))),
     "dd_decontaminate" -> ((decontaminate _, Some(decontaminateOracle))),
     "tx_bloom_gate" -> ((bloomGate _, Some(bloomGateOracle))),
+    "tx_distinct_hll" -> ((distinctHll _, Some(distinctHllOracle))),
     "dd_simhash" -> ((simhashPairs _, Some(simhashOracle))),
     "dd_clusters" -> ((dedupClusters _, Some(dedupClustersOracle))),
     "dd_clusters_star" -> ((dedupClustersStar _, Some(dedupClustersOracle))),

@@ -1,0 +1,115 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import graft.ops.{Dedup, Sketch}
+
+/** Streaming HyperLogLog — the summary-carry `foreachBatch` twin of
+  * [[graft.ops.Sketch.hllDistinct]]: a running distinct-count sketch
+  * of a value column per string group over the whole stream, emitted
+  * as a snapshot each batch (the sink replaces its table wholesale).
+  *
+  * The carry is the sketch's own merge algebra: per-bucket max is
+  * associative, commutative and idempotent, so batch N's state =
+  * max(prior state, batch N's [[Sketch.perBucketMax]]) per (group,
+  * bucket) — and idempotence means a checkpoint-REPLAYED batch merges
+  * to the identical state (re-maxing the same rows changes nothing),
+  * the strongest replay guarantee in the streaming family (packing
+  * needs the offsets protocol for this; HLL gets it from algebra).
+  * Snapshot ≡ the batch sketch over the concatenated prefix, exactly.
+  *
+  * State is ≤ groups·m (group, bucket, rho) integers — driver-sized
+  * model state (5 groups × 2^9 = 2,560 rows) in the
+  * [[StreamingPacking]] O(1) file carry: `sketch/batch-N` holds the
+  * merged registers, the predecessor stays for replay, older files
+  * prune. Format: `bucket TAB rho TAB base64(group)` per line.
+  */
+object StreamingSketch {
+
+  private def dir(stateDir: String) =
+    new org.apache.hadoop.fs.Path(s"$stateDir/sketch")
+
+  private def batchFile(stateDir: String, batchId: Long) =
+    new org.apache.hadoop.fs.Path(dir(stateDir), s"batch-$batchId")
+
+  private def fsFor(spark: SparkSession, stateDir: String) =
+    dir(stateDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def readFile(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Seq[(String, Long, Int)] = {
+    val in = fs.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    text.linesIterator.filter(_.nonEmpty).map { line =>
+      val Array(b, r, g64) = line.split("\t", 3)
+      (new String(java.util.Base64.getDecoder.decode(g64),
+        StandardCharsets.UTF_8), b.toLong, r.toInt)
+    }.toSeq
+  }
+
+  private def batchIdOf(p: org.apache.hadoop.fs.Path): Option[Long] = {
+    val n = p.getName
+    if (n.startsWith("batch-")) n.stripPrefix("batch-").toLongOption
+    else None
+  }
+
+  private[streaming] def priorSketch(spark: SparkSession, stateDir: String,
+      batchId: Long): Seq[(String, Long, Int)] = {
+    val fs = fsFor(spark, stateDir)
+    val direct = batchFile(stateDir, batchId - 1)
+    if (fs.exists(direct)) readFile(fs, direct)
+    else if (!fs.exists(dir(stateDir))) Seq.empty
+    else {
+      val ids = fs.listStatus(dir(stateDir)).toSeq
+        .flatMap(s => batchIdOf(s.getPath).map(_ -> s.getPath))
+      val prior = ids.filter(_._1 < batchId)
+      if (prior.nonEmpty) readFile(fs, prior.maxBy(_._1)._2)
+      else if (ids.exists(_._1 > batchId)) throw new IllegalStateException(
+        s"sketch state for batches before $batchId was pruned " +
+          s"(oldest retained: ${ids.map(_._1).min}); only the last " +
+          "uncommitted batch is replayable")
+      else Seq.empty
+    }
+  }
+
+  private def writeSketch(spark: SparkSession, stateDir: String,
+      batchId: Long, rows: Seq[(String, Long, Int)]): Unit = {
+    val fs = fsFor(spark, stateDir)
+    val out = fs.create(batchFile(stateDir, batchId), true)
+    try rows.foreach { case (g, b, r) =>
+      val g64 = java.util.Base64.getEncoder
+        .encodeToString(g.getBytes(StandardCharsets.UTF_8))
+      out.write(s"$b\t$r\t$g64\n".getBytes(StandardCharsets.UTF_8))
+    } finally out.close()
+    fs.listStatus(dir(stateDir)).foreach { s =>
+      batchIdOf(s.getPath).foreach { id =>
+        if (id < batchId - 1) { fs.delete(s.getPath, false); () }
+      }
+    }
+  }
+
+  /** The `foreachBatch` body. `groupCol`/`valueCol` must be STRING
+    * columns; `sink` receives the running estimate frame (group,
+    * n_buckets, est_distinct) each batch and must replace its table
+    * with it. */
+  def foreachBatchHllDistinct(groupCol: String, valueCol: String, p: Int,
+      stateDir: String, sink: DataFrame => Unit): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      import spark.implicits._
+      val batchRows = Sketch.perBucketMax(batch, Seq(groupCol), valueCol, p)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+        .toSeq
+      val prior = priorSketch(spark, stateDir, batchId)
+      val merged = (prior ++ batchRows)
+        .groupBy(t => (t._1, t._2))
+        .map { case ((g, b), ts) => (g, b, ts.map(_._3).max) }
+        .toSeq.sortBy(t => (t._1, t._2))
+      sink(Sketch.estimateFromBuckets(
+        merged.toDF(groupCol, "_b", "_m"), Seq(groupCol), p))
+      writeSketch(spark, stateDir, batchId, merged)
+      Dedup.releaseCaches()
+  }
+}

@@ -164,6 +164,18 @@ class PlanSpec extends SparkSpec {
       s"no window / cartesian in the gate plan:\n$p")
   }
 
+  test("tx_distinct_hll: shingles reduce map-side (partial max per bucket); no join, no window") {
+    // the sketch's whole point: values themselves never cross the wire
+    // — the first Exchange carries (group, bucket, partial-max-rho)
+    // rows only. A join or window would mean the sketch regressed to
+    // an exact-distinct shape.
+    val p = plan("tx_distinct_hll")
+    assert(p.contains("partial_max"),
+      s"per-bucket rho must partial-aggregate before the shuffle:\n$p")
+    assert(!p.contains("Join") && !p.contains("windowspecdefinition"),
+      s"sketch plan must be join- and window-free:\n$p")
+  }
+
   test("tx_incremental: reuse is an anti join, recompute a semi join; no window, no shuffle of text") {
     // the incremental contract in plan form: v1 outputs survive via a
     // LEFT ANTI against the dirty-id frame, the delta flows in via a

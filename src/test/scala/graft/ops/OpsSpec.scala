@@ -2314,6 +2314,29 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Bloom.buildBits(vals, "v", 128, 0) }
   }
 
+  test("hllDistinct: raw-regime accuracy and exact duplicate invariance") {
+    val distinct = (1L to 10000L).map(i => ("g", s"value number $i")).toDF("g", "v")
+    val withDups = distinct.union(
+      (1L to 10000L by 3).map(i => ("g", s"value number $i")).toDF("g", "v"))
+    val est = Sketch.hllDistinct(distinct, Seq("g"), "v", p = 9)
+      .collect().head.getAs[Double]("est_distinct")
+    // 3σ at m=512 is ~14%
+    assert(math.abs(est - 10000) / 10000.0 < 0.15, s"est=$est for 10000 distinct")
+    val est2 = Sketch.hllDistinct(withDups, Seq("g"), "v", p = 9)
+      .collect().head.getAs[Double]("est_distinct")
+    assert(est == est2, "duplicates must not move the sketch at all")
+  }
+
+  test("hllDistinct: linear-counting regime is near-exact; global (no-group) form works") {
+    val d = (1L to 100L).map(i => s"item $i").toDF("v")
+    val r = Sketch.hllDistinct(d, Seq.empty, "v", p = 12).collect().head
+    val est = r.getAs[Double]("est_distinct")
+    assert(math.abs(est - 100) / 100.0 < 0.05, s"sparse est=$est for 100 distinct")
+    intercept[IllegalArgumentException] {
+      Sketch.hllDistinct(d, Seq.empty, "v", p = 3)
+    }
+  }
+
   test("asofJoin: a right row with a NULL payload value still wins over older rows") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def t(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)

@@ -1299,6 +1299,64 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming HLL sketch: snapshot equals batch over the prefix; replay is idempotent by algebra") {
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    val in = tmpDir("hll-in")
+    val state = tmpDir("hll-state")
+    // overlapping values across batches: per-bucket max is idempotent,
+    // so re-seen values must not move the estimate
+    val b0 = (1 to 300).map(i => ("g1", s"v$i")) ++ (1 to 50).map(i => ("g2", s"w$i"))
+    val b1 = (200 to 500).map(i => ("g1", s"v$i")) ++ (1 to 50).map(i => ("g2", s"w$i"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/a.jsonl"),
+      b0.map { case (g, v) => s"""{"g":"$g","v":"$v"}""" }.mkString("\n").getBytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/b.jsonl"),
+      b1.map { case (g, v) => s"""{"g":"$g","v":"$v"}""" }.mkString("\n").getBytes)
+    new java.io.File(s"$in/a.jsonl").setLastModified(System.currentTimeMillis() - 60000)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("g", "string").add("v", "string")
+    val snapshots = scala.collection.mutable.ArrayBuffer[Map[String, (Long, Double)]]()
+    def toMap(out: DataFrame): Map[String, (Long, Double)] =
+      out.collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    val sink: DataFrame => Unit = { out =>
+      snapshots.synchronized { snapshots += toMap(out) }
+      ()
+    }
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(in)
+      .writeStream
+      .option("checkpointLocation", tmpDir("hll-ckpt"))
+      .foreachBatch(StreamingSketch.foreachBatchHllDistinct(
+        "g", "v", p = 9, stateDir = state, sink = sink))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(snapshots.size == 2)
+    // snapshot ≡ batch sketch over the concatenated prefix, exactly
+    val batchAll = graft.ops.Sketch.hllDistinct(
+      (b0 ++ b1).toDF("g", "v"), Seq("g"), "v", p = 9)
+    assert(snapshots(1) == toMap(batchAll),
+      "streaming snapshot must equal the batch sketch on the prefix")
+    // the overlap (v200..v300, all w's re-seen) must not inflate:
+    // g2 saw the identical 50 values twice
+    val batchB0 = graft.ops.Sketch.hllDistinct(
+      b0.toDF("g", "v"), Seq("g"), "v", p = 9)
+    assert(snapshots(1)("g2") == toMap(batchB0)("g2"),
+      "re-seen values must leave the g2 registers untouched")
+    // O(1) state files
+    val files = new java.io.File(s"$state/sketch").listFiles()
+      .map(_.getName).filter(_.startsWith("batch-"))
+    assert(files.length <= 2, s"state must stay O(1) files: ${files.toList}")
+    // replay: re-running batch 1 merges idempotently to the same state
+    val replayed = scala.collection.mutable.ArrayBuffer[Map[String, (Long, Double)]]()
+    StreamingSketch.foreachBatchHllDistinct("g", "v", 9, state,
+      { out: DataFrame => replayed += toMap(out); () })(
+      b1.toDF("g", "v"), 1L)
+    assert(replayed.head == snapshots(1),
+      "a replayed micro-batch must emit the identical estimate")
+    graft.ops.Dedup.releaseCaches()
+  }
+
   test("streaming heavy hitters: summary carry holds SpaceSaving bounds, O(1) state files") {
     import org.apache.spark.sql.DataFrame
     import spark.implicits._
