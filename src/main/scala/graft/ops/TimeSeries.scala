@@ -62,6 +62,35 @@ object TimeSeries {
       .agg(count(lit(1)).as("n_events"),
         max(col("session_idx")).as("n_sessions"))
 
+  /** Session transcripts — the chat-to-training-doc assembly step of
+    * an interaction-data pipeline: each gap-session becomes ONE
+    * document, its events rendered `role: content` and joined in
+    * event-time order with newlines (the flattening a conversation
+    * corpus runs before packing/dedup/quality gates). One shuffle on
+    * the user key for [[sessionize]]'s window, then a per-session
+    * collect_list — bounded by the session, never the user's full
+    * history in one buffer beyond what sessionize already requires.
+    * Ordering inside a session is total ((ts, idCol) with a unique
+    * id), so the assembled bytes are deterministic and an oracle can
+    * hash them. */
+  def conversations(events: DataFrame, gapSeconds: Long,
+      userCol: String = "user_id", tsCol: String = "ts",
+      idCol: String = "event_id", roleCol: String = "event_type",
+      contentCol: String = "props"): DataFrame = {
+    val line = concat(col(roleCol), lit(": "),
+      coalesce(col(contentCol).cast("string"), lit("")))
+    sessionize(events, gapSeconds, userCol, tsCol, idCol)
+      .withColumn("_line", line)
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(count(lit(1)).as("n_turns"),
+        array_join(
+          transform(
+            sort_array(collect_list(
+              struct(col(tsCol), col(idCol), col("_line")))),
+            x => x.getField("_line")),
+          "\n").as("doc"))
+  }
+
   /** Broadcast as-of join — the small-dimension twin of [[asofJoin]]:
     * when the right side is dimension-sized (price history, config
     * rollouts, slowly-changing attributes), collapsing it to ONE row

@@ -54,6 +54,37 @@ object EventQueries {
       |  count(*) FILTER (WHERE prev IS NULL OR us - prev > 1800000000) AS n_sessions
       |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Session transcripts ([[TimeSeries.conversations]]): each 30-min
+    * gap-session flattened into one `role: content` training document.
+    * The assembled bytes are pinned by md5 (total event-time order),
+    * so the oracle checks the exact text without hauling it. */
+  def conversationsQ(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.conversations(events(spark, dir), gapSeconds = 1800)
+      .select(col("user_id"), col("session_idx"), col("n_turns"),
+        graft.ops.TextAnalysis.tokenCount(col("doc")).as("n_tokens"),
+        md5(col("doc").cast("binary")).as("fp"))
+      .transform(QueryUtil.ordered("user_id", "session_idx"))
+
+  val conversationsOracle: String =
+    """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    event_type || ': ' || coalesce(props, '') AS line FROM events),
+      |x AS (SELECT *, epoch_us(ts) AS us,
+      |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS prev
+      |  FROM e),
+      |s AS (SELECT *, sum(CASE WHEN prev IS NULL OR us - prev > 1800000000
+      |      THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS session_idx
+      |  FROM x),
+      |d AS (SELECT user_id, session_idx, count(*) AS n_turns,
+      |    string_agg(line, chr(10) ORDER BY ts, event_id) AS doc
+      |  FROM s GROUP BY 1, 2)
+      |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, n_turns,
+      |  CAST(len(string_split(doc, ' ')) AS INTEGER) AS n_tokens,
+      |  md5(doc) AS fp
+      |FROM d ORDER BY user_id, session_idx""".stripMargin
+
   /** JSON-props field extraction + aggregation (regex form — portable,
     * and at scale a one-pass scan; `props` stays unparsed otherwise). */
   def propsStats(spark: SparkSession, dir: String): DataFrame =
@@ -329,6 +360,7 @@ object EventQueries {
     "ev_by_type" -> ((byType _, Some(byTypeOracle))),
     "ev_hourly" -> ((hourly _, Some(hourlyOracle))),
     "ev_sessions" -> ((sessions _, Some(sessionsOracle))),
+    "ev_conversations" -> ((conversationsQ _, Some(conversationsOracle))),
     "ev_props_stats" -> ((propsStats _, Some(propsStatsOracle))),
     "ev_percentiles" -> ((percentiles _, Some(percentilesOracle))),
     "ev_skew_join" -> ((skewJoin _, Some(skewJoinOracle))))

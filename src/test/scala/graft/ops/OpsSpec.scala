@@ -2337,6 +2337,28 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("conversations: event-time order, gap split, null content; assembled bytes exact") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    val ev = Seq(
+      // user 10, session 1: out-of-insertion-order events + a null content
+      (3L, 10L, t(2), "assistant", Some("hi there")),
+      (1L, 10L, t(0), "user", Some("hello")),
+      (2L, 10L, t(1), "system", Option.empty[String]),
+      // same user after a > 30 min gap: new session
+      (4L, 10L, t(40), "user", Some("back")),
+      // another user
+      (5L, 11L, t(0), "user", Some("solo"))
+    ).toDF("event_id", "user_id", "ts", "event_type", "props")
+    val r = TimeSeries.conversations(ev, gapSeconds = 1800)
+      .collect().map(x => (x.getAs[Long]("user_id"), x.getAs[Long]("session_idx")) ->
+        ((x.getAs[Long]("n_turns"), x.getAs[String]("doc")))).toMap
+    assert(r.size == 3)
+    assert(r((10L, 1L)) == ((3L, "user: hello\nsystem: \nassistant: hi there")))
+    assert(r((10L, 2L)) == ((1L, "user: back")))
+    assert(r((11L, 1L)) == ((1L, "user: solo")))
+  }
+
   test("asofJoin: a right row with a NULL payload value still wins over older rows") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def t(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
