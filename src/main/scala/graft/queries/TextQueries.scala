@@ -335,6 +335,60 @@ object TextQueries {
       |FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Preference-pair mining — the RLHF/DPO data-construction shape:
+    * within each (lang, source, length-bucket) stratum, pair the
+    * highest-quality document (chosen) against the lowest (rejected),
+    * keeping pairs with a strict quality margin. Bucketing by length
+    * keeps pairs length-comparable (the standard control for the
+    * length-bias confound in preference data). Scale shape: ONE
+    * map-side-combined aggregation — chosen/rejected are min/max of a
+    * (quality, doc_id) struct, so a hot stratum reduces per map task;
+    * no window, no self-join. Ties break deterministically by doc_id
+    * (max → highest id, min → lowest), replayed in the oracle via
+    * explicit ORDER BY. */
+  def prefPairs(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("lang"), col("source"), col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.qualityScore(col("text")).as("q"))
+      .withColumn("len_bucket", floor(col("n_tokens") / 50).cast("long"))
+      .groupBy("lang", "source", "len_bucket")
+      .agg(max(struct(col("q"), col("doc_id"))).as("_c"),
+        min(struct(col("q"), col("doc_id"))).as("_r"))
+      .filter(col("_c.q") > col("_r.q"))
+      .select(col("lang"), col("source"), col("len_bucket"),
+        col("_c.doc_id").as("chosen_id"), col("_r.doc_id").as("rejected_id"),
+        col("_c.q").as("chosen_q"), col("_r.q").as("rejected_q"),
+        round(col("_c.q") - col("_r.q"), 4).as("margin"))
+      .transform(QueryUtil.ordered("lang", "source", "len_bucket"))
+
+  val prefPairsOracle: String =
+    """WITH s AS (SELECT doc_id, lang, source,
+      |    len(string_split(text, ' ')) AS nt,
+      |    len(string_split(text, ' ')) * 1.0 AS n,
+      |    len(list_distinct(string_split(text, ' '))) * 1.0 AS nd,
+      |    len(list_filter(string_split(text, ' '),
+      |        t -> t IN ('the', 'a', 'of', 'to', 'and', 'in', 'is', 'it'))) * 1.0 AS st
+      |  FROM documents),
+      |b AS (SELECT doc_id, lang, source,
+      |    CAST(floor(nt / 50.0) AS BIGINT) AS len_bucket,
+      |    round(least(n / 100.0, 1.0) * 0.4 + (nd / n) * 0.4
+      |      + (1.0 - st / n) * 0.2, 4) AS q
+      |  FROM s),
+      |c AS (SELECT lang, source, len_bucket, doc_id, q, row_number() OVER (
+      |    PARTITION BY lang, source, len_bucket
+      |    ORDER BY q DESC, doc_id DESC) AS rn FROM b),
+      |r AS (SELECT lang, source, len_bucket, doc_id, q, row_number() OVER (
+      |    PARTITION BY lang, source, len_bucket
+      |    ORDER BY q ASC, doc_id ASC) AS rn FROM b)
+      |SELECT c.lang, c.source, c.len_bucket,
+      |  c.doc_id AS chosen_id, r.doc_id AS rejected_id,
+      |  c.q AS chosen_q, r.q AS rejected_q, round(c.q - r.q, 4) AS margin
+      |FROM c JOIN r ON c.lang = r.lang AND c.source = r.source
+      |  AND c.len_bucket = r.len_bucket
+      |WHERE c.rn = 1 AND r.rn = 1 AND c.q > r.q
+      |ORDER BY c.lang, c.source, c.len_bucket""".stripMargin
+
   /** Per-language distinct 5-gram-shingle count via the HyperLogLog
     * sketch ([[graft.ops.Sketch]]) — the capacity-planning statistic
     * behind every shingle-keyed dedup index ("how many distinct
@@ -2842,6 +2896,7 @@ object TextQueries {
     "dd_decontaminate" -> ((decontaminate _, Some(decontaminateOracle))),
     "tx_bloom_gate" -> ((bloomGate _, Some(bloomGateOracle))),
     "tx_distinct_hll" -> ((distinctHll _, Some(distinctHllOracle))),
+    "tx_pref_pairs" -> ((prefPairs _, Some(prefPairsOracle))),
     "dd_simhash" -> ((simhashPairs _, Some(simhashOracle))),
     "dd_clusters" -> ((dedupClusters _, Some(dedupClustersOracle))),
     "dd_clusters_star" -> ((dedupClustersStar _, Some(dedupClustersOracle))),

@@ -2337,6 +2337,23 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("pref pairs: min/max struct tie-breaks and strict-margin filter") {
+    // the tx_pref_pairs chosen/rejected selection rule in isolation:
+    // max(struct(q, id)) breaks q-ties by HIGHEST id, min by LOWEST,
+    // and an all-tied stratum yields no pair
+    val d = Seq(
+      (1L, "a", 0.9), (2L, "a", 0.9), (3L, "a", 0.1), (4L, "a", 0.1),
+      (5L, "b", 0.5), (6L, "b", 0.5)
+    ).toDF("doc_id", "g", "q")
+    val r = d.groupBy("g")
+      .agg(max(struct(col("q"), col("doc_id"))).as("_c"),
+        min(struct(col("q"), col("doc_id"))).as("_r"))
+      .filter(col("_c.q") > col("_r.q"))
+      .select(col("g"), col("_c.doc_id").as("c"), col("_r.doc_id").as("r"))
+      .collect().map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r == Map("a" -> ((2L, 3L))), s"tie-breaks or margin filter wrong: $r")
+  }
+
   test("conversations: event-time order, gap split, null content; assembled bytes exact") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def t(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
