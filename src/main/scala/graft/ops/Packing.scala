@@ -51,13 +51,23 @@ object Packing {
     * per-doc stats across releases, so assignment math reruns with NO
     * text scan; identical results by construction). */
   private[ops] def withGlobalPrefixFromCounts(counts: DataFrame,
+      idCol: String, bucketWidth: Long, startOffset: Long): DataFrame =
+    withGlobalPrefixKeep(
+      counts.select(col(idCol), col("n_tokens")),
+      idCol, bucketWidth, startOffset)
+
+  /** [[withGlobalPrefixFromCounts]] with PASSTHROUGH: every input
+    * column survives alongside `_gp` (the select-down variant above
+    * keeps the public packFromCounts contract at exactly
+    * (idCol, n_tokens, _gp)). Same prefix-sum core. */
+  private[ops] def withGlobalPrefixKeep(counts: DataFrame,
       idCol: String, bucketWidth: Long, startOffset: Long): DataFrame = {
     // narrow (id, count, bucket) frame persisted: both the per-bucket
     // window and the offsets agg read it — without the persist each
     // plans its OWN corpus scan + tokenize (verified in docs/PLANS.md
     // history), i.e. the whole input twice for a layout job
     val base = Dedup.persistTracked(counts
-      .select(col(idCol), col("n_tokens").cast("long").as("n_tokens"))
+      .withColumn("n_tokens", col("n_tokens").cast("long"))
       .withColumn("_bkt", floor(col(idCol) / bucketWidth)))
     val within = base.withColumn("_wcum",
       sum(col("n_tokens")).over(Window.partitionBy(col("_bkt"))
@@ -70,8 +80,9 @@ object Packing {
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("_bkt", "_off")
     within.join(broadcast(offsets), Seq("_bkt"))
-      .select(col(idCol), col("n_tokens"),
-        (col("_off") + col("_wcum") - col("n_tokens") + startOffset).as("_gp"))
+      .withColumn("_gp",
+        col("_off") + col("_wcum") - col("n_tokens") + startOffset)
+      .drop("_bkt", "_wcum", "_off")
   }
 
   def packByTokenBudget(docs: DataFrame, budget: Long,
@@ -136,6 +147,38 @@ object Packing {
         greatest(col("shard") * budget - col("_gp"), lit(0L)).as("slice_start"),
         (least((col("shard") + 1) * budget - col("_gp"), col("n_tokens")) -
           greatest(col("shard") * budget - col("_gp"), lit(0L))).as("slice_len"))
+  }
+
+  /** Deterministic seeded shuffle + epoch-sliced packing — the
+    * training-order step between curation and the trainer: every epoch
+    * is an independent, REPRODUCIBLE global permutation of the corpus
+    * (key = md5(seed:epoch:id), a 16-hex-char string that sorts
+    * identically in any engine; id tiebreak makes the order total),
+    * packed into token-budgeted shards in permuted order. No RNG, no
+    * `orderBy(rand(seed))` (partitioning-sensitive), no single-task
+    * sort: the permutation materializes through
+    * [[Ranking.withGlobalRank]]'s range-partition machinery and the
+    * contiguous rank feeds the same two-level prefix-sum core as every
+    * other packing mode. Epochs are independent permutations (seed
+    * namespaced per epoch), so multi-epoch training never replays
+    * shard order — the Ouroboros/data-order effect mitigation —
+    * while any row's placement is recomputable from (seed, epoch, id)
+    * alone. */
+  def shuffledPack(docs: DataFrame, budget: Long, epochs: Int, seed: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      bucketWidth: Long = 100000L): DataFrame = {
+    require(budget > 0 && epochs > 0 && bucketWidth > 0 && seed.nonEmpty)
+    val counts = Dedup.persistTracked(docs.select(col(idCol),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens")))
+    (0 until epochs).map { e =>
+      val hk = substring(md5(concat(lit(s"$seed:$e:"),
+        col(idCol).cast("string")).cast("binary")), 1, 16)
+      val ranked = Ranking.withGlobalRank(
+        counts.withColumn("_hk", hk), Seq(col("_hk"), col(idCol)), "pos")
+      withGlobalPrefixKeep(ranked.drop("_hk"), "pos", bucketWidth, 0L)
+        .select(lit(e).as("epoch"), col(idCol), col("pos"), col("n_tokens"),
+          floor(col("_gp").cast("double") / budget).cast("long").as("shard"))
+    }.reduce(_ unionByName _)
   }
 
   /** Shard profile from [[packByTokenBudget]]: docs and tokens per

@@ -335,6 +335,34 @@ object TextQueries {
       |FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Seeded-shuffle epoch packing ([[graft.ops.Packing.shuffledPack]]):
+    * two independent reproducible permutations of the corpus, each
+    * packed into 10k-token shards in permuted order — the
+    * training-order artifact a trainer consumes. The oracle replays
+    * the permutation (hex-string sort keys order identically in both
+    * engines) and the per-epoch prefix sum. */
+  def shufflePack(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Packing.shuffledPack(docs(spark, dir), budget = 10000L,
+        epochs = 2, seed = "graft-r9", bucketWidth = 64L)
+      .transform(QueryUtil.ordered("epoch", "pos"))
+
+  val shufflePackOracle: String =
+    """WITH c AS (SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      |  FROM documents),
+      |eh AS (SELECT e, doc_id, n,
+      |    substr(md5('graft-r9:' || CAST(e AS VARCHAR) || ':'
+      |      || CAST(doc_id AS VARCHAR)), 1, 16) AS hk
+      |  FROM c, (SELECT unnest([0, 1]) AS e)),
+      |r AS (SELECT e, doc_id, n,
+      |    row_number() OVER (PARTITION BY e ORDER BY hk, doc_id) AS pos,
+      |    sum(n) OVER (PARTITION BY e ORDER BY hk, doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM eh)
+      |SELECT CAST(e AS INTEGER) AS epoch, doc_id, CAST(pos AS BIGINT) AS pos,
+      |  n AS n_tokens, CAST((cum - n) // 10000 AS BIGINT) AS shard
+      |FROM r ORDER BY epoch, pos""".stripMargin
+
   /** Preference-pair mining — the RLHF/DPO data-construction shape:
     * within each (lang, source, length-bucket) stratum, pair the
     * highest-quality document (chosen) against the lowest (rejected),
@@ -2897,6 +2925,7 @@ object TextQueries {
     "tx_bloom_gate" -> ((bloomGate _, Some(bloomGateOracle))),
     "tx_distinct_hll" -> ((distinctHll _, Some(distinctHllOracle))),
     "tx_pref_pairs" -> ((prefPairs _, Some(prefPairsOracle))),
+    "tx_shuffle_pack" -> ((shufflePack _, Some(shufflePackOracle))),
     "dd_simhash" -> ((simhashPairs _, Some(simhashOracle))),
     "dd_clusters" -> ((dedupClusters _, Some(dedupClustersOracle))),
     "dd_clusters_star" -> ((dedupClustersStar _, Some(dedupClustersOracle))),

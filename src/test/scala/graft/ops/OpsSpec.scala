@@ -2337,6 +2337,30 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("shuffledPack: reproducible permutation per epoch, partitioning-independent, epochs differ") {
+    val d = (1L to 100L).map(i => (i, ("tok " * (i % 7 + 1).toInt).trim))
+      .toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Packing.shuffledPack(df, budget = 40L, epochs = 2, seed = "s",
+          bucketWidth = 16L)
+        .collect().map(r => (r.getAs[Int]("epoch"), r.getAs[Long]("doc_id")) ->
+          ((r.getAs[Long]("pos"), r.getAs[Long]("shard")))).toMap
+    val a = run(d)
+    val b = run(d.repartition(7))
+    assert(a == b, "placement must not depend on input partitioning")
+    // each epoch is a full permutation of 1..N
+    (0 to 1).foreach { e =>
+      val ps = a.collect { case ((`e`, _), (pos, _)) => pos }.toSeq.sorted
+      assert(ps == (1L to 100L), s"epoch $e pos must be a permutation")
+    }
+    // independent permutations: the two epochs must not share the order
+    val order0 = a.collect { case ((0, id), (pos, _)) => id -> pos }
+    val order1 = a.toSeq.collect { case ((1, id), (pos, _)) => id -> pos }.toMap
+    assert(order0.exists { case (id, pos) => order1(id) != pos },
+      "epoch permutations must differ")
+    graft.ops.Dedup.releaseCaches()
+  }
+
   test("pref pairs: min/max struct tie-breaks and strict-margin filter") {
     // the tx_pref_pairs chosen/rejected selection rule in isolation:
     // max(struct(q, id)) breaks q-ties by HIGHEST id, min by LOWEST,
