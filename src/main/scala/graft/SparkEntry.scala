@@ -86,5 +86,11 @@ object SparkEntry {
     "tx_clf_quality",    // logistic-regression quality classifier (5 GD epochs)
     "tx_incremental",    // delta-only gate recompute via corpus diff
     "tx_curation8",      // model-driven selection: clf floor -> rank cut
-    "tx_release_manifest") // shard rollup + XOR content checksums
+    "tx_release_manifest", // shard rollup + XOR content checksums
+    // r9: sketch-backed gates + training-order artifacts
+    "tx_bloom_gate",     // literal-bitset blocklist gate + confirm join
+    "tx_distinct_hll",   // HLL distinct shingles (values never shuffle)
+    "tx_shuffle_pack",   // seeded permutation x2 epochs + prefix-sum pack
+    "ev_conversations",  // session transcripts (ordered assembly)
+    "tx_pref_pairs")     // stratified chosen/rejected pair mining
 }

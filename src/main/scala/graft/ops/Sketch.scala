@@ -103,6 +103,47 @@ object Sketch {
     estimateFromBuckets(perBucketMax(df, groupCols, valueCol, p),
       groupCols, p)
 
+  /** Count-Min frequency sketch (Cormode & Muthukrishnan 2005) — point
+    * frequency estimates over a domain too large to count exactly
+    * ("how often does THIS shingle occur corpus-wide"): d rows × w
+    * counters, each occurrence increments one counter per row at
+    * position_i = (h1 + i·h2) mod w (the same Kirsch–Mitzenmacher
+    * md5 double hashing as [[Bloom]] — one hash family across the
+    * sketch ops), estimate = min over rows. Guarantees: est ≥ true
+    * always; est ≤ true + (e/w)·N with probability 1 − e^−d.
+    *
+    * Scale shape: the counter build is ONE map-side-combined
+    * aggregation whose distinct-key space is ≤ d·w regardless of
+    * corpus size — each map task ships at most d·w (row, bucket,
+    * partial-count) integers, never a value. Counts are integers, so
+    * the oracle replays estimates EXACTLY — no float anywhere. */
+  object Cms {
+
+    /** The counter table: one (`_i`, `_p`, `cnt`) row per non-zero
+      * counter (≤ d·w rows). */
+    def counters(df: DataFrame, valueCol: String, w: Int, d: Int): DataFrame = {
+      require(w > 0 && d > 0, s"w and d must be positive, got w=$w d=$d")
+      df.select(posexplode(array(
+          Bloom.positions(col(valueCol), w, d): _*)).as(Seq("_i", "_p")))
+        .groupBy("_i", "_p").agg(count(lit(1)).as("cnt"))
+    }
+
+    /** Point estimates for `probes(probeCol)`: min over the d probed
+      * counters (absent counter = 0). The probe frame is small by
+      * contract (a document's shingles, a watchlist) and broadcasts to
+      * the ≤ d·w counter frame. */
+    def estimate(counters: DataFrame, probes: DataFrame,
+        probeCol: String, w: Int, d: Int): DataFrame = {
+      require(w > 0 && d > 0, s"w and d must be positive, got w=$w d=$d")
+      val pr = probes.select(col(probeCol)).distinct()
+        .select(col(probeCol), posexplode(array(
+          Bloom.positions(col(probeCol), w, d): _*)).as(Seq("_i", "_p")))
+      broadcast(pr).join(counters, Seq("_i", "_p"), "left")
+        .groupBy(probeCol)
+        .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+    }
+  }
+
   /** The oracle-side replay of [[hllDistinct]] as a SQL fragment
     * generator: given a source CTE exposing the group columns and a
     * `v` value column, returns SQL computing the identical result —

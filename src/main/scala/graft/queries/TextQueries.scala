@@ -447,6 +447,48 @@ object TextQueries {
       graft.ops.Sketch.hllOracleSql("tok", "lang", 9) +
       "\nORDER BY lang"
 
+  /** Count-Min frequency estimates ([[graft.ops.Sketch.Cms]]): global
+    * occurrence counts of one document's 5-gram shingles — the
+    * "is this document boilerplate-heavy?" probe behind hot-shingle
+    * caps, answered from a d·w counter table instead of a corpus-wide
+    * exact count. Counts are integers, so the oracle replays every
+    * estimate exactly, collisions included. */
+  def freqCms(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    def shingles(df: DataFrame) = df
+      .withColumn("_tk", TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"),
+        explode(TextAnalysis.ngramsFromTokens(col("_tk"), 5)).as("v"))
+    val counters =
+      graft.ops.Sketch.Cms.counters(shingles(d), "v", w = 1024, d = 4)
+    graft.ops.Sketch.Cms.estimate(counters,
+        shingles(d.filter(col("doc_id") === 0)), "v", 1024, 4)
+      .transform(QueryUtil.ordered("v"))
+  }
+
+  val freqCmsOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 5
+      |    THEN list_transform(range(1, len(w) - 3),
+      |           i -> array_to_string(w[i:i+4], ' '))
+      |    ELSE [] END) AS v
+      |  FROM t),
+      |hp AS (SELECT v, ('0x' || substr(md5(v), 1, 16))::UBIGINT AS u FROM sh),
+      |pos AS (SELECT i AS _i,
+      |    (CAST(u & 4294967295 AS BIGINT)
+      |     + i * CAST((u >> 32) | 1 AS BIGINT)) % 1024 AS _p
+      |  FROM hp, (SELECT unnest([0, 1, 2, 3]) AS i)),
+      |c AS (SELECT _i, _p, count(*) AS cnt FROM pos GROUP BY 1, 2),
+      |pu AS (SELECT DISTINCT v FROM sh WHERE doc_id = 0),
+      |ph AS (SELECT v, ('0x' || substr(md5(v), 1, 16))::UBIGINT AS u FROM pu),
+      |pp AS (SELECT v, i AS _i,
+      |    (CAST(u & 4294967295 AS BIGINT)
+      |     + i * CAST((u >> 32) | 1 AS BIGINT)) % 1024 AS _p
+      |  FROM ph, (SELECT unnest([0, 1, 2, 3]) AS i))
+      |SELECT pp.v, min(coalesce(c.cnt, 0)) AS est
+      |FROM pp LEFT JOIN c ON pp._i = c._i AND pp._p = c._p
+      |GROUP BY 1 ORDER BY v""".stripMargin
+
   /** Bloom-gated hash-blocklist filter ([[graft.ops.Bloom]]): the
     * corpus gated against a known-bad content-fingerprint list (every
     * `src3` doc's md5 — the "remove these exact texts wherever they
@@ -2926,6 +2968,7 @@ object TextQueries {
     "tx_distinct_hll" -> ((distinctHll _, Some(distinctHllOracle))),
     "tx_pref_pairs" -> ((prefPairs _, Some(prefPairsOracle))),
     "tx_shuffle_pack" -> ((shufflePack _, Some(shufflePackOracle))),
+    "tx_freq_cms" -> ((freqCms _, Some(freqCmsOracle))),
     "dd_simhash" -> ((simhashPairs _, Some(simhashOracle))),
     "dd_clusters" -> ((dedupClusters _, Some(dedupClustersOracle))),
     "dd_clusters_star" -> ((dedupClustersStar _, Some(dedupClustersOracle))),

@@ -2314,6 +2314,28 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Bloom.buildBits(vals, "v", 128, 0) }
   }
 
+  test("cms: never undercounts; exact at ample width; overcounts only under forced collisions") {
+    // skewed stream: "hot" x500, "warm" x40, 300 singletons
+    val stream = (Seq.fill(500)("hot") ++ Seq.fill(40)("warm") ++
+      (1 to 300).map(i => s"rare $i")).toDF("v")
+    val truth = Map("hot" -> 500L, "warm" -> 40L, "rare 7" -> 1L)
+    val probes = truth.keys.toSeq.toDF("v")
+    // ample width: 2048 counters for 302 distinct keys — estimates exact
+    val wide = Sketch.Cms.estimate(
+        Sketch.Cms.counters(stream, "v", w = 2048, d = 4), probes, "v", 2048, 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wide == truth, s"ample-width CMS must be exact: $wide")
+    // forced collisions: 16 counters for 302 keys — still never BELOW truth
+    val tight = Sketch.Cms.estimate(
+        Sketch.Cms.counters(stream, "v", w = 16, d = 2), probes, "v", 16, 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    truth.foreach { case (k, t) =>
+      assert(tight(k) >= t, s"CMS undercounted $k: ${tight(k)} < $t")
+    }
+    assert(truth.exists { case (k, t) => tight(k) > t },
+      "16 counters for 302 keys must show at least one overcount")
+  }
+
   test("hllDistinct: raw-regime accuracy and exact duplicate invariance") {
     val distinct = (1L to 10000L).map(i => ("g", s"value number $i")).toDF("g", "v")
     val withDups = distinct.union(
