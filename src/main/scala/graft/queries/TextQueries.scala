@@ -2169,6 +2169,39 @@ object TextQueries {
       |            JOIN sampled USING (doc_id)),""".stripMargin + "\n" +
     manifestSqlTail("shipped", 500L)
 
+  /** Curation v10 — the missing last mile after v9's shipped shards:
+    * the SAME curated corpus in reproducible TRAINING ORDER. The v6
+    * survivors' cleaned text runs through
+    * [[graft.ops.Packing.shuffledPack]] (one epoch, fixed seed):
+    * seeded global permutation + token-budget shard assignment in
+    * permuted order — what the trainer actually reads. Oracle = the
+    * shared v6 chain + hex-key permutation + prefix sum. */
+  def curation10(spark: SparkSession, dir: String): DataFrame = {
+    val f = curation6Frames(spark, dir)
+    val shipped = f("keeper")
+      .join(f("sampled").select("doc_id"), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("text"))
+    graft.ops.Packing.shuffledPack(shipped, budget = 500L, epochs = 1,
+        seed = "graft-r10", bucketWidth = 64L)
+      .select("doc_id", "pos", "n_tokens", "shard")
+      .transform(QueryUtil.ordered("pos"))
+  }
+
+  lazy val curation10Oracle: String = curation6ChainSql + ",\n" +
+    """shipped AS (SELECT k.doc_id, k.text FROM kept k
+      |            JOIN sampled USING (doc_id)),
+      |shp_c AS (SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+      |    substr(md5('graft-r10:0:' || CAST(doc_id AS VARCHAR)), 1, 16) AS hk
+      |  FROM shipped),
+      |shp_r AS (SELECT doc_id, n,
+      |    row_number() OVER (ORDER BY hk, doc_id) AS pos,
+      |    sum(n) OVER (ORDER BY hk, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM shp_c)
+      |SELECT doc_id, CAST(pos AS BIGINT) AS pos, n AS n_tokens,
+      |  CAST((cum - n) // 500 AS BIGINT) AS shard
+      |FROM shp_r ORDER BY pos""".stripMargin
+
   /** The v6 replay's WITH chain (through `sampled`), shared with the
     * curation9 oracle so the two cannot fork. */
   private lazy val curation6ChainSql: String = {
@@ -2938,6 +2971,7 @@ object TextQueries {
     "tx_curation7" -> ((curation7 _, Some(curation7Oracle))),
     "tx_curation8" -> ((curation8 _, Some(curation8Oracle))),
     "tx_curation9" -> ((curation9 _, Some(curation9Oracle))),
+    "tx_curation10" -> ((curation10 _, Some(curation10Oracle))),
     "tx_chunk_sliding" -> ((chunkSliding _, Some(chunkSlidingOracle))),
     "tx_pack_shards" -> ((packShards _, Some(packShardsOracle))),
     "tx_release_manifest" -> ((releaseManifest _, Some(releaseManifestOracle))),
