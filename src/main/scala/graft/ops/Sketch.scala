@@ -142,6 +142,40 @@ object Sketch {
         .groupBy(probeCol)
         .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
     }
+
+    /** Artifact persistence: build the counters once over the corpus,
+      * probe forever without rescanning ([[AnnModels]]' train-once
+      * contract for the sketch family). The hash parameters ride IN
+      * the artifact as a one-row `meta` sidecar — probing a loaded
+      * sketch under a different (w, d) is impossible to do silently
+      * (the classifier hash-width lesson): [[estimateFromArtifact]]
+      * reads them back and nothing else accepts a path. Counts are
+      * integers, so the round-trip is exact by construction. */
+    def save(spark: org.apache.spark.sql.SparkSession, counters: DataFrame,
+        w: Int, d: Int, path: String): Unit = {
+      require(w > 0 && d > 0, s"w and d must be positive, got w=$w d=$d")
+      import spark.implicits._
+      counters.coalesce(1).write.mode("overwrite").parquet(s"$path/counters")
+      Seq((w, d)).toDF("w", "d").coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/meta")
+    }
+
+    /** (counters, w, d) from [[save]]'s layout; rejects an artifact
+      * with no meta row loudly. */
+    def load(spark: org.apache.spark.sql.SparkSession,
+        path: String): (DataFrame, Int, Int) = {
+      val meta = spark.read.parquet(s"$path/meta").collect()
+      require(meta.nonEmpty, s"empty CMS artifact meta at $path")
+      (spark.read.parquet(s"$path/counters"),
+        meta.head.getInt(0), meta.head.getInt(1))
+    }
+
+    /** Probe a persisted sketch under its OWN recorded parameters. */
+    def estimateFromArtifact(spark: org.apache.spark.sql.SparkSession,
+        path: String, probes: DataFrame, probeCol: String): DataFrame = {
+      val (counters, w, d) = load(spark, path)
+      estimate(counters, probes, probeCol, w, d)
+    }
   }
 
   /** The oracle-side replay of [[hllDistinct]] as a SQL fragment

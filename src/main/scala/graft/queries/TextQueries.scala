@@ -447,6 +447,65 @@ object TextQueries {
       graft.ops.Sketch.hllOracleSql("tok", "lang", 9) +
       "\nORDER BY lang"
 
+  /** PMI collocation mining — the phrase-discovery pass behind
+    * tokenizer-vocabulary and merge-rule construction: pointwise
+    * mutual information log(p(ab) / (p(a)·p(b))) over corpus bigram
+    * and unigram counts, min-count floored (singleton "collocations"
+    * are noise), top-k by ROUNDED pmi with a bigram tie-break so the
+    * cut is deterministic cross-engine (ordering by the raw double
+    * could flip ulp-adjacent ties). Scale shape: two count aggs + two
+    * equi-joins on the token key (AQE-splittable; the totals ride as
+    * one-row broadcast scalars), top-k via TakeOrderedAndProject. */
+  def pmi(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .withColumn("_tk", TextAnalysis.tokens(col("text")))
+    val toks = d.select(explode(col("_tk")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val tokTotal = d.select(explode(col("_tk")).as("t"))
+      .agg(count(lit(1)).as("nt"))
+    val bis = d.select(explode(
+        TextAnalysis.ngramsFromTokens(col("_tk"), 2)).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= 5)
+    val biTotal = d.select(explode(
+        TextAnalysis.ngramsFromTokens(col("_tk"), 2)).as("b"))
+      .agg(count(lit(1)).as("nb"))
+    val split = bis
+      .withColumn("a", substring_index(col("b"), " ", 1))
+      .withColumn("z", substring_index(col("b"), " ", -1))
+    split
+      .join(toks.select(col("t").as("a"), col("c").as("ca")), Seq("a"))
+      .join(toks.select(col("t").as("z"), col("c").as("cz")), Seq("z"))
+      .crossJoin(broadcast(tokTotal)).crossJoin(broadcast(biTotal))
+      .select(col("b").as("bigram"), col("cab"),
+        round(log((col("cab").cast("double") / col("nb")) /
+          ((col("ca").cast("double") / col("nt")) *
+            (col("cz").cast("double") / col("nt")))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram")).limit(50)
+      .transform(QueryUtil.orderedBy(col("pmi").desc, col("bigram")))
+  }
+
+  val pmiOracle: String =
+    """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+      |tc AS (SELECT t, count(*) AS c FROM tk GROUP BY 1),
+      |nt AS (SELECT count(*) AS nt FROM tk),
+      |bg AS (SELECT unnest(CASE WHEN len(w) >= 2
+      |    THEN list_transform(range(1, len(w)),
+      |           i -> array_to_string(w[i:i+1], ' '))
+      |    ELSE [] END) AS b
+      |  FROM (SELECT string_split(text, ' ') AS w FROM documents)),
+      |bc AS (SELECT b, count(*) AS cab FROM bg GROUP BY 1 HAVING count(*) >= 5),
+      |nb AS (SELECT count(*) AS nb FROM bg),
+      |j AS (SELECT bc.b AS bigram, bc.cab,
+      |    round(ln((bc.cab * 1.0 / nb.nb) /
+      |      ((ta.c * 1.0 / nt.nt) * (tz.c * 1.0 / nt.nt))), 4) AS pmi
+      |  FROM bc
+      |  JOIN tc ta ON ta.t = string_split(bc.b, ' ')[1]
+      |  JOIN tc tz ON tz.t = string_split(bc.b, ' ')[-1]
+      |  CROSS JOIN nt CROSS JOIN nb)
+      |SELECT bigram, cab, pmi FROM j
+      |ORDER BY pmi DESC, bigram LIMIT 50""".stripMargin
+
   /** Count-Min frequency estimates ([[graft.ops.Sketch.Cms]]): global
     * occurrence counts of one document's 5-gram shingles — the
     * "is this document boilerplate-heavy?" probe behind hot-shingle
@@ -3003,6 +3062,7 @@ object TextQueries {
     "tx_pref_pairs" -> ((prefPairs _, Some(prefPairsOracle))),
     "tx_shuffle_pack" -> ((shufflePack _, Some(shufflePackOracle))),
     "tx_freq_cms" -> ((freqCms _, Some(freqCmsOracle))),
+    "tx_pmi" -> ((pmi _, Some(pmiOracle))),
     "dd_simhash" -> ((simhashPairs _, Some(simhashOracle))),
     "dd_clusters" -> ((dedupClusters _, Some(dedupClustersOracle))),
     "dd_clusters_star" -> ((dedupClustersStar _, Some(dedupClustersOracle))),

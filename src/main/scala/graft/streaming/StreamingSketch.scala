@@ -90,6 +90,31 @@ object StreamingSketch {
     }
   }
 
+  /** Streaming Count-Min — [[graft.ops.Sketch.Cms]] under
+    * `foreachBatch`. Counters merge by SUM, which is associative but
+    * NOT idempotent (unlike the HLL max above), so replay safety
+    * comes from the [[StreamingState]] contribution protocol instead
+    * of algebra: each batch's ≤ d·w counter rows overwrite their own
+    * `batch_id=` partition, the snapshot is the rollup over
+    * contributions ≤ batchId, and a replayed batch rewrites its
+    * partition byte-for-byte. `sink` receives the point estimates for
+    * `probes(probeCol)` against the running counters each batch. */
+  def foreachBatchCms(valueCol: String, w: Int, d: Int, stateDir: String,
+      probes: DataFrame, probeCol: String,
+      sink: DataFrame => Unit): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val contrib = Sketch.Cms.counters(batch, valueCol, w, d)
+      StreamingState.writePartition(contrib, s"$stateDir/cms", batchId)
+      val all = StreamingState.readUpTo(spark, s"$stateDir/cms",
+        contrib.schema, batchId)
+      val merged = all.groupBy("_i", "_p")
+        .agg(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.col("cnt")).as("cnt"))
+      sink(Sketch.Cms.estimate(merged, probes, probeCol, w, d))
+      Dedup.releaseCaches()
+  }
+
   /** The `foreachBatch` body. `groupCol`/`valueCol` must be STRING
     * columns; `sink` receives the running estimate frame (group,
     * n_buckets, est_distinct) each batch and must replace its table

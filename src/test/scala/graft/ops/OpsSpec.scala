@@ -2336,6 +2336,26 @@ class OpsSpec extends SparkSpec {
       "16 counters for 302 keys must show at least one overcount")
   }
 
+  test("cms artifact: exact round-trip, recorded parameters, empty-meta rejection") {
+    val stream = (Seq.fill(9)("x") ++ Seq.fill(4)("y") ++ Seq("z")).toDF("v")
+    val probes = Seq("x", "y", "z", "none").toDF("v")
+    val dir = java.nio.file.Files.createTempDirectory("cms-art").toString
+    val counters = Sketch.Cms.counters(stream, "v", w = 256, d = 3)
+    Sketch.Cms.save(spark, counters, 256, 3, dir)
+    val (loaded, w, d) = Sketch.Cms.load(spark, dir)
+    assert(w == 256 && d == 3, "artifact must record its hash parameters")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m(Sketch.Cms.estimateFromArtifact(spark, dir, probes, "v")) ==
+      m(Sketch.Cms.estimate(counters, probes, "v", 256, 3)),
+      "persisted probing must equal live probing exactly")
+    assert(m(Sketch.Cms.estimateFromArtifact(spark, dir, probes, "v")) ==
+      Map("x" -> 9L, "y" -> 4L, "z" -> 1L, "none" -> 0L))
+    intercept[IllegalArgumentException] {
+      Sketch.Cms.save(spark, counters, 0, 3, dir)
+    }
+  }
+
   test("hllDistinct: raw-regime accuracy and exact duplicate invariance") {
     val distinct = (1L to 10000L).map(i => ("g", s"value number $i")).toDF("g", "v")
     val withDups = distinct.union(

@@ -1357,6 +1357,55 @@ class StreamingSpec extends SparkSpec {
     graft.ops.Dedup.releaseCaches()
   }
 
+  test("streaming CMS: estimates equal batch on the prefix; replay rewrites its partition") {
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    val in = tmpDir("cms-in")
+    val state = tmpDir("cms-state")
+    val b0 = Seq.fill(30)("hot") ++ Seq.fill(5)("warm") ++ (1 to 40).map(i => s"r$i")
+    val b1 = Seq.fill(20)("hot") ++ (40 to 80).map(i => s"r$i")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/a.jsonl"),
+      b0.map(v => s"""{"v":"$v"}""").mkString("\n").getBytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/b.jsonl"),
+      b1.map(v => s"""{"v":"$v"}""").mkString("\n").getBytes)
+    new java.io.File(s"$in/a.jsonl").setLastModified(System.currentTimeMillis() - 60000)
+    val schema = new org.apache.spark.sql.types.StructType().add("v", "string")
+    val probes = Seq("hot", "warm", "r40", "absent").toDF("v")
+    val snapshots = scala.collection.mutable.ArrayBuffer[Map[String, Long]]()
+    def toMap(out: DataFrame): Map[String, Long] =
+      out.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sink: DataFrame => Unit = { out =>
+      snapshots.synchronized { snapshots += toMap(out) }
+      ()
+    }
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(in)
+      .writeStream
+      .option("checkpointLocation", tmpDir("cms-ckpt"))
+      .foreachBatch(StreamingSketch.foreachBatchCms(
+        "v", w = 512, d = 3, stateDir = state, probes = probes,
+        probeCol = "v", sink = sink))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(snapshots.size == 2)
+    val batchAll = graft.ops.Sketch.Cms.estimate(
+      graft.ops.Sketch.Cms.counters((b0 ++ b1).toDF("v"), "v", 512, 3),
+      probes, "v", 512, 3)
+    assert(snapshots(1) == toMap(batchAll),
+      "streaming estimates must equal the batch sketch on the prefix")
+    // at w=512 for ~85 distinct keys the probes are exact
+    assert(snapshots(1)("hot") == 50L && snapshots(1)("warm") == 5L &&
+      snapshots(1)("r40") == 2L && snapshots(1)("absent") == 0L)
+    // replay batch 1: contribution partition rewrites, estimate identical
+    val replayed = scala.collection.mutable.ArrayBuffer[Map[String, Long]]()
+    StreamingSketch.foreachBatchCms("v", 512, 3, state, probes, "v",
+      { out: DataFrame => replayed += toMap(out); () })(
+      b1.toDF("v"), 1L)
+    assert(replayed.head == snapshots(1),
+      "a replayed micro-batch must not double-count")
+    graft.ops.Dedup.releaseCaches()
+  }
+
   test("streaming heavy hitters: summary carry holds SpaceSaving bounds, O(1) state files") {
     import org.apache.spark.sql.DataFrame
     import spark.implicits._
