@@ -92,5 +92,7 @@ object SparkEntry {
     "tx_distinct_hll",   // HLL distinct shingles (values never shuffle)
     "tx_shuffle_pack",   // seeded permutation x2 epochs + prefix-sum pack
     "ev_conversations",  // session transcripts (ordered assembly)
-    "tx_pref_pairs")     // stratified chosen/rejected pair mining
+    "tx_pref_pairs",     // stratified chosen/rejected pair mining
+    "tx_freq_cms",       // count-min counters + probe estimates
+    "tx_pmi")            // collocation mining (counts + scalar totals)
 }

@@ -36,8 +36,14 @@ import org.apache.spark.sql.functions._
 object Bloom {
 
   /** k probe positions (each in [0, m)) for one value column. */
-  private[ops] def positions(value: Column, mBits: Int, k: Int): Seq[Column] = {
-    val h = TextAnalysis.md5Low64(value)
+  private[ops] def positions(value: Column, mBits: Int, k: Int): Seq[Column] =
+    positionsFromHash(TextAnalysis.md5Low64(value), mBits, k)
+
+  /** [[positions]] over an already-computed md5-low64 hash column —
+    * callers that probe many positions per row materialize the hash
+    * ONCE as a real column instead of leaning on codegen CSE to
+    * dedupe k md5 evaluations. */
+  private[ops] def positionsFromHash(h: Column, mBits: Int, k: Int): Seq[Column] = {
     val h1 = h.bitwiseAND(lit(0xFFFFFFFFL))
     val h2 = shiftrightunsigned(h, 32).bitwiseOR(lit(1L))
     (0 until k).map(i => pmod(h1 + lit(i.toLong) * h2, lit(mBits.toLong)))

@@ -123,8 +123,9 @@ object Sketch {
       * counter (≤ d·w rows). */
     def counters(df: DataFrame, valueCol: String, w: Int, d: Int): DataFrame = {
       require(w > 0 && d > 0, s"w and d must be positive, got w=$w d=$d")
-      df.select(posexplode(array(
-          Bloom.positions(col(valueCol), w, d): _*)).as(Seq("_i", "_p")))
+      df.select(TextAnalysis.md5Low64(col(valueCol)).as("_h"))
+        .select(posexplode(array(
+          Bloom.positionsFromHash(col("_h"), w, d): _*)).as(Seq("_i", "_p")))
         .groupBy("_i", "_p").agg(count(lit(1)).as("cnt"))
     }
 
