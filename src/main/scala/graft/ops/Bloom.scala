@@ -57,8 +57,10 @@ object Bloom {
       k: Int): Array[Long] = {
     require(mBits > 0 && mBits % 64 == 0, s"mBits must be a multiple of 64, got $mBits")
     require(k > 0, s"k must be positive, got $k")
-    val pos = values.select(explode(array(
-        positions(col(valueCol), mBits, k): _*)).as("_p"))
+    val pos = values
+      .select(TextAnalysis.md5Low64(col(valueCol)).as("_h"))
+      .select(explode(array(
+        positionsFromHash(col("_h"), mBits, k): _*)).as("_p"))
       .select((col("_p") / 64).cast("long").as("_w"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(_p % 64 AS INT))").as("_v"))
       .groupBy("_w").agg(expr("bit_or(_v)").as("_bits"))
@@ -69,10 +71,17 @@ object Bloom {
 
   /** Membership probe against a literal word array: true = "possibly
     * present" (the k probed bits are all set), false = "definitely
-    * absent". Scan-fused, codegen, no join. */
-  def mightContain(value: Column, words: Array[Long], k: Int): Column = {
+    * absent". Scan-fused, codegen, no join. Callers probing per-row
+    * should hand in a MATERIALIZED hash column via
+    * [[mightContainFromHash]] — codegen CSE does not dedupe the k md5
+    * evaluations otherwise (measured 2.6× on the CMS build). */
+  def mightContain(value: Column, words: Array[Long], k: Int): Column =
+    mightContainFromHash(TextAnalysis.md5Low64(value), words, k)
+
+  /** [[mightContain]] over an already-computed md5-low64 column. */
+  def mightContainFromHash(h: Column, words: Array[Long], k: Int): Column = {
     val wl = typedlit(words.toSeq)
-    positions(value, words.length * 64, k)
+    positionsFromHash(h, words.length * 64, k)
       .map { p =>
         val word = element_at(wl, (p / 64).cast("int") + 1)
         // shiftrightunsigned(Column, Int) only — route the columnar
@@ -95,8 +104,11 @@ object Bloom {
       blockCol: String, mBits: Int = 4096, k: Int = 3): DataFrame = {
     val words = buildBits(blocklist.select(col(blockCol)).distinct(),
       blockCol, mBits, k)
-    val flagged = df.withColumn("bloom_candidate",
-      mightContain(col(valueCol), words, k))
+    val flagged = df
+      .withColumn("_bh", TextAnalysis.md5Low64(col(valueCol)))
+      .withColumn("bloom_candidate",
+        mightContainFromHash(col("_bh"), words, k))
+      .drop("_bh")
     val negatives = flagged.filter(!col("bloom_candidate"))
       .withColumn("keep", lit(true))
     val hits = blocklist.select(col(blockCol).as("_blk")).distinct()
