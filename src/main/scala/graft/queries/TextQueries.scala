@@ -447,6 +447,46 @@ object TextQueries {
       graft.ops.Sketch.hllOracleSql("tok", "lang", 9) +
       "\nORDER BY lang"
 
+  /** Deterministic weighted sampling (Efraimidis–Spirakis A-ES):
+    * sample k docs with probability proportional to quality — the
+    * "sample by weight, reproducibly" mixing primitive. Key =
+    * u^(1/w) with u a content-independent unit hash of the id
+    * ([[graft.ops.Sampling.unitHash]] shifted into (0,1]) and w the
+    * quality score floored at 1e-4; top-k by key. No RNG: the sample
+    * is identical across runs, engines and partitionings. Keys are
+    * ROUNDED to 12 dp before ordering so an ulp-level pow()
+    * divergence collapses into the deterministic id tie-break instead
+    * of flipping the cut. Scale shape: scan-fused key + global top-k
+    * via TakeOrderedAndProject (per-partition partial top-k, then one
+    * k-row merge — never a global sort). */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val u = (conv(substring(md5(col("doc_id").cast("string")
+        .cast("binary")), 1, 8), 16, 10).cast("long") + 1) /
+      lit(4294967296.0)
+    val w = greatest(TextAnalysis.qualityScore(col("text")), lit(0.0001))
+    docs(spark, dir)
+      .select(col("doc_id"), w.as("q"),
+        round(pow(u, lit(1.0) / w), 12).as("key"))
+      .orderBy(col("key").desc, col("doc_id")).limit(100)
+      .transform(QueryUtil.ordered("doc_id"))
+  }
+
+  val weightedSampleOracle: String =
+    """WITH s AS (SELECT doc_id,
+      |    len(string_split(text, ' ')) * 1.0 AS n,
+      |    len(list_distinct(string_split(text, ' '))) * 1.0 AS nd,
+      |    len(list_filter(string_split(text, ' '),
+      |        t -> t IN ('the', 'a', 'of', 'to', 'and', 'in', 'is', 'it'))) * 1.0 AS st
+      |  FROM documents),
+      |k AS (SELECT doc_id,
+      |    greatest(round(least(n / 100.0, 1.0) * 0.4 + (nd / n) * 0.4
+      |      + (1.0 - st / n) * 0.2, 4), 0.0001) AS q,
+      |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT + 1)
+      |      / 4294967296.0 AS u
+      |  FROM s)
+      |SELECT doc_id, q, round(pow(u, 1.0 / q), 12) AS key
+      |FROM k ORDER BY key DESC, doc_id LIMIT 100""".stripMargin
+
   /** PMI collocation mining — the phrase-discovery pass behind
     * tokenizer-vocabulary and merge-rule construction: pointwise
     * mutual information log(p(ab) / (p(a)·p(b))) over corpus bigram
@@ -3063,6 +3103,7 @@ object TextQueries {
     "tx_shuffle_pack" -> ((shufflePack _, Some(shufflePackOracle))),
     "tx_freq_cms" -> ((freqCms _, Some(freqCmsOracle))),
     "tx_pmi" -> ((pmi _, Some(pmiOracle))),
+    "tx_weighted_sample" -> ((weightedSample _, Some(weightedSampleOracle))),
     "dd_simhash" -> ((simhashPairs _, Some(simhashOracle))),
     "dd_clusters" -> ((dedupClusters _, Some(dedupClustersOracle))),
     "dd_clusters_star" -> ((dedupClustersStar _, Some(dedupClustersOracle))),

@@ -176,6 +176,29 @@ class PlanSpec extends SparkSpec {
       s"sketch plan must be join- and window-free:\n$p")
   }
 
+  test("tx_weighted_sample: global top-k is TakeOrderedAndProject, never a full sort") {
+    // per-partition partial top-k + one k-row merge; an Exchange-then-
+    // Sort shape would sort the corpus for a 100-row sample
+    val p = plan("tx_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must plan as TakeOrderedAndProject:\n$p")
+    assert(!p.contains("Join") && !p.contains("windowspecdefinition"),
+      s"sampling plan must be join- and window-free:\n$p")
+  }
+
+  test("tx_freq_cms: counter build partial-aggregates; probes broadcast; no window") {
+    // the counter key space is ≤ d·w regardless of corpus size — map
+    // tasks must combine before the shuffle; the probe side is tiny
+    // and broadcasts to the counters
+    val p = plan("tx_freq_cms")
+    assert(p.contains("partial_count"),
+      s"counters must partial-aggregate map-side:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe lookup must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("windowspecdefinition"),
+      s"no shuffle join or window in the sketch plan:\n$p")
+  }
+
   test("tx_incremental: reuse is an anti join, recompute a semi join; no window, no shuffle of text") {
     // the incremental contract in plan form: v1 outputs survive via a
     // LEFT ANTI against the dirty-id frame, the delta flows in via a

@@ -2336,6 +2336,26 @@ class OpsSpec extends SparkSpec {
       "16 counters for 302 keys must show at least one overcount")
   }
 
+  test("weighted sampling keys: heavier rows dominate the top-k; deterministic across partitionings") {
+    // the tx_weighted_sample selection rule in isolation: key = u^(1/w)
+    // with a content-independent unit hash — 500 heavy (w=0.9) vs 500
+    // light (w=0.1) rows, top-100 must be overwhelmingly heavy
+    val d = (1L to 1000L).map(i => (i, if (i % 2 == 0) 0.9 else 0.1))
+      .toDF("id", "w")
+    def sample(df: org.apache.spark.sql.DataFrame): Seq[Long] = {
+      val u = (conv(substring(md5(col("id").cast("string").cast("binary")),
+        1, 8), 16, 10).cast("long") + 1) / lit(4294967296.0)
+      df.select(col("id"), round(pow(u, lit(1.0) / col("w")), 12).as("k"))
+        .orderBy(col("k").desc, col("id")).limit(100)
+        .collect().map(_.getLong(0)).toSeq.sorted
+    }
+    val s = sample(d)
+    val heavy = s.count(_ % 2 == 0)
+    assert(heavy > 85, s"expected heavy dominance, got $heavy/100")
+    assert(sample(d.repartition(13)) == s,
+      "sample must not depend on partitioning")
+  }
+
   test("cms artifact: exact round-trip, recorded parameters, empty-meta rejection") {
     val stream = (Seq.fill(9)("x") ++ Seq.fill(4)("y") ++ Seq("z")).toDF("v")
     val probes = Seq("x", "y", "z", "none").toDF("v")
