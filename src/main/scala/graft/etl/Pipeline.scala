@@ -137,12 +137,17 @@ object Pipeline {
             out.write.mode("overwrite").parquet(cfg.outputPath)
             spark.read.parquet(cfg.outputPath).count()
           } else {
-            val w = new java.io.PrintWriter(new java.io.BufferedWriter(
-              new java.io.FileWriter(cfg.outputPath)))
+            // Files.newBufferedWriter: UTF-8 regardless of platform
+            // default, and IOExceptions PROPAGATE (PrintWriter would
+            // swallow a disk-full and report success) — the Sinks.scala
+            // writer contract
+            val w = java.nio.file.Files.newBufferedWriter(
+              java.nio.file.Paths.get(cfg.outputPath),
+              java.nio.charset.StandardCharsets.UTF_8)
             try {
               val it = out.toJSON.toLocalIterator()
               var n = 0L
-              while (it.hasNext) { w.println(it.next()); n += 1 }
+              while (it.hasNext) { w.write(it.next()); w.newLine(); n += 1 }
               n
             } finally w.close()
           }

@@ -57,7 +57,9 @@ object Bloom {
       k: Int): Array[Long] = {
     require(mBits > 0 && mBits % 64 == 0, s"mBits must be a multiple of 64, got $mBits")
     require(k > 0, s"k must be positive, got $k")
-    val pos = values
+    // a null blocklist entry matches nothing (SQL IN semantics) and has
+    // no hash — drop it rather than poison the word aggregate
+    val pos = values.filter(col(valueCol).isNotNull)
       .select(TextAnalysis.md5Low64(col(valueCol)).as("_h"))
       .select(explode(array(
         positionsFromHash(col("_h"), mBits, k): _*)).as("_p"))
@@ -104,10 +106,13 @@ object Bloom {
       blockCol: String, mBits: Int = 4096, k: Int = 3): DataFrame = {
     val words = buildBits(blocklist.select(col(blockCol)).distinct(),
       blockCol, mBits, k)
+    // a NULL value can match no blocklist entry (SQL IN semantics):
+    // candidate = false, keep = true — the row must SURVIVE, not fall
+    // through both filter branches of the union
     val flagged = df
       .withColumn("_bh", TextAnalysis.md5Low64(col(valueCol)))
       .withColumn("bloom_candidate",
-        mightContainFromHash(col("_bh"), words, k))
+        coalesce(mightContainFromHash(col("_bh"), words, k), lit(false)))
       .drop("_bh")
     val negatives = flagged.filter(!col("bloom_candidate"))
       .withColumn("keep", lit(true))

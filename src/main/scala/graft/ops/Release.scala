@@ -62,14 +62,20 @@ object Release {
     * carried fingerprints — identical output to a full repack, zero
     * text reads. */
   def manifestFromStats(stats: DataFrame, budget: Long,
-      idCol: String = "doc_id"): DataFrame =
-    Packing.packFromCounts(stats.select(col(idCol), col("n_tokens")),
+      idCol: String = "doc_id"): DataFrame = {
+    // both consumers (assignment counts, fingerprint join) read the
+    // stats frame — persist it, or an expensive upstream (e.g.
+    // incrementalApply's delta tokenize in [[incrementalManifest]])
+    // executes twice
+    val s = Dedup.persistTracked(stats)
+    Packing.packFromCounts(s.select(col(idCol), col("n_tokens")),
         budget, idCol)
-      .join(stats.select(col(idCol), col("_fp")), Seq(idCol))
+      .join(s.select(col(idCol), col("_fp")), Seq(idCol))
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
         expr("bit_xor(_fp)").as("content_hash"))
+  }
 
   /** Incremental release manifest: given corpus v1, its materialized
     * [[docStats]], and corpus v2, produce v2's manifest EQUAL to a

@@ -26,6 +26,14 @@ object Sampling {
     conv(substring(md5(id.cast("string").cast("binary")), 1, 8), 16, 10)
       .cast("long") / lit(4294967296.0)
 
+  /** [[unitHash]] shifted into (0, 1] — for formulas that cannot take
+    * 0 (e.g. the Efraimidis–Spirakis u^(1/w) key, where u = 0 breaks
+    * the power). ONE definition: the weighted-sampling query and its
+    * oracle both restate exactly this. */
+  def unitHashClosed(id: Column): Column =
+    (conv(substring(md5(id.cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long") + 1) / lit(4294967296.0)
+
   /** Keep rows whose unit-hash falls below their stratum's fraction.
     * Strata absent from `fractions` get `defaultFraction` (0 = drop —
     * explicit allowlist semantics). */

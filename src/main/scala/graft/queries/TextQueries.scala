@@ -460,9 +460,7 @@ object TextQueries {
     * via TakeOrderedAndProject (per-partition partial top-k, then one
     * k-row merge — never a global sort). */
   def weightedSample(spark: SparkSession, dir: String): DataFrame = {
-    val u = (conv(substring(md5(col("doc_id").cast("string")
-        .cast("binary")), 1, 8), 16, 10).cast("long") + 1) /
-      lit(4294967296.0)
+    val u = graft.ops.Sampling.unitHashClosed(col("doc_id"))
     val w = greatest(TextAnalysis.qualityScore(col("text")), lit(0.0001))
     docs(spark, dir)
       .select(col("doc_id"), w.as("q"),
@@ -499,17 +497,19 @@ object TextQueries {
   def pmi(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
       .withColumn("_tk", TextAnalysis.tokens(col("text")))
-    val toks = d.select(explode(col("_tk")).as("t"))
-      .groupBy("t").agg(count(lit(1)).as("c"))
-    val tokTotal = d.select(explode(col("_tk")).as("t"))
-      .agg(count(lit(1)).as("nt"))
-    val bis = d.select(explode(
-        TextAnalysis.ngramsFromTokens(col("_tk"), 2)).as("b"))
-      .groupBy("b").agg(count(lit(1)).as("cab"))
-      .filter(col("cab") >= 5)
-    val biTotal = d.select(explode(
-        TextAnalysis.ngramsFromTokens(col("_tk"), 2)).as("b"))
-      .agg(count(lit(1)).as("nb"))
+    // ONE corpus scan per grain: the totals derive from the
+    // vocabulary-sized count frames (persisted — each feeds both its
+    // total and the join), never from a second tokenize pass
+    val toks = graft.ops.Dedup.persistTracked(
+      d.select(explode(col("_tk")).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("c")))
+    val tokTotal = toks.agg(sum(col("c")).as("nt"))
+    val bisAll = graft.ops.Dedup.persistTracked(
+      d.select(explode(
+          TextAnalysis.ngramsFromTokens(col("_tk"), 2)).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("cab")))
+    val bis = bisAll.filter(col("cab") >= 5)
+    val biTotal = bisAll.agg(sum(col("cab")).as("nb"))
     val split = bis
       .withColumn("a", substring_index(col("b"), " ", 1))
       .withColumn("z", substring_index(col("b"), " ", -1))

@@ -2290,6 +2290,22 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("bloom gate: null values survive as keep=true; null blocklist entries are inert") {
+    // SQL IN semantics: NULL matches nothing — a null-valued row must
+    // come out keep=true/candidate=false, never vanish between the
+    // union's filter branches; a null blocklist entry must not poison
+    // the bitset build
+    val corpus = Seq((1L, Some("a")), (2L, Option.empty[String]), (3L, Some("b")))
+      .toDF("id", "v")
+    val blocked = Seq(Some("a"), Option.empty[String]).toDF("v")
+    val r = Bloom.gate(corpus, blocked, "v", "v", mBits = 256, k = 3)
+      .collect().map(x => x.getAs[Long]("id") ->
+        ((x.getAs[Boolean]("bloom_candidate"), x.getAs[Boolean]("keep")))).toMap
+    assert(r.size == 3, s"every row must survive, got $r")
+    assert(r(1L) == ((true, false)) && r(2L) == ((false, true)) &&
+      r(3L)._2 == true, s"null semantics wrong: $r")
+  }
+
   test("bloom gate: false positives at tiny m are confirmed clear by the exact join") {
     // 64 bits for 28 keys × 3 probes — false positives are certain;
     // the gate must still return the exact verdict for every row
@@ -2343,8 +2359,7 @@ class OpsSpec extends SparkSpec {
     val d = (1L to 1000L).map(i => (i, if (i % 2 == 0) 0.9 else 0.1))
       .toDF("id", "w")
     def sample(df: org.apache.spark.sql.DataFrame): Seq[Long] = {
-      val u = (conv(substring(md5(col("id").cast("string").cast("binary")),
-        1, 8), 16, 10).cast("long") + 1) / lit(4294967296.0)
+      val u = Sampling.unitHashClosed(col("id"))
       df.select(col("id"), round(pow(u, lit(1.0) / col("w")), 12).as("k"))
         .orderBy(col("k").desc, col("id")).limit(100)
         .collect().map(_.getLong(0)).toSeq.sorted
