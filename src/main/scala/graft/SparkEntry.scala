@@ -24,7 +24,7 @@ object SparkEntry {
   private val registry:
       Map[String, ((SparkSession, String) => DataFrame, Option[String])] =
     EtlQueries.all ++ RelationalQueries.all ++ EventQueries.all ++
-      TextQueries.all ++ VectorQueries.all
+      TextQueries.all ++ VectorQueries.all ++ BpeQueries.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -94,5 +94,6 @@ object SparkEntry {
     "ev_conversations",  // session transcripts (ordered assembly)
     "tx_pref_pairs",     // stratified chosen/rejected pair mining
     "tx_freq_cms",       // count-min counters + probe estimates
-    "tx_pmi")            // collocation mining (counts + scalar totals)
+    "tx_pmi",            // collocation mining (counts + scalar totals)
+    "tx_bpe_merges")     // 8-round BPE merge learning over the vocab table
 }

@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE merge learning — tokenizer-vocabulary construction
+  * as a Spark plan.
+  *
+  * Sennrich-style byte-pair encoding re-shaped for scale: the corpus is
+  * scanned ONCE into a word-frequency table (vocabulary-sized — at
+  * crawl scale ~10^7–10^8 rows against 10^11 documents), and every
+  * merge round after that touches only that table. Per round:
+  * adjacent-symbol pair counting is one map-side-combined aggregation
+  * whose key space is the pair vocabulary, the winner is a 1-row
+  * TakeOrdered, and the merge application is a narrow map (string
+  * replace) — k merges cost k small vocab-table jobs after exactly one
+  * corpus pass, the shape industrial BPE trainers use (word-histogram
+  * first, never re-tokenize the corpus per merge).
+  *
+  * Symbol sequences ride in ONE delimiter-wrapped string
+  * ("␟h␟␟e␟…"): replacing "␟A␟␟B␟"
+  * with "␟AB␟" is the left-to-right non-overlapping greedy
+  * merge of classic BPE ("aaaa" + merge (a,a) → "aa","aa"), and full
+  * wrapping makes the pattern boundary-safe against symbol-substring
+  * collisions ("XA B" can never match "A B"). Pair counting is
+  * OVERLAPPING (zip(w, w[1:]) — "aaaa" contributes (a,a)×3), also the
+  * classic definition. Merge selection tie-breaks on
+  * (count DESC, left, right) binary string order so engine and oracle
+  * pick identical merge sequences; counts are integers end-to-end, so
+  * no summation-order noise exists anywhere. Interior-only variant: no
+  * end-of-word sentinel (GPT-2-style byte-level BPE also has none);
+  * the alphabet is gated to lowercase a-z words ≤ 20 chars so the
+  * symbol strings stay delimiter-clean by construction.
+  *
+  * Reference scope: the reference engine has no tokenizer surface —
+  * this is part of the beyond-reference LLM-pipeline tier (vocab /
+  * merge construction feeding the tx_bpe_tokens/tx_pmi family).
+  */
+object Bpe {
+
+  /** Symbol delimiter (U+241F SYMBOL FOR UNIT SEPARATOR): cannot occur
+    * in the gated a-z alphabet, so wrapping is collision-free. */
+  val Sep = "␟"
+
+  final case class Merge(rank: Int, left: String, right: String, count: Long)
+
+  /** One corpus pass: (word, cnt, word_len) over lowercase a-z words
+    * (≤ 20 chars), occurrence-weighted. Splitting on a single space
+    * (not \s+) keeps the engine and the DuckDB oracle byte-identical
+    * on every whitespace shape (the tokenizer-probe lesson). */
+  def wordTable(docsDf: DataFrame): DataFrame =
+    docsDf.select(explode(split(lower(col("text")), " ")).as("word"))
+      .where(col("word").rlike("^[a-z]+$") && length(col("word")) <= 20)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .withColumn("word_len", length(col("word")))
+
+  /** Wrap each character: "he" → "␟h␟␟e␟". */
+  def wrapSymbols(word: Column): Column =
+    regexp_replace(word, "(.)", s"$Sep$$1$Sep")
+
+  /** Overlapping adjacent-pair counts, occurrence-weighted: one
+    * partial-agg job over the vocab table; key space = pair vocab. */
+  private[graft] def pairCounts(vocab: DataFrame): DataFrame =
+    vocab
+      .withColumn("_l", split(expr(s"btrim(ws, '$Sep')"), s"$Sep$Sep"))
+      .withColumn("_n", size(col("_l")))
+      .where(col("_n") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, _n - 1), i -> " +
+          "struct(element_at(_l, i) AS s1, element_at(_l, i + 1) AS s2))"))
+        .as("_p"), col("cnt"))
+      .groupBy(col("_p.s1").as("s1"), col("_p.s2").as("s2"))
+      .agg(sum("cnt").as("total"))
+
+  /** Learn `k` merges. Returns the merge table (rank order) and the
+    * final vocab frame (word, ws, cnt, word_len) with all merges
+    * applied. Each round's winner is a single collected row
+    * (model-sized by definition); the vocab frame is checkpointed per
+    * round so lineage stays flat (round r would otherwise replay r
+    * string-replace passes). Stops early if no pair remains. */
+  def learnMerges(docsDf: DataFrame, k: Int): (Seq[Merge], DataFrame) = {
+    var vocab = Dedup.checkpointTracked(
+      wordTable(docsDf).withColumn("ws", wrapSymbols(col("word"))))
+    val merges = Seq.newBuilder[Merge]
+    var r = 1
+    var exhausted = false
+    while (r <= k && !exhausted) {
+      val top = pairCounts(vocab)
+        .orderBy(desc("total"), asc("s1"), asc("s2")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (s1, s2) = (top(0).getString(0), top(0).getString(1))
+        merges += Merge(r, s1, s2, top(0).getLong(2))
+        // s1/s2 are a-z only by construction — safe to inline
+        vocab = Dedup.checkpointTracked(vocab.withColumn("ws",
+          expr(s"replace(ws, '$Sep$s1$Sep$Sep$s2$Sep', '$Sep$s1$s2$Sep')")))
+        r += 1
+      }
+    }
+    (merges.result(), vocab)
+  }
+
+  /** Compression profile of a learned vocab: per original word length,
+    * how many symbols the merged encoding needs (occurrence-weighted).
+    * The post-merge twin of tx_token_stats — the number a tokenizer
+    * team actually tracks (chars-per-token / fertility). */
+  def compressionProfile(vocab: DataFrame): DataFrame =
+    vocab
+      .withColumn("_syms",
+        size(split(expr(s"btrim(ws, '$Sep')"), s"$Sep$Sep")).cast("long"))
+      .groupBy("word_len")
+      .agg(count(lit(1)).as("n_words"),
+        sum("cnt").as("occurrences"),
+        sum(col("cnt") * col("_syms")).as("n_syms"),
+        round(sum(col("cnt") * col("_syms")).cast("double") /
+          sum("cnt").cast("double"), 4).as("avg_syms"))
+}

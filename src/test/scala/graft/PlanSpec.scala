@@ -47,7 +47,8 @@ class PlanSpec extends SparkSpec {
       "tx_rank_deciles",  // N = one-row corpus count for the bucket formula
       "tx_heavy_hitters", // one-row certification floor scalar
       "tx_curation7",     // rank stage's one-row corpus count
-      "tx_curation8")     // clf-floor scalar + rank stage's corpus count
+      "tx_curation8",     // clf-floor scalar + rank stage's corpus count
+      "tx_pmi")           // one-row (unigram, bigram) totals scalars
 
   test("no headline query plans a cartesian product (baselines excepted)") {
     (SparkEntry.benchQueries.toSet ++ Set("ev_skew_join") -- exactBaselines)
