@@ -95,5 +95,6 @@ object SparkEntry {
     "tx_pref_pairs",     // stratified chosen/rejected pair mining
     "tx_freq_cms",       // count-min counters + probe estimates
     "tx_pmi",            // collocation mining (counts + scalar totals)
-    "tx_bpe_merges")     // 8-round BPE merge learning over the vocab table
+    "tx_bpe_merges",     // 8-round BPE merge learning over the vocab table
+    "q_pagerank")        // co-purchase graph build + 3 exact PR iterations
 }

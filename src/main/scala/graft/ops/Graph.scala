@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph centrality (PageRank) as fixed-iteration Spark
+  * plans with EXACT integer fixed-point arithmetic.
+  *
+  * Rank mass rides as a scaled BIGINT (10^15 = total mass 1.0): every
+  * per-iteration step — contribution = pr DIV outdeg, damping =
+  * (85 · c) DIV 100, teleport = (15 · SCALE) DIV (100 · N) — is
+  * integral, so the distributed summation order cannot perturb a
+  * single bit and the DuckDB oracle replays every iteration to the
+  * last digit (the same trick as Eval's decimal rank arithmetic). A
+  * float PageRank would be ulp-hostage to partition merge order.
+  *
+  * Scale shape: the edge list is deduplicated, degree-annotated ONCE
+  * and checkpointed hash-partitioned on `src`; each iteration is one
+  * equi-join (edges ⋈ ranks on src — ranks are node-sized, the edge
+  * side reuses its partitioning) plus one partial-aggregated shuffle
+  * of contributions on `dst` — the unavoidable PageRank shuffle, never
+  * an all-pairs shape. Iterations are checkpointed so lineage stays
+  * flat (the dd_clusters rule). N arrives as a driver literal (one
+  * count — model-sized), keeping the per-iteration plan join-only.
+  */
+object Graph {
+
+  /** Total rank mass in fixed-point units. */
+  val Scale = 1000000000000000L // 10^15
+
+  /** Top-k PageRank over a directed edge list (`src`, `dst`); pass
+    * both directions for an undirected graph (then every node has
+    * out-degree ≥ 1, so no dangling-mass term is needed — enforced).
+    * Returns (node, pr) with pr in Scale units, ordered (pr DESC,
+    * node) via TakeOrderedAndProject. */
+  def pageRankTopK(edgesRaw: DataFrame, iterations: Int, k: Int): DataFrame = {
+    // repartition(src) FIRST: hash partitioning on src satisfies the
+    // (src, dst) dedup clustering (same pair → same partition), so the
+    // dedup aggregation runs in-partition and the checkpointed frame
+    // comes out partitioned on the iteration join key — one shuffle
+    // where distinct().repartition(src) would pay two.
+    val edges = Dedup.checkpointTracked(
+      edgesRaw.select("src", "dst").repartition(col("src"))
+        .dropDuplicates("src", "dst"))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val ed = Dedup.checkpointTracked(edges.join(deg, "src"))
+    val n = deg.count() // one driver scalar: |nodes|
+    require(n > 0, "pageRankTopK: empty graph")
+    val base = (15L * Scale) / (100L * n)
+    var ranks = Dedup.checkpointTracked(
+      deg.select(col("src").as("node"), lit(Scale / n).as("pr")))
+    for (_ <- 1 to iterations) {
+      val contrib = ed.join(ranks, ed("src") === ranks("node"))
+        .select(col("dst"), expr("pr DIV outdeg").as("c"))
+        .groupBy("dst").agg(sum("c").as("c"))
+      ranks = Dedup.checkpointTracked(
+        ranks.select("node")
+          .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+          .select(col("node"), (lit(base) +
+            expr("(85 * coalesce(c, CAST(0 AS BIGINT))) DIV 100")).as("pr")))
+    }
+    ranks.orderBy(desc("pr"), asc("node")).limit(k)
+  }
+}

@@ -320,7 +320,50 @@ object RelationalQueries {
       |SELECT (SELECT count(*) FROM (SELECT * FROM a95 INTERSECT SELECT * FROM a96)) AS n_both,
       |       (SELECT count(*) FROM (SELECT * FROM a95 EXCEPT SELECT * FROM a96)) AS n_only_1995""".stripMargin
 
+  /** PageRank over the part co-purchase graph: parts are linked when
+    * they ship in the same order (the "customers also bought" graph a
+    * crawl-curation team ranks pages with). Edge build is an equi
+    * self-join on the order key (co-partitioned, per-order local
+    * expansion — never all-pairs); 3 exact fixed-point iterations in
+    * [[graft.ops.Graph.pageRankTopK]]; the oracle replays every
+    * iteration's integer arithmetic through materialized CTEs. */
+  def pageRank(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val e = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+    graft.ops.Graph.pageRankTopK(e, iterations = 3, k = 40)
+  }
+
+  val pageRankOracle: String = {
+    val scale = graft.ops.Graph.Scale
+    val iters = (1 to 3).map { i =>
+      s""",
+         |c$i AS MATERIALIZED (SELECT ed.dst AS node,
+         |    CAST(sum(r.pr // ed.outdeg) AS BIGINT) AS c
+         |  FROM ed JOIN r${i - 1} r ON ed.src = r.node GROUP BY ed.dst),
+         |r$i AS MATERIALIZED (SELECT r.node,
+         |    CAST(${15L * scale} // (100 * (SELECT n FROM nn)) +
+         |      (85 * coalesce(c.c, 0)) // 100 AS BIGINT) AS pr
+         |  FROM r${i - 1} r LEFT JOIN c$i c USING (node))""".stripMargin
+    }.mkString
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT DISTINCT l1.l_partkey AS src, l2.l_partkey AS dst
+       |  FROM lineitem l1 JOIN lineitem l2
+       |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey <> l2.l_partkey),
+       |deg AS MATERIALIZED (
+       |  SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e0 GROUP BY src),
+       |nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+       |ed AS MATERIALIZED (
+       |  SELECT e0.src, e0.dst, deg.outdeg FROM e0 JOIN deg USING (src)),
+       |r0 AS MATERIALIZED (SELECT src AS node,
+       |  CAST($scale // (SELECT n FROM nn) AS BIGINT) AS pr FROM deg)$iters
+       |SELECT node, pr FROM r3 ORDER BY pr DESC, node LIMIT 40""".stripMargin
+  }
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_pagerank" -> ((pageRank _, Some(pageRankOracle))),
     "q1_pricing" -> ((q1Pricing _, Some(q1Oracle))),
     "q6_revenue" -> ((q6Revenue _, Some(q6Oracle))),
     "q3_top_orders" -> ((q3TopOrders _, Some(q3Oracle))),
