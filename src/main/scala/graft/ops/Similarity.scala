@@ -58,6 +58,35 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  /** Hard-negative mining: for each query vector, the k most-similar
+    * candidates whose LABEL differs from the query's — the negatives a
+    * contrastive / DPO trainer wants (similar embedding, different
+    * class). Same broadcast-query shape as [[bruteForceKnn]]; the
+    * label inequality prunes before any dot product runs. Ranking on
+    * rounded sim (4 dp) + cid, so the mined set is deterministic and
+    * engine-portable. At 10^9+ candidates, swap the candidate scan for
+    * an [[lshKnn]]-style bucket probe with label-oversampling. */
+  def hardNegatives(emb: DataFrame, k: Int, queryPred: Column,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = emb.filter(queryPred)
+      .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qe"),
+        col(labelCol).as("qlabel"))
+      .withColumn("qn", norm(col("qe")))
+    val c = emb.select(col(idCol).as("cid"), asDouble(col(vecCol)).as("ce"),
+        col(labelCol).as("clabel"))
+      .withColumn("cn", norm(col("ce")))
+    val sims = q.hint("broadcast").crossJoin(c)
+      .filter(col("qlabel") =!= col("clabel"))
+      .select(col("qid"), col("qlabel"), col("cid"), col("clabel"),
+        round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 4).as("sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("cid").asc)
+    sims.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
   /** All pairs with cosine >= threshold (embedding near-dup), EXACT:
     * upper-triangle join. This is the oracle-checkable baseline — fine
     * to tens of thousands of vectors; beyond that use

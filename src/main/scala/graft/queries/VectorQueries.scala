@@ -45,6 +45,27 @@ object VectorQueries {
       |      FROM s)
       |SELECT qid, cid, sim, rn FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
 
+  /** Hard negatives: top-5 nearest different-label candidates per
+    * query vector — the contrastive-training mining pass. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame =
+    Similarity.hardNegatives(emb(spark, dir), k = 5,
+        queryPred = col("vec_id") % 50 === 0)
+      .transform(QueryUtil.ordered("qid", "rn"))
+
+  val hardNegativesOracle: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe,
+      |             label AS qlabel
+      |           FROM embeddings WHERE $queryPredSql),
+      |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce,
+      |        label AS clabel FROM embeddings),
+      |s AS (SELECT qid, qlabel, cid, clabel, ${cosineSql("qe", "ce")} AS sim
+      |      FROM q, c WHERE qlabel <> clabel),
+      |r AS (SELECT qid, qlabel, cid, clabel, sim,
+      |        CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INTEGER) AS rn
+      |      FROM s)
+      |SELECT qid, qlabel, cid, clabel, sim, rn FROM r WHERE rn <= 5
+      |ORDER BY qid, rn""".stripMargin
+
   private def nearDupOracle(threshold: Double): String =
     s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
       |SELECT a.vec_id AS da, b.vec_id AS db, ${cosineSql("a.e", "b.e")} AS sim
@@ -396,6 +417,7 @@ object VectorQueries {
 
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "vec_knn_brute" -> ((knnBrute _, Some(knnBruteOracle))),
+    "vec_hard_negatives" -> ((hardNegatives _, Some(hardNegativesOracle))),
     "vec_near_dup" -> ((nearDupPairs _, Some(nearDupOracle(0.4)))),
     "vec_keep" -> ((nearDupKeep _, Some(nearDupKeepOracle))),
     "vec_near_dup_lsh" -> ((nearDupPairsLsh _, Some(plantedNearDupOracle))),

@@ -87,6 +87,21 @@ class OpsSpec extends SparkSpec {
     assert(pairs((1L, 3L)) == 1.0)
   }
 
+  test("hard negatives: nearest same-label is excluded, nearest diff-label wins") {
+    val d = Seq(
+      (0L, Array(1f, 0f), 0),      // query
+      (1L, Array(0.99f, 0.1f), 0), // closest overall — same label, excluded
+      (2L, Array(0.9f, 0.3f), 1),  // hardest negative
+      (3L, Array(0f, 1f), 1),
+      (4L, Array(-1f, 0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val r = Similarity.hardNegatives(d, k = 2, queryPred = col("vec_id") === 0)
+      .orderBy("rn").collect()
+    assert(r.map(_.getAs[Long]("cid")).toSeq == Seq(2L, 3L))
+    assert(r.forall(_.getAs[Int]("clabel") != 0))
+    assert(r.map(_.getAs[Int]("rn")).toSeq == Seq(1, 2))
+  }
+
   test("LSH knn: recall@5 >= 0.9 vs brute force on real embeddings") {
     val brute = Similarity.bruteForceKnn(emb, 5, col("vec_id") % 50 === 0)
       .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
