@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Robust distribution statistics (exact interpolated quantiles,
+  * median absolute deviation, MAD outlier gating) over DISCRETE value
+  * domains, computed from a value histogram instead of per-group value
+  * collection.
+  *
+  * `percentile()`-style aggregates buffer every group value on one
+  * reducer — a hot-key scale hazard when one language owns 40% of a
+  * 100 TB corpus. Here the corpus is scanned ONCE into
+  * (key, value, count); every quantile after that runs on the
+  * histogram, whose size is bounded by the value grain (distinct doc
+  * lengths ≤ ~10^5), not the corpus. Windows are therefore
+  * grain-bounded (the Eval.prCurve rule), and the interpolation
+  * arithmetic is plain IEEE on integer counts — deterministic and
+  * replayed exactly by the DuckDB oracle.
+  *
+  * Quantile definition: percentile_cont/`percentile` semantics — 0-based
+  * position p = (n-1)·q, linear interpolation between the covering
+  * ranks. A histogram row with cumulative count `cum` and count `c`
+  * covers ranks [cum-c, cum-1]; rank lookups are conditional aggs, no
+  * per-value probing. */
+object Robust {
+
+  /** Exact interpolated quantile per key from a value histogram
+    * (`key`, `v: double`, `c: long`) → (`key`, `qv: double`). */
+  def quantileFromHistogram(hist: DataFrame, q: Double,
+      keyCol: String = "key", out: String = "qv"): DataFrame = {
+    val wCum = Window.partitionBy(keyCol).orderBy("v")
+    val wAll = Window.partitionBy(keyCol)
+    val t = hist
+      .withColumn("_cum", sum("c").over(wCum))
+      .withColumn("_n", sum("c").over(wAll))
+      .withColumn("_pos", (col("_n") - 1) * lit(q))
+      .withColumn("_lo", floor(col("_pos")).cast("long"))
+      .withColumn("_hi", ceil(col("_pos")).cast("long"))
+    def at(rank: Column): Column =
+      max(when(col("_cum") - col("c") <= rank && rank <= col("_cum") - 1,
+        col("v")))
+    t.groupBy(keyCol)
+      .agg(at(col("_lo")).as("_vlo"), at(col("_hi")).as("_vhi"),
+        max(col("_pos") - col("_lo")).as("_frac"))
+      .select(col(keyCol),
+        (col("_vlo") + (col("_vhi") - col("_vlo")) * col("_frac")).as(out))
+  }
+
+  /** Median + MAD + 3-MAD outlier counts per key over an integer-ish
+    * value column. One corpus scan (the histogram); the deviation
+    * histogram is re-bucketed from the value histogram (|v−med| has
+    * the same grain), so MAD costs histogram-sized work only.
+    * Returns (key, med, mad, n_docs, n_outliers), med/mad rounded
+    * 4 dp at the output boundary; the 3-MAD comparison runs on the
+    * unrounded doubles (identical IEEE arithmetic in the oracle). */
+  def madOutlierStats(df: DataFrame, keyCol: String, valueCol: Column)
+      : DataFrame = {
+    val hist = Dedup.checkpointTracked(
+      df.groupBy(col(keyCol), valueCol.cast("double").as("v"))
+        .agg(count(lit(1)).as("c")))
+    val med = quantileFromHistogram(hist, 0.5, keyCol, "med")
+    val dev = hist.join(med, keyCol)
+      .groupBy(col(keyCol), abs(col("v") - col("med")).as("v"))
+      .agg(sum("c").as("c"))
+    val mad = quantileFromHistogram(dev, 0.5, keyCol, "mad")
+    hist.join(med, keyCol).join(mad, keyCol)
+      .groupBy(keyCol)
+      .agg(round(max("med"), 4).as("med"), round(max("mad"), 4).as("mad"),
+        sum("c").as("n_docs"),
+        sum(when(abs(col("v") - col("med")) > lit(3) * col("mad"),
+          col("c")).otherwise(lit(0L))).as("n_outliers"))
+  }
+}

@@ -3045,7 +3045,52 @@ object TextQueries {
       |    greatest(CAST(ceil(strlen(text) / 256.0) AS BIGINT), 1))) AS i)
       |ORDER BY media_id, chunk_idx""".stripMargin
 
+  /** Robust per-language length stats: exact interpolated median +
+    * MAD + 3-MAD outlier counts, all from ONE corpus scan into a
+    * (lang, n_chars) histogram — no percentile() value buffering on a
+    * hot language key. See [[graft.ops.Robust]]. */
+  def outliers(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Robust.madOutlierStats(docs(spark, dir), "lang", col("n_chars"))
+      .transform(QueryUtil.ordered("lang"))
+
+  /** The histogram-rank quantile replay: a row with cumulative count
+    * `cum` and count `c` covers 0-based ranks [cum-c, cum-1]; the
+    * covering values interpolate at position (n-1)·q. */
+  private def quantileCteSql(src: String, key: String, q: String,
+      outCte: String, outCol: String): String = {
+    def at(rank: String) =
+      s"""max(CASE WHEN cum - c <= CAST($rank AS BIGINT)
+         |      AND CAST($rank AS BIGINT) <= cum - 1 THEN v END)""".stripMargin
+    val lo = at(s"floor((n - 1) * $q)")
+    val hi = at(s"ceil((n - 1) * $q)")
+    s"""${outCte}_t AS (SELECT $key, v, c,
+       |    CAST(sum(c) OVER (PARTITION BY $key ORDER BY v) AS BIGINT) AS cum,
+       |    CAST(sum(c) OVER (PARTITION BY $key) AS BIGINT) AS n FROM $src),
+       |$outCte AS (SELECT $key,
+       |    $lo + ($hi - $lo) * max((n - 1) * $q - floor((n - 1) * $q))
+       |      AS $outCol
+       |  FROM ${outCte}_t GROUP BY $key)""".stripMargin
+  }
+
+  val outliersOracle: String =
+    s"""WITH h AS MATERIALIZED (SELECT lang, CAST(n_chars AS DOUBLE) AS v,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM documents GROUP BY 1, 2),
+       |${quantileCteSql("h", "lang", "0.5", "medq", "med")},
+       |d0 AS (SELECT h.lang, abs(h.v - m.med) AS v, h.c
+       |       FROM h JOIN medq m USING (lang)),
+       |d AS MATERIALIZED (SELECT lang, v, CAST(sum(c) AS BIGINT) AS c
+       |  FROM d0 GROUP BY 1, 2),
+       |${quantileCteSql("d", "lang", "0.5", "madq", "mad")}
+       |SELECT h.lang, round(max(m.med), 4) AS med, round(max(x.mad), 4) AS mad,
+       |  CAST(sum(h.c) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN abs(h.v - m.med) > 3 * x.mad THEN h.c ELSE 0 END)
+       |    AS BIGINT) AS n_outliers
+       |FROM h JOIN medq m USING (lang) JOIN madq x USING (lang)
+       |GROUP BY h.lang ORDER BY h.lang""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "tx_outliers" -> ((outliers _, Some(outliersOracle))),
     "tx_token_stats" -> ((tokenStats _, Some(tokenStatsOracle))),
     "tx_quality" -> ((quality _, Some(qualityOracle))),
     "tx_repetition" -> ((repetition _, Some(repetitionOracle))),
