@@ -112,4 +112,64 @@ object Sampling {
       .select(explode(col("_top")).as("_e"))
       .select(col("_e._p.*"))
   }
+
+  /** Exact per-source TOKEN-budget selection — data mixing at token
+    * granularity ("at most B tokens from each source, best docs
+    * first"), where a doc-count quota ([[topKPerGroup]]) can't hit a
+    * token target.
+    *
+    * A BoundedTopK-style budgeted heap is out: a 10^9-token budget at
+    * ~100 tokens/doc means 10^7 rows in one agg buffer. Instead the
+    * threshold is found on a QUALITY-GRAIN histogram (the 4 dp quality
+    * score → ≤ 10001 grains/source, so the cumulative window is
+    * grain-bounded — the Eval.prCurve rule; the score is NOT
+    * re-rounded coarser, because round(round(x,4),2) lands 4 dp values
+    * on 2 dp half-boundaries where Spark's decimal HALF_UP and a
+    * binary-double engine disagree): grains whose cumulative tokens
+    * fit the budget admit wholly; the single boundary grain per source
+    * admits docs in doc-id order through a two-level id-bucketed
+    * prefix sum (the Packing core shape, per group) until the
+    * remainder is spent. One corpus scan; everything downstream is
+    * histogram- or boundary-slice-sized. Deterministic: integer token
+    * counts, id tie-breaks, no RNG. Returns admitted docs
+    * (idCol, source, q, n_tokens, admit ∈ {grain, boundary}). */
+  def tokenBudgetMix(docs: DataFrame, budget: Long,
+      sourceCol: String = "source", idCol: String = "doc_id",
+      textCol: String = "text",
+      bucketWidth: Long = 100000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Dedup.checkpointTracked(docs.select(
+      col(idCol), col(sourceCol).as("source"),
+      TextAnalysis.qualityScore(col(textCol)).as("q"),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens")))
+    val hist = d.groupBy("source", "q").agg(sum("n_tokens").as("t"))
+    val cum = hist.withColumn("cum",
+      sum("t").over(Window.partitionBy("source").orderBy(col("q").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val fullAdmit = d
+      .join(broadcast(cum.filter(col("cum") <= budget)
+        .select("source", "q")), Seq("source", "q"))
+      .select(col(idCol), col("source"), col("q"), col("n_tokens"),
+        lit("grain").as("admit"))
+    val bnd = d.join(broadcast(cum
+        .filter(col("cum") > budget && col("cum") - col("t") < budget)
+        .select(col("source"), col("q"),
+          (lit(budget) - (col("cum") - col("t"))).as("rem"))),
+      Seq("source", "q"))
+    val base = bnd.withColumn("_bkt", floor(col(idCol) / bucketWidth))
+    val within = base.withColumn("_wcum",
+      sum("n_tokens").over(Window.partitionBy("source", "_bkt")
+        .orderBy(idCol)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val offs = base.groupBy("source", "_bkt").agg(sum("n_tokens").as("_btot"))
+      .withColumn("_off", coalesce(sum("_btot").over(
+        Window.partitionBy("source").orderBy("_bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("source", "_bkt", "_off")
+    val bndAdmit = within.join(broadcast(offs), Seq("source", "_bkt"))
+      .filter(col("_off") + col("_wcum") <= col("rem"))
+      .select(col(idCol), col("source"), col("q"), col("n_tokens"),
+        lit("boundary").as("admit"))
+    fullAdmit.unionByName(bndAdmit)
+  }
 }

@@ -3089,8 +3089,49 @@ object TextQueries {
        |FROM h JOIN medq m USING (lang) JOIN madq x USING (lang)
        |GROUP BY h.lang ORDER BY h.lang""".stripMargin
 
+  /** Exact per-source token-budget mixing: 1500 tokens per source,
+    * best quality grains first, boundary grain cut by doc-id prefix.
+    * See [[graft.ops.Sampling.tokenBudgetMix]]. */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.tokenBudgetMix(docs(spark, dir), budget = 1500L,
+        bucketWidth = 512L)
+      .transform(QueryUtil.ordered("source", "doc_id"))
+
+  val tokenBudgetOracle: String =
+    """WITH s AS (SELECT doc_id, source,
+      |    len(string_split(text, ' ')) * 1.0 AS n,
+      |    len(list_distinct(string_split(text, ' '))) * 1.0 AS nd,
+      |    len(list_filter(string_split(text, ' '),
+      |        t -> t IN ('the', 'a', 'of', 'to', 'and', 'in', 'is', 'it'))) * 1.0 AS st
+      |  FROM documents),
+      |d AS MATERIALIZED (SELECT doc_id, source,
+      |    round(least(n / 100.0, 1.0) * 0.4 + (nd / n) * 0.4
+      |      + (1.0 - st / n) * 0.2, 4) AS q,
+      |    CAST(n AS BIGINT) AS n_tokens FROM s),
+      |h AS (SELECT source, q, CAST(sum(n_tokens) AS BIGINT) AS t
+      |      FROM d GROUP BY 1, 2),
+      |cg AS MATERIALIZED (SELECT source, q, t,
+      |    CAST(sum(t) OVER (PARTITION BY source ORDER BY q DESC) AS BIGINT)
+      |      AS cum FROM h),
+      |fa AS (SELECT d.doc_id, d.source, d.q, d.n_tokens, 'grain' AS admit
+      |       FROM d JOIN cg ON d.source = cg.source AND d.q = cg.q
+      |       WHERE cg.cum <= 1500),
+      |bg AS (SELECT source, q, 1500 - (cum - t) AS rem FROM cg
+      |       WHERE cum > 1500 AND cum - t < 1500),
+      |bd AS (SELECT d.doc_id, d.source, d.q, d.n_tokens, bg.rem,
+      |         CAST(sum(d.n_tokens) OVER (PARTITION BY d.source
+      |           ORDER BY d.doc_id) AS BIGINT) AS c2
+      |       FROM d JOIN bg ON d.source = bg.source AND d.q = bg.q)
+      |SELECT doc_id, source, q, n_tokens, admit FROM (
+      |  SELECT doc_id, source, q, n_tokens, admit FROM fa
+      |  UNION ALL
+      |  SELECT doc_id, source, q, n_tokens, 'boundary' AS admit
+      |  FROM bd WHERE c2 <= rem) u
+      |ORDER BY source, doc_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "tx_outliers" -> ((outliers _, Some(outliersOracle))),
+    "tx_token_budget" -> ((tokenBudget _, Some(tokenBudgetOracle))),
     "tx_token_stats" -> ((tokenStats _, Some(tokenStatsOracle))),
     "tx_quality" -> ((quality _, Some(qualityOracle))),
     "tx_repetition" -> ((repetition _, Some(repetitionOracle))),

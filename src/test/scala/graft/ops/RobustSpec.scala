@@ -46,4 +46,50 @@ class RobustSpec extends SparkSpec {
     assert(r.getAs[Long]("n_docs") == 100L)
     Dedup.releaseCaches()
   }
+
+  // ---- tokenBudgetMix (quality-grain threshold + boundary prefix) ----
+
+  /** k distinct non-stopword tokens → quality 0.004k+0.6 (k<100), so
+    * longer docs rank higher and token counts are exact. */
+  private def docOf(k: Int): String =
+    (1 to k).map(i => s"w$i").mkString(" ")
+
+  test("token budget: full grains admit, boundary grain cuts by id order") {
+    val d = Seq(
+      (1L, "A", docOf(30)), (2L, "A", docOf(20)), (3L, "A", docOf(10)),
+      (10L, "B", docOf(10)), (11L, "B", docOf(10)),
+      (12L, "B", docOf(10)), (13L, "B", docOf(10))
+    ).toDF("doc_id", "source", "text")
+    val r = Sampling.tokenBudgetMix(d, budget = 25L, bucketWidth = 2L)
+      .select("doc_id", "source", "admit")
+      .as[(Long, String, String)].collect().toSet
+    // A: grains 30 (cum 30 > 25, boundary rem 25 → doc1 has 30 > 25: out)
+    // B: one grain of 4×10 (cum 40 > 25, rem 25): ids 10, 11 fit (10, 20)
+    assert(r == Set((10L, "B", "boundary"), (11L, "B", "boundary")))
+    Dedup.releaseCaches()
+  }
+
+  test("token budget: a source that fits admits wholly as grains") {
+    val d = Seq(
+      (1L, "A", docOf(30)), (2L, "A", docOf(20)), (3L, "A", docOf(10)))
+      .toDF("doc_id", "source", "text")
+    val r = Sampling.tokenBudgetMix(d, budget = 55L)
+      .select("doc_id", "admit").as[(Long, String)].collect().toSet
+    // 30 (cum 30) + 20 (cum 50) full; 10 (cum 60) boundary rem 5 → out
+    assert(r == Set((1L, "grain"), (2L, "grain")))
+    Dedup.releaseCaches()
+  }
+
+  test("token budget selection is partitioning-independent") {
+    val rnd = new scala.util.Random(3)
+    val d = Seq.tabulate(120) { i =>
+      (i.toLong, s"s${i % 3}", docOf(5 + rnd.nextInt(40)))
+    }.toDF("doc_id", "source", "text")
+    val a = Sampling.tokenBudgetMix(d.repartition(1), 300L, bucketWidth = 16L)
+      .collect().map(_.toString).sorted.toSeq
+    val b = Sampling.tokenBudgetMix(d.repartition(7), 300L, bucketWidth = 16L)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b && a.nonEmpty)
+    Dedup.releaseCaches()
+  }
 }
