@@ -36,6 +36,27 @@ object BpeQueries {
     Bpe.compressionProfile(vocab).transform(QueryUtil.ordered("word_len"))
   }
 
+  /** tx_bpe_apply: encode the corpus with the learned vocab — per-doc
+    * post-BPE token counts via an equi-join of the doc word stream
+    * against the merged word table (vocab-sized side; the corpus never
+    * shuffles — words flow map-side into the join and reduce straight
+    * to per-doc sums). Words outside the a-z gate are excluded from
+    * both counts (defined contract, mirrored by the oracle). */
+  def bpeApply(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val (_, vocab) = Bpe.learnMerges(docs(spark, dir), K)
+    val wordSyms = vocab.select(col("word"),
+      size(split(expr(s"btrim(ws, '${Bpe.Sep}')"), s"${Bpe.Sep}${Bpe.Sep}"))
+        .cast("long").as("syms"))
+    docs(spark, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
+      .where(col("word").rlike("^[a-z]+$") && length(col("word")) <= 20)
+      .join(wordSyms, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("syms").as("n_bpe_tokens"))
+      .transform(QueryUtil.ordered("doc_id"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   private val S = Bpe.Sep
@@ -99,8 +120,23 @@ object BpeQueries {
        |    / sum(cnt), 4) AS avg_syms
        |FROM w$K GROUP BY word_len ORDER BY word_len""".stripMargin
 
+  val bpeApplyOracle: String =
+    s"""${chainSql(K)},
+       |tokd AS (SELECT doc_id, word FROM (
+       |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+       |    FROM documents) u
+       |  WHERE regexp_matches(word, '^[a-z]+$$') AND length(word) <= 20),
+       |vsym AS (SELECT word,
+       |    CAST(len(string_split(trim(ws, '$S'), '$S$S')) AS BIGINT) AS syms
+       |  FROM w$K)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(syms) AS BIGINT) AS n_bpe_tokens
+       |FROM tokd JOIN vsym USING (word)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] =
     Map(
       "tx_bpe_merges" -> ((bpeMerges _, Some(bpeMergesOracle))),
-      "tx_bpe_encode" -> ((bpeEncode _, Some(bpeEncodeOracle))))
+      "tx_bpe_encode" -> ((bpeEncode _, Some(bpeEncodeOracle))),
+      "tx_bpe_apply" -> ((bpeApply _, Some(bpeApplyOracle))))
 }

@@ -61,6 +61,26 @@ class BpeSpec extends SparkSpec {
     Dedup.releaseCaches()
   }
 
+  test("apply: merged vocab joins back to per-doc post-BPE token counts") {
+    // after learning on "low low low lower lowest", every word is one
+    // symbol — a doc "low lowest X9" has 2 gated words, 2 BPE tokens
+    val d = corpus("low low low lower lowest")
+    val (_, vocab) = Bpe.learnMerges(d, 8)
+    val wordSyms = vocab.select(col("word"),
+      size(split(expr(s"btrim(ws, '${Bpe.Sep}')"),
+        s"${Bpe.Sep}${Bpe.Sep}")).cast("long").as("syms"))
+    val target = Seq((99L, "low lowest X9")).toDF("doc_id", "text")
+    val r = target
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
+      .where(col("word").rlike("^[a-z]+$") && length(col("word")) <= 20)
+      .join(wordSyms, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("syms").as("n_bpe_tokens"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(r == Seq((99L, 2L, 2L)))
+    Dedup.releaseCaches()
+  }
+
   test("word table gates the alphabet: case folds, non-a-z words drop") {
     val d = corpus("Hello WORLD x9 a-b keep keep")
     val words = Bpe.wordTable(d).orderBy("word")
