@@ -2301,6 +2301,28 @@ object TextQueries {
       |  CAST((cum - n) // 500 AS BIGINT) AS shard
       |FROM shp_r ORDER BY pos""".stripMargin
 
+  /** Curation v11: the v6 survivors under an exact per-source TOKEN
+    * budget ([[graft.ops.Sampling.tokenBudgetMix]]) — the final mixing
+    * stage a dataset card publishes ("≤ 400 tokens per source from the
+    * curated pool, best quality first, deterministic boundary"). */
+  def curation11(spark: SparkSession, dir: String): DataFrame = {
+    val f = curation6Frames(spark, dir)
+    val shipped = f("keeper")
+      .join(f("sampled").select("doc_id"), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("source"), col("text"))
+    graft.ops.Sampling.tokenBudgetMix(shipped, budget = 400L,
+        bucketWidth = 64L)
+      .transform(QueryUtil.ordered("source", "doc_id"))
+  }
+
+  lazy val curation11Oracle: String = curation6ChainSql + ",\n" +
+    s"""shipped AS MATERIALIZED (SELECT k.doc_id, p.source, k.text
+      |  FROM kept k JOIN sampled USING (doc_id)
+      |  JOIN planted p ON k.doc_id = p.doc_id),
+      |${tokenBudgetChainSql("shipped", 400L)}
+      |SELECT doc_id, source, q, n_tokens, admit FROM admitted
+      |ORDER BY source, doc_id""".stripMargin
+
   /** The v6 replay's WITH chain (through `sampled`), shared with the
     * curation9 oracle so the two cannot fork. */
   private lazy val curation6ChainSql: String = {
@@ -3097,36 +3119,44 @@ object TextQueries {
         bucketWidth = 512L)
       .transform(QueryUtil.ordered("source", "doc_id"))
 
-  val tokenBudgetOracle: String =
-    """WITH s AS (SELECT doc_id, source,
+  /** Token-budget admission replay over any (doc_id, source, text)
+    * relation `src` — shared by tx_token_budget (documents) and
+    * curation11 (the v6 shipped set) so the two cannot fork. Ends with
+    * an `admitted` relation; callers SELECT from it. */
+  private def tokenBudgetChainSql(src: String, budget: Long): String =
+    s"""tb_s AS (SELECT doc_id, source,
       |    len(string_split(text, ' ')) * 1.0 AS n,
       |    len(list_distinct(string_split(text, ' '))) * 1.0 AS nd,
       |    len(list_filter(string_split(text, ' '),
       |        t -> t IN ('the', 'a', 'of', 'to', 'and', 'in', 'is', 'it'))) * 1.0 AS st
-      |  FROM documents),
-      |d AS MATERIALIZED (SELECT doc_id, source,
+      |  FROM $src),
+      |tb_d AS MATERIALIZED (SELECT doc_id, source,
       |    round(least(n / 100.0, 1.0) * 0.4 + (nd / n) * 0.4
       |      + (1.0 - st / n) * 0.2, 4) AS q,
-      |    CAST(n AS BIGINT) AS n_tokens FROM s),
-      |h AS (SELECT source, q, CAST(sum(n_tokens) AS BIGINT) AS t
-      |      FROM d GROUP BY 1, 2),
-      |cg AS MATERIALIZED (SELECT source, q, t,
+      |    CAST(n AS BIGINT) AS n_tokens FROM tb_s),
+      |tb_h AS (SELECT source, q, CAST(sum(n_tokens) AS BIGINT) AS t
+      |      FROM tb_d GROUP BY 1, 2),
+      |tb_cg AS MATERIALIZED (SELECT source, q, t,
       |    CAST(sum(t) OVER (PARTITION BY source ORDER BY q DESC) AS BIGINT)
-      |      AS cum FROM h),
-      |fa AS (SELECT d.doc_id, d.source, d.q, d.n_tokens, 'grain' AS admit
-      |       FROM d JOIN cg ON d.source = cg.source AND d.q = cg.q
-      |       WHERE cg.cum <= 1500),
-      |bg AS (SELECT source, q, 1500 - (cum - t) AS rem FROM cg
-      |       WHERE cum > 1500 AND cum - t < 1500),
-      |bd AS (SELECT d.doc_id, d.source, d.q, d.n_tokens, bg.rem,
+      |      AS cum FROM tb_h),
+      |tb_fa AS (SELECT d.doc_id, d.source, d.q, d.n_tokens, 'grain' AS admit
+      |       FROM tb_d d JOIN tb_cg cg ON d.source = cg.source AND d.q = cg.q
+      |       WHERE cg.cum <= $budget),
+      |tb_bg AS (SELECT source, q, $budget - (cum - t) AS rem FROM tb_cg
+      |       WHERE cum > $budget AND cum - t < $budget),
+      |tb_bd AS (SELECT d.doc_id, d.source, d.q, d.n_tokens, bg.rem,
       |         CAST(sum(d.n_tokens) OVER (PARTITION BY d.source
       |           ORDER BY d.doc_id) AS BIGINT) AS c2
-      |       FROM d JOIN bg ON d.source = bg.source AND d.q = bg.q)
-      |SELECT doc_id, source, q, n_tokens, admit FROM (
-      |  SELECT doc_id, source, q, n_tokens, admit FROM fa
+      |       FROM tb_d d JOIN tb_bg bg ON d.source = bg.source AND d.q = bg.q),
+      |admitted AS (
+      |  SELECT doc_id, source, q, n_tokens, admit FROM tb_fa
       |  UNION ALL
       |  SELECT doc_id, source, q, n_tokens, 'boundary' AS admit
-      |  FROM bd WHERE c2 <= rem) u
+      |  FROM tb_bd WHERE c2 <= rem)""".stripMargin
+
+  val tokenBudgetOracle: String =
+    s"""WITH ${tokenBudgetChainSql("documents", 1500L)}
+      |SELECT doc_id, source, q, n_tokens, admit FROM admitted
       |ORDER BY source, doc_id""".stripMargin
 
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
@@ -3157,6 +3187,7 @@ object TextQueries {
     "tx_curation8" -> ((curation8 _, Some(curation8Oracle))),
     "tx_curation9" -> ((curation9 _, Some(curation9Oracle))),
     "tx_curation10" -> ((curation10 _, Some(curation10Oracle))),
+    "tx_curation11" -> ((curation11 _, Some(curation11Oracle))),
     "tx_chunk_sliding" -> ((chunkSliding _, Some(chunkSlidingOracle))),
     "tx_pack_shards" -> ((packShards _, Some(packShardsOracle))),
     "tx_release_manifest" -> ((releaseManifest _, Some(releaseManifestOracle))),
