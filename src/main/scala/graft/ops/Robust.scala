@@ -56,10 +56,18 @@ object Robust {
     * 4 dp at the output boundary; the 3-MAD comparison runs on the
     * unrounded doubles (identical IEEE arithmetic in the oracle). */
   def madOutlierStats(df: DataFrame, keyCol: String, valueCol: Column)
-      : DataFrame = {
-    val hist = Dedup.checkpointTracked(
+      : DataFrame =
+    madStatsFromHistogram(
       df.groupBy(col(keyCol), valueCol.cast("double").as("v"))
-        .agg(count(lit(1)).as("c")))
+        .agg(count(lit(1)).as("c")),
+      keyCol)
+
+  /** [[madOutlierStats]] from a prebuilt (`keyCol`, v, c) histogram —
+    * the shared core the streaming twin feeds with its carried
+    * histogram, so batch and stream semantics cannot fork. */
+  def madStatsFromHistogram(histRaw: DataFrame, keyCol: String)
+      : DataFrame = {
+    val hist = Dedup.checkpointTracked(histRaw)
     val med = quantileFromHistogram(hist, 0.5, keyCol, "med")
     val dev = hist.join(med, keyCol)
       .groupBy(col(keyCol), abs(col("v") - col("med")).as("v"))

@@ -115,6 +115,35 @@ object StreamingSketch {
       Dedup.releaseCaches()
   }
 
+  /** Streaming robust stats — the carried-histogram twin of
+    * [[graft.ops.Robust.madOutlierStats]]: a running (key, value)
+    * count histogram over the whole stream, with exact median / MAD /
+    * 3-MAD outlier counts emitted as a snapshot each batch.
+    *
+    * Histogram counts merge by SUM — associative but not idempotent
+    * (the CMS case, not the HLL case), so replay safety is the
+    * `batch_id=` contribution-partition protocol: each batch's
+    * grain-bounded histogram overwrites its own partition and the
+    * snapshot rolls up contributions ≤ batchId. The quantile core is
+    * the SAME [[graft.ops.Robust.madStatsFromHistogram]] the batch op
+    * runs, so snapshot ≡ batch stats on the concatenated prefix by
+    * construction. */
+  def foreachBatchMadStats(keyCol: String, valueCol: String,
+      stateDir: String, sink: DataFrame => Unit): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) =>
+      import org.apache.spark.sql.functions._
+      val spark = batch.sparkSession
+      val contrib = batch
+        .groupBy(col(keyCol), col(valueCol).cast("double").as("v"))
+        .agg(count(lit(1)).as("c"))
+      StreamingState.writePartition(contrib, s"$stateDir/hist", batchId)
+      val all = StreamingState.readUpTo(spark, s"$stateDir/hist",
+        contrib.schema, batchId)
+      val hist = all.groupBy(col(keyCol), col("v")).agg(sum("c").as("c"))
+      sink(graft.ops.Robust.madStatsFromHistogram(hist, keyCol))
+      Dedup.releaseCaches()
+  }
+
   /** The `foreachBatch` body. `groupCol`/`valueCol` must be STRING
     * columns; `sink` receives the running estimate frame (group,
     * n_buckets, est_distinct) each batch and must replace its table

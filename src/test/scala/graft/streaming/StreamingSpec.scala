@@ -1406,6 +1406,59 @@ class StreamingSpec extends SparkSpec {
     graft.ops.Dedup.releaseCaches()
   }
 
+  test("streaming robust stats: snapshot median/MAD equals batch; replay rewrites its partition") {
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    val in = tmpDir("mad-in")
+    val state = tmpDir("mad-state")
+    // batch 0 alone has median 2; the full prefix has median 3 — the
+    // snapshot must move, proving the carry really merges histograms
+    val b0 = Seq(("en", 1), ("en", 2), ("en", 3), ("de", 10))
+    val b1 = Seq(("en", 3), ("en", 3), ("en", 500), ("de", 12), ("de", 14))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/a.jsonl"),
+      b0.map { case (k, v) => s"""{"k":"$k","v":$v}""" }.mkString("\n").getBytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/b.jsonl"),
+      b1.map { case (k, v) => s"""{"k":"$k","v":$v}""" }.mkString("\n").getBytes)
+    new java.io.File(s"$in/a.jsonl").setLastModified(System.currentTimeMillis() - 60000)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("k", "string").add("v", "long")
+    val snapshots = scala.collection.mutable.ArrayBuffer[Map[String, (Double, Double, Long, Long)]]()
+    def toMap(out: DataFrame): Map[String, (Double, Double, Long, Long)] =
+      out.collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4)))).toMap
+    val sink: DataFrame => Unit = { out =>
+      snapshots.synchronized { snapshots += toMap(out) }
+      ()
+    }
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(in)
+      .writeStream
+      .option("checkpointLocation", tmpDir("mad-ckpt"))
+      .foreachBatch(StreamingSketch.foreachBatchMadStats(
+        "k", "v", stateDir = state, sink = sink))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(snapshots.size == 2)
+    assert(snapshots(0)("en") == ((2.0, 1.0, 3L, 0L)))
+    // full prefix: en values 1,2,3,3,3,500 → med 3, devs 2,1,0,0,0,497
+    // → mad 0.5; outliers (dev > 1.5): the planted 500 AND the 1
+    assert(snapshots(1)("en") == ((3.0, 0.5, 6L, 2L)))
+    val batchAll = graft.ops.Robust.madOutlierStats(
+      (b0 ++ b1).toDF("k", "v"), "k", col("v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(snapshots(1) == batchAll,
+      "streaming snapshot must equal the batch stats on the prefix")
+    // replay batch 1: contribution partition rewrites, stats identical
+    val replayed = scala.collection.mutable.ArrayBuffer[Map[String, (Double, Double, Long, Long)]]()
+    StreamingSketch.foreachBatchMadStats("k", "v", state,
+      { out: DataFrame => replayed += toMap(out); () })(
+      b1.toDF("k", "v"), 1L)
+    assert(replayed.head == snapshots(1),
+      "a replayed micro-batch must not double-count")
+    graft.ops.Dedup.releaseCaches()
+  }
+
   test("streaming heavy hitters: summary carry holds SpaceSaving bounds, O(1) state files") {
     import org.apache.spark.sql.DataFrame
     import spark.implicits._
