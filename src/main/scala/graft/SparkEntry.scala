@@ -96,5 +96,7 @@ object SparkEntry {
     "tx_freq_cms",       // count-min counters + probe estimates
     "tx_pmi",            // collocation mining (counts + scalar totals)
     "tx_bpe_merges",     // 8-round BPE merge learning over the vocab table
-    "q_pagerank")        // co-purchase graph build + 3 exact PR iterations
+    "q_pagerank",        // co-purchase graph build + 3 exact PR iterations
+    "tx_outliers",       // histogram median/MAD robust stats (no percentile agg)
+    "tx_token_budget")   // quality-grain threshold + boundary prefix admission
 }

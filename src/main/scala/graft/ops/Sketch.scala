@@ -103,6 +103,52 @@ object Sketch {
     estimateFromBuckets(perBucketMax(df, groupCols, valueCol, p),
       groupCols, p)
 
+  /** HLL sketch artifacts — build per-shard register frames once,
+    * persist, merge and probe forever without rescanning values (the
+    * Cms artifact lifecycle applied to the distinct sketch; precision
+    * rides IN the artifact so probing under a different p cannot
+    * happen silently — the classifier hash-width lesson). Merge is the
+    * register algebra itself (per-bucket max: associative, commutative,
+    * idempotent), so sketch(A ∪ B) ≡ merge(sketch(A), sketch(B))
+    * EXACTLY — the property that lets 1000 shards sketch independently
+    * and roll up driver-free. */
+  object Hll {
+    def save(spark: org.apache.spark.sql.SparkSession, buckets: DataFrame,
+        groupCols: Seq[String], p: Int, path: String): Unit = {
+      validP(p)
+      import spark.implicits._
+      buckets.coalesce(1).write.mode("overwrite").parquet(s"$path/buckets")
+      Seq((p, groupCols.mkString(","))).toDF("p", "group_cols").coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/meta")
+    }
+
+    /** (buckets, groupCols, p) from [[save]]'s layout; rejects an
+      * artifact with no meta row loudly. */
+    def load(spark: org.apache.spark.sql.SparkSession,
+        path: String): (DataFrame, Seq[String], Int) = {
+      val meta = spark.read.parquet(s"$path/meta").collect()
+      require(meta.nonEmpty, s"empty HLL artifact meta at $path")
+      (spark.read.parquet(s"$path/buckets"),
+        meta.head.getString(1).split(",").toSeq.filter(_.nonEmpty),
+        meta.head.getInt(0))
+    }
+
+    /** Per-bucket max merge of two register frames (same groupCols and
+      * p — the caller gets them from [[load]]). */
+    def merge(a: DataFrame, b: DataFrame, groupCols: Seq[String]): DataFrame =
+      a.unionByName(b)
+        .groupBy((groupCols.map(col) :+ col("_b")): _*)
+        .agg(max(col("_m")).as("_m"))
+
+    /** Estimate from a persisted sketch under its OWN recorded
+      * precision. */
+    def estimateFromArtifact(spark: org.apache.spark.sql.SparkSession,
+        path: String): DataFrame = {
+      val (buckets, groupCols, p) = load(spark, path)
+      estimateFromBuckets(buckets, groupCols, p)
+    }
+  }
+
   /** Count-Min frequency sketch (Cormode & Muthukrishnan 2005) — point
     * frequency estimates over a domain too large to count exactly
     * ("how often does THIS shingle occur corpus-wide"): d rows × w

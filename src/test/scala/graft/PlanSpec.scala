@@ -285,6 +285,45 @@ class PlanSpec extends SparkSpec {
       s"per-row cumsum lost its bucket partitioning:\n$p")
   }
 
+  test("tx_outliers: quantiles from the histogram — no percentile value buffering") {
+    // Robust.madOutlierStats must never plan a percentile() aggregate
+    // (it buffers every group value on one reducer); all quantile work
+    // runs on the grain-bounded histogram windows
+    // (the histogram build itself is behind the checkpoint — its
+    // partial agg is pinned by the RobustSpec partitioning tests; the
+    // visible plan carries the quantile windows and the final rollup)
+    val p = plan("tx_outliers")
+    assert(!p.toLowerCase.contains("percentile"),
+      s"outlier stats regressed to a value-buffering percentile agg:\n$p")
+    val windows = p.linesIterator
+      .filter(_.contains("windowspecdefinition(")).toList
+    assert(windows.nonEmpty && windows.forall(_.contains("lang")),
+      s"quantile windows must partition by the stats key:\n$windows")
+  }
+
+  test("tx_token_budget: admission is equi-joins; boundary windows stay bucket-partitioned") {
+    val p = plan("tx_token_budget")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"unexpected cross join:\n$p")
+    // the boundary-slice per-row cumsum must keep its (source, _bkt)
+    // partitioning — a window on source alone would funnel a hot
+    // source's boundary grain through one task
+    val rowWindows = p.linesIterator
+      .filter(_.contains("windowspecdefinition(")).toList
+    assert(rowWindows.exists(_.contains("_bkt")),
+      s"boundary cumsum lost its bucket partitioning:\n$rowWindows")
+  }
+
+  test("q_pagerank: iteration joins stay equi; edge dedup pays one shuffle") {
+    val p = plan("q_pagerank")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"pagerank crossed:\n$p")
+    // edges arrive via the checkpointed scan — the final plan must not
+    // re-run the lineitem self-join per iteration
+    assert(!p.contains("lineitem"),
+      s"iterations replay the edge build instead of the checkpoint:\n$p")
+  }
+
   test("tx_rank_deciles: distributed rank — range partition, windows only on the per-partition offsets frame") {
     // the naive global row_number window would sort the whole corpus
     // in ONE task; the distributed form must range-partition the data

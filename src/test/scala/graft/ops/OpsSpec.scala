@@ -2406,6 +2406,34 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("hll artifact: shard-sketch merge equals the union sketch; p recorded") {
+    val shardA = (1L to 3000L).map(i => ("g", s"va $i")).toDF("g", "v")
+    val shardB = (2000L to 5000L).map(i => ("va " + i)).map(("g", _)).toDF("g", "v")
+    val p = 9
+    val bA = Sketch.perBucketMax(shardA, Seq("g"), "v", p)
+    val bB = Sketch.perBucketMax(shardB, Seq("g"), "v", p)
+    val dirA = java.nio.file.Files.createTempDirectory("hll-a").toString
+    Sketch.Hll.save(spark, bA, Seq("g"), p, dirA)
+    val (loadedA, gcols, pLoaded) = Sketch.Hll.load(spark, dirA)
+    assert(pLoaded == p && gcols == Seq("g"),
+      "artifact must record precision and group columns")
+    // merge(sketch(A), sketch(B)) == sketch(A ∪ B), register-exact
+    val merged = Sketch.Hll.merge(loadedA, bB, Seq("g"))
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toMap
+    val unionSketch = Sketch.perBucketMax(shardA.union(shardB), Seq("g"), "v", p)
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toMap
+    assert(merged == unionSketch,
+      "per-bucket max merge must equal the union's registers exactly")
+    // estimate path rides the recorded p
+    val est = Sketch.estimateFromBuckets(
+      Sketch.Hll.merge(loadedA, bB, Seq("g")), Seq("g"), p)
+      .collect().head.getAs[Double]("est_distinct")
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.15, s"est=$est")
+    intercept[IllegalArgumentException] {
+      Sketch.Hll.save(spark, bA, Seq("g"), 2, dirA) // invalid precision
+    }
+  }
+
   test("hllDistinct: raw-regime accuracy and exact duplicate invariance") {
     val distinct = (1L to 10000L).map(i => ("g", s"value number $i")).toDF("g", "v")
     val withDups = distinct.union(
