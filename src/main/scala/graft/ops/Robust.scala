@@ -29,9 +29,20 @@ object Robust {
   /** Exact interpolated quantile per key from a value histogram
     * (`key`, `v: double`, `c: long`) → (`key`, `qv: double`). */
   def quantileFromHistogram(hist: DataFrame, q: Double,
-      keyCol: String = "key", out: String = "qv"): DataFrame = {
-    val wCum = Window.partitionBy(keyCol).orderBy("v")
-    val wAll = Window.partitionBy(keyCol)
+      keyCol: String, out: String): DataFrame =
+    quantileFromHistogram(hist, q, Seq(keyCol), out)
+
+  def quantileFromHistogram(hist: DataFrame, q: Double,
+      keyCol: String): DataFrame =
+    quantileFromHistogram(hist, q, Seq(keyCol), "qv")
+
+  /** Composite-key form: (`keyCols…`, `v: double`, `c: long`) →
+    * (`keyCols…`, `out: double`). */
+  def quantileFromHistogram(hist: DataFrame, q: Double,
+      keyCols: Seq[String], out: String): DataFrame = {
+    val kcols = keyCols.map(col)
+    val wCum = Window.partitionBy(kcols: _*).orderBy("v")
+    val wAll = Window.partitionBy(kcols: _*)
     val t = hist
       .withColumn("_cum", sum("c").over(wCum))
       .withColumn("_n", sum("c").over(wAll))
@@ -41,11 +52,11 @@ object Robust {
     def at(rank: Column): Column =
       max(when(col("_cum") - col("c") <= rank && rank <= col("_cum") - 1,
         col("v")))
-    t.groupBy(keyCol)
+    t.groupBy(kcols: _*)
       .agg(at(col("_lo")).as("_vlo"), at(col("_hi")).as("_vhi"),
         max(col("_pos") - col("_lo")).as("_frac"))
-      .select(col(keyCol),
-        (col("_vlo") + (col("_vhi") - col("_vlo")) * col("_frac")).as(out))
+      .select(kcols :+
+        (col("_vlo") + (col("_vhi") - col("_vlo")) * col("_frac")).as(out): _*)
   }
 
   /** Median + MAD + 3-MAD outlier counts per key over an integer-ish

@@ -39,6 +39,43 @@ object EventQueries {
       |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
+  /** Hourly robust value quantiles per event type (p50/p95) from a
+    * 2 dp value-grain histogram — the latency-dashboard shape, with NO
+    * percentile() value buffering on a hot (type, hour) key: one scan
+    * builds the histogram, quantiles interpolate on grain-bounded
+    * windows ([[graft.ops.Robust.quantileFromHistogram]], composite
+    * key form). */
+  def hourlyQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val hist = graft.ops.Dedup.checkpointTracked(events(spark, dir)
+      .groupBy(col("event_type"),
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00")
+          .as("hour"),
+        round(col("value"), 2).as("v"))
+      .agg(count(lit(1)).as("c")))
+    val keys = Seq("event_type", "hour")
+    graft.ops.Robust.quantileFromHistogram(hist, 0.5, keys, "p50")
+      .join(graft.ops.Robust.quantileFromHistogram(hist, 0.95, keys, "p95"),
+        keys)
+      .select(col("event_type"), col("hour"),
+        round(col("p50"), 4).as("p50"), round(col("p95"), 4).as("p95"))
+      .transform(QueryUtil.ordered("event_type", "hour"))
+  }
+
+  val hourlyQuantilesOracle: String =
+    s"""WITH h AS MATERIALIZED (SELECT event_type,
+       |    strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
+       |      '%Y-%m-%d %H:00') AS hour,
+       |    round(value, 2) AS v, CAST(count(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2, 3),
+       |${QueryUtil.quantileCteSql("h", "event_type, hour", "0.5",
+          "q50", "p50")},
+       |${QueryUtil.quantileCteSql("h", "event_type, hour", "0.95",
+          "q95", "p95")}
+       |SELECT q50.event_type, q50.hour, round(q50.p50, 4) AS p50,
+       |  round(q95.p95, 4) AS p95
+       |FROM q50 JOIN q95 USING (event_type, hour)
+       |ORDER BY event_type, hour""".stripMargin
+
   /** Gap-based sessionization (30 min), per-user session counts. */
   def sessions(spark: SparkSession, dir: String): DataFrame =
     TimeSeries.sessionStats(events(spark, dir), gapSeconds = 1800)
@@ -363,5 +400,6 @@ object EventQueries {
     "ev_conversations" -> ((conversationsQ _, Some(conversationsOracle))),
     "ev_props_stats" -> ((propsStats _, Some(propsStatsOracle))),
     "ev_percentiles" -> ((percentiles _, Some(percentilesOracle))),
+    "ev_hourly_quantiles" -> ((hourlyQuantiles _, Some(hourlyQuantilesOracle))),
     "ev_skew_join" -> ((skewJoin _, Some(skewJoinOracle))))
 }

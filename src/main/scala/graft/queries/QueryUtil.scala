@@ -13,4 +13,26 @@ object QueryUtil {
     df.repartition(1).sortWithinPartitions(cols.head, cols.tail: _*)
   def orderedBy(cols: Column*)(df: DataFrame): DataFrame =
     df.repartition(1).sortWithinPartitions(cols: _*)
+
+  /** DuckDB replay of [[graft.ops.Robust.quantileFromHistogram]] as a
+    * CTE-pair generator over a (`keys…`, v, c) histogram relation
+    * `src`: a row with cumulative count `cum` and count `c` covers
+    * 0-based ranks [cum-c, cum-1]; the covering values interpolate at
+    * position (n-1)·q. `keys` is a comma list usable in both
+    * PARTITION BY and GROUP BY. */
+  def quantileCteSql(src: String, keys: String, q: String,
+      outCte: String, outCol: String): String = {
+    def at(rank: String) =
+      s"""max(CASE WHEN cum - c <= CAST($rank AS BIGINT)
+         |      AND CAST($rank AS BIGINT) <= cum - 1 THEN v END)""".stripMargin
+    val lo = at(s"floor((n - 1) * $q)")
+    val hi = at(s"ceil((n - 1) * $q)")
+    s"""${outCte}_t AS (SELECT $keys, v, c,
+       |    CAST(sum(c) OVER (PARTITION BY $keys ORDER BY v) AS BIGINT) AS cum,
+       |    CAST(sum(c) OVER (PARTITION BY $keys) AS BIGINT) AS n FROM $src),
+       |$outCte AS (SELECT $keys,
+       |    $lo + ($hi - $lo) * max((n - 1) * $q - floor((n - 1) * $q))
+       |      AS $outCol
+       |  FROM ${outCte}_t GROUP BY $keys)""".stripMargin
+  }
 }

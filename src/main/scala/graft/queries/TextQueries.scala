@@ -3075,24 +3075,9 @@ object TextQueries {
     graft.ops.Robust.madOutlierStats(docs(spark, dir), "lang", col("n_chars"))
       .transform(QueryUtil.ordered("lang"))
 
-  /** The histogram-rank quantile replay: a row with cumulative count
-    * `cum` and count `c` covers 0-based ranks [cum-c, cum-1]; the
-    * covering values interpolate at position (n-1)·q. */
   private def quantileCteSql(src: String, key: String, q: String,
-      outCte: String, outCol: String): String = {
-    def at(rank: String) =
-      s"""max(CASE WHEN cum - c <= CAST($rank AS BIGINT)
-         |      AND CAST($rank AS BIGINT) <= cum - 1 THEN v END)""".stripMargin
-    val lo = at(s"floor((n - 1) * $q)")
-    val hi = at(s"ceil((n - 1) * $q)")
-    s"""${outCte}_t AS (SELECT $key, v, c,
-       |    CAST(sum(c) OVER (PARTITION BY $key ORDER BY v) AS BIGINT) AS cum,
-       |    CAST(sum(c) OVER (PARTITION BY $key) AS BIGINT) AS n FROM $src),
-       |$outCte AS (SELECT $key,
-       |    $lo + ($hi - $lo) * max((n - 1) * $q - floor((n - 1) * $q))
-       |      AS $outCol
-       |  FROM ${outCte}_t GROUP BY $key)""".stripMargin
-  }
+      outCte: String, outCol: String): String =
+    QueryUtil.quantileCteSql(src, key, q, outCte, outCol)
 
   val outliersOracle: String =
     s"""WITH h AS MATERIALIZED (SELECT lang, CAST(n_chars AS DOUBLE) AS v,
