@@ -863,17 +863,30 @@ object TextQueries {
   /** Corpus profile per source — the dataset-card numbers a curation
     * run reports: doc counts, token-count percentiles, mean quality.
     * One map-side-combined aggregation over a single scan. */
-  def corpusProfile(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
+  def corpusProfile(spark: SparkSession, dir: String): DataFrame = {
+    // r9: percentile() buffered every token count of a source on one
+    // reducer; the histogram quantile is bit-identical (RobustSpec
+    // pins quantileFromHistogram == percentile()) and grain-bounded
+    val base = Dedup.checkpointTracked(docs(spark, dir)
       .select(col("source"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-        TextAnalysis.qualityScore(col("text")).as("quality"))
-      .groupBy("source")
+        TextAnalysis.qualityScore(col("text")).as("quality")))
+    val hist = Dedup.checkpointTracked(base
+      .groupBy(col("source"), col("n_tokens").cast("double").as("v"))
+      .agg(count(lit(1)).as("c")))
+    val p50 = graft.ops.Robust.quantileFromHistogram(hist, 0.5,
+      Seq("source"), "_p50")
+    val p90 = graft.ops.Robust.quantileFromHistogram(hist, 0.9,
+      Seq("source"), "_p90")
+    base.groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
-        round(expr("percentile(n_tokens, 0.5)"), 2).as("tok_p50"),
-        round(expr("percentile(n_tokens, 0.9)"), 2).as("tok_p90"),
         round(avg("quality"), 4).as("avg_quality"))
+      .join(p50, Seq("source")).join(p90, Seq("source"))
+      .select(col("source"), col("n_docs"),
+        round(col("_p50"), 2).as("tok_p50"),
+        round(col("_p90"), 2).as("tok_p90"), col("avg_quality"))
       .transform(QueryUtil.ordered("source"))
+  }
 
   val corpusProfileOracle: String =
     """WITH s AS (SELECT source,
