@@ -94,6 +94,39 @@ object Bloom {
       .reduce(_ && _)
   }
 
+  /** Bloom bitset artifacts — build the blocklist filter once, persist
+    * it, probe forever without re-hashing the blocklist (the Cms/Hll
+    * artifact lifecycle applied to the gate; m and k ride IN the
+    * artifact so probing under different hash parameters cannot happen
+    * silently). Word order is positional — the round-trip is
+    * bit-exact. */
+  object Artifact {
+    def save(spark: org.apache.spark.sql.SparkSession, words: Array[Long],
+        k: Int, path: String): Unit = {
+      require(words.nonEmpty, "empty bloom bitset")
+      require(k > 0, s"k must be positive, got $k")
+      import spark.implicits._
+      words.toSeq.zipWithIndex.map { case (w, i) => (i, w) }
+        .toDF("idx", "word").coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/words")
+      Seq((words.length * 64, k)).toDF("m_bits", "k").coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/meta")
+    }
+
+    /** (words, k) from [[save]]'s layout; rejects empty or
+      * inconsistent artifacts loudly. */
+    def load(spark: org.apache.spark.sql.SparkSession,
+        path: String): (Array[Long], Int) = {
+      val meta = spark.read.parquet(s"$path/meta").collect()
+      require(meta.nonEmpty, s"empty bloom artifact meta at $path")
+      val (mBits, k) = (meta.head.getInt(0), meta.head.getInt(1))
+      val words = new Array[Long](mBits / 64)
+      spark.read.parquet(s"$path/words").collect()
+        .foreach(r => words(r.getInt(0)) = r.getLong(1))
+      (words, k)
+    }
+  }
+
   /** Gate `df` against a blocklist of values: returns every input row
     * plus `bloom_candidate` (the scan-side verdict) and `keep` (the
     * EXACT verdict — false iff `df(valueCol) ∈ blocklist`). Only

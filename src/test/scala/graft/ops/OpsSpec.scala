@@ -2336,6 +2336,24 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("bloom artifact: bit-exact round-trip; parameters recorded; empty rejected") {
+    val block = Seq("bad1", "bad2", "evil").toDF("v")
+    val words = Bloom.buildBits(block, "v", mBits = 256, k = 4)
+    val dir = java.nio.file.Files.createTempDirectory("bloom-art").toString
+    Bloom.Artifact.save(spark, words, 4, dir)
+    val (loaded, k) = Bloom.Artifact.load(spark, dir)
+    assert(k == 4 && loaded.toSeq == words.toSeq,
+      "artifact round-trip must be bit-exact")
+    // probes under the loaded artifact behave identically
+    val probe = Seq("bad1", "clean", "evil").toDF("v")
+      .select(col("v"), Bloom.mightContain(col("v"), loaded, k).as("c"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(probe("bad1") && probe("evil"), "no false negatives after reload")
+    intercept[IllegalArgumentException] {
+      Bloom.Artifact.save(spark, Array.empty[Long], 4, dir)
+    }
+  }
+
   test("bloom buildBits: word array bounds and parameter validation") {
     val vals = Seq("a", "b", "c").toDF("v")
     val words = Bloom.buildBits(vals, "v", mBits = 128, k = 3)
