@@ -136,12 +136,21 @@ object Sampling {
   def tokenBudgetMix(docs: DataFrame, budget: Long,
       sourceCol: String = "source", idCol: String = "doc_id",
       textCol: String = "text",
-      bucketWidth: Long = 100000L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val d = Dedup.checkpointTracked(docs.select(
+      bucketWidth: Long = 100000L): DataFrame =
+    admitFromStats(docs.select(
       col(idCol), col(sourceCol).as("source"),
       TextAnalysis.qualityScore(col(textCol)).as("q"),
-      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens")))
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens")),
+      budget, idCol, bucketWidth)
+
+  /** [[tokenBudgetMix]]'s admission core over a precomputed narrow
+    * stats frame (`idCol`, source, q, n_tokens) — the streaming twin
+    * feeds this with its carried per-doc stats, so batch and stream
+    * admission semantics cannot fork. */
+  def admitFromStats(stats: DataFrame, budget: Long,
+      idCol: String = "doc_id", bucketWidth: Long = 100000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Dedup.checkpointTracked(stats)
     val hist = d.groupBy("source", "q").agg(sum("n_tokens").as("t"))
     val cum = hist.withColumn("cum",
       sum("t").over(Window.partitionBy("source").orderBy(col("q").desc)

@@ -1459,6 +1459,63 @@ class StreamingSpec extends SparkSpec {
     graft.ops.Dedup.releaseCaches()
   }
 
+  test("streaming token budget: admission retro-corrects; snapshot equals batch; replay clean") {
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    val in = tmpDir("tb-in")
+    val state = tmpDir("tb-state")
+    def docOf(k: Int): String = (1 to k).map(i => s"w$i").mkString(" ")
+    // batch 0: two 10-token docs fill source A's 25-token budget as a
+    // full grain; batch 1's 20-token doc outranks them (longer → higher
+    // quality) and squeezes the old grain to a 5-token remainder no doc
+    // fits — the early admits must be EVICTED from the snapshot
+    val b0 = Seq((1L, docOf(10)), (2L, docOf(10)))
+    val b1 = Seq((3L, docOf(20)))
+    def line(t: (Long, String)) =
+      s"""{"doc_id":${t._1},"source":"A","text":"${t._2}"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/a.jsonl"),
+      b0.map(line).mkString("\n").getBytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/b.jsonl"),
+      b1.map(line).mkString("\n").getBytes)
+    new java.io.File(s"$in/a.jsonl").setLastModified(System.currentTimeMillis() - 60000)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("source", "string").add("text", "string")
+    val snapshots = scala.collection.mutable.ArrayBuffer[Set[(Long, String)]]()
+    def toSet(out: DataFrame): Set[(Long, String)] =
+      out.select("doc_id", "admit").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    val sink: DataFrame => Unit = { out =>
+      snapshots.synchronized { snapshots += toSet(out) }
+      ()
+    }
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(in)
+      .writeStream
+      .option("checkpointLocation", tmpDir("tb-ckpt"))
+      .foreachBatch(StreamingMixing.foreachBatchTokenBudget(
+        budget = 25L, stateDir = state, bucketWidth = 4L, sink = sink))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(snapshots.size == 2)
+    assert(snapshots(0) == Set((1L, "grain"), (2L, "grain")))
+    assert(snapshots(1) == Set((3L, "grain")),
+      "better late arrivals must evict the early boundary admits")
+    val batchAll = toSet(graft.ops.Sampling.tokenBudgetMix(
+      (b0 ++ b1).map { case (id, t) => (id, "A", t) }
+        .toDF("doc_id", "source", "text"),
+      budget = 25L, bucketWidth = 4L))
+    assert(snapshots(1) == batchAll,
+      "streaming snapshot must equal the batch admission on the prefix")
+    // replay batch 1: stats partition rewrites, admission identical
+    val replayed = scala.collection.mutable.ArrayBuffer[Set[(Long, String)]]()
+    StreamingMixing.foreachBatchTokenBudget(25L, state, 4L,
+      { out: DataFrame => replayed += toSet(out); () })(
+      b1.map { case (id, t) => (id, "A", t) }.toDF("doc_id", "source", "text"), 1L)
+    assert(replayed.head == snapshots(1),
+      "a replayed micro-batch must not change the snapshot")
+    graft.ops.Dedup.releaseCaches()
+  }
+
   test("streaming heavy hitters: summary carry holds SpaceSaving bounds, O(1) state files") {
     import org.apache.spark.sql.DataFrame
     import spark.implicits._
