@@ -222,6 +222,41 @@ object TimeSeries {
         (asofTsName +: payload).map(f => col("_m").getField(f).as(f)): _*)
   }
 
+  /** Forward (next-event) as-of join: for each left row, the EARLIEST
+    * right row at or after its timestamp — "time until the next
+    * purchase/deploy/error", the mirror of [[asofJoin]]'s "latest at
+    * or before". Same join-free merge formulation: one union, one key
+    * shuffle, a running `first(ignoreNulls)` over the
+    * [currentRow, ∞) frame. Left rows (_side = 0) sort before right
+    * rows at an equal timestamp and the frame opens at the current
+    * row, so a same-instant right row is visible ⇒ inclusive. Left
+    * rows with no following right row keep a null payload (left-join
+    * semantics). */
+  def asofJoinForward(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, payload: Seq[String],
+      asofTsName: String = "asof_ts"): DataFrame = {
+    val leftOthers = left.columns.filterNot(c => c == keyCol || c == tsCol)
+    require(!(leftOthers :+ tsCol).exists(c => payload.contains(c) || c == asofTsName),
+      s"payload/asof column names collide with left columns")
+    val rSel = right.select(col(keyCol), col(tsCol), lit(1).as("_side"),
+      struct(col(tsCol).as(asofTsName) +: payload.map(col): _*).as("_p"))
+    val pType = rSel.schema("_p").dataType
+    val lSel = left.select(
+      Seq(col(keyCol), col(tsCol), lit(0).as("_side"),
+        lit(null).cast(pType).as("_p")) ++ leftOthers.map(col): _*)
+    val rAligned = rSel.select(
+      Seq(col(keyCol), col(tsCol), col("_side"), col("_p")) ++
+        leftOthers.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("_side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    lSel.unionByName(rAligned)
+      .withColumn("_m", first(col("_p"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 0)
+      .select((keyCol +: tsCol +: leftOthers).map(col) ++
+        (asofTsName +: payload).map(f => col("_m").getField(f).as(f)): _*)
+  }
+
   /** Conversion funnel over an ordered step sequence: a user reaches
     * step i+1 by producing a step-(i+1) event STRICTLY AFTER their
     * earliest step-i completion, within `withinSeconds` of it. Output

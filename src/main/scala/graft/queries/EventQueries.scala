@@ -219,6 +219,39 @@ object EventQueries {
       |  ON e.user_id = p.user_id AND e.ets >= p.pts
       |ORDER BY e.event_id""".stripMargin
 
+  /** Forward as-of: for every non-purchase event, time UNTIL the
+    * user's next purchase (at or after it) — the conversion-latency
+    * mirror of ev_asof. Events with no later purchase keep nulls
+    * (left semantics); the oracle is DuckDB's native forward ASOF
+    * LEFT JOIN (`ets <= pts`). */
+  def asofForward(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts").agg(max("value").as("next_purchase_value"))
+    val rest = ev.filter(col("event_type") =!= "purchase")
+      .select("event_id", "user_id", "ts")
+    TimeSeries.asofJoinForward(rest, purchases, "user_id", "ts",
+        payload = Seq("next_purchase_value"))
+      .select(col("event_id"), col("user_id"),
+        (TimeSeries.epochUs(col("asof_ts")) - TimeSeries.epochUs(col("ts")))
+          .as("us_until_purchase"),
+        col("next_purchase_value"))
+      .transform(QueryUtil.ordered("event_id"))
+  }
+
+  val asofForwardOracle: String =
+    """WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS pts,
+      |             max(value) AS pval
+      |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ets
+      |      FROM events WHERE event_type <> 'purchase')
+      |SELECT e.event_id, e.user_id,
+      |  epoch_us(p.pts) - epoch_us(e.ets) AS us_until_purchase,
+      |  p.pval AS next_purchase_value
+      |FROM e ASOF LEFT JOIN p
+      |  ON e.user_id = p.user_id AND e.ets <= p.pts
+      |ORDER BY e.event_id""".stripMargin
+
   /** Range join: for every error event, how many events the same user
     * produced inside the 10-minute window starting at it (incident
     * blast radius). [[graft.ops.TimeSeries.rangeJoin]] bucketizes the
@@ -391,6 +424,7 @@ object EventQueries {
     "ev_transitions" -> ((transitionsQ _, Some(transitionsOracle))),
     "ev_retention" -> ((retentionQ _, Some(retentionOracle))),
     "ev_asof" -> ((asof _, Some(asofOracle))),
+    "ev_asof_forward" -> ((asofForward _, Some(asofForwardOracle))),
     "ev_asof_bc" -> ((asofBroadcast _, Some(asofOracle))),
     "ev_range_join" -> ((rangeJoinQ _, Some(rangeJoinOracle))),
     "ev_sketch_accuracy" -> ((sketchAccuracy _, Some(sketchAccuracyOracle))),

@@ -2538,6 +2538,31 @@ class OpsSpec extends SparkSpec {
     assert(r((11L, 1L)) == ((1L, "user: solo")))
   }
 
+  test("asofJoinForward: earliest at-or-after match, inclusive tie, trailing rows null") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    val left = Seq(
+      (1L, 10L, t(5)),   // before r@10 -> 2.0
+      (2L, 10L, t(10)),  // tie with r@10 -> inclusive -> 2.0
+      (3L, 10L, t(11)),  // after the last right row -> no match
+      (4L, 20L, t(9)),   // key 20 has r@7 only, earlier -> no match
+      (5L, 30L, t(1))    // key absent on the right -> no match
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, t(0), 1.0), (10L, t(10), 2.0), (20L, t(7), 9.0)
+    ).toDF("user_id", "ts", "v")
+    val r = TimeSeries.asofJoinForward(left, right, "user_id", "ts", Seq("v"))
+      .collect().map(x => x.getAs[Long]("event_id") ->
+        (Option(x.getAs[java.sql.Timestamp]("asof_ts")),
+          Option(x.getAs[Any]("v")))).toMap
+    assert(r.size == 5)
+    assert(r(1L) == ((Some(t(10)), Some(2.0))), "earliest following must win")
+    assert(r(2L) == ((Some(t(10)), Some(2.0))), "equal ts must match (inclusive)")
+    assert(r(3L) == ((None, None)), "no following right row -> null payload")
+    assert(r(4L) == ((None, None)), "right row strictly earlier must not match")
+    assert(r(5L) == ((None, None)))
+  }
+
   test("asofJoin: a right row with a NULL payload value still wins over older rows") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def t(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
