@@ -76,6 +76,58 @@ object EventQueries {
        |FROM q50 JOIN q95 USING (event_type, hour)
        |ORDER BY event_type, hour""".stripMargin
 
+  /** Hour-level anomaly detection, two robust levels deep: hourly p50
+    * per event type (level 1, value-grain histogram), then median/MAD
+    * over each type's hourly medians (level 2) — hours whose p50 sits
+    * more than 3 MAD from the type's norm are flagged. The
+    * monitoring-alert shape ("this hour's latency median is off"),
+    * composed entirely from the grain-bounded histogram cores — no
+    * percentile buffering at either level. */
+  def anomalousHours(spark: SparkSession, dir: String): DataFrame = {
+    val hist = graft.ops.Dedup.checkpointTracked(events(spark, dir)
+      .groupBy(col("event_type"),
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00")
+          .as("hour"),
+        round(col("value"), 2).as("v"))
+      .agg(count(lit(1)).as("c")))
+    val p50 = graft.ops.Robust.quantileFromHistogram(hist, 0.5,
+      Seq("event_type", "hour"), "p50")
+    graft.ops.Robust.madStatsFromHistogram(
+        p50.groupBy(col("event_type"), col("p50").as("v"))
+          .agg(count(lit(1)).as("c")),
+        "event_type")
+      .select(col("event_type"), col("med"), col("mad"),
+        col("n_docs").as("n_hours"),
+        col("n_outliers").as("n_anomalous_hours"))
+      .transform(QueryUtil.ordered("event_type"))
+  }
+
+  val anomalousHoursOracle: String =
+    s"""WITH h AS MATERIALIZED (SELECT event_type,
+       |    strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
+       |      '%Y-%m-%d %H:00') AS hour,
+       |    round(value, 2) AS v, CAST(count(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2, 3),
+       |${QueryUtil.quantileCteSql("h", "event_type, hour", "0.5",
+          "q50", "p50")},
+       |h2 AS MATERIALIZED (SELECT event_type, p50 AS v,
+       |    CAST(count(*) AS BIGINT) AS c FROM q50 GROUP BY 1, 2),
+       |${QueryUtil.quantileCteSql("h2", "event_type", "0.5",
+          "medq", "med")},
+       |d0 AS (SELECT h2.event_type, abs(h2.v - m.med) AS v, h2.c
+       |       FROM h2 JOIN medq m USING (event_type)),
+       |d2 AS MATERIALIZED (SELECT event_type, v, CAST(sum(c) AS BIGINT) AS c
+       |  FROM d0 GROUP BY 1, 2),
+       |${QueryUtil.quantileCteSql("d2", "event_type", "0.5",
+          "madq", "mad")}
+       |SELECT h2.event_type, round(max(m.med), 4) AS med,
+       |  round(max(x.mad), 4) AS mad,
+       |  CAST(sum(h2.c) AS BIGINT) AS n_hours,
+       |  CAST(sum(CASE WHEN abs(h2.v - m.med) > 3 * x.mad THEN h2.c ELSE 0 END)
+       |    AS BIGINT) AS n_anomalous_hours
+       |FROM h2 JOIN medq m USING (event_type) JOIN madq x USING (event_type)
+       |GROUP BY h2.event_type ORDER BY h2.event_type""".stripMargin
+
   /** Gap-based sessionization (30 min), per-user session counts. */
   def sessions(spark: SparkSession, dir: String): DataFrame =
     TimeSeries.sessionStats(events(spark, dir), gapSeconds = 1800)
@@ -435,5 +487,6 @@ object EventQueries {
     "ev_props_stats" -> ((propsStats _, Some(propsStatsOracle))),
     "ev_percentiles" -> ((percentiles _, Some(percentilesOracle))),
     "ev_hourly_quantiles" -> ((hourlyQuantiles _, Some(hourlyQuantilesOracle))),
+    "ev_anomalous_hours" -> ((anomalousHours _, Some(anomalousHoursOracle))),
     "ev_skew_join" -> ((skewJoin _, Some(skewJoinOracle))))
 }
