@@ -103,4 +103,53 @@ object Eval {
           .as("mean_score"),
         (sum(col("_y")).cast("double") / count(lit(1))).as("frac_pos"))
   }
+
+  /** Isotonic (PAV) calibration of a score against a boolean label —
+    * the monotone-nondecreasing mapping score → P(positive) that
+    * minimizes squared error, i.e. what sklearn's IsotonicRegression
+    * fits over the score bins.
+    *
+    * Computed WITHOUT the sequential pool-adjacent-violators loop, via
+    * the minimax characterization of isotonic regression:
+    *   fitted(j) = max_{i ≤ j} min_{k ≥ j} pos[i..k] / n[i..k]
+    * over per-distinct-score bins — a closed form, so it distributes
+    * as joins + windows AND replays exactly in the DuckDB oracle
+    * (a driver-side PAV loop would be neither). Cost is O(S²) rows
+    * where S = DISTINCT SCORES (4-dp grain → ≤ 10,001; the corpus
+    * reduces map-side to the bins first) — every frame after the scan
+    * is bins-sized, never corpus-sized. Range averages come from
+    * integer prefix-sum differences, one double division each:
+    * engine ≡ oracle bit-for-bit before the 6-dp output rounding.
+    *
+    * Emits (score, n, n_pos, fitted), monotone in `score` by
+    * construction. */
+  def isotonicFit(scored: DataFrame, labelPred: Column,
+      scoreCol: String = "clf_score"): DataFrame = {
+    val bins = Dedup.checkpointTracked(scored
+      .select(col(scoreCol).as("_s"), labelPred.cast("long").as("_y"))
+      .groupBy("_s")
+      .agg(count(lit(1)).as("_n"), sum(col("_y")).as("_np")))
+    val pre = bins
+      .withColumn("_cn", sum("_n").over(Window.orderBy("_s")))
+      .withColumn("_cp", sum("_np").over(Window.orderBy("_s")))
+    val lo = pre.select(col("_s").as("_si"),
+      (col("_cn") - col("_n")).as("_pn"), (col("_cp") - col("_np")).as("_pp"))
+    val hi = pre.select(col("_s").as("_sk"), col("_cn"), col("_cp"))
+    val ratios = lo.join(hi, col("_si") <= col("_sk"))
+      .select(col("_si"), col("_sk"),
+        ((col("_cp") - col("_pp")).cast("double") /
+          (col("_cn") - col("_pn")).cast("double")).as("_r"))
+    val m = ratios.withColumn("_m",
+      min("_r").over(Window.partitionBy("_si").orderBy(col("_sk").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("_si"), col("_sk").as("_sj"), col("_m"))
+    val fitted = m.withColumn("_f",
+      max("_m").over(Window.partitionBy("_sj").orderBy(col("_si"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("_si") === col("_sj"))
+      .select(col("_sj").as("score"), round(col("_f"), 6).as("fitted"))
+    bins.select(col("_s").as("score"), col("_n").as("n"),
+        col("_np").as("n_pos"))
+      .join(fitted, Seq("score"))
+  }
 }

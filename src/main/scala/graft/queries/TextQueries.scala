@@ -1697,6 +1697,45 @@ object TextQueries {
        |  sum(y) * 1.0 / count(*) AS frac_pos
        |FROM b GROUP BY 1 ORDER BY bin""".stripMargin
 
+  /** Isotonic (PAV) calibration of the trained classifier's scores —
+    * the monotone score → P(en) mapping, computed via the minimax
+    * closed form so the whole fit (training run included) replays in
+    * the oracle. See [[graft.ops.Eval.isotonicFit]]. */
+  def clfIsotonic(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val scored = TextAnalysis.logisticScore(d, col("lang") === "en",
+      numBuckets = ClfBuckets, iterations = ClfIters, learningRate = ClfLr)
+    graft.ops.Eval.isotonicFit(
+        scored.join(d.select(col("doc_id"), col("lang")), Seq("doc_id")),
+        col("lang") === "en")
+      .transform(QueryUtil.ordered("score"))
+  }
+
+  lazy val clfIsotonicOracle: String =
+    s"""$clfChainSql,
+       |lab AS (SELECT s.clf_score AS sc,
+       |          CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+       |        FROM scored s JOIN documents d USING (doc_id)),
+       |ibins AS MATERIALIZED (SELECT sc, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(y) AS BIGINT) AS np FROM lab GROUP BY sc),
+       |ipre AS MATERIALIZED (SELECT sc, n, np,
+       |    CAST(sum(n) OVER (ORDER BY sc) AS BIGINT) AS cn,
+       |    CAST(sum(np) OVER (ORDER BY sc) AS BIGINT) AS cp FROM ibins),
+       |iratios AS MATERIALIZED (SELECT a.sc AS si, b.sc AS sk,
+       |    (b.cp - (a.cp - a.np)) * 1.0 / (b.cn - (a.cn - a.n)) AS r
+       |  FROM ipre a JOIN ipre b ON a.sc <= b.sc),
+       |im AS (SELECT si, sk AS sj,
+       |    min(r) OVER (PARTITION BY si ORDER BY sk DESC
+       |      ROWS UNBOUNDED PRECEDING) AS m
+       |  FROM iratios),
+       |ifit AS (SELECT sj, si,
+       |    max(m) OVER (PARTITION BY sj ORDER BY si
+       |      ROWS UNBOUNDED PRECEDING) AS f
+       |  FROM im),
+       |iso AS (SELECT sj AS sc, f FROM ifit WHERE si = sj)
+       |SELECT b.sc AS score, b.n, b.np AS n_pos, round(iso.f, 6) AS fitted
+       |FROM ibins b JOIN iso USING (sc) ORDER BY score""".stripMargin
+
   /** Held-out classifier evaluation — the honest counterpart of
     * [[clfAuc]]: that row measures the model on its own TRAINING
     * corpus, which overstates a real gate's quality. Here documents
@@ -3174,6 +3213,7 @@ object TextQueries {
     "tx_clf_auc" -> ((clfAuc _, Some(clfAucOracle))),
     "tx_clf_pr" -> ((clfPr _, Some(clfPrOracle))),
     "tx_clf_calibration" -> ((clfCalibration _, Some(clfCalibrationOracle))),
+    "tx_clf_isotonic" -> ((clfIsotonic _, Some(clfIsotonicOracle))),
     "tx_clf_holdout" -> ((clfHoldout _, Some(clfHoldoutOracle))),
     "tx_rank_deciles" -> ((rankDeciles _, Some(rankDecilesOracle))),
     "tx_corpus_diff" -> ((corpusDiff _, Some(corpusDiffOracle))),

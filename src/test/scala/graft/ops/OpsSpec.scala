@@ -2145,6 +2145,44 @@ class OpsSpec extends SparkSpec {
       "an empty negative class has no defined AUC — NULL, not a number")
   }
 
+  test("isotonicFit: equals classic PAV on random bins; monotone; pools violators") {
+    // classic stack-based pool-adjacent-violators over (n, pos) bins
+    def pavRef(bins: Seq[(Double, Long, Long)]): Map[Double, Double] = {
+      case class Block(scores: List[Double], n: Long, pos: Long) {
+        def avg: Double = pos.toDouble / n.toDouble
+      }
+      val stack = scala.collection.mutable.Stack[Block]()
+      bins.sortBy(_._1).foreach { case (s, n, p) =>
+        var b = Block(List(s), n, p)
+        while (stack.nonEmpty && stack.top.avg >= b.avg) {
+          val t = stack.pop()
+          b = Block(t.scores ++ b.scores, t.n + b.n, t.pos + b.pos)
+        }
+        stack.push(b)
+      }
+      stack.toList.flatMap(b => b.scores.map(_ -> b.avg)).toMap
+    }
+    val rnd = new scala.util.Random(23)
+    val rows = Seq.tabulate(400) { _ =>
+      val s = math.round(rnd.nextDouble() * 100) / 100.0 // 2-dp score grain
+      // label correlates with score, with noise → violators exist
+      (s, rnd.nextDouble() < 0.2 + 0.6 * s)
+    }
+    val scored = rows.toDF("clf_score", "y")
+    val got = Eval.isotonicFit(scored, col("y"))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(3)).toMap
+    val binsRef = rows.groupBy(_._1).toSeq.map { case (s, rs) =>
+      (s, rs.size.toLong, rs.count(_._2).toLong)
+    }
+    val want = pavRef(binsRef).map { case (s, f) =>
+      s -> BigDecimal(f).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got == want, "minimax fit must equal pool-adjacent-violators")
+    val ordered = got.toSeq.sortBy(_._1).map(_._2)
+    assert(ordered == ordered.sorted, "fit must be monotone nondecreasing")
+    Dedup.releaseCaches()
+  }
+
   test("prCurve: hand-counted thresholds; calibrationBins: edges and boundary score") {
     val d = Seq((0.8, "en"), (0.4, "en"), (0.6, "de"), (0.2, "de"))
       .toDF("clf_score", "lang")
