@@ -59,6 +59,44 @@ object Robust {
         (col("_vlo") + (col("_vhi") - col("_vlo")) * col("_frac")).as(out): _*)
   }
 
+  /** Histogram artifacts — the sketch-artifact lifecycle (Cms / Hll /
+    * Bloom) applied to robust stats: a (keys…, v, c) grain histogram
+    * persists with its value grain recorded, merges by count SUM
+    * (associative and commutative — 1000 shards histogram
+    * independently and roll up anywhere), and serves exact-at-grain
+    * quantiles / MAD forever without rescanning values. This is the
+    * honest mergeable quantile sketch: EXACT at the recorded grain
+    * rather than approximate at every value (a KLL/t-digest trades
+    * that exactness for unbounded-domain support the discrete grain
+    * doesn't need). */
+  object Artifact {
+    def save(spark: org.apache.spark.sql.SparkSession, hist: DataFrame,
+        keyCols: Seq[String], grainDp: Int, path: String): Unit = {
+      require(grainDp >= 0, s"grainDp must be >= 0, got $grainDp")
+      import spark.implicits._
+      hist.coalesce(1).write.mode("overwrite").parquet(s"$path/hist")
+      Seq((grainDp, keyCols.mkString(","))).toDF("grain_dp", "key_cols")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    }
+
+    /** (hist, keyCols, grainDp); rejects a meta-less artifact loudly. */
+    def load(spark: org.apache.spark.sql.SparkSession,
+        path: String): (DataFrame, Seq[String], Int) = {
+      val meta = spark.read.parquet(s"$path/meta").collect()
+      require(meta.nonEmpty, s"empty histogram artifact meta at $path")
+      (spark.read.parquet(s"$path/hist"),
+        meta.head.getString(1).split(",").toSeq.filter(_.nonEmpty),
+        meta.head.getInt(0))
+    }
+
+    /** Count-sum merge of two histograms over the same keys + grain
+      * (the caller gets both from [[load]]). */
+    def merge(a: DataFrame, b: DataFrame, keyCols: Seq[String]): DataFrame =
+      a.unionByName(b)
+        .groupBy((keyCols.map(col) :+ col("v")): _*)
+        .agg(sum(col("c")).as("c"))
+  }
+
   /** Median + MAD + 3-MAD outlier counts per key over an integer-ish
     * value column. One corpus scan (the histogram); the deviation
     * histogram is re-bucketed from the value histogram (|v−med| has

@@ -144,6 +144,38 @@ object StreamingSketch {
       Dedup.releaseCaches()
   }
 
+  /** Streaming hour-level anomaly detection — the carried-histogram
+    * twin of the ev_anomalous_hours composition: the same per-batch
+    * 2 dp value histograms ride the contribution protocol keyed by
+    * (group, hour), and the snapshot runs BOTH robust levels (hourly
+    * p50, then median/MAD across each group's hourly medians) through
+    * the shared [[graft.ops.Robust]] cores. An hour flagged anomalous
+    * can un-flag as its late data arrives — snapshot-replace, not
+    * append. */
+  def foreachBatchAnomalousHours(groupCol: String, hourCol: String,
+      valueCol: String, stateDir: String,
+      sink: DataFrame => Unit): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) =>
+      import org.apache.spark.sql.functions._
+      val spark = batch.sparkSession
+      val contrib = batch
+        .groupBy(col(groupCol), col(hourCol),
+          round(col(valueCol), 2).as("v"))
+        .agg(count(lit(1)).as("c"))
+      StreamingState.writePartition(contrib, s"$stateDir/hourhist", batchId)
+      val all = StreamingState.readUpTo(spark, s"$stateDir/hourhist",
+        contrib.schema, batchId)
+      val hist = all.groupBy(col(groupCol), col(hourCol), col("v"))
+        .agg(sum("c").as("c"))
+      val p50 = graft.ops.Robust.quantileFromHistogram(hist, 0.5,
+        Seq(groupCol, hourCol), "p50")
+      sink(graft.ops.Robust.madStatsFromHistogram(
+        p50.groupBy(col(groupCol), col("p50").as("v"))
+          .agg(count(lit(1)).as("c")),
+        groupCol))
+      Dedup.releaseCaches()
+  }
+
   /** The `foreachBatch` body. `groupCol`/`valueCol` must be STRING
     * columns; `sink` receives the running estimate frame (group,
     * n_buckets, est_distinct) each batch and must replace its table

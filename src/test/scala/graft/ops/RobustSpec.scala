@@ -47,6 +47,34 @@ class RobustSpec extends SparkSpec {
     Dedup.releaseCaches()
   }
 
+  test("histogram artifact: shard merge equals the union histogram; grain recorded") {
+    val shardA = Seq.tabulate(200)(i => ("en", (i % 7).toDouble)).toDF("k", "x")
+    val shardB = Seq.tabulate(300)(i => ("en", (i % 11).toDouble)).toDF("k", "x")
+    def histOf(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("k"), col("x").as("v")).agg(count(lit(1)).as("c"))
+    val dir = java.nio.file.Files.createTempDirectory("hist-art").toString
+    Robust.Artifact.save(spark, histOf(shardA), Seq("k"), 0, dir)
+    val (loaded, keys, grain) = Robust.Artifact.load(spark, dir)
+    assert(keys == Seq("k") && grain == 0)
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    assert(toMap(Robust.Artifact.merge(loaded, histOf(shardB), Seq("k"))) ==
+      toMap(histOf(shardA.union(shardB))),
+      "count-sum merge must equal the union's histogram exactly")
+    // quantiles off the merged artifact == quantiles of the whole
+    val merged = Robust.Artifact.merge(loaded, histOf(shardB), Seq("k"))
+    val got = Robust.quantileFromHistogram(merged, 0.5, Seq("k"), "m")
+      .as[(String, Double)].collect().toMap
+    val want = shardA.union(shardB).groupBy("k")
+      .agg(expr("percentile(x, 0.5)").as("m"))
+      .as[(String, Double)].collect().toMap
+    assert(got == want)
+    intercept[IllegalArgumentException] {
+      Robust.Artifact.save(spark, histOf(shardA), Seq("k"), -1, dir)
+    }
+    Dedup.releaseCaches()
+  }
+
   // ---- tokenBudgetMix (quality-grain threshold + boundary prefix) ----
 
   /** k distinct non-stopword tokens → quality 0.004k+0.6 (k<100), so

@@ -1516,6 +1516,49 @@ class StreamingSpec extends SparkSpec {
     graft.ops.Dedup.releaseCaches()
   }
 
+  test("streaming anomalous hours: flag appears then clears as late data arrives") {
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    val in = tmpDir("ah-in")
+    val state = tmpDir("ah-state")
+    // batch 0: five calm hours (p50=10) and one hot hour F (p50=1000)
+    // → F flagged; batch 1 delivers F's late calm values → p50 falls
+    // back to 10 and the flag must CLEAR (snapshot-replace semantics)
+    val calm = Seq("A", "B", "C", "D", "E").map(h => ("t", h, 10.0))
+    val b0 = calm :+ (("t", "F", 1000.0))
+    val b1 = Seq(("t", "F", 10.0), ("t", "F", 10.0), ("t", "F", 10.0))
+    def line(t: (String, String, Double)) =
+      s"""{"g":"${t._1}","h":"${t._2}","v":${t._3}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/a.jsonl"),
+      b0.map(line).mkString("\n").getBytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/b.jsonl"),
+      b1.map(line).mkString("\n").getBytes)
+    new java.io.File(s"$in/a.jsonl").setLastModified(System.currentTimeMillis() - 60000)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("g", "string").add("h", "string").add("v", "double")
+    val snapshots = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val sink: DataFrame => Unit = { out =>
+      val r = out.collect().head
+      snapshots.synchronized {
+        snapshots += ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_outliers")))
+      }
+      ()
+    }
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(in)
+      .writeStream
+      .option("checkpointLocation", tmpDir("ah-ckpt"))
+      .foreachBatch(StreamingSketch.foreachBatchAnomalousHours(
+        "g", "h", "v", stateDir = state, sink = sink))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(snapshots.size == 2)
+    assert(snapshots(0) == ((6L, 1L)), "hot hour must flag in batch 0")
+    assert(snapshots(1) == ((6L, 0L)),
+      "late calm data must clear the flag — snapshot-replace, not append")
+    graft.ops.Dedup.releaseCaches()
+  }
+
   test("streaming heavy hitters: summary carry holds SpaceSaving bounds, O(1) state files") {
     import org.apache.spark.sql.DataFrame
     import spark.implicits._
