@@ -98,5 +98,7 @@ object SparkEntry {
     "tx_bpe_merges",     // 8-round BPE merge learning over the vocab table
     "q_pagerank",        // co-purchase graph build + 3 exact PR iterations
     "tx_outliers",       // histogram median/MAD robust stats (no percentile agg)
-    "tx_token_budget")   // quality-grain threshold + boundary prefix admission
+    "tx_token_budget",   // quality-grain threshold + boundary prefix admission
+    "ev_asof_forward",   // forward merge as-of (time to next purchase)
+    "tx_clf_isotonic")   // training run + minimax PAV over score bins
 }

@@ -1711,7 +1711,10 @@ object TextQueries {
       .transform(QueryUtil.ordered("score"))
   }
 
-  lazy val clfIsotonicOracle: String =
+  /** The isotonic-fit CTE chain (training run through the `iso`
+    * relation) — shared by tx_clf_isotonic and the calibrated gate so
+    * the two replays cannot fork. */
+  private lazy val isoChainSql: String =
     s"""$clfChainSql,
        |lab AS (SELECT s.clf_score AS sc,
        |          CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
@@ -1732,9 +1735,40 @@ object TextQueries {
        |    max(m) OVER (PARTITION BY sj ORDER BY si
        |      ROWS UNBOUNDED PRECEDING) AS f
        |  FROM im),
-       |iso AS (SELECT sj AS sc, f FROM ifit WHERE si = sj)
+       |iso AS (SELECT sj AS sc, f FROM ifit WHERE si = sj)""".stripMargin
+
+  lazy val clfIsotonicOracle: String =
+    s"""$isoChainSql
        |SELECT b.sc AS score, b.n, b.np AS n_pos, round(iso.f, 6) AS fitted
        |FROM ibins b JOIN iso USING (sc) ORDER BY score""".stripMargin
+
+  /** Calibrated gating: keep documents whose ISOTONIC-CALIBRATED
+    * probability of being English reaches 0.5 — the raw score floor
+    * (curation8's 0.00005-rounded threshold) replaced by a threshold
+    * in probability space, which is what a data curator actually
+    * reasons in. The mapping is monotone, so this is a score cut too —
+    * but the cut point now has a calibrated meaning instead of a
+    * hand-picked scalar. */
+  def clfGateCalibrated(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val scored = Dedup.checkpointTracked(
+      TextAnalysis.logisticScore(d, col("lang") === "en",
+        numBuckets = ClfBuckets, iterations = ClfIters, learningRate = ClfLr))
+    val iso = graft.ops.Eval.isotonicFit(
+      scored.join(d.select(col("doc_id"), col("lang")), Seq("doc_id")),
+      col("lang") === "en")
+    scored.join(broadcast(iso.select(col("score").as("clf_score"),
+        col("fitted"))), Seq("clf_score"))
+      .filter(col("fitted") >= 0.5)
+      .select("doc_id", "clf_score", "fitted")
+      .transform(QueryUtil.ordered("doc_id"))
+  }
+
+  lazy val clfGateCalibratedOracle: String =
+    s"""$isoChainSql
+       |SELECT s.doc_id, s.clf_score, round(iso.f, 6) AS fitted
+       |FROM scored s JOIN iso ON s.clf_score = iso.sc
+       |WHERE round(iso.f, 6) >= 0.5 ORDER BY s.doc_id""".stripMargin
 
   /** Held-out classifier evaluation — the honest counterpart of
     * [[clfAuc]]: that row measures the model on its own TRAINING
@@ -3214,6 +3248,8 @@ object TextQueries {
     "tx_clf_pr" -> ((clfPr _, Some(clfPrOracle))),
     "tx_clf_calibration" -> ((clfCalibration _, Some(clfCalibrationOracle))),
     "tx_clf_isotonic" -> ((clfIsotonic _, Some(clfIsotonicOracle))),
+    "tx_clf_gate_calibrated" ->
+      ((clfGateCalibrated _, Some(clfGateCalibratedOracle))),
     "tx_clf_holdout" -> ((clfHoldout _, Some(clfHoldoutOracle))),
     "tx_rank_deciles" -> ((rankDeciles _, Some(rankDecilesOracle))),
     "tx_corpus_diff" -> ((corpusDiff _, Some(corpusDiffOracle))),
