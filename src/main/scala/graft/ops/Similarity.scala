@@ -87,6 +87,41 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  /** [[hardNegatives]]' scale path: the [[lshKnn]] bucket-probe
+    * pipeline with the label filter applied at the CANDIDATE stage —
+    * same-label pairs never reach a dot product, and the top-k ranks
+    * over the surviving different-label candidates directly (no
+    * oversampling heuristics: filtering precedes ranking). Fully
+    * deterministic, so the oracle replays buckets, probes, label
+    * filter and ranking end-to-end. */
+  def hardNegativesLsh(emb: DataFrame, k: Int, queryPred: Column,
+      numPlanes: Int = 5, probeHamming: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(numPlanes >= 1 && numPlanes <= 24,
+      s"numPlanes=$numPlanes out of range")
+    val base = emb.select(col(idCol), asDouble(col(vecCol)).as("ve"),
+      col(labelCol).as("lbl"), lshBucket(col(vecCol), numPlanes).as("bucket"))
+    val cands = base.select(col(idCol).as("cid"), col("ve").as("ce"),
+      col("lbl").as("clabel"), col("bucket")).withColumn("cn", norm(col("ce")))
+    val masks = (0 until (1 << numPlanes))
+      .filter(m => Integer.bitCount(m) <= probeHamming)
+    val q = base.filter(queryPred)
+      .withColumn("qn", norm(col("ve")))
+      .select(col(idCol).as("qid"), col("ve").as("qe"), col("qn"),
+        col("lbl").as("qlabel"),
+        explode(array(masks.map(m =>
+          col("bucket").bitwiseXOR(lit(m))): _*)).as("qbucket"))
+    val sims = q.hint("broadcast").join(cands, col("qbucket") === col("bucket"))
+      .filter(col("qid") =!= col("cid") && col("qlabel") =!= col("clabel"))
+      .select(col("qid"), col("qlabel"), col("cid"), col("clabel"),
+        round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 4).as("sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("cid").asc)
+    sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
   /** All pairs with cosine >= threshold (embedding near-dup), EXACT:
     * upper-triangle join. This is the oracle-checkable baseline — fine
     * to tens of thousands of vectors; beyond that use

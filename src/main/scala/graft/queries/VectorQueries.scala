@@ -66,6 +66,20 @@ object VectorQueries {
       |SELECT qid, qlabel, cid, clabel, sim, rn FROM r WHERE rn <= 5
       |ORDER BY qid, rn""".stripMargin
 
+  /** Hard negatives on the ANN path: bucket-probed candidates with the
+    * same-label filter before any dot product; the oracle replays the
+    * whole pipeline (planes, probes, label filter, ranking). */
+  def hardNegativesLsh(spark: SparkSession, dir: String): DataFrame =
+    Similarity.hardNegativesLsh(emb(spark, dir), k = 5,
+        queryPred = col("vec_id") % 50 === 0,
+        numPlanes = LshPlanes, probeHamming = LshProbeHamming)
+      .transform(QueryUtil.ordered("qid", "rn"))
+
+  lazy val hardNegativesLshOracle: String =
+    s"""WITH ${lshAnnCtesImpl(labelAware = true)}
+      |SELECT qid, qlabel, cid, clabel, sim, rn FROM ann WHERE rn <= 5
+      |ORDER BY qid, rn""".stripMargin
+
   private def nearDupOracle(threshold: Double): String =
     s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
       |SELECT a.vec_id AS da, b.vec_id AS db, ${cosineSql("a.e", "b.e")} AS sim
@@ -230,7 +244,13 @@ object VectorQueries {
     * on the fixture is ~3e-5, nine orders above any summation-order
     * noise, so signs are engine-stable), packed sign buckets, and the
     * Hamming-<=4 probe mask list. */
-  private def lshAnnCtes: String = {
+  private def lshAnnCtes: String = lshAnnCtesImpl(labelAware = false)
+
+  /** The full sign-LSH replay chain; with `labelAware` the candidate
+    * stage also drops same-label pairs and the `ann` relation carries
+    * both labels — the hard-negative mining scale path, replayed
+    * end-to-end like the plain ANN. */
+  private def lshAnnCtesImpl(labelAware: Boolean): String = {
     val planes = (0 until LshPlanes).map { p =>
       val cs = (0 until OracleDim)
         .map(d => graft.etl.expressions.LshSignBands.planeCoef(p, d).toString)
@@ -238,6 +258,20 @@ object VectorQueries {
       s"($p, $cs::DOUBLE[])"
     }.mkString(",\n|    ")
     val masks = probeMasks.map(m => s"($m)").mkString(", ")
+    val labelFilter =
+      if (labelAware) " AND ql.label <> cl.label" else ""
+    val labelJoin =
+      if (labelAware)
+        """
+          |       JOIN embeddings ql ON ql.vec_id = qp.qid
+          |       JOIN embeddings cl ON cl.vec_id = cb.vec_id""".stripMargin
+      else ""
+    val candCols =
+      if (labelAware) "qp.qid, ql.label AS qlabel, cb.vec_id AS cid, cl.label AS clabel"
+      else "qp.qid, cb.vec_id AS cid"
+    val passthrough = if (labelAware) "cand.qlabel, " else ""
+    val passthrough2 = if (labelAware) "cand.clabel, " else ""
+    val annCols = if (labelAware) "qid, qlabel, cid, clabel, sim" else "qid, cid, sim"
     s"""pl(p, pc) AS (VALUES
       |    $planes),
       |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
@@ -249,12 +283,13 @@ object VectorQueries {
       |m(mask) AS (VALUES $masks),
       |qp AS (SELECT b.vec_id AS qid, xor(b.bucket, CAST(m.mask AS BIGINT)) AS pb
       |  FROM b, m WHERE $queryPredSql),
-      |cand AS (SELECT qp.qid, cb.vec_id AS cid
-      |  FROM qp JOIN b cb ON cb.bucket = qp.pb WHERE cb.vec_id <> qp.qid),
-      |sims AS (SELECT cand.qid, cand.cid, ${cosineSql("qv.e", "cv.e")} AS sim
+      |cand AS (SELECT $candCols
+      |  FROM qp JOIN b cb ON cb.bucket = qp.pb$labelJoin
+      |  WHERE cb.vec_id <> qp.qid$labelFilter),
+      |sims AS (SELECT cand.qid, $passthrough cand.cid, $passthrough2 ${cosineSql("qv.e", "cv.e")} AS sim
       |  FROM cand JOIN v qv ON qv.vec_id = cand.qid
       |            JOIN v cv ON cv.vec_id = cand.cid),
-      |ann AS (SELECT qid, cid, sim,
+      |ann AS (SELECT $annCols,
       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INTEGER) AS rn
       |  FROM sims)""".stripMargin
   }
@@ -418,6 +453,8 @@ object VectorQueries {
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "vec_knn_brute" -> ((knnBrute _, Some(knnBruteOracle))),
     "vec_hard_negatives" -> ((hardNegatives _, Some(hardNegativesOracle))),
+    "vec_hard_negatives_lsh" ->
+      ((hardNegativesLsh _, Some(hardNegativesLshOracle))),
     "vec_near_dup" -> ((nearDupPairs _, Some(nearDupOracle(0.4)))),
     "vec_keep" -> ((nearDupKeep _, Some(nearDupKeepOracle))),
     "vec_near_dup_lsh" -> ((nearDupPairsLsh _, Some(plantedNearDupOracle))),

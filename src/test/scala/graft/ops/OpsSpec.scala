@@ -102,6 +102,18 @@ class OpsSpec extends SparkSpec {
     assert(r.map(_.getAs[Int]("rn")).toSeq == Seq(1, 2))
   }
 
+  test("LSH hard negatives: no same-label leak; recall vs brute mining") {
+    val brute = Similarity.hardNegatives(emb, 5, col("vec_id") % 50 === 0)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.hardNegativesLsh(emb, 5, col("vec_id") % 50 === 0)
+    val rows = ann.collect()
+    assert(rows.forall(r => r.getAs[Int]("qlabel") != r.getAs[Int]("clabel")),
+      "a same-label candidate leaked through the ANN path")
+    val annSet = rows.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    val recall = (brute & annSet).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall=$recall") // structureless fixture bound
+  }
+
   test("LSH knn: recall@5 >= 0.9 vs brute force on real embeddings") {
     val brute = Similarity.bruteForceKnn(emb, 5, col("vec_id") % 50 === 0)
       .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
