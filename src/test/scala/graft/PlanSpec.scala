@@ -48,7 +48,11 @@ class PlanSpec extends SparkSpec {
       "tx_heavy_hitters", // one-row certification floor scalar
       "tx_curation7",     // rank stage's one-row corpus count
       "tx_curation8",     // clf-floor scalar + rank stage's corpus count
-      "tx_pmi")           // one-row (unigram, bigram) totals scalars
+      "tx_pmi",           // one-row (unigram, bigram) totals scalars
+      // isotonic's minimax needs the i<=k range-pair join over the
+      // DISTINCT-SCORE bins — a grain-bounded frame (<= 10001 rows at
+      // 4dp), never the corpus; CartesianProduct stays forbidden
+      "tx_clf_isotonic")
 
   test("no headline query plans a cartesian product (baselines excepted)") {
     (SparkEntry.benchQueries.toSet ++ Set("ev_skew_join") -- exactBaselines)
