@@ -135,7 +135,10 @@ object Eval {
     val lo = pre.select(col("_s").as("_si"),
       (col("_cn") - col("_n")).as("_pn"), (col("_cp") - col("_np")).as("_pp"))
     val hi = pre.select(col("_s").as("_sk"), col("_cn"), col("_cp"))
-    val ratios = lo.join(hi, col("_si") <= col("_sk"))
+    // broadcast the (grain-bounded) hi side: the i<=k range pairing
+    // must plan as BroadcastNestedLoopJoin over the bins frame, never
+    // a shuffled CartesianProduct
+    val ratios = lo.join(broadcast(hi), col("_si") <= col("_sk"))
       .select(col("_si"), col("_sk"),
         ((col("_cp") - col("_pp")).cast("double") /
           (col("_cn") - col("_pn")).cast("double")).as("_r"))
