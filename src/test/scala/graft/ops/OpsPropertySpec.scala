@@ -1,0 +1,150 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.etl.SparkSpec
+
+/** Property tests over the round-9 third-phase operators: budget-law
+  * and maximality for token mixing, merge-sequence laws for BPE,
+  * quantile equivalence for the histogram machinery, rank-mass and
+  * reference-equality for PageRank. Deterministic generator sampling
+  * (fixed seeds) — failures reproduce exactly. */
+class OpsPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private def docOf(k: Int): String = (1 to k).map(i => s"w$i").mkString(" ")
+
+  test("token budget law: admitted tokens <= budget per source, and maximal") {
+    val corpusGen = for {
+      n <- Gen.choose(5, 40)
+      lens <- Gen.listOfN(n, Gen.choose(3, 60))
+      srcs <- Gen.listOfN(n, Gen.oneOf("a", "b", "c"))
+    } yield lens.zip(srcs).zipWithIndex.map { case ((l, s), i) =>
+      (i.toLong, s, docOf(l))
+    }
+    for ((corpus, budget) <- samples(corpusGen, 6).zip(
+        Seq(50L, 120L, 300L, 80L, 200L, 500L))) {
+      val df = corpus.toDF("doc_id", "source", "text")
+      val admitted = Sampling.tokenBudgetMix(df, budget, bucketWidth = 8L)
+        .select("doc_id", "source", "n_tokens")
+        .as[(Long, String, Long)].collect()
+      val bySource = admitted.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+      bySource.foreach { case (s, t) =>
+        assert(t <= budget, s"source $s admitted $t > budget $budget")
+      }
+      // maximality: for each source, the highest-priority unadmitted
+      // doc must NOT fit in the remaining budget (priority = quality
+      // desc ≈ longer docs first on this corpus, id tie-break)
+      val admittedIds = admitted.map(_._1).toSet
+      val all = df.select(col("doc_id"), col("source"),
+          TextAnalysis.qualityScore(col("text")).as("q"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+        .as[(Long, String, Double, Long)].collect()
+      all.groupBy(_._2).foreach { case (s, docs) =>
+        val spent = bySource.getOrElse(s, 0L)
+        val unadmitted = docs.filterNot(d => admittedIds(d._1))
+          .sortBy(d => (-d._3, d._1))
+        unadmitted.headOption.foreach { d =>
+          assert(spent + d._4 > budget,
+            s"source $s: doc ${d._1} (${d._4} tok) fits in " +
+              s"${budget - spent} but was not admitted")
+        }
+      }
+      Dedup.releaseCaches()
+    }
+  }
+
+  test("BPE law: merge counts never increase; symbols only shrink") {
+    val corpusGen = for {
+      n <- Gen.choose(2, 6)
+      words <- Gen.listOfN(n, for {
+        l <- Gen.choose(2, 8)
+        cs <- Gen.listOfN(l, Gen.oneOf('a', 'b', 'c'))
+      } yield cs.mkString)
+      reps <- Gen.listOfN(n, Gen.choose(1, 5))
+    } yield words.zip(reps).flatMap { case (w, r) => Seq.fill(r)(w) }
+      .mkString(" ")
+    for ((text, i) <- samples(corpusGen, 5).zipWithIndex) {
+      val d = Seq((i.toLong, text)).toDF("doc_id", "text")
+      val (merges, vocab) = Bpe.learnMerges(d, 6)
+      // chosen-pair counts are non-increasing: a later merge can never
+      // beat an earlier round's winner (it existed then too, unless
+      // created by a merge — which only concatenates, never splits)
+      merges.sliding(2).foreach {
+        case Seq(a, b) => assert(b.count <= a.count,
+          s"round ${b.rank} count ${b.count} > round ${a.rank} ${a.count}")
+        case _ =>
+      }
+      // symbol-removal bounds: a round counts OVERLAPPING pairs but
+      // merges non-overlapping occurrences left-to-right, so an A-A
+      // run of k pairs removes ceil(k/2)..k symbols; distinct-symbol
+      // pairs remove exactly their count
+      val syms = vocab.select(
+        sum(size(split(expr(s"btrim(ws, '${Bpe.Sep}')"),
+          s"${Bpe.Sep}${Bpe.Sep}")).cast("long") * col("cnt")))
+        .as[Long].collect().head
+      val chars = vocab.select(sum(length(col("word")).cast("long") * col("cnt")))
+        .as[Long].collect().head
+      val removed = chars - syms
+      val hi = merges.map(_.count).sum
+      val lo = merges.map(m => (m.count + 1) / 2).sum
+      assert(removed <= hi && removed >= lo,
+        s"removed $removed outside [$lo, $hi]")
+      Dedup.releaseCaches()
+    }
+  }
+
+  test("histogram quantiles == percentile() across random keys and qs") {
+    val gen = for {
+      n <- Gen.choose(20, 200)
+      vals <- Gen.listOfN(n, Gen.choose(0, 30))
+      keys <- Gen.listOfN(n, Gen.oneOf("x", "y"))
+    } yield keys.zip(vals)
+    for ((rows, q) <- samples(gen, 4).zip(Seq(0.25, 0.5, 0.75, 0.95))) {
+      val df = rows.toDF("k", "v")
+      val hist = df.groupBy(col("k"), col("v").cast("double").as("v"))
+        .agg(count(lit(1)).as("c"))
+      val got = Robust.quantileFromHistogram(hist, q, Seq("k"), "qv")
+        .as[(String, Double)].collect().toMap
+      val want = df.groupBy("k").agg(expr(s"percentile(v, $q)").as("p"))
+        .as[(String, Double)].collect().toMap
+      assert(got == want, s"q=$q")
+    }
+  }
+
+  test("PageRank: reference equality and mass bounds on random graphs") {
+    val gen = for {
+      nodes <- Gen.choose(5, 20)
+      m <- Gen.choose(nodes, 3 * nodes)
+      pairs <- Gen.listOfN(m, for {
+        a <- Gen.choose(0, nodes - 1)
+        b <- Gen.choose(0, nodes - 1) if b != a
+      } yield (a.toLong, b.toLong))
+      if pairs.nonEmpty
+    } yield pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    for (edges <- samples(gen, 4)) {
+      val got = Graph.pageRankTopK(edges.toDF("src", "dst"), 2, 1000)
+        .as[(Long, Long)].collect().toMap
+      val e = edges.distinct
+      val out = e.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+      val n = out.size.toLong
+      val base = (15L * Graph.Scale) / (100L * n)
+      var pr = out.keys.map(_ -> Graph.Scale / n).toMap
+      for (_ <- 1 to 2) {
+        val c = e.groupBy(_._2).map { case (d, es) =>
+          d -> es.map { case (s, _) => pr(s) / out(s) }.sum
+        }
+        pr = pr.keys.map(v => v -> (base + 85L * c.getOrElse(v, 0L) / 100L)).toMap
+      }
+      assert(got == pr)
+      val mass = got.values.sum
+      assert(mass <= Graph.Scale && mass >= Graph.Scale - 100L * n,
+        s"mass $mass drifted from ${Graph.Scale}")
+      Dedup.releaseCaches()
+    }
+  }
+}
