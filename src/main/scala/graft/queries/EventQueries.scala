@@ -128,6 +128,53 @@ object EventQueries {
        |FROM h2 JOIN medq m USING (event_type) JOIN madq x USING (event_type)
        |GROUP BY h2.event_type ORDER BY h2.event_type""".stripMargin
 
+  /** Linear multi-touch attribution: every purchase splits one unit of
+    * credit equally across the user's non-purchase events in the hour
+    * before it. The window join is the bucketized
+    * [[graft.ops.TimeSeries.rangeJoin]] (equi on (user, 10-min
+    * bucket) — never an inequality nested loop), and per-purchase
+    * credit shares ride as (c · 10^12) DIV n INTEGERS so the
+    * cross-purchase summation order cannot move a bit — the float
+    * 1/n sum would be partition-order noise. */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val pur = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"),
+        (col("ts") - expr("INTERVAL 1 HOUR")).as("w_start"),
+        col("ts").as("w_end"))
+    val pts = ev.filter(col("event_type") =!= "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val tou = graft.ops.Dedup.checkpointTracked(
+      TimeSeries.rangeJoin(pts, pur, "user_id", "ts", "w_start", "w_end",
+          grainUs = 600L * 1000000L)
+        .select("pid", "event_type"))
+    val pn = tou.groupBy("pid").agg(count(lit(1)).as("n"))
+    val pt = tou.groupBy("pid", "event_type").agg(count(lit(1)).as("c"))
+    pt.join(pn, "pid")
+      .groupBy("event_type")
+      .agg(sum("c").as("touches"),
+        round(sum(expr("(c * 1000000000000) DIV n")).cast("double") / 1e12, 4)
+          .as("credit"))
+      .transform(QueryUtil.ordered("event_type"))
+  }
+
+  val attributionOracle: String =
+    """WITH pur AS (SELECT event_id AS pid, user_id,
+      |               CAST(ts AS TIMESTAMP) AS pe
+      |             FROM events WHERE event_type = 'purchase'),
+      |ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ets, event_type
+      |       FROM events WHERE event_type <> 'purchase'),
+      |tou AS (SELECT pur.pid, ev.event_type
+      |        FROM ev JOIN pur ON ev.user_id = pur.user_id
+      |          AND ev.ets >= pur.pe - INTERVAL 1 HOUR AND ev.ets < pur.pe),
+      |pn AS (SELECT pid, CAST(count(*) AS BIGINT) AS n FROM tou GROUP BY pid),
+      |pt AS (SELECT pid, event_type, CAST(count(*) AS BIGINT) AS c
+      |       FROM tou GROUP BY 1, 2)
+      |SELECT pt.event_type, CAST(sum(pt.c) AS BIGINT) AS touches,
+      |  round(sum((pt.c * 1000000000000) // pn.n) / 1000000000000.0, 4)
+      |    AS credit
+      |FROM pt JOIN pn USING (pid) GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Gap-based sessionization (30 min), per-user session counts. */
   def sessions(spark: SparkSession, dir: String): DataFrame =
     TimeSeries.sessionStats(events(spark, dir), gapSeconds = 1800)
@@ -488,5 +535,6 @@ object EventQueries {
     "ev_percentiles" -> ((percentiles _, Some(percentilesOracle))),
     "ev_hourly_quantiles" -> ((hourlyQuantiles _, Some(hourlyQuantilesOracle))),
     "ev_anomalous_hours" -> ((anomalousHours _, Some(anomalousHoursOracle))),
+    "ev_attribution" -> ((attribution _, Some(attributionOracle))),
     "ev_skew_join" -> ((skewJoin _, Some(skewJoinOracle))))
 }
