@@ -311,6 +311,43 @@ object TimeSeries {
             col("n_users"))
     }.reduce(_.unionByName(_))
 
+  /** Median seconds between consecutive funnel step completions, for
+    * users who made each transition — the "where does the funnel
+    * stall" number next to [[funnel]]'s "where does it leak". Reuses
+    * the same per-step reach frames (shared semantics), pairs
+    * consecutive steps on the user key, truncates latencies to whole
+    * seconds (integral — both engines truncate identically) and takes
+    * the median through the grain-bounded histogram core
+    * ([[Robust.quantileFromHistogram]]) — no percentile() buffering on
+    * a hot transition. Output: (step_idx, transition, n_users,
+    * p50_sec). */
+  def funnelStepLatency(events: DataFrame, steps: Seq[String],
+      withinSeconds: Long = 86400L,
+      userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    require(steps.length >= 2, "need at least two steps for a latency")
+    val ev = Dedup.persistTracked(events.select(
+      col(userCol).as("_u"), unix_micros(col(tsCol)).as("_us"),
+      col(typeCol).as("_ty")))
+    val reached = funnelReachedPerStep(ev, steps, withinSeconds)
+    val lat = (1 until steps.length).map { i =>
+      reached(i).select(col("_u"), col("_t").as("_t2"))
+        .join(reached(i - 1).select(col("_u"), col("_t").as("_t1")),
+          Seq("_u"))
+        .select(lit(i + 1).as("step_idx"),
+          lit(s"${steps(i - 1)}->${steps(i)}").as("transition"),
+          expr("(_t2 - _t1) DIV 1000000").cast("double").as("v"))
+    }.reduce(_.unionByName(_))
+    val hist = Dedup.checkpointTracked(
+      lat.groupBy("step_idx", "transition", "v").agg(count(lit(1)).as("c")))
+    val p50 = Robust.quantileFromHistogram(hist, 0.5,
+      Seq("step_idx", "transition"), "p50")
+    hist.groupBy("step_idx", "transition").agg(sum("c").as("n_users"))
+      .join(p50, Seq("step_idx", "transition"))
+      .select(col("step_idx"), col("transition"), col("n_users"),
+        round(col("p50"), 4).as("p50_sec"))
+  }
+
   /** Per-user deepest step reached — `(_u, max_step)`, one row per
     * user that completed at least step 1. The reach is monotone (step
     * i+1 requires step i), so the single max is the whole funnel state

@@ -480,6 +480,41 @@ object EventQueries {
       |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
       |ORDER BY step_idx""".stripMargin
 
+  /** Median seconds between funnel steps for converting users — the
+    * stall chart next to ev_funnel's leak chart; see
+    * [[graft.ops.TimeSeries.funnelStepLatency]]. */
+  def funnelLatency(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.funnelStepLatency(events(spark, dir),
+        steps = Seq("view", "click", "purchase"), withinSeconds = 86400L)
+      .transform(QueryUtil.ordered("step_idx"))
+
+  val funnelLatencyOracle: String =
+    s"""WITH e AS (SELECT user_id AS u, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |            event_type AS ty FROM events),
+      |s1 AS (SELECT u, min(us) AS t FROM e WHERE ty = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.u, min(e.us) AS t FROM e JOIN s1 USING (u)
+      |       WHERE e.ty = 'click' AND e.us > s1.t
+      |         AND e.us <= s1.t + 86400000000 GROUP BY 1),
+      |s3 AS (SELECT e.u, min(e.us) AS t FROM e JOIN s2 USING (u)
+      |       WHERE e.ty = 'purchase' AND e.us > s2.t
+      |         AND e.us <= s2.t + 86400000000 GROUP BY 1),
+      |lat AS (SELECT 2 AS step_idx, 'view->click' AS transition,
+      |          CAST((s2.t - s1.t) // 1000000 AS DOUBLE) AS v
+      |        FROM s2 JOIN s1 USING (u)
+      |        UNION ALL
+      |        SELECT 3, 'click->purchase',
+      |          CAST((s3.t - s2.t) // 1000000 AS DOUBLE)
+      |        FROM s3 JOIN s2 USING (u)),
+      |h AS MATERIALIZED (SELECT step_idx, transition, v,
+      |    CAST(count(*) AS BIGINT) AS c FROM lat GROUP BY 1, 2, 3),
+      |${QueryUtil.quantileCteSql("h", "step_idx, transition", "0.5",
+         "q50", "p50")}
+      |SELECT q.step_idx, q.transition, n.n_users, round(q.p50, 4) AS p50_sec
+      |FROM q50 q JOIN (SELECT step_idx, transition,
+      |    CAST(sum(c) AS BIGINT) AS n_users FROM h GROUP BY 1, 2) n
+      |  USING (step_idx, transition)
+      |ORDER BY q.step_idx""".stripMargin
+
   /** Weekly cohort retention matrix over the events table. */
   def retentionQ(spark: SparkSession, dir: String): DataFrame =
     TimeSeries.retention(events(spark, dir))
@@ -536,5 +571,6 @@ object EventQueries {
     "ev_hourly_quantiles" -> ((hourlyQuantiles _, Some(hourlyQuantilesOracle))),
     "ev_anomalous_hours" -> ((anomalousHours _, Some(anomalousHoursOracle))),
     "ev_attribution" -> ((attribution _, Some(attributionOracle))),
+    "ev_step_latency" -> ((funnelLatency _, Some(funnelLatencyOracle))),
     "ev_skew_join" -> ((skewJoin _, Some(skewJoinOracle))))
 }
