@@ -1711,14 +1711,15 @@ object TextQueries {
       .transform(QueryUtil.ordered("score"))
   }
 
-  /** The isotonic-fit CTE chain (training run through the `iso`
-    * relation) — shared by tx_clf_isotonic and the calibrated gate so
-    * the two replays cannot fork. */
-  private lazy val isoChainSql: String =
-    s"""$clfChainSql,
-       |lab AS (SELECT s.clf_score AS sc,
+  /** The minimax isotonic-fit CTE block over a `scored` relation
+    * (doc_id, clf_score) with labels from `documents` — reused by
+    * every consumer (tx_clf_isotonic, the calibrated gate, curation12)
+    * so the fit replay cannot fork. Ends at the `iso(sc, f)`
+    * relation. */
+  private def isoFitCtes(scoredRel: String): String =
+    s"""lab AS (SELECT s.clf_score AS sc,
        |          CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
-       |        FROM scored s JOIN documents d USING (doc_id)),
+       |        FROM $scoredRel s JOIN documents d USING (doc_id)),
        |ibins AS MATERIALIZED (SELECT sc, CAST(count(*) AS BIGINT) AS n,
        |    CAST(sum(y) AS BIGINT) AS np FROM lab GROUP BY sc),
        |ipre AS MATERIALIZED (SELECT sc, n, np,
@@ -1736,6 +1737,11 @@ object TextQueries {
        |      ROWS UNBOUNDED PRECEDING) AS f
        |  FROM im),
        |iso AS (SELECT sj AS sc, f FROM ifit WHERE si = sj)""".stripMargin
+
+  /** Training run + isotonic fit over the full documents corpus. */
+  private lazy val isoChainSql: String =
+    s"""$clfChainSql,
+       |${isoFitCtes("scored")}""".stripMargin
 
   lazy val clfIsotonicOracle: String =
     s"""$isoChainSql
@@ -2408,6 +2414,79 @@ object TextQueries {
       |${tokenBudgetChainSql("shipped", 400L)}
       |SELECT doc_id, source, q, n_tokens, admit FROM admitted
       |ORDER BY source, doc_id""".stripMargin
+
+  /** Curation v12 — the full modern selection pipeline in one
+    * declarative plan: crawl gates (v6) → quality classifier TRAINED
+    * ON THE CURATED POOL → isotonic-calibrated probability gate
+    * (P(en) ≥ 0.5) → per-source token budget → seeded-shuffle
+    * training order. Every stage's replay is a shared builder
+    * (curation6 chain, clfTrainChainSql over the pool relation,
+    * isoFitCtes, tokenBudgetChainSql, the v10 pack tail), so no stage
+    * can fork from its standalone row. */
+  def curation12(spark: SparkSession, dir: String): DataFrame = {
+    val f = curation6Frames(spark, dir)
+    val d = docs(spark, dir)
+    val shipped = Dedup.checkpointTracked(f("keeper")
+      .join(f("sampled").select("doc_id"), Seq("doc_id"), "left_semi")
+      .join(d.select("doc_id", "lang"), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("lang"), col("text")))
+    val scored = Dedup.checkpointTracked(
+      TextAnalysis.logisticScore(shipped, col("lang") === "en",
+        numBuckets = ClfBuckets, iterations = ClfIters, learningRate = ClfLr))
+    val iso = graft.ops.Eval.isotonicFit(
+      scored.join(shipped.select("doc_id", "lang"), Seq("doc_id")),
+      col("lang") === "en")
+    val gated = shipped.join(scored, Seq("doc_id"))
+      .join(broadcast(iso.select(col("score").as("clf_score"),
+        col("fitted"))), Seq("clf_score"))
+      .filter(col("fitted") >= 0.5)
+      .select("doc_id", "source", "text")
+    val admitted = graft.ops.Sampling.tokenBudgetMix(gated, budget = 300L,
+      bucketWidth = 64L)
+    val adm = gated.join(admitted.select("doc_id"), Seq("doc_id"), "left_semi")
+      .select("doc_id", "text")
+    graft.ops.Packing.shuffledPack(adm, budget = 500L, epochs = 1,
+        seed = "graft-r12", bucketWidth = 64L)
+      .select("doc_id", "pos", "n_tokens", "shard")
+      .transform(QueryUtil.ordered("pos"))
+  }
+
+  lazy val curation12Oracle: String = {
+    val poolSrc = "(SELECT sh.doc_id, d.lang, sh.text " +
+      "FROM shipped sh JOIN documents d USING (doc_id))"
+    val trainChain = clfTrainChainSql(poolSrc).stripPrefix("WITH ")
+    curation6ChainSql + ",\n" +
+      """shipped AS MATERIALIZED (SELECT k.doc_id, p.source, k.text
+        |  FROM kept k JOIN sampled USING (doc_id)
+        |  JOIN planted p ON k.doc_id = p.doc_id),""".stripMargin + "\n" +
+      trainChain + ",\n" +
+      s"""c12mf AS (SELECT f.doc_id, coalesce(sum(f.x * w.w), 0.0) AS m
+         |       FROM feat f LEFT JOIN w$ClfIters w ON f.b = w.b
+         |       GROUP BY f.doc_id),
+         |c12scored AS (SELECT doc_id, round(1.0/(1.0 + exp(-m)), 4)
+         |    AS clf_score FROM c12mf),
+         |${isoFitCtes("c12scored")},
+         |c12gated AS MATERIALIZED (SELECT sh.doc_id, sh.source, sh.text
+         |  FROM shipped sh JOIN c12scored s USING (doc_id)
+         |  JOIN iso ON s.clf_score = iso.sc
+         |  WHERE round(iso.f, 6) >= 0.5),
+         |${tokenBudgetChainSql("c12gated", 300L)},
+         |adm AS (SELECT g.doc_id, g.text FROM c12gated g
+         |        JOIN admitted a USING (doc_id)),
+         |shp_c AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+         |    substr(md5('graft-r12:0:' || CAST(doc_id AS VARCHAR)), 1, 16)
+         |      AS hk
+         |  FROM adm),
+         |shp_r AS (SELECT doc_id, n,
+         |    row_number() OVER (ORDER BY hk, doc_id) AS pos,
+         |    sum(n) OVER (ORDER BY hk, doc_id ROWS UNBOUNDED PRECEDING)
+         |      AS cum
+         |  FROM shp_c)
+         |SELECT doc_id, CAST(pos AS BIGINT) AS pos, n AS n_tokens,
+         |  CAST((cum - n) // 500 AS BIGINT) AS shard
+         |FROM shp_r ORDER BY pos""".stripMargin
+  }
 
   /** The v6 replay's WITH chain (through `sampled`), shared with the
     * curation9 oracle so the two cannot fork. */
@@ -3262,6 +3341,7 @@ object TextQueries {
     "tx_curation9" -> ((curation9 _, Some(curation9Oracle))),
     "tx_curation10" -> ((curation10 _, Some(curation10Oracle))),
     "tx_curation11" -> ((curation11 _, Some(curation11Oracle))),
+    "tx_curation12" -> ((curation12 _, Some(curation12Oracle))),
     "tx_chunk_sliding" -> ((chunkSliding _, Some(chunkSlidingOracle))),
     "tx_pack_shards" -> ((packShards _, Some(packShardsOracle))),
     "tx_release_manifest" -> ((releaseManifest _, Some(releaseManifestOracle))),
