@@ -100,5 +100,6 @@ object SparkEntry {
     "tx_outliers",       // histogram median/MAD robust stats (no percentile agg)
     "tx_token_budget",   // quality-grain threshold + boundary prefix admission
     "ev_asof_forward",   // forward merge as-of (time to next purchase)
-    "tx_clf_isotonic")   // training run + minimax PAV over score bins
+    "tx_clf_isotonic",   // training run + minimax PAV over score bins
+    "tx_curation12")     // crawl -> pool-trained calibrated gate -> budget -> order
 }

@@ -3309,8 +3309,49 @@ object TextQueries {
       |SELECT doc_id, source, q, n_tokens, admit FROM admitted
       |ORDER BY source, doc_id""".stripMargin
 
+  /** Dedup impact card: per source, docs/tokens before exact dedup,
+    * after it, and the share removed — the one-table summary a dataset
+    * card publishes for the dedup stage. Exact duplicate groups come
+    * from the md5 fingerprint (the dd_exact core); the removed share
+    * is an integer ratio rounded at the boundary. */
+  def dedupImpact(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("source"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+      md5(col("text")).as("fp"))
+    val keep = d.groupBy("fp").agg(min("doc_id").as("doc_id"))
+    val kept = d.join(keep, Seq("fp", "doc_id"), "left_semi")
+    d.groupBy("source")
+      .agg(count(lit(1)).as("docs_before"), sum("n_tokens").as("tokens_before"))
+      .join(kept.groupBy("source")
+        .agg(count(lit(1)).as("docs_after"), sum("n_tokens").as("tokens_after")),
+        Seq("source"))
+      .withColumn("removed_frac",
+        round((col("docs_before") - col("docs_after")).cast("double") /
+          col("docs_before").cast("double"), 4))
+      .transform(QueryUtil.ordered("source"))
+  }
+
+  val dedupImpactOracle: String =
+    """WITH d AS (SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    md5(text) AS fp FROM documents),
+      |keep AS (SELECT fp, min(doc_id) AS doc_id FROM d GROUP BY fp),
+      |kept AS (SELECT d.* FROM d JOIN keep USING (fp, doc_id)),
+      |b AS (SELECT source, CAST(count(*) AS BIGINT) AS docs_before,
+      |        CAST(sum(n_tokens) AS BIGINT) AS tokens_before
+      |      FROM d GROUP BY source),
+      |a AS (SELECT source, CAST(count(*) AS BIGINT) AS docs_after,
+      |        CAST(sum(n_tokens) AS BIGINT) AS tokens_after
+      |      FROM kept GROUP BY source)
+      |SELECT b.source, b.docs_before, b.tokens_before,
+      |  a.docs_after, a.tokens_after,
+      |  round((b.docs_before - a.docs_after) * 1.0 / b.docs_before, 4)
+      |    AS removed_frac
+      |FROM b JOIN a USING (source) ORDER BY b.source""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "tx_outliers" -> ((outliers _, Some(outliersOracle))),
+    "dd_impact" -> ((dedupImpact _, Some(dedupImpactOracle))),
     "tx_token_budget" -> ((tokenBudget _, Some(tokenBudgetOracle))),
     "tx_token_stats" -> ((tokenStats _, Some(tokenStatsOracle))),
     "tx_quality" -> ((quality _, Some(qualityOracle))),
