@@ -33,25 +33,47 @@ object Graph {
     * out-degree ≥ 1, so no dangling-mass term is needed — enforced).
     * Returns (node, pr) with pr in Scale units, ordered (pr DESC,
     * node) via TakeOrderedAndProject. */
-  def pageRankTopK(edgesRaw: DataFrame, iterations: Int, k: Int): DataFrame = {
+  def pageRankTopK(edgesRaw: DataFrame, iterations: Int, k: Int): DataFrame =
     // repartition(src) FIRST: hash partitioning on src satisfies the
     // (src, dst) dedup clustering (same pair → same partition), so the
     // dedup aggregation runs in-partition and the checkpointed frame
     // comes out partitioned on the iteration join key — one shuffle
-    // where distinct().repartition(src) would pay two.
-    val edges = Dedup.checkpointTracked(
+    // where distinct().repartition(src) would pay two. Unit weights
+    // make the core's (pr·w) DIV outw identical to pr DIV outdeg.
+    pageRankCore(Dedup.checkpointTracked(
       edgesRaw.select("src", "dst").repartition(col("src"))
-        .dropDuplicates("src", "dst"))
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+        .dropDuplicates("src", "dst").withColumn("w", lit(1L))),
+      iterations, k)
+
+  /** Weighted PageRank over a directed multigraph edge list: parallel
+    * (src, dst) pairs collapse to an integer weight (multiplicity) and
+    * contributions split proportionally — contribution =
+    * (pr · w) DIV Σw, still fully integral (caller keeps weights below
+    * ~8·10^3 so pr·w stays inside a signed 64-bit at Scale mass;
+    * co-occurrence multiplicities are orders of magnitude under
+    * that). Same one-shuffle build: the weight aggregation runs
+    * in-partition under the src partitioning. */
+  def pageRankWeightedTopK(edgesRaw: DataFrame, iterations: Int,
+      k: Int): DataFrame =
+    pageRankCore(Dedup.checkpointTracked(
+      edgesRaw.select("src", "dst").repartition(col("src"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))),
+      iterations, k)
+
+  /** Shared iteration core over a (src, dst, w) edge frame already
+    * partitioned on src. */
+  private def pageRankCore(edges: DataFrame, iterations: Int,
+      k: Int): DataFrame = {
+    val deg = edges.groupBy("src").agg(sum("w").as("outw"))
     val ed = Dedup.checkpointTracked(edges.join(deg, "src"))
     val n = deg.count() // one driver scalar: |nodes|
-    require(n > 0, "pageRankTopK: empty graph")
+    require(n > 0, "pageRank: empty graph")
     val base = (15L * Scale) / (100L * n)
     var ranks = Dedup.checkpointTracked(
       deg.select(col("src").as("node"), lit(Scale / n).as("pr")))
     for (_ <- 1 to iterations) {
       val contrib = ed.join(ranks, ed("src") === ranks("node"))
-        .select(col("dst"), expr("pr DIV outdeg").as("c"))
+        .select(col("dst"), expr("(pr * w) DIV outw").as("c"))
         .groupBy("dst").agg(sum("c").as("c"))
       ranks = Dedup.checkpointTracked(
         ranks.select("node")

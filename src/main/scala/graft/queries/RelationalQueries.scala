@@ -336,6 +336,48 @@ object RelationalQueries {
     graft.ops.Graph.pageRankTopK(e, iterations = 3, k = 40)
   }
 
+  /** Weighted PageRank: the same co-purchase graph with edge weight =
+    * co-occurrence multiplicity (how many orders shipped the pair
+    * together), contributions split proportionally — still exact
+    * integer arithmetic ((pr·w) DIV Σw). */
+  def pageRankWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val e = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+    graft.ops.Graph.pageRankWeightedTopK(e, iterations = 3, k = 40)
+  }
+
+  val pageRankWeightedOracle: String = {
+    val scale = graft.ops.Graph.Scale
+    val iters = (1 to 3).map { i =>
+      s""",
+         |wc$i AS MATERIALIZED (SELECT ed.dst AS node,
+         |    CAST(sum((r.pr * ed.w) // ed.outw) AS BIGINT) AS c
+         |  FROM wed ed JOIN wr${i - 1} r ON ed.src = r.node GROUP BY ed.dst),
+         |wr$i AS MATERIALIZED (SELECT r.node,
+         |    CAST(${15L * scale} // (100 * (SELECT n FROM wnn)) +
+         |      (85 * coalesce(c.c, 0)) // 100 AS BIGINT) AS pr
+         |  FROM wr${i - 1} r LEFT JOIN wc$i c USING (node))""".stripMargin
+    }.mkString
+    s"""WITH we0 AS MATERIALIZED (
+       |  SELECT l1.l_partkey AS src, l2.l_partkey AS dst,
+       |    CAST(count(*) AS BIGINT) AS w
+       |  FROM lineitem l1 JOIN lineitem l2
+       |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey <> l2.l_partkey
+       |  GROUP BY 1, 2),
+       |wdeg AS MATERIALIZED (
+       |  SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM we0 GROUP BY src),
+       |wnn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM wdeg),
+       |wed AS MATERIALIZED (
+       |  SELECT we0.src, we0.dst, we0.w, wdeg.outw
+       |  FROM we0 JOIN wdeg USING (src)),
+       |wr0 AS MATERIALIZED (SELECT src AS node,
+       |  CAST($scale // (SELECT n FROM wnn) AS BIGINT) AS pr FROM wdeg)$iters
+       |SELECT node, pr FROM wr3 ORDER BY pr DESC, node LIMIT 40""".stripMargin
+  }
+
   val pageRankOracle: String = {
     val scale = graft.ops.Graph.Scale
     val iters = (1 to 3).map { i =>
@@ -364,6 +406,8 @@ object RelationalQueries {
 
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_pagerank" -> ((pageRank _, Some(pageRankOracle))),
+    "q_pagerank_weighted" ->
+      ((pageRankWeighted _, Some(pageRankWeightedOracle))),
     "q1_pricing" -> ((q1Pricing _, Some(q1Oracle))),
     "q6_revenue" -> ((q6Revenue _, Some(q6Oracle))),
     "q3_top_orders" -> ((q3TopOrders _, Some(q3Oracle))),
