@@ -515,6 +515,37 @@ object EventQueries {
       |  USING (step_idx, transition)
       |ORDER BY q.step_idx""".stripMargin
 
+  /** Top 3-step user paths ("view>click>purchase") — the path-mining
+    * view next to ev_transitions' pairwise matrix. Lead windows
+    * partition by USER (bounded by one user's activity, the
+    * ev_transitions rule, never the hot type key); the global top-10
+    * plans as TakeOrderedAndProject. */
+  def paths3(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("_t2", lead("event_type", 1).over(w))
+      .withColumn("_t3", lead("event_type", 2).over(w))
+      .where(col("_t2").isNotNull && col("_t3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("_t2"), col("_t3"))
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("path")).limit(10)
+  }
+
+  val paths3Oracle: String =
+    """WITH s AS (SELECT user_id, event_type,
+      |    lead(event_type, 1) OVER w AS t2,
+      |    lead(event_type, 2) OVER w AS t3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id
+      |               ORDER BY CAST(ts AS TIMESTAMP), event_id))
+      |SELECT event_type || '>' || t2 || '>' || t3 AS path,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM s WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+      |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin
+
   /** Weekly cohort retention matrix over the events table. */
   def retentionQ(spark: SparkSession, dir: String): DataFrame =
     TimeSeries.retention(events(spark, dir))
@@ -572,5 +603,6 @@ object EventQueries {
     "ev_anomalous_hours" -> ((anomalousHours _, Some(anomalousHoursOracle))),
     "ev_attribution" -> ((attribution _, Some(attributionOracle))),
     "ev_step_latency" -> ((funnelLatency _, Some(funnelLatencyOracle))),
+    "ev_paths3" -> ((paths3 _, Some(paths3Oracle))),
     "ev_skew_join" -> ((skewJoin _, Some(skewJoinOracle))))
 }
