@@ -232,6 +232,28 @@ object RelationalQueries {
         col("n"), col("sum_qty"))
       .transform(QueryUtil.ordered("rf", "ls"))
 
+  /** GROUPING SETS beyond rollup's prefix lattice: independent
+    * per-flag, per-status and grand-total groupings in one pass. */
+  def groupingSetsQ(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum("l_extendedprice"), 2).as("sum_price"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("sum_price"))
+      .transform(QueryUtil.ordered("rf", "ls"))
+
+  val groupingSetsOracle: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+      |  coalesce(l_linestatus, 'ALL') AS ls,
+      |  count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY rf, ls""".stripMargin
+
   val rollupFlagsOracle: String =
     """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
       |  count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
@@ -418,6 +440,7 @@ object RelationalQueries {
     "q_window_top3" -> ((windowTop3 _, Some(windowTop3Oracle))),
     "q_running_monthly" -> ((runningMonthly _, Some(runningMonthlyOracle))),
     "q_rollup_flags" -> ((rollupFlags _, Some(rollupFlagsOracle))),
+    "q_grouping_sets" -> ((groupingSetsQ _, Some(groupingSetsOracle))),
     "q_distinct_stats" -> ((distinctStats _, Some(distinctStatsOracle))),
     "q_case_agg" -> ((caseAgg _, Some(caseAggOracle))),
     "q_region_revenue" -> ((regionRevenue _, Some(regionRevenueOracle))),

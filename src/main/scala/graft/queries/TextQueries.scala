@@ -129,6 +129,30 @@ object TextQueries {
       |            ELSE 'und' END AS lang_pred, count(*) AS n
       |FROM s GROUP BY 1 ORDER BY lang_pred""".stripMargin
 
+  /** Language-ID confusion matrix: predicted vs labeled language with
+    * per-cell counts — the evaluation view of the langId gate (the
+    * synthetic corpus shares one vocabulary across labels, so the
+    * matrix measures marker-hit behavior, not label recovery). */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .transform(QueryUtil.ordered("lang", "lang_pred"))
+
+  val langConfusionOracle: String =
+    """WITH s AS (SELECT lang,
+      |    len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','is'))) AS e,
+      |    len(list_filter(string_split(text, ' '), t -> t IN ('der','die','das','und','ist'))) AS d,
+      |    len(list_filter(string_split(text, ' '), t -> t IN ('le','la','les','et','est'))) AS f,
+      |    len(list_filter(string_split(text, ' '), t -> t IN ('el','los','las','y','es'))) AS sp
+      |  FROM documents)
+      |SELECT lang, CASE WHEN e > 0 AND e >= greatest(e, d, f, sp) THEN 'en'
+      |            WHEN d > 0 AND d >= greatest(d, f, sp) THEN 'de'
+      |            WHEN f > 0 AND f >= greatest(f, sp) THEN 'fr'
+      |            WHEN sp > 0 THEN 'es'
+      |            ELSE 'und' END AS lang_pred, count(*) AS n
+      |FROM s GROUP BY 1, 2 ORDER BY lang, lang_pred""".stripMargin
+
   /** Content fingerprints (exact-dedup keys). */
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(col("doc_id"),
@@ -3358,6 +3382,7 @@ object TextQueries {
     "tx_repetition" -> ((repetition _, Some(repetitionOracle))),
     "tx_hash_embed" -> ((hashEmbed _, Some(hashEmbedOracle))),
     "tx_lang_dist" -> ((langDist _, Some(langDistOracle))),
+    "tx_lang_confusion" -> ((langConfusion _, Some(langConfusionOracle))),
     "tx_pii_scrub" -> ((piiScrub _, Some(piiScrubOracle))),
     "tx_url_gate" -> ((urlGate _, Some(urlGateOracle))),
     "tx_domain_stats" -> ((domainStats _, Some(domainStatsOracle))),
