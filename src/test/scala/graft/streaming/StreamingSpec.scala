@@ -1559,6 +1559,71 @@ class StreamingSpec extends SparkSpec {
     graft.ops.Dedup.releaseCaches()
   }
 
+  test("streaming attribution: watermark finalization, late touch counted, state pruned") {
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    val in = tmpDir("at-in")
+    val state = tmpDir("at-state")
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    val horizon = 60L * 60000000L  // 60 min in µs
+    val lateness = 20L * 60000000L // 20 min
+    // b0: a view touch and the purchase (pe=30) — watermark 30−20=10,
+    //     purchase NOT finalizable yet
+    // b1: a LATE click stamped t=20 (inside the purchase window,
+    //     arriving after it) + activity at t=100 advancing the
+    //     watermark to 80 → purchase finalizes WITH the late touch;
+    //     a second purchase at t=95 stays pending
+    val b0 = Seq((1L, 1L, t(0), "view"), (2L, 1L, t(30), "purchase"))
+    val b1 = Seq((3L, 1L, t(20), "click"), (4L, 2L, t(100), "view"),
+      (5L, 1L, t(95), "purchase"))
+    def line(e: (Long, Long, java.sql.Timestamp, String)) =
+      s"""{"event_id":${e._1},"user_id":${e._2},"ts":"${e._3}","event_type":"${e._4}"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/a.jsonl"),
+      b0.map(line).mkString("\n").getBytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/b.jsonl"),
+      b1.map(line).mkString("\n").getBytes)
+    new java.io.File(s"$in/a.jsonl").setLastModified(System.currentTimeMillis() - 60000)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("event_id", "long").add("user_id", "long")
+      .add("ts", "timestamp").add("event_type", "string")
+    val snapshots = scala.collection.mutable.ArrayBuffer[Map[String, (Long, Long)]]()
+    def toMap(out: DataFrame): Map[String, (Long, Long)] =
+      out.collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    val sink: DataFrame => Unit = { out =>
+      snapshots.synchronized { snapshots += toMap(out) }
+      ()
+    }
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(in)
+      .writeStream
+      .option("checkpointLocation", tmpDir("at-ckpt"))
+      .foreachBatch(StreamingAttribution.foreachBatchAttribution(
+        horizon, lateness, stateDir = state, sink = sink))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(snapshots.size == 2)
+    assert(snapshots(0).isEmpty, "nothing finalizable before the watermark")
+    // purchase@30's window holds view@0 and the LATE click@20 → 5e11 each
+    assert(snapshots(1) == Map(
+      "view" -> ((1L, 500000000000L)), "click" -> ((1L, 500000000000L))))
+    // pruning: watermark 80 − horizon 60 = 20 → view@0 dropped,
+    // click@20 retained, view@100 retained, purchase@95 pending
+    val pending = spark.read.parquet(s"$state/pending/batch-1")
+      .select("event_id").as[Long].collect().toSet
+    assert(pending == Set(3L, 4L, 5L),
+      s"pending should prune below the horizon, got $pending")
+    // replay batch 1: identical snapshot, byte-identical state rewrite
+    val replayed = scala.collection.mutable.ArrayBuffer[Map[String, (Long, Long)]]()
+    StreamingAttribution.foreachBatchAttribution(horizon, lateness, state,
+      sink = { out: DataFrame => replayed += toMap(out); () })(
+      b1.toDF("event_id", "user_id", "ts", "event_type"), 1L)
+    assert(replayed.head == snapshots(1),
+      "a replayed micro-batch must not double-credit")
+    graft.ops.Dedup.releaseCaches()
+  }
+
   test("streaming heavy hitters: summary carry holds SpaceSaving bounds, O(1) state files") {
     import org.apache.spark.sql.DataFrame
     import spark.implicits._
