@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph centrality (PageRank) as fixed-iteration Spark
@@ -60,27 +60,51 @@ object Graph {
         .groupBy("src", "dst").agg(count(lit(1)).as("w"))),
       iterations, k)
 
+  /** Personalized PageRank: teleport mass flows ONLY to `seeds` —
+    * ranks answer "how close is this node to the seed set" (the
+    * related-items / topic-affinity form). Same exact integer
+    * arithmetic; seeds initialize with Scale/|S| and receive the whole
+    * teleport term, non-seeds start (and teleport) at zero. The seed
+    * flag rides the rank frame so iterations stay join-only. */
+  def personalizedPageRankTopK(edgesRaw: DataFrame, seedPred: Column,
+      iterations: Int, k: Int): DataFrame =
+    pageRankCore(Dedup.checkpointTracked(
+      edgesRaw.select("src", "dst").repartition(col("src"))
+        .dropDuplicates("src", "dst").withColumn("w", lit(1L))),
+      iterations, k, Some(seedPred))
+
   /** Shared iteration core over a (src, dst, w) edge frame already
-    * partitioned on src. */
+    * partitioned on src. `seedPred` (over the node id as `src`)
+    * switches uniform teleport to seed-restricted teleport. */
   private def pageRankCore(edges: DataFrame, iterations: Int,
-      k: Int): DataFrame = {
+      k: Int, seedPred: Option[Column] = None): DataFrame = {
     val deg = edges.groupBy("src").agg(sum("w").as("outw"))
     val ed = Dedup.checkpointTracked(edges.join(deg, "src"))
-    val n = deg.count() // one driver scalar: |nodes|
+    val withSeed = deg.withColumn("_seed",
+      seedPred.getOrElse(lit(true)).cast("boolean"))
+    val n = seedPred match {
+      case None => deg.count()
+      case Some(_) =>
+        val s = withSeed.filter(col("_seed")).count()
+        require(s > 0, "personalized PageRank: no seed matches a node")
+        s
+    }
     require(n > 0, "pageRank: empty graph")
     val base = (15L * Scale) / (100L * n)
     var ranks = Dedup.checkpointTracked(
-      deg.select(col("src").as("node"), lit(Scale / n).as("pr")))
+      withSeed.select(col("src").as("node"), col("_seed"),
+        when(col("_seed"), lit(Scale / n)).otherwise(lit(0L)).as("pr")))
     for (_ <- 1 to iterations) {
       val contrib = ed.join(ranks, ed("src") === ranks("node"))
         .select(col("dst"), expr("(pr * w) DIV outw").as("c"))
         .groupBy("dst").agg(sum("c").as("c"))
       ranks = Dedup.checkpointTracked(
-        ranks.select("node")
+        ranks.select("node", "_seed")
           .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
-          .select(col("node"), (lit(base) +
-            expr("(85 * coalesce(c, CAST(0 AS BIGINT))) DIV 100")).as("pr")))
+          .select(col("node"), col("_seed"),
+            (when(col("_seed"), lit(base)).otherwise(lit(0L)) +
+              expr("(85 * coalesce(c, CAST(0 AS BIGINT))) DIV 100")).as("pr")))
     }
-    ranks.orderBy(desc("pr"), asc("node")).limit(k)
+    ranks.select("node", "pr").orderBy(desc("pr"), asc("node")).limit(k)
   }
 }

@@ -400,6 +400,49 @@ object RelationalQueries {
        |SELECT node, pr FROM wr3 ORDER BY pr DESC, node LIMIT 40""".stripMargin
   }
 
+  /** Personalized PageRank from the "century" parts (pk % 100 = 0):
+    * ranks measure proximity to the seed set through the co-purchase
+    * graph — the related-items query. */
+  def pageRankPersonalized(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val e = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+    graft.ops.Graph.personalizedPageRankTopK(e,
+      seedPred = col("src") % 100 === 0, iterations = 3, k = 40)
+  }
+
+  val pageRankPersonalizedOracle: String = {
+    val scale = graft.ops.Graph.Scale
+    val iters = (1 to 3).map { i =>
+      s""",
+         |pc$i AS MATERIALIZED (SELECT ed.dst AS node,
+         |    CAST(sum(r.pr // ed.outdeg) AS BIGINT) AS c
+         |  FROM ped ed JOIN pr${i - 1} r ON ed.src = r.node GROUP BY ed.dst),
+         |pr$i AS MATERIALIZED (SELECT r.node,
+         |    CAST(CASE WHEN r.node % 100 = 0
+         |        THEN ${15L * scale} // (100 * (SELECT n FROM pnn))
+         |        ELSE 0 END +
+         |      (85 * coalesce(c.c, 0)) // 100 AS BIGINT) AS pr
+         |  FROM pr${i - 1} r LEFT JOIN pc$i c USING (node))""".stripMargin
+    }.mkString
+    s"""WITH pe0 AS MATERIALIZED (
+       |  SELECT DISTINCT l1.l_partkey AS src, l2.l_partkey AS dst
+       |  FROM lineitem l1 JOIN lineitem l2
+       |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey <> l2.l_partkey),
+       |pdeg AS MATERIALIZED (
+       |  SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM pe0 GROUP BY src),
+       |pnn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n
+       |  FROM pdeg WHERE src % 100 = 0),
+       |ped AS MATERIALIZED (
+       |  SELECT pe0.src, pe0.dst, pdeg.outdeg FROM pe0 JOIN pdeg USING (src)),
+       |pr0 AS MATERIALIZED (SELECT src AS node,
+       |  CAST(CASE WHEN src % 100 = 0 THEN $scale // (SELECT n FROM pnn)
+       |       ELSE 0 END AS BIGINT) AS pr FROM pdeg)$iters
+       |SELECT node, pr FROM pr3 ORDER BY pr DESC, node LIMIT 40""".stripMargin
+  }
+
   val pageRankOracle: String = {
     val scale = graft.ops.Graph.Scale
     val iters = (1 to 3).map { i =>
@@ -430,6 +473,8 @@ object RelationalQueries {
     "q_pagerank" -> ((pageRank _, Some(pageRankOracle))),
     "q_pagerank_weighted" ->
       ((pageRankWeighted _, Some(pageRankWeightedOracle))),
+    "q_pagerank_seeded" ->
+      ((pageRankPersonalized _, Some(pageRankPersonalizedOracle))),
     "q1_pricing" -> ((q1Pricing _, Some(q1Oracle))),
     "q6_revenue" -> ((q6Revenue _, Some(q6Oracle))),
     "q3_top_orders" -> ((q3TopOrders _, Some(q3Oracle))),

@@ -52,7 +52,8 @@ class PlanSpec extends SparkSpec {
       // isotonic's minimax needs the i<=k range-pair join over the
       // DISTINCT-SCORE bins — a grain-bounded frame (<= 10001 rows at
       // 4dp), never the corpus; CartesianProduct stays forbidden
-      "tx_clf_isotonic")
+      "tx_clf_isotonic",
+      "tx_curation12")    // embeds the same iso pairing + scalar stages
 
   test("no headline query plans a cartesian product (baselines excepted)") {
     (SparkEntry.benchQueries.toSet ++ Set("ev_skew_join") -- exactBaselines)

@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.functions.col
 import graft.etl.SparkSpec
 
 /** PageRank contracts: exact agreement with an in-memory integer
@@ -54,6 +55,31 @@ class GraphSpec extends SparkSpec {
     // within a few hundred units of Scale
     assert(r.values.sum <= Graph.Scale &&
       r.values.sum >= Graph.Scale - 1000L)
+    Dedup.releaseCaches()
+  }
+
+  test("personalized: exact integer reference; nothing beyond the hop horizon") {
+    val edges = undirected((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val seeds = Set(1L)
+    val got = Graph.personalizedPageRankTopK(edges.toDF("src", "dst"),
+        seedPred = col("src") === 1L, iterations = 3, k = 10)
+      .as[(Long, Long)].collect().toMap
+    // driver replica of the seeded arithmetic
+    val e = edges.distinct
+    val out = e.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val nS = seeds.size.toLong
+    val base = (15L * Graph.Scale) / (100L * nS)
+    var pr = out.keys
+      .map(v => v -> (if (seeds(v)) Graph.Scale / nS else 0L)).toMap
+    for (_ <- 1 to 3) {
+      val c = e.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => pr(s) / out(s) }.sum
+      }
+      pr = pr.keys.map(v => v ->
+        ((if (seeds(v)) base else 0L) + 85L * c.getOrElse(v, 0L) / 100L)).toMap
+    }
+    assert(got == pr)
+    assert(got(5L) == 0L, "node 5 is 4 hops out — nothing arrives in 3")
     Dedup.releaseCaches()
   }
 
