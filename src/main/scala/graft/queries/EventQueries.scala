@@ -546,6 +546,42 @@ object EventQueries {
       |FROM s WHERE t2 IS NOT NULL AND t3 IS NOT NULL
       |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin
 
+  /** A/B lift analysis: users split deterministically by the md5 unit
+    * hash (reproducible across runs/engines — no RNG assignment drift),
+    * per-arm user counts, converters (≥ 1 purchase) and conversion
+    * rate. Two distinct-aggregations plus an equi-join on the user
+    * key; rates round at the boundary. */
+  def abLift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val users = ev.select("user_id").distinct()
+      .withColumn("grp",
+        when(graft.ops.Sampling.unitHash(col("user_id")) < 0.5, "A")
+          .otherwise("B"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select("user_id").distinct().withColumn("converted", lit(1L))
+    users.join(conv, Seq("user_id"), "left")
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_users"),
+        sum(coalesce(col("converted"), lit(0L))).as("n_converted"))
+      .withColumn("conv_rate",
+        round(col("n_converted").cast("double") /
+          col("n_users").cast("double"), 4))
+      .transform(QueryUtil.ordered("grp"))
+  }
+
+  val abLiftOracle: String =
+    """WITH u AS (SELECT DISTINCT user_id FROM events),
+      |g AS (SELECT user_id,
+      |        CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::UBIGINT
+      |               / 4294967296.0 < 0.5 THEN 'A' ELSE 'B' END AS grp
+      |      FROM u),
+      |c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+      |SELECT g.grp, CAST(count(*) AS BIGINT) AS n_users,
+      |  CAST(count(c.user_id) AS BIGINT) AS n_converted,
+      |  round(count(c.user_id) * 1.0 / count(*), 4) AS conv_rate
+      |FROM g LEFT JOIN c ON g.user_id = c.user_id
+      |GROUP BY g.grp ORDER BY g.grp""".stripMargin
+
   /** Weekly cohort retention matrix over the events table. */
   def retentionQ(spark: SparkSession, dir: String): DataFrame =
     TimeSeries.retention(events(spark, dir))
@@ -604,5 +640,6 @@ object EventQueries {
     "ev_attribution" -> ((attribution _, Some(attributionOracle))),
     "ev_step_latency" -> ((funnelLatency _, Some(funnelLatencyOracle))),
     "ev_paths3" -> ((paths3 _, Some(paths3Oracle))),
+    "ev_ab_lift" -> ((abLift _, Some(abLiftOracle))),
     "ev_skew_join" -> ((skewJoin _, Some(skewJoinOracle))))
 }
