@@ -348,6 +348,54 @@ object TimeSeries {
         round(col("p50"), 4).as("p50_sec"))
   }
 
+  /** Kaplan–Meier survival: time from a user's first event to their
+    * first `eventType` occurrence, right-censored at the user's last
+    * event when it never happens — the churn/conversion-timing curve.
+    * Durations truncate to whole MINUTES (integral, and the distinct-
+    * duration domain stays ≤ observation-span minutes, so the ordered
+    * window is grain-bounded); the survival product rides as
+    * exp(Σ ln(1 − d/n)) over that fixed ascending order, identical
+    * IEEE arithmetic in both engines. Emits one row per duration with
+    * ≥ 1 event: (t_min, n_risk, n_events, survival 4 dp). */
+  def kaplanMeier(events: DataFrame, eventType: String,
+      userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    val ev = Dedup.persistTracked(events.select(
+      col(userCol).as("_u"), unix_micros(col(tsCol)).as("_us"),
+      col(typeCol).as("_ty")))
+    val perUser = ev.groupBy("_u").agg(
+      min(col("_us")).as("_first"),
+      max(col("_us")).as("_last"),
+      min(when(col("_ty") === eventType, col("_us"))).as("_ev"))
+    val durations = perUser.select(
+      expr("(coalesce(_ev, _last) - _first) DIV 60000000").as("t_min"),
+      col("_ev").isNotNull.cast("long").as("_e"))
+    val h = Dedup.checkpointTracked(durations.groupBy("t_min")
+      .agg(sum("_e").as("_d"), count(lit(1)).as("_n")))
+    val w = Window.orderBy("t_min")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = Window.orderBy("t_min")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    h.withColumn("_total", sum("_n").over(
+        Window.orderBy(lit(1)).rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .withColumn("n_risk", col("_total") -
+        coalesce(sum("_n").over(wPrev), lit(0L)))
+      // the row where EVERY remaining user events (d == n_risk, only
+      // possible at the maximal duration) zeroes the curve — flagged
+      // explicitly, since ln(0) is null in Spark and -inf elsewhere
+      .withColumn("_lt", when(col("_d") > 0 && col("_d") < col("n_risk"),
+        log(lit(1.0) - col("_d").cast("double") / col("n_risk").cast("double")))
+        .otherwise(lit(0.0)))
+      .withColumn("_zero", max(when(col("_d") === col("n_risk") &&
+        col("_d") > 0, 1).otherwise(0)).over(w))
+      .withColumn("survival", round(when(col("_zero") === 1, lit(0.0))
+        .otherwise(exp(sum("_lt").over(w))), 4))
+      .filter(col("_d") > 0)
+      .select(col("t_min"), col("n_risk"), col("_d").as("n_events"),
+        col("survival"))
+  }
+
   /** Per-user deepest step reached — `(_u, max_step)`, one row per
     * user that completed at least step 1. The reach is monotone (step
     * i+1 requires step i), so the single max is the whole funnel state

@@ -582,6 +582,43 @@ object EventQueries {
       |FROM g LEFT JOIN c ON g.user_id = c.user_id
       |GROUP BY g.grp ORDER BY g.grp""".stripMargin
 
+  /** Kaplan–Meier time-to-first-purchase survival curve (minute
+    * grain, right-censored at a non-converter's last event). See
+    * [[graft.ops.TimeSeries.kaplanMeier]]. */
+  def survival(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.kaplanMeier(events(spark, dir), "purchase")
+      .transform(QueryUtil.ordered("t_min"))
+
+  val survivalOracle: String =
+    """WITH e AS (SELECT user_id AS u, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |            event_type AS ty FROM events),
+      |pu AS (SELECT u, min(us) AS f, max(us) AS l,
+      |         min(CASE WHEN ty = 'purchase' THEN us END) AS ev
+      |       FROM e GROUP BY u),
+      |dur AS (SELECT (coalesce(ev, l) - f) // 60000000 AS t_min,
+      |          CASE WHEN ev IS NOT NULL THEN 1 ELSE 0 END AS ef
+      |        FROM pu),
+      |h AS MATERIALIZED (SELECT t_min, CAST(sum(ef) AS BIGINT) AS d,
+      |    CAST(count(*) AS BIGINT) AS n FROM dur GROUP BY t_min),
+      |r AS (SELECT t_min, d, n,
+      |    CAST((SELECT sum(n) FROM h) -
+      |      coalesce(sum(n) OVER (ORDER BY t_min
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS n_risk
+      |  FROM h),
+      |s AS (SELECT t_min, d, n_risk,
+      |    CASE WHEN d > 0 AND d < n_risk
+      |         THEN ln(1.0 - d * 1.0 / n_risk) ELSE 0.0 END AS lt,
+      |    CASE WHEN d > 0 AND d = n_risk THEN 1 ELSE 0 END AS z
+      |  FROM r),
+      |c AS (SELECT t_min, d, n_risk,
+      |    sum(lt) OVER (ORDER BY t_min ROWS UNBOUNDED PRECEDING) AS cl,
+      |    max(z) OVER (ORDER BY t_min ROWS UNBOUNDED PRECEDING) AS cz
+      |  FROM s)
+      |SELECT t_min, n_risk, d AS n_events,
+      |  round(CASE WHEN cz = 1 THEN 0.0 ELSE exp(cl) END, 4) AS survival
+      |FROM c WHERE d > 0 ORDER BY t_min""".stripMargin
+
   /** Weekly cohort retention matrix over the events table. */
   def retentionQ(spark: SparkSession, dir: String): DataFrame =
     TimeSeries.retention(events(spark, dir))
@@ -641,5 +678,6 @@ object EventQueries {
     "ev_step_latency" -> ((funnelLatency _, Some(funnelLatencyOracle))),
     "ev_paths3" -> ((paths3 _, Some(paths3Oracle))),
     "ev_ab_lift" -> ((abLift _, Some(abLiftOracle))),
+    "ev_survival" -> ((survival _, Some(survivalOracle))),
     "ev_skew_join" -> ((skewJoin _, Some(skewJoinOracle))))
 }

@@ -2588,6 +2588,24 @@ class OpsSpec extends SparkSpec {
     assert(r((11L, 1L)) == ((1L, "user: solo")))
   }
 
+  test("kaplanMeier: hand case with censoring and the terminal zero") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    // u1,u2 convert at +10; u3 censored at +20; u4 converts at +30
+    val ev = Seq(
+      (1L, t(0), "view"), (1L, t(10), "purchase"),
+      (2L, t(0), "view"), (2L, t(10), "purchase"),
+      (3L, t(0), "view"), (3L, t(20), "click"),
+      (4L, t(0), "view"), (4L, t(30), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val r = TimeSeries.kaplanMeier(ev, "purchase").orderBy("t_min")
+      .collect().map(x => (x.getAs[Long]("t_min"), x.getAs[Long]("n_risk"),
+        x.getAs[Long]("n_events"), x.getAs[Double]("survival"))).toSeq
+    // S(10) = 1 - 2/4 = 0.5; at 30 the last survivor converts → 0
+    assert(r == Seq((10L, 4L, 2L, 0.5), (30L, 1L, 1L, 0.0)))
+    Dedup.releaseCaches()
+  }
+
   test("asofJoinForward: earliest at-or-after match, inclusive tie, trailing rows null") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def t(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
