@@ -363,10 +363,18 @@ object TimeSeries {
     val ev = Dedup.persistTracked(events.select(
       col(userCol).as("_u"), unix_micros(col(tsCol)).as("_us"),
       col(typeCol).as("_ty")))
-    val perUser = ev.groupBy("_u").agg(
+    kaplanMeierFromUserStats(ev.groupBy("_u").agg(
       min(col("_us")).as("_first"),
       max(col("_us")).as("_last"),
-      min(when(col("_ty") === eventType, col("_us"))).as("_ev"))
+      min(when(col("_ty") === eventType, col("_us"))).as("_ev")))
+  }
+
+  /** [[kaplanMeier]]'s curve core over per-user observation triples
+    * (`_u`, `_first`, `_last`, `_ev`) — shared with the streaming twin,
+    * whose carried state is exactly these triples (they merge across
+    * batches by min/max/min: associative AND idempotent, the HLL-class
+    * replay guarantee). */
+  private[graft] def kaplanMeierFromUserStats(perUser: DataFrame): DataFrame = {
     val durations = perUser.select(
       expr("(coalesce(_ev, _last) - _first) DIV 60000000").as("t_min"),
       col("_ev").isNotNull.cast("long").as("_e"))

@@ -1624,6 +1624,62 @@ class StreamingSpec extends SparkSpec {
     graft.ops.Dedup.releaseCaches()
   }
 
+  test("streaming survival: censored user converts later; snapshot equals batch KM") {
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    val in = tmpDir("km-in")
+    val state = tmpDir("km-state")
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    // b0: u1 has only a view (censored at duration 0), u2 censored@20
+    // b1: u1's purchase arrives (retro: censored → event@10), u3 full
+    val b0 = Seq((1L, t(0), "view"), (2L, t(0), "view"), (2L, t(20), "click"))
+    val b1 = Seq((1L, t(10), "purchase"), (3L, t(0), "view"),
+      (3L, t(30), "purchase"))
+    def line(e: (Long, java.sql.Timestamp, String)) =
+      s"""{"user_id":${e._1},"ts":"${e._2}","event_type":"${e._3}"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/a.jsonl"),
+      b0.map(line).mkString("\n").getBytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/b.jsonl"),
+      b1.map(line).mkString("\n").getBytes)
+    new java.io.File(s"$in/a.jsonl").setLastModified(System.currentTimeMillis() - 60000)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("user_id", "long").add("ts", "timestamp")
+      .add("event_type", "string")
+    val snapshots = scala.collection.mutable.ArrayBuffer[Seq[(Long, Long, Long, Double)]]()
+    def toSeq(out: DataFrame): Seq[(Long, Long, Long, Double)] =
+      out.orderBy("t_min").collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getDouble(3))).toSeq
+    val sink: DataFrame => Unit = { out =>
+      snapshots.synchronized { snapshots += toSeq(out) }
+      ()
+    }
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(in)
+      .writeStream
+      .option("checkpointLocation", tmpDir("km-ckpt"))
+      .foreachBatch(StreamingSurvival.foreachBatchKaplanMeier(
+        "purchase", stateDir = state, sink = sink))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(snapshots.size == 2)
+    assert(snapshots(0).isEmpty, "no conversions yet — empty curve")
+    // final: events at 10 (risk 3) and 30 (risk 1, terminal zero)
+    assert(snapshots(1) == Seq((10L, 3L, 1L, 0.6667), (30L, 1L, 1L, 0.0)))
+    val batchAll = toSeq(graft.ops.TimeSeries.kaplanMeier(
+      (b0 ++ b1).toDF("user_id", "ts", "event_type"), "purchase"))
+    assert(snapshots(1) == batchAll,
+      "streaming snapshot must equal the batch KM on the prefix")
+    // replay batch 1: min/max/min algebra is idempotent
+    val replayed = scala.collection.mutable.ArrayBuffer[Seq[(Long, Long, Long, Double)]]()
+    StreamingSurvival.foreachBatchKaplanMeier("purchase", state,
+      { out: DataFrame => replayed += toSeq(out); () })(
+      b1.toDF("user_id", "ts", "event_type"), 1L)
+    assert(replayed.head == snapshots(1),
+      "a replayed micro-batch must merge to the identical curve")
+    graft.ops.Dedup.releaseCaches()
+  }
+
   test("streaming heavy hitters: summary carry holds SpaceSaving bounds, O(1) state files") {
     import org.apache.spark.sql.DataFrame
     import spark.implicits._
