@@ -47,9 +47,16 @@ object StreamingAttribution {
           if (n.startsWith("batch-")) n.stripPrefix("batch-").toLongOption
             .map(_ -> s.getPath)
           else None
-        }.filter(_._1 < batchId)
-        if (ids.isEmpty) None
-        else Some(spark.read.parquet(ids.maxBy(_._1)._2.toString))
+        }
+        val prior = ids.filter(_._1 < batchId)
+        if (prior.nonEmpty)
+          Some(spark.read.parquet(prior.maxBy(_._1)._2.toString))
+        else if (ids.exists(_._1 > batchId))
+          throw new IllegalStateException(
+            s"attribution state for batches before $batchId was pruned " +
+              s"(oldest retained: ${ids.map(_._1).min}); only the last " +
+              "uncommitted batch is replayable")
+        else None
       }
     }
   }
@@ -103,6 +110,20 @@ object StreamingAttribution {
           (col("event_type") === purchaseType && col("us") > wm))
       nextPending.coalesce(1).write.mode("overwrite")
         .parquet(pendingDir(stateDir, batchId))
+      // prune stale carries: only the last uncommitted batch is
+      // replayable, so everything before the predecessor can go (the
+      // StreamingSketch file-carry rule — keeps the state dir O(1)
+      // files, not O(stream))
+      val fs = new org.apache.hadoop.fs.Path(s"$stateDir/pending")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$stateDir/pending"))
+        .foreach { st =>
+          val nm = st.getPath.getName
+          if (nm.startsWith("batch-"))
+            nm.stripPrefix("batch-").toLongOption.foreach { id =>
+              if (id < batchId - 1) fs.delete(st.getPath, true): Unit
+            }
+        }
       val rolled = StreamingState.readUpTo(spark, s"$stateDir/credits",
           contrib.schema, batchId)
         .groupBy("event_type")
