@@ -329,6 +329,19 @@ class PlanSpec extends SparkSpec {
       s"iterations replay the edge build instead of the checkpoint:\n$p")
   }
 
+  test("ev_attribution: the lookback match is a bucketized equi join, never a nested loop") {
+    val p = plan("ev_attribution")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"attribution regressed to an inequality nested loop:\n$p")
+  }
+
+  test("ev_survival: join-free curve; windows ordered on the duration grain") {
+    val p = plan("ev_survival")
+    assert(!p.contains("Join"), s"KM needs no join:\n$p")
+    assert(p.contains("windowspecdefinition"), p)
+  }
+
   test("tx_rank_deciles: distributed rank — range partition, windows only on the per-partition offsets frame") {
     // the naive global row_number window would sort the whole corpus
     // in ONE task; the distributed form must range-partition the data
