@@ -120,9 +120,23 @@ object Bloom {
       val meta = spark.read.parquet(s"$path/meta").collect()
       require(meta.nonEmpty, s"empty bloom artifact meta at $path")
       val (mBits, k) = (meta.head.getInt(0), meta.head.getInt(1))
-      val words = new Array[Long](mBits / 64)
-      spark.read.parquet(s"$path/words").collect()
-        .foreach(r => words(r.getInt(0)) = r.getLong(1))
+      val nWords = mBits / 64
+      val rows = spark.read.parquet(s"$path/words").collect()
+      // A truncated / duplicated / out-of-range words file would
+      // otherwise zero-fill bits and produce SILENT false negatives
+      // (blocklisted values passing the gate) — reject it loudly.
+      require(rows.length == nWords,
+        s"bloom artifact at $path: ${rows.length} word rows, meta says $nWords")
+      val seen = new Array[Boolean](nWords)
+      val words = new Array[Long](nWords)
+      rows.foreach { r =>
+        val i = r.getInt(0)
+        require(i >= 0 && i < nWords,
+          s"bloom artifact at $path: word idx $i outside [0, $nWords)")
+        require(!seen(i), s"bloom artifact at $path: duplicate word idx $i")
+        seen(i) = true
+        words(i) = r.getLong(1)
+      }
       (words, k)
     }
   }

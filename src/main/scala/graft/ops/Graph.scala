@@ -29,8 +29,15 @@ object Graph {
   val Scale = 1000000000000000L // 10^15
 
   /** Top-k PageRank over a directed edge list (`src`, `dst`); pass
-    * both directions for an undirected graph (then every node has
-    * out-degree ≥ 1, so no dangling-mass term is needed — enforced).
+    * both directions for an undirected graph. CALLER CONTRACT: every
+    * node must appear as a `src` (out-degree ≥ 1) — the node set is
+    * derived from src keys, so a sink-only node would be absent from
+    * the rank frame and its inbound mass would leak (contributions to
+    * it vanish in the ranks-side join). Undirected both-direction
+    * edges satisfy this by construction; a genuinely directed graph
+    * with dangling nodes needs self-loops or a dangling-mass term the
+    * caller must add. This is a contract, not a runtime check (a
+    * dst⊆src anti-join per call would cost a full extra shuffle).
     * Returns (node, pr) with pr in Scale units, ordered (pr DESC,
     * node) via TakeOrderedAndProject. */
   def pageRankTopK(edgesRaw: DataFrame, iterations: Int, k: Int): DataFrame =
@@ -48,17 +55,24 @@ object Graph {
   /** Weighted PageRank over a directed multigraph edge list: parallel
     * (src, dst) pairs collapse to an integer weight (multiplicity) and
     * contributions split proportionally — contribution =
-    * (pr · w) DIV Σw, still fully integral (caller keeps weights below
-    * ~8·10^3 so pr·w stays inside a signed 64-bit at Scale mass;
-    * co-occurrence multiplicities are orders of magnitude under
-    * that). Same one-shuffle build: the weight aggregation runs
-    * in-partition under the src partitioning. */
+    * (pr · w) DIV Σw, still fully integral. pr·w fits a signed 64-bit
+    * only while max weight ≤ Long.MaxValue/Scale (~9.2·10^3 at
+    * Scale=10^15) — ASSERTED after the weight aggregation (one scan of
+    * the checkpointed edge frame), so a hotter multiplicity fails
+    * loudly instead of silently overflowing every iteration. Same
+    * one-shuffle build: the weight aggregation runs in-partition under
+    * the src partitioning. */
   def pageRankWeightedTopK(edgesRaw: DataFrame, iterations: Int,
-      k: Int): DataFrame =
-    pageRankCore(Dedup.checkpointTracked(
+      k: Int): DataFrame = {
+    val edges = Dedup.checkpointTracked(
       edgesRaw.select("src", "dst").repartition(col("src"))
-        .groupBy("src", "dst").agg(count(lit(1)).as("w"))),
-      iterations, k)
+        .groupBy("src", "dst").agg(count(lit(1)).as("w")))
+    val maxW = edges.agg(max("w")).head.getLong(0)
+    require(maxW <= Long.MaxValue / Scale,
+      s"weighted PageRank: max edge multiplicity $maxW overflows " +
+        s"pr*w at Scale=$Scale (bound ${Long.MaxValue / Scale})")
+    pageRankCore(edges, iterations, k)
+  }
 
   /** Personalized PageRank: teleport mass flows ONLY to `seeds` —
     * ranks answer "how close is this node to the seed set" (the

@@ -231,7 +231,13 @@ object TimeSeries {
     * rows at an equal timestamp and the frame opens at the current
     * row, so a same-instant right row is visible ⇒ inclusive. Left
     * rows with no following right row keep a null payload (left-join
-    * semantics). */
+    * semantics).
+    *
+    * Contract (same as [[asofJoin]]): `right` must be unique per
+    * (key, ts) — at equal sort keys `first(ignoreNulls)` picks a
+    * partition-order-dependent row, so duplicate right rows at one
+    * (key, ts) make the carried payload NONDETERMINISTIC. Dedupe (or
+    * pre-aggregate, as ev_asof_forward does) before calling. */
   def asofJoinForward(left: DataFrame, right: DataFrame, keyCol: String,
       tsCol: String, payload: Seq[String],
       asofTsName: String = "asof_ts"): DataFrame = {

@@ -67,6 +67,22 @@ class PlanSpec extends SparkSpec {
       }
   }
 
+  test("isotonic range-pair join stays a BROADCAST nested-loop, never " +
+      "a shuffled cartesian") {
+    // tx_clf_isotonic / tx_curation12 ride the scalarCrossJoins
+    // exception (BNLJ allowed), so without this positive pin a
+    // regression that drops Eval.isotonicFit's broadcast hint could
+    // only be caught by the CartesianProduct ban — assert the pairing
+    // actually PLANS as BroadcastNestedLoopJoin over the bins frame.
+    Seq("tx_clf_isotonic", "tx_curation12").foreach { name =>
+      val p = plan(name)
+      assert(p.contains("BroadcastNestedLoopJoin"),
+        s"$name lost the broadcast bins pairing:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a shuffled cartesian:\n$p")
+    }
+  }
+
   test("q5_nation_revenue: all dimensions broadcast, no sort-merge join") {
     val p = plan("q5_nation_revenue")
     assert(countOf(p, "BroadcastHashJoin") >= 4, p)
