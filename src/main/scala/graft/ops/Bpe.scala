@@ -100,6 +100,96 @@ object Bpe {
     (merges.result(), vocab)
   }
 
+  /** GPT-style vocabulary id table from a learned merge sequence: the
+    * base alphabet a-z takes ids 0–25, then one id per merge in rank
+    * order (id = 26 + rank − 1). Two merges can yield the same surface
+    * string ((a,bc) and (ab,c) both produce "abc"); the table is keyed
+    * by SYMBOL STRING, so duplicates keep the LOWEST id (earliest
+    * rank) — the symbol→id map stays a function. Model-sized
+    * (≤ 26 + k rows) by construction. */
+  def vocabIdTable(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    val base = ('a' to 'z').map(c => (c.toString, (c - 'a').toLong))
+    val learned = merges.map(m => (m.left + m.right, 25L + m.rank))
+    (base ++ learned).groupBy(_._1).view
+      .mapValues(_.map(_._2).min).toSeq
+      .map { case (s, id) => (id, s) }.sortBy(_._1)
+      .toDF("token_id", "sym")
+  }
+
+  /** Apply an already-learned merge sequence to a (new) corpus's word
+    * table — the encode-time twin of [[learnMerges]] (train once,
+    * encode any corpus from the persisted artifact). No per-round
+    * action exists here, so the k string-replaces chain as ONE narrow
+    * map over the vocab-sized table (no checkpoints needed — lineage
+    * is k replace expressions, not k jobs). */
+  def applyMerges(docsDf: DataFrame, merges: Seq[Merge]): DataFrame =
+    merges.foldLeft(
+      wordTable(docsDf).withColumn("ws", wrapSymbols(col("word")))) {
+      (v, m) =>
+        v.withColumn("ws", expr(
+          s"replace(ws, '$Sep${m.left}$Sep$Sep${m.right}$Sep', " +
+            s"'$Sep${m.left}${m.right}$Sep')"))
+    }
+
+  /** Id-encoded corpus: every gated word of every document as
+    * (doc_id, widx, sidx, token_id) rows — widx = 1-based word
+    * position in the doc, sidx = 1-based symbol position in the word,
+    * token_id from [[vocabIdTable]]. The corpus word stream equi-joins
+    * the vocab-sized symbol table (AQE-planned; at crawl scale the
+    * vocab side is 10^7–10^8 rows — join, not broadcast), then the
+    * model-sized id table broadcasts. Words outside the a-z gate are
+    * excluded (the [[wordTable]] contract). Output rows = total
+    * post-merge tokens — this IS the corpus a trainer reads. */
+  def encodeIds(spark: org.apache.spark.sql.SparkSession,
+      docsDf: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val wordSyms = applyMerges(docsDf, merges).select(col("word"),
+      split(expr(s"btrim(ws, '$Sep')"), s"$Sep$Sep").as("_syms"))
+    val ids = broadcast(vocabIdTable(spark, merges))
+    docsDf
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), " ")).as(Seq("_w0", "word")))
+      .where(col("word").rlike("^[a-z]+$") && length(col("word")) <= 20)
+      .withColumn("widx", (col("_w0") + 1).cast("long")).drop("_w0")
+      .join(wordSyms, "word")
+      .select(col("doc_id"), col("widx"),
+        posexplode(col("_syms")).as(Seq("_s0", "sym")))
+      .withColumn("sidx", (col("_s0") + 1).cast("long")).drop("_s0")
+      .join(ids, "sym")
+      .select("doc_id", "widx", "sidx", "token_id")
+  }
+
+  /** Merge-sequence artifacts — the tokenizer model: persist the
+    * learned (rank, left, right, count) table once, reload it to
+    * encode any corpus ([[applyMerges]]/[[encodeIds]]) without
+    * re-training. Load validates ranks are exactly 1..k (a truncated
+    * or duplicated artifact would silently encode with a DIFFERENT
+    * tokenizer — rejected loudly instead). */
+  object MergesArtifact {
+    def save(spark: org.apache.spark.sql.SparkSession, merges: Seq[Merge],
+        path: String): Unit = {
+      require(merges.nonEmpty, "empty merge sequence")
+      import spark.implicits._
+      merges.map(m => (m.rank, m.left, m.right, m.count))
+        .toDF("rank", "left", "right", "count").coalesce(1)
+        .write.mode("overwrite").parquet(path)
+    }
+
+    def load(spark: org.apache.spark.sql.SparkSession,
+        path: String): Seq[Merge] = {
+      val rows = spark.read.parquet(path).collect()
+        .map(r => Merge(r.getAs[Int]("rank"), r.getAs[String]("left"),
+          r.getAs[String]("right"), r.getAs[Long]("count")))
+        .sortBy(_.rank).toSeq
+      require(rows.nonEmpty, s"empty BPE merges artifact at $path")
+      require(rows.map(_.rank) == (1 to rows.length),
+        s"BPE merges artifact at $path: ranks ${rows.map(_.rank)} are " +
+          s"not contiguous 1..${rows.length}")
+      rows
+    }
+  }
+
   /** Compression profile of a learned vocab: per original word length,
     * how many symbols the merged encoding needs (occurrence-weighted).
     * The post-merge twin of tx_token_stats — the number a tokenizer

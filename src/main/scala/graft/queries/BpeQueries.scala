@@ -57,6 +57,49 @@ object BpeQueries {
       .transform(QueryUtil.ordered("doc_id"))
   }
 
+  /** tx_bpe_vocab: the tokenizer's id table — base a-z at 0–25, merged
+    * symbols at 26+rank−1, duplicate surface strings keeping the
+    * earliest id ([[graft.ops.Bpe.vocabIdTable]]). */
+  def bpeVocab(spark: SparkSession, dir: String): DataFrame = {
+    val (merges, _) = Bpe.learnMerges(docs(spark, dir), K)
+    Bpe.vocabIdTable(spark, merges).transform(QueryUtil.ordered("token_id"))
+  }
+
+  /** tx_bpe_ids: the id-encoded corpus — (doc_id, widx, sidx,
+    * token_id) for every post-merge token of every gated word; the
+    * artifact a trainer actually consumes (closes the r9 gap where
+    * tx_bpe_apply stopped at per-doc COUNTS). */
+  def bpeIds(spark: SparkSession, dir: String): DataFrame = {
+    val (merges, _) = Bpe.learnMerges(docs(spark, dir), K)
+    Bpe.encodeIds(spark, docs(spark, dir), merges)
+      .transform(QueryUtil.ordered("doc_id", "widx", "sidx"))
+  }
+
+  /** tx_pack_bpe: token-budget shard packing on REAL tokenizer counts —
+    * the curation-variant swap the r9 verdict asked for: the packing
+    * input is per-doc post-BPE token totals (tx_bpe_apply's
+    * n_bpe_tokens), not whitespace counts, through the same two-level
+    * prefix-sum core ([[graft.ops.Packing.packFromCounts]]). Docs with
+    * zero gated words carry zero trainable tokens and are excluded
+    * (defined contract, mirrored by the oracle). */
+  val PackBudget = 5000L
+
+  def packBpe(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val (merges, _) = Bpe.learnMerges(docs(spark, dir), K)
+    val wordSyms = Bpe.applyMerges(docs(spark, dir), merges)
+      .select(col("word"),
+        size(split(expr(s"btrim(ws, '${Bpe.Sep}')"), s"${Bpe.Sep}${Bpe.Sep}"))
+          .cast("long").as("syms"))
+    val counts = docs(spark, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
+      .where(col("word").rlike("^[a-z]+$") && length(col("word")) <= 20)
+      .join(wordSyms, "word")
+      .groupBy("doc_id").agg(sum("syms").as("n_tokens"))
+    graft.ops.Packing.packFromCounts(counts, PackBudget, bucketWidth = 64L)
+      .transform(QueryUtil.ordered("doc_id"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   private val S = Bpe.Sep
@@ -134,9 +177,70 @@ object BpeQueries {
        |FROM tokd JOIN vsym USING (word)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Id table replay: base a-z + one row per unrolled merge round,
+    * duplicate surface strings collapsed to the minimum id — shared by
+    * the vocab and ids oracles so the id assignment cannot fork. */
+  private def idsCtes: String = {
+    val mergeRows = (1 to K).map { r =>
+      s"SELECT CAST(${25 + r} AS BIGINT) AS token_id, s1 || s2 AS sym FROM b$r"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""ids0 AS (SELECT CAST(i AS BIGINT) AS token_id,
+       |    chr(CAST(97 + i AS INTEGER)) AS sym
+       |    FROM (SELECT unnest(range(0, 26)) AS i) a
+       |  UNION ALL
+       |  $mergeRows),
+       |ids AS (SELECT sym, CAST(min(token_id) AS BIGINT) AS token_id
+       |  FROM ids0 GROUP BY sym)""".stripMargin
+  }
+
+  val bpeVocabOracle: String =
+    s"""${chainSql(K)},
+       |$idsCtes
+       |SELECT token_id, sym FROM ids ORDER BY token_id""".stripMargin
+
+  val bpeIdsOracle: String =
+    s"""${chainSql(K)},
+       |$idsCtes,
+       |wsym AS (SELECT word, string_split(trim(ws, '$S'), '$S$S') AS syms
+       |  FROM w$K),
+       |tokw AS (SELECT doc_id, CAST(i AS BIGINT) AS widx, l[i] AS word
+       |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS l
+       |        FROM documents) t,
+       |       LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i) g
+       |  WHERE regexp_matches(l[i], '^[a-z]+$$') AND length(l[i]) <= 20),
+       |toks AS (SELECT doc_id, widx, CAST(j AS BIGINT) AS sidx,
+       |    syms[j] AS sym
+       |  FROM (SELECT doc_id, widx, syms
+       |        FROM tokw JOIN wsym USING (word)) x,
+       |       LATERAL (SELECT unnest(range(1, len(syms) + 1)) AS j) h)
+       |SELECT doc_id, widx, sidx, token_id
+       |FROM toks JOIN ids USING (sym)
+       |ORDER BY doc_id, widx, sidx""".stripMargin
+
+  val packBpeOracle: String =
+    s"""${chainSql(K)},
+       |tokd AS (SELECT doc_id, word FROM (
+       |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+       |    FROM documents) u
+       |  WHERE regexp_matches(word, '^[a-z]+$$') AND length(word) <= 20),
+       |vsym AS (SELECT word,
+       |    CAST(len(string_split(trim(ws, '$S'), '$S$S')) AS BIGINT) AS syms
+       |  FROM w$K),
+       |cnts AS (SELECT doc_id, CAST(sum(syms) AS BIGINT) AS n
+       |  FROM tokd JOIN vsym USING (word) GROUP BY doc_id),
+       |pre AS (SELECT doc_id, n,
+       |    sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM cnts)
+       |SELECT doc_id, n AS n_tokens,
+       |  CAST((cum - n) // $PackBudget AS BIGINT) AS shard
+       |FROM pre ORDER BY doc_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] =
     Map(
       "tx_bpe_merges" -> ((bpeMerges _, Some(bpeMergesOracle))),
       "tx_bpe_encode" -> ((bpeEncode _, Some(bpeEncodeOracle))),
-      "tx_bpe_apply" -> ((bpeApply _, Some(bpeApplyOracle))))
+      "tx_bpe_apply" -> ((bpeApply _, Some(bpeApplyOracle))),
+      "tx_bpe_vocab" -> ((bpeVocab _, Some(bpeVocabOracle))),
+      "tx_bpe_ids" -> ((bpeIds _, Some(bpeIdsOracle))),
+      "tx_pack_bpe" -> ((packBpe _, Some(packBpeOracle))))
 }

@@ -87,4 +87,52 @@ class BpeSpec extends SparkSpec {
       .select("word", "cnt").as[(String, Long)].collect().toSeq
     assert(words == Seq(("hello", 1L), ("keep", 2L), ("world", 1L)))
   }
+
+  test("vocabIdTable: base a-z then merge ranks; duplicate surface " +
+      "strings keep the earliest id") {
+    // (a,bc) at rank 2 and (ab,c) at rank 3 both surface as "abc" —
+    // the symbol→id map must stay a function (lowest id wins)
+    val merges = Seq(Bpe.Merge(1, "b", "c", 9L),
+      Bpe.Merge(2, "a", "bc", 5L), Bpe.Merge(3, "ab", "c", 4L))
+    val t = Bpe.vocabIdTable(spark, merges)
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    assert(t.take(3) == Seq((0L, "a"), (1L, "b"), (2L, "c")))
+    assert(t.filter(_._1 >= 26L) == Seq((26L, "bc"), (27L, "abc")))
+    assert(t.map(_._2).distinct.length == t.length)
+  }
+
+  test("applyMerges reproduces learnMerges' final vocab; encodeIds " +
+      "emits the id-encoded corpus in document order") {
+    val d = corpus("low low low lower lowest")
+    val (merges, learned) = Bpe.learnMerges(d, 8)
+    val replayed = Bpe.applyMerges(d, merges)
+    val a = learned.select("word", "ws").as[(String, String)]
+      .collect().toSeq.sorted
+    val b = replayed.select("word", "ws").as[(String, String)]
+      .collect().toSeq.sorted
+    assert(a == b)
+    // widx is the original 1-based split position (posexplode runs
+    // before the gate), so skipped "X9" leaves a hole at widx 2; both
+    // trained words collapse to single symbols ("low" = rank 2 →
+    // id 27, "lowest" = rank 6 → id 31)
+    val enc = Bpe.encodeIds(spark,
+      Seq((7L, "low X9 lowest")).toDF("doc_id", "text"), merges)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(enc == Seq((7L, 1L, 1L, 27L), (7L, 3L, 1L, 31L)))
+    Dedup.releaseCaches()
+  }
+
+  test("MergesArtifact round-trips; truncated ranks are rejected") {
+    val d = corpus("low low low lower lowest")
+    val (merges, _) = Bpe.learnMerges(d, 4)
+    val dir = java.nio.file.Files.createTempDirectory("bpe-art").toString
+    Bpe.MergesArtifact.save(spark, merges, s"$dir/m")
+    assert(Bpe.MergesArtifact.load(spark, s"$dir/m") == merges)
+    // drop rank 2 → contiguity check must fail loudly
+    Bpe.MergesArtifact.save(spark, merges.filterNot(_.rank == 2), s"$dir/bad")
+    intercept[IllegalArgumentException] {
+      Bpe.MergesArtifact.load(spark, s"$dir/bad")
+    }
+    Dedup.releaseCaches()
+  }
 }
