@@ -1856,6 +1856,90 @@ object TextQueries {
        |FROM agg""".stripMargin
   }
 
+  /** Holdout-calibrated gating — the honest composition of
+    * [[clfGateCalibrated]] and [[clfHoldout]]: the r9 calibrated gate
+    * fit its isotonic map on the same pool it gated (calibration
+    * trained on the gated data overstates the gate). Here the corpus
+    * splits by the md5 unit hash (train < 0.8), the classifier trains
+    * on the train half, the isotonic map fits on the HELD-OUT half
+    * under the frozen model, and the FULL pool gates through that
+    * holdout-fitted map. Full-pool scores outside the holdout's
+    * distinct-score set resolve by the standard isotonic step
+    * extension — f(largest calibrated score ≤ s), clamped to the first
+    * bin below the minimum — materialized on the 4dp score GRID
+    * (10001 rows; the calibration-bins s4 trick), so the pool-side
+    * lookup is a broadcast EQUI-join, never a range join over the
+    * corpus. The grid windows are grain-bounded (≤ 10001 rows through
+    * one task) like every other score-grain window. */
+  def clfGateHoldout(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val isTrain = graft.ops.Sampling.unitHash(col("doc_id")) < ClfTrainFrac
+    val model = TextAnalysis.trainLogistic(d.filter(isTrain),
+      col("lang") === "en", numBuckets = ClfBuckets, iterations = ClfIters,
+      learningRate = ClfLr)
+    val hold = d.filter(!isTrain)
+    val iso = graft.ops.Eval.isotonicFit(
+      TextAnalysis.scoreWithClfModel(hold, model)
+        .join(hold.select(col("doc_id"), col("lang")), Seq("doc_id")),
+      col("lang") === "en")
+    val iso4 = iso.select(
+      round(col("score") * 10000).cast("long").as("s4"), col("fitted"))
+    import org.apache.spark.sql.expressions.Window
+    val wDown = Window.orderBy("s4")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wUp = Window.orderBy("s4")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val calGrid = spark.range(0, 10001).select(col("id").as("s4"))
+      .join(iso4, Seq("s4"), "left")
+      .select(col("s4"), coalesce(
+        last(col("fitted"), ignoreNulls = true).over(wDown),
+        first(col("fitted"), ignoreNulls = true).over(wUp)).as("calibrated"))
+    TextAnalysis.scoreWithClfModel(d, model)
+      .withColumn("s4", round(col("clf_score") * 10000).cast("long"))
+      .join(broadcast(calGrid), Seq("s4"))
+      .filter(col("calibrated") >= 0.5)
+      .select(col("doc_id"), col("clf_score"), col("calibrated"))
+      .transform(QueryUtil.ordered("doc_id"))
+  }
+
+  lazy val clfGateHoldoutOracle: String = {
+    val (nb, iters) = (ClfBuckets, ClfIters)
+    val splitPred = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))" +
+      s"::UBIGINT / 4294967296.0 < $ClfTrainFrac"
+    // frozen-model scoring block over an arbitrary doc subset — used
+    // twice (holdout for the iso fit, full pool for the gate)
+    def frozenScore(p: String, where: String): String =
+      s"""${p}tok AS (SELECT doc_id, len(string_split(text, ' ')) * 1.0 AS n,
+         |    unnest(string_split(text, ' ')) AS t
+         |    FROM documents $where),
+         |${p}feat0 AS (SELECT doc_id,
+         |    CAST(('0x' || substr(md5(t), 1, 16))::UBIGINT % $nb AS BIGINT) AS b,
+         |    count(*) * 1.0 / n AS x FROM ${p}tok GROUP BY doc_id, n, b),
+         |${p}feat AS (SELECT * FROM ${p}feat0
+         |  UNION ALL SELECT DISTINCT doc_id, -1 AS b, 1.0 AS x FROM ${p}feat0),
+         |${p}mf AS (SELECT f.doc_id, coalesce(sum(f.x * w.w), 0.0) AS m
+         |       FROM ${p}feat f LEFT JOIN w$iters w ON f.b = w.b
+         |       GROUP BY f.doc_id),
+         |${p}scored AS (SELECT doc_id, round(1.0/(1.0 + exp(-m)), 4) AS clf_score
+         |           FROM ${p}mf)""".stripMargin
+    s"""${clfTrainChainSql(s"(SELECT * FROM documents WHERE $splitPred)")},
+       |${frozenScore("h", s"WHERE NOT ($splitPred)")},
+       |${isoFitCtes("hscored")},
+       |${frozenScore("p", "")},
+       |iso4 AS (SELECT CAST(round(sc * 10000, 0) AS BIGINT) AS s4,
+       |    round(f, 6) AS f FROM iso),
+       |pool AS (SELECT doc_id, clf_score,
+       |    CAST(round(clf_score * 10000, 0) AS BIGINT) AS s4 FROM pscored),
+       |cal AS (SELECT g.s4, coalesce(
+       |    (SELECT f FROM iso4 i WHERE i.s4 <= g.s4
+       |     ORDER BY i.s4 DESC LIMIT 1),
+       |    (SELECT f FROM iso4 i ORDER BY i.s4 LIMIT 1)) AS calibrated
+       |  FROM (SELECT DISTINCT s4 FROM pool) g)
+       |SELECT pool.doc_id, pool.clf_score, cal.calibrated
+       |FROM pool JOIN cal USING (s4)
+       |WHERE cal.calibrated >= 0.5 ORDER BY pool.doc_id""".stripMargin
+  }
+
   /** Curriculum ranking: every doc's global quality rank (1 = best)
     * and decile tier — the "order the corpus by quality and bin it"
     * step of curriculum-style data scheduling. Distributed rank via
@@ -3396,6 +3480,8 @@ object TextQueries {
     "tx_clf_gate_calibrated" ->
       ((clfGateCalibrated _, Some(clfGateCalibratedOracle))),
     "tx_clf_holdout" -> ((clfHoldout _, Some(clfHoldoutOracle))),
+    "tx_clf_gate_holdout" ->
+      ((clfGateHoldout _, Some(clfGateHoldoutOracle))),
     "tx_rank_deciles" -> ((rankDeciles _, Some(rankDecilesOracle))),
     "tx_corpus_diff" -> ((corpusDiff _, Some(corpusDiffOracle))),
     "tx_incremental" -> ((incremental _, Some(incrementalOracle))),
