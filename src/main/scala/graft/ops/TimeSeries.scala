@@ -380,31 +380,56 @@ object TimeSeries {
     * whose carried state is exactly these triples (they merge across
     * batches by min/max/min: associative AND idempotent, the HLL-class
     * replay guarantee). */
+  /** Duration-bucket width for the curve's two-level prefix sums: the
+    * per-bucket windows see ≤ 4096 rows and the offsets window sees
+    * horizon/4096 rows (a decade at minute grain → ~1.3k buckets) —
+    * no unpartitioned corpus-sized window anywhere (the r9 audit
+    * item; the [[Packing]] prefix-sum shape). */
+  private val KmBucketWidth = 4096L
+
+  /** Inclusive two-level prefix sum of `valueCol` over the duration
+    * histogram ordered by `t_min` (within-bucket window + broadcast
+    * bucket offsets). Window sums are ORDER-DEFINED, so the double
+    * `_lt` prefix is deterministic; vs the oracle's flat fold only
+    * bucket-boundary reassociation differs (≲ #buckets · ε — invisible
+    * at the 4 dp output rounding). */
+  private def kmPrefix(hist: DataFrame, valueCol: String,
+      out: String): DataFrame = {
+    val within = hist.withColumn("_w", sum(col(valueCol)).over(
+      Window.partitionBy("_bkt").orderBy("t_min")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val off = hist.groupBy("_bkt").agg(sum(col(valueCol)).as("_bt"))
+      .withColumn("_off", coalesce(sum("_bt").over(Window.orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L).cast(hist.schema(valueCol).dataType)))
+      .select("_bkt", "_off")
+    within.join(broadcast(off), Seq("_bkt"))
+      .withColumn(out, col("_off") + col("_w")).drop("_w", "_off")
+  }
+
   private[graft] def kaplanMeierFromUserStats(perUser: DataFrame): DataFrame = {
     val durations = perUser.select(
       expr("(coalesce(_ev, _last) - _first) DIV 60000000").as("t_min"),
       col("_ev").isNotNull.cast("long").as("_e"))
     val h = Dedup.checkpointTracked(durations.groupBy("t_min")
-      .agg(sum("_e").as("_d"), count(lit(1)).as("_n")))
-    val w = Window.orderBy("t_min")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wPrev = Window.orderBy("t_min")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    h.withColumn("_total", sum("_n").over(
-        Window.orderBy(lit(1)).rowsBetween(Window.unboundedPreceding,
-          Window.unboundedFollowing)))
-      .withColumn("n_risk", col("_total") -
-        coalesce(sum("_n").over(wPrev), lit(0L)))
-      // the row where EVERY remaining user events (d == n_risk, only
-      // possible at the maximal duration) zeroes the curve — flagged
-      // explicitly, since ln(0) is null in Spark and -inf elsewhere
+      .agg(sum("_e").as("_d"), count(lit(1)).as("_n"))
+      .withColumn("_bkt", floor(col("t_min") / KmBucketWidth)))
+    // total at-risk = user count — one agg over the checkpointed
+    // histogram, a driver literal (the Graph-N precedent)
+    val total = h.agg(sum("_n")).head.getLong(0)
+    val risk = Dedup.persistTracked(kmPrefix(h, "_n", "_cn")
+      .withColumn("n_risk", lit(total) - (col("_cn") - col("_n")))
+      // ln(0) is null in Spark and -inf elsewhere — the d == n_risk
+      // row (every remaining user events; only possible at the
+      // MAXIMAL duration, so no later row exists to inherit it)
+      // contributes 0 here and zeroes its own survival below
       .withColumn("_lt", when(col("_d") > 0 && col("_d") < col("n_risk"),
         log(lit(1.0) - col("_d").cast("double") / col("n_risk").cast("double")))
-        .otherwise(lit(0.0)))
-      .withColumn("_zero", max(when(col("_d") === col("n_risk") &&
-        col("_d") > 0, 1).otherwise(0)).over(w))
-      .withColumn("survival", round(when(col("_zero") === 1, lit(0.0))
-        .otherwise(exp(sum("_lt").over(w))), 4))
+        .otherwise(lit(0.0))))
+    kmPrefix(risk, "_lt", "_cl")
+      .withColumn("survival", round(
+        when(col("_d") === col("n_risk") && col("_d") > 0, lit(0.0))
+          .otherwise(exp(col("_cl"))), 4))
       .filter(col("_d") > 0)
       .select(col("t_min"), col("n_risk"), col("_d").as("n_events"),
         col("survival"))

@@ -352,10 +352,20 @@ class PlanSpec extends SparkSpec {
       s"attribution regressed to an inequality nested loop:\n$p")
   }
 
-  test("ev_survival: join-free curve; windows ordered on the duration grain") {
+  test("ev_survival: two-level prefix sums — every window bucketized, " +
+      "offsets joins broadcast") {
+    // the r9 audit item: the curve must never run an unpartitioned
+    // window over the full duration histogram; both prefix passes ride
+    // the _bkt bucketization (within-bucket windows + a bucket-count
+    // offsets window) and the offsets frames join back by BROADCAST
     val p = plan("ev_survival")
-    assert(!p.contains("Join"), s"KM needs no join:\n$p")
-    assert(p.contains("windowspecdefinition"), p)
+    val windows = p.linesIterator
+      .filter(_.contains("windowspecdefinition")).toList
+    assert(windows.nonEmpty && windows.forall(_.contains("_bkt")),
+      s"every KM window must be bucketized (_bkt), found:\n$windows")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"KM offsets must join by broadcast hash:\n$p")
   }
 
   test("tx_rank_deciles: distributed rank — range partition, windows only on the per-partition offsets frame") {
