@@ -598,13 +598,20 @@ object TextAnalysis {
     for (_ <- 1 to iterations) {
       // residual r = y − σ(m) computes scan-side; the only shuffle is
       // the partial-aggregated gradient — ≤ numBuckets+1 rows per task
+      // each term rounds to DECIMAL(38,12) before the distributed sum
+      // (the calibrationBins s4 trick, widened): decimal summation is
+      // EXACT and order-free, so the gradient is identical under any
+      // partitioning and equals the oracle's replay by arithmetic, not
+      // by summation-order luck (the last open r9 ADVICE item).
+      // |x·r| ≤ 1 ⇒ 38-12 = 26 integer digits absorb ~10^26 terms.
       val grad = feat
         .select(col("_bs"), col("_xs"),
           (col("_y") - lit(1.0) / (lit(1.0) + exp(-marginCol(w)))).as("_r"))
         .select(explode(zip_with(col("_bs"), col("_xs"),
           (b, x) => struct(b.as("_b"), x.as("_x")))).as("_z"), col("_r"))
         .groupBy(col("_z._b").as("_b"))
-        .agg(sum(col("_z._x") * col("_r")).as("_g"))
+        .agg(sum((col("_z._x") * col("_r")).cast("decimal(38,12)"))
+          .cast("double").as("_g"))
         .as[(Long, Double)].collect()
       w = w ++ grad.map { case (b, g) => b -> (w.getOrElse(b, 0.0) + eta * g) }
     }

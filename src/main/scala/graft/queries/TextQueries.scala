@@ -1608,14 +1608,17 @@ object TextQueries {
          |nd AS (SELECT count(*) * 1.0 AS n FROM $src),
          |m1 AS (SELECT DISTINCT doc_id, y, 0.0 AS m FROM feat0),
          |r1 AS (SELECT doc_id, y - 1.0/(1.0 + exp(-m)) AS r FROM m1),
-         |w1 AS (SELECT f.b, $lr * sum(f.x * r.r) / (SELECT n FROM nd) AS w
+         |w1 AS (SELECT f.b, $lr * CAST(sum(CAST(f.x * r.r AS DECIMAL(38,12)))
+         |         AS DOUBLE) / (SELECT n FROM nd) AS w
          |       FROM feat f JOIN r1 r USING (doc_id) GROUP BY f.b)""".stripMargin
     val steps = (2 to iters).map { t =>
       s"""m$t AS (SELECT f.doc_id, min(f.y) AS y, coalesce(sum(f.x * w.w), 0.0) AS m
          |       FROM feat f LEFT JOIN w${t - 1} w ON f.b = w.b GROUP BY f.doc_id),
          |r$t AS (SELECT doc_id, y - 1.0/(1.0 + exp(-m)) AS r FROM m$t),
          |w$t AS (SELECT g.b, coalesce(w.w, 0.0) + g.u AS w
-         |       FROM (SELECT f.b, $lr * sum(f.x * r.r) / (SELECT n FROM nd) AS u
+         |       FROM (SELECT f.b,
+         |               $lr * CAST(sum(CAST(f.x * r.r AS DECIMAL(38,12)))
+         |                 AS DOUBLE) / (SELECT n FROM nd) AS u
          |             FROM feat f JOIN r$t r USING (doc_id) GROUP BY f.b) g
          |       LEFT JOIN w${t - 1} w ON g.b = w.b)""".stripMargin
     }
