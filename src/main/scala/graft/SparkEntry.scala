@@ -101,5 +101,14 @@ object SparkEntry {
     "tx_token_budget",   // quality-grain threshold + boundary prefix admission
     "ev_asof_forward",   // forward merge as-of (time to next purchase)
     "tx_clf_isotonic",   // training run + minimax PAV over score bins
-    "tx_curation12")     // crawl -> pool-trained calibrated gate -> budget -> order
+    "tx_curation12",     // crawl -> pool-trained calibrated gate -> budget -> order
+    // r10: fourth-phase families previously unbenched — a regression
+    // there was invisible (the r5 lesson, again)
+    "ev_attribution",    // linear multi-touch credit shares
+    "ev_survival",       // Kaplan-Meier curve (bucketized prefix sums)
+    "q_pagerank_weighted", // weighted-multigraph PR iterations
+    "tx_curation11",     // v6 chain + token-budget admission
+    "vec_hard_negatives_lsh", // ANN-path hard-negative mining
+    // r10: the tokenizer-id loop
+    "tx_bpe_ids")        // id-encoded corpus (apply merges + id join)
 }

@@ -11,6 +11,20 @@ import org.apache.spark.sql.{Column, DataFrame}
 object QueryUtil {
   def ordered(cols: String*)(df: DataFrame): DataFrame =
     df.repartition(1).sortWithinPartitions(cols.head, cols.tail: _*)
+
+  /** Stage-boundary spread for CPU-heavy narrow phases: hash-partition
+    * on the id across the session's parallelism. A small-SF scan
+    * arrives as ONE file split, and AQE coalesces tiny shuffles to one
+    * partition BY BYTES — right for IO-bound stages, wrong immediately
+    * before a regex/tokenize-heavy narrow chain whose cost is per-row
+    * CPU (the chain serializes on one core; measured 1.4–3.6 s
+    * single-task checkpoint stages in the v6 curation chain). At
+    * cluster scale this is one hash exchange of data that is being
+    * materialized at the stage boundary anyway — the explicit layout
+    * step a production pipeline runs between phases. */
+  def spreadById(df: DataFrame, idCol: String = "doc_id"): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism,
+      df(idCol))
   def orderedBy(cols: Column*)(df: DataFrame): DataFrame =
     df.repartition(1).sortWithinPartitions(cols: _*)
 

@@ -2405,8 +2405,11 @@ object TextQueries {
     import org.apache.spark.sql.DataFrame
     val planted = curation6Planted(spark, dir)
     // conditional extraction + encoding gate: the canonical
-    // crawlFrontGates transform the streaming front half also uses
-    val enc = Dedup.checkpointTracked(TextAnalysis.crawlFrontGates(planted))
+    // crawlFrontGates transform the streaming front half also uses.
+    // spreadById before each regex/tokenize-heavy narrow stage — see
+    // [[QueryUtil.spreadById]] (single-task checkpoint fix, r10)
+    val enc = Dedup.checkpointTracked(
+      TextAnalysis.crawlFrontGates(QueryUtil.spreadById(planted)))
     val cleaned = Dedup.checkpointTracked(
       Dedup.lineDedup(enc, maxOccurrences = 2)
         .filter(length(col("clean_text")) > 0)
@@ -2415,8 +2418,8 @@ object TextQueries {
     val clean = Dedup.decontaminate(cleaned,
         cleaned.filter(col("doc_id") % 37 === 0), k = 8)
       .filter(col("keep")).select("doc_id")
-    val deconned = Dedup.checkpointTracked(
-      cleaned.join(clean, Seq("doc_id"), "left_semi"))
+    val deconned = Dedup.checkpointTracked(QueryUtil.spreadById(
+      cleaned.join(clean, Seq("doc_id"), "left_semi")))
     val gated = Dedup.checkpointTracked(deconned
       .withColumn("_tk", TextAnalysis.tokens(col("text")))
       .withColumn("_g3", TextAnalysis.ngramsFromTokens(col("_tk"), 3))
@@ -2425,7 +2428,8 @@ object TextQueries {
         TextAnalysis.tokenCount(col("text")) >= 20 &&
         TextAnalysis.dupNgramFraction(col("_g3")) <= 0.2)
       .select("doc_id", "source", "text"))
-    val keeper = Dedup.checkpointTracked(fpKeeper(gated))
+    val keeper = Dedup.checkpointTracked(
+      QueryUtil.spreadById(fpKeeper(gated)))
     // bigram fluency floor: model trained on the keeper survivors,
     // keep docs scoring at or above the (rounded) corpus average —
     // population-relative, so the stage splits non-vacuously at any
