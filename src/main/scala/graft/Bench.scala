@@ -100,6 +100,14 @@ object Bench {
             -1.0
           }
         dropAllCaches()
+        // mega-composition settle (r10): a >5 s run (the curation
+        // chains) leaves an order-of-magnitude more checkpoint blocks,
+        // broadcasts and shuffle files behind than the standard settle
+        // was tuned for — r9's tx_curation12 showed a fast FIRST timed
+        // run and slow later ones, i.e. the previous run's deferred
+        // cleanup landing inside the next timed region. Give the
+        // cleaner a second full drain cycle before the next t0.
+        if (r > 5.0) { Thread.sleep(500); dropAllCaches() }
         r
       }
       var runs = (1 to TimedRuns).map(_ => timedRun())
