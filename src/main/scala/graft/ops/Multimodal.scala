@@ -512,6 +512,154 @@ object Multimodal {
     * partition, output rows carry the (smaller) re-encoded payload.
     * Non-image mimes and corrupt payloads pass through with the
     * width = -1 sentinel rather than failing the task. */
+  /** Minimal EXIF reader over a JPEG byte stream. JDK ImageIO decodes
+    * JPEG pixels but does NOT parse APP1/EXIF (the segment surfaces
+    * only as an opaque unknown marker in its metadata tree), so the
+    * orientation tag is read directly here: scan the JPEG marker
+    * stream for APP1 "Exif\0\0", then walk the embedded TIFF header
+    * (II/MM byte order honored) and IFD0's entries for tag 0x0112
+    * (Orientation, SHORT). Returns 1–8 when present, 0 when the
+    * payload is not a JPEG / carries no EXIF / is malformed — never
+    * throws (the corrupt-blob rule: one bad blob must not kill a
+    * 10^6-row partition). Layout per the public EXIF 2.3 / TIFF 6.0
+    * specs; the hand-rolled-meta-parser pattern of [[Mp3MetaDecoder]]
+    * and [[Mp4MetaDecoder]]. */
+  object Exif {
+    def orientation(bytes: Array[Byte]): Int = {
+      try {
+        if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff ||
+          (bytes(1) & 0xff) != 0xd8) return 0
+        var i = 2
+        while (i + 4 <= bytes.length) {
+          if ((bytes(i) & 0xff) != 0xff) return 0
+          val marker = bytes(i + 1) & 0xff
+          if (marker >= 0xd0 && marker <= 0xd9) i += 2 // standalone
+          else {
+            val len = ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
+            if (len < 2 || i + 2 + len > bytes.length) return 0
+            if (marker == 0xe1 && len >= 10 &&
+              bytes(i + 4) == 'E' && bytes(i + 5) == 'x' &&
+              bytes(i + 6) == 'i' && bytes(i + 7) == 'f' &&
+              bytes(i + 8) == 0 && bytes(i + 9) == 0)
+              return tiffOrientation(bytes, i + 10, i + 2 + len)
+            if (marker == 0xda) return 0 // SOS — entropy data follows
+            i += 2 + len
+          }
+        }
+        0
+      } catch { case _: Exception => 0 }
+    }
+
+    private def tiffOrientation(b: Array[Byte], off: Int, end: Int): Int = {
+      if (off + 8 > end) return 0
+      val little = b(off) == 'I' && b(off + 1) == 'I'
+      val big = b(off) == 'M' && b(off + 1) == 'M'
+      if (!little && !big) return 0
+      def u16(p: Int): Int =
+        if (little) ((b(p + 1) & 0xff) << 8) | (b(p) & 0xff)
+        else ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
+      def u32(p: Int): Long =
+        if (little) (u16(p + 2).toLong << 16) | u16(p)
+        else (u16(p).toLong << 16) | u16(p + 2)
+      if (u16(off + 2) != 42) return 0
+      val ifdOff = u32(off + 4)
+      if (ifdOff < 8 || off + ifdOff + 2 > end) return 0
+      val ifd = off + ifdOff.toInt
+      val n = u16(ifd)
+      var k = 0
+      while (k < n) {
+        val e = ifd + 2 + k * 12
+        if (e + 12 > end) return 0
+        if (u16(e) == 0x0112 && u16(e + 2) == 3) { // SHORT
+          val v = u16(e + 8)
+          return if (v >= 1 && v <= 8) v else 0
+        }
+        k += 1
+      }
+      0
+    }
+  }
+
+  /** Apply an EXIF orientation (1–8) to decoded pixels — the transform
+    * a viewer performs so the image DISPLAYS upright: 2 = flip-H,
+    * 3 = 180°, 4 = flip-V, 5 = transpose, 6 = 90° CW, 7 = transverse,
+    * 8 = 270° CW; 5–8 swap width/height. Unknown/absent (≤1 or >8)
+    * returns the input untouched. */
+  private[ops] def applyOrientation(img: java.awt.image.BufferedImage,
+      o: Int): java.awt.image.BufferedImage = {
+    if (o <= 1 || o > 8) return img
+    val (w, h) = (img.getWidth, img.getHeight)
+    val swap = o >= 5
+    val out = new java.awt.image.BufferedImage(
+      if (swap) h else w, if (swap) w else h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (nx, ny) = o match {
+          case 2 => (w - 1 - x, y)
+          case 3 => (w - 1 - x, h - 1 - y)
+          case 4 => (x, h - 1 - y)
+          case 5 => (y, x)
+          case 6 => (h - 1 - y, x)
+          case 7 => (h - 1 - y, w - 1 - x)
+          case _ => (y, w - 1 - x) // 8
+        }
+        out.setRGB(nx, ny, img.getRGB(x, y))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Committed EXIF fixture JPEGs (16×8, left half red / right half
+    * blue, APP1 orientation k) — main-classpath resources so query
+    * builders can plant REAL rotated-JPEG payloads and keep the
+    * mm_exif_meta oracle non-vacuous. Generated once by the
+    * MakeExifFixtures tool; parsed back by [[Exif.orientation]]. */
+  def exifFixture(o: Int): Array[Byte] = {
+    require(o >= 1 && o <= 8, s"orientation 1..8, got $o")
+    val in = getClass.getResourceAsStream(s"/graft/exif/orient$o.jpg")
+    require(in != null, s"missing exif fixture orient$o.jpg")
+    try in.readAllBytes() finally in.close()
+  }
+
+  case class ExifMeta(media_id: Long, byte_len: Long, exif_orientation: Int,
+      width: Int, height: Int)
+
+  /** EXIF-aware image metadata: per media row, the parsed orientation
+    * tag plus the DISPLAY dimensions (decoded pixels, width/height
+    * swapped for orientations 5–8 — what a viewer-correct pipeline
+    * records). Non-decodable payloads keep the filterable sentinel
+    * (-1, -1) with orientation 0. Same per-partition decode shape as
+    * [[extractFeatures]] (JDK codec work — no Catalyst expression can
+    * exist for it). */
+  def exifFeatures(media: DataFrame): Dataset[ExifMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"), col("meta.mime"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes, mime) =>
+          val img =
+            if (mime == null || !mime.startsWith("image/")) null
+            else try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+          if (img == null) ExifMeta(id, bytes.length.toLong, 0, -1, -1)
+          else {
+            val o = Exif.orientation(bytes)
+            val swap = o >= 5 && o <= 8
+            ExifMeta(id, bytes.length.toLong, o,
+              if (swap) img.getHeight else img.getWidth,
+              if (swap) img.getWidth else img.getHeight)
+          }
+        }
+      }
+  }
+
   def resizeImages(media: DataFrame, maxDim: Int = 256): Dataset[ResizedMedia] = {
     require(maxDim > 0, "maxDim must be positive")
     val spark = media.sparkSession
@@ -527,7 +675,11 @@ object Multimodal {
             catch { case _: Exception => null }
           if (img == null) ResizedMedia(id, mime, -1, -1, bytes)
           else {
-            val (w, h) = (img.getWidth, img.getHeight)
+            // viewer-correct pipeline: honor the EXIF orientation tag
+            // BEFORE resizing (a rotated capture otherwise ships
+            // sideways thumbnails with swapped aspect)
+            val oriented = applyOrientation(img, Exif.orientation(bytes))
+            val (w, h) = (oriented.getWidth, oriented.getHeight)
             val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
             val nw = math.max(1, math.round(w * scale).toInt)
             val nh = math.max(1, math.round(h * scale).toInt)
@@ -537,7 +689,7 @@ object Multimodal {
             g.setRenderingHint(
               java.awt.RenderingHints.KEY_INTERPOLATION,
               java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-            g.drawImage(img, 0, 0, nw, nh, null)
+            g.drawImage(oriented, 0, 0, nw, nh, null)
             g.dispose()
             val bos = new java.io.ByteArrayOutputStream()
             javax.imageio.ImageIO.write(out, "png", bos)
