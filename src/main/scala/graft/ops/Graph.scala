@@ -67,7 +67,10 @@ object Graph {
     val edges = Dedup.checkpointTracked(
       edgesRaw.select("src", "dst").repartition(col("src"))
         .groupBy("src", "dst").agg(count(lit(1)).as("w")))
-    val maxW = edges.agg(max("w")).head.getLong(0)
+    val maxRow = edges.agg(max("w")).head
+    // max over zero rows is NULL — keep the clean empty-graph require
+    // (pageRankCore's) instead of an opaque NPE here
+    val maxW = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
     require(maxW <= Long.MaxValue / Scale,
       s"weighted PageRank: max edge multiplicity $maxW overflows " +
         s"pr*w at Scale=$Scale (bound ${Long.MaxValue / Scale})")

@@ -532,6 +532,12 @@ object Multimodal {
         var i = 2
         while (i + 4 <= bytes.length) {
           if ((bytes(i) & 0xff) != 0xff) return 0
+          // spec-legal fill bytes: any run of 0xFF pads before the
+          // marker byte (JPEG B.1.1.2) — real-world parsers skip them;
+          // reading a fill byte AS the marker would misparse a length
+          // and silently drop a real orientation tag
+          while (i + 4 <= bytes.length && (bytes(i + 1) & 0xff) == 0xff) i += 1
+          if (i + 4 > bytes.length) return 0
           val marker = bytes(i + 1) & 0xff
           if (marker >= 0xd0 && marker <= 0xd9) i += 2 // standalone
           else {
@@ -614,16 +620,54 @@ object Multimodal {
     out
   }
 
-  /** Committed EXIF fixture JPEGs (16×8, left half red / right half
-    * blue, APP1 orientation k) — main-classpath resources so query
-    * builders can plant REAL rotated-JPEG payloads and keep the
-    * mm_exif_meta oracle non-vacuous. Generated once by the
-    * MakeExifFixtures tool; parsed back by [[Exif.orientation]]. */
+  /** EXIF fixture JPEG (16×8, left half red / right half blue, APP1
+    * orientation `o`) — generated IN MEMORY, deterministically, so
+    * query builders can plant REAL rotated-JPEG payloads and keep the
+    * mm_exif_meta oracle non-vacuous without committing binaries:
+    * ImageIO encodes the base JPEG, then an APP1 "Exif\0\0" segment
+    * carrying a minimal one-entry TIFF IFD (tag 0x0112 = `o`) is
+    * spliced directly after SOI — the segment [[Exif.orientation]]
+    * must find by walking the real marker stream. Coverage is spread
+    * across the parser's branches by construction: even `o` writes the
+    * TIFF little-endian ("II"), odd `o` big-endian ("MM"), and
+    * `o ∈ {7, 8}` prepends a spec-legal 0xFF fill byte before the APP1
+    * marker (JPEG B.1.1.2 padding). */
   def exifFixture(o: Int): Array[Byte] = {
     require(o >= 1 && o <= 8, s"orientation 1..8, got $o")
-    val in = getClass.getResourceAsStream(s"/graft/exif/orient$o.jpg")
-    require(in != null, s"missing exif fixture orient$o.jpg")
-    try in.readAllBytes() finally in.close()
+    val img = new java.awt.image.BufferedImage(16, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 16) {
+        img.setRGB(x, y, if (x < 8) 0xff0000 else 0x0000ff)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val jpeg = bos.toByteArray
+    val little = o % 2 == 0
+    val tiff: Array[Int] =
+      if (little)
+        Array('I', 'I', 0x2a, 0, 8, 0, 0, 0, // header + IFD0 @ 8
+          1, 0, // one entry
+          0x12, 0x01, 3, 0, 1, 0, 0, 0, o, 0, 0, 0, // 0x0112 SHORT = o
+          0, 0, 0, 0) // next-IFD offset: none
+      else
+        Array('M', 'M', 0, 0x2a, 0, 0, 0, 8,
+          0, 1,
+          0x01, 0x12, 0, 3, 0, 0, 0, 1, 0, o, 0, 0,
+          0, 0, 0, 0)
+    val body = "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++
+      tiff.map(_.toByte)
+    val segLen = body.length + 2
+    val fill: Array[Byte] = if (o >= 7) Array(0xff.toByte) else Array.empty
+    val app1 = fill ++ Array(0xff.toByte, 0xe1.toByte,
+      ((segLen >> 8) & 0xff).toByte, (segLen & 0xff).toByte) ++ body
+    // splice after SOI (FF D8), before whatever segment ImageIO wrote
+    jpeg.take(2) ++ app1 ++ jpeg.drop(2)
   }
 
   case class ExifMeta(media_id: Long, byte_len: Long, exif_orientation: Int,
@@ -643,12 +687,16 @@ object Multimodal {
       .as[(Long, Array[Byte], String)]
       .mapPartitions { rows =>
         rows.map { case (id, bytes, mime) =>
+          // null payload must hit the sentinel, not NPE the partition
+          // (the module's corrupt-blob rule)
+          val len = if (bytes == null) 0L else bytes.length.toLong
           val img =
-            if (mime == null || !mime.startsWith("image/")) null
+            if (bytes == null || mime == null || !mime.startsWith("image/"))
+              null
             else try javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(bytes))
             catch { case _: Exception => null }
-          if (img == null) ExifMeta(id, bytes.length.toLong, 0, -1, -1)
+          if (img == null) ExifMeta(id, len, 0, -1, -1)
           else {
             val o = Exif.orientation(bytes)
             val swap = o >= 5 && o <= 8

@@ -3347,6 +3347,44 @@ object TextQueries {
       |    greatest(CAST(ceil(strlen(text) / 256.0) AS BIGINT), 1))) AS i)
       |ORDER BY media_id, chunk_idx""".stripMargin
 
+  /** EXIF metadata over PLANTED real rotated JPEGs: each doc row
+    * carries the [[graft.ops.Multimodal.exifFixture]] payload for
+    * orientation `doc_id % 8 + 1` (8 driver-built byte arrays,
+    * broadcast-joined onto the corpus — at 100 TB the payloads would
+    * come from storage; the fixture plant is what makes the expected
+    * values ORACLE-EXPRESSIBLE: orientation and display dims are known
+    * by construction, so DuckDB checks the whole
+    * JPEG-encode → APP1 splice → marker walk → TIFF IFD parse →
+    * dim-swap chain without decoding a byte itself). byte_len is
+    * codec-dependent (ImageIO's entropy coding) and deliberately NOT
+    * in the output. */
+  def exifMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fixtures = (1 to 8)
+      .map(o => (o.toLong, graft.ops.Multimodal.exifFixture(o)))
+      .toDF("orient", "payload")
+    val media = docs(spark, dir)
+      .select(col("doc_id").as("media_id"),
+        (col("doc_id") % 8 + 1).as("orient"))
+      .join(broadcast(fixtures), "orient")
+      .select(col("media_id"), col("payload"),
+        struct(lit("image/jpeg").as("mime"),
+          octet_length(col("payload")).cast("long").as("byte_len"))
+          .as("meta"))
+    graft.ops.Multimodal.exifFeatures(media).toDF()
+      .select("media_id", "exif_orientation", "width", "height")
+      .transform(QueryUtil.ordered("media_id"))
+  }
+
+  val exifMetaOracle: String =
+    """SELECT doc_id AS media_id,
+      |  CAST(doc_id % 8 + 1 AS INTEGER) AS exif_orientation,
+      |  CAST(CASE WHEN doc_id % 8 + 1 >= 5 THEN 8 ELSE 16 END AS INTEGER)
+      |    AS width,
+      |  CAST(CASE WHEN doc_id % 8 + 1 >= 5 THEN 16 ELSE 8 END AS INTEGER)
+      |    AS height
+      |FROM documents ORDER BY media_id""".stripMargin
+
   /** Robust per-language length stats: exact interpolated median +
     * MAD + 3-MAD outlier counts, all from ONE corpus scan into a
     * (lang, n_chars) histogram — no percentile() value buffering on a
@@ -3548,5 +3586,6 @@ object TextQueries {
     "tx_sample_strata" -> ((sampleStrata _, Some(sampleStrataOracle))),
     "tx_corpus_profile" -> ((corpusProfile _, Some(corpusProfileOracle))),
     "mm_media_meta" -> ((mediaMeta _, Some(mediaMetaOracle))),
-    "mm_chunks" -> ((mediaChunks _, Some(mediaChunksOracle))))
+    "mm_chunks" -> ((mediaChunks _, Some(mediaChunksOracle))),
+    "mm_exif_meta" -> ((exifMeta _, Some(exifMetaOracle))))
 }

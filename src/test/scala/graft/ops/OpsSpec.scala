@@ -2643,4 +2643,121 @@ class OpsSpec extends SparkSpec {
     assert(row.getAs[java.sql.Timestamp]("asof_ts") == t(10))
     assert(row.isNullAt(row.fieldIndex("v")))
   }
+
+  // ------------------------------------------------------------ EXIF
+
+  test("exif: orientation round-trips through all 8 fixture JPEGs (both endians, fill bytes)") {
+    for (o <- 1 to 8) {
+      val bytes = Multimodal.exifFixture(o)
+      assert(Multimodal.Exif.orientation(bytes) == o,
+        s"orientation $o did not round-trip")
+      // the spliced JPEG must still DECODE (APP1 + fill bytes are
+      // spec-legal — a decoder rejecting them would break resize)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(img != null && img.getWidth == 16 && img.getHeight == 8)
+    }
+  }
+
+  test("exif: orientation 0 on non-JPEG / no-APP1 / truncated / corrupt payloads") {
+    assert(Multimodal.Exif.orientation("not a jpeg".getBytes) == 0)
+    assert(Multimodal.Exif.orientation(Array[Byte]()) == 0)
+    // a plain ImageIO-encoded JPEG carries no EXIF
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    assert(Multimodal.Exif.orientation(bos.toByteArray) == 0)
+    // truncated mid-segment: fails safe, not out-of-bounds
+    val fix = Multimodal.exifFixture(3)
+    assert(Multimodal.Exif.orientation(fix.take(10)) == 0)
+    // orientation outside 1..8 in the tag -> 0 (reserved values)
+    val bad = fix.clone()
+    // big-endian fixture (o=3 odd): value byte holds the orientation
+    val idx = bad.indexOfSlice(Seq[Byte](0x01, 0x12, 0, 3))
+    assert(idx > 0)
+    bad(idx + 9) = 9 // SHORT value hi=0 lo=9
+    assert(Multimodal.Exif.orientation(bad) == 0)
+  }
+
+  test("exif: applyOrientation maps corners correctly for all 8 orientations") {
+    // 3x2 probe, distinct corner colors (lossless path — no JPEG)
+    val img = new java.awt.image.BufferedImage(3, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000) // TL red
+    img.setRGB(2, 0, 0x00ff00) // TR green
+    img.setRGB(0, 1, 0x0000ff) // BL blue
+    img.setRGB(2, 1, 0xffffff) // BR white
+    img.setRGB(1, 0, 0x111111); img.setRGB(1, 1, 0x222222)
+    def tl(o: Int): Int = {
+      val out = Multimodal.applyOrientation(img, o)
+      out.getRGB(0, 0) & 0xffffff
+    }
+    def dims(o: Int): (Int, Int) = {
+      val out = Multimodal.applyOrientation(img, o)
+      (out.getWidth, out.getHeight)
+    }
+    // where does the display's top-left pixel come from, per EXIF 2.3
+    assert(tl(1) == 0xff0000) // identity
+    assert(tl(2) == 0x00ff00) // flip-H: TR -> TL
+    assert(tl(3) == 0xffffff) // 180: BR -> TL
+    assert(tl(4) == 0x0000ff) // flip-V: BL -> TL
+    assert(tl(5) == 0xff0000) // transpose: TL stays
+    assert(tl(6) == 0x0000ff) // 90 CW: BL -> TL
+    assert(tl(7) == 0xffffff) // transverse: BR -> TL
+    assert(tl(8) == 0x00ff00) // 270 CW: TR -> TL
+    for (o <- 1 to 4) assert(dims(o) == ((3, 2)))
+    for (o <- 5 to 8) assert(dims(o) == ((2, 3)), s"orientation $o must swap dims")
+    // unknown orientation: untouched input
+    assert(Multimodal.applyOrientation(img, 0) eq img)
+    assert(Multimodal.applyOrientation(img, 9) eq img)
+  }
+
+  test("exif: exifFeatures reports orientation + display dims; sentinels survive") {
+    val rows = (1 to 8).map(o => (o.toLong, Multimodal.exifFixture(o),
+        "image/jpeg")) ++ Seq(
+      (90L, "not an image".getBytes, "image/jpeg"), // corrupt
+      (91L, null.asInstanceOf[Array[Byte]], "image/jpeg"), // null payload
+      (92L, "audio bytes".getBytes, "audio/wav")) // non-image mime
+    val media = rows.toDF("media_id", "payload", "mime")
+      .select(col("media_id"), col("payload"),
+        struct(col("mime"), octet_length(col("payload")).cast("long")
+          .as("byte_len")).as("meta"))
+    val f = Multimodal.exifFeatures(media).collect()
+      .map(m => m.media_id -> m).toMap
+    for (o <- 1 to 8) {
+      val m = f(o.toLong)
+      assert(m.exif_orientation == o)
+      // fixture is 16x8; orientations 5-8 swap display dims
+      if (o >= 5) assert(m.width == 8 && m.height == 16, s"o=$o: $m")
+      else assert(m.width == 16 && m.height == 8, s"o=$o: $m")
+      assert(m.byte_len > 0)
+    }
+    assert(f(90L).exif_orientation == 0 && f(90L).width == -1)
+    assert(f(91L).exif_orientation == 0 && f(91L).width == -1 &&
+      f(91L).byte_len == 0L, "null payload must sentinel, not NPE")
+    assert(f(92L).exif_orientation == 0 && f(92L).width == -1)
+  }
+
+  test("exif: resizeImages honors orientation (transposed aspect for orientation 6)") {
+    val media = Seq(
+        (1L, Multimodal.exifFixture(1), "image/jpeg"),
+        (6L, Multimodal.exifFixture(6), "image/jpeg"))
+      .toDF("media_id", "payload", "mime")
+      .select(col("media_id"), col("payload"),
+        struct(col("mime"), octet_length(col("payload")).cast("long")
+          .as("byte_len")).as("meta"))
+    val r = Multimodal.resizeImages(media, maxDim = 256).collect()
+      .map(m => m.media_id -> m).toMap
+    // no upscale: dims pass through, orientation applied
+    assert(r(1L).width == 16 && r(1L).height == 8)
+    assert(r(6L).width == 8 && r(6L).height == 16,
+      "orientation-6 capture must resize in DISPLAY space")
+    // re-decode the emitted PNG: left half of the o=6 DISPLAY frame is
+    // the original BOTTOM row rotated up — both halves must still be
+    // saturated red/blue (JPEG-lossy, so threshold not equality)
+    val png = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r(6L).payload))
+    assert(png.getWidth == 8 && png.getHeight == 16)
+  }
 }
