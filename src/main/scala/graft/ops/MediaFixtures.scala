@@ -1,0 +1,143 @@
+package graft.ops
+
+/** Deterministic in-memory media payload builders with KNOWN metadata —
+  * the planted-truth side of the `mm_meta_oracle` driver row.
+  *
+  * The byte-walk decoders in [[Multimodal]] (MP4 `tkhd`/`stsz` box
+  * walk, MP3 frame-header walk, WAV via javax.sound, PNG via ImageIO)
+  * are pure functions of payload bytes, so a payload CONSTRUCTED with
+  * chosen parameters gives oracle-expressible expected values: DuckDB
+  * never decodes a byte, it just states what the builder planted
+  * (dimensions, sample rate, channel count, frame count), and the
+  * engine's decode must recover exactly that. This moves the decoder
+  * logic from spec-only coverage to the per-round driver correctness
+  * gate.
+  *
+  * Every builder is seed-free and uses fixed byte layouts (no
+  * timestamps, no RNG), so the same slot produces identical bytes in
+  * every JVM — the [[Multimodal.exifFixture]] contract.
+  */
+object MediaFixtures {
+
+  private def be32(v: Long): Array[Byte] = Array(
+    ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+    ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def box(typ: String, payload: Array[Byte]): Array[Byte] =
+    be32(8L + payload.length) ++ typ.getBytes("US-ASCII") ++ payload
+
+  /** Minimal ISO-BMFF container the [[Multimodal.Mp4MetaDecoder]] walk
+    * reads: `ftyp` + `moov(trak(tkhd + mdia(minf(stbl(stsz)))))`.
+    * `tkhd` carries `w`×`h` in 16.16 fixed point (version 0 layout, or
+    * version 1 with the widened 64-bit time fields when `v1`), `stsz`
+    * carries the sample count. No `mdat` — the metadata walk never
+    * touches sample data. */
+  def mp4(w: Int, h: Int, frames: Int, v1: Boolean = false): Array[Byte] = {
+    val tkhdPayload = new Array[Byte](if (v1) 96 else 84)
+    if (v1) tkhdPayload(0) = 1
+    val whOff = if (v1) 88 else 76
+    System.arraycopy(be32(w.toLong << 16), 0, tkhdPayload, whOff, 4)
+    System.arraycopy(be32(h.toLong << 16), 0, tkhdPayload, whOff + 4, 4)
+    // stsz: version/flags, uniform sample size (0 = per-sample), count
+    val stszPayload = be32(0) ++ be32(0) ++ be32(frames.toLong)
+    val stbl = box("stbl", box("stsz", stszPayload))
+    val trak = box("trak",
+      box("tkhd", tkhdPayload) ++ box("mdia", box("minf", stbl)))
+    box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0)) ++ box("moov", trak)
+  }
+
+  /** MPEG Layer III frame stream the [[Multimodal.Mp3MetaDecoder]]
+    * header walk reads: `frames` consecutive frames at 128 kbps/44.1 kHz
+    * stereo (MPEG1) or 80 kbps/22.05 kHz mono (MPEG2 when `!mpeg1`),
+    * optionally behind an ID3v2 tag (syncsafe length) and in front of
+    * trailing junk — both of which a real file carries and the walker
+    * must tolerate. Frame bodies are a fixed repeating byte pattern. */
+  def mp3(frames: Int, mpeg1: Boolean = true, id3: Boolean = false,
+      trailingJunk: Boolean = false): Array[Byte] = {
+    val (h2, h3, h4, frameLen) =
+      if (mpeg1) (0xfb, 0x90, 0x00, 144 * 128000 / 44100) // brIdx 9=128k, sr 44100, stereo
+      else (0xf3, 0x90, 0xc0, 72 * 80000 / 22050)         // brIdx 9=80k, sr 22050, mono
+    val frame = new Array[Byte](frameLen)
+    frame(0) = 0xff.toByte
+    frame(1) = h2.toByte
+    frame(2) = h3.toByte
+    frame(3) = h4.toByte
+    var i = 4
+    while (i < frameLen) { frame(i) = (i % 251).toByte; i += 1 }
+    val id3Tag =
+      if (!id3) Array.empty[Byte]
+      else "ID3".getBytes("US-ASCII") ++ Array[Byte](3, 0, 0, 0, 0, 0, 17) ++
+        Array.fill[Byte](17)('x')
+    val tail =
+      if (!trailingJunk) Array.empty[Byte]
+      else ("TAG" + "junk after the last full frame").getBytes("US-ASCII")
+    id3Tag ++ Array.fill(frames)(frame).flatten ++ tail
+  }
+
+  /** PCM WAV: 16-bit signed mono at `rate` Hz, `n` samples of a fixed
+    * deterministic ramp. javax.sound reads back rate/channels/frames. */
+  def wav(rate: Int, n: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = ((i * 523) % 30000).toShort // deterministic, no RNG
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** PNG of `w`×`h` with a deterministic two-tone pattern. */
+  def png(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, if ((x + y) % 2 == 0) 0x204080 else 0xc0a060)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** One planted fixture: the payload plus the metadata the decoder
+    * MUST recover (construction parameters, not decoder outputs). */
+  final case class Planted(slot: Long, mime: String, width: Int,
+      height: Int, nFrames: Int, decoder: String, payload: Array[Byte])
+
+  /** The 12-slot planted table assigned by `doc_id % 12` in
+    * `mm_meta_oracle`: PNG dims (slots 0–2), WAV rate/channels/samples
+    * (3–5), MP3 rate/channels/frame-count across MPEG1/MPEG2, ID3
+    * prefix and trailing junk (6–8), MP4 tkhd dims + stsz counts
+    * across v0/v1 tkhd and a zero-sample track (9–11). */
+  def planted: Seq[Planted] = Seq(
+    Planted(0L, "image/png", 7, 5, 1, "imageio", png(7, 5)),
+    Planted(1L, "image/png", 12, 3, 1, "imageio", png(12, 3)),
+    Planted(2L, "image/png", 2, 9, 1, "imageio", png(2, 9)),
+    Planted(3L, "audio/wav", 8000, 1, 64, "wav", wav(8000, 64)),
+    Planted(4L, "audio/wav", 22050, 1, 100, "wav", wav(22050, 100)),
+    Planted(5L, "audio/wav", 16000, 1, 33, "wav", wav(16000, 33)),
+    Planted(6L, "audio/mpeg", 44100, 2, 5, "mp3-meta",
+      mp3(5, mpeg1 = true, id3 = true)),
+    Planted(7L, "audio/mpeg", 22050, 1, 3, "mp3-meta",
+      mp3(3, mpeg1 = false)),
+    Planted(8L, "audio/mpeg", 44100, 2, 1, "mp3-meta",
+      mp3(1, mpeg1 = true, trailingJunk = true)),
+    Planted(9L, "video/mp4", 320, 240, 10, "mp4-meta", mp4(320, 240, 10)),
+    Planted(10L, "video/mp4", 64, 48, 3, "mp4-meta",
+      mp4(64, 48, 3, v1 = true)),
+    Planted(11L, "video/mp4", 1920, 1080, 0, "mp4-meta",
+      mp4(1920, 1080, 0)))
+}

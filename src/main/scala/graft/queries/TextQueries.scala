@@ -3385,6 +3385,54 @@ object TextQueries {
       |    AS height
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** Planted-truth decode over ALL the byte-walk decoders at once:
+    * each doc row gets the [[graft.ops.MediaFixtures.planted]] payload
+    * for slot `doc_id % 12` (PNG / WAV / MP3 MPEG1+MPEG2 / MP4 v0+v1
+    * tkhd), [[graft.ops.Multimodal.JdkMediaDecoder]] dispatches and
+    * decodes, and the oracle states the CONSTRUCTION parameters the
+    * decode must recover — tkhd 16.16 dims, stsz counts, MP3
+    * rate/channels/frame walks (through ID3 tags and trailing junk),
+    * WAV format, PNG dims. ~400 LoC of decoder logic moves from
+    * spec-only to the per-round driver gate. Fixture payloads are
+    * driver-built once (12 rows) and broadcast. */
+  def mediaDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fixtures = graft.ops.MediaFixtures.planted
+      .map(p => (p.slot, p.mime, p.payload))
+      .toDF("slot", "mime", "payload")
+    val media = docs(spark, dir)
+      .select(col("doc_id").as("media_id"), (col("doc_id") % 12).as("slot"))
+      .join(broadcast(fixtures), "slot")
+      .select(col("media_id"), col("payload"),
+        struct(col("mime"),
+          octet_length(col("payload")).cast("long").as("byte_len"))
+          .as("meta"))
+    graft.ops.Multimodal
+      .extractFeatures(media, graft.ops.Multimodal.JdkMediaDecoder).toDF()
+      .select("media_id", "mime", "width", "height", "n_frames", "decoder")
+      .transform(QueryUtil.ordered("media_id"))
+  }
+
+  /** Oracle generated from the SAME construction-parameter table the
+    * engine plants from ([[graft.ops.MediaFixtures.planted]]) — the
+    * parameters are inputs to the byte builders, never decoder
+    * outputs, so nothing the engine computes leaks into the check. */
+  val mediaDecodeOracle: String = {
+    val p = graft.ops.MediaFixtures.planted
+    def cases(f: graft.ops.MediaFixtures.Planted => String): String =
+      p.map(x => s"WHEN ${x.slot} THEN ${f(x)}").mkString(" ")
+    s"""SELECT doc_id AS media_id,
+       |  CASE doc_id % 12 ${cases(x => s"'${x.mime}'")} END AS mime,
+       |  CAST(CASE doc_id % 12 ${cases(_.width.toString)} END AS INTEGER)
+       |    AS width,
+       |  CAST(CASE doc_id % 12 ${cases(_.height.toString)} END AS INTEGER)
+       |    AS height,
+       |  CAST(CASE doc_id % 12 ${cases(_.nFrames.toString)} END AS INTEGER)
+       |    AS n_frames,
+       |  CASE doc_id % 12 ${cases(x => s"'${x.decoder}'")} END AS decoder
+       |FROM documents ORDER BY media_id""".stripMargin
+  }
+
   /** Robust per-language length stats: exact interpolated median +
     * MAD + 3-MAD outlier counts, all from ONE corpus scan into a
     * (lang, n_chars) histogram — no percentile() value buffering on a
@@ -3587,5 +3635,6 @@ object TextQueries {
     "tx_corpus_profile" -> ((corpusProfile _, Some(corpusProfileOracle))),
     "mm_media_meta" -> ((mediaMeta _, Some(mediaMetaOracle))),
     "mm_chunks" -> ((mediaChunks _, Some(mediaChunksOracle))),
-    "mm_exif_meta" -> ((exifMeta _, Some(exifMetaOracle))))
+    "mm_exif_meta" -> ((exifMeta _, Some(exifMetaOracle))),
+    "mm_meta_oracle" -> ((mediaDecode _, Some(mediaDecodeOracle))))
 }
