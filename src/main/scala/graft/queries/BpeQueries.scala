@@ -65,14 +65,35 @@ object BpeQueries {
     Bpe.vocabIdTable(spark, merges).transform(QueryUtil.ordered("token_id"))
   }
 
-  /** tx_bpe_ids: the id-encoded corpus — (doc_id, widx, sidx,
-    * token_id) for every post-merge token of every gated word; the
-    * artifact a trainer actually consumes (closes the r9 gap where
-    * tx_bpe_apply stopped at per-doc COUNTS). */
+  /** tx_bpe_ids: the id-encoded corpus — every (doc_id, widx, sidx,
+    * token_id) row of [[graft.ops.Bpe.encodeIds]] — verified through a
+    * BOUNDED registered output (the r10 verdict's scale fix): the raw
+    * id frame is corpus_tokens-sized, so materializing it in total
+    * order through the single-partition result sort was the one
+    * scale-killer in the wrapper. Instead each doc reduces to
+    * (n_ids, order-insensitive bit-XOR digest of md5-low64 over the
+    * full (doc_id,widx,sidx,token_id) tuple — the Release checksum
+    * pattern — plus the first 8 token ids in stream order), so a
+    * single flipped/missing/duplicated token row anywhere in the
+    * corpus still breaks the hash, but the registered result is
+    * per-doc-sized and the heavy frame reduces under a map-side
+    * partial aggregate instead of sorting in one task. */
   def bpeIds(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
     val (merges, _) = Bpe.learnMerges(docs(spark, dir), K)
     Bpe.encodeIds(spark, docs(spark, dir), merges)
-      .transform(QueryUtil.ordered("doc_id", "widx", "sidx"))
+      .withColumn("_fp", graft.ops.TextAnalysis.md5Low64(
+        concat_ws("|", col("doc_id").cast("string"),
+          col("widx").cast("string"), col("sidx").cast("string"),
+          col("token_id").cast("string"))))
+      .withColumn("_t", struct(col("widx"), col("sidx"), col("token_id")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ids"),
+        expr("bit_xor(_fp)").as("ids_hash"),
+        concat_ws(",", transform(
+          slice(array_sort(collect_list(col("_t"))), 1, 8),
+          t => t.getField("token_id").cast("string"))).as("head_ids"))
+      .transform(QueryUtil.ordered("doc_id"))
   }
 
   /** tx_pack_bpe: token-budget shard packing on REAL tokenizer counts —
@@ -212,10 +233,25 @@ object BpeQueries {
        |    syms[j] AS sym
        |  FROM (SELECT doc_id, widx, syms
        |        FROM tokw JOIN wsym USING (word)) x,
-       |       LATERAL (SELECT unnest(range(1, len(syms) + 1)) AS j) h)
-       |SELECT doc_id, widx, sidx, token_id
-       |FROM toks JOIN ids USING (sym)
-       |ORDER BY doc_id, widx, sidx""".stripMargin
+       |       LATERAL (SELECT unnest(range(1, len(syms) + 1)) AS j) h),
+       |idrows AS (SELECT doc_id, widx, sidx, token_id
+       |  FROM toks JOIN ids USING (sym)),
+       |idfp AS (SELECT doc_id, widx, sidx, token_id,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' ||
+       |      CAST(widx AS VARCHAR) || '|' || CAST(sidx AS VARCHAR) ||
+       |      '|' || CAST(token_id AS VARCHAR)), 1, 16))::UBIGINT AS h
+       |  FROM idrows),
+       |idg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ids,
+       |    bit_xor(h) AS h,
+       |    array_to_string((list(token_id ORDER BY widx, sidx))[1:8], ',')
+       |      AS head_ids
+       |  FROM idfp GROUP BY doc_id)
+       |SELECT doc_id, n_ids,
+       |  CAST(h::HUGEINT - CASE WHEN h >= 9223372036854775808::UBIGINT
+       |    THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT)
+       |    AS ids_hash,
+       |  head_ids
+       |FROM idg ORDER BY doc_id""".stripMargin
 
   val packBpeOracle: String =
     s"""${chainSql(K)},

@@ -502,4 +502,25 @@ class PlanSpec extends SparkSpec {
     val p = plan("tx_tokenizer_probe")
     assert(countOf(p, "Exchange") <= 1, s"unexpected shuffle:\n$p")
   }
+
+  test("tx_bpe_ids: corpus-sized id frame reduces below the single result exchange") {
+    // the r10 scale fix: the registered output is the per-doc
+    // (n_ids, xor digest, head slice) reduction — the corpus_tokens-
+    // sized id frame must aggregate (map-side partial on doc_id)
+    // BEFORE the one single-partition ordering exchange, never sort
+    // through it
+    val p = plan("tx_bpe_ids")
+    val sp = p.indexOf("Exchange SinglePartition")
+    assert(sp >= 0, s"missing result exchange:\n$p")
+    assert(p.indexOf("Exchange SinglePartition", sp + 1) < 0,
+      s"exactly one single-partition exchange expected:\n$p")
+    // printed top-down: everything after `sp` is BELOW the exchange —
+    // the digest aggregate (bit_xor) and its doc_id shuffle must both
+    // live there, so only the per-doc reduction crosses into one task
+    assert(p.indexOf("bit_xor") > sp,
+      s"per-doc digest must aggregate below the result exchange:\n$p")
+    assert(p.indexOf("hashpartitioning(doc_id") > sp,
+      s"expected a doc_id hash exchange under the result exchange:\n$p")
+    assert(!p.contains("CartesianProduct"), s"crossed:\n$p")
+  }
 }
