@@ -11,10 +11,15 @@ import org.apache.spark.sql.SparkSession
   * every operator is fully computed (a bare `count()` would let Catalyst
   * prune the very expressions being measured). Each query gets one
   * untimed warm-up (JVM boot, codegen compile, FS cache) and THREE timed
-  * runs; the reported per-query number is the MEDIAN (single-shot
-  * timings on a shared box drift ±30% — r2's etl_report "regression"
-  * was exactly that), with every raw run kept in the JSON under `runs`
-  * so spreads stay auditable. ALL caches — operator-internal persists
+  * runs — FIVE when the median exceeds 5 s (median-of-5 resists one
+  * loaded-box run on the long lines where one bad run skews
+  * median-of-3); the reported per-query number is the MEDIAN
+  * (single-shot timings on a shared box drift ±30% — r2's etl_report
+  * "regression" was exactly that), with every raw run kept in the JSON
+  * under `runs`, per-run in-region GC seconds under `gc_sec`, and the
+  * OS 1-minute load average at each run's start under `load_1m`, so a
+  * loaded box is distinguishable from a plan regression in the
+  * artifact itself. ALL caches — operator-internal persists
   * included — are dropped between runs, so every timed number is the
   * steady-state cold-plan cost, not a cache-hit artifact.
   *
@@ -37,6 +42,26 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   private val TimedRuns = 3
+  /** Mega-composition lines (median > 5 s) get TWO extra timed runs —
+    * median-of-5 resists one loaded-box run where median-of-3 cannot
+    * (r10: the driver box breached the 1.3× spread bar on 19/61 lines
+    * with zero code changes; the per-run `gc`/`load` telemetry below
+    * makes that distinguishable from a plan regression IN the
+    * artifact). */
+  private val HeavyRuns = 5
+  private val HeavyThresholdSec = 5.0
+
+  private def gcMillis(): Long = {
+    val it = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.iterator()
+    var t = 0L
+    while (it.hasNext) { val b = it.next(); val c = b.getCollectionTime
+      if (c > 0) t += c }
+    t
+  }
+  private def loadAvg(): Double =
+    java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -81,6 +106,8 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val allRuns = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val discarded = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    val gcRuns = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    val loadRuns = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     def medianOf(rs: Seq[Double]): Double = {
       val ok = rs.filter(_ >= 0)
       if (ok.isEmpty) -1.0 else ok.sorted.apply(ok.size / 2)
@@ -90,7 +117,15 @@ object Bench {
         System.err.println(s"[bench] warm-up $name failed: $e")
       }
       dropAllCaches()
+      val gcs = scala.collection.mutable.ArrayBuffer[Double]()
+      val loads = scala.collection.mutable.ArrayBuffer[Double]()
       def timedRun(): Double = {
+        // per-run load-vs-regression telemetry: OS 1-min load average
+        // at t0 and GC time spent INSIDE the timed region — a loaded
+        // box shows high load / flat gc on the slow run; a real plan
+        // regression shows neither
+        loads += math.rint(loadAvg() * 100) / 100
+        val gc0 = gcMillis()
         val t0 = System.nanoTime()
         val r =
           try { force(name); (System.nanoTime() - t0) / 1e9 }
@@ -99,6 +134,7 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: $e")
             -1.0
           }
+        gcs += math.rint((gcMillis() - gc0) / 10.0) / 100
         dropAllCaches()
         // mega-composition settle (r10): a >5 s run (the curation
         // chains) leaves an order-of-magnitude more checkpoint blocks,
@@ -111,6 +147,9 @@ object Bench {
         r
       }
       var runs = (1 to TimedRuns).map(_ => timedRun())
+      // heavy lines: median-of-5 (see HeavyRuns scaladoc)
+      if (medianOf(runs) > HeavyThresholdSec)
+        runs = runs ++ (TimedRuns until HeavyRuns).map(_ => timedRun())
       // interference guard: re-measure (once per slot) any run >2x the
       // median; originals kept in `discarded` — see scaladoc
       val med0 = medianOf(runs)
@@ -122,6 +161,8 @@ object Bench {
         discarded(name) = dropped.toSeq
       }
       allRuns(name) = runs
+      gcRuns(name) = gcs.toSeq
+      loadRuns(name) = loads.toSeq
       name -> medianOf(runs)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
@@ -134,13 +175,16 @@ object Bench {
     val discJson = discarded.map { case (k, v) =>
       "\"" + k + "\":" + v.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    def numMap(m: scala.collection.Map[String, Seq[Double]]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + v.mkString("[", ",", "]") }
+        .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // key order is deliberate: the driver keeps only the LAST ~2k chars
     // of stdout, so the headline medians and total go at the END of the
     // line — bulky runs/errors payloads first (r7: three long error
     // strings pushed every number out of the recorded tail)
     val line =
-      s"""{"runs":$runsJson,"discarded":$discJson,"errors":$errJson,"sf":"$sfDir","queries":$qs,"metric":"total","value":$total,"unit":"sec"}"""
+      s"""{"runs":$runsJson,"gc_sec":${numMap(gcRuns)},"load_1m":${numMap(loadRuns)},"discarded":$discJson,"errors":$errJson,"sf":"$sfDir","queries":$qs,"metric":"total","value":$total,"unit":"sec"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_result.json"), line + "\n")
     spark.stop()
