@@ -720,6 +720,59 @@ class StreamingSpec extends SparkSpec {
     graft.ops.Dedup.releaseCaches()
   }
 
+  test("streaming BPE encode: frozen-merges stream equals batch ids, replays don't duplicate") {
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    val in = tmpDir("bpe-in")
+    val out = tmpDir("bpe-out") + "/ids"
+    // learn merges batch-side; the stream encodes UNSEEN docs with the
+    // frozen sequence round-tripped through the artifact (rank check)
+    val trainDocs = Seq(
+      (1L, "the cat sat on the mat and the cat was fat"),
+      (2L, "that hat that the cat had sat flat"),
+      (3L, "a rat sat where the cat sat")).toDF("doc_id", "text")
+    val learned = graft.ops.Bpe.learnMerges(trainDocs, 4)._1
+    val artPath = tmpDir("bpe-model") + "/merges"
+    graft.ops.Bpe.MergesArtifact.save(spark, learned, artPath)
+    val merges = graft.ops.Bpe.MergesArtifact.load(spark, artPath)
+    assert(merges == learned, "artifact round-trip must be exact")
+    val streamDocs = Seq(
+      (10L, "the fat cat sat"), (11L, "that flat mat"),
+      (12L, "a cat and a rat"), (13L, "X1 42 !!! 9cats"))
+    def jline(d: (Long, String)) = s"""{"doc_id":${d._1},"text":"${d._2}"}"""
+    val fa = java.nio.file.Paths.get(s"$in/a.jsonl")
+    val fb = java.nio.file.Paths.get(s"$in/b.jsonl")
+    java.nio.file.Files.write(fa,
+      streamDocs.take(2).map(jline).mkString("\n").getBytes)
+    java.nio.file.Files.write(fb,
+      streamDocs.drop(2).map(jline).mkString("\n").getBytes)
+    fa.toFile.setLastModified(System.currentTimeMillis() - 60000)
+    val q = spark.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1).json(in)
+      .writeStream
+      .option("checkpointLocation", tmpDir("bpe-ckpt"))
+      .foreachBatch(StreamingBpe.encodingAppender(merges, out))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    def rows(df: DataFrame) = df.select("doc_id", "widx", "sidx", "token_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val streamed = rows(spark.read.parquet(out))
+    val batch = rows(graft.ops.Bpe.encodeIds(spark,
+      streamDocs.toDF("doc_id", "text"), merges))
+    assert(streamed == batch,
+      s"stream ids must equal batch: missing=${batch -- streamed} " +
+        s"extra=${streamed -- batch}")
+    assert(streamed.nonEmpty && streamed.map(_._1) == Set(10L, 11L, 12L),
+      "gated words only: doc 13's digit/punctuation tokens are excluded")
+    // replay: re-running a batch overwrites its own partition — no dupes
+    StreamingBpe.encodingAppender(merges, out)(
+      streamDocs.drop(2).toDF("doc_id", "text"), 1L)
+    assert(rows(spark.read.parquet(out)) == streamed,
+      "a replayed micro-batch must not duplicate or change id rows")
+    graft.ops.Dedup.releaseCaches()
+  }
+
   test("watermarked windowed level counts over the stream") {
     val in = tmpDir("stream-win")
     java.nio.file.Files.copy(
