@@ -110,5 +110,12 @@ object SparkEntry {
     "tx_curation11",     // v6 chain + token-budget admission
     "vec_hard_negatives_lsh", // ANN-path hard-negative mining
     // r10: the tokenizer-id loop
-    "tx_bpe_ids")        // id-encoded corpus (apply merges + id join)
+    "tx_bpe_ids",        // id-encoded corpus (apply merges + per-doc digest)
+    "tx_pack_bpe",       // token-budget packing on real BPE counts
+    "tx_clf_gate_holdout", // holdout-trained calibrated clf gate
+    // r11: planted-truth multimodal decode rows
+    "mm_exif_meta",      // EXIF APP1/TIFF walk over planted rotated JPEGs
+    "mm_meta_oracle",    // MP4/MP3/WAV/PNG byte-walk decode, planted truth
+    "mm_frames",         // MJPEG sample-table walk + per-frame decode
+    "mm_resize")         // orientation-aware aspect-preserving resize
 }

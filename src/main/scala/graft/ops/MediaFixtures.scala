@@ -94,6 +94,53 @@ object MediaFixtures {
     bos.toByteArray
   }
 
+  /** JPEG of `w`×`h` with a deterministic two-tone pattern (the MJPEG
+    * sample payload). */
+  def jpeg(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, if (x < w / 2) 0xcc2020 else 0x2020cc)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** MJPEG ISO-BMFF container: every sample is a complete ImageIO
+    * JPEG of the given dims, addressed by REAL sample tables — `stsd`
+    * (format `jpeg`), per-sample `stsz`, one-chunk `stco` (absolute
+    * file offset into `mdat`), one-entry `stsc` — exactly the walk
+    * [[Multimodal.Mp4FrameSampler.jpegSampleRanges]] performs. Built
+    * in two passes: the `stco` offset depends on the moov length, not
+    * on its own value, so pass 1 measures and pass 2 plants the real
+    * offset. */
+  def mjpegMp4(frameDims: Seq[(Int, Int)]): Array[Byte] = {
+    val samples = frameDims.map { case (w, h) => jpeg(w, h) }
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0))
+    def moov(mdatPayloadOff: Long): Array[Byte] = {
+      val stsd = box("stsd", be32(0) ++ be32(1) ++
+        be32(16) ++ "jpeg".getBytes("US-ASCII") ++ new Array[Byte](8))
+      val stsz = box("stsz", be32(0) ++ be32(0) ++
+        be32(samples.length.toLong) ++
+        samples.flatMap(s => be32(s.length.toLong)))
+      val stco = box("stco", be32(0) ++ be32(1) ++ be32(mdatPayloadOff))
+      val stsc = box("stsc", be32(0) ++ be32(1) ++
+        be32(1) ++ be32(samples.length.toLong) ++ be32(1))
+      box("moov", box("trak", box("mdia", box("minf",
+        box("stbl", stsd ++ stsz ++ stco ++ stsc)))))
+    }
+    val moovLen = moov(0L).length
+    val off = ftyp.length.toLong + moovLen + 8 // + mdat header
+    ftyp ++ moov(off) ++ box("mdat", samples.flatten.toArray)
+  }
+
   /** PNG of `w`×`h` with a deterministic two-tone pattern. */
   def png(w: Int, h: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h,

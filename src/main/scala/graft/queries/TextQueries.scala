@@ -3433,6 +3433,77 @@ object TextQueries {
        |FROM documents ORDER BY media_id""".stripMargin
   }
 
+  /** Planted-truth MJPEG frame sampling: doc_id%2 picks a
+    * [[graft.ops.MediaFixtures.mjpegMp4]] container (2 frames of 16×8,
+    * or 3 of 12×6), [[graft.ops.Multimodal.sampleFrames]] walks the
+    * real stsd/stsz/stco/stsc sample tables and ImageIO-decodes every
+    * sample, and the oracle states the construction truth: frame
+    * indices 0..n-1 with the planted dims. The most intricate byte
+    * walk in the module (chunk-offset × sample-size addressing) moves
+    * under the driver gate. */
+  def mediaFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fixtures = Seq(
+        (0L, graft.ops.MediaFixtures.mjpegMp4(Seq((16, 8), (16, 8)))),
+        (1L, graft.ops.MediaFixtures.mjpegMp4(Seq((12, 6), (12, 6), (12, 6)))))
+      .toDF("slot", "payload")
+    val media = docs(spark, dir)
+      .select(col("doc_id").as("media_id"), (col("doc_id") % 2).as("slot"))
+      .join(broadcast(fixtures), "slot")
+      .select(col("media_id"), col("payload"),
+        struct(lit("video/mp4").as("mime"),
+          octet_length(col("payload")).cast("long").as("byte_len"))
+          .as("meta"))
+    graft.ops.Multimodal.sampleFrames(media).toDF()
+      .select("media_id", "frame_idx", "width", "height")
+      .transform(QueryUtil.ordered("media_id", "frame_idx"))
+  }
+
+  val mediaFramesOracle: String =
+    """SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 12 END AS INTEGER)
+      |    AS width,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 6 END AS INTEGER)
+      |    AS height
+      |FROM documents,
+      |  LATERAL (SELECT unnest(range(0,
+      |    CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 3 END)) AS i)
+      |ORDER BY media_id, frame_idx""".stripMargin
+
+  /** Planted-truth orientation-aware resize: doc_id%4 picks a payload
+    * whose POST-resize dims are known by construction under
+    * maxDim = 10 — PNG 40×16 → 10×4, PNG 16×40 → 4×10, PNG 8×8 →
+    * untouched (never upscale), and the orientation-6 EXIF fixture
+    * (16×8 stored → 8×16 display → 5×10): the aspect-preserving scale
+    * math AND the rotate-before-resize contract, driver-gated. */
+  def mediaResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fixtures = Seq(
+        (0L, graft.ops.MediaFixtures.png(40, 16), "image/png"),
+        (1L, graft.ops.MediaFixtures.png(16, 40), "image/png"),
+        (2L, graft.ops.MediaFixtures.png(8, 8), "image/png"),
+        (3L, graft.ops.Multimodal.exifFixture(6), "image/jpeg"))
+      .toDF("slot", "payload", "mime")
+    val media = docs(spark, dir)
+      .select(col("doc_id").as("media_id"), (col("doc_id") % 4).as("slot"))
+      .join(broadcast(fixtures), "slot")
+      .select(col("media_id"), col("payload"),
+        struct(col("mime"),
+          octet_length(col("payload")).cast("long").as("byte_len"))
+          .as("meta"))
+    graft.ops.Multimodal.resizeImages(media, maxDim = 10).toDF()
+      .select("media_id", "width", "height")
+      .transform(QueryUtil.ordered("media_id"))
+  }
+
+  val mediaResizeOracle: String =
+    """SELECT doc_id AS media_id,
+      |  CAST(CASE doc_id % 4 WHEN 0 THEN 10 WHEN 1 THEN 4
+      |    WHEN 2 THEN 8 ELSE 5 END AS INTEGER) AS width,
+      |  CAST(CASE doc_id % 4 WHEN 0 THEN 4 WHEN 1 THEN 10
+      |    WHEN 2 THEN 8 ELSE 10 END AS INTEGER) AS height
+      |FROM documents ORDER BY media_id""".stripMargin
+
   /** Robust per-language length stats: exact interpolated median +
     * MAD + 3-MAD outlier counts, all from ONE corpus scan into a
     * (lang, n_chars) histogram — no percentile() value buffering on a
@@ -3636,5 +3707,7 @@ object TextQueries {
     "mm_media_meta" -> ((mediaMeta _, Some(mediaMetaOracle))),
     "mm_chunks" -> ((mediaChunks _, Some(mediaChunksOracle))),
     "mm_exif_meta" -> ((exifMeta _, Some(exifMetaOracle))),
-    "mm_meta_oracle" -> ((mediaDecode _, Some(mediaDecodeOracle))))
+    "mm_meta_oracle" -> ((mediaDecode _, Some(mediaDecodeOracle))),
+    "mm_frames" -> ((mediaFrames _, Some(mediaFramesOracle))),
+    "mm_resize" -> ((mediaResize _, Some(mediaResizeOracle))))
 }
