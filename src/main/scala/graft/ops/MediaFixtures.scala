@@ -159,6 +159,33 @@ object MediaFixtures {
     bos.toByteArray
   }
 
+  /** 9×8 grayscale PNG whose [[Multimodal.dhashOf]] is EXACTLY `bits`:
+    * the image is built at the hash's native sampling size (no
+    * resample), each row's luminance walking ±10 per column so
+    * comparison x of row y is (lum(x) > lum(x+1)) == bit(y*8+x). A
+    * constructible inverse of the perceptual hash — lets a query
+    * plant images with CHOSEN pairwise hamming distances, making
+    * near-dup pair sets oracle-expressible. */
+  def dhashPatternPng(bits: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 8) {
+      var lum = 128
+      img.setRGB(0, y, lum * 0x010101)
+      var x = 0
+      while (x < 8) {
+        lum += (if (((bits >>> (y * 8 + x)) & 1L) == 1L) -10 else 10)
+        img.setRGB(x + 1, y, lum * 0x010101)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** One planted fixture: the payload plus the metadata the decoder
     * MUST recover (construction parameters, not decoder outputs). */
   final case class Planted(slot: Long, mime: String, width: Int,

@@ -3504,6 +3504,47 @@ object TextQueries {
       |    WHEN 2 THEN 8 ELSE 10 END AS INTEGER) AS height
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** Planted-truth image near-dup pairs: docs < 48 carry one of four
+    * [[graft.ops.MediaFixtures.dhashPatternPng]] images whose dHash
+    * values are CHOSEN (0x0, all-ones, alternating, row-alternating —
+    * pairwise ≥ 32 bits apart, pinned in OpsSpec), two further slots
+    * carry non-image payloads (must drop). Same-slot docs share a
+    * payload, so the exact near-dup pair set at hamming ≤ 8 is all
+    * same-slot pairs at hamming 0 — the oracle states it from doc_id
+    * arithmetic alone while the engine runs the REAL pigeonhole
+    * chunk-bucket join over decoded dHashes
+    * ([[graft.ops.Multimodal.imageNearDupPairs]]). */
+  def mediaDhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pats = Seq(
+        (0L, graft.ops.MediaFixtures.dhashPatternPng(0L), "image/png"),
+        (1L, graft.ops.MediaFixtures.dhashPatternPng(-1L), "image/png"),
+        (2L, graft.ops.MediaFixtures
+          .dhashPatternPng(0xAAAAAAAAAAAAAAAAL), "image/png"),
+        (3L, graft.ops.MediaFixtures
+          .dhashPatternPng(0xFF00FF00FF00FF00L), "image/png"),
+        (4L, "not an image".getBytes, "text/plain"),
+        (5L, "also not an image".getBytes, "text/plain"))
+      .toDF("slot", "payload", "mime")
+    val media = docs(spark, dir).filter(col("doc_id") < 48)
+      .select(col("doc_id").as("media_id"), (col("doc_id") % 6).as("slot"))
+      .join(broadcast(pats), "slot")
+      .select(col("media_id"), col("payload"),
+        struct(col("mime"),
+          octet_length(col("payload")).cast("long").as("byte_len"))
+          .as("meta"))
+    graft.ops.Multimodal.imageNearDupPairs(media, maxHamming = 8)
+      .transform(QueryUtil.ordered("da", "db"))
+  }
+
+  val mediaDhashPairsOracle: String =
+    """WITH m AS (SELECT doc_id FROM documents
+      |  WHERE doc_id < 48 AND doc_id % 6 < 4)
+      |SELECT a.doc_id AS da, b.doc_id AS db, CAST(0 AS INTEGER) AS hamming
+      |FROM m a JOIN m b
+      |  ON a.doc_id % 6 = b.doc_id % 6 AND a.doc_id < b.doc_id
+      |ORDER BY da, db""".stripMargin
+
   /** Robust per-language length stats: exact interpolated median +
     * MAD + 3-MAD outlier counts, all from ONE corpus scan into a
     * (lang, n_chars) histogram — no percentile() value buffering on a
@@ -3709,5 +3750,6 @@ object TextQueries {
     "mm_exif_meta" -> ((exifMeta _, Some(exifMetaOracle))),
     "mm_meta_oracle" -> ((mediaDecode _, Some(mediaDecodeOracle))),
     "mm_frames" -> ((mediaFrames _, Some(mediaFramesOracle))),
-    "mm_resize" -> ((mediaResize _, Some(mediaResizeOracle))))
+    "mm_resize" -> ((mediaResize _, Some(mediaResizeOracle))),
+    "mm_dhash_pairs" -> ((mediaDhashPairs _, Some(mediaDhashPairsOracle))))
 }

@@ -53,6 +53,7 @@ class PlanSpec extends SparkSpec {
       // DISTINCT-SCORE bins — a grain-bounded frame (<= 10001 rows at
       // 4dp), never the corpus; CartesianProduct stays forbidden
       "tx_clf_isotonic",
+      "tx_clf_gate_holdout", // same iso pairing, fit on the holdout split
       "tx_curation12")    // embeds the same iso pairing + scalar stages
 
   test("no headline query plans a cartesian product (baselines excepted)") {

@@ -2739,6 +2739,23 @@ class OpsSpec extends SparkSpec {
     assert(f(92L).exif_orientation == 0 && f(92L).width == -1)
   }
 
+  test("dHash pattern fixtures: planted bits round-trip; slots pairwise far apart") {
+    // the mm_dhash_pairs contract: each fixture's dHash IS the chosen
+    // bit pattern, and the four patterns sit > 8 bits apart so only
+    // same-slot (hamming 0) pairs can match at maxHamming = 8
+    val pats = Seq(0L, -1L, 0xAAAAAAAAAAAAAAAAL, 0xFF00FF00FF00FF00L)
+    val hashes = pats.map { b =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+        MediaFixtures.dhashPatternPng(b)))
+      Multimodal.dhashOf(img)
+    }
+    assert(hashes == pats,
+      s"dhashPatternPng must invert dhashOf exactly: got $hashes")
+    for (i <- pats.indices; j <- pats.indices if i < j)
+      assert(java.lang.Long.bitCount(hashes(i) ^ hashes(j)) > 8,
+        s"slots $i/$j too close")
+  }
+
   test("exif: resizeImages honors orientation (transposed aspect for orientation 6)") {
     val media = Seq(
         (1L, Multimodal.exifFixture(1), "image/jpeg"),
