@@ -141,6 +141,29 @@ object MediaFixtures {
     ftyp ++ moov(off) ++ box("mdat", samples.flatten.toArray)
   }
 
+  /** Pure-tone PCM WAV (16-bit mono): `n` samples of a `freq` Hz sine
+    * at `rate` Hz — the planted input whose FFT octave-band argmax is
+    * known by construction (a Hann-windowed pure tone concentrates its
+    * energy within ±2 bins of `freq·fftSize/rate`, so choosing bins
+    * mid-band pins the top band exactly). */
+  def sineWav(freq: Double, rate: Int, n: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = (math.sin(2 * math.Pi * freq * i / rate) * 30000).toShort
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** PNG of `w`×`h` with a deterministic two-tone pattern. */
   def png(w: Int, h: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h,

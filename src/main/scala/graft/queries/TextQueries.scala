@@ -3545,6 +3545,42 @@ object TextQueries {
       |  ON a.doc_id % 6 = b.doc_id % 6 AND a.doc_id < b.doc_id
       |ORDER BY da, db""".stripMargin
 
+  /** Planted-truth spectral gate: doc_id%3 picks a pure-tone WAV
+    * ([[graft.ops.MediaFixtures.sineWav]], 16 kHz, 4096 samples) whose
+    * dominant FFT octave band is known by construction — the tone's
+    * bin (freq·fftSize/rate: 1000 Hz→256, 6000 Hz→1536, 187.5 Hz→48)
+    * sits mid-band, so the Hann main lobe cannot straddle a band edge.
+    * Drives the WHOLE hand-rolled FFT path
+    * ([[graft.ops.Multimodal.audioSpectra]]: decode → window → radix-2
+    * FFT → octave binning → argmax) under the driver gate. */
+  def audioBands(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fixtures = Seq(
+        (0L, graft.ops.MediaFixtures.sineWav(1000.0, 16000, 4096)),
+        (1L, graft.ops.MediaFixtures.sineWav(6000.0, 16000, 4096)),
+        (2L, graft.ops.MediaFixtures.sineWav(187.5, 16000, 4096)))
+      .toDF("slot", "payload")
+    val media = docs(spark, dir)
+      .select(col("doc_id").as("media_id"), (col("doc_id") % 3).as("slot"))
+      .join(broadcast(fixtures), "slot")
+      .select(col("media_id"), col("payload"),
+        struct(lit("audio/wav").as("mime"),
+          octet_length(col("payload")).cast("long").as("byte_len"))
+          .as("meta"))
+    graft.ops.Multimodal.audioSpectra(media)
+      .map(s => (s.media_id, s.sample_rate, s.n_samples,
+        s.band_energy.zipWithIndex.maxBy(_._1)._2))
+      .toDF("media_id", "sample_rate", "n_samples", "top_band")
+      .transform(QueryUtil.ordered("media_id"))
+  }
+
+  val audioBandsOracle: String =
+    """SELECT doc_id AS media_id, CAST(16000 AS INTEGER) AS sample_rate,
+      |  CAST(4096 AS BIGINT) AS n_samples,
+      |  CAST(CASE doc_id % 3 WHEN 0 THEN 5 WHEN 1 THEN 7 ELSE 3 END
+      |    AS INTEGER) AS top_band
+      |FROM documents ORDER BY media_id""".stripMargin
+
   /** Robust per-language length stats: exact interpolated median +
     * MAD + 3-MAD outlier counts, all from ONE corpus scan into a
     * (lang, n_chars) histogram — no percentile() value buffering on a
@@ -3751,5 +3787,6 @@ object TextQueries {
     "mm_meta_oracle" -> ((mediaDecode _, Some(mediaDecodeOracle))),
     "mm_frames" -> ((mediaFrames _, Some(mediaFramesOracle))),
     "mm_resize" -> ((mediaResize _, Some(mediaResizeOracle))),
-    "mm_dhash_pairs" -> ((mediaDhashPairs _, Some(mediaDhashPairsOracle))))
+    "mm_dhash_pairs" -> ((mediaDhashPairs _, Some(mediaDhashPairsOracle))),
+    "mm_audio_bands" -> ((audioBands _, Some(audioBandsOracle))))
 }
