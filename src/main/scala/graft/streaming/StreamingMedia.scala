@@ -1,0 +1,34 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import graft.ops.Multimodal
+
+/** Streaming media metadata extraction — the ingest half of the
+  * multimodal pipeline: a media crawl arrives continuously, and each
+  * micro-batch of (media_id, payload, meta) rows is decoded by the
+  * stateless [[graft.ops.Multimodal.JdkMediaDecoder]] dispatch
+  * (ImageIO pixels, WAV via javax.sound, MP3/MP4 byte walks) into
+  * narrow typed feature rows in the metadata store — the pre-decode
+  * gate table (resolution/duration caps, corrupt-file rejection,
+  * `decoder` provenance filters) that downstream curation reads
+  * WITHOUT ever touching payload bytes again.
+  *
+  * Exactly-once layout is the [[StreamingClf]]/[[StreamingBpe]]
+  * contract verbatim: each batch overwrites its own `batch_id=<id>`
+  * partition; decoding is a pure function of payload bytes, so a
+  * checkpoint replay rewrites identical rows instead of duplicating.
+  *
+  * Scale shape is inherited from [[graft.ops.Multimodal
+  * .extractFeatures]]: blobs never leave their arrival partition (one
+  * decoder instance per task decodes in place), and only the narrow
+  * feature rows are written — the payload column never crosses a
+  * shuffle or lands in the metadata store.
+  */
+object StreamingMedia {
+
+  /** `foreachBatch` body decoding each micro-batch of media rows. */
+  def metaAppender(metaPath: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) =>
+      Multimodal.extractFeatures(batch, Multimodal.JdkMediaDecoder)
+        .write.mode("overwrite").parquet(s"$metaPath/batch_id=$batchId")
+}

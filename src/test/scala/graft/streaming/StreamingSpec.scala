@@ -773,6 +773,64 @@ class StreamingSpec extends SparkSpec {
     graft.ops.Dedup.releaseCaches()
   }
 
+  test("streaming media metadata: decode stream equals batch, replays don't duplicate") {
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    val in = tmpDir("media-in")
+    val out = tmpDir("media-out") + "/meta"
+    // the 12 planted fixtures (PNG/WAV/MP3/MP4) as two parquet
+    // micro-batches of (media_id, payload, meta) rows
+    def mediaDf(slots: Seq[graft.ops.MediaFixtures.Planted]) =
+      slots.map(p => (p.slot, p.payload, p.mime))
+        .toDF("media_id", "payload", "mime")
+        .select(col("media_id"), col("payload"),
+          struct(col("mime"), octet_length(col("payload")).cast("long")
+            .as("byte_len")).as("meta"))
+    val planted = graft.ops.MediaFixtures.planted
+    mediaDf(planted.take(6)).coalesce(1).write.parquet(s"$in/a")
+    mediaDf(planted.drop(6)).coalesce(1).write.parquet(s"$in/b")
+    // flatten into one dir with deterministic arrival order
+    import java.nio.file.{Files => NFiles, Paths => NPaths}
+    val fa = NPaths.get(s"$in/batch_a.parquet")
+    val fb = NPaths.get(s"$in/batch_b.parquet")
+    def onePart(d: String) =
+      NFiles.list(NPaths.get(d))
+        .filter(_.toString.endsWith(".parquet")).findFirst.get
+    NFiles.move(onePart(s"$in/a"), fa)
+    NFiles.move(onePart(s"$in/b"), fb)
+    fa.toFile.setLastModified(System.currentTimeMillis() - 60000)
+    val q = spark.readStream
+      .schema("media_id LONG, payload BINARY, meta STRUCT<mime: STRING, byte_len: LONG>")
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream
+      .option("checkpointLocation", tmpDir("media-ckpt"))
+      .foreachBatch(StreamingMedia.metaAppender(out))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    def rows(df: DataFrame) = df
+      .select("media_id", "mime", "width", "height", "n_frames", "decoder")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getInt(3), r.getInt(4), r.getString(5))).toSet
+    val streamed = rows(spark.read.parquet(out))
+    val batch = rows(graft.ops.Multimodal
+      .extractFeatures(mediaDf(planted), graft.ops.Multimodal.JdkMediaDecoder)
+      .toDF())
+    assert(streamed == batch,
+      s"stream meta must equal batch: missing=${batch -- streamed} " +
+        s"extra=${streamed -- batch}")
+    assert(streamed.size == 12)
+    // the planted construction truth holds through the stream
+    val bySlot = streamed.map(t => t._1 -> t).toMap
+    planted.foreach { p =>
+      assert(bySlot(p.slot) == ((p.slot, p.mime, p.width, p.height,
+        p.nFrames, p.decoder)), s"slot ${p.slot}: ${bySlot(p.slot)}")
+    }
+    // replay: re-running a batch overwrites its own partition — no dupes
+    StreamingMedia.metaAppender(out)(mediaDf(planted.drop(6)), 1L)
+    assert(rows(spark.read.parquet(out)) == streamed,
+      "a replayed micro-batch must not duplicate or change meta rows")
+  }
+
   test("watermarked windowed level counts over the stream") {
     val in = tmpDir("stream-win")
     java.nio.file.Files.copy(
