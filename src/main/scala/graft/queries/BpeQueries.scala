@@ -81,7 +81,12 @@ object BpeQueries {
   def bpeIds(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val (merges, _) = Bpe.learnMerges(docs(spark, dir), K)
-    Bpe.encodeIds(spark, docs(spark, dir), merges)
+    // spread the CPU-heavy narrow chain (regex gate -> double explode
+    // -> per-token md5) across cores: the small-SF scan arrives as ONE
+    // file split and would otherwise serialize it on one task (the
+    // curation-chain spreadById lesson); at cluster scale this is the
+    // stage-boundary layout step before a token-proportional phase
+    Bpe.encodeIds(spark, QueryUtil.spreadById(docs(spark, dir)), merges)
       .withColumn("_fp", graft.ops.TextAnalysis.md5Low64(
         concat_ws("|", col("doc_id").cast("string"),
           col("widx").cast("string"), col("sidx").cast("string"),
