@@ -1875,7 +1875,11 @@ object TextQueries {
     * corpus. The grid windows are grain-bounded (≤ 10001 rows through
     * one task) like every other score-grain window. */
   def clfGateHoldout(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
+    // spread the per-row CPU-heavy stages (5 gradient epochs, holdout
+    // scoring, full-pool scoring — each tokenize+hash+dot per row)
+    // across cores: the small-SF scan is one file split and would
+    // serialize every pass on one task (the spreadById lesson)
+    val d = QueryUtil.spreadById(docs(spark, dir))
     val isTrain = graft.ops.Sampling.unitHash(col("doc_id")) < ClfTrainFrac
     val model = TextAnalysis.trainLogistic(d.filter(isTrain),
       col("lang") === "en", numBuckets = ClfBuckets, iterations = ClfIters,
