@@ -1483,7 +1483,8 @@ object TextQueries {
     import org.apache.spark.sql.DataFrame
     val base = docs(spark, dir)
     val scored = Dedup.checkpointTracked(
-      TextAnalysis.logisticScore(base, col("lang") === "en",
+      TextAnalysis.logisticScore(QueryUtil.spreadById(base),
+        col("lang") === "en",
         numBuckets = ClfBuckets, iterations = ClfIters, learningRate = ClfLr))
     val flr = scored.agg(avg(col("clf_score")).as("_flr"))
     val kept = Dedup.checkpointTracked(
@@ -1574,7 +1575,11 @@ object TextQueries {
     * trained model itself is exact-checked, not just the scoring pass.
     * See [[graft.ops.TextAnalysis.logisticScore]]. */
   def clfQuality(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysis.logisticScore(docs(spark, dir), col("lang") === "en",
+    // spread the gradient-epoch + scoring scans (per-row CPU) across
+    // cores -- partitioning-invariant under the DECIMAL-rounded
+    // gradients, see clfGateHoldout
+    TextAnalysis.logisticScore(QueryUtil.spreadById(docs(spark, dir)),
+        col("lang") === "en",
         numBuckets = ClfBuckets, iterations = ClfIters, learningRate = ClfLr)
       .transform(QueryUtil.ordered("doc_id"))
 
@@ -1729,7 +1734,7 @@ object TextQueries {
     * closed form so the whole fit (training run included) replays in
     * the oracle. See [[graft.ops.Eval.isotonicFit]]. */
   def clfIsotonic(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
+    val d = QueryUtil.spreadById(docs(spark, dir))
     val scored = TextAnalysis.logisticScore(d, col("lang") === "en",
       numBuckets = ClfBuckets, iterations = ClfIters, learningRate = ClfLr)
     graft.ops.Eval.isotonicFit(
