@@ -119,5 +119,6 @@ object SparkEntry {
     "mm_frames",         // MJPEG sample-table walk + per-frame decode
     "mm_resize",         // orientation-aware aspect-preserving resize
     "mm_dhash_pairs",    // perceptual-hash pigeonhole near-dup join
-    "mm_audio_bands")    // WAV decode + hand-rolled FFT octave argmax
+    "mm_audio_bands",    // WAV decode + hand-rolled FFT octave argmax
+    "tx_kn_bigram")      // Kneser-Ney bigram perplexity filter
 }

@@ -3203,6 +3203,32 @@ object TextQueries {
       |SELECT d.doc_id, agg.mean_log10p
       |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin
 
+  /** Kneser–Ney bigram quality scoring (see
+    * [[graft.ops.TextAnalysis.knBigramLogProb]]) — the smoothing
+    * variant LM-perplexity filters actually use; oracle replays the
+    * full count/context/continuation model and the interpolated
+    * estimate term-for-term. */
+  def knBigram(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.knBigramLogProb(docs(spark, dir))
+      .transform(QueryUtil.ordered("doc_id"))
+
+  val knBigramOracle: String =
+    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |bi AS (SELECT doc_id, unnest(w[1:len(w)-1]) AS u, unnest(w[2:len(w)]) AS v
+      |       FROM tk WHERE len(w) >= 2),
+      |bc AS (SELECT u, v, count(*) * 1.0 AS cuv FROM bi GROUP BY 1, 2),
+      |cx AS (SELECT u, sum(cuv) AS cu, count(*) * 1.0 AS n1u FROM bc GROUP BY 1),
+      |ct AS (SELECT v, count(*) * 1.0 AS n1v FROM bc GROUP BY 1),
+      |tt AS (SELECT count(*) * 1.0 AS n1tot FROM bc),
+      |sc AS (SELECT bi.doc_id,
+      |         log10(greatest(bc.cuv - 0.75, 0) / cx.cu +
+      |           0.75 * cx.n1u / cx.cu * ct.n1v / tt.n1tot) AS lp
+      |       FROM bi JOIN bc USING (u, v) JOIN cx USING (u)
+      |       JOIN ct USING (v) CROSS JOIN tt),
+      |agg AS (SELECT doc_id, round(avg(lp), 4) AS kn_log10p FROM sc GROUP BY 1)
+      |SELECT d.doc_id, agg.kn_log10p
+      |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
   /** Per-doc shard + within-shard token position (sample-boundary
     * metadata for attention masking across packed documents). */
   def packPositions(spark: SparkSession, dir: String): DataFrame =
@@ -3761,6 +3787,7 @@ object TextQueries {
     "tx_hybrid_search" -> ((hybridSearch _, Some(hybridSearchOracle))),
     "tx_unigram_logprob" -> ((unigramLogProb _, Some(unigramLogProbOracle))),
     "tx_bigram_logprob" -> ((bigramLogProb _, Some(bigramLogProbOracle))),
+    "tx_kn_bigram" -> ((knBigram _, Some(knBigramOracle))),
     "tx_temp_mix" -> ((tempMix _, Some(tempMixOracle))),
     "tx_fingerprints" -> ((fingerprints _, Some(fingerprintsOracle))),
     "dd_exact" -> ((exactDedup _, Some(exactDedupOracle))),

@@ -2644,6 +2644,23 @@ class OpsSpec extends SparkSpec {
     assert(row.isNullAt(row.fieldIndex("v")))
   }
 
+  test("Kneser-Ney bigram: hand-computed tiny case; estimates sum to 1 per context") {
+    // corpus: (a,b)x2, (a,c)x1 -> c(a,b)=2, c(a,c)=1, c(a)=3,
+    // N1+(a.)=2, N1+(.b)=N1+(.c)=1, N1+(..)=2, D=0.75:
+    // P(b|a) = 1.25/3 + 0.75*2/3 * 1/2 = 2/3
+    // P(c|a) = 0.25/3 + 0.25       = 1/3   (sums to 1 - KN's property)
+    val d = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "x"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.knBigramLogProb(d).collect()
+      .map(x => x.getLong(0) -> Option(x.get(1)).map(_.asInstanceOf[Double]))
+      .toMap
+    assert(r(1L).contains(math.rint(math.log10(2.0 / 3) * 1e4) / 1e4))
+    assert(r(2L) == r(1L))
+    assert(r(3L).contains(math.rint(math.log10(1.0 / 3) * 1e4) / 1e4))
+    assert(r(4L).isEmpty, "single-token docs carry no bigram evidence")
+    Dedup.releaseCaches()
+  }
+
   // ------------------------------------------------------------ EXIF
 
   test("exif: orientation round-trips through all 8 fixture JPEGs (both endians, fill bytes)") {
