@@ -147,4 +147,48 @@ class OpsPropertySpec extends SparkSpec {
       Dedup.releaseCaches()
     }
   }
+
+  test("decoder fuzz: no byte-walk parser throws on adversarial bytes (total functions)") {
+    // at 100 TB corrupt/truncated/hostile blobs are a certainty; every
+    // parser must return its sentinel, never throw or over-read. Three
+    // generator families: pure random bytes, random TRUNCATIONS of
+    // valid fixtures (offset/length fields now point past the end),
+    // and valid fixtures with random single-byte corruptions (size
+    // fields, marker bytes, table counts).
+    val valid: Seq[Array[Byte]] =
+      MediaFixtures.planted.map(_.payload) ++
+        (1 to 8).map(Multimodal.exifFixture) ++
+        Seq(MediaFixtures.mjpegMp4(Seq((4, 2), (4, 2))))
+    val rnd = new scala.util.Random(7)
+    val randoms = (1 to 60).map { i =>
+      val b = new Array[Byte](rnd.nextInt(400)); rnd.nextBytes(b); b
+    }
+    val truncated = (1 to 120).map { _ =>
+      val v = valid(rnd.nextInt(valid.length))
+      java.util.Arrays.copyOf(v, rnd.nextInt(math.max(1, v.length)))
+    }
+    val corrupted = (1 to 120).map { _ =>
+      val v = valid(rnd.nextInt(valid.length)).clone()
+      for (_ <- 0 to rnd.nextInt(4))
+        v(rnd.nextInt(v.length)) = rnd.nextInt(256).toByte
+      v
+    }
+    val inputs = randoms ++ truncated ++ corrupted ++
+      Seq(Array.empty[Byte], Array[Byte](0xff.toByte, 0xd8.toByte))
+    inputs.zipWithIndex.foreach { case (b, i) =>
+      val o = Multimodal.Exif.orientation(b)
+      assert(o >= 0 && o <= 8, s"input $i: orientation $o out of range")
+      val meta = Multimodal.Mp4MetaDecoder.decode(1L, "video/mp4", b)
+      assert(meta.decoder == "mp4-meta", s"input $i")
+      val mp3 = Multimodal.Mp3MetaDecoder.decode(1L, "audio/mpeg", b)
+      assert(mp3.decoder == "mp3-meta", s"input $i")
+      val frames = Multimodal.Mp4FrameSampler
+        .decodeFrames(1L, "video/mp4", b, maxFrames = 2)
+      assert(frames.lengthIs <= 2, s"input $i")
+      val wav = Multimodal.WavDecoder.decode(1L, "audio/wav", b)
+      assert(wav.decoder == "wav", s"input $i")
+      val img = Multimodal.ImageIoDecoder.decode(1L, "image/png", b)
+      assert(img.decoder == "imageio", s"input $i")
+    }
+  }
 }
