@@ -413,10 +413,15 @@ object TextAnalysis {
     * scoring is three EQUI-joins of the bigram stream against them
     * (AQE-planned); only the 1-row N₁₊(··) total broadcasts. */
   def knBigramLogProb(docs: DataFrame, discount: Double = 0.75,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(discount > 0 && discount < 1, s"discount in (0,1), got $discount")
-    val tk = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_tk"))
-    val bi = tk
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    scoreWithKnModel(docs, knBigramModel(docs, discount, idCol, textCol),
+      idCol, textCol)
+
+  /** The doc bigram stream (doc_id, u, v) — the ONE tokenize shape
+    * shared by model building and scoring so they cannot fork. */
+  private def bigramStream(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_tk"))
       .select(col("doc_id"), explode(
         when(size(col("_tk")) >= 2,
           transform(sequence(lit(2), size(col("_tk"))),
@@ -424,22 +429,53 @@ object TextAnalysis {
               element_at(col("_tk"), i).as("v"))))
         .otherwise(array().cast("array<struct<u:string,v:string>>"))).as("b"))
       .select(col("doc_id"), col("b.u").as("u"), col("b.v").as("v"))
+
+  /** Frozen KN bigram model: the count frames [[knBigramLogProb]]'s
+    * estimate reads. Train once on a reference corpus, score any
+    * corpus/stream ([[scoreWithKnModel]], [[graft.streaming
+    * .StreamingLm]]) — the tokenizer-artifact lifecycle for the LM
+    * quality gate. */
+  final case class KnModel(biCounts: DataFrame, ctx: DataFrame,
+      cont: DataFrame, tot: DataFrame, discount: Double)
+
+  def knBigramModel(docs: DataFrame, discount: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text"): KnModel = {
+    require(discount > 0 && discount < 1, s"discount in (0,1), got $discount")
     val biCounts = Dedup.persistTracked(
-      bi.groupBy("u", "v").agg(count(lit(1)).cast("double").as("cuv")))
-    val ctx = biCounts.groupBy("u")
-      .agg(sum(col("cuv")).as("cu"), count(lit(1)).cast("double").as("n1u"))
-    val cont = biCounts.groupBy("v")
-      .agg(count(lit(1)).cast("double").as("n1v"))
-    val tot = biCounts.agg(count(lit(1)).cast("double").as("n1tot"))
-    val scored = bi
-      .join(biCounts, Seq("u", "v"))
-      .join(ctx, Seq("u"))
-      .join(cont, Seq("v"))
-      .crossJoin(broadcast(tot))
+      bigramStream(docs, idCol, textCol)
+        .groupBy("u", "v").agg(count(lit(1)).cast("double").as("cuv")))
+    KnModel(
+      biCounts,
+      biCounts.groupBy("u")
+        .agg(sum(col("cuv")).as("cu"), count(lit(1)).cast("double").as("n1u")),
+      biCounts.groupBy("v").agg(count(lit(1)).cast("double").as("n1v")),
+      biCounts.agg(count(lit(1)).cast("double").as("n1tot")),
+      discount)
+  }
+
+  /** Score docs under a FROZEN KN model. Self-scoring the training
+    * corpus reduces exactly to the closed formula (every event was
+    * counted); for unseen text the out-of-model semantics are defined,
+    * not accidental: an unseen bigram under a seen context keeps the
+    * interpolated backoff with c(u,v) = 0 (and continuation floor 1
+    * for an unseen word), an unseen CONTEXT falls back to the pure
+    * continuation unigram — the standard "back off as far as needed"
+    * ladder, every branch > 0 so log10 is total. */
+  def scoreWithKnModel(docs: DataFrame, model: KnModel,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val d = model.discount
+    val scored = bigramStream(docs, idCol, textCol)
+      .join(model.biCounts, Seq("u", "v"), "left")
+      .join(model.ctx, Seq("u"), "left")
+      .join(model.cont, Seq("v"), "left")
+      .crossJoin(broadcast(model.tot))
       .select(col("doc_id"),
-        log10(greatest(col("cuv") - discount, lit(0.0)) / col("cu") +
-          lit(discount) * col("n1u") / col("cu") * col("n1v") / col("n1tot"))
-          .as("lp"))
+        log10(when(col("cu").isNull,
+            coalesce(col("n1v"), lit(1.0)) / col("n1tot"))
+          .otherwise(
+            greatest(coalesce(col("cuv"), lit(0.0)) - d, lit(0.0)) / col("cu") +
+              lit(d) * col("n1u") / col("cu") *
+              coalesce(col("n1v"), lit(1.0)) / col("n1tot"))).as("lp"))
       .groupBy("doc_id")
       .agg(round(avg(col("lp")), 4).as("kn_log10p"))
     docs.select(col(idCol).as("doc_id"))

@@ -773,6 +773,62 @@ class StreamingSpec extends SparkSpec {
     graft.ops.Dedup.releaseCaches()
   }
 
+  test("streaming KN-LM scoring: frozen-model stream equals batch, OOV backoff defined, replay clean") {
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    val in = tmpDir("lm-in")
+    val out = tmpDir("lm-out") + "/scores"
+    val trainDocs = Seq(
+      (1L, "the cat sat on the mat"), (2L, "the cat ran to the mat"),
+      (3L, "a dog sat on a log")).toDF("doc_id", "text")
+    val model = graft.ops.TextAnalysis.knBigramModel(trainDocs)
+    val streamDocs = Seq(
+      (10L, "the cat sat"),          // fully in-model
+      (11L, "the zebra sat"),        // unseen bigrams, seen contexts
+      (12L, "unknown words entirely"), // unseen contexts -> continuation
+      (13L, "single"))               // no bigram evidence -> NULL
+    def jline(d: (Long, String)) = s"""{"doc_id":${d._1},"text":"${d._2}"}"""
+    val fa = java.nio.file.Paths.get(s"$in/a.jsonl")
+    val fb = java.nio.file.Paths.get(s"$in/b.jsonl")
+    java.nio.file.Files.write(fa,
+      streamDocs.take(2).map(jline).mkString("\n").getBytes)
+    java.nio.file.Files.write(fb,
+      streamDocs.drop(2).map(jline).mkString("\n").getBytes)
+    fa.toFile.setLastModified(System.currentTimeMillis() - 60000)
+    val q = spark.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1).json(in)
+      .writeStream
+      .option("checkpointLocation", tmpDir("lm-ckpt"))
+      .foreachBatch(StreamingLm.knScoringAppender(model, out))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    def rows(df: DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val streamed = rows(spark.read.parquet(out)
+      .select("doc_id", "kn_log10p"))
+    val batch = rows(graft.ops.TextAnalysis.scoreWithKnModel(
+      streamDocs.toDF("doc_id", "text"), model)
+      .select("doc_id", "kn_log10p"))
+    assert(streamed == batch,
+      s"frozen-model stream $streamed must equal batch $batch")
+    assert(streamed(10L).isDefined && streamed(11L).isDefined &&
+      streamed(12L).isDefined, "every backoff branch must score")
+    assert(streamed(13L).isEmpty, "no bigram evidence -> NULL")
+    // in-model text must out-score BOTH OOV variants (the relative
+    // order of the two backoff branches depends on the model's mass —
+    // a pure-continuation fallback may legally beat an in-context
+    // discounted zero — so only the in-model dominance is a law)
+    def v(id: Long) = streamed(id).get.asInstanceOf[Double]
+    assert(v(10L) > v(11L) && v(10L) > v(12L),
+      s"in-model must dominate OOV: ${v(10L)} vs ${v(11L)}, ${v(12L)}")
+    // replay: re-running a batch overwrites its own partition — no dupes
+    StreamingLm.knScoringAppender(model, out)(
+      streamDocs.drop(2).toDF("doc_id", "text"), 1L)
+    assert(rows(spark.read.parquet(out).select("doc_id", "kn_log10p"))
+      == streamed, "a replayed micro-batch must not duplicate or change rows")
+    graft.ops.Dedup.releaseCaches()
+  }
+
   test("streaming media metadata: decode stream equals batch, replays don't duplicate") {
     import org.apache.spark.sql.DataFrame
     import spark.implicits._
