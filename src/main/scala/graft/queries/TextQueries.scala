@@ -2612,6 +2612,49 @@ object TextQueries {
          |FROM shp_r ORDER BY pos""".stripMargin
   }
 
+  /** tx_curation13 — the CCNet-shaped selection: exact dedup FIRST,
+    * then a Kneser–Ney LM trained on the deduplicated pool itself,
+    * then a population-relative perplexity floor (keep docs at or
+    * above the rounded corpus-average log-probability) — the
+    * composition CCNet actually runs (dedup → LM perplexity buckets →
+    * keep head/middle), here as ONE declarative plan: map-side keeper
+    * aggregation, the KN count model derived from one bigram scan,
+    * scoring equi-joins, one broadcast threshold scalar, and a
+    * three-row funnel output. */
+  def curation13(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.DataFrame
+    val base = docs(spark, dir)
+    val kept = Dedup.checkpointTracked(QueryUtil.spreadById(fpKeeper(base)))
+    // checkpoint: the scored frame feeds both the threshold scalar and
+    // the selection filter — one KN scoring pass, not two
+    val scored = Dedup.checkpointTracked(TextAnalysis.knBigramLogProb(kept))
+    val thr = scored.agg(round(avg(col("kn_log10p")), 4).as("_avg"))
+    val sel = scored.crossJoin(broadcast(thr))
+      .filter(col("kn_log10p").isNotNull && col("kn_log10p") >= col("_avg"))
+    def cnt(df: DataFrame, stage: String): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(stage).as("stage"), col("n_docs"))
+    cnt(base, "a_input")
+      .unionByName(cnt(kept, "b_dedup"))
+      .unionByName(cnt(sel, "c_lm_kept"))
+      .transform(QueryUtil.ordered("stage"))
+  }
+
+  lazy val curation13Oracle: String =
+    s"""WITH k AS MATERIALIZED (SELECT doc_id, text FROM (
+      |    SELECT doc_id, text,
+      |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |    FROM documents) z WHERE rn = 1),
+      |${knSqlCtes("k")},
+      |flr AS (SELECT round(avg(kn_log10p), 4) AS f FROM knagg),
+      |c13sel AS (SELECT a.doc_id FROM knagg a CROSS JOIN flr
+      |           WHERE a.kn_log10p >= flr.f)
+      |SELECT stage, n_docs FROM (
+      |  SELECT 'a_input' AS stage, count(*) AS n_docs FROM documents
+      |  UNION ALL SELECT 'b_dedup', count(*) FROM k
+      |  UNION ALL SELECT 'c_lm_kept', count(*) FROM c13sel) t
+      |ORDER BY stage""".stripMargin
+
   /** The v6 replay's WITH chain (through `sampled`), shared with the
     * curation9 oracle so the two cannot fork. */
   private lazy val curation6ChainSql: String = {
@@ -3212,8 +3255,12 @@ object TextQueries {
     TextAnalysis.knBigramLogProb(docs(spark, dir))
       .transform(QueryUtil.ordered("doc_id"))
 
-  val knBigramOracle: String =
-    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  /** The KN model + per-doc scoring replay over any (doc_id, text)
+    * relation `src` — ends at `knagg(doc_id, kn_log10p)`. The ONE copy
+    * both `tx_kn_bigram` and `tx_curation13` chain onto, so the
+    * smoothing replay cannot fork between them. */
+  private def knSqlCtes(src: String): String =
+    s"""tk AS (SELECT doc_id, string_split(text, ' ') AS w FROM $src),
       |bi AS (SELECT doc_id, unnest(w[1:len(w)-1]) AS u, unnest(w[2:len(w)]) AS v
       |       FROM tk WHERE len(w) >= 2),
       |bc AS (SELECT u, v, count(*) * 1.0 AS cuv FROM bi GROUP BY 1, 2),
@@ -3225,9 +3272,12 @@ object TextQueries {
       |           0.75 * cx.n1u / cx.cu * ct.n1v / tt.n1tot) AS lp
       |       FROM bi JOIN bc USING (u, v) JOIN cx USING (u)
       |       JOIN ct USING (v) CROSS JOIN tt),
-      |agg AS (SELECT doc_id, round(avg(lp), 4) AS kn_log10p FROM sc GROUP BY 1)
-      |SELECT d.doc_id, agg.kn_log10p
-      |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin
+      |knagg AS (SELECT doc_id, round(avg(lp), 4) AS kn_log10p FROM sc GROUP BY 1)""".stripMargin
+
+  val knBigramOracle: String =
+    s"""WITH ${knSqlCtes("documents")}
+      |SELECT d.doc_id, knagg.kn_log10p
+      |FROM documents d LEFT JOIN knagg USING (doc_id) ORDER BY d.doc_id""".stripMargin
 
   /** Per-doc shard + within-shard token position (sample-boundary
     * metadata for attention masking across packed documents). */
@@ -3770,6 +3820,7 @@ object TextQueries {
     "tx_curation10" -> ((curation10 _, Some(curation10Oracle))),
     "tx_curation11" -> ((curation11 _, Some(curation11Oracle))),
     "tx_curation12" -> ((curation12 _, Some(curation12Oracle))),
+    "tx_curation13" -> ((curation13 _, Some(curation13Oracle))),
     "tx_chunk_sliding" -> ((chunkSliding _, Some(chunkSlidingOracle))),
     "tx_pack_shards" -> ((packShards _, Some(packShardsOracle))),
     "tx_release_manifest" -> ((releaseManifest _, Some(releaseManifestOracle))),
