@@ -737,6 +737,43 @@ object TextAnalysis {
       rows.head.getInt(2))
   }
 
+  /** Persist a [[KnModel]] — ONLY the bigram count frame travels (the
+    * context/continuation/total frames are derived views, rebuilt on
+    * load from the same counts, so the artifact cannot carry an
+    * inconsistent model); the discount rides as a column so scoring
+    * cannot silently use a different smoothing than training. At crawl
+    * scale the counts frame is vocabulary-sized — written distributed,
+    * no coalesce. */
+  def saveKnModel(model: KnModel, path: String): Unit =
+    model.biCounts
+      .select(col("u"), col("v"), col("cuv"),
+        lit(model.discount).as("discount"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Parquet artifact → [[KnModel]]. Fails loudly on an empty or
+    * corrupt artifact (zero rows, non-positive counts, or an
+    * out-of-range discount would silently mis-score every document). */
+  def loadKnModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): KnModel = {
+    val raw = spark.read.parquet(path)
+    val head = raw.select(min(col("cuv")).as("minc"),
+      min(col("discount")).as("dlo"), max(col("discount")).as("dhi")).head()
+    require(!head.isNullAt(0), s"empty KN model artifact at $path")
+    require(head.getDouble(0) >= 1.0,
+      s"KN artifact at $path has non-positive counts (min ${head.getDouble(0)})")
+    val (dlo, dhi) = (head.getDouble(1), head.getDouble(2))
+    require(dlo == dhi && dlo > 0 && dlo < 1,
+      s"KN artifact at $path has inconsistent/out-of-range discount [$dlo,$dhi]")
+    val biCounts = Dedup.persistTracked(raw.select("u", "v", "cuv"))
+    KnModel(
+      biCounts,
+      biCounts.groupBy("u")
+        .agg(sum(col("cuv")).as("cu"), count(lit(1)).cast("double").as("n1u")),
+      biCounts.groupBy("v").agg(count(lit(1)).cast("double").as("n1v")),
+      biCounts.agg(count(lit(1)).cast("double").as("n1tot")),
+      dlo)
+  }
+
   // --- Retrieval chunking ---------------------------------------------
   // The RAG-prep counterpart of sequence packing: split each document
   // into overlapping fixed-size token windows (overlap preserves

@@ -2661,6 +2661,37 @@ class OpsSpec extends SparkSpec {
     Dedup.releaseCaches()
   }
 
+  test("KN model artifact: save/load round-trips scores exactly; corrupt artifacts rejected") {
+    val train = Seq((1L, "the cat sat on the mat"), (2L, "a dog ran"))
+      .toDF("doc_id", "text")
+    val test = Seq((10L, "the cat ran"), (11L, "zebra crossing ahead"))
+      .toDF("doc_id", "text")
+    val model = TextAnalysis.knBigramModel(train)
+    val path = java.nio.file.Files.createTempDirectory("kn").toString + "/m"
+    TextAnalysis.saveKnModel(model, path)
+    val loaded = TextAnalysis.loadKnModel(spark, path)
+    assert(loaded.discount == model.discount)
+    def scores(m: TextAnalysis.KnModel) =
+      TextAnalysis.scoreWithKnModel(test, m).collect()
+        .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(scores(loaded) == scores(model),
+      "artifact round-trip must score identically")
+    // corrupt artifact: inconsistent discount must be rejected loudly
+    spark.read.parquet(path).withColumn("discount",
+        when(col("u") === "the", 0.5).otherwise(col("discount")))
+      .write.mode("overwrite").parquet(path + "_bad")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.loadKnModel(spark, path + "_bad")
+    }
+    // empty artifact
+    spark.read.parquet(path).limit(0)
+      .write.mode("overwrite").parquet(path + "_empty")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.loadKnModel(spark, path + "_empty")
+    }
+    Dedup.releaseCaches()
+  }
+
   // ------------------------------------------------------------ EXIF
 
   test("exif: orientation round-trips through all 8 fixture JPEGs (both endians, fill bytes)") {
