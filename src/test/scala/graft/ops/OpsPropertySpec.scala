@@ -148,6 +148,84 @@ class OpsPropertySpec extends SparkSpec {
     }
   }
 
+  test("exact dedup laws: idempotent, copy counts conserve rows, keeper is min id") {
+    val corpusGen = for {
+      n <- Gen.choose(4, 30)
+      picks <- Gen.listOfN(n, Gen.choose(0, 6)) // heavy collision rate
+    } yield picks.zipWithIndex.map { case (p, i) => (i.toLong, s"text $p") }
+    for (corpus <- samples(corpusGen, 8)) {
+      val df = corpus.toDF("doc_id", "text")
+      val once = Dedup.exact(df).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      // conservation: copy counts sum to the corpus size
+      assert(once.map(_._3).sum == corpus.length)
+      // keeper: min doc_id of each content group
+      val expect = corpus.groupBy(_._2).map { case (t, rows) =>
+        rows.map(_._1).min -> rows.length.toLong
+      }
+      assert(once.map(r => r._2 -> r._3).toMap == expect)
+      // idempotence: dedup of the survivors is the identity
+      val survivors = corpus.groupBy(_._2).map { case (t, rows) =>
+        (rows.map(_._1).min, t)
+      }.toSeq.toDF("doc_id", "text")
+      val twice = Dedup.exact(survivors).collect()
+      assert(twice.forall(_.getAs[Long]("n_copies") == 1L))
+      assert(twice.length == expect.size)
+    }
+  }
+
+  test("packing conservation: every doc in exactly one shard, tokens conserved, budget respected") {
+    val corpusGen = for {
+      n <- Gen.choose(3, 40)
+      lens <- Gen.listOfN(n, Gen.choose(1L, 50L))
+    } yield lens.zipWithIndex.map { case (l, i) => (i.toLong, l) }
+    for ((corpus, budget) <- samples(corpusGen, 6)
+        .zip(Seq(30L, 75L, 120L, 55L, 200L, 17L))) {
+      val counts = corpus.toDF("doc_id", "n_tokens")
+      val packed = Packing.packFromCounts(counts, budget, bucketWidth = 16L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // bijection on docs + token conservation
+      assert(packed.map(_._1).sorted.toSeq == corpus.map(_._1).sorted)
+      assert(packed.map(_._2).sum == corpus.map(_._2).sum)
+      // the prefix-sum contract: shard = floor(tokens-before / budget),
+      // replayed single-threaded in doc_id order
+      var cum = 0L
+      val expect = corpus.sortBy(_._1).map { case (id, l) =>
+        val s = cum / budget; cum += l; (id, l, s)
+      }
+      assert(packed.sortBy(_._1).toSeq == expect,
+        s"budget $budget: shard assignment diverged from the replay")
+    }
+  }
+
+  test("KN law: estimates sum to exactly 1 over the model vocabulary for every context") {
+    val corpusGen = for {
+      n <- Gen.choose(3, 15)
+      docs <- Gen.listOfN(n, Gen.listOfN(8, Gen.oneOf("a", "b", "c", "d"))
+        .map(_.mkString(" ")))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    for (corpus <- samples(corpusGen, 5)) {
+      val m = TextAnalysis.knBigramModel(corpus.toDF("doc_id", "text"))
+      val bc = m.biCounts.collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+      val n1v = bc.keys.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+      val n1tot = bc.size.toDouble
+      val byCtx = bc.keys.groupBy(_._1)
+      byCtx.foreach { case (u, pairsSet) =>
+        val pairs = pairsSet.toList // Set would collapse equal count terms
+        val cu = pairs.map(bc).sum
+        val n1u = pairs.size.toDouble
+        // sum of P(v|u) over ALL model words v (seen-after-u bigrams
+        // carry the discounted term; every model word gets backoff mass)
+        val seen = pairs.map(p => math.max(bc(p) - 0.75, 0) / cu).sum
+        val backoff = 0.75 * n1u / cu * n1v.values.sum / n1tot
+        assert(math.abs(seen + backoff - 1.0) < 1e-9,
+          s"context $u: mass ${seen + backoff} != 1")
+      }
+      Dedup.releaseCaches()
+    }
+  }
+
   test("decoder fuzz: no byte-walk parser throws on adversarial bytes (total functions)") {
     // at 100 TB corrupt/truncated/hostile blobs are a certainty; every
     // parser must return its sentinel, never throw or over-read. Three
