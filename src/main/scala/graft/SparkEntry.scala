@@ -121,5 +121,6 @@ object SparkEntry {
     "mm_dhash_pairs",    // perceptual-hash pigeonhole near-dup join
     "mm_audio_bands",    // WAV decode + hand-rolled FFT octave argmax
     "tx_kn_bigram",      // Kneser-Ney bigram perplexity filter
-    "tx_curation13")     // CCNet-shaped: dedup -> KN model -> LM floor
+    "tx_curation13",     // CCNet-shaped: dedup -> KN model -> LM floor
+    "tx_gopher_rules")   // published Gopher rule battery, per-rule columns
 }

@@ -63,6 +63,69 @@ object TextAnalysis {
         (lit(1.0) - stopN / n) * 0.2, 4)
   }
 
+  /** Gopher's 8 high-frequency English words — the published
+    * "document contains ≥ 2 of these" fluency rule (Rae et al. 2021,
+    * arXiv:2112.11446 appendix A1.1). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The Gopher quality-rule gate (Rae et al. 2021, arXiv:2112.11446
+    * A1.1) — the named, published heuristic battery crawl pipelines
+    * cite, exposed rule-by-rule so a curation run can report WHICH
+    * rule dropped a document (the audit question a composite score
+    * cannot answer): word count in [minWords, maxWords], mean word
+    * length in [3, 10], symbol-to-word ratio ('#' chars + '…'-as-'...'
+    * occurrences) ≤ 0.1, ≤ 90% of lines may start with a bullet,
+    * ≤ 30% may end with an ellipsis, ≥ 80% of words contain an
+    * alphabetic character, and ≥ 2 [[GopherStopwords]] hits.
+    * `gopher_pass` is the conjunction. All pure column expressions —
+    * scan-fused, zero shuffle; ratios are exact integer divisions
+    * rounded to 4dp BEFORE thresholding so the engine and the oracle
+    * can never disagree at a float boundary. `minWords` defaults to
+    * the published 50 (the synthetic corpus' docs are shorter — tests
+    * pass a smaller floor to keep the gate non-vacuous there). */
+  def gopherRules(docs: DataFrame, minWords: Long = 50L,
+      maxWords: Long = 100000L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val w = tokens(t)
+    val lines = split(t, "\n")
+    val n = size(w).cast("long")
+    val nd = n.cast("double")
+    val nl = size(lines).cast("double")
+    def occurrences(c: Column, lit0: String): Column =
+      ((length(c) - length(regexp_replace(c, java.util.regex.Pattern
+        .quote(lit0), ""))) / lit0.length).cast("long")
+    val meanWl = round(aggregate(transform(w, x => length(x)), lit(0),
+      (a, x) => a + x).cast("double") / nd, 4)
+    val symbols = (occurrences(t, "#") + occurrences(t, "...")).cast("double")
+    val bulletFrac = round(size(filter(lines, l =>
+      l.startsWith("- ") || l.startsWith("* ") ||
+        l.startsWith("•"))).cast("double") / nl, 4)
+    val ellipsisFrac = round(size(filter(lines, l =>
+      l.endsWith("..."))).cast("double") / nl, 4)
+    val alphaFrac = round(size(filter(w,
+      x => lower(x).rlike("[a-z]"))).cast("double") / nd, 4)
+    val stops = size(filter(w,
+      x => lower(x).isInCollection(GopherStopwords))).cast("long")
+    docs.select(col(idCol).as("doc_id"),
+        n.as("n_words"),
+        when(n > 0, meanWl).as("mean_word_len"),
+        when(n > 0, round(symbols / nd, 4)).as("symbol_ratio"),
+        bulletFrac.as("bullet_line_frac"),
+        ellipsisFrac.as("ellipsis_line_frac"),
+        when(n > 0, alphaFrac).as("alpha_word_frac"),
+        stops.as("n_stop_hits"))
+      .withColumn("gopher_pass",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("symbol_ratio") <= 0.1 &&
+          col("bullet_line_frac") <= 0.9 &&
+          col("ellipsis_line_frac") <= 0.3 &&
+          col("alpha_word_frac") >= 0.8 &&
+          col("n_stop_hits") >= 2L)
+  }
+
   /** Marker-word language ID. An n-gram/charset heuristic distilled to
     * its SQL-expressible core: count marker hits per language, argmax
     * with a fixed precedence, `und` when nothing matches. (The synthetic

@@ -3246,6 +3246,43 @@ object TextQueries {
       |SELECT d.doc_id, agg.mean_log10p
       |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin
 
+  /** The Gopher rule battery at its published thresholds (see
+    * [[graft.ops.TextAnalysis.gopherRules]]) — per-rule columns plus
+    * the conjunction, so the oracle checks every rule's arithmetic
+    * independently, not just the final boolean. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherRules(docs(spark, dir))
+      .transform(QueryUtil.ordered("doc_id"))
+
+  val gopherRulesOracle: String =
+    """WITH b AS (SELECT doc_id, text,
+      |    string_split(text, ' ') AS w,
+      |    string_split(text, chr(10)) AS ln FROM documents),
+      |c AS (SELECT doc_id,
+      |  CAST(len(w) AS BIGINT) AS n_words,
+      |  round(list_aggregate(list_transform(w, x -> strlen(x)), 'sum')
+      |    * 1.0 / len(w), 4) AS mean_word_len,
+      |  round(((strlen(text) - strlen(replace(text, '#', ''))) +
+      |    (strlen(text) - strlen(replace(text, '...', ''))) / 3)
+      |    * 1.0 / len(w), 4) AS symbol_ratio,
+      |  round(len(list_filter(ln, l -> l LIKE '- %' OR l LIKE '* %'
+      |    OR l LIKE '•%')) * 1.0 / len(ln), 4) AS bullet_line_frac,
+      |  round(len(list_filter(ln, l -> l LIKE '%...')) * 1.0 / len(ln), 4)
+      |    AS ellipsis_line_frac,
+      |  round(len(list_filter(w, x -> regexp_matches(lower(x), '[a-z]')))
+      |    * 1.0 / len(w), 4) AS alpha_word_frac,
+      |  CAST(len(list_filter(w, x -> lower(x) IN ('the','be','to','of',
+      |    'and','that','have','with'))) AS BIGINT) AS n_stop_hits
+      |  FROM b)
+      |SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+      |  bullet_line_frac, ellipsis_line_frac, alpha_word_frac, n_stop_hits,
+      |  (n_words >= 50 AND n_words <= 100000
+      |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+      |    AND symbol_ratio <= 0.1 AND bullet_line_frac <= 0.9
+      |    AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+      |    AND n_stop_hits >= 2) AS gopher_pass
+      |FROM c ORDER BY doc_id""".stripMargin
+
   /** Kneser–Ney bigram quality scoring (see
     * [[graft.ops.TextAnalysis.knBigramLogProb]]) — the smoothing
     * variant LM-perplexity filters actually use; oracle replays the
@@ -3839,6 +3876,7 @@ object TextQueries {
     "tx_unigram_logprob" -> ((unigramLogProb _, Some(unigramLogProbOracle))),
     "tx_bigram_logprob" -> ((bigramLogProb _, Some(bigramLogProbOracle))),
     "tx_kn_bigram" -> ((knBigram _, Some(knBigramOracle))),
+    "tx_gopher_rules" -> ((gopherRules _, Some(gopherRulesOracle))),
     "tx_temp_mix" -> ((tempMix _, Some(tempMixOracle))),
     "tx_fingerprints" -> ((fingerprints _, Some(fingerprintsOracle))),
     "dd_exact" -> ((exactDedup _, Some(exactDedupOracle))),

@@ -2661,6 +2661,33 @@ class OpsSpec extends SparkSpec {
     Dedup.releaseCaches()
   }
 
+  test("gopher rules: each published rule fires on its crafted violation") {
+    val good = ("the cat and the dog have fun with all of that " * 5).trim
+    val d = Seq(
+      (1L, good),                                        // passes everything
+      (2L, "the of and"),                                // too few words
+      (3L, good + " ####### ##### ### ## # # # #"),      // symbol ratio
+      (4L, (1 to 10).map(i => s"- bullet $i the of and that have with be to x y z").mkString("\n")), // all bullets
+      (5L, (1 to 10).map(i => s"line $i of the text that we have with be to...").mkString("\n")), // all ellipsis
+      (6L, good + " " + (1 to 60).map(_.toString).mkString(" ")), // digits: low alpha frac
+      (7L, ("zzz qqq xxx vvv www yyy kkk jjj mmm nnn " * 6).trim)) // no stopwords
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRules(d, minWords = 10L).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Boolean]("gopher_pass"), s"good doc must pass: ${r(1L)}")
+    assert(!r(2L).getAs[Boolean]("gopher_pass") && r(2L).getAs[Long]("n_words") == 3)
+    assert(!r(3L).getAs[Boolean]("gopher_pass") &&
+      r(3L).getAs[Double]("symbol_ratio") > 0.1)
+    assert(!r(4L).getAs[Boolean]("gopher_pass") &&
+      r(4L).getAs[Double]("bullet_line_frac") == 1.0)
+    assert(!r(5L).getAs[Boolean]("gopher_pass") &&
+      r(5L).getAs[Double]("ellipsis_line_frac") == 1.0)
+    assert(!r(6L).getAs[Boolean]("gopher_pass") &&
+      r(6L).getAs[Double]("alpha_word_frac") < 0.8)
+    assert(!r(7L).getAs[Boolean]("gopher_pass") &&
+      r(7L).getAs[Long]("n_stop_hits") == 0)
+  }
+
   test("KN model artifact: save/load round-trips scores exactly; corrupt artifacts rejected") {
     val train = Seq((1L, "the cat sat on the mat"), (2L, "a dog ran"))
       .toDF("doc_id", "text")
