@@ -122,5 +122,6 @@ object SparkEntry {
     "mm_audio_bands",    // WAV decode + hand-rolled FFT octave argmax
     "tx_kn_bigram",      // Kneser-Ney bigram perplexity filter
     "tx_curation13",     // CCNet-shaped: dedup -> KN model -> LM floor
-    "tx_gopher_rules")   // published Gopher rule battery, per-rule columns
+    "tx_gopher_rules",   // published Gopher rule battery, per-rule columns
+    "tx_c4_rules")       // published C4 line/page filter over planted lines
 }

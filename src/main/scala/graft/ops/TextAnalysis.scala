@@ -126,6 +126,34 @@ object TextAnalysis {
           col("n_stop_hits") >= 2L)
   }
 
+  /** The C4 line/page filter (Raffel et al. 2020, arXiv:1910.10683
+    * §2.2) — the other named, published crawl-cleaning battery: keep
+    * only lines that end in terminal punctuation (. ! ? ") AND carry
+    * ≥ 5 words; drop the whole page if it mentions "lorem ipsum" or
+    * contains a curly brace (code), or if fewer than `minLines` lines
+    * survive. Returns per-doc `(doc_id, n_lines, n_kept_lines,
+    * has_lorem, has_brace, clean_text, c4_keep)` — the cleaned text is
+    * the surviving lines rejoined, so the op composes into curation
+    * chains exactly like [[graft.ops.Dedup.lineDedup]]. Pure column
+    * expressions, scan-fused, zero shuffle. */
+  def c4Rules(docs: DataFrame, minLines: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val lines = split(t, "\n")
+    val kept = filter(lines, l =>
+      (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") ||
+        l.endsWith("\"")) && size(split(l, " ")) >= 5)
+    docs.select(col(idCol).as("doc_id"),
+        size(lines).cast("long").as("n_lines"),
+        size(kept).cast("long").as("n_kept_lines"),
+        lower(t).contains("lorem ipsum").as("has_lorem"),
+        (t.contains("{") || t.contains("}")).as("has_brace"),
+        concat_ws("\n", kept).as("clean_text"))
+      .withColumn("c4_keep",
+        !col("has_lorem") && !col("has_brace") &&
+          col("n_kept_lines") >= minLines)
+  }
+
   /** Marker-word language ID. An n-gram/charset heuristic distilled to
     * its SQL-expressible core: count marker hits per language, argmax
     * with a fixed precedence, `und` when nothing matches. (The synthetic

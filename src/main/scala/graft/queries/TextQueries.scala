@@ -3283,6 +3283,62 @@ object TextQueries {
       |    AND n_stop_hits >= 2) AS gopher_pass
       |FROM c ORDER BY doc_id""".stripMargin
 
+  /** C4 line/page filtering over PLANTED multi-line text (the corpus
+    * is single-line and unpunctuated, so the raw gate would be
+    * vacuous — the tokenizer-probe lesson): doc_id%4 appends a line
+    * block exercising one branch each (3 keepable sentences; a lorem
+    * ipsum page; a curly-brace code page; a page with only 1 keepable
+    * line), replayed verbatim by the oracle. Output pins the kept-line
+    * arithmetic AND the cleaned text content (md5). */
+  private val C4Segments: Seq[(Int, String)] = Seq(
+    0 -> ("\nThis line has five good words.\nshort line\n" +
+      "Another proper sentence ends right here!\n" +
+      "And a third full sentence follows here."),
+    1 -> ("\nlorem ipsum dolor sit amet here.\n" +
+      "This sentence is long enough to keep.\n" +
+      "Another good long sentence ends with punctuation.\n" +
+      "Third full sentence present and accounted for."),
+    2 -> ("\nfunction f() { return 1; }\n" +
+      "This sentence is long enough to keep.\n" +
+      "Another good long sentence ends with punctuation.\n" +
+      "Third full sentence present and accounted for."),
+    3 -> ("\nOnly one proper sentence lives right here.\n" +
+      "no terminal punct\nshort.\nalso nothing"))
+
+  def c4Rules(spark: SparkSession, dir: String): DataFrame = {
+    val planted = docs(spark, dir).withColumn("text", concat(col("text"),
+      C4Segments.foldRight(lit("")) { case ((m, seg), acc) =>
+        when(col("doc_id") % 4 === m, lit(seg)).otherwise(acc)
+      }))
+    TextAnalysis.c4Rules(planted)
+      .select(col("doc_id"), col("n_lines"), col("n_kept_lines"),
+        col("has_lorem"), col("has_brace"),
+        length(col("clean_text")).cast("long").as("clean_len"),
+        md5(col("clean_text").cast("binary")).as("clean_md5"),
+        col("c4_keep"))
+      .transform(QueryUtil.ordered("doc_id"))
+  }
+
+  val c4RulesOracle: String = {
+    val caseSql = C4Segments.map { case (m, seg) =>
+      s"WHEN doc_id % 4 = $m THEN '${seg.replace("\n", "' || chr(10) || '")}'"
+    }.mkString("CASE ", " ", " ELSE '' END")
+    s"""WITH p AS (SELECT doc_id, text || $caseSql AS text FROM documents),
+      |b AS (SELECT doc_id, text, string_split(text, chr(10)) AS ln FROM p),
+      |f AS (SELECT doc_id, CAST(len(ln) AS BIGINT) AS n_lines,
+      |    list_filter(ln, l -> (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?'
+      |      OR l LIKE '%"') AND len(string_split(l, ' ')) >= 5) AS kept,
+      |    contains(lower(text), 'lorem ipsum') AS has_lorem,
+      |    (contains(text, '{') OR contains(text, '}')) AS has_brace
+      |  FROM b)
+      |SELECT doc_id, n_lines, CAST(len(kept) AS BIGINT) AS n_kept_lines,
+      |  has_lorem, has_brace,
+      |  CAST(strlen(array_to_string(kept, chr(10))) AS BIGINT) AS clean_len,
+      |  md5(array_to_string(kept, chr(10))) AS clean_md5,
+      |  (NOT has_lorem AND NOT has_brace AND len(kept) >= 3) AS c4_keep
+      |FROM f ORDER BY doc_id""".stripMargin
+  }
+
   /** Kneser–Ney bigram quality scoring (see
     * [[graft.ops.TextAnalysis.knBigramLogProb]]) — the smoothing
     * variant LM-perplexity filters actually use; oracle replays the
@@ -3877,6 +3933,7 @@ object TextQueries {
     "tx_bigram_logprob" -> ((bigramLogProb _, Some(bigramLogProbOracle))),
     "tx_kn_bigram" -> ((knBigram _, Some(knBigramOracle))),
     "tx_gopher_rules" -> ((gopherRules _, Some(gopherRulesOracle))),
+    "tx_c4_rules" -> ((c4Rules _, Some(c4RulesOracle))),
     "tx_temp_mix" -> ((tempMix _, Some(tempMixOracle))),
     "tx_fingerprints" -> ((fingerprints _, Some(fingerprintsOracle))),
     "dd_exact" -> ((exactDedup _, Some(exactDedupOracle))),
