@@ -101,7 +101,8 @@ class PlanSpec extends SparkSpec {
 
   test("scan-shaped queries shuffle at most once (the output ordering)") {
     for (name <- Seq("etl_normalize", "tx_quality", "tx_repetition",
-        "tx_encoding_gate", "tx_html_extract")) {
+        "tx_encoding_gate", "tx_html_extract",
+        "tx_gopher_rules", "tx_c4_rules")) {
       val p = plan(name)
       assert(countOf(p, "Exchange") <= 1,
         s"$name has an unexpected shuffle:\n$p")

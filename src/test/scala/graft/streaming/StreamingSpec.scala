@@ -1466,6 +1466,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming named gate batteries: Gopher + C4 rules are batch-identical") {
+    // both published batteries are pure column batteries — the same
+    // expressions must produce the same rows under readStream
+    import org.apache.spark.sql.functions._
+    import graft.ops.TextAnalysis
+    val in = tmpDir("stream-named-gates")
+    val schema = "doc_id LONG, text STRING"
+    def jl(id: Long, t: String) = s"""{"doc_id":$id,"text":"$t"}"""
+    val rows = Seq(
+      jl(1, "the cat and the dog have fun with all of that " * 3),
+      jl(2, "zz qq xx vv ww yy kk jj mm nn oo pp rr ss tt uu"), // no stopwords
+      jl(3, "One good sentence lives right here.\\n" +
+        "Another full sentence sits right below it.\\n" +
+        "And a third one completes the page."),
+      jl(4, "this page mentions lorem ipsum sadly.\\nBut has fine sentences otherwise here.\\nAnd even a third one right here."))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/b1.json"),
+      rows.take(2).mkString("\n").getBytes)
+    def gop(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.gopherRules(df, minWords = 10L)
+        .select("doc_id", "n_words", "n_stop_hits", "gopher_pass")
+    def c4(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.c4Rules(df)
+        .select("doc_id", "n_kept_lines", "has_lorem", "c4_keep")
+    val q1 = gop(spark.readStream.schema(schema).json(in))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("gopher_stream").start()
+    val q2 = c4(spark.readStream.schema(schema).json(in))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("c4_stream").start()
+    try {
+      q1.processAllAvailable(); q2.processAllAvailable()
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/b2.json"),
+        rows.drop(2).mkString("\n").getBytes)
+      q1.processAllAvailable(); q2.processAllAvailable()
+      def rowsOf(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).toSet
+      assert(rowsOf(spark.table("gopher_stream")) ==
+        rowsOf(gop(spark.read.schema(schema).json(in))))
+      assert(rowsOf(spark.table("c4_stream")) ==
+        rowsOf(c4(spark.read.schema(schema).json(in))))
+      val g = spark.table("gopher_stream").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+      assert(g(1L) && !g(2L), "stopword rule must split the stream docs")
+      val c = spark.table("c4_stream").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+      assert(c(3L) && !c(4L), "lorem rule must split the stream docs")
+    } finally { q1.stop(); q2.stop() }
+  }
+
   test("streaming HLL sketch: snapshot equals batch over the prefix; replay is idempotent by algebra") {
     import org.apache.spark.sql.DataFrame
     import spark.implicits._
