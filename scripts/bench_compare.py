@@ -23,8 +23,11 @@ for k in sorted(common, key=lambda k: -(qb[k] / qa[k])):
     print(f"{k:26s} {qa[k]:7.2f} {qb[k]:7.2f} {r:6.2f} {spread:7.2f}{flag}")
     if r > 1.5:
         worst.append(k)
-print(f"\ncommon-set totals: old {tot_a:.1f}s new {tot_b:.1f}s "
-      f"ratio {tot_b/tot_a:.2f}")
+if tot_a > 0:
+    print(f"\ncommon-set totals: old {tot_a:.1f}s new {tot_b:.1f}s "
+          f"ratio {tot_b/tot_a:.2f}")
+else:
+    print("\nno positive-timed common queries between the two artifacts")
 new_only = sorted(set(qb) - set(qa))
 if new_only:
     print("new lines:", {k: round(qb[k], 2) for k in new_only})

@@ -117,14 +117,18 @@ object Bench {
         System.err.println(s"[bench] warm-up $name failed: $e")
       }
       dropAllCaches()
-      val gcs = scala.collection.mutable.ArrayBuffer[Double]()
-      val loads = scala.collection.mutable.ArrayBuffer[Double]()
-      def timedRun(): Double = {
+      // each timed run travels as a (sec, gcSec, load) TRIPLE so the
+      // telemetry stays index-aligned with `runs` through the heavy
+      // extension and the interference guard's in-place replacement —
+      // a replaced run's gc/load must be the REPLACEMENT's, or the
+      // loaded-box-vs-regression diagnosis reads the wrong row exactly
+      // when the guard fired (i.e. exactly when it matters)
+      def timedRun(): (Double, Double, Double) = {
         // per-run load-vs-regression telemetry: OS 1-min load average
         // at t0 and GC time spent INSIDE the timed region — a loaded
         // box shows high load / flat gc on the slow run; a real plan
         // regression shows neither
-        loads += math.rint(loadAvg() * 100) / 100
+        val load = math.rint(loadAvg() * 100) / 100
         val gc0 = gcMillis()
         val t0 = System.nanoTime()
         val r =
@@ -134,7 +138,7 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: $e")
             -1.0
           }
-        gcs += math.rint((gcMillis() - gc0) / 10.0) / 100
+        val gcSec = math.rint((gcMillis() - gc0) / 10.0) / 100
         dropAllCaches()
         // mega-composition settle (r10): a >5 s run (the curation
         // chains) leaves an order-of-magnitude more checkpoint blocks,
@@ -144,26 +148,26 @@ object Bench {
         // cleanup landing inside the next timed region. Give the
         // cleaner a second full drain cycle before the next t0.
         if (r > 5.0) { Thread.sleep(500); dropAllCaches() }
-        r
+        (r, gcSec, load)
       }
       var runs = (1 to TimedRuns).map(_ => timedRun())
       // heavy lines: median-of-5 (see HeavyRuns scaladoc)
-      if (medianOf(runs) > HeavyThresholdSec)
+      if (medianOf(runs.map(_._1)) > HeavyThresholdSec)
         runs = runs ++ (TimedRuns until HeavyRuns).map(_ => timedRun())
       // interference guard: re-measure (once per slot) any run >2x the
       // median; originals kept in `discarded` — see scaladoc
-      val med0 = medianOf(runs)
-      if (med0 > 0 && runs.exists(r => r > 2 * med0)) {
+      val med0 = medianOf(runs.map(_._1))
+      if (med0 > 0 && runs.exists(_._1 > 2 * med0)) {
         val dropped = scala.collection.mutable.ArrayBuffer[Double]()
-        runs = runs.map { r =>
-          if (r > 2 * med0) { dropped += r; timedRun() } else r
+        runs = runs.map { t =>
+          if (t._1 > 2 * med0) { dropped += t._1; timedRun() } else t
         }
         discarded(name) = dropped.toSeq
       }
-      allRuns(name) = runs
-      gcRuns(name) = gcs.toSeq
-      loadRuns(name) = loads.toSeq
-      name -> medianOf(runs)
+      allRuns(name) = runs.map(_._1)
+      gcRuns(name) = runs.map(_._2)
+      loadRuns(name) = runs.map(_._3)
+      name -> medianOf(runs.map(_._1))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

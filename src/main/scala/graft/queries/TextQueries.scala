@@ -3260,7 +3260,7 @@ object TextQueries {
       |    string_split(text, chr(10)) AS ln FROM documents),
       |c AS (SELECT doc_id,
       |  CAST(len(w) AS BIGINT) AS n_words,
-      |  round(list_aggregate(list_transform(w, x -> strlen(x)), 'sum')
+      |  round(list_aggregate(list_transform(w, x -> length(x)), 'sum')
       |    * 1.0 / len(w), 4) AS mean_word_len,
       |  round(((strlen(text) - strlen(replace(text, '#', ''))) +
       |    (strlen(text) - strlen(replace(text, '...', ''))) / 3)
@@ -3333,7 +3333,7 @@ object TextQueries {
       |  FROM b)
       |SELECT doc_id, n_lines, CAST(len(kept) AS BIGINT) AS n_kept_lines,
       |  has_lorem, has_brace,
-      |  CAST(strlen(array_to_string(kept, chr(10))) AS BIGINT) AS clean_len,
+      |  CAST(length(array_to_string(kept, chr(10))) AS BIGINT) AS clean_len,
       |  md5(array_to_string(kept, chr(10))) AS clean_md5,
       |  (NOT has_lorem AND NOT has_brace AND len(kept) >= 3) AS c4_keep
       |FROM f ORDER BY doc_id""".stripMargin
