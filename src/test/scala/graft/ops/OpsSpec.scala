@@ -2688,6 +2688,18 @@ class OpsSpec extends SparkSpec {
       r(7L).getAs[Long]("n_stop_hits") == 0)
   }
 
+  test("gopher rules: word length is measured in CHARACTERS, not UTF-8 bytes") {
+    // the review-found fork class: 'café' is 4 chars / 5 bytes; a
+    // bytes-based mean would shift docs across the [3,10] thresholds
+    // on real crawl text
+    val d = Seq((1L, "caféöäü münchen déjà")).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRules(d, minWords = 1L).collect().head
+    // chars: 7 + 7 + 4 = 18 over 3 words = 6.0 (bytes would be 23/3)
+    assert(r.getAs[Double]("mean_word_len") == 6.0,
+      s"expected char-based 6.0, got ${r.getAs[Double]("mean_word_len")}")
+    assert(r.getAs[Double]("alpha_word_frac") == 1.0)
+  }
+
   test("KN model artifact: save/load round-trips scores exactly; corrupt artifacts rejected") {
     val train = Seq((1L, "the cat sat on the mat"), (2L, "a dog ran"))
       .toDF("doc_id", "text")
