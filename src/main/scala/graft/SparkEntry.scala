@@ -123,5 +123,6 @@ object SparkEntry {
     "tx_kn_bigram",      // Kneser-Ney bigram perplexity filter
     "tx_curation13",     // CCNet-shaped: dedup -> KN model -> LM floor
     "tx_gopher_rules",   // published Gopher rule battery, per-rule columns
-    "tx_c4_rules")       // published C4 line/page filter over planted lines
+    "tx_c4_rules",       // published C4 line/page filter over planted lines
+    "tx_gopher_repetition") // top/dup n-gram char fractions, n=2..10
 }

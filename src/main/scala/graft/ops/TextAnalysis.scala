@@ -154,6 +154,69 @@ object TextAnalysis {
           col("n_kept_lines") >= minLines)
   }
 
+  /** Gopher's published repetition thresholds (arXiv:2112.11446 A1.1,
+    * table A1): max char-fraction for the TOP n-gram (n = 2, 3, 4) and
+    * for ALL duplicated n-grams (n = 5..10). */
+  val GopherRepThresholds: Map[Int, Double] = Map(
+    2 -> 0.20, 3 -> 0.18, 4 -> 0.16,
+    5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
+
+  /** The Gopher REPETITION battery (Rae et al. 2021 A1.1): per doc,
+    * the character fraction of the single most frequent {2,3,4}-gram
+    * and of all duplicated {5..10}-grams, each against its published
+    * threshold, plus the conjunction `rep_pass`. Char fractions use
+    * the standard overlap-ignoring approximation every open
+    * implementation ships (occurrences × gram length over doc chars,
+    * capped at 1) — exact span marking is quadratic per doc. The top
+    * gram tie-breaks to the lexicographically smallest (determinism —
+    * engine `min(struct(-count, gram))`, oracle `ORDER BY c DESC,
+    * gram`).
+    *
+    * Scale shape: ONE tokenize pass fans out to (doc_id, n, gram)
+    * rows (a 9× row multiplier — the honest cost of the battery, paid
+    * identically by the published implementations), reduced by a
+    * map-side-combined count keyed by (doc, n, gram) — per-doc
+    * bounded, so no hot-key funnel exists anywhere: a pathological
+    * repeated-phrase doc COLLAPSES under the partial agg rather than
+    * exploding. */
+  def gopherRepetition(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("_tk"))
+    val grams = (2 to 10).map { n =>
+      base.select(col("doc_id"), lit(n).as("n"),
+        explode(ngramsFromTokens(col("_tk"), n)).as("g"))
+    }.reduce(_.unionByName(_))
+    val counts = grams.groupBy("doc_id", "n", "g")
+      .agg(count(lit(1)).as("c"))
+    val byN = counts.groupBy("doc_id", "n")
+      .agg(min(struct((-col("c")).as("nc"), col("g").as("g"))).as("_top"),
+        sum(when(col("c") > 1, col("c") * length(col("g")))).as("_dupc"))
+      .select(col("doc_id"), col("n"),
+        ((-col("_top.nc")) * length(col("_top.g"))).cast("double").as("_topc"),
+        col("_dupc").cast("double").as("_dupc"))
+    val aggs = (2 to 10).map { n =>
+      max(when(col("n") === n,
+        if (n <= 4) col("_topc") else col("_dupc"))).as(s"_m$n")
+    }
+    val perDoc = byN.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    def frac(n: Int): Column =
+      round(least(coalesce(col(s"_m$n"), lit(0.0)) / col("_nc"), lit(1.0)), 4)
+    val named = (2 to 4).map(n => frac(n).as(s"top${n}gram_char_frac")) ++
+      (5 to 10).map(n => frac(n).as(s"dup${n}gram_char_frac"))
+    docs.select(col(idCol).as("doc_id"),
+        length(col(textCol)).cast("double").as("_nc"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id") +: named: _*)
+      .withColumn("rep_pass",
+        (2 to 4).map(n =>
+            col(s"top${n}gram_char_frac") <= GopherRepThresholds(n))
+          .reduce(_ && _) &&
+        (5 to 10).map(n =>
+            col(s"dup${n}gram_char_frac") <= GopherRepThresholds(n))
+          .reduce(_ && _))
+  }
+
   /** Marker-word language ID. An n-gram/charset heuristic distilled to
     * its SQL-expressible core: count marker hits per language, argmax
     * with a fixed precedence, `und` when nothing matches. (The synthetic

@@ -3339,6 +3339,57 @@ object TextQueries {
       |FROM f ORDER BY doc_id""".stripMargin
   }
 
+  /** The Gopher repetition battery (see
+    * [[graft.ops.TextAnalysis.gopherRepetition]]); the oracle replays
+    * the gram fan-out, the count reduction, the lexicographic
+    * tie-broken top gram and every char-fraction division, with the
+    * thresholds generated from the SAME
+    * [[graft.ops.TextAnalysis.GopherRepThresholds]] map the engine
+    * gates on. */
+  def gopherRepetition(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherRepetition(docs(spark, dir))
+      .transform(QueryUtil.ordered("doc_id"))
+
+  val gopherRepetitionOracle: String = {
+    val th = TextAnalysis.GopherRepThresholds
+    val gramBranches = (2 to 10).map { n =>
+      s"""SELECT doc_id, $n AS n, array_to_string(w[i:i+${n - 1}], ' ') AS g
+         |  FROM tk, LATERAL (SELECT unnest(range(1, len(w) - $n + 2)) AS i)
+         |  WHERE len(w) >= $n""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    val pivCols = (2 to 10).map { n =>
+      s"max(CASE WHEN n = $n THEN v END) AS m$n"
+    }.mkString(",\n  ")
+    def colName(n: Int) =
+      if (n <= 4) s"top${n}gram_char_frac" else s"dup${n}gram_char_frac"
+    val fracCols = (2 to 10).map { n =>
+      s"round(least(coalesce(m$n, 0) * 1.0 / nc, 1.0), 4) AS ${colName(n)}"
+    }.mkString(",\n  ")
+    val passExpr = (2 to 10).map { n =>
+      s"round(least(coalesce(m$n, 0) * 1.0 / nc, 1.0), 4) <= ${th(n)}"
+    }.mkString("(", " AND ", ")")
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |grams AS (
+      |  $gramBranches),
+      |cnts AS (SELECT doc_id, n, g, count(*) AS c FROM grams GROUP BY 1, 2, 3),
+      |vals AS (
+      |  SELECT doc_id, n, c * length(g) AS v FROM (
+      |    SELECT doc_id, n, g, c, row_number() OVER (
+      |      PARTITION BY doc_id, n ORDER BY c DESC, g) AS rk FROM cnts) z
+      |  WHERE rk = 1 AND n <= 4
+      |  UNION ALL
+      |  SELECT doc_id, n, sum(c * length(g)) AS v FROM cnts
+      |  WHERE c > 1 AND n >= 5 GROUP BY 1, 2),
+      |piv AS (SELECT doc_id,
+      |  $pivCols
+      |  FROM vals GROUP BY doc_id),
+      |m AS (SELECT doc_id, length(text) AS nc FROM documents)
+      |SELECT m.doc_id,
+      |  $fracCols,
+      |  $passExpr AS rep_pass
+      |FROM m LEFT JOIN piv USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
   /** Kneser–Ney bigram quality scoring (see
     * [[graft.ops.TextAnalysis.knBigramLogProb]]) — the smoothing
     * variant LM-perplexity filters actually use; oracle replays the
@@ -3934,6 +3985,8 @@ object TextQueries {
     "tx_kn_bigram" -> ((knBigram _, Some(knBigramOracle))),
     "tx_gopher_rules" -> ((gopherRules _, Some(gopherRulesOracle))),
     "tx_c4_rules" -> ((c4Rules _, Some(c4RulesOracle))),
+    "tx_gopher_repetition" ->
+      ((gopherRepetition _, Some(gopherRepetitionOracle))),
     "tx_temp_mix" -> ((tempMix _, Some(tempMixOracle))),
     "tx_fingerprints" -> ((fingerprints _, Some(fingerprintsOracle))),
     "dd_exact" -> ((exactDedup _, Some(exactDedupOracle))),

@@ -2688,6 +2688,24 @@ class OpsSpec extends SparkSpec {
       r(7L).getAs[Long]("n_stop_hits") == 0)
   }
 
+  test("gopher repetition: crafted repeats trip their n-gram rule; clean text passes") {
+    val clean = (1 to 40).map(i => s"w$i").mkString(" ")   // all grams unique
+    val loop6 = ("alpha beta gamma delta epsilon zeta " * 8).trim // 6-gram loop
+    val top2 = clean + " " + ("go go " * 12).trim          // one hot bigram
+    val d = Seq((1L, clean), (2L, loop6), (3L, top2)).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRepetition(d).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Boolean]("rep_pass"), s"clean doc must pass: ${r(1L)}")
+    assert(r(1L).getAs[Double]("dup6gram_char_frac") == 0.0)
+    // a phrase loop saturates the duplicated 5..10-gram char fractions
+    assert(!r(2L).getAs[Boolean]("rep_pass"))
+    assert(r(2L).getAs[Double]("dup6gram_char_frac") > 0.9, s"${r(2L)}")
+    // a single hot bigram trips only the top-2-gram rule's family
+    assert(!r(3L).getAs[Boolean]("rep_pass"))
+    assert(r(3L).getAs[Double]("top2gram_char_frac") >
+      TextAnalysis.GopherRepThresholds(2), s"${r(3L)}")
+  }
+
   test("gopher rules: word length is measured in CHARACTERS, not UTF-8 bytes") {
     // the review-found fork class: 'café' is 4 chars / 5 bytes; a
     // bytes-based mean would shift docs across the [3,10] thresholds
