@@ -507,6 +507,20 @@ class PlanSpec extends SparkSpec {
     assert(countOf(p, "Exchange") <= 1, s"unexpected shuffle:\n$p")
   }
 
+  test("tx_gopher_repetition: gram counts partial-aggregate; no window anywhere") {
+    // the top-gram argmax is min(struct(-c, g)) under the partial agg
+    // — a row_number window on (doc, n) (the oracle's replay form)
+    // would funnel each doc's gram set through one unsplittable window
+    // task and lose map-side combining on the count reduction
+    val p = plan("tx_gopher_repetition")
+    assert(!p.contains("windowspecdefinition"),
+      s"repetition battery must not plan a window:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_min"),
+      s"expected map-side partial aggregation:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"crossed:\n$p")
+  }
+
   test("tx_bpe_ids: corpus-sized id frame reduces below the single result exchange") {
     // the r10 scale fix: the registered output is the per-doc
     // (n_ids, xor digest, head slice) reduction — the corpus_tokens-
