@@ -74,9 +74,11 @@ object TextAnalysis {
     * cite, exposed rule-by-rule so a curation run can report WHICH
     * rule dropped a document (the audit question a composite score
     * cannot answer): word count in [minWords, maxWords], mean word
-    * length in [3, 10], symbol-to-word ratio ('#' chars + '…'-as-'...'
-    * occurrences) ≤ 0.1, ≤ 90% of lines may start with a bullet,
-    * ≤ 30% may end with an ellipsis, ≥ 80% of words contain an
+    * length in [3, 10], symbol-to-word ratio ('#' chars plus ellipsis
+    * occurrences — BOTH the ASCII '...' spelling and U+2026 '…', as
+    * the published rule counts the character real crawl text uses)
+    * ≤ 0.1, ≤ 90% of lines may start with a bullet, ≤ 30% may end
+    * with an ellipsis (either spelling), ≥ 80% of words contain an
     * alphabetic character, and ≥ 2 [[GopherStopwords]] hits.
     * `gopher_pass` is the conjunction. All pure column expressions —
     * scan-fused, zero shuffle; ratios are exact integer divisions
@@ -98,12 +100,13 @@ object TextAnalysis {
         .quote(lit0), ""))) / lit0.length).cast("long")
     val meanWl = round(aggregate(transform(w, x => length(x)), lit(0),
       (a, x) => a + x).cast("double") / nd, 4)
-    val symbols = (occurrences(t, "#") + occurrences(t, "...")).cast("double")
+    val symbols = (occurrences(t, "#") + occurrences(t, "...") +
+      occurrences(t, "…")).cast("double")
     val bulletFrac = round(size(filter(lines, l =>
       l.startsWith("- ") || l.startsWith("* ") ||
         l.startsWith("•"))).cast("double") / nl, 4)
     val ellipsisFrac = round(size(filter(lines, l =>
-      l.endsWith("..."))).cast("double") / nl, 4)
+      l.endsWith("...") || l.endsWith("…"))).cast("double") / nl, 4)
     val alphaFrac = round(size(filter(w,
       x => lower(x).rlike("[a-z]"))).cast("double") / nd, 4)
     val stops = size(filter(w,
@@ -126,32 +129,66 @@ object TextAnalysis {
           col("n_stop_hits") >= 2L)
   }
 
+  /** A minimal stand-in subset of the published "List of Dirty,
+    * Naughty, Obscene or Otherwise Bad Words" the C4 page filter
+    * gates on (Raffel et al. 2020 §2.2). The real list is an
+    * externally-maintained file of ~400 entries per language — ship
+    * it through the `badwords` parameter; these three entries keep
+    * the rule live and testable without vendoring the list. */
+  val DefaultBadwords: Seq[String] = Seq("porn", "viagra", "xxx")
+
   /** The C4 line/page filter (Raffel et al. 2020, arXiv:1910.10683
-    * §2.2) — the other named, published crawl-cleaning battery: keep
-    * only lines that end in terminal punctuation (. ! ? ") AND carry
-    * ≥ 5 words; drop the whole page if it mentions "lorem ipsum" or
-    * contains a curly brace (code), or if fewer than `minLines` lines
-    * survive. Returns per-doc `(doc_id, n_lines, n_kept_lines,
-    * has_lorem, has_brace, clean_text, c4_keep)` — the cleaned text is
-    * the surviving lines rejoined, so the op composes into curation
-    * chains exactly like [[graft.ops.Dedup.lineDedup]]. Pure column
-    * expressions, scan-fused, zero shuffle. */
+    * §2.2) — the other named, published crawl-cleaning battery.
+    * Line rules: keep only lines that end in terminal punctuation
+    * (. ! ? ") AND carry ≥ 5 words AND do not contain the word
+    * "javascript" (case-insensitive — the published boilerplate
+    * rule). Page rules: drop the whole page if it mentions
+    * "lorem ipsum", contains a curly brace (code — we check both
+    * '{' and '}', a deliberate widening of the published '{'), hits
+    * the bad-word list (published: the externally-maintained LDNOOBW
+    * list; default here is the tiny [[DefaultBadwords]] stand-in —
+    * matching is whole-token on [a-z0-9]-runs, not substring, so
+    * "essex" never trips "sex"-style entries), has fewer than 3
+    * sentences (published rule; sentence count approximated as
+    * terminal-punctuation marks [.!?] in the cleaned text — each kept
+    * line ends in one, mid-line sentences add theirs), or keeps fewer
+    * than `minLines` lines. Deliberately NOT implemented here: the
+    * published three-sentence-span dedup, which is the separate
+    * [[graft.ops.Dedup]] line/substring family, and langdetect
+    * (see the trained LID). Returns per-doc `(doc_id, n_lines,
+    * n_kept_lines, has_lorem, has_brace, has_badword, n_sentences,
+    * clean_text, c4_keep)` — the cleaned text is the surviving lines
+    * rejoined, so the op composes into curation chains exactly like
+    * [[graft.ops.Dedup.lineDedup]]. Pure column expressions,
+    * scan-fused, zero shuffle. */
   def c4Rules(docs: DataFrame, minLines: Int = 3,
+      badwords: Seq[String] = DefaultBadwords,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     val lines = split(t, "\n")
     val kept = filter(lines, l =>
       (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") ||
-        l.endsWith("\"")) && size(split(l, " ")) >= 5)
+        l.endsWith("\"")) && size(split(l, " ")) >= 5 &&
+        !lower(l).contains("javascript"))
+    val clean = concat_ws("\n", kept)
+    val nSentences =
+      (length(clean) - length(regexp_replace(clean, "[.!?]", "")))
+        .cast("long")
+    val badHit =
+      if (badwords.isEmpty) lit(false)
+      else size(filter(split(lower(t), "[^a-z0-9]+"),
+        w => w.isInCollection(badwords))) > 0
     docs.select(col(idCol).as("doc_id"),
         size(lines).cast("long").as("n_lines"),
         size(kept).cast("long").as("n_kept_lines"),
         lower(t).contains("lorem ipsum").as("has_lorem"),
         (t.contains("{") || t.contains("}")).as("has_brace"),
-        concat_ws("\n", kept).as("clean_text"))
+        badHit.as("has_badword"),
+        nSentences.as("n_sentences"),
+        clean.as("clean_text"))
       .withColumn("c4_keep",
-        !col("has_lorem") && !col("has_brace") &&
-          col("n_kept_lines") >= minLines)
+        !col("has_lorem") && !col("has_brace") && !col("has_badword") &&
+          col("n_sentences") >= 3L && col("n_kept_lines") >= minLines)
   }
 
   /** Gopher's published repetition thresholds (arXiv:2112.11446 A1.1,
@@ -172,9 +209,18 @@ object TextAnalysis {
     * engine `min(struct(-count, gram))`, oracle `ORDER BY c DESC,
     * gram`).
     *
-    * Scale shape: ONE tokenize pass fans out to (doc_id, n, gram)
-    * rows (a 9× row multiplier — the honest cost of the battery, paid
-    * identically by the published implementations), reduced by a
+    * Scale shape: ONE source scan and ONE tokenize — the nine n-gram
+    * arrays are built as expressions over the SAME hoisted token
+    * array in a single projection (the tokenize stays in its own
+    * project node: `split` is not CollapseProject-cheap, so Catalyst
+    * cannot inline it nine times), concatenated as tagged (n, gram)
+    * structs and exploded ONCE (outer, so a gram-less doc keeps its
+    * row) into (doc_id, n, gram) rows (a 9× row multiplier — the
+    * honest cost of the battery, paid identically by the published
+    * implementations; the r11 `unionByName`-of-selects form
+    * re-scanned the source nine times). The doc's char count rides
+    * the same rows as a doc_id-determined grouping key, so there is
+    * no join back to the source either. The fan-out reduces under a
     * map-side-combined count keyed by (doc, n, gram) — per-doc
     * bounded, so no hot-key funnel exists anywhere: a pathological
     * repeated-phrase doc COLLAPSES under the partial agg rather than
@@ -182,31 +228,32 @@ object TextAnalysis {
   def gopherRepetition(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val base = docs.select(col(idCol).as("doc_id"),
+      length(col(textCol)).cast("double").as("_nc"),
       tokens(col(textCol)).as("_tk"))
-    val grams = (2 to 10).map { n =>
-      base.select(col("doc_id"), lit(n).as("n"),
-        explode(ngramsFromTokens(col("_tk"), n)).as("g"))
-    }.reduce(_.unionByName(_))
-    val counts = grams.groupBy("doc_id", "n", "g")
+    val grams = base.select(col("doc_id"), col("_nc"),
+        explode_outer(concat((2 to 10).map(n =>
+          transform(ngramsFromTokens(col("_tk"), n),
+            g => struct(lit(n).as("n"), g.as("g")))): _*)).as("_z"))
+      .select(col("doc_id"), col("_nc"),
+        col("_z.n").as("n"), col("_z.g").as("g"))
+    val counts = grams.groupBy("doc_id", "_nc", "n", "g")
       .agg(count(lit(1)).as("c"))
-    val byN = counts.groupBy("doc_id", "n")
+    val byN = counts.groupBy("doc_id", "_nc", "n")
       .agg(min(struct((-col("c")).as("nc"), col("g").as("g"))).as("_top"),
         sum(when(col("c") > 1, col("c") * length(col("g")))).as("_dupc"))
-      .select(col("doc_id"), col("n"),
+      .select(col("doc_id"), col("_nc"), col("n"),
         ((-col("_top.nc")) * length(col("_top.g"))).cast("double").as("_topc"),
         col("_dupc").cast("double").as("_dupc"))
     val aggs = (2 to 10).map { n =>
       max(when(col("n") === n,
         if (n <= 4) col("_topc") else col("_dupc"))).as(s"_m$n")
     }
-    val perDoc = byN.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val perDoc = byN.groupBy("doc_id", "_nc").agg(aggs.head, aggs.tail: _*)
     def frac(n: Int): Column =
       round(least(coalesce(col(s"_m$n"), lit(0.0)) / col("_nc"), lit(1.0)), 4)
     val named = (2 to 4).map(n => frac(n).as(s"top${n}gram_char_frac")) ++
       (5 to 10).map(n => frac(n).as(s"dup${n}gram_char_frac"))
-    docs.select(col(idCol).as("doc_id"),
-        length(col(textCol)).cast("double").as("_nc"))
-      .join(perDoc, Seq("doc_id"), "left")
+    perDoc
       .select(col("doc_id") +: named: _*)
       .withColumn("rep_pass",
         (2 to 4).map(n =>

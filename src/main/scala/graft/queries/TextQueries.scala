@@ -3263,12 +3263,13 @@ object TextQueries {
       |  round(list_aggregate(list_transform(w, x -> length(x)), 'sum')
       |    * 1.0 / len(w), 4) AS mean_word_len,
       |  round(((strlen(text) - strlen(replace(text, '#', ''))) +
-      |    (strlen(text) - strlen(replace(text, '...', ''))) / 3)
+      |    (strlen(text) - strlen(replace(text, '...', ''))) / 3 +
+      |    (length(text) - length(replace(text, '…', ''))))
       |    * 1.0 / len(w), 4) AS symbol_ratio,
       |  round(len(list_filter(ln, l -> l LIKE '- %' OR l LIKE '* %'
       |    OR l LIKE '•%')) * 1.0 / len(ln), 4) AS bullet_line_frac,
-      |  round(len(list_filter(ln, l -> l LIKE '%...')) * 1.0 / len(ln), 4)
-      |    AS ellipsis_line_frac,
+      |  round(len(list_filter(ln, l -> l LIKE '%...' OR l LIKE '%…'))
+      |    * 1.0 / len(ln), 4) AS ellipsis_line_frac,
       |  round(len(list_filter(w, x -> regexp_matches(lower(x), '[a-z]')))
       |    * 1.0 / len(w), 4) AS alpha_word_frac,
       |  CAST(len(list_filter(w, x -> lower(x) IN ('the','be','to','of',
@@ -3285,11 +3286,14 @@ object TextQueries {
 
   /** C4 line/page filtering over PLANTED multi-line text (the corpus
     * is single-line and unpunctuated, so the raw gate would be
-    * vacuous — the tokenizer-probe lesson): doc_id%4 appends a line
+    * vacuous — the tokenizer-probe lesson): doc_id%6 appends a line
     * block exercising one branch each (3 keepable sentences; a lorem
     * ipsum page; a curly-brace code page; a page with only 1 keepable
-    * line), replayed verbatim by the oracle. Output pins the kept-line
-    * arithmetic AND the cleaned text content (md5). */
+    * line — which also fails the 3-sentence page rule; a page whose
+    * "javascript" boilerplate line is dropped but whose page
+    * survives; a bad-word page), replayed verbatim by the oracle.
+    * Output pins the kept-line arithmetic, the sentence count, the
+    * page flags AND the cleaned text content (md5). */
   private val C4Segments: Seq[(Int, String)] = Seq(
     0 -> ("\nThis line has five good words.\nshort line\n" +
       "Another proper sentence ends right here!\n" +
@@ -3303,16 +3307,25 @@ object TextQueries {
       "Another good long sentence ends with punctuation.\n" +
       "Third full sentence present and accounted for."),
     3 -> ("\nOnly one proper sentence lives right here.\n" +
-      "no terminal punct\nshort.\nalso nothing"))
+      "no terminal punct\nshort.\nalso nothing"),
+    4 -> ("\nEnable JavaScript to view this page properly.\n" +
+      "This sentence is long enough to keep.\n" +
+      "Another good long sentence ends with punctuation.\n" +
+      "Third full sentence present and accounted for."),
+    5 -> ("\nThis spam page mentions viagra deals today.\n" +
+      "This sentence is long enough to keep.\n" +
+      "Another good long sentence ends with punctuation.\n" +
+      "Third full sentence present and accounted for."))
 
   def c4Rules(spark: SparkSession, dir: String): DataFrame = {
     val planted = docs(spark, dir).withColumn("text", concat(col("text"),
       C4Segments.foldRight(lit("")) { case ((m, seg), acc) =>
-        when(col("doc_id") % 4 === m, lit(seg)).otherwise(acc)
+        when(col("doc_id") % 6 === m, lit(seg)).otherwise(acc)
       }))
     TextAnalysis.c4Rules(planted)
       .select(col("doc_id"), col("n_lines"), col("n_kept_lines"),
-        col("has_lorem"), col("has_brace"),
+        col("has_lorem"), col("has_brace"), col("has_badword"),
+        col("n_sentences"),
         length(col("clean_text")).cast("long").as("clean_len"),
         md5(col("clean_text").cast("binary")).as("clean_md5"),
         col("c4_keep"))
@@ -3321,22 +3334,33 @@ object TextQueries {
 
   val c4RulesOracle: String = {
     val caseSql = C4Segments.map { case (m, seg) =>
-      s"WHEN doc_id % 4 = $m THEN '${seg.replace("\n", "' || chr(10) || '")}'"
+      s"WHEN doc_id % 6 = $m THEN '${seg.replace("\n", "' || chr(10) || '")}'"
     }.mkString("CASE ", " ", " ELSE '' END")
+    val badIn = TextAnalysis.DefaultBadwords
+      .map(w => s"'$w'").mkString("(", ", ", ")")
     s"""WITH p AS (SELECT doc_id, text || $caseSql AS text FROM documents),
       |b AS (SELECT doc_id, text, string_split(text, chr(10)) AS ln FROM p),
       |f AS (SELECT doc_id, CAST(len(ln) AS BIGINT) AS n_lines,
       |    list_filter(ln, l -> (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?'
-      |      OR l LIKE '%"') AND len(string_split(l, ' ')) >= 5) AS kept,
+      |      OR l LIKE '%"') AND len(string_split(l, ' ')) >= 5
+      |      AND NOT contains(lower(l), 'javascript')) AS kept,
       |    contains(lower(text), 'lorem ipsum') AS has_lorem,
-      |    (contains(text, '{') OR contains(text, '}')) AS has_brace
-      |  FROM b)
+      |    (contains(text, '{') OR contains(text, '}')) AS has_brace,
+      |    len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+      |      x -> x IN $badIn)) > 0 AS has_badword
+      |  FROM b),
+      |g AS (SELECT doc_id, n_lines, kept, has_lorem, has_brace, has_badword,
+      |    array_to_string(kept, chr(10)) AS clean FROM f)
       |SELECT doc_id, n_lines, CAST(len(kept) AS BIGINT) AS n_kept_lines,
-      |  has_lorem, has_brace,
-      |  CAST(length(array_to_string(kept, chr(10))) AS BIGINT) AS clean_len,
-      |  md5(array_to_string(kept, chr(10))) AS clean_md5,
-      |  (NOT has_lorem AND NOT has_brace AND len(kept) >= 3) AS c4_keep
-      |FROM f ORDER BY doc_id""".stripMargin
+      |  has_lorem, has_brace, has_badword,
+      |  CAST(length(clean) - length(regexp_replace(clean, '[.!?]', '', 'g'))
+      |    AS BIGINT) AS n_sentences,
+      |  CAST(length(clean) AS BIGINT) AS clean_len,
+      |  md5(clean) AS clean_md5,
+      |  (NOT has_lorem AND NOT has_brace AND NOT has_badword
+      |    AND length(clean) - length(regexp_replace(clean, '[.!?]', '', 'g')) >= 3
+      |    AND len(kept) >= 3) AS c4_keep
+      |FROM g ORDER BY doc_id""".stripMargin
   }
 
   /** The Gopher repetition battery (see

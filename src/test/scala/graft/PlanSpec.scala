@@ -519,6 +519,14 @@ class PlanSpec extends SparkSpec {
       s"expected map-side partial aggregation:\n$p")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), s"crossed:\n$p")
+    // r12 (r11 ADVICE): the nine n-gram sizes build from ONE hoisted
+    // token array in one projection — the unionByName form re-scanned
+    // (and re-tokenized) the source nine times; _nc rides the grouping
+    // keys so there is no join back to the source either
+    val direct = countOf(p, "FileScan") - countOf(p, "InMemoryRelation")
+    assert(direct <= 1,
+      s"repetition battery re-scans its input ($direct FileScans):\n$p")
+    assert(!p.contains("Join"), s"repetition battery must be join-free:\n$p")
   }
 
   test("tx_bpe_ids: corpus-sized id frame reduces below the single result exchange") {

@@ -2718,6 +2718,51 @@ class OpsSpec extends SparkSpec {
     assert(r.getAs[Double]("alpha_word_frac") == 1.0)
   }
 
+  test("gopher rules: U+2026 '…' counts as an ellipsis (symbol ratio + line-end rule)") {
+    // r11 ADVICE: the published rule counts the character real crawl
+    // text uses, not just the ASCII spelling
+    val d = Seq(
+      (1L, (1 to 10).map(i => s"line $i of the text that we have with be to…").mkString("\n")),
+      (2L, "one two… three four… five six… seven eight… nine ten…"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRules(d, minWords = 1L).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Double]("ellipsis_line_frac") == 1.0,
+      s"unicode ellipsis line-end must count: ${r(1L)}")
+    // doc 2: 5 '…' over 10 words = 0.5 symbol ratio > 0.1 threshold
+    assert(r(2L).getAs[Double]("symbol_ratio") == 0.5, s"${r(2L)}")
+    assert(!r(2L).getAs[Boolean]("gopher_pass"))
+  }
+
+  test("c4 rules: javascript lines drop, bad-word and <3-sentence pages drop") {
+    val goodTail = "This sentence is long enough to keep.\n" +
+      "Another good long sentence ends with punctuation.\n" +
+      "Third full sentence present and accounted for."
+    val d = Seq(
+      (1L, goodTail),                                          // clean page keeps
+      (2L, "Enable JavaScript to view this page properly.\n" + goodTail),
+      (3L, "This spam page mentions viagra deals today.\n" + goodTail),
+      (4L, "Sussex and Essex are proper county names here.\n" + goodTail),
+      (5L, "Alpha beta gamma delta epsilon.\nmore words but no punct\nshort."))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.c4Rules(d).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Boolean]("c4_keep") &&
+      r(1L).getAs[Long]("n_sentences") == 3L)
+    // the boilerplate LINE drops (3 kept of 4) but the PAGE survives
+    assert(r(2L).getAs[Boolean]("c4_keep") &&
+      r(2L).getAs[Long]("n_kept_lines") == 3L, s"${r(2L)}")
+    assert(!r(3L).getAs[Boolean]("c4_keep") &&
+      r(3L).getAs[Boolean]("has_badword"), s"${r(3L)}")
+    // whole-token matching: 'Essex'/'Sussex' must NOT trip 'xxx'-style
+    // substring scans (4 kept lines, 4 sentences, keeps)
+    assert(r(4L).getAs[Boolean]("c4_keep") &&
+      !r(4L).getAs[Boolean]("has_badword"), s"${r(4L)}")
+    // 1 kept line / 1 sentence: fails both the sentence and line floors
+    assert(!r(5L).getAs[Boolean]("c4_keep") &&
+      r(5L).getAs[Long]("n_sentences") == 1L, s"${r(5L)}")
+  }
+
   test("KN model artifact: save/load round-trips scores exactly; corrupt artifacts rejected") {
     val train = Seq((1L, "the cat sat on the mat"), (2L, "a dog ran"))
       .toDF("doc_id", "text")
