@@ -38,7 +38,11 @@ import org.apache.spark.sql.SparkSession
   * of its query's runs is re-measured once after an extra settle — the
   * replacement is reported in `runs` and the original is preserved in
   * `discarded` so the spread stays auditable (nothing is silently
-  * dropped; a query whose re-run is STILL >2x keeps the slow number).
+  * dropped; a query whose re-run is STILL >2x keeps the slow number);
+  * (c) the load guard (r12): a run that STARTED at load_1m above
+  * [[LoadMax]] is discarded and re-measured (capped per query), with
+  * the discard reason in the artifact — the telemetry r11 only
+  * recorded now drives the re-run decision itself.
   */
 object Bench {
   private val TimedRuns = 3
@@ -50,6 +54,16 @@ object Bench {
     * artifact). */
   private val HeavyRuns = 5
   private val HeavyThresholdSec = 5.0
+  /** Load guard (r12): discard-and-re-measure threshold on the OS
+    * 1-minute load average at run start, and the per-query cap on
+    * extra runs the guard may spend. The r11 artifact showed every
+    * >1.3x-spread line coinciding with load_1m ≈ 9 against quiet-box
+    * runs at ≈ 6 (flat GC both sides), so 8 separates "bench plus a
+    * co-tenant burst" from the bench's own steady state on this box;
+    * override with SPARK_GRAFT_LOAD_MAX for other boxes. */
+  private val LoadMax: Double =
+    sys.env.get("SPARK_GRAFT_LOAD_MAX").map(_.toDouble).getOrElse(8.0)
+  private val LoadRetryBudget = 3
 
   private def gcMillis(): Long = {
     val it = java.lang.management.ManagementFactory
@@ -106,6 +120,7 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val allRuns = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val discarded = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    val discardReasons = scala.collection.mutable.LinkedHashMap[String, Seq[String]]()
     val gcRuns = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val loadRuns = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     def medianOf(rs: Seq[Double]): Double = {
@@ -154,15 +169,42 @@ object Bench {
       // heavy lines: median-of-5 (see HeavyRuns scaladoc)
       if (medianOf(runs.map(_._1)) > HeavyThresholdSec)
         runs = runs ++ (TimedRuns until HeavyRuns).map(_ => timedRun())
+      val dropped = scala.collection.mutable.ArrayBuffer[Double]()
+      val reasons = scala.collection.mutable.ArrayBuffer[String]()
       // interference guard: re-measure (once per slot) any run >2x the
       // median; originals kept in `discarded` — see scaladoc
       val med0 = medianOf(runs.map(_._1))
       if (med0 > 0 && runs.exists(_._1 > 2 * med0)) {
-        val dropped = scala.collection.mutable.ArrayBuffer[Double]()
         runs = runs.map { t =>
-          if (t._1 > 2 * med0) { dropped += t._1; timedRun() } else t
+          if (t._1 > 2 * med0) {
+            dropped += t._1; reasons += "gt2x_median"; timedRun()
+          } else t
         }
+      }
+      // load guard (r11 rounds only RECORDED load_1m; r12 ACTS on it):
+      // a run whose start-of-run load average exceeds LoadMax is
+      // discarded and re-measured, up to LoadRetryBudget extra runs
+      // per query. A clean-load replacement is accepted outright; a
+      // still-loaded replacement is kept only if faster (every
+      // observation was taken under load — the fastest is nearest the
+      // unloaded cost). Originals land in `discarded` with reason
+      // "load_<x>", so the spread bar stays auditable and a loaded
+      // box can no longer skew the reported median silently.
+      var loadBudget = LoadRetryBudget
+      runs = runs.map { t0 =>
+        var t = t0
+        while (t._1 >= 0 && t._3 > LoadMax && loadBudget > 0) {
+          loadBudget -= 1
+          val r = timedRun()
+          if (r._1 >= 0 && (r._3 <= LoadMax || r._1 < t._1)) {
+            dropped += t._1; reasons += s"load_${t._3}"; t = r
+          } else { dropped += r._1; reasons += s"load_retry_${r._3}" }
+        }
+        t
+      }
+      if (dropped.nonEmpty) {
         discarded(name) = dropped.toSeq
+        discardReasons(name) = reasons.toSeq
       }
       allRuns(name) = runs.map(_._1)
       gcRuns(name) = runs.map(_._2)
@@ -179,6 +221,9 @@ object Bench {
     val discJson = discarded.map { case (k, v) =>
       "\"" + k + "\":" + v.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    val discReasonJson = discardReasons.map { case (k, v) =>
+      jstr(k) + ":" + v.map(jstr).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     def numMap(m: scala.collection.Map[String, Seq[Double]]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v.mkString("[", ",", "]") }
         .mkString("{", ",", "}")
@@ -188,7 +233,7 @@ object Bench {
     // line — bulky runs/errors payloads first (r7: three long error
     // strings pushed every number out of the recorded tail)
     val line =
-      s"""{"runs":$runsJson,"gc_sec":${numMap(gcRuns)},"load_1m":${numMap(loadRuns)},"discarded":$discJson,"errors":$errJson,"sf":"$sfDir","queries":$qs,"metric":"total","value":$total,"unit":"sec"}"""
+      s"""{"runs":$runsJson,"gc_sec":${numMap(gcRuns)},"load_1m":${numMap(loadRuns)},"discarded":$discJson,"discard_reason":$discReasonJson,"errors":$errJson,"sf":"$sfDir","queries":$qs,"metric":"total","value":$total,"unit":"sec"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_result.json"), line + "\n")
     spark.stop()
