@@ -1,0 +1,97 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Builder-owned second-decade scaling corpus (r11 verdict #1): the
+  * driver's testdata stops at sf0.1, so every 100 TB claim rested on
+  * ONE measured decade (sf0.01 → sf0.1) plus design audit. This tool
+  * synthesizes a ~10× sf0.1 `documents` + `embeddings` corpus under
+  * `scaledata/` (never touching /root/testdata) so the heavy families
+  * can be measured across a SECOND decade.
+  *
+  * Construction — 10 copies of the source, each under a deterministic
+  * per-copy transform chosen so the workload SHAPE scales linearly
+  * (what a 10× crawl actually looks like) instead of degenerating:
+  *
+  *  - documents: copy k applies a BIJECTIVE vocabulary rotation
+  *    (token → vocab[(rank + k) mod V], identity for k = 0). A
+  *    bijection preserves every within-copy similarity relation
+  *    EXACTLY — exact-dup groups, n-gram Jaccard, MinHash signatures,
+  *    connected components — so duplicate-group COUNT scales 10× while
+  *    group SIZES stay constant. Cross-copy shingle overlap collapses
+  *    to the ~1% random-coincidence floor (a shifted 5-gram must
+  *    pre-exist in the source to collide), so copies do NOT become one
+  *    giant near-dup family — which would have made the candidate
+  *    graph grow quadratically and measured a workload no real 10×
+  *    corpus has.
+  *  - embeddings: copy k applies a cyclic DIMENSION rotation — an
+  *    orthogonal transform, so all within-copy inner products, norms
+  *    and neighbor ranks are preserved exactly; cross-copy geometry
+  *    scrambles. Vector count scales 10×, per-copy ANN structure is
+  *    invariant.
+  *  - ids offset by k·1,000,000 (source ids are < 10^4), lang/source
+  *    strata carried through, n_chars recomputed post-remap.
+  *
+  * Zero RNG, zero wall-clock: every choice is (k, rank) arithmetic,
+  * so the corpus is reproducible bit-for-bit.
+  *
+  * Usage: runMain graft.tools.ScaleGen <srcSfDir> <outDir> [copies]
+  */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    val srcDir = args(0)
+    val outDir = args(1)
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    val vocab = docs.select(explode(split(col("text"), " ")).as("t"))
+      .where(col("t") =!= "").distinct()
+      .orderBy("t").as[String].collect()
+    val v = vocab.length
+    require(copies <= v, s"need copies <= vocab size for distinct rotations")
+    val rankMap = typedlit(vocab.zipWithIndex.toMap)
+    val vocabArr = typedlit(vocab)
+    val ks = spark.range(0, copies).select(col("id").cast("int").as("_k"))
+
+    val outDocs = docs.crossJoin(broadcast(ks))
+      .select(
+        (col("_k") * 1000000L + col("doc_id")).as("doc_id"),
+        array_join(transform(split(col("text"), " "), t =>
+          coalesce(
+            element_at(vocabArr,
+              pmod(element_at(rankMap, t) + col("_k"), lit(v)) + 1),
+            t)), " ").as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")))
+    outDocs.repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/documents.parquet")
+
+    val embs = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    val dim = embs.select(size(col("embedding"))).head().getInt(0)
+    val outEmbs = embs.crossJoin(broadcast(ks))
+      .select(
+        (col("_k") * 1000000L + col("vec_id")).as("vec_id"),
+        concat(
+          slice(col("embedding"), col("_k") + 1, lit(dim) - col("_k")),
+          slice(col("embedding"), lit(1), col("_k"))).as("embedding"),
+        col("label"))
+    outEmbs.repartition(8).write.mode("overwrite")
+      .parquet(s"$outDir/embeddings.parquet")
+
+    val nd = spark.read.parquet(s"$outDir/documents.parquet").count()
+    val ne = spark.read.parquet(s"$outDir/embeddings.parquet").count()
+    println(s"[scalegen] wrote $nd docs, $ne embeddings to $outDir " +
+      s"(vocab $v, $copies copies, dim $dim)")
+    spark.stop()
+  }
+}
