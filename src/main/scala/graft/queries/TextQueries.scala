@@ -129,29 +129,133 @@ object TextQueries {
       |            ELSE 'und' END AS lang_pred, count(*) AS n
       |FROM s GROUP BY 1 ORDER BY lang_pred""".stripMargin
 
-  /** Language-ID confusion matrix: predicted vs labeled language with
-    * per-cell counts — the evaluation view of the langId gate (the
-    * synthetic corpus shares one vocabulary across labels, so the
-    * matrix measures marker-hit behavior, not label recovery). */
-  def langConfusion(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
-      .groupBy(col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))
+  // --- Trained language ID (r12) --------------------------------------
+  // See [[graft.ops.TextAnalysis.trainLid]]: hashed char-trigram
+  // logistic heads, one per language, trained in-engine by 3
+  // deterministic full-batch GD epochs on the corpus's planted `lang`
+  // labels. The oracle replays the ENTIRE run — char-gram featurize,
+  // every epoch of every head, 4dp scores, the alphabetical-tie-break
+  // argmax — as one generated CTE chain, so the trained LID model
+  // itself is exact-checked. The marker heuristic above stays as the
+  // documented zero-training fallback (`tx_lang_dist`).
+
+  private val LidBuckets = 1024
+  private val LidIters = 3
+  private val LidLr = 2.0
+  private val LidN = 3
+
+  /** Training + scoring replay over `src` (any relation with doc_id,
+    * lang, text), parameterized by the SAME constants the engine
+    * trains under; ends at `lpred(doc_id, score_<k>..., lang_pred,
+    * lid_score)`. Shared by `tx_langid`, `tx_lang_confusion` and the
+    * curation14 chain so the replay cannot fork. */
+  private def lidTrainChainSql(src: String): String = {
+    val (nb, lr, iters, n) = (LidBuckets, LidLr, LidIters, LidN)
+    val classes = TextAnalysis.LidClasses
+    val clsList = classes.map(c => s"'$c'").mkString("[", ", ", "]")
+    def sig(m: String) =
+      s"1.0/(1.0 + exp(-CAST(CAST($m AS DECIMAL(38,12)) AS DOUBLE)))"
+    val head =
+      s"""lcg AS (SELECT doc_id, lang,
+         |    CASE WHEN length(text) >= $n THEN (length(text) - ${n - 1}) * 1.0
+         |         ELSE 1.0 END AS n,
+         |    unnest(CASE WHEN length(text) >= $n
+         |      THEN list_transform(range(1, length(text) - ${n - 2}),
+         |             i -> substr(text, i, $n))
+         |      ELSE [text] END) AS t
+         |  FROM $src),
+         |lf0 AS (SELECT doc_id, lang,
+         |    CAST(('0x' || substr(md5(t), 1, 16))::UBIGINT % $nb AS BIGINT) AS b,
+         |    count(*) * 1.0 / n AS x FROM lcg GROUP BY doc_id, lang, n, b),
+         |lfeat AS (SELECT * FROM lf0
+         |  UNION ALL SELECT DISTINCT doc_id, lang, -1 AS b, 1.0 AS x FROM lf0),
+         |lcls AS (SELECT unnest($clsList) AS k),
+         |lfk AS (SELECT f.doc_id, f.b, f.x, c.k,
+         |         CASE WHEN f.lang = c.k THEN 1.0 ELSE 0.0 END AS y
+         |       FROM lfeat f CROSS JOIN lcls c),
+         |lnd AS (SELECT count(*) * 1.0 AS n FROM $src),
+         |lm1 AS (SELECT DISTINCT doc_id, k, y, 0.0 AS m FROM lfk),
+         |lr1 AS (SELECT doc_id, k, y - ${sig("m")} AS r FROM lm1),
+         |lw1 AS (SELECT f.b, f.k,
+         |         $lr * CAST(sum(CAST(f.x * r.r AS DECIMAL(38,12)))
+         |           AS DOUBLE) / (SELECT n FROM lnd) AS w
+         |       FROM lfk f JOIN lr1 r USING (doc_id, k) GROUP BY f.b, f.k)"""
+        .stripMargin
+    val steps = (2 to iters).map { t =>
+      s"""lm$t AS (SELECT f.doc_id, f.k, min(f.y) AS y,
+         |         coalesce(sum(f.x * w.w), 0.0) AS m
+         |       FROM lfk f LEFT JOIN lw${t - 1} w ON f.b = w.b AND f.k = w.k
+         |       GROUP BY f.doc_id, f.k),
+         |lr$t AS (SELECT doc_id, k, y - ${sig("m")} AS r FROM lm$t),
+         |lw$t AS (SELECT g.b, g.k, coalesce(w.w, 0.0) + g.u AS w
+         |       FROM (SELECT f.b, f.k,
+         |               $lr * CAST(sum(CAST(f.x * r.r AS DECIMAL(38,12)))
+         |                 AS DOUBLE) / (SELECT n FROM lnd) AS u
+         |             FROM lfk f JOIN lr$t r USING (doc_id, k)
+         |             GROUP BY f.b, f.k) g
+         |       LEFT JOIN lw${t - 1} w ON g.b = w.b AND g.k = w.k)"""
+        .stripMargin
+    }
+    val pivCols = classes.map(k =>
+      s"max(CASE WHEN k = '$k' THEN s END) AS score_$k").mkString(",\n  ")
+    val scoreCols = classes.map(k => s"score_$k").mkString(", ")
+    val predExpr = classes.map(k =>
+      s"WHEN score_$k >= greatest($scoreCols) THEN '$k'")
+      .mkString("CASE ", " ", " END")
+    val tail =
+      s"""lmf AS (SELECT f.doc_id, f.k, coalesce(sum(f.x * w.w), 0.0) AS m
+         |       FROM lfk f LEFT JOIN lw$iters w ON f.b = w.b AND f.k = w.k
+         |       GROUP BY f.doc_id, f.k),
+         |lsc AS (SELECT doc_id, k, round(${sig("m")}, 4) AS s FROM lmf),
+         |lpiv AS (SELECT doc_id,
+         |  $pivCols
+         |  FROM lsc GROUP BY doc_id),
+         |lpred AS (SELECT doc_id, $scoreCols,
+         |  $predExpr AS lang_pred,
+         |  greatest($scoreCols) AS lid_score FROM lpiv)""".stripMargin
+    (Seq(head) ++ steps :+ tail).mkString(",\n")
+  }
+
+  /** tx_langid — per-doc trained-LID prediction: the 5 head scores,
+    * the argmax language, and its score, with the whole training run
+    * oracle-replayed. */
+  def langIdTrained(spark: SparkSession, dir: String): DataFrame = {
+    // spread the per-row CPU-heavy featurize/epoch scans (char-gram
+    // explode + margin sums) across cores; partitioning-invariant
+    // under the DECIMAL-rounded gradients and margins
+    val d = QueryUtil.spreadById(docs(spark, dir))
+    val (feat, model) = TextAnalysis.lidCore(d, TextAnalysis.LidClasses,
+      LidBuckets, LidIters, LidLr, LidN, "doc_id", "text", "lang")
+    TextAnalysis.lidScoredFrom(feat, model)
+      .transform(QueryUtil.ordered("doc_id"))
+  }
+
+  val langIdTrainedOracle: String =
+    s"""WITH ${lidTrainChainSql("documents")}
+       |SELECT * FROM lpred ORDER BY doc_id""".stripMargin
+
+  /** Language-ID confusion matrix: TRAINED-LID prediction vs planted
+    * label, per-cell counts — the honest evaluation of the trained
+    * model (the synthetic corpus shares one vocabulary across labels,
+    * so off-diagonal mass ≈ class priors by construction; the matrix
+    * verifies the model, the disclosure explains the accuracy). */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val d = QueryUtil.spreadById(docs(spark, dir))
+    val (feat, model) = TextAnalysis.lidCore(d, TextAnalysis.LidClasses,
+      LidBuckets, LidIters, LidLr, LidN, "doc_id", "text", "lang")
+    val preds = TextAnalysis.lidScoredFrom(feat, model)
+      .select(col("doc_id"), col("lang_pred"))
+    d.select(col("doc_id"), col("lang")).join(preds, Seq("doc_id"))
+      .groupBy(col("lang"), col("lang_pred"))
       .agg(count(lit(1)).as("n"))
       .transform(QueryUtil.ordered("lang", "lang_pred"))
+  }
 
   val langConfusionOracle: String =
-    """WITH s AS (SELECT lang,
-      |    len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','is'))) AS e,
-      |    len(list_filter(string_split(text, ' '), t -> t IN ('der','die','das','und','ist'))) AS d,
-      |    len(list_filter(string_split(text, ' '), t -> t IN ('le','la','les','et','est'))) AS f,
-      |    len(list_filter(string_split(text, ' '), t -> t IN ('el','los','las','y','es'))) AS sp
-      |  FROM documents)
-      |SELECT lang, CASE WHEN e > 0 AND e >= greatest(e, d, f, sp) THEN 'en'
-      |            WHEN d > 0 AND d >= greatest(d, f, sp) THEN 'de'
-      |            WHEN f > 0 AND f >= greatest(f, sp) THEN 'fr'
-      |            WHEN sp > 0 THEN 'es'
-      |            ELSE 'und' END AS lang_pred, count(*) AS n
-      |FROM s GROUP BY 1, 2 ORDER BY lang, lang_pred""".stripMargin
+    s"""WITH ${lidTrainChainSql("documents")}
+       |SELECT d.lang, p.lang_pred, count(*) AS n
+       |FROM documents d JOIN lpred p USING (doc_id)
+       |GROUP BY 1, 2 ORDER BY lang, lang_pred""".stripMargin
 
   /** Content fingerprints (exact-dedup keys). */
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
@@ -3960,6 +4064,7 @@ object TextQueries {
     "tx_repetition" -> ((repetition _, Some(repetitionOracle))),
     "tx_hash_embed" -> ((hashEmbed _, Some(hashEmbedOracle))),
     "tx_lang_dist" -> ((langDist _, Some(langDistOracle))),
+    "tx_langid" -> ((langIdTrained _, Some(langIdTrainedOracle))),
     "tx_lang_confusion" -> ((langConfusion _, Some(langConfusionOracle))),
     "tx_pii_scrub" -> ((piiScrub _, Some(piiScrubOracle))),
     "tx_url_gate" -> ((urlGate _, Some(urlGateOracle))),

@@ -2763,6 +2763,36 @@ class OpsSpec extends SparkSpec {
       r(5L).getAs[Long]("n_sentences") == 1L, s"${r(5L)}")
   }
 
+  test("trained LID: recovers labels when char signal exists; deterministic tie-break") {
+    // the synthetic corpus has NO lang signal (disclosed); this pins
+    // that the machinery LEARNS when signal exists — three "languages"
+    // with disjoint character inventories must be recovered on the
+    // training set after 3 epochs
+    val d = (0 until 30).map { i =>
+      val lang = Seq("de", "en", "es")(i % 3)
+      val word = Map("de" -> "aber", "en" -> "with", "es" -> "pero")(lang)
+      (i.toLong, (word + " ") * 10 + word, lang)
+    }.toDF("doc_id", "text", "lang")
+    val model = TextAnalysis.trainLid(d, numBuckets = 256)
+    val preds = TextAnalysis.scoreWithLidModel(d, model)
+      .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    assert(preds.filter(col("lang_pred") === col("lang")).count() == 30,
+      "disjoint-charset languages must be fully recovered on train")
+    // classes with no evidence score identically -> argmax must break
+    // ties to the alphabetically smallest class
+    val zh = TextAnalysis.scoreWithLidModel(
+      Seq((99L, "qqqq qqqq qqqq")).toDF("doc_id", "text"), model).head()
+    val scores = TextAnalysis.LidClasses.map(k =>
+      zh.getAs[Double](s"score_$k"))
+    if (scores.distinct.size == 1)
+      assert(zh.getAs[String]("lang_pred") == "de")
+    // sub-n-char docs featurize as one whole-text term (never dropped)
+    val tiny = TextAnalysis.scoreWithLidModel(
+      Seq((100L, "ab")).toDF("doc_id", "text"), model).collect()
+    assert(tiny.length == 1 && tiny.head.getAs[String]("lang_pred") != null)
+    graft.ops.Dedup.releaseCaches()
+  }
+
   test("KN model artifact: save/load round-trips scores exactly; corrupt artifacts rejected") {
     val train = Seq((1L, "the cat sat on the mat"), (2L, "a dog ran"))
       .toDF("doc_id", "text")
