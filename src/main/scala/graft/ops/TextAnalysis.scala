@@ -209,51 +209,35 @@ object TextAnalysis {
     * engine `min(struct(-count, gram))`, oracle `ORDER BY c DESC,
     * gram`).
     *
-    * Scale shape: ONE source scan and ONE tokenize — the nine n-gram
-    * arrays are built as expressions over the SAME hoisted token
-    * array in a single projection (the tokenize stays in its own
-    * project node: `split` is not CollapseProject-cheap, so Catalyst
-    * cannot inline it nine times), concatenated as tagged (n, gram)
-    * structs and exploded ONCE (outer, so a gram-less doc keeps its
-    * row) into (doc_id, n, gram) rows (a 9× row multiplier — the
-    * honest cost of the battery, paid identically by the published
-    * implementations; the r11 `unionByName`-of-selects form
-    * re-scanned the source nine times). The doc's char count rides
-    * the same rows as a doc_id-determined grouping key, so there is
-    * no join back to the source either. The fan-out reduces under a
-    * map-side-combined count keyed by (doc, n, gram) — per-doc
-    * bounded, so no hot-key funnel exists anywhere: a pathological
-    * repeated-phrase doc COLLAPSES under the partial agg rather than
-    * exploding. */
+    * Scale shape (r13): ONE source scan, ONE tokenize, ZERO shuffle,
+    * ZERO cache — all nine metrics come from the codegen
+    * [[graft.etl.expressions.GopherRepMetrics]] expression, one
+    * compiled hash-count pass per document inside whole-stage codegen.
+    * The battery's 9·T gram fan-out never leaves the row, so there is
+    * no join back to the source, no reduce key a pathological
+    * repeated-phrase doc could heat (it collapses inside its own
+    * per-doc hash map), and the only exchange in the whole query is
+    * the caller's result ordering. (History: the r11 union-of-9-
+    * explodes form re-scanned the source nine times at 2.45 s/sf0.1;
+    * the r12 single-scan concat-of-9-struct-arrays form was a
+    * measured 3.7× regression at 9.07 s; declarative middle grounds —
+    * persisted-base union, dynamic-n explode, higher-order run-length
+    * fold — all measured 4.2–7.0 s. The expression form is both the
+    * fastest AND the only zero-shuffle shape.) */
   def gopherRepetition(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val base = docs.select(col(idCol).as("doc_id"),
+    val metrics = docs.select(col(idCol).as("doc_id"),
       length(col(textCol)).cast("double").as("_nc"),
-      tokens(col(textCol)).as("_tk"))
-    val grams = base.select(col("doc_id"), col("_nc"),
-        explode_outer(concat((2 to 10).map(n =>
-          transform(ngramsFromTokens(col("_tk"), n),
-            g => struct(lit(n).as("n"), g.as("g")))): _*)).as("_z"))
-      .select(col("doc_id"), col("_nc"),
-        col("_z.n").as("n"), col("_z.g").as("g"))
-    val counts = grams.groupBy("doc_id", "_nc", "n", "g")
-      .agg(count(lit(1)).as("c"))
-    val byN = counts.groupBy("doc_id", "_nc", "n")
-      .agg(min(struct((-col("c")).as("nc"), col("g").as("g"))).as("_top"),
-        sum(when(col("c") > 1, col("c") * length(col("g")))).as("_dupc"))
-      .select(col("doc_id"), col("_nc"), col("n"),
-        ((-col("_top.nc")) * length(col("_top.g"))).cast("double").as("_topc"),
-        col("_dupc").cast("double").as("_dupc"))
-    val aggs = (2 to 10).map { n =>
-      max(when(col("n") === n,
-        if (n <= 4) col("_topc") else col("_dupc"))).as(s"_m$n")
-    }
-    val perDoc = byN.groupBy("doc_id", "_nc").agg(aggs.head, aggs.tail: _*)
+      org.apache.spark.sql.graft.Bridge.column(
+        graft.etl.expressions.GopherRepMetrics(
+          org.apache.spark.sql.graft.Bridge.expression(
+            tokens(col(textCol))))).as("_m"))
     def frac(n: Int): Column =
-      round(least(coalesce(col(s"_m$n"), lit(0.0)) / col("_nc"), lit(1.0)), 4)
+      round(least(coalesce(element_at(col("_m"), n - 1), lit(0L))
+        .cast("double") / col("_nc"), lit(1.0)), 4)
     val named = (2 to 4).map(n => frac(n).as(s"top${n}gram_char_frac")) ++
       (5 to 10).map(n => frac(n).as(s"dup${n}gram_char_frac"))
-    perDoc
+    metrics
       .select(col("doc_id") +: named: _*)
       .withColumn("rep_pass",
         (2 to 4).map(n =>
@@ -389,12 +373,21 @@ object TextAnalysis {
     require(iterations >= 1, s"need at least one GD step, got $iterations")
     val feat = Dedup.persistTracked(lidFeatureArrays(docs, numBuckets, n,
       idCol, textCol, Some(langCol)))
-    val eta = learningRate / docs.count()
+    // corpus size for the (lr · g) / n update below — kept as the raw
+    // count, NOT pre-divided into an eta: the oracle's update term is
+    // `lr * CAST(sum(..) AS DOUBLE) / n`, one float rounding, and a
+    // precomputed lr/n would add a second rounding (ulp-level weight
+    // drift the DECIMAL margin rounding only usually absorbs)
+    val cnt = docs.count().toDouble
     var w: Map[String, Map[Long, Double]] =
       classes.map(_ -> Map.empty[Long, Double]).toMap
     for (_ <- 1 to iterations) {
       val resCols = classes.map { k =>
-        ((col("_lang") === k).cast("double") -
+        // label coalesced to 0.0: the oracle's CASE WHEN lang = k THEN
+        // 1.0 ELSE 0.0 sends a NULL lang to 0.0, while a bare
+        // (=).cast would yield NULL and silently drop the row from
+        // the gradient sum
+        (coalesce((col("_lang") === k).cast("double"), lit(0.0)) -
           lit(1.0) / (lit(1.0) + exp(-lidMargin(w(k))))).as(s"_r_$k")
       }
       val gradAggs = classes.map { k =>
@@ -413,7 +406,7 @@ object TextAnalysis {
         val i = classes.indexOf(k) + 1
         k -> (wk ++ grad.map(r =>
           r.getLong(0) -> (wk.getOrElse(r.getLong(0), 0.0) +
-            eta * r.getDouble(i))))
+            learningRate * r.getDouble(i) / cnt)))
       }
     }
     (feat, LidModel(classes, w, numBuckets, n))
@@ -1043,7 +1036,10 @@ object TextAnalysis {
     // epoch below is a scan of this frame, never a corpus shuffle
     val feat = Dedup.persistTracked(
       clfFeatureArrays(docs, numBuckets, idCol, textCol, Some(labelPred)))
-    val eta = learningRate / docs.count()
+    // raw count, not a precomputed eta: the oracle's update is
+    // `lr * CAST(sum(..) AS DOUBLE) / n` — ONE float rounding; lr/n
+    // precomputed would round twice (same fix as lidCore)
+    val cnt = docs.count().toDouble
     var w = Map.empty[Long, Double]
     for (_ <- 1 to iterations) {
       // residual r = y − σ(m) computes scan-side; the only shuffle is
@@ -1063,7 +1059,8 @@ object TextAnalysis {
         .agg(sum((col("_z._x") * col("_r")).cast("decimal(38,12)"))
           .cast("double").as("_g"))
         .as[(Long, Double)].collect()
-      w = w ++ grad.map { case (b, g) => b -> (w.getOrElse(b, 0.0) + eta * g) }
+      w = w ++ grad.map { case (b, g) =>
+        b -> (w.getOrElse(b, 0.0) + learningRate * g / cnt) }
     }
     (feat, ClfModel(w, numBuckets))
   }

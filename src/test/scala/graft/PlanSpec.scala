@@ -507,26 +507,27 @@ class PlanSpec extends SparkSpec {
     assert(countOf(p, "Exchange") <= 1, s"unexpected shuffle:\n$p")
   }
 
-  test("tx_gopher_repetition: gram counts partial-aggregate; no window anywhere") {
-    // the top-gram argmax is min(struct(-c, g)) under the partial agg
-    // — a row_number window on (doc, n) (the oracle's replay form)
-    // would funnel each doc's gram set through one unsplittable window
-    // task and lose map-side combining on the count reduction
+  test("tx_gopher_repetition: one scan, shuffle-free battery; no window anywhere") {
+    // r13: all nine metrics come from the codegen GopherRepMetrics
+    // expression — one compiled hash-count pass per document, so the
+    // gram fan-out never becomes rows. The pin is the strongest shape
+    // this battery can have: one scan, no join, no window, and NO
+    // exchange except the single result-ordering one (the r12
+    // explode+double-agg form shuffled the 9·T gram stream twice; the
+    // r11 form re-scanned the source nine times)
     val p = plan("tx_gopher_repetition")
     assert(!p.contains("windowspecdefinition"),
       s"repetition battery must not plan a window:\n$p")
-    assert(p.contains("partial_count") || p.contains("partial_min"),
-      s"expected map-side partial aggregation:\n$p")
+    assert(p.contains("gopher_rep_metrics"),
+      s"expected the codegen GopherRepMetrics expression:\n$p")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), s"crossed:\n$p")
-    // r12 (r11 ADVICE): the nine n-gram sizes build from ONE hoisted
-    // token array in one projection — the unionByName form re-scanned
-    // (and re-tokenized) the source nine times; _nc rides the grouping
-    // keys so there is no join back to the source either
     val direct = countOf(p, "FileScan") - countOf(p, "InMemoryRelation")
     assert(direct <= 1,
       s"repetition battery re-scans its input ($direct FileScans):\n$p")
     assert(!p.contains("Join"), s"repetition battery must be join-free:\n$p")
+    assert(countOf(p, "Exchange") <= 1,
+      s"battery must be shuffle-free up to the result ordering:\n$p")
   }
 
   test("tx_bpe_ids: corpus-sized id frame reduces below the single result exchange") {
