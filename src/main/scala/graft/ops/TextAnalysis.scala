@@ -129,13 +129,22 @@ object TextAnalysis {
           col("n_stop_hits") >= 2L)
   }
 
-  /** A minimal stand-in subset of the published "List of Dirty,
-    * Naughty, Obscene or Otherwise Bad Words" the C4 page filter
-    * gates on (Raffel et al. 2020 §2.2). The real list is an
-    * externally-maintained file of ~400 entries per language — ship
-    * it through the `badwords` parameter; these three entries keep
-    * the rule live and testable without vendoring the list. */
-  val DefaultBadwords: Seq[String] = Seq("porn", "viagra", "xxx")
+  /** Committed snapshot of the published "List of Dirty, Naughty,
+    * Obscene, and Otherwise Bad Words" (LDNOOBW) English list — the
+    * list the C4 page filter actually gates on (Raffel et al. 2020
+    * §2.2). Single-token entries only ([[c4Rules]] matching is
+    * whole-token on [a-z0-9]-runs, so multi-word phrases could never
+    * match and are excluded rather than carried dead); provenance,
+    * license and refresh path live in the resource header (the
+    * [[PublicSuffix]] snapshot precedent). Other languages (or a
+    * refreshed/full list) ship through the `badwords` parameter. */
+  val DefaultBadwords: Seq[String] = {
+    val in = getClass.getResourceAsStream("/graft/ldnoobw_en_snapshot.txt")
+    require(in != null, "ldnoobw_en_snapshot.txt missing from classpath")
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toVector
+    finally in.close()
+  }
 
   /** The C4 line/page filter (Raffel et al. 2020, arXiv:1910.10683
     * §2.2) — the other named, published crawl-cleaning battery.
@@ -150,9 +159,13 @@ object TextAnalysis {
     * matching is whole-token on [a-z0-9]-runs, not substring, so
     * "essex" never trips "sex"-style entries), has fewer than 3
     * sentences (published rule; sentence count approximated as
-    * terminal-punctuation marks [.!?] in the cleaned text — each kept
-    * line ends in one, mid-line sentences add theirs), or keeps fewer
-    * than `minLines` lines. Deliberately NOT implemented here: the
+    * terminal-punctuation marks [.!?] in the cleaned text — mid-line
+    * sentences add theirs, but note a kept line may legally end in a
+    * bare '"' and contribute ZERO marks, so quote-heavy pages
+    * UNDERCOUNT and can be dropped by the 3-sentence floor; the
+    * oracle replays the same approximation, so the bias is a
+    * disclosed fidelity bound, not an engine/oracle fork), or keeps
+    * fewer than `minLines` lines. Deliberately NOT implemented here: the
     * published three-sentence-span dedup, which is the separate
     * [[graft.ops.Dedup]] line/substring family, and langdetect
     * (see the trained LID). Returns per-doc `(doc_id, n_lines,
@@ -1088,6 +1101,37 @@ object TextAnalysis {
     require(rows.nonEmpty, s"empty classifier artifact at $path")
     ClfModel(rows.map(r => r.getLong(0) -> r.getDouble(1)).toMap,
       rows.head.getInt(2))
+  }
+
+  /** LID model → parquet `(k, b, w, nb, n)` — one row per (class,
+    * bucket) weight; the hash width AND the char-gram size ride in
+    * the artifact ([[saveClfModel]] contract: a model is meaningless
+    * without its featurizer parameters, and [[LidModel]]'s
+    * constructor re-proves the tuple consistent on load). Parquet
+    * round-trips IEEE doubles exactly, so a loaded model scores
+    * byte-identically. */
+  def saveLidModel(spark: org.apache.spark.sql.SparkSession,
+      model: LidModel, path: String): Unit = {
+    import spark.implicits._
+    model.classes.flatMap { k =>
+      model.weights(k).toSeq.sortBy(_._1)
+        .map { case (b, w) => (k, b, w, model.numBuckets, model.n) }
+    }.toDF("k", "b", "w", "nb", "n").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Parquet artifact → [[LidModel]]; fails loudly on an empty
+    * artifact. Classes are recovered from the rows (sorted — the
+    * [[LidModel]] tie-break invariant re-proves itself). */
+  def loadLidModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): LidModel = {
+    val rows = spark.read.parquet(path).collect()
+    require(rows.nonEmpty, s"empty LID artifact at $path")
+    val classes = rows.map(_.getString(0)).distinct.sorted.toSeq
+    val w = rows.groupBy(_.getString(0)).map { case (k, rs) =>
+      k -> rs.map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    }
+    LidModel(classes, w, rows.head.getInt(3), rows.head.getInt(4))
   }
 
   /** Persist a [[KnModel]] — ONLY the bigram count frame travels (the
