@@ -124,5 +124,7 @@ object SparkEntry {
     "tx_curation13",     // CCNet-shaped: dedup -> KN model -> LM floor
     "tx_gopher_rules",   // published Gopher rule battery, per-rule columns
     "tx_c4_rules",       // published C4 line/page filter over planted lines
-    "tx_gopher_repetition") // top/dup n-gram char fractions, n=2..10
+    "tx_gopher_repetition", // top/dup n-gram char fractions, n=2..10
+    // r13: the LID-gated composition (trained-LID front door)
+    "tx_curation14")     // LID gate -> exact dedup -> KN perplexity floor
 }

@@ -2759,6 +2759,76 @@ object TextQueries {
       |  UNION ALL SELECT 'c_lm_kept', count(*) FROM c13sel) t
       |ORDER BY stage""".stripMargin
 
+  /** tx_curation14 — the LID-GATED curation (the CCNet/C4/Gopher
+    * front door: language identification BEFORE any quality or dedup
+    * stage, because every downstream model — the KN LM here — is
+    * only meaningful within one language). Chain: train the LID on
+    * the full labeled corpus (the `tx_langid` run, shared constants),
+    * keep docs PREDICTED `en`, exact-dedup the gated pool, train the
+    * KN bigram LM on the deduplicated pool itself and apply the
+    * population-relative perplexity floor — `tx_curation13`'s tail
+    * behind a trained-model gate. Output is the four-stage funnel.
+    *
+    * Scale shape: the LID model is a ≤ K·(buckets+1) driver artifact
+    * broadcast into a pure scoring projection; the gate is a
+    * left-semi join on doc_id; checkpoints cut the deep-composition
+    * plan at each stage boundary (the r7 lesson). Disclosure: on the
+    * synthetic corpus the `lang` labels share one vocabulary, so the
+    * trained gate selects a deterministic-but-arbitrary subset — the
+    * oracle replays the full training run + gate + dedup + LM floor,
+    * so the CONTRACT verified is the composition, not LID accuracy
+    * (same disclosure as `tx_langid`). */
+  def curation14(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.DataFrame
+    val base = docs(spark, dir)
+    val (feat, model) = TextAnalysis.lidCore(QueryUtil.spreadById(base),
+      TextAnalysis.LidClasses, LidBuckets, LidIters, LidLr, LidN,
+      "doc_id", "text", "lang")
+    val enIds = TextAnalysis.lidScoredFrom(feat, model)
+      .filter(col("lang_pred") === "en").select("doc_id")
+    val gated = Dedup.checkpointTracked(
+      base.join(enIds, Seq("doc_id"), "left_semi"))
+    val kept = Dedup.checkpointTracked(QueryUtil.spreadById(fpKeeper(gated)))
+    // checkpoint: the scored frame feeds the threshold scalar AND the
+    // selection filter — one KN scoring pass, not two
+    val scored = Dedup.checkpointTracked(TextAnalysis.knBigramLogProb(kept))
+    val thr = scored.agg(round(avg(col("kn_log10p")), 4).as("_avg"))
+    val sel = scored.crossJoin(broadcast(thr))
+      .filter(col("kn_log10p").isNotNull && col("kn_log10p") >= col("_avg"))
+    def cnt(df: DataFrame, stage: String): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(stage).as("stage"), col("n_docs"))
+    cnt(base, "a_input")
+      .unionByName(cnt(gated, "b_lid"))
+      .unionByName(cnt(kept, "c_dedup"))
+      .unionByName(cnt(sel, "d_lm_kept"))
+      .transform(QueryUtil.ordered("stage"))
+  }
+
+  /** The LID training replay (lidTrainChainSql, the `tx_langid`
+    * oracle's own chain) gating the curation13 tail — engine and
+    * oracle share BOTH building blocks, so neither the LID replay nor
+    * the KN replay can fork between their standalone and composed
+    * uses. */
+  lazy val curation14Oracle: String =
+    s"""WITH ${lidTrainChainSql("documents")},
+      |g14 AS MATERIALIZED (SELECT d.doc_id, d.text FROM documents d
+      |  JOIN lpred p USING (doc_id) WHERE p.lang_pred = 'en'),
+      |k14 AS MATERIALIZED (SELECT doc_id, text FROM (
+      |    SELECT doc_id, text,
+      |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |    FROM g14) z WHERE rn = 1),
+      |${knSqlCtes("k14")},
+      |flr AS (SELECT round(avg(kn_log10p), 4) AS f FROM knagg),
+      |c14sel AS (SELECT a.doc_id FROM knagg a CROSS JOIN flr
+      |           WHERE a.kn_log10p >= flr.f)
+      |SELECT stage, n_docs FROM (
+      |  SELECT 'a_input' AS stage, count(*) AS n_docs FROM documents
+      |  UNION ALL SELECT 'b_lid', count(*) FROM g14
+      |  UNION ALL SELECT 'c_dedup', count(*) FROM k14
+      |  UNION ALL SELECT 'd_lm_kept', count(*) FROM c14sel) t
+      |ORDER BY stage""".stripMargin
+
   /** The v6 replay's WITH chain (through `sampled`), shared with the
     * curation9 oracle so the two cannot fork. */
   private lazy val curation6ChainSql: String = {
@@ -4094,6 +4164,7 @@ object TextQueries {
     "tx_curation11" -> ((curation11 _, Some(curation11Oracle))),
     "tx_curation12" -> ((curation12 _, Some(curation12Oracle))),
     "tx_curation13" -> ((curation13 _, Some(curation13Oracle))),
+    "tx_curation14" -> ((curation14 _, Some(curation14Oracle))),
     "tx_chunk_sliding" -> ((chunkSliding _, Some(chunkSlidingOracle))),
     "tx_pack_shards" -> ((packShards _, Some(packShardsOracle))),
     "tx_release_manifest" -> ((releaseManifest _, Some(releaseManifestOracle))),

@@ -51,6 +51,7 @@ class PlanSpec extends SparkSpec {
       "tx_pmi",           // one-row (unigram, bigram) totals scalars
       "tx_kn_bigram",     // one-row continuation-total scalar
       "tx_curation13",    // KN total + one-row LM-floor scalar
+      "tx_curation14",    // same KN total + one-row LM-floor scalars
       // isotonic's minimax needs the i<=k range-pair join over the
       // DISTINCT-SCORE bins — a grain-bounded frame (<= 10001 rows at
       // 4dp), never the corpus; CartesianProduct stays forbidden
