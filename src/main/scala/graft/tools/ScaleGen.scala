@@ -78,6 +78,11 @@ object ScaleGen {
 
     val embs = spark.read.parquet(s"$srcDir/embeddings.parquet")
     val dim = embs.select(size(col("embedding"))).head().getInt(0)
+    // k ranges over copies: k >= dim would repeat rotations (breaking
+    // the cross-copy geometry-scrambling invariant) and make the
+    // first slice length negative (runtime failure)
+    require(copies <= dim,
+      s"need copies <= embedding dim for distinct rotations ($copies > $dim)")
     val outEmbs = embs.crossJoin(broadcast(ks))
       .select(
         (col("_k") * 1000000L + col("vec_id")).as("vec_id"),

@@ -2706,6 +2706,38 @@ class OpsSpec extends SparkSpec {
       TextAnalysis.GopherRepThresholds(2), s"${r(3L)}")
   }
 
+  test("GopherRepMetrics expression: tie-break, unicode char counts, gram-less docs") {
+    // the r13 codegen expression behind the battery — edge semantics
+    // pinned at the expression level (the battery test above covers
+    // the thresholds): count ties break to the lexicographically
+    // SMALLEST gram (binary order, the oracle's ORDER BY c DESC, g),
+    // char counts are CODE POINTS (DuckDB length()), and a doc with
+    // no grams at any n yields all-zero metrics, not a missing row
+    def metrics(tokens: Seq[String]): Seq[Long] = {
+      val d = Seq(Tuple1(tokens)).toDF("tk")
+      d.select(org.apache.spark.sql.graft.Bridge.column(
+          graft.etl.expressions.GopherRepMetrics(
+            org.apache.spark.sql.graft.Bridge.expression(col("tk")))).as("m"))
+        .collect().head.getSeq[Long](0)
+    }
+    // 'b a' occurs twice ('a b' once): top = 2 occurrences x 3 chars
+    assert(metrics(Seq("b", "a", "b", "a")).head == 2L * 3,
+      "modal 2-gram count x char length")
+    // all counts tie at 1; smallest gram is 'a b' (3 chars) — NOT the
+    // longer 'a cc' a max-by-length scan would pick
+    assert(metrics(Seq("a", "b", "a", "cc")).head == 3L,
+      "tie must break to the lexicographically smallest gram 'a b'")
+    // unicode: 'é é' is 3 CODE POINTS (5 UTF-8 bytes) — x2 occurrences
+    assert(metrics(Seq("é", "é", "é")).head == 2L * 3,
+      "char counts must be code points, not bytes or UTF-16 units")
+    // duplicated 5-grams: 'a b c d e' x2 = 2 x 9 chars
+    assert(metrics(Seq("a", "b", "c", "d", "e",
+      "a", "b", "c", "d", "e", "a", "b", "c", "d"))(3) >= 2L * 9,
+      "dup-5-gram char sum must count every duplicated gram")
+    // a 1-token doc has no grams at any n: all zeros, row intact
+    assert(metrics(Seq("x")) == Seq.fill(9)(0L))
+  }
+
   test("gopher rules: word length is measured in CHARACTERS, not UTF-8 bytes") {
     // the review-found fork class: 'café' is 4 chars / 5 bytes; a
     // bytes-based mean would shift docs across the [3,10] thresholds

@@ -1515,6 +1515,117 @@ class StreamingSpec extends SparkSpec {
     } finally { q1.stop(); q2.stop() }
   }
 
+  test("streaming repetition battery: per-doc metrics are batch-identical, replays don't duplicate") {
+    // gopherRepetition is one codegen expression per row (r13) —
+    // stateless, so the micro-batch twin is the operator itself; the
+    // exactly-once layout is the batch_id= overwrite contract
+    import org.apache.spark.sql.DataFrame
+    import graft.ops.TextAnalysis
+    val in = tmpDir("rep-in")
+    val out = tmpDir("rep-out") + "/rep"
+    def jl(id: Long, t: String) = s"""{"doc_id":$id,"text":"$t"}"""
+    val docs = Seq(
+      (1L, ("spam ham " * 30).trim),                     // modal 2-gram page
+      (2L, (1 to 40).map(i => s"w$i").mkString(" ")),    // all-distinct page
+      (3L, "a b c d e a b c d e a b c d e a b c d e"),   // duplicated 5-grams
+      (4L, "x"))                                         // gram-less doc
+    val fa = java.nio.file.Paths.get(s"$in/a.jsonl")
+    val fb = java.nio.file.Paths.get(s"$in/b.jsonl")
+    java.nio.file.Files.write(fa,
+      docs.take(2).map((jl _).tupled).mkString("\n").getBytes)
+    java.nio.file.Files.write(fb,
+      docs.drop(2).map((jl _).tupled).mkString("\n").getBytes)
+    fa.toFile.setLastModified(System.currentTimeMillis() - 60000)
+    val appender: (DataFrame, Long) => Unit = (batch, batchId) =>
+      TextAnalysis.gopherRepetition(batch)
+        .write.mode("overwrite").parquet(s"$out/batch_id=$batchId")
+    val q = spark.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1).json(in)
+      .writeStream
+      .option("checkpointLocation", tmpDir("rep-ckpt"))
+      .foreachBatch(appender)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    def rows(df: DataFrame) = df
+      .select("doc_id", "top2gram_char_frac", "dup5gram_char_frac", "rep_pass")
+      .collect().map(_.toSeq).toSet
+    val streamed = rows(spark.read.parquet(out))
+    import spark.implicits._
+    val batchAll = rows(TextAnalysis.gopherRepetition(
+      docs.toDF("doc_id", "text")))
+    assert(streamed == batchAll,
+      s"stream $streamed must equal batch $batchAll")
+    val pass = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("rep_pass")).toMap
+    assert(!pass(1L) && pass(2L) && !pass(3L),
+      s"planted repeat pages must trip, clean page must keep: $pass")
+    assert(pass.contains(4L), "a gram-less doc must keep its row")
+    // replay: re-running a micro-batch overwrites its own partition
+    appender(docs.drop(2).toDF("doc_id", "text"), 1L)
+    assert(rows(spark.read.parquet(out)) == streamed,
+      "a replayed micro-batch must not duplicate or change rows")
+  }
+
+  test("streaming LID scoring: frozen multi-head model stream equals batch, replays don't duplicate") {
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    val in = tmpDir("lid-in")
+    val out = tmpDir("lid-out") + "/preds"
+    // disjoint char inventories (the OpsSpec LID-learns probe): the
+    // trained heads must separate them on UNSEEN docs
+    val trainDocs = Seq(
+      (1L, "aba bab aab abba baab", "ab"),
+      (2L, "cdc dcd ccd cddc dccd", "cd"),
+      (3L, "efe fef eef effe feef", "ef"),
+      (4L, "bab aba bba abab baba", "ab"),
+      (5L, "dcd cdc ddc cdcd dcdc", "cd"),
+      (6L, "fef efe ffe efef fefe", "ef"))
+      .toDF("doc_id", "text", "lang")
+    val trained = TextAnalysis.trainLid(trainDocs,
+      classes = Seq("ab", "cd", "ef"), numBuckets = 64, iterations = 3)
+    // artifact round-trip INSIDE the streaming lifecycle: the scorer
+    // runs the LOADED model, proving load-score ≡ train-score
+    val modelPath = tmpDir("lid-model") + "/m"
+    TextAnalysis.saveLidModel(spark, trained, modelPath)
+    val model = TextAnalysis.loadLidModel(spark, modelPath)
+    assert(model == trained, "LID artifact must round-trip exactly")
+    val streamDocs = Seq(
+      (10L, "abab baba abb"), (11L, "cdcd dcdc dcc"), (12L, "efef fefe ffe"))
+    def jl(id: Long, t: String) = s"""{"doc_id":$id,"text":"$t"}"""
+    val fa = java.nio.file.Paths.get(s"$in/a.jsonl")
+    val fb = java.nio.file.Paths.get(s"$in/b.jsonl")
+    java.nio.file.Files.write(fa,
+      streamDocs.take(1).map((jl _).tupled).mkString("\n").getBytes)
+    java.nio.file.Files.write(fb,
+      streamDocs.drop(1).map((jl _).tupled).mkString("\n").getBytes)
+    fa.toFile.setLastModified(System.currentTimeMillis() - 60000)
+    val q = spark.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1).json(in)
+      .writeStream
+      .option("checkpointLocation", tmpDir("lid-ckpt"))
+      .foreachBatch(StreamingLid.scoringAppender(model, out))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    def rows(df: DataFrame) = df
+      .select("doc_id", "lang_pred", "lid_score").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val streamed = rows(spark.read.parquet(out))
+    val batch = rows(TextAnalysis.scoreWithLidModel(
+      streamDocs.toDF("doc_id", "text"), model))
+    assert(streamed == batch,
+      s"frozen-model stream predictions $streamed must equal batch $batch")
+    val preds = streamed.map(t => t._1 -> t._2).toMap
+    assert(preds == Map(10L -> "ab", 11L -> "cd", 12L -> "ef"),
+      s"trained heads must separate the inventories on unseen docs: $preds")
+    // replay: re-running a batch overwrites its own partition — no dupes
+    StreamingLid.scoringAppender(model, out)(
+      streamDocs.drop(1).toDF("doc_id", "text"), 1L)
+    assert(rows(spark.read.parquet(out)) == streamed,
+      "a replayed micro-batch must not duplicate or change prediction rows")
+    graft.ops.Dedup.releaseCaches()
+  }
+
   test("streaming HLL sketch: snapshot equals batch over the prefix; replay is idempotent by algebra") {
     import org.apache.spark.sql.DataFrame
     import spark.implicits._
