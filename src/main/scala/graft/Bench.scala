@@ -45,9 +45,12 @@ import org.apache.spark.sql.SparkSession
   * inflate a measurement, so the minimum is nearest the unloaded
   * cost, and r12's accept-any-clean-replacement rule could (and did)
   * manufacture phantom regressions by trading a loaded-but-fast run
-  * for a clean-but-slow one. Kept runs still above LoadMax after the
-  * retry budget drains are listed in `load_flagged`, and load-guard
-  * replacements get one more pass of the >2x interference guard.
+  * for a clean-but-slow one. Every KEPT run whose start load still
+  * exceeded LoadMax is listed in `load_flagged` — including one
+  * settled by comparison against a clean-but-slower observation
+  * (validated, but the consumer should still see the load) — and
+  * load-guard replacements get one more pass of the >2x interference
+  * guard.
   */
 object Bench {
   private val TimedRuns = 3
@@ -67,9 +70,16 @@ object Bench {
     * co-tenant burst" from the bench's own steady state on this box;
     * override with SPARK_GRAFT_LOAD_MAX for other boxes. */
   private val LoadMax: Double =
-    sys.env.get("SPARK_GRAFT_LOAD_MAX")
-      .flatMap(s => scala.util.Try(s.toDouble).toOption.filter(_ > 0))
-      .getOrElse(8.0)
+    sys.env.get("SPARK_GRAFT_LOAD_MAX").map { s =>
+      scala.util.Try(s.toDouble).toOption.filter(_ > 0).getOrElse {
+        // present-but-invalid must be LOUD (a silently-ignored
+        // override would measure a whole round against the wrong
+        // threshold), but not fatal mid-round: warn and default
+        System.err.println(
+          s"[bench] ignoring invalid SPARK_GRAFT_LOAD_MAX='$s', using 8.0")
+        8.0
+      }
+    }.getOrElse(8.0)
   private val LoadRetryBudget = 3
 
   private def gcMillis(): Long = {
@@ -101,8 +111,13 @@ object Bench {
     // local-iteration run-count override (e.g. scaling probes where the
     // median-of-5 heavy extension would blow a time budget); the driver
     // leaves it unset, so official rounds keep the 3/5-run policy
-    val runsOverride = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
-      .flatMap(s => scala.util.Try(s.toInt).toOption.filter(_ > 0))
+    val runsOverride = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map { s =>
+      scala.util.Try(s.toInt).toOption.filter(_ > 0).getOrElse {
+        System.err.println(
+          s"[bench] ignoring invalid SPARK_GRAFT_BENCH_RUNS='$s'")
+        TimedRuns
+      }
+    }
     val timedRuns = runsOverride.getOrElse(TimedRuns)
     val names = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
       .filter(n => only.forall(_.contains(n)))
@@ -136,13 +151,20 @@ object Bench {
     val discardReasons = scala.collection.mutable.LinkedHashMap[String, Seq[String]]()
     val gcRuns = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val loadRuns = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
-    // kept runs whose start load still exceeded LoadMax (retry budget
-    // drained) — flagged so the artifact admits the guard's threshold
-    // was violated rather than implying a clean measurement
+    // EVERY kept run whose start load still exceeded LoadMax —
+    // whether the slot settled by a clean-comparison win or by the
+    // retry budget draining — so the artifact admits the threshold
+    // was exceeded rather than implying a clean measurement
     val loadFlagged = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     def medianOf(rs: Seq[Double]): Double = {
-      val ok = rs.filter(_ >= 0)
-      if (ok.isEmpty) -1.0 else ok.sorted.apply(ok.size / 2)
+      val ok = rs.filter(_ >= 0).sorted
+      // true median: even-length samples (reachable via the
+      // SPARK_GRAFT_BENCH_RUNS override, or when a run errors out of
+      // a heavy 5-run set) average the middle pair instead of taking
+      // the upper-middle element, which reads systematically high
+      if (ok.isEmpty) -1.0
+      else if (ok.size % 2 == 1) ok(ok.size / 2)
+      else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2.0
     }
     val results = names.map { name =>
       try force(name) catch { case e: Throwable =>
@@ -194,7 +216,16 @@ object Bench {
       if (med0 > 0 && runs.exists(_._1 > 2 * med0)) {
         runs = runs.map { t =>
           if (t._1 > 2 * med0) {
-            dropped += t._1; reasons += "gt2x_median"; timedRun()
+            // keep-faster rule here too (r13 review): an errored or
+            // slower re-run must not overwrite a valid observation —
+            // the slow-but-real number stays, the re-run is recorded
+            val r = timedRun()
+            if (r._1 >= 0 && r._1 < t._1) {
+              dropped += t._1; reasons += "gt2x_median"; r
+            } else {
+              if (r._1 >= 0) { dropped += r._1; reasons += "gt2x_retry" }
+              t
+            }
           } else t
         }
       }

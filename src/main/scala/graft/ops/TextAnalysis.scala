@@ -155,8 +155,9 @@ object TextAnalysis {
     * "lorem ipsum", contains a curly brace (code — we check both
     * '{' and '}', a deliberate widening of the published '{'), hits
     * the bad-word list (published: the externally-maintained LDNOOBW
-    * list; default here is the tiny [[DefaultBadwords]] stand-in —
-    * matching is whole-token on [a-z0-9]-runs, not substring, so
+    * list; [[DefaultBadwords]] is a committed single-token snapshot
+    * of its English file — matching is whole-token on
+    * [a-z0-9]-runs, not substring, so
     * "essex" never trips "sex"-style entries), has fewer than 3
     * sentences (published rule; sentence count approximated as
     * terminal-punctuation marks [.!?] in the cleaned text — mid-line
