@@ -126,5 +126,6 @@ object SparkEntry {
     "tx_c4_rules",       // published C4 line/page filter over planted lines
     "tx_gopher_repetition", // top/dup n-gram char fractions, n=2..10
     // r13: the LID-gated composition (trained-LID front door)
-    "tx_curation14")     // LID gate -> exact dedup -> KN perplexity floor
+    "tx_curation14",     // LID gate -> exact dedup -> KN perplexity floor
+    "tx_unimax")         // UniMax epoch-capped language waterfill + admission
 }

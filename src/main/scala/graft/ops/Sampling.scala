@@ -148,22 +148,42 @@ object Sampling {
     * feeds this with its carried per-doc stats, so batch and stream
     * admission semantics cannot fork. */
   def admitFromStats(stats: DataFrame, budget: Long,
-      idCol: String = "doc_id", bucketWidth: Long = 100000L): DataFrame = {
+      idCol: String = "doc_id", bucketWidth: Long = 100000L): DataFrame =
+    admitCore(stats, _.withColumn("_budget", lit(budget)),
+      idCol, bucketWidth)
+
+  /** [[admitFromStats]] with a PER-GROUP budget table `(source,
+    * _budget)` instead of one uniform budget — the UniMax shape,
+    * where each language's budget comes out of the waterfill. The
+    * budget table is group-count-sized and broadcasts. */
+  def admitWithBudgets(stats: DataFrame, budgets: DataFrame,
+      idCol: String = "doc_id", bucketWidth: Long = 100000L): DataFrame =
+    admitCore(stats, _.join(broadcast(budgets), Seq("source")),
+      idCol, bucketWidth)
+
+  /** The shared admission core: `attach` lands a `_budget` column on
+    * the per-(source, quality-grain) cumulative histogram; everything
+    * downstream of it is identical for the uniform- and per-group-
+    * budget paths, so the two admission semantics cannot fork. */
+  private def admitCore(stats: DataFrame,
+      attach: DataFrame => DataFrame,
+      idCol: String, bucketWidth: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = Dedup.checkpointTracked(stats)
     val hist = d.groupBy("source", "q").agg(sum("n_tokens").as("t"))
-    val cum = hist.withColumn("cum",
+    val cum = attach(hist.withColumn("cum",
       sum("t").over(Window.partitionBy("source").orderBy(col("q").desc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))))
     val fullAdmit = d
-      .join(broadcast(cum.filter(col("cum") <= budget)
+      .join(broadcast(cum.filter(col("cum") <= col("_budget"))
         .select("source", "q")), Seq("source", "q"))
       .select(col(idCol), col("source"), col("q"), col("n_tokens"),
         lit("grain").as("admit"))
     val bnd = d.join(broadcast(cum
-        .filter(col("cum") > budget && col("cum") - col("t") < budget)
+        .filter(col("cum") > col("_budget") &&
+          col("cum") - col("t") < col("_budget"))
         .select(col("source"), col("q"),
-          (lit(budget) - (col("cum") - col("t"))).as("rem"))),
+          (col("_budget") - (col("cum") - col("t"))).as("rem"))),
       Seq("source", "q"))
     val base = bnd.withColumn("_bkt", floor(col(idCol) / bucketWidth))
     val within = base.withColumn("_wcum",
@@ -180,5 +200,88 @@ object Sampling {
       .select(col(idCol), col("source"), col("q"), col("n_tokens"),
         lit("boundary").as("admit"))
     fullAdmit.unionByName(bndAdmit)
+  }
+
+  /** UniMax language-budget waterfill (Chung et al. 2023,
+    * arXiv:2304.09151): given per-group token totals `(source, n)`, a
+    * total training budget B and an epoch cap N, allocate B as evenly
+    * as possible across groups while capping each group at N·n — the
+    * published fairer alternative to temperature sampling for
+    * multilingual pretraining mixes. Closed form instead of the
+    * paper's sequential loop: processing groups by ascending n, the
+    * capped set is a PREFIX of that order (once a group's N·n exceeds
+    * the running equal share, every larger group's does too — shares
+    * only grow as capped groups release budget), so one pass of
+    * window functions over the GROUP-COUNT-sized totals frame decides
+    * every group: group i (1-based, ordered by (n, source)) is capped
+    * iff N·n_i·(L−i+1) ≤ B − Σ_{j<i} N·n_j, and every uncapped group
+    * gets the same floor((B − capped mass) / #uncapped) share.
+    * All-BIGINT arithmetic — partition order and engine cannot move a
+    * token. Input frame is group-count-sized (languages, not docs);
+    * the unpartitioned windows here never see corpus rows. */
+  def unimaxAllocations(groupTotals: DataFrame, totalBudget: Long,
+      epochCap: Long = 1L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(epochCap >= 1, s"epoch cap must be >= 1, got $epochCap")
+    val byN = Window.orderBy(col("n"), col("source"))
+    val ord = groupTotals
+      .withColumn("_i", row_number().over(byN))
+      .withColumn("_l", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .withColumn("_cap", col("n") * epochCap)
+      .withColumn("_cumcap", coalesce(sum(col("_cap")).over(
+        byN.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_capped",
+        (col("_cap") * (col("_l") - col("_i") + 1) <=
+          lit(totalBudget) - col("_cumcap")).cast("long"))
+    val k = ord.agg(
+      sum("_capped").as("_k"),
+      coalesce(sum(when(col("_capped") === 1, col("_cap"))), lit(0L))
+        .as("_capmass"))
+    ord.crossJoin(broadcast(k))
+      // integral share: `div`, not `/` (which would detour through a
+      // double) — the oracle's `//` agrees for these nonnegative terms
+      .withColumn("_rem", lit(totalBudget) - col("_capmass"))
+      .withColumn("_nun", col("_l") - col("_k"))
+      .withColumn("_budget",
+        when(col("_capped") === 1, col("_cap"))
+          .otherwise(expr("_rem div _nun")))
+      .select(col("source"), col("n"), col("_budget"))
+  }
+
+  /** UniMax-budgeted admission over documents: per-language token
+    * totals → [[unimaxAllocations]] waterfill (budget = `budgetNum`/
+    * `budgetDen` of the corpus's total tokens, computed from the same
+    * counts — one model-sized 1-row collect, the lidCore precedent) →
+    * the [[admitFromStats]] machinery with each language's allocation
+    * as its budget, best quality grains first, boundary grain cut in
+    * doc-id order. With `epochCap` = 1 the published allocation and
+    * the admission interpretation coincide exactly (a capped language
+    * admits wholly — no document repetition); for N > 1 the
+    * allocation is still the published one and admission naturally
+    * saturates at one pass. Returns admitted docs
+    * `(idCol, source=lang, q, n_tokens, admit, lang_budget)` — the
+    * language's waterfill allocation rides every row, so a verifier
+    * hash over the output pins the allocation itself, not just its
+    * admission consequences. */
+  def unimaxMix(docs: DataFrame, budgetNum: Long, budgetDen: Long,
+      epochCap: Long = 1L, langCol: String = "lang",
+      idCol: String = "doc_id", textCol: String = "text",
+      bucketWidth: Long = 100000L): DataFrame = {
+    require(budgetNum >= 1 && budgetDen >= 1,
+      s"budget fraction must be positive, got $budgetNum/$budgetDen")
+    val stats = Dedup.checkpointTracked(docs.select(
+      col(idCol), col(langCol).as("source"),
+      TextAnalysis.qualityScore(col(textCol)).as("q"),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens")))
+    val totals = stats.groupBy("source").agg(sum("n_tokens").as("n"))
+    val totalBudget = totals.agg(sum("n").as("t")).collect()
+      .head.getLong(0) * budgetNum / budgetDen
+    val budgets = unimaxAllocations(totals, totalBudget, epochCap)
+      .select("source", "_budget")
+    admitWithBudgets(stats, budgets, idCol, bucketWidth)
+      .join(broadcast(budgets.withColumnRenamed("_budget", "lang_budget")),
+        Seq("source"))
   }
 }

@@ -4050,16 +4050,7 @@ object TextQueries {
     * curation11 (the v6 shipped set) so the two cannot fork. Ends with
     * an `admitted` relation; callers SELECT from it. */
   private def tokenBudgetChainSql(src: String, budget: Long): String =
-    s"""tb_s AS (SELECT doc_id, source,
-      |    len(string_split(text, ' ')) * 1.0 AS n,
-      |    len(list_distinct(string_split(text, ' '))) * 1.0 AS nd,
-      |    len(list_filter(string_split(text, ' '),
-      |        t -> t IN ('the', 'a', 'of', 'to', 'and', 'in', 'is', 'it'))) * 1.0 AS st
-      |  FROM $src),
-      |tb_d AS MATERIALIZED (SELECT doc_id, source,
-      |    round(least(n / 100.0, 1.0) * 0.4 + (nd / n) * 0.4
-      |      + (1.0 - st / n) * 0.2, 4) AS q,
-      |    CAST(n AS BIGINT) AS n_tokens FROM tb_s),
+    s"""${tokenStatsSql(src, "source", "tb")},
       |tb_h AS (SELECT source, q, CAST(sum(n_tokens) AS BIGINT) AS t
       |      FROM tb_d GROUP BY 1, 2),
       |tb_cg AS MATERIALIZED (SELECT source, q, t,
@@ -4084,6 +4075,88 @@ object TextQueries {
     s"""WITH ${tokenBudgetChainSql("documents", 1500L)}
       |SELECT doc_id, source, q, n_tokens, admit FROM admitted
       |ORDER BY source, doc_id""".stripMargin
+
+  /** The shared per-doc token stats CTEs (`<p>_s`, `<p>_d`): token
+    * count and the 4-dp quality score per doc, grouped-column
+    * aliased to `source` — ONE builder behind the token-budget chain
+    * and the UniMax chain so the stats formula cannot fork between
+    * them. */
+  private def tokenStatsSql(src: String, groupCol: String,
+      p: String): String =
+    s"""${p}_s AS (SELECT doc_id, $groupCol AS source,
+      |    len(string_split(text, ' ')) * 1.0 AS n,
+      |    len(list_distinct(string_split(text, ' '))) * 1.0 AS nd,
+      |    len(list_filter(string_split(text, ' '),
+      |        t -> t IN ('the', 'a', 'of', 'to', 'and', 'in', 'is', 'it'))) * 1.0 AS st
+      |  FROM $src),
+      |${p}_d AS MATERIALIZED (SELECT doc_id, source,
+      |    round(least(n / 100.0, 1.0) * 0.4 + (nd / n) * 0.4
+      |      + (1.0 - st / n) * 0.2, 4) AS q,
+      |    CAST(n AS BIGINT) AS n_tokens FROM ${p}_s)""".stripMargin
+
+  /** UniMax language-balanced admission (see
+    * [[graft.ops.Sampling.unimaxMix]]): budget = `num`/`den` of the
+    * corpus's total tokens, per-language allocations by the
+    * epoch-capped waterfill (closed form — the capped set is a prefix
+    * of the ascending-token order), each language then admitted
+    * best-quality-grains-first against ITS allocation. All-BIGINT
+    * waterfill, so DuckDB's `//` and Spark's `div` agree term by
+    * term. */
+  def unimax(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.unimaxMix(docs(spark, dir),
+        budgetNum = 4L, budgetDen = 5L, epochCap = 1L, bucketWidth = 512L)
+      .withColumnRenamed("source", "lang")
+      .transform(QueryUtil.ordered("lang", "doc_id"))
+
+  val unimaxOracle: String = {
+    val (num, den, cap) = (4L, 5L, 1L)
+    s"""WITH ${tokenStatsSql("documents", "lang", "um")},
+      |um_lt AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS n
+      |    FROM um_d GROUP BY 1),
+      |um_b AS (SELECT (CAST(sum(n) AS BIGINT) * $num) // $den AS b
+      |    FROM um_lt),
+      |um_o AS MATERIALIZED (SELECT source, n, n * $cap AS cp,
+      |    row_number() OVER (ORDER BY n, source) AS i,
+      |    count(*) OVER () AS l,
+      |    coalesce(CAST(sum(n * $cap) OVER (ORDER BY n, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+      |      0) AS cumcap
+      |  FROM um_lt),
+      |um_f AS (SELECT um_o.*, CASE WHEN cp * (l - i + 1) <= b - cumcap
+      |    THEN 1 ELSE 0 END AS capped FROM um_o CROSS JOIN um_b),
+      |um_k AS (SELECT coalesce(sum(capped), 0) AS k,
+      |    coalesce(sum(CASE WHEN capped = 1 THEN cp END), 0) AS capmass
+      |  FROM um_f),
+      |um_al AS MATERIALIZED (SELECT source,
+      |    CAST(CASE WHEN capped = 1 THEN cp
+      |         ELSE (b - capmass) // (l - k) END AS BIGINT) AS bud
+      |  FROM um_f CROSS JOIN um_k CROSS JOIN um_b),
+      |um_h AS (SELECT source, q, CAST(sum(n_tokens) AS BIGINT) AS t
+      |    FROM um_d GROUP BY 1, 2),
+      |um_cg AS MATERIALIZED (SELECT h.source, h.q, h.t,
+      |    CAST(sum(h.t) OVER (PARTITION BY h.source ORDER BY h.q DESC)
+      |      AS BIGINT) AS cum, a.bud
+      |  FROM um_h h JOIN um_al a ON h.source = a.source),
+      |um_fa AS (SELECT d.doc_id, d.source, d.q, d.n_tokens,
+      |      'grain' AS admit
+      |    FROM um_d d JOIN um_cg cg ON d.source = cg.source AND d.q = cg.q
+      |    WHERE cg.cum <= cg.bud),
+      |um_bg AS (SELECT source, q, bud - (cum - t) AS rem FROM um_cg
+      |    WHERE cum > bud AND cum - t < bud),
+      |um_bd AS (SELECT d.doc_id, d.source, d.q, d.n_tokens, bg.rem,
+      |    CAST(sum(d.n_tokens) OVER (PARTITION BY d.source
+      |      ORDER BY d.doc_id) AS BIGINT) AS c2
+      |  FROM um_d d JOIN um_bg bg ON d.source = bg.source AND d.q = bg.q),
+      |um_adm AS (
+      |  SELECT doc_id, source, q, n_tokens, admit FROM um_fa
+      |  UNION ALL
+      |  SELECT doc_id, source, q, n_tokens, 'boundary' AS admit
+      |  FROM um_bd WHERE c2 <= rem)
+      |SELECT m.doc_id, m.source AS lang, m.q, m.n_tokens, m.admit,
+      |  a.bud AS lang_budget
+      |FROM um_adm m JOIN um_al a ON m.source = a.source
+      |ORDER BY lang, doc_id""".stripMargin
+  }
 
   /** Dedup impact card: per source, docs/tokens before exact dedup,
     * after it, and the share removed — the one-table summary a dataset
@@ -4165,6 +4238,7 @@ object TextQueries {
     "tx_curation12" -> ((curation12 _, Some(curation12Oracle))),
     "tx_curation13" -> ((curation13 _, Some(curation13Oracle))),
     "tx_curation14" -> ((curation14 _, Some(curation14Oracle))),
+    "tx_unimax" -> ((unimax _, Some(unimaxOracle))),
     "tx_chunk_sliding" -> ((chunkSliding _, Some(chunkSlidingOracle))),
     "tx_pack_shards" -> ((packShards _, Some(packShardsOracle))),
     "tx_release_manifest" -> ((releaseManifest _, Some(releaseManifestOracle))),

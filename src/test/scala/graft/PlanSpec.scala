@@ -52,6 +52,7 @@ class PlanSpec extends SparkSpec {
       "tx_kn_bigram",     // one-row continuation-total scalar
       "tx_curation13",    // KN total + one-row LM-floor scalar
       "tx_curation14",    // same KN total + one-row LM-floor scalars
+      "tx_unimax",        // one-row (k, capmass) waterfill scalars
       // isotonic's minimax needs the i<=k range-pair join over the
       // DISTINCT-SCORE bins — a grain-bounded frame (<= 10001 rows at
       // 4dp), never the corpus; CartesianProduct stays forbidden
@@ -338,6 +339,24 @@ class PlanSpec extends SparkSpec {
       .filter(_.contains("windowspecdefinition(")).toList
     assert(rowWindows.exists(_.contains("_bkt")),
       s"boundary cumsum lost its bucket partitioning:\n$rowWindows")
+  }
+
+  test("tx_unimax: waterfill windows run on the language-totals frame; boundary cumsum stays bucket-partitioned") {
+    val p = plan("tx_unimax")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    // the admission inherits tx_token_budget's shape: the boundary
+    // per-row cumsum must keep its (source, _bkt) partitioning
+    val rowWindows = p.linesIterator
+      .filter(_.contains("windowspecdefinition(")).toList
+    assert(rowWindows.exists(_.contains("_bkt")),
+      s"boundary cumsum lost its bucket partitioning:\n$rowWindows")
+    // the waterfill's UNPARTITIONED windows are legal only because
+    // they run over the per-language totals frame (L rows): any spec
+    // that orders by doc_id is corpus-sized and must carry the _bkt
+    // partitioning of the boundary slice
+    val docWindows = rowWindows.filter(_.contains("doc_id"))
+    assert(docWindows.forall(_.contains("_bkt")),
+      s"a corpus-sized window leaked out of the bucketized boundary slice:\n$docWindows")
   }
 
   test("q_pagerank: iteration joins stay equi; edge dedup pays one shuffle") {

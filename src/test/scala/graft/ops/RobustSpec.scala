@@ -120,4 +120,64 @@ class RobustSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
     Dedup.releaseCaches()
   }
+
+  // ---- UniMax waterfill (epoch-capped language budgets) ----
+
+  private def allocOf(groups: Seq[(String, Long)], b: Long,
+      cap: Long): Map[String, Long] =
+    Sampling.unimaxAllocations(groups.toDF("source", "n"), b, cap)
+      .select("source", "_budget").as[(String, Long)].collect().toMap
+
+  test("unimax waterfill: capped prefix takes its mass, uncapped split the rest evenly") {
+    // ascending: a(10)·3=30 <= 60 capped; b(20)·2=40 <= 50 capped;
+    // c: 100 > 30 uncapped -> (60-30)//1
+    assert(allocOf(Seq("a" -> 10L, "b" -> 20L, "c" -> 100L), 60L, 1L) ==
+      Map("a" -> 10L, "b" -> 20L, "c" -> 30L))
+    // epoch cap 2: a capped AT 2n=20 (20·3=60 <= 60); b: 40·2=80 > 40
+    // uncapped -> b and c each get (60-20)//2 = 20
+    assert(allocOf(Seq("a" -> 10L, "b" -> 20L, "c" -> 100L), 60L, 2L) ==
+      Map("a" -> 20L, "b" -> 20L, "c" -> 20L))
+  }
+
+  test("unimax waterfill: floor division loses at most #uncapped-1 tokens; all-capped keeps N*n") {
+    // both uncapped: 51 // 2 = 25 each (one token unallocated by floor)
+    assert(allocOf(Seq("a" -> 100L, "b" -> 100L), 51L, 1L) ==
+      Map("a" -> 25L, "b" -> 25L))
+    // budget >= N * total: every group capped at N*n
+    assert(allocOf(Seq("a" -> 10L, "b" -> 20L), 100L, 2L) ==
+      Map("a" -> 20L, "b" -> 40L))
+  }
+
+  test("unimax admission: a capped language admits wholly, an uncapped one stops at its share") {
+    // A: 3 docs x 10 tokens = 30; B: 3 docs x 30 = 90. B(udget) = 4/5
+    // of 120 = 96. waterfill N=1: A: 30·2=60 <= 96 capped(30);
+    // B: (96-30)//1 = 66 -> B admits 60 of 90 (2 grains... all q equal
+    // per lang so ONE grain per lang: B's single 90-token grain > 66
+    // -> boundary cut by id: 30+30 <= 66, third 30 -> 90 > 66 out)
+    val d = Seq(
+      (1L, "aa", docOf(10)), (2L, "aa", docOf(10)), (3L, "aa", docOf(10)),
+      (10L, "bb", docOf(30)), (11L, "bb", docOf(30)), (12L, "bb", docOf(30)))
+      .toDF("doc_id", "lang", "text")
+    val r = Sampling.unimaxMix(d, 4L, 5L, 1L, bucketWidth = 4L)
+      .select("doc_id", "source", "admit", "lang_budget")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(r == Set(
+      (1L, "aa", "grain", 30L), (2L, "aa", "grain", 30L),
+      (3L, "aa", "grain", 30L),
+      (10L, "bb", "boundary", 66L), (11L, "bb", "boundary", 66L)))
+    Dedup.releaseCaches()
+  }
+
+  test("unimax admission is partitioning-independent") {
+    val rnd = new scala.util.Random(7)
+    val d = Seq.tabulate(90) { i =>
+      (i.toLong, s"l${i % 4}", docOf(5 + rnd.nextInt(40)))
+    }.toDF("doc_id", "lang", "text")
+    val a = Sampling.unimaxMix(d.repartition(1), 1L, 2L, 1L,
+      bucketWidth = 16L).collect().map(_.toString).sorted.toSeq
+    val b = Sampling.unimaxMix(d.repartition(7), 1L, 2L, 1L,
+      bucketWidth = 16L).collect().map(_.toString).sorted.toSeq
+    assert(a == b && a.nonEmpty)
+    Dedup.releaseCaches()
+  }
 }
