@@ -268,13 +268,23 @@ object Sampling {
   def unimaxMix(docs: DataFrame, budgetNum: Long, budgetDen: Long,
       epochCap: Long = 1L, langCol: String = "lang",
       idCol: String = "doc_id", textCol: String = "text",
+      bucketWidth: Long = 100000L): DataFrame =
+    unimaxFromStats(docs.select(
+      col(idCol), col(langCol).as("source"),
+      TextAnalysis.qualityScore(col(textCol)).as("q"),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens")),
+      budgetNum, budgetDen, epochCap, idCol, bucketWidth)
+
+  /** [[unimaxMix]]'s waterfill + admission over a precomputed stats
+    * frame `(idCol, source, q, n_tokens)` — the streaming twin feeds
+    * this with its carried per-doc stats (the [[admitFromStats]]
+    * precedent), so batch and stream UniMax semantics cannot fork. */
+  def unimaxFromStats(rawStats: DataFrame, budgetNum: Long,
+      budgetDen: Long, epochCap: Long = 1L, idCol: String = "doc_id",
       bucketWidth: Long = 100000L): DataFrame = {
     require(budgetNum >= 1 && budgetDen >= 1,
       s"budget fraction must be positive, got $budgetNum/$budgetDen")
-    val stats = Dedup.checkpointTracked(docs.select(
-      col(idCol), col(langCol).as("source"),
-      TextAnalysis.qualityScore(col(textCol)).as("q"),
-      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens")))
+    val stats = Dedup.checkpointTracked(rawStats)
     val totals = stats.groupBy("source").agg(sum("n_tokens").as("n"))
     val totalBudget = totals.agg(sum("n").as("t")).collect()
       .head.getLong(0) * budgetNum / budgetDen

@@ -36,4 +36,31 @@ object StreamingMixing {
       sink(Sampling.admitFromStats(all, budget, bucketWidth = bucketWidth))
       Dedup.releaseCaches()
   }
+
+  /** Streaming UniMax — the same carried-stats protocol feeding
+    * [[graft.ops.Sampling.unimaxFromStats]]: every snapshot recomputes
+    * the waterfill over ALL languages' token totals so far, so the
+    * ALLOCATIONS retro-correct too (a language capped while small can
+    * become the uncapped budget-setter as its corpus grows — the
+    * whole budget table is a property of the corpus, not of arrival
+    * order), and admission under the fresh allocations follows. The
+    * budget is a fraction `budgetNum`/`budgetDen` of the total tokens
+    * SEEN SO FAR — pinned against the batch operator on the
+    * concatenated prefix by the stream-equals-batch spec. */
+  def foreachBatchUnimax(budgetNum: Long, budgetDen: Long,
+      epochCap: Long, stateDir: String, bucketWidth: Long,
+      sink: DataFrame => Unit,
+      langCol: String = "lang"): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val contrib = batch.select(col("doc_id"), col(langCol).as("source"),
+        TextAnalysis.qualityScore(col("text")).as("q"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      StreamingState.writePartition(contrib, s"$stateDir/docstats", batchId)
+      val all = StreamingState.readUpTo(spark, s"$stateDir/docstats",
+        contrib.schema, batchId)
+      sink(Sampling.unimaxFromStats(all, budgetNum, budgetDen, epochCap,
+        bucketWidth = bucketWidth))
+      Dedup.releaseCaches()
+  }
 }

@@ -1843,6 +1843,69 @@ class StreamingSpec extends SparkSpec {
     graft.ops.Dedup.releaseCaches()
   }
 
+  test("streaming unimax: allocations retro-correct as languages grow; snapshot equals batch; replay clean") {
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    val in = tmpDir("um-in")
+    val state = tmpDir("um-state")
+    def docOf(k: Int): String = (1 to k).map(i => s"w$i").mkString(" ")
+    // batch 0: aa 3×10 tokens, bb 1×30 — totals tie at 30, B = 4/5·60
+    // = 48, both languages UNCAPPED at 24 each → aa admits docs 1,2 as
+    // a boundary cut, doc 3 out; bb's single 30-token doc exceeds 24,
+    // out. batch 1: bb grows to 90 → B = 96, aa flips to CAPPED(30) —
+    // doc 3 is retro-ADMITTED (the mirror of the token twin's
+    // eviction) — and bb becomes the uncapped budget-setter at 66
+    val b0 = Seq((1L, "aa", docOf(10)), (2L, "aa", docOf(10)),
+      (3L, "aa", docOf(10)), (10L, "bb", docOf(30)))
+    val b1 = Seq((11L, "bb", docOf(30)), (12L, "bb", docOf(30)))
+    def line(t: (Long, String, String)) =
+      s"""{"doc_id":${t._1},"lang":"${t._2}","text":"${t._3}"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/a.jsonl"),
+      b0.map(line).mkString("\n").getBytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/b.jsonl"),
+      b1.map(line).mkString("\n").getBytes)
+    new java.io.File(s"$in/a.jsonl").setLastModified(System.currentTimeMillis() - 60000)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("lang", "string").add("text", "string")
+    val snapshots = scala.collection.mutable.ArrayBuffer[Set[(Long, String, Long)]]()
+    def toSet(out: DataFrame): Set[(Long, String, Long)] =
+      out.select("doc_id", "admit", "lang_budget").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val sink: DataFrame => Unit = { out =>
+      snapshots.synchronized { snapshots += toSet(out) }
+      ()
+    }
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(in)
+      .writeStream
+      .option("checkpointLocation", tmpDir("um-ckpt"))
+      .foreachBatch(StreamingMixing.foreachBatchUnimax(
+        budgetNum = 4L, budgetDen = 5L, epochCap = 1L,
+        stateDir = state, bucketWidth = 4L, sink = sink))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(snapshots.size == 2)
+    assert(snapshots(0) == Set((1L, "boundary", 24L), (2L, "boundary", 24L)),
+      s"both languages uncapped at 24 on the first prefix: ${snapshots(0)}")
+    assert(snapshots(1) == Set(
+      (1L, "grain", 30L), (2L, "grain", 30L), (3L, "grain", 30L),
+      (10L, "boundary", 66L), (11L, "boundary", 66L)),
+      s"aa must flip to capped and retro-admit doc 3: ${snapshots(1)}")
+    val batchAll = toSet(graft.ops.Sampling.unimaxMix(
+      (b0 ++ b1).toDF("doc_id", "lang", "text"),
+      budgetNum = 4L, budgetDen = 5L, epochCap = 1L, bucketWidth = 4L))
+    assert(snapshots(1) == batchAll,
+      "streaming snapshot must equal the batch UniMax on the prefix")
+    // replay batch 1: stats partition rewrites, result identical
+    val replayed = scala.collection.mutable.ArrayBuffer[Set[(Long, String, Long)]]()
+    StreamingMixing.foreachBatchUnimax(4L, 5L, 1L, state, 4L,
+      { out: DataFrame => replayed += toSet(out); () })(
+      b1.toDF("doc_id", "lang", "text"), 1L)
+    assert(replayed.head == snapshots(1),
+      "a replayed micro-batch must not change the snapshot")
+    graft.ops.Dedup.releaseCaches()
+  }
+
   test("streaming anomalous hours: flag appears then clears as late data arrives") {
     import org.apache.spark.sql.DataFrame
     import spark.implicits._
