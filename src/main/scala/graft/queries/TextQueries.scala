@@ -4103,13 +4103,31 @@ object TextQueries {
     * waterfill, so DuckDB's `//` and Spark's `div` agree term by
     * term. */
   def unimax(spark: SparkSession, dir: String): DataFrame =
+    unimaxQuery(spark, dir, 4L, 5L, 1L)
+
+  /** The epoch-capped variant (N = 2, budget 3/2 of the corpus) —
+    * registered separately so the N > 1 waterfill arm is DRIVER-gated,
+    * not just spec-gated: at these parameters every SF's corpus puts
+    * the low-resource languages in the capped set AT THEIR DOUBLED
+    * mass (the allocation exceeds what one pass can admit — admission
+    * saturates at the whole language, budget column still records the
+    * published 2n) and leaves the top language uncapped with a
+    * boundary cut. */
+  def unimaxEpochs(spark: SparkSession, dir: String): DataFrame =
+    unimaxQuery(spark, dir, 3L, 2L, 2L)
+
+  private def unimaxQuery(spark: SparkSession, dir: String,
+      num: Long, den: Long, cap: Long): DataFrame =
     graft.ops.Sampling.unimaxMix(docs(spark, dir),
-        budgetNum = 4L, budgetDen = 5L, epochCap = 1L, bucketWidth = 512L)
+        budgetNum = num, budgetDen = den, epochCap = cap,
+        bucketWidth = 512L)
       .withColumnRenamed("source", "lang")
       .transform(QueryUtil.ordered("lang", "doc_id"))
 
-  val unimaxOracle: String = {
-    val (num, den, cap) = (4L, 5L, 1L)
+  val unimaxOracle: String = unimaxOracleSql(4L, 5L, 1L)
+  val unimaxEpochsOracle: String = unimaxOracleSql(3L, 2L, 2L)
+
+  private def unimaxOracleSql(num: Long, den: Long, cap: Long): String =
     s"""WITH ${tokenStatsSql("documents", "lang", "um")},
       |um_lt AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS n
       |    FROM um_d GROUP BY 1),
@@ -4156,7 +4174,6 @@ object TextQueries {
       |  a.bud AS lang_budget
       |FROM um_adm m JOIN um_al a ON m.source = a.source
       |ORDER BY lang, doc_id""".stripMargin
-  }
 
   /** Dedup impact card: per source, docs/tokens before exact dedup,
     * after it, and the share removed — the one-table summary a dataset
@@ -4239,6 +4256,7 @@ object TextQueries {
     "tx_curation13" -> ((curation13 _, Some(curation13Oracle))),
     "tx_curation14" -> ((curation14 _, Some(curation14Oracle))),
     "tx_unimax" -> ((unimax _, Some(unimaxOracle))),
+    "tx_unimax_epochs" -> ((unimaxEpochs _, Some(unimaxEpochsOracle))),
     "tx_chunk_sliding" -> ((chunkSliding _, Some(chunkSlidingOracle))),
     "tx_pack_shards" -> ((packShards _, Some(packShardsOracle))),
     "tx_release_manifest" -> ((releaseManifest _, Some(releaseManifestOracle))),
