@@ -58,6 +58,66 @@ class OpsPropertySpec extends SparkSpec {
     }
   }
 
+  test("unimax law: closed-form waterfill == sequential reference; admitted <= allocation; total <= budget") {
+    // the paper's formulation is a sequential loop (smallest language
+    // first, cap or split the remainder evenly); the engine ships the
+    // closed form (capped set = prefix of the ascending order). This
+    // law pins their equality on random corpora — the multiplication
+    // form N·n·left <= rem on both sides, so integer arithmetic
+    // cannot diverge at boundaries.
+    def reference(groups: Seq[(String, Long)], b: Long,
+        cap: Long): Map[String, Long] = {
+      val sorted = groups.sortBy { case (l, n) => (n, l) }
+      var rem = b
+      var left = sorted.size.toLong
+      var capping = true
+      val out = scala.collection.mutable.Map[String, Long]()
+      var share = 0L
+      for ((lang, n) <- sorted) {
+        if (capping && cap * n * left <= rem) {
+          out(lang) = cap * n; rem -= cap * n; left -= 1
+        } else {
+          if (capping) { capping = false; share = rem / left }
+          out(lang) = share
+        }
+      }
+      out.toMap
+    }
+    val corpusGen = for {
+      n <- Gen.choose(6, 40)
+      lens <- Gen.listOfN(n, Gen.choose(3, 60))
+      langs <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d"))
+    } yield lens.zip(langs).zipWithIndex.map { case ((l, s), i) =>
+      (i.toLong, s, docOf(l))
+    }
+    for ((corpus, (num, den, cap)) <- samples(corpusGen, 6).zip(Seq(
+        (1L, 2L, 1L), (4L, 5L, 1L), (3L, 2L, 2L),
+        (1L, 3L, 1L), (2L, 1L, 3L), (9L, 10L, 2L)))) {
+      val df = corpus.toDF("doc_id", "lang", "text")
+      val totals = df.select(col("lang").as("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .groupBy("source").agg(sum("n_tokens").as("n"))
+      val totalTokens = totals.agg(sum("n")).as[Long].collect().head
+      val b = totalTokens * num / den
+      val engine = Sampling.unimaxAllocations(totals, b, cap)
+        .select("source", "_budget").as[(String, Long)].collect().toMap
+      val groups = totals.as[(String, Long)].collect().toSeq
+      assert(engine == reference(groups, b, cap),
+        s"closed form diverged from the sequential waterfill at " +
+          s"B=$b N=$cap over $groups")
+      assert(engine.values.sum <= math.max(b, cap * totalTokens),
+        s"allocations exceed every bound: $engine")
+      val admitted = Sampling.unimaxMix(df, num, den, cap,
+          bucketWidth = 8L)
+        .select("source", "n_tokens").as[(String, Long)].collect()
+      admitted.groupBy(_._1).foreach { case (l, docs) =>
+        assert(docs.map(_._2).sum <= engine(l),
+          s"lang $l admitted ${docs.map(_._2).sum} > budget ${engine(l)}")
+      }
+      Dedup.releaseCaches()
+    }
+  }
+
   test("BPE law: merge counts never increase; symbols only shrink") {
     val corpusGen = for {
       n <- Gen.choose(2, 6)
