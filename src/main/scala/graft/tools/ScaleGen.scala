@@ -37,12 +37,21 @@ import org.apache.spark.sql.functions._
   * so the corpus is reproducible bit-for-bit.
   *
   * Usage: runMain graft.tools.ScaleGen <srcSfDir> <outDir> [copies]
+  *          [tables]
+  * `tables` = `all` (default) or `documents` — the documents-only
+  * mode exists because the vocabulary supports far more distinct
+  * rotations (thousands) than the embedding dimension (64), so a
+  * THIRD-decade documents corpus (copies = 100) is constructible
+  * while embeddings stop at the second decade.
   */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
     val srcDir = args(0)
     val outDir = args(1)
     val copies = if (args.length > 2) args(2).toInt else 10
+    val tables = if (args.length > 3) args(3) else "all"
+    require(tables == "all" || tables == "documents",
+      s"tables must be 'all' or 'documents', got '$tables'")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -58,45 +67,63 @@ object ScaleGen {
       .where(col("t") =!= "").distinct()
       .orderBy("t").as[String].collect()
     val v = vocab.length
-    require(copies <= v, s"need copies <= vocab size for distinct rotations")
+    // copy transforms beyond the v distinct rank rotations compose the
+    // rotation with a per-LEVEL digit suffix (level = k / v): the
+    // vocabulary is digit-free, so suffixed tokens collide with
+    // nothing, and the composed map stays a per-copy BIJECTION — every
+    // within-copy similarity relation is preserved exactly, same as
+    // the pure rotation. The two quality-stopwords ('the', 'a') keep
+    // their surface form at every level so stopword-dependent gates
+    // stay exercised at the same per-copy rates pure rotation already
+    // gives (rotation moves stopword identity between copies anyway).
+    // This unlocks a THIRD-decade documents corpus (copies = 100 over
+    // a 31-token vocabulary) — levels 0..9 cap the tool at 10·v copies
+    require(copies <= 10 * v,
+      s"need copies <= 10x vocab size for distinct transforms ($copies > ${10 * v})")
     val rankMap = typedlit(vocab.zipWithIndex.toMap)
     val vocabArr = typedlit(vocab)
     val ks = spark.range(0, copies).select(col("id").cast("int").as("_k"))
 
+    val lvl = (col("_k") / v).cast("int")
     val outDocs = docs.crossJoin(broadcast(ks))
       .select(
         (col("_k") * 1000000L + col("doc_id")).as("doc_id"),
-        array_join(transform(split(col("text"), " "), t =>
+        array_join(transform(split(col("text"), " "), t => {
+          val rot = element_at(vocabArr,
+            pmod(element_at(rankMap, t) + col("_k"), lit(v)) + 1)
           coalesce(
-            element_at(vocabArr,
-              pmod(element_at(rankMap, t) + col("_k"), lit(v)) + 1),
-            t)), " ").as("text"),
+            when(lvl === 0 || rot.isin("the", "a"), rot)
+              .otherwise(concat(rot, lvl.cast("string"))),
+            t)
+        }), " ").as("text"),
         col("lang"), col("source"))
       .withColumn("n_chars", length(col("text")))
     outDocs.repartition(32).write.mode("overwrite")
       .parquet(s"$outDir/documents.parquet")
 
-    val embs = spark.read.parquet(s"$srcDir/embeddings.parquet")
-    val dim = embs.select(size(col("embedding"))).head().getInt(0)
-    // k ranges over copies: k >= dim would repeat rotations (breaking
-    // the cross-copy geometry-scrambling invariant) and make the
-    // first slice length negative (runtime failure)
-    require(copies <= dim,
-      s"need copies <= embedding dim for distinct rotations ($copies > $dim)")
-    val outEmbs = embs.crossJoin(broadcast(ks))
-      .select(
-        (col("_k") * 1000000L + col("vec_id")).as("vec_id"),
-        concat(
-          slice(col("embedding"), col("_k") + 1, lit(dim) - col("_k")),
-          slice(col("embedding"), lit(1), col("_k"))).as("embedding"),
-        col("label"))
-    outEmbs.repartition(8).write.mode("overwrite")
-      .parquet(s"$outDir/embeddings.parquet")
+    val ne = if (tables == "all") {
+      val embs = spark.read.parquet(s"$srcDir/embeddings.parquet")
+      val dim = embs.select(size(col("embedding"))).head().getInt(0)
+      // k ranges over copies: k >= dim would repeat rotations (breaking
+      // the cross-copy geometry-scrambling invariant) and make the
+      // first slice length negative (runtime failure)
+      require(copies <= dim,
+        s"need copies <= embedding dim for distinct rotations ($copies > $dim)")
+      val outEmbs = embs.crossJoin(broadcast(ks))
+        .select(
+          (col("_k") * 1000000L + col("vec_id")).as("vec_id"),
+          concat(
+            slice(col("embedding"), col("_k") + 1, lit(dim) - col("_k")),
+            slice(col("embedding"), lit(1), col("_k"))).as("embedding"),
+          col("label"))
+      outEmbs.repartition(8).write.mode("overwrite")
+        .parquet(s"$outDir/embeddings.parquet")
+      spark.read.parquet(s"$outDir/embeddings.parquet").count()
+    } else 0L
 
     val nd = spark.read.parquet(s"$outDir/documents.parquet").count()
-    val ne = spark.read.parquet(s"$outDir/embeddings.parquet").count()
     println(s"[scalegen] wrote $nd docs, $ne embeddings to $outDir " +
-      s"(vocab $v, $copies copies, dim $dim)")
+      s"(vocab $v, $copies copies)")
     spark.stop()
   }
 }
