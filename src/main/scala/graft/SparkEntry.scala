@@ -117,6 +117,7 @@ object SparkEntry {
     "mm_exif_meta",      // EXIF APP1/TIFF walk over planted rotated JPEGs
     "mm_meta_oracle",    // MP4/MP3/WAV/PNG byte-walk decode, planted truth
     "mm_frames",         // MJPEG sample-table walk + per-frame decode
+    "mm_gif_anim",       // animated-GIF block walk: frames/delays/loop
     "mm_resize",         // orientation-aware aspect-preserving resize
     "mm_dhash_pairs",    // perceptual-hash pigeonhole near-dup join
     "mm_audio_bands",    // WAV decode + hand-rolled FFT octave argmax

@@ -164,6 +164,45 @@ object MediaFixtures {
     bos.toByteArray
   }
 
+  /** Animated GIF89a with chosen per-frame dims, per-frame delays
+    * (centiseconds) and an optional NETSCAPE loop count — the
+    * construction parameters ARE the truth the byte-walk
+    * ([[Multimodal.GifAnim]]) must recover. Pixel data is a
+    * structurally-valid but content-arbitrary LZW sub-block (the walk
+    * never decodes pixels — same contract as the MP3/MP4 fixtures).
+    * `loop` = None omits the application extension; Some(0) is the
+    * spec's "loop forever". */
+  def animatedGif(screenW: Int, screenH: Int, frames: Seq[(Int, Int)],
+      delaysCs: Seq[Int], loop: Option[Int]): Array[Byte] = {
+    require(frames.size == delaysCs.size, "one delay per frame")
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16le(v: Int): Unit = { u8(v); u8(v >> 8) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    u16le(screenW); u16le(screenH)
+    u8(0x80)          // global color table present, 2 entries
+    u8(0); u8(0)      // bg index, aspect
+    out.write(Array[Byte](0, 0, 0, -1, -1, -1))  // 2-color GCT
+    loop.foreach { n =>
+      u8(0x21); u8(0xff); u8(11)
+      out.write("NETSCAPE2.0".getBytes("US-ASCII"))
+      u8(3); u8(1); u16le(n); u8(0)
+    }
+    frames.zip(delaysCs).foreach { case ((w, h), d) =>
+      u8(0x21); u8(0xf9); u8(4)
+      u8(0)             // packed (no disposal, no transparency)
+      u16le(d); u8(0); u8(0)
+      u8(0x2c)          // image descriptor
+      u16le(0); u16le(0); u16le(w); u16le(h)
+      u8(0)             // no local color table
+      u8(2)             // LZW min code size
+      u8(3); u8(0x44); u8(0x8f); u8(0x05)  // one 3-byte data sub-block
+      u8(0)             // sub-block terminator
+    }
+    u8(0x3b)
+    out.toByteArray
+  }
+
   /** PNG of `w`×`h` with a deterministic two-tone pattern. */
   def png(w: Int, h: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h,

@@ -917,6 +917,104 @@ object Multimodal {
     * and corrupt payloads are DROPPED (a sentinel hash would collide
     * all failures into one giant near-dup cluster). Per-partition
     * decode — blobs never shuffle. */
+  case class GifAnimMeta(
+      media_id: Long,
+      byte_len: Long,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      total_delay_cs: Long,
+      loop_count: Int)
+
+  /** Animated-GIF metadata by pure block walk — the ONE animation
+    * format that is fully byte-walkable without a codec (contrast the
+    * disclosed inter-frame H.264 boundary): logical screen dims, frame
+    * count (image descriptors), total duration (graphic-control delay
+    * sum, centiseconds) and the NETSCAPE loop count (-1 = extension
+    * absent; 0 = the spec's loop-forever). Pixel sub-blocks are
+    * SKIPPED by their length prefixes, never decoded — file size, not
+    * pixel count, bounds the walk. Total function: non-GIF, truncated
+    * or structurally-corrupt bytes → the filterable width=-1 sentinel,
+    * never a task death. */
+  object GifAnim {
+    def meta(id: Long, bytes: Array[Byte]): GifAnimMeta = {
+      val len = if (bytes == null) 0 else bytes.length
+      val sentinel = GifAnimMeta(id, len.toLong, -1, -1, 0, 0L, -1)
+      if (len < 14) return sentinel
+      def u8(o: Int): Int = bytes(o) & 0xff
+      def u16(o: Int): Int = u8(o) | (u8(o + 1) << 8)
+      val hdr = new String(bytes, 0, 6,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      if (hdr != "GIF87a" && hdr != "GIF89a") return sentinel
+      val w = u16(6); val h = u16(8)
+      val packed = u8(10)
+      var pos = 13
+      if ((packed & 0x80) != 0) pos += 3 * (1 << ((packed & 7) + 1))
+      var frames = 0
+      var delay = 0L
+      var loop = -1
+      // skip length-prefixed sub-blocks; position after the 0
+      // terminator, or -1 if the chain runs off the buffer
+      def skipSubBlocks(p0: Int): Int = {
+        var p = p0
+        while (p < len && u8(p) != 0) p += 1 + u8(p)
+        if (p >= len) -1 else p + 1
+      }
+      while (pos < len) {
+        u8(pos) match {
+          case 0x3b =>
+            return GifAnimMeta(id, len.toLong, w, h, frames, delay, loop)
+          case 0x2c =>
+            if (pos + 10 > len) return sentinel
+            val lp = u8(pos + 9)
+            var p = pos + 10
+            if ((lp & 0x80) != 0) p += 3 * (1 << ((lp & 7) + 1))
+            p += 1 // LZW minimum code size
+            if (p > len) return sentinel
+            val nxt = skipSubBlocks(p)
+            if (nxt < 0) return sentinel
+            frames += 1
+            pos = nxt
+          case 0x21 =>
+            if (pos + 2 >= len) return sentinel
+            val label = u8(pos + 1)
+            if (label == 0xf9 && pos + 7 < len && u8(pos + 2) == 4)
+              delay += u16(pos + 4)
+            if (label == 0xff && pos + 17 < len && u8(pos + 2) == 11 &&
+                new String(bytes, pos + 3, 11,
+                  java.nio.charset.StandardCharsets.US_ASCII) ==
+                  "NETSCAPE2.0" &&
+                u8(pos + 14) == 3 && u8(pos + 15) == 1)
+              loop = u16(pos + 16)
+            val nxt = skipSubBlocks(pos + 2)
+            if (nxt < 0) return sentinel
+            pos = nxt
+          case _ => return sentinel
+        }
+      }
+      sentinel // ran past the end without a trailer: truncated
+    }
+  }
+
+  /** Per-partition animated-GIF metadata over a media frame — blobs
+    * never leave their arrival partition (the [[extractFeatures]]
+    * contract); non-GIF mimes fall out as sentinels without touching
+    * payload bytes. */
+  def gifAnimations(media: DataFrame): Dataset[GifAnimMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"), col("meta.mime"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes, mime) =>
+          if (mime == "image/gif") GifAnim.meta(id, bytes)
+          else GifAnimMeta(id,
+            (if (bytes == null) 0 else bytes.length).toLong,
+            -1, -1, 0, 0L, -1)
+        }
+      }
+  }
+
   def imageDHashes(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._

@@ -3897,6 +3897,52 @@ object TextQueries {
       |    CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 3 END)) AS i)
       |ORDER BY media_id, frame_idx""".stripMargin
 
+  /** Planted-truth animated-GIF metadata: doc_id%3 picks an
+    * [[graft.ops.MediaFixtures.animatedGif]] whose frame count,
+    * per-frame delays and NETSCAPE loop count are construction
+    * parameters; [[graft.ops.Multimodal.GifAnim]] walks the real
+    * block structure (logical screen descriptor, graphic-control
+    * extensions, image descriptors, length-prefixed pixel sub-blocks
+    * skipped undecoded) and the oracle states the parameters back.
+    * Covers: no-loop single frame, loop-forever (0) multi-frame with
+    * summed delays, and a finite loop count. */
+  def mediaGifAnim(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fixtures = Seq(
+        (0L, graft.ops.MediaFixtures.animatedGif(16, 8,
+          Seq((16, 8)), Seq(10), None)),
+        (1L, graft.ops.MediaFixtures.animatedGif(12, 6,
+          Seq((12, 6), (12, 6), (12, 6)), Seq(10, 20, 30), Some(0))),
+        (2L, graft.ops.MediaFixtures.animatedGif(8, 8,
+          Seq((8, 8), (8, 8)), Seq(5, 5), Some(4))))
+      .toDF("slot", "payload")
+    val media = docs(spark, dir)
+      .select(col("doc_id").as("media_id"), (col("doc_id") % 3).as("slot"))
+      .join(broadcast(fixtures), "slot")
+      .select(col("media_id"), col("payload"),
+        struct(lit("image/gif").as("mime"),
+          octet_length(col("payload")).cast("long").as("byte_len"))
+          .as("meta"))
+    graft.ops.Multimodal.gifAnimations(media).toDF()
+      .select("media_id", "width", "height", "n_frames",
+        "total_delay_cs", "loop_count")
+      .transform(QueryUtil.ordered("media_id"))
+  }
+
+  val mediaGifAnimOracle: String =
+    """SELECT doc_id AS media_id,
+      |  CAST(CASE doc_id % 3 WHEN 0 THEN 16 WHEN 1 THEN 12 ELSE 8 END
+      |    AS INTEGER) AS width,
+      |  CAST(CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 6 ELSE 8 END
+      |    AS INTEGER) AS height,
+      |  CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 2 END
+      |    AS INTEGER) AS n_frames,
+      |  CAST(CASE doc_id % 3 WHEN 0 THEN 10 WHEN 1 THEN 60 ELSE 10 END
+      |    AS BIGINT) AS total_delay_cs,
+      |  CAST(CASE doc_id % 3 WHEN 0 THEN -1 WHEN 1 THEN 0 ELSE 4 END
+      |    AS INTEGER) AS loop_count
+      |FROM documents ORDER BY media_id""".stripMargin
+
   /** Planted-truth orientation-aware resize: doc_id%4 picks a payload
     * whose POST-resize dims are known by construction under
     * maxDim = 10 — PNG 40×16 → 10×4, PNG 16×40 → 4×10, PNG 8×8 →
@@ -4313,6 +4359,7 @@ object TextQueries {
     "mm_exif_meta" -> ((exifMeta _, Some(exifMetaOracle))),
     "mm_meta_oracle" -> ((mediaDecode _, Some(mediaDecodeOracle))),
     "mm_frames" -> ((mediaFrames _, Some(mediaFramesOracle))),
+    "mm_gif_anim" -> ((mediaGifAnim _, Some(mediaGifAnimOracle))),
     "mm_resize" -> ((mediaResize _, Some(mediaResizeOracle))),
     "mm_dhash_pairs" -> ((mediaDhashPairs _, Some(mediaDhashPairsOracle))),
     "mm_audio_bands" -> ((audioBands _, Some(audioBandsOracle))))

@@ -296,7 +296,9 @@ class OpsPropertySpec extends SparkSpec {
     val valid: Seq[Array[Byte]] =
       MediaFixtures.planted.map(_.payload) ++
         (1 to 8).map(Multimodal.exifFixture) ++
-        Seq(MediaFixtures.mjpegMp4(Seq((4, 2), (4, 2))))
+        Seq(MediaFixtures.mjpegMp4(Seq((4, 2), (4, 2))),
+          MediaFixtures.animatedGif(8, 8, Seq((8, 8), (8, 8)),
+            Seq(5, 5), Some(2)))
     val rnd = new scala.util.Random(7)
     val randoms = (1 to 60).map { i =>
       val b = new Array[Byte](rnd.nextInt(400)); rnd.nextBytes(b); b
@@ -327,6 +329,8 @@ class OpsPropertySpec extends SparkSpec {
       assert(wav.decoder == "wav", s"input $i")
       val img = Multimodal.ImageIoDecoder.decode(1L, "image/png", b)
       assert(img.decoder == "imageio", s"input $i")
+      val gif = Multimodal.GifAnim.meta(1L, b)
+      assert(gif.n_frames >= 0 && gif.total_delay_cs >= 0, s"input $i")
     }
   }
 }

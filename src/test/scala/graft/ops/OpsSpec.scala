@@ -810,6 +810,54 @@ class OpsSpec extends SparkSpec {
     assert(rows.length == 2 && rows.forall(_.media_id == 7L))
   }
 
+  test("multimodal: animated-GIF walk recovers construction truth; real encoder interop; corrupt -> sentinel") {
+    import graft.ops.MediaFixtures
+    // construction parameters ARE the truth: dims, frame count, summed
+    // GCE delays, NETSCAPE loop count (-1 absent, 0 = loop forever)
+    val g1 = Multimodal.GifAnim.meta(1L,
+      MediaFixtures.animatedGif(16, 8, Seq((16, 8)), Seq(10), None))
+    assert((g1.width, g1.height, g1.n_frames, g1.total_delay_cs,
+      g1.loop_count) == ((16, 8, 1, 10L, -1)), g1.toString)
+    val g2 = Multimodal.GifAnim.meta(2L,
+      MediaFixtures.animatedGif(12, 6, Seq((12, 6), (12, 6), (12, 6)),
+        Seq(10, 20, 30), Some(0)))
+    assert((g2.n_frames, g2.total_delay_cs, g2.loop_count) ==
+      ((3, 60L, 0)), g2.toString)
+    val g3 = Multimodal.GifAnim.meta(3L,
+      MediaFixtures.animatedGif(8, 8, Seq((8, 8), (8, 8)), Seq(5, 5),
+        Some(4)))
+    assert((g3.n_frames, g3.total_delay_cs, g3.loop_count) ==
+      ((2, 10L, 4)), g3.toString)
+    // interop: a REAL encoder's still GIF (ImageIO) walks to 1 frame
+    // at true dims with no NETSCAPE extension
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(new java.awt.image.BufferedImage(5, 3,
+      java.awt.image.BufferedImage.TYPE_INT_RGB), "gif", bos)
+    val real = Multimodal.GifAnim.meta(4L, bos.toByteArray)
+    assert((real.width, real.height, real.n_frames, real.loop_count) ==
+      ((5, 3, 1, -1)), real.toString)
+    // truncation anywhere inside the block chain -> sentinel, no throw
+    val full = MediaFixtures.animatedGif(8, 8, Seq((8, 8), (8, 8)),
+      Seq(5, 5), Some(4))
+    Seq(4, 13, 20, full.length / 2, full.length - 1).foreach { cut =>
+      val t = Multimodal.GifAnim.meta(5L,
+        java.util.Arrays.copyOf(full, cut))
+      assert(t.width == -1 && t.n_frames == 0, s"cut $cut: $t")
+    }
+    assert(Multimodal.GifAnim.meta(6L, "not a gif at all".getBytes)
+      .width == -1)
+    assert(Multimodal.GifAnim.meta(7L, null).width == -1)
+    // dataset path: non-GIF mime short-circuits to the sentinel
+    val media = Seq((9L, full, "image/gif"), (10L, full, "image/png"))
+      .toDF("media_id", "payload", "mime")
+      .select(col("media_id"), col("payload"),
+        struct(col("mime"), octet_length(col("payload")).cast("long")
+          .as("byte_len")).as("meta"))
+    val rows = Multimodal.gifAnimations(media).collect()
+      .map(m => m.media_id -> m.n_frames).toMap
+    assert(rows == Map(9L -> 2, 10L -> 0), rows.toString)
+  }
+
   test("PII scrubbing: emails/IPs/phones replaced, look-alikes survive") {
     val d = Seq(
       (1L, "write alice.smith+x@mail.example.org today"),
