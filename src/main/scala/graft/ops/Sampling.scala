@@ -149,8 +149,8 @@ object Sampling {
     * admission semantics cannot fork. */
   def admitFromStats(stats: DataFrame, budget: Long,
       idCol: String = "doc_id", bucketWidth: Long = 100000L): DataFrame =
-    admitCore(stats, _.withColumn("_budget", lit(budget)),
-      idCol, bucketWidth)
+    admitPrepared(Dedup.checkpointTracked(stats),
+      _.withColumn("_budget", lit(budget)), idCol, bucketWidth)
 
   /** [[admitFromStats]] with a PER-GROUP budget table `(source,
     * _budget)` instead of one uniform budget — the UniMax shape,
@@ -158,18 +158,21 @@ object Sampling {
     * budget table is group-count-sized and broadcasts. */
   def admitWithBudgets(stats: DataFrame, budgets: DataFrame,
       idCol: String = "doc_id", bucketWidth: Long = 100000L): DataFrame =
-    admitCore(stats, _.join(broadcast(budgets), Seq("source")),
-      idCol, bucketWidth)
+    admitPrepared(Dedup.checkpointTracked(stats),
+      _.join(broadcast(budgets), Seq("source")), idCol, bucketWidth)
 
-  /** The shared admission core: `attach` lands a `_budget` column on
-    * the per-(source, quality-grain) cumulative histogram; everything
-    * downstream of it is identical for the uniform- and per-group-
-    * budget paths, so the two admission semantics cannot fork. */
-  private def admitCore(stats: DataFrame,
+  /** The shared admission core over an ALREADY-CHECKPOINTED stats
+    * frame (callers own the checkpoint so a composition like
+    * [[unimaxFromStats]] — which needs the same frame for its totals
+    * pass — never materializes it twice): `attach` lands a `_budget`
+    * column on the per-(source, quality-grain) cumulative histogram;
+    * everything downstream of it is identical for the uniform- and
+    * per-group-budget paths, so the two admission semantics cannot
+    * fork. */
+  private def admitPrepared(d: DataFrame,
       attach: DataFrame => DataFrame,
       idCol: String, bucketWidth: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d = Dedup.checkpointTracked(stats)
     val hist = d.groupBy("source", "q").agg(sum("n_tokens").as("t"))
     val cum = attach(hist.withColumn("cum",
       sum("t").over(Window.partitionBy("source").orderBy(col("q").desc)
@@ -284,14 +287,29 @@ object Sampling {
       bucketWidth: Long = 100000L): DataFrame = {
     require(budgetNum >= 1 && budgetDen >= 1,
       s"budget fraction must be positive, got $budgetNum/$budgetDen")
+    val spark = rawStats.sparkSession
+    import spark.implicits._
+    // ONE checkpoint feeds both the totals pass and the admission
+    // scan (admitPrepared takes it pre-materialized)
     val stats = Dedup.checkpointTracked(rawStats)
+    val totalRow = stats.agg(sum("n_tokens")).collect().head
+    // empty corpus (e.g. a zero-row first micro-batch in the
+    // streaming twin): sum() is null — empty admission, not an NPE
+    if (totalRow.isNullAt(0))
+      return stats.select(col("source"), col(idCol), col("q"),
+        col("n_tokens"), lit("").as("admit"), lit(0L).as("lang_budget"))
+        .limit(0)
+    val totalBudget = totalRow.getLong(0) * budgetNum / budgetDen
     val totals = stats.groupBy("source").agg(sum("n_tokens").as("n"))
-    val totalBudget = totals.agg(sum("n").as("t")).collect()
-      .head.getLong(0) * budgetNum / budgetDen
-    val budgets = unimaxAllocations(totals, totalBudget, epochCap)
-      .select("source", "_budget")
-    admitWithBudgets(stats, budgets, idCol, bucketWidth)
-      .join(broadcast(budgets.withColumnRenamed("_budget", "lang_budget")),
-        Seq("source"))
+    // the waterfill result is language-count-sized: collect it ONCE
+    // (the model-artifact collect contract) so the allocation windows
+    // run a single time, then both the admission filter and the
+    // output lang_budget column ride the same local literal frame
+    val alloc = unimaxAllocations(totals, totalBudget, epochCap)
+      .select("source", "_budget").as[(String, Long)].collect().toSeq
+    val budgets = alloc.toDF("source", "_budget")
+    admitPrepared(stats, _.join(broadcast(budgets), Seq("source")),
+      idCol, bucketWidth)
+      .join(broadcast(alloc.toDF("source", "lang_budget")), Seq("source"))
   }
 }

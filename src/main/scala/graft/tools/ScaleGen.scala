@@ -121,9 +121,26 @@ object ScaleGen {
       spark.read.parquet(s"$outDir/embeddings.parquet").count()
     } else 0L
 
-    val nd = spark.read.parquet(s"$outDir/documents.parquet").count()
+    val out = spark.read.parquet(s"$outDir/documents.parquet")
+    val nd = out.count()
+    // self-check the bijection invariant the whole corpus design rests
+    // on: duplicate-group count must scale EXACTLY linearly in copies
+    // (group sizes constant). The stopword carve-out makes this
+    // non-obvious — a doc whose every token rotates into a preserved
+    // stopword would be byte-identical across suffix levels and inject
+    // cross-copy duplicates pure rotation never produced (latent: the
+    // current corpus has no 1-2-distinct-token docs) — so the tool
+    // PROVES the invariant on its own output instead of assuming it
+    def dupGroups(df: org.apache.spark.sql.DataFrame): Long =
+      df.groupBy(md5(col("text"))).count()
+        .filter(col("count") > 1).count()
+    val (srcDup, outDup) = (dupGroups(docs), dupGroups(out))
+    require(outDup == srcDup * copies,
+      s"cross-copy duplicate leak: $srcDup source dup groups x $copies " +
+        s"copies should give ${srcDup * copies}, measured $outDup — " +
+        "a copy transform collided (check the stopword carve-out)")
     println(s"[scalegen] wrote $nd docs, $ne embeddings to $outDir " +
-      s"(vocab $v, $copies copies)")
+      s"(vocab $v, $copies copies, dup groups $srcDup -> $outDup)")
     spark.stop()
   }
 }

@@ -168,6 +168,17 @@ class RobustSpec extends SparkSpec {
     Dedup.releaseCaches()
   }
 
+  test("unimax on an empty corpus yields an empty admission, not an NPE") {
+    // the streaming twin's zero-row first micro-batch (review-found:
+    // sum() over empty is null, and getLong(null) would kill the query)
+    val d = Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "text")
+    val r = Sampling.unimaxMix(d, 4L, 5L, 1L)
+    assert(r.count() == 0)
+    assert(r.columns.toSet ==
+      Set("source", "doc_id", "q", "n_tokens", "admit", "lang_budget"))
+    Dedup.releaseCaches()
+  }
+
   test("unimax admission is partitioning-independent") {
     val rnd = new scala.util.Random(7)
     val d = Seq.tabulate(90) { i =>
