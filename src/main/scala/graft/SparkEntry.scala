@@ -128,5 +128,6 @@ object SparkEntry {
     "tx_gopher_repetition", // top/dup n-gram char fractions, n=2..10
     // r13: the LID-gated composition (trained-LID front door)
     "tx_curation14",     // LID gate -> exact dedup -> KN perplexity floor
-    "tx_unimax")         // UniMax epoch-capped language waterfill + admission
+    "tx_unimax",         // UniMax epoch-capped language waterfill + admission
+    "tx_curation15")     // UniMax mix -> exact dedup -> KN perplexity floor
 }

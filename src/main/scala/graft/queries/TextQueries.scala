@@ -4174,7 +4174,18 @@ object TextQueries {
   val unimaxEpochsOracle: String = unimaxOracleSql(3L, 2L, 2L)
 
   private def unimaxOracleSql(num: Long, den: Long, cap: Long): String =
-    s"""WITH ${tokenStatsSql("documents", "lang", "um")},
+    s"""WITH ${unimaxChainCtes(num, den, cap)}
+      |SELECT m.doc_id, m.source AS lang, m.q, m.n_tokens, m.admit,
+      |  a.bud AS lang_budget
+      |FROM um_adm m JOIN um_al a ON m.source = a.source
+      |ORDER BY lang, doc_id""".stripMargin
+
+  /** The UniMax waterfill + admission CTE chain over `documents`
+    * (ends in `um_adm` / `um_al`) — shared by the two tx_unimax
+    * oracles AND the curation15 replay so the waterfill cannot fork
+    * between standalone and composed use. */
+  private def unimaxChainCtes(num: Long, den: Long, cap: Long): String =
+    s"""${tokenStatsSql("documents", "lang", "um")},
       |um_lt AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS n
       |    FROM um_d GROUP BY 1),
       |um_b AS (SELECT (CAST(sum(n) AS BIGINT) * $num) // $den AS b
@@ -4215,11 +4226,58 @@ object TextQueries {
       |  SELECT doc_id, source, q, n_tokens, admit FROM um_fa
       |  UNION ALL
       |  SELECT doc_id, source, q, n_tokens, 'boundary' AS admit
-      |  FROM um_bd WHERE c2 <= rem)
-      |SELECT m.doc_id, m.source AS lang, m.q, m.n_tokens, m.admit,
-      |  a.bud AS lang_budget
-      |FROM um_adm m JOIN um_al a ON m.source = a.source
-      |ORDER BY lang, doc_id""".stripMargin
+      |  FROM um_bd WHERE c2 <= rem)""".stripMargin
+
+  /** tx_curation15 — the curation ladder's MIXING front door: UniMax
+    * language-balanced admission FIRST (the published fairness stage a
+    * multilingual pipeline runs before anything monolingual), then
+    * exact dedup of the balanced pool, then the KN bigram LM trained
+    * on that pool applying the population-relative perplexity floor —
+    * `tx_curation13` behind the waterfill gate, exactly as v14 put it
+    * behind the trained-LID gate. Output: four-stage funnel. Every
+    * stage replay is a shared builder (`unimaxChainCtes`, the keeper
+    * CTE, `knSqlCtes`), so no stage can fork from its standalone row. */
+  def curation15(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.DataFrame
+    val base = docs(spark, dir)
+    val admitted = graft.ops.Sampling.unimaxMix(base,
+      budgetNum = 4L, budgetDen = 5L, epochCap = 1L, bucketWidth = 512L)
+      .select("doc_id")
+    val pool = Dedup.checkpointTracked(
+      base.join(admitted, Seq("doc_id"), "left_semi"))
+    val kept = Dedup.checkpointTracked(QueryUtil.spreadById(fpKeeper(pool)))
+    val scored = Dedup.checkpointTracked(TextAnalysis.knBigramLogProb(kept))
+    val thr = scored.agg(round(avg(col("kn_log10p")), 4).as("_avg"))
+    val sel = scored.crossJoin(broadcast(thr))
+      .filter(col("kn_log10p").isNotNull && col("kn_log10p") >= col("_avg"))
+    def cnt(df: DataFrame, stage: String): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(stage).as("stage"), col("n_docs"))
+    cnt(base, "a_input")
+      .unionByName(cnt(pool, "b_unimax"))
+      .unionByName(cnt(kept, "c_dedup"))
+      .unionByName(cnt(sel, "d_lm_kept"))
+      .transform(QueryUtil.ordered("stage"))
+  }
+
+  lazy val curation15Oracle: String =
+    s"""WITH ${unimaxChainCtes(4L, 5L, 1L)},
+      |g15 AS MATERIALIZED (SELECT d.doc_id, d.text FROM documents d
+      |  JOIN um_adm p USING (doc_id)),
+      |k15 AS MATERIALIZED (SELECT doc_id, text FROM (
+      |    SELECT doc_id, text,
+      |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |    FROM g15) z WHERE rn = 1),
+      |${knSqlCtes("k15")},
+      |flr AS (SELECT round(avg(kn_log10p), 4) AS f FROM knagg),
+      |c15sel AS (SELECT a.doc_id FROM knagg a CROSS JOIN flr
+      |           WHERE a.kn_log10p >= flr.f)
+      |SELECT stage, n_docs FROM (
+      |  SELECT 'a_input' AS stage, count(*) AS n_docs FROM documents
+      |  UNION ALL SELECT 'b_unimax', count(*) FROM g15
+      |  UNION ALL SELECT 'c_dedup', count(*) FROM k15
+      |  UNION ALL SELECT 'd_lm_kept', count(*) FROM c15sel) t
+      |ORDER BY stage""".stripMargin
 
   /** Dedup impact card: per source, docs/tokens before exact dedup,
     * after it, and the share removed — the one-table summary a dataset
@@ -4303,6 +4361,7 @@ object TextQueries {
     "tx_curation14" -> ((curation14 _, Some(curation14Oracle))),
     "tx_unimax" -> ((unimax _, Some(unimaxOracle))),
     "tx_unimax_epochs" -> ((unimaxEpochs _, Some(unimaxEpochsOracle))),
+    "tx_curation15" -> ((curation15 _, Some(curation15Oracle))),
     "tx_chunk_sliding" -> ((chunkSliding _, Some(chunkSlidingOracle))),
     "tx_pack_shards" -> ((packShards _, Some(packShardsOracle))),
     "tx_release_manifest" -> ((releaseManifest _, Some(releaseManifestOracle))),

@@ -53,6 +53,7 @@ class PlanSpec extends SparkSpec {
       "tx_curation13",    // KN total + one-row LM-floor scalar
       "tx_curation14",    // same KN total + one-row LM-floor scalars
       "tx_unimax",        // one-row (k, capmass) waterfill scalars
+      "tx_curation15",    // unimax scalars + KN total + LM-floor scalar
       // isotonic's minimax needs the i<=k range-pair join over the
       // DISTINCT-SCORE bins — a grain-bounded frame (<= 10001 rows at
       // 4dp), never the corpus; CartesianProduct stays forbidden
