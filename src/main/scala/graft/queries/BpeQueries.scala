@@ -1,7 +1,8 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.Bpe
+import org.apache.spark.sql.functions._
+import graft.ops.{Bpe, Wordpiece}
 
 /** BPE merge learning + compression profile, with the ENTIRE k-round
   * training loop replayed inside the DuckDB oracle (the tx_clf_quality
@@ -123,6 +124,50 @@ object BpeQueries {
       .join(wordSyms, "word")
       .groupBy("doc_id").agg(sum("syms").as("n_tokens"))
     graft.ops.Packing.packFromCounts(counts, PackBudget, bucketWidth = 64L)
+      .transform(QueryUtil.ordered("doc_id"))
+  }
+
+  /** tx_wordpiece: greedy-WordPiece vs merge-order-BPE vs optimal-DP
+    * segmentation of the word table under the SAME learned vocabulary —
+    * the tokenizer-efficiency diagnostic (greedy_gap / bpe_gap = extra
+    * pieces each apply rule pays over the minimal segmentation). One
+    * row per gated word; `wp_pieces` is the BERT-style greedy token
+    * stream, exact-checked against a recursive-CTE replay. */
+  def wordpiece(spark: SparkSession, dir: String): DataFrame = {
+    val (merges, vocabDf) = Bpe.learnMerges(docs(spark, dir), K)
+    val vocab = Wordpiece.vocabSymbols(merges)
+    val base = vocabDf.select(col("word"), col("cnt"),
+      size(split(expr(s"btrim(ws, '$S')"), s"$S$S")).as("n_bpe"))
+    Wordpiece.withOptimal(Wordpiece.withGreedy(base, vocab), vocab)
+      .select(col("word"), col("cnt"), col("n_bpe"), col("n_wp"),
+        col("n_opt"),
+        (col("n_wp") - col("n_opt")).as("greedy_gap"),
+        (col("n_bpe") - col("n_opt")).as("bpe_gap"),
+        col("wp_pieces"))
+      .transform(QueryUtil.ordered("word"))
+  }
+
+  /** tx_wordpiece_apply: per-doc greedy-WordPiece vs BPE token totals —
+    * the corpus-side fertility comparison. Same scale shape as
+    * tx_bpe_apply: the corpus word stream equi-joins the vocab-sized
+    * per-word piece counts and reduces straight to per-doc sums. */
+  def wordpieceApply(spark: SparkSession, dir: String): DataFrame = {
+    val (merges, vocabDf) = Bpe.learnMerges(docs(spark, dir), K)
+    val vocab = Wordpiece.vocabSymbols(merges)
+    val perWord = Wordpiece.withGreedy(vocabDf.select("word"), vocab)
+      .join(vocabDf.select(col("word"),
+        size(split(expr(s"btrim(ws, '$S')"), s"$S$S"))
+          .cast("long").as("_bpe")), "word")
+      .select(col("word"), col("n_wp").cast("long").as("_wp"), col("_bpe"))
+    docs(spark, dir)
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("word"))
+      .where(col("word").rlike("^[a-z]+$") && length(col("word")) <= 20)
+      .join(perWord, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("_wp").as("n_wp_tokens"),
+        sum("_bpe").as("n_bpe_tokens"))
       .transform(QueryUtil.ordered("doc_id"))
   }
 
@@ -276,6 +321,101 @@ object BpeQueries {
        |  CAST((cum - n) // $PackBudget AS BIGINT) AS shard
        |FROM pre ORDER BY doc_id""".stripMargin
 
+  /** Shared CTE block for the wordpiece oracles: the learned-vocab
+    * symbol set, the greedy segmentation, and the minimal-piece DP.
+    * Greedy: the longest-match pick at every (word, position) is
+    * precomputed as a PLAIN materialized aggregate (`pk` — max_by on
+    * length is deterministic: two distinct equal-length symbols cannot
+    * both equal the same substring; coalesce mirrors the engine's
+    * 1-char fallback, unreachable for gated a-z words), and the
+    * recursion is then a simple equi-join walk over positions — NO
+    * correlated subquery inside the recursive part, which DuckDB's
+    * decorrelation handled non-deterministically (observed: identical
+    * SQL returning longest-match picks in one run and 1-char picks in
+    * another when ORDER BY..LIMIT 1 sat under REC; the join form is
+    * stable). DP: unrolled one CTE stage per position (dpa_i carries
+    * dp(0..i); word length is gated ≤ [[Wordpiece.MaxWordLen]], and
+    * every stage is MATERIALIZED — dpa_i is referenced twice, so the
+    * un-hinted form re-inlines the whole chain exponentially). */
+  private def wordpieceCtes: String = {
+    val mergeSyms = (1 to K)
+      .map(r => s"SELECT s1 || s2 AS sym FROM b$r")
+      .mkString("\n  UNION ALL\n  ")
+    val dpStages = (1 to Wordpiece.MaxWordLen).map { i =>
+      s"""dp$i AS MATERIALIZED (SELECT p.word, $i AS pos,
+         |    CAST(min(p.cost) + 1 AS INTEGER) AS cost
+         |  FROM dpa${i - 1} p JOIN vsyms v
+         |    ON p.pos = $i - length(v.sym)
+         |    AND substr(p.word, $i - CAST(length(v.sym) AS INTEGER) + 1,
+         |          length(v.sym)) = v.sym
+         |  WHERE length(p.word) >= $i
+         |  GROUP BY p.word),
+         |dpa$i AS MATERIALIZED (SELECT * FROM dpa${i - 1}
+         |  UNION ALL SELECT * FROM dp$i)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""vsyms AS MATERIALIZED (SELECT DISTINCT sym FROM (
+       |  SELECT chr(CAST(97 + i AS INTEGER)) AS sym
+       |    FROM (SELECT unnest(range(0, 26)) AS i) a
+       |  UNION ALL
+       |  $mergeSyms) v0),
+       |pk AS MATERIALIZED (
+       |  SELECT a.word, a.pos,
+       |    coalesce(max_by(v.sym, length(v.sym)), substr(a.word, a.pos, 1))
+       |      AS pick
+       |  FROM (SELECT word,
+       |          CAST(unnest(range(1, length(word) + 1)) AS INTEGER) AS pos
+       |        FROM w$K) a
+       |  LEFT JOIN vsyms v ON substr(a.word, a.pos, length(v.sym)) = v.sym
+       |  GROUP BY a.word, a.pos),
+       |seg AS (
+       |  SELECT word, 1 AS pos, CAST('' AS VARCHAR) AS pieces, 0 AS n
+       |  FROM w$K
+       |  UNION ALL
+       |  SELECT s.word, CAST(s.pos + length(p.pick) AS INTEGER),
+       |    s.pieces || '|' || p.pick, s.n + 1
+       |  FROM seg s JOIN pk p ON p.word = s.word AND p.pos = s.pos
+       |  WHERE s.pos <= length(s.word)),
+       |greedy AS MATERIALIZED (SELECT word, CAST(n AS INTEGER) AS n_wp,
+       |    substr(pieces, 2) AS wp_pieces
+       |  FROM seg WHERE pos = length(word) + 1),
+       |dpa0 AS MATERIALIZED (SELECT word, 0 AS pos, 0 AS cost FROM w$K),
+       |$dpStages,
+       |opt AS MATERIALIZED (SELECT word, cost AS n_opt
+       |  FROM dpa${Wordpiece.MaxWordLen}
+       |  WHERE pos = length(word))""".stripMargin
+  }
+
+  val wordpieceOracle: String =
+    s"""WITH RECURSIVE${chainSql(K).stripPrefix("WITH")},
+       |$wordpieceCtes
+       |SELECT b.word, b.cnt,
+       |  CAST(len(string_split(trim(b.ws, '$S'), '$S$S')) AS INTEGER)
+       |    AS n_bpe,
+       |  g.n_wp, o.n_opt,
+       |  CAST(g.n_wp - o.n_opt AS INTEGER) AS greedy_gap,
+       |  CAST(len(string_split(trim(b.ws, '$S'), '$S$S')) - o.n_opt
+       |    AS INTEGER) AS bpe_gap,
+       |  g.wp_pieces
+       |FROM w$K b JOIN greedy g USING (word) JOIN opt o USING (word)
+       |ORDER BY b.word""".stripMargin
+
+  val wordpieceApplyOracle: String =
+    s"""WITH RECURSIVE${chainSql(K).stripPrefix("WITH")},
+       |$wordpieceCtes,
+       |vsym AS (SELECT word,
+       |    CAST(len(string_split(trim(ws, '$S'), '$S$S')) AS BIGINT) AS syms
+       |  FROM w$K),
+       |tokd AS (SELECT doc_id, word FROM (
+       |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+       |    FROM documents) u
+       |  WHERE regexp_matches(word, '^[a-z]+$$') AND length(word) <= 20)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(g.n_wp) AS BIGINT) AS n_wp_tokens,
+       |  CAST(sum(v.syms) AS BIGINT) AS n_bpe_tokens
+       |FROM tokd JOIN greedy g USING (word) JOIN vsym v USING (word)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] =
     Map(
       "tx_bpe_merges" -> ((bpeMerges _, Some(bpeMergesOracle))),
@@ -283,5 +423,7 @@ object BpeQueries {
       "tx_bpe_apply" -> ((bpeApply _, Some(bpeApplyOracle))),
       "tx_bpe_vocab" -> ((bpeVocab _, Some(bpeVocabOracle))),
       "tx_bpe_ids" -> ((bpeIds _, Some(bpeIdsOracle))),
-      "tx_pack_bpe" -> ((packBpe _, Some(packBpeOracle))))
+      "tx_pack_bpe" -> ((packBpe _, Some(packBpeOracle))),
+      "tx_wordpiece" -> ((wordpiece _, Some(wordpieceOracle))),
+      "tx_wordpiece_apply" -> ((wordpieceApply _, Some(wordpieceApplyOracle))))
 }
