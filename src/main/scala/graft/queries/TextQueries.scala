@@ -1114,6 +1114,70 @@ object TextQueries {
       |FROM tok LEFT JOIN lm ON tok.t = lm.t CROSS JOIN total
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** DoReMi-style domain reweighting ([[graft.ops.Doremi]]): excess
+    * unigram-LM loss per source drives 5 linearized multiplicative-
+    * weights rounds; the oracle replays the whole trajectory — domain
+    * losses from the same capped LM, the token-weighted reference
+    * loss, and the exact-decimal (1 + η·excess)^t powers — so the
+    * update rule itself is what the hash pins, not just the scores. */
+  def doremi(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.ops.Doremi.domainWeights(spark, docs(spark, dir))
+    graft.ops.Dedup.releaseCaches()
+    out.transform(QueryUtil.ordered("source", "round"))
+  }
+
+  val doremiOracle: String =
+    """WITH tok AS MATERIALIZED (
+      |  SELECT d.source, unnest(string_split(text, ' ')) AS t
+      |  FROM documents d),
+      |total AS (SELECT count(*) * 1.0 AS T FROM tok),
+      |lm AS MATERIALIZED (SELECT t, count(*) * 1.0 AS c FROM tok
+      |  GROUP BY t ORDER BY c DESC, t LIMIT 1000),
+      |lp AS (SELECT source, log10(COALESCE(lm.c, 1.0) / total.T) AS lp
+      |  FROM tok LEFT JOIN lm ON tok.t = lm.t CROSS JOIN total),
+      |dl AS MATERIALIZED (SELECT source,
+      |    CAST(count(*) AS BIGINT) AS n_tokens,
+      |    CAST(round(-avg(lp), 4) AS DECIMAL(18,4)) AS loss
+      |  FROM lp GROUP BY source),
+      |nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      |  FROM documents GROUP BY source),
+      |rf AS (SELECT CAST(round(
+      |    CAST(sum(n_tokens * loss) AS DOUBLE) /
+      |    CAST(sum(n_tokens) AS DOUBLE), 4) AS DECIMAL(18,4)) AS ref
+      |  FROM dl),
+      |ex AS MATERIALIZED (SELECT source, n_tokens, loss,
+      |    CAST(greatest(CAST(0 AS DECIMAL(18,4)), loss - ref)
+      |      AS DECIMAL(18,4)) AS excess,
+      |    CAST(1 + greatest(CAST(0 AS DECIMAL(18,4)), loss - ref)
+      |      * CAST(0.5 AS DECIMAL(2,1)) AS DECIMAL(7,5)) AS b
+      |  FROM dl CROSS JOIN rf),
+      |pw AS MATERIALIZED (SELECT source, n_tokens, loss, excess,
+      |    b AS w1, b*b AS w2, b*b*b AS w3, b*b*b*b AS w4,
+      |    b*b*b*b*b AS w5
+      |  FROM ex),
+      |su AS (SELECT sum(w1) AS s1, sum(w2) AS s2, sum(w3) AS s3,
+      |    sum(w4) AS s4, sum(w5) AS s5 FROM pw)
+      |SELECT p.source, r.round, n.n_docs, p.n_tokens,
+      |  CAST(p.loss AS DOUBLE) AS loss,
+      |  CAST(p.excess AS DOUBLE) AS excess,
+      |  round(
+      |    (CASE r.round WHEN 1 THEN CAST(p.w1 AS DOUBLE)
+      |      WHEN 2 THEN CAST(p.w2 AS DOUBLE)
+      |      WHEN 3 THEN CAST(p.w3 AS DOUBLE)
+      |      WHEN 4 THEN CAST(p.w4 AS DOUBLE)
+      |      ELSE CAST(p.w5 AS DOUBLE) END) /
+      |    (CASE r.round WHEN 1 THEN CAST(s.s1 AS DOUBLE)
+      |      WHEN 2 THEN CAST(s.s2 AS DOUBLE)
+      |      WHEN 3 THEN CAST(s.s3 AS DOUBLE)
+      |      WHEN 4 THEN CAST(s.s4 AS DOUBLE)
+      |      ELSE CAST(s.s5 AS DOUBLE) END),
+      |    6) AS weight
+      |FROM pw p
+      |CROSS JOIN (SELECT CAST(unnest(range(1, 6)) AS INTEGER) AS round) r
+      |CROSS JOIN su s
+      |JOIN nd n USING (source)
+      |ORDER BY p.source, r.round""".stripMargin
+
   /** Temperature-based source mixing (α = 0.5, target 50%) — rare
     * sources keep more than proportional, dominant ones less. */
   def tempMix(spark: SparkSession, dir: String): DataFrame = {
@@ -4385,6 +4449,7 @@ object TextQueries {
     "tx_gopher_repetition" ->
       ((gopherRepetition _, Some(gopherRepetitionOracle))),
     "tx_temp_mix" -> ((tempMix _, Some(tempMixOracle))),
+    "tx_doremi" -> ((doremi _, Some(doremiOracle))),
     "tx_fingerprints" -> ((fingerprints _, Some(fingerprintsOracle))),
     "dd_exact" -> ((exactDedup _, Some(exactDedupOracle))),
     "dd_exact_keeper" -> ((exactKeeper _, Some(exactKeeperOracle))),
