@@ -2154,6 +2154,70 @@ object TextQueries {
       |  CAST(floor(((rk - 1) * 10.0) / nn) AS BIGINT) AS decile
       |FROM r ORDER BY doc_id""".stripMargin
 
+  /** Operating-point sweep for the quality gate: rank the corpus by
+    * quality (the rankDeciles total order), bin into deciles, and for
+    * each candidate threshold ("keep deciles 0..d") report what
+    * survives — docs, whitespace tokens, min in-bucket score (the
+    * threshold a config would pin) and the cumulative token fraction.
+    * The curve a pipeline owner reads to pick a gate before committing
+    * a full run. Scale shape: the distributed [[graft.ops.Ranking]]
+    * rank (range partition + offsets, never a corpus-wide window),
+    * one per-decile partial agg; the cumulative windows run on the
+    * DECILE-sized frame (10 rows), not the corpus. */
+  def gateSweep(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs(spark, dir).select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("quality"),
+      size(split(col("text"), " ")).cast("long").as("_nt"))
+    val ranked = graft.ops.Ranking.withRankBucket(scored,
+      Seq(col("quality").desc, col("doc_id")), buckets = 10,
+      rankName = "rank", bucketName = "decile")
+    val per = ranked.groupBy("decile").agg(
+      count(lit(1)).as("n_docs"), sum("_nt").as("n_tokens"),
+      min("quality").as("threshold"))
+    val cum = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val all = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    per
+      .withColumn("cum_docs", sum("n_docs").over(cum))
+      .withColumn("cum_tokens", sum("n_tokens").over(cum))
+      .withColumn("frac_tokens", round(col("cum_tokens").cast("double") /
+        sum("n_tokens").over(all).cast("double"), 6))
+      .select("decile", "threshold", "n_docs", "n_tokens",
+        "cum_docs", "cum_tokens", "frac_tokens")
+      .transform(QueryUtil.ordered("decile"))
+  }
+
+  val gateSweepOracle: String =
+    """WITH s AS (SELECT doc_id,
+      |    len(string_split(text, ' ')) * 1.0 AS n,
+      |    len(list_distinct(string_split(text, ' '))) * 1.0 AS nd,
+      |    len(list_filter(string_split(text, ' '),
+      |        t -> t IN ('the', 'a', 'of', 'to', 'and', 'in', 'is', 'it'))) * 1.0 AS st
+      |  FROM documents),
+      |q AS (SELECT doc_id,
+      |    round(least(n / 100.0, 1.0) * 0.4 + (nd / n) * 0.4 + (1.0 - st / n) * 0.2, 4)
+      |      AS quality,
+      |    CAST(n AS BIGINT) AS nt
+      |  FROM s),
+      |r AS (SELECT doc_id, quality, nt,
+      |        row_number() OVER (ORDER BY quality DESC, doc_id) AS rk,
+      |        count(*) OVER () AS nn
+      |      FROM q),
+      |b AS (SELECT CAST((rk - 1) * 10 // nn AS BIGINT) AS decile,
+      |        quality, nt FROM r),
+      |g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+      |        CAST(sum(nt) AS BIGINT) AS n_tokens,
+      |        min(quality) AS threshold
+      |      FROM b GROUP BY decile)
+      |SELECT decile, threshold, n_docs, n_tokens,
+      |  CAST(sum(n_docs) OVER (ORDER BY decile) AS BIGINT) AS cum_docs,
+      |  CAST(sum(n_tokens) OVER (ORDER BY decile) AS BIGINT) AS cum_tokens,
+      |  round(CAST(sum(n_tokens) OVER (ORDER BY decile) AS DOUBLE) /
+      |    CAST(sum(n_tokens) OVER () AS DOUBLE), 6) AS frac_tokens
+      |FROM g ORDER BY decile""".stripMargin
+
   /** Corpus version diff over a planted v2: v1 = the documents table;
     * v2 drops every doc_id % 7 == 0 (removed), rewrites the text of
     * doc_id % 11 == 0 survivors (changed), and re-keys doc_id % 13 == 0
@@ -4410,6 +4474,7 @@ object TextQueries {
     "tx_clf_gate_holdout" ->
       ((clfGateHoldout _, Some(clfGateHoldoutOracle))),
     "tx_rank_deciles" -> ((rankDeciles _, Some(rankDecilesOracle))),
+    "tx_gate_sweep" -> ((gateSweep _, Some(gateSweepOracle))),
     "tx_corpus_diff" -> ((corpusDiff _, Some(corpusDiffOracle))),
     "tx_incremental" -> ((incremental _, Some(incrementalOracle))),
     "tx_heavy_hitters" -> ((heavyHittersTop _, Some(heavyHittersOracle))),

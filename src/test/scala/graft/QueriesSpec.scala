@@ -34,6 +34,21 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("tx_gate_sweep: curve invariants (monotone cumulative, total = 1)") {
+    val rows = queries.TextQueries.gateSweep(spark, sf).collect()
+    graft.ops.Dedup.releaseCaches()
+    assert(rows.length == 10)
+    val deciles = rows.map(_.getLong(0)).toSeq
+    assert(deciles == (0L to 9L))
+    val thresholds = rows.map(_.getDouble(1)).toSeq
+    assert(thresholds == thresholds.sorted.reverse,
+      s"thresholds not non-increasing: $thresholds")
+    val fracs = rows.map(_.getDouble(6)).toSeq
+    assert(fracs == fracs.sorted, s"cumulative fraction not monotone: $fracs")
+    assert(fracs.last == 1.0)
+    assert(rows.map(_.getLong(2)).sum == rows.last.getLong(4)) // cum_docs
+  }
+
   test("SQL extension functions resolve via GraftExtensions") {
     // getOrCreate returns the active session (ignoring withExtensions),
     // so detach the shared test session, build a fresh one (reuses the
