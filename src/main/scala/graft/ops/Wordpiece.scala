@@ -87,6 +87,31 @@ object Wordpiece {
       .drop("_rest", "_ps", "_n")
   }
 
+  /** Frozen-model corpus scoring: per-doc greedy-WordPiece vs
+    * merge-order-BPE token totals for ANY corpus under an
+    * already-learned merge sequence (the train-once / score-forever
+    * half — [[Bpe.MergesArtifact]] is the model). The batch word
+    * table is built from `docsDf` itself (segmentation of a word is
+    * corpus-independent given the frozen vocabulary), so the result
+    * is per-doc-local: batch boundaries cannot change a row. */
+  def scoreDocs(docsDf: DataFrame, merges: Seq[Bpe.Merge]): DataFrame = {
+    val vocab = vocabSymbols(merges)
+    val wordSyms = Bpe.applyMerges(docsDf, merges).select(col("word"),
+      size(split(expr(s"btrim(ws, '${Bpe.Sep}')"),
+        s"${Bpe.Sep}${Bpe.Sep}")).cast("long").as("_bpe"))
+    val perWord = withGreedy(wordSyms, vocab)
+      .select(col("word"), col("n_wp").cast("long").as("_wp"), col("_bpe"))
+    docsDf
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("word"))
+      .where(col("word").rlike("^[a-z]+$") && length(col("word")) <= 20)
+      .join(perWord, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("_wp").as("n_wp_tokens"),
+        sum("_bpe").as("n_bpe_tokens"))
+  }
+
   /** Minimal-piece segmentation cost of `wordCol`: adds `n_opt` (INT).
     * Forward DP over positions: dp(0) = 0, dp(i) = 1 + min over vocab
     * symbols s ending at i of dp(i − |s|); the dp vector rides in an

@@ -152,22 +152,8 @@ object BpeQueries {
     * tx_bpe_apply: the corpus word stream equi-joins the vocab-sized
     * per-word piece counts and reduces straight to per-doc sums. */
   def wordpieceApply(spark: SparkSession, dir: String): DataFrame = {
-    val (merges, vocabDf) = Bpe.learnMerges(docs(spark, dir), K)
-    val vocab = Wordpiece.vocabSymbols(merges)
-    val perWord = Wordpiece.withGreedy(vocabDf.select("word"), vocab)
-      .join(vocabDf.select(col("word"),
-        size(split(expr(s"btrim(ws, '$S')"), s"$S$S"))
-          .cast("long").as("_bpe")), "word")
-      .select(col("word"), col("n_wp").cast("long").as("_wp"), col("_bpe"))
-    docs(spark, dir)
-      .select(col("doc_id"),
-        explode(split(lower(col("text")), " ")).as("word"))
-      .where(col("word").rlike("^[a-z]+$") && length(col("word")) <= 20)
-      .join(perWord, "word")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_words"),
-        sum("_wp").as("n_wp_tokens"),
-        sum("_bpe").as("n_bpe_tokens"))
+    val (merges, _) = Bpe.learnMerges(docs(spark, dir), K)
+    Wordpiece.scoreDocs(docs(spark, dir), merges)
       .transform(QueryUtil.ordered("doc_id"))
   }
 

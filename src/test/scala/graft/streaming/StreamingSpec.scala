@@ -1626,6 +1626,61 @@ class StreamingSpec extends SparkSpec {
     graft.ops.Dedup.releaseCaches()
   }
 
+  test("streaming WordPiece scoring: frozen merges stream equals batch, replays don't duplicate") {
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    import graft.ops.{Bpe, Wordpiece}
+    val in = tmpDir("wp-in")
+    val out = tmpDir("wp-out") + "/scores"
+    // train merges in batch, round-trip the artifact, score the stream
+    // under the LOADED model (load-score ≡ train-score)
+    val trainDocs = Seq(
+      (1L, "low low low lower lowest"), (2L, "low lower slow slowest"))
+      .toDF("doc_id", "text")
+    val (trained, _) = Bpe.learnMerges(trainDocs, 4)
+    val modelPath = tmpDir("wp-model") + "/m"
+    Bpe.MergesArtifact.save(spark, trained, modelPath)
+    val merges = Bpe.MergesArtifact.load(spark, modelPath)
+    assert(merges == trained, "merges artifact must round-trip exactly")
+    val streamDocs = Seq(
+      (10L, "low lowest yellow"), (11L, "slower glow below"),
+      (12L, "Mixed CASE low?"))
+    def jl(id: Long, t: String) = s"""{"doc_id":$id,"text":"$t"}"""
+    val fa = java.nio.file.Paths.get(s"$in/a.jsonl")
+    val fb = java.nio.file.Paths.get(s"$in/b.jsonl")
+    java.nio.file.Files.write(fa,
+      streamDocs.take(1).map((jl _).tupled).mkString("\n").getBytes)
+    java.nio.file.Files.write(fb,
+      streamDocs.drop(1).map((jl _).tupled).mkString("\n").getBytes)
+    fa.toFile.setLastModified(System.currentTimeMillis() - 60000)
+    val q = spark.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1).json(in)
+      .writeStream
+      .option("checkpointLocation", tmpDir("wp-ckpt"))
+      .foreachBatch(StreamingWordpiece.scoringAppender(merges, out))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    def rows(df: DataFrame) = df
+      .select("doc_id", "n_words", "n_wp_tokens", "n_bpe_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val streamed = rows(spark.read.parquet(out))
+    val batch = rows(Wordpiece.scoreDocs(
+      streamDocs.toDF("doc_id", "text"), merges))
+    assert(streamed == batch,
+      s"frozen-merges stream scores $streamed must equal batch $batch")
+    // lowercasing happens before the a-z gate: 'Mixed'/'CASE' pass as
+    // 'mixed'/'case', the punctuated 'low?' is dropped
+    val byDoc = streamed.map(t => t._1 -> t._2).toMap
+    assert(byDoc(12L) == 2L, s"doc 12 must keep mixed+case only: $byDoc")
+    // replay: re-running a batch overwrites its own partition — no dupes
+    StreamingWordpiece.scoringAppender(merges, out)(
+      streamDocs.drop(1).toDF("doc_id", "text"), 1L)
+    assert(rows(spark.read.parquet(out)) == streamed,
+      "a replayed micro-batch must not duplicate or change score rows")
+    graft.ops.Dedup.releaseCaches()
+  }
+
   test("streaming HLL sketch: snapshot equals batch over the prefix; replay is idempotent by algebra") {
     import org.apache.spark.sql.DataFrame
     import spark.implicits._
