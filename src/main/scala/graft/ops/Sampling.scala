@@ -161,6 +161,17 @@ object Sampling {
     admitPrepared(Dedup.checkpointTracked(stats),
       _.join(broadcast(budgets), Seq("source")), idCol, bucketWidth)
 
+  /** [[admitWithBudgets]] over an ALREADY-CHECKPOINTED stats frame —
+    * for compositions that need the same frame for their own totals
+    * pass (the [[unimaxFromStats]] single-checkpoint rule): the caller
+    * owns the checkpoint, this admits against it without
+    * re-materializing. */
+  def admitWithBudgetsPrepared(preparedStats: DataFrame,
+      budgets: DataFrame, idCol: String = "doc_id",
+      bucketWidth: Long = 100000L): DataFrame =
+    admitPrepared(preparedStats,
+      _.join(broadcast(budgets), Seq("source")), idCol, bucketWidth)
+
   /** The shared admission core over an ALREADY-CHECKPOINTED stats
     * frame (callers own the checkpoint so a composition like
     * [[unimaxFromStats]] — which needs the same frame for its totals

@@ -1126,38 +1126,48 @@ object TextQueries {
     out.transform(QueryUtil.ordered("source", "round"))
   }
 
-  val doremiOracle: String =
-    """WITH tok AS MATERIALIZED (
+  /** The DoReMi loss/excess/power CTE chain (dr_-prefixed, ends in
+    * `dr_pw` + `dr_su`) — shared by the tx_doremi oracle and the
+    * curation16 replay so the update rule cannot fork between the
+    * standalone trajectory and the applied mixture. */
+  private def doremiChainCtes: String =
+    """dr_tok AS MATERIALIZED (
       |  SELECT d.source, unnest(string_split(text, ' ')) AS t
       |  FROM documents d),
-      |total AS (SELECT count(*) * 1.0 AS T FROM tok),
-      |lm AS MATERIALIZED (SELECT t, count(*) * 1.0 AS c FROM tok
+      |dr_total AS (SELECT count(*) * 1.0 AS T FROM dr_tok),
+      |dr_lm AS MATERIALIZED (SELECT t, count(*) * 1.0 AS c FROM dr_tok
       |  GROUP BY t ORDER BY c DESC, t LIMIT 1000),
-      |lp AS (SELECT source, log10(COALESCE(lm.c, 1.0) / total.T) AS lp
-      |  FROM tok LEFT JOIN lm ON tok.t = lm.t CROSS JOIN total),
-      |dl AS MATERIALIZED (SELECT source,
+      |dr_lp AS (SELECT source,
+      |    log10(COALESCE(dr_lm.c, 1.0) / dr_total.T) AS lp
+      |  FROM dr_tok LEFT JOIN dr_lm ON dr_tok.t = dr_lm.t
+      |  CROSS JOIN dr_total),
+      |dr_dl AS MATERIALIZED (SELECT source,
       |    CAST(count(*) AS BIGINT) AS n_tokens,
       |    CAST(round(-avg(lp), 4) AS DECIMAL(18,4)) AS loss
-      |  FROM lp GROUP BY source),
-      |nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
-      |  FROM documents GROUP BY source),
-      |rf AS (SELECT CAST(round(
+      |  FROM dr_lp GROUP BY source),
+      |dr_rf AS (SELECT CAST(round(
       |    CAST(sum(n_tokens * loss) AS DOUBLE) /
       |    CAST(sum(n_tokens) AS DOUBLE), 4) AS DECIMAL(18,4)) AS ref
-      |  FROM dl),
-      |ex AS MATERIALIZED (SELECT source, n_tokens, loss,
+      |  FROM dr_dl),
+      |dr_ex AS MATERIALIZED (SELECT source, n_tokens, loss,
       |    CAST(greatest(CAST(0 AS DECIMAL(18,4)), loss - ref)
       |      AS DECIMAL(18,4)) AS excess,
       |    CAST(1 + greatest(CAST(0 AS DECIMAL(18,4)), loss - ref)
       |      * CAST(0.5 AS DECIMAL(2,1)) AS DECIMAL(7,5)) AS b
-      |  FROM dl CROSS JOIN rf),
-      |pw AS MATERIALIZED (SELECT source, n_tokens, loss, excess,
+      |  FROM dr_dl CROSS JOIN dr_rf),
+      |dr_pw AS MATERIALIZED (SELECT source, n_tokens, loss, excess,
       |    b AS w1, b*b AS w2, b*b*b AS w3, b*b*b*b AS w4,
       |    b*b*b*b*b AS w5
-      |  FROM ex),
-      |su AS (SELECT sum(w1) AS s1, sum(w2) AS s2, sum(w3) AS s3,
-      |    sum(w4) AS s4, sum(w5) AS s5 FROM pw)
-      |SELECT p.source, r.round, n.n_docs, p.n_tokens,
+      |  FROM dr_ex),
+      |dr_su AS (SELECT sum(w1) AS s1, sum(w2) AS s2, sum(w3) AS s3,
+      |    sum(w4) AS s4, sum(w5) AS s5 FROM dr_pw)""".stripMargin
+
+  val doremiOracle: String =
+    s"""WITH $doremiChainCtes,
+      |nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      |  FROM documents GROUP BY source)
+      |SELECT p.source, r.round, n.n_docs, p.n_tokens,""".stripMargin +
+    """
       |  CAST(p.loss AS DOUBLE) AS loss,
       |  CAST(p.excess AS DOUBLE) AS excess,
       |  round(
@@ -1172,9 +1182,9 @@ object TextQueries {
       |      WHEN 4 THEN CAST(s.s4 AS DOUBLE)
       |      ELSE CAST(s.s5 AS DOUBLE) END),
       |    6) AS weight
-      |FROM pw p
+      |FROM dr_pw p
       |CROSS JOIN (SELECT CAST(unnest(range(1, 6)) AS INTEGER) AS round) r
-      |CROSS JOIN su s
+      |CROSS JOIN dr_su s
       |JOIN nd n USING (source)
       |ORDER BY p.source, r.round""".stripMargin
 
@@ -4334,27 +4344,39 @@ object TextQueries {
       |    CAST(CASE WHEN capped = 1 THEN cp
       |         ELSE (b - capmass) // (l - k) END AS BIGINT) AS bud
       |  FROM um_f CROSS JOIN um_k CROSS JOIN um_b),
-      |um_h AS (SELECT source, q, CAST(sum(n_tokens) AS BIGINT) AS t
-      |    FROM um_d GROUP BY 1, 2),
-      |um_cg AS MATERIALIZED (SELECT h.source, h.q, h.t,
+      |${budgetedAdmitCtes("um", "um_al")}""".stripMargin
+
+  /** Per-group-budget admission replay over an existing `${p}_d` stats
+    * relation (from [[tokenStatsSql]]) and a `(source, bud)` budget
+    * relation — the SQL twin of
+    * [[graft.ops.Sampling.admitWithBudgets]], factored out of the
+    * UniMax chain so every budgeted composition (tx_unimax,
+    * tx_curation15's replay, tx_curation16's DoReMi budgets) admits
+    * through ONE builder. Ends in `${p}_adm`. */
+  private def budgetedAdmitCtes(p: String, budRel: String): String =
+    s"""${p}_h AS (SELECT source, q, CAST(sum(n_tokens) AS BIGINT) AS t
+      |    FROM ${p}_d GROUP BY 1, 2),
+      |${p}_cg AS MATERIALIZED (SELECT h.source, h.q, h.t,
       |    CAST(sum(h.t) OVER (PARTITION BY h.source ORDER BY h.q DESC)
       |      AS BIGINT) AS cum, a.bud
-      |  FROM um_h h JOIN um_al a ON h.source = a.source),
-      |um_fa AS (SELECT d.doc_id, d.source, d.q, d.n_tokens,
+      |  FROM ${p}_h h JOIN $budRel a ON h.source = a.source),
+      |${p}_fa AS (SELECT d.doc_id, d.source, d.q, d.n_tokens,
       |      'grain' AS admit
-      |    FROM um_d d JOIN um_cg cg ON d.source = cg.source AND d.q = cg.q
+      |    FROM ${p}_d d JOIN ${p}_cg cg
+      |      ON d.source = cg.source AND d.q = cg.q
       |    WHERE cg.cum <= cg.bud),
-      |um_bg AS (SELECT source, q, bud - (cum - t) AS rem FROM um_cg
+      |${p}_bg AS (SELECT source, q, bud - (cum - t) AS rem FROM ${p}_cg
       |    WHERE cum > bud AND cum - t < bud),
-      |um_bd AS (SELECT d.doc_id, d.source, d.q, d.n_tokens, bg.rem,
+      |${p}_bd AS (SELECT d.doc_id, d.source, d.q, d.n_tokens, bg.rem,
       |    CAST(sum(d.n_tokens) OVER (PARTITION BY d.source
       |      ORDER BY d.doc_id) AS BIGINT) AS c2
-      |  FROM um_d d JOIN um_bg bg ON d.source = bg.source AND d.q = bg.q),
-      |um_adm AS (
-      |  SELECT doc_id, source, q, n_tokens, admit FROM um_fa
+      |  FROM ${p}_d d JOIN ${p}_bg bg
+      |    ON d.source = bg.source AND d.q = bg.q),
+      |${p}_adm AS (
+      |  SELECT doc_id, source, q, n_tokens, admit FROM ${p}_fa
       |  UNION ALL
       |  SELECT doc_id, source, q, n_tokens, 'boundary' AS admit
-      |  FROM um_bd WHERE c2 <= rem)""".stripMargin
+      |  FROM ${p}_bd WHERE c2 <= rem)""".stripMargin
 
   /** tx_curation15 — the curation ladder's MIXING front door: UniMax
     * language-balanced admission FIRST (the published fairness stage a
@@ -4406,6 +4428,59 @@ object TextQueries {
       |  UNION ALL SELECT 'c_dedup', count(*) FROM k15
       |  UNION ALL SELECT 'd_lm_kept', count(*) FROM c15sel) t
       |ORDER BY stage""".stripMargin
+
+  /** tx_curation16 — the DoReMi mixture APPLIED: the round-5
+    * [[graft.ops.Doremi]] domain weights become per-source TOKEN
+    * budgets (weight × half the corpus tokens, in exact integer
+    * arithmetic: the 6-dp weight re-scaled to k/10^6 and multiplied
+    * under HUGEINT/BigInt so no float division decides a budget), and
+    * each source is admitted best-quality-grains-first against ITS
+    * budget through the shared admission core
+    * ([[graft.ops.Sampling.admitWithBudgetsPrepared]] — the UniMax
+    * machinery with DoReMi allocations instead of the waterfill).
+    * Output: the admitted rows with their source budgets — the
+    * training mix a DoReMi run would actually draw. Stats frame is
+    * checkpointed ONCE (totals pass + admission share it); weights
+    * are a domain-sized collect. Oracle: `doremiChainCtes` +
+    * `budgetedAdmitCtes`, so neither the update rule nor the
+    * admission semantics can fork from their standalone rows. */
+  def curation16(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = docs(spark, dir)
+    val stats = Dedup.checkpointTracked(base.select(
+      col("doc_id"), col("source"),
+      TextAnalysis.qualityScore(col("text")).as("q"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")))
+    val budgetTotal = stats.agg(sum("n_tokens")).collect().head.getLong(0) / 2
+    val wts = graft.ops.Doremi.domainWeights(spark, base)
+      .filter(col("round") === 5).select("source", "weight").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val budgets = wts.map { case (s, w) =>
+      (s, (BigInt(math.round(w * 1e6)) * budgetTotal / 1000000).toLong)
+    }.toSeq
+    graft.ops.Sampling.admitWithBudgetsPrepared(stats,
+        budgets.toDF("source", "_budget"), bucketWidth = 512L)
+      .join(broadcast(budgets.toDF("source", "src_budget")), Seq("source"))
+      .transform(QueryUtil.ordered("source", "doc_id"))
+  }
+
+  lazy val curation16Oracle: String =
+    s"""WITH $doremiChainCtes,
+      |${tokenStatsSql("documents", "source", "c16")},
+      |c16_t AS (SELECT CAST(sum(n_tokens) AS BIGINT) // 2 AS b
+      |  FROM c16_d),
+      |dr_w AS (SELECT source,
+      |    round(CAST(p.w5 AS DOUBLE) / CAST(s.s5 AS DOUBLE), 6) AS weight
+      |  FROM dr_pw p CROSS JOIN dr_su s),
+      |c16_bud AS MATERIALIZED (SELECT w.source,
+      |    CAST(CAST(round(w.weight * 1000000, 0) AS HUGEINT) * t.b
+      |      // 1000000 AS BIGINT) AS bud
+      |  FROM dr_w w CROSS JOIN c16_t t),
+      |${budgetedAdmitCtes("c16", "c16_bud")}
+      |SELECT m.doc_id, m.source, m.q, m.n_tokens, m.admit,
+      |  a.bud AS src_budget
+      |FROM c16_adm m JOIN c16_bud a ON m.source = a.source
+      |ORDER BY m.source, m.doc_id""".stripMargin
 
   /** Dedup impact card: per source, docs/tokens before exact dedup,
     * after it, and the share removed — the one-table summary a dataset
@@ -4491,6 +4566,7 @@ object TextQueries {
     "tx_unimax" -> ((unimax _, Some(unimaxOracle))),
     "tx_unimax_epochs" -> ((unimaxEpochs _, Some(unimaxEpochsOracle))),
     "tx_curation15" -> ((curation15 _, Some(curation15Oracle))),
+    "tx_curation16" -> ((curation16 _, Some(curation16Oracle))),
     "tx_chunk_sliding" -> ((chunkSliding _, Some(chunkSlidingOracle))),
     "tx_pack_shards" -> ((packShards _, Some(packShardsOracle))),
     "tx_release_manifest" -> ((releaseManifest _, Some(releaseManifestOracle))),
