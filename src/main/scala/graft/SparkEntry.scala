@@ -129,5 +129,9 @@ object SparkEntry {
     // r13: the LID-gated composition (trained-LID front door)
     "tx_curation14",     // LID gate -> exact dedup -> KN perplexity floor
     "tx_unimax",         // UniMax epoch-capped language waterfill + admission
-    "tx_curation15")     // UniMax mix -> exact dedup -> KN perplexity floor
+    "tx_curation15",     // UniMax mix -> exact dedup -> KN perplexity floor
+    // r13 (cont.): tokenizer-apply + data-mixing families
+    "tx_wordpiece_apply", // BPE train + greedy/optimal segmentation + corpus join
+    "tx_doremi",         // unigram losses + exact-decimal MW trajectory
+    "tx_curation16")     // DoReMi weights -> per-source budget admission
 }

@@ -405,6 +405,35 @@ class PlanSpec extends SparkSpec {
       s"every window must run on the offsets frame (_pid), found:\n$windows")
   }
 
+  test("tx_gate_sweep: distributed rank feeds the sweep — range partition, corpus windows confined") {
+    // the sweep inherits rankDeciles' distributed rank; every window
+    // must run on the O(#partitions) offsets frame (_pid) or the
+    // 10-row decile frame (cumulative curve) — never the corpus
+    val p = plan("tx_gate_sweep")
+    assert(p.contains("rangepartitioning"),
+      s"gate sweep lost its range repartition:\n$p")
+    val windows = p.linesIterator
+      .filter(_.contains("windowspecdefinition")).toList
+    assert(windows.nonEmpty, s"expected offsets/curve windows:\n$p")
+    assert(windows.forall(w => w.contains("_pid") || w.contains("decile")),
+      s"every window must run on the offsets or decile frame:\n$windows")
+  }
+
+  test("tx_wordpiece_apply: vocab-sized segmentation joins, no cartesian, corpus aggregates partially") {
+    // the greedy loop runs on the word table; the corpus only flows
+    // through equi-joins against the vocab-sized per-word frame and a
+    // per-doc partial aggregation — no cartesian/BNLJ anywhere, no
+    // window at all
+    val p = plan("tx_wordpiece_apply")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"wordpiece apply must stay equi-join only:\n$p")
+    assert(!p.contains("windowspecdefinition"),
+      s"wordpiece apply needs no window:\n$p")
+    assert(p.contains("HashAggregate"),
+      s"per-doc totals must partial-aggregate:\n$p")
+  }
+
   test("tx_heavy_hitters: map-side sketch partials; exact pass counts broadcast candidates only") {
     // the sketch must partial-aggregate (bounded buffer per map task),
     // and the exact re-count must reach the corpus through a BROADCAST
