@@ -24,7 +24,8 @@ object SparkEntry {
   private val registry:
       Map[String, ((SparkSession, String) => DataFrame, Option[String])] =
     EtlQueries.all ++ RelationalQueries.all ++ EventQueries.all ++
-      TextQueries.all ++ VectorQueries.all ++ BpeQueries.all
+      TextQueries.all ++ VectorQueries.all ++ BpeQueries.all ++
+      UnigramQueries.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -133,5 +134,7 @@ object SparkEntry {
     // r13 (cont.): tokenizer-apply + data-mixing families
     "tx_wordpiece_apply", // BPE train + greedy/optimal segmentation + corpus join
     "tx_doremi",         // unigram losses + exact-decimal MW trajectory
-    "tx_curation16")     // DoReMi weights -> per-source budget admission
+    "tx_curation16",     // DoReMi weights -> per-source budget admission
+    "tx_unigram",        // unigram-LM training (seed + 2 EM rounds + Viterbi)
+    "tx_unigram_apply")  // frozen unigram model corpus scoring
 }

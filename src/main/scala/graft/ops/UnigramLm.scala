@@ -1,0 +1,193 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM tokenizer (Kudo 2018, arXiv:1804.10959 — the
+  * SentencePiece unigram model): pieces carry independent
+  * probabilities, a word's segmentation is the Viterbi-best piece
+  * sequence, and training re-estimates piece probabilities by EM. This
+  * completes the tokenizer triad next to merge-order BPE ([[Bpe]]) and
+  * greedy WordPiece ([[Wordpiece]]).
+  *
+  * Published-fidelity scope (disclosed simplifications):
+  *   - HARD EM (Viterbi counts), not the paper's forward–backward
+  *     expected counts — "Viterbi EM" in the literature; counts stay
+  *     integers, which is what makes the oracle replay exact.
+  *   - The seed vocabulary is the top-[[VocabMulti]] occurrence-weighted
+  *     substrings (≤ [[MaxPieceLen]] chars) plus the whole base
+  *     alphabet, standing in for the paper's suffix-array seed; the
+  *     piece SET is then fixed (no pruning schedule) and plus-one
+  *     smoothing keeps every piece usable, so EM only re-weights.
+  *   - No subword regularization sampling (the paper's §3.2) — scoring
+  *     is deterministic Viterbi.
+  *
+  * EXACTNESS DESIGN: every probability is (c+1)/Σ(c+1) of integer
+  * counts, and the Viterbi DP uses only IEEE-754 multiply/compare —
+  * no transcendental functions — so the JVM and DuckDB compute
+  * bit-identical doubles and the oracle replays the ENTIRE training
+  * run (seed → EM rounds → final segmentation) with zero tolerance.
+  * Ties break toward the LONGEST piece (two distinct pieces of equal
+  * length cannot end at the same position, so the rule is total).
+  *
+  * Scale shape: every loop runs over the VOCAB-SIZED word table (the
+  * [[Bpe.wordTable]] histogram — at crawl scale 10^7–10^8 rows vs
+  * 10^11 documents), as fixed-depth whole-stage-codegen'd Column
+  * programs; the substring seed space is bounded by |Σ|^MaxPieceLen
+  * regardless of corpus size; per-round collects are vocab-sized
+  * (≤ 26 + VocabMulti rows); corpus scoring is one equi-join of the
+  * doc word stream against the per-word result (broadcast at any
+  * scale) reducing straight to per-doc sums.
+  *
+  * Reference scope: beyond-reference LLM-pipeline tier (the reference
+  * engine's `internal/stages` has no tokenizer surface).
+  */
+object UnigramLm {
+
+  /** Word-table gate bound (shared with [[Bpe.wordTable]]). */
+  val MaxWordLen = 20
+
+  /** Longest candidate piece: bounds the DP fan-in AND the seed space
+    * (≤ 26^MaxPieceLen distinct substrings exist, corpus-independent). */
+  val MaxPieceLen = 4
+
+  /** Multi-char pieces kept at seeding (the cutoff binds: the synthetic
+    * corpus alone has ~200 distinct multi-char substrings). */
+  val VocabMulti = 60
+
+  /** Hard-EM re-estimation rounds between the seed and the frozen
+    * model (3 Viterbi passes total: 2 counting + 1 final). */
+  val EmRounds = 2
+
+  /** A vocabulary entry: surface piece + integer count. */
+  final case class Piece(piece: String, cnt: Long)
+
+  /** Plus-one-smoothed probabilities. Counts are < 2^53, so the
+    * division is an IEEE-exact op the oracle reproduces bitwise. */
+  def probs(counts: Seq[Piece]): Seq[(String, Double)] = {
+    val total = counts.map(_.cnt + 1L).sum
+    counts.map(p => p.piece -> (p.cnt + 1L).toDouble / total.toDouble)
+  }
+
+  /** Occurrence-weighted counts of every ≤ MaxPieceLen substring of the
+    * word table: one generate-explode pass, key space ≤ |Σ|^MaxPieceLen. */
+  private[graft] def substrCounts(words: DataFrame): DataFrame =
+    words
+      .select(col("cnt"), explode(expr(
+        s"""flatten(transform(sequence(1, length(word)), i ->
+           |  transform(sequence(1, least($MaxPieceLen, length(word) - i + 1)),
+           |    l -> substr(word, i, l))))""".stripMargin)).as("piece"))
+      .groupBy("piece").agg(sum("cnt").as("c"))
+
+  /** Seed vocabulary: all 26 base chars (corpus count, 0 if absent — the
+    * alphabet guarantees every gated word segments) + the top
+    * VocabMulti multi-char substrings by (count DESC, piece ASC).
+    * Returned sorted by piece; both collects are vocab-sized. */
+  def seedVocab(words: DataFrame): Seq[Piece] = {
+    val counts = substrCounts(words)
+    val multi = counts.where(length(col("piece")) >= 2)
+      .orderBy(col("c").desc, col("piece").asc).limit(VocabMulti)
+      .collect().map(r => Piece(r.getString(0), r.getLong(1)))
+    val singles = counts.where(length(col("piece")) === 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = ('a' to 'z')
+      .map(ch => Piece(ch.toString, singles.getOrElse(ch.toString, 0L)))
+    (base ++ multi).sortBy(_.piece)
+  }
+
+  /** Literal piece→probability map; Catalyst constant-folds the
+    * foldable CreateMap, so each lookup reads one literal MapData. */
+  private def probMap(vocab: Seq[(String, Double)]): Column =
+    map(vocab.flatMap { case (p, pr) => Seq(lit(p), lit(pr)) }: _*)
+
+  /** Viterbi segmentation under a frozen model: adds `n_uni` (INT piece
+    * count) and `uni_pieces` ('|'-joined, in word order). Forward DP
+    * dp(i) = max over piece lengths l of dp(i−l)·p(piece ending at i)
+    * rides in an array column (fixed MaxWordLen-step loop); the
+    * backtrace walks positions end→start re-testing dp(i−l)·p = dp(i)
+    * with the longest satisfying l (the max was computed from these
+    * exact products, so equality is exact, not a tolerance). */
+  def withViterbi(words: DataFrame, vocab: Seq[(String, Double)],
+      wordCol: String = "word"): DataFrame = {
+    val pm = probMap(vocab)
+    var df = words.withColumn("_dp", array(lit(1.0)))
+    for (i <- 1 to MaxWordLen) {
+      val cands: Seq[Column] = for (l <- 1 to math.min(MaxPieceLen, i)) yield
+        element_at(col("_dp"), i - l + 1) *
+          element_at(pm, substring(col(wordCol), i - l + 1, l))
+      val dpi = if (cands.size == 1) cands.head else greatest(cands: _*)
+      df = df.withColumn("_dp",
+        when(length(col(wordCol)) >= i, concat(col("_dp"), array(dpi)))
+          .otherwise(col("_dp")))
+    }
+    df = df
+      .withColumn("_pos", length(col(wordCol)))
+      .withColumn("_ps", lit(""))
+      .withColumn("_n", lit(0))
+    for (_ <- 1 to MaxWordLen) {
+      val pickLen = (1 to MaxPieceLen).foldLeft(lit(0): Column) {
+        (acc, l) =>
+          val piece = expr(s"substr($wordCol, _pos - $l + 1, $l)")
+          val hit = (col("_pos") >= l) &&
+            (element_at(col("_dp"), col("_pos") - l + 1) *
+              element_at(pm, piece) === element_at(col("_dp"), col("_pos") + 1))
+          when(hit, lit(l)).otherwise(acc)
+      }
+      // foldLeft from l=1 up leaves the LONGEST satisfying l outermost
+      df = df
+        .withColumn("_pl", when(col("_pos") <= 0, lit(0)).otherwise(pickLen))
+        .withColumn("_ps", when(col("_pl") === 0, col("_ps"))
+          .otherwise(when(col("_ps") === "",
+            expr(s"substr($wordCol, _pos - _pl + 1, _pl)"))
+            .otherwise(concat(expr(s"substr($wordCol, _pos - _pl + 1, _pl)"),
+              lit("|"), col("_ps")))))
+        .withColumn("_n",
+          col("_n") + when(col("_pl") === 0, lit(0)).otherwise(lit(1)))
+        .withColumn("_pos", col("_pos") - col("_pl"))
+        .drop("_pl")
+    }
+    df.withColumn("n_uni", col("_n"))
+      .withColumn("uni_pieces", col("_ps"))
+      .drop("_dp", "_pos", "_ps", "_n")
+  }
+
+  /** One hard-EM count pass: Viterbi-segment the word table, explode
+    * pieces occurrence-weighted, sum. Vocab-sized collect. */
+  private def emCounts(words: DataFrame,
+      vocab: Seq[(String, Double)]): Map[String, Long] =
+    withViterbi(words, vocab)
+      .select(explode(split(col("uni_pieces"), "\\|")).as("piece"), col("cnt"))
+      .groupBy("piece").agg(sum("cnt").as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** Full training run: seed → EmRounds hard-EM rounds → final
+    * Viterbi table. Returns (seed counts, final counts, segmented word
+    * table). The word table is persisted across the EM passes (the
+    * model artifact is the final counts; [[withViterbi]] under
+    * `probs(final)` is the frozen scorer). */
+  def learn(docs: DataFrame,
+      rounds: Int = EmRounds): (Seq[Piece], Seq[Piece], DataFrame) = {
+    val wt = Bpe.wordTable(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seed = seedVocab(wt)
+    var counts = seed
+    for (_ <- 1 to rounds) {
+      val m = emCounts(wt, probs(counts))
+      counts = counts.map(p => Piece(p.piece, m.getOrElse(p.piece, 0L)))
+    }
+    (seed, counts, withViterbi(wt, probs(counts)))
+  }
+
+  /** Frozen-model corpus scoring: per-doc word + unigram-token totals.
+    * The corpus word stream equi-joins the vocab-sized per-word piece
+    * counts (broadcast at any scale) and reduces straight to per-doc
+    * sums — the [[Bpe]] apply shape; the corpus never shuffles wide. */
+  def scoreDocs(docs: DataFrame, segmented: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
+      .where(col("word").rlike("^[a-z]+$") && length(col("word")) <= MaxWordLen)
+      .join(segmented.select(col("word"), col("n_uni")), "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_uni").cast("long").as("n_uni_tokens"))
+}

@@ -1,0 +1,188 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.UnigramLm
+
+/** Unigram-LM tokenizer queries, with the ENTIRE training run — seed
+  * substring histogram, top-K vocabulary cut, every hard-EM round's
+  * Viterbi DP + backtrace + recount, and the final segmentation —
+  * replayed inside the DuckDB oracle (the tx_bpe_merges / tx_langid
+  * precedent): nothing about the engine's choices leaks into the
+  * check. Probabilities are plus-one-smoothed integer-count ratios and
+  * the DP uses only IEEE multiply/compare, so both sides compute
+  * bit-identical doubles and every comparison lands the same way; ties
+  * break toward the longest piece on both sides (engine: descending-l
+  * when-chain; oracle: max_by on piece length over the exact-equality
+  * candidates — two distinct same-length pieces cannot end at one
+  * position, so both rules are total and identical). */
+object UnigramQueries {
+
+  import UnigramLm.{MaxWordLen, MaxPieceLen, VocabMulti, EmRounds}
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** tx_unigram: the segmented word table under the trained model —
+    * word, occurrence count, Viterbi piece count, and the exact piece
+    * stream (hash-pinned strings: one different EM count anywhere
+    * changes some word's segmentation or the check's probabilities). */
+  def unigram(spark: SparkSession, dir: String): DataFrame = {
+    val (_, _, seg) = UnigramLm.learn(docs(spark, dir))
+    seg.select(col("word"), col("cnt"), col("n_uni"), col("uni_pieces"))
+      .transform(QueryUtil.ordered("word"))
+  }
+
+  /** tx_unigram_vocab: the model table — every piece with its seed
+    * count and its final hard-EM count (integers end-to-end). */
+  def unigramVocab(spark: SparkSession, dir: String): DataFrame = {
+    val (seed, fin, _) = UnigramLm.learn(docs(spark, dir))
+    import spark.implicits._
+    seed.zip(fin).map { case (s, f) => (s.piece, s.cnt, f.cnt) }
+      .toDF("piece", "seed_cnt", "em_cnt")
+      .transform(QueryUtil.ordered("piece"))
+  }
+
+  /** tx_unigram_apply: frozen-model corpus scoring — per-doc word and
+    * unigram-token totals via the vocab-sized equi-join. */
+  def unigramApply(spark: SparkSession, dir: String): DataFrame = {
+    val (_, _, seg) = UnigramLm.learn(docs(spark, dir))
+    UnigramLm.scoreDocs(docs(spark, dir), seg)
+      .transform(QueryUtil.ordered("doc_id"))
+  }
+
+  // ---------------------------------------------------------------- oracle
+
+  /** One Viterbi forward DP under probability table pr{r}: unrolled one
+    * stage per position (dp(i) = max over pieces ending at i of
+    * dp(i−len)·p), every stage MATERIALIZED — dpa_i is referenced
+    * twice, so the un-hinted form re-inlines exponentially (the
+    * wordpiece-oracle lesson). */
+  private def dpStages(r: Int): String = {
+    val sb = new StringBuilder(
+      s"""dpa${r}_0 AS MATERIALIZED (SELECT word, 0 AS pos,
+         |  CAST(1.0 AS DOUBLE) AS dp FROM w0)""".stripMargin)
+    for (i <- 1 to MaxWordLen) {
+      sb ++= s""",
+         |dp${r}_$i AS MATERIALIZED (
+         |  SELECT a.word, $i AS pos, max(a.dp * v.p) AS dp
+         |  FROM dpa${r}_${i - 1} a JOIN pr$r v
+         |    ON a.pos = $i - length(v.piece)
+         |   AND substr(a.word, $i - CAST(length(v.piece) AS INTEGER) + 1,
+         |         length(v.piece)) = v.piece
+         |  WHERE length(a.word) >= $i GROUP BY a.word),
+         |dpa${r}_$i AS MATERIALIZED (SELECT * FROM dpa${r}_${i - 1}
+         |  UNION ALL SELECT * FROM dp${r}_$i)""".stripMargin
+    }
+    sb.toString
+  }
+
+  /** Backtrace under round r's DP: the pick at every (word, pos) is the
+    * longest piece whose dp(pos−len)·p exactly equals dp(pos) (the max
+    * was computed from these same products), then a recursive walk
+    * end→start assembles the piece stream. */
+  private def segRound(r: Int): String =
+    s"""bk$r AS MATERIALIZED (
+       |  SELECT e.word, e.pos, max_by(v.piece, length(v.piece)) AS pick
+       |  FROM dpa${r}_$MaxWordLen e
+       |  JOIN dpa${r}_$MaxWordLen s ON s.word = e.word
+       |  JOIN pr$r v
+       |    ON s.pos = e.pos - length(v.piece)
+       |   AND substr(e.word, e.pos - CAST(length(v.piece) AS INTEGER) + 1,
+       |         length(v.piece)) = v.piece
+       |   AND s.dp * v.p = e.dp
+       |  WHERE e.pos >= 1 GROUP BY e.word, e.pos),
+       |seg$r AS (
+       |  SELECT word, CAST(length(word) AS INTEGER) AS pos,
+       |    CAST('' AS VARCHAR) AS pieces, 0 AS n
+       |  FROM w0
+       |  UNION ALL
+       |  SELECT s.word, CAST(s.pos - length(b.pick) AS INTEGER),
+       |    CASE WHEN s.pieces = '' THEN b.pick
+       |         ELSE b.pick || '|' || s.pieces END, s.n + 1
+       |  FROM seg$r s JOIN bk$r b ON b.word = s.word AND b.pos = s.pos
+       |  WHERE s.pos >= 1),
+       |segf$r AS MATERIALIZED (SELECT word, pieces, n FROM seg$r
+       |  WHERE pos = 0)""".stripMargin
+
+  /** Hard-EM recount from round r's segmentation over the FIXED piece
+    * set (unused pieces drop to 0, plus-one smoothing keeps them
+    * usable — the engine's exact rule). */
+  private def cntRound(r: Int): String =
+    s"""cnt$r AS MATERIALIZED (
+       |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS c FROM (
+       |    SELECT unnest(string_split(pieces, '|')) AS piece, cnt
+       |    FROM segf$r JOIN w0 USING (word)) t GROUP BY piece),
+       |v$r AS MATERIALIZED (SELECT v.piece, coalesce(c.c, 0) AS c
+       |  FROM v0 v LEFT JOIN cnt$r c USING (piece))""".stripMargin
+
+  private def prFrom(v: String, r: Int): String =
+    s"""pr$r AS MATERIALIZED (SELECT piece,
+       |  CAST(c + 1 AS DOUBLE) / CAST((SELECT sum(c + 1) FROM $v)
+       |    AS DOUBLE) AS p FROM $v)""".stripMargin
+
+  /** The full replay: word table → substring seed → vocab → EmRounds
+    * EM rounds → final model → final segmentation (segf{EmRounds+1}). */
+  private def chain: String = {
+    val parts = Seq(
+      s"""w0 AS MATERIALIZED (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(string_split(lower(text), ' ')) AS word
+         |    FROM documents) u
+         |  WHERE regexp_matches(word, '^[a-z]+$$') AND length(word) <= 20
+         |  GROUP BY word)""".stripMargin,
+      s"""subs AS MATERIALIZED (
+         |  SELECT substr(word, i, l) AS piece, CAST(sum(cnt) AS BIGINT) AS c
+         |  FROM w0,
+         |    LATERAL (SELECT unnest(range(1, length(word) + 1)) AS i) g,
+         |    LATERAL (SELECT unnest(range(1,
+         |      least($MaxPieceLen, length(word) - i + 1) + 1)) AS l) h
+         |  GROUP BY 1)""".stripMargin,
+      s"""vmulti AS MATERIALIZED (SELECT piece, c FROM subs
+         |  WHERE length(piece) >= 2
+         |  ORDER BY c DESC, piece LIMIT $VocabMulti)""".stripMargin,
+      s"""v0 AS MATERIALIZED (
+         |  SELECT s.piece, coalesce(sub.c, 0) AS c
+         |  FROM (SELECT chr(CAST(97 + i AS INTEGER)) AS piece
+         |        FROM (SELECT unnest(range(0, 26)) AS i) a) s
+         |  LEFT JOIN subs sub ON sub.piece = s.piece
+         |  UNION ALL SELECT piece, c FROM vmulti)""".stripMargin) ++
+      (1 to EmRounds).flatMap { r =>
+        Seq(prFrom(s"v${r - 1}", r), dpStages(r), segRound(r), cntRound(r))
+      } ++ {
+        val f = EmRounds + 1
+        Seq(prFrom(s"v$EmRounds", f), dpStages(f), segRound(f))
+      }
+    "WITH RECURSIVE " + parts.mkString(",\n")
+  }
+
+  private def finalSeg = s"segf${EmRounds + 1}"
+
+  val unigramOracle: String =
+    s"""$chain
+       |SELECT w0.word, w0.cnt, CAST(f.n AS INTEGER) AS n_uni,
+       |  f.pieces AS uni_pieces
+       |FROM w0 JOIN $finalSeg f USING (word) ORDER BY word""".stripMargin
+
+  val unigramVocabOracle: String =
+    s"""$chain
+       |SELECT v0.piece, v0.c AS seed_cnt, v$EmRounds.c AS em_cnt
+       |FROM v0 JOIN v$EmRounds USING (piece) ORDER BY piece""".stripMargin
+
+  val unigramApplyOracle: String =
+    s"""$chain,
+       |tokd AS (SELECT doc_id, word FROM (
+       |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+       |    FROM documents) u
+       |  WHERE regexp_matches(word, '^[a-z]+$$') AND length(word) <= 20)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(f.n) AS BIGINT) AS n_uni_tokens
+       |FROM tokd JOIN $finalSeg f USING (word)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] =
+    Map(
+      "tx_unigram" -> ((unigram _, Some(unigramOracle))),
+      "tx_unigram_vocab" -> ((unigramVocab _, Some(unigramVocabOracle))),
+      "tx_unigram_apply" -> ((unigramApply _, Some(unigramApplyOracle))))
+}

@@ -434,6 +434,21 @@ class PlanSpec extends SparkSpec {
       s"per-doc totals must partial-aggregate:\n$p")
   }
 
+  test("tx_unigram_apply: frozen-model scoring is a vocab-sized equi-join, corpus aggregates partially") {
+    // the EM/Viterbi loops all run on the word-table side; the corpus
+    // word stream reaches the per-word piece counts through an
+    // equi-join (broadcast at this SF) and reduces straight to per-doc
+    // sums — no cartesian/BNLJ, no window, no corpus-wide sort
+    val p = plan("tx_unigram_apply")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"unigram apply must stay equi-join only:\n$p")
+    assert(!p.contains("windowspecdefinition"),
+      s"unigram apply needs no window:\n$p")
+    assert(p.contains("HashAggregate"),
+      s"per-doc totals must partial-aggregate:\n$p")
+  }
+
   test("tx_heavy_hitters: map-side sketch partials; exact pass counts broadcast candidates only") {
     // the sketch must partial-aggregate (bounded buffer per map task),
     // and the exact re-count must reach the corpus through a BROADCAST
