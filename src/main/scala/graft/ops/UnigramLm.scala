@@ -178,6 +178,41 @@ object UnigramLm {
     (seed, counts, withViterbi(wt, probs(counts)))
   }
 
+  /** Frozen-model scoring of an ARBITRARY corpus (unseen words welcome:
+    * the batch's own word table is segmented under the frozen counts —
+    * a word's Viterbi segmentation is corpus-independent given the
+    * model, so the result is per-doc-local). */
+  def scoreWithModel(docs: DataFrame, counts: Seq[Piece]): DataFrame =
+    scoreDocs(docs, withViterbi(Bpe.wordTable(docs), probs(counts)))
+
+  /** Unigram-model artifact: persist the (piece, cnt) table once, score
+    * any corpus without re-training. Load validates the base alphabet
+    * is complete (a truncated artifact could leave a word
+    * unsegmentable — rejected loudly) and rejects duplicate pieces. */
+  object ModelArtifact {
+    def save(spark: SparkSession, counts: Seq[Piece], path: String): Unit = {
+      require(counts.nonEmpty, "empty unigram model")
+      import spark.implicits._
+      counts.map(p => (p.piece, p.cnt)).toDF("piece", "cnt").coalesce(1)
+        .write.mode("overwrite").parquet(path)
+    }
+
+    def load(spark: SparkSession, path: String): Seq[Piece] = {
+      val rows = spark.read.parquet(path).collect()
+        .map(r => Piece(r.getAs[String]("piece"), r.getAs[Long]("cnt")))
+        .sortBy(_.piece).toSeq
+      require(rows.nonEmpty, s"empty unigram model artifact at $path")
+      require(rows.map(_.piece).distinct.size == rows.size,
+        s"unigram model artifact at $path carries duplicate pieces")
+      val missing = ('a' to 'z').map(_.toString)
+        .filterNot(rows.map(_.piece).toSet)
+      require(missing.isEmpty,
+        s"unigram model artifact at $path: base alphabet incomplete, " +
+          s"missing $missing")
+      rows
+    }
+  }
+
   /** Frozen-model corpus scoring: per-doc word + unigram-token totals.
     * The corpus word stream equi-joins the vocab-sized per-word piece
     * counts (broadcast at any scale) and reduces straight to per-doc

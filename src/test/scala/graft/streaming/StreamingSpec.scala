@@ -1681,6 +1681,62 @@ class StreamingSpec extends SparkSpec {
     graft.ops.Dedup.releaseCaches()
   }
 
+  test("streaming unigram-LM scoring: frozen model stream equals batch, replays don't duplicate") {
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    import graft.ops.UnigramLm
+    val in = tmpDir("uni-in")
+    val out = tmpDir("uni-out") + "/scores"
+    // train in batch, round-trip the artifact, score the stream under
+    // the LOADED model (load-score ≡ train-score)
+    val trainDocs = Seq(
+      (1L, "low low low lower lowest"), (2L, "low lower slow slowest"))
+      .toDF("doc_id", "text")
+    val (_, trained, _) = UnigramLm.learn(trainDocs)
+    val modelPath = tmpDir("uni-model") + "/m"
+    UnigramLm.ModelArtifact.save(spark, trained, modelPath)
+    val model = UnigramLm.ModelArtifact.load(spark, modelPath)
+    assert(model == trained, "unigram model artifact must round-trip exactly")
+    // stream docs carry words the training corpus never saw — the
+    // frozen scorer segments the batch's OWN word table
+    val streamDocs = Seq(
+      (10L, "low lowest yellow"), (11L, "slower glow below"),
+      (12L, "Mixed CASE low?"))
+    def jl(id: Long, t: String) = s"""{"doc_id":$id,"text":"$t"}"""
+    val fa = java.nio.file.Paths.get(s"$in/a.jsonl")
+    val fb = java.nio.file.Paths.get(s"$in/b.jsonl")
+    java.nio.file.Files.write(fa,
+      streamDocs.take(1).map((jl _).tupled).mkString("\n").getBytes)
+    java.nio.file.Files.write(fb,
+      streamDocs.drop(1).map((jl _).tupled).mkString("\n").getBytes)
+    fa.toFile.setLastModified(System.currentTimeMillis() - 60000)
+    val q = spark.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1).json(in)
+      .writeStream
+      .option("checkpointLocation", tmpDir("uni-ckpt"))
+      .foreachBatch(StreamingUnigram.scoringAppender(model, out))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    def rows(df: DataFrame) = df
+      .select("doc_id", "n_words", "n_uni_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = rows(spark.read.parquet(out))
+    val batch = rows(UnigramLm.scoreWithModel(
+      streamDocs.toDF("doc_id", "text"), model))
+    assert(streamed == batch,
+      s"frozen-model stream scores $streamed must equal batch $batch")
+    // lowercasing happens before the a-z gate: 'Mixed'/'CASE' pass as
+    // 'mixed'/'case', the punctuated 'low?' is dropped
+    val byDoc = streamed.map(t => t._1 -> t._2).toMap
+    assert(byDoc(12L) == 2L, s"doc 12 must keep mixed+case only: $byDoc")
+    // replay: re-running a batch overwrites its own partition — no dupes
+    StreamingUnigram.scoringAppender(model, out)(
+      streamDocs.drop(1).toDF("doc_id", "text"), 1L)
+    assert(rows(spark.read.parquet(out)) == streamed,
+      "a replayed micro-batch must not duplicate or change score rows")
+    graft.ops.Dedup.releaseCaches()
+  }
+
   test("streaming HLL sketch: snapshot equals batch over the prefix; replay is idempotent by algebra") {
     import org.apache.spark.sql.DataFrame
     import spark.implicits._
