@@ -100,4 +100,49 @@ object Versioning {
     val recomputed = transform(v2.join(delta, Seq(idCol), "left_semi"))
     reused.unionByName(recomputed)
   }
+
+  /** Release-to-release distribution drift: Population Stability Index
+    * and KL divergence per fixed-width score bin — the standard
+    * ML-monitoring check for "did this release shift the quality/score
+    * distribution" (PSI is the banking/ML-ops staple; KL its
+    * information-theoretic sibling). Inputs are one `score` DOUBLE
+    * column per side (scores in [0,1]); plus-one smoothing over the
+    * `bins` fixed bins keeps every log finite (and the replay exact:
+    * shares are integer-count ratios).
+    *
+    * Scale shape: each corpus reduces through a map-side partial
+    * count to a BINS-sized histogram; the full-outer alignment, the
+    * totals window and the PSI/KL arithmetic all run on that bounded
+    * frame — the corpus is never windowed or joined wide. Outputs
+    * per-bin rows (n1, n2, shares, psi/kl terms, 6dp — the tx_pmi
+    * rounding precedent for ln); totals are the column sums. */
+  def distributionDrift(s1: DataFrame, s2: DataFrame,
+      bins: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def hist(df: DataFrame) = df
+      .select(least(floor(col("score") * bins), lit(bins - 1))
+        .cast("long").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+    val all = s1.sparkSession.range(0, bins).toDF("bin")
+    val j = all
+      .join(hist(s1).withColumnRenamed("n", "n1"), Seq("bin"), "left")
+      .join(hist(s2).withColumnRenamed("n", "n2"), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n1"), lit(0L)).as("n1"),
+        coalesce(col("n2"), lit(0L)).as("n2"))
+    // single-partition window over the BINS-sized frame only
+    val w = Window.partitionBy(lit(1))
+    j.withColumn("_t1", sum("n1").over(w))
+      .withColumn("_t2", sum("n2").over(w))
+      .withColumn("_p",
+        (col("n1") + 1L).cast("double") / (col("_t1") + bins).cast("double"))
+      .withColumn("_q",
+        (col("n2") + 1L).cast("double") / (col("_t2") + bins).cast("double"))
+      .select(col("bin"), col("n1"), col("n2"),
+        round(col("_p"), 6).as("p1"),
+        round(col("_q"), 6).as("p2"),
+        round((col("_q") - col("_p")) * log(col("_q") / col("_p")), 6)
+          .as("psi_term"),
+        round(col("_q") * log(col("_q") / col("_p")), 6).as("kl_term"))
+  }
 }

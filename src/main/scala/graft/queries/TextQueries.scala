@@ -2314,6 +2314,65 @@ object TextQueries {
       |SELECT doc_id, lang, quality, n_tokens FROM q
       |WHERE quality >= 0.6 ORDER BY doc_id""".stripMargin
 
+  /** Release drift monitor over the SAME planted v2 as [[corpusDiff]]:
+    * PSI + KL divergence per quality-score decile between the v1 and
+    * v2 releases ([[graft.ops.Versioning.distributionDrift]]) — the
+    * "did this release shift the score distribution" check that runs
+    * next to the diff in a real release pipeline. The v2 projection,
+    * the quality formula and the bin arithmetic are all replayed by
+    * the oracle; counts are integers, shares are smoothed integer
+    * ratios, and ln terms round at 6dp (the tx_pmi precedent). */
+  def drift(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = docs(spark, dir)
+    val v2 = v1.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionAll(v1.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    def scores(d: DataFrame) =
+      d.select(TextAnalysis.qualityScore(col("text")).as("score"))
+    graft.ops.Versioning.distributionDrift(scores(v1), scores(v2))
+      .transform(QueryUtil.ordered("bin"))
+  }
+
+  val driftOracle: String =
+    """WITH v2 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 7 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 13 = 0),
+      |q1 AS (SELECT round(least(n / 100.0, 1.0) * 0.4 + (nd / n) * 0.4 +
+      |         (1.0 - st / n) * 0.2, 4) AS score FROM (
+      |  SELECT len(string_split(text, ' ')) * 1.0 AS n,
+      |    len(list_distinct(string_split(text, ' '))) * 1.0 AS nd,
+      |    len(list_filter(string_split(text, ' '),
+      |      t -> t IN ('the', 'a', 'of', 'to', 'and', 'in', 'is', 'it'))) * 1.0 AS st
+      |  FROM documents) s),
+      |q2 AS (SELECT round(least(n / 100.0, 1.0) * 0.4 + (nd / n) * 0.4 +
+      |         (1.0 - st / n) * 0.2, 4) AS score FROM (
+      |  SELECT len(string_split(text, ' ')) * 1.0 AS n,
+      |    len(list_distinct(string_split(text, ' '))) * 1.0 AS nd,
+      |    len(list_filter(string_split(text, ' '),
+      |      t -> t IN ('the', 'a', 'of', 'to', 'and', 'in', 'is', 'it'))) * 1.0 AS st
+      |  FROM v2) s),
+      |h1 AS (SELECT CAST(least(floor(score * 10), 9) AS BIGINT) AS bin,
+      |  CAST(count(*) AS BIGINT) AS n1 FROM q1 GROUP BY 1),
+      |h2 AS (SELECT CAST(least(floor(score * 10), 9) AS BIGINT) AS bin,
+      |  CAST(count(*) AS BIGINT) AS n2 FROM q2 GROUP BY 1),
+      |j AS (SELECT b.bin, coalesce(h1.n1, 0) AS n1, coalesce(h2.n2, 0) AS n2
+      |  FROM (SELECT CAST(unnest(range(0, 10)) AS BIGINT) AS bin) b
+      |  LEFT JOIN h1 USING (bin) LEFT JOIN h2 USING (bin)),
+      |t AS (SELECT bin, n1, n2,
+      |    CAST(n1 + 1 AS DOUBLE) / CAST(sum(n1) OVER () + 10 AS DOUBLE) AS p,
+      |    CAST(n2 + 1 AS DOUBLE) / CAST(sum(n2) OVER () + 10 AS DOUBLE) AS q
+      |  FROM j)
+      |SELECT bin, n1, n2, round(p, 6) AS p1, round(q, 6) AS p2,
+      |  round((q - p) * ln(q / p), 6) AS psi_term,
+      |  round(q * ln(q / p), 6) AS kl_term
+      |FROM t ORDER BY bin""".stripMargin
+
   /** Exact top-20 most frequent keys via the two-pass SpaceSaving
     * scheme ([[graft.ops.Frequency.topKExact]]). The key stream is the
     * corpus token stream UNIONed with one planted singleton per doc
@@ -4552,6 +4611,7 @@ object TextQueries {
     "tx_gate_sweep" -> ((gateSweep _, Some(gateSweepOracle))),
     "tx_corpus_diff" -> ((corpusDiff _, Some(corpusDiffOracle))),
     "tx_incremental" -> ((incremental _, Some(incrementalOracle))),
+    "tx_drift" -> ((drift _, Some(driftOracle))),
     "tx_heavy_hitters" -> ((heavyHittersTop _, Some(heavyHittersOracle))),
     "tx_text_canon" -> ((textCanon _, Some(textCanonOracle))),
     "tx_corpus_stats" -> ((corpusStats _, Some(corpusStatsOracle))),

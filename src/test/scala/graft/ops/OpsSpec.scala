@@ -1886,6 +1886,27 @@ class OpsSpec extends SparkSpec {
       5L -> "removed", 6L -> "added"))
   }
 
+  test("distributionDrift: hand-checked PSI/KL over fixed bins; empty bins smooth, identical sides zero") {
+    val s1 = Seq(0.05, 0.05, 0.55, 0.95).toDF("score") // bins 0,0,5,9
+    val s2 = Seq(0.05, 0.55, 0.55, 0.95).toDF("score") // bins 0,5,5,9
+    val r = Versioning.distributionDrift(s1, s2, bins = 10).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2),
+        x.getDouble(5), x.getDouble(6)))).toMap
+    assert(r.size == 10, "every bin present, even empty ones")
+    assert(r(0)._1 == 2 && r(0)._2 == 1)
+    assert(r(5)._1 == 1 && r(5)._2 == 2)
+    // hand PSI term for bin 0: p=(2+1)/14, q=(1+1)/14
+    val (p, q) = (3.0 / 14.0, 2.0 / 14.0)
+    val psi0 = BigDecimal((q - p) * math.log(q / p))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r(0)._3 == psi0, s"bin0 psi ${r(0)._3} vs hand $psi0")
+    // empty bins carry the smoothed floor on both sides: terms are 0
+    assert(r(1) == ((0L, 0L, 0.0, 0.0)))
+    // identical distributions: every PSI/KL term is exactly zero
+    val same = Versioning.distributionDrift(s1, s1, bins = 10).collect()
+    assert(same.forall(x => x.getDouble(5) == 0.0 && x.getDouble(6) == 0.0))
+  }
+
   test("paragraphDedup: blank-line units; hot and intra-doc repeated paragraphs drop") {
     val boiler = "Subscribe now"
     val d = Seq(
