@@ -388,4 +388,36 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .distinct()
   }
+
+  /** Diversity-balanced subsampling: bin the corpus by sign-LSH bucket
+    * (similar vectors share buckets) and keep a per-bucket quota ranked
+    * by deterministic unit-hash — an embedding-space coverage sample
+    * that a uniform draw cannot give (dense regions are capped, sparse
+    * regions survive whole). This is the bit-reproducible scale path
+    * for cluster-balanced selection: k-means cells ([[Ivf]]) would
+    * serve the same role but their float centroids are not replayable
+    * across engines, while the splitmix64 plane family is (the
+    * vec_knn_lsh oracle precedent).
+    *
+    * Scale shape: ONE aggregation — bucket count and the
+    * [[graft.etl.expressions.BoundedTopK]] quota compute together, so
+    * map-side partials cap every hot bucket at `quota` rows per map
+    * task before the shuffle; output is ≤ 2^numPlanes·quota rows. */
+  def balancedSample(emb: DataFrame, numPlanes: Int, quota: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val base = emb.select(col(idCol),
+      lshBucket(col(vecCol), numPlanes).cast("long").as("bucket"))
+    val packed = struct(
+      struct(Sampling.unitHash(col(idCol)).as("_h"), col(idCol).as("_i"))
+        .as("_r"),
+      struct(col(idCol)).as("_p"))
+    val topk = Bridge.column(
+      graft.etl.expressions.BoundedTopK(Bridge.expression(packed), quota)
+        .toAggregateExpression())
+    base.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_bucket"), topk.as("_top"))
+      .select(col("bucket"), col("n_bucket"), explode(col("_top")).as("_e"))
+      .select(col("bucket"), col("n_bucket"), col(s"_e._p.$idCol"))
+  }
 }

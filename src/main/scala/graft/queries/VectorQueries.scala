@@ -450,7 +450,49 @@ object VectorQueries {
   val knnIvfPqAppendOracle: String =
     s"""SELECT vec_id AS qid FROM embeddings WHERE $queryPredSql ORDER BY qid""".stripMargin
 
+  // --- diversity-balanced subsampling: 4 planes = 16 buckets; quota 20
+  // binds in dense buckets and passes sparse ones whole at every SF ---
+  private val BalPlanes = 4
+  private val BalQuota = 20
+
+  /** LSH-bucket-balanced embedding subsample — per-bucket quota ranked
+    * by the deterministic unit-hash ([[graft.ops.Similarity.balancedSample]]);
+    * the oracle replays the planes, the bucket ids, the md5 unit-hash
+    * rank and the quota cut end-to-end. */
+  def balancedSample(spark: SparkSession, dir: String): DataFrame =
+    Similarity.balancedSample(emb(spark, dir), BalPlanes, BalQuota)
+      .transform(QueryUtil.ordered("bucket", "vec_id"))
+
+  val balancedSampleOracle: String = {
+    val planes = (0 until BalPlanes).map { p =>
+      val cs = (0 until OracleDim)
+        .map(d => graft.etl.expressions.LshSignBands.planeCoef(p, d).toString)
+        .mkString("[", ", ", "]")
+      s"($p, $cs::DOUBLE[])"
+    }.mkString(",\n|    ")
+    s"""WITH pl(p, pc) AS (VALUES
+      |    $planes),
+      |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |proj AS (SELECT v.vec_id, pl.p,
+      |    list_sum(list_transform(range(1, len(v.e) + 1), i -> v.e[i] * pl.pc[i])) AS s
+      |  FROM v, pl),
+      |b AS (SELECT vec_id,
+      |    CAST(sum(CASE WHEN s >= 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM proj GROUP BY vec_id),
+      |n AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_bucket
+      |  FROM b GROUP BY 1),
+      |r AS (SELECT bucket, vec_id,
+      |    row_number() OVER (PARTITION BY bucket ORDER BY
+      |      ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::UBIGINT
+      |        / 4294967296.0, vec_id) AS rn
+      |  FROM b)
+      |SELECT r.bucket, n.n_bucket, r.vec_id
+      |FROM r JOIN n USING (bucket) WHERE rn <= $BalQuota
+      |ORDER BY bucket, vec_id""".stripMargin
+  }
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "vec_balanced_sample" -> ((balancedSample _, Some(balancedSampleOracle))),
     "vec_knn_brute" -> ((knnBrute _, Some(knnBruteOracle))),
     "vec_hard_negatives" -> ((hardNegatives _, Some(hardNegativesOracle))),
     "vec_hard_negatives_lsh" ->

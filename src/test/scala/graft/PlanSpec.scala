@@ -449,6 +449,19 @@ class PlanSpec extends SparkSpec {
       s"per-doc totals must partial-aggregate:\n$p")
   }
 
+  test("vec_balanced_sample: one aggregation, map-side BoundedTopK partials, no window over the corpus") {
+    // the quota must cap per map task (partial_bounded_top_k), and the
+    // bucket count computes in the SAME aggregate — a window
+    // formulation would funnel hot buckets through single tasks
+    val p = plan("vec_balanced_sample")
+    assert(p.contains("partial_bounded_top_k"),
+      s"expected map-side partial bounded_top_k:\n$p")
+    assert(!p.contains("windowspecdefinition"),
+      s"no window over the bucketed corpus:\n$p")
+    assert(countOf(p, "Exchange") <= 2,
+      s"one agg shuffle (+ result sort) only:\n$p")
+  }
+
   test("tx_heavy_hitters: map-side sketch partials; exact pass counts broadcast candidates only") {
     // the sketch must partial-aggregate (bounded buffer per map task),
     // and the exact re-count must reach the corpus through a BROADCAST

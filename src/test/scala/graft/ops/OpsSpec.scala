@@ -1886,6 +1886,30 @@ class OpsSpec extends SparkSpec {
       5L -> "removed", 6L -> "added"))
   }
 
+  test("balancedSample: per-bucket quota binds; kept ids are the lowest unit-hashes; populations exact") {
+    import org.apache.spark.sql.expressions.Window
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val quota = 5
+    val r = Similarity.balancedSample(emb, numPlanes = 3, quota = quota)
+    val rows = r.collect().map(x =>
+      (x.getLong(0), x.getLong(1), x.getLong(2)))
+    // quota respected; bucket populations sum to the corpus
+    val perBucket = rows.groupBy(_._1)
+    assert(perBucket.values.forall(_.length <= quota))
+    assert(perBucket.values.map(_.head._2).sum == emb.count())
+    assert(perBucket.exists(_._2.length == quota), "quota binds somewhere")
+    // kept ids per bucket = the quota lowest (unitHash, id) — replayed
+    // with the window formulation the op deliberately avoids
+    val want = emb.select(col("vec_id"),
+        Similarity.lshBucket(col("embedding"), 3).cast("long").as("bucket"))
+      .withColumn("rn", row_number().over(Window.partitionBy("bucket")
+        .orderBy(Sampling.unitHash(col("vec_id")), col("vec_id"))))
+      .filter(col("rn") <= quota)
+      .select("bucket", "vec_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(rows.map(x => (x._1, x._3)).toSet == want)
+  }
+
   test("distributionDrift: hand-checked PSI/KL over fixed bins; empty bins smooth, identical sides zero") {
     val s1 = Seq(0.05, 0.05, 0.55, 0.95).toDF("score") // bins 0,0,5,9
     val s2 = Seq(0.05, 0.55, 0.55, 0.95).toDF("score") // bins 0,5,5,9
