@@ -51,6 +51,23 @@ object UnigramQueries {
       .transform(QueryUtil.ordered("doc_id"))
   }
 
+  /** tx_pack_uni: token-budget shard packing on REAL unigram-LM token
+    * counts — the triad's packing tie-in (tx_pack_bpe's twin on the
+    * third tokenizer): per-doc Viterbi token totals feed the two-level
+    * distributed prefix-sum core ([[graft.ops.Packing.packFromCounts]]).
+    * Docs with zero gated words carry zero trainable tokens and are
+    * excluded (defined contract, mirrored by the oracle). */
+  val PackBudget = 5000L
+
+  def packUni(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val (_, _, seg) = UnigramLm.learn(d)
+    val counts = UnigramLm.scoreDocs(d, seg)
+      .select(col("doc_id"), col("n_uni_tokens").as("n_tokens"))
+    graft.ops.Packing.packFromCounts(counts, PackBudget, bucketWidth = 64L)
+      .transform(QueryUtil.ordered("doc_id"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   /** One Viterbi forward DP under probability table pr{r}: unrolled one
@@ -180,9 +197,25 @@ object UnigramQueries {
        |FROM tokd JOIN $finalSeg f USING (word)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  val packUniOracle: String =
+    s"""$chain,
+       |tokd AS (SELECT doc_id, word FROM (
+       |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+       |    FROM documents) u
+       |  WHERE regexp_matches(word, '^[a-z]+$$') AND length(word) <= 20),
+       |cnts AS (SELECT doc_id, CAST(sum(f.n) AS BIGINT) AS n
+       |  FROM tokd JOIN $finalSeg f USING (word) GROUP BY doc_id),
+       |pre AS (SELECT doc_id, n,
+       |    sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM cnts)
+       |SELECT doc_id, n AS n_tokens,
+       |  CAST((cum - n) // $PackBudget AS BIGINT) AS shard
+       |FROM pre ORDER BY doc_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] =
     Map(
       "tx_unigram" -> ((unigram _, Some(unigramOracle))),
       "tx_unigram_vocab" -> ((unigramVocab _, Some(unigramVocabOracle))),
-      "tx_unigram_apply" -> ((unigramApply _, Some(unigramApplyOracle))))
+      "tx_unigram_apply" -> ((unigramApply _, Some(unigramApplyOracle))),
+      "tx_pack_uni" -> ((packUni _, Some(packUniOracle))))
 }
