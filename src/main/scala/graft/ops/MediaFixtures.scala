@@ -253,6 +253,58 @@ object MediaFixtures {
   final case class Planted(slot: Long, mime: String, width: Int,
       height: Int, nFrames: Int, decoder: String, payload: Array[Byte])
 
+  /** POSIX ustar archive from (name, payload) members — the WebDataset
+    * shard container (multimodal training corpora ship as .tar shards
+    * of grouped sample files). Fixed header fields (mode/uid/gid/mtime
+    * all zero-octal, no timestamps, no RNG) keep the bytes identical
+    * in every JVM; the checksum is the POSIX sum-with-spaces rule.
+    * Two 512-zero trailer blocks terminate the archive. */
+  def tar(members: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    members.foreach { case (name, payload) =>
+      val h = new Array[Byte](512)
+      def put(off: Int, s: String): Unit = {
+        val b = s.getBytes("US-ASCII")
+        System.arraycopy(b, 0, h, off, b.length)
+      }
+      require(name.getBytes("US-ASCII").length <= 100, s"name too long: $name")
+      put(0, name)
+      put(100, "0000644")                       // mode
+      put(108, "0000000")                       // uid
+      put(116, "0000000")                       // gid
+      put(124, f"${payload.length.toLong}%011o") // size, 11-digit octal
+      put(136, "00000000000")                   // mtime
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte) // chksum as spaces
+      h(156) = '0'                              // typeflag: regular file
+      put(257, "ustar")                         // POSIX magic (NUL-terminated)
+      put(263, "00")                            // version
+      val sum = h.foldLeft(0L)((a, b) => a + (b & 0xff))
+      put(148, f"$sum%06o")
+      h(154) = 0; h(155) = ' '
+      out.write(h)
+      out.write(payload)
+      val pad = (512 - payload.length % 512) % 512
+      out.write(new Array[Byte](pad))
+    }
+    out.write(new Array[Byte](1024))
+    out.toByteArray
+  }
+
+  /** The 8-slot planted tar table assigned by `doc_id % 8` in
+    * `mm_tar_members`: slot m carries m % 3 + 1 members named
+    * `f<m>_<k>.txt` of size 37·m + 300·k bytes (payload = 'x' bytes) —
+    * slot 0 plants the empty member, the 300·k term drives sizes past
+    * one 512 block so the offset walk exercises block rounding. All
+    * names, sizes and offsets are pure doc_id arithmetic: the oracle
+    * states them without reading a byte. */
+  def plantedTar(m: Int): Array[Byte] = {
+    val n = m % 3 + 1
+    tar((0 until n).map { k =>
+      val size = 37 * m + 300 * k
+      (s"f${m}_$k.txt", Array.fill[Byte](size)('x'))
+    })
+  }
+
   /** The 12-slot planted table assigned by `doc_id % 12` in
     * `mm_meta_oracle`: PNG dims (slots 0–2), WAV rate/channels/samples
     * (3–5), MP3 rate/channels/frame-count across MPEG1/MPEG2, ID3

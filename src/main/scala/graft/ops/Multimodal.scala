@@ -996,6 +996,93 @@ object Multimodal {
     }
   }
 
+  /** One archive member row: byte `offset` is where the member's
+    * payload starts inside the shard (the seek target a loader uses);
+    * `member_idx = -1` is the corrupt-archive sentinel. */
+  case class TarMember(media_id: Long, member_idx: Int, name: String,
+      size: Long, offset: Long)
+
+  /** POSIX ustar shard walk — WebDataset-style .tar shards are the
+    * standard container for multimodal training corpora, and member
+    * enumeration (name, size, payload offset) is the index a loader
+    * needs to random-access samples without unpacking. Pure
+    * header-block walk: 512-byte headers, octal size field, payloads
+    * rounded up to whole blocks, two zero blocks terminate. Validates
+    * the `ustar` magic AND the POSIX checksum (sum of header bytes
+    * with the checksum field as spaces) per header; a bad header stops
+    * the walk — corrupt-at-start yields the sentinel row, mid-archive
+    * corruption keeps the members already walked (corrupt → sentinel,
+    * never task death). */
+  object TarWalk {
+    private def octal(bytes: Array[Byte], off: Int, len: Int): Long = {
+      var v = 0L; var i = off
+      while (i < off + len && (bytes(i) == ' '.toByte)) i += 1
+      while (i < off + len && bytes(i) >= '0'.toByte &&
+          bytes(i) <= '7'.toByte) {
+        v = v * 8 + (bytes(i) - '0'.toByte); i += 1
+      }
+      v
+    }
+
+    private def headerOk(b: Array[Byte], pos: Int): Boolean = {
+      val magic = new String(b, pos + 257, 5,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      if (magic != "ustar") return false
+      var sum = 0L; var i = 0
+      while (i < 512) {
+        sum += (if (i >= 148 && i < 156) ' '.toInt else b(pos + i) & 0xff)
+        i += 1
+      }
+      sum == octal(b, pos + 148, 8)
+    }
+
+    private def zeroBlock(b: Array[Byte], pos: Int): Boolean = {
+      var i = pos; val end = pos + 512
+      while (i < end) { if (b(i) != 0) return false; i += 1 }
+      true
+    }
+
+    def members(id: Long, bytes: Array[Byte]): Seq[TarMember] = {
+      val len = if (bytes == null) 0 else bytes.length
+      val sentinel = Seq(TarMember(id, -1, "", len.toLong, -1L))
+      if (len < 512) return sentinel
+      val out = scala.collection.mutable.ArrayBuffer.empty[TarMember]
+      var pos = 0; var idx = 0
+      while (pos + 512 <= len) {
+        if (zeroBlock(bytes, pos))
+          return if (out.isEmpty) sentinel else out.toSeq
+        if (!headerOk(bytes, pos))
+          return if (out.isEmpty) sentinel else out.toSeq
+        val size = octal(bytes, pos + 124, 12)
+        var e = pos
+        while (e < pos + 100 && bytes(e) != 0) e += 1
+        val name = new String(bytes, pos, e - pos,
+          java.nio.charset.StandardCharsets.US_ASCII)
+        val tf = bytes(pos + 156)
+        if (tf == '0'.toByte || tf == 0.toByte) {
+          out += TarMember(id, idx, name, size, (pos + 512).toLong)
+          idx += 1
+        }
+        pos += 512 + (((size + 511) / 512) * 512).toInt
+      }
+      // ran past the end without the zero-block trailer: truncated
+      if (out.isEmpty) sentinel else out.toSeq
+    }
+  }
+
+  /** Per-partition ustar member enumeration over a media frame — blobs
+    * never leave their arrival partition; only the narrow member index
+    * rows (name, size, offset) shuffle. */
+  def tarMembers(media: DataFrame): Dataset[TarMember] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) => TarWalk.members(id, bytes) }
+      }
+  }
+
   /** Per-partition animated-GIF metadata over a media frame — blobs
     * never leave their arrival partition (the [[extractFeatures]]
     * contract); non-GIF mimes fall out as sentinels without touching

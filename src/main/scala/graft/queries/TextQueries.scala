@@ -4009,6 +4009,48 @@ object TextQueries {
       |    AS height
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** WebDataset-style ustar shard member enumeration over PLANTED
+    * archives: each doc row carries the
+    * [[graft.ops.MediaFixtures.plantedTar]] shard for slot
+    * `doc_id % 8` (slot m: m % 3 + 1 members named `f<m>_<k>.txt`,
+    * sized 37·m + 300·k — the empty member at slot 0, multi-block
+    * members from the 300·k term), the engine walks headers/checksums/
+    * block rounding ([[graft.ops.Multimodal.TarWalk]]), and the oracle
+    * states names, sizes and payload OFFSETS as pure doc_id
+    * arithmetic — offset k = 512·(k+1) + Σ_{j<k} ceil(s_j/512)·512 —
+    * without reading a byte. 8 driver-built shards, broadcast. */
+  def tarMembers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fixtures = (0 until 8)
+      .map(m => (m.toLong, graft.ops.MediaFixtures.plantedTar(m)))
+      .toDF("slot", "payload")
+    val media = docs(spark, dir)
+      .select(col("doc_id").as("media_id"), (col("doc_id") % 8).as("slot"))
+      .join(broadcast(fixtures), "slot")
+      .select(col("media_id"), col("payload"))
+    graft.ops.Multimodal.tarMembers(media).toDF()
+      .select("media_id", "member_idx", "name", "size", "offset")
+      .transform(QueryUtil.ordered("media_id", "member_idx"))
+  }
+
+  val tarMembersOracle: String =
+    """WITH m AS (SELECT doc_id AS media_id, doc_id % 8 AS slot
+      |  FROM documents),
+      |mem AS (SELECT media_id, CAST(k AS INTEGER) AS member_idx,
+      |    'f' || slot || '_' || k || '.txt' AS name,
+      |    CAST(37 * slot + 300 * k AS BIGINT) AS size
+      |  FROM m, LATERAL (SELECT unnest(range(0, slot % 3 + 1)) AS k) g),
+      |o AS (SELECT media_id, member_idx, name, size,
+      |    512 * (member_idx + 1) +
+      |      coalesce(sum((size + 511) // 512 * 512) OVER (
+      |        PARTITION BY media_id ORDER BY member_idx
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS poff
+      |  FROM mem)
+      |SELECT media_id, member_idx, name, size,
+      |  CAST(poff AS BIGINT) AS "offset"
+      |FROM o ORDER BY media_id, member_idx""".stripMargin
+
   /** Planted-truth decode over ALL the byte-walk decoders at once:
     * each doc row gets the [[graft.ops.MediaFixtures.planted]] payload
     * for slot `doc_id % 12` (PNG / WAV / MP3 MPEG1+MPEG2 / MP4 v0+v1
@@ -4682,6 +4724,7 @@ object TextQueries {
     "mm_media_meta" -> ((mediaMeta _, Some(mediaMetaOracle))),
     "mm_chunks" -> ((mediaChunks _, Some(mediaChunksOracle))),
     "mm_exif_meta" -> ((exifMeta _, Some(exifMetaOracle))),
+    "mm_tar_members" -> ((tarMembers _, Some(tarMembersOracle))),
     "mm_meta_oracle" -> ((mediaDecode _, Some(mediaDecodeOracle))),
     "mm_frames" -> ((mediaFrames _, Some(mediaFramesOracle))),
     "mm_gif_anim" -> ((mediaGifAnim _, Some(mediaGifAnimOracle))),

@@ -1886,6 +1886,35 @@ class OpsSpec extends SparkSpec {
       5L -> "removed", 6L -> "added"))
   }
 
+  test("TarWalk: members/sizes/offsets exact; 512-multiple payloads, corrupt and truncated archives") {
+    import graft.ops.Multimodal.{TarWalk, TarMember}
+    // exact-block-multiple payload: no padding after it
+    val t = MediaFixtures.tar(Seq(
+      ("a.txt", Array.fill[Byte](512)('a')),
+      ("b/c.bin", Array.fill[Byte](10)('b')),
+      ("empty", Array.empty[Byte])))
+    val m = TarWalk.members(7L, t)
+    assert(m == Seq(
+      TarMember(7L, 0, "a.txt", 512L, 512L),
+      TarMember(7L, 1, "b/c.bin", 10L, 1536L),
+      TarMember(7L, 2, "empty", 0L, 2560L)))
+    // corrupt at start (bad magic): sentinel, not a throw
+    val bad = t.clone(); bad(257) = 'X'.toByte
+    assert(TarWalk.members(1L, bad) ==
+      Seq(TarMember(1L, -1, "", t.length.toLong, -1L)))
+    // corrupt checksum mid-archive: keeps the members already walked
+    val mid = t.clone(); mid(1024 + 148) = '9'.toByte
+    assert(TarWalk.members(2L, mid) ==
+      Seq(TarMember(2L, 0, "a.txt", 512L, 512L)))
+    // truncated (trailer cut off): members still enumerate
+    val trunc = t.take(1024 + 512 + 512) // through b/c.bin's block
+    assert(TarWalk.members(3L, trunc).map(_.name) ==
+      Seq("a.txt", "b/c.bin"))
+    // tiny/null payloads: sentinel
+    assert(TarWalk.members(4L, Array[Byte](1, 2, 3)).head.member_idx == -1)
+    assert(TarWalk.members(5L, null).head.member_idx == -1)
+  }
+
   test("balancedSample: per-bucket quota binds; kept ids are the lowest unit-hashes; populations exact") {
     import org.apache.spark.sql.expressions.Window
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
