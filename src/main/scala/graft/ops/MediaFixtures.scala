@@ -305,6 +305,77 @@ object MediaFixtures {
     })
   }
 
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def le32(v: Long): Array[Byte] = Array(
+    (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  /** STORED (method 0) ZIP archive from (name, payload) members — the
+    * other standard shard container (ImageNet-style image zips).
+    * Fixed version/flag/time fields (all zero — no timestamps, no RNG)
+    * keep the bytes identical in every JVM; CRC32s are the standard
+    * java.util.zip values. Layout: local headers + data, then the
+    * central directory, then the end-of-central-directory record. */
+  def zip(members: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val cd = new java.io.ByteArrayOutputStream()
+    var n = 0
+    members.foreach { case (name, payload) =>
+      val nameB = name.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(payload)
+      val off = out.size().toLong
+      out.write(Array[Byte](0x50, 0x4b, 3, 4))     // local header sig
+      out.write(le16(20)); out.write(le16(0))       // version, flags
+      out.write(le16(0))                            // method: STORED
+      out.write(le16(0)); out.write(le16(0))        // time, date
+      out.write(le32(crc.getValue))
+      out.write(le32(payload.length.toLong))        // csize
+      out.write(le32(payload.length.toLong))        // usize
+      out.write(le16(nameB.length)); out.write(le16(0))
+      out.write(nameB)
+      out.write(payload)
+      cd.write(Array[Byte](0x50, 0x4b, 1, 2))       // central dir sig
+      cd.write(le16(20)); cd.write(le16(20))        // made-by, needed
+      cd.write(le16(0)); cd.write(le16(0))          // flags, method
+      cd.write(le16(0)); cd.write(le16(0))          // time, date
+      cd.write(le32(crc.getValue))
+      cd.write(le32(payload.length.toLong))
+      cd.write(le32(payload.length.toLong))
+      cd.write(le16(nameB.length)); cd.write(le16(0)); cd.write(le16(0))
+      cd.write(le16(0)); cd.write(le16(0))          // disk, int attrs
+      cd.write(le32(0L))                            // ext attrs
+      cd.write(le32(off))                           // local header offset
+      cd.write(nameB)
+      n += 1
+    }
+    val cdOff = out.size().toLong
+    val cdBytes = cd.toByteArray
+    out.write(cdBytes)
+    out.write(Array[Byte](0x50, 0x4b, 5, 6))        // EOCD sig
+    out.write(le16(0)); out.write(le16(0))          // disk numbers
+    out.write(le16(n)); out.write(le16(n))          // entry counts
+    out.write(le32(cdBytes.length.toLong))
+    out.write(le32(cdOff))
+    out.write(le16(0))                              // comment length
+    out.toByteArray
+  }
+
+  /** The 8-slot planted zip table assigned by `doc_id % 8` in
+    * `mm_zip_members`: slot m carries m % 3 + 1 STORED members named
+    * `f<m>_<k>.bin` of size 37·m + 300·k bytes — the same arithmetic
+    * scheme as [[plantedTar]], so the oracle states names, sizes and
+    * local-header offsets (Σ of 30-byte headers + names +
+    * payloads) without reading a byte. */
+  def plantedZip(m: Int): Array[Byte] = {
+    val n = m % 3 + 1
+    zip((0 until n).map { k =>
+      val size = 37 * m + 300 * k
+      (s"f${m}_$k.bin", Array.fill[Byte](size)('x'))
+    })
+  }
+
   /** The 12-slot planted table assigned by `doc_id % 12` in
     * `mm_meta_oracle`: PNG dims (slots 0–2), WAV rate/channels/samples
     * (3–5), MP3 rate/channels/frame-count across MPEG1/MPEG2, ID3

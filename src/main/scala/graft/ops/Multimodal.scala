@@ -1070,6 +1070,82 @@ object Multimodal {
     }
   }
 
+  /** One ZIP member row from the central directory: `offset` is the
+    * member's LOCAL HEADER offset (the seek target), `usize` the
+    * uncompressed size, `method` the compression method (0 = STORED,
+    * 8 = DEFLATE); `member_idx = -1` is the corrupt-archive sentinel. */
+  case class ZipMember(media_id: Long, member_idx: Int, name: String,
+      usize: Long, method: Int, offset: Long)
+
+  /** ZIP central-directory walk — the random-access index of the other
+    * standard shard container. Finds the end-of-central-directory
+    * record by a bounded backward signature scan (≤ 64 KiB + 22, the
+    * maximal comment per the spec), then walks the central directory
+    * entries forward validating each signature. Like [[TarWalk]]:
+    * corrupt → sentinel (or the prefix walked so far), never task
+    * death; payload bytes are never touched — only directory
+    * metadata. */
+  object ZipWalk {
+    private def u16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def u32(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+
+    def members(id: Long, bytes: Array[Byte]): Seq[ZipMember] = {
+      val len = if (bytes == null) 0 else bytes.length
+      val sentinel = Seq(ZipMember(id, -1, "", len.toLong, -1, -1L))
+      if (len < 22) return sentinel
+      // EOCD backward scan over the spec-bounded comment window
+      var eocd = -1
+      var p = len - 22
+      val floor = math.max(0, len - 22 - 65535)
+      while (eocd < 0 && p >= floor) {
+        if (bytes(p) == 0x50 && bytes(p + 1) == 0x4b &&
+            bytes(p + 2) == 5 && bytes(p + 3) == 6) eocd = p
+        p -= 1
+      }
+      if (eocd < 0) return sentinel
+      val count = u16(bytes, eocd + 10)
+      val cdOff = u32(bytes, eocd + 16)
+      if (cdOff + 4 > len) return sentinel
+      val out = scala.collection.mutable.ArrayBuffer.empty[ZipMember]
+      var pos = cdOff.toInt
+      var idx = 0
+      while (idx < count) {
+        if (pos + 46 > len || bytes(pos) != 0x50 || bytes(pos + 1) != 0x4b ||
+            bytes(pos + 2) != 1 || bytes(pos + 3) != 2)
+          return if (out.isEmpty) sentinel else out.toSeq
+        val method = u16(bytes, pos + 10)
+        val usize = u32(bytes, pos + 24)
+        val nameLen = u16(bytes, pos + 28)
+        val extraLen = u16(bytes, pos + 30)
+        val commentLen = u16(bytes, pos + 32)
+        val lhOff = u32(bytes, pos + 42)
+        if (pos + 46 + nameLen > len)
+          return if (out.isEmpty) sentinel else out.toSeq
+        val name = new String(bytes, pos + 46, nameLen,
+          java.nio.charset.StandardCharsets.US_ASCII)
+        out += ZipMember(id, idx, name, usize, method, lhOff)
+        pos += 46 + nameLen + extraLen + commentLen
+        idx += 1
+      }
+      if (out.isEmpty) sentinel else out.toSeq
+    }
+  }
+
+  /** Per-partition ZIP central-directory enumeration over a media
+    * frame — blobs stay put, only narrow member rows shuffle. */
+  def zipMembers(media: DataFrame): Dataset[ZipMember] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) => ZipWalk.members(id, bytes) }
+      }
+  }
+
   /** Per-partition ustar member enumeration over a media frame — blobs
     * never leave their arrival partition; only the narrow member index
     * rows (name, size, offset) shuffle. */

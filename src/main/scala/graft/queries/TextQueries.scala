@@ -4051,6 +4051,42 @@ object TextQueries {
       |  CAST(poff AS BIGINT) AS "offset"
       |FROM o ORDER BY media_id, member_idx""".stripMargin
 
+  /** ZIP central-directory enumeration over PLANTED STORED archives —
+    * the zip twin of [[tarMembers]] ([[graft.ops.MediaFixtures.plantedZip]],
+    * same slot arithmetic): the engine scans for the EOCD record and
+    * walks the central directory ([[graft.ops.Multimodal.ZipWalk]]);
+    * the oracle states names, sizes, methods and LOCAL-HEADER offsets
+    * (Σ of 30-byte headers + names + payloads) as pure doc_id
+    * arithmetic. */
+  def zipMembers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fixtures = (0 until 8)
+      .map(m => (m.toLong, graft.ops.MediaFixtures.plantedZip(m)))
+      .toDF("slot", "payload")
+    val media = docs(spark, dir)
+      .select(col("doc_id").as("media_id"), (col("doc_id") % 8).as("slot"))
+      .join(broadcast(fixtures), "slot")
+      .select(col("media_id"), col("payload"))
+    graft.ops.Multimodal.zipMembers(media).toDF()
+      .select("media_id", "member_idx", "name", "usize", "method", "offset")
+      .transform(QueryUtil.ordered("media_id", "member_idx"))
+  }
+
+  val zipMembersOracle: String =
+    """WITH m AS (SELECT doc_id AS media_id, doc_id % 8 AS slot
+      |  FROM documents),
+      |mem AS (SELECT media_id, CAST(k AS INTEGER) AS member_idx,
+      |    'f' || slot || '_' || k || '.bin' AS name,
+      |    CAST(37 * slot + 300 * k AS BIGINT) AS usize
+      |  FROM m, LATERAL (SELECT unnest(range(0, slot % 3 + 1)) AS k) g)
+      |SELECT media_id, member_idx, name, usize,
+      |  CAST(0 AS INTEGER) AS method,
+      |  CAST(coalesce(sum(30 + length(name) + usize) OVER (
+      |      PARTITION BY media_id ORDER BY member_idx
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |    AS "offset"
+      |FROM mem ORDER BY media_id, member_idx""".stripMargin
+
   /** Planted-truth decode over ALL the byte-walk decoders at once:
     * each doc row gets the [[graft.ops.MediaFixtures.planted]] payload
     * for slot `doc_id % 12` (PNG / WAV / MP3 MPEG1+MPEG2 / MP4 v0+v1
@@ -4725,6 +4761,7 @@ object TextQueries {
     "mm_chunks" -> ((mediaChunks _, Some(mediaChunksOracle))),
     "mm_exif_meta" -> ((exifMeta _, Some(exifMetaOracle))),
     "mm_tar_members" -> ((tarMembers _, Some(tarMembersOracle))),
+    "mm_zip_members" -> ((zipMembers _, Some(zipMembersOracle))),
     "mm_meta_oracle" -> ((mediaDecode _, Some(mediaDecodeOracle))),
     "mm_frames" -> ((mediaFrames _, Some(mediaFramesOracle))),
     "mm_gif_anim" -> ((mediaGifAnim _, Some(mediaGifAnimOracle))),

@@ -1915,6 +1915,42 @@ class OpsSpec extends SparkSpec {
     assert(TarWalk.members(5L, null).head.member_idx == -1)
   }
 
+  test("ZipWalk: members/offsets exact; java.util.zip interop; corrupt archives sentinel") {
+    import graft.ops.Multimodal.{ZipWalk, ZipMember}
+    val z = MediaFixtures.zip(Seq(
+      ("a.txt", "hello".getBytes("US-ASCII")),
+      ("dir/b.bin", Array.fill[Byte](300)('b')),
+      ("empty", Array.empty[Byte])))
+    val m = ZipWalk.members(7L, z)
+    assert(m == Seq(
+      ZipMember(7L, 0, "a.txt", 5L, 0, 0L),
+      ZipMember(7L, 1, "dir/b.bin", 300L, 0, 40L),
+      ZipMember(7L, 2, "empty", 0L, 0, 379L)))
+    // interop: the JDK's own zip reader agrees on names/sizes/payloads
+    val zin = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(z))
+    val got = Iterator.continually(zin.getNextEntry).takeWhile(_ != null)
+      .map { e =>
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](512)
+        var n = zin.read(tmp)
+        while (n > 0) { buf.write(tmp, 0, n); n = zin.read(tmp) }
+        (e.getName, buf.size().toLong)
+      }.toList
+    assert(got == List(("a.txt", 5L), ("dir/b.bin", 300L), ("empty", 0L)))
+    // corrupt EOCD signature: sentinel, not a throw
+    val bad = z.clone(); bad(z.length - 22 + 3) = 9.toByte
+    assert(ZipWalk.members(1L, bad).head.member_idx == -1)
+    // corrupt central-directory signature: sentinel (walk never started)
+    val badCd = z.clone()
+    val cdOff = 40 + 339 + 35 // a.txt lh+data, dir/b.bin lh+data, empty lh
+    badCd(cdOff + 3) = 9.toByte
+    assert(ZipWalk.members(2L, badCd).head.member_idx == -1)
+    // tiny/null payloads: sentinel
+    assert(ZipWalk.members(3L, Array[Byte](1, 2)).head.member_idx == -1)
+    assert(ZipWalk.members(4L, null).head.member_idx == -1)
+  }
+
   test("balancedSample: per-bucket quota binds; kept ids are the lowest unit-hashes; populations exact") {
     import org.apache.spark.sql.expressions.Window
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
