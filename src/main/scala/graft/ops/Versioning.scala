@@ -117,16 +117,29 @@ object Versioning {
     * per-bin rows (n1, n2, shares, psi/kl terms, 6dp — the tx_pmi
     * rounding precedent for ln); totals are the column sums. */
   def distributionDrift(s1: DataFrame, s2: DataFrame,
-      bins: Int = 10): DataFrame = {
+      bins: Int = 10): DataFrame =
+    distributionDriftFromHists(
+      scoreHistogram(s1, bins), scoreHistogram(s2, bins), bins)
+
+  /** Fixed-width bin histogram of a `score` DOUBLE column in [0,1]:
+    * `(bin, n)`, absent bins omitted (the drift core re-aligns). This
+    * is also the streaming twin's carried state — BOUNDED at `bins`
+    * rows per contribution, summable across batches. */
+  def scoreHistogram(s: DataFrame, bins: Int): DataFrame = s
+    .select(least(floor(col("score") * bins), lit(bins - 1))
+      .cast("long").as("bin"))
+    .groupBy("bin").agg(count(lit(1)).as("n"))
+
+  /** [[distributionDrift]]'s core over precomputed `(bin, n)`
+    * histograms (the streaming path sums carried per-batch histograms
+    * into `h2` and freezes `h1` as the release artifact). */
+  def distributionDriftFromHists(h1: DataFrame, h2: DataFrame,
+      bins: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def hist(df: DataFrame) = df
-      .select(least(floor(col("score") * bins), lit(bins - 1))
-        .cast("long").as("bin"))
-      .groupBy("bin").agg(count(lit(1)).as("n"))
-    val all = s1.sparkSession.range(0, bins).toDF("bin")
+    val all = h1.sparkSession.range(0, bins).toDF("bin")
     val j = all
-      .join(hist(s1).withColumnRenamed("n", "n1"), Seq("bin"), "left")
-      .join(hist(s2).withColumnRenamed("n", "n2"), Seq("bin"), "left")
+      .join(h1.withColumnRenamed("n", "n1"), Seq("bin"), "left")
+      .join(h2.withColumnRenamed("n", "n2"), Seq("bin"), "left")
       .select(col("bin"),
         coalesce(col("n1"), lit(0L)).as("n1"),
         coalesce(col("n2"), lit(0L)).as("n2"))

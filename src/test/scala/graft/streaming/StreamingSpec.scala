@@ -1954,6 +1954,71 @@ class StreamingSpec extends SparkSpec {
     graft.ops.Dedup.releaseCaches()
   }
 
+  test("streaming drift: snapshot equals batch drift on the prefix; bounded histogram state; replay clean") {
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    val in = tmpDir("dr-in")
+    val state = tmpDir("dr-state")
+    def docOf(k: Int): String = (1 to k).map(i => s"w$i").mkString(" ")
+    // frozen v1 release: histogram collected once from the released corpus
+    val v1 = Seq((100L, docOf(10)), (101L, docOf(40)), (102L, docOf(80)))
+      .toDF("doc_id", "text")
+    val v1Hist = graft.ops.Versioning.scoreHistogram(
+        v1.select(graft.ops.TextAnalysis.qualityScore(col("text")).as("score")), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // candidate v2 streams in two batches with a different length mix
+    val b0 = Seq((1L, docOf(10)), (2L, docOf(10)))
+    val b1 = Seq((3L, docOf(80)), (4L, docOf(80)))
+    def line(t: (Long, String)) =
+      s"""{"doc_id":${t._1},"text":"${t._2}"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/a.jsonl"),
+      b0.map(line).mkString("\n").getBytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/b.jsonl"),
+      b1.map(line).mkString("\n").getBytes)
+    new java.io.File(s"$in/a.jsonl").setLastModified(System.currentTimeMillis() - 60000)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("text", "string")
+    val snapshots = scala.collection.mutable.ArrayBuffer[Set[(Long, Long, Long, Double)]]()
+    def toSet(out: DataFrame): Set[(Long, Long, Long, Double)] =
+      out.select("bin", "n1", "n2", "psi_term").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val sink: DataFrame => Unit = { out =>
+      snapshots.synchronized { snapshots += toSet(out) }
+      ()
+    }
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(in)
+      .writeStream
+      .option("checkpointLocation", tmpDir("dr-ckpt"))
+      .foreachBatch(StreamingDrift.foreachBatchDrift(
+        v1Hist, bins = 10, stateDir = state, sink = sink))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(snapshots.size == 2)
+    // snapshot 1 == batch drift of v1 vs the full v2 prefix
+    def scoresOf(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+      .select(graft.ops.TextAnalysis.qualityScore(col("text")).as("score"))
+    val batchAll = toSet(graft.ops.Versioning.distributionDrift(
+      scoresOf(Seq((100L, docOf(10)), (101L, docOf(40)), (102L, docOf(80)))),
+      scoresOf(b0 ++ b1)))
+    assert(snapshots(1) == batchAll,
+      "streaming drift snapshot must equal the batch drift on the prefix")
+    assert(snapshots(0) != snapshots(1),
+      "the second batch's length mix must move the drift table")
+    // carried state is bounded: <= bins rows per batch partition
+    val stateRows = spark.read.parquet(s"$state/hist")
+    assert(stateRows.groupBy("batch_id").count().collect()
+      .forall(_.getLong(1) <= 10))
+    // replay batch 1: contribution rewrites, drift identical
+    val replayed = scala.collection.mutable.ArrayBuffer[Set[(Long, Long, Long, Double)]]()
+    StreamingDrift.foreachBatchDrift(v1Hist, 10, state,
+      { out: DataFrame => replayed += toSet(out); () })(
+      b1.toDF("doc_id", "text"), 1L)
+    assert(replayed.head == snapshots(1),
+      "a replayed micro-batch must not change the drift table")
+    graft.ops.Dedup.releaseCaches()
+  }
+
   test("streaming unimax: allocations retro-correct as languages grow; snapshot equals batch; replay clean") {
     import org.apache.spark.sql.DataFrame
     import spark.implicits._
