@@ -4372,20 +4372,27 @@ object TextQueries {
     * an `admitted` relation; callers SELECT from it. */
   private def tokenBudgetChainSql(src: String, budget: Long): String =
     s"""${tokenStatsSql(src, "source", "tb")},
-      |tb_h AS (SELECT source, q, CAST(sum(n_tokens) AS BIGINT) AS t
-      |      FROM tb_d GROUP BY 1, 2),
+      |${admitFromStatsSql("tb_d", budget)}""".stripMargin
+
+  /** The admission tail over an arbitrary `(doc_id, source, q,
+    * n_tokens)` stats relation — split out so compositions with a
+    * NON-whitespace token measure (tx_curation17's unigram-LM counts)
+    * admit through the SAME SQL as the whitespace-count chain. */
+  private def admitFromStatsSql(statsRel: String, budget: Long): String =
+    s"""tb_h AS (SELECT source, q, CAST(sum(n_tokens) AS BIGINT) AS t
+      |      FROM $statsRel GROUP BY 1, 2),
       |tb_cg AS MATERIALIZED (SELECT source, q, t,
       |    CAST(sum(t) OVER (PARTITION BY source ORDER BY q DESC) AS BIGINT)
       |      AS cum FROM tb_h),
       |tb_fa AS (SELECT d.doc_id, d.source, d.q, d.n_tokens, 'grain' AS admit
-      |       FROM tb_d d JOIN tb_cg cg ON d.source = cg.source AND d.q = cg.q
+      |       FROM $statsRel d JOIN tb_cg cg ON d.source = cg.source AND d.q = cg.q
       |       WHERE cg.cum <= $budget),
       |tb_bg AS (SELECT source, q, $budget - (cum - t) AS rem FROM tb_cg
       |       WHERE cum > $budget AND cum - t < $budget),
       |tb_bd AS (SELECT d.doc_id, d.source, d.q, d.n_tokens, bg.rem,
       |         CAST(sum(d.n_tokens) OVER (PARTITION BY d.source
       |           ORDER BY d.doc_id) AS BIGINT) AS c2
-      |       FROM tb_d d JOIN tb_bg bg ON d.source = bg.source AND d.q = bg.q),
+      |       FROM $statsRel d JOIN tb_bg bg ON d.source = bg.source AND d.q = bg.q),
       |admitted AS (
       |  SELECT doc_id, source, q, n_tokens, admit FROM tb_fa
       |  UNION ALL
@@ -4619,6 +4626,67 @@ object TextQueries {
       |FROM c16_adm m JOIN c16_bud a ON m.source = a.source
       |ORDER BY m.source, m.doc_id""".stripMargin
 
+  /** Curation v17 — the budget in REAL tokenizer tokens: the v6
+    * survivors' per-source token budget is measured in unigram-LM
+    * tokens from a tokenizer TRAINED ON THE CURATED POOL itself (what
+    * a lab actually budgets: trainable tokens under its own
+    * tokenizer, not whitespace words). Chain: v6 gates → pool-trained
+    * unigram model ([[graft.ops.UnigramLm.learn]]) → per-doc Viterbi
+    * token totals → each source keeps its best HALF (population-
+    * relative budgets) through the SAME admission core as
+    * tx_token_budget ([[graft.ops.Sampling.admitWithBudgetsPrepared]]).
+    * Docs with zero gated words carry zero trainable tokens and drop
+    * (the tx_pack_bpe contract). Oracle: the shared v6 chain + the
+    * whole unigram training replay over the shipped pool
+    * ([[UnigramQueries.chainBody]]) + the shared admission tail —
+    * no stage can fork from its standalone row. */
+  def curation17(spark: SparkSession, dir: String): DataFrame = {
+    val f = curation6Frames(spark, dir)
+    val shipped = Dedup.checkpointTracked(f("keeper")
+      .join(f("sampled").select("doc_id"), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("source"), col("text")))
+    val (_, _, seg) = graft.ops.UnigramLm.learn(shipped)
+    val stats = Dedup.checkpointTracked(shipped
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.qualityScore(col("text")).as("q"))
+      .join(graft.ops.UnigramLm.scoreDocs(shipped, seg)
+        .select(col("doc_id"), col("n_uni_tokens").as("n_tokens")),
+        Seq("doc_id")))
+    // population-relative budgets (the bigram-floor precedent): each
+    // source keeps the best HALF of its own tokens — every multi-grain
+    // source crosses its budget, so both admission arms stay live at
+    // every SF (a fixed literal flips arms as the pool grows —
+    // measured: 600 lost boundary at sf0.01, 100 lost grain at sf0.1)
+    val budgets = stats.groupBy("source")
+      .agg(expr("sum(n_tokens) div 2").as("_budget"))
+    graft.ops.Sampling.admitWithBudgetsPrepared(stats, budgets,
+        bucketWidth = 64L)
+      .transform(QueryUtil.ordered("source", "doc_id"))
+  }
+
+  lazy val curation17Oracle: String =
+    "WITH RECURSIVE" + curation6ChainSql.stripPrefix("WITH") + ",\n" +
+    s"""shipped AS MATERIALIZED (SELECT k.doc_id, p.source, k.text
+      |  FROM kept k JOIN sampled USING (doc_id)
+      |  JOIN planted p ON k.doc_id = p.doc_id),
+      |${UnigramQueries.chainBody("shipped")},
+      |${tokenStatsSql("shipped", "source", "c17w")},
+      |c17_tok AS (SELECT doc_id, word FROM (
+      |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+      |    FROM shipped) u
+      |  WHERE regexp_matches(word, '^[a-z]+$$') AND length(word) <= 20),
+      |c17_uni AS (SELECT doc_id, CAST(sum(f.n) AS BIGINT) AS n_tokens
+      |  FROM c17_tok JOIN ${UnigramQueries.finalSeg} f USING (word)
+      |  GROUP BY doc_id),
+      |c17_d AS MATERIALIZED (SELECT d.doc_id, d.source, d.q, u.n_tokens
+      |  FROM c17w_d d JOIN c17_uni u USING (doc_id)),
+      |c17_bud AS MATERIALIZED (SELECT source,
+      |    CAST(sum(n_tokens) AS BIGINT) // 2 AS bud
+      |  FROM c17_d GROUP BY source),
+      |${budgetedAdmitCtes("c17", "c17_bud")}
+      |SELECT doc_id, source, q, n_tokens, admit FROM c17_adm
+      |ORDER BY source, doc_id""".stripMargin
+
   /** Dedup impact card: per source, docs/tokens before exact dedup,
     * after it, and the share removed — the one-table summary a dataset
     * card publishes for the dedup stage. Exact duplicate groups come
@@ -4705,6 +4773,7 @@ object TextQueries {
     "tx_unimax_epochs" -> ((unimaxEpochs _, Some(unimaxEpochsOracle))),
     "tx_curation15" -> ((curation15 _, Some(curation15Oracle))),
     "tx_curation16" -> ((curation16 _, Some(curation16Oracle))),
+    "tx_curation17" -> ((curation17 _, Some(curation17Oracle))),
     "tx_chunk_sliding" -> ((chunkSliding _, Some(chunkSlidingOracle))),
     "tx_pack_shards" -> ((packShards _, Some(packShardsOracle))),
     "tx_release_manifest" -> ((releaseManifest _, Some(releaseManifestOracle))),

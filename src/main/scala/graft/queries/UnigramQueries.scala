@@ -139,13 +139,16 @@ object UnigramQueries {
        |    AS DOUBLE) AS p FROM $v)""".stripMargin
 
   /** The full replay: word table → substring seed → vocab → EmRounds
-    * EM rounds → final model → final segmentation (segf{EmRounds+1}). */
-  private def chain: String = {
+    * EM rounds → final model → final segmentation (segf{EmRounds+1}).
+    * `chainBody` is the WITH-less CTE list over an arbitrary source
+    * relation, so compositions (tx_curation17) can splice the whole
+    * training replay after their own chains. */
+  private[queries] def chainBody(rel: String): String = {
     val parts = Seq(
       s"""w0 AS MATERIALIZED (
          |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
          |    SELECT unnest(string_split(lower(text), ' ')) AS word
-         |    FROM documents) u
+         |    FROM $rel) u
          |  WHERE regexp_matches(word, '^[a-z]+$$') AND length(word) <= 20
          |  GROUP BY word)""".stripMargin,
       s"""subs AS MATERIALIZED (
@@ -170,10 +173,12 @@ object UnigramQueries {
         val f = EmRounds + 1
         Seq(prFrom(s"v$EmRounds", f), dpStages(f), segRound(f))
       }
-    "WITH RECURSIVE " + parts.mkString(",\n")
+    parts.mkString(",\n")
   }
 
-  private def finalSeg = s"segf${EmRounds + 1}"
+  private def chain: String = "WITH RECURSIVE " + chainBody("documents")
+
+  private[queries] def finalSeg = s"segf${EmRounds + 1}"
 
   val unigramOracle: String =
     s"""$chain
