@@ -136,5 +136,9 @@ object SparkEntry {
     "tx_doremi",         // unigram losses + exact-decimal MW trajectory
     "tx_curation16",     // DoReMi weights -> per-source budget admission
     "tx_unigram",        // unigram-LM training (seed + 2 EM rounds + Viterbi)
-    "tx_unigram_apply")  // frozen unigram model corpus scoring
+    "tx_unigram_apply",  // frozen unigram model corpus scoring
+    "tx_curation17",     // v6 -> pool-trained unigram budget admission
+    "tx_drift",          // PSI/KL release drift over quality deciles
+    "vec_balanced_sample", // LSH-bucket diversity quota sample
+    "mm_tar_members")    // ustar shard member walk over planted archives
 }

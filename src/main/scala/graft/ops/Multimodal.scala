@@ -1054,6 +1054,11 @@ object Multimodal {
         if (!headerOk(bytes, pos))
           return if (out.isEmpty) sentinel else out.toSeq
         val size = octal(bytes, pos + 124, 12)
+        // a checksum-valid header can still carry a size past the
+        // archive (hand-corrupted fuzz input): stop, don't overflow
+        // the Int walk arithmetic or spin on a negative stride
+        if (size < 0 || size > len.toLong)
+          return if (out.isEmpty) sentinel else out.toSeq
         var e = pos
         while (e < pos + 100 && bytes(e) != 0) e += 1
         val name = new String(bytes, pos, e - pos,

@@ -167,8 +167,9 @@ object UnigramLm {
     * `probs(final)` is the frozen scorer). */
   def learn(docs: DataFrame,
       rounds: Int = EmRounds): (Seq[Piece], Seq[Piece], DataFrame) = {
-    val wt = Bpe.wordTable(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // tracked persist: Verify/bench release it after each query
+    // instead of leaking one cached word table per training run
+    val wt = Dedup.persistTracked(Bpe.wordTable(docs))
     val seed = seedVocab(wt)
     var counts = seed
     for (_ <- 1 to rounds) {

@@ -298,7 +298,9 @@ class OpsPropertySpec extends SparkSpec {
         (1 to 8).map(Multimodal.exifFixture) ++
         Seq(MediaFixtures.mjpegMp4(Seq((4, 2), (4, 2))),
           MediaFixtures.animatedGif(8, 8, Seq((8, 8), (8, 8)),
-            Seq(5, 5), Some(2)))
+            Seq(5, 5), Some(2))) ++
+        (0 until 8).map(MediaFixtures.plantedTar) ++
+        (0 until 8).map(MediaFixtures.plantedZip)
     val rnd = new scala.util.Random(7)
     val randoms = (1 to 60).map { i =>
       val b = new Array[Byte](rnd.nextInt(400)); rnd.nextBytes(b); b
@@ -331,6 +333,12 @@ class OpsPropertySpec extends SparkSpec {
       assert(img.decoder == "imageio", s"input $i")
       val gif = Multimodal.GifAnim.meta(1L, b)
       assert(gif.n_frames >= 0 && gif.total_delay_cs >= 0, s"input $i")
+      val tar = Multimodal.TarWalk.members(1L, b)
+      assert(tar.nonEmpty && tar.forall(m =>
+        m.member_idx == -1 || (m.offset >= 512 && m.size >= 0)), s"input $i")
+      val zip = Multimodal.ZipWalk.members(1L, b)
+      assert(zip.nonEmpty && zip.forall(m =>
+        m.member_idx == -1 || (m.offset >= 0 && m.usize >= 0)), s"input $i")
     }
   }
 }
