@@ -95,60 +95,27 @@ object UnigramLm {
     (base ++ multi).sortBy(_.piece)
   }
 
-  /** Literal piece→probability map; Catalyst constant-folds the
-    * foldable CreateMap, so each lookup reads one literal MapData. */
-  private def probMap(vocab: Seq[(String, Double)]): Column =
-    map(vocab.flatMap { case (p, pr) => Seq(lit(p), lit(pr)) }: _*)
-
   /** Viterbi segmentation under a frozen model: adds `n_uni` (INT piece
-    * count) and `uni_pieces` ('|'-joined, in word order). Forward DP
-    * dp(i) = max over piece lengths l of dp(i−l)·p(piece ending at i)
-    * rides in an array column (fixed MaxWordLen-step loop); the
-    * backtrace walks positions end→start re-testing dp(i−l)·p = dp(i)
-    * with the longest satisfying l (the max was computed from these
-    * exact products, so equality is exact, not a tolerance). */
+    * count) and `uni_pieces` ('|'-joined, in word order), via ONE
+    * codegen'd call per row
+    * ([[graft.etl.expressions.UnigramViterbi]] — forward DP
+    * dp(i) = max over piece lengths l of dp(i−l)·p(piece ending at i),
+    * backtrace re-testing dp(i−l)·p = dp(i) longest-l first; the max
+    * was computed from these exact products, so equality is exact,
+    * not a tolerance). The first form of this loop was a MaxWordLen-
+    * step Column program carrying literal prob maps — a
+    * multi-thousand-node plan costing ~4 s of analysis/codegen per
+    * pass at ANY data size (the GopherRepMetrics lesson). */
   def withViterbi(words: DataFrame, vocab: Seq[(String, Double)],
       wordCol: String = "word"): DataFrame = {
-    val pm = probMap(vocab)
-    var df = words.withColumn("_dp", array(lit(1.0)))
-    for (i <- 1 to MaxWordLen) {
-      val cands: Seq[Column] = for (l <- 1 to math.min(MaxPieceLen, i)) yield
-        element_at(col("_dp"), i - l + 1) *
-          element_at(pm, substring(col(wordCol), i - l + 1, l))
-      val dpi = if (cands.size == 1) cands.head else greatest(cands: _*)
-      df = df.withColumn("_dp",
-        when(length(col(wordCol)) >= i, concat(col("_dp"), array(dpi)))
-          .otherwise(col("_dp")))
-    }
-    df = df
-      .withColumn("_pos", length(col(wordCol)))
-      .withColumn("_ps", lit(""))
-      .withColumn("_n", lit(0))
-    for (_ <- 1 to MaxWordLen) {
-      val pickLen = (1 to MaxPieceLen).foldLeft(lit(0): Column) {
-        (acc, l) =>
-          val piece = expr(s"substr($wordCol, _pos - $l + 1, $l)")
-          val hit = (col("_pos") >= l) &&
-            (element_at(col("_dp"), col("_pos") - l + 1) *
-              element_at(pm, piece) === element_at(col("_dp"), col("_pos") + 1))
-          when(hit, lit(l)).otherwise(acc)
-      }
-      // foldLeft from l=1 up leaves the LONGEST satisfying l outermost
-      df = df
-        .withColumn("_pl", when(col("_pos") <= 0, lit(0)).otherwise(pickLen))
-        .withColumn("_ps", when(col("_pl") === 0, col("_ps"))
-          .otherwise(when(col("_ps") === "",
-            expr(s"substr($wordCol, _pos - _pl + 1, _pl)"))
-            .otherwise(concat(expr(s"substr($wordCol, _pos - _pl + 1, _pl)"),
-              lit("|"), col("_ps")))))
-        .withColumn("_n",
-          col("_n") + when(col("_pl") === 0, lit(0)).otherwise(lit(1)))
-        .withColumn("_pos", col("_pos") - col("_pl"))
-        .drop("_pl")
-    }
-    df.withColumn("n_uni", col("_n"))
-      .withColumn("uni_pieces", col("_ps"))
-      .drop("_dp", "_pos", "_ps", "_n")
+    import org.apache.spark.sql.graft.Bridge
+    val seg = Bridge.column(graft.etl.expressions.UnigramViterbi(
+      Bridge.expression(col(wordCol)),
+      vocab.map(_._1).toArray, vocab.map(_._2).toArray, MaxPieceLen))
+    words.withColumn("_seg", seg)
+      .withColumn("n_uni", col("_seg.n_uni"))
+      .withColumn("uni_pieces", col("_seg.uni_pieces"))
+      .drop("_seg")
   }
 
   /** One hard-EM count pass: Viterbi-segment the word table, explode
