@@ -376,6 +376,20 @@ object MediaFixtures {
     })
   }
 
+  /** Deterministic gzip envelope (JDK GZIPOutputStream: zero mtime, no
+    * FNAME, fixed deflate level) — for the compressed-shard walks. */
+  def gzip(payload: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(out)
+    gz.write(payload); gz.close()
+    out.toByteArray
+  }
+
+  /** `.tar.gz` twin of [[plantedTar]] — the actual WebDataset wire
+    * format (shards ship compressed); same slot arithmetic, so the
+    * SAME oracle states the member rows. */
+  def plantedTgz(m: Int): Array[Byte] = gzip(plantedTar(m))
+
   /** The 12-slot planted table assigned by `doc_id % 12` in
     * `mm_meta_oracle`: PNG dims (slots 0–2), WAV rate/channels/samples
     * (3–5), MP3 rate/channels/frame-count across MPEG1/MPEG2, ID3

@@ -1139,6 +1139,50 @@ object Multimodal {
     }
   }
 
+  /** Bounded gunzip: inflate up to `cap` bytes; a stream that is
+    * corrupt, truncated, or would EXCEED the cap (decompression-bomb
+    * guard — a crafted member can expand ~1000:1, and one hostile
+    * blob must not OOM its task at 100 TB) returns null. */
+  private[graft] def gunzipCapped(bytes: Array[Byte],
+      cap: Int): Array[Byte] =
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n > 0) {
+        out.write(buf, 0, n)
+        if (out.size() > cap) return null
+        n = in.read(buf)
+      }
+      out.toByteArray
+    } catch { case _: Exception => null }
+
+  /** Compressed-shard member walk — `.tar.gz`/`.tgz` is how WebDataset
+    * shards actually ship. Per partition: capped gunzip (bomb guard)
+    * then the [[TarWalk]] header walk over the INFLATED bytes; member
+    * offsets index into the inflated stream (the seek target after
+    * one decompression pass, which is how a loader reads a tgz shard
+    * anyway — gzip is not random-accessible). Corrupt/over-cap
+    * envelopes yield the sentinel row. */
+  def tgzMembers(media: DataFrame,
+      inflateCap: Int = 1 << 26): Dataset[TarMember] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          val inner = if (bytes == null) null else gunzipCapped(bytes, inflateCap)
+          if (inner == null)
+            Seq(TarMember(id, -1, "",
+              (if (bytes == null) 0 else bytes.length).toLong, -1L))
+          else TarWalk.members(id, inner)
+        }
+      }
+  }
+
   /** Per-partition ZIP central-directory enumeration over a media
     * frame — blobs stay put, only narrow member rows shuffle. */
   def zipMembers(media: DataFrame): Dataset[ZipMember] = {

@@ -4051,6 +4051,25 @@ object TextQueries {
       |  CAST(poff AS BIGINT) AS "offset"
       |FROM o ORDER BY media_id, member_idx""".stripMargin
 
+  /** Compressed-shard (.tar.gz) member walk over PLANTED archives —
+    * the same slot arithmetic as [[tarMembers]] behind a gzip
+    * envelope ([[graft.ops.MediaFixtures.plantedTgz]]), so the SAME
+    * oracle states the member rows: the engine must gunzip (bomb-
+    * capped) and walk to recover them. */
+  def tgzMembers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fixtures = (0 until 8)
+      .map(m => (m.toLong, graft.ops.MediaFixtures.plantedTgz(m)))
+      .toDF("slot", "payload")
+    val media = docs(spark, dir)
+      .select(col("doc_id").as("media_id"), (col("doc_id") % 8).as("slot"))
+      .join(broadcast(fixtures), "slot")
+      .select(col("media_id"), col("payload"))
+    graft.ops.Multimodal.tgzMembers(media).toDF()
+      .select("media_id", "member_idx", "name", "size", "offset")
+      .transform(QueryUtil.ordered("media_id", "member_idx"))
+  }
+
   /** ZIP central-directory enumeration over PLANTED STORED archives —
     * the zip twin of [[tarMembers]] ([[graft.ops.MediaFixtures.plantedZip]],
     * same slot arithmetic): the engine scans for the EOCD record and
@@ -4831,6 +4850,7 @@ object TextQueries {
     "mm_exif_meta" -> ((exifMeta _, Some(exifMetaOracle))),
     "mm_tar_members" -> ((tarMembers _, Some(tarMembersOracle))),
     "mm_zip_members" -> ((zipMembers _, Some(zipMembersOracle))),
+    "mm_tgz_members" -> ((tgzMembers _, Some(tarMembersOracle))),
     "mm_meta_oracle" -> ((mediaDecode _, Some(mediaDecodeOracle))),
     "mm_frames" -> ((mediaFrames _, Some(mediaFramesOracle))),
     "mm_gif_anim" -> ((mediaGifAnim _, Some(mediaGifAnimOracle))),

@@ -1915,6 +1915,25 @@ class OpsSpec extends SparkSpec {
     assert(TarWalk.members(5L, null).head.member_idx == -1)
   }
 
+  test("tgz walk: gunzip round-trip; decompression-bomb cap and corrupt envelopes sentinel") {
+    import graft.ops.Multimodal
+    val tarBytes = MediaFixtures.plantedTar(5)
+    val tgz = MediaFixtures.gzip(tarBytes)
+    // capped gunzip round-trips the exact tar bytes
+    assert(java.util.Arrays.equals(
+      Multimodal.gunzipCapped(tgz, 1 << 20), tarBytes))
+    // a stream that would exceed the cap is rejected, not inflated:
+    // 1 MiB of zeros compresses ~1000:1 — the bomb shape
+    val bomb = MediaFixtures.gzip(new Array[Byte](1 << 20))
+    assert(bomb.length < (1 << 14), "premise: high compression ratio")
+    assert(Multimodal.gunzipCapped(bomb, 1 << 16) == null)
+    assert(Multimodal.gunzipCapped(bomb, 1 << 21) != null)
+    // corrupt/truncated envelopes: null, never a throw
+    val bad = tgz.clone(); bad(0) = 0
+    assert(Multimodal.gunzipCapped(bad, 1 << 20) == null)
+    assert(Multimodal.gunzipCapped(tgz.take(10), 1 << 20) == null)
+  }
+
   test("ZipWalk: members/offsets exact; java.util.zip interop; corrupt archives sentinel") {
     import graft.ops.Multimodal.{ZipWalk, ZipMember}
     val z = MediaFixtures.zip(Seq(
