@@ -25,7 +25,7 @@ object SparkEntry {
       Map[String, ((SparkSession, String) => DataFrame, Option[String])] =
     EtlQueries.all ++ RelationalQueries.all ++ EventQueries.all ++
       TextQueries.all ++ VectorQueries.all ++ BpeQueries.all ++
-      UnigramQueries.all
+      UnigramQueries.all ++ SuffixQueries.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -140,5 +140,6 @@ object SparkEntry {
     "tx_curation17",     // v6 -> pool-trained unigram budget admission
     "tx_drift",          // PSI/KL release drift over quality deciles
     "vec_balanced_sample", // LSH-bucket diversity quota sample
-    "mm_tar_members")    // ustar shard member walk over planted archives
+    "mm_tar_members",    // ustar shard member walk over planted archives
+    "tx_suffix_ranks")   // prefix-doubling suffix-array construction
 }

@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{SuffixArray, TextAnalysis}
+
+/** Suffix-array queries, with the ENTIRE prefix-doubling construction
+  * replayed inside the DuckDB oracle: the token+sentinel stream, the
+  * initial token dense-rank, and all [[graft.ops.SuffixArray.Rounds]]
+  * doubling rounds (each an unrolled self-join + dense_rank stage) —
+  * integer ranks end-to-end, so the replay is exact. The engine's
+  * distinct-pair + distributed-row-number rank equals dense_rank by
+  * construction (distinct rows), pinned here by the driver hash. */
+object SuffixQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** tx_suffix_ranks: the full rank table verified through the
+    * tx_bpe_ids BOUNDED-digest contract (the rank frame is
+    * corpus-token-sized; materializing it in total order would be the
+    * single-partition result sort): per doc, position count, an
+    * order-insensitive bit-XOR digest of md5-low64 over
+    * (doc_id, widx, rank), and the first 8 ranks in stream order —
+    * one flipped rank anywhere still breaks the hash. */
+  def suffixRanks(spark: SparkSession, dir: String): DataFrame =
+    SuffixArray.suffixRanks(docs(spark, dir))
+      .withColumn("_fp", TextAnalysis.md5Low64(
+        concat_ws("|", col("doc_id").cast("string"),
+          col("widx").cast("string"), col("r").cast("string"))))
+      .withColumn("_t", struct(col("widx"), col("r")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pos"),
+        expr("bit_xor(_fp)").as("ranks_hash"),
+        concat_ws(",", transform(
+          slice(array_sort(collect_list(col("_t"))), 1, 8),
+          t => t.getField("r").cast("string"))).as("head_ranks"))
+      .transform(QueryUtil.ordered("doc_id"))
+
+  /** tx_suffix_top: the first 20 suffix-array entries over REAL token
+    * positions (sentinels excluded) with their 3-token prefixes — the
+    * human-readable head of the index. */
+  def suffixTop(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val meta = d.select(col("doc_id"),
+      split(col("text"), " ").as("_l"),
+      size(split(col("text"), " ")).cast("long").as("_m"))
+    SuffixArray.suffixRanks(d)
+      .join(meta, Seq("doc_id"))
+      .where(col("widx") < col("_m"))
+      .orderBy(col("r")).limit(20)
+      .select(col("r").as("suffix_rank"), col("doc_id"), col("widx"),
+        concat_ws(" ",
+          slice(col("_l"), (col("widx") + 1).cast("int"), lit(3)))
+          .as("prefix3"))
+      .transform(QueryUtil.ordered("suffix_rank"))
+  }
+
+  // ---------------------------------------------------------------- oracle
+
+  /** The unrolled prefix-doubling chain ending in `rk{Rounds}`. */
+  private def chain: String = {
+    val sb = new StringBuilder(
+      s"""toks AS MATERIALIZED (
+         |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS widx, l[i] AS tok
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS l
+         |        FROM documents) t,
+         |       LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i) g
+         |  UNION ALL
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT),
+         |    chr(1) || CAST(doc_id AS VARCHAR)
+         |  FROM documents),
+         |rk0 AS MATERIALIZED (SELECT doc_id, widx,
+         |  CAST(dense_rank() OVER (ORDER BY tok) AS BIGINT) AS r
+         |  FROM toks)""".stripMargin)
+    for (k <- 1 to SuffixArray.Rounds) {
+      val step = 1L << (k - 1)
+      sb ++= s""",
+         |p$k AS MATERIALIZED (SELECT a.doc_id, a.widx, a.r AS r1,
+         |    coalesce(b.r, 0) AS r2
+         |  FROM rk${k - 1} a LEFT JOIN rk${k - 1} b
+         |    ON b.doc_id = a.doc_id AND b.widx = a.widx + $step),
+         |rk$k AS MATERIALIZED (SELECT doc_id, widx,
+         |  CAST(dense_rank() OVER (ORDER BY r1, r2) AS BIGINT) AS r
+         |  FROM p$k)""".stripMargin
+    }
+    sb.toString
+  }
+
+  private def finalRk = s"rk${SuffixArray.Rounds}"
+
+  val suffixRanksOracle: String =
+    s"""WITH $chain,
+       |fp AS (SELECT doc_id, widx, r,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' ||
+       |      CAST(widx AS VARCHAR) || '|' || CAST(r AS VARCHAR)), 1, 16))
+       |      ::UBIGINT AS h
+       |  FROM $finalRk),
+       |g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pos,
+       |    bit_xor(h) AS h,
+       |    array_to_string((list(r ORDER BY widx))[1:8], ',') AS head_ranks
+       |  FROM fp GROUP BY doc_id)
+       |SELECT doc_id, n_pos,
+       |  CAST(h::HUGEINT - CASE WHEN h >= 9223372036854775808::UBIGINT
+       |    THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT)
+       |    AS ranks_hash,
+       |  head_ranks
+       |FROM g ORDER BY doc_id""".stripMargin
+
+  val suffixTopOracle: String =
+    s"""WITH $chain,
+       |meta AS (SELECT doc_id, string_split(text, ' ') AS l,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS m
+       |  FROM documents),
+       |top AS (SELECT k.r AS suffix_rank, k.doc_id, k.widx,
+       |    array_to_string(meta.l[k.widx + 1:k.widx + 3], ' ') AS prefix3
+       |  FROM $finalRk k JOIN meta USING (doc_id)
+       |  WHERE k.widx < meta.m
+       |  ORDER BY k.r LIMIT 20)
+       |SELECT suffix_rank, doc_id, widx, prefix3 FROM top
+       |ORDER BY suffix_rank""".stripMargin
+
+  val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] =
+    Map(
+      "tx_suffix_ranks" -> ((suffixRanks _, Some(suffixRanksOracle))),
+      "tx_suffix_top" -> ((suffixTop _, Some(suffixTopOracle))))
+}

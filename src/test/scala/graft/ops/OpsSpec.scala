@@ -1915,6 +1915,28 @@ class OpsSpec extends SparkSpec {
     assert(TarWalk.members(5L, null).head.member_idx == -1)
   }
 
+  test("suffixRanks: equals a brute-force suffix sort; duplicate docs still totally ordered") {
+    // docs 2 and 3 are byte-identical — the per-doc sentinel must
+    // still produce a total order (they first differ at sentinels)
+    val d = Seq((1L, "b a a b"), (2L, "a b"), (3L, "a b"))
+      .toDF("doc_id", "text")
+    val got = SuffixArray.suffixRanks(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val streams = Map(
+      1L -> Seq("b", "a", "a", "b", "1"),
+      2L -> Seq("a", "b", "2"),
+      3L -> Seq("a", "b", "3"))
+    val sufs = for ((doc, toks) <- streams.toSeq; i <- toks.indices)
+      yield ((doc, i.toLong), toks.drop(i))
+    import scala.math.Ordering.Implicits.seqOrdering
+    val want = sufs.sortBy(_._2).zipWithIndex
+      .map { case ((k, _), i) => k -> (i + 1).toLong }.toMap
+    assert(got == want, s"got $got want $want")
+    // ranks are a permutation of 1..N — fully resolved, no ties
+    assert(got.values.toSeq.sorted == (1L to got.size.toLong))
+    graft.ops.Dedup.releaseCaches()
+  }
+
   test("tgz walk: gunzip round-trip; decompression-bomb cap and corrupt envelopes sentinel") {
     import graft.ops.Multimodal
     val tarBytes = MediaFixtures.plantedTar(5)
