@@ -141,5 +141,7 @@ object SparkEntry {
     "tx_drift",          // PSI/KL release drift over quality deciles
     "vec_balanced_sample", // LSH-bucket diversity quota sample
     "mm_tar_members",    // ustar shard member walk over planted archives
-    "tx_suffix_ranks")   // prefix-doubling suffix-array construction
+    "tx_repeated_seqs")  // suffix-array construction + LCP lifting
+                         // (supersets tx_suffix_ranks — one line
+                         // benches the whole family's heavy path)
 }

@@ -54,7 +54,16 @@ object SuffixArray {
 
   /** Suffix rank per (doc_id, widx) — 1..N over all corpus positions
     * (sentinels included), N = total stream length. */
-  def suffixRanks(docs: DataFrame): DataFrame = {
+  def suffixRanks(docs: DataFrame): DataFrame = rankRounds(docs)._2
+
+  /** All executed round frames rk_0..rk_c (frame k = dense rank of the
+    * first-2^k-token equivalence class — the LCP lifting tables) plus
+    * the final rank frame. Convergence at round c (all ranks distinct)
+    * implies every 2^k prefix with k ≥ c is also unique, so the
+    * missing tail frames could never fire a lift — the lifting caller
+    * uses exactly the frames that exist. */
+  private[graft] def rankRounds(docs: DataFrame)
+      : (Seq[DataFrame], DataFrame) = {
     val st = Dedup.persistTracked(stream(docs))
     val maxLen = st.groupBy("doc_id").agg(count(lit(1)).as("_m"))
       .agg(max("_m")).collect()(0).getLong(0)
@@ -66,6 +75,7 @@ object SuffixArray {
     var ranks = Dedup.checkpointTracked(
       st.join(tokRanks, Seq("tok"))
         .select(col("doc_id"), col("widx"), col("_r").as("r")))
+    val frames = scala.collection.mutable.ArrayBuffer(ranks)
     val total = st.count()
     var step = 1L
     var converged = false
@@ -81,6 +91,7 @@ object SuffixArray {
       ranks = Dedup.checkpointTracked(
         paired.join(pairRanks, Seq("_r1", "_r2"))
           .select(col("doc_id"), col("widx"), col("_nr").as("r")))
+      frames += ranks
       // early stop: dense ranks are 1..max, so max == N ⇔ all ranks
       // distinct ⇔ the suffix order is fully resolved — every further
       // round is the provable no-op the fixed-Rounds contract relies
@@ -89,6 +100,50 @@ object SuffixArray {
       converged = ranks.agg(max("r")).collect()(0).getLong(0) == total
       step *= 2
     }
-    ranks
+    (frames.toSeq, ranks)
+  }
+
+  /** ExactSubstr's payoff query (Lee et al. 2022 §4): repeated token
+    * sequences surface as RANK-ADJACENT suffixes with a long common
+    * prefix. Adjacency comes from the final ranks (pair r with r+1),
+    * and each pair's LCP is computed by binary lifting over the kept
+    * round frames — from the widest executed prefix class down, if
+    * both positions (advanced by the LCP so far) sit in the same
+    * 2^k-prefix class, the common prefix extends by 2^k. O(log) joins
+    * per pair, all equi-keyed (doc_id, position) — pairs are
+    * corpus-token-sized, never quadratic (the suffix array is exactly
+    * the structure that makes all-pairs comparison unnecessary).
+    * Returns (lcp, adoc, awidx, bdoc, bwidx) for pairs with
+    * lcp ≥ minLcp. */
+  def repeatedSeqPairs(docs: DataFrame, minLcp: Long = 3L): DataFrame = {
+    val (frames, fin) = rankRounds(docs)
+    val a = fin.select(col("doc_id").as("adoc"), col("widx").as("awidx"),
+      col("r"))
+    val b = fin.select(col("doc_id").as("bdoc"), col("widx").as("bwidx"),
+      (col("r") - 1L).as("r"))
+    var p = a.join(b, "r")
+      .select(col("adoc"), col("awidx"), col("bdoc"), col("bwidx"))
+      .withColumn("lcp", lit(0L))
+    for (k <- (frames.size - 2) to 0 by -1) {
+      val step = 1L << k
+      val ra = frames(k).select(col("doc_id").as("_ad"),
+        col("widx").as("_aw"), col("r").as("_ra"))
+      val rb = frames(k).select(col("doc_id").as("_bd"),
+        col("widx").as("_bw"), col("r").as("_rb"))
+      p = Dedup.checkpointTracked(p
+        .withColumn("_ak", col("awidx") + col("lcp"))
+        .withColumn("_bk", col("bwidx") + col("lcp"))
+        .join(ra, col("adoc") === col("_ad") && col("_ak") === col("_aw"),
+          "left")
+        .join(rb, col("bdoc") === col("_bd") && col("_bk") === col("_bw"),
+          "left")
+        .withColumn("lcp",
+          when(col("_ra").isNotNull && col("_rb").isNotNull &&
+            col("_ra") === col("_rb"), col("lcp") + step)
+            .otherwise(col("lcp")))
+        .select(col("adoc"), col("awidx"), col("bdoc"), col("bwidx"),
+          col("lcp")))
+    }
+    p.where(col("lcp") >= minLcp)
   }
 }

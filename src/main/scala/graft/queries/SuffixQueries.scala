@@ -56,6 +56,29 @@ object SuffixQueries {
       .transform(QueryUtil.ordered("suffix_rank"))
   }
 
+  /** tx_repeated_seqs: the ExactSubstr payoff — the 20 longest
+    * repeated token sequences in the corpus (rank-adjacent suffix
+    * pairs with LCP ≥ 3, LCP by binary lifting —
+    * [[graft.ops.SuffixArray.repeatedSeqPairs]]), each with the first
+    * six repeated tokens. The planted exact-duplicate documents make
+    * the top of this list full-document repeats at every SF. */
+  def repeatedSeqs(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val meta = d.select(col("doc_id").as("adoc"),
+      split(col("text"), " ").as("_l"))
+    SuffixArray.repeatedSeqPairs(d, minLcp = 3L)
+      .orderBy(col("lcp").desc, col("adoc"), col("awidx"),
+        col("bdoc"), col("bwidx"))
+      .limit(20)
+      .join(meta, Seq("adoc"))
+      .select(col("lcp"), col("adoc"), col("awidx"), col("bdoc"),
+        col("bwidx"),
+        concat_ws(" ", slice(col("_l"), (col("awidx") + 1).cast("int"),
+          least(col("lcp"), lit(6L)).cast("int"))).as("rep6"))
+      .transform(QueryUtil.orderedBy(col("lcp").desc, col("adoc"),
+        col("awidx"), col("bdoc"), col("bwidx")))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   /** The unrolled prefix-doubling chain ending in `rk{Rounds}`. */
@@ -121,8 +144,45 @@ object SuffixQueries {
        |SELECT suffix_rank, doc_id, widx, prefix3 FROM top
        |ORDER BY suffix_rank""".stripMargin
 
+  /** LCP lifting stages k = Rounds−1 … 0 over the adjacency pairs —
+    * the oracle always lifts through every rk_k (a stage where no
+    * equality fires is a no-op, which is also why the engine's
+    * early-stopped frame list computes the same LCPs). */
+  val repeatedSeqsOracle: String = {
+    val lifts = ((SuffixArray.Rounds - 1) to 0 by -1).map { k =>
+      val step = 1L << k
+      val prev = if (k == SuffixArray.Rounds - 1) "adj" else s"l${k + 1}"
+      s"""l$k AS MATERIALIZED (SELECT p.adoc, p.awidx, p.bdoc, p.bwidx,
+         |    CASE WHEN ra.r IS NOT NULL AND rb.r IS NOT NULL
+         |           AND ra.r = rb.r
+         |         THEN p.lcp + $step ELSE p.lcp END AS lcp
+         |  FROM $prev p
+         |  LEFT JOIN rk$k ra
+         |    ON ra.doc_id = p.adoc AND ra.widx = p.awidx + p.lcp
+         |  LEFT JOIN rk$k rb
+         |    ON rb.doc_id = p.bdoc AND rb.widx = p.bwidx + p.lcp)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $chain,
+       |adj AS MATERIALIZED (SELECT a.doc_id AS adoc, a.widx AS awidx,
+       |    b.doc_id AS bdoc, b.widx AS bwidx, CAST(0 AS BIGINT) AS lcp
+       |  FROM $finalRk a JOIN $finalRk b ON b.r = a.r + 1),
+       |$lifts,
+       |meta AS (SELECT doc_id AS adoc, string_split(text, ' ') AS l
+       |  FROM documents),
+       |top AS (SELECT lcp, adoc, awidx, bdoc, bwidx FROM l0
+       |  WHERE lcp >= 3
+       |  ORDER BY lcp DESC, adoc, awidx, bdoc, bwidx LIMIT 20)
+       |SELECT t.lcp, t.adoc, t.awidx, t.bdoc, t.bwidx,
+       |  array_to_string(m.l[t.awidx + 1:t.awidx + least(t.lcp, 6)], ' ')
+       |    AS rep6
+       |FROM top t JOIN meta m USING (adoc)
+       |ORDER BY t.lcp DESC, t.adoc, t.awidx, t.bdoc, t.bwidx""".stripMargin
+  }
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] =
     Map(
       "tx_suffix_ranks" -> ((suffixRanks _, Some(suffixRanksOracle))),
-      "tx_suffix_top" -> ((suffixTop _, Some(suffixTopOracle))))
+      "tx_suffix_top" -> ((suffixTop _, Some(suffixTopOracle))),
+      "tx_repeated_seqs" -> ((repeatedSeqs _, Some(repeatedSeqsOracle))))
 }
