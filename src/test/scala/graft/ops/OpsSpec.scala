@@ -1937,6 +1937,37 @@ class OpsSpec extends SparkSpec {
     graft.ops.Dedup.releaseCaches()
   }
 
+  test("repeatedSeqPairs: LCPs equal brute force over rank-adjacent suffixes") {
+    val d = Seq(
+      (1L, "x a b c y a b c"),  // internal repeat "a b c"
+      (2L, "a b c d"),          // cross-doc repeat with doc 1
+      (3L, "q r"))              // no repeats
+      .toDF("doc_id", "text")
+    val got = SuffixArray.repeatedSeqPairs(d, minLcp = 1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ->
+        r.getLong(4)).toMap
+    // brute force: sort all sentinel-terminated suffixes, LCP of
+    // rank-adjacent pairs
+    val streams = Map(
+      1L -> (Seq("x", "a", "b", "c", "y", "a", "b", "c") :+ "1"),
+      2L -> (Seq("a", "b", "c", "d") :+ "2"),
+      3L -> (Seq("q", "r") :+ "3"))
+    val sufs = (for ((doc, toks) <- streams.toSeq; i <- toks.indices)
+      yield ((doc, i.toLong), toks.drop(i)))
+    import scala.math.Ordering.Implicits.seqOrdering
+    // engine pair naming: a = the lower rank, b = the next (r + 1)
+    val sorted = sufs.sortBy(_._2)
+    val want = sorted.sliding(2).collect {
+      case Seq(((ad, aw), as_), ((bd, bw), bs)) =>
+        val lcp = as_.zip(bs).takeWhile(t => t._1 == t._2).size.toLong
+        (ad, aw, bd, bw) -> lcp
+    }.filter(_._2 >= 1L).toMap
+    assert(got == want, s"got $got want $want")
+    // the planted triple repeat surfaces with lcp 3
+    assert(got.values.max == 3L)
+    graft.ops.Dedup.releaseCaches()
+  }
+
   test("tgz walk: gunzip round-trip; decompression-bomb cap and corrupt envelopes sentinel") {
     import graft.ops.Multimodal
     val tarBytes = MediaFixtures.plantedTar(5)
