@@ -79,6 +79,16 @@ object SuffixQueries {
         col("awidx"), col("bdoc"), col("bwidx")))
   }
 
+  /** tx_lcp_profile: the duplication-depth histogram — how many
+    * rank-adjacent suffix pairs share a prefix of each length (the
+    * dataset-card view of "how much n-token duplication exists at
+    * every n"; ExactSubstr thresholds are chosen off exactly this
+    * curve). Bounded output: ≤ maxDocLen rows. */
+  def lcpProfile(spark: SparkSession, dir: String): DataFrame =
+    SuffixArray.repeatedSeqPairs(docs(spark, dir), minLcp = 1L)
+      .groupBy("lcp").agg(count(lit(1)).as("n_pairs"))
+      .transform(QueryUtil.ordered("lcp"))
+
   // ---------------------------------------------------------------- oracle
 
   /** The unrolled prefix-doubling chain ending in `rk{Rounds}`. */
@@ -144,11 +154,13 @@ object SuffixQueries {
        |SELECT suffix_rank, doc_id, widx, prefix3 FROM top
        |ORDER BY suffix_rank""".stripMargin
 
-  /** LCP lifting stages k = Rounds−1 … 0 over the adjacency pairs —
+  /** Construction + adjacency + LCP lifting stages k = Rounds−1 … 0
+    * (ends in `l0`, one row per rank-adjacent pair with its LCP) —
     * the oracle always lifts through every rk_k (a stage where no
     * equality fires is a no-op, which is also why the engine's
-    * early-stopped frame list computes the same LCPs). */
-  val repeatedSeqsOracle: String = {
+    * early-stopped frame list computes the same LCPs). ONE builder
+    * behind both LCP oracles so the lifting cannot fork. */
+  private def liftedChain: String = {
     val lifts = ((SuffixArray.Rounds - 1) to 0 by -1).map { k =>
       val step = 1L << k
       val prev = if (k == SuffixArray.Rounds - 1) "adj" else s"l${k + 1}"
@@ -163,11 +175,15 @@ object SuffixQueries {
          |    ON rb.doc_id = p.bdoc AND rb.widx = p.bwidx + p.lcp)"""
         .stripMargin
     }.mkString(",\n")
-    s"""WITH $chain,
+    s"""$chain,
        |adj AS MATERIALIZED (SELECT a.doc_id AS adoc, a.widx AS awidx,
        |    b.doc_id AS bdoc, b.widx AS bwidx, CAST(0 AS BIGINT) AS lcp
        |  FROM $finalRk a JOIN $finalRk b ON b.r = a.r + 1),
-       |$lifts,
+       |$lifts""".stripMargin
+  }
+
+  val repeatedSeqsOracle: String =
+    s"""WITH $liftedChain,
        |meta AS (SELECT doc_id AS adoc, string_split(text, ' ') AS l
        |  FROM documents),
        |top AS (SELECT lcp, adoc, awidx, bdoc, bwidx FROM l0
@@ -178,11 +194,16 @@ object SuffixQueries {
        |    AS rep6
        |FROM top t JOIN meta m USING (adoc)
        |ORDER BY t.lcp DESC, t.adoc, t.awidx, t.bdoc, t.bwidx""".stripMargin
-  }
+
+  val lcpProfileOracle: String =
+    s"""WITH $liftedChain
+       |SELECT lcp, CAST(count(*) AS BIGINT) AS n_pairs FROM l0
+       |WHERE lcp >= 1 GROUP BY lcp ORDER BY lcp""".stripMargin
 
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] =
     Map(
       "tx_suffix_ranks" -> ((suffixRanks _, Some(suffixRanksOracle))),
       "tx_suffix_top" -> ((suffixTop _, Some(suffixTopOracle))),
-      "tx_repeated_seqs" -> ((repeatedSeqs _, Some(repeatedSeqsOracle))))
+      "tx_repeated_seqs" -> ((repeatedSeqs _, Some(repeatedSeqsOracle))),
+      "tx_lcp_profile" -> ((lcpProfile _, Some(lcpProfileOracle))))
 }

@@ -2019,6 +2019,59 @@ class StreamingSpec extends SparkSpec {
     graft.ops.Dedup.releaseCaches()
   }
 
+  test("streaming suffix ranks: snapshot equals batch on the prefix; ranks retro-correct; replay clean") {
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    val in = tmpDir("sx-in")
+    val state = tmpDir("sx-state")
+    // batch 1's doc interleaves lexicographically with batch 0's
+    // suffixes, so existing ranks MUST retro-correct in the snapshot
+    val b0 = Seq((1L, "b a c"), (2L, "a c"))
+    val b1 = Seq((3L, "a b"))
+    def line(t: (Long, String)) =
+      s"""{"doc_id":${t._1},"text":"${t._2}"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/a.jsonl"),
+      b0.map(line).mkString("\n").getBytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/b.jsonl"),
+      b1.map(line).mkString("\n").getBytes)
+    new java.io.File(s"$in/a.jsonl").setLastModified(System.currentTimeMillis() - 60000)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("text", "string")
+    val snapshots = scala.collection.mutable.ArrayBuffer[Map[(Long, Long), Long]]()
+    def toMapR(out: DataFrame): Map[(Long, Long), Long] =
+      out.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val sink: DataFrame => Unit = { out =>
+      snapshots.synchronized { snapshots += toMapR(out) }
+      ()
+    }
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(in)
+      .writeStream
+      .option("checkpointLocation", tmpDir("sx-ckpt"))
+      .foreachBatch(StreamingSuffix.foreachBatchSuffixRanks(state, sink))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(snapshots.size == 2)
+    val batchAll = toMapR(graft.ops.SuffixArray.suffixRanks(
+      (b0 ++ b1).toDF("doc_id", "text")))
+    assert(snapshots(1) == batchAll,
+      "streaming snapshot must equal the batch construction on the prefix")
+    // retro-correction: doc 1's suffix "b a c" outranks differently
+    // once doc 3's "a b"/"b" suffixes land between existing ones
+    val changed = snapshots(0).keys.filter(k =>
+      snapshots(1).get(k).exists(_ != snapshots(0)(k)))
+    assert(changed.nonEmpty,
+      s"new docs must shift existing ranks: ${snapshots(0)} vs ${snapshots(1)}")
+    // replay batch 1: state partition rewrites, ranks identical
+    val replayed = scala.collection.mutable.ArrayBuffer[Map[(Long, Long), Long]]()
+    StreamingSuffix.foreachBatchSuffixRanks(state,
+      { out: DataFrame => replayed += toMapR(out); () })(
+      b1.toDF("doc_id", "text"), 1L)
+    assert(replayed.head == snapshots(1),
+      "a replayed micro-batch must not change the rank table")
+    graft.ops.Dedup.releaseCaches()
+  }
+
   test("streaming unimax: allocations retro-correct as languages grow; snapshot equals batch; replay clean") {
     import org.apache.spark.sql.DataFrame
     import spark.implicits._
