@@ -402,8 +402,45 @@ object BpeQueries {
        |FROM tokd JOIN greedy g USING (word) JOIN vsym v USING (word)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** tx_tokenizer_triad: per-word fertility across ALL THREE trained
+    * tokenizers — merge-order BPE, greedy WordPiece and minimal-DP
+    * under the BPE vocabulary, and the unigram-LM's Viterbi count
+    * under its OWN trained model (Bostrom & Durrett 2020's BPE-vs-
+    * unigram comparison, as a standing diagnostic table). The oracle
+    * replays all three training runs in one statement: the K-round
+    * merge chain, the greedy/DP segmentation CTEs, and the unigram
+    * hard-EM chain (CTEs prefixed `uw0` — the one name the chains
+    * share). */
+  def tokenizerTriad(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val (merges, vocabDf) = Bpe.learnMerges(d, K)
+    val wpVocab = Wordpiece.vocabSymbols(merges)
+    val base = vocabDf.select(col("word"), col("cnt"),
+      size(split(expr(s"btrim(ws, '$S')"), s"$S$S")).as("n_bpe"))
+    val wp = Wordpiece.withOptimal(
+      Wordpiece.withGreedy(base, wpVocab), wpVocab)
+    val (_, _, seg) = graft.ops.UnigramLm.learn(d)
+    wp.join(seg.select(col("word"), col("n_uni")), Seq("word"))
+      .select(col("word"), col("cnt"), col("n_bpe"), col("n_wp"),
+        col("n_opt"), col("n_uni"))
+      .transform(QueryUtil.ordered("word"))
+  }
+
+  val tokenizerTriadOracle: String =
+    s"""WITH RECURSIVE${chainSql(K).stripPrefix("WITH")},
+       |$wordpieceCtes,
+       |${UnigramQueries.chainBody("documents").replace("w0", "uw0")}
+       |SELECT b.word, b.cnt,
+       |  CAST(len(string_split(trim(b.ws, '$S'), '$S$S')) AS INTEGER)
+       |    AS n_bpe,
+       |  g.n_wp, o.n_opt, CAST(f.n AS INTEGER) AS n_uni
+       |FROM w$K b JOIN greedy g USING (word) JOIN opt o USING (word)
+       |JOIN ${UnigramQueries.finalSeg} f USING (word)
+       |ORDER BY b.word""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] =
     Map(
+      "tx_tokenizer_triad" -> ((tokenizerTriad _, Some(tokenizerTriadOracle))),
       "tx_bpe_merges" -> ((bpeMerges _, Some(bpeMergesOracle))),
       "tx_bpe_encode" -> ((bpeEncode _, Some(bpeEncodeOracle))),
       "tx_bpe_apply" -> ((bpeApply _, Some(bpeApplyOracle))),
