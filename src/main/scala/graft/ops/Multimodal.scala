@@ -1012,7 +1012,10 @@ object Multimodal {
     * with the checksum field as spaces) per header; a bad header stops
     * the walk — corrupt-at-start yields the sentinel row, mid-archive
     * corruption keeps the members already walked (corrupt → sentinel,
-    * never task death). */
+    * never task death). Disclosed boundaries: names read the 100-byte
+    * name field only (the ustar `prefix` field for longer paths is
+    * not assembled), and GNU long-name (typeflag 'L') entries surface
+    * as their literal marker member. */
   object TarWalk {
     private def octal(bytes: Array[Byte], off: Int, len: Int): Long = {
       var v = 0L; var i = off
@@ -1089,7 +1092,10 @@ object Multimodal {
     * entries forward validating each signature. Like [[TarWalk]]:
     * corrupt → sentinel (or the prefix walked so far), never task
     * death; payload bytes are never touched — only directory
-    * metadata. */
+    * metadata. Disclosed boundary: classic ZIP only — ZIP64 archives
+    * (> 4 GiB or > 65535 entries) carry sizes/offsets in extra
+    * fields this walk does not read; a shard that large should be
+    * resharded anyway (the 100 TB layout rule of many small shards). */
   object ZipWalk {
     private def u16(b: Array[Byte], o: Int): Int =
       (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)

@@ -143,8 +143,10 @@ object Versioning {
       .select(col("bin"),
         coalesce(col("n1"), lit(0L)).as("n1"),
         coalesce(col("n2"), lit(0L)).as("n2"))
-    // single-partition window over the BINS-sized frame only
-    val w = Window.partitionBy(lit(1))
+    // single-partition window over the BINS-sized frame only (the
+    // key is constant-VALUED but not foldable — a lit() would be
+    // constant-folded away and logged as a global window)
+    val w = Window.partitionBy(col("bin") * 0)
     j.withColumn("_t1", sum("n1").over(w))
       .withColumn("_t2", sum("n2").over(w))
       .withColumn("_p",
