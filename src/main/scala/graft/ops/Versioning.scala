@@ -126,8 +126,12 @@ object Versioning {
     * is also the streaming twin's carried state — BOUNDED at `bins`
     * rows per contribution, summable across batches. */
   def scoreHistogram(s: DataFrame, bins: Int): DataFrame = s
-    .select(least(floor(col("score") * bins), lit(bins - 1))
-      .cast("long").as("bin"))
+    // clamp BOTH ends: the documented input contract is [0,1], but a
+    // score just below 0 (a caller's float error) must land in bin 0,
+    // not produce a negative bin that silently vanishes through the
+    // range(0, bins) alignment join and deflates the PSI/KL totals
+    .select(greatest(least(floor(col("score") * bins), lit(bins - 1)),
+      lit(0)).cast("long").as("bin"))
     .groupBy("bin").agg(count(lit(1)).as("n"))
 
   /** [[distributionDrift]]'s core over precomputed `(bin, n)`

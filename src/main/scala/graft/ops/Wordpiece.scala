@@ -104,7 +104,8 @@ object Wordpiece {
     docsDf
       .select(col("doc_id"),
         explode(split(lower(col("text")), " ")).as("word"))
-      .where(col("word").rlike("^[a-z]+$") && length(col("word")) <= 20)
+      .where(col("word").rlike("^[a-z]+$") &&
+        length(col("word")) <= MaxWordLen)
       .join(perWord, "word")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),
