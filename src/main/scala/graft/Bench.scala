@@ -50,7 +50,20 @@ import org.apache.spark.sql.SparkSession
   * settled by comparison against a clean-but-slower observation
   * (validated, but the consumer should still see the load) — and
   * load-guard replacements get one more pass of the >2x interference
-  * guard.
+  * guard; (d) the FINALIZE rule (r14): queries still load-flagged
+  * after (c) are re-measured whole at the end of the run (up to 2
+  * passes, keep-faster), and the record carries `"quiet":true/false` —
+  * false means the flags survived and the record must NOT serve as a
+  * regression baseline.
+  *
+  * DISK ARTIFACTS are not caches: an operator whose semantics is
+  * "build a saved index" (tx_suffix_build → the SuffixIndex artifact,
+  * the AnnModels pattern) leaves its artifact across cache drops
+  * DELIBERATELY — consumer queries (tx_suffix_ranks/top,
+  * tx_repeated_seqs, tx_lcp_profile) measure the per-query cost over a
+  * built index (the production shape: build once per corpus release,
+  * query many times), while the build line itself always rebuilds, so
+  * construction cost stays measured every round.
   */
 object Bench {
   private val TimedRuns = 3
@@ -146,16 +159,8 @@ object Bench {
       case c => c.toString
     } + "\""
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val allRuns = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val discarded = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val discardReasons = scala.collection.mutable.LinkedHashMap[String, Seq[String]]()
-    val gcRuns = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
-    val loadRuns = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
-    // EVERY kept run whose start load still exceeded LoadMax —
-    // whether the slot settled by a clean-comparison win or by the
-    // retry budget draining — so the artifact admits the threshold
-    // was exceeded rather than implying a clean measurement
-    val loadFlagged = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     def medianOf(rs: Seq[Double]): Double = {
       val ok = rs.filter(_ >= 0).sorted
       // true median: even-length samples (reachable via the
@@ -166,7 +171,10 @@ object Bench {
       else if (ok.size % 2 == 1) ok(ok.size / 2)
       else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2.0
     }
-    val results = names.map { name =>
+    // one query's full measurement: warm-up, timed runs, heavy
+    // extension, interference guard, load guard — re-runnable so the
+    // FINALIZE pass below can re-measure a load-flagged query whole
+    def measureQuery(name: String): Seq[(Double, Double, Double)] = {
       try force(name) catch { case e: Throwable =>
         System.err.println(s"[bench] warm-up $name failed: $e")
       }
@@ -283,16 +291,68 @@ object Bench {
         }
       }
       if (dropped.nonEmpty) {
-        discarded(name) = dropped.toSeq
-        discardReasons(name) = reasons.toSeq
+        discarded(name) = discarded.getOrElse(name, Seq.empty) ++ dropped
+        discardReasons(name) =
+          discardReasons.getOrElse(name, Seq.empty) ++ reasons
       }
-      allRuns(name) = runs.map(_._1)
-      gcRuns(name) = runs.map(_._2)
-      loadRuns(name) = runs.map(_._3)
-      val stillLoaded = runs.filter(t => t._1 >= 0 && t._3 > LoadMax).map(_._3)
-      if (stillLoaded.nonEmpty) loadFlagged(name) = stillLoaded
-      name -> medianOf(runs.map(_._1))
+      runs
     }
+    val recs =
+      scala.collection.mutable.LinkedHashMap[String, Seq[(Double, Double, Double)]]()
+    names.foreach { name => recs(name) = measureQuery(name) }
+    def flaggedOf(runs: Seq[(Double, Double, Double)]): Seq[Double] =
+      runs.filter(t => t._1 >= 0 && t._3 > LoadMax).map(_._3)
+    // FINALIZE (r14, verdict r13): a round record with non-empty
+    // `load_flagged` cannot serve as the next round's regression base
+    // (r13 shipped 8 load-tainted families reading 18% above the same
+    // round's quiet record). So before finalizing, any query whose
+    // KEPT runs still started above LoadMax is re-measured WHOLE — up
+    // to FinalPasses times, at the end of the run when a co-tenant
+    // burst has had the entire suite's duration to drain — and the
+    // record with the FASTER median wins (load only inflates; same
+    // keep-min rule as the per-run guard). The losing record's runs
+    // land in `discarded` with a final_retry_* reason. If flags
+    // SURVIVE the passes, the line still prints (driver contract: one
+    // JSON line, always) but carries "quiet":false — the explicit
+    // refuse-to-finalize marker consumers must check before using
+    // this record as a baseline.
+    val FinalPasses = 2
+    var pass = 0
+    while (pass < FinalPasses && recs.exists(r => flaggedOf(r._2).nonEmpty)) {
+      pass += 1
+      val flaggedNames = recs.collect {
+        case (n, r) if flaggedOf(r).nonEmpty => n }.toSeq
+      System.err.println(
+        s"[bench] finalize pass $pass: re-measuring ${flaggedNames.size} " +
+          s"load-flagged queries: ${flaggedNames.mkString(",")}")
+      flaggedNames.foreach { name =>
+        val old = recs(name)
+        val fresh = measureQuery(name)
+        val (mOld, mNew) = (medianOf(old.map(_._1)), medianOf(fresh.map(_._1)))
+        if (mNew >= 0 && (mOld < 0 || mNew < mOld)) {
+          recs(name) = fresh
+          discarded(name) = discarded.getOrElse(name, Seq.empty) ++
+            old.map(_._1)
+          discardReasons(name) = discardReasons.getOrElse(name, Seq.empty) ++
+            old.map(t => s"final_retry_loaded_${t._3}")
+        } else {
+          discarded(name) = discarded.getOrElse(name, Seq.empty) ++
+            fresh.map(_._1)
+          discardReasons(name) = discardReasons.getOrElse(name, Seq.empty) ++
+            fresh.map(t => s"final_retry_slower_${t._3}")
+        }
+      }
+    }
+    val allRuns = recs.map { case (n, r) => n -> r.map(_._1) }
+    val gcRuns = recs.map { case (n, r) => n -> r.map(_._2) }
+    val loadRuns = recs.map { case (n, r) => n -> r.map(_._3) }
+    // EVERY kept run whose start load still exceeded LoadMax after
+    // the finalize passes — so the artifact admits the threshold was
+    // exceeded rather than implying a clean measurement
+    val loadFlagged = recs.collect {
+      case (n, r) if flaggedOf(r).nonEmpty => n -> flaggedOf(r) }
+    val quiet = loadFlagged.isEmpty
+    val results = recs.map { case (n, r) => n -> medianOf(r.map(_._1)) }.toSeq
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val runsJson = allRuns.map { case (k, v) =>
@@ -315,7 +375,7 @@ object Bench {
     // line — bulky runs/errors payloads first (r7: three long error
     // strings pushed every number out of the recorded tail)
     val line =
-      s"""{"runs":$runsJson,"gc_sec":${numMap(gcRuns)},"load_1m":${numMap(loadRuns)},"load_flagged":${numMap(loadFlagged)},"discarded":$discJson,"discard_reason":$discReasonJson,"errors":$errJson,"sf":"$sfDir","queries":$qs,"metric":"total","value":$total,"unit":"sec"}"""
+      s"""{"runs":$runsJson,"gc_sec":${numMap(gcRuns)},"load_1m":${numMap(loadRuns)},"load_flagged":${numMap(loadFlagged)},"discarded":$discJson,"discard_reason":$discReasonJson,"errors":$errJson,"sf":"$sfDir","quiet":$quiet,"queries":$qs,"metric":"total","value":$total,"unit":"sec"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_result.json"), line + "\n")
     spark.stop()
