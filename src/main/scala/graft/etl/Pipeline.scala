@@ -71,10 +71,77 @@ object Pipeline {
     }
   }
 
-  /** Full CLI-equivalent run: read path (or stdin spooled by Main),
-    * execute, write report (`main.go:151-208`). Operational lines go
-    * through [[EtlLogger]] (the reference's slog wrapper,
-    * `cmd/etl/main.go:362`); the data path never logs per-record. */
+  /** TRUE incremental stdin (r14 — replaces the r13 temp-file spool):
+    * a bounded line-batch reader feeding micro-batches, the
+    * reference's incremental consumption (`cmd/etl/main.go:340-359`)
+    * re-expressed as the streaming layer's per-batch core. An
+    * unbounded pipe makes progress: the reader BLOCKS only for the
+    * first line of a batch, then drains whatever is immediately
+    * available (`ready()`) up to `batchLines`, processes that batch
+    * through parse → normalize → transforms → sink append → report
+    * merge, and loops — so output lands after every burst instead of
+    * after EOF. One Sink instance across batches gives the append
+    * lifecycle (the foreachBatch contract); reports ADD via
+    * [[graft.streaming.StreamingPipeline.merge]]. Driver memory is
+    * bounded by `batchLines` raw lines per batch. Returns the merged
+    * report at EOF; a never-closed pipe simply keeps consuming (the
+    * reference behaves the same). */
+  def runStdin(spark: SparkSession, cfg: EtlConfig,
+      in: java.io.InputStream, batchLines: Int = 10000)
+      : Either[String, EtlReport] = {
+    for {
+      _ <- EtlConfig.validate(cfg)
+      sink <- Sinks.build(cfg)
+    } yield {
+      val t0 = System.nanoTime()
+      Sinks.initDlq(cfg.dlqPath)
+      val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
+        in, java.nio.charset.StandardCharsets.UTF_8))
+      import spark.implicits._
+      var acc = EtlReport()
+      var eof = false
+      while (!eof) {
+        val batch = scala.collection.mutable.ArrayBuffer.empty[String]
+        val first = reader.readLine() // the only blocking read per batch
+        if (first == null) eof = true
+        else {
+          batch += first
+          while (!eof && batch.size < batchLines && reader.ready()) {
+            val l = reader.readLine()
+            if (l == null) eof = true else batch += l
+          }
+          val lines = batch.toSeq.toDS().toDF("line")
+            .filter(trim(col("line")) =!= "")
+          TransformRegistry(cfg)(Normalize(lines)) match {
+            case Right(transformed0) =>
+              val b = transformed0.cache()
+              try {
+                val part = EtlReport.fromDataFrame(b)
+                val (kept, _, _) = Transforms.split(b)
+                val clean = kept.select("ts", "level", "message", "service",
+                  "namespace", "pod", "node", "trace_id", "fields")
+                val wr = sink.write(clean)
+                if (cfg.dlqPath.nonEmpty && wr.dlqHandled.isEmpty)
+                  Sinks.writeDlq(cfg.dlqPath, wr.dlq)
+                acc = graft.streaming.StreamingPipeline.merge(acc, part, wr)
+              } finally { b.unpersist(); () }
+            case Left(e) =>
+              // transform-registry config errors are caught by the
+              // pre-batch validate above; a Left here is unreachable,
+              // but fail loudly rather than silently dropping a batch
+              throw new IllegalStateException(s"transform chain: $e")
+          }
+        }
+      }
+      acc.withDuration((System.nanoTime() - t0) / 1e9)
+    }
+  }
+
+  /** Full CLI-equivalent run: read path (or incremental stdin via
+    * [[runStdin]] when the path is `-`), execute, write report
+    * (`main.go:151-208`). Operational lines go through [[EtlLogger]]
+    * (the reference's slog wrapper, `cmd/etl/main.go:362`); the data
+    * path never logs per-record. */
   def runFile(spark: SparkSession, cfg: EtlConfig): Either[String, Result] = {
     val log = EtlLogger.withAttrs("input" -> cfg.inputPath)
     log.info("pipeline starting",
@@ -203,13 +270,27 @@ object Main {
     // streaming queries finish their in-flight micro-batch within
     // shutdown_timeout_seconds; batch jobs are cancelled.
     Shutdown.install(spark, cfg.shutdownTimeoutSeconds)
-    // stdin convenience: `-` spools stdin to a temp file (S2; the
-    // engine itself has no stdin source — SURVEY §2.1 S2).
+    // stdin: `-` consumes INCREMENTALLY in bounded line batches
+    // (S2 — reference `cmd/etl/main.go:340-359`; r14 replaced the r13
+    // temp-file spool, under which an unbounded pipe never started).
+    // Curation mode still spools (it reads a FINITE corpus snapshot —
+    // schema inference and dedup need the whole input anyway).
     if (cfg.inputPath == "-" || cfg.inputPath.isEmpty) {
-      val tmp = java.nio.file.Files.createTempFile("etl-stdin", ".jsonl")
-      java.nio.file.Files.copy(System.in, tmp,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      cfg = cfg.copy(inputPath = tmp.toString)
+      if (cfg.curationConfig.nonEmpty) {
+        val tmp = java.nio.file.Files.createTempFile("etl-stdin", ".jsonl")
+        java.nio.file.Files.copy(System.in, tmp,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        cfg = cfg.copy(inputPath = tmp.toString)
+      } else {
+        Pipeline.runStdin(spark, cfg, System.in) match {
+          case Right(report) =>
+            if (cfg.reportPath.nonEmpty) report.writeJson(cfg.reportPath)
+            print(Pipeline.summary(report))
+          case Left(e) => System.err.println(e); spark.stop(); sys.exit(2)
+        }
+        spark.stop()
+        return
+      }
     }
     // curation mode: --curation-config stages.yaml runs the corpus
     // curation registry instead of the log pipeline

@@ -54,6 +54,58 @@ class PipelineSpec extends SparkSpec {
     assert(rep.trim.startsWith("{") && rep.contains("\"total_lines\": 6"))
   }
 
+  test("runStdin: a never-closed pipe makes progress batch by batch; EOF report equals the batch run") {
+    val out = java.nio.file.Files.createTempDirectory("etl-stdin-it")
+    val cfg = EtlConfig.default.copy(
+      inputPath = "-",
+      outputType = "file",
+      outputPath = s"$out/out.jsonl",
+      filterLevels = Seq("WARN", "ERROR"),
+      redactKeys = Seq("user_email", "token"))
+    val fixture = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(fixturePath))
+    val sink = new java.io.PipedOutputStream()
+    val src = new java.io.PipedInputStream(sink, 1 << 16)
+    val w = new java.io.OutputStreamWriter(sink,
+      java.nio.charset.StandardCharsets.UTF_8)
+    @volatile var result: Either[String, EtlReport] = null
+    val t = new Thread(() => { result = Pipeline.runStdin(spark, cfg, src) })
+    t.setDaemon(true)
+    t.start()
+    // first burst: 6 fixture lines, pipe stays OPEN — the r13 spool
+    // would block forever here; the incremental reader must land the
+    // 3 kept records without seeing EOF
+    fixture.forEach { l => w.write(l); w.write("\n") }
+    w.flush()
+    val outPath = java.nio.file.Paths.get(s"$out/out.jsonl")
+    def lineCount: Int =
+      if (java.nio.file.Files.exists(outPath))
+        java.nio.file.Files.readAllLines(outPath).size else 0
+    var waited = 0
+    while (lineCount < 3 && waited < 60000) { Thread.sleep(100); waited += 100 }
+    assert(lineCount == 3,
+      s"first burst must land 3 records with the pipe still open (got $lineCount)")
+    assert(t.isAlive, "the reader keeps consuming a never-closed pipe")
+    // second burst: same 6 lines again → 3 more records appended
+    fixture.forEach { l => w.write(l); w.write("\n") }
+    w.flush()
+    waited = 0
+    while (lineCount < 6 && waited < 60000) { Thread.sleep(100); waited += 100 }
+    assert(lineCount == 6, s"second burst appends (got $lineCount)")
+    // EOF: merged report equals the single-shot batch contract ×2
+    w.close()
+    t.join(60000)
+    assert(result != null && result.isRight, s"runStdin result: $result")
+    val r = result.toOption.get
+    assert(r.totalLines == 12 && r.jsonParsed == 12 && r.writtenOk == 6)
+    assert(r.filteredLevel == 6)
+    assert(r.byLevel == Map("INFO" -> 6L, "ERROR" -> 4L, "WARN" -> 2L))
+    // redaction ran in every batch
+    java.nio.file.Files.readAllLines(outPath).forEach { l =>
+      assert(!l.contains("user_email") && !l.contains("\"token\""), l)
+    }
+  }
+
   test("curation mode: 3-stage config file drives the curation registry end-to-end") {
     val dir = java.nio.file.Files.createTempDirectory("cur-it").toString
     // corpus: shared boilerplate line across two docs, one too-short doc
