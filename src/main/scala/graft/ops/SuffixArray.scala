@@ -36,11 +36,25 @@ import org.apache.spark.sql.functions._
   */
 object SuffixArray {
 
-  /** 2^Rounds must cover the longest token stream (sentinel
-    * included): 9 ⇒ full suffix order for docs ≤ 511 tokens. At crawl
-    * scale size this log2(max tokens per doc) — e.g. 13 for 8k-token
-    * documents; the round cost is the same shape, just more of them. */
+  /** ORACLE replay depth: the DuckDB chains unroll this many doubling
+    * rounds (9 ⇒ full suffix order for docs ≤ 511 tokens, which covers
+    * the driver testdata at every SF). The ENGINE no longer uses this
+    * cap — [[rankRounds]] derives its round count from the corpus'
+    * measured longest stream (ceil log2 maxLen), so an 8k-token
+    * document simply runs 13 rounds instead of hard-failing a
+    * `require`. Rounds past convergence are provable no-ops (dense
+    * ranks are 1..N; re-ranking distinct ranks returns them
+    * unchanged), so ANY oracle depth ≥ the corpus' convergence round
+    * replays the engine exactly. */
   val Rounds = 9
+
+  /** Smallest k with 2^k ≥ maxLen — the doubling rounds needed for a
+    * full suffix order over streams of ≤ maxLen tokens. */
+  private[graft] def roundsFor(maxLen: Long): Int = {
+    var r = 0; var c = 1L
+    while (c < maxLen) { c <<= 1; r += 1 }
+    r
+  }
 
   /** (doc_id, widx, tok): the single-space token stream plus the
     * per-doc sentinel at position m (stream length). */
@@ -54,22 +68,29 @@ object SuffixArray {
 
   /** Suffix rank per (doc_id, widx) — 1..N over all corpus positions
     * (sentinels included), N = total stream length. */
-  def suffixRanks(docs: DataFrame): DataFrame = rankRounds(docs)._2
+  def suffixRanks(docs: DataFrame): DataFrame = rankRounds(docs).ranks
 
-  /** All executed round frames rk_0..rk_c (frame k = dense rank of the
-    * first-2^k-token equivalence class — the LCP lifting tables) plus
-    * the final rank frame. Convergence at round c (all ranks distinct)
-    * implies every 2^k prefix with k ≥ c is also unique, so the
-    * missing tail frames could never fire a lift — the lifting caller
-    * uses exactly the frames that exist. */
-  private[graft] def rankRounds(docs: DataFrame)
-      : (Seq[DataFrame], DataFrame) = {
+  /** [[rankRounds]] result: the executed round frames rk_0..rk_c
+    * (frame k = dense rank of the first-2^k-token equivalence class —
+    * the LCP lifting tables), the final rank frame, the per-round
+    * distinct-class counts (the convergence curve — `classes(k)` =
+    * max rank of frame k), and the corpus totals. */
+  private[graft] case class RankRounds(frames: Seq[DataFrame],
+      ranks: DataFrame, classes: Seq[Long], total: Long, maxLen: Long)
+
+  /** Prefix-doubling rounds, derived from the corpus: the round count
+    * is ceil(log2(longest stream)) — measured, not a compile-time cap —
+    * with early stop the moment ranks are fully distinct (max rank =
+    * N ⇔ the suffix order is resolved; every further round is a
+    * provable no-op). Convergence at round c implies every 2^k prefix
+    * with k ≥ c is also unique, so the missing tail frames could never
+    * fire a lift — the lifting caller uses exactly the frames that
+    * exist. */
+  private[graft] def rankRounds(docs: DataFrame): RankRounds = {
     val st = Dedup.persistTracked(stream(docs))
     val maxLen = st.groupBy("doc_id").agg(count(lit(1)).as("_m"))
       .agg(max("_m")).collect()(0).getLong(0)
-    require(maxLen <= (1L << Rounds),
-      s"longest token stream $maxLen exceeds 2^$Rounds — raise Rounds " +
-        "(log2 of the longest document) for this corpus")
+    val rounds = roundsFor(maxLen)
     val tokRanks = Ranking.withGlobalRank(
       st.select(col("tok")).distinct(), Seq(col("tok")), "_r")
     var ranks = Dedup.checkpointTracked(
@@ -77,9 +98,14 @@ object SuffixArray {
         .select(col("doc_id"), col("widx"), col("_r").as("r")))
     val frames = scala.collection.mutable.ArrayBuffer(ranks)
     val total = st.count()
+    // round-0 class count doubles as the INITIAL convergence check: a
+    // corpus of all-distinct tokens used to run one full no-op round
+    // before the post-round check could fire
+    val classes = scala.collection.mutable.ArrayBuffer(
+      ranks.agg(max("r")).collect()(0).getLong(0))
     var step = 1L
-    var converged = false
-    for (_ <- 1 to Rounds if !converged) {
+    var converged = classes(0) == total
+    for (_ <- 1 to rounds if !converged) {
       val shifted = ranks.select(col("doc_id"),
         (col("widx") - step).as("widx"), col("r").as("_r2"))
       val paired = ranks.join(shifted, Seq("doc_id", "widx"), "left")
@@ -93,14 +119,14 @@ object SuffixArray {
           .select(col("doc_id"), col("widx"), col("_nr").as("r")))
       frames += ranks
       // early stop: dense ranks are 1..max, so max == N ⇔ all ranks
-      // distinct ⇔ the suffix order is fully resolved — every further
-      // round is the provable no-op the fixed-Rounds contract relies
-      // on, so skipping them cannot change a row (one cheap agg per
-      // round on the checkpointed frame buys back the tail rounds)
-      converged = ranks.agg(max("r")).collect()(0).getLong(0) == total
+      // distinct ⇔ the suffix order is fully resolved (one cheap agg
+      // per round on the checkpointed frame buys back the tail rounds)
+      val c = ranks.agg(max("r")).collect()(0).getLong(0)
+      classes += c
+      converged = c == total
       step *= 2
     }
-    (frames.toSeq, ranks)
+    RankRounds(frames.toSeq, ranks, classes.toSeq, total, maxLen)
   }
 
   /** ExactSubstr's payoff query (Lee et al. 2022 §4): repeated token
@@ -116,7 +142,68 @@ object SuffixArray {
     * Returns (lcp, adoc, awidx, bdoc, bwidx) for pairs with
     * lcp ≥ minLcp. */
   def repeatedSeqPairs(docs: DataFrame, minLcp: Long = 3L): DataFrame = {
-    val (frames, fin) = rankRounds(docs)
+    val rr = rankRounds(docs)
+    lcpPairs(rr.frames, rr.ranks).where(col("lcp") >= minLcp)
+  }
+
+  /** ExactSubstr REMOVAL (Lee et al. 2022 §4.1's actual payoff): drop
+    * every token position covered by a repeated sequence of ≥ minLcp
+    * tokens. All occurrences of a repeat form a contiguous rank
+    * interval, so its adjacent pairs chain through every occurrence —
+    * marking BOTH sides of each pair with lcp ≥ minLcp covers exactly
+    * the positions where a long-enough repeat lives. Spans explode to
+    * their covered positions (Σlcp rows — bounded by the corpus'
+    * actual duplication, never quadratic), distinct, and anti-join
+    * the token stream; per-doc reassembly is the line-dedup ordered-
+    * collect pattern. Sentinels never enter a common prefix (unique
+    * per doc), so covered positions are always real tokens.
+    *
+    * Returns one row per doc: kept/cut token counts, the md5 of the
+    * cleaned text, and its first 6 tokens (bounded output — the full
+    * cleaned corpus is what a pipeline would write, not return). */
+  def repeatCut(docs: DataFrame, pairs: DataFrame,
+      minLcp: Long): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("widx", "tok")))
+      .select(col("doc_id"), col("widx").cast("long").as("widx"),
+        col("tok"))
+    val marked = pairs.where(col("lcp") >= minLcp)
+    val spans = marked.select(col("adoc").as("doc_id"),
+        col("awidx").as("_s"), col("lcp"))
+      .unionByName(marked.select(col("bdoc").as("doc_id"),
+        col("bwidx").as("_s"), col("lcp")))
+    val covered = spans
+      .select(col("doc_id"),
+        explode(sequence(col("_s"), col("_s") + col("lcp") - 1L))
+          .as("widx"))
+      .distinct()
+    toks.join(covered, Seq("doc_id", "widx"), "left_anti")
+      .withColumn("_t", struct(col("widx"), col("tok")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(array_sort(collect_list(col("_t"))),
+          t => t.getField("tok"))).as("_clean"))
+      .join(docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens")),
+        Seq("doc_id"), "right")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_cut"),
+        md5(coalesce(col("_clean"), lit("")).cast("binary"))
+          .as("clean_hash"),
+        concat_ws(" ", slice(split(coalesce(col("_clean"), lit("")), " "),
+          1, 6)).as("head_clean"))
+  }
+
+  /** Rank-adjacent pair frame with LCPs lifted over `frames` — split
+    * out of [[repeatedSeqPairs]] so [[SuffixIndex]] can lift once over
+    * a saved rank artifact and share the pair table across queries.
+    * The TOP frame is skipped when it is already fully distinct (the
+    * convergence frame: distinct ranks can only match at equal
+    * positions, which adjacent pairs never are — a provable no-op
+    * join). */
+  private[graft] def lcpPairs(frames: Seq[DataFrame], fin: DataFrame,
+      topDistinct: Boolean = true): DataFrame = {
     val a = fin.select(col("doc_id").as("adoc"), col("widx").as("awidx"),
       col("r"))
     val b = fin.select(col("doc_id").as("bdoc"), col("widx").as("bwidx"),
@@ -124,7 +211,8 @@ object SuffixArray {
     var p = a.join(b, "r")
       .select(col("adoc"), col("awidx"), col("bdoc"), col("bwidx"))
       .withColumn("lcp", lit(0L))
-    for (k <- (frames.size - 2) to 0 by -1) {
+    val top = if (topDistinct) frames.size - 2 else frames.size - 1
+    for (k <- top to 0 by -1) {
       val step = 1L << k
       val ra = frames(k).select(col("doc_id").as("_ad"),
         col("widx").as("_aw"), col("r").as("_ra"))
@@ -144,6 +232,6 @@ object SuffixArray {
         .select(col("adoc"), col("awidx"), col("bdoc"), col("bwidx"),
           col("lcp")))
     }
-    p.where(col("lcp") >= minLcp)
+    p
   }
 }

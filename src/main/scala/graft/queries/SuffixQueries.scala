@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{SuffixArray, TextAnalysis}
+import graft.ops.{SuffixArray, SuffixIndex, TextAnalysis}
 
 /** Suffix-array queries, with the ENTIRE prefix-doubling construction
   * replayed inside the DuckDB oracle: the token+sentinel stream, the
@@ -10,11 +10,32 @@ import graft.ops.{SuffixArray, TextAnalysis}
   * doubling rounds (each an unrolled self-join + dense_rank stage) —
   * integer ranks end-to-end, so the replay is exact. The engine's
   * distinct-pair + distributed-row-number rank equals dense_rank by
-  * construction (distinct rows), pinned here by the driver hash. */
+  * construction (distinct rows), pinned here by the driver hash.
+  *
+  * Cost model (r14): `tx_suffix_build` is the CONSTRUCTION line — it
+  * always rebuilds the [[graft.ops.SuffixIndex]] artifact (doubling
+  * rounds + LCP lift + save) and emits the convergence curve. The
+  * other four rows CONSUME the saved index (leaf scans over the rank /
+  * pair frames, fingerprint-revalidated per call, built on miss) —
+  * the production shape at 100 TB, where the index is built once per
+  * corpus release and queried many times. The oracle replay makes the
+  * artifact path verifiable end-to-end: a wrong byte in the saved
+  * index breaks the same driver hashes that pinned the in-memory
+  * construction. */
 object SuffixQueries {
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
+
+  /** tx_suffix_build: force-rebuild the suffix index artifact and
+    * emit the convergence curve — (round, distinct prefix-class
+    * count, corpus positions); `n_classes` hits `n_pos` exactly at
+    * the convergence round, and the DuckDB replay derives the same
+    * curve (rounds whose PREDECESSOR had already converged are
+    * filtered — the engine never executes them). */
+  def suffixBuild(spark: SparkSession, dir: String): DataFrame =
+    SuffixIndex.rebuild(spark, dir)
+      .transform(QueryUtil.ordered("round"))
 
   /** tx_suffix_ranks: the full rank table verified through the
     * tx_bpe_ids BOUNDED-digest contract (the rank frame is
@@ -24,7 +45,7 @@ object SuffixQueries {
     * (doc_id, widx, rank), and the first 8 ranks in stream order —
     * one flipped rank anywhere still breaks the hash. */
   def suffixRanks(spark: SparkSession, dir: String): DataFrame =
-    SuffixArray.suffixRanks(docs(spark, dir))
+    SuffixIndex.loadOrBuild(spark, dir).ranks
       .withColumn("_fp", TextAnalysis.md5Low64(
         concat_ws("|", col("doc_id").cast("string"),
           col("widx").cast("string"), col("r").cast("string"))))
@@ -45,7 +66,7 @@ object SuffixQueries {
     val meta = d.select(col("doc_id"),
       split(col("text"), " ").as("_l"),
       size(split(col("text"), " ")).cast("long").as("_m"))
-    SuffixArray.suffixRanks(d)
+    SuffixIndex.loadOrBuild(spark, dir).ranks
       .join(meta, Seq("doc_id"))
       .where(col("widx") < col("_m"))
       .orderBy(col("r")).limit(20)
@@ -66,7 +87,8 @@ object SuffixQueries {
     val d = docs(spark, dir)
     val meta = d.select(col("doc_id").as("adoc"),
       split(col("text"), " ").as("_l"))
-    SuffixArray.repeatedSeqPairs(d, minLcp = 3L)
+    SuffixIndex.loadOrBuild(spark, dir).pairs
+      .where(col("lcp") >= 3L)
       .orderBy(col("lcp").desc, col("adoc"), col("awidx"),
         col("bdoc"), col("bwidx"))
       .limit(20)
@@ -79,13 +101,30 @@ object SuffixQueries {
         col("awidx"), col("bdoc"), col("bwidx")))
   }
 
+  /** Repeat length (tokens) above which [[suffixCut]] removes a
+    * covered span — Lee et al. use 50 BPE tokens at crawl scale; 8
+    * keeps the planted duplicate structure observable at sf0.001. */
+  val MinRepeat = 8L
+
+  /** tx_suffix_cut: ExactSubstr REMOVAL over the saved index
+    * ([[graft.ops.SuffixArray.repeatCut]]) — every token position
+    * covered by a ≥ [[MinRepeat]]-token repeated sequence is dropped,
+    * per-doc kept/cut counts + cleaned-text digest returned. The
+    * artifact's payoff query: at 100 TB the index is built once and
+    * THIS is the pass that writes the deduplicated corpus. */
+  def suffixCut(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.SuffixArray.repeatCut(docs(spark, dir),
+        SuffixIndex.loadOrBuild(spark, dir).pairs, MinRepeat)
+      .transform(QueryUtil.ordered("doc_id"))
+
   /** tx_lcp_profile: the duplication-depth histogram — how many
     * rank-adjacent suffix pairs share a prefix of each length (the
     * dataset-card view of "how much n-token duplication exists at
     * every n"; ExactSubstr thresholds are chosen off exactly this
     * curve). Bounded output: ≤ maxDocLen rows. */
   def lcpProfile(spark: SparkSession, dir: String): DataFrame =
-    SuffixArray.repeatedSeqPairs(docs(spark, dir), minLcp = 1L)
+    SuffixIndex.loadOrBuild(spark, dir).pairs
+      .where(col("lcp") >= 1L)
       .groupBy("lcp").agg(count(lit(1)).as("n_pairs"))
       .transform(QueryUtil.ordered("lcp"))
 
@@ -122,6 +161,28 @@ object SuffixQueries {
   }
 
   private def finalRk = s"rk${SuffixArray.Rounds}"
+
+  /** Convergence-curve replay: per-round distinct-class counts (max of
+    * a dense rank), keeping round 0 plus every round whose PREDECESSOR
+    * had not yet converged — exactly the rounds the engine executes
+    * (its early stop fires the first time max rank = N, and its
+    * derived round cap ceil(log2 maxLen) guarantees convergence by the
+    * last executed round). */
+  val suffixBuildOracle: String = {
+    val tot = "(SELECT CAST(count(*) AS BIGINT) FROM toks)"
+    val branches = (0 to SuffixArray.Rounds).map { k =>
+      val head =
+        s"""SELECT CAST($k AS BIGINT) AS round,
+           |    (SELECT max(r) FROM rk$k) AS n_classes,
+           |    $tot AS n_pos""".stripMargin
+      if (k == 0) head
+      else head + s"\n  WHERE (SELECT max(r) FROM rk${k - 1}) < $tot"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH $chain
+       |SELECT round, n_classes, n_pos FROM (
+       |  $branches
+       |) ORDER BY round""".stripMargin
+  }
 
   val suffixRanksOracle: String =
     s"""WITH $chain,
@@ -200,10 +261,45 @@ object SuffixQueries {
        |SELECT lcp, CAST(count(*) AS BIGINT) AS n_pairs FROM l0
        |WHERE lcp >= 1 GROUP BY lcp ORDER BY lcp""".stripMargin
 
+  /** Coverage replay: both sides of every ≥ MinRepeat pair explode to
+    * covered positions, distinct, anti-join the token stream,
+    * ordered reassembly + digest. */
+  val suffixCutOracle: String =
+    s"""WITH $liftedChain,
+       |mk AS (SELECT adoc AS doc_id, awidx AS s, lcp FROM l0
+       |    WHERE lcp >= $MinRepeat
+       |  UNION ALL
+       |  SELECT bdoc, bwidx, lcp FROM l0 WHERE lcp >= $MinRepeat),
+       |cov AS (SELECT DISTINCT doc_id, s + i AS widx
+       |  FROM mk, LATERAL (SELECT unnest(range(0, lcp)) AS i) g),
+       |tk AS (SELECT doc_id, string_split(text, ' ') AS w
+       |  FROM documents),
+       |tok AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS widx, w[i] AS tok
+       |  FROM tk, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) g),
+       |kept AS (SELECT t.doc_id, t.widx, t.tok FROM tok t
+       |  LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.widx = t.widx
+       |  WHERE c.widx IS NULL),
+       |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       |    string_agg(tok, ' ' ORDER BY widx) AS clean
+       |  FROM kept GROUP BY doc_id),
+       |b AS (SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents)
+       |SELECT b.doc_id, b.n_tokens,
+       |  COALESCE(a.n_kept, 0) AS n_kept,
+       |  b.n_tokens - COALESCE(a.n_kept, 0) AS n_cut,
+       |  md5(COALESCE(a.clean, '')) AS clean_hash,
+       |  array_to_string((string_split(COALESCE(a.clean, ''), ' '))[1:6],
+       |    ' ') AS head_clean
+       |FROM b LEFT JOIN ag a USING (doc_id)
+       |ORDER BY b.doc_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] =
     Map(
+      "tx_suffix_build" -> ((suffixBuild _, Some(suffixBuildOracle))),
       "tx_suffix_ranks" -> ((suffixRanks _, Some(suffixRanksOracle))),
       "tx_suffix_top" -> ((suffixTop _, Some(suffixTopOracle))),
       "tx_repeated_seqs" -> ((repeatedSeqs _, Some(repeatedSeqsOracle))),
+      "tx_suffix_cut" -> ((suffixCut _, Some(suffixCutOracle))),
       "tx_lcp_profile" -> ((lcpProfile _, Some(lcpProfileOracle))))
 }
