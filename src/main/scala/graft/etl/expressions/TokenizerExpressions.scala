@@ -70,6 +70,133 @@ case class UnigramViterbi(child: Expression, pieces: Array[String],
       newChild: Expression): UnigramViterbi = copy(child = newChild)
 }
 
+/** Forward–backward expected piece counts of one word under a frozen
+  * unigram piece model (Kudo 2018 §3's true E-step, vs
+  * [[UnigramViterbi]]'s 1-best counts), in ONE compiled pass per row.
+  *
+  * Output: `array<struct<piece string, e double>>` — one entry per
+  * piece OCCURRENCE in the word's lattice (end position × length, in
+  * end-position-then-length order), `e` = the occurrence's posterior
+  * expectation α(i−l)·p·β(i)/α(n). Per-occurrence (not per-piece)
+  * output is deliberate: the caller rounds each occurrence's
+  * contribution to DECIMAL(38,12) BEFORE summing, so corpus-level
+  * expected counts are an exact decimal sum — order-free, replayable
+  * — instead of a float sum whose value depends on partitioning.
+  *
+  * EXACTNESS CONTRACT (the oracle-replay rule): α accumulates
+  * ascending l with skipped missing pieces — IEEE `x + 0.0 = x` makes
+  * that bit-identical to the oracle's COALESCE(term, 0) left-assoc
+  * chain; β the same backward; each occurrence computes
+  * ((α·p)·β)/Z in exactly that association. Multiplication operand
+  * order is commutative bit-for-bit; only ADDITION order has to be
+  * pinned, and it is.
+  *
+  * A word with a non-alphabet character (unreachable for gated words)
+  * yields the empty array — total-function rule. */
+case class UnigramFBExpected(child: Expression, pieces: Array[String],
+    probs: Array[Double], maxPieceLen: Int) extends UnaryExpression {
+  require(pieces.length == probs.length && pieces.nonEmpty,
+    "model arrays must align and be non-empty")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string word, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("piece", StringType, nullable = false),
+    StructField("e", DoubleType, nullable = false))), containsNull = false)
+  override def prettyName: String = "unigram_fb_expected"
+
+  @transient private lazy val model: java.util.HashMap[String, java.lang.Double] =
+    UnigramViterbi.buildModel(pieces, probs)
+
+  override def nullSafeEval(input: Any): Any =
+    UnigramFBExpected.expected(input.asInstanceOf[UTF8String], model,
+      maxPieceLen)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val cls = UnigramFBExpected.getClass.getName.stripSuffix("$")
+    val pm = ctx.addReferenceObj("unigramFbModel", model, "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $cls.expected($c, $pm, $maxPieceLen);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): UnigramFBExpected = copy(child = newChild)
+}
+
+object UnigramFBExpected {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  private val Empty = new GenericArrayData(Array.empty[Any])
+
+  /** Static entry for interpreted eval and generated code. */
+  def expected(word: UTF8String,
+      pm: java.util.HashMap[String, java.lang.Double],
+      maxPieceLen: Int): GenericArrayData = {
+    val s = word.toString
+    val n = s.length
+    if (n == 0) return Empty
+    // forward: α(i) = Σ_{l asc} α(i−l)·p(s[i−l..i)) — skipped missing
+    // terms are bit-identical to adding 0.0 (left-assoc)
+    val a = new Array[Double](n + 1)
+    a(0) = 1.0
+    var i = 1
+    while (i <= n) {
+      var acc = 0.0
+      var any = false
+      var l = 1
+      val lm = if (maxPieceLen < i) maxPieceLen else i
+      while (l <= lm) {
+        val p = pm.get(s.substring(i - l, i))
+        if (p != null) { acc += a(i - l) * p.doubleValue(); any = true }
+        l += 1
+      }
+      if (!any) return Empty // non-alphabet char: unreachable gated
+      a(i) = acc
+      i += 1
+    }
+    // backward: β(i) = Σ_{l asc} p(s[i..i+l))·β(i+l)
+    val b = new Array[Double](n + 1)
+    b(n) = 1.0
+    i = n - 1
+    while (i >= 0) {
+      var acc = 0.0
+      var l = 1
+      val lm = if (maxPieceLen < n - i) maxPieceLen else n - i
+      while (l <= lm) {
+        val p = pm.get(s.substring(i, i + l))
+        if (p != null) acc += p.doubleValue() * b(i + l)
+        l += 1
+      }
+      b(i) = acc
+      i -= 1
+    }
+    val z = a(n)
+    // occurrences in (end position, length) order
+    val out = new scala.collection.mutable.ArrayBuffer[Any](n * maxPieceLen)
+    i = 1
+    while (i <= n) {
+      var l = 1
+      val lm = if (maxPieceLen < i) maxPieceLen else i
+      while (l <= lm) {
+        val q = s.substring(i - l, i)
+        val p = pm.get(q)
+        if (p != null) {
+          val e = ((a(i - l) * p.doubleValue()) * b(i)) / z
+          out += InternalRow(UTF8String.fromString(q), e)
+        }
+        l += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
 object UnigramViterbi {
 
   def buildModel(pieces: Array[String],

@@ -68,6 +68,35 @@ object UnigramQueries {
       .transform(QueryUtil.ordered("doc_id"))
   }
 
+  /** tx_unigram_em: the forward–backward training run
+    * ([[UnigramLm.learnEm]] — Kudo 2018's true E-step + one pruning
+    * round, vs the hard-EM rows above) — one row per SEED piece with
+    * its round-1 expected count, survival of the prune, round-2
+    * expected count and final smoothed probability (−1 sentinels for
+    * pruned pieces). Expected counts are exact DECIMAL sums of
+    * per-occurrence posteriors, so the DuckDB replay pins every
+    * double bit-for-bit. */
+  def unigramEm(spark: SparkSession, dir: String): DataFrame = {
+    val (m, _) = UnigramLm.learnEm(docs(spark, dir))
+    val keptSet = m.kept.toSet
+    val e2Map = m.e2.toMap
+    val finMap = m.finalProbs.toMap
+    // expected counts surface at scale 3 (ties away from zero, both
+    // engines): a scale-3 decimal's raw units stay below 2^53 at any
+    // plausible corpus size, so the decimal→double cast is an
+    // exact-operand op on both sides — the scale-12 cast drifted 1 ulp
+    // once the value passed ~9007 (raw > 2^53)
+    def d3(c: java.math.BigDecimal): Double =
+      c.setScale(3, java.math.RoundingMode.HALF_UP).doubleValue
+    import spark.implicits._
+    m.e1.map { case (p, c1) =>
+      (p, d3(c1), keptSet(p),
+        e2Map.get(p).map(d3).getOrElse(-1.0),
+        finMap.getOrElse(p, -1.0))
+    }.toDF("piece", "e1", "kept", "e2", "p_em")
+      .transform(QueryUtil.ordered("piece"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   /** One Viterbi forward DP under probability table pr{r}: unrolled one
@@ -143,30 +172,34 @@ object UnigramQueries {
     * `chainBody` is the WITH-less CTE list over an arbitrary source
     * relation, so compositions (tx_curation17) can splice the whole
     * training replay after their own chains. */
+  /** Seed CTEs shared by the hard-EM and forward–backward replays:
+    * word table, substring histogram, top-K multis, seed vocab. */
+  private def seedParts(rel: String): Seq[String] = Seq(
+    s"""w0 AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest(string_split(lower(text), ' ')) AS word
+       |    FROM $rel) u
+       |  WHERE regexp_matches(word, '^[a-z]+$$') AND length(word) <= 20
+       |  GROUP BY word)""".stripMargin,
+    s"""subs AS MATERIALIZED (
+       |  SELECT substr(word, i, l) AS piece, CAST(sum(cnt) AS BIGINT) AS c
+       |  FROM w0,
+       |    LATERAL (SELECT unnest(range(1, length(word) + 1)) AS i) g,
+       |    LATERAL (SELECT unnest(range(1,
+       |      least($MaxPieceLen, length(word) - i + 1) + 1)) AS l) h
+       |  GROUP BY 1)""".stripMargin,
+    s"""vmulti AS MATERIALIZED (SELECT piece, c FROM subs
+       |  WHERE length(piece) >= 2
+       |  ORDER BY c DESC, piece LIMIT $VocabMulti)""".stripMargin,
+    s"""v0 AS MATERIALIZED (
+       |  SELECT s.piece, coalesce(sub.c, 0) AS c
+       |  FROM (SELECT chr(CAST(97 + i AS INTEGER)) AS piece
+       |        FROM (SELECT unnest(range(0, 26)) AS i) a) s
+       |  LEFT JOIN subs sub ON sub.piece = s.piece
+       |  UNION ALL SELECT piece, c FROM vmulti)""".stripMargin)
+
   private[queries] def chainBody(rel: String): String = {
-    val parts = Seq(
-      s"""w0 AS MATERIALIZED (
-         |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
-         |    SELECT unnest(string_split(lower(text), ' ')) AS word
-         |    FROM $rel) u
-         |  WHERE regexp_matches(word, '^[a-z]+$$') AND length(word) <= 20
-         |  GROUP BY word)""".stripMargin,
-      s"""subs AS MATERIALIZED (
-         |  SELECT substr(word, i, l) AS piece, CAST(sum(cnt) AS BIGINT) AS c
-         |  FROM w0,
-         |    LATERAL (SELECT unnest(range(1, length(word) + 1)) AS i) g,
-         |    LATERAL (SELECT unnest(range(1,
-         |      least($MaxPieceLen, length(word) - i + 1) + 1)) AS l) h
-         |  GROUP BY 1)""".stripMargin,
-      s"""vmulti AS MATERIALIZED (SELECT piece, c FROM subs
-         |  WHERE length(piece) >= 2
-         |  ORDER BY c DESC, piece LIMIT $VocabMulti)""".stripMargin,
-      s"""v0 AS MATERIALIZED (
-         |  SELECT s.piece, coalesce(sub.c, 0) AS c
-         |  FROM (SELECT chr(CAST(97 + i AS INTEGER)) AS piece
-         |        FROM (SELECT unnest(range(0, 26)) AS i) a) s
-         |  LEFT JOIN subs sub ON sub.piece = s.piece
-         |  UNION ALL SELECT piece, c FROM vmulti)""".stripMargin) ++
+    val parts = seedParts(rel) ++
       (1 to EmRounds).flatMap { r =>
         Seq(prFrom(s"v${r - 1}", r), dpStages(r), segRound(r), cntRound(r))
       } ++ {
@@ -177,6 +210,136 @@ object UnigramQueries {
   }
 
   private def chain: String = "WITH RECURSIVE " + chainBody("documents")
+
+  // ------------------------------------------------- forward–backward EM
+
+  import UnigramLm.PruneKeep
+
+  /** One forward–backward round r under probability table pr{r}:
+    * α stages (fw{r}_i / running union fwa{r}_i), β stages (bw{r}_i /
+    * bwa{r}_i seeded by the per-word base row β(len)=1), the per-word
+    * normalizer z{r} = α(len), per-occurrence posteriors occ{r} with
+    * the engine's exact association ((α·p)·β)/z, and the exact-decimal
+    * corpus totals ec{r} (each occurrence's e·cnt rounded to
+    * DECIMAL(38,12) once, then summed losslessly — the tx_langid
+    * gradient pattern). Float-addition order is pinned: every α/β
+    * stage adds its ≤ MaxPieceLen terms ascending-l left-assoc with
+    * COALESCE(term, 0) — IEEE x+0.0 = x makes that bit-identical to
+    * the engine's skip-missing accumulation. */
+  private def fbStages(r: Int): String = {
+    val sb = new StringBuilder(
+      s"""fwa${r}_0 AS MATERIALIZED (SELECT word, 0 AS pos,
+         |  CAST(1.0 AS DOUBLE) AS a FROM w0)""".stripMargin)
+    for (i <- 1 to MaxWordLen) {
+      val ls = 1 to math.min(MaxPieceLen, i)
+      val joins = ls.map { l =>
+        s"""  LEFT JOIN fwa${r}_${i - 1} a$l
+           |    ON a$l.word = w.word AND a$l.pos = ${i - l}
+           |  LEFT JOIN pr$r p$l ON length(p$l.piece) = $l
+           |    AND p$l.piece = substr(w.word, ${i - l + 1}, $l)"""
+          .stripMargin
+      }.mkString("\n")
+      val terms = ls.map(l => s"COALESCE(a$l.a * p$l.p, 0)")
+        .mkString(" + ")
+      sb ++= s""",
+         |fw${r}_$i AS MATERIALIZED (
+         |  SELECT w.word, $i AS pos, $terms AS a
+         |  FROM w0 w
+         |$joins
+         |  WHERE length(w.word) >= $i),
+         |fwa${r}_$i AS MATERIALIZED (SELECT * FROM fwa${r}_${i - 1}
+         |  UNION ALL SELECT * FROM fw${r}_$i)""".stripMargin
+    }
+    sb ++= s""",
+       |bwa${r}_$MaxWordLen AS MATERIALIZED (SELECT word,
+       |  CAST(length(word) AS INTEGER) AS pos, CAST(1.0 AS DOUBLE) AS b
+       |  FROM w0)""".stripMargin
+    for (i <- (MaxWordLen - 1) to 0 by -1) {
+      val ls = 1 to math.min(MaxPieceLen, MaxWordLen - i)
+      val joins = ls.map { l =>
+        s"""  LEFT JOIN pr$r p$l ON length(p$l.piece) = $l
+           |    AND p$l.piece = substr(w.word, ${i + 1}, $l)
+           |  LEFT JOIN bwa${r}_${i + 1} b$l
+           |    ON b$l.word = w.word AND b$l.pos = ${i + l}"""
+          .stripMargin
+      }.mkString("\n")
+      val terms = ls.map(l => s"COALESCE(p$l.p * b$l.b, 0)")
+        .mkString(" + ")
+      sb ++= s""",
+         |bw${r}_$i AS MATERIALIZED (
+         |  SELECT w.word, $i AS pos, $terms AS b
+         |  FROM w0 w
+         |$joins
+         |  WHERE length(w.word) > $i),
+         |bwa${r}_$i AS MATERIALIZED (SELECT * FROM bwa${r}_${i + 1}
+         |  UNION ALL SELECT * FROM bw${r}_$i)""".stripMargin
+    }
+    sb ++= s""",
+       |z$r AS MATERIALIZED (SELECT w.word, f.a AS z
+       |  FROM fwa${r}_$MaxWordLen f JOIN w0 w
+       |    ON w.word = f.word AND f.pos = length(w.word)),
+       |occ$r AS MATERIALIZED (
+       |  SELECT a.word, v.piece, ((a.a * v.p) * b.b) / z.z AS e
+       |  FROM fwa${r}_$MaxWordLen a
+       |  JOIN pr$r v ON v.piece =
+       |    substr(a.word, a.pos + 1, CAST(length(v.piece) AS INTEGER))
+       |  JOIN bwa${r}_0 b ON b.word = a.word
+       |    AND b.pos = a.pos + CAST(length(v.piece) AS INTEGER)
+       |  JOIN z$r z ON z.word = a.word),
+       |ec$r AS MATERIALIZED (
+       |  SELECT piece, sum(CAST(o.e * w.cnt AS DECIMAL(38,12))) AS c
+       |  FROM occ$r o JOIN w0 w USING (word)
+       |  GROUP BY piece)""".stripMargin
+    sb.toString
+  }
+
+  /** The forward–backward training replay: seed → pr1 → FB round 1 →
+    * count-ranked prune (alphabet + top-[[UnigramLm.PruneKeep]]
+    * multis) → pr2 → FB round 2 → final probabilities. */
+  private def emChain: String = (seedParts("documents") ++ Seq(
+    prFrom("v0", 1),
+    fbStages(1),
+    s"""ev1 AS MATERIALIZED (SELECT v.piece,
+       |  COALESCE(e.c, CAST(0 AS DECIMAL(38,12))) AS c
+       |  FROM v0 v LEFT JOIN ec1 e USING (piece))""".stripMargin,
+    s"""keepm AS MATERIALIZED (SELECT piece FROM ev1
+       |  WHERE length(piece) >= 2
+       |  ORDER BY c DESC, piece LIMIT $PruneKeep)""".stripMargin,
+    s"""kv1 AS MATERIALIZED (SELECT piece, c FROM ev1
+       |  WHERE length(piece) = 1
+       |     OR piece IN (SELECT piece FROM keepm))""".stripMargin,
+    // integer-quantized M-step (the UnigramLm.quantize rule): round
+    // the decimal expected counts to BIGINT (ties away — DuckDB
+    // round = BigDecimal HALF_UP), then integer-ratio probabilities —
+    // the exact-operand regime the scale-12 double cast broke out of
+    s"""kvr1 AS MATERIALIZED (SELECT piece,
+       |  CAST(round(c, 0) AS BIGINT) AS n FROM kv1)""".stripMargin,
+    s"""pr2 AS MATERIALIZED (SELECT piece,
+       |  CAST(n + 1 AS DOUBLE) / CAST((SELECT sum(n + 1) FROM kvr1)
+       |    AS DOUBLE) AS p FROM kvr1)""".stripMargin,
+    fbStages(2),
+    s"""ev2 AS MATERIALIZED (SELECT v.piece,
+       |  COALESCE(e.c, CAST(0 AS DECIMAL(38,12))) AS c
+       |  FROM kv1 v LEFT JOIN ec2 e USING (piece))""".stripMargin,
+    s"""evr2 AS MATERIALIZED (SELECT piece,
+       |  CAST(round(c, 0) AS BIGINT) AS n FROM ev2)""".stripMargin,
+    s"""prf AS MATERIALIZED (SELECT piece,
+       |  CAST(n + 1 AS DOUBLE) / CAST((SELECT sum(n + 1) FROM evr2)
+       |    AS DOUBLE) AS p FROM evr2)""".stripMargin))
+    .mkString("WITH ", ",\n", "")
+
+  val unigramEmOracle: String =
+    s"""$emChain
+       |SELECT s.piece,
+       |  CAST(round(s.c, 3) AS DOUBLE) AS e1,
+       |  (k.piece IS NOT NULL) AS kept,
+       |  CAST(round(COALESCE(k2.c, -1), 3) AS DOUBLE) AS e2,
+       |  COALESCE(f.p, CAST(-1 AS DOUBLE)) AS p_em
+       |FROM ev1 s
+       |LEFT JOIN kv1 k USING (piece)
+       |LEFT JOIN ev2 k2 USING (piece)
+       |LEFT JOIN prf f USING (piece)
+       |ORDER BY s.piece""".stripMargin
 
   private[queries] def finalSeg = s"segf${EmRounds + 1}"
 
@@ -220,6 +383,7 @@ object UnigramQueries {
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] =
     Map(
       "tx_unigram" -> ((unigram _, Some(unigramOracle))),
+      "tx_unigram_em" -> ((unigramEm _, Some(unigramEmOracle))),
       "tx_unigram_vocab" -> ((unigramVocab _, Some(unigramVocabOracle))),
       "tx_unigram_apply" -> ((unigramApply _, Some(unigramApplyOracle))),
       "tx_pack_uni" -> ((packUni _, Some(packUniOracle))))

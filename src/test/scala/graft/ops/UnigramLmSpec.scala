@@ -66,6 +66,70 @@ class UnigramLmSpec extends SparkSpec {
     assert(seed != fin)
   }
 
+  /** All segmentations of `w` into vocab pieces (≤ MaxPieceLen). */
+  private def allSegs(w: String, v: Map[String, Double]): Seq[Seq[String]] =
+    if (w.isEmpty) Seq(Seq.empty)
+    else (1 to math.min(UnigramLm.MaxPieceLen, w.length)).flatMap { l =>
+      val q = w.take(l)
+      if (v.contains(q)) allSegs(w.drop(l), v).map(q +: _) else Seq.empty
+    }
+
+  test("UnigramFBExpected: posteriors match brute-force enumeration; mass identities hold") {
+    import org.apache.spark.sql.graft.Bridge
+    val v = vocab("ab" -> 0.2, "ba" -> 0.1, "aba" -> 0.05, "b" -> 0.3)
+    val word = "ababab"
+    val exp = Bridge.column(graft.etl.expressions.UnigramFBExpected(
+      Bridge.expression(col("word")),
+      v.map(_._1).toArray, v.map(_._2).toArray, UnigramLm.MaxPieceLen))
+    val got = Seq(word).toDF("word").select(explode(exp).as("o"))
+      .select(col("o.piece"), col("o.e")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+    // brute force: P(seg) = Π p; E[count(q)] = Σ_seg P·count(q) / Σ_seg P
+    val vm = v.toMap
+    val segs = allSegs(word, vm)
+    assert(segs.size > 4, "premise: a genuinely ambiguous lattice")
+    val z = segs.map(_.map(vm).product).sum
+    val want = segs.flatMap(s => s.map(q => q -> s.map(vm).product / z))
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).sum }
+    val gotByPiece = got.groupBy(_._1)
+      .map { case (q, xs) => q -> xs.map(_._2).sum }
+    assert(gotByPiece.keySet == want.keySet)
+    gotByPiece.foreach { case (q, e) =>
+      assert(math.abs(e - want(q)) < 1e-12, s"piece $q: $e vs ${want(q)}")
+    }
+    // mass identity: Σ_occ e·|piece| = word length (every char covered
+    // by exactly one piece in every segmentation)
+    val mass = got.map { case (q, e) => e * q.length }.sum
+    assert(math.abs(mass - word.length) < 1e-12)
+  }
+
+  test("learnEm: true E-step + pruning — alphabet survives, prune cuts to PruneKeep multis, counts quantize consistently") {
+    val (m, segd) = UnigramLm.learnEm(docs)
+    // every seed piece has a round-1 expectation; alphabet all kept
+    assert(m.e1.map(_._1) == m.seed.map(_.piece))
+    val singles = m.kept.filter(_.length == 1)
+    assert(singles.toSet == ('a' to 'z').map(_.toString).toSet)
+    assert(m.kept.count(_.length >= 2) ==
+      math.min(UnigramLm.PruneKeep, m.seed.count(_.piece.length >= 2)))
+    // pruned pieces are exactly the seed multis missing from kept
+    val pruned = m.seed.map(_.piece).toSet -- m.kept.toSet
+    assert(pruned.forall(_.length >= 2))
+    // expected counts are nonnegative and the final probs are a
+    // distribution over the kept set
+    assert(m.e1.forall(_._2.signum >= 0))
+    assert(m.finalProbs.map(_._1) == m.e2.map(_._1))
+    assert(math.abs(m.finalProbs.map(_._2).sum - 1.0) < 1e-9)
+    // the segmentation table is Viterbi under the final model: pieces
+    // reassemble and only kept pieces appear
+    val keptSet = m.kept.toSet
+    segd.select("word", "uni_pieces").collect().foreach { r =>
+      val pieces = r.getString(1).split("\\|")
+      assert(pieces.mkString("") == r.getString(0))
+      assert(pieces.forall(keptSet), s"non-kept piece in ${r.getString(1)}")
+    }
+    graft.ops.Dedup.releaseCaches()
+  }
+
   test("scoreDocs matches a hand join of per-word Viterbi counts") {
     val (_, _, segd) = UnigramLm.learn(docs)
     val perWord = segd.select("word", "n_uni").collect()
