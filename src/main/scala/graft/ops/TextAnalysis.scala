@@ -348,19 +348,20 @@ object TextAnalysis {
       s"numBuckets must be a power of two, got $numBuckets")
     val lCols = langCol.map(c => Seq(col(c).as("_lang"))).getOrElse(Nil)
     val yCols = if (lCols.isEmpty) Nil else Seq(col("_lang"))
-    docs.select(col(idCol).as("doc_id") +: lCols :+
-        charNgrams(col(textCol), n).as("_g"): _*)
+    // ONE compiled projection per doc, zero shuffle
+    // ([[graft.etl.expressions.CharGramFeatures]]): the r13 form —
+    // per-doc substring array → explode → bucket hash → groupBy
+    // (doc, bucket) → groupBy (doc) collect+sort — shuffled
+    // corpus-character-proportional rows twice for a result that is
+    // per-doc-local by definition (2.7 s of tx_langid's 5.5 s at
+    // sf0.1). Identical values (SQL-substring grams, md5Low64 pmod
+    // buckets, same division), so every LID oracle replays unchanged.
+    import org.apache.spark.sql.graft.Bridge
+    val f = Bridge.column(graft.etl.expressions.CharGramFeatures(
+      Bridge.expression(coalesce(col(textCol), lit(""))), n, numBuckets))
+    docs.select(col(idCol).as("doc_id") +: (lCols :+ f.as("_f")): _*)
       .select(Seq(col("doc_id")) ++ yCols ++ Seq(
-        size(col("_g")).cast("double").as("_n"), explode(col("_g")).as("_t")): _*)
-      .select(Seq(col("doc_id")) ++ yCols ++ Seq(col("_n"),
-        pmod(md5Low64(col("_t")), lit(numBuckets.toLong)).as("_b")): _*)
-      .groupBy((Seq(col("doc_id")) ++ yCols ++ Seq(col("_n"), col("_b"))): _*)
-      .agg((count(lit(1)) / col("_n")).as("_x"))
-      .groupBy((Seq(col("doc_id")) ++ yCols): _*)
-      .agg(sort_array(collect_list(struct(col("_b"), col("_x")))).as("_f"))
-      .select(Seq(col("doc_id")) ++ yCols ++ Seq(
-        concat(transform(col("_f"), s => s("_b")), array(lit(-1L))).as("_bs"),
-        concat(transform(col("_f"), s => s("_x")), array(lit(1.0))).as("_xs")): _*)
+        col("_f._bs").as("_bs"), col("_f._xs").as("_xs")): _*)
   }
 
   /** Order-free margin: Σ w[b]·x rounded to DECIMAL(38,12) before the
@@ -1030,14 +1031,19 @@ object TextAnalysis {
     * so a margin pass is a projection: no join, no shuffle, summation
     * in sorted-bucket order. Absent buckets contribute 0, matching the
     * oracle's LEFT JOIN + coalesce. */
+  /** Codegen'd sparse margin over the per-doc feature arrays
+    * ([[graft.etl.expressions.SparseMargin]]) — replaced the r13
+    * interpreted `aggregate(zip_with(...))` form, which re-walked an
+    * interpreted lambda per array element per class per epoch.
+    * Bit-identical accumulation (array order, missing-bucket ≡ +0.0),
+    * so every training oracle replays unchanged. */
   private def marginCol(w: Map[Long, Double]): Column =
     if (w.isEmpty) lit(0.0)
     else {
-      val wm = typedlit(w)
-      aggregate(
-        zip_with(col("_bs"), col("_xs"),
-          (b, x) => coalesce(element_at(wm, b), lit(0.0)) * x),
-        lit(0.0), (acc, v) => acc + v)
+      import org.apache.spark.sql.graft.Bridge
+      Bridge.column(graft.etl.expressions.SparseMargin(
+        Bridge.expression(col("_bs")), Bridge.expression(col("_xs")),
+        graft.etl.expressions.SparseMargin.build(w)))
     }
 
   private def logisticCore(docs: DataFrame, labelPred: Column,

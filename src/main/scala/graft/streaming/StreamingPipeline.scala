@@ -208,7 +208,7 @@ object StreamingPipeline {
   /** Counter fields and breakdown maps add across micro-batches;
     * retry maxima take the max. Timing-derived fields stay zero (they
     * are normalized out of equivalence checks). */
-  private def merge(a: EtlReport, b: EtlReport,
+  private[graft] def merge(a: EtlReport, b: EtlReport,
       wr: Sinks.WriteResult): EtlReport = {
     def addM(x: Map[String, Long], y: Map[String, Long]) =
       (x.keySet ++ y.keySet).map(k =>
