@@ -141,6 +141,66 @@ object MediaFixtures {
     ftyp ++ moov(off) ++ box("mdat", samples.flatten.toArray)
   }
 
+  /** AVC (H.264) ISO-BMFF container with REAL random-access structure
+    * and planted parameters — the keyframe-index fixture
+    * ([[Multimodal.Mp4KeyframeWalk]]): an `avc1` sample entry carrying
+    * an `avcC` decoder configuration (profile / level / NAL length
+    * prefix), per-sample `stsz`, one-chunk `stco`/`stsc`, and an
+    * optional `stss` sync-sample table (absent ⇒ every sample is sync,
+    * ISO 14496-12 §8.6.2). Sample payloads are deterministic filler —
+    * the walk never decodes a NAL unit (the disclosed inter-frame
+    * boundary); the SEEK ARITHMETIC is what is real and oracle-stated.
+    * Two passes for the `stco` offset, like [[mjpegMp4]].
+    *
+    * Disclosed: no real-encoder interop fixture is possible in this
+    * container (zero egress, no codec libs ship with the JDK), so the
+    * box layout follows the published spec rather than captured
+    * encoder output. */
+  def avcMp4(sizes: Seq[Int], syncSamples: Option[Seq[Int]],
+      profile: Int, level: Int, nalLen: Int): Array[Byte] = {
+    require(Seq(1, 2, 4).contains(nalLen), s"illegal NAL length $nalLen")
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0))
+    val avcC = box("avcC", Array(
+      1, profile, 0, level, 0xfc | (nalLen - 1), 0xe0, 0).map(_.toByte))
+    def moov(mdatPayloadOff: Long): Array[Byte] = {
+      val entry = be32(8L + 78 + avcC.length) ++
+        "avc1".getBytes("US-ASCII") ++ new Array[Byte](78) ++ avcC
+      val stsd = box("stsd", be32(0) ++ be32(1) ++ entry)
+      val stsz = box("stsz", be32(0) ++ be32(0) ++
+        be32(sizes.length.toLong) ++
+        sizes.toArray.flatMap(s => be32(s.toLong)))
+      val stco = box("stco", be32(0) ++ be32(1) ++ be32(mdatPayloadOff))
+      val stsc = box("stsc", be32(0) ++ be32(1) ++
+        be32(1) ++ be32(sizes.length.toLong) ++ be32(1))
+      val stss = syncSamples.map(ss => box("stss",
+          be32(0) ++ be32(ss.length.toLong) ++
+            ss.toArray.flatMap(s => be32(s.toLong))))
+        .getOrElse(Array.empty[Byte])
+      box("moov", box("trak", box("mdia", box("minf",
+        box("stbl", stsd ++ stsz ++ stco ++ stsc ++ stss)))))
+    }
+    val off = ftyp.length.toLong + moov(0L).length + 8 // + mdat header
+    val mdat = new Array[Byte](sizes.sum)
+    var j = 0
+    while (j < mdat.length) { mdat(j) = (j % 251).toByte; j += 1 }
+    ftyp ++ moov(off) ++ box("mdat", mdat)
+  }
+
+  /** The 8-slot planted AVC table assigned by `doc_id % 8` in
+    * `mm_keyframes`: slot m carries m % 4 + 3 samples of size
+    * 100 + 17·m + 23·k, sync samples every m % 3 + 2 starting at 1
+    * (slot 7 OMITS `stss` — the every-sample-is-sync spec rule),
+    * profile/level/NAL from slot arithmetic. All sample numbers,
+    * offsets and sizes are pure doc_id arithmetic: the oracle states
+    * them without reading a byte (the [[plantedTar]] contract). */
+  def plantedAvcMp4(m: Int): Array[Byte] = {
+    val n = m % 4 + 3
+    val sizes = (0 until n).map(k => 100 + 17 * m + 23 * k)
+    val syncs = if (m == 7) None else Some((1 to n by (m % 3 + 2)).toSeq)
+    avcMp4(sizes, syncs, profile = Seq(66, 77, 100)(m % 3),
+      level = 30 + m, nalLen = Seq(1, 2, 4)(m % 3))
+  }
+
   /** Pure-tone PCM WAV (16-bit mono): `n` samples of a `freq` Hz sine
     * at `rate` Hz — the planted input whose FFT octave-band argmax is
     * known by construction (a Hann-windowed pure tone concentrates its
@@ -262,32 +322,40 @@ object MediaFixtures {
   def tar(members: Seq[(String, Array[Byte])]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     members.foreach { case (name, payload) =>
-      val h = new Array[Byte](512)
-      def put(off: Int, s: String): Unit = {
-        val b = s.getBytes("US-ASCII")
-        System.arraycopy(b, 0, h, off, b.length)
-      }
-      require(name.getBytes("US-ASCII").length <= 100, s"name too long: $name")
-      put(0, name)
-      put(100, "0000644")                       // mode
-      put(108, "0000000")                       // uid
-      put(116, "0000000")                       // gid
-      put(124, f"${payload.length.toLong}%011o") // size, 11-digit octal
-      put(136, "00000000000")                   // mtime
-      java.util.Arrays.fill(h, 148, 156, ' '.toByte) // chksum as spaces
-      h(156) = '0'                              // typeflag: regular file
-      put(257, "ustar")                         // POSIX magic (NUL-terminated)
-      put(263, "00")                            // version
-      val sum = h.foldLeft(0L)((a, b) => a + (b & 0xff))
-      put(148, f"$sum%06o")
-      h(154) = 0; h(155) = ' '
-      out.write(h)
+      out.write(tarHeader(name, payload.length.toLong))
       out.write(payload)
       val pad = (512 - payload.length % 512) % 512
       out.write(new Array[Byte](pad))
     }
     out.write(new Array[Byte](1024))
     out.toByteArray
+  }
+
+  /** One checksum-valid ustar header claiming `size` bytes — split out
+    * of [[tar]] so the TarWalk overflow spec can plant headers whose
+    * CLAIMED sizes walk the position arithmetic near the 2 GiB array
+    * limit without materializing matching payloads. */
+  def tarHeader(name: String, size: Long): Array[Byte] = {
+    val h = new Array[Byte](512)
+    def put(off: Int, s: String): Unit = {
+      val b = s.getBytes("US-ASCII")
+      System.arraycopy(b, 0, h, off, b.length)
+    }
+    require(name.getBytes("US-ASCII").length <= 100, s"name too long: $name")
+    put(0, name)
+    put(100, "0000644")                       // mode
+    put(108, "0000000")                       // uid
+    put(116, "0000000")                       // gid
+    put(124, f"$size%011o")                   // size, 11-digit octal
+    put(136, "00000000000")                   // mtime
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte) // chksum as spaces
+    h(156) = '0'                              // typeflag: regular file
+    put(257, "ustar")                         // POSIX magic (NUL-terminated)
+    put(263, "00")                            // version
+    val sum = h.foldLeft(0L)((a, b) => a + (b & 0xff))
+    put(148, f"$sum%06o")
+    h(154) = 0; h(155) = ' '
+    h
   }
 
   /** The 8-slot planted tar table assigned by `doc_id % 8` in

@@ -383,6 +383,46 @@ object Multimodal {
     def firstChild(b: Array[Byte], start: Int, end: Int,
         typ: String): Option[(Int, Int)] =
       children(b, start, end).collectFirst { case (`typ`, s, e) => (s, e) }
+
+    /** (offset, length) of every sample addressed by the `stsz` /
+      * `stco` / `stsc` tables of one `stbl` box — the random-access
+      * map shared by the MJPEG frame sampler and the keyframe index.
+      * None when any table is missing. */
+    def sampleRangesIn(b: Array[Byte], ss: Int,
+        se: Int): Option[Seq[(Long, Int)]] = for {
+      (szs, _) <- firstChild(b, ss, se, "stsz")
+      (cos, _) <- firstChild(b, ss, se, "stco")
+      (scs, _) <- firstChild(b, ss, se, "stsc")
+    } yield {
+      // stsz: flags, uniform size (0 = per-sample table), count
+      val uniform = be32(b, szs + 4).toInt
+      val n = be32(b, szs + 8).toInt
+      val sizes = Array.tabulate(n)(i =>
+        if (uniform != 0) uniform else be32(b, szs + 12 + 4 * i).toInt)
+      val nCh = be32(b, cos + 4).toInt
+      val chunkOff = Array.tabulate(nCh)(i => be32(b, cos + 8 + 4 * i))
+      val nSc = be32(b, scs + 4).toInt
+      val stsc = Array.tabulate(nSc)(i =>
+        (be32(b, scs + 8 + 12 * i).toInt,   // first_chunk, 1-based
+          be32(b, scs + 12 + 12 * i).toInt)) // samples_per_chunk
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Int)]()
+      var sample = 0
+      var c = 0
+      while (c < nCh && sample < n) {
+        val spc = stsc.takeWhile(_._1 <= c + 1)
+          .lastOption.map(_._2).getOrElse(0)
+        var off = chunkOff(c)
+        var k = 0
+        while (k < spc && sample < n) {
+          out += ((off, sizes(sample)))
+          off += sizes(sample)
+          sample += 1
+          k += 1
+        }
+        c += 1
+      }
+      out.toSeq
+    }
   }
 
   /** One decoded video frame (same field conventions as
@@ -428,39 +468,8 @@ object Multimodal {
           // entry's size + format fourcc
           if sde - sds >= 16 && be32(bytes, sds + 4) >= 1 &&
             JpegFormats(box4(bytes, sds + 12))
-          (szs, _) <- firstChild(bytes, ss, se, "stsz")
-          (cos, _) <- firstChild(bytes, ss, se, "stco")
-          (scs, _) <- firstChild(bytes, ss, se, "stsc")
-        } yield {
-          // stsz: flags, uniform size (0 = per-sample table), count
-          val uniform = be32(bytes, szs + 4).toInt
-          val n = be32(bytes, szs + 8).toInt
-          val sizes = Array.tabulate(n)(i =>
-            if (uniform != 0) uniform else be32(bytes, szs + 12 + 4 * i).toInt)
-          val nCh = be32(bytes, cos + 4).toInt
-          val chunkOff = Array.tabulate(nCh)(i => be32(bytes, cos + 8 + 4 * i))
-          val nSc = be32(bytes, scs + 4).toInt
-          val stsc = Array.tabulate(nSc)(i =>
-            (be32(bytes, scs + 8 + 12 * i).toInt,   // first_chunk, 1-based
-              be32(bytes, scs + 12 + 12 * i).toInt)) // samples_per_chunk
-          val out = scala.collection.mutable.ArrayBuffer[(Long, Int)]()
-          var sample = 0
-          var c = 0
-          while (c < nCh && sample < n) {
-            val spc = stsc.takeWhile(_._1 <= c + 1)
-              .lastOption.map(_._2).getOrElse(0)
-            var off = chunkOff(c)
-            var k = 0
-            while (k < spc && sample < n) {
-              out += ((off, sizes(sample)))
-              off += sizes(sample)
-              sample += 1
-              k += 1
-            }
-            c += 1
-          }
-          out.toSeq
-        }
+          r <- Bmff.sampleRangesIn(bytes, ss, se)
+        } yield r
         ranges.getOrElse(Nil)
       }.find(_.nonEmpty).getOrElse(Nil)
     }
@@ -490,6 +499,98 @@ object Multimodal {
         FrameFeatures(id, fi, f.width, f.height, f.feature)
       }
     }
+  }
+
+  /** One keyframe-index row: `sample_no` is the 1-based sample number
+    * (the `stss` convention), `(offset, size)` the keyframe's exact
+    * byte range inside the shard — the SEEK POINT a loader hands a
+    * decoder to start a clean GOP without reading the inter-frames
+    * before it. `profile`/`level`/`nal_len` come from the track's
+    * `avcC` decoder configuration (-1 when the track is not AVC);
+    * `kf_idx = -1` is the corrupt/no-video-track sentinel. */
+  case class KeyframeEntry(media_id: Long, kf_idx: Int, sample_no: Int,
+      offset: Long, size: Int, profile: Int, level: Int, nal_len: Int)
+
+  /** MP4 keyframe (sync-sample) index — the loader-side seek map for
+    * INTER-FRAME codecs (H.264+), whose pixels this container cannot
+    * decode (no codec ships with the JDK — the one disclosed
+    * multimodal boundary) but whose random-access structure is plain
+    * box arithmetic: `stss` lists the sync samples (absent ⇒ EVERY
+    * sample is sync, per ISO 14496-12 §8.6.2), `stsz`/`stco`/`stsc`
+    * give each sample's byte range ([[Bmff.sampleRangesIn]], shared
+    * with the MJPEG sampler), and the `stsd` entry's `avcC` box
+    * carries the decoder configuration (profile / level / NAL length
+    * prefix size) a loader needs to initialize a downstream decoder.
+    * Corrupt → sentinel, never task death ([[TarWalk]] contract). */
+  object Mp4KeyframeWalk {
+    import Bmff._
+
+    private val AvcFormats = Set("avc1", "avc3")
+
+    def index(id: Long, bytes: Array[Byte]): Seq[KeyframeEntry] = {
+      val len = if (bytes == null) 0 else bytes.length
+      val sentinel = Seq(KeyframeEntry(id, -1, -1, -1L, -1, -1, -1, -1))
+      try {
+        if (len < 12 || box4(bytes, 4) != "ftyp") return sentinel
+        val stbls = for {
+          (t, ms, me) <- children(bytes, 0, len) if t == "moov"
+          (tt, ts, te) <- children(bytes, ms, me) if tt == "trak"
+          (mt, mds, mde) <- children(bytes, ts, te) if mt == "mdia"
+          (it, ifs, ife) <- children(bytes, mds, mde) if it == "minf"
+          (st, ss, se) <- children(bytes, ifs, ife) if st == "stbl"
+        } yield (ss, se)
+        val rows = stbls.iterator.map { case (ss, se) =>
+          val r = for {
+            (sds, sde) <- firstChild(bytes, ss, se, "stsd")
+            if sde - sds >= 16 && be32(bytes, sds + 4) >= 1
+            ranges <- sampleRangesIn(bytes, ss, se)
+            if ranges.nonEmpty
+          } yield {
+            // avcC rides inside the (Visual)SampleEntry: 8-byte entry
+            // header + 78 fixed bytes, then child boxes
+            val entryEnd = math.min(sde, sds + 8 + be32(bytes, sds + 8).toInt)
+            val fmt = box4(bytes, sds + 12)
+            val (profile, level, nal) =
+              if (AvcFormats(fmt) && sds + 8 + 8 + 78 < entryEnd) {
+                firstChild(bytes, sds + 8 + 8 + 78, entryEnd, "avcC") match {
+                  case Some((as, ae)) if ae - as >= 5 =>
+                    ((bytes(as + 1) & 0xff), (bytes(as + 3) & 0xff),
+                      (bytes(as + 4) & 3) + 1)
+                  case _ => (-1, -1, -1)
+                }
+              } else (-1, -1, -1)
+            // stss absent ⇒ every sample is a sync sample (the spec's
+            // all-intra rule — exactly right for MJPEG tracks too)
+            val syncs = firstChild(bytes, ss, se, "stss") match {
+              case Some((sy, sye)) =>
+                val n = be32(bytes, sy + 4).toInt
+                (0 until n).map(i => be32(bytes, sy + 8 + 4 * i).toInt)
+                  .filter(s => s >= 1 && s <= ranges.size)
+              case None => 1 to ranges.size
+            }
+            syncs.zipWithIndex.map { case (s, i) =>
+              val (off, sz) = ranges(s - 1)
+              KeyframeEntry(id, i, s, off, sz, profile, level, nal)
+            }
+          }
+          r.getOrElse(Seq.empty)
+        }.find(_.nonEmpty).getOrElse(Seq.empty)
+        if (rows.isEmpty) sentinel else rows
+      } catch { case _: Exception => sentinel }
+    }
+  }
+
+  /** Per-partition keyframe-index extraction over a media frame —
+    * blobs never leave their arrival partition; only the narrow seek
+    * rows shuffle (the [[tarMembers]] shape). */
+  def keyframeIndex(media: DataFrame): Dataset[KeyframeEntry] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) => Mp4KeyframeWalk.index(id, bytes) }
+      }
   }
 
   /** One resized image row: the re-encoded payload plus its true
@@ -1050,28 +1151,33 @@ object Multimodal {
       val sentinel = Seq(TarMember(id, -1, "", len.toLong, -1L))
       if (len < 512) return sentinel
       val out = scala.collection.mutable.ArrayBuffer.empty[TarMember]
-      var pos = 0; var idx = 0
+      // walk position as Long: a checksum-valid header whose rounded
+      // size lands near the 2 GiB array limit would wrap an Int
+      // accumulator negative (pos is always < len when dereferenced,
+      // so the .toInt at each use is exact)
+      var pos = 0L; var idx = 0
       while (pos + 512 <= len) {
-        if (zeroBlock(bytes, pos))
+        val p = pos.toInt
+        if (zeroBlock(bytes, p))
           return if (out.isEmpty) sentinel else out.toSeq
-        if (!headerOk(bytes, pos))
+        if (!headerOk(bytes, p))
           return if (out.isEmpty) sentinel else out.toSeq
-        val size = octal(bytes, pos + 124, 12)
+        val size = octal(bytes, p + 124, 12)
         // a checksum-valid header can still carry a size past the
         // archive (hand-corrupted fuzz input): stop, don't overflow
-        // the Int walk arithmetic or spin on a negative stride
+        // the walk arithmetic or spin on a negative stride
         if (size < 0 || size > len.toLong)
           return if (out.isEmpty) sentinel else out.toSeq
-        var e = pos
-        while (e < pos + 100 && bytes(e) != 0) e += 1
-        val name = new String(bytes, pos, e - pos,
+        var e = p
+        while (e < p + 100 && bytes(e) != 0) e += 1
+        val name = new String(bytes, p, e - p,
           java.nio.charset.StandardCharsets.US_ASCII)
-        val tf = bytes(pos + 156)
+        val tf = bytes(p + 156)
         if (tf == '0'.toByte || tf == 0.toByte) {
-          out += TarMember(id, idx, name, size, (pos + 512).toLong)
+          out += TarMember(id, idx, name, size, pos + 512L)
           idx += 1
         }
-        pos += 512 + (((size + 511) / 512) * 512).toInt
+        pos += 512L + ((size + 511L) / 512L) * 512L
       }
       // ran past the end without the zero-block trailer: truncated
       if (out.isEmpty) sentinel else out.toSeq
