@@ -136,12 +136,18 @@ object SparkEntry {
     "tx_doremi",         // unigram losses + exact-decimal MW trajectory
     "tx_curation16",     // DoReMi weights -> per-source budget admission
     "tx_unigram",        // unigram-LM training (seed + 2 EM rounds + Viterbi)
+    "tx_unigram_em",     // forward-backward E-step + pruning round (r14)
     "tx_unigram_apply",  // frozen unigram model corpus scoring
     "tx_curation17",     // v6 -> pool-trained unigram budget admission
     "tx_drift",          // PSI/KL release drift over quality deciles
     "vec_balanced_sample", // LSH-bucket diversity quota sample
     "mm_tar_members",    // ustar shard member walk over planted archives
-    "tx_repeated_seqs")  // suffix-array construction + LCP lifting
-                         // (supersets tx_suffix_ranks — one line
-                         // benches the whole family's heavy path)
+    "mm_keyframes",      // MP4 stss/avcC keyframe seek index (r14)
+    // r14: index-build vs index-consume split (the AnnModels pattern)
+    "tx_suffix_build",   // suffix-array doubling rounds + LCP lift +
+                         // artifact save — ALWAYS rebuilds (the build
+                         // is the operator); the family's heavy line
+    "tx_repeated_seqs")  // artifact-consumer: leaf-scan the saved pair
+                         // table, filter + top-k (the per-query cost
+                         // once the index exists)
 }

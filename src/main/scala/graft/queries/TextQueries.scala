@@ -4033,6 +4033,61 @@ object TextQueries {
       .transform(QueryUtil.ordered("media_id", "member_idx"))
   }
 
+  /** MP4 keyframe seek index over PLANTED AVC containers: each doc row
+    * carries the [[graft.ops.MediaFixtures.plantedAvcMp4]] container
+    * for slot `doc_id % 8` (slot m: m%4+3 samples sized
+    * 100 + 17·m + 23·k, sync samples every m%3+2 — slot 7 omits `stss`
+    * entirely, exercising the every-sample-is-sync spec rule), the
+    * engine walks `stss`/`stsz`/`stco`/`stsc`/`avcC`
+    * ([[graft.ops.Multimodal.Mp4KeyframeWalk]]), and the oracle states
+    * sample numbers, byte offsets (closed-form prefix sums over the
+    * planted sizes plus the box-layout base 249 + 4n [+ 16 + 4s]) and
+    * decoder config as pure doc_id arithmetic — without reading a
+    * byte. The r13-disclosed inter-frame boundary's loader-side slice:
+    * pixels still need a codec, but the seek structure is fully
+    * real. */
+  def keyframes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fixtures = (0 until 8)
+      .map(m => (m.toLong, graft.ops.MediaFixtures.plantedAvcMp4(m)))
+      .toDF("slot", "payload")
+    val media = docs(spark, dir)
+      .select(col("doc_id").as("media_id"), (col("doc_id") % 8).as("slot"))
+      .join(broadcast(fixtures), "slot")
+      .select(col("media_id"), col("payload"))
+    graft.ops.Multimodal.keyframeIndex(media).toDF()
+      .select("media_id", "kf_idx", "sample_no", "offset", "size",
+        "profile", "level", "nal_len")
+      .transform(QueryUtil.ordered("media_id", "kf_idx"))
+  }
+
+  val keyframesOracle: String =
+    """WITH p AS (SELECT doc_id AS media_id,
+      |    CAST(doc_id % 8 AS INTEGER) AS slot,
+      |    CAST(doc_id % 8 AS INTEGER) % 4 + 3 AS n,
+      |    CAST(doc_id % 8 AS INTEGER) % 3 + 2 AS step
+      |  FROM documents),
+      |s AS (SELECT media_id, slot, n,
+      |    CAST(i AS INTEGER) AS kf_idx,
+      |    CAST(CASE WHEN slot = 7 THEN i + 1
+      |              ELSE 1 + i * step END AS INTEGER) AS sample_no,
+      |    249 + 4 * n + CASE WHEN slot = 7 THEN 0
+      |      ELSE 16 + 4 * ((n - 1) // step + 1) END AS base
+      |  FROM p, LATERAL (SELECT unnest(range(0,
+      |    CASE WHEN slot = 7 THEN n
+      |         ELSE (n - 1) // step + 1 END)) AS i) g)
+      |SELECT media_id, kf_idx, sample_no,
+      |  CAST(base + (sample_no - 1) * (100 + 17 * slot)
+      |    + (23 * (sample_no - 1) * (sample_no - 2)) // 2 AS BIGINT)
+      |    AS "offset",
+      |  CAST(100 + 17 * slot + 23 * (sample_no - 1) AS INTEGER) AS size,
+      |  CAST(CASE slot % 3 WHEN 0 THEN 66 WHEN 1 THEN 77 ELSE 100 END
+      |    AS INTEGER) AS profile,
+      |  CAST(30 + slot AS INTEGER) AS level,
+      |  CAST(CASE slot % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END
+      |    AS INTEGER) AS nal_len
+      |FROM s ORDER BY media_id, kf_idx""".stripMargin
+
   val tarMembersOracle: String =
     """WITH m AS (SELECT doc_id AS media_id, doc_id % 8 AS slot
       |  FROM documents),
@@ -4849,6 +4904,7 @@ object TextQueries {
     "mm_chunks" -> ((mediaChunks _, Some(mediaChunksOracle))),
     "mm_exif_meta" -> ((exifMeta _, Some(exifMetaOracle))),
     "mm_tar_members" -> ((tarMembers _, Some(tarMembersOracle))),
+    "mm_keyframes" -> ((keyframes _, Some(keyframesOracle))),
     "mm_zip_members" -> ((zipMembers _, Some(zipMembersOracle))),
     "mm_tgz_members" -> ((tgzMembers _, Some(tarMembersOracle))),
     "mm_meta_oracle" -> ((mediaDecode _, Some(mediaDecodeOracle))),

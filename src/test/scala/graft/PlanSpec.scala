@@ -163,16 +163,18 @@ class PlanSpec extends SparkSpec {
       s"corpus-side shuffle join defeats the broadcast design:\n$p")
   }
 
-  test("tx_clf_quality: weights ride as a literal map; no join at all, no window") {
+  test("tx_clf_quality: weights ride in the codegen margin; no join at all, no window") {
     // the trained weight vector is ≤ numBuckets+1 doubles — scoring
-    // inlines it as a LITERAL map into the per-doc zip_with/aggregate
-    // expression over the persisted feature frame, so the scoring pass
-    // is pure map-side: NO join of any kind (the pre-r9 design
-    // broadcast a 257-row weight frame; the literal is strictly
-    // stronger), and certainly never a corpus shuffle or window
+    // evaluates it through the compiled sparse_margin expression
+    // (r14; the r13 form inlined a literal map into an interpreted
+    // zip_with/aggregate — sparse_margin keeps the same
+    // no-join/no-shuffle shape and moves the loop into codegen) over
+    // the persisted feature frame, so the scoring pass is pure
+    // map-side: NO join of any kind (the pre-r9 design broadcast a
+    // 257-row weight frame), and never a corpus shuffle or window
     val p = plan("tx_clf_quality")
-    assert(p.contains("element_at(map("),
-      s"weights must be inlined as a literal map lookup:\n$p")
+    assert(p.contains("sparse_margin("),
+      s"weights must ride through the codegen sparse margin:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
       s"scoring must be join-free (weights are a literal):\n$p")
     assert(!p.contains("windowspecdefinition"),

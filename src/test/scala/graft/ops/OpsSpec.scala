@@ -1915,6 +1915,65 @@ class OpsSpec extends SparkSpec {
     assert(TarWalk.members(5L, null).head.member_idx == -1)
   }
 
+  test("TarWalk: position arithmetic stays Long near the 2 GiB array limit (no Int wrap)") {
+    import graft.ops.Multimodal.TarWalk
+    // an archive > 1 GiB whose second checksum-valid header claims a
+    // size that pushes the walk position past Int.MaxValue: an Int
+    // accumulator wraps negative and zeroBlock throws
+    // ArrayIndexOutOfBoundsException; the Long walk returns the
+    // walked prefix (the documented corrupt→prefix contract)
+    val len = 1_200_000_000
+    val bytes = new Array[Byte](len)
+    val s1 = 1_190_000_000L
+    System.arraycopy(MediaFixtures.tarHeader("big.bin", s1), 0, bytes, 0, 512)
+    val pos1 = 512L + ((s1 + 511L) / 512L) * 512L
+    // claimed size ≤ archive length (passes the size guard) but the
+    // stride 512 + roundup(s2) lands past 2^31
+    System.arraycopy(MediaFixtures.tarHeader("tail.bin", 1_150_000_000L),
+      0, bytes, pos1.toInt, 512)
+    val m = TarWalk.members(9L, bytes)
+    assert(m.map(_.name) == Seq("big.bin", "tail.bin"))
+    assert(m.map(_.offset) == Seq(512L, pos1 + 512L))
+  }
+
+  test("Mp4KeyframeWalk: stss seek points + avcC config exact; absent stss = all sync; corrupt sentinels") {
+    import graft.ops.Multimodal.{Mp4KeyframeWalk, KeyframeEntry}
+    // planted AVC container: 4 samples (120, 143, 166, 189 bytes),
+    // sync at 1 and 3, Main/3.1, 4-byte NAL prefix
+    val sizes = Seq(120, 143, 166, 189)
+    val b = MediaFixtures.avcMp4(sizes, Some(Seq(1, 3)),
+      profile = 77, level = 31, nalLen = 4)
+    val got = Mp4KeyframeWalk.index(9L, b)
+    // base offset from the box layout: 249 + 4n + 16 + 4s
+    val base = 249 + 4 * 4 + 16 + 4 * 2
+    assert(got == Seq(
+      KeyframeEntry(9L, 0, 1, base.toLong, 120, 77, 31, 4),
+      KeyframeEntry(9L, 1, 3, (base + 120 + 143).toLong, 166, 77, 31, 4)))
+    // the planted base matches the REAL bytes: the first keyframe's
+    // range starts exactly at the mdat payload
+    assert(b.length == base + sizes.sum)
+    // absent stss: every sample is a sync sample (ISO 14496-12 §8.6.2)
+    val all = Mp4KeyframeWalk.index(1L,
+      MediaFixtures.avcMp4(sizes, None, 66, 30, 2))
+    assert(all.map(_.sample_no) == Seq(1, 2, 3, 4))
+    assert(all.map(_.kf_idx) == Seq(0, 1, 2, 3))
+    assert(all.forall(e => e.profile == 66 && e.nal_len == 2))
+    // an MJPEG container (no avcC): seek points real, config -1
+    val mj = Mp4KeyframeWalk.index(2L,
+      MediaFixtures.mjpegMp4(Seq((8, 8), (8, 8))))
+    assert(mj.map(_.sample_no) == Seq(1, 2))
+    assert(mj.forall(e => e.profile == -1 && e.nal_len == -1))
+    // corrupt / non-MP4: sentinel, never a throw
+    assert(Mp4KeyframeWalk.index(3L, Array[Byte](1, 2, 3)).head.kf_idx == -1)
+    assert(Mp4KeyframeWalk.index(4L, null).head.kf_idx == -1)
+    val trunc = java.util.Arrays.copyOf(b, 60) // cut inside moov
+    assert(Mp4KeyframeWalk.index(5L, trunc).head.kf_idx == -1)
+    // stss entries past the sample count are dropped, not crashed
+    val oob = Mp4KeyframeWalk.index(6L,
+      MediaFixtures.avcMp4(sizes, Some(Seq(1, 9)), 100, 32, 1))
+    assert(oob.map(_.sample_no) == Seq(1))
+  }
+
   test("suffixRanks: equals a brute-force suffix sort; duplicate docs still totally ordered") {
     // docs 2 and 3 are byte-identical — the per-doc sentinel must
     // still produce a total order (they first differ at sentinels)
@@ -1965,6 +2024,75 @@ class OpsSpec extends SparkSpec {
     assert(got == want, s"got $got want $want")
     // the planted triple repeat surfaces with lcp 3
     assert(got.values.max == 3L)
+    graft.ops.Dedup.releaseCaches()
+  }
+
+  test("suffixRanks: a 1000-token document (past the old fixed-Rounds cap) resolves via derived rounds") {
+    // r13's compile-time Rounds=9 hard-failed any doc > 511 tokens;
+    // the engine now derives ceil(log2(maxLen)) from the corpus. The
+    // "a b" * 500 body maximizes tie depth (every suffix shares long
+    // prefixes with every other), forcing the full round ladder.
+    val long = Seq.fill(500)("a b").mkString(" ")                // 1000 toks
+    val d = Seq((1L, long), (2L, "b a b a")).toDF("doc_id", "text")
+    val got = SuffixArray.suffixRanks(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val streams = Map(
+      1L -> (long.split(" ").toSeq :+ "1"),
+      2L -> (Seq("b", "a", "b", "a") :+ "2"))
+    val sufs = for ((doc, toks) <- streams.toSeq; i <- toks.indices)
+      yield ((doc, i.toLong), toks.drop(i))
+    import scala.math.Ordering.Implicits.seqOrdering
+    val want = sufs.sortBy(_._2).zipWithIndex
+      .map { case ((k, _), i) => k -> (i + 1).toLong }.toMap
+    assert(got.size == want.size)
+    assert(got == want)
+    assert(got.values.toSeq.sorted == (1L to got.size.toLong))
+    graft.ops.Dedup.releaseCaches()
+  }
+
+  test("SuffixIndex: artifact round-trip is bit-equal, reload hits, corpus edit triggers rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("sfxidx").toString
+    def write(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").repartition(2)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    write(Seq((1L, "x a b c y a b c"), (2L, "a b c d"), (3L, "q r")))
+    val direct = SuffixArray.suffixRanks(
+        spark.read.parquet(s"$dir/documents.parquet")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val h1 = SuffixIndex.loadOrBuild(spark, dir)
+    val viaIdx = h1.ranks.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(viaIdx == direct, "artifact ranks must be bit-equal to direct")
+    // pairs artifact equals the direct lift
+    val directPairs = SuffixArray.repeatedSeqPairs(
+        spark.read.parquet(s"$dir/documents.parquet"), minLcp = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)) -> r.getLong(4)).toMap
+    val idxPairs = h1.pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)) -> r.getLong(4)).toMap
+    assert(idxPairs == directPairs)
+    // second load: same content (a hit — no rebuild observable, but
+    // the contract is content equality either way)
+    val h2 = SuffixIndex.loadOrBuild(spark, dir)
+    assert(h2.ranks.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+      r.getLong(2)).toMap == viaIdx)
+    // EDIT the corpus under the same path: fingerprint mismatch must
+    // rebuild — a stale index serving a changed corpus is the failure
+    // mode the fingerprint exists to prevent
+    write(Seq((1L, "p q"), (2L, "q p")))
+    val h3 = SuffixIndex.loadOrBuild(spark, dir)
+    val want3 = SuffixArray.suffixRanks(
+        spark.read.parquet(s"$dir/documents.parquet")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(h3.ranks.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+      r.getLong(2)).toMap == want3)
+    // rebuild(): convergence curve ends exactly at full resolution
+    val curve = SuffixIndex.rebuild(spark, dir).orderBy("round").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(curve.last._2 == curve.last._3, "final round must converge")
+    assert(curve.map(_._2).sliding(2).forall(s => s.length < 2 || s(0) <= s(1)),
+      "class counts are monotone non-decreasing")
     graft.ops.Dedup.releaseCaches()
   }
 
@@ -2066,6 +2194,13 @@ class OpsSpec extends SparkSpec {
     // identical distributions: every PSI/KL term is exactly zero
     val same = Versioning.distributionDrift(s1, s1, bins = 10).collect()
     assert(same.forall(x => x.getDouble(5) == 0.0 && x.getDouble(6) == 0.0))
+    // out-of-contract scores clamp into the edge bins instead of
+    // producing a bin that vanishes through the alignment join and
+    // deflates the totals (ADVICE r13): -0.01 → bin 0, 1.5 → bin 9
+    val clamped = Versioning.scoreHistogram(
+      Seq(-0.01, 0.0, 1.5).toDF("score"), bins = 10).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(clamped == Map(0L -> 2L, 9L -> 1L))
   }
 
   test("paragraphDedup: blank-line units; hot and intra-doc repeated paragraphs drop") {
