@@ -161,11 +161,12 @@ object TextAnalysis {
     * "essex" never trips "sex"-style entries), has fewer than 3
     * sentences (published rule; sentence count approximated as
     * terminal-punctuation marks [.!?] in the cleaned text — mid-line
-    * sentences add theirs, but note a kept line may legally end in a
-    * bare '"' and contribute ZERO marks, so quote-heavy pages
-    * UNDERCOUNT and can be dropped by the 3-sentence floor; the
-    * oracle replays the same approximation, so the bias is a
-    * disclosed fidelity bound, not an engine/oracle fork), or keeps
+    * sentences add theirs — PLUS one for each kept line ending in a
+    * bare '"' not preceded by a mark: such a line is by construction
+    * a full sentence, so counting it closes the r13-disclosed
+    * quote-terminal undercount that let quote-heavy pages be dropped
+    * by the 3-sentence floor; a '."'/'!"'/'?"' ending is already
+    * counted by its mark and does not double-count), or keeps
     * fewer than `minLines` lines. Deliberately NOT implemented here: the
     * published three-sentence-span dedup, which is the separate
     * [[graft.ops.Dedup]] line/substring family, and langdetect
@@ -185,9 +186,14 @@ object TextAnalysis {
         l.endsWith("\"")) && size(split(l, " ")) >= 5 &&
         !lower(l).contains("javascript"))
     val clean = concat_ws("\n", kept)
+    // one sentence per quote-terminal kept line (bare '"' ending — a
+    // '."'/'!"'/'?"' ending is counted by its mark below)
+    val quoteSentences = size(filter(kept, l =>
+      l.endsWith("\"") && !(l.endsWith(".\"") || l.endsWith("!\"") ||
+        l.endsWith("?\""))))
     val nSentences =
-      (length(clean) - length(regexp_replace(clean, "[.!?]", "")))
-        .cast("long")
+      (length(clean) - length(regexp_replace(clean, "[.!?]", "")) +
+        quoteSentences).cast("long")
     val badHit =
       if (badwords.isEmpty) lit(false)
       else size(filter(split(lower(t), "[^a-z0-9]+"),

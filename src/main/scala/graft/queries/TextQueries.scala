@@ -3657,12 +3657,14 @@ object TextQueries {
 
   /** C4 line/page filtering over PLANTED multi-line text (the corpus
     * is single-line and unpunctuated, so the raw gate would be
-    * vacuous — the tokenizer-probe lesson): doc_id%6 appends a line
+    * vacuous — the tokenizer-probe lesson): doc_id%7 appends a line
     * block exercising one branch each (3 keepable sentences; a lorem
     * ipsum page; a curly-brace code page; a page with only 1 keepable
     * line — which also fails the 3-sentence page rule; a page whose
     * "javascript" boilerplate line is dropped but whose page
-    * survives; a bad-word page), replayed verbatim by the oracle.
+    * survives; a bad-word page; a quote-terminal page whose bare-'"'
+    * kept line counts as one sentence), replayed verbatim by the
+    * oracle.
     * Output pins the kept-line arithmetic, the sentence count, the
     * page flags AND the cleaned text content (md5). */
   private val C4Segments: Seq[(Int, String)] = Seq(
@@ -3686,12 +3688,18 @@ object TextQueries {
     5 -> ("\nThis spam page mentions viagra deals today.\n" +
       "This sentence is long enough to keep.\n" +
       "Another good long sentence ends with punctuation.\n" +
-      "Third full sentence present and accounted for."))
+      "Third full sentence present and accounted for."),
+    // r14: quote-terminal sentences — a bare-'"' kept line counts as
+    // ONE sentence (the closed undercount); a '!"' ending is counted
+    // by its mark, not the quote rule (no double count)
+    6 -> ("\nHe said the words \"this is fine today\"\n" +
+      "\"An entire quoted sentence stands here!\"\n" +
+      "Another proper sentence ends right here."))
 
   def c4Rules(spark: SparkSession, dir: String): DataFrame = {
     val planted = docs(spark, dir).withColumn("text", concat(col("text"),
       C4Segments.foldRight(lit("")) { case ((m, seg), acc) =>
-        when(col("doc_id") % 6 === m, lit(seg)).otherwise(acc)
+        when(col("doc_id") % C4Segments.size === m, lit(seg)).otherwise(acc)
       }))
     TextAnalysis.c4Rules(planted)
       .select(col("doc_id"), col("n_lines"), col("n_kept_lines"),
@@ -3705,7 +3713,7 @@ object TextQueries {
 
   val c4RulesOracle: String = {
     val caseSql = C4Segments.map { case (m, seg) =>
-      s"WHEN doc_id % 6 = $m THEN '${seg.replace("\n", "' || chr(10) || '")}'"
+      s"WHEN doc_id % ${C4Segments.size} = $m THEN '${seg.replace("\n", "' || chr(10) || '")}'"
     }.mkString("CASE ", " ", " ELSE '' END")
     val badIn = TextAnalysis.DefaultBadwords
       .map(w => s"'$w'").mkString("(", ", ", ")")
@@ -3721,15 +3729,18 @@ object TextQueries {
       |      x -> x IN $badIn)) > 0 AS has_badword
       |  FROM b),
       |g AS (SELECT doc_id, n_lines, kept, has_lorem, has_brace, has_badword,
-      |    array_to_string(kept, chr(10)) AS clean FROM f)
+      |    array_to_string(kept, chr(10)) AS clean,
+      |    len(list_filter(kept, l -> l LIKE '%"' AND NOT (l LIKE '%."'
+      |      OR l LIKE '%!"' OR l LIKE '%?"'))) AS n_quote_lines FROM f)
       |SELECT doc_id, n_lines, CAST(len(kept) AS BIGINT) AS n_kept_lines,
       |  has_lorem, has_brace, has_badword,
       |  CAST(length(clean) - length(regexp_replace(clean, '[.!?]', '', 'g'))
-      |    AS BIGINT) AS n_sentences,
+      |    + n_quote_lines AS BIGINT) AS n_sentences,
       |  CAST(length(clean) AS BIGINT) AS clean_len,
       |  md5(clean) AS clean_md5,
       |  (NOT has_lorem AND NOT has_brace AND NOT has_badword
-      |    AND length(clean) - length(regexp_replace(clean, '[.!?]', '', 'g')) >= 3
+      |    AND length(clean) - length(regexp_replace(clean, '[.!?]', '', 'g'))
+      |      + n_quote_lines >= 3
       |    AND len(kept) >= 3) AS c4_keep
       |FROM g ORDER BY doc_id""".stripMargin
   }

@@ -3140,7 +3140,12 @@ class OpsSpec extends SparkSpec {
       (2L, "Enable JavaScript to view this page properly.\n" + goodTail),
       (3L, "This spam page mentions viagra deals today.\n" + goodTail),
       (4L, "Sussex and Essex are proper county names here.\n" + goodTail),
-      (5L, "Alpha beta gamma delta epsilon.\nmore words but no punct\nshort."))
+      (5L, "Alpha beta gamma delta epsilon.\nmore words but no punct\nshort."),
+      // quote-terminal: a bare-'"' kept line is one sentence (closed
+      // r13 undercount); a '!"' ending counts via its mark only
+      (6L, "He said the words \"this is fine today\"\n" +
+        "\"An entire quoted sentence stands here!\"\n" +
+        "Another proper sentence ends right here."))
       .toDF("doc_id", "text")
     val r = TextAnalysis.c4Rules(d).collect()
       .map(x => x.getAs[Long]("doc_id") -> x).toMap
@@ -3158,6 +3163,11 @@ class OpsSpec extends SparkSpec {
     // 1 kept line / 1 sentence: fails both the sentence and line floors
     assert(!r(5L).getAs[Boolean]("c4_keep") &&
       r(5L).getAs[Long]("n_sentences") == 1L, s"${r(5L)}")
+    // quote-terminal page: 2 marks (!, .) + 1 bare-quote line = 3
+    // sentences over 3 kept lines — keeps (dropped under the old rule)
+    assert(r(6L).getAs[Boolean]("c4_keep") &&
+      r(6L).getAs[Long]("n_sentences") == 3L &&
+      r(6L).getAs[Long]("n_kept_lines") == 3L, s"${r(6L)}")
   }
 
   test("trained LID: recovers labels when char signal exists; deterministic tie-break") {
