@@ -159,12 +159,43 @@ object MediaFixtures {
   def avcMp4(sizes: Seq[Int], syncSamples: Option[Seq[Int]],
       profile: Int, level: Int, nalLen: Int): Array[Byte] = {
     require(Seq(1, 2, 4).contains(nalLen), s"illegal NAL length $nalLen")
-    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0))
     val avcC = box("avcC", Array(
       1, profile, 0, level, 0xfc | (nalLen - 1), 0xe0, 0).map(_.toByte))
+    videoMp4(sizes, syncSamples, "avc1", avcC)
+  }
+
+  /** HEVC (H.265) sibling of [[avcMp4]]: an `hvc1` sample entry
+    * carrying an `hvcC` decoder configuration (ISO 14496-15 §8.3.3.1)
+    * — general_profile_idc in byte 1 (profile_space 0, tier 0),
+    * general_level_idc in byte 12, lengthSizeMinusOne in the low two
+    * bits of byte 21, numOfArrays 0. Reserved-bit patterns follow the
+    * spec ('1111'/'111111' runs). Same seek-arithmetic contract. */
+  def hevcMp4(sizes: Seq[Int], syncSamples: Option[Seq[Int]],
+      profile: Int, level: Int, nalLen: Int): Array[Byte] = {
+    require(Seq(1, 2, 4).contains(nalLen), s"illegal NAL length $nalLen")
+    val hvcC = box("hvcC", (Array(
+      1,                 // configurationVersion
+      profile & 0x1f,    // profile_space 0 | tier 0 | profile_idc
+      0, 0, 0, 0,        // general_profile_compatibility_flags
+      0, 0, 0, 0, 0, 0,  // general_constraint_indicator_flags
+      level,             // general_level_idc
+      0xf0, 0,           // '1111' + min_spatial_segmentation_idc
+      0xfc,              // '111111' + parallelismType
+      0xfd,              // '111111' + chromaFormat 4:2:0
+      0xf8, 0xf8,        // bit depths (luma/chroma minus 8 = 0)
+      0, 0,              // avgFrameRate
+      // constantFrameRate 0 | numTemporalLayers 1 | temporalIdNested 1
+      0x0c | (nalLen - 1),
+      0).map(_.toByte)))  // numOfArrays
+    videoMp4(sizes, syncSamples, "hvc1", hvcC)
+  }
+
+  private def videoMp4(sizes: Seq[Int], syncSamples: Option[Seq[Int]],
+      fmt: String, cfg: Array[Byte]): Array[Byte] = {
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0))
     def moov(mdatPayloadOff: Long): Array[Byte] = {
-      val entry = be32(8L + 78 + avcC.length) ++
-        "avc1".getBytes("US-ASCII") ++ new Array[Byte](78) ++ avcC
+      val entry = be32(8L + 78 + cfg.length) ++
+        fmt.getBytes("US-ASCII") ++ new Array[Byte](78) ++ cfg
       val stsd = box("stsd", be32(0) ++ be32(1) ++ entry)
       val stsz = box("stsz", be32(0) ++ be32(0) ++
         be32(sizes.length.toLong) ++
@@ -186,19 +217,27 @@ object MediaFixtures {
     ftyp ++ moov(off) ++ box("mdat", mdat)
   }
 
-  /** The 8-slot planted AVC table assigned by `doc_id % 8` in
+  /** The 8-slot planted AVC/HEVC table assigned by `doc_id % 8` in
     * `mm_keyframes`: slot m carries m % 4 + 3 samples of size
     * 100 + 17·m + 23·k, sync samples every m % 3 + 2 starting at 1
     * (slot 7 OMITS `stss` — the every-sample-is-sync spec rule),
-    * profile/level/NAL from slot arithmetic. All sample numbers,
-    * offsets and sizes are pure doc_id arithmetic: the oracle states
-    * them without reading a byte (the [[plantedTar]] contract). */
+    * profile/level/NAL from slot arithmetic. Slots 2 and 6 are HEVC
+    * (`hvc1`/`hvcC`: Main and Main 10 profiles, level 90 + m) — their
+    * stsd entry is 16 bytes longer than the AVC ones (hvcC 31 vs avcC
+    * 15), which the oracle's base-offset arithmetic states. All
+    * sample numbers, offsets and sizes are pure doc_id arithmetic:
+    * the oracle states them without reading a byte (the
+    * [[plantedTar]] contract). */
   def plantedAvcMp4(m: Int): Array[Byte] = {
     val n = m % 4 + 3
     val sizes = (0 until n).map(k => 100 + 17 * m + 23 * k)
     val syncs = if (m == 7) None else Some((1 to n by (m % 3 + 2)).toSeq)
-    avcMp4(sizes, syncs, profile = Seq(66, 77, 100)(m % 3),
-      level = 30 + m, nalLen = Seq(1, 2, 4)(m % 3))
+    if (m == 2 || m == 6)
+      hevcMp4(sizes, syncs, profile = if (m == 2) 1 else 2,
+        level = 90 + m, nalLen = Seq(1, 2, 4)(m % 3))
+    else
+      avcMp4(sizes, syncs, profile = Seq(66, 77, 100)(m % 3),
+        level = 30 + m, nalLen = Seq(1, 2, 4)(m % 3))
   }
 
   /** Pure-tone PCM WAV (16-bit mono): `n` samples of a `freq` Hz sine

@@ -506,10 +506,13 @@ object Multimodal {
     * byte range inside the shard — the SEEK POINT a loader hands a
     * decoder to start a clean GOP without reading the inter-frames
     * before it. `profile`/`level`/`nal_len` come from the track's
-    * `avcC` decoder configuration (-1 when the track is not AVC);
-    * `kf_idx = -1` is the corrupt/no-video-track sentinel. */
+    * `avcC` (H.264) or `hvcC` (H.265) decoder configuration (-1 when
+    * the track is neither); `codec` is the stsd sample-entry format
+    * (`avc1`, `hvc1`, `jpeg`, ...); `kf_idx = -1` is the
+    * corrupt/no-video-track sentinel (codec empty). */
   case class KeyframeEntry(media_id: Long, kf_idx: Int, sample_no: Int,
-      offset: Long, size: Int, profile: Int, level: Int, nal_len: Int)
+      offset: Long, size: Int, profile: Int, level: Int, nal_len: Int,
+      codec: String)
 
   /** MP4 keyframe (sync-sample) index — the loader-side seek map for
     * INTER-FRAME codecs (H.264+), whose pixels this container cannot
@@ -518,18 +521,21 @@ object Multimodal {
     * box arithmetic: `stss` lists the sync samples (absent ⇒ EVERY
     * sample is sync, per ISO 14496-12 §8.6.2), `stsz`/`stco`/`stsc`
     * give each sample's byte range ([[Bmff.sampleRangesIn]], shared
-    * with the MJPEG sampler), and the `stsd` entry's `avcC` box
-    * carries the decoder configuration (profile / level / NAL length
-    * prefix size) a loader needs to initialize a downstream decoder.
+    * with the MJPEG sampler), and the `stsd` entry's `avcC` (AVC) or
+    * `hvcC` (HEVC, ISO 14496-15 §8.3.3.1) box carries the decoder
+    * configuration (profile / level / NAL length prefix size) a
+    * loader needs to initialize a downstream decoder.
     * Corrupt → sentinel, never task death ([[TarWalk]] contract). */
   object Mp4KeyframeWalk {
     import Bmff._
 
     private val AvcFormats = Set("avc1", "avc3")
+    private val HevcFormats = Set("hvc1", "hev1")
 
     def index(id: Long, bytes: Array[Byte]): Seq[KeyframeEntry] = {
       val len = if (bytes == null) 0 else bytes.length
-      val sentinel = Seq(KeyframeEntry(id, -1, -1, -1L, -1, -1, -1, -1))
+      val sentinel =
+        Seq(KeyframeEntry(id, -1, -1, -1L, -1, -1, -1, -1, ""))
       try {
         if (len < 12 || box4(bytes, 4) != "ftyp") return sentinel
         val stbls = for {
@@ -550,12 +556,24 @@ object Multimodal {
             // header + 78 fixed bytes, then child boxes
             val entryEnd = math.min(sde, sds + 8 + be32(bytes, sds + 8).toInt)
             val fmt = box4(bytes, sds + 12)
+            val cfgStart = sds + 8 + 8 + 78
             val (profile, level, nal) =
-              if (AvcFormats(fmt) && sds + 8 + 8 + 78 < entryEnd) {
-                firstChild(bytes, sds + 8 + 8 + 78, entryEnd, "avcC") match {
+              if (AvcFormats(fmt) && cfgStart < entryEnd) {
+                firstChild(bytes, cfgStart, entryEnd, "avcC") match {
                   case Some((as, ae)) if ae - as >= 5 =>
                     ((bytes(as + 1) & 0xff), (bytes(as + 3) & 0xff),
                       (bytes(as + 4) & 3) + 1)
+                  case _ => (-1, -1, -1)
+                }
+              } else if (HevcFormats(fmt) && cfgStart < entryEnd) {
+                // hvcC (ISO 14496-15 §8.3.3.1): profile_idc rides the
+                // low 5 bits of byte 1 (profile_space/tier above it),
+                // level_idc is byte 12, lengthSizeMinusOne the low 2
+                // bits of byte 21
+                firstChild(bytes, cfgStart, entryEnd, "hvcC") match {
+                  case Some((as, ae)) if ae - as >= 22 =>
+                    ((bytes(as + 1) & 0x1f), (bytes(as + 12) & 0xff),
+                      (bytes(as + 21) & 3) + 1)
                   case _ => (-1, -1, -1)
                 }
               } else (-1, -1, -1)
@@ -570,7 +588,7 @@ object Multimodal {
             }
             syncs.zipWithIndex.map { case (s, i) =>
               val (off, sz) = ranges(s - 1)
-              KeyframeEntry(id, i, s, off, sz, profile, level, nal)
+              KeyframeEntry(id, i, s, off, sz, profile, level, nal, fmt)
             }
           }
           r.getOrElse(Seq.empty)

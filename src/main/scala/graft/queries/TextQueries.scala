@@ -4044,19 +4044,21 @@ object TextQueries {
       .transform(QueryUtil.ordered("media_id", "member_idx"))
   }
 
-  /** MP4 keyframe seek index over PLANTED AVC containers: each doc row
-    * carries the [[graft.ops.MediaFixtures.plantedAvcMp4]] container
-    * for slot `doc_id % 8` (slot m: m%4+3 samples sized
+  /** MP4 keyframe seek index over PLANTED AVC/HEVC containers: each
+    * doc row carries the [[graft.ops.MediaFixtures.plantedAvcMp4]]
+    * container for slot `doc_id % 8` (slot m: m%4+3 samples sized
     * 100 + 17·m + 23·k, sync samples every m%3+2 — slot 7 omits `stss`
-    * entirely, exercising the every-sample-is-sync spec rule), the
-    * engine walks `stss`/`stsz`/`stco`/`stsc`/`avcC`
+    * entirely, exercising the every-sample-is-sync spec rule; slots 2
+    * and 6 are HEVC `hvc1`/`hvcC`, whose 16-byte-longer stsd entry
+    * shifts the mdat base), the engine walks
+    * `stss`/`stsz`/`stco`/`stsc` + `avcC`/`hvcC`
     * ([[graft.ops.Multimodal.Mp4KeyframeWalk]]), and the oracle states
     * sample numbers, byte offsets (closed-form prefix sums over the
-    * planted sizes plus the box-layout base 249 + 4n [+ 16 + 4s]) and
-    * decoder config as pure doc_id arithmetic — without reading a
-    * byte. The r13-disclosed inter-frame boundary's loader-side slice:
-    * pixels still need a codec, but the seek structure is fully
-    * real. */
+    * planted sizes plus the box-layout base
+    * 249 [+16 HEVC] + 4n [+ 16 + 4s]), codec and decoder config as
+    * pure doc_id arithmetic — without reading a byte. The
+    * r13-disclosed inter-frame boundary's loader-side slice: pixels
+    * still need a codec, but the seek structure is fully real. */
   def keyframes(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val fixtures = (0 until 8)
@@ -4068,7 +4070,7 @@ object TextQueries {
       .select(col("media_id"), col("payload"))
     graft.ops.Multimodal.keyframeIndex(media).toDF()
       .select("media_id", "kf_idx", "sample_no", "offset", "size",
-        "profile", "level", "nal_len")
+        "profile", "level", "nal_len", "codec")
       .transform(QueryUtil.ordered("media_id", "kf_idx"))
   }
 
@@ -4082,7 +4084,8 @@ object TextQueries {
       |    CAST(i AS INTEGER) AS kf_idx,
       |    CAST(CASE WHEN slot = 7 THEN i + 1
       |              ELSE 1 + i * step END AS INTEGER) AS sample_no,
-      |    249 + 4 * n + CASE WHEN slot = 7 THEN 0
+      |    249 + CASE WHEN slot IN (2, 6) THEN 16 ELSE 0 END
+      |      + 4 * n + CASE WHEN slot = 7 THEN 0
       |      ELSE 16 + 4 * ((n - 1) // step + 1) END AS base
       |  FROM p, LATERAL (SELECT unnest(range(0,
       |    CASE WHEN slot = 7 THEN n
@@ -4092,11 +4095,14 @@ object TextQueries {
       |    + (23 * (sample_no - 1) * (sample_no - 2)) // 2 AS BIGINT)
       |    AS "offset",
       |  CAST(100 + 17 * slot + 23 * (sample_no - 1) AS INTEGER) AS size,
-      |  CAST(CASE slot % 3 WHEN 0 THEN 66 WHEN 1 THEN 77 ELSE 100 END
-      |    AS INTEGER) AS profile,
-      |  CAST(30 + slot AS INTEGER) AS level,
+      |  CAST(CASE WHEN slot = 2 THEN 1 WHEN slot = 6 THEN 2
+      |    ELSE CASE slot % 3 WHEN 0 THEN 66 WHEN 1 THEN 77 ELSE 100 END
+      |    END AS INTEGER) AS profile,
+      |  CAST(CASE WHEN slot IN (2, 6) THEN 90 + slot ELSE 30 + slot END
+      |    AS INTEGER) AS level,
       |  CAST(CASE slot % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END
-      |    AS INTEGER) AS nal_len
+      |    AS INTEGER) AS nal_len,
+      |  CASE WHEN slot IN (2, 6) THEN 'hvc1' ELSE 'avc1' END AS codec
       |FROM s ORDER BY media_id, kf_idx""".stripMargin
 
   val tarMembersOracle: String =

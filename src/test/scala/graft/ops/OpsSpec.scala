@@ -1947,8 +1947,9 @@ class OpsSpec extends SparkSpec {
     // base offset from the box layout: 249 + 4n + 16 + 4s
     val base = 249 + 4 * 4 + 16 + 4 * 2
     assert(got == Seq(
-      KeyframeEntry(9L, 0, 1, base.toLong, 120, 77, 31, 4),
-      KeyframeEntry(9L, 1, 3, (base + 120 + 143).toLong, 166, 77, 31, 4)))
+      KeyframeEntry(9L, 0, 1, base.toLong, 120, 77, 31, 4, "avc1"),
+      KeyframeEntry(9L, 1, 3, (base + 120 + 143).toLong, 166, 77, 31, 4,
+        "avc1")))
     // the planted base matches the REAL bytes: the first keyframe's
     // range starts exactly at the mdat payload
     assert(b.length == base + sizes.sum)
@@ -1958,11 +1959,23 @@ class OpsSpec extends SparkSpec {
     assert(all.map(_.sample_no) == Seq(1, 2, 3, 4))
     assert(all.map(_.kf_idx) == Seq(0, 1, 2, 3))
     assert(all.forall(e => e.profile == 66 && e.nal_len == 2))
-    // an MJPEG container (no avcC): seek points real, config -1
+    // HEVC: hvcC profile/level/NAL recovered, 16-byte-longer stsd
+    // entry shifts the mdat base by exactly 16
+    val hb = MediaFixtures.hevcMp4(sizes, Some(Seq(1, 3)),
+      profile = 2, level = 93, nalLen = 4)
+    val hgot = Mp4KeyframeWalk.index(10L, hb)
+    assert(hgot == Seq(
+      KeyframeEntry(10L, 0, 1, (base + 16).toLong, 120, 2, 93, 4, "hvc1"),
+      KeyframeEntry(10L, 1, 3, (base + 16 + 120 + 143).toLong, 166, 2, 93,
+        4, "hvc1")))
+    assert(hb.length == base + 16 + sizes.sum)
+    // an MJPEG container (no avcC/hvcC): seek points real, config -1,
+    // codec reports the stsd format
     val mj = Mp4KeyframeWalk.index(2L,
       MediaFixtures.mjpegMp4(Seq((8, 8), (8, 8))))
     assert(mj.map(_.sample_no) == Seq(1, 2))
-    assert(mj.forall(e => e.profile == -1 && e.nal_len == -1))
+    assert(mj.forall(e =>
+      e.profile == -1 && e.nal_len == -1 && e.codec == "jpeg"))
     // corrupt / non-MP4: sentinel, never a throw
     assert(Mp4KeyframeWalk.index(3L, Array[Byte](1, 2, 3)).head.kf_idx == -1)
     assert(Mp4KeyframeWalk.index(4L, null).head.kf_idx == -1)
