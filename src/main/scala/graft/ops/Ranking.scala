@@ -66,6 +66,75 @@ object Ranking {
       .drop("_mid", "_pid", "_idx", "_off")
   }
 
+  /** All input columns plus a 1-based DENSE rank of `keys` (ascending)
+    * — value-identical to SQL `dense_rank() OVER (ORDER BY keys)`, in
+    * ONE range shuffle with no DISTINCT and no join-back. Range
+    * partitioning sends equal keys to one partition (`getPartition`
+    * is a pure function of the key), so every equivalence class lands
+    * whole and contiguous after the within-partition sort: pass 1
+    * scans each partition once for (first key, last key, distinct
+    * count) — one tiny row per partition collected to the driver,
+    * whose cumsum gives each partition its class-rank base — and
+    * pass 2 re-scans the SAME persisted partitions emitting
+    * base + local dense index. Replaces the
+    * `distinct → withGlobalRank → join-back` chain (3 shuffles, one
+    * distinct-sized aggregate) wherever the rank of the CLASS is
+    * needed on every row — each suffix-array doubling round is the
+    * motivating caller. Defensive: if a class ever did straddle a
+    * boundary (a partitioner without the equal-keys guarantee), the
+    * driver cumsum detects first==previous-last and merges the split
+    * class, so the result stays correct under any partitioning.
+    * Persists the sorted frame (both passes read it); caller releases
+    * via [[Dedup.releaseCaches]] after the terminal action. */
+  def withDenseRank(df: DataFrame, keys: Seq[String],
+      rankName: String = "rank"): DataFrame = {
+    require(keys.nonEmpty, "dense rank needs at least one key column")
+    val spark = df.sparkSession
+    val n = spark.sessionState.conf.numShufflePartitions
+    val kc = keys.map(col)
+    val sorted = Dedup.persistTracked(
+      df.repartitionByRange(n, kc: _*).sortWithinPartitions(kc: _*))
+    val ki = keys.map(sorted.schema.fieldIndex)
+    val sums = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val first = it.next()
+        val fk = ki.map(first.get)
+        var last = fk
+        var nd = 1L
+        while (it.hasNext) {
+          val k = ki.map(it.next().get)
+          if (k != last) { nd += 1; last = k }
+        }
+        Iterator((pid, fk, last, nd))
+      }
+    }.collect().sortBy(_._1)
+    val bases = Map.newBuilder[Int, Long]
+    var lastRank = 0L
+    var prevLast: Seq[Any] = null
+    sums.foreach { case (pid, fk, lk, nd) =>
+      val base =
+        if (prevLast != null && fk == prevLast) lastRank - 1 else lastRank
+      bases += pid -> base
+      lastRank = base + nd
+      prevLast = lk
+    }
+    val bc = spark.sparkContext.broadcast(bases.result())
+    val outSchema = sorted.schema.add(rankName,
+      org.apache.spark.sql.types.LongType, nullable = false)
+    val rows = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val base = bc.value.getOrElse(pid, 0L)
+      var lastKey: Seq[Any] = null
+      var idx = 0L
+      it.map { r =>
+        val k = ki.map(r.get)
+        if (lastKey == null || k != lastKey) { idx += 1; lastKey = k }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (base + idx))
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
   /** [[withGlobalRank]] plus an equal-frequency bucket column:
     * `bucketName = floor((rank - 1) · buckets / N)` ∈ [0, buckets) —
     * deciles at `buckets = 10`; bucket sizes differ by at most one.

@@ -91,11 +91,12 @@ object SuffixArray {
     val maxLen = st.groupBy("doc_id").agg(count(lit(1)).as("_m"))
       .agg(max("_m")).collect()(0).getLong(0)
     val rounds = roundsFor(maxLen)
-    val tokRanks = Ranking.withGlobalRank(
-      st.select(col("tok")).distinct(), Seq(col("tok")), "_r")
+    // dense rank of the token class directly on the stream — one range
+    // shuffle, no distinct/join-back (Ranking.withDenseRank; values
+    // identical to dense_rank(), so the oracle replay is untouched)
     var ranks = Dedup.checkpointTracked(
-      st.join(tokRanks, Seq("tok"))
-        .select(col("doc_id"), col("widx"), col("_r").as("r")))
+      Ranking.withDenseRank(st, Seq("tok"), "r")
+        .select(col("doc_id"), col("widx"), col("r")))
     val frames = scala.collection.mutable.ArrayBuffer(ranks)
     val total = st.count()
     // round-0 class count doubles as the INITIAL convergence check: a
@@ -111,11 +112,10 @@ object SuffixArray {
       val paired = ranks.join(shifted, Seq("doc_id", "widx"), "left")
         .select(col("doc_id"), col("widx"), col("r").as("_r1"),
           coalesce(col("_r2"), lit(0L)).as("_r2"))
-      val pairRanks = Ranking.withGlobalRank(
-        paired.select("_r1", "_r2").distinct(),
-        Seq(col("_r1"), col("_r2")), "_nr")
+      // dense rank of the (r1, r2) class directly on the paired frame
+      // (one range shuffle vs the r13 distinct → rank → join-back)
       ranks = Dedup.checkpointTracked(
-        paired.join(pairRanks, Seq("_r1", "_r2"))
+        Ranking.withDenseRank(paired, Seq("_r1", "_r2"), "_nr")
           .select(col("doc_id"), col("widx"), col("_nr").as("r")))
       frames += ranks
       // early stop: dense ranks are 1..max, so max == N ⇔ all ranks

@@ -2415,6 +2415,29 @@ class OpsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("withDenseRank: equals a dense_rank window on a shuffled multi-partition frame with heavy ties") {
+    // ~1000 rows over only 37 key classes (heavy ties), plus a
+    // two-column key — both compared row-for-row against the
+    // single-partition dense_rank() window truth
+    val d = spark.range(0, 1000)
+      .select((col("id") % 37).as("k"), (col("id") % 5).as("k2"), col("id"))
+    val got = Ranking.withDenseRank(d.repartition(13), Seq("k", "k2"), "dr")
+      .collect().map(x => x.getAs[Long]("id") -> x.getAs[Long]("dr")).toMap
+    val want = d.withColumn("dr", dense_rank().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("k"), col("k2")))
+        .cast("long"))
+      .collect().map(x => x.getAs[Long]("id") -> x.getAs[Long]("dr")).toMap
+    Dedup.releaseCaches()
+    assert(got == want)
+    // single class spanning everything: every row rank 1
+    val one = Ranking.withDenseRank(
+      spark.range(0, 100).select(lit(7L).as("k"), col("id"))
+        .repartition(9), Seq("k"), "dr")
+      .collect().map(_.getAs[Long]("dr")).toSet
+    Dedup.releaseCaches()
+    assert(one == Set(1L))
+  }
+
   test("withGlobalRank: sort-direction columns rank descending first") {
     val d = Seq((1L, 0.2), (2L, 0.9), (3L, 0.9), (4L, 0.5)).toDF("id", "q")
     val got = Ranking.withGlobalRank(d.repartition(5),
