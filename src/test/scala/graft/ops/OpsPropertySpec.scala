@@ -299,6 +299,7 @@ class OpsPropertySpec extends SparkSpec {
         Seq(MediaFixtures.mjpegMp4(Seq((4, 2), (4, 2))),
           MediaFixtures.animatedGif(8, 8, Seq((8, 8), (8, 8)),
             Seq(5, 5), Some(2))) ++
+        (0 until 8).map(MediaFixtures.plantedAvcMp4) ++
         (0 until 8).map(MediaFixtures.plantedTar) ++
         (0 until 8).map(MediaFixtures.plantedZip)
     val rnd = new scala.util.Random(7)
@@ -339,6 +340,37 @@ class OpsPropertySpec extends SparkSpec {
       val zip = Multimodal.ZipWalk.members(1L, b)
       assert(zip.nonEmpty && zip.forall(m =>
         m.member_idx == -1 || (m.offset >= 0 && m.usize >= 0)), s"input $i")
+      val kf = Multimodal.Mp4KeyframeWalk.index(1L, b)
+      assert(kf.nonEmpty && kf.forall(e =>
+        e.kf_idx == -1 || (e.sample_no >= 1 && e.offset >= 0 &&
+          e.size >= 0)), s"input $i")
+    }
+  }
+
+  test("dense rank law: equals the dense_rank window for random key spreads and partitionings") {
+    // withDenseRank's contract is VALUE-identity with the SQL window
+    // at any tie density (every row its own class ... one class for
+    // the whole frame) under any incoming partitioning — the suffix
+    // oracle replay depends on it bit-for-bit
+    val caseGen = for {
+      n <- Gen.choose(1, 400)
+      mod <- Gen.oneOf(1, 2, 7, 50, 100000)
+      parts <- Gen.choose(1, 17)
+      neg <- Gen.oneOf(0L, -1000000L)
+    } yield (n, mod, parts, neg)
+    samples(caseGen, 10).foreach { case (n, mod, parts, neg) =>
+      val d = spark.range(0, n.toLong)
+        .select((col("id") * 2654435761L % mod + neg).as("k"), col("id"))
+      val got = Ranking.withDenseRank(d.repartition(parts), Seq("k"), "dr")
+        .select("id", "dr").as[(Long, Long)].collect().toMap
+      val want = {
+        val ks = d.select("k", "id").as[(Long, Long)].collect()
+        val rankOf = ks.map(_._1).distinct.sorted.zipWithIndex
+          .map { case (k, i) => k -> (i + 1L) }.toMap
+        ks.map { case (k, id) => id -> rankOf(k) }.toMap
+      }
+      Dedup.releaseCaches()
+      assert(got == want, s"n=$n mod=$mod parts=$parts neg=$neg")
     }
   }
 }
