@@ -31,4 +31,16 @@ object StreamingMedia {
     (batch: DataFrame, batchId: Long) =>
       Multimodal.extractFeatures(batch, Multimodal.JdkMediaDecoder)
         .write.mode("overwrite").parquet(s"$metaPath/batch_id=$batchId")
+
+  /** `foreachBatch` body building the keyframe SEEK INDEX per
+    * micro-batch ([[graft.ops.Multimodal.keyframeIndex]] — `stss` +
+    * `avcC`/`hvcC` box walks): the loader-side random-access map for
+    * inter-frame video lands in the metadata store incrementally as
+    * shards arrive, same stateless exactly-once layout as
+    * [[metaAppender]] (the walk is a pure function of payload bytes,
+    * so checkpoint replay rewrites identical rows). */
+  def keyframeAppender(indexPath: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) =>
+      Multimodal.keyframeIndex(batch).toDF()
+        .write.mode("overwrite").parquet(s"$indexPath/batch_id=$batchId")
 }

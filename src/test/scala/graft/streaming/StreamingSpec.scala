@@ -887,6 +887,52 @@ class StreamingSpec extends SparkSpec {
       "a replayed micro-batch must not duplicate or change meta rows")
   }
 
+  test("streaming keyframe index: stss/avcC/hvcC walk stream equals batch, replays don't duplicate") {
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    val in = tmpDir("kf-in")
+    val out = tmpDir("kf-out") + "/index"
+    // the 8 planted AVC/HEVC containers as two micro-batches
+    def kfDf(slots: Seq[Int]) =
+      slots.map(m => (m.toLong, graft.ops.MediaFixtures.plantedAvcMp4(m)))
+        .toDF("media_id", "payload")
+    kfDf(0 until 4).coalesce(1).write.parquet(s"$in/a")
+    kfDf(4 until 8).coalesce(1).write.parquet(s"$in/b")
+    import java.nio.file.{Files => NFiles, Paths => NPaths}
+    def onePart(d: String) =
+      NFiles.list(NPaths.get(d))
+        .filter(_.toString.endsWith(".parquet")).findFirst.get
+    val fa = NPaths.get(s"$in/batch_a.parquet")
+    NFiles.move(onePart(s"$in/a"), fa)
+    NFiles.move(onePart(s"$in/b"), NPaths.get(s"$in/batch_b.parquet"))
+    fa.toFile.setLastModified(System.currentTimeMillis() - 60000)
+    val q = spark.readStream
+      .schema("media_id LONG, payload BINARY")
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream
+      .option("checkpointLocation", tmpDir("kf-ckpt"))
+      .foreachBatch(StreamingMedia.keyframeAppender(out))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    def rows(df: DataFrame) = df
+      .select("media_id", "kf_idx", "sample_no", "offset", "size",
+        "profile", "level", "nal_len", "codec")
+      .collect().map(_.toSeq).toSet
+    val streamed = rows(spark.read.parquet(out))
+    val batch = rows(graft.ops.Multimodal.keyframeIndex(
+      kfDf(0 until 8)).toDF())
+    assert(streamed == batch,
+      s"stream index must equal batch: missing=${batch -- streamed} " +
+        s"extra=${streamed -- batch}")
+    // both codec families crossed the stream
+    assert(streamed.map(_.last).collect { case s: String => s } ==
+      Set("avc1", "hvc1"))
+    // replay: re-running a batch overwrites its own partition
+    StreamingMedia.keyframeAppender(out)(kfDf(4 until 8), 1L)
+    assert(rows(spark.read.parquet(out)) == streamed,
+      "a replayed micro-batch must not duplicate or change index rows")
+  }
+
   test("watermarked windowed level counts over the stream") {
     val in = tmpDir("stream-win")
     java.nio.file.Files.copy(
