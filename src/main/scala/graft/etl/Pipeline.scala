@@ -71,21 +71,93 @@ object Pipeline {
     }
   }
 
+  /** Incremental byte-level line reader behind [[runStdin]] (r15 —
+    * closes the r14 drain-loop gap): splits on `'\n'` at the BYTE
+    * level (safe for UTF-8 — a newline byte never occurs inside a
+    * multi-byte sequence), keeps the unterminated tail across reads,
+    * and only ever issues a potentially-blocking `read` when the
+    * queue of completed lines is empty. `BufferedReader.ready()` is
+    * true when ANY character is buffered — not a complete line — so
+    * the r14 drain could block mid-batch on a producer that wrote a
+    * partial line and paused, delaying lines already drained. Here a
+    * partial line simply stays in the tail and the batch ships
+    * without it. CR before LF is stripped (the reference's
+    * `bufio.Scanner` line semantics); a final unterminated line
+    * flushes at EOF. */
+  private[etl] final class LineBatcher(in: java.io.InputStream) {
+    private val buf = new Array[Byte](64 * 1024)
+    private var tail = new java.io.ByteArrayOutputStream()
+    private val queue = new scala.collection.mutable.Queue[String]()
+    private var eof = false
+
+    private def decode(bytes: Array[Byte], len: Int): String = {
+      val n = if (len > 0 && bytes(len - 1) == '\r') len - 1 else len
+      new String(bytes, 0, n, java.nio.charset.StandardCharsets.UTF_8)
+    }
+
+    /** Consume one read()'s worth of bytes into completed lines. */
+    private def ingest(n: Int): Unit = {
+      var start = 0
+      var i = 0
+      while (i < n) {
+        if (buf(i) == '\n') {
+          tail.write(buf, start, i - start)
+          val b = tail.toByteArray
+          queue += decode(b, b.length)
+          tail.reset()
+          start = i + 1
+        }
+        i += 1
+      }
+      tail.write(buf, start, n - start)
+    }
+
+    /** Next batch of up to `max` COMPLETED lines. Blocks only while
+      * the queue is empty; once any line is queued, reads happen only
+      * when bytes are already available. Returns None at EOF once all
+      * lines (including a final unterminated one) are delivered. */
+    def nextBatch(max: Int): Option[Seq[String]] = {
+      while (!eof && queue.size < max &&
+          (queue.isEmpty || in.available() > 0)) {
+        val n = in.read(buf) // blocks only when queue is empty
+        if (n < 0) {
+          eof = true
+          if (tail.size() > 0) {
+            val b = tail.toByteArray
+            queue += decode(b, b.length)
+            tail.reset()
+          }
+        } else ingest(n)
+      }
+      if (queue.isEmpty) None
+      else {
+        val out = Vector.newBuilder[String]
+        var k = 0
+        while (k < max && queue.nonEmpty) { out += queue.dequeue(); k += 1 }
+        Some(out.result())
+      }
+    }
+  }
+
   /** TRUE incremental stdin (r14 — replaces the r13 temp-file spool):
     * a bounded line-batch reader feeding micro-batches, the
     * reference's incremental consumption (`cmd/etl/main.go:340-359`)
     * re-expressed as the streaming layer's per-batch core. An
-    * unbounded pipe makes progress: the reader BLOCKS only for the
-    * first line of a batch, then drains whatever is immediately
-    * available (`ready()`) up to `batchLines`, processes that batch
-    * through parse → normalize → transforms → sink append → report
-    * merge, and loops — so output lands after every burst instead of
-    * after EOF. One Sink instance across batches gives the append
-    * lifecycle (the foreachBatch contract); reports ADD via
-    * [[graft.streaming.StreamingPipeline.merge]]. Driver memory is
-    * bounded by `batchLines` raw lines per batch. Returns the merged
-    * report at EOF; a never-closed pipe simply keeps consuming (the
-    * reference behaves the same). */
+    * unbounded pipe makes progress: [[LineBatcher]] BLOCKS only while
+    * it holds no completed line, then drains whatever complete lines
+    * the buffered bytes yield up to `batchLines` (a partial trailing
+    * line waits in its tail — it can never stall a drained batch),
+    * processes that batch through parse → normalize → transforms →
+    * sink append → report merge, and loops — so output lands after
+    * every burst instead of after EOF. One Sink instance across
+    * batches gives the append lifecycle (the foreachBatch contract);
+    * reports ADD via [[graft.streaming.StreamingPipeline.merge]].
+    * Driver memory is bounded by `batchLines` raw lines per batch.
+    * Returns the merged report at EOF; a never-closed pipe simply
+    * keeps consuming (the reference behaves the same). Callers route
+    * only JSONL here — structured formats (csv/orc/parquet) need the
+    * whole byte stream (header/footer) and spool to a file instead
+    * ([[Main.main]]). */
   def runStdin(spark: SparkSession, cfg: EtlConfig,
       in: java.io.InputStream, batchLines: Int = 10000)
       : Either[String, EtlReport] = {
@@ -95,22 +167,15 @@ object Pipeline {
     } yield {
       val t0 = System.nanoTime()
       Sinks.initDlq(cfg.dlqPath)
-      val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
-        in, java.nio.charset.StandardCharsets.UTF_8))
+      val batcher = new LineBatcher(in)
       import spark.implicits._
       var acc = EtlReport()
       var eof = false
       while (!eof) {
-        val batch = scala.collection.mutable.ArrayBuffer.empty[String]
-        val first = reader.readLine() // the only blocking read per batch
-        if (first == null) eof = true
-        else {
-          batch += first
-          while (!eof && batch.size < batchLines && reader.ready()) {
-            val l = reader.readLine()
-            if (l == null) eof = true else batch += l
-          }
-          val lines = batch.toSeq.toDS().toDF("line")
+        batcher.nextBatch(batchLines) match {
+          case None => eof = true
+          case Some(batch) =>
+          val lines = batch.toDS().toDF("line")
             .filter(trim(col("line")) =!= "")
           TransformRegistry(cfg)(Normalize(lines)) match {
             case Right(transformed0) =>
@@ -239,6 +304,22 @@ object Pipeline {
 /** CLI entry — config precedence defaults < file < env < flags
   * (`cmd/etl/main.go:54-137`), validation, run, summary print. */
 object Main {
+
+  /** stdin (`-`) routing: Some(temp-file extension) when the stream
+    * must SPOOL to a file before parsing — curation mode (finite
+    * corpus snapshot; schema inference and dedup need the whole
+    * input) and structured --input-format values (csv/orc/parquet
+    * carry their schema in a header/footer, so the incremental JSONL
+    * batcher would mis-count every line as a parse failure — r15
+    * ADVICE fix); None routes through the incremental
+    * [[Pipeline.runStdin]]. */
+  private[etl] def stdinSpoolExt(cfg: EtlConfig): Option[String] = {
+    val fmt = cfg.inputFormat.toLowerCase
+    if (cfg.curationConfig.nonEmpty) Some(".jsonl")
+    else if (fmt.nonEmpty && fmt != "jsonl") Some(s".$fmt")
+    else None
+  }
+
   def main(args: Array[String]): Unit = {
     val flags = parseFlags(args)
     val fileCfgPath = flags.get("config").orElse(sys.env.get("ETL_CONFIG"))
@@ -274,14 +355,20 @@ object Main {
     // (S2 — reference `cmd/etl/main.go:340-359`; r14 replaced the r13
     // temp-file spool, under which an unbounded pipe never started).
     // Curation mode still spools (it reads a FINITE corpus snapshot —
-    // schema inference and dedup need the whole input anyway).
+    // schema inference and dedup need the whole input anyway), and so
+    // do structured --input-format streams (csv/orc/parquet): those
+    // formats need the whole byte stream (header / footer) before any
+    // record parses, so the incremental JSONL batcher would count
+    // every line as a parse failure (r15 — closes the r14 regression
+    // where a CSV pipe was silently DLQ'd line by line).
     if (cfg.inputPath == "-" || cfg.inputPath.isEmpty) {
-      if (cfg.curationConfig.nonEmpty) {
-        val tmp = java.nio.file.Files.createTempFile("etl-stdin", ".jsonl")
+      Main.stdinSpoolExt(cfg) match {
+        case Some(ext) =>
+        val tmp = java.nio.file.Files.createTempFile("etl-stdin", ext)
         java.nio.file.Files.copy(System.in, tmp,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         cfg = cfg.copy(inputPath = tmp.toString)
-      } else {
+        case None =>
         Pipeline.runStdin(spark, cfg, System.in) match {
           case Right(report) =>
             if (cfg.reportPath.nonEmpty) report.writeJson(cfg.reportPath)

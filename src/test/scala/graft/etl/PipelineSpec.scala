@@ -106,6 +106,92 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  /** Queue-backed in-memory stream (PipedInputStream pins its reader
+    * THREAD — per-assert probe threads would kill the pipe): `feed`
+    * makes bytes available atomically; `end` signals EOF. */
+  private final class ChunkStream extends java.io.InputStream {
+    private val Eof = new Array[Byte](0)
+    private val q =
+      new java.util.concurrent.LinkedBlockingQueue[Array[Byte]]()
+    private val avail = new java.util.concurrent.atomic.AtomicInteger(0)
+    private var cur: Array[Byte] = new Array[Byte](0)
+    private var pos = 0
+    private var done = false
+    def feed(s: String): Unit = {
+      val b = s.getBytes("UTF-8")
+      require(b.nonEmpty); avail.addAndGet(b.length); q.put(b)
+    }
+    def end(): Unit = q.put(Eof)
+    override def available(): Int = avail.get()
+    override def read(): Int = {
+      val one = new Array[Byte](1)
+      if (read(one, 0, 1) < 0) -1 else one(0) & 0xff
+    }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      if (done) return -1
+      while (pos >= cur.length) {
+        val n = q.take()
+        if (n eq Eof) { done = true; return -1 }
+        cur = n; pos = 0
+      }
+      val k = math.min(len, cur.length - pos)
+      System.arraycopy(cur, pos, b, off, k)
+      pos += k; avail.addAndGet(-k); k
+    }
+  }
+
+  test("LineBatcher: partial trailing line never stalls a drained batch; CRLF strip; final-line flush at EOF") {
+    val src = new ChunkStream
+    val lb = new Pipeline.LineBatcher(src)
+    def batchWithin(ms: Long): Option[Seq[String]] = {
+      @volatile var got: Option[Seq[String]] = null
+      val t = new Thread(() => { got = lb.nextBatch(10) })
+      t.setDaemon(true); t.start(); t.join(ms)
+      assert(!t.isAlive, "nextBatch must not block: bytes were available")
+      got
+    }
+    // two complete lines + a partial third, pipe OPEN: the r14
+    // BufferedReader drain would block readLine()-ing the partial
+    // line (ready() is true on ANY buffered char); the byte-level
+    // batcher ships the complete lines and parks the tail
+    src.feed("one\r\ntwo\npart")
+    assert(batchWithin(10000) == Some(Seq("one", "two")))
+    // the tail completes across a later burst
+    src.feed("ial\n")
+    assert(batchWithin(10000) == Some(Seq("partial")))
+    // unterminated final line flushes at EOF, then None
+    src.feed("last"); src.end()
+    assert(batchWithin(10000) == Some(Seq("last")))
+    assert(batchWithin(10000) == None)
+  }
+
+  test("LineBatcher: max caps a batch; surplus completed lines carry to the next call") {
+    val bytes = (1 to 7).map(i => s"l$i").mkString("", "\n", "\n")
+      .getBytes("UTF-8")
+    val lb = new Pipeline.LineBatcher(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(lb.nextBatch(3) == Some(Seq("l1", "l2", "l3")))
+    assert(lb.nextBatch(3) == Some(Seq("l4", "l5", "l6")))
+    assert(lb.nextBatch(3) == Some(Seq("l7")))
+    assert(lb.nextBatch(3) == None)
+  }
+
+  test("stdin routing: structured --input-format spools to a file; jsonl/empty stays incremental") {
+    val z = EtlConfig.default
+    assert(Main.stdinSpoolExt(z).isEmpty)
+    assert(Main.stdinSpoolExt(z.copy(inputFormat = "jsonl")).isEmpty)
+    assert(Main.stdinSpoolExt(z.copy(inputFormat = "JSONL")).isEmpty)
+    // csv/orc/parquet need the whole byte stream (header/footer) —
+    // the incremental JSONL batcher would DLQ every line (r15 ADVICE)
+    assert(Main.stdinSpoolExt(z.copy(inputFormat = "csv")) == Some(".csv"))
+    assert(Main.stdinSpoolExt(z.copy(inputFormat = "CSV")) == Some(".csv"))
+    assert(Main.stdinSpoolExt(z.copy(inputFormat = "orc")) == Some(".orc"))
+    assert(Main.stdinSpoolExt(z.copy(inputFormat = "parquet"))
+      == Some(".parquet"))
+    assert(Main.stdinSpoolExt(z.copy(curationConfig = "stages.yaml"))
+      == Some(".jsonl"))
+  }
+
   test("curation mode: 3-stage config file drives the curation registry end-to-end") {
     val dir = java.nio.file.Files.createTempDirectory("cur-it").toString
     // corpus: shared boilerplate line across two docs, one too-short doc
