@@ -94,6 +94,19 @@ object Bench {
       }
     }.getOrElse(8.0)
   private val LoadRetryBudget = 3
+  /** Finalize-rule escalation (r15, verdict r14): total seconds the
+    * run may SLEEP waiting for the box to drain below [[LoadMax]]
+    * before/between finalize passes. The r14 finalize rule re-measured
+    * flagged queries immediately — on a busy driver box the re-runs
+    * started just as loaded as the originals and BENCH_r14 still
+    * shipped `quiet:false`. Re-measuring into the same co-tenant burst
+    * is wasted budget; a bounded wait first gives the 1-minute load
+    * average time to actually fall. Override with
+    * SPARK_GRAFT_QUIET_WAIT (seconds, 0 disables). */
+  private val QuietWaitBudgetSec: Int =
+    sys.env.get("SPARK_GRAFT_QUIET_WAIT")
+      .flatMap(s => scala.util.Try(s.toInt).toOption.filter(_ >= 0))
+      .getOrElse(180)
 
   private def gcMillis(): Long = {
     val it = java.lang.management.ManagementFactory
@@ -318,8 +331,27 @@ object Bench {
     // this record as a baseline.
     val FinalPasses = 2
     var pass = 0
+    // wait-for-quiet (r15): shared across passes — sleeping is only
+    // useful while the box is actually loud, so an early-quiet box
+    // spends none of it
+    var quietWaitLeft = QuietWaitBudgetSec
+    def waitForQuiet(): Unit = {
+      var l = loadAvg()
+      while (l > LoadMax && quietWaitLeft > 0) {
+        val step = math.min(5, quietWaitLeft)
+        System.err.println(
+          s"[bench] finalize: load_1m=$l > $LoadMax, waiting ${step}s " +
+            s"(${quietWaitLeft}s budget left)")
+        Thread.sleep(step * 1000L)
+        quietWaitLeft -= step
+        l = loadAvg()
+      }
+    }
     while (pass < FinalPasses && recs.exists(r => flaggedOf(r._2).nonEmpty)) {
       pass += 1
+      // drain first, re-measure second: re-running into the same
+      // co-tenant burst that flagged the line just burns the pass
+      waitForQuiet()
       val flaggedNames = recs.collect {
         case (n, r) if flaggedOf(r).nonEmpty => n }.toSeq
       System.err.println(
@@ -370,12 +402,26 @@ object Bench {
       m.map { case (k, v) => "\"" + k + "\":" + v.mkString("[", ",", "]") }
         .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // most recent COMMITTED quiet total for this SF (docs/QUIET_REF
+    // .json, updated whenever a quiet run is committed): rides in the
+    // record so a load-tainted artifact carries its own reconciliation
+    // reference — the verdict's r14 complaint was having to dig the
+    // quiet number out of a different commit (r15, verdict #5)
+    val quietRef: Option[Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("docs/QUIET_REF.json")), "UTF-8")
+      val key = new java.io.File(sfDir).getName
+      val m = ("\"" + java.util.regex.Pattern.quote(key) +
+        "\"\\s*:\\s*([0-9.]+)").r
+      m.findFirstMatchIn(txt).map(_.group(1).toDouble)
+    } catch { case _: Exception => None }
+    val quietRefJson = quietRef.map(_.toString).getOrElse("null")
     // key order is deliberate: the driver keeps only the LAST ~2k chars
     // of stdout, so the headline medians and total go at the END of the
     // line — bulky runs/errors payloads first (r7: three long error
     // strings pushed every number out of the recorded tail)
     val line =
-      s"""{"runs":$runsJson,"gc_sec":${numMap(gcRuns)},"load_1m":${numMap(loadRuns)},"load_flagged":${numMap(loadFlagged)},"discarded":$discJson,"discard_reason":$discReasonJson,"errors":$errJson,"sf":"$sfDir","quiet":$quiet,"queries":$qs,"metric":"total","value":$total,"unit":"sec"}"""
+      s"""{"runs":$runsJson,"gc_sec":${numMap(gcRuns)},"load_1m":${numMap(loadRuns)},"load_flagged":${numMap(loadFlagged)},"discarded":$discJson,"discard_reason":$discReasonJson,"errors":$errJson,"sf":"$sfDir","quiet":$quiet,"quiet_ref_total":$quietRefJson,"queries":$qs,"metric":"total","value":$total,"unit":"sec"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_result.json"), line + "\n")
     spark.stop()

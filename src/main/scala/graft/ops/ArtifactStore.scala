@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fingerprint-guarded artifact store — the [[SuffixIndex]] pattern
+  * generalized (r15, verdict #2): at 100 TB the expensive step of a
+  * model-driven curation stage is TRAINING (classifier gradient
+  * epochs, isotonic fits, unigram EM, BPE merge rounds), so a
+  * pipeline trains ONCE per corpus release, persists the model next
+  * to the corpus, and every downstream query scores/applies under the
+  * frozen artifact. The measured precedent is the suffix family:
+  * `tx_suffix_build` 15.4 s / consumer `tx_repeated_seqs` 1.2 s.
+  *
+  * Layout under `spark-warehouse/graft_artifacts/<family>/<key>`
+  * (key = md5 of corpus dir + config — two corpora or two configs
+  * never share a key):
+  *   - one parquet dir per named frame (the model payload —
+  *     classifier weights, isotonic table, unigram seg counts, BPE
+  *     merge table, or the curated pool itself);
+  *   - `meta`: one row carrying the corpus FINGERPRINT plus the
+  *     config string. A consumer re-fingerprints the corpus on every
+  *     load and rebuilds on mismatch, so a stale artifact can never
+  *     serve a changed corpus.
+  *
+  * Fingerprint = (row count, order-insensitive XOR of per-doc
+  * hashes, order-insensitive exact DECIMAL sum of the same hashes) —
+  * one column-pruned scan; the sum closes XOR's self-cancelling
+  * blind spot (the r15 [[SuffixIndex]] ADVICE fix, shared here).
+  *
+  * Parquet round-trips IEEE doubles and integer/string columns
+  * exactly, so a loaded artifact scores BYTE-IDENTICALLY to the
+  * build that wrote it — consumer queries keep their full-replay
+  * DuckDB oracles unchanged, which makes the artifact path
+  * verifiable end-to-end: a wrong byte in a saved model breaks the
+  * same driver hashes that pinned in-query training.
+  */
+object ArtifactStore {
+
+  /** Corpus fingerprint over `<dir>/documents.parquet`: (row count,
+    * bit-XOR of per-doc md5-low64, exact DECIMAL(38,0) sum of the
+    * same hashes as a string). Any added/removed/edited doc flips at
+    * least one component; a delta multiset would have to cancel under
+    * BOTH xor and exact integer addition. */
+  def corpusFingerprint(spark: SparkSession, dir: String)
+      : (Long, Long, String) = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val r = docs.select(TextAnalysis.md5Low64(concat_ws("|",
+        col("doc_id").cast("string"), col("text"))).as("_h"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(_h)").as("x"),
+        sum(col("_h").cast("decimal(38,0)")).as("s"))
+      .collect()(0)
+    val s = Option(r.getDecimal(2)).map(_.toBigInteger.toString)
+      .getOrElse("0")
+    (r.getLong(0), r.getLong(1), s)
+  }
+
+  private def root(family: String, dir: String, config: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|$config".getBytes("UTF-8")).take(8)
+      .map("%02x".format(_)).mkString
+    java.nio.file.Paths.get(sys.props("user.dir"), "spark-warehouse",
+      "graft_artifacts", family, md).toString
+  }
+
+  /** Load the named frames of `family`'s artifact for (`dir`,
+    * `config`), building and saving them first if absent or stale
+    * (corpus fingerprint or config mismatch). The build thunk runs at
+    * most once per miss; returned frames are parquet leaf scans
+    * either way, so a consumer query's plan shape is identical on
+    * hit and on fresh build. Thread-safe. */
+  def loadOrBuild(spark: SparkSession, dir: String, family: String,
+      config: String, names: Seq[String])(
+      build: => Map[String, DataFrame]): Map[String, DataFrame] =
+    this.synchronized {
+      val (fpN, fpXor, fpSum) = corpusFingerprint(spark, dir)
+      val p = root(family, dir, config)
+      val fresh = try {
+        val m = spark.read.parquet(s"$p/meta").collect()(0)
+        m.getAs[Long]("fp_n") == fpN &&
+          m.getAs[Long]("fp_xor") == fpXor &&
+          m.getAs[String]("fp_sum") == fpSum &&
+          m.getAs[String]("config") == config
+      } catch { case _: Exception => false }
+      if (!fresh) saveFrames(spark, p, config, (fpN, fpXor, fpSum),
+        names, build)
+      names.map(n => n -> spark.read.parquet(s"$p/$n")).toMap
+    }
+
+  /** Force a rebuild (the BUILD is a `*_build` bench line's
+    * semantics — it must measure training every round, never an
+    * artifact hit), save, and return the freshly-written frames as
+    * leaf scans. */
+  def rebuild(spark: SparkSession, dir: String, family: String,
+      config: String, names: Seq[String])(
+      build: => Map[String, DataFrame]): Map[String, DataFrame] =
+    this.synchronized {
+      val fp = corpusFingerprint(spark, dir)
+      val p = root(family, dir, config)
+      saveFrames(spark, p, config, fp, names, build)
+      names.map(n => n -> spark.read.parquet(s"$p/$n")).toMap
+    }
+
+  private def saveFrames(spark: SparkSession, p: String, config: String,
+      fp: (Long, Long, String), names: Seq[String],
+      build: => Map[String, DataFrame]): Unit = {
+    val frames = build
+    require(names.forall(frames.contains),
+      s"artifact build produced ${frames.keys.toSeq.sorted}, " +
+        s"expected $names")
+    names.foreach { n =>
+      frames(n).write.mode("overwrite").parquet(s"$p/$n")
+    }
+    import spark.implicits._
+    Seq((fp._1, fp._2, fp._3, config))
+      .toDF("fp_n", "fp_xor", "fp_sum", "config")
+      .coalesce(1).write.mode("overwrite").parquet(s"$p/meta")
+    SuffixIndex.sweepStale(new java.io.File(p))
+  }
+}

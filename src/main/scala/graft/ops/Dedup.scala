@@ -69,7 +69,7 @@ object Dedup {
     cp
   }
 
-  private def freeCheckpoint(df: DataFrame): Unit = {
+  private[graft] def freeCheckpoint(df: DataFrame): Unit = {
     liveCheckpoints.remove(df)
     org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(df)
   }

@@ -46,8 +46,28 @@ object SuffixArray {
     * `require`. Rounds past convergence are provable no-ops (dense
     * ranks are 1..N; re-ranking distinct ranks returns them
     * unchanged), so ANY oracle depth ≥ the corpus' convergence round
-    * replays the engine exactly. */
+    * replays the engine exactly. r15: this is now only the FALLBACK —
+    * [[lastRounds]] records the round count the engine actually
+    * executed, and the oracle builders (evaluated by Verify AFTER all
+    * queries ran) unroll to that measured depth, so a future
+    * >511-token testdata doc can no longer leave the oracle short. */
   val Rounds = 9
+
+  /** Doubling rounds the most recent [[rankRounds]] actually executed
+    * (frames.size - 1 — the convergence round for that corpus), or -1
+    * before any build. Drives the ORACLE unroll depth: Verify dumps
+    * `oracle_sql.json` after running every query on the same SF dir,
+    * so by oracle-build time this is exactly the depth the engine ran
+    * on the corpus under test. */
+  @volatile private[graft] var lastRounds: Int = -1
+
+  /** Oracle unroll depth: the measured convergence round when a build
+    * has run this process, else the [[Rounds]] fallback. Floor of 1
+    * keeps the oracle's lift chain non-empty when a corpus converges
+    * at round 0 (an extra round past convergence is a provable no-op
+    * on both sides, so depth ≥ convergence is all that matters). */
+  private[graft] def oracleDepth: Int =
+    if (lastRounds >= 0) math.max(1, lastRounds) else Rounds
 
   /** Smallest k with 2^k ≥ maxLen — the doubling rounds needed for a
     * full suffix order over streams of ≤ maxLen tokens. */
@@ -87,18 +107,42 @@ object SuffixArray {
     * with k ≥ c is also unique, so the missing tail frames could never
     * fire a lift — the lifting caller uses exactly the frames that
     * exist. */
-  private[graft] def rankRounds(docs: DataFrame): RankRounds = {
+  /** Prefix-doubling rounds. With `spool = Some(dir)` (the
+    * [[SuffixIndex]] build path) every round frame is WRITTEN to
+    * `dir/rk_k` the moment it is checkpointed, the returned
+    * `frames(k)` are parquet leaf scans, and each round's in-memory
+    * checkpoint is freed as soon as its successor lands — so the
+    * build holds at most TWO round frames in storage memory instead
+    * of one per round (r15 verdict #3: at sf10 the accumulated
+    * frames outgrew one box's storage fraction and spilled; the
+    * frames were all being written at save time anyway, so spooling
+    * moves the same IO earlier and caps the footprint). The LCP lift
+    * then reads the parquet frames — column-pruned sequential scans.
+    * `spool = None` (the direct [[suffixRanks]]/[[repeatedSeqPairs]]
+    * path) keeps the r14 in-memory behavior. */
+  private[graft] def rankRounds(docs: DataFrame,
+      spool: Option[String] = None): RankRounds = {
     val st = Dedup.persistTracked(stream(docs))
     val maxLen = st.groupBy("doc_id").agg(count(lit(1)).as("_m"))
       .agg(max("_m")).collect()(0).getLong(0)
     val rounds = roundsFor(maxLen)
+    val spark = docs.sparkSession
+    // spool path: write the checkpointed frame now, hand the LIFT a
+    // leaf scan; the checkpoint itself stays live only for the next
+    // round's join
+    def emit(k: Int, f: DataFrame): DataFrame = spool match {
+      case Some(p) =>
+        f.write.mode("overwrite").parquet(s"$p/rk_$k")
+        spark.read.parquet(s"$p/rk_$k")
+      case None => f
+    }
     // dense rank of the token class directly on the stream — one range
     // shuffle, no distinct/join-back (Ranking.withDenseRank; values
     // identical to dense_rank(), so the oracle replay is untouched)
     var ranks = Dedup.checkpointTracked(
       Ranking.withDenseRank(st, Seq("tok"), "r")
         .select(col("doc_id"), col("widx"), col("r")))
-    val frames = scala.collection.mutable.ArrayBuffer(ranks)
+    val frames = scala.collection.mutable.ArrayBuffer(emit(0, ranks))
     val total = st.count()
     // round-0 class count doubles as the INITIAL convergence check: a
     // corpus of all-distinct tokens used to run one full no-op round
@@ -107,18 +151,24 @@ object SuffixArray {
       ranks.agg(max("r")).collect()(0).getLong(0))
     var step = 1L
     var converged = classes(0) == total
+    var k = 0
     for (_ <- 1 to rounds if !converged) {
       val shifted = ranks.select(col("doc_id"),
         (col("widx") - step).as("widx"), col("r").as("_r2"))
       val paired = ranks.join(shifted, Seq("doc_id", "widx"), "left")
         .select(col("doc_id"), col("widx"), col("r").as("_r1"),
           coalesce(col("_r2"), lit(0L)).as("_r2"))
+      val prev = ranks
       // dense rank of the (r1, r2) class directly on the paired frame
       // (one range shuffle vs the r13 distinct → rank → join-back)
       ranks = Dedup.checkpointTracked(
         Ranking.withDenseRank(paired, Seq("_r1", "_r2"), "_nr")
           .select(col("doc_id"), col("widx"), col("_nr").as("r")))
-      frames += ranks
+      k += 1
+      frames += emit(k, ranks)
+      // spool path: round k-1's checkpoint fed exactly one join and
+      // its parquet copy is already on disk — free the blocks now
+      if (spool.isDefined) Dedup.freeCheckpoint(prev)
       // early stop: dense ranks are 1..max, so max == N ⇔ all ranks
       // distinct ⇔ the suffix order is fully resolved (one cheap agg
       // per round on the checkpointed frame buys back the tail rounds)
@@ -127,7 +177,12 @@ object SuffixArray {
       converged = c == total
       step *= 2
     }
-    RankRounds(frames.toSeq, ranks, classes.toSeq, total, maxLen)
+    lastRounds = frames.size - 1
+    // spool path: the final round's checkpoint has no further
+    // consumer either — callers get the parquet leaf scans
+    if (spool.isDefined) Dedup.freeCheckpoint(ranks)
+    val fin = if (spool.isDefined) frames.last else ranks
+    RankRounds(frames.toSeq, fin, classes.toSeq, total, maxLen)
   }
 
   /** ExactSubstr's payoff query (Lee et al. 2022 §4): repeated token
@@ -213,12 +268,17 @@ object SuffixArray {
       .select(col("adoc"), col("awidx"), col("bdoc"), col("bwidx"))
       .withColumn("lcp", lit(0L))
     val top = if (topDistinct) frames.size - 2 else frames.size - 1
+    var pOwned = false // only loop-created checkpoints may be freed —
+    // the initial adjacency frame's plan reaches into the CALLER's
+    // rank checkpoint, whose blocks must outlive the lift
     for (k <- top to 0 by -1) {
       val step = 1L << k
       val ra = frames(k).select(col("doc_id").as("_ad"),
         col("widx").as("_aw"), col("r").as("_ra"))
       val rb = frames(k).select(col("doc_id").as("_bd"),
         col("widx").as("_bw"), col("r").as("_rb"))
+      val prev = p
+      val prevOwned = pOwned
       p = Dedup.checkpointTracked(p
         .withColumn("_ak", col("awidx") + col("lcp"))
         .withColumn("_bk", col("bwidx") + col("lcp"))
@@ -232,6 +292,12 @@ object SuffixArray {
             .otherwise(col("lcp")))
         .select(col("adoc"), col("awidx"), col("bdoc"), col("bwidx"),
           col("lcp")))
+      // the lift is a strict chain — stage k+1's blocks are dead the
+      // moment stage k is checkpointed. Freeing eagerly keeps the
+      // storage footprint at ≤ 2 pair frames instead of one per lift
+      // stage (r15 verdict #3: the sf10 build spilled MemoryStore)
+      pOwned = true
+      if (prevOwned) Dedup.freeCheckpoint(prev)
     }
     p
   }

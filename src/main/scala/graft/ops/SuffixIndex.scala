@@ -45,14 +45,13 @@ object SuffixIndex {
     spark.read.parquet(s"$dir/documents.parquet")
 
   /** Corpus fingerprint: (row count, order-insensitive XOR of per-doc
-    * content hashes). One scan; any added/removed/edited doc flips it. */
-  private def fingerprint(docs: DataFrame): (Long, Long) = {
-    val r = docs.select(TextAnalysis.md5Low64(concat_ws("|",
-        col("doc_id").cast("string"), col("text"))).as("_h"))
-      .agg(count(lit(1)).as("n"), expr("bit_xor(_h)").as("x"))
-      .collect()(0)
-    (r.getLong(0), r.getLong(1))
-  }
+    * content hashes, order-insensitive exact SUM of the same hashes —
+    * the sum closes XOR's self-cancelling blind spot, r15 ADVICE).
+    * Shared with every other artifact family via
+    * [[ArtifactStore.corpusFingerprint]]. */
+  private def fingerprint(spark: SparkSession, dir: String)
+      : (Long, Long, String) =
+    ArtifactStore.corpusFingerprint(spark, dir)
 
   /** Load the index for `dir`, building and saving it first if absent
     * or stale (fingerprint mismatch). Thread-safe; the build runs at
@@ -60,16 +59,21 @@ object SuffixIndex {
   def loadOrBuild(spark: SparkSession, dir: String): Handle =
     this.synchronized {
       val docs = docsOf(spark, dir)
-      val (fpN, fpXor) = fingerprint(docs)
+      val (fpN, fpXor, fpSum) = fingerprint(spark, dir)
       val p = root(dir)
       val meta = try {
         val m = spark.read.parquet(s"$p/meta").collect()(0)
-        if (m.getLong(0) == fpN && m.getLong(1) == fpXor)
-          Some((m.getInt(2), m.getLong(3), m.getLong(4)))
+        // column-by-name: pre-r15 artifacts lack fp_sum → getAs throws
+        // → rebuild (the safe direction for a fingerprint upgrade)
+        if (m.getAs[Long]("fp_n") == fpN &&
+            m.getAs[Long]("fp_xor") == fpXor &&
+            m.getAs[String]("fp_sum") == fpSum)
+          Some((m.getAs[Int]("n_frames"), m.getAs[Long]("total"),
+            m.getAs[Long]("max_len")))
         else None
       } catch { case _: Exception => None }
       val (nFrames, total, maxLen) = meta.getOrElse {
-        val rr = buildAndSave(spark, docs, p, fpN, fpXor)
+        val rr = buildAndSave(spark, docs, p, fpN, fpXor, fpSum)
         (rr.frames.size, rr.total, rr.maxLen)
       }
       val frames = (0 until nFrames)
@@ -90,8 +94,8 @@ object SuffixIndex {
   def rebuild(spark: SparkSession, dir: String): DataFrame =
     this.synchronized {
       val docs = docsOf(spark, dir)
-      val (fpN, fpXor) = fingerprint(docs)
-      val rr = buildAndSave(spark, docs, root(dir), fpN, fpXor)
+      val (fpN, fpXor, fpSum) = fingerprint(spark, dir)
+      val rr = buildAndSave(spark, docs, root(dir), fpN, fpXor, fpSum)
       import spark.implicits._
       rr.classes.zipWithIndex
         .map { case (c, k) => (k.toLong, c, rr.total) }
@@ -99,21 +103,51 @@ object SuffixIndex {
     }
 
   private def buildAndSave(spark: SparkSession, docs: DataFrame,
-      p: String, fpN: Long, fpXor: Long): SuffixArray.RankRounds = {
-    val rr = SuffixArray.rankRounds(docs)
-    // LCP-lift over the in-memory (checkpointed) frames, THEN write:
-    // the lift is the second-heaviest stage and must not re-read the
-    // frames it just wrote
+      p: String, fpN: Long, fpXor: Long, fpSum: String)
+      : SuffixArray.RankRounds = {
+    // r15 (verdict #3): SPOOL each round frame to the artifact the
+    // moment it is checkpointed and free its blocks as soon as the
+    // next round lands — the build holds ≤ 2 round frames in storage
+    // memory (the sf10 build was spilling one frame per round), and
+    // the total write volume is unchanged (every frame was written
+    // here anyway). The LCP lift reads the spooled parquet frames —
+    // column-pruned sequential scans.
+    val rr = SuffixArray.rankRounds(docs, spool = Some(p))
     val pairs = SuffixArray.lcpPairs(rr.frames, rr.ranks)
-    rr.frames.zipWithIndex.foreach { case (f, k) =>
-      f.write.mode("overwrite").parquet(s"$p/rk_$k")
-    }
     pairs.write.mode("overwrite").parquet(s"$p/pairs")
     import spark.implicits._
-    Seq((fpN, fpXor, rr.frames.size, rr.total, rr.maxLen,
+    Seq((fpN, fpXor, fpSum, rr.frames.size, rr.total, rr.maxLen,
         rr.classes.mkString(",")))
-      .toDF("fp_n", "fp_xor", "n_frames", "total", "max_len", "classes")
+      .toDF("fp_n", "fp_xor", "fp_sum", "n_frames", "total", "max_len",
+        "classes")
       .coalesce(1).write.mode("overwrite").parquet(s"$p/meta")
+    sweepStale(new java.io.File(p))
     rr
+  }
+
+  /** Keyed directories retained per artifact family after a build —
+    * the rotating-sink retention ethos applied to the artifact store:
+    * without a sweep, `graft_artifacts/<family>/` accumulates one
+    * directory per corpus path forever (every tmpdir a spec ever
+    * pointed at). Newest-N by mtime, the just-written key always
+    * survives (its mtime is newest by construction). */
+  val RetainKeys = 8
+
+  /** Drop all but the newest [[RetainKeys]] sibling key directories of
+    * the just-written artifact `p` (ties broken by name for
+    * determinism). Deletion is best-effort — a torn delete leaves a
+    * stale key that the fingerprint guard already refuses to serve. */
+  private[ops] def sweepStale(p: java.io.File): Unit = {
+    val parent = p.getParentFile
+    val keys = Option(parent.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory)
+      .sortBy(f => (-f.lastModified(), f.getName))
+    keys.drop(RetainKeys).foreach(deleteRecursively)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(); ()
   }
 }

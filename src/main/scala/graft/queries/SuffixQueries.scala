@@ -6,9 +6,15 @@ import graft.ops.{SuffixArray, SuffixIndex, TextAnalysis}
 
 /** Suffix-array queries, with the ENTIRE prefix-doubling construction
   * replayed inside the DuckDB oracle: the token+sentinel stream, the
-  * initial token dense-rank, and all [[graft.ops.SuffixArray.Rounds]]
+  * initial token dense-rank, and [[graft.ops.SuffixArray.oracleDepth]]
   * doubling rounds (each an unrolled self-join + dense_rank stage) —
-  * integer ranks end-to-end, so the replay is exact. The engine's
+  * integer ranks end-to-end, so the replay is exact. r15: the oracle
+  * depth is the round count the ENGINE measured for this corpus
+  * (`SuffixArray.lastRounds`, recorded by the build that Verify runs
+  * before dumping oracle SQL — every oracle here is a `def` evaluated
+  * at dump time), with the old fixed 9 only as a cold-process
+  * fallback; a >511-token testdata doc can no longer leave the
+  * replay short. The engine's
   * distinct-pair + distributed-row-number rank equals dense_rank by
   * construction (distinct rows), pinned here by the driver hash.
   *
@@ -146,7 +152,7 @@ object SuffixQueries {
          |rk0 AS MATERIALIZED (SELECT doc_id, widx,
          |  CAST(dense_rank() OVER (ORDER BY tok) AS BIGINT) AS r
          |  FROM toks)""".stripMargin)
-    for (k <- 1 to SuffixArray.Rounds) {
+    for (k <- 1 to SuffixArray.oracleDepth) {
       val step = 1L << (k - 1)
       sb ++= s""",
          |p$k AS MATERIALIZED (SELECT a.doc_id, a.widx, a.r AS r1,
@@ -160,7 +166,7 @@ object SuffixQueries {
     sb.toString
   }
 
-  private def finalRk = s"rk${SuffixArray.Rounds}"
+  private def finalRk = s"rk${SuffixArray.oracleDepth}"
 
   /** Convergence-curve replay: per-round distinct-class counts (max of
     * a dense rank), keeping round 0 plus every round whose PREDECESSOR
@@ -168,9 +174,9 @@ object SuffixQueries {
     * (its early stop fires the first time max rank = N, and its
     * derived round cap ceil(log2 maxLen) guarantees convergence by the
     * last executed round). */
-  val suffixBuildOracle: String = {
+  def suffixBuildOracle: String = {
     val tot = "(SELECT CAST(count(*) AS BIGINT) FROM toks)"
-    val branches = (0 to SuffixArray.Rounds).map { k =>
+    val branches = (0 to SuffixArray.oracleDepth).map { k =>
       val head =
         s"""SELECT CAST($k AS BIGINT) AS round,
            |    (SELECT max(r) FROM rk$k) AS n_classes,
@@ -184,7 +190,7 @@ object SuffixQueries {
        |) ORDER BY round""".stripMargin
   }
 
-  val suffixRanksOracle: String =
+  def suffixRanksOracle: String =
     s"""WITH $chain,
        |fp AS (SELECT doc_id, widx, r,
        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' ||
@@ -202,7 +208,7 @@ object SuffixQueries {
        |  head_ranks
        |FROM g ORDER BY doc_id""".stripMargin
 
-  val suffixTopOracle: String =
+  def suffixTopOracle: String =
     s"""WITH $chain,
        |meta AS (SELECT doc_id, string_split(text, ' ') AS l,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS m
@@ -222,9 +228,9 @@ object SuffixQueries {
     * early-stopped frame list computes the same LCPs). ONE builder
     * behind both LCP oracles so the lifting cannot fork. */
   private def liftedChain: String = {
-    val lifts = ((SuffixArray.Rounds - 1) to 0 by -1).map { k =>
+    val lifts = ((SuffixArray.oracleDepth - 1) to 0 by -1).map { k =>
       val step = 1L << k
-      val prev = if (k == SuffixArray.Rounds - 1) "adj" else s"l${k + 1}"
+      val prev = if (k == SuffixArray.oracleDepth - 1) "adj" else s"l${k + 1}"
       s"""l$k AS MATERIALIZED (SELECT p.adoc, p.awidx, p.bdoc, p.bwidx,
          |    CASE WHEN ra.r IS NOT NULL AND rb.r IS NOT NULL
          |           AND ra.r = rb.r
@@ -243,7 +249,7 @@ object SuffixQueries {
        |$lifts""".stripMargin
   }
 
-  val repeatedSeqsOracle: String =
+  def repeatedSeqsOracle: String =
     s"""WITH $liftedChain,
        |meta AS (SELECT doc_id AS adoc, string_split(text, ' ') AS l
        |  FROM documents),
@@ -256,7 +262,7 @@ object SuffixQueries {
        |FROM top t JOIN meta m USING (adoc)
        |ORDER BY t.lcp DESC, t.adoc, t.awidx, t.bdoc, t.bwidx""".stripMargin
 
-  val lcpProfileOracle: String =
+  def lcpProfileOracle: String =
     s"""WITH $liftedChain
        |SELECT lcp, CAST(count(*) AS BIGINT) AS n_pairs FROM l0
        |WHERE lcp >= 1 GROUP BY lcp ORDER BY lcp""".stripMargin
@@ -264,7 +270,7 @@ object SuffixQueries {
   /** Coverage replay: both sides of every ≥ MinRepeat pair explode to
     * covered positions, distinct, anti-join the token stream,
     * ordered reassembly + digest. */
-  val suffixCutOracle: String =
+  def suffixCutOracle: String =
     s"""WITH $liftedChain,
        |mk AS (SELECT adoc AS doc_id, awidx AS s, lcp FROM l0
        |    WHERE lcp >= $MinRepeat
@@ -294,7 +300,7 @@ object SuffixQueries {
        |FROM b LEFT JOIN ag a USING (doc_id)
        |ORDER BY b.doc_id""".stripMargin
 
-  val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] =
+  def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] =
     Map(
       "tx_suffix_build" -> ((suffixBuild _, Some(suffixBuildOracle))),
       "tx_suffix_ranks" -> ((suffixRanks _, Some(suffixRanksOracle))),
