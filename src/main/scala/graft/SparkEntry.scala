@@ -21,7 +21,11 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     EtlQueries.reportQuery(spark, "/root/testdata/sf0.001")
 
-  private val registry:
+  // a DEF, not a val: the suffix oracles unroll to the depth the
+  // engine MEASURED (SuffixArray.lastRounds), and Verify dumps
+  // oracle_sql.json after running every query — a val would freeze
+  // the fallback depth at class-init time, before any build ran (r15)
+  private def registry:
       Map[String, ((SparkSession, String) => DataFrame, Option[String])] =
     EtlQueries.all ++ RelationalQueries.all ++ EventQueries.all ++
       TextQueries.all ++ VectorQueries.all ++ BpeQueries.all ++
@@ -147,7 +151,16 @@ object SparkEntry {
     "tx_suffix_build",   // suffix-array doubling rounds + LCP lift +
                          // artifact save — ALWAYS rebuilds (the build
                          // is the operator); the family's heavy line
-    "tx_repeated_seqs")  // artifact-consumer: leaf-scan the saved pair
+    "tx_repeated_seqs",  // artifact-consumer: leaf-scan the saved pair
                          // table, filter + top-k (the per-query cost
                          // once the index exists)
+    // r15 (verdict #2): the build/consume split applied to the
+    // model-driven curation family — always-retrain build lines; the
+    // curation consumers (tx_curation10/11/12/17, tx_clf_gate_holdout,
+    // tx_bpe_ids) now measure the per-release APPLY cost
+    "tx_pool_build",         // the full v6 chain + pool artifact save
+    "tx_clf_pool_build",     // pool classifier + isotonic retrain
+    "tx_clf_build",          // holdout classifier + calibration grid
+    "tx_unigram_pool_build", // pool unigram-LM tokenizer retrain
+    "mm_sps")            // SPS exp-Golomb bitstream parse (r15 #4)
 }

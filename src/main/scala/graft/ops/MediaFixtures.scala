@@ -156,12 +156,137 @@ object MediaFixtures {
     * container (zero egress, no codec libs ship with the JDK), so the
     * box layout follows the published spec rather than captured
     * encoder output. */
+  /** MSB-first bit writer for hand-encoding SPS NALs (r15 verdict
+    * #4): `u`/`ue`/`se` mirror the H.264/H.265 descriptors, `nal`
+    * closes with the rbsp_stop_one_bit, applies emulation-prevention
+    * escaping (00 00 0x≤3 → 00 00 03 0x) and zero-pads to a FIXED
+    * total length — trailing_zero_8bits are legal after the stop bit,
+    * and the fixed length keeps the mm_keyframes offset oracle's
+    * base arithmetic slot-independent. */
+  private final class BitWriter {
+    private val bytes = scala.collection.mutable.ArrayBuffer[Byte]()
+    private var cur = 0
+    private var nbits = 0
+    def u(n: Int, v: Int): this.type = {
+      var i = n - 1
+      while (i >= 0) {
+        cur = (cur << 1) | ((v >> i) & 1)
+        nbits += 1
+        if (nbits == 8) { bytes += cur.toByte; cur = 0; nbits = 0 }
+        i -= 1
+      }
+      this
+    }
+    def ue(v: Int): this.type = {
+      require(v >= 0)
+      val code = v + 1
+      val z = 31 - Integer.numberOfLeadingZeros(code)
+      u(z, 0); u(z + 1, code)
+    }
+    def se(v: Int): this.type =
+      ue(if (v > 0) 2 * v - 1 else -2 * v)
+    def nal(header: Array[Byte], fixedLen: Int): Array[Byte] = {
+      u(1, 1) // rbsp_stop_one_bit
+      if (nbits > 0) { cur <<= (8 - nbits); bytes += cur.toByte
+        cur = 0; nbits = 0 }
+      val esc = scala.collection.mutable.ArrayBuffer[Byte]()
+      var zeros = 0
+      bytes.foreach { b =>
+        if (zeros >= 2 && (b & 0xff) <= 3) { esc += 3; zeros = 0 }
+        esc += b
+        zeros = if (b == 0) zeros + 1 else 0
+      }
+      val out = header ++ esc
+      require(out.length <= fixedLen,
+        s"SPS ${out.length} exceeds fixed $fixedLen")
+      out ++ new Array[Byte](fixedLen - out.length)
+    }
+  }
+
+  /** Hand-encoded AVC SPS (ISO 14496-10 §7.3.2.1.1): 4:2:0, poc type
+    * 0, frame_mbs_only, optional right/bottom crop; padded to 24
+    * bytes. The construction parameters ARE the planted truth the
+    * bitstream parse ([[Multimodal.SpsParse.parseAvc]]) must
+    * recover. */
+  def avcSps(profile: Int, level: Int, widthMbs: Int, heightMbs: Int,
+      cropRight: Int, cropBottom: Int): Array[Byte] = {
+    val w = new BitWriter
+    w.u(8, profile).u(8, 0).u(8, level)
+    w.ue(0) // seq_parameter_set_id
+    if (profile == 100) {
+      w.ue(1)      // chroma_format_idc 4:2:0
+      w.ue(0).ue(0) // bit depths
+      w.u(1, 0)    // transform bypass
+      w.u(1, 0)    // no scaling matrix
+    }
+    w.ue(0)   // log2_max_frame_num_minus4
+    w.ue(0)   // pic_order_cnt_type 0
+    w.ue(0)   // log2_max_pic_order_cnt_lsb_minus4
+    w.ue(1)   // max_num_ref_frames
+    w.u(1, 0) // gaps_in_frame_num_value_allowed
+    w.ue(widthMbs - 1)
+    w.ue(heightMbs - 1)
+    w.u(1, 1) // frame_mbs_only
+    w.u(1, 1) // direct_8x8_inference
+    if (cropRight > 0 || cropBottom > 0) {
+      w.u(1, 1)
+      w.ue(0); w.ue(cropRight); w.ue(0); w.ue(cropBottom)
+    } else w.u(1, 0)
+    w.u(1, 0) // vui_parameters_present
+    w.nal(Array(0x67.toByte), 24) // nal_ref_idc 3, type 7
+  }
+
+  /** Hand-encoded HEVC SPS (ISO 23008-2 §7.3.2.2): 4:2:0, optional
+    * conformance window, `maxSub` exercising the sub-layer reserved
+    * skip; padded to 32 bytes. */
+  def hevcSps(profile: Int, level: Int, w0: Int, h0: Int,
+      confWin: Option[(Int, Int, Int, Int)], maxSub: Int): Array[Byte] = {
+    val w = new BitWriter
+    w.u(4, 0)      // sps_video_parameter_set_id
+    w.u(3, maxSub) // sps_max_sub_layers_minus1
+    w.u(1, 1)      // sps_temporal_id_nesting_flag
+    // profile_tier_level, general block
+    w.u(2, 0).u(1, 0).u(5, profile)
+    w.u(32, 0)               // compatibility flags
+    w.u(24, 0).u(24, 0)      // 48 constraint bits
+    w.u(8, level)
+    if (maxSub > 0) {
+      var i = 0
+      while (i < maxSub) { w.u(1, 0); w.u(1, 0); i += 1 } // present flags
+      var j = maxSub
+      while (j < 8) { w.u(2, 0); j += 1 } // reserved_zero_2bits
+    }
+    w.ue(0) // sps_seq_parameter_set_id
+    w.ue(1) // chroma_format_idc 4:2:0
+    w.ue(w0); w.ue(h0)
+    confWin match {
+      case Some((l, r, t, b)) =>
+        w.u(1, 1); w.ue(l); w.ue(r); w.ue(t); w.ue(b)
+      case None => w.u(1, 0)
+    }
+    // nal_unit_header: type 33, layer 0, tid+1 = 1
+    w.nal(Array(0x42.toByte, 0x01.toByte), 32)
+  }
+
   def avcMp4(sizes: Seq[Int], syncSamples: Option[Seq[Int]],
-      profile: Int, level: Int, nalLen: Int): Array[Byte] = {
+      profile: Int, level: Int, nalLen: Int,
+      widthMbs: Int = 4, heightMbs: Int = 3,
+      cropRight: Int = 0, cropBottom: Int = 0,
+      containerW: Int = -1, containerH: Int = -1): Array[Byte] = {
     require(Seq(1, 2, 4).contains(nalLen), s"illegal NAL length $nalLen")
+    val sps = avcSps(profile, level, widthMbs, heightMbs,
+      cropRight, cropBottom)
+    // avcC (ISO 14496-15 §5.3.3.1): 5 config bytes, '111' + 1 SPS,
+    // 2-byte length + NAL, 0 PPS — fixed 33-byte payload (SPS padded)
     val avcC = box("avcC", Array(
-      1, profile, 0, level, 0xfc | (nalLen - 1), 0xe0, 0).map(_.toByte))
-    videoMp4(sizes, syncSamples, "avc1", avcC)
+        1, profile, 0, level, 0xfc | (nalLen - 1), 0xe1).map(_.toByte) ++
+      Array(((sps.length >> 8) & 0xff).toByte, (sps.length & 0xff).toByte) ++
+      sps ++ Array(0.toByte))
+    val dispW = 16 * widthMbs - 2 * cropRight
+    val dispH = 16 * heightMbs - 2 * cropBottom
+    videoMp4(sizes, syncSamples, "avc1", avcC,
+      if (containerW >= 0) containerW else dispW,
+      if (containerH >= 0) containerH else dispH)
   }
 
   /** HEVC (H.265) sibling of [[avcMp4]]: an `hvc1` sample entry
@@ -171,8 +296,12 @@ object MediaFixtures {
     * bits of byte 21, numOfArrays 0. Reserved-bit patterns follow the
     * spec ('1111'/'111111' runs). Same seek-arithmetic contract. */
   def hevcMp4(sizes: Seq[Int], syncSamples: Option[Seq[Int]],
-      profile: Int, level: Int, nalLen: Int): Array[Byte] = {
+      profile: Int, level: Int, nalLen: Int,
+      lumaW: Int = 96, lumaH: Int = 64,
+      confWin: Option[(Int, Int, Int, Int)] = None, maxSub: Int = 0,
+      containerW: Int = -1, containerH: Int = -1): Array[Byte] = {
     require(Seq(1, 2, 4).contains(nalLen), s"illegal NAL length $nalLen")
+    val sps = hevcSps(profile, level, lumaW, lumaH, confWin, maxSub)
     val hvcC = box("hvcC", (Array(
       1,                 // configurationVersion
       profile & 0x1f,    // profile_space 0 | tier 0 | profile_idc
@@ -186,16 +315,34 @@ object MediaFixtures {
       0, 0,              // avgFrameRate
       // constantFrameRate 0 | numTemporalLayers 1 | temporalIdNested 1
       0x0c | (nalLen - 1),
-      0).map(_.toByte)))  // numOfArrays
-    videoMp4(sizes, syncSamples, "hvc1", hvcC)
+      1,                 // numOfArrays: ONE — the SPS array (r15)
+      // array_completeness 1 | reserved 0 | NAL_unit_type 33 (SPS)
+      0x80 | 33).map(_.toByte) ++
+      Array(0.toByte, 1.toByte) ++ // numNalus = 1
+      Array(((sps.length >> 8) & 0xff).toByte,
+        (sps.length & 0xff).toByte) ++ sps))
+    val (cl, cr, ct, cb) = confWin.getOrElse((0, 0, 0, 0))
+    val dispW = lumaW - 2 * (cl + cr)
+    val dispH = lumaH - 2 * (ct + cb)
+    videoMp4(sizes, syncSamples, "hvc1", hvcC,
+      if (containerW >= 0) containerW else dispW,
+      if (containerH >= 0) containerH else dispH)
   }
 
   private def videoMp4(sizes: Seq[Int], syncSamples: Option[Seq[Int]],
-      fmt: String, cfg: Array[Byte]): Array[Byte] = {
+      fmt: String, cfg: Array[Byte], containerW: Int = 0,
+      containerH: Int = 0): Array[Byte] = {
     val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0))
     def moov(mdatPayloadOff: Long): Array[Byte] = {
+      // VisualSampleEntry body: width/height at entry offsets 32/34
+      // (= body indices 24/26 past the 8-byte size+format header)
+      val body = new Array[Byte](78)
+      body(24) = ((containerW >> 8) & 0xff).toByte
+      body(25) = (containerW & 0xff).toByte
+      body(26) = ((containerH >> 8) & 0xff).toByte
+      body(27) = (containerH & 0xff).toByte
       val entry = be32(8L + 78 + cfg.length) ++
-        fmt.getBytes("US-ASCII") ++ new Array[Byte](78) ++ cfg
+        fmt.getBytes("US-ASCII") ++ body ++ cfg
       val stsd = box("stsd", be32(0) ++ be32(1) ++ entry)
       val stsz = box("stsz", be32(0) ++ be32(0) ++
         be32(sizes.length.toLong) ++
@@ -223,8 +370,9 @@ object MediaFixtures {
     * (slot 7 OMITS `stss` — the every-sample-is-sync spec rule),
     * profile/level/NAL from slot arithmetic. Slots 2 and 6 are HEVC
     * (`hvc1`/`hvcC`: Main and Main 10 profiles, level 90 + m) — their
-    * stsd entry is 16 bytes longer than the AVC ones (hvcC 31 vs avcC
-    * 15), which the oracle's base-offset arithmetic states. All
+    * stsd entry is 27 bytes longer than the AVC ones (hvcC 68 vs avcC
+    * 41 — both carry a fixed-length planted SPS since r15), which the
+    * oracle's base-offset arithmetic states. All
     * sample numbers, offsets and sizes are pure doc_id arithmetic:
     * the oracle states them without reading a byte (the
     * [[plantedTar]] contract). */
@@ -232,12 +380,25 @@ object MediaFixtures {
     val n = m % 4 + 3
     val sizes = (0 until n).map(k => 100 + 17 * m + 23 * k)
     val syncs = if (m == 7) None else Some((1 to n by (m % 3 + 2)).toSeq)
+    // r15 (verdict #4): every slot's decoder config now carries a
+    // real hand-encoded SPS NAL with slot-arithmetic dimensions —
+    // the mm_sps oracle states these without reading a byte. Slot 7
+    // plants a container-width LIE (disp + 16) so the dims_match
+    // mismatch arm is exercised; slot 5 takes the High-profile
+    // chroma/scaling branch; slot 6 the HEVC sub-layer skip.
     if (m == 2 || m == 6)
       hevcMp4(sizes, syncs, profile = if (m == 2) 1 else 2,
-        level = 90 + m, nalLen = Seq(1, 2, 4)(m % 3))
+        level = 90 + m, nalLen = Seq(1, 2, 4)(m % 3),
+        lumaW = 64 + 8 * m, lumaH = 48 + 8 * (m % 3),
+        confWin = if (m == 6) Some((1, 1, 0, 1)) else None,
+        maxSub = if (m == 6) 1 else 0)
     else
       avcMp4(sizes, syncs, profile = Seq(66, 77, 100)(m % 3),
-        level = 30 + m, nalLen = Seq(1, 2, 4)(m % 3))
+        level = 30 + m, nalLen = Seq(1, 2, 4)(m % 3),
+        widthMbs = m % 4 + 2, heightMbs = m % 3 + 2,
+        cropRight = m % 2, cropBottom = m % 3,
+        containerW = if (m == 7)
+          16 * (m % 4 + 2) - 2 * (m % 2) + 16 else -1)
   }
 
   /** Pure-tone PCM WAV (16-bit mono): `n` samples of a `freq` Hz sine

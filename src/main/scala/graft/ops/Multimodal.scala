@@ -611,6 +611,297 @@ object Multimodal {
       }
   }
 
+  /** One SPS row per video track: TRUE coded dimensions, display
+    * (conformance-cropped) dimensions, profile/level/chroma decoded
+    * from the SPS NAL's exp-Golomb bitstream (ISO 14496-10 §7.3.2.1.1
+    * for AVC, ISO 23008-2 §7.3.2.2 for HEVC) — vs the CONTAINER's
+    * VisualSampleEntry width/height, which an authoring tool writes
+    * free-hand. `dims_match` is the filterable mismatch flag (r15
+    * verdict #4: a loader that trusts container dims over the
+    * bitstream allocates wrong buffers). Sentinel row (-1 dims, empty
+    * codec) for corrupt/no-SPS inputs. */
+  case class SpsEntry(media_id: Long, codec: String, profile_idc: Int,
+      level_idc: Int, chroma_idc: Int, coded_w: Int, coded_h: Int,
+      disp_w: Int, disp_h: Int, container_w: Int, container_h: Int,
+      dims_match: Boolean)
+
+  /** Exp-Golomb bit reader over an RBSP (emulation-prevention bytes
+    * already removed). Throws on exhaustion — callers sentinel. */
+  private[ops] final class ExpGolomb(rbsp: Array[Byte]) {
+    private var bit = 0
+    def u(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) {
+        val byteIx = bit >> 3
+        if (byteIx >= rbsp.length)
+          throw new IllegalArgumentException("rbsp exhausted")
+        v = (v << 1) | ((rbsp(byteIx) >> (7 - (bit & 7))) & 1)
+        bit += 1
+        i += 1
+      }
+      v
+    }
+    def skip(n: Int): Unit = { var i = 0; while (i < n) { u(1); i += 1 } }
+    /** ue(v): leading zeros z, then z info bits → 2^z − 1 + info. */
+    def ue(): Int = {
+      var z = 0
+      while (u(1) == 0) {
+        z += 1
+        if (z > 31) throw new IllegalArgumentException("ue overflow")
+      }
+      (1 << z) - 1 + u(z)
+    }
+    /** se(v): signed mapping (k+1)/2 alternating. */
+    def se(): Int = {
+      val k = ue()
+      if ((k & 1) == 1) (k + 1) / 2 else -(k / 2)
+    }
+  }
+
+  /** SPS bitstream parse — profile/level/chroma and the coded +
+    * conformance-cropped dimensions, pure spec arithmetic with zero
+    * codec dependencies (the next closable slice of the inter-frame
+    * boundary after the r14 keyframe index). */
+  private[ops] object SpsParse {
+    /** Strip emulation-prevention bytes: 00 00 03 (xx≤03) → 00 00. */
+    def unescape(nal: Array[Byte], from: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(nal.length - from)
+      var i = from
+      var zeros = 0
+      while (i < nal.length) {
+        val b = nal(i) & 0xff
+        if (zeros >= 2 && b == 3 && i + 1 < nal.length &&
+            (nal(i + 1) & 0xff) <= 3) {
+          zeros = 0 // drop the emulation-prevention byte
+        } else {
+          out.write(b)
+          zeros = if (b == 0) zeros + 1 else 0
+        }
+        i += 1
+      }
+      out.toByteArray
+    }
+
+    /** (profile_idc, level_idc, chroma_idc, codedW, codedH, dispW,
+      * dispH) from an AVC SPS NAL (header byte included). */
+    def parseAvc(nal: Array[Byte])
+        : Option[(Int, Int, Int, Int, Int, Int, Int)] =
+      try {
+        if (nal.length < 4 || (nal(0) & 0x1f) != 7) return None
+        val g = new ExpGolomb(unescape(nal, 1))
+        val profile = g.u(8)
+        g.skip(8) // constraint flags + reserved
+        val level = g.u(8)
+        g.ue()    // seq_parameter_set_id
+        val highProfiles = Set(100, 110, 122, 244, 44, 83, 86, 118,
+          128, 138, 139, 134, 135)
+        var chroma = 1
+        var separate = 0
+        if (highProfiles(profile)) {
+          chroma = g.ue()
+          if (chroma == 3) separate = g.u(1)
+          g.ue(); g.ue() // bit depths
+          g.skip(1)      // qpprime_y_zero_transform_bypass_flag
+          if (g.u(1) == 1) { // seq_scaling_matrix_present
+            val lists = if (chroma != 3) 8 else 12
+            var i = 0
+            while (i < lists) {
+              if (g.u(1) == 1) { // scaling_list_present
+                val size = if (i < 6) 16 else 64
+                var last = 8; var next = 8; var j = 0
+                while (j < size) {
+                  if (next != 0) next = ((last + g.se()) % 256 + 256) % 256
+                  last = if (next == 0) last else next
+                  j += 1
+                }
+              }
+              i += 1
+            }
+          }
+        }
+        g.ue() // log2_max_frame_num_minus4
+        g.ue() match {
+          case 0 => g.ue()
+          case 1 =>
+            g.skip(1); g.se(); g.se()
+            val n = g.ue(); var i = 0
+            while (i < n) { g.se(); i += 1 }
+          case _ =>
+        }
+        g.ue()    // max_num_ref_frames
+        g.skip(1) // gaps_in_frame_num_value_allowed
+        val pw = g.ue()
+        val ph = g.ue()
+        val frameMbsOnly = g.u(1)
+        if (frameMbsOnly == 0) g.skip(1)
+        g.skip(1) // direct_8x8_inference
+        val (cl, cr, ct, cb) =
+          if (g.u(1) == 1) (g.ue(), g.ue(), g.ue(), g.ue())
+          else (0, 0, 0, 0)
+        val codedW = 16 * (pw + 1)
+        val codedH = 16 * (ph + 1) * (2 - frameMbsOnly)
+        // CropUnit per §7.4.2.1.1: chroma-scaled except mono/separate
+        val (subW, subH) = chroma match {
+          case 1 => (2, 2)
+          case 2 => (2, 1)
+          case _ => (1, 1)
+        }
+        val cropX = if (chroma == 0 || separate == 1) 1 else subW
+        val cropY = (if (chroma == 0 || separate == 1) 1 else subH) *
+          (2 - frameMbsOnly)
+        Some((profile, level, chroma, codedW, codedH,
+          codedW - cropX * (cl + cr), codedH - cropY * (ct + cb)))
+      } catch { case _: Exception => None }
+
+    /** Same tuple from an HEVC SPS NAL (2-byte header included). */
+    def parseHevc(nal: Array[Byte])
+        : Option[(Int, Int, Int, Int, Int, Int, Int)] =
+      try {
+        if (nal.length < 5 || ((nal(0) >> 1) & 0x3f) != 33) return None
+        val g = new ExpGolomb(unescape(nal, 2))
+        g.u(4) // sps_video_parameter_set_id
+        val maxSub = g.u(3)
+        g.skip(1) // sps_temporal_id_nesting_flag
+        // profile_tier_level: general block
+        g.u(2); g.u(1) // profile_space, tier
+        val profile = g.u(5)
+        g.skip(32)     // compatibility flags
+        g.skip(48)     // constraint flags (4 + 43 reserved + inbld)
+        val level = g.u(8)
+        val profPresent = new Array[Int](maxSub)
+        val levelPresent = new Array[Int](maxSub)
+        var i = 0
+        while (i < maxSub) {
+          profPresent(i) = g.u(1); levelPresent(i) = g.u(1); i += 1
+        }
+        if (maxSub > 0) { var j = maxSub; while (j < 8) { g.skip(2); j += 1 } }
+        i = 0
+        while (i < maxSub) {
+          if (profPresent(i) == 1) g.skip(88)
+          if (levelPresent(i) == 1) g.skip(8)
+          i += 1
+        }
+        g.ue() // sps_seq_parameter_set_id
+        val chroma = g.ue()
+        if (chroma == 3) g.skip(1)
+        val w = g.ue()
+        val h = g.ue()
+        val (cl, cr, ct, cb) =
+          if (g.u(1) == 1) (g.ue(), g.ue(), g.ue(), g.ue())
+          else (0, 0, 0, 0)
+        val subW = if (chroma == 1 || chroma == 2) 2 else 1
+        val subH = if (chroma == 1) 2 else 1
+        Some((profile, level, chroma, w, h,
+          w - subW * (cl + cr), h - subH * (ct + cb)))
+      } catch { case _: Exception => None }
+  }
+
+  /** SPS walk: locate the video track's stsd entry, read the
+    * CONTAINER dims from the VisualSampleEntry (entry bytes 32/34),
+    * pull the first SPS NAL out of `avcC` (5-byte header,
+    * numOfSequenceParameterSets & 0x1f, 2-byte lengths) or `hvcC`
+    * (arrays after byte 22, NAL type 33), and decode it. */
+  object Mp4SpsWalk {
+    import Bmff._
+
+    private val AvcFormats = Set("avc1", "avc3")
+    private val HevcFormats = Set("hvc1", "hev1")
+
+    private def be16(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+
+    def info(id: Long, bytes: Array[Byte]): Seq[SpsEntry] = {
+      val len = if (bytes == null) 0 else bytes.length
+      val sentinel = Seq(SpsEntry(id, "", -1, -1, -1, -1, -1, -1, -1,
+        -1, -1, dims_match = false))
+      try {
+        if (len < 12 || box4(bytes, 4) != "ftyp") return sentinel
+        val entries = for {
+          (t, ms, me) <- children(bytes, 0, len) if t == "moov"
+          (tt, ts, te) <- children(bytes, ms, me) if tt == "trak"
+          (mt, mds, mde) <- children(bytes, ts, te) if mt == "mdia"
+          (it, ifs, ife) <- children(bytes, mds, mde) if it == "minf"
+          (st, ss, se) <- children(bytes, ifs, ife) if st == "stbl"
+          (sds, sde) <- firstChild(bytes, ss, se, "stsd").toList
+          if sde - sds >= 16 && be32(bytes, sds + 4) >= 1
+        } yield (sds, sde)
+        val rows = entries.iterator.flatMap { case (sds, sde) =>
+          val entry = sds + 8
+          val entryEnd = math.min(sde, entry + be32(bytes, entry).toInt)
+          val fmt = box4(bytes, entry + 4)
+          // VisualSampleEntry: width/height at entry offsets 32/34
+          val (cw, ch) =
+            if (entryEnd - entry >= 36) (be16(bytes, entry + 32),
+              be16(bytes, entry + 34))
+            else (-1, -1)
+          val cfgStart = entry + 8 + 78
+          val sps: Option[(String, Array[Byte])] =
+            if (AvcFormats(fmt) && cfgStart < entryEnd)
+              firstChild(bytes, cfgStart, entryEnd, "avcC").flatMap {
+                case (as, ae) =>
+                  if (ae - as >= 8 && (bytes(as + 5) & 0x1f) >= 1) {
+                    val l = be16(bytes, as + 6)
+                    if (as + 8 + l <= ae)
+                      Some((fmt, bytes.slice(as + 8, as + 8 + l)))
+                    else None
+                  } else None
+              }
+            else if (HevcFormats(fmt) && cfgStart < entryEnd)
+              firstChild(bytes, cfgStart, entryEnd, "hvcC").flatMap {
+                case (as, ae) =>
+                  if (ae - as < 23) None
+                  else {
+                    val numArrays = bytes(as + 22) & 0xff
+                    var p = as + 23
+                    var found: Option[Array[Byte]] = None
+                    var a = 0
+                    while (a < numArrays && found.isEmpty && p + 3 <= ae) {
+                      val nalType = bytes(p) & 0x3f
+                      val n = be16(bytes, p + 1)
+                      p += 3
+                      var k = 0
+                      while (k < n && found.isEmpty && p + 2 <= ae) {
+                        val l = be16(bytes, p)
+                        if (nalType == 33 && p + 2 + l <= ae)
+                          found = Some(bytes.slice(p + 2, p + 2 + l))
+                        p += 2 + l
+                        k += 1
+                      }
+                      a += 1
+                    }
+                    found.map(n => (fmt, n))
+                  }
+              }
+            else None
+          sps.flatMap { case (codec, nal) =>
+            val parsed =
+              if (AvcFormats(codec)) SpsParse.parseAvc(nal)
+              else SpsParse.parseHevc(nal)
+            parsed.map { case (pr, lv, chr, cwid, chei, dw, dh) =>
+              SpsEntry(id, codec, pr, lv, chr, cwid, chei, dw, dh,
+                cw, ch, dims_match = cw == dw && ch == dh)
+            }
+          }
+        }.toSeq
+        if (rows.isEmpty) sentinel else rows
+      } catch { case _: Exception => sentinel }
+    }
+  }
+
+  /** Per-partition SPS extraction over a media frame — the
+    * [[keyframeIndex]] shape: blobs never leave their arrival
+    * partition; only the narrow dimension rows shuffle. */
+  def spsIndex(media: DataFrame): Dataset[SpsEntry] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) => Mp4SpsWalk.info(id, bytes) }
+      }
+  }
+
   /** One resized image row: the re-encoded payload plus its true
     * output dimensions (width = -1 sentinel for non-image/corrupt
     * inputs, payload passed through untouched so downstream stages

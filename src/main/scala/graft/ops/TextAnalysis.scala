@@ -1098,23 +1098,37 @@ object TextAnalysis {
     * it, and [[ClfModel]]'s constructor re-proves the pair consistent
     * on load. */
   def saveClfModel(spark: org.apache.spark.sql.SparkSession,
-      model: ClfModel, path: String): Unit = {
+      model: ClfModel, path: String): Unit =
+    clfModelFrame(spark, model).coalesce(1)
+      .write.mode("overwrite").parquet(path)
+
+  /** The model as its artifact FRAME `(b, w, nb)` — shared by
+    * [[saveClfModel]] and the [[graft.ops.ArtifactStore]] families so
+    * the persisted shape cannot fork between the two stores. */
+  def clfModelFrame(spark: org.apache.spark.sql.SparkSession,
+      model: ClfModel): DataFrame = {
     import spark.implicits._
     model.weights.toSeq.sortBy(_._1)
       .map { case (b, w) => (b, w, model.numBuckets) }
-      .toDF("b", "w", "nb").coalesce(1)
-      .write.mode("overwrite").parquet(path)
+      .toDF("b", "w", "nb")
   }
 
-  /** Parquet artifact → [[ClfModel]]; fails loudly on an empty
-    * artifact (a zero-row parquet is a broken write, not a model). */
-  def loadClfModel(spark: org.apache.spark.sql.SparkSession,
-      path: String): ClfModel = {
-    val rows = spark.read.parquet(path).collect()
-    require(rows.nonEmpty, s"empty classifier artifact at $path")
+  /** Artifact frame → [[ClfModel]]; fails loudly on an empty frame
+    * (a zero-row parquet is a broken write, not a model). */
+  def clfModelOf(frame: DataFrame): ClfModel = {
+    val rows = frame.select("b", "w", "nb").collect()
+    require(rows.nonEmpty, "empty classifier artifact frame")
     ClfModel(rows.map(r => r.getLong(0) -> r.getDouble(1)).toMap,
       rows.head.getInt(2))
   }
+
+  /** Parquet artifact → [[ClfModel]]. */
+  def loadClfModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): ClfModel =
+    try clfModelOf(spark.read.parquet(path))
+    catch { case e: IllegalArgumentException =>
+      throw new IllegalArgumentException(
+        s"classifier artifact at $path: ${e.getMessage}") }
 
   /** LID model → parquet `(k, b, w, nb, n)` — one row per (class,
     * bucket) weight; the hash width AND the char-gram size ride in

@@ -1761,9 +1761,9 @@ object TextQueries {
         numBuckets = ClfBuckets, iterations = ClfIters, learningRate = ClfLr)
       .transform(QueryUtil.ordered("doc_id"))
 
-  private val ClfBuckets = 256
-  private val ClfIters = 5
-  private val ClfLr = 2.0
+  private[queries] val ClfBuckets = 256
+  private[queries] val ClfIters = 5
+  private[queries] val ClfLr = 2.0
 
   /** The oracle is generated for (buckets, iterations, lr) so the SQL
     * cannot drift from the engine's constants: iteration t computes
@@ -2010,7 +2010,7 @@ object TextQueries {
       col("lang") === "en")
   }
 
-  private val ClfTrainFrac = 0.8
+  private[queries] val ClfTrainFrac = 0.8
 
   lazy val clfHoldoutOracle: String = {
     val (nb, iters) = (ClfBuckets, ClfIters)
@@ -2058,32 +2058,14 @@ object TextQueries {
     * corpus. The grid windows are grain-bounded (≤ 10001 rows through
     * one task) like every other score-grain window. */
   def clfGateHoldout(spark: SparkSession, dir: String): DataFrame = {
-    // spread the per-row CPU-heavy stages (5 gradient epochs, holdout
-    // scoring, full-pool scoring — each tokenize+hash+dot per row)
-    // across cores: the small-SF scan is one file split and would
-    // serialize every pass on one task (the spreadById lesson)
+    // r15 artifact split (verdict #2): the holdout-trained model and
+    // its calibration grid load from the fingerprint-guarded
+    // clf_holdout artifact ([[CurationArtifacts.clfHoldout]];
+    // tx_clf_build is the always-retrain line). This row is the GATE
+    // pass: one frozen-model scoring sweep over the full pool + a
+    // broadcast grid equi-join. Oracle unchanged (full replay).
     val d = QueryUtil.spreadById(docs(spark, dir))
-    val isTrain = graft.ops.Sampling.unitHash(col("doc_id")) < ClfTrainFrac
-    val model = TextAnalysis.trainLogistic(d.filter(isTrain),
-      col("lang") === "en", numBuckets = ClfBuckets, iterations = ClfIters,
-      learningRate = ClfLr)
-    val hold = d.filter(!isTrain)
-    val iso = graft.ops.Eval.isotonicFit(
-      TextAnalysis.scoreWithClfModel(hold, model)
-        .join(hold.select(col("doc_id"), col("lang")), Seq("doc_id")),
-      col("lang") === "en")
-    val iso4 = iso.select(
-      round(col("score") * 10000).cast("long").as("s4"), col("fitted"))
-    import org.apache.spark.sql.expressions.Window
-    val wDown = Window.orderBy("s4")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wUp = Window.orderBy("s4")
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val calGrid = spark.range(0, 10001).select(col("id").as("s4"))
-      .join(iso4, Seq("s4"), "left")
-      .select(col("s4"), coalesce(
-        last(col("fitted"), ignoreNulls = true).over(wDown),
-        first(col("fitted"), ignoreNulls = true).over(wUp)).as("calibrated"))
+    val (model, calGrid) = CurationArtifacts.clfHoldout(spark, dir)
     TextAnalysis.scoreWithClfModel(d, model)
       .withColumn("s4", round(col("clf_score") * 10000).cast("long"))
       .join(broadcast(calGrid), Seq("s4"))
@@ -2710,7 +2692,7 @@ object TextQueries {
   /** The curation6 pipeline's stage frames, shared by the funnel query
     * and curation9's crawl-to-shards composition (the stage semantics
     * cannot fork between the two). */
-  private def curation6Frames(spark: SparkSession, dir: String)
+  private[queries] def curation6Frames(spark: SparkSession, dir: String)
       : Map[String, DataFrame] = {
     import org.apache.spark.sql.DataFrame
     val planted = curation6Planted(spark, dir)
@@ -2793,9 +2775,11 @@ object TextQueries {
     * permuted order — what the trainer actually reads. Oracle = the
     * shared v6 chain + hex-key permutation + prefix sum. */
   def curation10(spark: SparkSession, dir: String): DataFrame = {
-    val f = curation6Frames(spark, dir)
-    val shipped = f("keeper")
-      .join(f("sampled").select("doc_id"), Seq("doc_id"), "left_semi")
+    // r15: consumes the saved pool artifact (leaf scan; v6 chain runs
+    // only on fingerprint miss) — tx_pool_build is the chain's
+    // always-rebuild line, and the full-replay oracle below pins the
+    // loaded pool byte-for-byte
+    val shipped = CurationArtifacts.pool(spark, dir)
       .select(col("doc_id"), col("text"))
     graft.ops.Packing.shuffledPack(shipped, budget = 500L, epochs = 1,
         seed = "graft-r10", bucketWidth = 64L)
@@ -2823,9 +2807,9 @@ object TextQueries {
     * stage a dataset card publishes ("≤ 400 tokens per source from the
     * curated pool, best quality first, deterministic boundary"). */
   def curation11(spark: SparkSession, dir: String): DataFrame = {
-    val f = curation6Frames(spark, dir)
-    val shipped = f("keeper")
-      .join(f("sampled").select("doc_id"), Seq("doc_id"), "left_semi")
+    // r15: pool-artifact consumer (see curation10) — the token-budget
+    // mix is the whole query once the pool is a leaf scan
+    val shipped = CurationArtifacts.pool(spark, dir)
       .select(col("doc_id"), col("source"), col("text"))
     graft.ops.Sampling.tokenBudgetMix(shipped, budget = 400L,
         bucketWidth = 64L)
@@ -2849,18 +2833,16 @@ object TextQueries {
     * isoFitCtes, tokenBudgetChainSql, the v10 pack tail), so no stage
     * can fork from its standalone row. */
   def curation12(spark: SparkSession, dir: String): DataFrame = {
-    val f = curation6Frames(spark, dir)
-    val d = docs(spark, dir)
-    val shipped = Dedup.checkpointTracked(f("keeper")
-      .join(f("sampled").select("doc_id"), Seq("doc_id"), "left_semi")
-      .join(d.select("doc_id", "lang"), Seq("doc_id"))
-      .select(col("doc_id"), col("source"), col("lang"), col("text")))
-    val scored = Dedup.checkpointTracked(
-      TextAnalysis.logisticScore(shipped, col("lang") === "en",
-        numBuckets = ClfBuckets, iterations = ClfIters, learningRate = ClfLr))
-    val iso = graft.ops.Eval.isotonicFit(
-      scored.join(shipped.select("doc_id", "lang"), Seq("doc_id")),
-      col("lang") === "en")
+    // r15 artifact split (verdict #2): the pool AND its trained gate
+    // load from fingerprint-guarded artifacts — tx_pool_build /
+    // tx_clf_pool_build are the always-retrain lines, this row is the
+    // SELECTION pass a lab re-runs per release candidate (score under
+    // the frozen model, gate, budget, pack). The full-replay oracle is
+    // unchanged: a loaded model scores byte-identically to in-query
+    // training, so the same hashes pin the artifact path end-to-end.
+    val shipped = CurationArtifacts.pool(spark, dir)
+    val (model, iso) = CurationArtifacts.clfPool(spark, dir)
+    val scored = TextAnalysis.scoreWithClfModel(shipped, model)
     val gated = shipped.join(scored, Seq("doc_id"))
       .join(broadcast(iso.select(col("score").as("clf_score"),
         col("fitted"))), Seq("clf_score"))
@@ -4074,6 +4056,63 @@ object TextQueries {
       .transform(QueryUtil.ordered("media_id", "kf_idx"))
   }
 
+  /** mm_sps: TRUE coded video dimensions from the SPS NAL's
+    * exp-Golomb bitstream (r15, verdict #4 — zero codec deps, pure
+    * ISO 14496-10 §7.3.2.1.1 / 23008-2 §7.3.2.2 arithmetic) over the
+    * same planted 8-slot AVC/HEVC table as mm_keyframes. Every slot
+    * carries a hand-encoded SPS whose dimensions are slot
+    * arithmetic; slot 7's container lies about its width (+16), so
+    * `dims_match` is the loader's filterable mismatch flag. */
+  def sps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fixtures = (0 until 8)
+      .map(m => (m.toLong, graft.ops.MediaFixtures.plantedAvcMp4(m)))
+      .toDF("slot", "payload")
+    val media = docs(spark, dir)
+      .select(col("doc_id").as("media_id"), (col("doc_id") % 8).as("slot"))
+      .join(broadcast(fixtures), "slot")
+      .select(col("media_id"), col("payload"))
+    graft.ops.Multimodal.spsIndex(media).toDF()
+      .select("media_id", "codec", "profile_idc", "level_idc",
+        "chroma_idc", "coded_w", "coded_h", "disp_w", "disp_h",
+        "container_w", "container_h", "dims_match")
+      .transform(QueryUtil.ordered("media_id"))
+  }
+
+  val spsOracle: String =
+    """WITH p AS (SELECT doc_id AS media_id,
+      |    CAST(doc_id % 8 AS INTEGER) AS slot FROM documents),
+      |d AS (SELECT media_id, slot,
+      |    slot IN (2, 6) AS hevc,
+      |    CASE WHEN slot IN (2, 6) THEN 64 + 8 * slot
+      |         ELSE 16 * (slot % 4 + 2) END AS coded_w,
+      |    CASE WHEN slot IN (2, 6) THEN 48 + 8 * (slot % 3)
+      |         ELSE 16 * (slot % 3 + 2) END AS coded_h,
+      |    CASE WHEN slot = 6 THEN 4
+      |         WHEN slot = 2 THEN 0
+      |         ELSE 2 * (slot % 2) END AS cut_w,
+      |    CASE WHEN slot = 6 THEN 2
+      |         WHEN slot = 2 THEN 0
+      |         ELSE 2 * (slot % 3) END AS cut_h
+      |  FROM p)
+      |SELECT media_id,
+      |  CASE WHEN hevc THEN 'hvc1' ELSE 'avc1' END AS codec,
+      |  CAST(CASE WHEN slot = 2 THEN 1 WHEN slot = 6 THEN 2
+      |    ELSE CASE slot % 3 WHEN 0 THEN 66 WHEN 1 THEN 77 ELSE 100 END
+      |    END AS INTEGER) AS profile_idc,
+      |  CAST(CASE WHEN hevc THEN 90 + slot ELSE 30 + slot END
+      |    AS INTEGER) AS level_idc,
+      |  CAST(1 AS INTEGER) AS chroma_idc,
+      |  CAST(coded_w AS INTEGER) AS coded_w,
+      |  CAST(coded_h AS INTEGER) AS coded_h,
+      |  CAST(coded_w - cut_w AS INTEGER) AS disp_w,
+      |  CAST(coded_h - cut_h AS INTEGER) AS disp_h,
+      |  CAST(coded_w - cut_w + CASE WHEN slot = 7 THEN 16 ELSE 0 END
+      |    AS INTEGER) AS container_w,
+      |  CAST(coded_h - cut_h AS INTEGER) AS container_h,
+      |  slot <> 7 AS dims_match
+      |FROM d ORDER BY media_id""".stripMargin
+
   val keyframesOracle: String =
     """WITH p AS (SELECT doc_id AS media_id,
       |    CAST(doc_id % 8 AS INTEGER) AS slot,
@@ -4084,7 +4123,7 @@ object TextQueries {
       |    CAST(i AS INTEGER) AS kf_idx,
       |    CAST(CASE WHEN slot = 7 THEN i + 1
       |              ELSE 1 + i * step END AS INTEGER) AS sample_no,
-      |    249 + CASE WHEN slot IN (2, 6) THEN 16 ELSE 0 END
+      |    275 + CASE WHEN slot IN (2, 6) THEN 27 ELSE 0 END
       |      + 4 * n + CASE WHEN slot = 7 THEN 0
       |      ELSE 16 + 4 * ((n - 1) // step + 1) END AS base
       |  FROM p, LATERAL (SELECT unnest(range(0,
@@ -4732,11 +4771,16 @@ object TextQueries {
     * ([[UnigramQueries.chainBody]]) + the shared admission tail —
     * no stage can fork from its standalone row. */
   def curation17(spark: SparkSession, dir: String): DataFrame = {
-    val f = curation6Frames(spark, dir)
-    val shipped = Dedup.checkpointTracked(f("keeper")
-      .join(f("sampled").select("doc_id"), Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), col("source"), col("text")))
-    val (_, _, seg) = graft.ops.UnigramLm.learn(shipped)
+    // r15 artifact split (verdict #2): pool + pool-trained unigram
+    // tokenizer load from fingerprint-guarded artifacts
+    // (tx_pool_build / tx_unigram_pool_build are the always-retrain
+    // lines); this row is the per-release BUDGETING pass — count
+    // trainable tokens under the frozen tokenizer, admit per-source.
+    // Oracle unchanged (full training replay — the loaded seg table
+    // is byte-equal to in-query training).
+    val shipped = CurationArtifacts.pool(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val seg = CurationArtifacts.unigramPool(spark, dir)
     val stats = Dedup.checkpointTracked(shipped
       .select(col("doc_id"), col("source"),
         TextAnalysis.qualityScore(col("text")).as("q"))
@@ -4777,6 +4821,109 @@ object TextQueries {
       |${budgetedAdmitCtes("c17", "c17_bud")}
       |SELECT doc_id, source, q, n_tokens, admit FROM c17_adm
       |ORDER BY source, doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Build lines for the curation artifact families (r15, verdict #2):
+  // one always-retrain row per family — the bench honesty rule (the
+  // tx_suffix_build precedent), so construction cost stays measured
+  // every round while the consumer rows (curation10/11/12/17,
+  // tx_clf_gate_holdout) run against the frozen artifacts.
+
+  /** Pool-relation CTE with lang, appended to the v6 chain — the SQL
+    * twin of [[CurationArtifacts]]' pool projection, shared by every
+    * build-line oracle below. */
+  private lazy val poolChainSql: String = curation6ChainSql + ",\n" +
+    """shipped AS MATERIALIZED (SELECT k.doc_id, p.source, d.lang, k.text
+      |  FROM kept k JOIN sampled USING (doc_id)
+      |  JOIN planted p ON k.doc_id = p.doc_id
+      |  JOIN documents d ON k.doc_id = d.doc_id)""".stripMargin
+
+  /** tx_pool_build: force-rebuild the curated-pool artifact (the full
+    * v6 chain ALWAYS runs) and emit the per-source release summary —
+    * doc count, whitespace-token count, and an order-insensitive
+    * bit-XOR digest of md5-low64 over every pool row, so one
+    * added/dropped/edited survivor anywhere breaks the hash (the
+    * tx_bpe_ids bounded-digest contract). */
+  def poolBuild(spark: SparkSession, dir: String): DataFrame =
+    CurationArtifacts.poolRebuild(spark, dir)
+      .withColumn("_fp", TextAnalysis.md5Low64(concat_ws("|",
+        col("doc_id").cast("string"), col("lang"), col("source"),
+        col("text"))))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+        expr("bit_xor(_fp)").as("pool_hash"))
+      .transform(QueryUtil.ordered("source"))
+
+  // chains CONCATENATED, never re-stripMargin'd (the curation9Oracle
+  // rule: the embedded chain's own `|| ' ' ||` continuation lines
+  // would lose their leading pipes to a second strip)
+  lazy val poolBuildOracle: String = poolChainSql + ",\n" +
+    """pfp AS (SELECT source,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || lang ||
+      |      '|' || source || '|' || text), 1, 16))::UBIGINT AS h,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+      |  FROM shipped),
+      |pg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(nt) AS BIGINT) AS n_tokens, bit_xor(h) AS hx
+      |  FROM pfp GROUP BY source)
+      |SELECT source, n_docs, n_tokens,
+      |  CAST(hx::HUGEINT - CASE WHEN hx >= 9223372036854775808::UBIGINT
+      |    THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END
+      |    AS BIGINT) AS pool_hash
+      |FROM pg ORDER BY source""".stripMargin
+
+  /** tx_clf_pool_build: force-retrain the pool quality gate
+    * (logistic classifier + isotonic calibration ON the pool —
+    * curation12's model family) and emit the trained weight table.
+    * The oracle replays the entire gradient run over the v6 pool, so
+    * the emitted weights — and therefore the saved artifact
+    * curation12 consumes — are pinned cross-engine. */
+  def clfPoolBuild(spark: SparkSession, dir: String): DataFrame =
+    CurationArtifacts.clfPoolRebuild(spark, dir)
+      .select(col("b"), round(col("w"), 6).as("w6"))
+      .transform(QueryUtil.ordered("b"))
+
+  lazy val clfPoolBuildOracle: String = {
+    val trainChain = clfTrainChainSql("shipped").stripPrefix("WITH ")
+    poolChainSql + ",\n" + trainChain + "\n" +
+      s"SELECT b, round(w, 6) AS w6 FROM w$ClfIters ORDER BY b"
+  }
+
+  /** tx_clf_build: force-retrain the HOLDOUT gate family
+    * (tx_clf_gate_holdout's model: classifier on the unit-hash train
+    * split + holdout-fitted calibration grid) and emit the weight
+    * table — the same replay contract as [[clfPoolBuild]], over the
+    * split corpus. */
+  def clfBuild(spark: SparkSession, dir: String): DataFrame =
+    CurationArtifacts.clfHoldoutRebuild(spark, dir)
+      .select(col("b"), round(col("w"), 6).as("w6"))
+      .transform(QueryUtil.ordered("b"))
+
+  lazy val clfBuildOracle: String = {
+    val splitPred = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))" +
+      s"::UBIGINT / 4294967296.0 < $ClfTrainFrac"
+    s"""${clfTrainChainSql(s"(SELECT * FROM documents WHERE $splitPred)")}
+       |SELECT b, round(w, 6) AS w6 FROM w$ClfIters ORDER BY b""".stripMargin
+  }
+
+  /** tx_unigram_pool_build: force-retrain the pool tokenizer
+    * (curation17's unigram-LM family) and emit the segmented word
+    * table — the [[UnigramQueries]] tx_unigram contract over the v6
+    * pool instead of the raw corpus, full hard-EM replay in the
+    * oracle. */
+  def unigramPoolBuild(spark: SparkSession, dir: String): DataFrame =
+    CurationArtifacts.unigramPoolRebuild(spark, dir)
+      .select(col("word"), col("cnt"), col("n_uni"), col("uni_pieces"))
+      .transform(QueryUtil.ordered("word"))
+
+  lazy val unigramPoolBuildOracle: String =
+    "WITH RECURSIVE" + poolChainSql.stripPrefix("WITH") + ",\n" +
+      UnigramQueries.chainBody("shipped") + "\n" +
+      s"""SELECT w0.word, w0.cnt, CAST(f.n AS INTEGER) AS n_uni,
+         |  f.pieces AS uni_pieces
+         |FROM w0 JOIN ${UnigramQueries.finalSeg} f USING (word)
+         |ORDER BY word""".stripMargin
 
   /** Dedup impact card: per source, docs/tokens before exact dedup,
     * after it, and the share removed — the one-table summary a dataset
@@ -4865,6 +5012,11 @@ object TextQueries {
     "tx_curation15" -> ((curation15 _, Some(curation15Oracle))),
     "tx_curation16" -> ((curation16 _, Some(curation16Oracle))),
     "tx_curation17" -> ((curation17 _, Some(curation17Oracle))),
+    "tx_pool_build" -> ((poolBuild _, Some(poolBuildOracle))),
+    "tx_clf_pool_build" -> ((clfPoolBuild _, Some(clfPoolBuildOracle))),
+    "tx_clf_build" -> ((clfBuild _, Some(clfBuildOracle))),
+    "tx_unigram_pool_build" ->
+      ((unigramPoolBuild _, Some(unigramPoolBuildOracle))),
     "tx_chunk_sliding" -> ((chunkSliding _, Some(chunkSlidingOracle))),
     "tx_pack_shards" -> ((packShards _, Some(packShardsOracle))),
     "tx_release_manifest" -> ((releaseManifest _, Some(releaseManifestOracle))),
@@ -4922,6 +5074,7 @@ object TextQueries {
     "mm_exif_meta" -> ((exifMeta _, Some(exifMetaOracle))),
     "mm_tar_members" -> ((tarMembers _, Some(tarMembersOracle))),
     "mm_keyframes" -> ((keyframes _, Some(keyframesOracle))),
+    "mm_sps" -> ((sps _, Some(spsOracle))),
     "mm_zip_members" -> ((zipMembers _, Some(zipMembersOracle))),
     "mm_tgz_members" -> ((tgzMembers _, Some(tarMembersOracle))),
     "mm_meta_oracle" -> ((mediaDecode _, Some(mediaDecodeOracle))),

@@ -27,11 +27,21 @@ object UnigramQueries {
     * word, occurrence count, Viterbi piece count, and the exact piece
     * stream (hash-pinned strings: one different EM count anywhere
     * changes some word's segmentation or the check's probabilities). */
-  def unigram(spark: SparkSession, dir: String): DataFrame = {
-    val (_, _, seg) = UnigramLm.learn(docs(spark, dir))
-    seg.select(col("word"), col("cnt"), col("n_uni"), col("uni_pieces"))
+  /** Segmentation-table artifact over the raw corpus (family
+    * `unigram_docs`, r15 verdict #2): [[unigram]] is the
+    * always-retrain build line and saves it; [[unigramApply]] and the
+    * tokenizer-triad row consume the frozen table. */
+  private[queries] def loadSeg(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.ArtifactStore.loadOrBuild(spark, dir, "unigram_docs",
+      s"em=$EmRounds", Seq("seg"))(
+      Map("seg" -> UnigramLm.learn(docs(spark, dir))._3))("seg")
+
+  def unigram(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.ArtifactStore.rebuild(spark, dir, "unigram_docs",
+        s"em=$EmRounds", Seq("seg"))(
+        Map("seg" -> UnigramLm.learn(docs(spark, dir))._3))("seg")
+      .select(col("word"), col("cnt"), col("n_uni"), col("uni_pieces"))
       .transform(QueryUtil.ordered("word"))
-  }
 
   /** tx_unigram_vocab: the model table — every piece with its seed
     * count and its final hard-EM count (integers end-to-end). */
@@ -45,11 +55,9 @@ object UnigramQueries {
 
   /** tx_unigram_apply: frozen-model corpus scoring — per-doc word and
     * unigram-token totals via the vocab-sized equi-join. */
-  def unigramApply(spark: SparkSession, dir: String): DataFrame = {
-    val (_, _, seg) = UnigramLm.learn(docs(spark, dir))
-    UnigramLm.scoreDocs(docs(spark, dir), seg)
+  def unigramApply(spark: SparkSession, dir: String): DataFrame =
+    UnigramLm.scoreDocs(docs(spark, dir), loadSeg(spark, dir))
       .transform(QueryUtil.ordered("doc_id"))
-  }
 
   /** tx_pack_uni: token-budget shard packing on REAL unigram-LM token
     * counts — the triad's packing tie-in (tx_pack_bpe's twin on the
@@ -61,8 +69,7 @@ object UnigramQueries {
 
   def packUni(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val (_, _, seg) = UnigramLm.learn(d)
-    val counts = UnigramLm.scoreDocs(d, seg)
+    val counts = UnigramLm.scoreDocs(d, loadSeg(spark, dir))
       .select(col("doc_id"), col("n_uni_tokens").as("n_tokens"))
     graft.ops.Packing.packFromCounts(counts, PackBudget, bucketWidth = 64L)
       .transform(QueryUtil.ordered("doc_id"))

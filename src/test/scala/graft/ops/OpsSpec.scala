@@ -2109,6 +2109,113 @@ class OpsSpec extends SparkSpec {
     graft.ops.Dedup.releaseCaches()
   }
 
+  test("ArtifactStore: an XOR-cancelling corpus edit still triggers rebuild (the sum half of the fingerprint)") {
+    val dir = java.nio.file.Files.createTempDirectory("artfp").toString
+    def write(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // corpus A: duplicate rows of doc 1 + one doc 2.
+    // corpus B: three rows of doc 2.
+    // Per-doc hashes: A = {h1, h1, h2}, B = {h2, h2, h2} — same row
+    // COUNT (3) and same XOR (h1^h1^h2 = h2 = h2^h2^h2), the exact
+    // self-cancelling multiset the r14 (count, xor) fingerprint was
+    // blind to; only the exact SUM (2*h1+h2 vs 3*h2) differs.
+    val a = Seq((1L, "x y"), (1L, "x y"), (2L, "p q"))
+    val b = Seq((2L, "p q"), (2L, "p q"), (2L, "p q"))
+    // pin the premise: count and xor really do collide
+    def nxs(rows: Seq[(Long, String)]): (Long, Long, String) = {
+      val r = rows.toDF("doc_id", "text")
+        .select(TextAnalysis.md5Low64(concat_ws("|",
+          col("doc_id").cast("string"), col("text"))).as("_h"))
+        .agg(count(lit(1)), expr("bit_xor(_h)"),
+          sum(col("_h").cast("decimal(38,0)")))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1), r.getDecimal(2).toBigInteger.toString)
+    }
+    val (na, xa, sa) = nxs(a); val (nb, xb, sb) = nxs(b)
+    assert(na == nb && xa == xb, "premise: count+xor must collide")
+    assert(sa != sb, "premise: the sum must separate them")
+    // the guarded store (shared by SuffixIndex and every model
+    // family) must re-run the build thunk after the cancelling edit
+    var builds = 0
+    def load(): Set[Long] = ArtifactStore.loadOrBuild(spark, dir,
+        "fp_test", "v1", Seq("ids")) {
+        builds += 1
+        Map("ids" -> spark.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id").distinct())
+      }("ids").collect().map(_.getLong(0)).toSet
+    write(a)
+    assert(load() == Set(1L, 2L) && builds == 1)
+    assert(load() == Set(1L, 2L) && builds == 1, "fresh artifact: a hit")
+    write(b)
+    assert(load() == Set(2L),
+      "stale artifact served an XOR-cancelled edit")
+    assert(builds == 2, s"the cancelling edit must rebuild (builds=$builds)")
+  }
+
+  test("SuffixIndex.sweepStale: newest RetainKeys key dirs survive a build, older keys are removed") {
+    val fam = java.nio.file.Files.createTempDirectory("sweep").toFile
+    val dirs = (0 until SuffixIndex.RetainKeys + 4).map { i =>
+      val d = new java.io.File(fam, f"key$i%02d")
+      d.mkdirs()
+      java.nio.file.Files.writeString(
+        new java.io.File(d, "part-0").toPath, s"payload $i")
+      assert(d.setLastModified(1700000000000L + i * 60000L))
+      d
+    }
+    SuffixIndex.sweepStale(dirs.last)
+    val left = fam.listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(left.length == SuffixIndex.RetainKeys)
+    assert(left.toSeq ==
+      dirs.takeRight(SuffixIndex.RetainKeys).map(_.getName),
+      "newest-N by mtime must survive, including the just-written key")
+  }
+
+  test("SPS parse: planted AVC/HEVC slots round-trip exactly; corrupt inputs sentinel") {
+    import graft.ops.{MediaFixtures, Multimodal}
+    // planted truth per slot (the mm_sps oracle arithmetic)
+    for (m <- 0 until 8) {
+      val rows = Multimodal.Mp4SpsWalk.info(m.toLong,
+        MediaFixtures.plantedAvcMp4(m))
+      assert(rows.size == 1, s"slot $m: ${rows.size} rows")
+      val r = rows.head
+      val hevc = m == 2 || m == 6
+      assert(r.codec == (if (hevc) "hvc1" else "avc1"), s"slot $m")
+      val wantProfile =
+        if (m == 2) 1 else if (m == 6) 2 else Seq(66, 77, 100)(m % 3)
+      assert(r.profile_idc == wantProfile, s"slot $m profile")
+      assert(r.level_idc == (if (hevc) 90 + m else 30 + m), s"slot $m")
+      assert(r.chroma_idc == 1, s"slot $m chroma")
+      val (cw, ch) =
+        if (hevc) (64 + 8 * m, 48 + 8 * (m % 3))
+        else (16 * (m % 4 + 2), 16 * (m % 3 + 2))
+      assert((r.coded_w, r.coded_h) == ((cw, ch)), s"slot $m coded")
+      val (dw, dh) =
+        if (m == 6) (cw - 4, ch - 2)
+        else if (m == 2) (cw, ch)
+        else (cw - 2 * (m % 2), ch - 2 * (m % 3))
+      assert((r.disp_w, r.disp_h) == ((dw, dh)), s"slot $m disp")
+      // slot 7's container lies about its width — the filterable flag
+      assert(r.container_w == dw + (if (m == 7) 16 else 0), s"slot $m cw")
+      assert(r.container_h == dh, s"slot $m chh")
+      assert(r.dims_match == (m != 7), s"slot $m match")
+    }
+    // emulation-prevention unescape: 00 00 03 0x≤3 drops the 03
+    assert(Multimodal.SpsParse.unescape(
+      Array[Byte](0x67, 0, 0, 3, 1, 9), 1).toSeq == Seq[Byte](0, 0, 1, 9))
+    // the 03 survives when the next byte is > 3 (not an escape)
+    assert(Multimodal.SpsParse.unescape(
+      Array[Byte](0x67, 0, 0, 3, 9), 1).toSeq == Seq[Byte](0, 0, 3, 9))
+    // corrupt: truncated, non-MP4, and a JPEG payload all sentinel
+    val good = MediaFixtures.plantedAvcMp4(0)
+    for (bad <- Seq(good.take(40), Array[Byte](1, 2, 3),
+        MediaFixtures.jpeg(8, 8), null)) {
+      val rows = Multimodal.Mp4SpsWalk.info(9L, bad)
+      assert(rows.size == 1 && rows.head.codec == "" &&
+        rows.head.coded_w == -1, "corrupt must sentinel")
+    }
+  }
+
   test("tgz walk: gunzip round-trip; decompression-bomb cap and corrupt envelopes sentinel") {
     import graft.ops.Multimodal
     val tarBytes = MediaFixtures.plantedTar(5)
