@@ -56,10 +56,13 @@ class PlanSpec extends SparkSpec {
       "tx_curation15",    // unimax scalars + KN total + LM-floor scalar
       // isotonic's minimax needs the i<=k range-pair join over the
       // DISTINCT-SCORE bins — a grain-bounded frame (<= 10001 rows at
-      // 4dp), never the corpus; CartesianProduct stays forbidden
+      // 4dp), never the corpus; CartesianProduct stays forbidden.
+      // r15: tx_curation12 / tx_clf_gate_holdout no longer fit the
+      // isotonic in-query (they consume the clf_pool / clf_holdout
+      // artifacts); the pairing lives in the build thunks, pinned by
+      // tx_clf_isotonic's plan below
       "tx_clf_isotonic",
-      "tx_clf_gate_holdout", // same iso pairing, fit on the holdout split
-      "tx_curation12")    // embeds the same iso pairing + scalar stages
+      "tx_curation12")    // tokenBudgetMix one-row denominator scalars
 
   test("no headline query plans a cartesian product (baselines excepted)") {
     (SparkEntry.benchQueries.toSet ++ Set("ev_skew_join") -- exactBaselines)
@@ -75,12 +78,14 @@ class PlanSpec extends SparkSpec {
 
   test("isotonic range-pair join stays a BROADCAST nested-loop, never " +
       "a shuffled cartesian") {
-    // tx_clf_isotonic / tx_curation12 ride the scalarCrossJoins
-    // exception (BNLJ allowed), so without this positive pin a
-    // regression that drops Eval.isotonicFit's broadcast hint could
-    // only be caught by the CartesianProduct ban — assert the pairing
-    // actually PLANS as BroadcastNestedLoopJoin over the bins frame.
-    Seq("tx_clf_isotonic", "tx_curation12").foreach { name =>
+    // tx_clf_isotonic rides the scalarCrossJoins exception (BNLJ
+    // allowed), so without this positive pin a regression that drops
+    // Eval.isotonicFit's broadcast hint could only be caught by the
+    // CartesianProduct ban — assert the pairing actually PLANS as
+    // BroadcastNestedLoopJoin over the bins frame. (r15: curation12
+    // consumes the clf_pool artifact, so the pairing shows only in
+    // the build thunk — tx_clf_isotonic keeps the in-query pin.)
+    Seq("tx_clf_isotonic").foreach { name =>
       val p = plan(name)
       assert(p.contains("BroadcastNestedLoopJoin"),
         s"$name lost the broadcast bins pairing:\n$p")
