@@ -1944,8 +1944,9 @@ class OpsSpec extends SparkSpec {
     val b = MediaFixtures.avcMp4(sizes, Some(Seq(1, 3)),
       profile = 77, level = 31, nalLen = 4)
     val got = Mp4KeyframeWalk.index(9L, b)
-    // base offset from the box layout: 249 + 4n + 16 + 4s
-    val base = 249 + 4 * 4 + 16 + 4 * 2
+    // base offset from the box layout: 275 + 4n + 16 + 4s (275 since
+    // r15: avcC carries a fixed 24-byte planted SPS — box 15 -> 41)
+    val base = 275 + 4 * 4 + 16 + 4 * 2
     assert(got == Seq(
       KeyframeEntry(9L, 0, 1, base.toLong, 120, 77, 31, 4, "avc1"),
       KeyframeEntry(9L, 1, 3, (base + 120 + 143).toLong, 166, 77, 31, 4,
@@ -1959,16 +1960,17 @@ class OpsSpec extends SparkSpec {
     assert(all.map(_.sample_no) == Seq(1, 2, 3, 4))
     assert(all.map(_.kf_idx) == Seq(0, 1, 2, 3))
     assert(all.forall(e => e.profile == 66 && e.nal_len == 2))
-    // HEVC: hvcC profile/level/NAL recovered, 16-byte-longer stsd
-    // entry shifts the mdat base by exactly 16
+    // HEVC: hvcC profile/level/NAL recovered, 27-byte-longer stsd
+    // entry (hvcC 68 vs avcC 41, both with planted SPS — r15) shifts
+    // the mdat base by exactly 27
     val hb = MediaFixtures.hevcMp4(sizes, Some(Seq(1, 3)),
       profile = 2, level = 93, nalLen = 4)
     val hgot = Mp4KeyframeWalk.index(10L, hb)
     assert(hgot == Seq(
-      KeyframeEntry(10L, 0, 1, (base + 16).toLong, 120, 2, 93, 4, "hvc1"),
-      KeyframeEntry(10L, 1, 3, (base + 16 + 120 + 143).toLong, 166, 2, 93,
+      KeyframeEntry(10L, 0, 1, (base + 27).toLong, 120, 2, 93, 4, "hvc1"),
+      KeyframeEntry(10L, 1, 3, (base + 27 + 120 + 143).toLong, 166, 2, 93,
         4, "hvc1")))
-    assert(hb.length == base + 16 + sizes.sum)
+    assert(hb.length == base + 27 + sizes.sum)
     // an MJPEG container (no avcC/hvcC): seek points real, config -1,
     // codec reports the stsd format
     val mj = Mp4KeyframeWalk.index(2L,
