@@ -43,4 +43,14 @@ object StreamingMedia {
     (batch: DataFrame, batchId: Long) =>
       Multimodal.keyframeIndex(batch).toDF()
         .write.mode("overwrite").parquet(s"$indexPath/batch_id=$batchId")
+
+  /** `foreachBatch` body extracting TRUE coded dimensions per
+    * micro-batch ([[graft.ops.Multimodal.spsIndex]] — the SPS NAL's
+    * exp-Golomb bitstream, r15): the container-vs-bitstream
+    * `dims_match` gate lands in the metadata store incrementally,
+    * same stateless exactly-once layout as [[metaAppender]]. */
+  def spsAppender(indexPath: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) =>
+      Multimodal.spsIndex(batch).toDF()
+        .write.mode("overwrite").parquet(s"$indexPath/batch_id=$batchId")
 }

@@ -933,6 +933,53 @@ class StreamingSpec extends SparkSpec {
       "a replayed micro-batch must not duplicate or change index rows")
   }
 
+  test("streaming SPS dims: exp-Golomb walk stream equals batch, the planted container lie survives the stream") {
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    val in = tmpDir("sps-in")
+    val out = tmpDir("sps-out") + "/index"
+    def mDf(slots: Seq[Int]) =
+      slots.map(m => (m.toLong, graft.ops.MediaFixtures.plantedAvcMp4(m)))
+        .toDF("media_id", "payload")
+    mDf(0 until 4).coalesce(1).write.parquet(s"$in/a")
+    mDf(4 until 8).coalesce(1).write.parquet(s"$in/b")
+    import java.nio.file.{Files => NFiles, Paths => NPaths}
+    def onePart(d: String) =
+      NFiles.list(NPaths.get(d))
+        .filter(_.toString.endsWith(".parquet")).findFirst.get
+    val fa = NPaths.get(s"$in/batch_a.parquet")
+    NFiles.move(onePart(s"$in/a"), fa)
+    NFiles.move(onePart(s"$in/b"), NPaths.get(s"$in/batch_b.parquet"))
+    fa.toFile.setLastModified(System.currentTimeMillis() - 60000)
+    val q = spark.readStream
+      .schema("media_id LONG, payload BINARY")
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream
+      .option("checkpointLocation", tmpDir("sps-ckpt"))
+      .foreachBatch(StreamingMedia.spsAppender(out))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    def rows(df: DataFrame) = df
+      .select("media_id", "codec", "profile_idc", "level_idc",
+        "chroma_idc", "coded_w", "coded_h", "disp_w", "disp_h",
+        "container_w", "container_h", "dims_match")
+      .collect().map(_.toSeq).toSet
+    val streamed = rows(spark.read.parquet(out))
+    val batch = rows(graft.ops.Multimodal.spsIndex(mDf(0 until 8)).toDF())
+    assert(streamed == batch,
+      s"stream SPS rows must equal batch: missing=${batch -- streamed} " +
+        s"extra=${streamed -- batch}")
+    // the slot-7 container lie is the one mismatch row in the store
+    val mismatches = spark.read.parquet(out)
+      .filter(!col("dims_match")).select("media_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(mismatches == Set(7L), s"mismatch rows: $mismatches")
+    // replay: re-running a batch overwrites its own partition
+    StreamingMedia.spsAppender(out)(mDf(4 until 8), 1L)
+    assert(rows(spark.read.parquet(out)) == streamed,
+      "a replayed micro-batch must not duplicate or change SPS rows")
+  }
+
   test("watermarked windowed level counts over the stream") {
     val in = tmpDir("stream-win")
     java.nio.file.Files.copy(
