@@ -1138,28 +1138,42 @@ object TextAnalysis {
     * round-trips IEEE doubles exactly, so a loaded model scores
     * byte-identically. */
   def saveLidModel(spark: org.apache.spark.sql.SparkSession,
-      model: LidModel, path: String): Unit = {
+      model: LidModel, path: String): Unit =
+    lidModelFrame(spark, model).coalesce(1)
+      .write.mode("overwrite").parquet(path)
+
+  /** The model as its artifact FRAME `(k, b, w, nb, n)` — shared by
+    * [[saveLidModel]] and the [[graft.ops.ArtifactStore]] `lid_docs`
+    * family so the persisted shape cannot fork. */
+  def lidModelFrame(spark: org.apache.spark.sql.SparkSession,
+      model: LidModel): DataFrame = {
     import spark.implicits._
     model.classes.flatMap { k =>
       model.weights(k).toSeq.sortBy(_._1)
         .map { case (b, w) => (k, b, w, model.numBuckets, model.n) }
-    }.toDF("k", "b", "w", "nb", "n").coalesce(1)
-      .write.mode("overwrite").parquet(path)
+    }.toDF("k", "b", "w", "nb", "n")
   }
 
-  /** Parquet artifact → [[LidModel]]; fails loudly on an empty
-    * artifact. Classes are recovered from the rows (sorted — the
-    * [[LidModel]] tie-break invariant re-proves itself). */
-  def loadLidModel(spark: org.apache.spark.sql.SparkSession,
-      path: String): LidModel = {
-    val rows = spark.read.parquet(path).collect()
-    require(rows.nonEmpty, s"empty LID artifact at $path")
+  /** Artifact frame → [[LidModel]]; fails loudly on an empty frame.
+    * Classes are recovered from the rows (sorted — the [[LidModel]]
+    * tie-break invariant re-proves itself). */
+  def lidModelOf(frame: DataFrame): LidModel = {
+    val rows = frame.select("k", "b", "w", "nb", "n").collect()
+    require(rows.nonEmpty, "empty LID artifact frame")
     val classes = rows.map(_.getString(0)).distinct.sorted.toSeq
     val w = rows.groupBy(_.getString(0)).map { case (k, rs) =>
       k -> rs.map(r => r.getLong(1) -> r.getDouble(2)).toMap
     }
     LidModel(classes, w, rows.head.getInt(3), rows.head.getInt(4))
   }
+
+  /** Parquet artifact → [[LidModel]]. */
+  def loadLidModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): LidModel =
+    try lidModelOf(spark.read.parquet(path))
+    catch { case e: IllegalArgumentException =>
+      throw new IllegalArgumentException(
+        s"LID artifact at $path: ${e.getMessage}") }
 
   /** Persist a [[KnModel]] — ONLY the bigram count frame travels (the
     * context/continuation/total frames are derived views, rebuilt on

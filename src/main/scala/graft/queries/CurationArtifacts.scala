@@ -159,6 +159,41 @@ object CurationArtifacts {
     ArtifactStore.rebuild(spark, dir, "clf_holdout", clfHoldoutConfig,
       Seq("model", "grid"))(clfHoldoutFrames(spark, dir))("model")
 
+  // ----------------------------------------------------- LID model
+
+  private def lidConfig =
+    s"b=${TextQueries.LidBuckets},it=${TextQueries.LidIters}," +
+      s"lr=${TextQueries.LidLr},n=${TextQueries.LidN}," +
+      s"cls=${TextAnalysis.LidClasses.mkString("+")}"
+
+  private def lidFrames(spark: SparkSession, dir: String)
+      : Map[String, DataFrame] = {
+    val d = QueryUtil.spreadById(docs(spark, dir))
+    val model = TextAnalysis.trainLid(d, TextAnalysis.LidClasses,
+      numBuckets = TextQueries.LidBuckets,
+      iterations = TextQueries.LidIters,
+      learningRate = TextQueries.LidLr, n = TextQueries.LidN)
+    Map("model" -> TextAnalysis.lidModelFrame(spark, model))
+  }
+
+  /** Corpus-trained LID as a frozen model — tx_langid is the
+    * always-retrain build line (it trains in-query AND saves here);
+    * tx_langid_confusion and curation14's language gate consume. */
+  def lid(spark: SparkSession, dir: String): TextAnalysis.LidModel =
+    TextAnalysis.lidModelOf(ArtifactStore.loadOrBuild(spark, dir,
+      "lid_docs", lidConfig, Seq("model"))(lidFrames(spark, dir))("model"))
+
+  /** Save a just-trained LID model under the family key (called by
+    * the build line so training runs ONCE in-query — the scored
+    * output and the artifact come from the same weights). */
+  def lidSave(spark: SparkSession, dir: String,
+      model: TextAnalysis.LidModel): Unit = {
+    ArtifactStore.rebuild(spark, dir, "lid_docs", lidConfig,
+      Seq("model"))(Map("model" -> TextAnalysis.lidModelFrame(spark,
+      model)))
+    ()
+  }
+
   // ------------------------------------------------- pool tokenizer
 
   private def unigramPoolConfig =

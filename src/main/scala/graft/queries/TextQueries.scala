@@ -139,10 +139,10 @@ object TextQueries {
   // itself is exact-checked. The marker heuristic above stays as the
   // documented zero-training fallback (`tx_lang_dist`).
 
-  private val LidBuckets = 1024
-  private val LidIters = 3
-  private val LidLr = 2.0
-  private val LidN = 3
+  private[queries] val LidBuckets = 1024
+  private[queries] val LidIters = 3
+  private[queries] val LidLr = 2.0
+  private[queries] val LidN = 3
 
   /** Training + scoring replay over `src` (any relation with doc_id,
     * lang, text), parameterized by the SAME constants the engine
@@ -226,6 +226,10 @@ object TextQueries {
     val d = QueryUtil.spreadById(docs(spark, dir))
     val (feat, model) = TextAnalysis.lidCore(d, TextAnalysis.LidClasses,
       LidBuckets, LidIters, LidLr, LidN, "doc_id", "text", "lang")
+    // r15: the LID family's BUILD line — the weights just trained
+    // are saved as the lid_docs artifact (tx_langid_confusion and
+    // curation14's language gate consume them frozen)
+    CurationArtifacts.lidSave(spark, dir, model)
     TextAnalysis.lidScoredFrom(feat, model)
       .transform(QueryUtil.ordered("doc_id"))
   }
@@ -240,10 +244,11 @@ object TextQueries {
     * so off-diagonal mass ≈ class priors by construction; the matrix
     * verifies the model, the disclosure explains the accuracy). */
   def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    // r15: frozen lid_docs artifact — one featurize+score sweep, no
+    // gradient epochs (oracle unchanged: full training replay)
     val d = QueryUtil.spreadById(docs(spark, dir))
-    val (feat, model) = TextAnalysis.lidCore(d, TextAnalysis.LidClasses,
-      LidBuckets, LidIters, LidLr, LidN, "doc_id", "text", "lang")
-    val preds = TextAnalysis.lidScoredFrom(feat, model)
+    val model = CurationArtifacts.lid(spark, dir)
+    val preds = TextAnalysis.scoreWithLidModel(d, model)
       .select(col("doc_id"), col("lang_pred"))
     d.select(col("doc_id"), col("lang")).join(preds, Seq("doc_id"))
       .groupBy(col("lang"), col("lang_pred"))
@@ -2960,10 +2965,12 @@ object TextQueries {
   def curation14(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.DataFrame
     val base = docs(spark, dir)
-    val (feat, model) = TextAnalysis.lidCore(QueryUtil.spreadById(base),
-      TextAnalysis.LidClasses, LidBuckets, LidIters, LidLr, LidN,
-      "doc_id", "text", "lang")
-    val enIds = TextAnalysis.lidScoredFrom(feat, model)
+    // r15: the language gate scores under the frozen lid_docs
+    // artifact (tx_langid is the build line); the KN floor still
+    // trains in-query — its pool is THIS query's dedup output
+    val model = CurationArtifacts.lid(spark, dir)
+    val enIds = TextAnalysis.scoreWithLidModel(
+        QueryUtil.spreadById(base), model)
       .filter(col("lang_pred") === "en").select("doc_id")
     val gated = Dedup.checkpointTracked(
       base.join(enIds, Seq("doc_id"), "left_semi"))
