@@ -440,8 +440,24 @@ object TextAnalysis {
     * literals. */
   def scoreWithLidModel(docs: DataFrame, model: LidModel,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    lidScoredFrom(lidFeatureArrays(docs, model.numBuckets, model.n,
-      idCol, textCol, None), model)
+    // persist the featurize pass: the K-class scorer references the
+    // feature arrays from 2K+ expression sites (per-class sigmoids +
+    // the argmax struct), and over an UNPERSISTED projection the
+    // optimizer re-expands the char-gram featurization into each —
+    // measured 13 s vs ~1 s on a 60k-doc sweep (r15; the training
+    // path always persisted, so only the frozen-model path paid it).
+    // persistTracked: query callers release via Dedup.releaseCaches;
+    // the streaming appender unpersists per batch.
+    lidScoredFrom(Dedup.persistTracked(
+      lidFeaturize(docs, model, idCol, textCol)), model)
+
+  /** The frozen-model featurize pass alone (unpersisted) — for
+    * callers that manage their own cache lifecycle (the streaming
+    * appender persists per micro-batch and unpersists after its
+    * write; [[scoreWithLidModel]] uses the tracked-persist default). */
+  private[graft] def lidFeaturize(docs: DataFrame, model: LidModel,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    lidFeatureArrays(docs, model.numBuckets, model.n, idCol, textCol, None)
 
   private[graft] def lidScoredFrom(feat: DataFrame, model: LidModel)
       : DataFrame = {

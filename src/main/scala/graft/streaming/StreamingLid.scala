@@ -31,7 +31,16 @@ object StreamingLid {
   def scoringAppender(model: TextAnalysis.LidModel, predsPath: String,
       idCol: String = "doc_id",
       textCol: String = "text"): (DataFrame, Long) => Unit =
-    (batch: DataFrame, batchId: Long) =>
-      TextAnalysis.scoreWithLidModel(batch, model, idCol, textCol)
+    (batch: DataFrame, batchId: Long) => {
+      // persist the featurize pass for the K-class scorer (the r15
+      // scoreWithLidModel lesson: unpersisted, the char-gram
+      // featurization re-expands into every per-class expression
+      // site), with a batch-local lifecycle — the frame dies with
+      // the batch write instead of riding the global tracked pool
+      val feat = TextAnalysis.lidFeaturize(batch, model, idCol, textCol)
+        .persist()
+      try TextAnalysis.lidScoredFrom(feat, model)
         .write.mode("overwrite").parquet(s"$predsPath/batch_id=$batchId")
+      finally { feat.unpersist(); () }
+    }
 }
