@@ -373,4 +373,73 @@ class OpsPropertySpec extends SparkSpec {
       assert(got == want, s"n=$n mod=$mod parts=$parts neg=$neg")
     }
   }
+
+  test("SPS round-trip law: random planted parameters survive encode -> box walk -> exp-Golomb parse exactly") {
+    // AVC: the BitWriter-encoded SPS inside a full avcC/MP4 container
+    // must parse back to the planted profile/level/dims/crops through
+    // the public walk — including the High-profile chroma branch and
+    // the container-dims comparison (planted container == display
+    // here, so dims_match must hold everywhere)
+    val avcGen = for {
+      profile <- Gen.oneOf(66, 77, 100)
+      level <- Gen.choose(10, 255)
+      wMbs <- Gen.choose(1, 64)
+      hMbs <- Gen.choose(1, 36)
+      cr <- Gen.choose(0, 7)
+      cb <- Gen.choose(0, 7)
+      nal <- Gen.oneOf(1, 2, 4)
+    } yield (profile, level, wMbs, hMbs, cr, cb, nal)
+    samples(avcGen, 40).zipWithIndex.foreach {
+      case ((profile, level, wMbs, hMbs, cr, cb, nal), i) =>
+        val cw = 16 * wMbs - 2 * cr
+        val ch = 16 * hMbs - 2 * cb
+        // planted crops must leave a positive display area
+        if (cw > 0 && ch > 0) {
+          val b = MediaFixtures.avcMp4(Seq(100, 123), Some(Seq(1)),
+            profile, level, nal, wMbs, hMbs, cr, cb)
+          val rows = Multimodal.Mp4SpsWalk.info(i.toLong, b)
+          assert(rows.size == 1, s"case $i: ${rows.size} rows")
+          val r = rows.head
+          assert((r.codec, r.profile_idc, r.level_idc, r.chroma_idc) ==
+            (("avc1", profile, level, 1)), s"case $i: $r")
+          assert((r.coded_w, r.coded_h) == ((16 * wMbs, 16 * hMbs)),
+            s"case $i coded: $r")
+          assert((r.disp_w, r.disp_h) == ((cw, ch)), s"case $i disp: $r")
+          assert(r.dims_match && r.container_w == cw && r.container_h == ch,
+            s"case $i container: $r")
+        }
+    }
+    // HEVC: conformance window, sub-layer PTL skip, Main/Main10-range
+    // profiles — same law through the hvcC array walk
+    val hevcGen = for {
+      profile <- Gen.choose(1, 31)
+      level <- Gen.choose(30, 255)
+      w <- Gen.choose(2, 240).map(_ * 8)
+      h <- Gen.choose(2, 135).map(_ * 8)
+      win <- Gen.option(for {
+        l <- Gen.choose(0, 3); rr <- Gen.choose(0, 3)
+        t <- Gen.choose(0, 3); bb <- Gen.choose(0, 3)
+      } yield (l, rr, t, bb))
+      maxSub <- Gen.choose(0, 2)
+      nal <- Gen.oneOf(1, 2, 4)
+    } yield (profile, level, w, h, win, maxSub, nal)
+    samples(hevcGen, 40).zipWithIndex.foreach {
+      case ((profile, level, w, h, win, maxSub, nal), i) =>
+        val (cl, cr2, ct, cb2) = win.getOrElse((0, 0, 0, 0))
+        val dw = w - 2 * (cl + cr2)
+        val dh = h - 2 * (ct + cb2)
+        if (dw > 0 && dh > 0) {
+          val b = MediaFixtures.hevcMp4(Seq(100, 123), Some(Seq(1)),
+            profile, level, nal, w, h, win, maxSub)
+          val rows = Multimodal.Mp4SpsWalk.info(i.toLong, b)
+          assert(rows.size == 1, s"hevc case $i: ${rows.size} rows")
+          val r = rows.head
+          assert((r.codec, r.profile_idc, r.level_idc, r.chroma_idc) ==
+            (("hvc1", profile, level, 1)), s"hevc case $i: $r")
+          assert((r.coded_w, r.coded_h) == ((w, h)), s"hevc case $i: $r")
+          assert((r.disp_w, r.disp_h) == ((dw, dh)), s"hevc case $i: $r")
+          assert(r.dims_match, s"hevc case $i container: $r")
+        }
+    }
+  }
 }
