@@ -163,5 +163,6 @@ object SparkEntry {
     "tx_clf_build",          // holdout classifier + calibration grid
     "tx_unigram_pool_build", // pool unigram-LM tokenizer retrain
     "tx_langid",         // LID train + save (the lid_docs build line)
-    "mm_sps")            // SPS exp-Golomb bitstream parse (r15 #4)
+    "mm_sps",            // SPS exp-Golomb bitstream parse (r15 #4)
+    "mm_gop")            // slice-header frame types + GOP audit (r15)
 }

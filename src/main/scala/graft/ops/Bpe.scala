@@ -144,8 +144,13 @@ object Bpe {
     * post-merge tokens — this IS the corpus a trainer reads. */
   def encodeIds(spark: org.apache.spark.sql.SparkSession,
       docsDf: DataFrame, merges: Seq[Merge]): DataFrame = {
-    val wordSyms = applyMerges(docsDf, merges).select(col("word"),
-      split(expr(s"btrim(ws, '$Sep')"), s"$Sep$Sep").as("_syms"))
+    // the per-word segmentation table is vocab-sized (distinct ≤20-char
+    // a-z words) — broadcast EXPLICITLY: left to its own stats Spark
+    // picked the corpus-token-sized exploded stream as the build side
+    // at small SF (r15 plan audit), which inverts to a full token-
+    // stream shuffle (or an impossible broadcast) at corpus scale
+    val wordSyms = broadcast(applyMerges(docsDf, merges).select(col("word"),
+      split(expr(s"btrim(ws, '$Sep')"), s"$Sep$Sep").as("_syms")))
     val ids = broadcast(vocabIdTable(spark, merges))
     docsDf
       .select(col("doc_id"),

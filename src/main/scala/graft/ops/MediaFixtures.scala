@@ -203,6 +203,117 @@ object MediaFixtures {
     }
   }
 
+  /** Hand-encoded AVC PPS (ISO 14496-10 §7.3.2.2), entropy_coding
+    * CAVLC, one slice group; padded to 8 bytes. The AVC slice-header
+    * parse never needs it (slice_type precedes pic_parameter_set_id),
+    * but a real avcC carries one and the NAL walk must step over
+    * it. */
+  def avcPps(): Array[Byte] = {
+    val w = new BitWriter
+    w.ue(0)   // pic_parameter_set_id
+    w.ue(0)   // seq_parameter_set_id
+    w.u(1, 0) // entropy_coding_mode_flag (CAVLC)
+    w.u(1, 0) // bottom_field_pic_order_in_frame_present
+    w.ue(0)   // num_slice_groups_minus1
+    w.ue(0)   // num_ref_idx_l0_default_active_minus1
+    w.ue(0)   // num_ref_idx_l1_default_active_minus1
+    w.u(1, 0) // weighted_pred_flag
+    w.u(2, 0) // weighted_bipred_idc
+    w.se(0); w.se(0); w.se(0) // qp/qs/chroma offsets
+    w.u(1, 0) // deblocking_filter_control_present
+    w.u(1, 0) // constrained_intra_pred
+    w.u(1, 0) // redundant_pic_cnt_present
+    w.nal(Array(0x68.toByte), 8) // nal_ref_idc 3, type 8
+  }
+
+  /** Hand-encoded HEVC PPS (ISO 23008-2 §7.3.2.3) carrying the TWO
+    * fields the slice-segment-header parse genuinely depends on —
+    * `dependent_slice_segments_enabled_flag` and
+    * `num_extra_slice_header_bits` — padded to 8 bytes. Planting a
+    * nonzero `extraBits` (slot 6) proves the frame-type walk reads
+    * the PPS rather than assuming the common zero case. */
+  def hevcPps(extraBits: Int): Array[Byte] = {
+    require(extraBits >= 0 && extraBits <= 7)
+    val w = new BitWriter
+    w.ue(0)            // pps_pic_parameter_set_id
+    w.ue(0)            // pps_seq_parameter_set_id
+    w.u(1, 0)          // dependent_slice_segments_enabled_flag
+    w.u(1, 0)          // output_flag_present_flag
+    w.u(3, extraBits)  // num_extra_slice_header_bits
+    w.u(1, 0)          // sign_data_hiding_enabled_flag
+    w.u(1, 0)          // cabac_init_present_flag
+    w.ue(0); w.ue(0)   // num_ref_idx_l{0,1}_default_active_minus1
+    w.se(0)            // init_qp_minus26
+    // nal_unit_header: type 34, layer 0, tid+1 = 1
+    w.nal(Array(0x44.toByte, 0x01.toByte), 8)
+  }
+
+  /** One slice NAL with a real exp-Golomb slice header. AVC
+    * (ISO 14496-10 §7.3.3): first_mb_in_slice, slice_type,
+    * pic_parameter_set_id, frame_num — the walk reads through
+    * slice_type. `idr` picks NAL type 5 vs 1. `sliceType` is the RAW
+    * planted value (the +5 "all slices in picture" variants exercise
+    * the %5 mapping). Padded to `fixedLen`. */
+  def avcSliceNal(idr: Boolean, sliceType: Int, fixedLen: Int): Array[Byte] = {
+    val w = new BitWriter
+    w.ue(0)         // first_mb_in_slice
+    w.ue(sliceType)
+    w.ue(0)         // pic_parameter_set_id
+    w.u(4, 0)       // frame_num (log2_max_frame_num_minus4 = 0 → 4 bits)
+    val hdr = if (idr) 0x65 else 0x41 // ref_idc 3/2, type 5/1
+    w.nal(Array(hdr.toByte), fixedLen)
+  }
+
+  /** One HEVC slice-segment NAL (ISO 23008-2 §7.3.6.1):
+    * first_slice_segment_in_pic_flag = 1, the IRAP-only
+    * no_output_of_prior_pics_flag, slice_pic_parameter_set_id, the
+    * PPS-declared extra bits, then slice_type. */
+  def hevcSliceNal(nalType: Int, sliceType: Int, extraBits: Int,
+      fixedLen: Int): Array[Byte] = {
+    val w = new BitWriter
+    w.u(1, 1)                          // first_slice_segment_in_pic_flag
+    if (nalType >= 16 && nalType <= 23)
+      w.u(1, 0)                        // no_output_of_prior_pics_flag
+    w.ue(0)                            // slice_pic_parameter_set_id
+    w.u(math.max(extraBits, 0), 0)     // slice_reserved_flag[i]
+    w.ue(sliceType)
+    w.nal(Array(((nalType << 1) & 0x7e).toByte, 0x01.toByte), fixedLen)
+  }
+
+  /** One complete sample of EXACTLY `totalSize` bytes: each NAL
+    * behind a `nalLen`-byte big-endian length prefix, then filler
+    * NALs (AVC type 12 / HEVC FD_NUT 38, ff-bytes per spec) chunked
+    * to the prefix's maximum until the size is met — the multi-NAL
+    * access-unit layout of a real sample. */
+  def nalSample(totalSize: Int, nalLen: Int, hevc: Boolean,
+      nals: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(totalSize)
+    def prefix(n: Int): Unit = {
+      var i = nalLen - 1
+      while (i >= 0) { out.write((n >> (8 * i)) & 0xff); i -= 1 }
+    }
+    nals.foreach { n => prefix(n.length); out.write(n) }
+    val maxBody = if (nalLen >= 4) Int.MaxValue - 8
+      else (1 << (8 * nalLen)) - 1
+    val hdrLen = if (hevc) 2 else 1
+    var r = totalSize - out.size()
+    require(r >= 0, s"NALs ${out.size()} exceed sample $totalSize")
+    while (r > 0) {
+      require(r >= nalLen + hdrLen, s"unfillable remainder $r")
+      var body = math.min(maxBody, r - nalLen)
+      val rem2 = r - nalLen - body
+      if (rem2 > 0 && rem2 < nalLen + hdrLen)
+        body -= (nalLen + hdrLen - rem2)
+      prefix(body)
+      if (hevc) { out.write((38 << 1) & 0x7e); out.write(1) }
+      else out.write(0x0c)
+      var i = hdrLen
+      while (i < body) { out.write(0xff); i += 1 }
+      r = totalSize - out.size()
+    }
+    out.toByteArray
+  }
+
   /** Hand-encoded AVC SPS (ISO 14496-10 §7.3.2.1.1): 4:2:0, poc type
     * 0, frame_mbs_only, optional right/bottom crop; padded to 24
     * bytes. The construction parameters ARE the planted truth the
@@ -272,21 +383,26 @@ object MediaFixtures {
       profile: Int, level: Int, nalLen: Int,
       widthMbs: Int = 4, heightMbs: Int = 3,
       cropRight: Int = 0, cropBottom: Int = 0,
-      containerW: Int = -1, containerH: Int = -1): Array[Byte] = {
+      containerW: Int = -1, containerH: Int = -1,
+      samples: Option[Seq[Array[Byte]]] = None): Array[Byte] = {
     require(Seq(1, 2, 4).contains(nalLen), s"illegal NAL length $nalLen")
     val sps = avcSps(profile, level, widthMbs, heightMbs,
       cropRight, cropBottom)
+    val pps = avcPps()
     // avcC (ISO 14496-15 §5.3.3.1): 5 config bytes, '111' + 1 SPS,
-    // 2-byte length + NAL, 0 PPS — fixed 33-byte payload (SPS padded)
+    // 2-byte length + NAL, then 1 PPS the same way (r15 frame-type
+    // walk) — fixed 43-byte payload (SPS 24 + PPS 8, both padded)
     val avcC = box("avcC", Array(
         1, profile, 0, level, 0xfc | (nalLen - 1), 0xe1).map(_.toByte) ++
       Array(((sps.length >> 8) & 0xff).toByte, (sps.length & 0xff).toByte) ++
-      sps ++ Array(0.toByte))
+      sps ++ Array(1.toByte) ++
+      Array(((pps.length >> 8) & 0xff).toByte, (pps.length & 0xff).toByte) ++
+      pps)
     val dispW = 16 * widthMbs - 2 * cropRight
     val dispH = 16 * heightMbs - 2 * cropBottom
     videoMp4(sizes, syncSamples, "avc1", avcC,
       if (containerW >= 0) containerW else dispW,
-      if (containerH >= 0) containerH else dispH)
+      if (containerH >= 0) containerH else dispH, samples)
   }
 
   /** HEVC (H.265) sibling of [[avcMp4]]: an `hvc1` sample entry
@@ -299,9 +415,12 @@ object MediaFixtures {
       profile: Int, level: Int, nalLen: Int,
       lumaW: Int = 96, lumaH: Int = 64,
       confWin: Option[(Int, Int, Int, Int)] = None, maxSub: Int = 0,
-      containerW: Int = -1, containerH: Int = -1): Array[Byte] = {
+      containerW: Int = -1, containerH: Int = -1,
+      samples: Option[Seq[Array[Byte]]] = None,
+      ppsExtraBits: Int = 0): Array[Byte] = {
     require(Seq(1, 2, 4).contains(nalLen), s"illegal NAL length $nalLen")
     val sps = hevcSps(profile, level, lumaW, lumaH, confWin, maxSub)
+    val pps = hevcPps(ppsExtraBits)
     val hvcC = box("hvcC", (Array(
       1,                 // configurationVersion
       profile & 0x1f,    // profile_space 0 | tier 0 | profile_idc
@@ -315,23 +434,32 @@ object MediaFixtures {
       0, 0,              // avgFrameRate
       // constantFrameRate 0 | numTemporalLayers 1 | temporalIdNested 1
       0x0c | (nalLen - 1),
-      1,                 // numOfArrays: ONE — the SPS array (r15)
+      2,                 // numOfArrays: SPS + PPS (r15 frame-type walk)
       // array_completeness 1 | reserved 0 | NAL_unit_type 33 (SPS)
       0x80 | 33).map(_.toByte) ++
       Array(0.toByte, 1.toByte) ++ // numNalus = 1
       Array(((sps.length >> 8) & 0xff).toByte,
-        (sps.length & 0xff).toByte) ++ sps))
+        (sps.length & 0xff).toByte) ++ sps ++
+      // array_completeness 1 | NAL_unit_type 34 (PPS), numNalus = 1
+      Array((0x80 | 34).toByte, 0.toByte, 1.toByte) ++
+      Array(((pps.length >> 8) & 0xff).toByte,
+        (pps.length & 0xff).toByte) ++ pps))
     val (cl, cr, ct, cb) = confWin.getOrElse((0, 0, 0, 0))
     val dispW = lumaW - 2 * (cl + cr)
     val dispH = lumaH - 2 * (ct + cb)
     videoMp4(sizes, syncSamples, "hvc1", hvcC,
       if (containerW >= 0) containerW else dispW,
-      if (containerH >= 0) containerH else dispH)
+      if (containerH >= 0) containerH else dispH, samples)
   }
 
   private def videoMp4(sizes: Seq[Int], syncSamples: Option[Seq[Int]],
       fmt: String, cfg: Array[Byte], containerW: Int = 0,
-      containerH: Int = 0): Array[Byte] = {
+      containerH: Int = 0,
+      samples: Option[Seq[Array[Byte]]] = None): Array[Byte] = {
+    samples.foreach { ss =>
+      require(ss.map(_.length) == sizes,
+        "sample payload lengths must equal the planted stsz sizes")
+    }
     val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0))
     def moov(mdatPayloadOff: Long): Array[Byte] = {
       // VisualSampleEntry body: width/height at entry offsets 32/34
@@ -358,9 +486,14 @@ object MediaFixtures {
         box("stbl", stsd ++ stsz ++ stco ++ stsc ++ stss)))))
     }
     val off = ftyp.length.toLong + moov(0L).length + 8 // + mdat header
-    val mdat = new Array[Byte](sizes.sum)
-    var j = 0
-    while (j < mdat.length) { mdat(j) = (j % 251).toByte; j += 1 }
+    val mdat = samples match {
+      case Some(ss) => ss.flatten.toArray
+      case None =>
+        val a = new Array[Byte](sizes.sum)
+        var j = 0
+        while (j < a.length) { a(j) = (j % 251).toByte; j += 1 }
+        a
+    }
     ftyp ++ moov(off) ++ box("mdat", mdat)
   }
 
@@ -370,35 +503,81 @@ object MediaFixtures {
     * (slot 7 OMITS `stss` — the every-sample-is-sync spec rule),
     * profile/level/NAL from slot arithmetic. Slots 2 and 6 are HEVC
     * (`hvc1`/`hvcC`: Main and Main 10 profiles, level 90 + m) — their
-    * stsd entry is 27 bytes longer than the AVC ones (hvcC 68 vs avcC
-    * 41 — both carry a fixed-length planted SPS since r15), which the
-    * oracle's base-offset arithmetic states. All
+    * stsd entry is 30 bytes longer than the AVC ones (hvcC 81 vs avcC
+    * 51 — both carry fixed-length planted SPS + PPS NALs since r15),
+    * which the oracle's base-offset arithmetic states. All
     * sample numbers, offsets and sizes are pure doc_id arithmetic:
     * the oracle states them without reading a byte (the
     * [[plantedTar]] contract). */
+  /** The planted frame-type rule for slot m, sample s (1-based) —
+    * shared truth between [[plantedAvcMp4]]'s slice NALs and the
+    * `mm_frame_types`/`mm_gop` oracles (which restate it as doc_id
+    * arithmetic): a sample is an I/RAP frame iff its `stss` entry
+    * claims sync, EXCEPT slot 3 sample 3 (stss claims sync, the
+    * bitstream is a P slice — the planted container LIE) and slot 1
+    * sample 3 (an unclaimed IDR — the inverse lie); non-I samples
+    * are B when s % 3 == 0, else P. */
+  def plantedFrameType(m: Int, s: Int): Char = {
+    val step = m % 3 + 2
+    val claimed = m == 7 || (s - 1) % step == 0
+    if ((claimed && !(m == 3 && s == 3)) || (m == 1 && s == 3)) 'I'
+    else if (s % 3 == 0) 'B' else 'P'
+  }
+
   def plantedAvcMp4(m: Int): Array[Byte] = {
     val n = m % 4 + 3
     val sizes = (0 until n).map(k => 100 + 17 * m + 23 * k)
     val syncs = if (m == 7) None else Some((1 to n by (m % 3 + 2)).toSeq)
+    val hevc = m == 2 || m == 6
+    val nalLen = Seq(1, 2, 4)(m % 3)
+    // r15 frame-type walk: every sample is a real access unit — an
+    // optional SEI (slots 0 and 5 AVC type 6, slot 2 HEVC type 39,
+    // skipped by the walk), ONE slice NAL whose exp-Golomb header
+    // plants the [[plantedFrameType]] rule, then spec filler NALs
+    // (type 12 / FD_NUT) padding to the stsz size — so the keyframe
+    // oracle's seek arithmetic is untouched.
+    val samples = (1 to n).map { s =>
+      val ft = plantedFrameType(m, s)
+      val slice =
+        if (hevc) {
+          val nalType =
+            if (ft == 'I') (if (m == 2) 19 else 21) // IDR_W_RADL / CRA
+            else if (ft == 'B') 0 else 1            // TRAIL_N / TRAIL_R
+          val st = if (ft == 'I') 2 else if (ft == 'P') 1 else 0
+          hevcSliceNal(nalType, st, if (m == 6) 2 else 0, 16)
+        } else {
+          val base = if (ft == 'I') 2 else if (ft == 'B') 1 else 0
+          avcSliceNal(ft == 'I', base + 5 * (s % 2), 16)
+        }
+      val sei =
+        if (!hevc && (m == 0 || m == 5))
+          Seq(Array(0x06.toByte, 0x01.toByte, 0x01.toByte, 0xff.toByte))
+        else if (hevc && m == 2)
+          Seq(Array(((39 << 1) & 0x7e).toByte, 0x01.toByte, 0x01.toByte))
+        else Seq.empty
+      nalSample(sizes(s - 1), nalLen, hevc, sei :+ slice)
+    }
     // r15 (verdict #4): every slot's decoder config now carries a
     // real hand-encoded SPS NAL with slot-arithmetic dimensions —
     // the mm_sps oracle states these without reading a byte. Slot 7
     // plants a container-width LIE (disp + 16) so the dims_match
     // mismatch arm is exercised; slot 5 takes the High-profile
     // chroma/scaling branch; slot 6 the HEVC sub-layer skip.
-    if (m == 2 || m == 6)
+    if (hevc)
       hevcMp4(sizes, syncs, profile = if (m == 2) 1 else 2,
-        level = 90 + m, nalLen = Seq(1, 2, 4)(m % 3),
+        level = 90 + m, nalLen = nalLen,
         lumaW = 64 + 8 * m, lumaH = 48 + 8 * (m % 3),
         confWin = if (m == 6) Some((1, 1, 0, 1)) else None,
-        maxSub = if (m == 6) 1 else 0)
+        maxSub = if (m == 6) 1 else 0,
+        samples = Some(samples), ppsExtraBits = if (m == 6) 2 else 0)
     else
       avcMp4(sizes, syncs, profile = Seq(66, 77, 100)(m % 3),
-        level = 30 + m, nalLen = Seq(1, 2, 4)(m % 3),
+        level = 30 + m, nalLen = nalLen,
         widthMbs = m % 4 + 2, heightMbs = m % 3 + 2,
         cropRight = m % 2, cropBottom = m % 3,
         containerW = if (m == 7)
-          16 * (m % 4 + 2) - 2 * (m % 2) + 16 else -1)
+          16 * (m % 4 + 2) - 2 * (m % 2) + 16 else -1,
+        samples = Some(samples))
   }
 
   /** Pure-tone PCM WAV (16-bit mono): `n` samples of a `freq` Hz sine

@@ -277,7 +277,10 @@ object UnigramLm {
     docs
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
       .where(col("word").rlike("^[a-z]+$") && length(col("word")) <= MaxWordLen)
-      .join(segmented.select(col("word"), col("n_uni")), "word")
+      // explicit broadcast of the vocab-sized side — the "broadcast at
+      // any scale" contract must not depend on AQE picking the build
+      // side from small-SF stats (r15 plan audit: encodeIds inverted)
+      .join(broadcast(segmented.select(col("word"), col("n_uni"))), "word")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),
         sum("n_uni").cast("long").as("n_uni_tokens"))

@@ -79,9 +79,11 @@ object BpeQueries {
   def bpeApply(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val vocab = Bpe.applyMerges(docs(spark, dir), loadMerges(spark, dir))
-    val wordSyms = vocab.select(col("word"),
+    // explicit broadcast — the scaladoc's "corpus never shuffles"
+    // claim must not depend on AQE guessing the right build side
+    val wordSyms = broadcast(vocab.select(col("word"),
       size(split(expr(s"btrim(ws, '${Bpe.Sep}')"), s"${Bpe.Sep}${Bpe.Sep}"))
-        .cast("long").as("syms"))
+        .cast("long").as("syms")))
     docs(spark, dir)
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
       .where(col("word").rlike("^[a-z]+$") && length(col("word")) <= 20)
@@ -126,7 +128,12 @@ object BpeQueries {
         concat_ws("|", col("doc_id").cast("string"),
           col("widx").cast("string"), col("sidx").cast("string"),
           col("token_id").cast("string"))))
-      .withColumn("_t", struct(col("widx"), col("sidx"), col("token_id")))
+      // head_ids buffer bound (r15): the first 8 tokens in stream
+      // order always lie in the first 8 WORDS (every gated word emits
+      // ≥1 token), so collect only widx ≤ 8 tuples — a ≤160-element
+      // buffer per doc instead of the doc's whole token list
+      .withColumn("_t", when(col("widx") <= 8,
+        struct(col("widx"), col("sidx"), col("token_id"))))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_ids"),
         expr("bit_xor(_fp)").as("ids_hash"),
@@ -147,10 +154,11 @@ object BpeQueries {
 
   def packBpe(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val wordSyms = Bpe.applyMerges(docs(spark, dir), loadMerges(spark, dir))
-      .select(col("word"),
-        size(split(expr(s"btrim(ws, '${Bpe.Sep}')"), s"${Bpe.Sep}${Bpe.Sep}"))
-          .cast("long").as("syms"))
+    val wordSyms = broadcast(
+      Bpe.applyMerges(docs(spark, dir), loadMerges(spark, dir))
+        .select(col("word"),
+          size(split(expr(s"btrim(ws, '${Bpe.Sep}')"),
+            s"${Bpe.Sep}${Bpe.Sep}")).cast("long").as("syms")))
     val counts = docs(spark, dir)
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
       .where(col("word").rlike("^[a-z]+$") && length(col("word")) <= 20)

@@ -4038,13 +4038,13 @@ object TextQueries {
     * container for slot `doc_id % 8` (slot m: m%4+3 samples sized
     * 100 + 17·m + 23·k, sync samples every m%3+2 — slot 7 omits `stss`
     * entirely, exercising the every-sample-is-sync spec rule; slots 2
-    * and 6 are HEVC `hvc1`/`hvcC`, whose 16-byte-longer stsd entry
+    * and 6 are HEVC `hvc1`/`hvcC`, whose 30-byte-longer stsd entry
     * shifts the mdat base), the engine walks
     * `stss`/`stsz`/`stco`/`stsc` + `avcC`/`hvcC`
     * ([[graft.ops.Multimodal.Mp4KeyframeWalk]]), and the oracle states
     * sample numbers, byte offsets (closed-form prefix sums over the
     * planted sizes plus the box-layout base
-    * 249 [+16 HEVC] + 4n [+ 16 + 4s]), codec and decoder config as
+    * 285 [+30 HEVC] + 4n [+ 16 + 4s]), codec and decoder config as
     * pure doc_id arithmetic — without reading a byte. The
     * r13-disclosed inter-frame boundary's loader-side slice: pixels
     * still need a codec, but the seek structure is fully real. */
@@ -4085,6 +4085,120 @@ object TextQueries {
         "container_w", "container_h", "dims_match")
       .transform(QueryUtil.ordered("media_id"))
   }
+
+  /** mm_frame_types: per-SAMPLE frame types (I/P/B) decoded from the
+    * slice headers' exp-Golomb bitstream (r15 — the per-frame slice
+    * of the inter-frame boundary after `mm_sps`) over the same
+    * planted 8-slot AVC/HEVC table. Every sample now carries a real
+    * access unit (optional SEI + one slice NAL + spec filler NALs);
+    * the planted [[graft.ops.MediaFixtures.plantedFrameType]] rule is
+    * restated by the oracle as doc_id arithmetic. Slot 3 sample 3 is
+    * the planted container LIE (stss claims sync, the bitstream is a
+    * P slice) and slot 1 sample 3 the inverse (an unclaimed IDR) —
+    * `sync_consistent` is the loader's filterable flag. Slot 6's PPS
+    * plants num_extra_slice_header_bits = 2, so a walk that assumes
+    * the common zero case instead of PARSING the PPS mis-decodes
+    * every slot-6 slice_type. */
+  def frameTypes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fixtures = (0 until 8)
+      .map(m => (m.toLong, graft.ops.MediaFixtures.plantedAvcMp4(m)))
+      .toDF("slot", "payload")
+    val media = docs(spark, dir)
+      .select(col("doc_id").as("media_id"), (col("doc_id") % 8).as("slot"))
+      .join(broadcast(fixtures), "slot")
+      .select(col("media_id"), col("payload"))
+    graft.ops.Multimodal.frameTypeIndex(media).toDF()
+      .select("media_id", "sample_no", "codec", "nal_type", "frame_type",
+        "sync_claimed", "is_rap", "sync_consistent")
+      .transform(QueryUtil.ordered("media_id", "sample_no"))
+  }
+
+  /** The shared frame-rule CTE: planted sample grid + the
+    * [[graft.ops.MediaFixtures.plantedFrameType]] rule as SQL. */
+  private val frameRuleCte: String =
+    """p AS (SELECT doc_id AS media_id,
+      |    CAST(doc_id % 8 AS INTEGER) AS slot FROM documents),
+      |s AS (SELECT media_id, slot, slot % 3 + 2 AS step,
+      |    CAST(i AS INTEGER) AS sample_no
+      |  FROM p, LATERAL (SELECT unnest(range(1, slot % 4 + 4)) AS i) g),
+      |f AS (SELECT media_id, slot, sample_no,
+      |    (slot = 7 OR (sample_no - 1) % step = 0) AS claimed,
+      |    ((slot = 7 OR (sample_no - 1) % step = 0)
+      |        AND NOT (slot = 3 AND sample_no = 3))
+      |      OR (slot = 1 AND sample_no = 3) AS is_i
+      |  FROM s)""".stripMargin
+
+  val frameTypesOracle: String =
+    s"""WITH $frameRuleCte
+      |SELECT media_id, sample_no,
+      |  CASE WHEN slot IN (2, 6) THEN 'hvc1' ELSE 'avc1' END AS codec,
+      |  CAST(CASE WHEN slot IN (2, 6) THEN
+      |         CASE WHEN is_i THEN CASE WHEN slot = 2 THEN 19 ELSE 21 END
+      |              WHEN sample_no % 3 = 0 THEN 0 ELSE 1 END
+      |       ELSE CASE WHEN is_i THEN 5 ELSE 1 END END AS INTEGER)
+      |    AS nal_type,
+      |  CASE WHEN is_i THEN 'I' WHEN sample_no % 3 = 0 THEN 'B'
+      |       ELSE 'P' END AS frame_type,
+      |  claimed AS sync_claimed,
+      |  is_i AS is_rap,
+      |  claimed = is_i AS sync_consistent
+      |FROM f ORDER BY media_id, sample_no""".stripMargin
+
+  /** mm_gop: the per-media GOP-structure audit a video loader runs
+    * before training — frame-type counts, random-access density
+    * (`gop_len` = frames per RAP), whether the stream opens on a RAP
+    * (`closed_gop`), and the count of container sync LIES
+    * (`sync_lies` > 0 ⇒ quarantine the file: seeking to a claimed
+    * sync point that is not a RAP decodes garbage). Same planted
+    * table; blobs never shuffle — only the narrow per-media audit
+    * rows do. */
+  def gop(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fixtures = (0 until 8)
+      .map(m => (m.toLong, graft.ops.MediaFixtures.plantedAvcMp4(m)))
+      .toDF("slot", "payload")
+    val media = docs(spark, dir)
+      .select(col("doc_id").as("media_id"), (col("doc_id") % 8).as("slot"))
+      .join(broadcast(fixtures), "slot")
+      .select(col("media_id"), col("payload"))
+    graft.ops.Multimodal.frameTypeIndex(media).toDF()
+      .groupBy("media_id", "codec")
+      .agg(
+        count(lit(1)).cast("int").as("n_frames"),
+        sum(when(col("frame_type") === "I", 1).otherwise(0)).cast("int")
+          .as("n_i"),
+        sum(when(col("frame_type") === "P", 1).otherwise(0)).cast("int")
+          .as("n_p"),
+        sum(when(col("frame_type") === "B", 1).otherwise(0)).cast("int")
+          .as("n_b"),
+        sum(when(col("is_rap"), 1).otherwise(0)).cast("int").as("n_rap"),
+        sum(when(!col("sync_consistent"), 1).otherwise(0)).cast("int")
+          .as("sync_lies"),
+        round(count(lit(1)).cast("double") /
+          sum(when(col("is_rap"), 1).otherwise(0)), 4).as("gop_len"),
+        (sum(when(col("sample_no") === 1 && col("is_rap"), 1)
+          .otherwise(0)) > 0).as("closed_gop"))
+      .transform(QueryUtil.ordered("media_id"))
+  }
+
+  val gopOracle: String =
+    s"""WITH $frameRuleCte
+      |SELECT media_id,
+      |  CASE WHEN slot IN (2, 6) THEN 'hvc1' ELSE 'avc1' END AS codec,
+      |  CAST(count(*) AS INTEGER) AS n_frames,
+      |  CAST(sum(CASE WHEN is_i THEN 1 ELSE 0 END) AS INTEGER) AS n_i,
+      |  CAST(sum(CASE WHEN NOT is_i AND sample_no % 3 <> 0
+      |    THEN 1 ELSE 0 END) AS INTEGER) AS n_p,
+      |  CAST(sum(CASE WHEN NOT is_i AND sample_no % 3 = 0
+      |    THEN 1 ELSE 0 END) AS INTEGER) AS n_b,
+      |  CAST(sum(CASE WHEN is_i THEN 1 ELSE 0 END) AS INTEGER) AS n_rap,
+      |  CAST(sum(CASE WHEN claimed <> is_i THEN 1 ELSE 0 END) AS INTEGER)
+      |    AS sync_lies,
+      |  round(count(*) * 1.0 /
+      |    sum(CASE WHEN is_i THEN 1 ELSE 0 END), 4) AS gop_len,
+      |  TRUE AS closed_gop
+      |FROM f GROUP BY media_id, slot ORDER BY media_id""".stripMargin
 
   val spsOracle: String =
     """WITH p AS (SELECT doc_id AS media_id,
@@ -4130,7 +4244,7 @@ object TextQueries {
       |    CAST(i AS INTEGER) AS kf_idx,
       |    CAST(CASE WHEN slot = 7 THEN i + 1
       |              ELSE 1 + i * step END AS INTEGER) AS sample_no,
-      |    275 + CASE WHEN slot IN (2, 6) THEN 27 ELSE 0 END
+      |    285 + CASE WHEN slot IN (2, 6) THEN 30 ELSE 0 END
       |      + 4 * n + CASE WHEN slot = 7 THEN 0
       |      ELSE 16 + 4 * ((n - 1) // step + 1) END AS base
       |  FROM p, LATERAL (SELECT unnest(range(0,
@@ -5082,6 +5196,8 @@ object TextQueries {
     "mm_tar_members" -> ((tarMembers _, Some(tarMembersOracle))),
     "mm_keyframes" -> ((keyframes _, Some(keyframesOracle))),
     "mm_sps" -> ((sps _, Some(spsOracle))),
+    "mm_frame_types" -> ((frameTypes _, Some(frameTypesOracle))),
+    "mm_gop" -> ((gop _, Some(gopOracle))),
     "mm_zip_members" -> ((zipMembers _, Some(zipMembersOracle))),
     "mm_tgz_members" -> ((tgzMembers _, Some(tarMembersOracle))),
     "mm_meta_oracle" -> ((mediaDecode _, Some(mediaDecodeOracle))),

@@ -53,4 +53,15 @@ object StreamingMedia {
     (batch: DataFrame, batchId: Long) =>
       Multimodal.spsIndex(batch).toDF()
         .write.mode("overwrite").parquet(s"$indexPath/batch_id=$batchId")
+
+  /** `foreachBatch` body decoding per-sample FRAME TYPES per
+    * micro-batch ([[graft.ops.Multimodal.frameTypeIndex]] — slice
+    * header exp-Golomb walk, r15): the GOP-structure audit
+    * (`sync_consistent` container-lie gate) lands in the metadata
+    * store incrementally, same stateless exactly-once layout as
+    * [[metaAppender]]. */
+  def frameTypeAppender(indexPath: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) =>
+      Multimodal.frameTypeIndex(batch).toDF()
+        .write.mode("overwrite").parquet(s"$indexPath/batch_id=$batchId")
 }

@@ -441,6 +441,37 @@ class PlanSpec extends SparkSpec {
       s"per-doc totals must partial-aggregate:\n$p")
   }
 
+  test("tx_bpe_ids: vocab tables are ALWAYS the broadcast build side; the token stream never builds") {
+    // r15 plan audit: left to its own stats Spark picked the
+    // corpus-token-sized exploded stream as the build side (BuildLeft)
+    // of the word-segmentation join at small SF — which inverts to a
+    // full token-stream shuffle (or an impossible broadcast) at corpus
+    // scale. The explicit broadcast() hints must keep BOTH joins
+    // (word → syms, sym → id) building the vocab-sized right side.
+    val p = plan("tx_bpe_ids")
+    assert(!p.contains("SortMergeJoin"),
+      s"token stream must never sort-merge:\n$p")
+    assert(!p.contains("BuildLeft"),
+      s"the corpus side must never be the broadcast build side:\n$p")
+    assert(countOf(p, "BroadcastHashJoin") == 2,
+      s"expected exactly the two vocab-sized broadcast joins:\n$p")
+  }
+
+  test("mm_gop: payloads stay in their arrival partition — only the narrow audit rows shuffle") {
+    // the fixture table broadcasts into the blob frame, the slice-
+    // header walk runs per-partition (mapPartitions), and the only
+    // hash shuffle is the media_id aggregation of the narrow frame-
+    // type rows — the payload column must never cross an exchange
+    val p = plan("mm_gop")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"fixture join must broadcast:\n$p")
+    assert(countOf(p, "Exchange hashpartitioning") == 1,
+      s"exactly one narrow agg shuffle expected:\n$p")
+    assert(!p.linesIterator.filter(_.contains("Exchange"))
+        .exists(_.contains("payload")),
+      s"payload bytes must never shuffle:\n$p")
+  }
+
   test("tx_unigram_apply: frozen-model scoring is a vocab-sized equi-join, corpus aggregates partially") {
     // the EM/Viterbi loops all run on the word-table side; the corpus
     // word stream reaches the per-word piece counts through an

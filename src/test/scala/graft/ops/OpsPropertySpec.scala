@@ -442,4 +442,56 @@ class OpsPropertySpec extends SparkSpec {
         }
     }
   }
+
+  test("frame-type round-trip law: random access units survive encode -> sample walk -> slice-header parse exactly") {
+    // every combination of codec, NAL prefix size, GOP pattern, AVC
+    // +5 slice_type variants, HEVC PPS extra bits (0..7 — the walk
+    // must read the PPS, not assume zero), optional SEI prefix NALs
+    // and random sample sizes must round-trip: encode with the
+    // BitWriter fixtures, walk with Mp4FrameTypeWalk, recover the
+    // planted frame types and RAP flags exactly
+    val gen = for {
+      hevc <- Gen.oneOf(true, false)
+      nal <- Gen.oneOf(1, 2, 4)
+      n <- Gen.choose(1, 8)
+      types <- Gen.listOfN(n, Gen.oneOf('I', 'P', 'B'))
+      plus5 <- Gen.listOfN(n, Gen.oneOf(0, 1))
+      extra <- Gen.choose(0, 7)
+      sei <- Gen.oneOf(true, false)
+      sizes <- Gen.listOfN(n, Gen.choose(48, 400))
+    } yield (hevc, nal, types, plus5, extra, sei, sizes)
+    samples(gen, 60).zipWithIndex.foreach {
+      case ((hevc, nal, types, plus5, extra, sei, szs), i) =>
+        val payloads = types.zipWithIndex.map { case (ft, k) =>
+          val slice =
+            if (hevc) MediaFixtures.hevcSliceNal(
+              if (ft == 'I') 19 else if (ft == 'B') 0 else 1,
+              if (ft == 'I') 2 else if (ft == 'P') 1 else 0, extra, 16)
+            else MediaFixtures.avcSliceNal(ft == 'I',
+              (if (ft == 'I') 2 else if (ft == 'B') 1 else 0) +
+                5 * plus5(k), 16)
+          val seis =
+            if (!sei) Seq.empty
+            else if (hevc)
+              Seq(Array(((39 << 1) & 0x7e).toByte, 1.toByte, 1.toByte))
+            else Seq(Array(6.toByte, 1.toByte, 1.toByte))
+          MediaFixtures.nalSample(szs(k), nal, hevc, seis :+ slice)
+        }
+        val b =
+          if (hevc) MediaFixtures.hevcMp4(szs, Some(Seq(1)), 1, 90, nal,
+            samples = Some(payloads), ppsExtraBits = extra)
+          else MediaFixtures.avcMp4(szs, Some(Seq(1)), 77, 30, nal,
+            samples = Some(payloads))
+        val rows = Multimodal.Mp4FrameTypeWalk.frames(i.toLong, b)
+        assert(rows.map(_.frame_type) == types.map(_.toString),
+          s"case $i ($hevc, nal $nal, extra $extra): $rows")
+        rows.foreach { r =>
+          val rap =
+            if (hevc) r.nal_type >= 16 && r.nal_type <= 23
+            else r.nal_type == 5
+          assert(r.is_rap == rap, s"case $i: $r")
+          assert(r.sync_claimed == (r.sample_no == 1), s"case $i: $r")
+        }
+    }
+  }
 }

@@ -1944,9 +1944,10 @@ class OpsSpec extends SparkSpec {
     val b = MediaFixtures.avcMp4(sizes, Some(Seq(1, 3)),
       profile = 77, level = 31, nalLen = 4)
     val got = Mp4KeyframeWalk.index(9L, b)
-    // base offset from the box layout: 275 + 4n + 16 + 4s (275 since
-    // r15: avcC carries a fixed 24-byte planted SPS — box 15 -> 41)
-    val base = 275 + 4 * 4 + 16 + 4 * 2
+    // base offset from the box layout: 285 + 4n + 16 + 4s (285 since
+    // r15: avcC carries a fixed 24-byte planted SPS and an 8-byte
+    // planted PPS — box 15 -> 41 -> 51)
+    val base = 285 + 4 * 4 + 16 + 4 * 2
     assert(got == Seq(
       KeyframeEntry(9L, 0, 1, base.toLong, 120, 77, 31, 4, "avc1"),
       KeyframeEntry(9L, 1, 3, (base + 120 + 143).toLong, 166, 77, 31, 4,
@@ -1960,17 +1961,17 @@ class OpsSpec extends SparkSpec {
     assert(all.map(_.sample_no) == Seq(1, 2, 3, 4))
     assert(all.map(_.kf_idx) == Seq(0, 1, 2, 3))
     assert(all.forall(e => e.profile == 66 && e.nal_len == 2))
-    // HEVC: hvcC profile/level/NAL recovered, 27-byte-longer stsd
-    // entry (hvcC 68 vs avcC 41, both with planted SPS — r15) shifts
-    // the mdat base by exactly 27
+    // HEVC: hvcC profile/level/NAL recovered, 30-byte-longer stsd
+    // entry (hvcC 81 vs avcC 51, both with planted SPS + PPS — r15)
+    // shifts the mdat base by exactly 30
     val hb = MediaFixtures.hevcMp4(sizes, Some(Seq(1, 3)),
       profile = 2, level = 93, nalLen = 4)
     val hgot = Mp4KeyframeWalk.index(10L, hb)
     assert(hgot == Seq(
-      KeyframeEntry(10L, 0, 1, (base + 27).toLong, 120, 2, 93, 4, "hvc1"),
-      KeyframeEntry(10L, 1, 3, (base + 27 + 120 + 143).toLong, 166, 2, 93,
+      KeyframeEntry(10L, 0, 1, (base + 30).toLong, 120, 2, 93, 4, "hvc1"),
+      KeyframeEntry(10L, 1, 3, (base + 30 + 120 + 143).toLong, 166, 2, 93,
         4, "hvc1")))
-    assert(hb.length == base + 27 + sizes.sum)
+    assert(hb.length == base + 30 + sizes.sum)
     // an MJPEG container (no avcC/hvcC): seek points real, config -1,
     // codec reports the stsd format
     val mj = Mp4KeyframeWalk.index(2L,
@@ -2215,6 +2216,68 @@ class OpsSpec extends SparkSpec {
       val rows = Multimodal.Mp4SpsWalk.info(9L, bad)
       assert(rows.size == 1 && rows.head.codec == "" &&
         rows.head.coded_w == -1, "corrupt must sentinel")
+    }
+  }
+
+  test("Mp4FrameTypeWalk: planted GOP recovered per slot; only the two sync lies flagged; corrupt sentinels") {
+    import graft.ops.{MediaFixtures, Multimodal}
+    for (m <- 0 until 8) {
+      val n = m % 4 + 3
+      val hevc = m == 2 || m == 6
+      val rows = Multimodal.Mp4FrameTypeWalk.frames(m.toLong,
+        MediaFixtures.plantedAvcMp4(m))
+      assert(rows.size == n, s"slot $m: ${rows.size} rows")
+      rows.zipWithIndex.foreach { case (r, i) =>
+        val s = i + 1
+        val ft = MediaFixtures.plantedFrameType(m, s).toString
+        assert(r.sample_no == s, s"slot $m")
+        assert(r.codec == (if (hevc) "hvc1" else "avc1"), s"slot $m")
+        assert(r.frame_type == ft, s"slot $m sample $s: $r")
+        val wantNal =
+          if (hevc) {
+            if (ft == "I") (if (m == 2) 19 else 21)
+            else if (ft == "B") 0 else 1
+          } else if (ft == "I") 5 else 1
+        assert(r.nal_type == wantNal, s"slot $m sample $s nal: $r")
+        val claimed = m == 7 || (s - 1) % (m % 3 + 2) == 0
+        assert(r.sync_claimed == claimed, s"slot $m sample $s")
+        assert(r.is_rap == (ft == "I"), s"slot $m sample $s")
+        assert(r.sync_consistent == (claimed == (ft == "I")),
+          s"slot $m sample $s")
+      }
+    }
+    // exactly the two planted lies are inconsistent: slot 3 sample 3
+    // (stss claims sync, bitstream P) and slot 1 sample 3 (unclaimed
+    // IDR)
+    val lies = for {
+      m <- 0 until 8
+      r <- Multimodal.Mp4FrameTypeWalk.frames(m.toLong,
+        MediaFixtures.plantedAvcMp4(m))
+      if !r.sync_consistent
+    } yield (m, r.sample_no)
+    assert(lies == Seq((1, 3), (3, 3)), s"lies: $lies")
+    // slot 6's PPS plants num_extra_slice_header_bits = 2 — the walk
+    // must read it from the hvcC PPS array; assuming the common zero
+    // case would consume slice_type's exp-Golomb bits as reserved
+    // flags and mis-type every slot-6 slice. Cross-check: the same
+    // slice NALs parsed with extraBits = 0 come out WRONG.
+    val s6 = MediaFixtures.hevcSliceNal(21, 2, 2, 16)
+    assert(Multimodal.SliceParse.hevcSliceType(s6, 21, 2, dependentEnabled = false)
+      .contains("I"))
+    assert(!Multimodal.SliceParse.hevcSliceType(s6, 21, 0, dependentEnabled = false)
+      .contains("I"))
+    // MJPEG container (no avcC/hvcC): sentinel — frame typing is
+    // only defined for the NAL-structured codecs
+    val mj = Multimodal.Mp4FrameTypeWalk.frames(2L,
+      MediaFixtures.mjpegMp4(Seq((8, 8))))
+    assert(mj.size == 1 && mj.head.sample_no == -1)
+    // corrupt / truncated / null: sentinel, never a throw
+    val good = MediaFixtures.plantedAvcMp4(0)
+    for (bad <- Seq(Array[Byte](1, 2, 3), MediaFixtures.jpeg(4, 4),
+        null, java.util.Arrays.copyOf(good, 50))) {
+      val rows = Multimodal.Mp4FrameTypeWalk.frames(9L, bad)
+      assert(rows.size == 1 && rows.head.sample_no == -1 &&
+        rows.head.frame_type == "?", "corrupt must sentinel")
     }
   }
 

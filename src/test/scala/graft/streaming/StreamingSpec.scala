@@ -980,6 +980,54 @@ class StreamingSpec extends SparkSpec {
       "a replayed micro-batch must not duplicate or change SPS rows")
   }
 
+  test("streaming frame types: slice-header walk stream equals batch, the planted sync lies survive the stream") {
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    val in = tmpDir("ft-in")
+    val out = tmpDir("ft-out") + "/index"
+    def mDf(slots: Seq[Int]) =
+      slots.map(m => (m.toLong, graft.ops.MediaFixtures.plantedAvcMp4(m)))
+        .toDF("media_id", "payload")
+    mDf(0 until 4).coalesce(1).write.parquet(s"$in/a")
+    mDf(4 until 8).coalesce(1).write.parquet(s"$in/b")
+    import java.nio.file.{Files => NFiles, Paths => NPaths}
+    def onePart(d: String) =
+      NFiles.list(NPaths.get(d))
+        .filter(_.toString.endsWith(".parquet")).findFirst.get
+    val fa = NPaths.get(s"$in/batch_a.parquet")
+    NFiles.move(onePart(s"$in/a"), fa)
+    NFiles.move(onePart(s"$in/b"), NPaths.get(s"$in/batch_b.parquet"))
+    fa.toFile.setLastModified(System.currentTimeMillis() - 60000)
+    val q = spark.readStream
+      .schema("media_id LONG, payload BINARY")
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream
+      .option("checkpointLocation", tmpDir("ft-ckpt"))
+      .foreachBatch(StreamingMedia.frameTypeAppender(out))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    def rows(df: DataFrame) = df
+      .select("media_id", "sample_no", "codec", "nal_type", "frame_type",
+        "sync_claimed", "is_rap", "sync_consistent")
+      .collect().map(_.toSeq).toSet
+    val streamed = rows(spark.read.parquet(out))
+    val batch = rows(graft.ops.Multimodal.frameTypeIndex(
+      mDf(0 until 8)).toDF())
+    assert(streamed == batch,
+      s"stream frame rows must equal batch: missing=${batch -- streamed} " +
+        s"extra=${streamed -- batch}")
+    // the two planted container lies are the only inconsistent rows
+    val lies = spark.read.parquet(out)
+      .filter(!col("sync_consistent"))
+      .select("media_id", "sample_no").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(lies == Set((1L, 3), (3L, 3)), s"lie rows: $lies")
+    // replay: re-running a batch overwrites its own partition
+    StreamingMedia.frameTypeAppender(out)(mDf(4 until 8), 1L)
+    assert(rows(spark.read.parquet(out)) == streamed,
+      "a replayed micro-batch must not duplicate or change frame rows")
+  }
+
   test("watermarked windowed level counts over the stream") {
     val in = tmpDir("stream-win")
     java.nio.file.Files.copy(
