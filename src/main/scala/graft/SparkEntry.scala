@@ -164,5 +164,6 @@ object SparkEntry {
     "tx_unigram_pool_build", // pool unigram-LM tokenizer retrain
     "tx_langid",         // LID train + save (the lid_docs build line)
     "mm_sps",            // SPS exp-Golomb bitstream parse (r15 #4)
-    "mm_gop")            // slice-header frame types + GOP audit (r15)
+    "mm_gop",            // slice-header frame types + GOP audit (r15)
+    "mm_fragments")      // fMP4/CMAF trun walk + frame types (r15)
 }

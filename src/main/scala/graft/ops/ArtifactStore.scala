@@ -75,13 +75,17 @@ object ArtifactStore {
     this.synchronized {
       val (fpN, fpXor, fpSum) = corpusFingerprint(spark, dir)
       val p = root(family, dir, config)
-      val fresh = try {
+      // existence-check before reading: a cold key is the NORMAL
+      // first-call path, and probing it through spark.read would log a
+      // FileNotFoundException stack at every fresh build (r15 noise
+      // fix) — the try/catch stays for torn/corrupt meta frames
+      val fresh = new java.io.File(s"$p/meta").isDirectory && (try {
         val m = spark.read.parquet(s"$p/meta").collect()(0)
         m.getAs[Long]("fp_n") == fpN &&
           m.getAs[Long]("fp_xor") == fpXor &&
           m.getAs[String]("fp_sum") == fpSum &&
           m.getAs[String]("config") == config
-      } catch { case _: Exception => false }
+      } catch { case _: Exception => false })
       if (!fresh) saveFrames(spark, p, config, (fpN, fpXor, fpSum),
         names, build)
       names.map(n => n -> spark.read.parquet(s"$p/$n")).toMap

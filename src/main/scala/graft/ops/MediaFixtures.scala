@@ -386,23 +386,29 @@ object MediaFixtures {
       containerW: Int = -1, containerH: Int = -1,
       samples: Option[Seq[Array[Byte]]] = None): Array[Byte] = {
     require(Seq(1, 2, 4).contains(nalLen), s"illegal NAL length $nalLen")
-    val sps = avcSps(profile, level, widthMbs, heightMbs,
+    val avcC = avcCBox(profile, level, nalLen, widthMbs, heightMbs,
       cropRight, cropBottom)
-    val pps = avcPps()
-    // avcC (ISO 14496-15 §5.3.3.1): 5 config bytes, '111' + 1 SPS,
-    // 2-byte length + NAL, then 1 PPS the same way (r15 frame-type
-    // walk) — fixed 43-byte payload (SPS 24 + PPS 8, both padded)
-    val avcC = box("avcC", Array(
-        1, profile, 0, level, 0xfc | (nalLen - 1), 0xe1).map(_.toByte) ++
-      Array(((sps.length >> 8) & 0xff).toByte, (sps.length & 0xff).toByte) ++
-      sps ++ Array(1.toByte) ++
-      Array(((pps.length >> 8) & 0xff).toByte, (pps.length & 0xff).toByte) ++
-      pps)
     val dispW = 16 * widthMbs - 2 * cropRight
     val dispH = 16 * heightMbs - 2 * cropBottom
     videoMp4(sizes, syncSamples, "avc1", avcC,
       if (containerW >= 0) containerW else dispW,
       if (containerH >= 0) containerH else dispH, samples)
+  }
+
+  /** avcC (ISO 14496-15 §5.3.3.1): 5 config bytes, '111' + 1 SPS,
+    * 2-byte length + NAL, then 1 PPS the same way (r15 frame-type
+    * walk) — fixed 43-byte payload (SPS 24 + PPS 8, both padded). */
+  def avcCBox(profile: Int, level: Int, nalLen: Int, widthMbs: Int,
+      heightMbs: Int, cropRight: Int, cropBottom: Int): Array[Byte] = {
+    val sps = avcSps(profile, level, widthMbs, heightMbs,
+      cropRight, cropBottom)
+    val pps = avcPps()
+    box("avcC", Array(
+        1, profile, 0, level, 0xfc | (nalLen - 1), 0xe1).map(_.toByte) ++
+      Array(((sps.length >> 8) & 0xff).toByte, (sps.length & 0xff).toByte) ++
+      sps ++ Array(1.toByte) ++
+      Array(((pps.length >> 8) & 0xff).toByte, (pps.length & 0xff).toByte) ++
+      pps)
   }
 
   /** HEVC (H.265) sibling of [[avcMp4]]: an `hvc1` sample entry
@@ -419,9 +425,24 @@ object MediaFixtures {
       samples: Option[Seq[Array[Byte]]] = None,
       ppsExtraBits: Int = 0): Array[Byte] = {
     require(Seq(1, 2, 4).contains(nalLen), s"illegal NAL length $nalLen")
+    val hvcC = hvcCBox(profile, level, nalLen, lumaW, lumaH, confWin,
+      maxSub, ppsExtraBits)
+    val (cl, cr, ct, cb) = confWin.getOrElse((0, 0, 0, 0))
+    val dispW = lumaW - 2 * (cl + cr)
+    val dispH = lumaH - 2 * (ct + cb)
+    videoMp4(sizes, syncSamples, "hvc1", hvcC,
+      if (containerW >= 0) containerW else dispW,
+      if (containerH >= 0) containerH else dispH, samples)
+  }
+
+  /** hvcC (ISO 14496-15 §8.3.3.1) with an SPS and a PPS array —
+    * fixed 73-byte payload (SPS 32 + PPS 8, both padded). */
+  def hvcCBox(profile: Int, level: Int, nalLen: Int, lumaW: Int,
+      lumaH: Int, confWin: Option[(Int, Int, Int, Int)], maxSub: Int,
+      ppsExtraBits: Int): Array[Byte] = {
     val sps = hevcSps(profile, level, lumaW, lumaH, confWin, maxSub)
     val pps = hevcPps(ppsExtraBits)
-    val hvcC = box("hvcC", (Array(
+    box("hvcC", (Array(
       1,                 // configurationVersion
       profile & 0x1f,    // profile_space 0 | tier 0 | profile_idc
       0, 0, 0, 0,        // general_profile_compatibility_flags
@@ -444,12 +465,21 @@ object MediaFixtures {
       Array((0x80 | 34).toByte, 0.toByte, 1.toByte) ++
       Array(((pps.length >> 8) & 0xff).toByte,
         (pps.length & 0xff).toByte) ++ pps))
-    val (cl, cr, ct, cb) = confWin.getOrElse((0, 0, 0, 0))
-    val dispW = lumaW - 2 * (cl + cr)
-    val dispH = lumaH - 2 * (ct + cb)
-    videoMp4(sizes, syncSamples, "hvc1", hvcC,
-      if (containerW >= 0) containerW else dispW,
-      if (containerH >= 0) containerH else dispH, samples)
+  }
+
+  /** One-entry `stsd` with a VisualSampleEntry: width/height at entry
+    * offsets 32/34 (= body indices 24/26 past the 8-byte size+format
+    * header), decoder config box appended. */
+  private def visualStsd(fmt: String, cfg: Array[Byte], containerW: Int,
+      containerH: Int): Array[Byte] = {
+    val body = new Array[Byte](78)
+    body(24) = ((containerW >> 8) & 0xff).toByte
+    body(25) = (containerW & 0xff).toByte
+    body(26) = ((containerH >> 8) & 0xff).toByte
+    body(27) = (containerH & 0xff).toByte
+    val entry = be32(8L + 78 + cfg.length) ++
+      fmt.getBytes("US-ASCII") ++ body ++ cfg
+    box("stsd", be32(0) ++ be32(1) ++ entry)
   }
 
   private def videoMp4(sizes: Seq[Int], syncSamples: Option[Seq[Int]],
@@ -462,16 +492,7 @@ object MediaFixtures {
     }
     val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0))
     def moov(mdatPayloadOff: Long): Array[Byte] = {
-      // VisualSampleEntry body: width/height at entry offsets 32/34
-      // (= body indices 24/26 past the 8-byte size+format header)
-      val body = new Array[Byte](78)
-      body(24) = ((containerW >> 8) & 0xff).toByte
-      body(25) = (containerW & 0xff).toByte
-      body(26) = ((containerH >> 8) & 0xff).toByte
-      body(27) = (containerH & 0xff).toByte
-      val entry = be32(8L + 78 + cfg.length) ++
-        fmt.getBytes("US-ASCII") ++ body ++ cfg
-      val stsd = box("stsd", be32(0) ++ be32(1) ++ entry)
+      val stsd = visualStsd(fmt, cfg, containerW, containerH)
       val stsz = box("stsz", be32(0) ++ be32(0) ++
         be32(sizes.length.toLong) ++
         sizes.toArray.flatMap(s => be32(s.toLong)))
@@ -509,6 +530,144 @@ object MediaFixtures {
     * sample numbers, offsets and sizes are pure doc_id arithmetic:
     * the oracle states them without reading a byte (the
     * [[plantedTar]] contract). */
+  /** Sample-flags constants (ISO 14496-12 §8.8.3.1): bit 16 is
+    * `sample_is_non_sync_sample`. */
+  private val SyncFlags = 0x02000000L    // depends_on = 2 (I), sync
+  private val NonSyncFlags = 0x01010000L // depends_on = 1, non-sync
+
+  /** FRAGMENTED MP4 (fMP4 — the DASH/CMAF wire format): `ftyp` +
+    * `moov` carrying only the decode config (`stsd` + zero-sample
+    * tables + `mvex > trex` defaults), then one `moof` + `mdat` pair
+    * per fragment. Three tfhd/trun layouts exercise the §8.8.7 field
+    * precedence the walk must honor:
+    *   - 'A': explicit `base_data_offset` in tfhd; per-sample size +
+    *     flags in the trun entries;
+    *   - 'B': `default-base-is-moof`; uniform size + non-sync flags
+    *     as tfhd DEFAULTS, `first_sample_flags` marking the fragment
+    *     head sync;
+    *   - 'C': tfhd carries nothing but the track id — size and flags
+    *     fall through to the `trex` defaults, head sync again via
+    *     `first_sample_flags`.
+    * `frags(f)(k)` = (sample payload bytes, claimed-sync). For 'B'
+    * and 'C' the claimed pattern must be head-of-fragment (that is
+    * all those layouts can express); 'A' is free. Two passes per
+    * fragment for the length-dependent offset fields, like
+    * [[mjpegMp4]]. */
+  def fragmentedMp4(fmt: String, cfg: Array[Byte], w: Int, h: Int,
+      layout: Char,
+      frags: Seq[Seq[(Array[Byte], Boolean)]]): Array[Byte] = {
+    require("ABC".contains(layout), s"unknown layout $layout")
+    val uniform = frags.flatten.map(_._1.length).distinct
+    if (layout != 'A')
+      require(uniform.size == 1 && frags.forall(_.zipWithIndex.forall {
+        case ((_, sync), k) => sync == (k == 0)
+      }), s"layout $layout needs uniform sizes and head-of-fragment sync")
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0))
+    val stbl = box("stbl", visualStsd(fmt, cfg, w, h) ++
+      box("stsz", be32(0) ++ be32(0) ++ be32(0)) ++
+      box("stco", be32(0) ++ be32(0)) ++
+      box("stsc", be32(0) ++ be32(0)))
+    val trex = box("trex", be32(0) ++ be32(1) ++ be32(1) ++ be32(0) ++
+      be32(if (layout == 'C') uniform.head.toLong else 0L) ++
+      be32(NonSyncFlags))
+    val moov = box("moov",
+      box("trak", box("mdia", box("minf", stbl))) ++ box("mvex", trex))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(ftyp); out.write(moov)
+    frags.zipWithIndex.foreach { case (samples, f0) =>
+      val moofStart = out.size().toLong
+      def moof(dataOff: Long): Array[Byte] = {
+        val mfhd = box("mfhd", be32(0) ++ be32(f0 + 1L))
+        val tfhd = layout match {
+          case 'A' => box("tfhd", be32(0x000001) ++ be32(1) ++
+            be32(moofStart >> 32) ++ be32(moofStart & 0xffffffffL))
+          case 'B' => box("tfhd", be32(0x020030) ++ be32(1) ++
+            be32(uniform.head.toLong) ++ be32(NonSyncFlags))
+          case _ => box("tfhd", be32(0x020000) ++ be32(1))
+        }
+        val trun = layout match {
+          case 'A' => box("trun",
+            be32(0x000601) ++ be32(samples.size.toLong) ++ be32(dataOff) ++
+              samples.toArray.flatMap { case (p, sync) =>
+                be32(p.length.toLong) ++
+                  be32(if (sync) SyncFlags else NonSyncFlags)
+              })
+          case _ => box("trun",
+            be32(0x000005) ++ be32(samples.size.toLong) ++ be32(dataOff) ++
+              be32(SyncFlags))
+        }
+        box("moof", mfhd ++ box("traf", tfhd ++ trun))
+      }
+      val moofLen = moof(0L).length
+      out.write(moof(moofLen + 8L))
+      out.write(box("mdat", samples.toArray.flatMap(_._1)))
+    }
+    out.toByteArray
+  }
+
+  /** The planted frame rule for FRAGMENTED slot m, fragment f
+    * (1-based), sample sl (1-based in fragment), global sample gs —
+    * shared truth between [[plantedFragMp4]] and the `mm_fragments`
+    * oracle: the fragment head is the RAP (the CMAF shape), except
+    * slot 5 fragment 2 (head claims sync, bitstream is P — the
+    * planted lie) and slot 3's second sample (an unclaimed IDR);
+    * non-I samples are B when gs % 3 == 0, else P. */
+  def plantedFragFrameType(m: Int, f: Int, sl: Int, gs: Int): Char =
+    if ((sl == 1 && !(m == 5 && f == 2)) || (m == 3 && f == 1 && sl == 2))
+      'I'
+    else if (gs % 3 == 0) 'B' else 'P'
+
+  /** The 8-slot planted fMP4 table assigned by `doc_id % 8` in
+    * `mm_fragments`: slot m carries m % 3 + 1 fragments, fragment f
+    * has (m + f) % 3 + 1 samples; layout 'A' on odd slots (explicit
+    * base_data_offset + per-sample trun sizes 60 + 9m + 7(sl−1)),
+    * 'C' on slot 4 (trex defaults), 'B' on the other even slots
+    * (tfhd defaults) — the last two uniform at 60 + 9m. Codec,
+    * NAL-prefix size and PPS extra bits follow [[plantedAvcMp4]]'s
+    * slot arithmetic (slots 2/6 HEVC, extra_bits = 2 on slot 6). All
+    * offsets are closed-form: moof_len = 76 + 8n ('A') / 80 ('B') /
+    * 72 ('C'), and the oracle states every sample's byte range as
+    * doc_id arithmetic without reading a byte. */
+  def plantedFragMp4(m: Int): Array[Byte] = {
+    val hevc = m == 2 || m == 6
+    val nalLen = Seq(1, 2, 4)(m % 3)
+    val layout = if (m % 2 == 1) 'A' else if (m == 4) 'C' else 'B'
+    val nFrags = m % 3 + 1
+    var gs = 0
+    val frags = (1 to nFrags).map { f =>
+      val n = (m + f) % 3 + 1
+      (1 to n).map { sl =>
+        gs += 1
+        val size =
+          if (layout == 'A') 60 + 9 * m + 7 * (sl - 1) else 60 + 9 * m
+        val ft = plantedFragFrameType(m, f, sl, gs)
+        val slice =
+          if (hevc) {
+            val nalType =
+              if (ft == 'I') (if (m == 2) 19 else 21)
+              else if (ft == 'B') 0 else 1
+            val st = if (ft == 'I') 2 else if (ft == 'P') 1 else 0
+            hevcSliceNal(nalType, st, if (m == 6) 2 else 0, 16)
+          } else {
+            val base = if (ft == 'I') 2 else if (ft == 'B') 1 else 0
+            avcSliceNal(ft == 'I', base + 5 * (gs % 2), 16)
+          }
+        (nalSample(size, nalLen, hevc, Seq(slice)), sl == 1)
+      }
+    }
+    val cfg =
+      if (hevc) hvcCBox(profile = if (m == 2) 1 else 2, level = 90 + m,
+        nalLen = nalLen, lumaW = 64 + 8 * m, lumaH = 48 + 8 * (m % 3),
+        confWin = if (m == 6) Some((1, 1, 0, 1)) else None,
+        maxSub = if (m == 6) 1 else 0,
+        ppsExtraBits = if (m == 6) 2 else 0)
+      else avcCBox(profile = Seq(66, 77, 100)(m % 3), level = 30 + m,
+        nalLen = nalLen, widthMbs = m % 4 + 2, heightMbs = m % 3 + 2,
+        cropRight = m % 2, cropBottom = m % 3)
+    fragmentedMp4(if (hevc) "hvc1" else "avc1", cfg,
+      w = 64, h = 48, layout, frags)
+  }
+
   /** The planted frame-type rule for slot m, sample s (1-based) —
     * shared truth between [[plantedAvcMp4]]'s slice NALs and the
     * `mm_frame_types`/`mm_gop` oracles (which restate it as doc_id

@@ -959,6 +959,47 @@ object Multimodal {
         g.skip(1)      // output_flag_present
         Some((dep, g.u(3)))
       } catch { case _: Exception => None }
+
+    /** Walk one sample's access unit at [start, end): step the
+      * length-prefixed NALs, skip non-VCL (SEI/AUD/filler), decode the
+      * FIRST VCL slice header → (nal_type, frame_type letter, is_rap).
+      * (-1, "?", false) when no parseable VCL NAL is found. Shared by
+      * the stbl-addressed ([[Mp4FrameTypeWalk]]) and trun-addressed
+      * ([[Mp4FragmentWalk]]) sample walks. */
+    def firstVclInfo(bytes: Array[Byte], start: Int, end: Int,
+        hevc: Boolean, nalLen: Int, extraBits: Int,
+        depEnabled: Boolean): (Int, String, Boolean) = {
+      var p = start
+      var out = (-1, "?", false)
+      var done = false
+      while (!done && p + nalLen < end) {
+        var l = 0L
+        var j = 0
+        while (j < nalLen) { l = (l << 8) | (bytes(p + j) & 0xff); j += 1 }
+        val ns = p + nalLen
+        val ne = math.min(ns + l, end.toLong).toInt
+        if (l <= 0 || ns >= ne) { done = true }
+        else {
+          val t =
+            if (hevc) (bytes(ns) >> 1) & 0x3f
+            else bytes(ns) & 0x1f
+          val vcl = if (hevc) t <= 31 else t >= 1 && t <= 5
+          if (vcl) {
+            val nal = bytes.slice(ns, ne)
+            out =
+              if (hevc) (t, hevcSliceType(nal, t, extraBits, depEnabled)
+                .getOrElse("?"), t >= 16 && t <= 23)
+              else (t,
+                if (t == 1 || t == 5) avcSliceType(nal).getOrElse("?")
+                else "?",
+                t == 5)
+            done = true
+          }
+          p = ne
+        }
+      }
+      out
+    }
   }
 
   /** Frame-type walk: locate the video track (the [[Mp4KeyframeWalk]]
@@ -966,14 +1007,78 @@ object Multimodal {
     * `avcC`/`hvcC`, then walk each sample's access unit — skipping
     * non-VCL NALs (SEI/AUD/filler) — and decode the FIRST VCL slice
     * header. Corrupt → sentinel, never task death. */
-  object Mp4FrameTypeWalk {
-    import Bmff._
+  /** Resolved NAL-track decode config from one `stsd` box: codec
+    * format, NAL length-prefix size, and the HEVC PPS-derived slice
+    * layout bits — everything the per-sample slice walk needs, shared
+    * by the stbl and trun (fragmented) walks. */
+  private[ops] case class NalTrackCfg(fmt: String, hevc: Boolean,
+      nalLen: Int, extraBits: Int, depEnabled: Boolean)
 
+  private[ops] object NalTrackCfg {
+    import Bmff._
     private val AvcFormats = Set("avc1", "avc3")
     private val HevcFormats = Set("hvc1", "hev1")
-
     private def be16(b: Array[Byte], o: Int): Int =
       ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+
+    /** From the stbl's stsd entry; None for non-NAL codecs. */
+    def resolve(bytes: Array[Byte], ss: Int, se: Int): Option[NalTrackCfg] =
+      for {
+        (sds, sde) <- firstChild(bytes, ss, se, "stsd")
+        if sde - sds >= 16 && be32(bytes, sds + 4) >= 1
+        entry = sds + 8
+        entryEnd = math.min(sde, entry + be32(bytes, entry).toInt)
+        fmt = box4(bytes, entry + 4)
+        cfgStart = entry + 8 + 78
+        hevc = HevcFormats(fmt)
+        if (AvcFormats(fmt) || hevc) && cfgStart < entryEnd
+        nalLen <- {
+          if (!hevc)
+            firstChild(bytes, cfgStart, entryEnd, "avcC").collect {
+              case (as, ae) if ae - as >= 5 => (bytes(as + 4) & 3) + 1
+            }
+          else
+            firstChild(bytes, cfgStart, entryEnd, "hvcC").collect {
+              case (as, ae) if ae - as >= 22 => (bytes(as + 21) & 3) + 1
+            }
+        }
+      } yield {
+        // HEVC: the slice-segment header's leading-bit layout depends
+        // on the PPS — pull it from the hvcC arrays
+        val (dep, extra) =
+          if (!hevc) (false, 0)
+          else (for {
+            (as, ae) <- firstChild(bytes, cfgStart, entryEnd, "hvcC")
+            if ae - as >= 23
+            pps <- {
+              val numArrays = bytes(as + 22) & 0xff
+              var p = as + 23
+              var found: Option[Array[Byte]] = None
+              var a = 0
+              while (a < numArrays && found.isEmpty && p + 3 <= ae) {
+                val nt = bytes(p) & 0x3f
+                val cnt = be16(bytes, p + 1)
+                p += 3
+                var k = 0
+                while (k < cnt && found.isEmpty && p + 2 <= ae) {
+                  val l = be16(bytes, p)
+                  if (nt == 34 && p + 2 + l <= ae)
+                    found = Some(bytes.slice(p + 2, p + 2 + l))
+                  p += 2 + l
+                  k += 1
+                }
+                a += 1
+              }
+              found
+            }
+            flags <- SliceParse.hevcPpsFlags(pps)
+          } yield flags).getOrElse((false, 0))
+        NalTrackCfg(fmt, hevc, nalLen, extra, dep)
+      }
+  }
+
+  object Mp4FrameTypeWalk {
+    import Bmff._
 
     def frames(id: Long, bytes: Array[Byte]): Seq[FrameTypeEntry] = {
       val len = if (bytes == null) 0 else bytes.length
@@ -990,116 +1095,27 @@ object Multimodal {
         } yield (ss, se)
         val rows = stbls.iterator.map { case (ss, se) =>
           val r = for {
-            (sds, sde) <- firstChild(bytes, ss, se, "stsd")
-            if sde - sds >= 16 && be32(bytes, sds + 4) >= 1
+            cfg <- NalTrackCfg.resolve(bytes, ss, se)
             ranges <- sampleRangesIn(bytes, ss, se)
             if ranges.nonEmpty
           } yield {
-            val entry = sds + 8
-            val entryEnd = math.min(sde, entry + be32(bytes, entry).toInt)
-            val fmt = box4(bytes, entry + 4)
-            val cfgStart = entry + 8 + 78
-            val hevc = HevcFormats(fmt)
-            // NAL length prefix size from the decoder config
-            val nalLen: Int =
-              if (AvcFormats(fmt) && cfgStart < entryEnd)
-                firstChild(bytes, cfgStart, entryEnd, "avcC") match {
-                  case Some((as, ae)) if ae - as >= 5 =>
-                    (bytes(as + 4) & 3) + 1
-                  case _ => -1
-                }
-              else if (hevc && cfgStart < entryEnd)
-                firstChild(bytes, cfgStart, entryEnd, "hvcC") match {
-                  case Some((as, ae)) if ae - as >= 22 =>
-                    (bytes(as + 21) & 3) + 1
-                  case _ => -1
-                }
-              else -1
-            if (nalLen < 1) Seq.empty
-            else {
-              // HEVC: the slice-segment header's leading-bit layout
-              // depends on the PPS — pull it from the hvcC arrays
-              val (depEnabled, extraBits) =
-                if (!hevc) (false, 0)
-                else (for {
-                  (as, ae) <- firstChild(bytes, cfgStart, entryEnd, "hvcC")
-                  if ae - as >= 23
-                  pps <- {
-                    val numArrays = bytes(as + 22) & 0xff
-                    var p = as + 23
-                    var found: Option[Array[Byte]] = None
-                    var a = 0
-                    while (a < numArrays && found.isEmpty && p + 3 <= ae) {
-                      val nt = bytes(p) & 0x3f
-                      val cnt = be16(bytes, p + 1)
-                      p += 3
-                      var k = 0
-                      while (k < cnt && found.isEmpty && p + 2 <= ae) {
-                        val l = be16(bytes, p)
-                        if (nt == 34 && p + 2 + l <= ae)
-                          found = Some(bytes.slice(p + 2, p + 2 + l))
-                        p += 2 + l
-                        k += 1
-                      }
-                      a += 1
-                    }
-                    found
-                  }
-                  flags <- SliceParse.hevcPpsFlags(pps)
-                } yield flags).getOrElse((false, 0))
-              val syncSet = firstChild(bytes, ss, se, "stss") match {
-                case Some((sy, sye)) =>
-                  val n = be32(bytes, sy + 4).toInt
-                  (0 until n).map(i => be32(bytes, sy + 8 + 4 * i).toInt)
-                    .toSet
-                case None => (1 to ranges.size).toSet
-              }
-              ranges.zipWithIndex.map { case ((off, sz), i) =>
-                val sampleNo = i + 1
-                val end = math.min(off + sz, len.toLong).toInt
-                var p = off.toInt
-                var nalType = -1
-                var frameType = "?"
-                var rap = false
-                var done = false
-                while (!done && p + nalLen < end) {
-                  var l = 0L
-                  var j = 0
-                  while (j < nalLen) {
-                    l = (l << 8) | (bytes(p + j) & 0xff); j += 1
-                  }
-                  val ns = p + nalLen
-                  val ne = math.min(ns + l, end.toLong).toInt
-                  if (l <= 0 || ns >= ne) { done = true }
-                  else {
-                    val t =
-                      if (hevc) (bytes(ns) >> 1) & 0x3f
-                      else bytes(ns) & 0x1f
-                    val vcl = if (hevc) t <= 31 else t >= 1 && t <= 5
-                    if (vcl) {
-                      val nal = bytes.slice(ns, ne)
-                      nalType = t
-                      if (hevc) {
-                        rap = t >= 16 && t <= 23
-                        frameType = SliceParse.hevcSliceType(nal, t,
-                          extraBits, depEnabled).getOrElse("?")
-                      } else {
-                        rap = t == 5
-                        frameType =
-                          if (t == 1 || t == 5)
-                            SliceParse.avcSliceType(nal).getOrElse("?")
-                          else "?"
-                      }
-                      done = true
-                    }
-                    p = ne
-                  }
-                }
-                val claimed = syncSet.contains(sampleNo)
-                FrameTypeEntry(id, sampleNo, fmt, nalType, frameType,
-                  sync_claimed = claimed, is_rap = rap,
-                  sync_consistent = claimed == rap)
-              }
+            val syncSet = firstChild(bytes, ss, se, "stss") match {
+              case Some((sy, _)) =>
+                val n = be32(bytes, sy + 4).toInt
+                (0 until n).map(i => be32(bytes, sy + 8 + 4 * i).toInt)
+                  .toSet
+              case None => (1 to ranges.size).toSet
+            }
+            ranges.zipWithIndex.map { case ((off, sz), i) =>
+              val sampleNo = i + 1
+              val end = math.min(off + sz, len.toLong).toInt
+              val (nalType, frameType, rap) = SliceParse.firstVclInfo(
+                bytes, off.toInt, end, cfg.hevc, cfg.nalLen,
+                cfg.extraBits, cfg.depEnabled)
+              val claimed = syncSet.contains(sampleNo)
+              FrameTypeEntry(id, sampleNo, cfg.fmt, nalType, frameType,
+                sync_claimed = claimed, is_rap = rap,
+                sync_consistent = claimed == rap)
             }
           }
           r.getOrElse(Seq.empty)
@@ -1120,6 +1136,165 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, bytes) => Mp4FrameTypeWalk.frames(id, bytes) }
+      }
+  }
+
+  /** One row per SAMPLE of a FRAGMENTED MP4 (fMP4 — the DASH/CMAF
+    * wire format video corpora actually ship in): fragment index,
+    * `mfhd` sequence number, absolute byte range (trun/tfhd/trex
+    * offset arithmetic), the `sample_flags` sync claim, and the frame
+    * type decoded from the slice bitstream — so `sync_consistent` is
+    * the same loader gate as the stbl-addressed walks', for streams
+    * whose sample tables live in `moof` boxes instead of `stbl`. */
+  case class FragmentSample(media_id: Long, frag_idx: Int, seq_no: Int,
+      sample_no: Int, offset: Long, size: Int, sync_claimed: Boolean,
+      nal_type: Int, frame_type: String, is_rap: Boolean,
+      sync_consistent: Boolean, codec: String)
+
+  /** Fragmented-MP4 walk (ISO 14496-12 §8.8): the decode config still
+    * rides `moov > trak > ... > stsd` (and `mvex > trex` carries the
+    * per-track DEFAULT sample size/flags), but samples are addressed
+    * by each fragment's `moof > traf > tfhd`/`trun` tables:
+    * `base_data_offset` (or the `default-base-is-moof` flag) + the
+    * trun's `data_offset` locate the run, per-sample sizes come from
+    * the trun entries, `tfhd` defaults, or `trex` defaults (that
+    * precedence, per §8.8.7), and the sync claim is the
+    * `sample_is_non_sync_sample` bit of the effective sample_flags
+    * (per-sample > first_sample_flags > tfhd default > trex default).
+    * Multiple truns per traf stay contiguous when `data_offset` is
+    * absent. Corrupt → sentinel, never task death. */
+  object Mp4FragmentWalk {
+    import Bmff._
+
+    def index(id: Long, bytes: Array[Byte]): Seq[FragmentSample] = {
+      val len = if (bytes == null) 0 else bytes.length
+      val sentinel = Seq(FragmentSample(id, -1, -1, -1, -1L, -1,
+        sync_claimed = false, -1, "?", is_rap = false,
+        sync_consistent = false, ""))
+      try {
+        if (len < 12 || box4(bytes, 4) != "ftyp") return sentinel
+        val top = children(bytes, 0, len)
+        // decode config + trex defaults from the movie box
+        val moov = top.collectFirst { case ("moov", ms, me) => (ms, me) }
+        val cfgOpt = moov.flatMap { case (ms, me) =>
+          (for {
+            (tt, ts, te) <- children(bytes, ms, me) if tt == "trak"
+            (mt, mds, mde) <- children(bytes, ts, te) if mt == "mdia"
+            (it, ifs, ife) <- children(bytes, mds, mde) if it == "minf"
+            (st, ss, se) <- children(bytes, ifs, ife) if st == "stbl"
+            cfg <- NalTrackCfg.resolve(bytes, ss, se).toList
+          } yield cfg).headOption
+        }
+        val cfg = cfgOpt.getOrElse(return sentinel)
+        // trex (§8.8.3): version/flags, track_ID, default_sample_
+        // description_index, default_duration, default_SIZE, default_FLAGS
+        val (trexSize, trexFlags) = (for {
+          (ms, me) <- moov.toList
+          (xt, xs, xe) <- children(bytes, ms, me) if xt == "mvex"
+          (rt, rs, re) <- children(bytes, xs, xe) if rt == "trex"
+          if re - rs >= 24
+        } yield (be32(bytes, rs + 16).toInt, be32(bytes, rs + 20).toInt))
+          .headOption.getOrElse((-1, 0))
+        var fragIdx = 0
+        var sampleNo = 0
+        val out = scala.collection.mutable.ArrayBuffer[FragmentSample]()
+        top.foreach {
+          case ("moof", ms, me) =>
+            val moofStart = ms - 8 // children() spans exclude the header
+            val seqNo = children(bytes, ms, me).collectFirst {
+              case ("mfhd", hs, he) if he - hs >= 8 =>
+                be32(bytes, hs + 4).toInt
+            }.getOrElse(-1)
+            children(bytes, ms, me).foreach {
+              case ("traf", ts, te) =>
+                // tfhd (§8.8.7): flags gate the optional fields
+                val tfhd = children(bytes, ts, te).collectFirst {
+                  case ("tfhd", hs, he) => (hs, he)
+                }
+                val (baseOff, defSize, defFlags) = tfhd match {
+                  case Some((hs, _)) =>
+                    val flags = be32(bytes, hs).toInt & 0xffffff
+                    var p = hs + 8 // version/flags + track_ID
+                    val base: Long =
+                      if ((flags & 0x1) != 0) {
+                        val v = (be32(bytes, p) << 32) | be32(bytes, p + 4)
+                        p += 8
+                        v
+                      } else if ((flags & 0x020000) != 0) moofStart.toLong
+                      else moofStart.toLong // first-traf spec default
+                    if ((flags & 0x2) != 0) p += 4  // sample_desc_index
+                    if ((flags & 0x8) != 0) p += 4  // default_duration
+                    val ds = if ((flags & 0x10) != 0) {
+                      val v = be32(bytes, p).toInt; p += 4; v
+                    } else trexSize
+                    val df = if ((flags & 0x20) != 0) {
+                      val v = be32(bytes, p).toInt; p += 4; v
+                    } else trexFlags
+                    (base, ds, df)
+                  case None => (moofStart.toLong, trexSize, trexFlags)
+                }
+                var cur = -1L // running data cursor across truns
+                children(bytes, ts, te).foreach {
+                  case ("trun", rs, re) =>
+                    val flags = be32(bytes, rs).toInt & 0xffffff
+                    val n = be32(bytes, rs + 4).toInt
+                    var p = rs + 8
+                    if ((flags & 0x1) != 0) {
+                      cur = baseOff + be32(bytes, p).toInt // signed s32
+                      p += 4
+                    } else if (cur < 0) cur = baseOff
+                    val firstFlags =
+                      if ((flags & 0x4) != 0) {
+                        val v = be32(bytes, p).toInt; p += 4; Some(v)
+                      } else None
+                    var k = 0
+                    while (k < n && p <= re) {
+                      if ((flags & 0x100) != 0) p += 4 // duration
+                      val sz = if ((flags & 0x200) != 0) {
+                        val v = be32(bytes, p).toInt; p += 4; v
+                      } else defSize
+                      val sf = if ((flags & 0x400) != 0) {
+                        val v = be32(bytes, p).toInt; p += 4; v
+                      } else if (k == 0) firstFlags.getOrElse(defFlags)
+                      else defFlags
+                      if ((flags & 0x800) != 0) p += 4 // composition offset
+                      if (sz < 0 || cur < 0 || cur + sz > len)
+                        throw new IllegalArgumentException("bad run")
+                      sampleNo += 1
+                      val claimed = (sf & 0x10000) == 0 // !non_sync
+                      val (nalType, frameType, rap) =
+                        SliceParse.firstVclInfo(bytes, cur.toInt,
+                          (cur + sz).toInt, cfg.hevc, cfg.nalLen,
+                          cfg.extraBits, cfg.depEnabled)
+                      out += FragmentSample(id, fragIdx, seqNo, sampleNo,
+                        cur, sz, sync_claimed = claimed, nalType,
+                        frameType, is_rap = rap,
+                        sync_consistent = claimed == rap, cfg.fmt)
+                      cur += sz
+                      k += 1
+                    }
+                  case _ =>
+                }
+              case _ =>
+            }
+            fragIdx += 1
+          case _ =>
+        }
+        if (out.isEmpty) sentinel else out.toSeq
+      } catch { case _: Exception => sentinel }
+    }
+  }
+
+  /** Per-partition fragment-sample extraction — the [[keyframeIndex]]
+    * shape: CMAF/DASH shard blobs never leave their arrival
+    * partition; only the narrow per-sample index rows shuffle. */
+  def fragmentIndex(media: DataFrame): Dataset[FragmentSample] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) => Mp4FragmentWalk.index(id, bytes) }
       }
   }
 

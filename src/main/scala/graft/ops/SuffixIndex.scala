@@ -61,7 +61,10 @@ object SuffixIndex {
       val docs = docsOf(spark, dir)
       val (fpN, fpXor, fpSum) = fingerprint(spark, dir)
       val p = root(dir)
-      val meta = try {
+      // existence-check first: a cold key is the normal first-call
+      // path and must not log a FileNotFoundException stack (r15)
+      val meta = if (!new java.io.File(s"$p/meta").isDirectory) None
+      else try {
         val m = spark.read.parquet(s"$p/meta").collect()(0)
         // column-by-name: pre-r15 artifacts lack fp_sum → getAs throws
         // → rebuild (the safe direction for a fingerprint upgrade)

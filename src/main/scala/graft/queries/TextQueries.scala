@@ -4200,6 +4200,93 @@ object TextQueries {
       |  TRUE AS closed_gop
       |FROM f GROUP BY media_id, slot ORDER BY media_id""".stripMargin
 
+  /** mm_fragments: the FRAGMENTED-MP4 (DASH/CMAF) sample walk — the
+    * wire format video corpora actually ship in, where sample tables
+    * live in `moof > traf > tfhd/trun` boxes instead of `stbl`
+    * (r15). The planted 8-slot table exercises the ISO 14496-12
+    * §8.8.7 field-precedence ladder: layout 'A' (odd slots, explicit
+    * base_data_offset + per-sample trun sizes/flags), 'B' (tfhd
+    * defaults + first_sample_flags), 'C' (slot 4 — everything falls
+    * through to the `trex` defaults). Frame types ride the same
+    * slice-header bitstream parse as `mm_frame_types`;
+    * `sync_consistent` cross-checks the `sample_flags` sync claim
+    * against the bitstream RAP (slot 5 fragment 2 plants the claim
+    * lie, slot 3 the unclaimed IDR). The oracle states every byte
+    * range as doc_id arithmetic: moof_pos via a prefix sum over
+    * closed-form fragment lengths, never reading a byte. */
+  def fragments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fixtures = (0 until 8)
+      .map(m => (m.toLong, graft.ops.MediaFixtures.plantedFragMp4(m)))
+      .toDF("slot", "payload")
+    val media = docs(spark, dir)
+      .select(col("doc_id").as("media_id"), (col("doc_id") % 8).as("slot"))
+      .join(broadcast(fixtures), "slot")
+      .select(col("media_id"), col("payload"))
+    graft.ops.Multimodal.fragmentIndex(media).toDF()
+      .select("media_id", "frag_idx", "seq_no", "sample_no", "offset",
+        "size", "sync_claimed", "nal_type", "frame_type", "is_rap",
+        "sync_consistent", "codec")
+      .transform(QueryUtil.ordered("media_id", "sample_no"))
+  }
+
+  val fragmentsOracle: String =
+    """WITH p AS (SELECT doc_id AS media_id,
+      |    CAST(doc_id % 8 AS INTEGER) AS slot FROM documents),
+      |fr AS (SELECT media_id, slot, CAST(f AS INTEGER) AS f,
+      |    CAST((slot + f) % 3 + 1 AS INTEGER) AS n
+      |  FROM p, LATERAL (SELECT unnest(range(1, slot % 3 + 2)) AS f) g),
+      |fr2 AS (SELECT *,
+      |    CASE WHEN slot % 2 = 1 THEN 76 + 8 * n
+      |         WHEN slot = 4 THEN 72 ELSE 80 END AS moof_len,
+      |    CASE WHEN slot % 2 = 1
+      |         THEN n * (60 + 9 * slot) + 7 * (n * (n - 1)) // 2
+      |         ELSE n * (60 + 9 * slot) END AS mdat_pay
+      |  FROM fr),
+      |fr3 AS (SELECT *,
+      |    301 + CASE WHEN slot IN (2, 6) THEN 30 ELSE 0 END
+      |      + coalesce(sum(moof_len + 8 + mdat_pay) OVER (
+      |          PARTITION BY media_id ORDER BY f
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS moof_pos
+      |  FROM fr2),
+      |s AS (SELECT media_id, slot, f, n, moof_pos, moof_len,
+      |    CAST(sl AS INTEGER) AS sl
+      |  FROM fr3, LATERAL (SELECT unnest(range(1, n + 1)) AS sl) g),
+      |s2 AS (SELECT *,
+      |    CAST(row_number() OVER (PARTITION BY media_id ORDER BY f, sl)
+      |      AS INTEGER) AS gs,
+      |    CASE WHEN slot % 2 = 1 THEN 60 + 9 * slot + 7 * (sl - 1)
+      |         ELSE 60 + 9 * slot END AS sz,
+      |    moof_pos + moof_len + 8
+      |      + CASE WHEN slot % 2 = 1
+      |             THEN (sl - 1) * (60 + 9 * slot)
+      |               + 7 * ((sl - 1) * (sl - 2)) // 2
+      |             ELSE (sl - 1) * (60 + 9 * slot) END AS off
+      |  FROM s),
+      |s3 AS (SELECT *, (sl = 1) AS claimed,
+      |    ((sl = 1) AND NOT (slot = 5 AND f = 2))
+      |      OR (slot = 3 AND f = 1 AND sl = 2) AS is_i
+      |  FROM s2)
+      |SELECT media_id,
+      |  CAST(f - 1 AS INTEGER) AS frag_idx,
+      |  CAST(f AS INTEGER) AS seq_no,
+      |  gs AS sample_no,
+      |  CAST(off AS BIGINT) AS "offset",
+      |  CAST(sz AS INTEGER) AS size,
+      |  claimed AS sync_claimed,
+      |  CAST(CASE WHEN slot IN (2, 6) THEN
+      |        CASE WHEN is_i THEN CASE WHEN slot = 2 THEN 19 ELSE 21 END
+      |             WHEN gs % 3 = 0 THEN 0 ELSE 1 END
+      |      ELSE CASE WHEN is_i THEN 5 ELSE 1 END END AS INTEGER)
+      |    AS nal_type,
+      |  CASE WHEN is_i THEN 'I' WHEN gs % 3 = 0 THEN 'B' ELSE 'P' END
+      |    AS frame_type,
+      |  is_i AS is_rap,
+      |  claimed = is_i AS sync_consistent,
+      |  CASE WHEN slot IN (2, 6) THEN 'hvc1' ELSE 'avc1' END AS codec
+      |FROM s3 ORDER BY media_id, sample_no""".stripMargin
+
   val spsOracle: String =
     """WITH p AS (SELECT doc_id AS media_id,
       |    CAST(doc_id % 8 AS INTEGER) AS slot FROM documents),
@@ -5198,6 +5285,7 @@ object TextQueries {
     "mm_sps" -> ((sps _, Some(spsOracle))),
     "mm_frame_types" -> ((frameTypes _, Some(frameTypesOracle))),
     "mm_gop" -> ((gop _, Some(gopOracle))),
+    "mm_fragments" -> ((fragments _, Some(fragmentsOracle))),
     "mm_zip_members" -> ((zipMembers _, Some(zipMembersOracle))),
     "mm_tgz_members" -> ((tgzMembers _, Some(tarMembersOracle))),
     "mm_meta_oracle" -> ((mediaDecode _, Some(mediaDecodeOracle))),

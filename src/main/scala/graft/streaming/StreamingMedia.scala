@@ -64,4 +64,14 @@ object StreamingMedia {
     (batch: DataFrame, batchId: Long) =>
       Multimodal.frameTypeIndex(batch).toDF()
         .write.mode("overwrite").parquet(s"$indexPath/batch_id=$batchId")
+
+  /** `foreachBatch` body walking FRAGMENTED MP4s per micro-batch
+    * ([[graft.ops.Multimodal.fragmentIndex]] — tfhd/trun sample
+    * tables + slice frame types, r15): live DASH/CMAF shards land in
+    * the metadata store as they arrive, same stateless exactly-once
+    * layout as [[metaAppender]]. */
+  def fragmentAppender(indexPath: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) =>
+      Multimodal.fragmentIndex(batch).toDF()
+        .write.mode("overwrite").parquet(s"$indexPath/batch_id=$batchId")
 }

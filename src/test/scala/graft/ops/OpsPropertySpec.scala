@@ -443,6 +443,79 @@ class OpsPropertySpec extends SparkSpec {
     }
   }
 
+  test("fragment round-trip law: random fMP4 layouts survive encode -> tfhd/trun walk -> slice parse exactly") {
+    // random codec, NAL prefix, layout ('A' per-sample / 'B' tfhd
+    // defaults / 'C' trex defaults), fragment shapes, frame patterns
+    // and sizes must round-trip bit-exactly: offsets point at the
+    // planted samples (checked against the REAL bytes), sizes, sync
+    // claims and slice-decoded frame types all recover
+    val gen = for {
+      hevc <- Gen.oneOf(true, false)
+      nal <- Gen.oneOf(1, 2, 4)
+      layout <- Gen.oneOf('A', 'B', 'C')
+      nFrags <- Gen.choose(1, 4)
+      counts <- Gen.listOfN(nFrags, Gen.choose(1, 5))
+      uSize <- Gen.choose(48, 300)
+      extra <- Gen.choose(0, 7)
+      // layout A may plant arbitrary sync claims; B/C head-of-fragment
+      claims <- Gen.listOfN(nFrags * 5, Gen.oneOf(true, false))
+      types <- Gen.listOfN(nFrags * 5, Gen.oneOf('I', 'P', 'B'))
+    } yield (hevc, nal, layout, counts, uSize, extra, claims, types)
+    samples(gen, 50).zipWithIndex.foreach {
+      case ((hevc, nal, layout, counts, uSize, extra, claims, types), i) =>
+        var k = 0
+        val frags = counts.map { n =>
+          (1 to n).map { sl =>
+            val claimed =
+              if (layout == 'A') claims(k) else sl == 1
+            val ft = types(k)
+            k += 1
+            val slice =
+              if (hevc) MediaFixtures.hevcSliceNal(
+                if (ft == 'I') 19 else if (ft == 'B') 0 else 1,
+                if (ft == 'I') 2 else if (ft == 'P') 1 else 0, extra, 16)
+              else MediaFixtures.avcSliceNal(ft == 'I',
+                if (ft == 'I') 2 else if (ft == 'B') 1 else 0, 16)
+            val size = if (layout == 'A') uSize + 5 * sl else uSize
+            (MediaFixtures.nalSample(size, nal, hevc, Seq(slice)), claimed)
+          }
+        }
+        val cfg =
+          if (hevc) MediaFixtures.hvcCBox(1, 93, nal, 64, 48, None, 0,
+            extra)
+          else MediaFixtures.avcCBox(77, 31, nal, 4, 3, 0, 0)
+        val b = MediaFixtures.fragmentedMp4(
+          if (hevc) "hvc1" else "avc1", cfg, 64, 48, layout, frags)
+        val rows = Multimodal.Mp4FragmentWalk.index(i.toLong, b)
+        val flat = frags.flatten
+        assert(rows.size == flat.size, s"case $i: ${rows.size} rows")
+        var gs = 0
+        counts.zipWithIndex.foreach { case (n, f0) =>
+          (1 to n).foreach { sl =>
+            val r = rows(gs)
+            val (payload, claimed) = flat(gs)
+            gs += 1
+            assert(r.frag_idx == f0 && r.seq_no == f0 + 1, s"case $i: $r")
+            assert(r.size == payload.length, s"case $i: $r")
+            // the offset points at the REAL planted bytes
+            assert(java.util.Arrays.equals(
+              java.util.Arrays.copyOfRange(b, r.offset.toInt,
+                r.offset.toInt + r.size), payload),
+              s"case $i: offset ${r.offset} does not address the sample")
+            assert(r.sync_claimed == claimed, s"case $i: $r")
+            val want = types.take(gs).zipWithIndex
+              .collect { case (t, j) if j == gs - 1 => t }.head
+            assert(r.frame_type == want.toString, s"case $i: $r")
+            val rap =
+              if (hevc) r.nal_type >= 16 && r.nal_type <= 23
+              else r.nal_type == 5
+            assert(r.is_rap == rap && rap == (want == 'I'), s"case $i: $r")
+            assert(r.sync_consistent == (claimed == rap), s"case $i: $r")
+          }
+        }
+    }
+  }
+
   test("frame-type round-trip law: random access units survive encode -> sample walk -> slice-header parse exactly") {
     // every combination of codec, NAL prefix size, GOP pattern, AVC
     // +5 slice_type variants, HEVC PPS extra bits (0..7 — the walk

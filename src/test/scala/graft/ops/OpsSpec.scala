@@ -2281,6 +2281,75 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("Mp4FragmentWalk: planted fMP4 slots recovered exactly across all three tfhd/trun layouts; corrupt sentinels") {
+    import graft.ops.{MediaFixtures, Multimodal}
+    for (m <- 0 until 8) {
+      val hevc = m == 2 || m == 6
+      val b = MediaFixtures.plantedFragMp4(m)
+      val rows = Multimodal.Mp4FragmentWalk.index(m.toLong, b)
+      val nFrags = m % 3 + 1
+      val counts = (1 to nFrags).map(f => (m + f) % 3 + 1)
+      assert(rows.size == counts.sum, s"slot $m: ${rows.size} samples")
+      // closed-form file length pins the moof arithmetic the oracle
+      // states: base0 + sum(moof_len + mdat_box)
+      val base0 = 301 + (if (hevc) 30 else 0)
+      val moofLen = (n: Int) =>
+        if (m % 2 == 1) 76 + 8 * n else if (m == 4) 72 else 80
+      val mdatPay = (n: Int) =>
+        if (m % 2 == 1) n * (60 + 9 * m) + 7 * n * (n - 1) / 2
+        else n * (60 + 9 * m)
+      assert(b.length == base0 +
+        counts.map(n => moofLen(n) + 8 + mdatPay(n)).sum,
+        s"slot $m file length")
+      var gs = 0
+      var pos = base0.toLong
+      (1 to nFrags).foreach { f =>
+        val n = counts(f - 1)
+        var off = pos + moofLen(n) + 8
+        (1 to n).foreach { sl =>
+          gs += 1
+          val r = rows(gs - 1)
+          val ft = MediaFixtures.plantedFragFrameType(m, f, sl, gs)
+          assert(r.frag_idx == f - 1 && r.seq_no == f, s"slot $m $r")
+          assert(r.sample_no == gs, s"slot $m $r")
+          assert(r.offset == off, s"slot $m f$f sl$sl offset: $r")
+          val size =
+            if (m % 2 == 1) 60 + 9 * m + 7 * (sl - 1) else 60 + 9 * m
+          assert(r.size == size, s"slot $m $r")
+          assert(r.sync_claimed == (sl == 1), s"slot $m $r")
+          assert(r.frame_type == ft.toString, s"slot $m f$f sl$sl: $r")
+          assert(r.is_rap == (ft == 'I'), s"slot $m $r")
+          assert(r.sync_consistent == ((sl == 1) == (ft == 'I')),
+            s"slot $m $r")
+          assert(r.codec == (if (hevc) "hvc1" else "avc1"), s"slot $m")
+          off += size
+        }
+        pos += moofLen(n) + 8 + mdatPay(n)
+      }
+    }
+    // exactly the two planted lies across the table
+    val lies = for {
+      m <- 0 until 8
+      r <- Multimodal.Mp4FragmentWalk.index(m.toLong,
+        MediaFixtures.plantedFragMp4(m))
+      if !r.sync_consistent
+    } yield (m, r.sample_no)
+    assert(lies == Seq((3, 2), (5, 2)), s"lies: $lies")
+    // a non-fragmented container (samples in stbl, no moof) sentinels
+    val plain = Multimodal.Mp4FragmentWalk.index(1L,
+      MediaFixtures.plantedAvcMp4(1))
+    assert(plain.size == 1 && plain.head.frag_idx == -1)
+    // corrupt / truncated / null: sentinel, never a throw
+    val good = MediaFixtures.plantedFragMp4(1)
+    for (bad <- Seq(Array[Byte](1, 2, 3), null,
+        java.util.Arrays.copyOf(good, 120),
+        java.util.Arrays.copyOf(good, good.length - 30))) {
+      val rows = Multimodal.Mp4FragmentWalk.index(9L, bad)
+      assert(rows.size == 1 && rows.head.frag_idx == -1,
+        "corrupt must sentinel")
+    }
+  }
+
   test("tgz walk: gunzip round-trip; decompression-bomb cap and corrupt envelopes sentinel") {
     import graft.ops.Multimodal
     val tarBytes = MediaFixtures.plantedTar(5)

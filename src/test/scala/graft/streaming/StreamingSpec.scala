@@ -1028,6 +1028,55 @@ class StreamingSpec extends SparkSpec {
       "a replayed micro-batch must not duplicate or change frame rows")
   }
 
+  test("streaming fragments: fMP4 tfhd/trun walk stream equals batch, fragment sync lies survive the stream") {
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    val in = tmpDir("fg-in")
+    val out = tmpDir("fg-out") + "/index"
+    def mDf(slots: Seq[Int]) =
+      slots.map(m => (m.toLong, graft.ops.MediaFixtures.plantedFragMp4(m)))
+        .toDF("media_id", "payload")
+    mDf(0 until 4).coalesce(1).write.parquet(s"$in/a")
+    mDf(4 until 8).coalesce(1).write.parquet(s"$in/b")
+    import java.nio.file.{Files => NFiles, Paths => NPaths}
+    def onePart(d: String) =
+      NFiles.list(NPaths.get(d))
+        .filter(_.toString.endsWith(".parquet")).findFirst.get
+    val fa = NPaths.get(s"$in/batch_a.parquet")
+    NFiles.move(onePart(s"$in/a"), fa)
+    NFiles.move(onePart(s"$in/b"), NPaths.get(s"$in/batch_b.parquet"))
+    fa.toFile.setLastModified(System.currentTimeMillis() - 60000)
+    val q = spark.readStream
+      .schema("media_id LONG, payload BINARY")
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream
+      .option("checkpointLocation", tmpDir("fg-ckpt"))
+      .foreachBatch(StreamingMedia.fragmentAppender(out))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    def rows(df: DataFrame) = df
+      .select("media_id", "frag_idx", "seq_no", "sample_no", "offset",
+        "size", "sync_claimed", "nal_type", "frame_type", "is_rap",
+        "sync_consistent", "codec")
+      .collect().map(_.toSeq).toSet
+    val streamed = rows(spark.read.parquet(out))
+    val batch = rows(graft.ops.Multimodal.fragmentIndex(
+      mDf(0 until 8)).toDF())
+    assert(streamed == batch,
+      s"stream fragment rows must equal batch: " +
+        s"missing=${batch -- streamed} extra=${streamed -- batch}")
+    // the two planted fragment lies are the only inconsistent rows
+    val lies = spark.read.parquet(out)
+      .filter(!col("sync_consistent"))
+      .select("media_id", "sample_no").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(lies == Set((3L, 2), (5L, 2)), s"lie rows: $lies")
+    // replay: re-running a batch overwrites its own partition
+    StreamingMedia.fragmentAppender(out)(mDf(4 until 8), 1L)
+    assert(rows(spark.read.parquet(out)) == streamed,
+      "a replayed micro-batch must not duplicate or change rows")
+  }
+
   test("watermarked windowed level counts over the stream") {
     val in = tmpDir("stream-win")
     java.nio.file.Files.copy(
