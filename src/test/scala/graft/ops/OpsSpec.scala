@@ -2350,6 +2350,63 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("Mp4FragmentWalk: a second trun without data_offset continues contiguously after the first") {
+    // ISO 14496-12 §8.8.8: when a trun omits data_offset its samples
+    // follow the previous trun's data — hand-assemble a traf with TWO
+    // truns (only the first carries data_offset) and prove the walk
+    // addresses all four samples contiguously
+    import graft.ops.{MediaFixtures, Multimodal}
+    def be32(v: Long): Array[Byte] = Array(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def bx(t: String, p: Array[Byte]): Array[Byte] =
+      be32(8L + p.length) ++ t.getBytes("US-ASCII") ++ p
+    val cfg = MediaFixtures.avcCBox(77, 31, nalLen = 2, 4, 3, 0, 0)
+    val entry = be32(8L + 78 + cfg.length) ++
+      "avc1".getBytes("US-ASCII") ++ new Array[Byte](78) ++ cfg
+    val stsd = bx("stsd", be32(0) ++ be32(1) ++ entry)
+    val trex = bx("trex", be32(0) ++ be32(1) ++ be32(1) ++ be32(0) ++
+      be32(0) ++ be32(0x01010000L))
+    val moov = bx("moov",
+      bx("trak", bx("mdia", bx("minf", bx("stbl", stsd)))) ++
+        bx("mvex", trex))
+    val ftyp = bx("ftyp", "isom".getBytes("US-ASCII") ++ be32(0))
+    val types = Seq('I', 'P', 'B', 'P')
+    val sizes = Seq(40, 50, 60, 70)
+    val samples = types.zip(sizes).map { case (ft, sz) =>
+      val base = if (ft == 'I') 2 else if (ft == 'B') 1 else 0
+      MediaFixtures.nalSample(sz, 2, hevc = false,
+        Seq(MediaFixtures.avcSliceNal(ft == 'I', base, 16)))
+    }
+    def flagsOf(i: Int): Long = if (i == 0) 0x02000000L else 0x01010000L
+    def moof(dataOff: Long): Array[Byte] = {
+      val mfhd = bx("mfhd", be32(0) ++ be32(1))
+      val tfhd = bx("tfhd", be32(0x020000) ++ be32(1)) // base-is-moof
+      val trun1 = bx("trun", be32(0x000601) ++ be32(2) ++ be32(dataOff) ++
+        (0 until 2).toArray.flatMap(i =>
+          be32(sizes(i).toLong) ++ be32(flagsOf(i))))
+      val trun2 = bx("trun", be32(0x000600) ++ be32(2) ++ // NO data_offset
+        (2 until 4).toArray.flatMap(i =>
+          be32(sizes(i).toLong) ++ be32(flagsOf(i))))
+      bx("moof", mfhd ++ bx("traf", tfhd ++ trun1 ++ trun2))
+    }
+    val moofLen = moof(0L).length
+    val b = ftyp ++ moov ++ moof(moofLen + 8L) ++
+      bx("mdat", samples.flatten.toArray)
+    val rows = Multimodal.Mp4FragmentWalk.index(7L, b)
+    assert(rows.size == 4, s"rows: $rows")
+    val base = (ftyp.length + moov.length + moofLen + 8).toLong
+    val wantOffsets = sizes.scanLeft(base)(_ + _).init
+    assert(rows.map(_.offset) == wantOffsets, s"offsets: $rows")
+    assert(rows.map(_.size) == sizes, s"sizes: $rows")
+    assert(rows.map(_.frame_type) == types.map(_.toString), s"$rows")
+    assert(rows.map(_.sync_claimed) == Seq(true, false, false, false))
+    // every offset addresses the REAL planted sample bytes
+    rows.zip(samples).foreach { case (r, s) =>
+      assert(java.util.Arrays.equals(java.util.Arrays.copyOfRange(
+        b, r.offset.toInt, r.offset.toInt + r.size), s), s"bytes at $r")
+    }
+  }
+
   test("tgz walk: gunzip round-trip; decompression-bomb cap and corrupt envelopes sentinel") {
     import graft.ops.Multimodal
     val tarBytes = MediaFixtures.plantedTar(5)
