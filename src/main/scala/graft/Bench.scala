@@ -347,15 +347,11 @@ object Bench {
         l = loadAvg()
       }
     }
-    while (pass < FinalPasses && recs.exists(r => flaggedOf(r._2).nonEmpty)) {
-      pass += 1
-      // drain first, re-measure second: re-running into the same
-      // co-tenant burst that flagged the line just burns the pass
-      waitForQuiet()
+    def remeasureFlagged(tag: String): Unit = {
       val flaggedNames = recs.collect {
         case (n, r) if flaggedOf(r).nonEmpty => n }.toSeq
       System.err.println(
-        s"[bench] finalize pass $pass: re-measuring ${flaggedNames.size} " +
+        s"[bench] $tag: re-measuring ${flaggedNames.size} " +
           s"load-flagged queries: ${flaggedNames.mkString(",")}")
       flaggedNames.foreach { name =>
         val old = recs(name)
@@ -374,6 +370,44 @@ object Bench {
             fresh.map(t => s"final_retry_slower_${t._3}")
         }
       }
+    }
+    while (pass < FinalPasses && recs.exists(r => flaggedOf(r._2).nonEmpty)) {
+      pass += 1
+      // drain first, re-measure second: re-running into the same
+      // co-tenant burst that flagged the line just burns the pass
+      waitForQuiet()
+      remeasureFlagged(s"finalize pass $pass")
+    }
+    // RESCUE (r16, verdict #3): r15's finalize exhausted its shared
+    // 180 s wait on a busy box and shipped `quiet:false` anyway —
+    // 10 lines unusable for per-line regression judgement. When flags
+    // survive the standard passes, the record self-rescues: a second,
+    // larger wait budget (SPARK_GRAFT_QUIET_RESCUE seconds, default
+    // 600, 0 disables) spent ONLY on actually sleeping the burst out,
+    // with a re-measure of just the still-flagged lines once the load
+    // really is below LoadMax (re-measuring INTO the burst is what
+    // wasted r15's budget). The originals stay in `discarded`; if the
+    // box never drains, the record still finishes — bounded by the
+    // rescue budget — and carries quiet:false honestly.
+    val RescuePasses = 4
+    var rescueLeft: Int = sys.env.get("SPARK_GRAFT_QUIET_RESCUE")
+      .flatMap(s => scala.util.Try(s.toInt).toOption.filter(_ >= 0))
+      .getOrElse(600)
+    var rpass = 0
+    while (rpass < RescuePasses && rescueLeft > 0 &&
+        recs.exists(r => flaggedOf(r._2).nonEmpty)) {
+      rpass += 1
+      var l = loadAvg()
+      while (l > LoadMax && rescueLeft > 0) {
+        val step = math.min(10, rescueLeft)
+        System.err.println(
+          s"[bench] rescue: load_1m=$l > $LoadMax, waiting ${step}s " +
+            s"(${rescueLeft}s rescue budget left)")
+        Thread.sleep(step * 1000L)
+        rescueLeft -= step
+        l = loadAvg()
+      }
+      if (l <= LoadMax) remeasureFlagged(s"rescue pass $rpass")
     }
     val allRuns = recs.map { case (n, r) => n -> r.map(_._1) }
     val gcRuns = recs.map { case (n, r) => n -> r.map(_._2) }

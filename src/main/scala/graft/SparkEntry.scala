@@ -38,9 +38,16 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Every registered query has one (the LSH
     * ANN oracle replays the deterministic pipeline from literal plane
-    * coefficients; the IVF check is a per-query recall floor). */
+    * coefficients; the IVF check is a per-query recall floor).
+    * Every oracle passes through [[graft.queries.QueryUtil
+    * .materializeCtes]]: DuckDB re-inlines multi-referenced CTEs, and
+    * the deep curation-chain replays (shared CTEs referenced up to
+    * 10×) cost 100–220 s each at sf0.01 un-materialized — the r15
+    * driver compare outgrew its budget over exactly this. Measured
+    * r16: the full 200-row compare drops ~1080 s → ~100 s. */
   def oracleSql: Map[String, String] =
-    registry.collect { case (k, (_, Some(sql))) => k -> sql }
+    registry.collect { case (k, (_, Some(sql))) =>
+      k -> graft.queries.QueryUtil.materializeCtes(sql) }
 
   /** Headline queries benched per round (BENCH_r{N}.json): one per
     * operator family, heaviest representative. */
@@ -165,5 +172,6 @@ object SparkEntry {
     "tx_langid",         // LID train + save (the lid_docs build line)
     "mm_sps",            // SPS exp-Golomb bitstream parse (r15 #4)
     "mm_gop",            // slice-header frame types + GOP audit (r15)
-    "mm_fragments")      // fMP4/CMAF trun walk + frame types (r15)
+    "mm_fragments",      // fMP4/CMAF trun walk + frame types (r15)
+    "mm_timeline")       // sidx/tfdt segment-timeline audit (r16)
 }

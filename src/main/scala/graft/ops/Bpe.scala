@@ -133,23 +133,47 @@ object Bpe {
             s"'$Sep${m.left}${m.right}$Sep')"))
     }
 
+  /** Broadcast cap (rows) for a vocab-shaped join side — distinct
+    * gated words plus their segmentation, ~100–200 B/row, so 1M rows
+    * is a ~100–200 MB broadcast: comfortably inside executor memory
+    * on any 100 TB-class cluster, far above every bench SF. */
+  val BroadcastVocabMaxRows = 1000000L
+
+  /** Size-aware join hint for a vocab-shaped (one row per distinct
+    * gated word) table. Neither static choice survives both ends of
+    * the scale axis: AQE left to its own stats picked the
+    * corpus-token-sized exploded stream as the BUILD side at small SF
+    * (r15 plan audit) — a full token-stream shuffle, or an impossible
+    * broadcast, at corpus scale — while an unconditional `broadcast()`
+    * hint bypasses autoBroadcastJoinThreshold entirely and OOMs the
+    * driver once a crawl's gated vocab reaches 10^7–10^8 words. So the
+    * table is persisted (tracked — [[Dedup.releaseCaches]] frees it)
+    * and counted once: ≤ [[BroadcastVocabMaxRows]] broadcasts (the
+    * corpus never shuffles), above it a `shuffle_hash` hint pins the
+    * vocab side as the build side of a shuffled hash join — the word
+    * key's hot heads ("the") are stream-side skew, which AQE's
+    * skew-join split handles for SHJ. The count is one extra job over
+    * data the old broadcast path materialized on the driver anyway. */
+  private[graft] def vocabJoinSide(df: DataFrame,
+      cap: Long = BroadcastVocabMaxRows): DataFrame = {
+    val cached = Dedup.persistTracked(df)
+    if (cached.count() <= cap) broadcast(cached)
+    else cached.hint("shuffle_hash")
+  }
+
   /** Id-encoded corpus: every gated word of every document as
     * (doc_id, widx, sidx, token_id) rows — widx = 1-based word
     * position in the doc, sidx = 1-based symbol position in the word,
     * token_id from [[vocabIdTable]]. The corpus word stream equi-joins
-    * the vocab-sized symbol table (AQE-planned; at crawl scale the
-    * vocab side is 10^7–10^8 rows — join, not broadcast), then the
+    * the vocab-sized symbol table ([[vocabJoinSide]]: broadcast while
+    * it fits, vocab-built shuffled hash join past the cap — the
+    * corpus-token stream is never the build side either way), then the
     * model-sized id table broadcasts. Words outside the a-z gate are
     * excluded (the [[wordTable]] contract). Output rows = total
     * post-merge tokens — this IS the corpus a trainer reads. */
   def encodeIds(spark: org.apache.spark.sql.SparkSession,
       docsDf: DataFrame, merges: Seq[Merge]): DataFrame = {
-    // the per-word segmentation table is vocab-sized (distinct ≤20-char
-    // a-z words) — broadcast EXPLICITLY: left to its own stats Spark
-    // picked the corpus-token-sized exploded stream as the build side
-    // at small SF (r15 plan audit), which inverts to a full token-
-    // stream shuffle (or an impossible broadcast) at corpus scale
-    val wordSyms = broadcast(applyMerges(docsDf, merges).select(col("word"),
+    val wordSyms = vocabJoinSide(applyMerges(docsDf, merges).select(col("word"),
       split(expr(s"btrim(ws, '$Sep')"), s"$Sep$Sep").as("_syms")))
     val ids = broadcast(vocabIdTable(spark, merges))
     docsDf

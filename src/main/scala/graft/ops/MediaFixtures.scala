@@ -668,6 +668,108 @@ object MediaFixtures {
       w = 64, h = 48, layout, frags)
   }
 
+  /** SEGMENT-TIMELINE fMP4 (r16, verdict #5): the DASH/CMAF timing
+    * boxes a segment ingest audits — a top-level `sidx` (ISO 14496-12
+    * §8.16.3: timescale, earliest_presentation_time, one
+    * (referenced_size, subsegment_duration) pair per fragment), a
+    * `tfdt` per traf (§8.8.12 baseMediaDecodeTime), and per-sample
+    * durations riding the same §8.8.7 defaults ladder as sizes/flags:
+    * layout 'A' = per-sample trun durations, 'B' = tfhd
+    * default_sample_duration, 'C' = the `trex` default. The written
+    * `tfdts`/`sidxDurs`/`sidxSizes` are CALLER-supplied so a planted
+    * slot can lie about any of the three axes; mdat payloads are
+    * 10-byte filler (the timeline walk never reads sample bytes).
+    * Two passes like [[fragmentedMp4]] for the sidx referenced_size
+    * fields.
+    *
+    * Closed-form fragment byte lengths (the oracle states them as
+    * doc_id arithmetic): 'A' 88 + 14n, 'B' 92 + 10n, 'C' 88 + 10n. */
+  def timelineMp4(timescale: Long, ept: Long, layout: Char,
+      sampleDur: Long, frags: Seq[Int], tfdts: Seq[Long],
+      sidxDurs: Seq[Long],
+      sidxSizes: Option[Seq[Long]] = None): Array[Byte] = {
+    require("ABC".contains(layout), s"unknown layout $layout")
+    require(frags.size == tfdts.size && frags.size == sidxDurs.size)
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0))
+    val trex = box("trex", be32(0) ++ be32(1) ++ be32(1) ++
+      be32(if (layout == 'C') sampleDur else 0L) ++ be32(0) ++
+      be32(0x01010000L))
+    val moov = box("moov", box("mvex", trex))
+    def fragBytes(f: Int): Array[Byte] = {
+      val n = frags(f)
+      val mfhd = box("mfhd", be32(0) ++ be32(f + 1L))
+      val tfhd = layout match {
+        case 'B' => box("tfhd", be32(0x020008) ++ be32(1) ++ be32(sampleDur))
+        case _ => box("tfhd", be32(0x020000) ++ be32(1))
+      }
+      val tfdt = box("tfdt", be32(0) ++ be32(tfdts(f)))
+      val trun = layout match {
+        case 'A' => box("trun", be32(0x000100) ++ be32(n.toLong) ++
+          (0 until n).toArray.flatMap(_ => be32(sampleDur)))
+        case _ => box("trun", be32(0x000000) ++ be32(n.toLong))
+      }
+      box("moof", mfhd ++ box("traf", tfhd ++ tfdt ++ trun)) ++
+        box("mdat", new Array[Byte](10 * n))
+    }
+    val fragLens = frags.indices.map(f => fragBytes(f).length.toLong)
+    val refSizes = sidxSizes.getOrElse(fragLens)
+    val sidx = box("sidx", be32(0) ++ be32(1) ++ be32(timescale) ++
+      be32(ept) ++ be32(0) ++ be32(frags.size.toLong) ++
+      frags.indices.toArray.flatMap { f =>
+        be32(refSizes(f)) ++ be32(sidxDurs(f)) ++ be32(0x90000000L)
+      })
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(ftyp); out.write(moov); out.write(sidx)
+    frags.indices.foreach(f => out.write(fragBytes(f)))
+    out.toByteArray
+  }
+
+  /** The 8-slot planted segment-timeline table assigned by
+    * `doc_id % 8` in `mm_timeline`: slot m carries m % 3 + 2
+    * fragments, fragment f (1-based) has (m + f) % 3 + 1 samples of
+    * uniform duration 40 + m at timescale 1000 + 100m, earliest
+    * presentation time 100m; duration layout 'A' on odd slots, 'B'
+    * on slots 0/2, 'C' (trex default) on slots 4/6. Three planted
+    * lies, one per audit axis:
+    *   - slot 3, fragment 2 (its last): tfdt written 7 ticks late —
+    *     the decode-time gap `tfdt_consistent` catches;
+    *   - slot 5, fragment 1: sidx subsegment_duration overstated by
+    *     5 ticks — `sidx_dur_consistent`;
+    *   - slot 6, fragment 2: sidx referenced_size overstated by 3
+    *     bytes — `sidx_size_consistent`.
+    * Everything else is exact; the oracle restates every field as
+    * doc_id arithmetic (the [[plantedFragMp4]] contract). */
+  def plantedTimelineMp4(m: Int): Array[Byte] = {
+    val nFrags = m % 3 + 2
+    val d = 40L + m
+    val counts = (1 to nFrags).map(f => (m + f) % 3 + 1)
+    val layout = if (m % 2 == 1) 'A' else if (m == 4 || m == 6) 'C' else 'B'
+    val ept = 100L * m
+    val tfdts = (0 until nFrags).map { f0 =>
+      ept + counts.take(f0).map(_ * d).sum +
+        (if (m == 3 && f0 == 1) 7L else 0L)
+    }
+    val sidxDurs = (0 until nFrags).map { f0 =>
+      counts(f0) * d + (if (m == 5 && f0 == 0) 5L else 0L)
+    }
+    val base = timelineMp4(1000L + 100 * m, ept, layout, d, counts,
+      tfdts, sidxDurs)
+    if (m != 6) base
+    else {
+      // recompute with the size lie on fragment 2 (closed form: the
+      // truthful sizes are what timelineMp4 derives internally)
+      val lens = counts.map(n => (layout match {
+        case 'A' => 88 + 14 * n
+        case 'B' => 92 + 10 * n
+        case _ => 88 + 10 * n
+      }).toLong)
+      val lied = lens.zipWithIndex.map { case (l, f0) =>
+        l + (if (f0 == 1) 3L else 0L) }
+      timelineMp4(1000L + 100 * m, ept, layout, d, counts, tfdts,
+        sidxDurs, sidxSizes = Some(lied))
+    }
+  }
+
   /** The planted frame-type rule for slot m, sample s (1-based) —
     * shared truth between [[plantedAvcMp4]]'s slice NALs and the
     * `mm_frame_types`/`mm_gop` oracles (which restate it as doc_id

@@ -1205,6 +1205,14 @@ object Multimodal {
               case ("mfhd", hs, he) if he - hs >= 8 =>
                 be32(bytes, hs + 4).toInt
             }.getOrElse(-1)
+            // §8.8.7 default ladder across trafs: with neither an
+            // explicit base-data-offset nor default-base-is-moof, the
+            // moof-start default applies only to the FIRST traf —
+            // every later traf defaults to the end of the previous
+            // traf's data (r16 ADVICE fix; previously moofStart was
+            // applied unconditionally, silently mis-addressing
+            // multi-track fragments without explicit offsets)
+            var prevTrafEnd = moofStart.toLong
             children(bytes, ms, me).foreach {
               case ("traf", ts, te) =>
                 // tfhd (§8.8.7): flags gate the optional fields
@@ -1221,7 +1229,8 @@ object Multimodal {
                         p += 8
                         v
                       } else if ((flags & 0x020000) != 0) moofStart.toLong
-                      else moofStart.toLong // first-traf spec default
+                      else prevTrafEnd // first traf: moof start;
+                                       // later trafs: previous traf end
                     if ((flags & 0x2) != 0) p += 4  // sample_desc_index
                     if ((flags & 0x8) != 0) p += 4  // default_duration
                     val ds = if ((flags & 0x10) != 0) {
@@ -1231,7 +1240,7 @@ object Multimodal {
                       val v = be32(bytes, p).toInt; p += 4; v
                     } else trexFlags
                     (base, ds, df)
-                  case None => (moofStart.toLong, trexSize, trexFlags)
+                  case None => (prevTrafEnd, trexSize, trexFlags)
                 }
                 var cur = -1L // running data cursor across truns
                 children(bytes, ts, te).foreach {
@@ -1240,15 +1249,30 @@ object Multimodal {
                     val n = be32(bytes, rs + 4).toInt
                     var p = rs + 8
                     if ((flags & 0x1) != 0) {
+                      if (p + 4 > re)
+                        throw new IllegalArgumentException("trun header")
                       cur = baseOff + be32(bytes, p).toInt // signed s32
                       p += 4
                     } else if (cur < 0) cur = baseOff
                     val firstFlags =
                       if ((flags & 0x4) != 0) {
+                        if (p + 4 > re)
+                          throw new IllegalArgumentException("trun header")
                         val v = be32(bytes, p).toInt; p += 4; Some(v)
                       } else None
+                    // per-entry width from the flags, once: a malformed
+                    // sample_count must hit the corrupt-input sentinel,
+                    // not read past the trun box into adjacent box
+                    // bytes (r16 ADVICE fix — the old `p <= re` guard
+                    // allowed up to four 4-byte reads to overrun)
+                    val entryW = (if ((flags & 0x100) != 0) 4 else 0) +
+                      (if ((flags & 0x200) != 0) 4 else 0) +
+                      (if ((flags & 0x400) != 0) 4 else 0) +
+                      (if ((flags & 0x800) != 0) 4 else 0)
+                    if (n < 0 || re - p < n.toLong * entryW)
+                      throw new IllegalArgumentException("trun overrun")
                     var k = 0
-                    while (k < n && p <= re) {
+                    while (k < n) {
                       if ((flags & 0x100) != 0) p += 4 // duration
                       val sz = if ((flags & 0x200) != 0) {
                         val v = be32(bytes, p).toInt; p += 4; v
@@ -1275,6 +1299,10 @@ object Multimodal {
                     }
                   case _ =>
                 }
+                // §8.8.7 ladder: the NEXT traf's default base is this
+                // traf's data end (a traf that emitted no samples
+                // leaves the previous end standing)
+                if (cur >= 0) prevTrafEnd = cur
               case _ =>
             }
             fragIdx += 1
@@ -1295,6 +1323,183 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, bytes) => Mp4FragmentWalk.index(id, bytes) }
+      }
+  }
+
+  /** One audited DASH/CMAF segment: the timing every ingest
+    * cross-checks — the fragment's accumulated trun durations
+    * (`dur_sum`, resolved through the §8.8.7 ladder: per-sample trun
+    * > tfhd default > trex default), its `tfdt` decode-time claim,
+    * and the `sidx` row covering it. `tfdt_consistent` is the
+    * segment-timeline contiguity check (first fragment: tfdt equals
+    * the sidx earliest_presentation_time; later fragments: tfdt
+    * equals the previous fragment's tfdt + duration sum);
+    * `sidx_dur_consistent` / `sidx_size_consistent` check the sidx
+    * row's subsegment_duration / referenced_size against the walked
+    * truth. Fragments past the sidx reference table (or files with
+    * no sidx) carry -1 sentinels and vacuous-true sidx flags. */
+  case class TimelineSegment(media_id: Long, frag_idx: Int, seq_no: Int,
+      n_samples: Int, dur_sum: Long, tfdt: Long, sidx_dur: Long,
+      sidx_size: Long, actual_size: Long, timescale: Long,
+      tfdt_consistent: Boolean, sidx_dur_consistent: Boolean,
+      sidx_size_consistent: Boolean)
+
+  /** Segment-timeline audit walk (r16, verdict #5): `sidx` (ISO
+    * 14496-12 §8.16.3) + `tfdt` (§8.8.12) + trun durations — "does
+    * the segment timeline lie" is the first gate a DASH ingest runs,
+    * because a wrong tfdt or sidx row breaks seeking and stream
+    * switching even when every sample byte is intact. Reuses
+    * [[Bmff.children]]'s box cursor and the [[Mp4FragmentWalk]]
+    * bounds discipline: malformed counts/fields throw to the
+    * corrupt-input sentinel, never emit garbage rows or die. */
+  object Mp4TimelineWalk {
+    import Bmff._
+
+    def index(id: Long, bytes: Array[Byte]): Seq[TimelineSegment] = {
+      val len = if (bytes == null) 0 else bytes.length
+      val sentinel = Seq(TimelineSegment(id, -1, -1, -1, -1L, -1L, -1L,
+        -1L, -1L, -1L, tfdt_consistent = false,
+        sidx_dur_consistent = false, sidx_size_consistent = false))
+      try {
+        if (len < 12 || box4(bytes, 4) != "ftyp") return sentinel
+        val top = children(bytes, 0, len)
+        // trex default duration (§8.8.3) — the 'C' rung of the ladder
+        val trexDur = (for {
+          (mt, ms, me) <- top if mt == "moov"
+          (xt, xs, xe) <- children(bytes, ms, me) if xt == "mvex"
+          (rt, rs, re) <- children(bytes, xs, xe) if rt == "trex"
+          if re - rs >= 24
+        } yield be32(bytes, rs + 12)).headOption.getOrElse(-1L)
+        // sidx: timescale, earliest_presentation_time, per-segment
+        // (referenced_size, subsegment_duration) references
+        val sidx = top.collectFirst { case ("sidx", ss, se) => (ss, se) }
+          .flatMap { case (ss, se) =>
+            if (se - ss < 24) None
+            else {
+              val v = bytes(ss) & 0xff
+              val timescale = be32(bytes, ss + 8)
+              var p = ss + 12
+              val ept =
+                if (v == 0) { val x = be32(bytes, p); p += 8; x }
+                else { val x = (be32(bytes, p) << 32) |
+                  be32(bytes, p + 4); p += 16; x }
+              if (p + 4 > se) None
+              else {
+                val cnt = (be32(bytes, p) & 0xffff).toInt
+                p += 4
+                if (cnt < 0 || se - p < cnt.toLong * 12) None
+                else Some((timescale, ept, (0 until cnt).map { i =>
+                  (be32(bytes, p + 12 * i) & 0x7fffffffL,
+                    be32(bytes, p + 12 * i + 4))
+                }))
+              }
+            }
+          }
+        val timescale = sidx.map(_._1).getOrElse(-1L)
+        val ept = sidx.map(_._2).getOrElse(-1L)
+        val refs = sidx.map(_._3).getOrElse(IndexedSeq.empty)
+        var fragIdx = 0
+        var prevTfdt = -1L
+        var prevDur = -1L
+        val out = scala.collection.mutable.ArrayBuffer[TimelineSegment]()
+        top.zipWithIndex.foreach {
+          case (("moof", ms, me), ti) =>
+            val seqNo = children(bytes, ms, me).collectFirst {
+              case ("mfhd", hs, he) if he - hs >= 8 =>
+                be32(bytes, hs + 4).toInt
+            }.getOrElse(-1)
+            var durSum = 0L
+            var nSamples = 0
+            var tfdtV = -1L
+            children(bytes, ms, me).foreach {
+              case ("traf", ts, te) =>
+                // tfhd: walk the flag ladder to the default duration
+                val defDur = children(bytes, ts, te).collectFirst {
+                  case ("tfhd", hs, he) =>
+                    val flags = be32(bytes, hs).toInt & 0xffffff
+                    var p = hs + 8
+                    if ((flags & 0x1) != 0) p += 8
+                    if ((flags & 0x2) != 0) p += 4
+                    if ((flags & 0x8) != 0) {
+                      if (p + 4 > he)
+                        throw new IllegalArgumentException("tfhd")
+                      be32(bytes, p)
+                    } else trexDur
+                }.getOrElse(trexDur)
+                children(bytes, ts, te).foreach {
+                  case ("tfdt", hs, he) =>
+                    val v = bytes(hs) & 0xff
+                    if (v == 0 && he - hs >= 8) tfdtV = be32(bytes, hs + 4)
+                    else if (he - hs >= 12)
+                      tfdtV = (be32(bytes, hs + 4) << 32) |
+                        be32(bytes, hs + 8)
+                  case ("trun", rs, re) =>
+                    val flags = be32(bytes, rs).toInt & 0xffffff
+                    val n = be32(bytes, rs + 4).toInt
+                    var p = rs + 8
+                    if ((flags & 0x1) != 0) p += 4
+                    if ((flags & 0x4) != 0) p += 4
+                    val entryW = (if ((flags & 0x100) != 0) 4 else 0) +
+                      (if ((flags & 0x200) != 0) 4 else 0) +
+                      (if ((flags & 0x400) != 0) 4 else 0) +
+                      (if ((flags & 0x800) != 0) 4 else 0)
+                    if (n < 0 || p > re || re - p < n.toLong * entryW)
+                      throw new IllegalArgumentException("trun overrun")
+                    var k = 0
+                    while (k < n) {
+                      val d =
+                        if ((flags & 0x100) != 0) {
+                          val v = be32(bytes, p); p += entryW; v
+                        } else defDur
+                      if (d < 0)
+                        throw new IllegalArgumentException("no duration")
+                      durSum += d
+                      nSamples += 1
+                      k += 1
+                    }
+                  case _ =>
+                }
+              case _ =>
+            }
+            // fragment byte size = this moof + the mdat(s) that follow
+            // it before the next moof (the CMAF segment span)
+            val moofLen = (me - (ms - 8)).toLong
+            val mdatLen = top.drop(ti + 1)
+              .takeWhile(_._1 != "moof")
+              .collect { case ("mdat", ds, de) => (de - (ds - 8)).toLong }
+              .sum
+            val actual = moofLen + mdatLen
+            val (sDur, sSize) =
+              if (fragIdx < refs.size) (refs(fragIdx)._2, refs(fragIdx)._1)
+              else (-1L, -1L)
+            val tfdtOk =
+              if (fragIdx == 0) sidx.isEmpty || tfdtV == ept
+              else tfdtV == prevTfdt + prevDur
+            out += TimelineSegment(id, fragIdx, seqNo, nSamples, durSum,
+              tfdtV, sDur, sSize, actual, timescale,
+              tfdt_consistent = tfdtOk,
+              sidx_dur_consistent = sDur < 0 || sDur == durSum,
+              sidx_size_consistent = sSize < 0 || sSize == actual)
+            prevTfdt = tfdtV
+            prevDur = durSum
+            fragIdx += 1
+          case _ =>
+        }
+        if (out.isEmpty) sentinel else out.toSeq
+      } catch { case _: Exception => sentinel }
+    }
+  }
+
+  /** Per-partition segment-timeline audit — the [[fragmentIndex]]
+    * shape: shard blobs never leave their arrival partition; only
+    * the narrow per-fragment audit rows shuffle. */
+  def timelineIndex(media: DataFrame): Dataset[TimelineSegment] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) => Mp4TimelineWalk.index(id, bytes) }
       }
   }
 

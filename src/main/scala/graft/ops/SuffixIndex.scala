@@ -54,34 +54,37 @@ object SuffixIndex {
     ArtifactStore.corpusFingerprint(spark, dir)
 
   /** Load the index for `dir`, building and saving it first if absent
-    * or stale (fingerprint mismatch). Thread-safe; the build runs at
-    * most once per process per corpus. */
+    * or stale (fingerprint mismatch). Thread-safe within a JVM; safe
+    * across processes via [[ArtifactStore]]'s immutable-version +
+    * atomic-CURRENT protocol (r16, verdict #4 — previously a rebuild
+    * in one JVM could overwrite frames another JVM was scanning). */
   def loadOrBuild(spark: SparkSession, dir: String): Handle =
     this.synchronized {
       val docs = docsOf(spark, dir)
       val (fpN, fpXor, fpSum) = fingerprint(spark, dir)
       val p = root(dir)
-      // existence-check first: a cold key is the normal first-call
+      // resolve CURRENT first: a cold key is the normal first-call
       // path and must not log a FileNotFoundException stack (r15)
-      val meta = if (!new java.io.File(s"$p/meta").isDirectory) None
-      else try {
-        val m = spark.read.parquet(s"$p/meta").collect()(0)
-        // column-by-name: pre-r15 artifacts lack fp_sum → getAs throws
-        // → rebuild (the safe direction for a fingerprint upgrade)
-        if (m.getAs[Long]("fp_n") == fpN &&
-            m.getAs[Long]("fp_xor") == fpXor &&
-            m.getAs[String]("fp_sum") == fpSum)
-          Some((m.getAs[Int]("n_frames"), m.getAs[Long]("total"),
-            m.getAs[Long]("max_len")))
-        else None
-      } catch { case _: Exception => None }
-      val (nFrames, total, maxLen) = meta.getOrElse {
-        val rr = buildAndSave(spark, docs, p, fpN, fpXor, fpSum)
-        (rr.frames.size, rr.total, rr.maxLen)
+      val cur = ArtifactStore.currentVersion(p).flatMap { v =>
+        try {
+          val m = spark.read.parquet(s"$p/$v/meta").collect()(0)
+          // column-by-name: pre-r15 artifacts lack fp_sum → getAs
+          // throws → rebuild (the safe direction for an upgrade)
+          if (m.getAs[Long]("fp_n") == fpN &&
+              m.getAs[Long]("fp_xor") == fpXor &&
+              m.getAs[String]("fp_sum") == fpSum)
+            Some((v, m.getAs[Int]("n_frames"), m.getAs[Long]("total"),
+              m.getAs[Long]("max_len")))
+          else None
+        } catch { case _: Exception => None }
+      }
+      val (ver, nFrames, total, maxLen) = cur.getOrElse {
+        val (v, rr) = buildAndSave(spark, docs, p, fpN, fpXor, fpSum)
+        (v, rr.frames.size, rr.total, rr.maxLen)
       }
       val frames = (0 until nFrames)
-        .map(k => spark.read.parquet(s"$p/rk_$k"))
-      Handle(frames, frames.last, spark.read.parquet(s"$p/pairs"),
+        .map(k => spark.read.parquet(s"$p/$ver/rk_$k"))
+      Handle(frames, frames.last, spark.read.parquet(s"$p/$ver/pairs"),
         total, maxLen)
     }
 
@@ -98,7 +101,7 @@ object SuffixIndex {
     this.synchronized {
       val docs = docsOf(spark, dir)
       val (fpN, fpXor, fpSum) = fingerprint(spark, dir)
-      val rr = buildAndSave(spark, docs, root(dir), fpN, fpXor, fpSum)
+      val (_, rr) = buildAndSave(spark, docs, root(dir), fpN, fpXor, fpSum)
       import spark.implicits._
       rr.classes.zipWithIndex
         .map { case (c, k) => (k.toLong, c, rr.total) }
@@ -107,25 +110,29 @@ object SuffixIndex {
 
   private def buildAndSave(spark: SparkSession, docs: DataFrame,
       p: String, fpN: Long, fpXor: Long, fpSum: String)
-      : SuffixArray.RankRounds = {
+      : (String, SuffixArray.RankRounds) = {
     // r15 (verdict #3): SPOOL each round frame to the artifact the
     // moment it is checkpointed and free its blocks as soon as the
     // next round lands — the build holds ≤ 2 round frames in storage
     // memory (the sf10 build was spilling one frame per round), and
     // the total write volume is unchanged (every frame was written
     // here anyway). The LCP lift reads the spooled parquet frames —
-    // column-pruned sequential scans.
-    val rr = SuffixArray.rankRounds(docs, spool = Some(p))
+    // column-pruned sequential scans. r16: everything spools into a
+    // fresh immutable VERSION dir, published by atomic CURRENT flip
+    // only after meta lands — cross-process torn reads impossible.
+    val ver = ArtifactStore.newVersionDir(p)
+    val rr = SuffixArray.rankRounds(docs, spool = Some(s"$p/$ver"))
     val pairs = SuffixArray.lcpPairs(rr.frames, rr.ranks)
-    pairs.write.mode("overwrite").parquet(s"$p/pairs")
+    pairs.write.mode("overwrite").parquet(s"$p/$ver/pairs")
     import spark.implicits._
     Seq((fpN, fpXor, fpSum, rr.frames.size, rr.total, rr.maxLen,
         rr.classes.mkString(",")))
       .toDF("fp_n", "fp_xor", "fp_sum", "n_frames", "total", "max_len",
         "classes")
-      .coalesce(1).write.mode("overwrite").parquet(s"$p/meta")
+      .coalesce(1).write.mode("overwrite").parquet(s"$p/$ver/meta")
+    ArtifactStore.publish(p, ver)
     sweepStale(new java.io.File(p))
-    rr
+    (ver, rr)
   }
 
   /** Keyed directories retained per artifact family after a build —
@@ -148,7 +155,7 @@ object SuffixIndex {
     keys.drop(RetainKeys).foreach(deleteRecursively)
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
+  private[ops] def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory)
       Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete(); ()

@@ -271,16 +271,16 @@ object UnigramLm {
 
   /** Frozen-model corpus scoring: per-doc word + unigram-token totals.
     * The corpus word stream equi-joins the vocab-sized per-word piece
-    * counts (broadcast at any scale) and reduces straight to per-doc
-    * sums — the [[Bpe]] apply shape; the corpus never shuffles wide. */
+    * counts ([[Bpe.vocabJoinSide]]: broadcast while the vocab fits,
+    * vocab-built shuffled hash join past the cap) and reduces straight
+    * to per-doc sums — the [[Bpe]] apply shape; the corpus word stream
+    * is never the build side either way. */
   def scoreDocs(docs: DataFrame, segmented: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
       .where(col("word").rlike("^[a-z]+$") && length(col("word")) <= MaxWordLen)
-      // explicit broadcast of the vocab-sized side — the "broadcast at
-      // any scale" contract must not depend on AQE picking the build
-      // side from small-SF stats (r15 plan audit: encodeIds inverted)
-      .join(broadcast(segmented.select(col("word"), col("n_uni"))), "word")
+      .join(Bpe.vocabJoinSide(segmented.select(col("word"), col("n_uni"))),
+        "word")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),
         sum("n_uni").cast("long").as("n_uni_tokens"))

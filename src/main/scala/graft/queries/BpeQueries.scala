@@ -79,9 +79,10 @@ object BpeQueries {
   def bpeApply(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val vocab = Bpe.applyMerges(docs(spark, dir), loadMerges(spark, dir))
-    // explicit broadcast — the scaladoc's "corpus never shuffles"
-    // claim must not depend on AQE guessing the right build side
-    val wordSyms = broadcast(vocab.select(col("word"),
+    // size-aware hint (Bpe.vocabJoinSide): broadcast while the vocab
+    // fits, vocab-built shuffled hash join past the cap — never lets
+    // AQE pick the corpus word stream as the build side
+    val wordSyms = Bpe.vocabJoinSide(vocab.select(col("word"),
       size(split(expr(s"btrim(ws, '${Bpe.Sep}')"), s"${Bpe.Sep}${Bpe.Sep}"))
         .cast("long").as("syms")))
     docs(spark, dir)
@@ -123,22 +124,28 @@ object BpeQueries {
     // file split and would otherwise serialize it on one task (the
     // curation-chain spreadById lesson); at cluster scale this is the
     // stage-boundary layout step before a token-proportional phase
+    // head_ids bound (r16, ADVICE fix): the first 8 tokens in stream
+    // order are exactly the 8 lexicographically-smallest
+    // (widx, sidx, token_id) tuples, so a BoundedTopK(…, 8) keeps a
+    // constant 8-element buffer with map-side partials. The r15
+    // `widx <= 8` pre-filter was wrong: widx numbers ALL whitespace
+    // positions (posexplode runs before the regex gate), so a doc
+    // whose first 8 positions include ungated words dropped tokens
+    // the true first-8-gated-tokens contract includes.
+    val headTuple = org.apache.spark.sql.graft.Bridge.column(
+      graft.etl.expressions.BoundedTopK(
+        org.apache.spark.sql.graft.Bridge.expression(
+          struct(col("widx"), col("sidx"), col("token_id"))), 8)
+        .toAggregateExpression())
     Bpe.encodeIds(spark, QueryUtil.spreadById(docs(spark, dir)), merges)
       .withColumn("_fp", graft.ops.TextAnalysis.md5Low64(
         concat_ws("|", col("doc_id").cast("string"),
           col("widx").cast("string"), col("sidx").cast("string"),
           col("token_id").cast("string"))))
-      // head_ids buffer bound (r15): the first 8 tokens in stream
-      // order always lie in the first 8 WORDS (every gated word emits
-      // ≥1 token), so collect only widx ≤ 8 tuples — a ≤160-element
-      // buffer per doc instead of the doc's whole token list
-      .withColumn("_t", when(col("widx") <= 8,
-        struct(col("widx"), col("sidx"), col("token_id"))))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_ids"),
         expr("bit_xor(_fp)").as("ids_hash"),
-        concat_ws(",", transform(
-          slice(array_sort(collect_list(col("_t"))), 1, 8),
+        concat_ws(",", transform(headTuple,
           t => t.getField("token_id").cast("string"))).as("head_ids"))
       .transform(QueryUtil.ordered("doc_id"))
   }
@@ -154,7 +161,7 @@ object BpeQueries {
 
   def packBpe(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val wordSyms = broadcast(
+    val wordSyms = Bpe.vocabJoinSide(
       Bpe.applyMerges(docs(spark, dir), loadMerges(spark, dir))
         .select(col("word"),
           size(split(expr(s"btrim(ws, '${Bpe.Sep}')"),

@@ -49,4 +49,83 @@ object QueryUtil {
        |      AS $outCol
        |  FROM ${outCte}_t GROUP BY $keys)""".stripMargin
   }
+
+  /** Rewrite every NON-RECURSIVE top-level CTE head `name AS (` to
+    * `name AS MATERIALIZED (` — the DuckDB hint that evaluates a CTE
+    * once instead of re-inlining its whole upstream chain at every
+    * reference. The deep curation-chain oracles reference shared CTEs
+    * up to 10×, and DuckDB's re-inlining made single replays cost
+    * 100–220 s at sf0.01 (r15: the full driver compare outgrew its
+    * budget and shipped an empty CORRECTNESS record); materialized,
+    * the same replays run in 0.3–2.4 s with identical results.
+    *
+    * The scanner tracks single-quote literal state (the oracles embed
+    * regexes and HTML with parens, `--` and `AS (`-lookalikes inside
+    * strings) and paren depth, so only genuine depth-0 CTE heads —
+    * preceded by `WITH`, `RECURSIVE` or the `,` separating CTEs — are
+    * rewritten. A CTE whose body references itself (`FROM`/`JOIN`
+    * name — the recursive-arm shape) is left untouched: MATERIALIZED
+    * on a truly recursive CTE is a DuckDB parse error. */
+  def materializeCtes(sql: String): String = {
+    val n = sql.length
+    // quote state + paren depth at every index
+    val depth = new Array[Int](n)
+    val inQ = new Array[Boolean](n)
+    var d = 0
+    var q = false
+    var i = 0
+    while (i < n) {
+      depth(i) = d
+      inQ(i) = q
+      val c = sql.charAt(i)
+      if (q) { if (c == '\'') q = false }
+      else c match {
+        case '\'' => q = true
+        case '(' => d += 1
+        case ')' => d -= 1
+        case _ =>
+      }
+      i += 1
+    }
+    def close(open: Int): Int = {
+      var j = open + 1
+      var dd = 1
+      var qq = false
+      while (j < n && dd > 0) {
+        val c = sql.charAt(j)
+        if (qq) { if (c == '\'') qq = false }
+        else c match {
+          case '\'' => qq = true
+          case '(' => dd += 1
+          case ')' => dd -= 1
+          case _ =>
+        }
+        j += 1
+      }
+      j - 1
+    }
+    val head = java.util.regex.Pattern
+      .compile("([A-Za-z_][A-Za-z0-9_]*)\\s+AS\\s+\\(").matcher(sql)
+    val out = new StringBuilder(n + 1024)
+    var last = 0
+    while (head.find()) {
+      val s = head.start
+      val open = head.end - 1
+      val pre = sql.substring(0, s).reverse.dropWhile(_.isWhitespace)
+        .reverse.toUpperCase
+      val isCteHead = !inQ(s) && depth(s) == 0 && (pre.endsWith(",") ||
+        pre.endsWith("WITH") || pre.endsWith("RECURSIVE") || pre.isEmpty)
+      if (isCteHead && open >= last) {
+        val body = sql.substring(open + 1, close(open))
+        val selfRef = ("(?i)\\b(from|join)\\s+" +
+          java.util.regex.Pattern.quote(head.group(1)) + "\\b").r
+          .findFirstIn(body).isDefined
+        if (!selfRef) {
+          out.append(sql.substring(last, open)).append("MATERIALIZED (")
+          last = open + 1
+        }
+      }
+    }
+    out.append(sql.substring(last, n)).toString
+  }
 }

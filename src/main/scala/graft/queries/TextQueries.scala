@@ -4287,6 +4287,74 @@ object TextQueries {
       |  CASE WHEN slot IN (2, 6) THEN 'hvc1' ELSE 'avc1' END AS codec
       |FROM s3 ORDER BY media_id, sample_no""".stripMargin
 
+  /** mm_timeline: the DASH/CMAF SEGMENT-TIMELINE audit (r16, verdict
+    * #5) — `sidx` earliest_presentation_time + per-segment
+    * (referenced_size, subsegment_duration) rows cross-checked
+    * against each fragment's `tfdt` decode-time claim and its
+    * accumulated trun durations (resolved through the §8.8.7 ladder:
+    * per-sample trun on odd slots, tfhd default on slots 0/2, trex
+    * default on slots 4/6). Three planted lies, one per audit axis
+    * (slot 3: a tfdt gap; slot 5: an overstated subsegment_duration;
+    * slot 6: an overstated referenced_size). The oracle restates
+    * every field as doc_id arithmetic — closed-form fragment lengths,
+    * window-summed decode times — without reading a byte. */
+  def timeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fixtures = (0 until 8)
+      .map(m => (m.toLong, graft.ops.MediaFixtures.plantedTimelineMp4(m)))
+      .toDF("slot", "payload")
+    val media = docs(spark, dir)
+      .select(col("doc_id").as("media_id"), (col("doc_id") % 8).as("slot"))
+      .join(broadcast(fixtures), "slot")
+      .select(col("media_id"), col("payload"))
+    graft.ops.Multimodal.timelineIndex(media).toDF()
+      .select("media_id", "frag_idx", "seq_no", "n_samples", "dur_sum",
+        "tfdt", "sidx_dur", "sidx_size", "actual_size", "timescale",
+        "tfdt_consistent", "sidx_dur_consistent", "sidx_size_consistent")
+      .transform(QueryUtil.ordered("media_id", "frag_idx"))
+  }
+
+  val timelineOracle: String =
+    """WITH p AS (SELECT doc_id AS media_id,
+      |    CAST(doc_id % 8 AS INTEGER) AS slot FROM documents),
+      |fr AS (SELECT media_id, slot, CAST(f AS INTEGER) AS f,
+      |    CAST((slot + f) % 3 + 1 AS INTEGER) AS n,
+      |    CAST(40 + slot AS BIGINT) AS d
+      |  FROM p, LATERAL (SELECT unnest(range(1, slot % 3 + 3)) AS f) g),
+      |fr2 AS (SELECT *, n * d AS dur_sum,
+      |    CASE WHEN slot % 2 = 1 THEN 88 + 14 * n
+      |         WHEN slot IN (0, 2) THEN 92 + 10 * n
+      |         ELSE 88 + 10 * n END AS frag_len,
+      |    100 * slot
+      |      + coalesce(sum(n * d) OVER (PARTITION BY media_id ORDER BY f
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      + CASE WHEN slot = 3 AND f = 2 THEN 7 ELSE 0 END AS tfdt,
+      |    n * d + CASE WHEN slot = 5 AND f = 1 THEN 5 ELSE 0 END
+      |      AS sidx_dur
+      |  FROM fr),
+      |fr3 AS (SELECT *,
+      |    frag_len + CASE WHEN slot = 6 AND f = 2 THEN 3 ELSE 0 END
+      |      AS sidx_size,
+      |    lag(tfdt) OVER (PARTITION BY media_id ORDER BY f) AS prev_tfdt,
+      |    lag(dur_sum) OVER (PARTITION BY media_id ORDER BY f)
+      |      AS prev_dur
+      |  FROM fr2)
+      |SELECT media_id,
+      |  CAST(f - 1 AS INTEGER) AS frag_idx,
+      |  CAST(f AS INTEGER) AS seq_no,
+      |  n AS n_samples,
+      |  CAST(dur_sum AS BIGINT) AS dur_sum,
+      |  CAST(tfdt AS BIGINT) AS tfdt,
+      |  CAST(sidx_dur AS BIGINT) AS sidx_dur,
+      |  CAST(sidx_size AS BIGINT) AS sidx_size,
+      |  CAST(frag_len AS BIGINT) AS actual_size,
+      |  CAST(1000 + 100 * slot AS BIGINT) AS timescale,
+      |  CASE WHEN f = 1 THEN tfdt = 100 * slot
+      |       ELSE tfdt = prev_tfdt + prev_dur END AS tfdt_consistent,
+      |  sidx_dur = dur_sum AS sidx_dur_consistent,
+      |  sidx_size = frag_len AS sidx_size_consistent
+      |FROM fr3 ORDER BY media_id, frag_idx""".stripMargin
+
   val spsOracle: String =
     """WITH p AS (SELECT doc_id AS media_id,
       |    CAST(doc_id % 8 AS INTEGER) AS slot FROM documents),
@@ -5286,6 +5354,7 @@ object TextQueries {
     "mm_frame_types" -> ((frameTypes _, Some(frameTypesOracle))),
     "mm_gop" -> ((gop _, Some(gopOracle))),
     "mm_fragments" -> ((fragments _, Some(fragmentsOracle))),
+    "mm_timeline" -> ((timeline _, Some(timelineOracle))),
     "mm_zip_members" -> ((zipMembers _, Some(zipMembersOracle))),
     "mm_tgz_members" -> ((tgzMembers _, Some(tarMembersOracle))),
     "mm_meta_oracle" -> ((mediaDecode _, Some(mediaDecodeOracle))),

@@ -441,13 +441,16 @@ class PlanSpec extends SparkSpec {
       s"per-doc totals must partial-aggregate:\n$p")
   }
 
-  test("tx_bpe_ids: vocab tables are ALWAYS the broadcast build side; the token stream never builds") {
+  test("tx_bpe_ids: vocab tables are ALWAYS the build side; the token stream never builds") {
     // r15 plan audit: left to its own stats Spark picked the
     // corpus-token-sized exploded stream as the build side (BuildLeft)
     // of the word-segmentation join at small SF — which inverts to a
     // full token-stream shuffle (or an impossible broadcast) at corpus
-    // scale. The explicit broadcast() hints must keep BOTH joins
-    // (word → syms, sym → id) building the vocab-sized right side.
+    // scale. r16: the hint is size-aware (Bpe.vocabJoinSide) —
+    // broadcast under the 1M-row cap, vocab-built shuffled hash join
+    // above it. Every bench SF sits far below the cap, so BOTH joins
+    // (word → syms, sym → id) must still broadcast the vocab-sized
+    // right side here; the above-cap shape is pinned separately below.
     val p = plan("tx_bpe_ids")
     assert(!p.contains("SortMergeJoin"),
       s"token stream must never sort-merge:\n$p")
@@ -455,6 +458,31 @@ class PlanSpec extends SparkSpec {
       s"the corpus side must never be the broadcast build side:\n$p")
     assert(countOf(p, "BroadcastHashJoin") == 2,
       s"expected exactly the two vocab-sized broadcast joins:\n$p")
+  }
+
+  test("vocabJoinSide above the cap: vocab-built shuffled hash join, never a stream-side build") {
+    // the crawl-scale branch: a gated vocab past BroadcastVocabMaxRows
+    // must NOT broadcast (unbounded-broadcast risk — ADVICE r15) and
+    // must NOT let the stream become the build side; the shuffle_hash
+    // hint pins a ShuffledHashJoin building the vocab side
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val stream = Seq.tabulate(64)(i => (i.toLong, s"w${i % 4}"))
+      .toDF("doc_id", "word")
+    val vocab = Seq.tabulate(4)(i => (s"w$i", i.toLong))
+      .toDF("word", "syms")
+    val joined = stream.join(graft.ops.Bpe.vocabJoinSide(vocab, cap = 0L),
+      "word")
+    val p = joined.queryExecution.executedPlan.toString
+    graft.ops.Dedup.releaseCaches()
+    assert(p.contains("ShuffledHashJoin"),
+      s"above-cap vocab must plan a shuffled hash join:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"above-cap vocab must not broadcast:\n$p")
+    assert(p.contains("BuildRight"),
+      s"the vocab (right) side must be the hash build side:\n$p")
+    assert(!p.contains("BuildLeft"),
+      s"the stream side must never build:\n$p")
   }
 
   test("mm_gop: payloads stay in their arrival partition — only the narrow audit rows shuffle") {
@@ -478,6 +506,18 @@ class PlanSpec extends SparkSpec {
     // payload column never crosses an exchange (the only exchange is
     // the ordered-output single partition)
     val p = plan("mm_fragments")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"fixture join must broadcast:\n$p")
+    assert(!p.linesIterator.filter(_.contains("Exchange"))
+        .exists(_.contains("payload")),
+      s"payload bytes must never shuffle:\n$p")
+  }
+
+  test("mm_timeline: shard blobs stay in their arrival partition — only the narrow audit rows shuffle") {
+    // same contract as mm_fragments: the fixture table broadcasts
+    // into the blob frame, the sidx/tfdt walk runs per-partition, and
+    // the payload column never crosses an exchange
+    val p = plan("mm_timeline")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       s"fixture join must broadcast:\n$p")
     assert(!p.linesIterator.filter(_.contains("Exchange"))

@@ -122,6 +122,36 @@ class BpeSpec extends SparkSpec {
     Dedup.releaseCaches()
   }
 
+  test("bpeIds head_ids: true first-8 gated tokens even when the " +
+      "leading whitespace positions are ungated (r16 ADVICE fix)") {
+    // widx numbers ALL whitespace-split positions, so the 9 ungated
+    // leaders (digits / punctuation / >20 chars) push every gated
+    // word past widx 8 — the r15 `widx <= 8` buffer bound collected
+    // NOTHING here while the oracle takes the true first 8 tokens.
+    val dir = java.nio.file.Files.createTempDirectory("bpehead").toString
+    val text = "1 2 3 4 5 6 7 8 overlongwordpastthetwentychargate " +
+      "low lower lowest low lower lowest low low lower"
+    Seq((1L, text), (2L, "low lowest")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = graft.queries.BpeQueries.bpeIds(spark, dir)
+      .select("doc_id", "head_ids").as[(Long, String)]
+      .collect().toMap
+    // ground truth: the id stream in (widx, sidx) order, first 8 —
+    // learnMerges on the same docs at the query's K reproduces the
+    // merge sequence bpeIds trains via the artifact store
+    val docsDf = spark.read.parquet(s"$dir/documents.parquet")
+    val stream = Bpe.encodeIds(spark, docsDf,
+      Bpe.learnMerges(docsDf, graft.queries.BpeQueries.K)._1)
+      .as[(Long, Long, Long, Long)].collect()
+    def first8(doc: Long): String =
+      stream.filter(_._1 == doc).sortBy(t => (t._2, t._3))
+        .take(8).map(_._4).mkString(",")
+    assert(out(1L) == first8(1L))
+    assert(out(1L).nonEmpty, "gated tokens past widx 8 must appear")
+    assert(out(2L) == first8(2L))
+    Dedup.releaseCaches()
+  }
+
   test("MergesArtifact round-trips; truncated ranks are rejected") {
     val d = corpus("low low low lower lowest")
     val (merges, _) = Bpe.learnMerges(d, 4)

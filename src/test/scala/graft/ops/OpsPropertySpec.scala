@@ -516,6 +516,208 @@ class OpsPropertySpec extends SparkSpec {
     }
   }
 
+  test("timeline round-trip law: random sidx/tfdt/duration layouts and planted lies survive encode -> audit walk exactly") {
+    // random duration layout ('A' per-sample trun / 'B' tfhd default /
+    // 'C' trex default), fragment shapes, timescales, presentation
+    // starts, and ONE random lie on a random fragment along a random
+    // axis (none / tfdt / sidx-duration / sidx-size): the walk must
+    // recover every written field exactly and flag precisely the rows
+    // the engine's own consistency recurrence condemns
+    val gen = for {
+      layout <- Gen.oneOf('A', 'B', 'C')
+      nFrags <- Gen.choose(1, 5)
+      counts <- Gen.listOfN(nFrags, Gen.choose(1, 6))
+      d <- Gen.choose(20L, 3000L)
+      ts <- Gen.choose(600L, 90000L)
+      ept <- Gen.choose(0L, 10000L)
+      axis <- Gen.oneOf(0, 1, 2, 3)
+      target <- Gen.choose(0, 4)
+      delta <- Gen.choose(1L, 97L)
+    } yield (layout, counts, d, ts, ept, axis, target, delta)
+    samples(gen, 50).zipWithIndex.foreach {
+      case ((layout, counts, d, ts, ept, axis, target, delta), i) =>
+        val nFrags = counts.size
+        val tgt = target % nFrags
+        val durSums = counts.map(_ * d)
+        val tfdts = (0 until nFrags).map { f =>
+          ept + durSums.take(f).sum +
+            (if (axis == 1 && f == tgt) delta else 0L)
+        }
+        val sidxDurs = (0 until nFrags).map { f =>
+          durSums(f) + (if (axis == 2 && f == tgt) delta else 0L)
+        }
+        val fragLen = (n: Int) => layout match {
+          case 'A' => 88L + 14 * n
+          case 'B' => 92L + 10 * n
+          case _ => 88L + 10 * n
+        }
+        val sizes = (0 until nFrags).map { f =>
+          fragLen(counts(f)) + (if (axis == 3 && f == tgt) delta else 0L)
+        }
+        val b = MediaFixtures.timelineMp4(ts, ept, layout, d, counts,
+          tfdts, sidxDurs, sidxSizes = Some(sizes))
+        val rows = Multimodal.Mp4TimelineWalk.index(i.toLong, b)
+        assert(rows.size == nFrags, s"case $i: ${rows.size} rows")
+        (0 until nFrags).foreach { f =>
+          val r = rows(f)
+          assert(r.frag_idx == f && r.seq_no == f + 1, s"case $i: $r")
+          assert(r.n_samples == counts(f), s"case $i: $r")
+          assert(r.dur_sum == durSums(f), s"case $i: $r")
+          assert(r.tfdt == tfdts(f), s"case $i: $r")
+          assert(r.sidx_dur == sidxDurs(f), s"case $i: $r")
+          assert(r.sidx_size == sizes(f), s"case $i: $r")
+          assert(r.actual_size == fragLen(counts(f)), s"case $i: $r")
+          assert(r.timescale == ts, s"case $i: $r")
+          // the expected flags re-derive the recurrence from the
+          // WRITTEN values, independently of the byte walk
+          val wantTfdtOk =
+            if (f == 0) tfdts(0) == ept
+            else tfdts(f) == tfdts(f - 1) + durSums(f - 1)
+          assert(r.tfdt_consistent == wantTfdtOk, s"case $i f$f: $r")
+          assert(r.sidx_dur_consistent == (sidxDurs(f) == durSums(f)),
+            s"case $i f$f: $r")
+          assert(r.sidx_size_consistent ==
+            (sizes(f) == fragLen(counts(f))), s"case $i f$f: $r")
+        }
+    }
+  }
+
+  test("defaults-ladder law: all 8 tfhd flag subsets x trex-hit/miss x multi-trun round-trip exactly") {
+    // r16 (verdict #6): the fragment walk's §8.8.7 grid, enumerated
+    // EXHAUSTIVELY — {base-data-offset, default-sample-size,
+    // default-sample-flags} tfhd subsets × {trex present, trex
+    // absent} — with randomized fragment shapes and 1–3 trun splits
+    // per traf (later truns alternate explicit data_offset /
+    // contiguous continuation). Per-sample trun sizes/flags are
+    // emitted exactly when no default supplies them, so every cell
+    // exercises its own rung of the ladder.
+    def be(v: Long): Array[Byte] = Array(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def bx(t: String, p: Array[Byte]): Array[Byte] =
+      be(8L + p.length) ++ t.getBytes("US-ASCII") ++ p
+    val Sync = 0x02000000L
+    val NonSync = 0x01010000L
+    val cfg = MediaFixtures.avcCBox(77, 31, nalLen = 2, 4, 3, 0, 0)
+    val entry = be(8L + 78 + cfg.length) ++
+      "avc1".getBytes("US-ASCII") ++ new Array[Byte](78) ++ cfg
+    val stsd = bx("stsd", be(0) ++ be(1) ++ entry)
+    var cell = 0
+    for {
+      hasBase <- Seq(false, true)
+      hasDefSize <- Seq(false, true)
+      hasDefFlags <- Seq(false, true)
+      trexHit <- Seq(false, true)
+    } {
+      cell += 1
+      val rnd = new scala.util.Random(cell.toLong) // deterministic per cell
+      val uSize = 60 + rnd.nextInt(60)
+      val perSampleSize = !hasDefSize && !trexHit
+      val perSampleFlags = !hasDefFlags && !trexHit
+      val nFrags = 1 + rnd.nextInt(3)
+      val counts = Seq.fill(nFrags)(2 + rnd.nextInt(4))
+      val types = counts.map(n => Seq.fill(n)(
+        Seq('I', 'P', 'B')(rnd.nextInt(3))))
+      // expected effective flags mirror the walk's precedence chain:
+      // per-sample > tfhd default > trex default (> 0 on trex miss)
+      val defFlagsVal =
+        if (hasDefFlags) NonSync else if (trexHit) NonSync else 0L
+      val claimsOf = (f: Int) => (0 until counts(f)).map { k =>
+        if (perSampleFlags) k % 2 == 0
+        else (defFlagsVal & 0x10000L) == 0L
+      }
+      val sizesOf = (f: Int) => (0 until counts(f)).map { k =>
+        if (perSampleSize) uSize + 3 * k else uSize
+      }
+      val payloads = (0 until nFrags).map { f =>
+        types(f).zipWithIndex.map { case (ft, k) =>
+          val base = if (ft == 'I') 2 else if (ft == 'B') 1 else 0
+          MediaFixtures.nalSample(sizesOf(f)(k), 2, hevc = false,
+            Seq(MediaFixtures.avcSliceNal(ft == 'I', base, 16)))
+        }
+      }
+      val trex =
+        if (!trexHit) Array.empty[Byte]
+        else bx("trex", be(0) ++ be(1) ++ be(1) ++ be(0) ++
+          be(uSize.toLong) ++ be(NonSync))
+      val moov = bx("moov",
+        bx("trak", bx("mdia", bx("minf", bx("stbl", stsd)))) ++
+          (if (trexHit) bx("mvex", trex) else Array.empty[Byte]))
+      val ftyp = bx("ftyp", "isom".getBytes("US-ASCII") ++ be(0))
+      // assemble fragments with a two-pass for offsets; split each
+      // traf's samples into 1-3 truns
+      var pos = (ftyp.length + moov.length).toLong
+      val fileOut = new java.io.ByteArrayOutputStream()
+      fileOut.write(ftyp); fileOut.write(moov)
+      val wantRows = scala.collection.mutable.ArrayBuffer[
+        (Long, Int, Boolean, Char)]() // (offset, size, claimed, type)
+      (0 until nFrags).foreach { f =>
+        val n = counts(f)
+        val splits = 1 + rnd.nextInt(math.min(3, n))
+        val bounds = (0 to splits).map(s => s * n / splits)
+        val laterExplicit = rnd.nextBoolean()
+        def moofOf(moofStart: Long, dataStart: Long): Array[Byte] = {
+          val mfhd = bx("mfhd", be(0) ++ be(f + 1L))
+          var tf = 0L
+          var body = be(1) // track id
+          if (hasBase) { tf |= 0x1
+            body = body ++ be(moofStart >> 32) ++ be(moofStart & 0xffffffffL) }
+          if (hasDefSize) { tf |= 0x10; body = body ++ be(uSize.toLong) }
+          if (hasDefFlags) { tf |= 0x20; body = body ++ be(NonSync) }
+          val tfhd = bx("tfhd", be(tf) ++ body)
+          var sampleAt = dataStart
+          val truns = (0 until splits).map { s =>
+            val lo = bounds(s); val hi = bounds(s + 1)
+            var fl = 0L
+            // first trun always carries data_offset (relative to the
+            // base); later truns alternate explicit vs contiguous
+            val explicit = s == 0 || laterExplicit
+            if (explicit) fl |= 0x1
+            if (perSampleSize) fl |= 0x200
+            if (perSampleFlags) fl |= 0x400
+            val baseVal = if (hasBase) moofStart else moofStart
+            var p = be(fl) ++ be((hi - lo).toLong)
+            if (explicit) p = p ++ be(sampleAt - baseVal)
+            (lo until hi).foreach { k =>
+              if (perSampleSize) p = p ++ be(sizesOf(f)(k).toLong)
+              if (perSampleFlags)
+                p = p ++ be(if (k % 2 == 0) Sync else NonSync)
+              sampleAt += sizesOf(f)(k)
+            }
+            bx("trun", p)
+          }
+          bx("moof", mfhd ++ bx("traf", tfhd ++ truns.flatten.toArray))
+        }
+        val probeLen = moofOf(pos, 0L).length
+        val dataStart = pos + probeLen + 8
+        val moof = moofOf(pos, dataStart)
+        assert(moof.length == probeLen, "two-pass moof length stable")
+        val mdat = bx("mdat", payloads(f).flatten.toArray)
+        fileOut.write(moof); fileOut.write(mdat)
+        var off = dataStart
+        (0 until n).foreach { k =>
+          wantRows += ((off, sizesOf(f)(k), claimsOf(f)(k), types(f)(k)))
+          off += sizesOf(f)(k)
+        }
+        pos += moof.length + mdat.length
+      }
+      val b = fileOut.toByteArray
+      val rows = Multimodal.Mp4FragmentWalk.index(cell.toLong, b)
+      assert(rows.size == wantRows.size,
+        s"cell $cell (base=$hasBase size=$hasDefSize flags=$hasDefFlags " +
+          s"trex=$trexHit): ${rows.size}/${wantRows.size} rows " +
+          s"(${rows.headOption})")
+      rows.zip(wantRows).zipWithIndex.foreach {
+        case ((r, (off, sz, claimed, ft)), gi) =>
+          val tag = s"cell $cell sample $gi (base=$hasBase " +
+            s"size=$hasDefSize flags=$hasDefFlags trex=$trexHit)"
+          assert(r.offset == off, s"$tag: $r")
+          assert(r.size == sz, s"$tag: $r")
+          assert(r.sync_claimed == claimed, s"$tag: $r")
+          assert(r.frame_type == ft.toString, s"$tag: $r")
+      }
+    }
+  }
+
   test("frame-type round-trip law: random access units survive encode -> sample walk -> slice-header parse exactly") {
     // every combination of codec, NAL prefix size, GOP pattern, AVC
     // +5 slice_type variants, HEVC PPS extra bits (0..7 — the walk

@@ -2156,6 +2156,96 @@ class OpsSpec extends SparkSpec {
     assert(builds == 2, s"the cancelling edit must rebuild (builds=$builds)")
   }
 
+  test("ArtifactStore: a reader's frames survive a concurrent rebuild; torn versions never serve (r16 cross-process protocol)") {
+    val dir = java.nio.file.Files.createTempDirectory("artver").toString
+    Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    var builds = 0
+    def build(): Map[String, org.apache.spark.sql.DataFrame] = {
+      builds += 1
+      Map("vals" -> Seq((builds.toLong, "payload")).toDF("gen", "tag"))
+    }
+    val names = Seq("vals")
+    val fam = "ver_test"
+    // first build publishes v1; reader holds its leaf scans
+    val held = ArtifactStore.loadOrBuild(spark, dir, fam, "c1", names)(
+      build())("vals")
+    assert(held.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // a second JVM's rebuild, stood in by a thread: the store lock
+    // serializes the STORE calls, but the reader's collect() of
+    // already-returned frames runs outside it — exactly the window
+    // the pre-r16 in-place overwrite could tear. The barrier hands
+    // off: reader collected v1 → writer rebuilds (v2 publish) →
+    // reader re-collects its OLD frames throughout and after.
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val done = new java.util.concurrent.CountDownLatch(1)
+    val writer = new Thread(() => {
+      start.await()
+      ArtifactStore.rebuild(spark, dir, fam, "c1", names)(build())
+      done.countDown()
+    })
+    writer.start()
+    start.countDown()
+    // old frames must read v1 content during and after the rebuild
+    var polls = 0
+    while (done.getCount > 0 && polls < 200) {
+      assert(held.collect().map(_.getLong(0)).toSeq == Seq(1L),
+        "a published version must be immutable under a racing rebuild")
+      polls += 1
+    }
+    done.await()
+    writer.join()
+    assert(held.collect().map(_.getLong(0)).toSeq == Seq(1L),
+      "superseded version swept before its grace period")
+    // a fresh load resolves the new CURRENT
+    val after = ArtifactStore.loadOrBuild(spark, dir, fam, "c1", names)(
+      build())("vals")
+    assert(after.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(builds == 2, s"fresh load after publish must hit (builds=$builds)")
+    // torn build (crash before publish): a complete-looking version
+    // dir that CURRENT never named must read as a miss, not serve
+    val p = new java.io.File(s"${sys.props("user.dir")}/spark-warehouse/" +
+      "graft_artifacts").listFiles().filter(_.getName == fam).head
+      .listFiles().filter(_.isDirectory).head
+    val orphan = ArtifactStore.newVersionDir(p.getPath)
+    Seq((99L, "torn")).toDF("gen", "tag")
+      .write.parquet(s"${p.getPath}/$orphan/vals")
+    val resolved = ArtifactStore.loadOrBuild(spark, dir, fam, "c1", names)(
+      build())("vals").collect().map(_.getLong(0)).toSeq
+    assert(resolved == Seq(2L) && builds == 2,
+      "an unpublished version must never resolve")
+    // a torn CURRENT pointer (names a missing dir) reads as a miss
+    java.nio.file.Files.write(new java.io.File(p, "CURRENT").toPath,
+      "vdoesnotexist".getBytes("UTF-8"))
+    val rebuilt = ArtifactStore.loadOrBuild(spark, dir, fam, "c1", names)(
+      build())("vals").collect().map(_.getLong(0)).toSeq
+    assert(rebuilt == Seq(3L) && builds == 3,
+      "a dangling CURRENT must rebuild, not throw or serve garbage")
+    // no temp pointer files linger after publishes
+    assert(p.listFiles().forall(!_.getName.startsWith(".CURRENT")),
+      "atomic pointer flip must not leave temp files")
+  }
+
+  test("SuffixIndex: a held handle survives a rebuild under the versioned protocol") {
+    val dir = java.nio.file.Files.createTempDirectory("sfxver").toString
+    Seq((1L, "a b c a b"), (2L, "b c d")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val h1 = SuffixIndex.loadOrBuild(spark, dir)
+    val want = h1.ranks.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // a rebuild (same corpus → same content, NEW version dir) must
+    // not disturb the held handle's leaf scans mid-flight
+    SuffixIndex.rebuild(spark, dir)
+    assert(h1.ranks.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+      r.getLong(2)).toMap == want,
+      "held suffix handle torn by a rebuild")
+    assert(h1.pairs.collect().nonEmpty)
+    val h2 = SuffixIndex.loadOrBuild(spark, dir)
+    assert(h2.ranks.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+      r.getLong(2)).toMap == want)
+    graft.ops.Dedup.releaseCaches()
+  }
+
   test("SuffixIndex.sweepStale: newest RetainKeys key dirs survive a build, older keys are removed") {
     val fam = java.nio.file.Files.createTempDirectory("sweep").toFile
     val dirs = (0 until SuffixIndex.RetainKeys + 4).map { i =>
@@ -2404,6 +2494,144 @@ class OpsSpec extends SparkSpec {
     rows.zip(samples).foreach { case (r, s) =>
       assert(java.util.Arrays.equals(java.util.Arrays.copyOfRange(
         b, r.offset.toInt, r.offset.toInt + r.size), s), s"bytes at $r")
+    }
+  }
+
+  test("Mp4FragmentWalk: a second traf without explicit base offset starts at the previous traf's data end; inflated sample_count sentinels") {
+    // ISO 14496-12 §8.8.7: with neither base-data-offset nor
+    // default-base-is-moof, only the FIRST traf defaults to the moof
+    // start — later trafs default to the end of the previous traf's
+    // data (r16 ADVICE fix: the walk used the moof start for every
+    // traf, silently mis-addressing multi-track fragments)
+    import graft.ops.{MediaFixtures, Multimodal}
+    def be32(v: Long): Array[Byte] = Array(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def bx(t: String, p: Array[Byte]): Array[Byte] =
+      be32(8L + p.length) ++ t.getBytes("US-ASCII") ++ p
+    val cfg = MediaFixtures.avcCBox(77, 31, nalLen = 2, 4, 3, 0, 0)
+    val entry = be32(8L + 78 + cfg.length) ++
+      "avc1".getBytes("US-ASCII") ++ new Array[Byte](78) ++ cfg
+    val stsd = bx("stsd", be32(0) ++ be32(1) ++ entry)
+    val trex = bx("trex", be32(0) ++ be32(1) ++ be32(1) ++ be32(0) ++
+      be32(0) ++ be32(0x01010000L))
+    val moov = bx("moov",
+      bx("trak", bx("mdia", bx("minf", bx("stbl", stsd)))) ++
+        bx("mvex", trex))
+    val ftyp = bx("ftyp", "isom".getBytes("US-ASCII") ++ be32(0))
+    val types = Seq('I', 'P', 'B', 'P')
+    val sizes = Seq(40, 50, 60, 70)
+    val samples = types.zip(sizes).map { case (ft, sz) =>
+      val base = if (ft == 'I') 2 else if (ft == 'B') 1 else 0
+      MediaFixtures.nalSample(sz, 2, hevc = false,
+        Seq(MediaFixtures.avcSliceNal(ft == 'I', base, 16)))
+    }
+    def flagsOf(i: Int): Long =
+      if (i % 2 == 0) 0x02000000L else 0x01010000L
+    // traf 1 (track 1): tfhd carries ONLY the track id (flags = 0), so
+    // its base is the moof start; the trun's data_offset lands its two
+    // samples at the mdat payload. traf 2 (track 2): tfhd flags = 0
+    // AND the trun omits data_offset — everything rides the §8.8.7
+    // default ladder and must continue at traf 1's data end.
+    def moof(dataOff: Long): Array[Byte] = {
+      val mfhd = bx("mfhd", be32(0) ++ be32(1))
+      val tfhd1 = bx("tfhd", be32(0x000000) ++ be32(1))
+      val trun1 = bx("trun", be32(0x000601) ++ be32(2) ++ be32(dataOff) ++
+        (0 until 2).toArray.flatMap(i =>
+          be32(sizes(i).toLong) ++ be32(flagsOf(i))))
+      val tfhd2 = bx("tfhd", be32(0x000000) ++ be32(2))
+      val trun2 = bx("trun", be32(0x000600) ++ be32(2) ++ // NO data_offset
+        (2 until 4).toArray.flatMap(i =>
+          be32(sizes(i).toLong) ++ be32(flagsOf(i))))
+      bx("moof", mfhd ++ bx("traf", tfhd1 ++ trun1) ++
+        bx("traf", tfhd2 ++ trun2))
+    }
+    val moofLen = moof(0L).length
+    val b = ftyp ++ moov ++ moof(moofLen + 8L) ++
+      bx("mdat", samples.flatten.toArray)
+    val rows = Multimodal.Mp4FragmentWalk.index(11L, b)
+    assert(rows.size == 4, s"rows: $rows")
+    val base = (ftyp.length + moov.length + moofLen + 8).toLong
+    val wantOffsets = sizes.scanLeft(base)(_ + _).init
+    assert(rows.map(_.offset) == wantOffsets, s"offsets: $rows")
+    assert(rows.map(_.size) == sizes, s"sizes: $rows")
+    // every offset addresses the REAL planted sample bytes — the
+    // old moof-start default would have pointed traf 2 into the moof
+    rows.zip(samples).foreach { case (r, s) =>
+      assert(java.util.Arrays.equals(java.util.Arrays.copyOfRange(
+        b, r.offset.toInt, r.offset.toInt + r.size), s), s"bytes at $r")
+    }
+    // a trun whose sample_count claims more entries than its box
+    // holds must sentinel (r16 ADVICE fix: the old per-field guard
+    // read past the trun into adjacent box bytes, emitting garbage)
+    def badMoof(dataOff: Long): Array[Byte] = {
+      val mfhd = bx("mfhd", be32(0) ++ be32(1))
+      val tfhd = bx("tfhd", be32(0x020000) ++ be32(1))
+      val trun = bx("trun", be32(0x000601) ++ be32(100) ++ be32(dataOff) ++
+        (0 until 2).toArray.flatMap(i =>
+          be32(sizes(i).toLong) ++ be32(flagsOf(i))))
+      bx("moof", mfhd ++ bx("traf", tfhd ++ trun))
+    }
+    val badLen = badMoof(0L).length
+    val bad = ftyp ++ moov ++ badMoof(badLen + 8L) ++
+      bx("mdat", samples.flatten.toArray)
+    val badRows = Multimodal.Mp4FragmentWalk.index(12L, bad)
+    assert(badRows.size == 1 && badRows.head.frag_idx == -1,
+      s"inflated sample_count must sentinel: $badRows")
+  }
+
+  test("Mp4TimelineWalk: planted slots recover every timing field; the three lies surface on their own axes; corrupt sentinels") {
+    import graft.ops.{MediaFixtures, Multimodal}
+    for (m <- 0 until 8) {
+      val b = MediaFixtures.plantedTimelineMp4(m)
+      val rows = Multimodal.Mp4TimelineWalk.index(m.toLong, b)
+      val nFrags = m % 3 + 2
+      val d = 40L + m
+      val counts = (1 to nFrags).map(f => (m + f) % 3 + 1)
+      assert(rows.size == nFrags, s"slot $m: ${rows.size} fragments")
+      val fragLen = (n: Int) =>
+        if (m % 2 == 1) 88L + 14 * n
+        else if (m == 0 || m == 2) 92L + 10 * n
+        else 88L + 10 * n
+      (1 to nFrags).foreach { f =>
+        val r = rows(f - 1)
+        val n = counts(f - 1)
+        assert(r.frag_idx == f - 1 && r.seq_no == f, s"slot $m: $r")
+        assert(r.n_samples == n, s"slot $m f$f: $r")
+        assert(r.dur_sum == n * d, s"slot $m f$f: $r")
+        val tfdtTruth = 100L * m + counts.take(f - 1).map(_ * d).sum
+        assert(r.tfdt == tfdtTruth +
+          (if (m == 3 && f == 2) 7L else 0L), s"slot $m f$f: $r")
+        assert(r.sidx_dur == n * d +
+          (if (m == 5 && f == 1) 5L else 0L), s"slot $m f$f: $r")
+        assert(r.actual_size == fragLen(n), s"slot $m f$f: $r")
+        assert(r.sidx_size == fragLen(n) +
+          (if (m == 6 && f == 2) 3L else 0L), s"slot $m f$f: $r")
+        assert(r.timescale == 1000L + 100 * m, s"slot $m: $r")
+        assert(r.tfdt_consistent == !(m == 3 && f == 2), s"slot $m f$f: $r")
+        assert(r.sidx_dur_consistent == !(m == 5 && f == 1),
+          s"slot $m f$f: $r")
+        assert(r.sidx_size_consistent == !(m == 6 && f == 2),
+          s"slot $m f$f: $r")
+      }
+    }
+    // exactly the three planted lies across the table, one per axis
+    val lies = for {
+      m <- 0 until 8
+      r <- Multimodal.Mp4TimelineWalk.index(m.toLong,
+        MediaFixtures.plantedTimelineMp4(m))
+      if !r.tfdt_consistent || !r.sidx_dur_consistent ||
+        !r.sidx_size_consistent
+    } yield (m, r.frag_idx)
+    assert(lies == Seq((3, 1), (5, 0), (6, 1)), s"lies: $lies")
+    // a non-fragmented container sentinels; corrupt/truncated/null too
+    val plain = Multimodal.Mp4TimelineWalk.index(1L,
+      MediaFixtures.plantedAvcMp4(1))
+    assert(plain.size == 1 && plain.head.frag_idx == -1)
+    val good = MediaFixtures.plantedTimelineMp4(1)
+    for (bad <- Seq(Array[Byte](1, 2, 3), null,
+        java.util.Arrays.copyOf(good, 60))) {
+      val r = Multimodal.Mp4TimelineWalk.index(9L, bad)
+      assert(r.size == 1 && r.head.frag_idx == -1, "corrupt must sentinel")
     }
   }
 

@@ -1077,6 +1077,112 @@ class StreamingSpec extends SparkSpec {
       "a replayed micro-batch must not duplicate or change rows")
   }
 
+  test("streaming artifact consumers: warehouse-frozen models score streams batch-identically (r16, verdict #7)") {
+    // the production shape the 34 twins missed: a readStream consumer
+    // scoring under a model loaded FROM THE ARTIFACT STORE (not one
+    // trained in-test) — one sub-case per CurationArtifacts family
+    // shape: clf_pool (model+iso), clf_holdout (model+grid), lid_docs
+    // (multi-head LID), unigram_pool (segmentation table), pool (the
+    // frozen corpus release as a stream-static join side)
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val (poolModel, iso) = graft.queries.CurationArtifacts.clfPool(spark, dir)
+    val (holdModel, grid) = graft.queries.CurationArtifacts.clfHoldout(spark, dir)
+    val lidModel = graft.queries.CurationArtifacts.lid(spark, dir)
+    val seg = graft.queries.CurationArtifacts.unigramPool(spark, dir)
+    val pool = graft.queries.CurationArtifacts.pool(spark, dir)
+    assert(iso.count() > 0 && grid.count() == 10001)
+    val streamDocs = Seq(
+      (10L, "the house and the garden is fine and the cat is good"),
+      (11L, "der haus und der garten ist gut und die katze ist gut"),
+      (12L, "the quick brown fox jumps over the lazy dog tonight"),
+      (13L, "le chat est dans la maison et il est tres bien"))
+    val in = tmpDir("art-in")
+    def jline(d: (Long, String)) = s"""{"doc_id":${d._1},"text":"${d._2}"}"""
+    val fa = java.nio.file.Paths.get(s"$in/a.jsonl")
+    val fb = java.nio.file.Paths.get(s"$in/b.jsonl")
+    java.nio.file.Files.write(fa,
+      streamDocs.take(2).map(jline).mkString("\n").getBytes)
+    java.nio.file.Files.write(fb,
+      streamDocs.drop(2).map(jline).mkString("\n").getBytes)
+    fa.toFile.setLastModified(System.currentTimeMillis() - 60000)
+    val outClf = tmpDir("art-out") + "/clf"
+    val outHold = tmpDir("art-out") + "/hold"
+    val outLid = tmpDir("art-out") + "/lid"
+    val outUni = tmpDir("art-out") + "/uni"
+    val q = spark.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1).json(in)
+      .writeStream
+      .option("checkpointLocation", tmpDir("art-ckpt"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        StreamingClf.scoringAppender(poolModel, outClf)(batch, batchId)
+        StreamingClf.scoringAppender(holdModel, outHold)(batch, batchId)
+        StreamingLid.scoringAppender(lidModel, outLid)(batch, batchId)
+        graft.ops.UnigramLm.scoreDocs(batch, seg)
+          .write.mode("overwrite").parquet(s"$outUni/batch_id=$batchId")
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val sdf = streamDocs.toDF("doc_id", "text")
+    def scores(df: DataFrame) = df.select("doc_id", "clf_score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(scores(spark.read.parquet(outClf)) ==
+      scores(graft.ops.TextAnalysis.scoreWithClfModel(sdf, poolModel)),
+      "pool-clf artifact: stream must equal batch")
+    assert(scores(spark.read.parquet(outHold)) ==
+      scores(graft.ops.TextAnalysis.scoreWithClfModel(sdf, holdModel)),
+      "holdout-clf artifact: stream must equal batch")
+    // holdout grid calibration: the consumer's s4 equi-join applied to
+    // the streamed scores matches the same join on batch scores
+    def calibrated(df: DataFrame) = df
+      .select(col("doc_id"),
+        round(col("clf_score") * 10000).cast("long").as("s4"))
+      .join(broadcast(grid), Seq("s4"))
+      .select("doc_id", "calibrated").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(calibrated(spark.read.parquet(outHold)) ==
+      calibrated(graft.ops.TextAnalysis.scoreWithClfModel(sdf, holdModel)),
+      "grid calibration must agree on streamed scores")
+    def preds(df: DataFrame) = df.select("doc_id", "lang_pred").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(preds(spark.read.parquet(outLid)) ==
+      preds(graft.ops.TextAnalysis.scoreWithLidModel(sdf, lidModel)),
+      "lid_docs artifact: stream must equal batch")
+    def uniRows(df: DataFrame) = df
+      .select("doc_id", "n_words", "n_uni_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(uniRows(spark.read.parquet(outUni)) ==
+      uniRows(graft.ops.UnigramLm.scoreDocs(sdf, seg)),
+      "unigram_pool artifact: stream must equal batch")
+    // pool as the frozen release: a stream-static left-semi join
+    // ("is this doc in the release") equals the batch filter — drive
+    // a second tiny stream carrying REAL corpus ids
+    val poolIds = pool.select("doc_id").limit(2)
+      .collect().map(_.getLong(0))
+    assert(poolIds.nonEmpty, "premise: the pool artifact has rows")
+    val in2 = tmpDir("art-in2")
+    val mixed = poolIds.map(id => (id, "x")) :+ ((-999L, "x"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in2/a.jsonl"),
+      mixed.map(d => s"""{"doc_id":${d._1},"text":"${d._2}"}""")
+        .mkString("\n").getBytes)
+    val outPool = tmpDir("art-out") + "/pool"
+    val q2 = spark.readStream.schema("doc_id LONG, text STRING")
+      .json(in2)
+      .writeStream
+      .option("checkpointLocation", tmpDir("art-ckpt2"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.join(pool.select("doc_id"), Seq("doc_id"), "left_semi")
+          .write.mode("overwrite").parquet(s"$outPool/batch_id=$batchId")
+      }
+      .start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.read.parquet(outPool).select("doc_id").collect()
+      .map(_.getLong(0)).toSet == poolIds.toSet,
+      "pool membership gate: stream-static join must equal batch filter")
+    graft.ops.Dedup.releaseCaches()
+  }
+
   test("watermarked windowed level counts over the stream") {
     val in = tmpDir("stream-win")
     java.nio.file.Files.copy(
