@@ -770,6 +770,122 @@ object MediaFixtures {
     }
   }
 
+  // ------------------------------------------------- WebM / EBML
+
+  /** Minimal-width EBML size VINT (ISO/IEC? no — the EBML spec, RFC
+    * 8794 §4): the marker bit in the first byte encodes the width;
+    * values use the minimal width that fits (deterministic). */
+  private def ebmlSize(v: Long): Array[Byte] = {
+    require(v >= 0, s"ebml size $v")
+    var w = 1
+    while (w < 8 && v > (1L << (7 * w)) - 2) w += 1
+    val out = new Array[Byte](w)
+    var x = v | (1L << (7 * w))
+    var i = w - 1
+    while (i >= 0) { out(i) = (x & 0xff).toByte; x >>= 8; i -= 1 }
+    out
+  }
+
+  /** One EBML element: raw ID bytes (IDs keep their marker per RFC
+    * 8794) + size VINT + payload. */
+  private def ebml(id: Array[Byte], payload: Array[Byte]): Array[Byte] =
+    id ++ ebmlSize(payload.length.toLong) ++ payload
+
+  private def ebmlUint(id: Array[Byte], v: Long): Array[Byte] = {
+    var w = 1
+    while (w < 8 && v >= (1L << (8 * w))) w += 1
+    val p = new Array[Byte](w)
+    var x = v
+    var i = w - 1
+    while (i >= 0) { p(i) = (x & 0xff).toByte; x >>= 8; i -= 1 }
+    ebml(id, p)
+  }
+
+  private def idb(bs: Int*): Array[Byte] = bs.map(_.toByte).toArray
+
+  /** A VP9-style frame payload whose FIRST BYTE carries the
+    * uncompressed-header prefix (VP9 bitstream spec §6.2): frame
+    * marker 0b10, profile 0, show_existing 0, then the frame_type
+    * bit (0 = KEY) and show_frame 1 — 0x82 for a key frame, 0x86
+    * for an inter frame — followed by deterministic filler. */
+  def vp9Frame(key: Boolean, size: Int): Array[Byte] = {
+    require(size >= 1)
+    val out = new Array[Byte](size)
+    out(0) = (if (key) 0x82 else 0x86).toByte
+    var i = 1
+    while (i < size) { out(i) = (i * 31 + size).toByte; i += 1 }
+    out
+  }
+
+  /** WebM (Matroska subset, RFC 8794 EBML framing): `EBML(DocType)` +
+    * `Segment(Info(TimestampScale), Tracks(TrackEntry(TrackNumber,
+    * TrackType, CodecID, Video(PixelWidth, PixelHeight))),
+    * Cluster(Timestamp, SimpleBlock*)*)`. Each SimpleBlock payload is
+    * track VINT + s16 relative timestamp + flags byte (0x80 =
+    * keyframe claim) + the frame bytes. `clusters(c)` =
+    * (clusterTimestamp, blocks); each block = (relTs, claimedKey,
+    * frameBytes). */
+  def webm(docType: String, timescale: Long, track: Int,
+      codec: String, pixelW: Int, pixelH: Int,
+      clusters: Seq[(Long, Seq[(Int, Boolean, Array[Byte])])])
+      : Array[Byte] = {
+    val header = ebml(idb(0x1A, 0x45, 0xDF, 0xA3),
+      ebml(idb(0x42, 0x82), docType.getBytes("US-ASCII")))
+    val info = ebml(idb(0x15, 0x49, 0xA9, 0x66),
+      ebmlUint(idb(0x2A, 0xD7, 0xB1), timescale))
+    val video = ebml(idb(0xE0),
+      ebmlUint(idb(0xB0), pixelW.toLong) ++
+        ebmlUint(idb(0xBA), pixelH.toLong))
+    val entry = ebml(idb(0xAE),
+      ebmlUint(idb(0xD7), track.toLong) ++
+        ebmlUint(idb(0x83), 1L) ++
+        ebml(idb(0x86), codec.getBytes("US-ASCII")) ++ video)
+    val tracks = ebml(idb(0x16, 0x54, 0xAE, 0x6B), entry)
+    val clusterBytes = clusters.map { case (ts, blocks) =>
+      val body = ebmlUint(idb(0xE7), ts) ++
+        blocks.toArray.flatMap { case (rel, key, frame) =>
+          val blk = ebmlSize(track.toLong) ++ Array(
+            ((rel >> 8) & 0xff).toByte, (rel & 0xff).toByte,
+            (if (key) 0x80 else 0x00).toByte) ++ frame
+          ebml(idb(0xA3), blk)
+        }
+      ebml(idb(0x1F, 0x43, 0xB6, 0x75), body)
+    }
+    header ++ ebml(idb(0x18, 0x53, 0x80, 0x67),
+      info ++ tracks ++ clusterBytes.toArray.flatten)
+  }
+
+  /** The 8-slot planted WebM table assigned by `doc_id % 8` in
+    * `mm_webm`: slot m carries m % 3 + 1 clusters, cluster c
+    * (1-based) at timestamp 1000c + 10m holds (m + c) % 3 + 1
+    * SimpleBlocks with relative timestamps 7k and VP9 frame sizes
+    * 30 + 5m + 3k (k 1-based in cluster); the cluster head is the
+    * keyframe (claimed AND bitstream-key), except the two planted
+    * lies: slot 2 cluster 2 block 2 CLAIMS key over an inter frame,
+    * slot 5 cluster 1 block 1 claims non-key over a KEY frame (the
+    * inverse lie — `key_consistent` surfaces both). Track m % 2 + 1,
+    * timescale 1000000 + 1000m, dims (320 + 16m) × (180 + 8m),
+    * codec V_VP9, doc type webm. All fields are doc_id arithmetic —
+    * the oracle states them without reading a byte. */
+  def plantedWebm(m: Int): Array[Byte] = {
+    val clusters = (1 to m % 3 + 1).map { c =>
+      val blocks = (1 to (m + c) % 3 + 1).map { k =>
+        val keyTruth =
+          if (m == 5 && c == 1 && k == 1) true
+          else if (m == 2 && c == 2 && k == 2) false
+          else k == 1
+        val claimed =
+          if (m == 5 && c == 1 && k == 1) false
+          else if (m == 2 && c == 2 && k == 2) true
+          else k == 1
+        (7 * k, claimed, vp9Frame(keyTruth, 30 + 5 * m + 3 * k))
+      }
+      (1000L * c + 10 * m, blocks)
+    }
+    webm("webm", 1000000L + 1000 * m, m % 2 + 1, "V_VP9",
+      320 + 16 * m, 180 + 8 * m, clusters)
+  }
+
   /** The planted frame-type rule for slot m, sample s (1-based) —
     * shared truth between [[plantedAvcMp4]]'s slice NALs and the
     * `mm_frame_types`/`mm_gop` oracles (which restate it as doc_id

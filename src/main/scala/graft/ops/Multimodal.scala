@@ -1490,6 +1490,188 @@ object Multimodal {
     }
   }
 
+  /** One WebM/Matroska SimpleBlock audit row: the container's
+    * keyframe CLAIM (the SimpleBlock flags bit a player's seek index
+    * trusts) cross-checked against the VP9 uncompressed-header
+    * frame_type bit (`vp9_key`; VP9 bitstream spec §6.2) —
+    * `key_consistent` is the EBML twin of the MP4 family's
+    * `sync_consistent`. Non-VP9 codecs and unparseable frame heads
+    * read vacuous-true. Track metadata (codec, dims, timescale,
+    * doc type) rides every row so a corpus filter never needs a
+    * second pass. */
+  case class WebmBlock(media_id: Long, cluster_idx: Int, track: Int,
+      rel_ts: Int, abs_ts: Long, size: Int, key_claimed: Boolean,
+      vp9_key: Boolean, key_consistent: Boolean, codec: String,
+      pixel_w: Int, pixel_h: Int, timescale: Long, doc_type: String)
+
+  /** WebM / Matroska container walk (EBML framing per RFC 8794;
+    * element semantics per the Matroska spec): `EBML > DocType`,
+    * `Segment > Info > TimestampScale`, `Segment > Tracks >
+    * TrackEntry` (first video track: TrackNumber, CodecID,
+    * Video > PixelWidth/PixelHeight), then every `Cluster >
+    * SimpleBlock` of that track — track VINT, signed-16 relative
+    * timestamp, flags byte (0x80 = keyframe claim), frame payload.
+    * The fMP4 coverage's EBML twin (r16; the other "next closable
+    * slice" of the video boundary). Unknown-size elements, truncated
+    * VINTs and malformed structure throw to the corrupt-input
+    * sentinel, never task death. */
+  object WebmWalk {
+    private def vintWidth(first: Int): Int = {
+      var w = 1
+      var mask = 0x80
+      while (mask != 0 && (first & mask) == 0) { w += 1; mask >>= 1 }
+      if (mask == 0) throw new IllegalArgumentException("bad VINT")
+      w
+    }
+
+    /** Element ID at `o`: raw bytes INCLUDING the marker, as a Long. */
+    private def readId(b: Array[Byte], o: Int, end: Int): (Long, Int) = {
+      if (o >= end) throw new IllegalArgumentException("eof id")
+      val w = vintWidth(b(o) & 0xff)
+      if (w > 4 || o + w > end)
+        throw new IllegalArgumentException("bad id")
+      var v = 0L
+      var i = 0
+      while (i < w) { v = (v << 8) | (b(o + i) & 0xffL); i += 1 }
+      (v, w)
+    }
+
+    /** Size VINT at `o`: marker stripped. All-ones (unknown size) is
+      * rejected — every fixture and every well-formed static file
+      * carries explicit sizes. */
+    private def readSize(b: Array[Byte], o: Int, end: Int): (Long, Int) = {
+      if (o >= end) throw new IllegalArgumentException("eof size")
+      val w = vintWidth(b(o) & 0xff)
+      if (w > 8 || o + w > end)
+        throw new IllegalArgumentException("bad size")
+      var v = (b(o) & 0xffL) & ((1L << (8 - w)) - 1)
+      var i = 1
+      while (i < w) { v = (v << 8) | (b(o + i) & 0xffL); i += 1 }
+      if (v == (1L << (7 * w)) - 1)
+        throw new IllegalArgumentException("unknown-size element")
+      (v, w)
+    }
+
+    /** Direct children `(id, payloadStart, payloadEnd)` of a master
+      * element's payload span. */
+    private def kids(b: Array[Byte], start: Int,
+        end: Int): List[(Long, Int, Int)] = {
+      val out = scala.collection.mutable.ListBuffer[(Long, Int, Int)]()
+      var o = start
+      while (o < end) {
+        val (id, iw) = readId(b, o, end)
+        val (sz, sw) = readSize(b, o + iw, end)
+        val ps = o + iw + sw
+        if (sz > end - ps) throw new IllegalArgumentException("overrun")
+        out += ((id, ps, ps + sz.toInt))
+        o = ps + sz.toInt
+      }
+      out.toList
+    }
+
+    private def uintOf(b: Array[Byte], s: Int, e: Int): Long = {
+      if (e - s > 8) throw new IllegalArgumentException("uint width")
+      var v = 0L
+      var i = s
+      while (i < e) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+      v
+    }
+
+    private def strOf(b: Array[Byte], s: Int, e: Int): String =
+      new String(b, s, e - s, java.nio.charset.StandardCharsets.US_ASCII)
+
+    def index(id: Long, bytes: Array[Byte]): Seq[WebmBlock] = {
+      val len = if (bytes == null) 0 else bytes.length
+      val sentinel = Seq(WebmBlock(id, -1, -1, -1, -1L, -1,
+        key_claimed = false, vp9_key = false, key_consistent = false,
+        "?", -1, -1, -1L, "?"))
+      try {
+        if (len < 4 || (bytes(0) & 0xff) != 0x1A) return sentinel
+        val top = kids(bytes, 0, len)
+        val docType = top.collectFirst { case (0x1A45DFA3L, s, e) =>
+          kids(bytes, s, e).collectFirst { case (0x4282L, ds, de) =>
+            strOf(bytes, ds, de) }.getOrElse("?")
+        }.getOrElse(return sentinel)
+        val seg = top.collectFirst { case (0x18538067L, s, e) => (s, e) }
+          .getOrElse(return sentinel)
+        val segKids = kids(bytes, seg._1, seg._2)
+        val timescale = segKids.collectFirst { case (0x1549A966L, s, e) =>
+          kids(bytes, s, e).collectFirst { case (0x2AD7B1L, ts, te) =>
+            uintOf(bytes, ts, te) }.getOrElse(1000000L)
+        }.getOrElse(1000000L)
+        // first VIDEO TrackEntry: number, codec, dims
+        val video = segKids.collectFirst { case (0x1654AE6BL, s, e) =>
+          kids(bytes, s, e).collect { case (0xAEL, ts, te) =>
+            val tk = kids(bytes, ts, te)
+            val typ = tk.collectFirst { case (0x83L, a, b2) =>
+              uintOf(bytes, a, b2) }.getOrElse(0L)
+            val num = tk.collectFirst { case (0xD7L, a, b2) =>
+              uintOf(bytes, a, b2) }.getOrElse(-1L)
+            val codec = tk.collectFirst { case (0x86L, a, b2) =>
+              strOf(bytes, a, b2) }.getOrElse("?")
+            val (pw, ph) = tk.collectFirst { case (0xE0L, a, b2) =>
+              val vk = kids(bytes, a, b2)
+              (vk.collectFirst { case (0xB0L, x, y) =>
+                uintOf(bytes, x, y) }.getOrElse(-1L),
+                vk.collectFirst { case (0xBAL, x, y) =>
+                  uintOf(bytes, x, y) }.getOrElse(-1L))
+            }.getOrElse((-1L, -1L))
+            (typ, num, codec, pw, ph)
+          }.find(_._1 == 1L)
+        }.flatten.getOrElse(return sentinel)
+        val (_, trackNum, codec, pw, ph) = video
+        var clusterIdx = 0
+        val out = scala.collection.mutable.ArrayBuffer[WebmBlock]()
+        segKids.foreach {
+          case (0x1F43B675L, cs, ce) =>
+            val ck = kids(bytes, cs, ce)
+            val clusterTs = ck.collectFirst { case (0xE7L, a, b2) =>
+              uintOf(bytes, a, b2) }.getOrElse(
+              throw new IllegalArgumentException("cluster w/o timestamp"))
+            ck.foreach {
+              case (0xA3L, bs, be) =>
+                val (blkTrack, tw) = readSize(bytes, bs, be)
+                if (be - (bs + tw) < 3)
+                  throw new IllegalArgumentException("short block")
+                if (blkTrack == trackNum) {
+                  val rel = ((bytes(bs + tw) & 0xff) << 8 |
+                    (bytes(bs + tw + 1) & 0xff)).toShort.toInt
+                  val flags = bytes(bs + tw + 2) & 0xff
+                  val fs = bs + tw + 3
+                  val claimed = (flags & 0x80) != 0
+                  val b0 = if (be > fs) bytes(fs) & 0xff else -1
+                  val vp9Valid = codec == "V_VP9" && b0 >= 0 &&
+                    (b0 >> 6) == 2 && ((b0 >> 3) & 1) == 0
+                  val vp9Key = vp9Valid && ((b0 >> 2) & 1) == 0
+                  out += WebmBlock(id, clusterIdx, trackNum.toInt, rel,
+                    clusterTs + rel, be - fs, key_claimed = claimed,
+                    vp9_key = vp9Key,
+                    key_consistent = !vp9Valid || claimed == vp9Key,
+                    codec, pw.toInt, ph.toInt, timescale, docType)
+                }
+              case _ =>
+            }
+            clusterIdx += 1
+          case _ =>
+        }
+        if (out.isEmpty) sentinel else out.toSeq
+      } catch { case _: Exception => sentinel }
+    }
+  }
+
+  /** Per-partition WebM block audit — the [[fragmentIndex]] shape:
+    * shard blobs never leave their arrival partition; only the
+    * narrow per-block audit rows shuffle. */
+  def webmIndex(media: DataFrame): Dataset[WebmBlock] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) => WebmWalk.index(id, bytes) }
+      }
+  }
+
   /** Per-partition segment-timeline audit — the [[fragmentIndex]]
     * shape: shard blobs never leave their arrival partition; only
     * the narrow per-fragment audit rows shuffle. */

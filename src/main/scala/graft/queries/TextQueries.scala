@@ -4287,6 +4287,63 @@ object TextQueries {
       |  CASE WHEN slot IN (2, 6) THEN 'hvc1' ELSE 'avc1' END AS codec
       |FROM s3 ORDER BY media_id, sample_no""".stripMargin
 
+  /** mm_webm: the WebM/Matroska (EBML) container walk (r16) — the
+    * fMP4 coverage's twin for the OTHER wire format video corpora
+    * ship in: RFC 8794 EBML framing, DocType, TimestampScale, the
+    * first video TrackEntry's codec/dims, and every Cluster
+    * SimpleBlock with its keyframe CLAIM cross-checked against the
+    * VP9 uncompressed-header frame_type bit (`key_consistent` — the
+    * EBML `sync_consistent`). Planted lies: slot 2 claims key over
+    * an inter frame, slot 5 hides a key frame. The oracle restates
+    * every field as doc_id arithmetic. */
+  def webmBlocks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fixtures = (0 until 8)
+      .map(m => (m.toLong, graft.ops.MediaFixtures.plantedWebm(m)))
+      .toDF("slot", "payload")
+    val media = docs(spark, dir)
+      .select(col("doc_id").as("media_id"), (col("doc_id") % 8).as("slot"))
+      .join(broadcast(fixtures), "slot")
+      .select(col("media_id"), col("payload"))
+    graft.ops.Multimodal.webmIndex(media).toDF()
+      .select("media_id", "cluster_idx", "track", "rel_ts", "abs_ts",
+        "size", "key_claimed", "vp9_key", "key_consistent", "codec",
+        "pixel_w", "pixel_h", "timescale", "doc_type")
+      .transform(QueryUtil.ordered("media_id", "cluster_idx", "rel_ts"))
+  }
+
+  val webmOracle: String =
+    """WITH p AS (SELECT doc_id AS media_id,
+      |    CAST(doc_id % 8 AS INTEGER) AS slot FROM documents),
+      |cl AS (SELECT media_id, slot, CAST(c AS INTEGER) AS c
+      |  FROM p, LATERAL (SELECT unnest(range(1, slot % 3 + 2)) AS c) g),
+      |bl AS (SELECT media_id, slot, c, CAST(k AS INTEGER) AS k
+      |  FROM cl, LATERAL (
+      |    SELECT unnest(range(1, (slot + c) % 3 + 2)) AS k) g),
+      |b2 AS (SELECT *,
+      |    CASE WHEN slot = 5 AND c = 1 AND k = 1 THEN TRUE
+      |         WHEN slot = 2 AND c = 2 AND k = 2 THEN FALSE
+      |         ELSE k = 1 END AS vkey,
+      |    CASE WHEN slot = 5 AND c = 1 AND k = 1 THEN FALSE
+      |         WHEN slot = 2 AND c = 2 AND k = 2 THEN TRUE
+      |         ELSE k = 1 END AS claimed
+      |  FROM bl)
+      |SELECT media_id,
+      |  CAST(c - 1 AS INTEGER) AS cluster_idx,
+      |  CAST(slot % 2 + 1 AS INTEGER) AS track,
+      |  CAST(7 * k AS INTEGER) AS rel_ts,
+      |  CAST(1000 * c + 10 * slot + 7 * k AS BIGINT) AS abs_ts,
+      |  CAST(30 + 5 * slot + 3 * k AS INTEGER) AS size,
+      |  claimed AS key_claimed,
+      |  vkey AS vp9_key,
+      |  claimed = vkey AS key_consistent,
+      |  'V_VP9' AS codec,
+      |  CAST(320 + 16 * slot AS INTEGER) AS pixel_w,
+      |  CAST(180 + 8 * slot AS INTEGER) AS pixel_h,
+      |  CAST(1000000 + 1000 * slot AS BIGINT) AS timescale,
+      |  'webm' AS doc_type
+      |FROM b2 ORDER BY media_id, cluster_idx, rel_ts""".stripMargin
+
   /** mm_timeline: the DASH/CMAF SEGMENT-TIMELINE audit (r16, verdict
     * #5) — `sidx` earliest_presentation_time + per-segment
     * (referenced_size, subsegment_duration) rows cross-checked
@@ -5355,6 +5412,7 @@ object TextQueries {
     "mm_gop" -> ((gop _, Some(gopOracle))),
     "mm_fragments" -> ((fragments _, Some(fragmentsOracle))),
     "mm_timeline" -> ((timeline _, Some(timelineOracle))),
+    "mm_webm" -> ((webmBlocks _, Some(webmOracle))),
     "mm_zip_members" -> ((zipMembers _, Some(zipMembersOracle))),
     "mm_tgz_members" -> ((tgzMembers _, Some(tarMembersOracle))),
     "mm_meta_oracle" -> ((mediaDecode _, Some(mediaDecodeOracle))),

@@ -525,6 +525,18 @@ class PlanSpec extends SparkSpec {
       s"payload bytes must never shuffle:\n$p")
   }
 
+  test("mm_webm: shard blobs stay in their arrival partition — only the narrow audit rows shuffle") {
+    // same contract as mm_fragments/mm_timeline: the fixture table
+    // broadcasts into the blob frame, the EBML walk runs
+    // per-partition, and the payload column never crosses an exchange
+    val p = plan("mm_webm")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"fixture join must broadcast:\n$p")
+    assert(!p.linesIterator.filter(_.contains("Exchange"))
+        .exists(_.contains("payload")),
+      s"payload bytes must never shuffle:\n$p")
+  }
+
   test("tx_unigram_apply: frozen-model scoring is a vocab-sized equi-join, corpus aggregates partially") {
     // the EM/Viterbi loops all run on the word-table side; the corpus
     // word stream reaches the per-word piece counts through an

@@ -718,6 +718,61 @@ class OpsPropertySpec extends SparkSpec {
     }
   }
 
+  test("webm round-trip law: random EBML layouts, tracks, timestamps and key patterns survive encode -> walk exactly") {
+    // random cluster/block shapes, track numbers, negative relative
+    // timestamps (SimpleBlock rel is SIGNED s16), timescales, dims,
+    // frame sizes, and independent claim/bitstream key patterns —
+    // the walk must recover every field and flag exactly the rows
+    // where the claim and the VP9 frame_type bit disagree
+    val gen = for {
+      nClusters <- Gen.choose(1, 4)
+      counts <- Gen.listOfN(nClusters, Gen.choose(1, 5))
+      track <- Gen.choose(1, 7)
+      ts <- Gen.choose(1000L, 2000000L)
+      w <- Gen.choose(16, 4096)
+      h <- Gen.choose(16, 2160)
+      claims <- Gen.listOfN(20, Gen.oneOf(true, false))
+      keys <- Gen.listOfN(20, Gen.oneOf(true, false))
+      rels <- Gen.listOfN(20, Gen.choose(-30000, 30000))
+      sizes <- Gen.listOfN(20, Gen.choose(1, 200))
+      base <- Gen.choose(0L, 100000L)
+    } yield (counts, track, ts, w, h, claims, keys, rels, sizes, base)
+    samples(gen, 40).zipWithIndex.foreach {
+      case ((counts, track, ts, w, h, claims, keys, rels, sizes, base), i) =>
+        var g = 0
+        val clusters = counts.zipWithIndex.map { case (n, c) =>
+          val blocks = (0 until n).map { _ =>
+            val t = (rels(g), claims(g),
+              MediaFixtures.vp9Frame(keys(g), sizes(g)))
+            g += 1
+            t
+          }
+          (base + 5000L * c, blocks)
+        }
+        val b = MediaFixtures.webm("webm", ts, track, "V_VP9", w, h,
+          clusters)
+        val rows = Multimodal.WebmWalk.index(i.toLong, b)
+        assert(rows.size == counts.sum, s"case $i: ${rows.size} rows")
+        var j = 0
+        counts.zipWithIndex.foreach { case (n, c) =>
+          (0 until n).foreach { k =>
+            val r = rows(j)
+            assert(r.cluster_idx == c && r.track == track, s"case $i: $r")
+            assert(r.rel_ts == rels(j), s"case $i: $r")
+            assert(r.abs_ts == base + 5000L * c + rels(j), s"case $i: $r")
+            assert(r.size == sizes(j), s"case $i: $r")
+            assert(r.key_claimed == claims(j), s"case $i: $r")
+            assert(r.vp9_key == keys(j), s"case $i: $r")
+            assert(r.key_consistent == (claims(j) == keys(j)),
+              s"case $i: $r")
+            assert(r.pixel_w == w && r.pixel_h == h && r.timescale == ts,
+              s"case $i: $r")
+            j += 1
+          }
+        }
+    }
+  }
+
   test("frame-type round-trip law: random access units survive encode -> sample walk -> slice-header parse exactly") {
     // every combination of codec, NAL prefix size, GOP pattern, AVC
     // +5 slice_type variants, HEVC PPS extra bits (0..7 — the walk

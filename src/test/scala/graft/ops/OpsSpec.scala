@@ -2166,7 +2166,10 @@ class OpsSpec extends SparkSpec {
       Map("vals" -> Seq((builds.toLong, "payload")).toDF("gen", "tag"))
     }
     val names = Seq("vals")
-    val fam = "ver_test"
+    // unique family per run: the warehouse persists across JVMs, so a
+    // fixed name would accumulate one key dir per suite run and the
+    // dangling-CURRENT poke below could land on a stale key
+    val fam = "ver_test_" + dir.reverse.takeWhile(_ != '/').reverse
     // first build publishes v1; reader holds its leaf scans
     val held = ArtifactStore.loadOrBuild(spark, dir, fam, "c1", names)(
       build())("vals")
@@ -2204,9 +2207,13 @@ class OpsSpec extends SparkSpec {
     assert(builds == 2, s"fresh load after publish must hit (builds=$builds)")
     // torn build (crash before publish): a complete-looking version
     // dir that CURRENT never named must read as a miss, not serve
+    // NEWEST key dir: the warehouse persists across JVMs, so an
+    // earlier suite run's ver_test key (a different tmp corpus dir)
+    // may coexist — picking an arbitrary key would poke a stale one
     val p = new java.io.File(s"${sys.props("user.dir")}/spark-warehouse/" +
       "graft_artifacts").listFiles().filter(_.getName == fam).head
-      .listFiles().filter(_.isDirectory).head
+      .listFiles().filter(_.isDirectory)
+      .maxBy(_.lastModified())
     val orphan = ArtifactStore.newVersionDir(p.getPath)
     Seq((99L, "torn")).toDF("gen", "tag")
       .write.parquet(s"${p.getPath}/$orphan/vals")
@@ -2632,6 +2639,58 @@ class OpsSpec extends SparkSpec {
         java.util.Arrays.copyOf(good, 60))) {
       val r = Multimodal.Mp4TimelineWalk.index(9L, bad)
       assert(r.size == 1 && r.head.frag_idx == -1, "corrupt must sentinel")
+    }
+  }
+
+  test("WebmWalk: planted EBML slots recover every field; the two key lies surface; corrupt sentinels") {
+    import graft.ops.{MediaFixtures, Multimodal}
+    for (m <- 0 until 8) {
+      val b = MediaFixtures.plantedWebm(m)
+      val rows = Multimodal.WebmWalk.index(m.toLong, b)
+      val want = for {
+        c <- 1 to m % 3 + 1
+        k <- 1 to (m + c) % 3 + 1
+      } yield (c, k)
+      assert(rows.size == want.size, s"slot $m: ${rows.size} blocks")
+      rows.zip(want).foreach { case (r, (c, k)) =>
+        assert(r.cluster_idx == c - 1, s"slot $m: $r")
+        assert(r.track == m % 2 + 1, s"slot $m: $r")
+        assert(r.rel_ts == 7 * k, s"slot $m c$c k$k: $r")
+        assert(r.abs_ts == 1000L * c + 10 * m + 7 * k, s"slot $m: $r")
+        assert(r.size == 30 + 5 * m + 3 * k, s"slot $m: $r")
+        val lieClaim = m == 2 && c == 2 && k == 2
+        val lieHide = m == 5 && c == 1 && k == 1
+        assert(r.key_claimed ==
+          (if (lieClaim) true else if (lieHide) false else k == 1),
+          s"slot $m c$c k$k: $r")
+        assert(r.vp9_key ==
+          (if (lieClaim) false else if (lieHide) true else k == 1),
+          s"slot $m c$c k$k: $r")
+        assert(r.key_consistent == !(lieClaim || lieHide),
+          s"slot $m c$c k$k: $r")
+        assert(r.codec == "V_VP9" && r.doc_type == "webm", s"$r")
+        assert(r.pixel_w == 320 + 16 * m && r.pixel_h == 180 + 8 * m,
+          s"slot $m: $r")
+        assert(r.timescale == 1000000L + 1000 * m, s"slot $m: $r")
+      }
+    }
+    // exactly the two planted lies across the table
+    val lies = for {
+      m <- 0 until 8
+      r <- Multimodal.WebmWalk.index(m.toLong,
+        MediaFixtures.plantedWebm(m))
+      if !r.key_consistent
+    } yield (m, r.cluster_idx, r.rel_ts)
+    assert(lies == Seq((2, 1, 14), (5, 0, 7)), s"lies: $lies")
+    // corrupt / truncated / null / non-EBML: sentinel, never a throw
+    val good = MediaFixtures.plantedWebm(1)
+    for (bad <- Seq(Array[Byte](1, 2, 3), null,
+        java.util.Arrays.copyOf(good, 40),
+        java.util.Arrays.copyOf(good, good.length - 5),
+        MediaFixtures.plantedAvcMp4(1))) {
+      val r = Multimodal.WebmWalk.index(9L, bad)
+      assert(r.size == 1 && r.head.cluster_idx == -1,
+        "corrupt must sentinel")
     }
   }
 
