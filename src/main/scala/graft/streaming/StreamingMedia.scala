@@ -74,4 +74,23 @@ object StreamingMedia {
     (batch: DataFrame, batchId: Long) =>
       Multimodal.fragmentIndex(batch).toDF()
         .write.mode("overwrite").parquet(s"$indexPath/batch_id=$batchId")
+
+  /** `foreachBatch` body auditing DASH/CMAF SEGMENT TIMELINES per
+    * micro-batch ([[graft.ops.Multimodal.timelineIndex]] — sidx/tfdt
+    * vs accumulated trun durations, r16): the "does the segment
+    * timeline lie" gate lands incrementally as shards arrive, same
+    * stateless exactly-once layout as [[metaAppender]]. */
+  def timelineAppender(indexPath: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) =>
+      Multimodal.timelineIndex(batch).toDF()
+        .write.mode("overwrite").parquet(s"$indexPath/batch_id=$batchId")
+
+  /** `foreachBatch` body auditing WebM/Matroska SimpleBlocks per
+    * micro-batch ([[graft.ops.Multimodal.webmIndex]] — EBML walk +
+    * VP9 keyframe-claim cross-check, r16): same stateless
+    * exactly-once layout as [[metaAppender]]. */
+  def webmAppender(indexPath: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) =>
+      Multimodal.webmIndex(batch).toDF()
+        .write.mode("overwrite").parquet(s"$indexPath/batch_id=$batchId")
 }

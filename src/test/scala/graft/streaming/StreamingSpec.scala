@@ -1077,6 +1077,102 @@ class StreamingSpec extends SparkSpec {
       "a replayed micro-batch must not duplicate or change rows")
   }
 
+  test("streaming timeline audit: sidx/tfdt walk stream equals batch, the three timing lies survive the stream") {
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    val in = tmpDir("tl-in")
+    val out = tmpDir("tl-out") + "/index"
+    def mDf(slots: Seq[Int]) =
+      slots.map(m => (m.toLong, graft.ops.MediaFixtures.plantedTimelineMp4(m)))
+        .toDF("media_id", "payload")
+    mDf(0 until 4).coalesce(1).write.parquet(s"$in/a")
+    mDf(4 until 8).coalesce(1).write.parquet(s"$in/b")
+    import java.nio.file.{Files => NFiles, Paths => NPaths}
+    def onePart(d: String) =
+      NFiles.list(NPaths.get(d))
+        .filter(_.toString.endsWith(".parquet")).findFirst.get
+    val fa = NPaths.get(s"$in/batch_a.parquet")
+    NFiles.move(onePart(s"$in/a"), fa)
+    NFiles.move(onePart(s"$in/b"), NPaths.get(s"$in/batch_b.parquet"))
+    fa.toFile.setLastModified(System.currentTimeMillis() - 60000)
+    val q = spark.readStream
+      .schema("media_id LONG, payload BINARY")
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream
+      .option("checkpointLocation", tmpDir("tl-ckpt"))
+      .foreachBatch(StreamingMedia.timelineAppender(out))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    def rows(df: DataFrame) = df
+      .select("media_id", "frag_idx", "seq_no", "n_samples", "dur_sum",
+        "tfdt", "sidx_dur", "sidx_size", "actual_size", "timescale",
+        "tfdt_consistent", "sidx_dur_consistent", "sidx_size_consistent")
+      .collect().map(_.toSeq).toSet
+    val streamed = rows(spark.read.parquet(out))
+    val batch = rows(graft.ops.Multimodal.timelineIndex(
+      mDf(0 until 8)).toDF())
+    assert(streamed == batch,
+      s"stream timeline rows must equal batch: " +
+        s"missing=${batch -- streamed} extra=${streamed -- batch}")
+    // the three planted lies are the only inconsistent rows
+    val lies = spark.read.parquet(out)
+      .filter(!col("tfdt_consistent") || !col("sidx_dur_consistent") ||
+        !col("sidx_size_consistent"))
+      .select("media_id", "frag_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(lies == Set((3L, 1), (5L, 0), (6L, 1)), s"lie rows: $lies")
+    // replay: re-running a batch overwrites its own partition
+    StreamingMedia.timelineAppender(out)(mDf(4 until 8), 1L)
+    assert(rows(spark.read.parquet(out)) == streamed,
+      "a replayed micro-batch must not duplicate or change rows")
+  }
+
+  test("streaming webm audit: EBML walk stream equals batch, the two key lies survive the stream") {
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    val in = tmpDir("wb-in")
+    val out = tmpDir("wb-out") + "/index"
+    def mDf(slots: Seq[Int]) =
+      slots.map(m => (m.toLong, graft.ops.MediaFixtures.plantedWebm(m)))
+        .toDF("media_id", "payload")
+    mDf(0 until 4).coalesce(1).write.parquet(s"$in/a")
+    mDf(4 until 8).coalesce(1).write.parquet(s"$in/b")
+    import java.nio.file.{Files => NFiles, Paths => NPaths}
+    def onePart(d: String) =
+      NFiles.list(NPaths.get(d))
+        .filter(_.toString.endsWith(".parquet")).findFirst.get
+    val fa = NPaths.get(s"$in/batch_a.parquet")
+    NFiles.move(onePart(s"$in/a"), fa)
+    NFiles.move(onePart(s"$in/b"), NPaths.get(s"$in/batch_b.parquet"))
+    fa.toFile.setLastModified(System.currentTimeMillis() - 60000)
+    val q = spark.readStream
+      .schema("media_id LONG, payload BINARY")
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream
+      .option("checkpointLocation", tmpDir("wb-ckpt"))
+      .foreachBatch(StreamingMedia.webmAppender(out))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    def rows(df: DataFrame) = df
+      .select("media_id", "cluster_idx", "track", "rel_ts", "abs_ts",
+        "size", "key_claimed", "vp9_key", "key_consistent", "codec",
+        "pixel_w", "pixel_h", "timescale", "doc_type")
+      .collect().map(_.toSeq).toSet
+    val streamed = rows(spark.read.parquet(out))
+    val batch = rows(graft.ops.Multimodal.webmIndex(mDf(0 until 8)).toDF())
+    assert(streamed == batch,
+      s"stream webm rows must equal batch: " +
+        s"missing=${batch -- streamed} extra=${streamed -- batch}")
+    val lies = spark.read.parquet(out)
+      .filter(!col("key_consistent"))
+      .select("media_id", "cluster_idx", "rel_ts").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(lies == Set((2L, 1, 14), (5L, 0, 7)), s"lie rows: $lies")
+    StreamingMedia.webmAppender(out)(mDf(4 until 8), 1L)
+    assert(rows(spark.read.parquet(out)) == streamed,
+      "a replayed micro-batch must not duplicate or change rows")
+  }
+
   test("streaming artifact consumers: warehouse-frozen models score streams batch-identically (r16, verdict #7)") {
     // the production shape the 34 twins missed: a readStream consumer
     // scoring under a model loaded FROM THE ARTIFACT STORE (not one
