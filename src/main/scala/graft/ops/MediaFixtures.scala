@@ -824,11 +824,18 @@ object MediaFixtures {
     * track VINT + s16 relative timestamp + flags byte (0x80 =
     * keyframe claim) + the frame bytes. `clusters(c)` =
     * (clusterTimestamp, blocks); each block = (relTs, claimedKey,
-    * frameBytes). */
+    * frameBytes).
+    *
+    * With `grouped = true` every block is emitted as a
+    * `BlockGroup(Block, ReferenceBlock?)` instead of a SimpleBlock:
+    * the keyframe claim becomes the ABSENCE of a ReferenceBlock
+    * sibling (the Matroska Block semantics — Block carries no
+    * keyframe flag), which is how real muxers write non-VP8/VP9
+    * streams and B-frame content. */
   def webm(docType: String, timescale: Long, track: Int,
       codec: String, pixelW: Int, pixelH: Int,
-      clusters: Seq[(Long, Seq[(Int, Boolean, Array[Byte])])])
-      : Array[Byte] = {
+      clusters: Seq[(Long, Seq[(Int, Boolean, Array[Byte])])],
+      grouped: Boolean = false): Array[Byte] = {
     val header = ebml(idb(0x1A, 0x45, 0xDF, 0xA3),
       ebml(idb(0x42, 0x82), docType.getBytes("US-ASCII")))
     val info = ebml(idb(0x15, 0x49, 0xA9, 0x66),
@@ -844,10 +851,21 @@ object MediaFixtures {
     val clusterBytes = clusters.map { case (ts, blocks) =>
       val body = ebmlUint(idb(0xE7), ts) ++
         blocks.toArray.flatMap { case (rel, key, frame) =>
-          val blk = ebmlSize(track.toLong) ++ Array(
-            ((rel >> 8) & 0xff).toByte, (rel & 0xff).toByte,
-            (if (key) 0x80 else 0x00).toByte) ++ frame
-          ebml(idb(0xA3), blk)
+          if (!grouped) {
+            val blk = ebmlSize(track.toLong) ++ Array(
+              ((rel >> 8) & 0xff).toByte, (rel & 0xff).toByte,
+              (if (key) 0x80 else 0x00).toByte) ++ frame
+            ebml(idb(0xA3), blk)
+          } else {
+            // Block carries NO keyframe flag (flags byte 0); the
+            // claim is the absence of a ReferenceBlock sibling
+            val blk = ebmlSize(track.toLong) ++ Array(
+              ((rel >> 8) & 0xff).toByte, (rel & 0xff).toByte,
+              0x00.toByte) ++ frame
+            ebml(idb(0xA0), ebml(idb(0xA1), blk) ++
+              (if (key) Array.empty[Byte]
+               else ebml(idb(0xFB), Array(0x7f.toByte))))
+          }
         }
       ebml(idb(0x1F, 0x43, 0xB6, 0x75), body)
     }

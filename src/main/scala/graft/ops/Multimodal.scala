@@ -1351,7 +1351,13 @@ object Multimodal {
     * switching even when every sample byte is intact. Reuses
     * [[Bmff.children]]'s box cursor and the [[Mp4FragmentWalk]]
     * bounds discipline: malformed counts/fields throw to the
-    * corrupt-input sentinel, never emit garbage rows or die. */
+    * corrupt-input sentinel, never emit garbage rows or die.
+    *
+    * SCOPE (disclosed): single-track segments — the CMAF shape,
+    * where each fragment carries one traf. A multi-track moof sums
+    * durations across its trafs and keeps the LAST traf's tfdt, so
+    * multi-track fMP4 (rare on DASH wires, which carry one track per
+    * segment stream) would need per-track state to audit honestly. */
   object Mp4TimelineWalk {
     import Bmff._
 
@@ -1628,26 +1634,42 @@ object Multimodal {
             val clusterTs = ck.collectFirst { case (0xE7L, a, b2) =>
               uintOf(bytes, a, b2) }.getOrElse(
               throw new IllegalArgumentException("cluster w/o timestamp"))
+            // a block's KEYFRAME CLAIM comes from two places in
+            // Matroska: SimpleBlock carries it as flags bit 0x80;
+            // a Block inside a BlockGroup has NO keyframe bit — the
+            // frame is a keyframe iff the group carries no
+            // ReferenceBlock sibling (the claim is the ABSENCE of a
+            // reference, per the Matroska spec's Block semantics)
+            def emit(bs: Int, be: Int, claimedOf: Int => Boolean): Unit = {
+              val (blkTrack, tw) = readSize(bytes, bs, be)
+              if (be - (bs + tw) < 3)
+                throw new IllegalArgumentException("short block")
+              if (blkTrack == trackNum) {
+                val rel = ((bytes(bs + tw) & 0xff) << 8 |
+                  (bytes(bs + tw + 1) & 0xff)).toShort.toInt
+                val flags = bytes(bs + tw + 2) & 0xff
+                val fs = bs + tw + 3
+                val claimed = claimedOf(flags)
+                val b0 = if (be > fs) bytes(fs) & 0xff else -1
+                val vp9Valid = codec == "V_VP9" && b0 >= 0 &&
+                  (b0 >> 6) == 2 && ((b0 >> 3) & 1) == 0
+                val vp9Key = vp9Valid && ((b0 >> 2) & 1) == 0
+                out += WebmBlock(id, clusterIdx, trackNum.toInt, rel,
+                  clusterTs + rel, be - fs, key_claimed = claimed,
+                  vp9_key = vp9Key,
+                  key_consistent = !vp9Valid || claimed == vp9Key,
+                  codec, pw.toInt, ph.toInt, timescale, docType)
+              }
+            }
             ck.foreach {
               case (0xA3L, bs, be) =>
-                val (blkTrack, tw) = readSize(bytes, bs, be)
-                if (be - (bs + tw) < 3)
-                  throw new IllegalArgumentException("short block")
-                if (blkTrack == trackNum) {
-                  val rel = ((bytes(bs + tw) & 0xff) << 8 |
-                    (bytes(bs + tw + 1) & 0xff)).toShort.toInt
-                  val flags = bytes(bs + tw + 2) & 0xff
-                  val fs = bs + tw + 3
-                  val claimed = (flags & 0x80) != 0
-                  val b0 = if (be > fs) bytes(fs) & 0xff else -1
-                  val vp9Valid = codec == "V_VP9" && b0 >= 0 &&
-                    (b0 >> 6) == 2 && ((b0 >> 3) & 1) == 0
-                  val vp9Key = vp9Valid && ((b0 >> 2) & 1) == 0
-                  out += WebmBlock(id, clusterIdx, trackNum.toInt, rel,
-                    clusterTs + rel, be - fs, key_claimed = claimed,
-                    vp9_key = vp9Key,
-                    key_consistent = !vp9Valid || claimed == vp9Key,
-                    codec, pw.toInt, ph.toInt, timescale, docType)
+                emit(bs, be, flags => (flags & 0x80) != 0)
+              case (0xA0L, gs, ge) =>
+                val gk = kids(bytes, gs, ge)
+                val hasRef = gk.exists(_._1 == 0xFBL)
+                gk.foreach {
+                  case (0xA1L, bs, be) => emit(bs, be, _ => !hasRef)
+                  case _ =>
                 }
               case _ =>
             }

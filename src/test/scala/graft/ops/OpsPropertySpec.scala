@@ -736,9 +736,12 @@ class OpsPropertySpec extends SparkSpec {
       rels <- Gen.listOfN(20, Gen.choose(-30000, 30000))
       sizes <- Gen.listOfN(20, Gen.choose(1, 200))
       base <- Gen.choose(0L, 100000L)
-    } yield (counts, track, ts, w, h, claims, keys, rels, sizes, base)
+      grouped <- Gen.oneOf(true, false)
+    } yield (counts, track, ts, w, h, claims, keys, rels, sizes, base,
+      grouped)
     samples(gen, 40).zipWithIndex.foreach {
-      case ((counts, track, ts, w, h, claims, keys, rels, sizes, base), i) =>
+      case ((counts, track, ts, w, h, claims, keys, rels, sizes, base,
+          grouped), i) =>
         var g = 0
         val clusters = counts.zipWithIndex.map { case (n, c) =>
           val blocks = (0 until n).map { _ =>
@@ -749,8 +752,10 @@ class OpsPropertySpec extends SparkSpec {
           }
           (base + 5000L * c, blocks)
         }
+        // both encodings of the same claim: SimpleBlock flags bit vs
+        // BlockGroup with ReferenceBlock-absence — rows must be equal
         val b = MediaFixtures.webm("webm", ts, track, "V_VP9", w, h,
-          clusters)
+          clusters, grouped)
         val rows = Multimodal.WebmWalk.index(i.toLong, b)
         assert(rows.size == counts.sum, s"case $i: ${rows.size} rows")
         var j = 0

@@ -2682,6 +2682,34 @@ class OpsSpec extends SparkSpec {
       if !r.key_consistent
     } yield (m, r.cluster_idx, r.rel_ts)
     assert(lies == Seq((2, 1, 14), (5, 0, 7)), s"lies: $lies")
+    // BlockGroup parity: the SAME planted content emitted as
+    // BlockGroup(Block, ReferenceBlock?) — where the keyframe claim
+    // is the ABSENCE of a ReferenceBlock, not a flags bit — must
+    // produce identical audit rows to the SimpleBlock encoding
+    for (m <- Seq(0, 2, 5)) {
+      val clusters = (1 to m % 3 + 1).map { c =>
+        val blocks = (1 to (m + c) % 3 + 1).map { k =>
+          val keyTruth =
+            if (m == 5 && c == 1 && k == 1) true
+            else if (m == 2 && c == 2 && k == 2) false
+            else k == 1
+          val claimed =
+            if (m == 5 && c == 1 && k == 1) false
+            else if (m == 2 && c == 2 && k == 2) true
+            else k == 1
+          (7 * k, claimed, MediaFixtures.vp9Frame(keyTruth, 30 + 5 * m + 3 * k))
+        }
+        (1000L * c + 10 * m, blocks)
+      }
+      val simple = Multimodal.WebmWalk.index(m.toLong,
+        MediaFixtures.webm("webm", 1000000L + 1000 * m, m % 2 + 1,
+          "V_VP9", 320 + 16 * m, 180 + 8 * m, clusters))
+      val group = Multimodal.WebmWalk.index(m.toLong,
+        MediaFixtures.webm("webm", 1000000L + 1000 * m, m % 2 + 1,
+          "V_VP9", 320 + 16 * m, 180 + 8 * m, clusters, grouped = true))
+      assert(simple == group,
+        s"slot $m: BlockGroup encoding must audit identically")
+    }
     // corrupt / truncated / null / non-EBML: sentinel, never a throw
     val good = MediaFixtures.plantedWebm(1)
     for (bad <- Seq(Array[Byte](1, 2, 3), null,
