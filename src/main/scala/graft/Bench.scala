@@ -94,6 +94,23 @@ object Bench {
       }
     }.getOrElse(8.0)
   private val LoadRetryBudget = 3
+  /** Wall budget in seconds (r17, verdict #1): BENCH_r16 died rc:124
+    * with `parsed:null` because the record was written only at the
+    * very end and the rescue pass could sleep 600 s with no awareness
+    * of the remaining wall. The run now (a) rewrites
+    * `bench_result.json` after EVERY completed query (with
+    * `"partial":true` until done), so a kill preserves everything
+    * measured; (b) once elapsed exceeds this budget, degrades to a
+    * single warm-up-free run per remaining query and skips heavy
+    * extension / guards / finalize / rescue; (c) past 1.25× the
+    * budget, stops measuring entirely and finalizes with what exists.
+    * Either curtailment marks the record `"truncated":true` — an
+    * honest partial beats a dead artifact. Override with
+    * SPARK_GRAFT_BENCH_BUDGET (seconds). */
+  private val BudgetSec: Int =
+    sys.env.get("SPARK_GRAFT_BENCH_BUDGET")
+      .flatMap(s => scala.util.Try(s.toInt).toOption.filter(_ > 0))
+      .getOrElse(3000)
   /** Finalize-rule escalation (r15, verdict r14): total seconds the
     * run may SLEEP waiting for the box to drain below [[LoadMax]]
     * before/between finalize passes. The r14 finalize rule re-measured
@@ -187,13 +204,18 @@ object Bench {
     val names = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
       .filter(n => only.forall(_.contains(n)))
     val self = new SelfLoad(cpus.toDouble)
+    val benchStart = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - benchStart) / 1e9
+    def overBudget: Boolean = elapsedSec > BudgetSec
+    def hardOver: Boolean = elapsedSec > BudgetSec * 1.25
+    var truncated = false
     def force(name: String): Unit = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
       finally self.worked((System.nanoTime() - t0) / 1e9)
     }
-    def dropAllCaches(): Unit = {
+    def dropAllCaches(): Unit = try {
       graft.ops.Dedup.releaseCaches(blocking = true)
       spark.catalog.clearCache()
       // deterministic cleanup point: ContextCleaner frees broadcasts /
@@ -207,6 +229,13 @@ object Bench {
       Thread.sleep(250)
       System.gc()
       spark.sparkContext.parallelize(0 until 2, 2).count(): Unit
+    } catch {
+      // the barrier job (or a cache release) can itself fail at job
+      // submission time (BENCH_r16's tail: a TorrentBroadcast throw) —
+      // a broken settle must degrade the NEXT measurement, not unwind
+      // the whole run and zero the record (r17, verdict #1c)
+      case e: Throwable =>
+        System.err.println(s"[bench] cache-drop failed (continuing): $e")
     }
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""
@@ -231,10 +260,6 @@ object Bench {
     // extension, interference guard, load guard — re-runnable so the
     // FINALIZE pass below can re-measure a load-flagged query whole
     def measureQuery(name: String): Seq[(Double, Double, Double, Double)] = {
-      try force(name) catch { case e: Throwable =>
-        System.err.println(s"[bench] warm-up $name failed: $e")
-      }
-      dropAllCaches()
       // each timed run travels as a (sec, gcSec, rawLoad, ambient)
       // 4-TUPLE so the telemetry stays index-aligned with `runs`
       // through the heavy extension and the interference guard's
@@ -271,16 +296,24 @@ object Bench {
         if (r > 5.0) { Thread.sleep(500); dropAllCaches() }
         (r, gcSec, load, amb)
       }
+      // wall budget exceeded: one warm-up-free run, no extension, no
+      // guards — a degraded-but-present number beats a kill (r17 #1b)
+      if (overBudget) { truncated = true; Seq(timedRun()) } else {
+      try force(name) catch { case e: Throwable =>
+        System.err.println(s"[bench] warm-up $name failed: $e")
+      }
+      dropAllCaches()
       var runs = (1 to timedRuns).map(_ => timedRun())
       // heavy lines: median-of-5 (see HeavyRuns scaladoc)
-      if (runsOverride.isEmpty && medianOf(runs.map(_._1)) > HeavyThresholdSec)
+      if (runsOverride.isEmpty && !overBudget &&
+          medianOf(runs.map(_._1)) > HeavyThresholdSec)
         runs = runs ++ (TimedRuns until HeavyRuns).map(_ => timedRun())
       val dropped = scala.collection.mutable.ArrayBuffer[Double]()
       val reasons = scala.collection.mutable.ArrayBuffer[String]()
       // interference guard: re-measure (once per slot) any run >2x the
       // median; originals kept in `discarded` — see scaladoc
       val med0 = medianOf(runs.map(_._1))
-      if (med0 > 0 && runs.exists(_._1 > 2 * med0)) {
+      if (med0 > 0 && !overBudget && runs.exists(_._1 > 2 * med0)) {
         runs = runs.map { t =>
           if (t._1 > 2 * med0) {
             // keep-faster rule here too (r13 review): an errored or
@@ -313,7 +346,7 @@ object Bench {
       // in `discarded` with a reason, and any KEPT run still above
       // LoadMax is flagged in `load_flagged` so a drained budget can
       // never violate the threshold silently.
-      var loadBudget = LoadRetryBudget
+      var loadBudget = if (overBudget) 0 else LoadRetryBudget
       runs = runs.map { t0 =>
         var best = t0
         var settled = best._1 < 0 || best._4 <= LoadMax
@@ -336,7 +369,7 @@ object Bench {
       // anomalous replacement can still skew the median, so re-apply
       // the >2x-median check once over the final set
       val med1 = medianOf(runs.map(_._1))
-      if (med1 > 0 && runs.exists(_._1 > 2 * med1)) {
+      if (med1 > 0 && !overBudget && runs.exists(_._1 > 2 * med1)) {
         runs = runs.map { t =>
           if (t._1 > 2 * med1) {
             val r = timedRun()
@@ -355,16 +388,102 @@ object Bench {
           discardReasons.getOrElse(name, Seq.empty) ++ reasons
       }
       runs
+      }
     }
     val recs =
       scala.collection.mutable.LinkedHashMap[String, Seq[(Double, Double, Double, Double)]]()
-    names.foreach { name => recs(name) = measureQuery(name) }
     // flags act on the AMBIENT estimate (r16b): raw load_1m includes
     // the bench's own threads, which a >=16 s fully-parallel run
     // pushes past LoadMax all by itself — see [[SelfLoad]]
     def flaggedOf(runs: Seq[(Double, Double, Double, Double)]): Seq[Double] =
       runs.filter(t => t._1 >= 0 && t._4 > LoadMax).map(_._4)
-    // FINALIZE (r14, verdict r13): a round record with non-empty
+    def numMap(m: scala.collection.Map[String, Seq[Double]]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + v.mkString("[", ",", "]") }
+        .mkString("{", ",", "}")
+    // most recent COMMITTED quiet total for this SF (docs/QUIET_REF
+    // .json, updated whenever a quiet run is committed): rides in the
+    // record so a load-tainted artifact carries its own reconciliation
+    // reference — the verdict's r14 complaint was having to dig the
+    // quiet number out of a different commit (r15, verdict #5)
+    val quietRef: Option[Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("docs/QUIET_REF.json")), "UTF-8")
+      val key = new java.io.File(sfDir).getName
+      val m = ("\"" + java.util.regex.Pattern.quote(key) +
+        "\"\\s*:\\s*([0-9.]+)").r
+      m.findFirstMatchIn(txt).map(_.group(1).toDouble)
+    } catch { case _: Exception => None }
+    val quietRefJson = quietRef.map(_.toString).getOrElse("null")
+    /** The ONE-LINE record, assembled from whatever is measured so
+      * far. `partial:true` marks an in-flight snapshot (rewritten
+      * after every completed query — r17 #1a); `truncated:true` means
+      * the wall budget curtailed measurement. Key order is deliberate:
+      * the driver keeps only the LAST ~2k chars of stdout, so the
+      * headline medians and total go at the END of the line — bulky
+      * runs/errors payloads first (r7: three long error strings pushed
+      * every number out of the recorded tail). */
+    def renderLine(partial: Boolean): String = {
+      val allRuns = recs.map { case (n, r) => n -> r.map(_._1) }
+      val gcRuns = recs.map { case (n, r) => n -> r.map(_._2) }
+      val loadRuns = recs.map { case (n, r) => n -> r.map(_._3) }
+      val ambientRuns = recs.map { case (n, r) => n -> r.map(_._4) }
+      // EVERY kept run whose start load still exceeded LoadMax after
+      // the finalize passes — so the artifact admits the threshold was
+      // exceeded rather than implying a clean measurement
+      val loadFlagged = recs.collect {
+        case (n, r) if flaggedOf(r).nonEmpty => n -> flaggedOf(r) }
+      val quiet = loadFlagged.isEmpty
+      val results = recs.map { case (n, r) => n -> medianOf(r.map(_._1)) }.toSeq
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val runsJson = allRuns.map { case (k, v) =>
+        "\"" + k + "\":" + v.mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+      val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+        .mkString("{", ",", "}")
+      val discJson = discarded.map { case (k, v) =>
+        "\"" + k + "\":" + v.mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+      val discReasonJson = discardReasons.map { case (k, v) =>
+        jstr(k) + ":" + v.map(jstr).mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+      val total = results.map(_._2).filter(_ >= 0).sum
+      val el = math.rint(elapsedSec * 10) / 10
+      s"""{"runs":$runsJson,"gc_sec":${numMap(gcRuns)},"load_1m":${numMap(loadRuns)},"load_ambient":${numMap(ambientRuns)},"load_flagged":${numMap(loadFlagged)},"discarded":$discJson,"discard_reason":$discReasonJson,"errors":$errJson,"sf":"$sfDir","partial":$partial,"truncated":$truncated,"elapsed_sec":$el,"quiet":$quiet,"quiet_ref_total":$quietRefJson,"queries":$qs,"metric":"total","value":$total,"unit":"sec"}"""
+    }
+    /** Rewrite bench_result.json via temp-file + rename so a kill
+      * mid-write can never leave a torn record (r17 #1a). */
+    def writeRecord(partial: Boolean): String = {
+      val line = renderLine(partial)
+      try {
+        val tmp = java.nio.file.Paths.get("bench_result.json.tmp")
+        java.nio.file.Files.writeString(tmp, line + "\n")
+        val dst = java.nio.file.Paths.get("bench_result.json")
+        try java.nio.file.Files.move(tmp, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: Exception =>
+          java.nio.file.Files.move(tmp, dst,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      } catch { case e: Exception =>
+        System.err.println(s"[bench] record write failed: $e")
+      }
+      line
+    }
+    names.foreach { name =>
+      if (hardOver) {
+        // hard budget stop (r17 #1b): finalize with what exists; the
+        // skipped names are recorded so absence reads as truncation,
+        // never as a silently-passing line
+        truncated = true
+        if (!errors.contains(name))
+          errors(name) = s"skipped: wall budget (${BudgetSec}s) exhausted"
+      } else {
+        recs(name) = measureQuery(name)
+      }
+      writeRecord(partial = true)
+    }
     // `load_flagged` cannot serve as the next round's regression base
     // (r13 shipped 8 load-tainted families reading 18% above the same
     // round's quiet record). So before finalizing, any query whose
@@ -420,12 +539,14 @@ object Bench {
         }
       }
     }
-    while (pass < FinalPasses && recs.exists(r => flaggedOf(r._2).nonEmpty)) {
+    while (pass < FinalPasses && !overBudget &&
+        recs.exists(r => flaggedOf(r._2).nonEmpty)) {
       pass += 1
       // drain first, re-measure second: re-running into the same
       // co-tenant burst that flagged the line just burns the pass
       waitForQuiet()
       remeasureFlagged(s"finalize pass $pass")
+      writeRecord(partial = true)
     }
     // RESCUE (r16, verdict #3): r15's finalize exhausted its shared
     // 180 s wait on a busy box and shipped `quiet:false` anyway —
@@ -443,11 +564,14 @@ object Bench {
       .flatMap(s => scala.util.Try(s.toInt).toOption.filter(_ >= 0))
       .getOrElse(600)
     var rpass = 0
-    while (rpass < RescuePasses && rescueLeft > 0 &&
+    // r17 #1b: the rescue's sleep loop is the path that blew r16's
+    // wall — it now also respects the run-wide budget, never sleeping
+    // past it
+    while (rpass < RescuePasses && rescueLeft > 0 && !overBudget &&
         recs.exists(r => flaggedOf(r._2).nonEmpty)) {
       rpass += 1
       var l = self.ambient(loadAvg())
-      while (l > LoadMax && rescueLeft > 0) {
+      while (l > LoadMax && rescueLeft > 0 && !overBudget) {
         val step = math.min(10, rescueLeft)
         System.err.println(
           s"[bench] rescue: ambient=$l > $LoadMax, waiting ${step}s " +
@@ -456,60 +580,51 @@ object Bench {
         rescueLeft -= step
         l = self.ambient(loadAvg())
       }
-      if (l <= LoadMax) remeasureFlagged(s"rescue pass $rpass")
+      if (l <= LoadMax && !overBudget) {
+        remeasureFlagged(s"rescue pass $rpass")
+        writeRecord(partial = true)
+      }
     }
-    val allRuns = recs.map { case (n, r) => n -> r.map(_._1) }
-    val gcRuns = recs.map { case (n, r) => n -> r.map(_._2) }
-    val loadRuns = recs.map { case (n, r) => n -> r.map(_._3) }
-    val ambientRuns = recs.map { case (n, r) => n -> r.map(_._4) }
-    // EVERY kept run whose start load still exceeded LoadMax after
-    // the finalize passes — so the artifact admits the threshold was
-    // exceeded rather than implying a clean measurement
-    val loadFlagged = recs.collect {
-      case (n, r) if flaggedOf(r).nonEmpty => n -> flaggedOf(r) }
-    val quiet = loadFlagged.isEmpty
-    val results = recs.map { case (n, r) => n -> medianOf(r.map(_._1)) }.toSeq
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val runsJson = allRuns.map { case (k, v) =>
-      "\"" + k + "\":" + v.mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
-      .mkString("{", ",", "}")
-    val discJson = discarded.map { case (k, v) =>
-      "\"" + k + "\":" + v.mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
-    val discReasonJson = discardReasons.map { case (k, v) =>
-      jstr(k) + ":" + v.map(jstr).mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
-    def numMap(m: scala.collection.Map[String, Seq[Double]]): String =
-      m.map { case (k, v) => "\"" + k + "\":" + v.mkString("[", ",", "]") }
-        .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    // most recent COMMITTED quiet total for this SF (docs/QUIET_REF
-    // .json, updated whenever a quiet run is committed): rides in the
-    // record so a load-tainted artifact carries its own reconciliation
-    // reference — the verdict's r14 complaint was having to dig the
-    // quiet number out of a different commit (r15, verdict #5)
-    val quietRef: Option[Double] = try {
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("docs/QUIET_REF.json")), "UTF-8")
-      val key = new java.io.File(sfDir).getName
-      val m = ("\"" + java.util.regex.Pattern.quote(key) +
-        "\"\\s*:\\s*([0-9.]+)").r
-      m.findFirstMatchIn(txt).map(_.group(1).toDouble)
-    } catch { case _: Exception => None }
-    val quietRefJson = quietRef.map(_.toString).getOrElse("null")
-    // key order is deliberate: the driver keeps only the LAST ~2k chars
-    // of stdout, so the headline medians and total go at the END of the
-    // line — bulky runs/errors payloads first (r7: three long error
-    // strings pushed every number out of the recorded tail)
-    val line =
-      s"""{"runs":$runsJson,"gc_sec":${numMap(gcRuns)},"load_1m":${numMap(loadRuns)},"load_ambient":${numMap(ambientRuns)},"load_flagged":${numMap(loadFlagged)},"discarded":$discJson,"discard_reason":$discReasonJson,"errors":$errJson,"sf":"$sfDir","quiet":$quiet,"quiet_ref_total":$quietRefJson,"queries":$qs,"metric":"total","value":$total,"unit":"sec"}"""
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_result.json"), line + "\n")
+    // finalize/rescue skipped by the wall budget while flags remain is
+    // a curtailment too — say so
+    if (overBudget && recs.exists(r => flaggedOf(r._2).nonEmpty))
+      truncated = true
+    val line = writeRecord(partial = false)
+    appendHistory(line, sfDir)
     spark.stop()
     // after stop() so no executor/shutdown log line can interleave
     println(line)
+  }
+
+  /** Append this run's full per-line record to the committed
+    * append-only `docs/bench_history.jsonl` (r17, verdict #4):
+    * BASELINE.md's "judge per-line against the faster committed quiet
+    * observation" rule was satisfiable for only 4 of 18 flagged r16
+    * lines because full quiet records weren't being kept. Each entry
+    * wraps the exact record line (medians + raw runs + telemetry +
+    * quiet/truncated flags) with the timestamp, git sha and box id
+    * needed to attribute it. */
+  private def appendHistory(line: String, sfDir: String): Unit = try {
+    val sha = try {
+      val head = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(".git/HEAD")), "UTF-8").trim
+      if (head.startsWith("ref: "))
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(".git", head.drop(5).trim.split("/"): _*)),
+          "UTF-8").trim.take(12)
+      else head.take(12)
+    } catch { case _: Exception => "unknown" }
+    val host = try java.net.InetAddress.getLocalHost.getHostName
+      catch { case _: Exception => "unknown" }
+    val ts = java.time.Instant.now().toString
+    val entry =
+      s"""{"ts":"$ts","sha":"$sha","host":"$host","sf":"$sfDir","record":$line}""" + "\n"
+    val p = java.nio.file.Paths.get("docs", "bench_history.jsonl")
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, entry.getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+  } catch { case e: Exception =>
+    System.err.println(s"[bench] history append failed: $e")
   }
 }
