@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
   *     parquet dir per named frame (the model payload — classifier
   *     weights, isotonic table, unigram seg counts, BPE merge table,
   *     or the curated pool itself) plus `meta`: one row carrying the
-  *     corpus FINGERPRINT and the config string, written LAST inside
+  *     corpus fingerprints and the config string, written LAST inside
   *     the version, so a crash mid-build leaves an unpublished
   *     version that no reader ever resolves. A consumer
   *     re-fingerprints the corpus on every load and rebuilds on
@@ -34,13 +34,28 @@ import org.apache.spark.sql.functions._
   * Published versions are never modified in place; concurrent
   * builders race benignly (each writes its own version, the last
   * CURRENT flip wins, both are valid for the same fingerprint).
-  * Non-current versions sweep after a grace period long enough for
-  * any in-flight reader's leaf scans to finish.
+  * Non-current versions sweep after a grace period measured from
+  * SUPERSESSION (r17 ADVICE — a `.superseded` marker stamped at the
+  * publish that displaced them), long enough for any in-flight
+  * reader's leaf scans to finish.
   *
-  * Fingerprint = (row count, order-insensitive XOR of per-doc
-  * hashes, order-insensitive exact DECIMAL sum of the same hashes) —
-  * one column-pruned scan; the sum closes XOR's self-cancelling
-  * blind spot (the r15 [[SuffixIndex]] ADVICE fix, shared here).
+  * TWO fingerprints with distinct jobs (r17, verdict #3):
+  *   - the per-LOAD freshness check is [[corpusMetaFingerprint]] —
+  *     file names + sizes + mtimes + parquet-footer row counts, a
+  *     driver-side stat walk with NO data scan and NO Spark job, so
+  *     at 100 TB a consumer query opens its model for the cost of a
+  *     directory listing (the r16 design re-scanned the whole corpus
+  *     per consumer load — the one genuine scale-killer of that
+  *     round's review);
+  *   - the BUILD stamps [[corpusFingerprint]] — (row count,
+  *     order-insensitive XOR of per-doc hashes, order-insensitive
+  *     exact DECIMAL sum of the same hashes; the sum closes XOR's
+  *     self-cancelling blind spot, r15 ADVICE) — one column-pruned
+  *     scan per release, carried in `meta` as the release's exact
+  *     content identity.
+  * Within a session, a resolved (key, fingerprint) → version mapping
+  * is cached, so warm consumer loads also skip the CURRENT read and
+  * the meta parquet read (r17, verdict #2).
   *
   * Parquet round-trips IEEE doubles and integer/string columns
   * exactly, so a loaded artifact scores BYTE-IDENTICALLY to the
@@ -51,11 +66,18 @@ import org.apache.spark.sql.functions._
   */
 object ArtifactStore {
 
-  /** Corpus fingerprint over `<dir>/documents.parquet`: (row count,
-    * bit-XOR of per-doc md5-low64, exact DECIMAL(38,0) sum of the
-    * same hashes as a string). Any added/removed/edited doc flips at
-    * least one component; a delta multiset would have to cancel under
-    * BOTH xor and exact integer addition. */
+  /** Exact corpus fingerprint over `<dir>/documents.parquet`: (row
+    * count, bit-XOR of per-doc md5-low64, exact DECIMAL(38,0) sum of
+    * the same hashes as a string). Any added/removed/edited doc flips
+    * at least one component; a delta multiset would have to cancel
+    * under BOTH xor and exact integer addition.
+    *
+    * This is a FULL CORPUS SCAN — r17 (verdict #3): it runs at BUILD
+    * time only, as the stamp a release carries. The per-load freshness
+    * check is [[corpusMetaFingerprint]] (file-level metadata, no data
+    * scan): at 100 TB a consumer query must not pay a corpus scan to
+    * open its model — that is the exact cost the build/consume
+    * artifact split exists to amortize. */
   def corpusFingerprint(spark: SparkSession, dir: String)
       : (Long, Long, String) = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
@@ -68,6 +90,60 @@ object ArtifactStore {
       .getOrElse("0")
     (r.getLong(0), r.getLong(1), s)
   }
+
+  /** (path, size, mtime) → parquet footer record count, so repeated
+    * loads within a session read each unchanged footer once. */
+  private val footerRows =
+    scala.collection.concurrent.TrieMap[(String, Long, Long), Long]()
+
+  /** Metadata corpus fingerprint over `<dir>/documents.parquet`: md5
+    * of the sorted (file name, byte size, mtime, parquet-footer row
+    * count) quadruples — NO data scan, NO Spark job. Footer reads are
+    * one small-range read per file, cached per (path, size, mtime).
+    * Any corpus release (Spark overwrite renames every part file; an
+    * in-place edit flips size/mtime; a truncated rewrite flips the
+    * footer count) changes it; content morphing that preserves every
+    * file's name+size+mtime+rows would not — which is why the exact
+    * (count, xor, sum) stamp stays on the build (r17, verdict #3). */
+  def corpusMetaFingerprint(spark: SparkSession, dir: String): String = {
+    val conf = spark.sessionState.newHadoopConf()
+    val hp = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val fs = hp.getFileSystem(conf)
+    val parts = fs.listStatus(hp)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+    val lines = parts.map { st =>
+      val key = (st.getPath.toString, st.getLen, st.getModificationTime)
+      val rows = footerRows.getOrElseUpdate(key, {
+        val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromStatus(st, conf))
+        try rdr.getRecordCount finally rdr.close()
+      })
+      s"${st.getPath.getName}|${st.getLen}|${st.getModificationTime}|$rows"
+    }
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(lines.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  /** key-root → (meta fingerprint + config, resolved version, leaf
+    * frames): skips the CURRENT read, the meta parquet read AND the
+    * per-frame schema-inference job on every warm consumer load
+    * within a session (r17, verdict #2 — per-call resolution overhead
+    * was the prime suspect in the r16 artifact-family bench
+    * regressions). Entries re-validate cheaply: the meta fingerprint
+    * is recomputed per call (driver-side file stat), and a swept
+    * version directory falls back to full resolution. The cached
+    * DataFrames are plain immutable leaf scans — reusing them is
+    * semantically identical to re-reading the same files. */
+  private val resolved = scala.collection.concurrent
+    .TrieMap[String, (String, String, Map[String, DataFrame])]()
+
+  /** Test hook: forget session-resolved versions, simulating a fresh
+    * process (the cross-process paths — torn CURRENT, foreign
+    * publishes — are invisible behind a warm cache by design). */
+  private[graft] def resetSessionCache(): Unit = resolved.clear()
 
   private def root(family: String, dir: String, config: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -89,24 +165,39 @@ object ArtifactStore {
       config: String, names: Seq[String])(
       build: => Map[String, DataFrame]): Map[String, DataFrame] =
     this.synchronized {
-      val (fpN, fpXor, fpSum) = corpusFingerprint(spark, dir)
+      val mfp = corpusMetaFingerprint(spark, dir)
       val p = root(family, dir, config)
-      // resolve CURRENT first: a cold key is the NORMAL first-call
-      // path, and probing it through spark.read would log a
-      // FileNotFoundException stack at every fresh build (r15 noise
-      // fix) — the try/catch stays for torn/corrupt meta frames
-      val cur = currentVersion(p).filter { v =>
-        try {
-          val m = spark.read.parquet(s"$p/$v/meta").collect()(0)
-          m.getAs[Long]("fp_n") == fpN &&
-            m.getAs[Long]("fp_xor") == fpXor &&
-            m.getAs[String]("fp_sum") == fpSum &&
-            m.getAs[String]("config") == config
-        } catch { case _: Exception => false }
+      // fast path (r17, verdict #2): same session, same corpus files —
+      // serve the already-resolved frames with ZERO Spark jobs and
+      // zero reads beyond the driver-side file stats in the
+      // fingerprint itself
+      val hit = resolved.get(p).collect {
+        case (fp, v, frames) if fp == mfp + "|" + config &&
+          names.forall(frames.contains) &&
+          new java.io.File(p, v).isDirectory =>
+          names.map(n => n -> frames(n)).toMap
       }
-      val ver = cur.getOrElse(saveFrames(spark, p, config,
-        (fpN, fpXor, fpSum), names, build))
-      names.map(n => n -> spark.read.parquet(s"$p/$ver/$n")).toMap
+      hit.getOrElse {
+        // resolve CURRENT first: a cold key is the NORMAL first-call
+        // path, and probing it through spark.read would log a
+        // FileNotFoundException stack at every fresh build (r15 noise
+        // fix) — the try/catch stays for torn/corrupt meta frames
+        val cur = currentVersion(p).filter { v =>
+          try {
+            val m = spark.read.parquet(s"$p/$v/meta").collect()(0)
+            // pre-r17 artifacts lack `mfp` → getAs throws → rebuild
+            // (the safe direction for an upgrade)
+            m.getAs[String]("mfp") == mfp &&
+              m.getAs[String]("config") == config
+          } catch { case _: Exception => false }
+        }
+        val ver = cur.getOrElse(saveFrames(spark, dir, p, config, mfp,
+          names, build))
+        val frames =
+          names.map(n => n -> spark.read.parquet(s"$p/$ver/$n")).toMap
+        resolved(p) = (mfp + "|" + config, ver, frames)
+        frames
+      }
     }
 
   /** Force a rebuild (the BUILD is a `*_build` bench line's
@@ -117,19 +208,26 @@ object ArtifactStore {
       config: String, names: Seq[String])(
       build: => Map[String, DataFrame]): Map[String, DataFrame] =
     this.synchronized {
-      val fp = corpusFingerprint(spark, dir)
+      val mfp = corpusMetaFingerprint(spark, dir)
       val p = root(family, dir, config)
-      val ver = saveFrames(spark, p, config, fp, names, build)
-      names.map(n => n -> spark.read.parquet(s"$p/$ver/$n")).toMap
+      val ver = saveFrames(spark, dir, p, config, mfp, names, build)
+      val frames =
+        names.map(n => n -> spark.read.parquet(s"$p/$ver/$n")).toMap
+      resolved(p) = (mfp + "|" + config, ver, frames)
+      frames
     }
 
-  private def saveFrames(spark: SparkSession, p: String, config: String,
-      fp: (Long, Long, String), names: Seq[String],
+  private def saveFrames(spark: SparkSession, dir: String, p: String,
+      config: String, mfp: String, names: Seq[String],
       build: => Map[String, DataFrame]): String = {
     val frames = build
     require(names.forall(frames.contains),
       s"artifact build produced ${frames.keys.toSeq.sorted}, " +
         s"expected $names")
+    // the exact-content stamp: computed at BUILD time only (one scan
+    // per release — r17, verdict #3), carried in meta as the
+    // release's verifiable content identity
+    val fp = corpusFingerprint(spark, dir)
     val ver = newVersionDir(p)
     names.foreach { n =>
       frames(n).write.mode("overwrite").parquet(s"$p/$ver/$n")
@@ -138,8 +236,8 @@ object ArtifactStore {
     // meta LAST inside the version: a crash before this point leaves
     // an unpublished version; a crash after it but before publish()
     // leaves a complete-but-unreferenced version — either sweeps later
-    Seq((fp._1, fp._2, fp._3, config))
-      .toDF("fp_n", "fp_xor", "fp_sum", "config")
+    Seq((fp._1, fp._2, fp._3, mfp, config))
+      .toDF("fp_n", "fp_xor", "fp_sum", "mfp", "config")
       .coalesce(1).write.mode("overwrite").parquet(s"$p/$ver/meta")
     publish(p, ver)
     SuffixIndex.sweepStale(new java.io.File(p))
@@ -196,15 +294,34 @@ object ArtifactStore {
   }
 
   /** Best-effort sweep of superseded content under key dir `p`:
-    * every child that is not CURRENT, not the just-published version,
-    * and older than [[VersionSweepGraceMs]] (covers stale versions,
-    * torn temp pointers AND pre-r16 legacy frame dirs). A torn delete
-    * leaves content the resolver never serves. */
+    * every child that is not CURRENT and not the just-published
+    * version (covers stale versions, torn temp pointers AND pre-r16
+    * legacy frame dirs). The grace clock starts at SUPERSESSION, not
+    * at build (r17 ADVICE): a version dir that has been CURRENT for
+    * an hour is older than any build-time grace the moment a rebuild
+    * publishes, so sweeping by lastModified would delete it out from
+    * under a concurrent process's in-flight leaf scans — the exact
+    * Verify+Bench race the protocol exists to prevent. First sight of
+    * a superseded DIRECTORY drops a `.superseded` marker into it and
+    * leaves it; only a marker older than [[VersionSweepGraceMs]]
+    * deletes. Plain files (torn temp pointers) still sweep by their
+    * own mtime — they were never resolvable. A torn delete leaves
+    * content the resolver never serves. */
   private def sweepVersions(p: String, keep: String): Unit = {
     val now = System.currentTimeMillis()
     Option(new java.io.File(p).listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName != "CURRENT" && f.getName != keep)
-      .filter(f => now - f.lastModified() > VersionSweepGraceMs)
-      .foreach(SuffixIndex.deleteRecursively)
+      .foreach { f =>
+        if (f.isDirectory) {
+          val marker = new java.io.File(f, ".superseded")
+          if (!marker.isFile) {
+            try java.nio.file.Files.write(marker.toPath,
+              Array.empty[Byte])
+            catch { case _: Exception => () }
+          } else if (now - marker.lastModified() > VersionSweepGraceMs)
+            SuffixIndex.deleteRecursively(f)
+        } else if (now - f.lastModified() > VersionSweepGraceMs)
+          SuffixIndex.deleteRecursively(f)
+      }
   }
 }

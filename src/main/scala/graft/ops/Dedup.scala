@@ -892,6 +892,15 @@ object Dedup {
     * O(log n) claim observable. */
   @volatile private[graft] var lastStarRounds: Int = -1
 
+  /** Per-round trace of the last [[connectedComponentsStar]] call:
+    * (round, wall seconds of the round's contraction+checkpoint job,
+    * edge count observed inside it). Diagnostic only (r17, verdict
+    * #5 — the dd_clusters_star bench spread needed per-round
+    * attribution to separate round-count growth from per-round
+    * slowdown). */
+  @volatile private[graft] var lastStarTrace: Seq[(Int, Double, Long)] =
+    Seq.empty
+
   def connectedComponentsStar(pairs: DataFrame, maxIters: Int = 40): DataFrame = {
     // ONE pass over the (expensive — typically an LSH/shingle join)
     // pair input: `base` keeps self-pairs so the node set is derivable
@@ -931,11 +940,13 @@ object Dedup {
     var signature = (-1L, -1L)
     var iter = 0
     var converged = false
+    val trace = scala.collection.mutable.ArrayBuffer[(Int, Double, Long)]()
     // round 0's input plan reads base's blocks, which `nodes` still
     // needs at the final join — free interior rounds only; base and
     // the final round are released by releaseCaches
     var freeable = false
     while (!converged && iter < maxIters) {
+      val rt0 = System.nanoTime()
       val obs = new org.apache.spark.sql.Observation(s"ccs_$iter")
       val next = checkpointTracked(smallStar(largeStar(edges))
         .observe(obs,
@@ -953,11 +964,14 @@ object Dedup {
       freeable = true
       edges = next
       val sig = (obs.get("n").asInstanceOf[Long], obs.get("hs").asInstanceOf[Long])
+      trace += ((iter, math.rint((System.nanoTime() - rt0) / 1e7) / 100,
+        sig._1))
       converged = sig == signature
       signature = sig
       iter += 1
     }
     lastStarRounds = iter
+    lastStarTrace = trace.toSeq
     if (!converged) throw new IllegalStateException(
       s"connectedComponentsStar did not converge in $maxIters rounds")
     // fixed point = stars (v -> component min); roots label themselves

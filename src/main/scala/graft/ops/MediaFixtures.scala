@@ -873,6 +873,114 @@ object MediaFixtures {
       info ++ tracks ++ clusterBytes.toArray.flatten)
   }
 
+  /** Signed lace-delta VINT (Matroska EBML lacing): delta `d` encodes
+    * as the unsigned VINT of `d + (2^(7w−1) − 1)` at the minimal
+    * width that fits (and is not the all-ones unknown-size marker). */
+  private def ebmlLaceDelta(d: Long): Array[Byte] = {
+    var w = 1
+    while (w < 8 && (d + ((1L << (7 * w - 1)) - 1) < 0 ||
+      d + ((1L << (7 * w - 1)) - 1) > (1L << (7 * w)) - 2)) w += 1
+    val v = d + ((1L << (7 * w - 1)) - 1)
+    val out = new Array[Byte](w)
+    var x = v | (1L << (7 * w))
+    var i = w - 1
+    while (i >= 0) { out(i) = (x & 0xff).toByte; x >>= 8; i -= 1 }
+    out
+  }
+
+  /** A LACED WebM file (r17): same container skeleton as [[webm]],
+    * but each cluster holds SimpleBlocks whose payload is a lace of
+    * several frames. Each block = (relTs, claimedKey, mode, frames)
+    * with mode 0 = none (frames must be a single frame), 1 = Xiph
+    * (255-continuation size bytes for the first n−1 frames), 2 =
+    * fixed-size (frames must all be equal length), 3 = EBML (first
+    * size an unsigned VINT, then signed-VINT deltas). The keyframe
+    * claim applies to the whole block per the Matroska spec. */
+  def webmLaced(docType: String, timescale: Long, track: Int,
+      codec: String, pixelW: Int, pixelH: Int,
+      clusters: Seq[(Long, Seq[(Int, Boolean, Int, Seq[Array[Byte]])])])
+      : Array[Byte] = {
+    val header = ebml(idb(0x1A, 0x45, 0xDF, 0xA3),
+      ebml(idb(0x42, 0x82), docType.getBytes("US-ASCII")))
+    val info = ebml(idb(0x15, 0x49, 0xA9, 0x66),
+      ebmlUint(idb(0x2A, 0xD7, 0xB1), timescale))
+    val video = ebml(idb(0xE0),
+      ebmlUint(idb(0xB0), pixelW.toLong) ++
+        ebmlUint(idb(0xBA), pixelH.toLong))
+    val entry = ebml(idb(0xAE),
+      ebmlUint(idb(0xD7), track.toLong) ++
+        ebmlUint(idb(0x83), 1L) ++
+        ebml(idb(0x86), codec.getBytes("US-ASCII")) ++ video)
+    val tracks = ebml(idb(0x16, 0x54, 0xAE, 0x6B), entry)
+    val clusterBytes = clusters.map { case (ts, blocks) =>
+      val body = ebmlUint(idb(0xE7), ts) ++
+        blocks.toArray.flatMap { case (rel, key, mode, frames) =>
+          require(mode >= 0 && mode <= 3, s"lace mode $mode")
+          require(mode != 0 || frames.size == 1, "unlaced = one frame")
+          require(mode != 2 ||
+            frames.map(_.length).distinct.size == 1,
+            "fixed lacing needs equal frame sizes")
+          val flags = (if (key) 0x80 else 0x00) | (mode << 1)
+          val laceTable: Array[Byte] = mode match {
+            case 0 => Array.empty
+            case 1 => Array((frames.size - 1).toByte) ++
+              frames.dropRight(1).toArray.flatMap { f =>
+                val q = f.length / 255
+                Array.fill(q)(0xff.toByte) :+ (f.length % 255).toByte
+              }
+            case 2 => Array((frames.size - 1).toByte)
+            case _ => Array((frames.size - 1).toByte) ++
+              (if (frames.size < 2) Array.empty[Byte]
+               else ebmlSize(frames.head.length.toLong) ++
+                 frames.sliding(2).toArray.dropRight(1).flatMap { w =>
+                   ebmlLaceDelta((w(1).length - w(0).length).toLong)
+                 })
+          }
+          val blk = ebmlSize(track.toLong) ++ Array(
+            ((rel >> 8) & 0xff).toByte, (rel & 0xff).toByte,
+            flags.toByte) ++ laceTable ++ frames.toArray.flatten
+          ebml(idb(0xA3), blk)
+        }
+      ebml(idb(0x1F, 0x43, 0xB6, 0x75), body)
+    }
+    header ++ ebml(idb(0x18, 0x53, 0x80, 0x67),
+      info ++ tracks ++ clusterBytes.toArray.flatten)
+  }
+
+  /** The 8-slot planted LACED WebM table assigned by `doc_id % 8` in
+    * `mm_webm_laced`: slot m laces with mode m % 4 (0 = none, 1 =
+    * Xiph, 2 = fixed-size, 3 = EBML) across m % 2 + 1 clusters;
+    * cluster c (1-based, timestamp 500c + 10m) holds ONE SimpleBlock
+    * at relative timestamp 9c with (m + c) % 3 + 2 laced frames
+    * (a single frame when mode 0). Frame k (1-based) has size
+    * 20 + 4m + 3k for Xiph/EBML (uneven — the size tables earn their
+    * keep) and 20 + 4m for none/fixed. The block CLAIMS key iff
+    * c == 1 and every frame in a c == 1 block is a bitstream key,
+    * except two planted lies: slot 3 (EBML) cluster 1 frame 2 is an
+    * inter frame under the key claim; slot 1 (Xiph) cluster 2 frame 1
+    * is a hidden key. Track 1, codec V_VP9, timescale 1000000 + 500m,
+    * dims (256 + 8m) × (144 + 4m), doc type webm. All fields are
+    * doc_id arithmetic — the oracle states them without reading a
+    * byte. */
+  def plantedWebmLaced(m: Int): Array[Byte] = {
+    val mode = m % 4
+    val clusters = (1 to m % 2 + 1).map { c =>
+      val n = if (mode == 0) 1 else (m + c) % 3 + 2
+      val frames = (1 to n).map { k =>
+        val keyTruth =
+          if (m == 3 && c == 1 && k == 2) false
+          else if (m == 1 && c == 2 && k == 1) true
+          else c == 1
+        val size = if (mode == 1 || mode == 3) 20 + 4 * m + 3 * k
+          else 20 + 4 * m
+        vp9Frame(keyTruth, size)
+      }
+      (500L * c + 10 * m, Seq((9 * c, c == 1, mode, frames)))
+    }
+    webmLaced("webm", 1000000L + 500 * m, 1, "V_VP9",
+      256 + 8 * m, 144 + 4 * m, clusters)
+  }
+
   /** The 8-slot planted WebM table assigned by `doc_id % 8` in
     * `mm_webm`: slot m carries m % 3 + 1 clusters, cluster c
     * (1-based) at timestamp 1000c + 10m holds (m + c) % 3 + 1

@@ -1394,6 +1394,14 @@ object Multimodal {
                 val cnt = (be32(bytes, p) & 0xffff).toInt
                 p += 4
                 if (cnt < 0 || se - p < cnt.toLong * 12) None
+                // hierarchical sidx (r17 ADVICE): reference_type's top
+                // bit set means the reference points at a CHILD sidx
+                // box, not a media subsegment — the 1:1 ref↔moof
+                // alignment this walk cross-checks doesn't hold, so
+                // the whole sidx reads as absent (vacuous-true checks,
+                // -1 sentinels) rather than emitting false lies
+                else if ((0 until cnt).exists { i =>
+                  (be32(bytes, p + 12 * i) & 0x80000000L) != 0 }) None
                 else Some((timescale, ept, (0 until cnt).map { i =>
                   (be32(bytes, p + 12 * i) & 0x7fffffffL,
                     be32(bytes, p + 12 * i + 4))
@@ -1405,8 +1413,12 @@ object Multimodal {
         val ept = sidx.map(_._2).getOrElse(-1L)
         val refs = sidx.map(_._3).getOrElse(IndexedSeq.empty)
         var fragIdx = 0
-        var prevTfdt = -1L
-        var prevDur = -1L
+        // accumulated expected decode time: seeded by the first
+        // fragment that CARRIES a tfdt, advanced by every fragment's
+        // sample durations; -1 until seeded (r17 ADVICE — a fragment
+        // with no tfdt box makes no decode-time claim, so its check
+        // is vacuous-true and must not poison the successor's)
+        var expectedTfdt = -1L
         val out = scala.collection.mutable.ArrayBuffer[TimelineSegment]()
         top.zipWithIndex.foreach {
           case (("moof", ms, me), ti) =>
@@ -1479,15 +1491,18 @@ object Multimodal {
               if (fragIdx < refs.size) (refs(fragIdx)._2, refs(fragIdx)._1)
               else (-1L, -1L)
             val tfdtOk =
-              if (fragIdx == 0) sidx.isEmpty || tfdtV == ept
-              else tfdtV == prevTfdt + prevDur
+              if (tfdtV < 0) true // no decode-time claim to audit
+              else if (fragIdx == 0) sidx.isEmpty || tfdtV == ept
+              else expectedTfdt < 0 || tfdtV == expectedTfdt
             out += TimelineSegment(id, fragIdx, seqNo, nSamples, durSum,
               tfdtV, sDur, sSize, actual, timescale,
               tfdt_consistent = tfdtOk,
               sidx_dur_consistent = sDur < 0 || sDur == durSum,
               sidx_size_consistent = sSize < 0 || sSize == actual)
-            prevTfdt = tfdtV
-            prevDur = durSum
+            expectedTfdt =
+              if (tfdtV >= 0) tfdtV + durSum
+              else if (expectedTfdt >= 0) expectedTfdt + durSum
+              else -1L
             fragIdx += 1
           case _ =>
         }
@@ -1502,13 +1517,17 @@ object Multimodal {
     * frame_type bit (`vp9_key`; VP9 bitstream spec §6.2) —
     * `key_consistent` is the EBML twin of the MP4 family's
     * `sync_consistent`. Non-VP9 codecs and unparseable frame heads
-    * read vacuous-true. Track metadata (codec, dims, timescale,
-    * doc type) rides every row so a corpus filter never needs a
-    * second pass. */
+    * read vacuous-true. A LACED block (r17) emits one row per laced
+    * frame — `frame_idx` is the frame's position within its block
+    * (0 for unlaced); the block's timestamps and keyframe claim apply
+    * to every row, each frame's own head feeds the VP9 cross-check.
+    * Track metadata (codec, dims, timescale, doc type) rides every
+    * row so a corpus filter never needs a second pass. */
   case class WebmBlock(media_id: Long, cluster_idx: Int, track: Int,
-      rel_ts: Int, abs_ts: Long, size: Int, key_claimed: Boolean,
-      vp9_key: Boolean, key_consistent: Boolean, codec: String,
-      pixel_w: Int, pixel_h: Int, timescale: Long, doc_type: String)
+      rel_ts: Int, frame_idx: Int, abs_ts: Long, size: Int,
+      key_claimed: Boolean, vp9_key: Boolean, key_consistent: Boolean,
+      codec: String, pixel_w: Int, pixel_h: Int, timescale: Long,
+      doc_type: String)
 
   /** WebM / Matroska container walk (EBML framing per RFC 8794;
     * element semantics per the Matroska spec): `EBML > DocType`,
@@ -1518,9 +1537,13 @@ object Multimodal {
     * SimpleBlock` of that track — track VINT, signed-16 relative
     * timestamp, flags byte (0x80 = keyframe claim), frame payload.
     * The fMP4 coverage's EBML twin (r16; the other "next closable
-    * slice" of the video boundary). Unknown-size elements, truncated
-    * VINTs and malformed structure throw to the corrupt-input
-    * sentinel, never task death. */
+    * slice" of the video boundary). r17: all three LACING modes
+    * (flags bits 0x06 — Xiph 255-continuation tables, fixed-size
+    * even split, EBML unsigned-first + signed-delta VINTs) are
+    * parsed, one audit row per laced frame; real Matroska audio
+    * laces near-universally. Unknown-size elements, truncated VINTs,
+    * malformed lace tables and other malformed structure throw to
+    * the corrupt-input sentinel, never task death. */
   object WebmWalk {
     private def vintWidth(first: Int): Int = {
       var w = 1
@@ -1588,7 +1611,7 @@ object Multimodal {
 
     def index(id: Long, bytes: Array[Byte]): Seq[WebmBlock] = {
       val len = if (bytes == null) 0 else bytes.length
-      val sentinel = Seq(WebmBlock(id, -1, -1, -1, -1L, -1,
+      val sentinel = Seq(WebmBlock(id, -1, -1, -1, -1, -1L, -1,
         key_claimed = false, vp9_key = false, key_consistent = false,
         "?", -1, -1, -1L, "?"))
       try {
@@ -1648,17 +1671,106 @@ object Multimodal {
                 val rel = ((bytes(bs + tw) & 0xff) << 8 |
                   (bytes(bs + tw + 1) & 0xff)).toShort.toInt
                 val flags = bytes(bs + tw + 2) & 0xff
-                val fs = bs + tw + 3
+                var fs = bs + tw + 3
                 val claimed = claimedOf(flags)
-                val b0 = if (be > fs) bytes(fs) & 0xff else -1
-                val vp9Valid = codec == "V_VP9" && b0 >= 0 &&
-                  (b0 >> 6) == 2 && ((b0 >> 3) & 1) == 0
-                val vp9Key = vp9Valid && ((b0 >> 2) & 1) == 0
-                out += WebmBlock(id, clusterIdx, trackNum.toInt, rel,
-                  clusterTs + rel, be - fs, key_claimed = claimed,
-                  vp9_key = vp9Key,
-                  key_consistent = !vp9Valid || claimed == vp9Key,
-                  codec, pw.toInt, ph.toInt, timescale, docType)
+                // lacing (r17, verdict #6 / ADVICE): flags bits 0x06
+                // select none/Xiph/fixed/EBML lacing — real Matroska
+                // audio laces near-universally, and a laced payload
+                // parsed as a single frame reads lace headers as a
+                // frame head. One audit row per laced FRAME (the
+                // block's timestamps and keyframe claim apply to the
+                // whole block per the Matroska spec; each frame's own
+                // first byte feeds the VP9 cross-check). Malformed
+                // lace tables throw to the corrupt-input sentinel.
+                val spans: Seq[(Int, Int)] = ((flags >> 1) & 0x3) match {
+                  case 0 => Seq((fs, be))
+                  case mode =>
+                    if (fs >= be)
+                      throw new IllegalArgumentException("no lace count")
+                    val n = (bytes(fs) & 0xff) + 1
+                    fs += 1
+                    val sizes = new Array[Int](n)
+                    mode match {
+                      case 2 => // fixed-size: remainder divides evenly
+                        val rest = be - fs
+                        if (rest <= 0 || rest % n != 0)
+                          throw new IllegalArgumentException("fixed lace")
+                        java.util.Arrays.fill(sizes, rest / n)
+                      case 1 => // Xiph: 255-continued size bytes
+                        var i = 0
+                        while (i < n - 1) {
+                          var sz = 0
+                          var b = 255
+                          while (b == 255) {
+                            if (fs >= be) throw new
+                              IllegalArgumentException("xiph lace eof")
+                            b = bytes(fs) & 0xff; fs += 1; sz += b
+                          }
+                          sizes(i) = sz; i += 1
+                        }
+                      case _ if n > 1 => // EBML: first unsigned VINT,
+                        // then signed-VINT deltas (value − (2^(7w−1) − 1))
+                        val (s0, w0) = readSize(bytes, fs, be)
+                        fs += w0
+                        sizes(0) = s0.toInt
+                        var i = 1
+                        while (i < n - 1) {
+                          if (fs >= be) throw new
+                            IllegalArgumentException("ebml lace eof")
+                          val w = vintWidth(bytes(fs) & 0xff)
+                          if (w > 8 || fs + w > be) throw new
+                            IllegalArgumentException("ebml lace vint")
+                          var v = (bytes(fs) & 0xffL) &
+                            ((1L << (8 - w)) - 1)
+                          var k = 1
+                          while (k < w) {
+                            v = (v << 8) | (bytes(fs + k) & 0xffL); k += 1
+                          }
+                          val delta = v - ((1L << (7 * w - 1)) - 1)
+                          sizes(i) = sizes(i - 1) + delta.toInt
+                          fs += w; i += 1
+                        }
+                      case _ => // EBML, single frame: zero size fields
+                        // (lace count 0) — the remainder fill below is
+                        // the whole payload
+                    }
+                    // last frame = remainder after the n-1 sized ones
+                    // (fixed mode fills all n; its "remainder" check
+                    // is the even division above)
+                    if (mode != 2) {
+                      val head = sizes.take(n - 1).map(_.toLong).sum
+                      val last = (be - fs) - head
+                      if (sizes.take(n - 1).exists(_ < 0) || last < 0)
+                        throw new IllegalArgumentException("lace overrun")
+                      sizes(n - 1) = last.toInt
+                    }
+                    val out2 = new Array[(Int, Int)](n)
+                    var o = fs
+                    var i = 0
+                    while (i < n) {
+                      out2(i) = (o, o + sizes(i)); o += sizes(i); i += 1
+                    }
+                    if (o != be)
+                      throw new IllegalArgumentException("lace overrun")
+                    out2.toSeq
+                }
+                spans.zipWithIndex.foreach { case ((s, e), fi) =>
+                  val b0 = if (e > s) bytes(s) & 0xff else -1
+                  // VP9 uncompressed header: frame_marker must read
+                  // 0b10, profile 3 shifts show_existing/frame_type
+                  // off these bit positions (r17 ADVICE) — treat as
+                  // unparseable, keeping key_consistent vacuous-true
+                  val profile3 = b0 >= 0 &&
+                    ((b0 >> 5) & 1) == 1 && ((b0 >> 4) & 1) == 1
+                  val vp9Valid = codec == "V_VP9" && b0 >= 0 &&
+                    (b0 >> 6) == 2 && !profile3 && ((b0 >> 3) & 1) == 0
+                  val vp9Key = vp9Valid && ((b0 >> 2) & 1) == 0
+                  out += WebmBlock(id, clusterIdx, trackNum.toInt, rel,
+                    fi, clusterTs + rel, e - s, key_claimed = claimed,
+                    vp9_key = vp9Key,
+                    key_consistent = !vp9Valid || claimed == vp9Key,
+                    codec, pw.toInt, ph.toInt, timescale, docType)
+                }
               }
             }
             ck.foreach {

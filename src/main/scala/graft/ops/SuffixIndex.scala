@@ -20,11 +20,14 @@ import org.apache.spark.sql.functions._
   *     r) — frame k is the dense rank of the first-2^k-token class,
   *     i.e. the LCP lifting tables;
   *   - `pairs`: every rank-adjacent suffix pair with its lifted LCP;
-  *   - `meta`: one row carrying a corpus FINGERPRINT (row count + XOR
-  *     of per-doc md5s — one cheap scan to recompute) plus the round
-  *     count and convergence curve. A consumer re-fingerprints the
-  *     corpus on every load and rebuilds on mismatch, so a stale
-  *     artifact can never serve a changed corpus.
+  *   - `meta`: one row carrying the corpus fingerprints (the exact
+  *     content stamp computed at build time, plus the file-metadata
+  *     fingerprint checked on every load — see [[ArtifactStore]],
+  *     r17 verdict #3: a consumer load must not pay a corpus scan)
+  *     plus the round count and convergence curve. A consumer
+  *     re-checks the metadata fingerprint on every load and rebuilds
+  *     on mismatch, so a stale artifact can never serve a changed
+  *     corpus.
   */
 object SuffixIndex {
 
@@ -44,48 +47,58 @@ object SuffixIndex {
   private def docsOf(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
-  /** Corpus fingerprint: (row count, order-insensitive XOR of per-doc
-    * content hashes, order-insensitive exact SUM of the same hashes —
-    * the sum closes XOR's self-cancelling blind spot, r15 ADVICE).
-    * Shared with every other artifact family via
-    * [[ArtifactStore.corpusFingerprint]]. */
-  private def fingerprint(spark: SparkSession, dir: String)
-      : (Long, Long, String) =
-    ArtifactStore.corpusFingerprint(spark, dir)
+  /** dir-key → (meta fingerprint, version, handle): warm consumer
+    * loads within a session reuse the handle's leaf-scan frames and
+    * skip CURRENT + meta parquet reads AND per-frame schema-inference
+    * jobs entirely (r17, verdict #2 — same cache as
+    * [[ArtifactStore.loadOrBuild]]'s). */
+  private val resolved = scala.collection.concurrent
+    .TrieMap[String, (String, String, Handle)]()
+
+  /** Test hook: forget session-resolved versions (fresh-process
+    * simulation — see [[ArtifactStore.resetSessionCache]]). */
+  private[graft] def resetSessionCache(): Unit = resolved.clear()
 
   /** Load the index for `dir`, building and saving it first if absent
-    * or stale (fingerprint mismatch). Thread-safe within a JVM; safe
+    * or stale (metadata-fingerprint mismatch — a driver-side stat
+    * walk, never a corpus scan; the exact content stamp is computed
+    * at build time, r17 verdict #3). Thread-safe within a JVM; safe
     * across processes via [[ArtifactStore]]'s immutable-version +
     * atomic-CURRENT protocol (r16, verdict #4 — previously a rebuild
     * in one JVM could overwrite frames another JVM was scanning). */
   def loadOrBuild(spark: SparkSession, dir: String): Handle =
     this.synchronized {
-      val docs = docsOf(spark, dir)
-      val (fpN, fpXor, fpSum) = fingerprint(spark, dir)
+      val mfp = ArtifactStore.corpusMetaFingerprint(spark, dir)
       val p = root(dir)
-      // resolve CURRENT first: a cold key is the normal first-call
-      // path and must not log a FileNotFoundException stack (r15)
-      val cur = ArtifactStore.currentVersion(p).flatMap { v =>
-        try {
-          val m = spark.read.parquet(s"$p/$v/meta").collect()(0)
-          // column-by-name: pre-r15 artifacts lack fp_sum → getAs
-          // throws → rebuild (the safe direction for an upgrade)
-          if (m.getAs[Long]("fp_n") == fpN &&
-              m.getAs[Long]("fp_xor") == fpXor &&
-              m.getAs[String]("fp_sum") == fpSum)
-            Some((v, m.getAs[Int]("n_frames"), m.getAs[Long]("total"),
-              m.getAs[Long]("max_len")))
-          else None
-        } catch { case _: Exception => None }
+      val hit = resolved.get(p).collect {
+        case (fp, v, h) if fp == mfp &&
+          new java.io.File(p, v).isDirectory => h
       }
-      val (ver, nFrames, total, maxLen) = cur.getOrElse {
-        val (v, rr) = buildAndSave(spark, docs, p, fpN, fpXor, fpSum)
-        (v, rr.frames.size, rr.total, rr.maxLen)
+      hit.getOrElse {
+        // resolve CURRENT first: a cold key is the normal first-call
+        // path and must not log a FileNotFoundException stack (r15)
+        val cur = ArtifactStore.currentVersion(p).flatMap { v =>
+          try {
+            val m = spark.read.parquet(s"$p/$v/meta").collect()(0)
+            // column-by-name: pre-r17 artifacts lack mfp → getAs
+            // throws → rebuild (the safe direction for an upgrade)
+            if (m.getAs[String]("mfp") == mfp)
+              Some((v, m.getAs[Int]("n_frames"), m.getAs[Long]("total"),
+                m.getAs[Long]("max_len")))
+            else None
+          } catch { case _: Exception => None }
+        }
+        val (ver, nFrames, total, maxLen) = cur.getOrElse {
+          val (v, rr) = buildAndSave(spark, docsOf(spark, dir), dir, p, mfp)
+          (v, rr.frames.size, rr.total, rr.maxLen)
+        }
+        val frames = (0 until nFrames)
+          .map(k => spark.read.parquet(s"$p/$ver/rk_$k"))
+        val h = Handle(frames, frames.last,
+          spark.read.parquet(s"$p/$ver/pairs"), total, maxLen)
+        resolved(p) = (mfp, ver, h)
+        h
       }
-      val frames = (0 until nFrames)
-        .map(k => spark.read.parquet(s"$p/$ver/rk_$k"))
-      Handle(frames, frames.last, spark.read.parquet(s"$p/$ver/pairs"),
-        total, maxLen)
     }
 
   /** Force a rebuild (ignores any saved artifact — the BUILD is this
@@ -100,8 +113,10 @@ object SuffixIndex {
   def rebuild(spark: SparkSession, dir: String): DataFrame =
     this.synchronized {
       val docs = docsOf(spark, dir)
-      val (fpN, fpXor, fpSum) = fingerprint(spark, dir)
-      val (_, rr) = buildAndSave(spark, docs, root(dir), fpN, fpXor, fpSum)
+      val mfp = ArtifactStore.corpusMetaFingerprint(spark, dir)
+      val (_, rr) = buildAndSave(spark, docs, dir, root(dir), mfp)
+      // next load re-resolves the fresh version (and re-caches)
+      resolved.remove(root(dir))
       import spark.implicits._
       rr.classes.zipWithIndex
         .map { case (c, k) => (k.toLong, c, rr.total) }
@@ -109,7 +124,7 @@ object SuffixIndex {
     }
 
   private def buildAndSave(spark: SparkSession, docs: DataFrame,
-      p: String, fpN: Long, fpXor: Long, fpSum: String)
+      dir: String, p: String, mfp: String)
       : (String, SuffixArray.RankRounds) = {
     // r15 (verdict #3): SPOOL each round frame to the artifact the
     // moment it is checkpointed and free its blocks as soon as the
@@ -124,11 +139,13 @@ object SuffixIndex {
     val rr = SuffixArray.rankRounds(docs, spool = Some(s"$p/$ver"))
     val pairs = SuffixArray.lcpPairs(rr.frames, rr.ranks)
     pairs.write.mode("overwrite").parquet(s"$p/$ver/pairs")
+    // exact content stamp: build-time only (r17, verdict #3)
+    val (fpN, fpXor, fpSum) = ArtifactStore.corpusFingerprint(spark, dir)
     import spark.implicits._
-    Seq((fpN, fpXor, fpSum, rr.frames.size, rr.total, rr.maxLen,
+    Seq((fpN, fpXor, fpSum, mfp, rr.frames.size, rr.total, rr.maxLen,
         rr.classes.mkString(",")))
-      .toDF("fp_n", "fp_xor", "fp_sum", "n_frames", "total", "max_len",
-        "classes")
+      .toDF("fp_n", "fp_xor", "fp_sum", "mfp", "n_frames", "total",
+        "max_len", "classes")
       .coalesce(1).write.mode("overwrite").parquet(s"$p/$ver/meta")
     ArtifactStore.publish(p, ver)
     sweepStale(new java.io.File(p))

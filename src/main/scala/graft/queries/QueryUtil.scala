@@ -61,26 +61,42 @@ object QueryUtil {
     *
     * The scanner tracks single-quote literal state (the oracles embed
     * regexes and HTML with parens, `--` and `AS (`-lookalikes inside
-    * strings) and paren depth, so only genuine depth-0 CTE heads —
-    * preceded by `WITH`, `RECURSIVE` or the `,` separating CTEs — are
-    * rewritten. A CTE whose body references itself (`FROM`/`JOIN`
-    * name — the recursive-arm shape) is left untouched: MATERIALIZED
-    * on a truly recursive CTE is a DuckDB parse error. */
+    * strings), SQL comment spans (`--` to end-of-line and `/* */` —
+    * r17 ADVICE: an unbalanced paren or quote inside a comment must
+    * not corrupt depth tracking) and paren depth, so only genuine
+    * depth-0 CTE heads — preceded by `WITH`, `RECURSIVE` or the `,`
+    * separating CTEs — are rewritten. A CTE whose body references
+    * itself (`FROM`/`JOIN` name — the recursive-arm shape) is left
+    * untouched: MATERIALIZED on a truly recursive CTE is a DuckDB
+    * parse error. */
   def materializeCtes(sql: String): String = {
     val n = sql.length
-    // quote state + paren depth at every index
+    // masked = inside a quote OR a comment; depth = paren depth —
+    // both computed by one pass of the same state machine close()
+    // uses, so the two can never disagree
     val depth = new Array[Int](n)
-    val inQ = new Array[Boolean](n)
+    val masked = new Array[Boolean](n)
     var d = 0
     var q = false
+    var lc = false // "--" line comment, to end-of-line
+    var bc = -1 // "/*" block comment: start index, -1 when outside
     var i = 0
     while (i < n) {
       depth(i) = d
-      inQ(i) = q
+      masked(i) = q || lc || bc >= 0
       val c = sql.charAt(i)
-      if (q) { if (c == '\'') q = false }
+      if (lc) { if (c == '\n') lc = false }
+      else if (bc >= 0) {
+        // the closing '/' must not reuse the opener's '*' ("/*/" is
+        // still open; the shortest closed span is "/**/")
+        if (c == '/' && i >= bc + 3 && sql.charAt(i - 1) == '*') bc = -1
+      } else if (q) { if (c == '\'') q = false }
       else c match {
         case '\'' => q = true
+        case '-' if i + 1 < n && sql.charAt(i + 1) == '-' =>
+          lc = true; masked(i) = true // the opener is comment too
+        case '/' if i + 1 < n && sql.charAt(i + 1) == '*' =>
+          bc = i; masked(i) = true
         case '(' => d += 1
         case ')' => d -= 1
         case _ =>
@@ -91,11 +107,18 @@ object QueryUtil {
       var j = open + 1
       var dd = 1
       var qq = false
+      var jlc = false
+      var jbc = -1
       while (j < n && dd > 0) {
         val c = sql.charAt(j)
-        if (qq) { if (c == '\'') qq = false }
+        if (jlc) { if (c == '\n') jlc = false }
+        else if (jbc >= 0) {
+          if (c == '/' && j >= jbc + 3 && sql.charAt(j - 1) == '*') jbc = -1
+        } else if (qq) { if (c == '\'') qq = false }
         else c match {
           case '\'' => qq = true
+          case '-' if j + 1 < n && sql.charAt(j + 1) == '-' => jlc = true
+          case '/' if j + 1 < n && sql.charAt(j + 1) == '*' => jbc = j
           case '(' => dd += 1
           case ')' => dd -= 1
           case _ =>
@@ -111,9 +134,16 @@ object QueryUtil {
     while (head.find()) {
       val s = head.start
       val open = head.end - 1
-      val pre = sql.substring(0, s).reverse.dropWhile(_.isWhitespace)
-        .reverse.toUpperCase
-      val isCteHead = !inQ(s) && depth(s) == 0 && (pre.endsWith(",") ||
+      // the significant token preceding the head, skipping whitespace
+      // AND comment spans (r17 ADVICE: "x), /* c */ b AS (" is still
+      // a CTE head)
+      var k = s - 1
+      while (k >= 0 && (masked(k) || sql.charAt(k).isWhitespace)) k -= 1
+      val tEnd = k
+      while (k >= 0 && !masked(k) && !sql.charAt(k).isWhitespace) k -= 1
+      val pre =
+        if (tEnd < 0) "" else sql.substring(k + 1, tEnd + 1).toUpperCase
+      val isCteHead = !masked(s) && depth(s) == 0 && (pre.endsWith(",") ||
         pre.endsWith("WITH") || pre.endsWith("RECURSIVE") || pre.isEmpty)
       if (isCteHead && open >= last) {
         val body = sql.substring(open + 1, close(open))

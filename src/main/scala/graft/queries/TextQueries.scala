@@ -4306,9 +4306,9 @@ object TextQueries {
       .join(broadcast(fixtures), "slot")
       .select(col("media_id"), col("payload"))
     graft.ops.Multimodal.webmIndex(media).toDF()
-      .select("media_id", "cluster_idx", "track", "rel_ts", "abs_ts",
-        "size", "key_claimed", "vp9_key", "key_consistent", "codec",
-        "pixel_w", "pixel_h", "timescale", "doc_type")
+      .select("media_id", "cluster_idx", "track", "rel_ts", "frame_idx",
+        "abs_ts", "size", "key_claimed", "vp9_key", "key_consistent",
+        "codec", "pixel_w", "pixel_h", "timescale", "doc_type")
       .transform(QueryUtil.ordered("media_id", "cluster_idx", "rel_ts"))
   }
 
@@ -4332,6 +4332,7 @@ object TextQueries {
       |  CAST(c - 1 AS INTEGER) AS cluster_idx,
       |  CAST(slot % 2 + 1 AS INTEGER) AS track,
       |  CAST(7 * k AS INTEGER) AS rel_ts,
+      |  CAST(0 AS INTEGER) AS frame_idx,
       |  CAST(1000 * c + 10 * slot + 7 * k AS BIGINT) AS abs_ts,
       |  CAST(30 + 5 * slot + 3 * k AS INTEGER) AS size,
       |  claimed AS key_claimed,
@@ -4343,6 +4344,64 @@ object TextQueries {
       |  CAST(1000000 + 1000 * slot AS BIGINT) AS timescale,
       |  'webm' AS doc_type
       |FROM b2 ORDER BY media_id, cluster_idx, rel_ts""".stripMargin
+
+  /** mm_webm_laced: the LACED WebM walk (r17, verdict #6) — real
+    * Matroska audio laces near-universally, so the EBML slice is not
+    * closed without the three lacing modes. Slot m % 4 selects the
+    * mode (none / Xiph / fixed-size / EBML); each laced SimpleBlock
+    * emits one audit row per frame with the block's keyframe claim
+    * cross-checked against each frame's own VP9 header bit. Planted
+    * lies: slot 3 (EBML) hides an inter frame under a key claim,
+    * slot 1 (Xiph) hides a key frame under a non-key claim. The
+    * oracle restates every field as doc_id arithmetic. */
+  def webmLacedBlocks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fixtures = (0 until 8)
+      .map(m => (m.toLong, graft.ops.MediaFixtures.plantedWebmLaced(m)))
+      .toDF("slot", "payload")
+    val media = docs(spark, dir)
+      .select(col("doc_id").as("media_id"), (col("doc_id") % 8).as("slot"))
+      .join(broadcast(fixtures), "slot")
+      .select(col("media_id"), col("payload"))
+    graft.ops.Multimodal.webmIndex(media).toDF()
+      .select("media_id", "cluster_idx", "track", "rel_ts", "frame_idx",
+        "abs_ts", "size", "key_claimed", "vp9_key", "key_consistent",
+        "codec", "pixel_w", "pixel_h", "timescale", "doc_type")
+      .transform(QueryUtil.ordered("media_id", "cluster_idx", "frame_idx"))
+  }
+
+  val webmLacedOracle: String =
+    """WITH p AS (SELECT doc_id AS media_id,
+      |    CAST(doc_id % 8 AS INTEGER) AS slot,
+      |    CAST(doc_id % 8 % 4 AS INTEGER) AS mode FROM documents),
+      |cl AS (SELECT media_id, slot, mode, CAST(c AS INTEGER) AS c
+      |  FROM p, LATERAL (SELECT unnest(range(1, slot % 2 + 2)) AS c) g),
+      |fr AS (SELECT media_id, slot, mode, c, CAST(k AS INTEGER) AS k
+      |  FROM cl, LATERAL (SELECT unnest(range(1,
+      |    CASE WHEN mode = 0 THEN 2 ELSE (slot + c) % 3 + 3 END)) AS k) g),
+      |b2 AS (SELECT *,
+      |    CASE WHEN slot = 3 AND c = 1 AND k = 2 THEN FALSE
+      |         WHEN slot = 1 AND c = 2 AND k = 1 THEN TRUE
+      |         ELSE c = 1 END AS vkey,
+      |    c = 1 AS claimed
+      |  FROM fr)
+      |SELECT media_id,
+      |  CAST(c - 1 AS INTEGER) AS cluster_idx,
+      |  CAST(1 AS INTEGER) AS track,
+      |  CAST(9 * c AS INTEGER) AS rel_ts,
+      |  CAST(k - 1 AS INTEGER) AS frame_idx,
+      |  CAST(500 * c + 10 * slot + 9 * c AS BIGINT) AS abs_ts,
+      |  CAST(CASE WHEN mode IN (1, 3) THEN 20 + 4 * slot + 3 * k
+      |       ELSE 20 + 4 * slot END AS INTEGER) AS size,
+      |  claimed AS key_claimed,
+      |  vkey AS vp9_key,
+      |  claimed = vkey AS key_consistent,
+      |  'V_VP9' AS codec,
+      |  CAST(256 + 8 * slot AS INTEGER) AS pixel_w,
+      |  CAST(144 + 4 * slot AS INTEGER) AS pixel_h,
+      |  CAST(1000000 + 500 * slot AS BIGINT) AS timescale,
+      |  'webm' AS doc_type
+      |FROM b2 ORDER BY media_id, cluster_idx, frame_idx""".stripMargin
 
   /** mm_timeline: the DASH/CMAF SEGMENT-TIMELINE audit (r16, verdict
     * #5) — `sidx` earliest_presentation_time + per-segment
@@ -5413,6 +5472,7 @@ object TextQueries {
     "mm_fragments" -> ((fragments _, Some(fragmentsOracle))),
     "mm_timeline" -> ((timeline _, Some(timelineOracle))),
     "mm_webm" -> ((webmBlocks _, Some(webmOracle))),
+    "mm_webm_laced" -> ((webmLacedBlocks _, Some(webmLacedOracle))),
     "mm_zip_members" -> ((zipMembers _, Some(zipMembersOracle))),
     "mm_tgz_members" -> ((tgzMembers _, Some(tarMembersOracle))),
     "mm_meta_oracle" -> ((mediaDecode _, Some(mediaDecodeOracle))),

@@ -778,6 +778,67 @@ class OpsPropertySpec extends SparkSpec {
     }
   }
 
+  test("webm lacing law: random Xiph/fixed/EBML laces survive encode -> walk exactly, one row per frame") {
+    // all three lacing modes with random frame counts and sizes —
+    // Xiph sizes past 255 exercise the continuation bytes, EBML
+    // deltas swing negative/positive across VINT widths, fixed-size
+    // splits evenly; the walk must emit one row per laced frame with
+    // the block's claim and each frame's own VP9 head bit
+    val gen = for {
+      nClusters <- Gen.choose(1, 3)
+      blocksPer <- Gen.listOfN(nClusters, Gen.choose(1, 3))
+      modes <- Gen.listOfN(9, Gen.oneOf(1, 2, 3))
+      counts <- Gen.listOfN(9, Gen.choose(1, 5))
+      fixSizes <- Gen.listOfN(9, Gen.choose(1, 600))
+      sizes <- Gen.listOfN(45, Gen.choose(1, 600))
+      claims <- Gen.listOfN(9, Gen.oneOf(true, false))
+      keys <- Gen.listOfN(45, Gen.oneOf(true, false))
+      rels <- Gen.listOfN(9, Gen.choose(-30000, 30000))
+      ts <- Gen.choose(1000L, 2000000L)
+      base <- Gen.choose(0L, 100000L)
+    } yield (blocksPer, modes, counts, fixSizes, sizes, claims, keys,
+      rels, ts, base)
+    samples(gen, 40).zipWithIndex.foreach {
+      case ((blocksPer, modes, counts, fixSizes, sizes, claims, keys,
+          rels, ts, base), i) =>
+        var g = 0 // block index
+        var f = 0 // frame index
+        // remember the planted truth per emitted row
+        val truth = scala.collection.mutable.ArrayBuffer[
+          (Int, Int, Int, Int, Boolean, Boolean)]()
+        val clusters = blocksPer.zipWithIndex.map { case (nb, c) =>
+          val blocks = (0 until nb).map { _ =>
+            val mode = modes(g)
+            val n = counts(g)
+            val frames = (0 until n).map { k =>
+              val sz = if (mode == 2) fixSizes(g) else sizes(f + k)
+              truth += ((c, rels(g), k, sz, claims(g), keys(f + k)))
+              MediaFixtures.vp9Frame(keys(f + k), sz)
+            }
+            val t = (rels(g), claims(g), mode, frames)
+            f += n; g += 1
+            t
+          }
+          (base + 5000L * c, blocks)
+        }
+        val b = MediaFixtures.webmLaced("webm", ts, 1, "V_VP9", 64, 36,
+          clusters)
+        val rows = Multimodal.WebmWalk.index(i.toLong, b)
+        assert(rows.size == truth.size,
+          s"case $i: ${rows.size} rows, want ${truth.size}")
+        rows.zip(truth).foreach {
+          case (r, (c, rel, k, sz, claimed, key)) =>
+            assert(r.cluster_idx == c && r.frame_idx == k, s"case $i: $r")
+            assert(r.rel_ts == rel, s"case $i: $r")
+            assert(r.abs_ts == base + 5000L * c + rel, s"case $i: $r")
+            assert(r.size == sz, s"case $i k$k: $r")
+            assert(r.key_claimed == claimed, s"case $i: $r")
+            assert(r.vp9_key == key, s"case $i k$k: $r")
+            assert(r.key_consistent == (claimed == key), s"case $i: $r")
+        }
+    }
+  }
+
   test("frame-type round-trip law: random access units survive encode -> sample walk -> slice-header parse exactly") {
     // every combination of codec, NAL prefix size, GOP pattern, AVC
     // +5 slice_type variants, HEVC PPS extra bits (0..7 — the walk

@@ -2139,7 +2139,12 @@ class OpsSpec extends SparkSpec {
     assert(na == nb && xa == xb, "premise: count+xor must collide")
     assert(sa != sb, "premise: the sum must separate them")
     // the guarded store (shared by SuffixIndex and every model
-    // family) must re-run the build thunk after the cancelling edit
+    // family) must re-run the build thunk after the cancelling edit.
+    // r17: the per-load check is the file-METADATA fingerprint (an
+    // overwrite renames every part file), and the exact (count, xor,
+    // sum) stamp moves to build time — so additionally pin that the
+    // build stamps really differ across the cancelling edit (the
+    // release-identity half of the split design).
     var builds = 0
     def load(): Set[Long] = ArtifactStore.loadOrBuild(spark, dir,
         "fp_test", "v1", Seq("ids")) {
@@ -2147,13 +2152,127 @@ class OpsSpec extends SparkSpec {
         Map("ids" -> spark.read.parquet(s"$dir/documents.parquet")
           .select("doc_id").distinct())
       }("ids").collect().map(_.getLong(0)).toSet
+    def stampedSum(): String = {
+      val root = new java.io.File(s"${sys.props("user.dir")}/" +
+        "spark-warehouse/graft_artifacts/fp_test")
+      val key = root.listFiles().filter(_.isDirectory)
+        .maxBy(_.lastModified())
+      val ver = ArtifactStore.currentVersion(key.getPath).get
+      spark.read.parquet(s"${key.getPath}/$ver/meta")
+        .collect()(0).getAs[String]("fp_sum")
+    }
     write(a)
     assert(load() == Set(1L, 2L) && builds == 1)
     assert(load() == Set(1L, 2L) && builds == 1, "fresh artifact: a hit")
+    val stampA = stampedSum()
     write(b)
     assert(load() == Set(2L),
       "stale artifact served an XOR-cancelled edit")
     assert(builds == 2, s"the cancelling edit must rebuild (builds=$builds)")
+    val stampB = stampedSum()
+    assert(stampA == sa && stampB == sb,
+      "build must stamp the exact content fingerprint of its release")
+  }
+
+  test("ArtifactStore: a warm consumer load runs ZERO Spark jobs (metadata fingerprint, r17 verdict #3)") {
+    val dir = java.nio.file.Files.createTempDirectory("artwarm").toString
+    Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    var builds = 0
+    def load(): Long = ArtifactStore.loadOrBuild(spark, dir,
+        "warm_test", "v1", Seq("ids")) {
+        builds += 1
+        Map("ids" -> spark.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id").distinct())
+      }("ids").count()
+    assert(load() == 2 && builds == 1)
+    // warm load: resolving the artifact must submit NO job beyond the
+    // consumer's own count() — at 100 TB any per-load corpus scan (or
+    // even a meta parquet read) is a scale tax on every query; the
+    // freshness check is a driver-side stat walk (file names + sizes
+    // + mtimes + footer row counts)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet(): Unit
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val frames = ArtifactStore.loadOrBuild(spark, dir,
+        "warm_test", "v1", Seq("ids")) {
+        builds += 1
+        Map("ids" -> spark.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id").distinct())
+      }
+      // listener bus is async — poll the counter to stable
+      var (prev, stable, waited) = (jobs.get(), 0, 0)
+      while (stable < 3 && waited < 3000) {
+        Thread.sleep(100); waited += 100
+        val cur = jobs.get()
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+      }
+      assert(jobs.get() == 0,
+        s"a warm artifact load must be job-free (saw ${jobs.get()})")
+      assert(builds == 1)
+      assert(frames("ids").count() == 2)
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("ArtifactStore: an in-place corpus edit (same file names) still triggers rebuild via the metadata fingerprint") {
+    val dir = java.nio.file.Files.createTempDirectory("artmeta").toString
+    Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    var builds = 0
+    def load(): Long = ArtifactStore.loadOrBuild(spark, dir,
+        "meta_test", "v1", Seq("ids")) {
+        builds += 1
+        Map("ids" -> spark.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id").distinct())
+      }("ids").count()
+    assert(load() == 2 && builds == 1)
+    assert(load() == 2 && builds == 1, "unchanged files: a hit")
+    // an in-place rewrite keeps the part-file NAME but flips its
+    // mtime (and usually size) — the stat-walk fingerprint must catch
+    // it without reading a single data page
+    val part = new java.io.File(s"$dir/documents.parquet").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    assert(part.setLastModified(part.lastModified() + 73000),
+      "test premise: mtime bump must stick")
+    assert(load() == 2)
+    assert(builds == 2,
+      s"an mtime flip on an unchanged name must rebuild (builds=$builds)")
+  }
+
+  test("ArtifactStore: sweep grace runs from supersession, not build time (r17 ADVICE)") {
+    val dir = java.nio.file.Files.createTempDirectory("artsweep").toString
+    Seq((1L, "a b")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val fam = "sweep_test_" + dir.reverse.takeWhile(_ != '/').reverse
+    def build(n: Long) = Map("vals" -> Seq((n, "x")).toDF("gen", "tag"))
+    ArtifactStore.rebuild(spark, dir, fam, "c1", Seq("vals"))(build(1))
+    val key = new java.io.File(s"${sys.props("user.dir")}/" +
+      s"spark-warehouse/graft_artifacts/$fam").listFiles()
+      .filter(_.isDirectory).head
+    val v1 = ArtifactStore.currentVersion(key.getPath).get
+    val v1dir = new java.io.File(key, v1)
+    // v1 has been CURRENT for "an hour" (old build mtime) — the exact
+    // case the lastModified-based sweep deleted out from under a
+    // concurrent reader the moment a rebuild published
+    assert(v1dir.setLastModified(
+      System.currentTimeMillis() - 60L * 60 * 1000))
+    ArtifactStore.rebuild(spark, dir, fam, "c1", Seq("vals"))(build(2))
+    assert(v1dir.isDirectory,
+      "a version superseded JUST NOW must survive the sweep regardless " +
+        "of its build age (grace runs from supersession)")
+    val marker = new java.io.File(v1dir, ".superseded")
+    assert(marker.isFile, "supersession must be stamped")
+    // age the supersession stamp past the grace → next publish sweeps
+    assert(marker.setLastModified(
+      System.currentTimeMillis() - ArtifactStore.VersionSweepGraceMs - 1000))
+    ArtifactStore.rebuild(spark, dir, fam, "c1", Seq("vals"))(build(3))
+    assert(!v1dir.exists(),
+      "a version whose supersession stamp outlived the grace must sweep")
   }
 
   test("ArtifactStore: a reader's frames survive a concurrent rebuild; torn versions never serve (r16 cross-process protocol)") {
@@ -2221,7 +2340,11 @@ class OpsSpec extends SparkSpec {
       build())("vals").collect().map(_.getLong(0)).toSeq
     assert(resolved == Seq(2L) && builds == 2,
       "an unpublished version must never resolve")
-    // a torn CURRENT pointer (names a missing dir) reads as a miss
+    // a torn CURRENT pointer (names a missing dir) reads as a miss.
+    // This is a FRESH-PROCESS scenario (within a session, the resolved
+    // cache serves the still-valid version without consulting the
+    // pointer — correct and cheaper), so simulate the new process:
+    graft.ops.ArtifactStore.resetSessionCache()
     java.nio.file.Files.write(new java.io.File(p, "CURRENT").toPath,
       "vdoesnotexist".getBytes("UTF-8"))
     val rebuilt = ArtifactStore.loadOrBuild(spark, dir, fam, "c1", names)(
@@ -2642,6 +2765,67 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("Mp4TimelineWalk: hierarchical sidx reads as absent; a missing tfdt is vacuous-true and doesn't poison its successor (r17 ADVICE)") {
+    import graft.ops.{MediaFixtures, Multimodal}
+    // hierarchical sidx: flip the reference_type top bit of slot 5's
+    // first reference (slot 5 plants a sidx_dur lie — with type-1
+    // references the 1:1 ref↔moof alignment doesn't hold, so the
+    // whole sidx must read ABSENT: -1 sentinels, vacuous-true checks,
+    // and the planted lie must NOT surface as a false flag)
+    val b5 = MediaFixtures.plantedTimelineMp4(5).clone()
+    val sidxAt = b5.indices.find(i => i + 4 <= b5.length &&
+      b5(i) == 's' && b5(i + 1) == 'i' && b5(i + 2) == 'd' &&
+      b5(i + 3) == 'x').get
+    val ss = sidxAt + 4
+    b5(ss + 24) = (b5(ss + 24) | 0x80).toByte
+    val hier = Multimodal.Mp4TimelineWalk.index(5L, b5)
+    assert(hier.nonEmpty && hier.head.frag_idx == 0,
+      "hierarchical sidx must not sentinel the whole file")
+    hier.foreach { r =>
+      assert(r.sidx_dur == -1 && r.sidx_size == -1 && r.timescale == -1,
+        s"type-1 refs must read as no sidx: $r")
+      assert(r.sidx_dur_consistent && r.sidx_size_consistent,
+        s"no sidx claim → vacuous-true, never a false flag: $r")
+      assert(r.tfdt_consistent, s"slot 5's tfdts are truthful: $r")
+    }
+    // missing tfdt: rewrite fragment 2's tfdt fourcc to 'free' on a
+    // truthful 3-fragment slot — its check must go vacuous-true (no
+    // claim to audit) and fragment 3's check must run against the
+    // ACCUMULATED expected time carried across the gap, not -1
+    val b1 = MediaFixtures.plantedTimelineMp4(1).clone()
+    val tfdtPos = b1.indices.filter(i => i + 4 <= b1.length &&
+      b1(i) == 't' && b1(i + 1) == 'f' && b1(i + 2) == 'd' &&
+      b1(i + 3) == 't')
+    assert(tfdtPos.size == 3, s"premise: 3 tfdt boxes, saw $tfdtPos")
+    val at2 = tfdtPos(1)
+    b1(at2) = 'f'.toByte; b1(at2 + 1) = 'r'.toByte
+    b1(at2 + 2) = 'e'.toByte; b1(at2 + 3) = 'e'.toByte
+    val rows = Multimodal.Mp4TimelineWalk.index(1L, b1)
+    assert(rows.size == 3)
+    assert(rows(0).tfdt >= 0 && rows(0).tfdt_consistent)
+    assert(rows(1).tfdt == -1 && rows(1).tfdt_consistent,
+      s"no tfdt → no claim → vacuous-true: ${rows(1)}")
+    assert(rows(2).tfdt >= 0 && rows(2).tfdt_consistent,
+      s"the successor must audit against the carried expectation: ${rows(2)}")
+    // and a LYING successor after the gap still gets caught: slot 3
+    // plants a +7 tfdt gap on fragment 2 of 2 — blank fragment 1's
+    // tfdt instead, so fragment 2's lie must surface against the
+    // carried (ept + dur) expectation... slot 3 has 2 fragments with
+    // the lie on the SECOND; blanking the FIRST leaves no seed, so
+    // use slot 1 with a manual lie: bump fragment 3's tfdt payload
+    val b1b = MediaFixtures.plantedTimelineMp4(1).clone()
+    val at2b = tfdtPos(1)
+    b1b(at2b) = 'f'.toByte; b1b(at2b + 1) = 'r'.toByte
+    b1b(at2b + 2) = 'e'.toByte; b1b(at2b + 3) = 'e'.toByte
+    // tfdt box payload: 4B version/flags then 32-bit baseMediaDecodeTime
+    val at3 = tfdtPos(2)
+    b1b(at3 + 11) = (b1b(at3 + 11) + 1).toByte // +1 tick lie
+    val rows2 = Multimodal.Mp4TimelineWalk.index(1L, b1b)
+    assert(rows2(1).tfdt_consistent, "the gap fragment stays vacuous")
+    assert(!rows2(2).tfdt_consistent,
+      s"a lying tfdt after a gap must still surface: ${rows2(2)}")
+  }
+
   test("WebmWalk: planted EBML slots recover every field; the two key lies surface; corrupt sentinels") {
     import graft.ops.{MediaFixtures, Multimodal}
     for (m <- 0 until 8) {
@@ -2720,6 +2904,75 @@ class OpsSpec extends SparkSpec {
       assert(r.size == 1 && r.head.cluster_idx == -1,
         "corrupt must sentinel")
     }
+  }
+
+  test("WebmWalk lacing: planted laced slots recover every frame; lies surface; profile-3 vacuous; malformed lace tables sentinel") {
+    import graft.ops.{MediaFixtures, Multimodal}
+    for (m <- 0 until 8) {
+      val mode = m % 4
+      val rows = Multimodal.WebmWalk.index(m.toLong,
+        MediaFixtures.plantedWebmLaced(m))
+      val want = for {
+        c <- 1 to m % 2 + 1
+        k <- 1 to (if (mode == 0) 1 else (m + c) % 3 + 2)
+      } yield (c, k)
+      assert(rows.size == want.size, s"slot $m: ${rows.size} frames")
+      rows.zip(want).foreach { case (r, (c, k)) =>
+        assert(r.cluster_idx == c - 1 && r.frame_idx == k - 1,
+          s"slot $m c$c k$k: $r")
+        assert(r.track == 1 && r.rel_ts == 9 * c, s"slot $m: $r")
+        assert(r.abs_ts == 500L * c + 10 * m + 9 * c, s"slot $m: $r")
+        val size = if (mode == 1 || mode == 3) 20 + 4 * m + 3 * k
+          else 20 + 4 * m
+        assert(r.size == size, s"slot $m c$c k$k: $r")
+        val lieInter = m == 3 && c == 1 && k == 2
+        val lieKey = m == 1 && c == 2 && k == 1
+        assert(r.key_claimed == (c == 1), s"slot $m c$c k$k: $r")
+        assert(r.vp9_key ==
+          (if (lieInter) false else if (lieKey) true else c == 1),
+          s"slot $m c$c k$k: $r")
+        assert(r.key_consistent == !(lieInter || lieKey),
+          s"slot $m c$c k$k: $r")
+        assert(r.pixel_w == 256 + 8 * m && r.pixel_h == 144 + 4 * m &&
+          r.timescale == 1000000L + 500 * m, s"slot $m: $r")
+      }
+    }
+    // exactly the two planted lies across the table
+    val lies = for {
+      m <- 0 until 8
+      r <- Multimodal.WebmWalk.index(m.toLong,
+        MediaFixtures.plantedWebmLaced(m))
+      if !r.key_consistent
+    } yield (m, r.cluster_idx, r.frame_idx)
+    assert(lies == Seq((1, 1, 0), (3, 0, 1)), s"lies: $lies")
+    // a VP9 profile-3 first byte shifts show_existing/frame_type off
+    // the parsed bit positions — unparseable head, vacuous-true
+    // (r17 ADVICE), never a wrong verdict off the lace-count byte
+    val p3 = MediaFixtures.webmLaced("webm", 1000L, 1, "V_VP9", 64, 36,
+      Seq((100L, Seq((5, false, 1,
+        Seq(Array[Byte](0xB6.toByte, 1, 2, 3),
+          Array[Byte](0x82.toByte, 7, 7)))))))
+    val p3rows = Multimodal.WebmWalk.index(7L, p3)
+    assert(p3rows.size == 2)
+    assert(!p3rows(0).vp9_key && p3rows(0).key_consistent,
+      s"profile-3 head must read vacuous-true: ${p3rows(0)}")
+    assert(p3rows(1).vp9_key && !p3rows(1).key_consistent,
+      s"the parseable laced sibling still audits: ${p3rows(1)}")
+    // malformed lace table: patch the fixed-lace count byte so the
+    // remainder no longer divides evenly → corrupt-input sentinel.
+    // Slot 2 is fixed-mode: one cluster, one block (track VINT 0x81,
+    // rel 9, flags key|fixed = 0x84, lace count n−1 = 1, 2×28-byte
+    // frames)
+    val fixedLaced = MediaFixtures.plantedWebmLaced(2)
+    val pat = Array[Byte](0x81.toByte, 0, 9, 0x84.toByte, 1)
+    val at = fixedLaced.indices.find(i => i + 5 <= fixedLaced.length &&
+      fixedLaced.slice(i, i + 5).sameElements(pat))
+    assert(at.isDefined, "test premise: lace header pattern present")
+    val bad = fixedLaced.clone()
+    bad(at.get + 4) = 4 // 5 frames; 56-byte payload not divisible by 5
+    val r = Multimodal.WebmWalk.index(9L, bad)
+    assert(r.size == 1 && r.head.cluster_idx == -1,
+      "malformed lace table must sentinel")
   }
 
   test("tgz walk: gunzip round-trip; decompression-bomb cap and corrupt envelopes sentinel") {

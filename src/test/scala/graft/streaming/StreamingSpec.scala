@@ -1133,10 +1133,14 @@ class StreamingSpec extends SparkSpec {
     val in = tmpDir("wb-in")
     val out = tmpDir("wb-out") + "/index"
     def mDf(slots: Seq[Int]) =
-      slots.map(m => (m.toLong, graft.ops.MediaFixtures.plantedWebm(m)))
+      slots.map(m => (m.toLong,
+        // slots 8+ carry the LACED planted table (r17) — the stream
+        // must walk lace tables identically to batch
+        if (m < 8) graft.ops.MediaFixtures.plantedWebm(m)
+        else graft.ops.MediaFixtures.plantedWebmLaced(m - 8)))
         .toDF("media_id", "payload")
     mDf(0 until 4).coalesce(1).write.parquet(s"$in/a")
-    mDf(4 until 8).coalesce(1).write.parquet(s"$in/b")
+    mDf((4 until 8) ++ (8 until 12)).coalesce(1).write.parquet(s"$in/b")
     import java.nio.file.{Files => NFiles, Paths => NPaths}
     def onePart(d: String) =
       NFiles.list(NPaths.get(d))
@@ -1154,23 +1158,93 @@ class StreamingSpec extends SparkSpec {
       .start()
     try q.processAllAvailable() finally q.stop()
     def rows(df: DataFrame) = df
-      .select("media_id", "cluster_idx", "track", "rel_ts", "abs_ts",
-        "size", "key_claimed", "vp9_key", "key_consistent", "codec",
-        "pixel_w", "pixel_h", "timescale", "doc_type")
+      .select("media_id", "cluster_idx", "track", "rel_ts", "frame_idx",
+        "abs_ts", "size", "key_claimed", "vp9_key", "key_consistent",
+        "codec", "pixel_w", "pixel_h", "timescale", "doc_type")
       .collect().map(_.toSeq).toSet
     val streamed = rows(spark.read.parquet(out))
-    val batch = rows(graft.ops.Multimodal.webmIndex(mDf(0 until 8)).toDF())
+    val batch = rows(graft.ops.Multimodal.webmIndex(mDf(0 until 12)).toDF())
     assert(streamed == batch,
       s"stream webm rows must equal batch: " +
         s"missing=${batch -- streamed} extra=${streamed -- batch}")
     val lies = spark.read.parquet(out)
-      .filter(!col("key_consistent"))
+      .filter(!col("key_consistent") && col("media_id") < 8)
       .select("media_id", "cluster_idx", "rel_ts").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
     assert(lies == Set((2L, 1, 14), (5L, 0, 7)), s"lie rows: $lies")
-    StreamingMedia.webmAppender(out)(mDf(4 until 8), 1L)
+    // the two LACED lies (slots 9 = Xiph hidden key, 11 = EBML inter
+    // under a key claim) survive the stream too
+    val lacedLies = spark.read.parquet(out)
+      .filter(!col("key_consistent") && col("media_id") >= 8)
+      .select("media_id", "cluster_idx", "frame_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(lacedLies == Set((9L, 1, 0), (11L, 0, 1)),
+      s"laced lie rows: $lacedLies")
+    StreamingMedia.webmAppender(out)(mDf((4 until 8) ++ (8 until 12)), 1L)
     assert(rows(spark.read.parquet(out)) == streamed,
       "a replayed micro-batch must not duplicate or change rows")
+  }
+
+  test("streaming star CC: contracted snapshot equals batch connectedComponentsStar; replay clean (r17, verdict #8)") {
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    val in = tmpDir("cc-in")
+    val state = tmpDir("cc-state")
+    // batch 0: three separate pairs; batch 1 BRIDGES two of them
+    // (2-3 merges {1,2} with {3,4}) and opens a fresh one — the
+    // snapshot must re-label nodes 3,4 to component 1, exactly what
+    // batch star-contraction over the union produces
+    val e0 = Seq((1L, 2L), (3L, 4L), (5L, 6L))
+    val e1 = Seq((2L, 3L), (7L, 8L))
+    import java.nio.file.{Files => NFiles, Paths => NPaths}
+    e0.toDF("da", "db").coalesce(1).write.parquet(s"$in/a")
+    e1.toDF("da", "db").coalesce(1).write.parquet(s"$in/b")
+    def onePart(d: String) =
+      NFiles.list(NPaths.get(d))
+        .filter(_.toString.endsWith(".parquet")).findFirst.get
+    val fa = NPaths.get(s"$in/batch_a.parquet")
+    NFiles.move(onePart(s"$in/a"), fa)
+    NFiles.move(onePart(s"$in/b"), NPaths.get(s"$in/batch_b.parquet"))
+    fa.toFile.setLastModified(System.currentTimeMillis() - 60000)
+    val snaps = scala.collection.mutable.ArrayBuffer[Map[Long, Long]]()
+    def grab(df: DataFrame): Map[Long, Long] = df.collect()
+      .map(r => r.getAs[Long]("sid") -> r.getAs[Long]("component")).toMap
+    val q = spark.readStream
+      .schema("da LONG, db LONG")
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream
+      .option("checkpointLocation", tmpDir("cc-ckpt"))
+      .foreachBatch(StreamingCc.foreachBatchCcStar(state,
+        { df: DataFrame => snaps.synchronized { snaps += grab(df) }; () }))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(snaps.size == 2)
+    // snapshot 0 = batch CC over batch 0's edges alone
+    assert(snaps(0) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 5L, 6L -> 5L))
+    // final snapshot = batch star CC over the full edge union —
+    // including the cross-batch merge
+    val all = (e0 ++ e1).toDF("da", "db")
+    val batchLabels = grab(graft.ops.Dedup.connectedComponentsStar(all))
+    graft.ops.Dedup.releaseCaches()
+    assert(snaps(1) == batchLabels,
+      s"stream=${snaps(1)} batch=$batchLabels")
+    assert(snaps(1)(4L) == 1L, "the cross-batch bridge must merge")
+    // replay idempotence: re-running batch 1 rewrites its partition
+    // and recomputes the identical snapshot
+    val replayed = scala.collection.mutable.ArrayBuffer[Map[Long, Long]]()
+    StreamingCc.foreachBatchCcStar(state,
+      { df: DataFrame => replayed += grab(df); () })(
+      e1.toDF("da", "db"), 1L)
+    assert(replayed.head == snaps(1),
+      "a replayed micro-batch must recompute identical labels")
+    // an empty trigger reads the schema-supplied log and emits the
+    // unchanged snapshot
+    val onEmpty = scala.collection.mutable.ArrayBuffer[Map[Long, Long]]()
+    StreamingCc.foreachBatchCcStar(state,
+      { df: DataFrame => onEmpty += grab(df); () })(
+      e1.toDF("da", "db").limit(0), 2L)
+    assert(onEmpty.head == snaps(1), "empty batch must not move labels")
   }
 
   test("streaming artifact consumers: warehouse-frozen models score streams batch-identically (r16, verdict #7)") {

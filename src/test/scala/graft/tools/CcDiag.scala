@@ -45,6 +45,8 @@ object CcDiag {
     println(s"RESULT pairs=$nPairs tPairs=$tPairs rows=$n tAll=$tAll " +
       s"rounds=${graft.ops.Dedup.lastStarRounds} " +
       s"stages(pairs)=$pairStages stages(all)=${stages.size - pairStages}")
+    println("ROUND TRACE (round, wallSec, edges): " +
+      graft.ops.Dedup.lastStarTrace.mkString(" "))
     println("TOP STAGES (name, tasks, execRunMs, wallMs):")
     stages.drop(pairStages).sortBy(-_._4).take(12).foreach(s => println(s"  $s"))
     graft.ops.Dedup.releaseCaches(true)

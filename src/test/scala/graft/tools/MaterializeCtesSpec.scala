@@ -51,6 +51,30 @@ class MaterializeCtesSpec extends AnyFunSuite {
     assert(out.contains("b AS MATERIALIZED (SELECT p FROM a)"), out)
   }
 
+  test("comments with unbalanced parens/quotes don't corrupt depth tracking (r17 ADVICE)") {
+    // a line comment carrying a stray ')' and an unclosed quote, and
+    // a block comment carrying '(' — pre-r17 these corrupted the
+    // depth/quote state and could silently mangle the rewrite
+    val sql = "WITH a AS ( -- don't ) count ( this\n" +
+      "SELECT 1 AS x), /* ( also ( not ) this */ b AS (SELECT x FROM a) " +
+      "SELECT * FROM b"
+    val out = materializeCtes(sql)
+    assert(out.contains("a AS MATERIALIZED ( -- don't ) count ( this"),
+      out)
+    assert(out.contains("b AS MATERIALIZED (SELECT x FROM a)"), out)
+    // an "AS (" lookalike inside a comment must not be rewritten
+    val sql2 = "WITH /* fake AS ( */ a AS (SELECT 1 AS x) " +
+      "-- trail AS (\nSELECT x FROM a"
+    val out2 = materializeCtes(sql2)
+    assert(out2 == "WITH /* fake AS ( */ a AS MATERIALIZED " +
+      "(SELECT 1 AS x) -- trail AS (\nSELECT x FROM a", out2)
+    // "/*/" does not close the block comment it opens
+    val sql3 = "WITH a AS (SELECT 1 AS x /*/ ) still comment */ ) " +
+      "SELECT x FROM a"
+    val out3 = materializeCtes(sql3)
+    assert(out3.contains("a AS MATERIALIZED (SELECT 1 AS x /*/"), out3)
+  }
+
   test("every registered oracle survives the rewrite structurally") {
     // parens balance is preserved and no oracle loses content — the
     // rewrite only ever inserts the single keyword
