@@ -831,11 +831,18 @@ object MediaFixtures {
     * the keyframe claim becomes the ABSENCE of a ReferenceBlock
     * sibling (the Matroska Block semantics — Block carries no
     * keyframe flag), which is how real muxers write non-VP8/VP9
-    * streams and B-frame content. */
+    * streams and B-frame content.
+    *
+    * With `unknownSize = true` the Segment and every Cluster carry
+    * the all-ones unknown-size marker (r17 — the STREAMING-MUXED
+    * shape: a live muxer writes the element header before it knows
+    * the final size; RFC 8794 §6.2). Identical content either way —
+    * the walk must audit the two encodings identically. */
   def webm(docType: String, timescale: Long, track: Int,
       codec: String, pixelW: Int, pixelH: Int,
       clusters: Seq[(Long, Seq[(Int, Boolean, Array[Byte])])],
-      grouped: Boolean = false): Array[Byte] = {
+      grouped: Boolean = false,
+      unknownSize: Boolean = false): Array[Byte] = {
     val header = ebml(idb(0x1A, 0x45, 0xDF, 0xA3),
       ebml(idb(0x42, 0x82), docType.getBytes("US-ASCII")))
     val info = ebml(idb(0x15, 0x49, 0xA9, 0x66),
@@ -867,10 +874,14 @@ object MediaFixtures {
                else ebml(idb(0xFB), Array(0x7f.toByte))))
           }
         }
-      ebml(idb(0x1F, 0x43, 0xB6, 0x75), body)
+      if (unknownSize)
+        idb(0x1F, 0x43, 0xB6, 0x75) ++ Array(0xFF.toByte) ++ body
+      else ebml(idb(0x1F, 0x43, 0xB6, 0x75), body)
     }
-    header ++ ebml(idb(0x18, 0x53, 0x80, 0x67),
-      info ++ tracks ++ clusterBytes.toArray.flatten)
+    val segBody = info ++ tracks ++ clusterBytes.toArray.flatten
+    header ++ (if (unknownSize)
+      idb(0x18, 0x53, 0x80, 0x67) ++ Array(0xFF.toByte) ++ segBody
+    else ebml(idb(0x18, 0x53, 0x80, 0x67), segBody))
   }
 
   /** Signed lace-delta VINT (Matroska EBML lacing): delta `d` encodes
@@ -992,8 +1003,12 @@ object MediaFixtures {
     * inverse lie — `key_consistent` surfaces both). Track m % 2 + 1,
     * timescale 1000000 + 1000m, dims (320 + 16m) × (180 + 8m),
     * codec V_VP9, doc type webm. All fields are doc_id arithmetic —
-    * the oracle states them without reading a byte. */
-  def plantedWebm(m: Int): Array[Byte] = {
+    * the oracle states them without reading a byte. With
+    * `unknownSize = true` (`mm_webm_stream`, r17) the SAME truth is
+    * emitted with unknown-size Segment/Cluster markers — the
+    * streaming-muxed encoding; the oracle is shared because the
+    * audit rows must be identical. */
+  def plantedWebm(m: Int, unknownSize: Boolean = false): Array[Byte] = {
     val clusters = (1 to m % 3 + 1).map { c =>
       val blocks = (1 to (m + c) % 3 + 1).map { k =>
         val keyTruth =
@@ -1009,7 +1024,7 @@ object MediaFixtures {
       (1000L * c + 10 * m, blocks)
     }
     webm("webm", 1000000L + 1000 * m, m % 2 + 1, "V_VP9",
-      320 + 16 * m, 180 + 8 * m, clusters)
+      320 + 16 * m, 180 + 8 * m, clusters, unknownSize = unknownSize)
   }
 
   /** The planted frame-type rule for slot m, sample s (1-based) —

@@ -1541,9 +1541,13 @@ object Multimodal {
     * (flags bits 0x06 — Xiph 255-continuation tables, fixed-size
     * even split, EBML unsigned-first + signed-delta VINTs) are
     * parsed, one audit row per laced frame; real Matroska audio
-    * laces near-universally. Unknown-size elements, truncated VINTs,
-    * malformed lace tables and other malformed structure throw to
-    * the corrupt-input sentinel, never task death. */
+    * laces near-universally. Unknown-size Segment and Cluster
+    * elements (r17 — the streaming-muxed shape: a live muxer can't
+    * know the final size while writing) resolve by RFC 8794 §6.2's
+    * first-non-child rule and audit identically to their known-size
+    * twins. Unknown size anywhere else, truncated VINTs, malformed
+    * lace tables and other malformed structure throw to the
+    * corrupt-input sentinel, never task death. */
   object WebmWalk {
     private def vintWidth(first: Int): Int = {
       var w = 1
@@ -1566,9 +1570,20 @@ object Multimodal {
     }
 
     /** Size VINT at `o`: marker stripped. All-ones (unknown size) is
-      * rejected — every fixture and every well-formed static file
-      * carries explicit sizes. */
+      * rejected — right for every context where a size is mandatory
+      * (block track VINTs, lace sizes, leaf elements); master
+      * elements that may legally stream with unknown size go through
+      * [[readSizeAllowUnknown]] in [[kids]]. */
     private def readSize(b: Array[Byte], o: Int, end: Int): (Long, Int) = {
+      val (v, w) = readSizeAllowUnknown(b, o, end)
+      if (v < 0) throw new IllegalArgumentException("unknown-size element")
+      (v, w)
+    }
+
+    /** Size VINT, with the all-ones unknown-size marker returned as
+      * -1 (RFC 8794 §6.2) instead of throwing. */
+    private def readSizeAllowUnknown(b: Array[Byte], o: Int,
+        end: Int): (Long, Int) = {
       if (o >= end) throw new IllegalArgumentException("eof size")
       val w = vintWidth(b(o) & 0xff)
       if (w > 8 || o + w > end)
@@ -1576,24 +1591,65 @@ object Multimodal {
       var v = (b(o) & 0xffL) & ((1L << (8 - w)) - 1)
       var i = 1
       while (i < w) { v = (v << 8) | (b(o + i) & 0xffL); i += 1 }
-      if (v == (1L << (7 * w)) - 1)
-        throw new IllegalArgumentException("unknown-size element")
-      (v, w)
+      if (v == (1L << (7 * w)) - 1) (-1L, w) else (v, w)
+    }
+
+    private val SegmentId = 0x18538067L
+    private val ClusterId = 0x1F43B675L
+    /** Element IDs legal as direct Cluster children (Timestamp,
+      * SimpleBlock, BlockGroup, Position, PrevSize, SilentTracks) —
+      * an unknown-size Cluster ends at the first ID outside this set
+      * (the next Cluster, Cues, Tags, …) or EOF, per RFC 8794 §6.2's
+      * "first element not a valid child" rule. */
+    private val ClusterChildIds =
+      Set(0xE7L, 0xA3L, 0xA0L, 0xA7L, 0xABL, 0x5854L)
+
+    /** End offset of an unknown-size Cluster whose payload starts at
+      * `start`: walk child elements (sizes mandatory at this depth)
+      * until a non-child ID or EOF. */
+    private def clusterEnd(b: Array[Byte], start: Int, end: Int): Int = {
+      var o = start
+      var done = false
+      while (o < end && !done) {
+        val (id, iw) = readId(b, o, end)
+        if (!ClusterChildIds(id)) done = true
+        else {
+          val (sz, sw) = readSize(b, o + iw, end)
+          val ps = o + iw + sw
+          if (sz > end - ps)
+            throw new IllegalArgumentException("overrun")
+          o = ps + sz.toInt
+        }
+      }
+      o
     }
 
     /** Direct children `(id, payloadStart, payloadEnd)` of a master
-      * element's payload span. */
+      * element's payload span. Unknown-size elements (r17 — how live
+      * muxers write Segment and Cluster, whose final size isn't known
+      * while streaming) are resolved by RFC 8794 §6.2: a Segment runs
+      * to the end of the enclosing span, a Cluster to its first
+      * non-child element; unknown size anywhere else is malformed. */
     private def kids(b: Array[Byte], start: Int,
         end: Int): List[(Long, Int, Int)] = {
       val out = scala.collection.mutable.ListBuffer[(Long, Int, Int)]()
       var o = start
       while (o < end) {
         val (id, iw) = readId(b, o, end)
-        val (sz, sw) = readSize(b, o + iw, end)
+        val (sz, sw) = readSizeAllowUnknown(b, o + iw, end)
         val ps = o + iw + sw
-        if (sz > end - ps) throw new IllegalArgumentException("overrun")
-        out += ((id, ps, ps + sz.toInt))
-        o = ps + sz.toInt
+        val pe =
+          if (sz >= 0) {
+            if (sz > end - ps) throw new IllegalArgumentException("overrun")
+            ps + sz.toInt
+          } else id match {
+            case SegmentId => end
+            case ClusterId => clusterEnd(b, ps, end)
+            case _ =>
+              throw new IllegalArgumentException("unknown-size element")
+          }
+        out += ((id, ps, pe))
+        o = pe
       }
       out.toList
     }

@@ -4345,6 +4345,31 @@ object TextQueries {
       |  'webm' AS doc_type
       |FROM b2 ORDER BY media_id, cluster_idx, rel_ts""".stripMargin
 
+  /** mm_webm_stream: the STREAMING-MUXED WebM walk (r17) — the same
+    * 8-slot planted truth as `mm_webm`, emitted with unknown-size
+    * Segment and Cluster markers (RFC 8794 §6.2 — a live muxer writes
+    * the element header before it knows the final size, so real
+    * captured streams carry the all-ones marker everywhere). The walk
+    * resolves unknown sizes by the first-non-child rule; the ORACLE IS
+    * `mm_webm`'s, verbatim, because the audit rows must be identical
+    * across the two encodings. */
+  def webmStreamBlocks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fixtures = (0 until 8)
+      .map(m => (m.toLong,
+        graft.ops.MediaFixtures.plantedWebm(m, unknownSize = true)))
+      .toDF("slot", "payload")
+    val media = docs(spark, dir)
+      .select(col("doc_id").as("media_id"), (col("doc_id") % 8).as("slot"))
+      .join(broadcast(fixtures), "slot")
+      .select(col("media_id"), col("payload"))
+    graft.ops.Multimodal.webmIndex(media).toDF()
+      .select("media_id", "cluster_idx", "track", "rel_ts", "frame_idx",
+        "abs_ts", "size", "key_claimed", "vp9_key", "key_consistent",
+        "codec", "pixel_w", "pixel_h", "timescale", "doc_type")
+      .transform(QueryUtil.ordered("media_id", "cluster_idx", "rel_ts"))
+  }
+
   /** mm_webm_laced: the LACED WebM walk (r17, verdict #6) — real
     * Matroska audio laces near-universally, so the EBML slice is not
     * closed without the three lacing modes. Slot m % 4 selects the
@@ -5473,6 +5498,7 @@ object TextQueries {
     "mm_timeline" -> ((timeline _, Some(timelineOracle))),
     "mm_webm" -> ((webmBlocks _, Some(webmOracle))),
     "mm_webm_laced" -> ((webmLacedBlocks _, Some(webmLacedOracle))),
+    "mm_webm_stream" -> ((webmStreamBlocks _, Some(webmOracle))),
     "mm_zip_members" -> ((zipMembers _, Some(zipMembersOracle))),
     "mm_tgz_members" -> ((tgzMembers _, Some(tarMembersOracle))),
     "mm_meta_oracle" -> ((mediaDecode _, Some(mediaDecodeOracle))),

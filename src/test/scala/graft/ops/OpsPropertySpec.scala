@@ -737,11 +737,14 @@ class OpsPropertySpec extends SparkSpec {
       sizes <- Gen.listOfN(20, Gen.choose(1, 200))
       base <- Gen.choose(0L, 100000L)
       grouped <- Gen.oneOf(true, false)
+      // r17: unknown-size Segment/Cluster markers (the streaming-
+      // muxed encoding) must be invisible to every recovered field
+      unknown <- Gen.oneOf(true, false)
     } yield (counts, track, ts, w, h, claims, keys, rels, sizes, base,
-      grouped)
+      grouped, unknown)
     samples(gen, 40).zipWithIndex.foreach {
       case ((counts, track, ts, w, h, claims, keys, rels, sizes, base,
-          grouped), i) =>
+          grouped, unknown), i) =>
         var g = 0
         val clusters = counts.zipWithIndex.map { case (n, c) =>
           val blocks = (0 until n).map { _ =>
@@ -755,7 +758,7 @@ class OpsPropertySpec extends SparkSpec {
         // both encodings of the same claim: SimpleBlock flags bit vs
         // BlockGroup with ReferenceBlock-absence — rows must be equal
         val b = MediaFixtures.webm("webm", ts, track, "V_VP9", w, h,
-          clusters, grouped)
+          clusters, grouped, unknownSize = unknown)
         val rows = Multimodal.WebmWalk.index(i.toLong, b)
         assert(rows.size == counts.sum, s"case $i: ${rows.size} rows")
         var j = 0

@@ -2894,11 +2894,23 @@ class OpsSpec extends SparkSpec {
       assert(simple == group,
         s"slot $m: BlockGroup encoding must audit identically")
     }
+    // unknown-size parity (r17): the STREAMING-MUXED encoding of the
+    // same planted content (all-ones size markers on Segment and
+    // every Cluster — how live muxers write) must audit identically,
+    // lies included
+    for (m <- 0 until 8) {
+      assert(Multimodal.WebmWalk.index(m.toLong,
+          MediaFixtures.plantedWebm(m, unknownSize = true)) ==
+        Multimodal.WebmWalk.index(m.toLong, MediaFixtures.plantedWebm(m)),
+        s"slot $m: unknown-size encoding must audit identically")
+    }
     // corrupt / truncated / null / non-EBML: sentinel, never a throw
     val good = MediaFixtures.plantedWebm(1)
+    val goodU = MediaFixtures.plantedWebm(1, unknownSize = true)
     for (bad <- Seq(Array[Byte](1, 2, 3), null,
         java.util.Arrays.copyOf(good, 40),
         java.util.Arrays.copyOf(good, good.length - 5),
+        java.util.Arrays.copyOf(goodU, goodU.length - 5),
         MediaFixtures.plantedAvcMp4(1))) {
       val r = Multimodal.WebmWalk.index(9L, bad)
       assert(r.size == 1 && r.head.cluster_idx == -1,
