@@ -958,6 +958,100 @@ object MediaFixtures {
       info ++ tracks ++ clusterBytes.toArray.flatten)
   }
 
+  /** A MULTI-TRACK WebM file (r17): several `TrackEntry`s (num, type,
+    * codec, pixelW, pixelH — dims ignored for non-video), clusters of
+    * blocks each addressed to a track: (relTs, trackNum, claimedKey,
+    * laceMode, frames). Lace modes as in [[webmLaced]]. This is the
+    * REAL Matroska shape — a video track of unlaced VP9 SimpleBlocks
+    * interleaved with an audio track whose blocks lace
+    * near-universally. */
+  def webmTracks(docType: String, timescale: Long,
+      tracks: Seq[(Int, Long, String, Int, Int)],
+      clusters: Seq[(Long, Seq[(Int, Int, Boolean, Int, Seq[Array[Byte]])])])
+      : Array[Byte] = {
+    val header = ebml(idb(0x1A, 0x45, 0xDF, 0xA3),
+      ebml(idb(0x42, 0x82), docType.getBytes("US-ASCII")))
+    val info = ebml(idb(0x15, 0x49, 0xA9, 0x66),
+      ebmlUint(idb(0x2A, 0xD7, 0xB1), timescale))
+    val entries = tracks.toArray.flatMap { case (num, typ, codec, pw, ph) =>
+      val video = if (typ == 1L) ebml(idb(0xE0),
+        ebmlUint(idb(0xB0), pw.toLong) ++ ebmlUint(idb(0xBA), ph.toLong))
+      else Array.empty[Byte]
+      ebml(idb(0xAE),
+        ebmlUint(idb(0xD7), num.toLong) ++
+          ebmlUint(idb(0x83), typ) ++
+          ebml(idb(0x86), codec.getBytes("US-ASCII")) ++ video)
+    }
+    val trackList = ebml(idb(0x16, 0x54, 0xAE, 0x6B), entries)
+    val clusterBytes = clusters.map { case (ts, blocks) =>
+      val body = ebmlUint(idb(0xE7), ts) ++
+        blocks.toArray.flatMap { case (rel, trk, key, mode, frames) =>
+          require(mode >= 0 && mode <= 3, s"lace mode $mode")
+          require(mode != 0 || frames.size == 1, "unlaced = one frame")
+          val flags = (if (key) 0x80 else 0x00) | (mode << 1)
+          val laceTable: Array[Byte] = mode match {
+            case 0 => Array.empty
+            case 1 => Array((frames.size - 1).toByte) ++
+              frames.dropRight(1).toArray.flatMap { f =>
+                val q = f.length / 255
+                Array.fill(q)(0xff.toByte) :+ (f.length % 255).toByte
+              }
+            case 2 => Array((frames.size - 1).toByte)
+            case _ => Array((frames.size - 1).toByte) ++
+              (if (frames.size < 2) Array.empty[Byte]
+               else ebmlSize(frames.head.length.toLong) ++
+                 frames.sliding(2).toArray.dropRight(1).flatMap { w =>
+                   ebmlLaceDelta((w(1).length - w(0).length).toLong)
+                 })
+          }
+          val blk = ebmlSize(trk.toLong) ++ Array(
+            ((rel >> 8) & 0xff).toByte, (rel & 0xff).toByte,
+            flags.toByte) ++ laceTable ++ frames.toArray.flatten
+          ebml(idb(0xA3), blk)
+        }
+      ebml(idb(0x1F, 0x43, 0xB6, 0x75), body)
+    }
+    header ++ ebml(idb(0x18, 0x53, 0x80, 0x67),
+      info ++ trackList ++ clusterBytes.toArray.flatten)
+  }
+
+  /** Deterministic opaque audio frame (no bitstream claim to audit —
+    * the walk's VP9 check reads vacuous-true for non-VP9 codecs). */
+  def audioFrame(size: Int): Array[Byte] = {
+    require(size >= 1)
+    val out = new Array[Byte](size)
+    var i = 0
+    while (i < size) { out(i) = ((i * 37 + size * 11) & 0xff).toByte; i += 1 }
+    out
+  }
+
+  /** The 8-slot planted MULTI-TRACK WebM table assigned by
+    * `doc_id % 8` in `mm_webm_tracks`: track 1 = V_VP9 video
+    * ((288 + 8m) × (160 + 4m)), track 2 = A_OPUS audio (dims -1).
+    * Slot m has m % 2 + 1 clusters; cluster c (1-based, timestamp
+    * 400c + 10m) holds one UNLACED video SimpleBlock (rel 9c, size
+    * 24 + 4m + c, claimed AND bitstream-key iff c == 1 — except the
+    * slot 4 lie: cluster 1 claims key over an inter frame) followed
+    * by one XIPH-LACED audio SimpleBlock (rel 9c + 3, claimed always,
+    * (m + c) % 3 + 2 frames of sizes 15 + 2m + 3k). All fields are
+    * doc_id arithmetic — the oracle states them without reading a
+    * byte. */
+  def plantedWebmTracks(m: Int): Array[Byte] = {
+    val clusters = (1 to m % 2 + 1).map { c =>
+      val vKey = if (m == 4 && c == 1) false else c == 1
+      val video = (9 * c, 1, c == 1, 0,
+        Seq(vp9Frame(vKey, 24 + 4 * m + c)))
+      val n = (m + c) % 3 + 2
+      val audio = (9 * c + 3, 2, true, 1,
+        (1 to n).map(k => audioFrame(15 + 2 * m + 3 * k)))
+      (400L * c + 10 * m, Seq(video, audio))
+    }
+    webmTracks("webm", 1000000L + 250 * m,
+      Seq((1, 1L, "V_VP9", 288 + 8 * m, 160 + 4 * m),
+        (2, 2L, "A_OPUS", -1, -1)),
+      clusters)
+  }
+
   /** The 8-slot planted LACED WebM table assigned by `doc_id % 8` in
     * `mm_webm_laced`: slot m laces with mode m % 4 (0 = none, 1 =
     * Xiph, 2 = fixed-size, 3 = EBML) across m % 2 + 1 clusters;

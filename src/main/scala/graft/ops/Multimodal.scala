@@ -1521,21 +1521,25 @@ object Multimodal {
     * frame — `frame_idx` is the frame's position within its block
     * (0 for unlaced); the block's timestamps and keyframe claim apply
     * to every row, each frame's own head feeds the VP9 cross-check.
-    * Track metadata (codec, dims, timescale, doc type) rides every
-    * row so a corpus filter never needs a second pass. */
+    * Every DECLARED track emits rows (r17): `track_type` is the
+    * Matroska TrackType (1 video, 2 audio, 17 subtitle, …), non-video
+    * tracks carry -1 dims and vacuous-true VP9 checks. Track metadata
+    * (codec, dims, timescale, doc type) rides every row so a corpus
+    * filter never needs a second pass. */
   case class WebmBlock(media_id: Long, cluster_idx: Int, track: Int,
-      rel_ts: Int, frame_idx: Int, abs_ts: Long, size: Int,
-      key_claimed: Boolean, vp9_key: Boolean, key_consistent: Boolean,
-      codec: String, pixel_w: Int, pixel_h: Int, timescale: Long,
-      doc_type: String)
+      track_type: Int, rel_ts: Int, frame_idx: Int, abs_ts: Long,
+      size: Int, key_claimed: Boolean, vp9_key: Boolean,
+      key_consistent: Boolean, codec: String, pixel_w: Int,
+      pixel_h: Int, timescale: Long, doc_type: String)
 
   /** WebM / Matroska container walk (EBML framing per RFC 8794;
     * element semantics per the Matroska spec): `EBML > DocType`,
     * `Segment > Info > TimestampScale`, `Segment > Tracks >
-    * TrackEntry` (first video track: TrackNumber, CodecID,
-    * Video > PixelWidth/PixelHeight), then every `Cluster >
-    * SimpleBlock` of that track — track VINT, signed-16 relative
-    * timestamp, flags byte (0x80 = keyframe claim), frame payload.
+    * TrackEntry` (EVERY declared track — r17; TrackNumber,
+    * TrackType, CodecID, Video > PixelWidth/PixelHeight where
+    * present), then every `Cluster > SimpleBlock`/`BlockGroup` of a
+    * declared track — track VINT, signed-16 relative timestamp,
+    * flags byte (0x80 = keyframe claim), frame payload.
     * The fMP4 coverage's EBML twin (r16; the other "next closable
     * slice" of the video boundary). r17: all three LACING modes
     * (flags bits 0x06 — Xiph 255-continuation tables, fixed-size
@@ -1667,7 +1671,7 @@ object Multimodal {
 
     def index(id: Long, bytes: Array[Byte]): Seq[WebmBlock] = {
       val len = if (bytes == null) 0 else bytes.length
-      val sentinel = Seq(WebmBlock(id, -1, -1, -1, -1, -1L, -1,
+      val sentinel = Seq(WebmBlock(id, -1, -1, -1, -1, -1, -1L, -1,
         key_claimed = false, vp9_key = false, key_consistent = false,
         "?", -1, -1, -1L, "?"))
       try {
@@ -1684,27 +1688,32 @@ object Multimodal {
           kids(bytes, s, e).collectFirst { case (0x2AD7B1L, ts, te) =>
             uintOf(bytes, ts, te) }.getOrElse(1000000L)
         }.getOrElse(1000000L)
-        // first VIDEO TrackEntry: number, codec, dims
-        val video = segKids.collectFirst { case (0x1654AE6BL, s, e) =>
-          kids(bytes, s, e).collect { case (0xAEL, ts, te) =>
-            val tk = kids(bytes, ts, te)
-            val typ = tk.collectFirst { case (0x83L, a, b2) =>
-              uintOf(bytes, a, b2) }.getOrElse(0L)
-            val num = tk.collectFirst { case (0xD7L, a, b2) =>
-              uintOf(bytes, a, b2) }.getOrElse(-1L)
-            val codec = tk.collectFirst { case (0x86L, a, b2) =>
-              strOf(bytes, a, b2) }.getOrElse("?")
-            val (pw, ph) = tk.collectFirst { case (0xE0L, a, b2) =>
-              val vk = kids(bytes, a, b2)
-              (vk.collectFirst { case (0xB0L, x, y) =>
-                uintOf(bytes, x, y) }.getOrElse(-1L),
-                vk.collectFirst { case (0xBAL, x, y) =>
-                  uintOf(bytes, x, y) }.getOrElse(-1L))
-            }.getOrElse((-1L, -1L))
-            (typ, num, codec, pw, ph)
-          }.find(_._1 == 1L)
-        }.flatten.getOrElse(return sentinel)
-        val (_, trackNum, codec, pw, ph) = video
+        // ALL TrackEntries: num → (type, codec, pw, ph). r17: the walk
+        // audits EVERY declared track — real Matroska puts the laced
+        // blocks on the audio track, so a video-only walk never meets
+        // lacing in the wild; non-video tracks carry -1 dims and get
+        // vacuous-true VP9 checks (no bitstream claim to audit)
+        val tracks: Map[Long, (Long, String, Long, Long)] =
+          segKids.collectFirst { case (0x1654AE6BL, s, e) =>
+            kids(bytes, s, e).collect { case (0xAEL, ts, te) =>
+              val tk = kids(bytes, ts, te)
+              val typ = tk.collectFirst { case (0x83L, a, b2) =>
+                uintOf(bytes, a, b2) }.getOrElse(0L)
+              val num = tk.collectFirst { case (0xD7L, a, b2) =>
+                uintOf(bytes, a, b2) }.getOrElse(-1L)
+              val codec = tk.collectFirst { case (0x86L, a, b2) =>
+                strOf(bytes, a, b2) }.getOrElse("?")
+              val (pw, ph) = tk.collectFirst { case (0xE0L, a, b2) =>
+                val vk = kids(bytes, a, b2)
+                (vk.collectFirst { case (0xB0L, x, y) =>
+                  uintOf(bytes, x, y) }.getOrElse(-1L),
+                  vk.collectFirst { case (0xBAL, x, y) =>
+                    uintOf(bytes, x, y) }.getOrElse(-1L))
+              }.getOrElse((-1L, -1L))
+              num -> ((typ, codec, pw, ph))
+            }.filter(_._1 >= 0).toMap
+          }.getOrElse(Map.empty)
+        if (tracks.isEmpty) return sentinel
         var clusterIdx = 0
         val out = scala.collection.mutable.ArrayBuffer[WebmBlock]()
         segKids.foreach {
@@ -1723,7 +1732,7 @@ object Multimodal {
               val (blkTrack, tw) = readSize(bytes, bs, be)
               if (be - (bs + tw) < 3)
                 throw new IllegalArgumentException("short block")
-              if (blkTrack == trackNum) {
+              tracks.get(blkTrack).foreach { case (typ, codec, pw, ph) =>
                 val rel = ((bytes(bs + tw) & 0xff) << 8 |
                   (bytes(bs + tw + 1) & 0xff)).toShort.toInt
                 val flags = bytes(bs + tw + 2) & 0xff
@@ -1821,9 +1830,9 @@ object Multimodal {
                   val vp9Valid = codec == "V_VP9" && b0 >= 0 &&
                     (b0 >> 6) == 2 && !profile3 && ((b0 >> 3) & 1) == 0
                   val vp9Key = vp9Valid && ((b0 >> 2) & 1) == 0
-                  out += WebmBlock(id, clusterIdx, trackNum.toInt, rel,
-                    fi, clusterTs + rel, e - s, key_claimed = claimed,
-                    vp9_key = vp9Key,
+                  out += WebmBlock(id, clusterIdx, blkTrack.toInt,
+                    typ.toInt, rel, fi, clusterTs + rel, e - s,
+                    key_claimed = claimed, vp9_key = vp9Key,
                     key_consistent = !vp9Valid || claimed == vp9Key,
                     codec, pw.toInt, ph.toInt, timescale, docType)
                 }

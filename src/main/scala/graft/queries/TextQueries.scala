@@ -4306,9 +4306,10 @@ object TextQueries {
       .join(broadcast(fixtures), "slot")
       .select(col("media_id"), col("payload"))
     graft.ops.Multimodal.webmIndex(media).toDF()
-      .select("media_id", "cluster_idx", "track", "rel_ts", "frame_idx",
-        "abs_ts", "size", "key_claimed", "vp9_key", "key_consistent",
-        "codec", "pixel_w", "pixel_h", "timescale", "doc_type")
+      .select("media_id", "cluster_idx", "track", "track_type", "rel_ts",
+        "frame_idx", "abs_ts", "size", "key_claimed", "vp9_key",
+        "key_consistent", "codec", "pixel_w", "pixel_h", "timescale",
+        "doc_type")
       .transform(QueryUtil.ordered("media_id", "cluster_idx", "rel_ts"))
   }
 
@@ -4331,6 +4332,7 @@ object TextQueries {
       |SELECT media_id,
       |  CAST(c - 1 AS INTEGER) AS cluster_idx,
       |  CAST(slot % 2 + 1 AS INTEGER) AS track,
+      |  CAST(1 AS INTEGER) AS track_type,
       |  CAST(7 * k AS INTEGER) AS rel_ts,
       |  CAST(0 AS INTEGER) AS frame_idx,
       |  CAST(1000 * c + 10 * slot + 7 * k AS BIGINT) AS abs_ts,
@@ -4364,11 +4366,79 @@ object TextQueries {
       .join(broadcast(fixtures), "slot")
       .select(col("media_id"), col("payload"))
     graft.ops.Multimodal.webmIndex(media).toDF()
-      .select("media_id", "cluster_idx", "track", "rel_ts", "frame_idx",
-        "abs_ts", "size", "key_claimed", "vp9_key", "key_consistent",
-        "codec", "pixel_w", "pixel_h", "timescale", "doc_type")
+      .select("media_id", "cluster_idx", "track", "track_type", "rel_ts",
+        "frame_idx", "abs_ts", "size", "key_claimed", "vp9_key",
+        "key_consistent", "codec", "pixel_w", "pixel_h", "timescale",
+        "doc_type")
       .transform(QueryUtil.ordered("media_id", "cluster_idx", "rel_ts"))
   }
+
+  /** mm_webm_tracks: the MULTI-TRACK WebM walk (r17) — real Matroska
+    * interleaves a video track with an audio track whose blocks lace
+    * near-universally, so a first-video-track-only walk never meets
+    * lacing in the wild. The walk audits every declared TrackEntry:
+    * VP9 key cross-check on the video track (with a planted slot-4
+    * claim lie), vacuous-true on the A_OPUS audio track whose
+    * Xiph-laced blocks exercise the lace tables where they actually
+    * live. The oracle restates every field as doc_id arithmetic. */
+  def webmTrackBlocks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fixtures = (0 until 8)
+      .map(m => (m.toLong, graft.ops.MediaFixtures.plantedWebmTracks(m)))
+      .toDF("slot", "payload")
+    val media = docs(spark, dir)
+      .select(col("doc_id").as("media_id"), (col("doc_id") % 8).as("slot"))
+      .join(broadcast(fixtures), "slot")
+      .select(col("media_id"), col("payload"))
+    graft.ops.Multimodal.webmIndex(media).toDF()
+      .select("media_id", "cluster_idx", "track", "track_type", "rel_ts",
+        "frame_idx", "abs_ts", "size", "key_claimed", "vp9_key",
+        "key_consistent", "codec", "pixel_w", "pixel_h", "timescale",
+        "doc_type")
+      .transform(QueryUtil.ordered("media_id", "cluster_idx", "track",
+        "frame_idx"))
+  }
+
+  val webmTracksOracle: String =
+    """WITH p AS (SELECT doc_id AS media_id,
+      |    CAST(doc_id % 8 AS INTEGER) AS slot FROM documents),
+      |cl AS (SELECT media_id, slot, CAST(c AS INTEGER) AS c
+      |  FROM p, LATERAL (SELECT unnest(range(1, slot % 2 + 2)) AS c) g),
+      |vid AS (SELECT media_id, slot, c,
+      |    CAST(1 AS INTEGER) AS track, CAST(1 AS INTEGER) AS track_type,
+      |    CAST(9 * c AS INTEGER) AS rel_ts,
+      |    CAST(0 AS INTEGER) AS frame_idx,
+      |    CAST(24 + 4 * slot + c AS INTEGER) AS size,
+      |    c = 1 AS claimed,
+      |    CASE WHEN slot = 4 AND c = 1 THEN FALSE ELSE c = 1 END AS vkey,
+      |    'V_VP9' AS codec,
+      |    CAST(288 + 8 * slot AS INTEGER) AS pixel_w,
+      |    CAST(160 + 4 * slot AS INTEGER) AS pixel_h
+      |  FROM cl),
+      |aud AS (SELECT media_id, slot, c,
+      |    CAST(2 AS INTEGER) AS track, CAST(2 AS INTEGER) AS track_type,
+      |    CAST(9 * c + 3 AS INTEGER) AS rel_ts,
+      |    CAST(k - 1 AS INTEGER) AS frame_idx,
+      |    CAST(15 + 2 * slot + 3 * k AS INTEGER) AS size,
+      |    TRUE AS claimed, FALSE AS vkey,
+      |    'A_OPUS' AS codec,
+      |    CAST(-1 AS INTEGER) AS pixel_w, CAST(-1 AS INTEGER) AS pixel_h
+      |  FROM cl, LATERAL (SELECT unnest(range(1,
+      |    (slot + c) % 3 + 3)) AS k) g),
+      |u AS (SELECT * FROM vid UNION ALL SELECT * FROM aud)
+      |SELECT media_id,
+      |  CAST(c - 1 AS INTEGER) AS cluster_idx,
+      |  track, track_type, rel_ts, frame_idx,
+      |  CAST(400 * c + 10 * slot + rel_ts AS BIGINT) AS abs_ts,
+      |  size,
+      |  claimed AS key_claimed,
+      |  vkey AS vp9_key,
+      |  CASE WHEN track = 1 THEN claimed = vkey ELSE TRUE END
+      |    AS key_consistent,
+      |  codec, pixel_w, pixel_h,
+      |  CAST(1000000 + 250 * slot AS BIGINT) AS timescale,
+      |  'webm' AS doc_type
+      |FROM u ORDER BY media_id, cluster_idx, track, frame_idx""".stripMargin
 
   /** mm_webm_laced: the LACED WebM walk (r17, verdict #6) — real
     * Matroska audio laces near-universally, so the EBML slice is not
@@ -4389,9 +4459,10 @@ object TextQueries {
       .join(broadcast(fixtures), "slot")
       .select(col("media_id"), col("payload"))
     graft.ops.Multimodal.webmIndex(media).toDF()
-      .select("media_id", "cluster_idx", "track", "rel_ts", "frame_idx",
-        "abs_ts", "size", "key_claimed", "vp9_key", "key_consistent",
-        "codec", "pixel_w", "pixel_h", "timescale", "doc_type")
+      .select("media_id", "cluster_idx", "track", "track_type", "rel_ts",
+        "frame_idx", "abs_ts", "size", "key_claimed", "vp9_key",
+        "key_consistent", "codec", "pixel_w", "pixel_h", "timescale",
+        "doc_type")
       .transform(QueryUtil.ordered("media_id", "cluster_idx", "frame_idx"))
   }
 
@@ -4413,6 +4484,7 @@ object TextQueries {
       |SELECT media_id,
       |  CAST(c - 1 AS INTEGER) AS cluster_idx,
       |  CAST(1 AS INTEGER) AS track,
+      |  CAST(1 AS INTEGER) AS track_type,
       |  CAST(9 * c AS INTEGER) AS rel_ts,
       |  CAST(k - 1 AS INTEGER) AS frame_idx,
       |  CAST(500 * c + 10 * slot + 9 * c AS BIGINT) AS abs_ts,
@@ -5499,6 +5571,7 @@ object TextQueries {
     "mm_webm" -> ((webmBlocks _, Some(webmOracle))),
     "mm_webm_laced" -> ((webmLacedBlocks _, Some(webmLacedOracle))),
     "mm_webm_stream" -> ((webmStreamBlocks _, Some(webmOracle))),
+    "mm_webm_tracks" -> ((webmTrackBlocks _, Some(webmTracksOracle))),
     "mm_zip_members" -> ((zipMembers _, Some(zipMembersOracle))),
     "mm_tgz_members" -> ((tgzMembers _, Some(tarMembersOracle))),
     "mm_meta_oracle" -> ((mediaDecode _, Some(mediaDecodeOracle))),

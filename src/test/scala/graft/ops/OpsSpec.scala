@@ -2987,6 +2987,65 @@ class OpsSpec extends SparkSpec {
       "malformed lace table must sentinel")
   }
 
+  test("WebmWalk multi-track: video + Xiph-laced audio both audit; the video lie surfaces; audio reads vacuous-true") {
+    import graft.ops.{MediaFixtures, Multimodal}
+    for (m <- 0 until 8) {
+      val rows = Multimodal.WebmWalk.index(m.toLong,
+        MediaFixtures.plantedWebmTracks(m))
+      val nClusters = m % 2 + 1
+      val want = (1 to nClusters).flatMap { c =>
+        val audio = (1 to (m + c) % 3 + 2).map(k => (c, 2, k))
+        (c, 1, 1) +: audio
+      }
+      assert(rows.size == want.size, s"slot $m: ${rows.size} rows")
+      rows.zip(want).foreach { case (r, (c, trk, k)) =>
+        assert(r.cluster_idx == c - 1 && r.track == trk, s"slot $m: $r")
+        assert(r.track_type == trk, s"slot $m: $r") // 1 video, 2 audio
+        if (trk == 1) {
+          assert(r.rel_ts == 9 * c && r.frame_idx == 0, s"slot $m: $r")
+          assert(r.size == 24 + 4 * m + c, s"slot $m c$c: $r")
+          assert(r.codec == "V_VP9" &&
+            r.pixel_w == 288 + 8 * m && r.pixel_h == 160 + 4 * m, s"$r")
+          val lie = m == 4 && c == 1
+          assert(r.key_claimed == (c == 1), s"slot $m c$c: $r")
+          assert(r.vp9_key == (if (lie) false else c == 1),
+            s"slot $m c$c: $r")
+          assert(r.key_consistent == !lie, s"slot $m c$c: $r")
+        } else {
+          assert(r.rel_ts == 9 * c + 3 && r.frame_idx == k - 1,
+            s"slot $m c$c k$k: $r")
+          assert(r.size == 15 + 2 * m + 3 * k, s"slot $m c$c k$k: $r")
+          assert(r.codec == "A_OPUS" && r.pixel_w == -1 &&
+            r.pixel_h == -1, s"$r")
+          // no VP9 bitstream claim to audit on an audio track —
+          // vacuous-true regardless of the frame's first byte
+          assert(r.key_claimed && !r.vp9_key && r.key_consistent,
+            s"slot $m c$c k$k: $r")
+        }
+        assert(r.abs_ts == 400L * c + 10 * m + r.rel_ts, s"$r")
+        assert(r.timescale == 1000000L + 250 * m, s"$r")
+      }
+    }
+    // exactly the one planted lie across the table — on the video
+    // track; the laced audio never false-flags
+    val lies = for {
+      m <- 0 until 8
+      r <- Multimodal.WebmWalk.index(m.toLong,
+        MediaFixtures.plantedWebmTracks(m))
+      if !r.key_consistent
+    } yield (m, r.track, r.cluster_idx)
+    assert(lies == Seq((4, 1, 0)), s"lies: $lies")
+    // a block addressed to an UNDECLARED track is skipped, not a row
+    // and not a crash (real files carry tracks a filter dropped)
+    val declared = Multimodal.WebmWalk.index(0L,
+      MediaFixtures.webmTracks("webm", 1000L,
+        Seq((1, 1L, "V_VP9", 64, 36)),
+        Seq((100L, Seq((5, 1, true, 0, Seq(MediaFixtures.vp9Frame(true, 9))),
+          (8, 3, true, 0, Seq(MediaFixtures.audioFrame(7))))))))
+    assert(declared.size == 1 && declared.head.track == 1,
+      s"undeclared-track block must be skipped: $declared")
+  }
+
   test("tgz walk: gunzip round-trip; decompression-bomb cap and corrupt envelopes sentinel") {
     import graft.ops.Multimodal
     val tarBytes = MediaFixtures.plantedTar(5)

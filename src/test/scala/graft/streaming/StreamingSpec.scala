@@ -1158,9 +1158,10 @@ class StreamingSpec extends SparkSpec {
       .start()
     try q.processAllAvailable() finally q.stop()
     def rows(df: DataFrame) = df
-      .select("media_id", "cluster_idx", "track", "rel_ts", "frame_idx",
-        "abs_ts", "size", "key_claimed", "vp9_key", "key_consistent",
-        "codec", "pixel_w", "pixel_h", "timescale", "doc_type")
+      .select("media_id", "cluster_idx", "track", "track_type", "rel_ts",
+        "frame_idx", "abs_ts", "size", "key_claimed", "vp9_key",
+        "key_consistent", "codec", "pixel_w", "pixel_h", "timescale",
+        "doc_type")
       .collect().map(_.toSeq).toSet
     val streamed = rows(spark.read.parquet(out))
     val batch = rows(graft.ops.Multimodal.webmIndex(mDf(0 until 12)).toDF())
