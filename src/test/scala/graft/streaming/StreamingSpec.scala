@@ -1134,13 +1134,15 @@ class StreamingSpec extends SparkSpec {
     val out = tmpDir("wb-out") + "/index"
     def mDf(slots: Seq[Int]) =
       slots.map(m => (m.toLong,
-        // slots 8+ carry the LACED planted table (r17) — the stream
-        // must walk lace tables identically to batch
+        // slots 8+ carry the LACED planted table, 12+ the MULTI-TRACK
+        // one (r17) — the stream must walk lace tables and multi-track
+        // clusters identically to batch
         if (m < 8) graft.ops.MediaFixtures.plantedWebm(m)
-        else graft.ops.MediaFixtures.plantedWebmLaced(m - 8)))
+        else if (m < 12) graft.ops.MediaFixtures.plantedWebmLaced(m - 8)
+        else graft.ops.MediaFixtures.plantedWebmTracks(m - 12)))
         .toDF("media_id", "payload")
     mDf(0 until 4).coalesce(1).write.parquet(s"$in/a")
-    mDf((4 until 8) ++ (8 until 12)).coalesce(1).write.parquet(s"$in/b")
+    mDf((4 until 8) ++ (8 until 14)).coalesce(1).write.parquet(s"$in/b")
     import java.nio.file.{Files => NFiles, Paths => NPaths}
     def onePart(d: String) =
       NFiles.list(NPaths.get(d))
@@ -1164,7 +1166,7 @@ class StreamingSpec extends SparkSpec {
         "doc_type")
       .collect().map(_.toSeq).toSet
     val streamed = rows(spark.read.parquet(out))
-    val batch = rows(graft.ops.Multimodal.webmIndex(mDf(0 until 12)).toDF())
+    val batch = rows(graft.ops.Multimodal.webmIndex(mDf(0 until 14)).toDF())
     assert(streamed == batch,
       s"stream webm rows must equal batch: " +
         s"missing=${batch -- streamed} extra=${streamed -- batch}")
@@ -1181,7 +1183,7 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
     assert(lacedLies == Set((9L, 1, 0), (11L, 0, 1)),
       s"laced lie rows: $lacedLies")
-    StreamingMedia.webmAppender(out)(mDf((4 until 8) ++ (8 until 12)), 1L)
+    StreamingMedia.webmAppender(out)(mDf((4 until 8) ++ (8 until 14)), 1L)
     assert(rows(spark.read.parquet(out)) == streamed,
       "a replayed micro-batch must not duplicate or change rows")
   }
