@@ -233,8 +233,12 @@ object Bench {
       // the barrier job (or a cache release) can itself fail at job
       // submission time (BENCH_r16's tail: a TorrentBroadcast throw) —
       // a broken settle must degrade the NEXT measurement, not unwind
-      // the whole run and zero the record (r17, verdict #1c)
-      case e: Throwable =>
+      // the whole run and zero the record (r17, verdict #1c). NonFatal
+      // only (r17 ADVICE): an OutOfMemoryError or other fatal VM error
+      // here means the JVM is dying, and a dying JVM must abort after
+      // the partial record flush rather than keep emitting timed runs
+      // that land in the record as valid observations
+      case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] cache-drop failed (continuing): $e")
     }
     def jstr(s: String): String = "\"" + s.flatMap {

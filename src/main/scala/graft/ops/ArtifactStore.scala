@@ -109,9 +109,27 @@ object ArtifactStore {
     val conf = spark.sessionState.newHadoopConf()
     val hp = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
     val fs = hp.getFileSystem(conf)
-    val parts = fs.listStatus(hp)
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .sortBy(_.getPath.getName)
+    // recurse (r17 ADVICE): a partitioned or otherwise nested layout
+    // keeps its part files under subdirectories — a direct-children
+    // listing would see zero parquet files and hash the empty string,
+    // a CONSTANT fingerprint under which every later corpus edit reads
+    // as fresh and a stale artifact is served forever. Relative paths
+    // (not bare names) go into the hash so a part file moving between
+    // partition dirs cannot alias; flat layouts hash exactly as before
+    // (relative path == name), so existing artifacts stay valid.
+    def walk(p: org.apache.hadoop.fs.Path)
+        : Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) Seq(st)
+        else Nil
+      }
+    val base = fs.makeQualified(hp).toString
+    val parts = walk(hp).sortBy(_.getPath.toString)
+    // zero leaves = nothing to fingerprint: hard error, never a
+    // constant hash (the silent-staleness failure mode above)
+    require(parts.nonEmpty,
+      s"corpusMetaFingerprint: no .parquet part files under $base")
     val lines = parts.map { st =>
       val key = (st.getPath.toString, st.getLen, st.getModificationTime)
       val rows = footerRows.getOrElseUpdate(key, {
@@ -120,7 +138,9 @@ object ArtifactStore {
             .fromStatus(st, conf))
         try rdr.getRecordCount finally rdr.close()
       })
-      s"${st.getPath.getName}|${st.getLen}|${st.getModificationTime}|$rows"
+      val rel = fs.makeQualified(st.getPath).toString
+        .stripPrefix(base).stripPrefix("/")
+      s"$rel|${st.getLen}|${st.getModificationTime}|$rows"
     }
     java.security.MessageDigest.getInstance("MD5")
       .digest(lines.mkString("\n").getBytes("UTF-8"))
@@ -290,6 +310,16 @@ object ArtifactStore {
         java.nio.file.Files.move(tmp.toPath, dst,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
+    // clear any stale .superseded marker from the version just
+    // published (r17 ADVICE): when concurrent builders race, the
+    // LOSER's sweep can stamp the winner's dir — or this dir while it
+    // was still being written — starting its grace clock before real
+    // supersession, so a later publish could delete a live version
+    // with zero effective grace. Publishing is the authoritative
+    // "not superseded" statement; the marker goes.
+    try java.nio.file.Files.deleteIfExists(
+      new java.io.File(new java.io.File(p, ver), ".superseded").toPath)
+    catch { case _: Exception => () }
     sweepVersions(p, keep = ver)
   }
 
@@ -307,14 +337,23 @@ object ArtifactStore {
     * deletes. Plain files (torn temp pointers) still sweep by their
     * own mtime — they were never resolvable. A torn delete leaves
     * content the resolver never serves. */
-  private def sweepVersions(p: String, keep: String): Unit = {
+  private[ops] def sweepVersions(p: String, keep: String): Unit = {
     val now = System.currentTimeMillis()
+    // the CURRENT pointer may name a DIFFERENT version than `keep` when
+    // a concurrent publish won the pointer race after ours (r17
+    // ADVICE): the live version must never be stamped (its grace clock
+    // would start before real supersession), and a marker an earlier
+    // losing sweep left in it is removed rather than aged
+    val live = currentVersion(p)
     Option(new java.io.File(p).listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName != "CURRENT" && f.getName != keep)
       .foreach { f =>
         if (f.isDirectory) {
           val marker = new java.io.File(f, ".superseded")
-          if (!marker.isFile) {
+          if (live.contains(f.getName)) {
+            try java.nio.file.Files.deleteIfExists(marker.toPath)
+            catch { case _: Exception => () }
+          } else if (!marker.isFile) {
             try java.nio.file.Files.write(marker.toPath,
               Array.empty[Byte])
             catch { case _: Exception => () }

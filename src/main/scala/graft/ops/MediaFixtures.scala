@@ -836,8 +836,13 @@ object MediaFixtures {
     * With `unknownSize = true` the Segment and every Cluster carry
     * the all-ones unknown-size marker (r17 — the STREAMING-MUXED
     * shape: a live muxer writes the element header before it knows
-    * the final size; RFC 8794 §6.2). Identical content either way —
-    * the walk must audit the two encodings identically. */
+    * the final size; RFC 8794 §6.2), and every Cluster additionally
+    * carries the EBML GLOBAL elements a real live muxer emits (r17
+    * ADVICE): a CRC-32 (0xBF, real IEEE CRC of the following cluster
+    * data, little-endian per RFC 8794 §11.3.1) as its FIRST child —
+    * ffmpeg's streaming shape — and a trailing Void (0xEC) filler.
+    * Identical audit content either way — the walk must audit the
+    * two encodings identically, skipping the globals. */
   def webm(docType: String, timescale: Long, track: Int,
       codec: String, pixelW: Int, pixelH: Int,
       clusters: Seq[(Long, Seq[(Int, Boolean, Array[Byte])])],
@@ -874,9 +879,22 @@ object MediaFixtures {
                else ebml(idb(0xFB), Array(0x7f.toByte))))
           }
         }
-      if (unknownSize)
-        idb(0x1F, 0x43, 0xB6, 0x75) ++ Array(0xFF.toByte) ++ body
-      else ebml(idb(0x1F, 0x43, 0xB6, 0x75), body)
+      if (unknownSize) {
+        // the live-muxed globals: CRC-32 first child (IEEE CRC of the
+        // cluster data AFTER the CRC element, stored little-endian per
+        // RFC 8794 §11.3.1) + a trailing Void filler — the elements a
+        // walk that only knows block IDs would misread as the end of
+        // an unknown-size Cluster (r17 ADVICE)
+        val tail = body ++ ebml(idb(0xEC),
+          Array.fill(5 + (ts % 4).toInt)(0x00.toByte))
+        val crc = new java.util.zip.CRC32()
+        crc.update(tail)
+        val v = crc.getValue
+        val crcEl = ebml(idb(0xBF), Array(
+          (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+          ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte))
+        idb(0x1F, 0x43, 0xB6, 0x75) ++ Array(0xFF.toByte) ++ crcEl ++ tail
+      } else ebml(idb(0x1F, 0x43, 0xB6, 0x75), body)
     }
     val segBody = info ++ tracks ++ clusterBytes.toArray.flatten
     header ++ (if (unknownSize)

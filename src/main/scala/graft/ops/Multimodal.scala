@@ -1604,9 +1604,16 @@ object Multimodal {
       * SimpleBlock, BlockGroup, Position, PrevSize, SilentTracks) —
       * an unknown-size Cluster ends at the first ID outside this set
       * (the next Cluster, Cues, Tags, …) or EOF, per RFC 8794 §6.2's
-      * "first element not a valid child" rule. */
+      * "first element not a valid child" rule. The EBML GLOBAL
+      * elements Void (0xEC) and CRC-32 (0xBF) are included (r17
+      * ADVICE): RFC 8794 §11.3 permits them inside ANY master
+      * element, and real streaming muxers (ffmpeg) write CRC-32 as
+      * the FIRST child of every Cluster — without them an
+      * unknown-size live-captured Cluster would terminate at its own
+      * CRC element and silently drop every block in it. The block
+      * walk itself skips both (they carry no block data). */
     private val ClusterChildIds =
-      Set(0xE7L, 0xA3L, 0xA0L, 0xA7L, 0xABL, 0x5854L)
+      Set(0xE7L, 0xA3L, 0xA0L, 0xA7L, 0xABL, 0x5854L, 0xECL, 0xBFL)
 
     /** End offset of an unknown-size Cluster whose payload starts at
       * `start`: walk child elements (sizes mandatory at this depth)

@@ -2275,6 +2275,77 @@ class OpsSpec extends SparkSpec {
       "a version whose supersession stamp outlived the grace must sweep")
   }
 
+  test("ArtifactStore: the live CURRENT version is never stamped or swept by a losing racer's sweep; publish clears a stale marker (r17 ADVICE)") {
+    val dir = java.nio.file.Files.createTempDirectory("artlive").toString
+    Seq((1L, "a b")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val fam = "live_test_" + dir.reverse.takeWhile(_ != '/').reverse
+    ArtifactStore.rebuild(spark, dir, fam, "c1", Seq("vals"))(
+      Map("vals" -> Seq((1L, "x")).toDF("gen", "tag")))
+    val key = new java.io.File(s"${sys.props("user.dir")}/" +
+      s"spark-warehouse/graft_artifacts/$fam").listFiles()
+      .filter(_.isDirectory).head
+    val v1 = ArtifactStore.currentVersion(key.getPath).get
+    val v1dir = new java.io.File(key, v1)
+    // the r17-ADVICE race, replayed adversarially: builder A published
+    // v1 (CURRENT = v1); builder B — who lost the pointer race — runs
+    // its sweep with ITS OWN version as keep. v1 is not B's keep, but
+    // it IS live: B's sweep must neither stamp it (the grace clock
+    // would start before real supersession) nor sweep it.
+    val vLoser = ArtifactStore.newVersionDir(key.getPath)
+    val marker = new java.io.File(v1dir, ".superseded")
+    // worst case: an earlier losing sweep already stamped v1 and the
+    // stamp has outlived the grace — the live dir must survive and
+    // the bogus marker must be cleared, not aged toward deletion
+    java.nio.file.Files.write(marker.toPath, Array.empty[Byte])
+    assert(marker.setLastModified(System.currentTimeMillis() -
+      ArtifactStore.VersionSweepGraceMs - 1000))
+    ArtifactStore.sweepVersions(key.getPath, keep = vLoser)
+    assert(v1dir.isDirectory,
+      "a live (CURRENT) version must survive a losing racer's sweep")
+    assert(!marker.isFile,
+      "a bogus .superseded marker on the live version must be cleared")
+    // and publish() itself clears a marker stamped into the version it
+    // publishes (a dir stamped while still being written)
+    java.nio.file.Files.write(marker.toPath, Array.empty[Byte])
+    ArtifactStore.publish(key.getPath, v1)
+    assert(!marker.isFile,
+      "publish must clear a stale .superseded marker from the keep dir")
+    assert(v1dir.isDirectory && ArtifactStore
+      .currentVersion(key.getPath).contains(v1))
+  }
+
+  test("ArtifactStore: corpusMetaFingerprint recurses into nested layouts and refuses an empty listing (r17 ADVICE)") {
+    val dir = java.nio.file.Files.createTempDirectory("artnest").toString
+    // a PARTITIONED corpus layout: part files live under partition
+    // subdirectories, so a direct-children listing sees zero parquet
+    // files — the constant-md5("") silent-staleness failure mode
+    Seq((1L, "a b", 0), (2L, "c d", 1)).toDF("doc_id", "text", "shard")
+      .write.partitionBy("shard").mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val fp1 = ArtifactStore.corpusMetaFingerprint(spark, dir)
+    val fp1b = ArtifactStore.corpusMetaFingerprint(spark, dir)
+    assert(fp1 == fp1b, "stable on unchanged nested layout")
+    // an in-place edit of a NESTED part file must flip the fingerprint
+    val part = {
+      def find(f: java.io.File): java.io.File =
+        f.listFiles().collectFirst {
+          case c if c.isDirectory => find(c)
+          case c if c.getName.endsWith(".parquet") => c
+        }.get
+      find(new java.io.File(s"$dir/documents.parquet"))
+    }
+    assert(part.setLastModified(part.lastModified() + 73000))
+    assert(ArtifactStore.corpusMetaFingerprint(spark, dir) != fp1,
+      "a nested part-file edit must change the metadata fingerprint")
+    // zero parquet leaves: a hard error, never a constant fingerprint
+    val empty = java.nio.file.Files.createTempDirectory("artempty").toString
+    new java.io.File(s"$empty/documents.parquet").mkdirs()
+    intercept[IllegalArgumentException] {
+      ArtifactStore.corpusMetaFingerprint(spark, empty)
+    }
+  }
+
   test("ArtifactStore: a reader's frames survive a concurrent rebuild; torn versions never serve (r16 cross-process protocol)") {
     val dir = java.nio.file.Files.createTempDirectory("artver").toString
     Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
@@ -2897,7 +2968,12 @@ class OpsSpec extends SparkSpec {
     // unknown-size parity (r17): the STREAMING-MUXED encoding of the
     // same planted content (all-ones size markers on Segment and
     // every Cluster — how live muxers write) must audit identically,
-    // lies included
+    // lies included. r18 (r17 ADVICE): the streaming fixture now also
+    // plants the EBML globals a live muxer emits — a real CRC-32 as
+    // each Cluster's FIRST child (ffmpeg's shape) and a trailing
+    // Void — so this parity check also proves the unknown-size walk
+    // does not terminate at a global element and drop the blocks
+    // behind it
     for (m <- 0 until 8) {
       assert(Multimodal.WebmWalk.index(m.toLong,
           MediaFixtures.plantedWebm(m, unknownSize = true)) ==
