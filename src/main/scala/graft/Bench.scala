@@ -418,6 +418,52 @@ object Bench {
       m.findFirstMatchIn(txt).map(_.group(1).toDouble)
     } catch { case _: Exception => None }
     val quietRefJson = quietRef.map(_.toString).getOrElse("null")
+    // PER-LINE quiet references (r18, verdict #7 — bench
+    // self-defense): the fastest COMMITTED quiet observation of each
+    // query at this SF, dug out of docs/bench_history.jsonl, rides in
+    // the record as `quiet_ref`, and every line whose median exceeds
+    // 2x its own reference is listed in `band_flagged` — the record
+    // flags its own out-of-band lines at write time instead of at
+    // judge time. Only quiet, untruncated history records at the same
+    // SF count (a loaded or curtailed record must never set the bar).
+    // band_flagged is SELF-REPORTING, not failure: on this box
+    // same-code quiet runs swing 0.25-4.3x (BASELINE.md), so a flagged
+    // line means "A/B before judging", not "regression".
+    val lineRefs: Map[String, Double] = try {
+      val p = java.nio.file.Paths.get("docs", "bench_history.jsonl")
+      if (!java.nio.file.Files.isRegularFile(p)) Map.empty
+      else {
+        val key = new java.io.File(sfDir).getName
+        val sfPat = java.util.regex.Pattern
+          .compile("\"sf\":\"([^\"]+)\"")
+        val qPat = java.util.regex.Pattern
+          .compile("\"queries\":\\{([^}]*)\\}")
+        val pairPat = java.util.regex.Pattern.compile(
+          "\"([A-Za-z0-9_]+)\":(-?[0-9.]+(?:[eE][+-]?[0-9]+)?)")
+        val best = scala.collection.mutable.HashMap[String, Double]()
+        val lines = java.nio.file.Files.readAllLines(p)
+        lines.forEach { ln =>
+          val sfm = sfPat.matcher(ln)
+          val sfOk = sfm.find() &&
+            new java.io.File(sfm.group(1)).getName == key
+          if (sfOk && ln.contains("\"quiet\":true") &&
+              ln.contains("\"truncated\":false")) {
+            val qm = qPat.matcher(ln)
+            if (qm.find()) {
+              val pm = pairPat.matcher(qm.group(1))
+              while (pm.find()) {
+                val (n, v) = (pm.group(1), pm.group(2).toDouble)
+                if (v >= 0 && best.get(n).forall(v < _)) best(n) = v
+              }
+            }
+          }
+        }
+        best.toMap
+      }
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] quiet-ref scan failed: $e")
+      Map.empty
+    }
     /** The ONE-LINE record, assembled from whatever is measured so
       * far. `partial:true` marks an in-flight snapshot (rewritten
       * after every completed query — r17 #1a); `truncated:true` means
@@ -453,7 +499,16 @@ object Bench {
       }.mkString("{", ",", "}")
       val total = results.map(_._2).filter(_ >= 0).sum
       val el = math.rint(elapsedSec * 10) / 10
-      s"""{"runs":$runsJson,"gc_sec":${numMap(gcRuns)},"load_1m":${numMap(loadRuns)},"load_ambient":${numMap(ambientRuns)},"load_flagged":${numMap(loadFlagged)},"discarded":$discJson,"discard_reason":$discReasonJson,"errors":$errJson,"sf":"$sfDir","partial":$partial,"truncated":$truncated,"elapsed_sec":$el,"quiet":$quiet,"quiet_ref_total":$quietRefJson,"queries":$qs,"metric":"total","value":$total,"unit":"sec"}"""
+      // per-line fastest committed quiet observation + the self-report
+      // of lines reading >2x theirs (r18, verdict #7) — see lineRefs
+      val refJson = results.map { case (k, _) =>
+        "\"" + k + "\":" + lineRefs.get(k).map(_.toString).getOrElse("null")
+      }.mkString("{", ",", "}")
+      val bandJson = results.collect { case (k, v)
+        if v >= 0 && lineRefs.get(k).exists(r => r > 0 && v > 2 * r) =>
+          jstr(k)
+      }.mkString("[", ",", "]")
+      s"""{"runs":$runsJson,"gc_sec":${numMap(gcRuns)},"load_1m":${numMap(loadRuns)},"load_ambient":${numMap(ambientRuns)},"load_flagged":${numMap(loadFlagged)},"discarded":$discJson,"discard_reason":$discReasonJson,"errors":$errJson,"quiet_ref":$refJson,"sf":"$sfDir","partial":$partial,"truncated":$truncated,"elapsed_sec":$el,"quiet":$quiet,"quiet_ref_total":$quietRefJson,"band_flagged":$bandJson,"queries":$qs,"metric":"total","value":$total,"unit":"sec"}"""
     }
     /** Rewrite bench_result.json via temp-file + rename so a kill
       * mid-write can never leave a torn record (r17 #1a). */
