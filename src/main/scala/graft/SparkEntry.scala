@@ -174,6 +174,7 @@ object SparkEntry {
     "mm_gop",            // slice-header frame types + GOP audit (r15)
     "mm_fragments",      // fMP4/CMAF trun walk + frame types (r15)
     "mm_timeline",       // sidx/tfdt segment-timeline audit (r16)
+    "mm_timeline_tree",  // hierarchical sidx descent + tree audit (r18)
     "mm_webm",           // WebM/EBML container walk + VP9 key audit (r16)
     "mm_webm_laced",     // Xiph/fixed/EBML lacing walk (r17)
     "mm_webm_stream",    // unknown-size streaming-muxed walk (r17)

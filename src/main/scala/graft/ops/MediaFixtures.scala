@@ -770,6 +770,142 @@ object MediaFixtures {
     }
   }
 
+  /** HIERARCHICAL (two-level) segment-timeline fMP4 (r18, verdict
+    * #3): a ROOT `sidx` whose references are all type 1 (top bit set)
+    * — each pointing at a CHILD sidx box that in turn indexes that
+    * group's media fragments with type-0 references — in the
+    * daisy-chain layout every hierarchical muxer writes:
+    * `ftyp moov sidx(root) [sidx(child g) moof mdat ...]*`. This is
+    * the multi-period DASH shape the flat [[timelineMp4]] cannot
+    * express. Fragment machinery (layout ladder 'A'/'B'/'C', closed-
+    * form lengths) matches [[timelineMp4]] exactly; `groups(g)` is
+    * the per-child list of per-fragment sample counts; `tfdts` is
+    * flat across all fragments in file order; mfhd sequence numbers
+    * are global (1-based, file order).
+    *
+    * Lie injection, one knob per audit axis:
+    *   - `childDurLie`/`childSizeLie`: delta added to the CHILD's
+    *     (subsegment_duration, referenced_size) claim for a given
+    *     (group, fragment-in-group) — surfaces on the leaf axes
+    *     (`sidx_dur/size_consistent`);
+    *   - `parentDurLie`/`parentSizeLie`: delta added to the ROOT's
+    *     type-1 claim for a group — surfaces on the tree axes
+    *     (`tree_dur/size_consistent`) for every fragment of that
+    *     group.
+    * Truthful parent claims are derived from the child's CLAIMS (not
+    * ground truth), per §8.16.3 — a child-level lie with an honest
+    * parent keeps the tree axes green while the leaf axis flags.
+    * Child sidx g carries its truthful earliest_presentation_time
+    * (root ept + the true durations of all prior groups). */
+  def timelineTreeMp4(timescale: Long, ept: Long, layout: Char,
+      sampleDur: Long, groups: Seq[Seq[Int]], tfdts: Seq[Long],
+      childDurLie: Map[(Int, Int), Long] = Map.empty,
+      childSizeLie: Map[(Int, Int), Long] = Map.empty,
+      parentDurLie: Map[Int, Long] = Map.empty,
+      parentSizeLie: Map[Int, Long] = Map.empty): Array[Byte] = {
+    require("ABC".contains(layout), s"unknown layout $layout")
+    require(groups.map(_.size).sum == tfdts.size)
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0))
+    val trex = box("trex", be32(0) ++ be32(1) ++ be32(1) ++
+      be32(if (layout == 'C') sampleDur else 0L) ++ be32(0) ++
+      be32(0x01010000L))
+    val moov = box("moov", box("mvex", trex))
+    val fragLen = (n: Int) => (layout match {
+      case 'A' => 88 + 14 * n
+      case 'B' => 92 + 10 * n
+      case _ => 88 + 10 * n
+    }).toLong
+    def fragBytes(seq: Long, n: Int, tfdtV: Long): Array[Byte] = {
+      val mfhd = box("mfhd", be32(0) ++ be32(seq))
+      val tfhd = layout match {
+        case 'B' => box("tfhd", be32(0x020008) ++ be32(1) ++ be32(sampleDur))
+        case _ => box("tfhd", be32(0x020000) ++ be32(1))
+      }
+      val tfdt = box("tfdt", be32(0) ++ be32(tfdtV))
+      val trun = layout match {
+        case 'A' => box("trun", be32(0x000100) ++ be32(n.toLong) ++
+          (0 until n).toArray.flatMap(_ => be32(sampleDur)))
+        case _ => box("trun", be32(0x000000) ++ be32(n.toLong))
+      }
+      box("moof", mfhd ++ box("traf", tfhd ++ tfdt ++ trun)) ++
+        box("mdat", new Array[Byte](10 * n))
+    }
+    def sidxBox(ept0: Long, refs: Seq[(Boolean, Long, Long)]) =
+      box("sidx", be32(0) ++ be32(1) ++ be32(timescale) ++ be32(ept0) ++
+        be32(0) ++ be32(refs.size.toLong) ++
+        refs.toArray.flatMap { case (child, size, dur) =>
+          be32((if (child) 0x80000000L else 0L) | size) ++ be32(dur) ++
+            be32(0x90000000L)
+        })
+    // per-group child claims (lies applied), then the root's type-1
+    // claims derived from the child CLAIMS (plus any parent lie)
+    val childClaims = groups.zipWithIndex.map { case (counts, g) =>
+      counts.zipWithIndex.map { case (n, f) =>
+        (fragLen(n) + childSizeLie.getOrElse((g, f), 0L),
+          n * sampleDur + childDurLie.getOrElse((g, f), 0L))
+      }
+    }
+    // child sidx box length: 8 header + 24 fixed + 12 per ref
+    val childBoxLen = (nRefs: Int) => 32L + 12 * nRefs
+    val rootRefs = childClaims.zipWithIndex.map { case (claims, g) =>
+      (true,
+        childBoxLen(claims.size) + claims.map(_._1).sum +
+          parentSizeLie.getOrElse(g, 0L),
+        claims.map(_._2).sum + parentDurLie.getOrElse(g, 0L))
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(ftyp); out.write(moov); out.write(sidxBox(ept, rootRefs))
+    var seq = 1L
+    var fi = 0
+    var trueTime = ept
+    groups.zipWithIndex.foreach { case (counts, g) =>
+      out.write(sidxBox(trueTime,
+        childClaims(g).map { case (s, d) => (false, s, d) }))
+      counts.foreach { n =>
+        out.write(fragBytes(seq, n, tfdts(fi)))
+        seq += 1; fi += 1; trueTime += n * sampleDur
+      }
+    }
+    out.toByteArray
+  }
+
+  /** The 8-slot planted HIERARCHICAL-timeline table assigned by
+    * `doc_id % 8` in `mm_timeline_tree`: slot m carries m % 2 + 2
+    * child groups; group g (1-based) holds (m + g) % 2 + 1 fragments;
+    * fragment f (1-based in group) has (m + g + f) % 3 + 1 samples of
+    * uniform duration 40 + m at timescale 1000 + 100m, root earliest
+    * presentation time 100m, duration layout 'A'/'B'/'C' by m % 3,
+    * truthful tfdts throughout, global 1-based sequence numbers.
+    * Four planted lies, one per remaining audit axis (tfdt lies are
+    * mm_timeline's job):
+    *   - slot 2, group 1, fragment 1: CHILD subsegment_duration
+    *     overstated by 4 — `sidx_dur_consistent` (the child-level lie
+    *     behind a consistent parent);
+    *   - slot 7, group 2, fragment 1: CHILD referenced_size
+    *     overstated by 2 — `sidx_size_consistent`;
+    *   - slot 4, group 2: ROOT subsegment_duration overstated by 6 —
+    *     `tree_dur_consistent` on every fragment of group 2;
+    *   - slot 5, group 3 (its last): ROOT referenced_size overstated
+    *     by 3 — `tree_size_consistent` on every fragment of group 3.
+    * Everything else is exact; the oracle restates every field as
+    * doc_id arithmetic (the [[plantedTimelineMp4]] contract). */
+  def plantedTimelineTreeMp4(m: Int): Array[Byte] = {
+    val nGroups = m % 2 + 2
+    val d = 40L + m
+    val layout = Seq('A', 'B', 'C')(m % 3)
+    val groups = (1 to nGroups).map { g =>
+      (1 to (m + g) % 2 + 1).map(f => (m + g + f) % 3 + 1)
+    }
+    val ept = 100L * m
+    val flat = groups.flatten
+    val tfdts = flat.indices.map(i => ept + flat.take(i).map(_ * d).sum)
+    timelineTreeMp4(1000L + 100 * m, ept, layout, d, groups, tfdts,
+      childDurLie = if (m == 2) Map((0, 0) -> 4L) else Map.empty,
+      childSizeLie = if (m == 7) Map((1, 0) -> 2L) else Map.empty,
+      parentDurLie = if (m == 4) Map(1 -> 6L) else Map.empty,
+      parentSizeLie = if (m == 5) Map(2 -> 3L) else Map.empty)
+  }
+
   // ------------------------------------------------- WebM / EBML
 
   /** Minimal-width EBML size VINT (ISO/IEC? no — the EBML spec, RFC

@@ -1338,11 +1338,23 @@ object Multimodal {
     * row's subsegment_duration / referenced_size against the walked
     * truth. Fragments past the sidx reference table (or files with
     * no sidx) carry -1 sentinels and vacuous-true sidx flags. */
+  /** One segment-timeline audit row. `sidx_dur`/`sidx_size` are the
+    * LEAF reference's claims (the child sidx's, in a hierarchical
+    * index). `tree_dur_consistent`/`tree_size_consistent` (r18,
+    * verdict #3) audit the PARENT CHAIN of a hierarchical index: a
+    * type-1 reference's subsegment_duration must equal the sum of its
+    * child sidx's reference durations, and its referenced_size must
+    * equal the child sidx box plus everything the child covers — a
+    * mismatch means the seek tree is internally inconsistent and a
+    * player seeking through the parent lands in the wrong place even
+    * when every leaf is truthful. Vacuous-true for flat indexes,
+    * top-level media references, and absent/unresolvable sidx. */
   case class TimelineSegment(media_id: Long, frag_idx: Int, seq_no: Int,
       n_samples: Int, dur_sum: Long, tfdt: Long, sidx_dur: Long,
       sidx_size: Long, actual_size: Long, timescale: Long,
       tfdt_consistent: Boolean, sidx_dur_consistent: Boolean,
-      sidx_size_consistent: Boolean)
+      sidx_size_consistent: Boolean, tree_dur_consistent: Boolean,
+      tree_size_consistent: Boolean)
 
   /** Segment-timeline audit walk (r16, verdict #5): `sidx` (ISO
     * 14496-12 §8.16.3) + `tfdt` (§8.8.12) + trun durations — "does
@@ -1365,7 +1377,8 @@ object Multimodal {
       val len = if (bytes == null) 0 else bytes.length
       val sentinel = Seq(TimelineSegment(id, -1, -1, -1, -1L, -1L, -1L,
         -1L, -1L, -1L, tfdt_consistent = false,
-        sidx_dur_consistent = false, sidx_size_consistent = false))
+        sidx_dur_consistent = false, sidx_size_consistent = false,
+        tree_dur_consistent = false, tree_size_consistent = false))
       try {
         if (len < 12 || box4(bytes, 4) != "ftyp") return sentinel
         val top = children(bytes, 0, len)
@@ -1376,37 +1389,87 @@ object Multimodal {
           (rt, rs, re) <- children(bytes, xs, xe) if rt == "trex"
           if re - rs >= 24
         } yield be32(bytes, rs + 12)).headOption.getOrElse(-1L)
-        // sidx: timescale, earliest_presentation_time, per-segment
-        // (referenced_size, subsegment_duration) references
-        val sidx = top.collectFirst { case ("sidx", ss, se) => (ss, se) }
-          .flatMap { case (ss, se) =>
-            if (se - ss < 24) None
+        // one sidx box payload (§8.16.3): (timescale, ept,
+        // refs = (isChildSidx, referenced_size, subsegment_duration))
+        def parseSidx(ss: Int, se: Int)
+            : Option[(Long, Long, IndexedSeq[(Boolean, Long, Long)])] = {
+          if (se - ss < 24) None
+          else {
+            val v = bytes(ss) & 0xff
+            val timescale = be32(bytes, ss + 8)
+            var p = ss + 12
+            val ept =
+              if (v == 0) { val x = be32(bytes, p); p += 8; x }
+              else { val x = (be32(bytes, p) << 32) |
+                be32(bytes, p + 4); p += 16; x }
+            if (p + 4 > se) None
             else {
-              val v = bytes(ss) & 0xff
-              val timescale = be32(bytes, ss + 8)
-              var p = ss + 12
-              val ept =
-                if (v == 0) { val x = be32(bytes, p); p += 8; x }
-                else { val x = (be32(bytes, p) << 32) |
-                  be32(bytes, p + 4); p += 16; x }
-              if (p + 4 > se) None
-              else {
-                val cnt = (be32(bytes, p) & 0xffff).toInt
-                p += 4
-                if (cnt < 0 || se - p < cnt.toLong * 12) None
-                // hierarchical sidx (r17 ADVICE): reference_type's top
-                // bit set means the reference points at a CHILD sidx
-                // box, not a media subsegment — the 1:1 ref↔moof
-                // alignment this walk cross-checks doesn't hold, so
-                // the whole sidx reads as absent (vacuous-true checks,
-                // -1 sentinels) rather than emitting false lies
-                else if ((0 until cnt).exists { i =>
-                  (be32(bytes, p + 12 * i) & 0x80000000L) != 0 }) None
-                else Some((timescale, ept, (0 until cnt).map { i =>
-                  (be32(bytes, p + 12 * i) & 0x7fffffffL,
-                    be32(bytes, p + 12 * i + 4))
-                }))
-              }
+              val cnt = (be32(bytes, p) & 0xffff).toInt
+              p += 4
+              if (cnt < 0 || se - p < cnt.toLong * 12) None
+              else Some((timescale, ept, (0 until cnt).map { i =>
+                val w = be32(bytes, p + 12 * i)
+                ((w & 0x80000000L) != 0, w & 0x7fffffffL,
+                  be32(bytes, p + 12 * i + 4))
+              }))
+            }
+          }
+        }
+        // sidx TREE (r18, verdict #3 — closes the r17 vacuous-true
+        // sentinel): a hierarchical index (multi-period DASH) sets a
+        // reference's top bit (type 1) to point at a CHILD sidx box
+        // instead of a media subsegment. The walk descends
+        // depth-first, resolving each type-1 reference to the next
+        // unconsumed sidx box in file order — the daisy-chain layout
+        // every hierarchical muxer writes (child index immediately
+        // preceding the media it indexes), matched by ORDER rather
+        // than byte offset so a size lie in one subtree cannot derail
+        // its siblings' audit. The flattened LEAF references align
+        // 1:1 with moofs exactly like a flat sidx; each leaf carries
+        // its parent chain's claim checks (see [[TimelineSegment]]).
+        // A tree that cannot be fully resolved — a type-1 ref with no
+        // remaining sidx box, an unparseable child, a depth > 8, or
+        // sidx boxes the tree never consumes — reads as ABSENT
+        // (vacuous-true, -1 sentinels), the r17 discipline: an
+        // unauditable claim must never surface as a false lie.
+        val sidxSpans = top.collect { case ("sidx", ss, se) => (ss, se) }
+        val sidx: Option[(Long, Long,
+            IndexedSeq[(Long, Long, Boolean, Boolean)])] =
+          sidxSpans.headOption.flatMap { case (rs, re) =>
+            parseSidx(rs, re).flatMap { case (ts0, ept0, refs0) =>
+              var next = 1
+              var bad = false
+              def resolve(refs: IndexedSeq[(Boolean, Long, Long)],
+                  depth: Int)
+                  : IndexedSeq[(Long, Long, Boolean, Boolean)] =
+                if (depth > 8) { bad = true; IndexedSeq.empty }
+                else refs.flatMap { case (isChild, size, dur) =>
+                  if (bad) IndexedSeq.empty
+                  else if (!isChild) IndexedSeq((dur, size, true, true))
+                  else if (next >= sidxSpans.length) {
+                    bad = true; IndexedSeq.empty
+                  } else {
+                    val (cs, ce) = sidxSpans(next)
+                    next += 1
+                    parseSidx(cs, ce) match {
+                      case None => bad = true; IndexedSeq.empty
+                      case Some((_, _, crefs)) =>
+                        val leaves = resolve(crefs, depth + 1)
+                        // the parent's claims vs the child's: duration
+                        // must equal the sum of the child's reference
+                        // durations; size must equal the child sidx
+                        // box itself plus everything it covers
+                        val durOk = dur == crefs.map(_._3).sum
+                        val sizeOk = size == (ce - (cs - 8)).toLong +
+                          crefs.map(_._2).sum
+                        leaves.map(l =>
+                          (l._1, l._2, l._3 && durOk, l._4 && sizeOk))
+                    }
+                  }
+                }
+              val leaves = resolve(refs0, 0)
+              if (bad || next != sidxSpans.length) None
+              else Some((ts0, ept0, leaves))
             }
           }
         val timescale = sidx.map(_._1).getOrElse(-1L)
@@ -1487,9 +1550,11 @@ object Multimodal {
               .collect { case ("mdat", ds, de) => (de - (ds - 8)).toLong }
               .sum
             val actual = moofLen + mdatLen
-            val (sDur, sSize) =
-              if (fragIdx < refs.size) (refs(fragIdx)._2, refs(fragIdx)._1)
-              else (-1L, -1L)
+            val (sDur, sSize, treeDurOk, treeSizeOk) =
+              if (fragIdx < refs.size)
+                (refs(fragIdx)._1, refs(fragIdx)._2,
+                  refs(fragIdx)._3, refs(fragIdx)._4)
+              else (-1L, -1L, true, true)
             val tfdtOk =
               if (tfdtV < 0) true // no decode-time claim to audit
               else if (fragIdx == 0) sidx.isEmpty || tfdtV == ept
@@ -1498,7 +1563,9 @@ object Multimodal {
               tfdtV, sDur, sSize, actual, timescale,
               tfdt_consistent = tfdtOk,
               sidx_dur_consistent = sDur < 0 || sDur == durSum,
-              sidx_size_consistent = sSize < 0 || sSize == actual)
+              sidx_size_consistent = sSize < 0 || sSize == actual,
+              tree_dur_consistent = treeDurOk,
+              tree_size_consistent = treeSizeOk)
             expectedTfdt =
               if (tfdtV >= 0) tfdtV + durSum
               else if (expectedTfdt >= 0) expectedTfdt + durSum

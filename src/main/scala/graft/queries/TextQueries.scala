@@ -4523,9 +4523,84 @@ object TextQueries {
     graft.ops.Multimodal.timelineIndex(media).toDF()
       .select("media_id", "frag_idx", "seq_no", "n_samples", "dur_sum",
         "tfdt", "sidx_dur", "sidx_size", "actual_size", "timescale",
-        "tfdt_consistent", "sidx_dur_consistent", "sidx_size_consistent")
+        "tfdt_consistent", "sidx_dur_consistent", "sidx_size_consistent",
+        "tree_dur_consistent", "tree_size_consistent")
       .transform(QueryUtil.ordered("media_id", "frag_idx"))
   }
+
+  /** mm_timeline_tree: the HIERARCHICAL segment-index audit (r18,
+    * verdict #3) — a root `sidx` of type-1 references, each resolved
+    * to its child sidx box, flattened to leaf references aligned 1:1
+    * with the moofs. Four planted lies, one per remaining audit axis:
+    * a child-level duration lie behind a consistent parent (slot 2 —
+    * the exact case the r17 sentinel could not see), a child-level
+    * size lie (slot 7), a root duration claim disagreeing with its
+    * child's total (slot 4), and a root size claim disagreeing with
+    * the child box + covered bytes (slot 5). The oracle restates
+    * every field as doc_id arithmetic — closed-form fragment lengths,
+    * window-summed decode times — without reading a byte. */
+  def timelineTree(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fixtures = (0 until 8)
+      .map(m => (m.toLong, graft.ops.MediaFixtures.plantedTimelineTreeMp4(m)))
+      .toDF("slot", "payload")
+    val media = docs(spark, dir)
+      .select(col("doc_id").as("media_id"), (col("doc_id") % 8).as("slot"))
+      .join(broadcast(fixtures), "slot")
+      .select(col("media_id"), col("payload"))
+    graft.ops.Multimodal.timelineIndex(media).toDF()
+      .select("media_id", "frag_idx", "seq_no", "n_samples", "dur_sum",
+        "tfdt", "sidx_dur", "sidx_size", "actual_size", "timescale",
+        "tfdt_consistent", "sidx_dur_consistent", "sidx_size_consistent",
+        "tree_dur_consistent", "tree_size_consistent")
+      .transform(QueryUtil.ordered("media_id", "frag_idx"))
+  }
+
+  val timelineTreeOracle: String =
+    """WITH p AS (SELECT doc_id AS media_id,
+      |    CAST(doc_id % 8 AS INTEGER) AS slot FROM documents),
+      |grp AS (SELECT media_id, slot, CAST(g AS INTEGER) AS g
+      |  FROM p, LATERAL (SELECT unnest(range(1, slot % 2 + 3)) AS g) gg),
+      |fr AS (SELECT media_id, slot, g, CAST(f AS INTEGER) AS f,
+      |    CAST((slot + g + f) % 3 + 1 AS INTEGER) AS n,
+      |    CAST(40 + slot AS BIGINT) AS d
+      |  FROM grp, LATERAL
+      |    (SELECT unnest(range(1, (slot + g) % 2 + 2)) AS f) ff),
+      |fr2 AS (SELECT *,
+      |    CAST(row_number() OVER (PARTITION BY media_id ORDER BY g, f)
+      |      AS INTEGER) AS seq,
+      |    n * d AS dur_sum,
+      |    CASE WHEN slot % 3 = 0 THEN 88 + 14 * n
+      |         WHEN slot % 3 = 1 THEN 92 + 10 * n
+      |         ELSE 88 + 10 * n END AS frag_len,
+      |    100 * slot
+      |      + coalesce(sum(n * d) OVER (PARTITION BY media_id
+      |          ORDER BY g, f
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS tfdt,
+      |    n * d + CASE WHEN slot = 2 AND g = 1 AND f = 1 THEN 4 ELSE 0
+      |      END AS sidx_dur
+      |  FROM fr),
+      |fr3 AS (SELECT *,
+      |    frag_len + CASE WHEN slot = 7 AND g = 2 AND f = 1 THEN 2
+      |      ELSE 0 END AS sidx_size
+      |  FROM fr2)
+      |SELECT media_id,
+      |  CAST(seq - 1 AS INTEGER) AS frag_idx,
+      |  seq AS seq_no,
+      |  n AS n_samples,
+      |  CAST(dur_sum AS BIGINT) AS dur_sum,
+      |  CAST(tfdt AS BIGINT) AS tfdt,
+      |  CAST(sidx_dur AS BIGINT) AS sidx_dur,
+      |  CAST(sidx_size AS BIGINT) AS sidx_size,
+      |  CAST(frag_len AS BIGINT) AS actual_size,
+      |  CAST(1000 + 100 * slot AS BIGINT) AS timescale,
+      |  TRUE AS tfdt_consistent,
+      |  sidx_dur = dur_sum AS sidx_dur_consistent,
+      |  sidx_size = frag_len AS sidx_size_consistent,
+      |  NOT (slot = 4 AND g = 2) AS tree_dur_consistent,
+      |  NOT (slot = 5 AND g = 3) AS tree_size_consistent
+      |FROM fr3 ORDER BY media_id, frag_idx""".stripMargin
 
   val timelineOracle: String =
     """WITH p AS (SELECT doc_id AS media_id,
@@ -4565,7 +4640,9 @@ object TextQueries {
       |  CASE WHEN f = 1 THEN tfdt = 100 * slot
       |       ELSE tfdt = prev_tfdt + prev_dur END AS tfdt_consistent,
       |  sidx_dur = dur_sum AS sidx_dur_consistent,
-      |  sidx_size = frag_len AS sidx_size_consistent
+      |  sidx_size = frag_len AS sidx_size_consistent,
+      |  TRUE AS tree_dur_consistent,
+      |  TRUE AS tree_size_consistent
       |FROM fr3 ORDER BY media_id, frag_idx""".stripMargin
 
   val spsOracle: String =
@@ -5568,6 +5645,7 @@ object TextQueries {
     "mm_gop" -> ((gop _, Some(gopOracle))),
     "mm_fragments" -> ((fragments _, Some(fragmentsOracle))),
     "mm_timeline" -> ((timeline _, Some(timelineOracle))),
+    "mm_timeline_tree" -> ((timelineTree _, Some(timelineTreeOracle))),
     "mm_webm" -> ((webmBlocks _, Some(webmOracle))),
     "mm_webm_laced" -> ((webmLacedBlocks _, Some(webmLacedOracle))),
     "mm_webm_stream" -> ((webmStreamBlocks _, Some(webmOracle))),

@@ -525,6 +525,17 @@ class PlanSpec extends SparkSpec {
       s"payload bytes must never shuffle:\n$p")
   }
 
+  test("mm_timeline_tree: shard blobs stay in their arrival partition — only the narrow audit rows shuffle") {
+    // same contract as mm_timeline: the hierarchical-sidx descent is
+    // pure per-partition byte work — the tree adds zero plan nodes
+    val p = plan("mm_timeline_tree")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"fixture join must broadcast:\n$p")
+    assert(!p.linesIterator.filter(_.contains("Exchange"))
+        .exists(_.contains("payload")),
+      s"payload bytes must never shuffle:\n$p")
+  }
+
   test("mm_webm: shard blobs stay in their arrival partition — only the narrow audit rows shuffle") {
     // same contract as mm_fragments/mm_timeline: the fixture table
     // broadcasts into the blob frame, the EBML walk runs

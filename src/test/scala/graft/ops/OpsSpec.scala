@@ -2836,6 +2836,62 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("Mp4TimelineWalk tree: hierarchical sidx descends to leaves; child and parent lies surface on their own axes (r18 verdict #3)") {
+    import graft.ops.{MediaFixtures, Multimodal}
+    for (m <- 0 until 8) {
+      val rows = Multimodal.Mp4TimelineWalk.index(m.toLong,
+        MediaFixtures.plantedTimelineTreeMp4(m))
+      val d = 40L + m
+      val layout = Seq('A', 'B', 'C')(m % 3)
+      val gfn = for {
+        g <- 1 to m % 2 + 2
+        f <- 1 to (m + g) % 2 + 1
+      } yield (g, f, (m + g + f) % 3 + 1)
+      assert(rows.size == gfn.size, s"slot $m: ${rows.size} fragments")
+      val fragLen = (n: Int) => layout match {
+        case 'A' => 88L + 14 * n
+        case 'B' => 92L + 10 * n
+        case _ => 88L + 10 * n
+      }
+      rows.zip(gfn).zipWithIndex.foreach { case ((r, (g, f, n)), i) =>
+        assert(r.frag_idx == i && r.seq_no == i + 1, s"slot $m: $r")
+        assert(r.n_samples == n && r.dur_sum == n * d, s"slot $m: $r")
+        val tfdtTruth = 100L * m + gfn.take(i).map(_._3 * d).sum
+        assert(r.tfdt == tfdtTruth && r.tfdt_consistent,
+          s"slot $m g$g f$f: $r")
+        val durLie = m == 2 && g == 1 && f == 1
+        val sizeLie = m == 7 && g == 2 && f == 1
+        assert(r.sidx_dur == n * d + (if (durLie) 4 else 0),
+          s"slot $m g$g f$f: $r")
+        assert(r.sidx_size == fragLen(n) + (if (sizeLie) 2 else 0),
+          s"slot $m g$g f$f: $r")
+        assert(r.actual_size == fragLen(n), s"slot $m g$g f$f: $r")
+        assert(r.timescale == 1000L + 100 * m, s"slot $m: $r")
+        assert(r.sidx_dur_consistent == !durLie, s"slot $m g$g f$f: $r")
+        assert(r.sidx_size_consistent == !sizeLie, s"slot $m g$g f$f: $r")
+        assert(r.tree_dur_consistent == !(m == 4 && g == 2),
+          s"slot $m g$g f$f: $r")
+        assert(r.tree_size_consistent == !(m == 5 && g == 3),
+          s"slot $m g$g f$f: $r")
+      }
+    }
+    // the flat table's tree axes are vacuous-true everywhere (no
+    // type-1 refs → no parent chain to audit)
+    for (m <- 0 until 8) {
+      Multimodal.Mp4TimelineWalk.index(m.toLong,
+          MediaFixtures.plantedTimelineMp4(m)).foreach { r =>
+        assert(r.tree_dur_consistent && r.tree_size_consistent,
+          s"flat slot $m must be tree-vacuous: $r")
+      }
+    }
+    // truncating the tree file mid-child-sidx must sentinel, never die
+    val good = MediaFixtures.plantedTimelineTreeMp4(3)
+    val cut = Multimodal.Mp4TimelineWalk.index(9L,
+      java.util.Arrays.copyOf(good, 140))
+    assert(cut.size == 1 && cut.head.frag_idx == -1,
+      "torn tree must sentinel")
+  }
+
   test("Mp4TimelineWalk: hierarchical sidx reads as absent; a missing tfdt is vacuous-true and doesn't poison its successor (r17 ADVICE)") {
     import graft.ops.{MediaFixtures, Multimodal}
     // hierarchical sidx: flip the reference_type top bit of slot 5's

@@ -1083,10 +1083,14 @@ class StreamingSpec extends SparkSpec {
     val in = tmpDir("tl-in")
     val out = tmpDir("tl-out") + "/index"
     def mDf(slots: Seq[Int]) =
-      slots.map(m => (m.toLong, graft.ops.MediaFixtures.plantedTimelineMp4(m)))
+      slots.map(m => (m.toLong,
+        // slots 8+ carry the HIERARCHICAL-sidx planted table (r18) —
+        // the stream must descend sidx trees identically to batch
+        if (m < 8) graft.ops.MediaFixtures.plantedTimelineMp4(m)
+        else graft.ops.MediaFixtures.plantedTimelineTreeMp4(m - 8)))
         .toDF("media_id", "payload")
     mDf(0 until 4).coalesce(1).write.parquet(s"$in/a")
-    mDf(4 until 8).coalesce(1).write.parquet(s"$in/b")
+    mDf((4 until 8) ++ (8 until 16)).coalesce(1).write.parquet(s"$in/b")
     import java.nio.file.{Files => NFiles, Paths => NPaths}
     def onePart(d: String) =
       NFiles.list(NPaths.get(d))
@@ -1106,23 +1110,28 @@ class StreamingSpec extends SparkSpec {
     def rows(df: DataFrame) = df
       .select("media_id", "frag_idx", "seq_no", "n_samples", "dur_sum",
         "tfdt", "sidx_dur", "sidx_size", "actual_size", "timescale",
-        "tfdt_consistent", "sidx_dur_consistent", "sidx_size_consistent")
+        "tfdt_consistent", "sidx_dur_consistent", "sidx_size_consistent",
+        "tree_dur_consistent", "tree_size_consistent")
       .collect().map(_.toSeq).toSet
     val streamed = rows(spark.read.parquet(out))
     val batch = rows(graft.ops.Multimodal.timelineIndex(
-      mDf(0 until 8)).toDF())
+      mDf(0 until 16)).toDF())
     assert(streamed == batch,
       s"stream timeline rows must equal batch: " +
         s"missing=${batch -- streamed} extra=${streamed -- batch}")
-    // the three planted lies are the only inconsistent rows
+    // the planted lies are the only inconsistent rows: three flat
+    // (slots 3/5/6), four tree (r18 — media 8+slot: child dur slot 2,
+    // child size slot 7, root dur slot 4, root size slot 5)
     val lies = spark.read.parquet(out)
       .filter(!col("tfdt_consistent") || !col("sidx_dur_consistent") ||
-        !col("sidx_size_consistent"))
+        !col("sidx_size_consistent") || !col("tree_dur_consistent") ||
+        !col("tree_size_consistent"))
       .select("media_id", "frag_idx").collect()
       .map(r => (r.getLong(0), r.getInt(1))).toSet
-    assert(lies == Set((3L, 1), (5L, 0), (6L, 1)), s"lie rows: $lies")
+    assert(lies == Set((3L, 1), (5L, 0), (6L, 1),
+      (10L, 0), (15L, 1), (12L, 2), (13L, 3)), s"lie rows: $lies")
     // replay: re-running a batch overwrites its own partition
-    StreamingMedia.timelineAppender(out)(mDf(4 until 8), 1L)
+    StreamingMedia.timelineAppender(out)(mDf((4 until 8) ++ (8 until 16)), 1L)
     assert(rows(spark.read.parquet(out)) == streamed,
       "a replayed micro-batch must not duplicate or change rows")
   }
