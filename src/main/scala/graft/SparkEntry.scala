@@ -178,5 +178,6 @@ object SparkEntry {
     "mm_webm",           // WebM/EBML container walk + VP9 key audit (r16)
     "mm_webm_laced",     // Xiph/fixed/EBML lacing walk (r17)
     "mm_webm_stream",    // unknown-size streaming-muxed walk (r17)
-    "mm_webm_tracks")    // multi-track video+laced-audio walk (r17)
+    "mm_webm_tracks",    // multi-track video+laced-audio walk (r17)
+    "mm_webm_cues")      // Cues seek-table + DefaultDuration audit (r18)
 }

@@ -1140,33 +1140,145 @@ object MediaFixtures {
     val clusterBytes = clusters.map { case (ts, blocks) =>
       val body = ebmlUint(idb(0xE7), ts) ++
         blocks.toArray.flatMap { case (rel, trk, key, mode, frames) =>
-          require(mode >= 0 && mode <= 3, s"lace mode $mode")
-          require(mode != 0 || frames.size == 1, "unlaced = one frame")
-          val flags = (if (key) 0x80 else 0x00) | (mode << 1)
-          val laceTable: Array[Byte] = mode match {
-            case 0 => Array.empty
-            case 1 => Array((frames.size - 1).toByte) ++
-              frames.dropRight(1).toArray.flatMap { f =>
-                val q = f.length / 255
-                Array.fill(q)(0xff.toByte) :+ (f.length % 255).toByte
-              }
-            case 2 => Array((frames.size - 1).toByte)
-            case _ => Array((frames.size - 1).toByte) ++
-              (if (frames.size < 2) Array.empty[Byte]
-               else ebmlSize(frames.head.length.toLong) ++
-                 frames.sliding(2).toArray.dropRight(1).flatMap { w =>
-                   ebmlLaceDelta((w(1).length - w(0).length).toLong)
-                 })
-          }
-          val blk = ebmlSize(trk.toLong) ++ Array(
-            ((rel >> 8) & 0xff).toByte, (rel & 0xff).toByte,
-            flags.toByte) ++ laceTable ++ frames.toArray.flatten
-          ebml(idb(0xA3), blk)
+          ebml(idb(0xA3), simpleBlockBytes(trk, rel, key, mode, frames))
         }
       ebml(idb(0x1F, 0x43, 0xB6, 0x75), body)
     }
     header ++ ebml(idb(0x18, 0x53, 0x80, 0x67),
       info ++ trackList ++ clusterBytes.toArray.flatten)
+  }
+
+  /** SimpleBlock payload bytes: track VINT + s16 relative timestamp +
+    * flags (0x80 keyframe claim, bits 0x06 lace mode) + lace table +
+    * frames — the shared core of [[webmLaced]]/[[webmTracks]]/
+    * [[webmCues]]. */
+  private def simpleBlockBytes(trk: Int, rel: Int, key: Boolean,
+      mode: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(mode >= 0 && mode <= 3, s"lace mode $mode")
+    require(mode != 0 || frames.size == 1, "unlaced = one frame")
+    require(mode != 2 || frames.map(_.length).distinct.size == 1,
+      "fixed lacing needs equal frame sizes")
+    val flags = (if (key) 0x80 else 0x00) | (mode << 1)
+    val laceTable: Array[Byte] = mode match {
+      case 0 => Array.empty
+      case 1 => Array((frames.size - 1).toByte) ++
+        frames.dropRight(1).toArray.flatMap { f =>
+          val q = f.length / 255
+          Array.fill(q)(0xff.toByte) :+ (f.length % 255).toByte
+        }
+      case 2 => Array((frames.size - 1).toByte)
+      case _ => Array((frames.size - 1).toByte) ++
+        (if (frames.size < 2) Array.empty[Byte]
+         else ebmlSize(frames.head.length.toLong) ++
+           frames.sliding(2).toArray.dropRight(1).flatMap { w =>
+             ebmlLaceDelta((w(1).length - w(0).length).toLong)
+           })
+    }
+    ebmlSize(trk.toLong) ++ Array(
+      ((rel >> 8) & 0xff).toByte, (rel & 0xff).toByte,
+      flags.toByte) ++ laceTable ++ frames.toArray.flatten
+  }
+
+  /** WebM with a SEEK INDEX (r18, verdict #5): the [[webmTracks]]
+    * skeleton plus per-track `DefaultDuration` (0x23E383, ns per
+    * frame, omitted when < 0) in the TrackEntry, and a trailing
+    * `Cues` (0x1C53BB6B) element — `CuePoint(CueTime,
+    * CueTrackPositions(CueTrack, CueClusterPosition))` per entry,
+    * CueClusterPosition being the cued Cluster's byte offset from the
+    * Segment payload start (the Matroska "Segment Position"), which
+    * this builder computes from the real assembled layout. Each cue =
+    * (time, track, clusterOrdinal, posDelta) — a non-zero `posDelta`
+    * writes a LYING position (the planted seek-table lie the walk
+    * must catch). Tracks carry (num, type, codec, pixelW, pixelH,
+    * defaultDurationNs). */
+  def webmCues(docType: String, timescale: Long,
+      tracks: Seq[(Int, Long, String, Int, Int, Long)],
+      clusters: Seq[(Long, Seq[(Int, Int, Boolean, Int, Seq[Array[Byte]])])],
+      cues: Seq[(Long, Int, Int, Long)]): Array[Byte] = {
+    val header = ebml(idb(0x1A, 0x45, 0xDF, 0xA3),
+      ebml(idb(0x42, 0x82), docType.getBytes("US-ASCII")))
+    val info = ebml(idb(0x15, 0x49, 0xA9, 0x66),
+      ebmlUint(idb(0x2A, 0xD7, 0xB1), timescale))
+    val entries = tracks.toArray.flatMap {
+      case (num, typ, codec, pw, ph, ddNs) =>
+        val video = if (typ == 1L) ebml(idb(0xE0),
+          ebmlUint(idb(0xB0), pw.toLong) ++ ebmlUint(idb(0xBA), ph.toLong))
+        else Array.empty[Byte]
+        val dd = if (ddNs >= 0)
+          ebmlUint(idb(0x23, 0xE3, 0x83), ddNs) else Array.empty[Byte]
+        ebml(idb(0xAE),
+          ebmlUint(idb(0xD7), num.toLong) ++
+            ebmlUint(idb(0x83), typ) ++
+            ebml(idb(0x86), codec.getBytes("US-ASCII")) ++ dd ++ video)
+    }
+    val trackList = ebml(idb(0x16, 0x54, 0xAE, 0x6B), entries)
+    val clusterBytes = clusters.map { case (ts, blocks) =>
+      val body = ebmlUint(idb(0xE7), ts) ++
+        blocks.toArray.flatMap { case (rel, trk, key, mode, frames) =>
+          ebml(idb(0xA3), simpleBlockBytes(trk, rel, key, mode, frames))
+        }
+      ebml(idb(0x1F, 0x43, 0xB6, 0x75), body)
+    }
+    // Segment Positions of each cluster: offset from the Segment
+    // payload start, over the real assembled layout (info + tracks
+    // precede the clusters; Cues trail them — the live-muxer order)
+    val clusterOffsets = clusterBytes
+      .scanLeft((info.length + trackList.length).toLong)(_ + _.length)
+    val cuesEl = ebml(idb(0x1C, 0x53, 0xBB, 0x6B),
+      cues.toArray.flatMap { case (time, trk, ord, posDelta) =>
+        ebml(idb(0xBB),
+          ebmlUint(idb(0xB3), time) ++
+            ebml(idb(0xB7),
+              ebmlUint(idb(0xF7), trk.toLong) ++
+                ebmlUint(idb(0xF1), clusterOffsets(ord) + posDelta)))
+      })
+    header ++ ebml(idb(0x18, 0x53, 0x80, 0x67),
+      info ++ trackList ++ clusterBytes.toArray.flatten ++ cuesEl)
+  }
+
+  /** The 8-slot planted SEEK-INDEX WebM table assigned by `doc_id % 8`
+    * in `mm_webm_cues`: slot m carries m % 3 + 1 clusters at
+    * timestamps 600(c−1) + 10m (1-based c), timescale 1000000 + 125m.
+    * Track 1 = V_VP9 video ((320 + 8m) × (180 + 4m)), one unlaced
+    * keyframe SimpleBlock per cluster at rel 4, frame size
+    * 22 + 3m + 2c; track 2 = A_OPUS audio, one Xiph-laced 2-frame
+    * block per cluster at rel 7 (sizes 12 + 2m + 3k) — cues never
+    * reference it, it exists so the cue walk runs against the real
+    * multi-track shape. One CuePoint per cluster cues track 1 at the
+    * video block's absolute time. Track 1 claims DefaultDuration =
+    * 600 ticks × timescale ns (the true cluster cadence), absent on
+    * slot 7, overstated as 580 ticks on slot 4. Four planted lies:
+    *   - slot 1, cue 2: CueClusterPosition +3 bytes (not a cluster
+    *     start) — `cluster_found`;
+    *   - slot 2, cue 3: CueTime +5 (no block at that time) —
+    *     `cue_time_ok`;
+    *   - slot 5, cluster 2: the cued video block claims NON-key over
+    *     an inter frame — `cue_key_ok` (the cue points at a frame a
+    *     seek cannot decode from);
+    *   - slot 4: DefaultDuration 580 ticks vs measured 600 —
+    *     `default_dur_ok`.
+    * Slots with one cluster (m % 3 == 0) measure no cadence (−1,
+    * vacuous-true). All fields are doc_id arithmetic. */
+  def plantedWebmCues(m: Int): Array[Byte] = {
+    val nClusters = m % 3 + 1
+    val ts = 1000000L + 125 * m
+    val ddNs = if (m == 7) -1L else (if (m == 4) 580L else 600L) * ts
+    val clusters = (1 to nClusters).map { c =>
+      val key = !(m == 5 && c == 2)
+      val video = (4, 1, key, 0, Seq(vp9Frame(key, 22 + 3 * m + 2 * c)))
+      val audio = (7, 2, true, 1,
+        (1 to 2).map(k => audioFrame(12 + 2 * m + 3 * k)))
+      (600L * (c - 1) + 10 * m, Seq(video, audio))
+    }
+    val cues = (1 to nClusters).map { c =>
+      (600L * (c - 1) + 10 * m + 4 +
+        (if (m == 2 && c == 3) 5L else 0L), 1, c - 1,
+        if (m == 1 && c == 2) 3L else 0L)
+    }
+    webmCues("webm", ts,
+      Seq((1, 1L, "V_VP9", 320 + 8 * m, 180 + 4 * m, ddNs),
+        (2, 2L, "A_OPUS", -1, -1, -1L)),
+      clusters, cues)
   }
 
   /** Deterministic opaque audio frame (no bitstream claim to audit —

@@ -1709,8 +1709,15 @@ object Multimodal {
       * to the end of the enclosing span, a Cluster to its first
       * non-child element; unknown size anywhere else is malformed. */
     private def kids(b: Array[Byte], start: Int,
-        end: Int): List[(Long, Int, Int)] = {
-      val out = scala.collection.mutable.ListBuffer[(Long, Int, Int)]()
+        end: Int): List[(Long, Int, Int)] =
+      kids4(b, start, end).map { case (id, _, ps, pe) => (id, ps, pe) }
+
+    /** [[kids]] plus each child's ELEMENT start offset (the first
+      * byte of its ID) — the cue walk needs it because
+      * CueClusterPosition claims point at element starts. */
+    private def kids4(b: Array[Byte], start: Int,
+        end: Int): List[(Long, Int, Int, Int)] = {
+      val out = scala.collection.mutable.ListBuffer[(Long, Int, Int, Int)]()
       var o = start
       while (o < end) {
         val (id, iw) = readId(b, o, end)
@@ -1726,7 +1733,7 @@ object Multimodal {
             case _ =>
               throw new IllegalArgumentException("unknown-size element")
           }
-        out += ((id, ps, pe))
+        out += ((id, o, ps, pe))
         o = pe
       }
       out.toList
@@ -1930,6 +1937,159 @@ object Multimodal {
         if (out.isEmpty) sentinel else out.toSeq
       } catch { case _: Exception => sentinel }
     }
+
+    /** SEEK-INDEX audit (r18, verdict #5) — the "container claim vs
+      * measured truth" pattern applied to the two remaining WebM
+      * claims a player trusts blind:
+      *   - the `Cues` seek table: every CuePoint × CueTrackPositions
+      *     entry claims (time, track, cluster byte position). The walk
+      *     resolves the claimed Segment Position against the ACTUAL
+      *     cluster element starts (`cluster_found` + the resolved
+      *     `cluster_idx`), then checks the cued cluster really holds a
+      *     block of the cued track at the cued time (`cue_time_ok`)
+      *     and that the block is a claimed keyframe (`cue_key_ok` — a
+      *     cue onto a non-key block means a seek lands on a frame the
+      *     decoder cannot start from). Unresolvable position → the
+      *     downstream checks are vacuous-true (no block to audit),
+      *     never false flags.
+      *   - the cued track's `DefaultDuration` (ns per frame): checked
+      *     against the MEASURED per-frame block cadence
+      *     (inter-block timestamp delta / frames-per-block, in
+      *     timescale ticks, constant across the file).
+      *     `measured_frame_ticks` is −1 with fewer than two blocks
+      *     (no cadence to measure → vacuous-true) and −2 when the
+      *     cadence is not constant (a fixed-duration claim over VFR
+      *     content is itself the lie → false when claimed). Exact
+      *     tick equality — planted fixtures use exact multiples; real
+      *     encoders rounding sub-tick cadences would need a tolerance
+      *     (disclosed boundary).
+      * Files with no Cues element (streaming WebM) emit NO rows —
+      * absence of a seek table is not a lie. Malformed structure
+      * throws to the corrupt-input sentinel. */
+    def cues(id: Long, bytes: Array[Byte]): Seq[WebmCue] = {
+      val len = if (bytes == null) 0 else bytes.length
+      val sentinel = Seq(WebmCue(id, -1, -1L, -1, -1,
+        cluster_found = false, cue_time_ok = false, cue_key_ok = false,
+        -1L, -1L, default_dur_ok = false, -1L, "?", -1))
+      try {
+        if (len < 4 || (bytes(0) & 0xff) != 0x1A) return sentinel
+        val top = kids(bytes, 0, len)
+        val seg = top.collectFirst { case (SegmentId, s, e) => (s, e) }
+          .getOrElse(return sentinel)
+        val segKids = kids4(bytes, seg._1, seg._2)
+        val timescale = segKids.collectFirst { case (0x1549A966L, _, s, e) =>
+          kids(bytes, s, e).collectFirst { case (0x2AD7B1L, ts, te) =>
+            uintOf(bytes, ts, te) }.getOrElse(1000000L)
+        }.getOrElse(1000000L)
+        // per-track metadata incl. DefaultDuration (0x23E383, ns)
+        val trackMeta: Map[Long, (Long, String, Long)] =
+          segKids.collectFirst { case (0x1654AE6BL, _, s, e) =>
+            kids(bytes, s, e).collect { case (0xAEL, ts, te) =>
+              val tk = kids(bytes, ts, te)
+              val num = tk.collectFirst { case (0xD7L, a, b2) =>
+                uintOf(bytes, a, b2) }.getOrElse(-1L)
+              val typ = tk.collectFirst { case (0x83L, a, b2) =>
+                uintOf(bytes, a, b2) }.getOrElse(0L)
+              val codec = tk.collectFirst { case (0x86L, a, b2) =>
+                strOf(bytes, a, b2) }.getOrElse("?")
+              val dd = tk.collectFirst { case (0x23E383L, a, b2) =>
+                uintOf(bytes, a, b2) }.getOrElse(-1L)
+              num -> ((typ, codec, dd))
+            }.filter(_._1 >= 0).toMap
+          }.getOrElse(Map.empty)
+        // the full block audit carries everything the cue checks need
+        // (per-block abs time, per-frame rows, keyframe claims) —
+        // reuse it rather than re-walking clusters
+        val blocks = index(id, bytes)
+        if (blocks.size == 1 && blocks.head.cluster_idx == -1)
+          return sentinel
+        // cluster element starts as Segment Positions (offsets from
+        // the Segment payload start — what CueClusterPosition claims)
+        val clusterPos: IndexedSeq[Long] = segKids.collect {
+          case (ClusterId, es, _, _) => (es - seg._1).toLong
+        }.toIndexedSeq
+        // measured per-frame cadence per track, in timescale ticks:
+        // consecutive block deltas divided by the earlier block's
+        // frame count; -1 = under two blocks, -2 = not constant
+        val cadence: Map[Int, Long] = blocks.groupBy(_.track).map {
+          case (trk, rows) =>
+            val blks = rows.groupBy(r => (r.cluster_idx, r.rel_ts))
+              .toSeq.map { case (_, fr) =>
+                (fr.head.abs_ts, fr.size) }.sortBy(_._1)
+            val deltas = blks.sliding(2).collect {
+              case Seq((t1, n1), (t2, _)) if n1 > 0 &&
+                (t2 - t1) % n1 == 0 => (t2 - t1) / n1
+              case Seq(_, _) => -2L
+            }.toSeq
+            trk -> (if (deltas.isEmpty) -1L
+              else if (deltas.distinct.size == 1) deltas.head else -2L)
+        }
+        val cuesEl = segKids.collectFirst {
+          case (0x1C53BB6BL, _, s, e) => (s, e) }
+        if (cuesEl.isEmpty) return Seq.empty
+        val out = scala.collection.mutable.ArrayBuffer[WebmCue]()
+        var cueIdx = 0
+        kids(bytes, cuesEl.get._1, cuesEl.get._2).foreach {
+          case (0xBBL, ps, pe) =>
+            val ck = kids(bytes, ps, pe)
+            val time = ck.collectFirst { case (0xB3L, a, b2) =>
+              uintOf(bytes, a, b2) }.getOrElse(
+              throw new IllegalArgumentException("CuePoint w/o time"))
+            ck.foreach {
+              case (0xB7L, ts, te) =>
+                val tk = kids(bytes, ts, te)
+                val trk = tk.collectFirst { case (0xF7L, a, b2) =>
+                  uintOf(bytes, a, b2) }.getOrElse(-1L).toInt
+                val pos = tk.collectFirst { case (0xF1L, a, b2) =>
+                  uintOf(bytes, a, b2) }.getOrElse(-1L)
+                val clusterIdx = clusterPos.indexOf(pos)
+                val found = clusterIdx >= 0
+                val cued = if (!found) None
+                  else blocks.find(r => r.track == trk &&
+                    r.cluster_idx == clusterIdx && r.abs_ts == time &&
+                    r.frame_idx == 0)
+                val (typ, codec, dd) = trackMeta.getOrElse(trk.toLong,
+                  (-1L, "?", -1L))
+                val measured = cadence.getOrElse(trk, -1L)
+                out += WebmCue(id, cueIdx, time, trk,
+                  if (found) clusterIdx else -1,
+                  cluster_found = found,
+                  cue_time_ok = !found || cued.nonEmpty,
+                  cue_key_ok = cued.forall(_.key_claimed),
+                  default_dur_ns = dd,
+                  measured_frame_ticks = measured,
+                  default_dur_ok = dd < 0 || measured == -1L ||
+                    (measured > 0 && measured * timescale == dd),
+                  timescale, codec, typ.toInt)
+              case _ =>
+            }
+            cueIdx += 1
+          case _ =>
+        }
+        out.toSeq
+      } catch { case _: Exception => sentinel }
+    }
+  }
+
+  /** One seek-index audit row per CuePoint × CueTrackPositions entry
+    * — see [[WebmWalk.cues]]. */
+  case class WebmCue(media_id: Long, cue_idx: Int, cue_time: Long,
+      cue_track: Int, cluster_idx: Int, cluster_found: Boolean,
+      cue_time_ok: Boolean, cue_key_ok: Boolean, default_dur_ns: Long,
+      measured_frame_ticks: Long, default_dur_ok: Boolean,
+      timescale: Long, codec: String, track_type: Int)
+
+  /** Per-partition WebM seek-index audit — the [[fragmentIndex]]
+    * shape: shard blobs never leave their arrival partition; only the
+    * narrow per-cue audit rows shuffle. */
+  def webmCuesIndex(media: DataFrame): Dataset[WebmCue] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) => WebmWalk.cues(id, bytes) }
+      }
   }
 
   /** Per-partition WebM block audit — the [[fragmentIndex]] shape:

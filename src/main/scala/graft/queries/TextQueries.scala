@@ -4399,6 +4399,59 @@ object TextQueries {
         "frame_idx"))
   }
 
+  /** mm_webm_cues: the SEEK-INDEX audit (r18, verdict #5) — every
+    * Cues/CuePoint entry's (time, track, cluster position) claim
+    * cross-checked against the actual cluster layout and block
+    * timeline, plus the cued track's DefaultDuration frame-rate claim
+    * vs the measured block cadence. Four planted lies, one per axis:
+    * a position not landing on a cluster (slot 1), a cue time with no
+    * block (slot 2), a cue onto a non-keyframe (slot 5), and an
+    * overstated DefaultDuration (slot 4). The oracle restates every
+    * field as doc_id arithmetic. */
+  def webmCueAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fixtures = (0 until 8)
+      .map(m => (m.toLong, graft.ops.MediaFixtures.plantedWebmCues(m)))
+      .toDF("slot", "payload")
+    val media = docs(spark, dir)
+      .select(col("doc_id").as("media_id"), (col("doc_id") % 8).as("slot"))
+      .join(broadcast(fixtures), "slot")
+      .select(col("media_id"), col("payload"))
+    graft.ops.Multimodal.webmCuesIndex(media).toDF()
+      .select("media_id", "cue_idx", "cue_time", "cue_track",
+        "cluster_idx", "cluster_found", "cue_time_ok", "cue_key_ok",
+        "default_dur_ns", "measured_frame_ticks", "default_dur_ok",
+        "timescale", "codec", "track_type")
+      .transform(QueryUtil.ordered("media_id", "cue_idx"))
+  }
+
+  val webmCuesOracle: String =
+    """WITH p AS (SELECT doc_id AS media_id,
+      |    CAST(doc_id % 8 AS INTEGER) AS slot FROM documents),
+      |c AS (SELECT media_id, slot, CAST(k AS INTEGER) AS c
+      |  FROM p, LATERAL (SELECT unnest(range(1, slot % 3 + 2)) AS k) g)
+      |SELECT media_id,
+      |  CAST(c - 1 AS INTEGER) AS cue_idx,
+      |  CAST(600 * (c - 1) + 10 * slot + 4
+      |    + CASE WHEN slot = 2 AND c = 3 THEN 5 ELSE 0 END AS BIGINT)
+      |    AS cue_time,
+      |  CAST(1 AS INTEGER) AS cue_track,
+      |  CAST(CASE WHEN slot = 1 AND c = 2 THEN -1 ELSE c - 1 END
+      |    AS INTEGER) AS cluster_idx,
+      |  NOT (slot = 1 AND c = 2) AS cluster_found,
+      |  NOT (slot = 2 AND c = 3) AS cue_time_ok,
+      |  NOT (slot = 5 AND c = 2) AS cue_key_ok,
+      |  CAST(CASE WHEN slot = 7 THEN -1
+      |    ELSE (CASE WHEN slot = 4 THEN 580 ELSE 600 END)
+      |      * (1000000 + 125 * slot) END AS BIGINT) AS default_dur_ns,
+      |  CAST(CASE WHEN slot % 3 = 0 THEN -1 ELSE 600 END AS BIGINT)
+      |    AS measured_frame_ticks,
+      |  (slot != 4) AS default_dur_ok,
+      |  CAST(1000000 + 125 * slot AS BIGINT) AS timescale,
+      |  'V_VP9' AS codec,
+      |  CAST(1 AS INTEGER) AS track_type
+      |FROM c ORDER BY media_id, cue_idx""".stripMargin
+
   val webmTracksOracle: String =
     """WITH p AS (SELECT doc_id AS media_id,
       |    CAST(doc_id % 8 AS INTEGER) AS slot FROM documents),
@@ -5650,6 +5703,7 @@ object TextQueries {
     "mm_webm_laced" -> ((webmLacedBlocks _, Some(webmLacedOracle))),
     "mm_webm_stream" -> ((webmStreamBlocks _, Some(webmOracle))),
     "mm_webm_tracks" -> ((webmTrackBlocks _, Some(webmTracksOracle))),
+    "mm_webm_cues" -> ((webmCueAudit _, Some(webmCuesOracle))),
     "mm_zip_members" -> ((zipMembers _, Some(zipMembersOracle))),
     "mm_tgz_members" -> ((tgzMembers _, Some(tarMembersOracle))),
     "mm_meta_oracle" -> ((mediaDecode _, Some(mediaDecodeOracle))),

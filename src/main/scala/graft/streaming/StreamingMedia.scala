@@ -93,4 +93,13 @@ object StreamingMedia {
     (batch: DataFrame, batchId: Long) =>
       Multimodal.webmIndex(batch).toDF()
         .write.mode("overwrite").parquet(s"$indexPath/batch_id=$batchId")
+
+  /** `foreachBatch` body auditing WebM SEEK TABLES per micro-batch
+    * ([[graft.ops.Multimodal.webmCuesIndex]] — Cues/CuePoint claims
+    * vs actual cluster layout + DefaultDuration vs measured cadence,
+    * r18): same stateless exactly-once layout as [[metaAppender]]. */
+  def webmCuesAppender(indexPath: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) =>
+      Multimodal.webmCuesIndex(batch).toDF()
+        .write.mode("overwrite").parquet(s"$indexPath/batch_id=$batchId")
 }

@@ -548,6 +548,17 @@ class PlanSpec extends SparkSpec {
       s"payload bytes must never shuffle:\n$p")
   }
 
+  test("mm_webm_cues: shard blobs stay in their arrival partition — only the narrow audit rows shuffle") {
+    // same contract as mm_webm: the seek-table audit is pure
+    // per-partition byte work over the broadcast fixture join
+    val p = plan("mm_webm_cues")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"fixture join must broadcast:\n$p")
+    assert(!p.linesIterator.filter(_.contains("Exchange"))
+        .exists(_.contains("payload")),
+      s"payload bytes must never shuffle:\n$p")
+  }
+
   test("tx_unigram_apply: frozen-model scoring is a vocab-sized equi-join, corpus aggregates partially") {
     // the EM/Viterbi loops all run on the word-table side; the corpus
     // word stream reaches the per-word piece counts through an

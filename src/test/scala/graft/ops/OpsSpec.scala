@@ -3050,6 +3050,64 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("WebmWalk cues: planted seek tables audit; the four lies surface on their own axes; no-cues files emit nothing; corrupt sentinels (r18 verdict #5)") {
+    import graft.ops.{MediaFixtures, Multimodal}
+    for (m <- 0 until 8) {
+      val rows = Multimodal.WebmWalk.cues(m.toLong,
+        MediaFixtures.plantedWebmCues(m))
+      val n = m % 3 + 1
+      val ts = 1000000L + 125 * m
+      assert(rows.size == n, s"slot $m: ${rows.size} cue rows")
+      rows.zipWithIndex.foreach { case (r, i) =>
+        val c = i + 1
+        val posLie = m == 1 && c == 2
+        val timeLie = m == 2 && c == 3
+        val keyLie = m == 5 && c == 2
+        assert(r.cue_idx == i && r.cue_track == 1, s"slot $m: $r")
+        assert(r.cue_time == 600L * (c - 1) + 10 * m + 4 +
+          (if (timeLie) 5 else 0), s"slot $m c$c: $r")
+        assert(r.cluster_idx == (if (posLie) -1 else c - 1),
+          s"slot $m c$c: $r")
+        assert(r.cluster_found == !posLie, s"slot $m c$c: $r")
+        assert(r.cue_time_ok == !timeLie, s"slot $m c$c: $r")
+        assert(r.cue_key_ok == !keyLie, s"slot $m c$c: $r")
+        assert(r.default_dur_ns ==
+          (if (m == 7) -1L else (if (m == 4) 580L else 600L) * ts),
+          s"slot $m c$c: $r")
+        assert(r.measured_frame_ticks == (if (m % 3 == 0) -1L else 600L),
+          s"slot $m c$c: $r")
+        assert(r.default_dur_ok == (m != 4), s"slot $m c$c: $r")
+        assert(r.timescale == ts && r.codec == "V_VP9" &&
+          r.track_type == 1, s"slot $m: $r")
+      }
+    }
+    // exactly the four planted lies across the table, one per axis
+    val lies = for {
+      m <- 0 until 8
+      r <- Multimodal.WebmWalk.cues(m.toLong,
+        MediaFixtures.plantedWebmCues(m))
+      if !r.cluster_found || !r.cue_time_ok || !r.cue_key_ok ||
+        !r.default_dur_ok
+    } yield (m, r.cue_idx)
+    assert(lies == Seq((1, 1), (2, 2), (4, 0), (4, 1), (5, 1)),
+      s"lies: $lies")
+    // a file with no Cues element (streaming WebM) emits NO rows —
+    // an absent seek table is not a lie
+    assert(Multimodal.WebmWalk.cues(1L,
+      MediaFixtures.plantedWebm(1)).isEmpty)
+    assert(Multimodal.WebmWalk.cues(1L,
+      MediaFixtures.plantedWebm(1, unknownSize = true)).isEmpty)
+    // corrupt / truncated / null / non-EBML: sentinel, never a throw
+    val good = MediaFixtures.plantedWebmCues(2)
+    for (bad <- Seq(Array[Byte](1, 2, 3), null,
+        java.util.Arrays.copyOf(good, 40),
+        java.util.Arrays.copyOf(good, good.length - 5),
+        MediaFixtures.plantedAvcMp4(1))) {
+      val r = Multimodal.WebmWalk.cues(9L, bad)
+      assert(r.size == 1 && r.head.cue_idx == -1, "corrupt must sentinel")
+    }
+  }
+
   test("WebmWalk lacing: planted laced slots recover every frame; lies surface; profile-3 vacuous; malformed lace tables sentinel") {
     import graft.ops.{MediaFixtures, Multimodal}
     for (m <- 0 until 8) {

@@ -1197,6 +1197,59 @@ class StreamingSpec extends SparkSpec {
       "a replayed micro-batch must not duplicate or change rows")
   }
 
+  test("streaming webm cues audit: seek-table walk stream equals batch, the four lies survive the stream (r18, verdict #8)") {
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    val in = tmpDir("wc-in")
+    val out = tmpDir("wc-out") + "/index"
+    def mDf(slots: Seq[Int]) =
+      slots.map(m => (m.toLong, graft.ops.MediaFixtures.plantedWebmCues(m)))
+        .toDF("media_id", "payload")
+    mDf(0 until 4).coalesce(1).write.parquet(s"$in/a")
+    mDf(4 until 8).coalesce(1).write.parquet(s"$in/b")
+    import java.nio.file.{Files => NFiles, Paths => NPaths}
+    def onePart(d: String) =
+      NFiles.list(NPaths.get(d))
+        .filter(_.toString.endsWith(".parquet")).findFirst.get
+    val fa = NPaths.get(s"$in/batch_a.parquet")
+    NFiles.move(onePart(s"$in/a"), fa)
+    NFiles.move(onePart(s"$in/b"), NPaths.get(s"$in/batch_b.parquet"))
+    fa.toFile.setLastModified(System.currentTimeMillis() - 60000)
+    val q = spark.readStream
+      .schema("media_id LONG, payload BINARY")
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream
+      .option("checkpointLocation", tmpDir("wc-ckpt"))
+      .foreachBatch(StreamingMedia.webmCuesAppender(out))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    def rows(df: DataFrame) = df
+      .select("media_id", "cue_idx", "cue_time", "cue_track",
+        "cluster_idx", "cluster_found", "cue_time_ok", "cue_key_ok",
+        "default_dur_ns", "measured_frame_ticks", "default_dur_ok",
+        "timescale", "codec", "track_type")
+      .collect().map(_.toSeq).toSet
+    val streamed = rows(spark.read.parquet(out))
+    val batch = rows(graft.ops.Multimodal.webmCuesIndex(
+      mDf(0 until 8)).toDF())
+    assert(streamed == batch,
+      s"stream cue rows must equal batch: " +
+        s"missing=${batch -- streamed} extra=${streamed -- batch}")
+    // the four planted lies are the only flagged rows (slot 4 flags
+    // on both its cue rows — DefaultDuration is a per-track claim)
+    val lies = spark.read.parquet(out)
+      .filter(!col("cluster_found") || !col("cue_time_ok") ||
+        !col("cue_key_ok") || !col("default_dur_ok"))
+      .select("media_id", "cue_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(lies == Set((1L, 1), (2L, 2), (4L, 0), (4L, 1), (5L, 1)),
+      s"lie rows: $lies")
+    // replay: re-running a batch overwrites its own partition
+    StreamingMedia.webmCuesAppender(out)(mDf(4 until 8), 1L)
+    assert(rows(spark.read.parquet(out)) == streamed,
+      "a replayed micro-batch must not duplicate or change rows")
+  }
+
   test("streaming star CC: contracted snapshot equals batch connectedComponentsStar; replay clean (r17, verdict #8)") {
     import org.apache.spark.sql.DataFrame
     import spark.implicits._
