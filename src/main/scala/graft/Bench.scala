@@ -665,13 +665,33 @@ object Bench {
     * needed to attribute it. */
   private def appendHistory(line: String, sfDir: String): Unit = try {
     val sha = try {
+      // a linked worktree's .git is a FILE containing "gitdir: <path>"
+      // (the r18 A/B arms ran from one and recorded sha "unknown") —
+      // resolve the indirection before reading HEAD. A worktree's
+      // symbolic refs live in its private gitdir; its loose ref files
+      // live in the COMMON dir (gitdir/../..).
+      val dotGit = java.nio.file.Paths.get(".git")
+      val gitDir =
+        if (java.nio.file.Files.isRegularFile(dotGit)) {
+          val txt = new String(
+            java.nio.file.Files.readAllBytes(dotGit), "UTF-8").trim
+          java.nio.file.Paths.get(txt.stripPrefix("gitdir:").trim)
+        } else dotGit
       val head = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(".git/HEAD")), "UTF-8").trim
-      if (head.startsWith("ref: "))
-        new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(".git", head.drop(5).trim.split("/"): _*)),
-          "UTF-8").trim.take(12)
-      else head.take(12)
+        gitDir.resolve("HEAD")), "UTF-8").trim
+      if (head.startsWith("ref: ")) {
+        val ref = head.drop(5).trim
+        // loose ref in the gitdir; for a linked worktree (gitdir =
+        // <repo>/.git/worktrees/<name>) also try the COMMON dir two
+        // levels up (toAbsolutePath: a bare relative ".git" has no
+        // parent to walk)
+        val common = gitDir.toAbsolutePath.getParent.getParent
+        val candidates = Seq(gitDir.resolve(ref), common.resolve(ref))
+        candidates.find(java.nio.file.Files.isRegularFile(_))
+          .map(p => new String(java.nio.file.Files.readAllBytes(p),
+            "UTF-8").trim.take(12))
+          .getOrElse("unknown")
+      } else head.take(12)
     } catch { case _: Exception => "unknown" }
     val host = try java.net.InetAddress.getLocalHost.getHostName
       catch { case _: Exception => "unknown" }

@@ -39,6 +39,22 @@ object BenchOne {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(_.getCollectionTime).sum
     }
+    // spill telemetry (r18, verdict #2): decade receipts must record
+    // whether a probe spilled, not assert it — task-metric bytes
+    // accumulated across the run, printed per timed run
+    val spillMem = new java.util.concurrent.atomic.AtomicLong
+    val spillDisk = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            spillMem.addAndGet(m.memoryBytesSpilled): Unit
+            spillDisk.addAndGet(m.diskBytesSpilled): Unit
+          }
+        }
+      })
     args.foreach { name =>
       try force(name) catch { case e: Throwable =>
         System.err.println(s"[benchone] warm-up $name failed: $e")
@@ -46,11 +62,16 @@ object BenchOne {
       dropAllCaches()
       val ts = (1 to runs).map { _ =>
         val gc0 = gcMillis
+        val (sm0, sd0) = (spillMem.get(), spillDisk.get())
         val t0 = System.nanoTime()
         force(name)
         val t = (System.nanoTime() - t0) / 1e9
         val gcd = gcMillis - gc0
-        System.err.println(f"[benchone-run] $name t=$t%.3f gcInRun=${gcd}ms")
+        // listener bus is async — give it a beat before reading
+        Thread.sleep(200)
+        val (sm, sd) = (spillMem.get() - sm0, spillDisk.get() - sd0)
+        System.err.println(f"[benchone-run] $name t=$t%.3f gcInRun=${gcd}ms" +
+          f" spillMem=${sm}B spillDisk=${sd}B")
         dropAllCaches()
         t
       }
