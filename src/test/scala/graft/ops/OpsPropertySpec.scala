@@ -718,6 +718,145 @@ class OpsPropertySpec extends SparkSpec {
     }
   }
 
+  test("timeline tree law: random hierarchical sidx layouts and one random lie per file survive encode -> audit walk exactly (r18)") {
+    // random group shapes (1-4 child sidx boxes, 1-3 fragments each,
+    // 1-5 samples per fragment), duration layouts, timescales,
+    // presentation starts, and ONE random lie along a random axis
+    // (none / child duration / child size / parent duration / parent
+    // size): the walk must descend the tree, recover every field,
+    // and flag exactly the condemned rows on exactly the right axis
+    val gen = for {
+      layout <- Gen.oneOf('A', 'B', 'C')
+      nGroups <- Gen.choose(1, 4)
+      groups <- Gen.listOfN(nGroups,
+        Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, Gen.choose(1, 5))))
+      d <- Gen.choose(20L, 3000L)
+      ts <- Gen.choose(600L, 90000L)
+      ept <- Gen.choose(0L, 10000L)
+      axis <- Gen.oneOf(0, 1, 2, 3, 4)
+      tg <- Gen.choose(0, 11)
+      tf <- Gen.choose(0, 11)
+      delta <- Gen.choose(1L, 97L)
+    } yield (layout, groups, d, ts, ept, axis, tg, tf, delta)
+    samples(gen, 40).zipWithIndex.foreach {
+      case ((layout, groups, d, ts, ept, axis, tg0, tf0, delta), i) =>
+        val tg = tg0 % groups.size
+        val tf = tf0 % groups(tg).size
+        val b = MediaFixtures.timelineTreeMp4(ts, ept, layout, d,
+          groups,
+          tfdts = {
+            val flat = groups.flatten
+            flat.indices.map(f => ept + flat.take(f).map(_ * d).sum)
+          },
+          childDurLie =
+            if (axis == 1) Map((tg, tf) -> delta) else Map.empty,
+          childSizeLie =
+            if (axis == 2) Map((tg, tf) -> delta) else Map.empty,
+          parentDurLie = if (axis == 3) Map(tg -> delta) else Map.empty,
+          parentSizeLie = if (axis == 4) Map(tg -> delta) else Map.empty)
+        val rows = Multimodal.Mp4TimelineWalk.index(i.toLong, b)
+        val gfn = for {
+          (counts, g) <- groups.zipWithIndex
+          (n, f) <- counts.zipWithIndex
+        } yield (g, f, n)
+        assert(rows.size == gfn.size, s"case $i: ${rows.size} rows")
+        val fragLen = (n: Int) => layout match {
+          case 'A' => 88L + 14 * n
+          case 'B' => 92L + 10 * n
+          case _ => 88L + 10 * n
+        }
+        rows.zip(gfn).zipWithIndex.foreach { case ((r, (g, f, n)), j) =>
+          val hit = g == tg && f == tf
+          assert(r.frag_idx == j && r.seq_no == j + 1, s"case $i: $r")
+          assert(r.n_samples == n && r.dur_sum == n * d, s"case $i: $r")
+          assert(r.tfdt == ept + gfn.take(j).map(_._3 * d).sum &&
+            r.tfdt_consistent, s"case $i g$g f$f: $r")
+          assert(r.sidx_dur == n * d +
+            (if (axis == 1 && hit) delta else 0), s"case $i: $r")
+          assert(r.sidx_size == fragLen(n) +
+            (if (axis == 2 && hit) delta else 0), s"case $i: $r")
+          assert(r.actual_size == fragLen(n) && r.timescale == ts,
+            s"case $i: $r")
+          assert(r.sidx_dur_consistent == !(axis == 1 && hit),
+            s"case $i g$g f$f: $r")
+          assert(r.sidx_size_consistent == !(axis == 2 && hit),
+            s"case $i g$g f$f: $r")
+          assert(r.tree_dur_consistent == !(axis == 3 && g == tg),
+            s"case $i g$g f$f: $r")
+          assert(r.tree_size_consistent == !(axis == 4 && g == tg),
+            s"case $i g$g f$f: $r")
+        }
+    }
+  }
+
+  test("webm cues law: random seek tables, cadences and one random lie per file survive encode -> audit walk exactly (r18)") {
+    // random cluster counts, cadences, timescales, per-cluster
+    // keyframe claims, optional DefaultDuration, and ONE random lie
+    // along a random axis (none / cluster position / cue time /
+    // DefaultDuration): the walk must resolve every honest claim and
+    // flag exactly the lied axis. cue_key_ok is a RECOVERED field
+    // (the cued block's own claim), not a lie axis — a random non-key
+    // claim under a cue must read as cue_key_ok=false by itself.
+    val gen = for {
+      nClusters <- Gen.choose(1, 5)
+      cadence <- Gen.choose(100L, 50000L)
+      rel <- Gen.choose(0, 60)
+      ts <- Gen.choose(1000L, 2000000L)
+      base <- Gen.choose(0L, 100000L)
+      keyClaims <- Gen.listOfN(5, Gen.oneOf(true, false))
+      ddPresent <- Gen.oneOf(true, false)
+      axis <- Gen.oneOf(0, 1, 2, 3)
+      tc0 <- Gen.choose(0, 11)
+      delta <- Gen.choose(1L, 50L)
+    } yield (nClusters, cadence, rel, ts, base, keyClaims, ddPresent,
+      axis, tc0, delta)
+    samples(gen, 40).zipWithIndex.foreach {
+      case ((nClusters, cadence, rel, ts, base, keyClaims, ddPresent,
+          axis, tc0, delta), i) =>
+        val tc = tc0 % nClusters
+        val ddNs = if (!ddPresent) -1L
+          else (cadence + (if (axis == 3) delta else 0)) * ts
+        val clusters = (0 until nClusters).map { c =>
+          (base + cadence * c,
+            Seq((rel, 1, keyClaims(c), 0,
+              Seq(MediaFixtures.vp9Frame(keyClaims(c), 30 + c)))))
+        }
+        // the position lie stays under the minimum cluster byte
+        // length (~45) so a lied offset can never alias the NEXT
+        // cluster's real start and read as found-but-wrong-time
+        val posDelta = (delta - 1) % 20 + 1
+        val cues = (0 until nClusters).map { c =>
+          (base + cadence * c + rel +
+            (if (axis == 2 && c == tc) delta else 0L), 1, c,
+            if (axis == 1 && c == tc) posDelta else 0L)
+        }
+        val b = MediaFixtures.webmCues("webm", ts,
+          Seq((1, 1L, "V_VP9", 640, 360, ddNs)), clusters, cues)
+        val rows = Multimodal.WebmWalk.cues(i.toLong, b)
+        assert(rows.size == nClusters, s"case $i: ${rows.size} rows")
+        rows.zipWithIndex.foreach { case (r, c) =>
+          val posLie = axis == 1 && c == tc
+          val timeLie = axis == 2 && c == tc
+          assert(r.cue_idx == c && r.cue_track == 1, s"case $i: $r")
+          assert(r.cue_time == base + cadence * c + rel +
+            (if (timeLie) delta else 0), s"case $i c$c: $r")
+          assert(r.cluster_idx == (if (posLie) -1 else c),
+            s"case $i c$c: $r")
+          assert(r.cluster_found == !posLie, s"case $i c$c: $r")
+          assert(r.cue_time_ok == !timeLie, s"case $i c$c: $r")
+          assert(r.cue_key_ok ==
+            (posLie || timeLie || keyClaims(c)), s"case $i c$c: $r")
+          assert(r.default_dur_ns == ddNs, s"case $i c$c: $r")
+          assert(r.measured_frame_ticks ==
+            (if (nClusters < 2) -1L else cadence), s"case $i c$c: $r")
+          assert(r.default_dur_ok == (!ddPresent || nClusters < 2 ||
+            axis != 3), s"case $i c$c: $r")
+          assert(r.timescale == ts && r.codec == "V_VP9" &&
+            r.track_type == 1, s"case $i: $r")
+        }
+    }
+  }
+
   test("webm round-trip law: random EBML layouts, tracks, timestamps and key patterns survive encode -> walk exactly") {
     // random cluster/block shapes, track numbers, negative relative
     // timestamps (SimpleBlock rel is SIGNED s16), timescales, dims,
