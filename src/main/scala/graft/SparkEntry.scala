@@ -175,6 +175,7 @@ object SparkEntry {
     "mm_fragments",      // fMP4/CMAF trun walk + frame types (r15)
     "mm_timeline",       // sidx/tfdt segment-timeline audit (r16)
     "mm_timeline_tree",  // hierarchical sidx descent + tree audit (r18)
+    "mm_timeline_tracks", // muxed multi-track per-track decode clocks (r18)
     "mm_webm",           // WebM/EBML container walk + VP9 key audit (r16)
     "mm_webm_laced",     // Xiph/fixed/EBML lacing walk (r17)
     "mm_webm_stream",    // unknown-size streaming-muxed walk (r17)

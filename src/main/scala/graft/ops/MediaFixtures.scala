@@ -906,6 +906,90 @@ object MediaFixtures {
       parentSizeLie = if (m == 5) Map(2 -> 3L) else Map.empty)
   }
 
+  /** MUXED MULTI-TRACK fragmented MP4 (r18): each moof carries one
+    * `traf` PER TRACK — video + audio in a single segment stream, the
+    * shape [[timelineMp4]]'s single-track walk cannot audit honestly.
+    * `tracks(t)` = (track_id, layout, sampleDur): layout 'A' writes
+    * per-sample trun durations, 'B' a tfhd default_sample_duration,
+    * 'C' leans on that track's own `trex` (mvex carries ONE TREX PER
+    * TRACK — per-track defaults resolution is exactly what the
+    * multi-track walk must get right). `counts(f)(t)` / `tfdts(f)(t)`
+    * are per fragment per track (same order as `tracks`); mfhd
+    * sequence numbers are 1-based. Caller-supplied tfdts so a planted
+    * slot can lie on ONE track's clock while the other stays
+    * truthful. */
+  def timelineTracksMp4(tracks: Seq[(Int, Char, Long)],
+      counts: Seq[Seq[Int]], tfdts: Seq[Seq[Long]]): Array[Byte] = {
+    require(tracks.nonEmpty && counts.size == tfdts.size)
+    require(counts.forall(_.size == tracks.size))
+    require(tracks.forall(t => "ABC".contains(t._2)))
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0))
+    val trexes = tracks.toArray.flatMap { case (tid, layout, d) =>
+      box("trex", be32(0) ++ be32(tid.toLong) ++ be32(1) ++
+        be32(if (layout == 'C') d else 0L) ++ be32(0) ++
+        be32(0x01010000L))
+    }
+    val moov = box("moov", box("mvex", trexes))
+    def trafBytes(t: Int, n: Int, tfdtV: Long): Array[Byte] = {
+      val (tid, layout, d) = tracks(t)
+      val tfhd = layout match {
+        case 'B' => box("tfhd", be32(0x020008) ++ be32(tid.toLong) ++
+          be32(d))
+        case _ => box("tfhd", be32(0x020000) ++ be32(tid.toLong))
+      }
+      val tfdt = box("tfdt", be32(0) ++ be32(tfdtV))
+      val trun = layout match {
+        case 'A' => box("trun", be32(0x000100) ++ be32(n.toLong) ++
+          (0 until n).toArray.flatMap(_ => be32(d)))
+        case _ => box("trun", be32(0x000000) ++ be32(n.toLong))
+      }
+      box("traf", tfhd ++ tfdt ++ trun)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(ftyp); out.write(moov)
+    counts.indices.foreach { f =>
+      val trafs = tracks.indices.toArray.flatMap(t =>
+        trafBytes(t, counts(f)(t), tfdts(f)(t)))
+      out.write(box("moof",
+        box("mfhd", be32(0) ++ be32(f + 1L)) ++ trafs))
+      out.write(box("mdat", new Array[Byte](10 * counts(f).sum)))
+    }
+    out.toByteArray
+  }
+
+  /** The 8-slot planted MULTI-TRACK timeline table assigned by
+    * `doc_id % 8` in `mm_timeline_tracks`: slot m carries m % 3 + 2
+    * fragments, each moof holding a traf for track 1 (layout 'A' —
+    * per-sample trun durations, sampleDur 40 + m, decode clock
+    * seeded at 50m) and a traf for track 2 (layout 'B' on odd slots,
+    * 'C' — the track's OWN trex default — on even slots, sampleDur
+    * 30 + m, clock seeded at 70m). Fragment f (1-based) has
+    * (m + f) % 3 + 1 samples on track 1 and (m + 2f) % 2 + 1 on
+    * track 2; tfdts are per-track cumulative truth except the two
+    * planted lies, each on a slot's LAST fragment so the per-track
+    * recurrence condemns exactly one row: slot 3, fragment 2,
+    * track 2 written 7 ticks late; slot 4, fragment 3, track 1
+    * written 5 late. The other track's clock in the same moof stays
+    * truthful — the single-track walk's summed-duration audit would
+    * flag both. All fields are doc_id arithmetic. */
+  def plantedTimelineTracksMp4(m: Int): Array[Byte] = {
+    val nFrags = m % 3 + 2
+    val dA = 40L + m
+    val dB = 30L + m
+    val tracks = Seq((1, 'A', dA),
+      (2, if (m % 2 == 1) 'B' else 'C', dB))
+    val counts = (1 to nFrags).map(f =>
+      Seq((m + f) % 3 + 1, (m + 2 * f) % 2 + 1))
+    val tfdts = (1 to nFrags).map { f =>
+      Seq(
+        50L * m + counts.take(f - 1).map(_(0) * dA).sum +
+          (if (m == 4 && f == 3) 5L else 0L),
+        70L * m + counts.take(f - 1).map(_(1) * dB).sum +
+          (if (m == 3 && f == 2) 7L else 0L))
+    }
+    timelineTracksMp4(tracks, counts, tfdts)
+  }
+
   // ------------------------------------------------- WebM / EBML
 
   /** Minimal-width EBML size VINT (ISO/IEC? no — the EBML spec, RFC

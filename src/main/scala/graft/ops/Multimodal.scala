@@ -1365,11 +1365,12 @@ object Multimodal {
     * bounds discipline: malformed counts/fields throw to the
     * corrupt-input sentinel, never emit garbage rows or die.
     *
-    * SCOPE (disclosed): single-track segments — the CMAF shape,
-    * where each fragment carries one traf. A multi-track moof sums
-    * durations across its trafs and keeps the LAST traf's tfdt, so
-    * multi-track fMP4 (rare on DASH wires, which carry one track per
-    * segment stream) would need per-track state to audit honestly. */
+    * SCOPE: single-track segments — the CMAF shape, where each
+    * fragment carries one traf (a multi-track moof here sums
+    * durations across its trafs and keeps the LAST traf's tfdt).
+    * Muxed multi-track fMP4 is audited honestly by
+    * [[Mp4TrackTimelineWalk]] (r18), which keeps per-track decode
+    * clocks and per-track trex defaults. */
   object Mp4TimelineWalk {
     import Bmff._
 
@@ -1576,6 +1577,147 @@ object Multimodal {
         if (out.isEmpty) sentinel else out.toSeq
       } catch { case _: Exception => sentinel }
     }
+  }
+
+  /** One per-(fragment, track) decode-time audit row — see
+    * [[Mp4TrackTimelineWalk]]. */
+  case class TrackSegment(media_id: Long, frag_idx: Int, seq_no: Int,
+      track_id: Int, n_samples: Int, dur_sum: Long, tfdt: Long,
+      tfdt_consistent: Boolean)
+
+  /** MULTI-TRACK fragmented-MP4 decode-time audit (r18 — closes
+    * [[Mp4TimelineWalk]]'s disclosed single-track scope boundary): a
+    * muxed fMP4 (video + audio in one segment stream) carries one
+    * `traf` PER TRACK in each moof, each with its own `tfhd`
+    * (track_ID + defaults ladder), `tfdt` and `trun`s — and each
+    * track's decode clock advances INDEPENDENTLY. A single-track walk
+    * over such a file sums durations across tracks and keeps the last
+    * traf's tfdt, auditing a clock no track actually has; this walk
+    * keeps per-track state: the §8.8.7 defaults ladder resolves
+    * against the track's OWN trex (mvex carries one per track), and
+    * `tfdt_consistent` checks each traf's decode-time claim against
+    * that track's accumulated durations (first-seen tfdt seeds the
+    * clock; a missing tfdt is vacuous-true and does not poison the
+    * successor — the [[Mp4TimelineWalk]] discipline, per track). One
+    * row per (fragment, traf), fragment order × traf order. No sidx
+    * axis here — muxed multi-track segments are not the DASH
+    * per-track-stream shape that carries one; [[Mp4TimelineWalk]]
+    * owns that audit. Malformed structure throws to the corrupt-input
+    * sentinel. */
+  object Mp4TrackTimelineWalk {
+    import Bmff._
+
+    def index(id: Long, bytes: Array[Byte]): Seq[TrackSegment] = {
+      val len = if (bytes == null) 0 else bytes.length
+      val sentinel = Seq(TrackSegment(id, -1, -1, -1, -1, -1L, -1L,
+        tfdt_consistent = false))
+      try {
+        if (len < 12 || box4(bytes, 4) != "ftyp") return sentinel
+        val top = children(bytes, 0, len)
+        // per-track trex defaults (§8.8.3): track_ID → default dur
+        val trexDur: Map[Long, Long] = (for {
+          (mt, ms, me) <- top if mt == "moov"
+          (xt, xs, xe) <- children(bytes, ms, me) if xt == "mvex"
+          (rt, rs, re) <- children(bytes, xs, xe) if rt == "trex"
+          if re - rs >= 24
+        } yield be32(bytes, rs + 4) -> be32(bytes, rs + 12)).toMap
+        // per-track accumulated decode clock, seeded by first tfdt
+        val expected = scala.collection.mutable.HashMap[Long, Long]()
+        var fragIdx = 0
+        val out = scala.collection.mutable.ArrayBuffer[TrackSegment]()
+        top.foreach {
+          case ("moof", ms, me) =>
+            val seqNo = children(bytes, ms, me).collectFirst {
+              case ("mfhd", hs, he) if he - hs >= 8 =>
+                be32(bytes, hs + 4).toInt
+            }.getOrElse(-1)
+            children(bytes, ms, me).foreach {
+              case ("traf", ts, te) =>
+                val (trackId, defDur) = children(bytes, ts, te)
+                  .collectFirst { case ("tfhd", hs, he) =>
+                    if (he - hs < 8)
+                      throw new IllegalArgumentException("tfhd")
+                    val flags = be32(bytes, hs).toInt & 0xffffff
+                    val tid = be32(bytes, hs + 4)
+                    var p = hs + 8
+                    if ((flags & 0x1) != 0) p += 8
+                    if ((flags & 0x2) != 0) p += 4
+                    val d =
+                      if ((flags & 0x8) != 0) {
+                        if (p + 4 > he)
+                          throw new IllegalArgumentException("tfhd dur")
+                        be32(bytes, p)
+                      } else trexDur.getOrElse(tid, -1L)
+                    (tid, d)
+                  }.getOrElse(
+                    throw new IllegalArgumentException("traf w/o tfhd"))
+                var tfdtV = -1L
+                var durSum = 0L
+                var nSamples = 0
+                children(bytes, ts, te).foreach {
+                  case ("tfdt", hs, he) =>
+                    val v = bytes(hs) & 0xff
+                    if (v == 0 && he - hs >= 8)
+                      tfdtV = be32(bytes, hs + 4)
+                    else if (he - hs >= 12)
+                      tfdtV = (be32(bytes, hs + 4) << 32) |
+                        be32(bytes, hs + 8)
+                  case ("trun", rs, re) =>
+                    val flags = be32(bytes, rs).toInt & 0xffffff
+                    val n = be32(bytes, rs + 4).toInt
+                    var p = rs + 8
+                    if ((flags & 0x1) != 0) p += 4
+                    if ((flags & 0x4) != 0) p += 4
+                    val entryW = (if ((flags & 0x100) != 0) 4 else 0) +
+                      (if ((flags & 0x200) != 0) 4 else 0) +
+                      (if ((flags & 0x400) != 0) 4 else 0) +
+                      (if ((flags & 0x800) != 0) 4 else 0)
+                    if (n < 0 || p > re || re - p < n.toLong * entryW)
+                      throw new IllegalArgumentException("trun overrun")
+                    var k = 0
+                    while (k < n) {
+                      val d =
+                        if ((flags & 0x100) != 0) {
+                          val v = be32(bytes, p); p += entryW; v
+                        } else defDur
+                      if (d < 0)
+                        throw new IllegalArgumentException("no duration")
+                      durSum += d
+                      nSamples += 1
+                      k += 1
+                    }
+                  case _ =>
+                }
+                val exp = expected.get(trackId)
+                val tfdtOk =
+                  if (tfdtV < 0) true // no decode-time claim to audit
+                  else exp.forall(_ == tfdtV)
+                out += TrackSegment(id, fragIdx, seqNo, trackId.toInt,
+                  nSamples, durSum, tfdtV, tfdt_consistent = tfdtOk)
+                if (tfdtV >= 0) expected(trackId) = tfdtV + durSum
+                else exp.foreach(e => expected(trackId) = e + durSum)
+              case _ =>
+            }
+            fragIdx += 1
+          case _ =>
+        }
+        if (out.isEmpty) sentinel else out.toSeq
+      } catch { case _: Exception => sentinel }
+    }
+  }
+
+  /** Per-partition multi-track timeline audit — the [[fragmentIndex]]
+    * shape: shard blobs never leave their arrival partition; only the
+    * narrow per-traf audit rows shuffle. */
+  def trackTimelineIndex(media: DataFrame): Dataset[TrackSegment] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          Mp4TrackTimelineWalk.index(id, bytes) }
+      }
   }
 
   /** One WebM/Matroska SimpleBlock audit row: the container's

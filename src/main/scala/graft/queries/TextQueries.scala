@@ -4399,6 +4399,63 @@ object TextQueries {
         "frame_idx"))
   }
 
+  /** mm_timeline_tracks: the MUXED MULTI-TRACK decode-time audit
+    * (r18 — closes the single-track walk's disclosed scope boundary):
+    * each moof carries one traf per track, and each track's decode
+    * clock is audited independently against its own accumulated trun
+    * durations, with the §8.8.7 ladder resolving against the track's
+    * OWN trex. Two planted lies, each on one track's clock in a moof
+    * whose other track stays truthful — the summed-duration
+    * single-track audit would condemn both. The oracle restates every
+    * field as doc_id arithmetic. */
+  def timelineTracks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fixtures = (0 until 8)
+      .map(m => (m.toLong,
+        graft.ops.MediaFixtures.plantedTimelineTracksMp4(m)))
+      .toDF("slot", "payload")
+    val media = docs(spark, dir)
+      .select(col("doc_id").as("media_id"), (col("doc_id") % 8).as("slot"))
+      .join(broadcast(fixtures), "slot")
+      .select(col("media_id"), col("payload"))
+    graft.ops.Multimodal.trackTimelineIndex(media).toDF()
+      .select("media_id", "frag_idx", "seq_no", "track_id", "n_samples",
+        "dur_sum", "tfdt", "tfdt_consistent")
+      .transform(QueryUtil.ordered("media_id", "frag_idx", "track_id"))
+  }
+
+  val timelineTracksOracle: String =
+    """WITH p AS (SELECT doc_id AS media_id,
+      |    CAST(doc_id % 8 AS INTEGER) AS slot FROM documents),
+      |fr AS (SELECT media_id, slot, CAST(f AS INTEGER) AS f
+      |  FROM p, LATERAL (SELECT unnest(range(1, slot % 3 + 3)) AS f) g),
+      |tr AS (SELECT media_id, slot, f, CAST(t AS INTEGER) AS t,
+      |    CAST(CASE WHEN t = 1 THEN (slot + f) % 3 + 1
+      |      ELSE (slot + 2 * f) % 2 + 1 END AS INTEGER) AS n,
+      |    CAST(CASE WHEN t = 1 THEN 40 + slot ELSE 30 + slot END
+      |      AS BIGINT) AS d,
+      |    CAST(CASE WHEN t = 1 THEN 50 * slot ELSE 70 * slot END
+      |      AS BIGINT) AS base,
+      |    CASE WHEN t = 2 AND slot = 3 AND f = 2 THEN 7
+      |         WHEN t = 1 AND slot = 4 AND f = 3 THEN 5
+      |         ELSE 0 END AS lie
+      |  FROM fr, (SELECT unnest([1, 2]) AS t) tt),
+      |tr2 AS (SELECT *,
+      |    base + coalesce(sum(n * d) OVER (PARTITION BY media_id, t
+      |        ORDER BY f
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      + lie AS tfdt
+      |  FROM tr)
+      |SELECT media_id,
+      |  CAST(f - 1 AS INTEGER) AS frag_idx,
+      |  f AS seq_no,
+      |  t AS track_id,
+      |  n AS n_samples,
+      |  CAST(n * d AS BIGINT) AS dur_sum,
+      |  CAST(tfdt AS BIGINT) AS tfdt,
+      |  lie = 0 AS tfdt_consistent
+      |FROM tr2 ORDER BY media_id, frag_idx, track_id""".stripMargin
+
   /** mm_webm_cues: the SEEK-INDEX audit (r18, verdict #5) — every
     * Cues/CuePoint entry's (time, track, cluster position) claim
     * cross-checked against the actual cluster layout and block
@@ -5699,6 +5756,7 @@ object TextQueries {
     "mm_fragments" -> ((fragments _, Some(fragmentsOracle))),
     "mm_timeline" -> ((timeline _, Some(timelineOracle))),
     "mm_timeline_tree" -> ((timelineTree _, Some(timelineTreeOracle))),
+    "mm_timeline_tracks" -> ((timelineTracks _, Some(timelineTracksOracle))),
     "mm_webm" -> ((webmBlocks _, Some(webmOracle))),
     "mm_webm_laced" -> ((webmLacedBlocks _, Some(webmLacedOracle))),
     "mm_webm_stream" -> ((webmStreamBlocks _, Some(webmOracle))),

@@ -85,6 +85,16 @@ object StreamingMedia {
       Multimodal.timelineIndex(batch).toDF()
         .write.mode("overwrite").parquet(s"$indexPath/batch_id=$batchId")
 
+  /** `foreachBatch` body auditing MUXED MULTI-TRACK fMP4 decode
+    * clocks per micro-batch ([[graft.ops.Multimodal
+    * .trackTimelineIndex]] — per-track tfdt vs per-track accumulated
+    * durations, r18): same stateless exactly-once layout as
+    * [[metaAppender]]. */
+  def trackTimelineAppender(indexPath: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) =>
+      Multimodal.trackTimelineIndex(batch).toDF()
+        .write.mode("overwrite").parquet(s"$indexPath/batch_id=$batchId")
+
   /** `foreachBatch` body auditing WebM/Matroska SimpleBlocks per
     * micro-batch ([[graft.ops.Multimodal.webmIndex]] — EBML walk +
     * VP9 keyframe-claim cross-check, r16): same stateless

@@ -548,6 +548,17 @@ class PlanSpec extends SparkSpec {
       s"payload bytes must never shuffle:\n$p")
   }
 
+  test("mm_timeline_tracks: shard blobs stay in their arrival partition — only the narrow audit rows shuffle") {
+    // same contract as mm_timeline: per-track clock state lives
+    // inside the per-partition walk — no extra plan nodes
+    val p = plan("mm_timeline_tracks")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"fixture join must broadcast:\n$p")
+    assert(!p.linesIterator.filter(_.contains("Exchange"))
+        .exists(_.contains("payload")),
+      s"payload bytes must never shuffle:\n$p")
+  }
+
   test("mm_webm_cues: shard blobs stay in their arrival partition — only the narrow audit rows shuffle") {
     // same contract as mm_webm: the seek-table audit is pure
     // per-partition byte work over the broadcast fixture join

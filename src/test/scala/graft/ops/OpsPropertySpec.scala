@@ -789,6 +789,63 @@ class OpsPropertySpec extends SparkSpec {
     }
   }
 
+  test("multi-track timeline law: random track sets, layouts and one random clock lie survive encode -> per-track audit exactly (r18)") {
+    // random 1-3 tracks (distinct ids, independent layouts and sample
+    // durations), random fragment shapes, and ONE random tfdt lie on
+    // a random (fragment, track): expected flags re-derive the
+    // PER-TRACK recurrence from the written values independently of
+    // the walk — a mid-file lie condemns the lied row AND its own
+    // track's successor (expectation resets on a carried claim), and
+    // never any row of another track
+    val gen = for {
+      nTracks <- Gen.choose(1, 3)
+      ids <- Gen.pick(nTracks, 1 to 9)
+      layouts <- Gen.listOfN(nTracks, Gen.oneOf('A', 'B', 'C'))
+      durs <- Gen.listOfN(nTracks, Gen.choose(20L, 3000L))
+      bases <- Gen.listOfN(nTracks, Gen.choose(0L, 10000L))
+      nFrags <- Gen.choose(1, 5)
+      counts <- Gen.listOfN(nFrags,
+        Gen.listOfN(nTracks, Gen.choose(1, 5)))
+      lie <- Gen.oneOf(true, false)
+      tg <- Gen.choose(0, 19)
+      tt <- Gen.choose(0, 19)
+      delta <- Gen.choose(1L, 97L)
+    } yield (ids.toList, layouts, durs, bases, counts, lie, tg, tt, delta)
+    samples(gen, 40).zipWithIndex.foreach {
+      case ((ids, layouts, durs, bases, counts, lie, tg0, tt0, delta), i) =>
+        val nTracks = ids.size
+        val nFrags = counts.size
+        val (lf, lt) = (tg0 % nFrags, tt0 % nTracks)
+        val tracks = ids.indices.map(t =>
+          (ids(t), layouts(t), durs(t))).toList
+        val tfdts = (0 until nFrags).map { f =>
+          (0 until nTracks).map { t =>
+            bases(t) + counts.take(f).map(_(t) * durs(t)).sum +
+              (if (lie && f == lf && t == lt) delta else 0L)
+          }
+        }
+        val b = MediaFixtures.timelineTracksMp4(tracks, counts, tfdts)
+        val rows = Multimodal.Mp4TrackTimelineWalk.index(i.toLong, b)
+        assert(rows.size == nFrags * nTracks, s"case $i: ${rows.size}")
+        (0 until nFrags).foreach { f =>
+          (0 until nTracks).foreach { t =>
+            val r = rows(f * nTracks + t)
+            assert(r.frag_idx == f && r.seq_no == f + 1 &&
+              r.track_id == ids(t), s"case $i f$f t$t: $r")
+            assert(r.n_samples == counts(f)(t) &&
+              r.dur_sum == counts(f)(t) * durs(t), s"case $i: $r")
+            assert(r.tfdt == tfdts(f)(t), s"case $i f$f t$t: $r")
+            // the track's own recurrence over WRITTEN values
+            val wantOk =
+              if (f == 0) true
+              else tfdts(f)(t) ==
+                tfdts(f - 1)(t) + counts(f - 1)(t) * durs(t)
+            assert(r.tfdt_consistent == wantOk, s"case $i f$f t$t: $r")
+          }
+        }
+    }
+  }
+
   test("webm cues law: random seek tables, cadences and one random lie per file survive encode -> audit walk exactly (r18)") {
     // random cluster counts, cadences, timescales, per-cluster
     // keyframe claims, optional DefaultDuration, and ONE random lie

@@ -2892,6 +2892,57 @@ class OpsSpec extends SparkSpec {
       "torn tree must sentinel")
   }
 
+  test("Mp4TrackTimelineWalk: per-track decode clocks audit independently; a lie on one track never condemns the other (r18)") {
+    import graft.ops.{MediaFixtures, Multimodal}
+    for (m <- 0 until 8) {
+      val rows = Multimodal.Mp4TrackTimelineWalk.index(m.toLong,
+        MediaFixtures.plantedTimelineTracksMp4(m))
+      val nFrags = m % 3 + 2
+      val (dA, dB) = (40L + m, 30L + m)
+      val cA = (1 to nFrags).map(f => (m + f) % 3 + 1)
+      val cB = (1 to nFrags).map(f => (m + 2 * f) % 2 + 1)
+      assert(rows.size == 2 * nFrags, s"slot $m: ${rows.size} rows")
+      (1 to nFrags).foreach { f =>
+        val r1 = rows(2 * (f - 1))
+        val r2 = rows(2 * (f - 1) + 1)
+        assert(r1.frag_idx == f - 1 && r1.seq_no == f &&
+          r1.track_id == 1, s"slot $m f$f: $r1")
+        assert(r2.frag_idx == f - 1 && r2.seq_no == f &&
+          r2.track_id == 2, s"slot $m f$f: $r2")
+        assert(r1.n_samples == cA(f - 1) &&
+          r1.dur_sum == cA(f - 1) * dA, s"slot $m f$f: $r1")
+        assert(r2.n_samples == cB(f - 1) &&
+          r2.dur_sum == cB(f - 1) * dB, s"slot $m f$f: $r2")
+        val lieA = m == 4 && f == 3
+        val lieB = m == 3 && f == 2
+        assert(r1.tfdt == 50L * m + cA.take(f - 1).map(_ * dA).sum +
+          (if (lieA) 5 else 0), s"slot $m f$f: $r1")
+        assert(r2.tfdt == 70L * m + cB.take(f - 1).map(_ * dB).sum +
+          (if (lieB) 7 else 0), s"slot $m f$f: $r2")
+        // the whole point: a lied clock on ONE track flags ONLY that
+        // track's row — the other traf in the same moof stays green
+        assert(r1.tfdt_consistent == !lieA, s"slot $m f$f: $r1")
+        assert(r2.tfdt_consistent == !lieB, s"slot $m f$f: $r2")
+      }
+    }
+    // exactly the two planted lies, each on its own track
+    val lies = for {
+      m <- 0 until 8
+      r <- Multimodal.Mp4TrackTimelineWalk.index(m.toLong,
+        MediaFixtures.plantedTimelineTracksMp4(m))
+      if !r.tfdt_consistent
+    } yield (m, r.frag_idx, r.track_id)
+    assert(lies == Seq((3, 1, 2), (4, 2, 1)), s"lies: $lies")
+    // corrupt / truncated / non-fragmented / null: sentinel
+    val good = MediaFixtures.plantedTimelineTracksMp4(1)
+    for (bad <- Seq(Array[Byte](1, 2, 3), null,
+        java.util.Arrays.copyOf(good, 60),
+        MediaFixtures.plantedAvcMp4(1))) {
+      val r = Multimodal.Mp4TrackTimelineWalk.index(9L, bad)
+      assert(r.size == 1 && r.head.frag_idx == -1, "corrupt must sentinel")
+    }
+  }
+
   test("Mp4TimelineWalk: hierarchical sidx reads as absent; a missing tfdt is vacuous-true and doesn't poison its successor (r17 ADVICE)") {
     import graft.ops.{MediaFixtures, Multimodal}
     // hierarchical sidx: flip the reference_type top bit of slot 5's

@@ -1197,6 +1197,53 @@ class StreamingSpec extends SparkSpec {
       "a replayed micro-batch must not duplicate or change rows")
   }
 
+  test("streaming multi-track timeline audit: per-track clocks stream equals batch, the two single-track lies survive (r18)") {
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    val in = tmpDir("tt-in")
+    val out = tmpDir("tt-out") + "/index"
+    def mDf(slots: Seq[Int]) =
+      slots.map(m => (m.toLong,
+        graft.ops.MediaFixtures.plantedTimelineTracksMp4(m)))
+        .toDF("media_id", "payload")
+    mDf(0 until 4).coalesce(1).write.parquet(s"$in/a")
+    mDf(4 until 8).coalesce(1).write.parquet(s"$in/b")
+    import java.nio.file.{Files => NFiles, Paths => NPaths}
+    def onePart(d: String) =
+      NFiles.list(NPaths.get(d))
+        .filter(_.toString.endsWith(".parquet")).findFirst.get
+    val fa = NPaths.get(s"$in/batch_a.parquet")
+    NFiles.move(onePart(s"$in/a"), fa)
+    NFiles.move(onePart(s"$in/b"), NPaths.get(s"$in/batch_b.parquet"))
+    fa.toFile.setLastModified(System.currentTimeMillis() - 60000)
+    val q = spark.readStream
+      .schema("media_id LONG, payload BINARY")
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream
+      .option("checkpointLocation", tmpDir("tt-ckpt"))
+      .foreachBatch(StreamingMedia.trackTimelineAppender(out))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    def rows(df: DataFrame) = df
+      .select("media_id", "frag_idx", "seq_no", "track_id", "n_samples",
+        "dur_sum", "tfdt", "tfdt_consistent")
+      .collect().map(_.toSeq).toSet
+    val streamed = rows(spark.read.parquet(out))
+    val batch = rows(graft.ops.Multimodal.trackTimelineIndex(
+      mDf(0 until 8)).toDF())
+    assert(streamed == batch,
+      s"stream track-timeline rows must equal batch: " +
+        s"missing=${batch -- streamed} extra=${streamed -- batch}")
+    val lies = spark.read.parquet(out)
+      .filter(!col("tfdt_consistent"))
+      .select("media_id", "frag_idx", "track_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(lies == Set((3L, 1, 2), (4L, 2, 1)), s"lie rows: $lies")
+    StreamingMedia.trackTimelineAppender(out)(mDf(4 until 8), 1L)
+    assert(rows(spark.read.parquet(out)) == streamed,
+      "a replayed micro-batch must not duplicate or change rows")
+  }
+
   test("streaming webm cues audit: seek-table walk stream equals batch, the four lies survive the stream (r18, verdict #8)") {
     import org.apache.spark.sql.DataFrame
     import spark.implicits._
