@@ -1785,6 +1785,99 @@ object MediaFixtures {
     })
   }
 
+  private def le64(v: Long): Array[Byte] = {
+    val out = new Array[Byte](8)
+    var x = v
+    var i = 0
+    while (i < 8) { out(i) = (x & 0xff).toByte; x >>= 8; i += 1 }
+    out
+  }
+
+  /** ZIP64-format STORED archive (r18): the SAME members and local
+    * headers as [[zip]] — local-header offsets are byte-identical, so
+    * the [[plantedZip]] oracle states the rows of both encodings —
+    * but the central directory masks uncompressed size and
+    * local-header offset as 0xFFFFFFFF with the real values in a
+    * per-entry ZIP64 extra field (id 0x0001: usize, csize, lhOff),
+    * and the tail is ZIP64 EOCD record + locator + a classic EOCD
+    * with masked counts/offset. This is how modern writers emit even
+    * SMALL archives in zip64 mode (python zipfile force_zip64,
+    * non-seeking streamers); any archive > 65535 entries or 4 GiB
+    * requires it. */
+  def zip64(members: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val cd = new java.io.ByteArrayOutputStream()
+    var n = 0L
+    members.foreach { case (name, payload) =>
+      val nameB = name.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(payload)
+      val off = out.size().toLong
+      out.write(Array[Byte](0x50, 0x4b, 3, 4))      // local header sig
+      out.write(le16(20)); out.write(le16(0))        // version, flags
+      out.write(le16(0))                             // method: STORED
+      out.write(le16(0)); out.write(le16(0))         // time, date
+      out.write(le32(crc.getValue))
+      out.write(le32(payload.length.toLong))         // csize
+      out.write(le32(payload.length.toLong))         // usize
+      out.write(le16(nameB.length)); out.write(le16(0))
+      out.write(nameB)
+      out.write(payload)
+      cd.write(Array[Byte](0x50, 0x4b, 1, 2))        // central dir sig
+      cd.write(le16(45)); cd.write(le16(45))         // made-by, needed (4.5)
+      cd.write(le16(0)); cd.write(le16(0))           // flags, method
+      cd.write(le16(0)); cd.write(le16(0))           // time, date
+      cd.write(le32(crc.getValue))
+      cd.write(le32(0xffffffffL))                    // csize: MASKED
+      cd.write(le32(0xffffffffL))                    // usize: MASKED
+      cd.write(le16(nameB.length))
+      cd.write(le16(4 + 24))                         // extra length
+      cd.write(le16(0))                              // comment length
+      cd.write(le16(0)); cd.write(le16(0))           // disk, int attrs
+      cd.write(le32(0L))                             // ext attrs
+      cd.write(le32(0xffffffffL))                    // lhOff: MASKED
+      cd.write(nameB)
+      cd.write(le16(1)); cd.write(le16(24))          // ZIP64 extra hdr
+      cd.write(le64(payload.length.toLong))          // usize
+      cd.write(le64(payload.length.toLong))          // csize
+      cd.write(le64(off))                            // lhOff
+      n += 1
+    }
+    val cdOff = out.size().toLong
+    val cdBytes = cd.toByteArray
+    out.write(cdBytes)
+    val z64Off = out.size().toLong
+    out.write(Array[Byte](0x50, 0x4b, 6, 6))         // ZIP64 EOCD sig
+    out.write(le64(44L))                             // record size - 12
+    out.write(le16(45)); out.write(le16(45))         // made-by, needed
+    out.write(le32(0L)); out.write(le32(0L))         // disk numbers
+    out.write(le64(n)); out.write(le64(n))           // entry counts
+    out.write(le64(cdBytes.length.toLong))
+    out.write(le64(cdOff))
+    out.write(Array[Byte](0x50, 0x4b, 6, 7))         // ZIP64 locator sig
+    out.write(le32(0L))                              // disk with z64 EOCD
+    out.write(le64(z64Off))
+    out.write(le32(1L))                              // total disks
+    out.write(Array[Byte](0x50, 0x4b, 5, 6))         // classic EOCD sig
+    out.write(le16(0)); out.write(le16(0))           // disk numbers
+    out.write(le16(0xffff)); out.write(le16(0xffff)) // counts: MASKED
+    out.write(le32(0xffffffffL))                     // cd size: MASKED
+    out.write(le32(0xffffffffL))                     // cd offset: MASKED
+    out.write(le16(0))                               // comment length
+    out.toByteArray
+  }
+
+  /** ZIP64 twin of [[plantedZip]] — identical members and
+    * local-header layout under the ZIP64 encoding, so the SAME
+    * oracle states the member rows (`mm_zip64_members`). */
+  def plantedZip64(m: Int): Array[Byte] = {
+    val n = m % 3 + 1
+    zip64((0 until n).map { k =>
+      val size = 37 * m + 300 * k
+      (s"f${m}_$k.bin", Array.fill[Byte](size)('x'))
+    })
+  }
+
   /** Deterministic gzip envelope (JDK GZIPOutputStream: zero mtime, no
     * FNAME, fixed deflate level) — for the compressed-shard walks. */
   def gzip(payload: Array[Byte]): Array[Byte] = {

@@ -2865,16 +2865,29 @@ object Multimodal {
     * entries forward validating each signature. Like [[TarWalk]]:
     * corrupt → sentinel (or the prefix walked so far), never task
     * death; payload bytes are never touched — only directory
-    * metadata. Disclosed boundary: classic ZIP only — ZIP64 archives
-    * (> 4 GiB or > 65535 entries) carry sizes/offsets in extra
-    * fields this walk does not read; a shard that large should be
-    * resharded anyway (the 100 TB layout rule of many small shards). */
+    * metadata. ZIP64 (r18 — closes the r16 "classic ZIP only"
+    * boundary): modern writers emit the ZIP64 format OPPORTUNISTICALLY
+    * even for small archives (Python's zipfile under force_zip64,
+    * streaming writers that cannot seek back to patch sizes), and any
+    * archive over 65535 entries or 4 GiB REQUIRES it — masked
+    * 0xFFFF/0xFFFFFFFF classic fields with the real values in the
+    * ZIP64 EOCD record (located via the PK§6§7 locator that always
+    * immediately precedes the classic EOCD) and per-entry 0x0001
+    * extra fields (values present in spec order for exactly the
+    * masked fields). A masked field with no resolvable ZIP64 value is
+    * malformed → sentinel/prefix, never a 4-billion phantom size. */
   object ZipWalk {
     private def u16(b: Array[Byte], o: Int): Int =
       (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
     private def u32(b: Array[Byte], o: Int): Long =
       (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
         ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    private def u64(b: Array[Byte], o: Int): Long = {
+      var v = 0L
+      var i = 7
+      while (i >= 0) { v = (v << 8) | (b(o + i) & 0xffL); i -= 1 }
+      v
+    }
 
     def members(id: Long, bytes: Array[Byte]): Seq[ZipMember] = {
       val len = if (bytes == null) 0 else bytes.length
@@ -2890,27 +2903,75 @@ object Multimodal {
         p -= 1
       }
       if (eocd < 0) return sentinel
-      val count = u16(bytes, eocd + 10)
-      val cdOff = u32(bytes, eocd + 16)
-      if (cdOff + 4 > len) return sentinel
+      var count = u16(bytes, eocd + 10).toLong
+      var cdOff = u32(bytes, eocd + 16)
+      // masked classic fields → the ZIP64 EOCD record, via the
+      // locator that sits immediately before the classic EOCD
+      if (count == 0xffffL || cdOff == 0xffffffffL) {
+        val loc = eocd - 20
+        if (loc < 0 || bytes(loc) != 0x50 || bytes(loc + 1) != 0x4b ||
+            bytes(loc + 2) != 6 || bytes(loc + 3) != 7) return sentinel
+        val z64 = u64(bytes, loc + 8)
+        if (z64 < 0 || z64 + 56 > loc || bytes(z64.toInt) != 0x50 ||
+            bytes(z64.toInt + 1) != 0x4b || bytes(z64.toInt + 2) != 6 ||
+            bytes(z64.toInt + 3) != 6) return sentinel
+        count = u64(bytes, z64.toInt + 32)
+        cdOff = u64(bytes, z64.toInt + 48)
+      }
+      if (count < 0 || cdOff < 0 || cdOff + 4 > len) return sentinel
       val out = scala.collection.mutable.ArrayBuffer.empty[ZipMember]
       var pos = cdOff.toInt
-      var idx = 0
+      var idx = 0L
       while (idx < count) {
         if (pos + 46 > len || bytes(pos) != 0x50 || bytes(pos + 1) != 0x4b ||
             bytes(pos + 2) != 1 || bytes(pos + 3) != 2)
           return if (out.isEmpty) sentinel else out.toSeq
         val method = u16(bytes, pos + 10)
-        val usize = u32(bytes, pos + 24)
+        val csize0 = u32(bytes, pos + 20)
+        var usize = u32(bytes, pos + 24)
         val nameLen = u16(bytes, pos + 28)
         val extraLen = u16(bytes, pos + 30)
         val commentLen = u16(bytes, pos + 32)
-        val lhOff = u32(bytes, pos + 42)
-        if (pos + 46 + nameLen > len)
+        var lhOff = u32(bytes, pos + 42)
+        if (pos + 46 + nameLen + extraLen > len)
           return if (out.isEmpty) sentinel else out.toSeq
+        // per-entry ZIP64 extra (header id 0x0001): 8-byte values in
+        // spec order for exactly the MASKED fields — original size,
+        // compressed size, local-header offset (csize is parsed only
+        // to skip its slot correctly)
+        if (usize == 0xffffffffL || csize0 == 0xffffffffL ||
+            lhOff == 0xffffffffL) {
+          var resolved = false
+          var q = pos + 46 + nameLen
+          val qe = q + extraLen
+          while (!resolved && q + 4 <= qe) {
+            val hid = u16(bytes, q)
+            val hsz = u16(bytes, q + 2)
+            if (hid == 1 && q + 4 + hsz <= qe) {
+              var r = q + 4
+              val re = q + 4 + hsz
+              def take(): Long = {
+                if (r + 8 > re)
+                  throw new IllegalArgumentException("zip64 extra")
+                val v = u64(bytes, r); r += 8; v
+              }
+              try {
+                if (usize == 0xffffffffL) usize = take()
+                if (csize0 == 0xffffffffL) take(): Unit
+                if (lhOff == 0xffffffffL) lhOff = take()
+                resolved = true
+              } catch { case _: IllegalArgumentException =>
+                return if (out.isEmpty) sentinel else out.toSeq
+              }
+            }
+            q += 4 + hsz
+          }
+          if (!resolved || usize == 0xffffffffL || lhOff == 0xffffffffL)
+            return if (out.isEmpty) sentinel else out.toSeq
+        }
         val name = new String(bytes, pos + 46, nameLen,
           java.nio.charset.StandardCharsets.US_ASCII)
-        out += ZipMember(id, idx, name, usize, method, lhOff)
+        out += ZipMember(id, idx.toInt, name, usize, method, lhOff)
         pos += 46 + nameLen + extraLen + commentLen
         idx += 1
       }

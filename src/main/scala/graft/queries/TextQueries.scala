@@ -4878,6 +4878,28 @@ object TextQueries {
       .transform(QueryUtil.ordered("media_id", "member_idx"))
   }
 
+  /** ZIP64 twin of [[zipMembers]] (r18 — closes the "classic ZIP
+    * only" boundary): the SAME planted members under the ZIP64
+    * encoding — masked 0xFFFFFFFF central-directory fields resolved
+    * through per-entry 0x0001 extras, masked EOCD counts/offset
+    * resolved through the ZIP64 EOCD record via its locator. Local
+    * headers are byte-identical to the classic twin, so this SHARES
+    * [[zipMembersOracle]] verbatim: the member rows must be
+    * identical under both encodings. */
+  def zip64Members(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fixtures = (0 until 8)
+      .map(m => (m.toLong, graft.ops.MediaFixtures.plantedZip64(m)))
+      .toDF("slot", "payload")
+    val media = docs(spark, dir)
+      .select(col("doc_id").as("media_id"), (col("doc_id") % 8).as("slot"))
+      .join(broadcast(fixtures), "slot")
+      .select(col("media_id"), col("payload"))
+    graft.ops.Multimodal.zipMembers(media).toDF()
+      .select("media_id", "member_idx", "name", "usize", "method", "offset")
+      .transform(QueryUtil.ordered("media_id", "member_idx"))
+  }
+
   val zipMembersOracle: String =
     """WITH m AS (SELECT doc_id AS media_id, doc_id % 8 AS slot
       |  FROM documents),
@@ -5763,6 +5785,7 @@ object TextQueries {
     "mm_webm_tracks" -> ((webmTrackBlocks _, Some(webmTracksOracle))),
     "mm_webm_cues" -> ((webmCueAudit _, Some(webmCuesOracle))),
     "mm_zip_members" -> ((zipMembers _, Some(zipMembersOracle))),
+    "mm_zip64_members" -> ((zip64Members _, Some(zipMembersOracle))),
     "mm_tgz_members" -> ((tgzMembers _, Some(tarMembersOracle))),
     "mm_meta_oracle" -> ((mediaDecode _, Some(mediaDecodeOracle))),
     "mm_frames" -> ((mediaFrames _, Some(mediaFramesOracle))),

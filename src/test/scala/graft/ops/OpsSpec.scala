@@ -3342,6 +3342,53 @@ class OpsSpec extends SparkSpec {
     assert(ZipWalk.members(4L, null).head.member_idx == -1)
   }
 
+  test("ZipWalk ZIP64: masked fields resolve through extras and the ZIP64 EOCD; >65535 entries; java.util.zip interop; malformed zip64 sentinels (r18)") {
+    import graft.ops.Multimodal.{ZipWalk, ZipMember}
+    // encoding parity: the ZIP64 twin of every planted slot must
+    // yield byte-identical member rows (local headers are identical;
+    // only the directory encoding differs)
+    for (m <- 0 until 8) {
+      assert(ZipWalk.members(m.toLong, MediaFixtures.plantedZip64(m)) ==
+        ZipWalk.members(m.toLong, MediaFixtures.plantedZip(m)),
+        s"slot $m: ZIP64 encoding must enumerate identically")
+    }
+    // the JDK's own reader agrees the zip64 fixture is a real archive
+    val z = MediaFixtures.zip64(Seq(
+      ("a.txt", "hello".getBytes("US-ASCII")),
+      ("dir/b.bin", Array.fill[Byte](300)('b'))))
+    val zin = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(z))
+    val got = Iterator.continually(zin.getNextEntry).takeWhile(_ != null)
+      .map(e => e.getName).toList
+    assert(got == List("a.txt", "dir/b.bin"), s"JDK interop: $got")
+    // the case classic ZIP CANNOT express: more than 65535 entries —
+    // the masked EOCD count must resolve through the ZIP64 record
+    val big = MediaFixtures.zip64(
+      (0 until 65541).map(k => (s"e$k", Array.empty[Byte])))
+    val rows = ZipWalk.members(5L, big)
+    assert(rows.size == 65541, s"${rows.size} of 65541 entries")
+    assert(rows(65540) == ZipMember(5L, 65540, "e65540", 0L, 0,
+      rows(65540).offset) && rows(65540).offset > 0)
+    // masked EOCD with a corrupted locator signature: sentinel
+    val badLoc = z.clone()
+    badLoc(z.length - 22 - 20 + 3) = 9.toByte
+    assert(ZipWalk.members(1L, badLoc).head.member_idx == -1)
+    // masked central fields with the zip64 extra id corrupted away:
+    // prefix/sentinel, never a 4-billion phantom size
+    val badExtra = z.clone()
+    // first central entry: find its signature, then the extra header
+    // id right after the name ("a.txt", nameLen 5, fixed 46)
+    val cd = badExtra.indices.find(i => i + 4 <= badExtra.length &&
+      badExtra(i) == 0x50 && badExtra(i + 1) == 0x4b &&
+      badExtra(i + 2) == 1 && badExtra(i + 3) == 2).get
+    badExtra(cd + 46 + 5) = 0x77.toByte // extra id 0x0001 -> 0x0077
+    assert(ZipWalk.members(2L, badExtra).head.member_idx == -1)
+    // truncated right after the zip64 EOCD record: the classic EOCD
+    // (and locator) are gone -> sentinel, never a throw
+    assert(ZipWalk.members(3L,
+      java.util.Arrays.copyOf(z, z.length - 30)).head.member_idx == -1)
+  }
+
   test("balancedSample: per-bucket quota binds; kept ids are the lowest unit-hashes; populations exact") {
     import org.apache.spark.sql.expressions.Window
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
