@@ -181,5 +181,6 @@ object SparkEntry {
     "mm_webm_stream",    // unknown-size streaming-muxed walk (r17)
     "mm_webm_tracks",    // multi-track video+laced-audio walk (r17)
     "mm_webm_cues",      // Cues seek-table + DefaultDuration audit (r18)
-    "mm_zip64_members")  // ZIP64 central-directory walk (r18)
+    "mm_zip64_members",  // ZIP64 central-directory walk (r18)
+    "mm_tar_longnames")  // ustar-prefix/GNU-L/pax long-path walk (r18)
 }

@@ -1676,13 +1676,21 @@ object MediaFixtures {
     * of [[tar]] so the TarWalk overflow spec can plant headers whose
     * CLAIMED sizes walk the position arithmetic near the 2 GiB array
     * limit without materializing matching payloads. */
-  def tarHeader(name: String, size: Long): Array[Byte] = {
+  def tarHeader(name: String, size: Long): Array[Byte] =
+    tarHeaderTyped(name, size, '0', "")
+
+  /** ustar header with an explicit typeflag and POSIX `prefix` field
+    * (r18 — the long-name wire encodings). */
+  def tarHeaderTyped(name: String, size: Long, typeflag: Char,
+      prefix: String): Array[Byte] = {
     val h = new Array[Byte](512)
     def put(off: Int, s: String): Unit = {
       val b = s.getBytes("US-ASCII")
       System.arraycopy(b, 0, h, off, b.length)
     }
     require(name.getBytes("US-ASCII").length <= 100, s"name too long: $name")
+    require(prefix.getBytes("US-ASCII").length <= 155,
+      s"prefix too long: $prefix")
     put(0, name)
     put(100, "0000644")                       // mode
     put(108, "0000000")                       // uid
@@ -1690,13 +1698,87 @@ object MediaFixtures {
     put(124, f"$size%011o")                   // size, 11-digit octal
     put(136, "00000000000")                   // mtime
     java.util.Arrays.fill(h, 148, 156, ' '.toByte) // chksum as spaces
-    h(156) = '0'                              // typeflag: regular file
+    h(156) = typeflag.toByte
     put(257, "ustar")                         // POSIX magic (NUL-terminated)
     put(263, "00")                            // version
+    put(345, prefix)                          // POSIX long-path prefix
     val sum = h.foldLeft(0L)((a, b) => a + (b & 0xff))
     put(148, f"$sum%06o")
     h(154) = 0; h(155) = ' '
     h
+  }
+
+  /** One pax extended-header record, `len key=value\n` with the
+    * self-referential decimal length per POSIX. */
+  def paxRecord(key: String, value: String): Array[Byte] = {
+    val base = 1 + key.length + 1 + value.getBytes("UTF-8").length + 1
+    var digits = (base + 1).toString.length
+    var total = base + digits
+    while (total.toString.length != digits) {
+      digits = total.toString.length
+      total = base + digits
+    }
+    s"$total $key=$value\n".getBytes("UTF-8")
+  }
+
+  /** Long-path tar in one of the three wire encodings (r18):
+    * 'P' = POSIX ustar `prefix` field (path split at its last '/');
+    * 'L' = a GNU `././@LongLink` marker entry carrying the
+    * NUL-terminated full name before each member; 'x' = a pax
+    * extended header with a `path` record before each member. Under
+    * 'L'/'x' the member's own header carries only the (≤100 byte)
+    * base name — the walk must take the override. */
+  def tarLong(members: Seq[(String, Array[Byte])],
+      mode: Char): Array[Byte] = {
+    require("PLx".contains(mode), s"mode $mode")
+    val out = new java.io.ByteArrayOutputStream()
+    def pad(n: Int): Unit = out.write(new Array[Byte]((512 - n % 512) % 512))
+    members.foreach { case (name, payload) =>
+      val slash = name.lastIndexOf('/')
+      val base = name.substring(slash + 1)
+      mode match {
+        case 'P' =>
+          require(slash > 0, s"'P' needs a '/' in $name")
+          out.write(tarHeaderTyped(base, payload.length.toLong, '0',
+            name.substring(0, slash)))
+        case 'L' =>
+          val nb = name.getBytes("US-ASCII") :+ 0.toByte
+          out.write(tarHeaderTyped("././@LongLink", nb.length.toLong,
+            'L', ""))
+          out.write(nb); pad(nb.length)
+          out.write(tarHeader(base, payload.length.toLong))
+        case _ =>
+          val rec = paxRecord("path", name)
+          out.write(tarHeaderTyped("./PaxHeaders/" + base.take(86),
+            rec.length.toLong, 'x', ""))
+          out.write(rec); pad(rec.length)
+          out.write(tarHeader(base, payload.length.toLong))
+      }
+      out.write(payload); pad(payload.length)
+    }
+    out.write(new Array[Byte](1024))
+    out.toByteArray
+  }
+
+  /** The 8-slot planted LONG-NAME tar table assigned by `doc_id % 8`
+    * in `mm_tar_longnames`: slot m carries m % 3 + 1 members whose
+    * full path is `'d' × (100 + m) + "/f<m>_<k>.bin"` (109 + m chars
+    * — past the 100-byte header field by construction) with payload
+    * size 37·m + 300·k, written in the wire encoding m % 3 selects
+    * (0 = ustar prefix, 1 = GNU 'L' markers, 2 = pax 'x' headers).
+    * Marker entries cost exactly 1024 bytes each (512 header + one
+    * 512 block — both the NUL-terminated name and the pax record fit
+    * one block at these lengths), so offsets stay doc_id arithmetic:
+    * the oracle states names, sizes and payload offsets without
+    * reading a byte. */
+  def plantedTarLong(m: Int): Array[Byte] = {
+    val n = m % 3 + 1
+    val mode = Seq('P', 'L', 'x')(m % 3)
+    tarLong((0 until n).map { k =>
+      val size = 37 * m + 300 * k
+      (("d" * (100 + m)) + s"/f${m}_$k.bin",
+        Array.fill[Byte](size)('x'))
+    }, mode)
   }
 
   /** The 8-slot planted tar table assigned by `doc_id % 8` in

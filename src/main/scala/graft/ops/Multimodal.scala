@@ -2780,10 +2780,24 @@ object Multimodal {
     * with the checksum field as spaces) per header; a bad header stops
     * the walk — corrupt-at-start yields the sentinel row, mid-archive
     * corruption keeps the members already walked (corrupt → sentinel,
-    * never task death). Disclosed boundaries: names read the 100-byte
-    * name field only (the ustar `prefix` field for longer paths is
-    * not assembled), and GNU long-name (typeflag 'L') entries surface
-    * as their literal marker member. */
+    * never task death).
+    *
+    * LONG NAMES (r18 — closes the r14 disclosed boundary; deep
+    * WebDataset paths blow the 100-byte name field routinely): all
+    * three wire encodings resolve to the member's full path —
+    *   - the POSIX ustar `prefix` field (155 bytes at 345) is
+    *     assembled as `prefix + "/" + name`;
+    *   - a GNU long-name marker (typeflag 'L', the `././@LongLink`
+    *     entry GNU tar writes) carries the NUL-terminated real name
+    *     in its payload, applied to the NEXT member — the marker
+    *     itself no longer surfaces as a member row;
+    *   - a pax extended header (typeflag 'x'; 'g' for globals)
+    *     carries `len key=value\n` records whose `path` overrides the
+    *     next member's name ('g': the default for all subsequent
+    *     members, per POSIX).
+    * Precedence per POSIX: pax/'L' pending override > global default
+    * > header fields. Malformed marker payloads stop the walk with
+    * the prefix (the corrupt-input contract). */
   object TarWalk {
     private def octal(bytes: Array[Byte], off: Int, len: Int): Long = {
       var v = 0L; var i = off
@@ -2813,6 +2827,40 @@ object Multimodal {
       true
     }
 
+    /** NUL-terminated (or field-length-bounded) ASCII at [off, off+max). */
+    private def cstr(b: Array[Byte], off: Int, max: Int): String = {
+      var e = off
+      while (e < off + max && b(e) != 0) e += 1
+      new String(b, off, e - off,
+        java.nio.charset.StandardCharsets.US_ASCII)
+    }
+
+    /** `path` value of a pax extended-header payload (`len key=value
+      * \n` records, len decimal and counting the whole record). None
+      * on a malformed record stream; Some(null) when no path record
+      * is present. */
+    private def paxPath(b: Array[Byte], start: Int,
+        size: Int): Option[String] = {
+      var q = start
+      val end = start + size
+      var path: String = null
+      while (q < end) {
+        var r = q
+        var n = 0
+        while (r < end && b(r) >= '0'.toByte && b(r) <= '9'.toByte) {
+          n = n * 10 + (b(r) - '0'.toByte); r += 1
+        }
+        if (r >= end || b(r) != ' '.toByte || n <= 0 || q + n > end)
+          return None
+        val body = new String(b, r + 1, q + n - (r + 1),
+          java.nio.charset.StandardCharsets.UTF_8)
+        if (body.startsWith("path=") && body.endsWith("\n"))
+          path = body.substring(5, body.length - 1)
+        q += n
+      }
+      Some(path)
+    }
+
     def members(id: Long, bytes: Array[Byte]): Seq[TarMember] = {
       val len = if (bytes == null) 0 else bytes.length
       val sentinel = Seq(TarMember(id, -1, "", len.toLong, -1L))
@@ -2823,6 +2871,8 @@ object Multimodal {
       // accumulator negative (pos is always < len when dereferenced,
       // so the .toInt at each use is exact)
       var pos = 0L; var idx = 0
+      var pending: String = null // GNU 'L' / pax 'x' name for the NEXT member
+      var global: String = null  // pax 'g' path default
       while (pos + 512 <= len) {
         val p = pos.toInt
         if (zeroBlock(bytes, p))
@@ -2835,12 +2885,35 @@ object Multimodal {
         // the walk arithmetic or spin on a negative stride
         if (size < 0 || size > len.toLong)
           return if (out.isEmpty) sentinel else out.toSeq
-        var e = p
-        while (e < p + 100 && bytes(e) != 0) e += 1
-        val name = new String(bytes, p, e - p,
-          java.nio.charset.StandardCharsets.US_ASCII)
         val tf = bytes(p + 156)
-        if (tf == '0'.toByte || tf == 0.toByte) {
+        // marker payloads are READ (unlike member payloads, which are
+        // only enumerated — a truncated member still lists): a marker
+        // whose payload runs past the archive is malformed
+        if ((tf == 'L'.toByte || tf == 'x'.toByte || tf == 'g'.toByte) &&
+            pos + 512L + size > len.toLong)
+          return if (out.isEmpty) sentinel else out.toSeq
+        if (tf == 'L'.toByte) {
+          // GNU long-name marker: payload is the next member's name
+          pending = cstr(bytes, p + 512, size.toInt)
+        } else if (tf == 'x'.toByte || tf == 'g'.toByte) {
+          paxPath(bytes, p + 512, size.toInt) match {
+            case None =>
+              return if (out.isEmpty) sentinel else out.toSeq
+            case Some(pth) if pth != null =>
+              if (tf == 'x'.toByte) pending = pth else global = pth
+            case Some(_) => // records fine, no path override
+          }
+        } else if (tf == '0'.toByte || tf == 0.toByte) {
+          val name =
+            if (pending != null) pending
+            else if (global != null) global
+            else {
+              // POSIX ustar prefix field: full path = prefix/name
+              val base = cstr(bytes, p, 100)
+              val prefix = cstr(bytes, p + 345, 155)
+              if (prefix.isEmpty) base else prefix + "/" + base
+            }
+          pending = null
           out += TarMember(id, idx, name, size, pos + 512L)
           idx += 1
         }

@@ -4820,6 +4820,49 @@ object TextQueries {
       |  CASE WHEN slot IN (2, 6) THEN 'hvc1' ELSE 'avc1' END AS codec
       |FROM s ORDER BY media_id, kf_idx""".stripMargin
 
+  /** mm_tar_longnames (r18 — closes TarWalk's disclosed long-name
+    * boundary): planted shards whose member paths run past the
+    * 100-byte header field, written per slot in one of the three wire
+    * encodings — POSIX ustar `prefix` (slots 0,3,6), GNU
+    * `././@LongLink` 'L' markers (1,4,7), pax 'x' extended headers
+    * (2,5). Marker entries cost exactly 1024 bytes each at these
+    * lengths, so names, sizes and payload offsets stay doc_id
+    * arithmetic. */
+  def tarLongNames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fixtures = (0 until 8)
+      .map(m => (m.toLong, graft.ops.MediaFixtures.plantedTarLong(m)))
+      .toDF("slot", "payload")
+    val media = docs(spark, dir)
+      .select(col("doc_id").as("media_id"), (col("doc_id") % 8).as("slot"))
+      .join(broadcast(fixtures), "slot")
+      .select(col("media_id"), col("payload"))
+    graft.ops.Multimodal.tarMembers(media).toDF()
+      .select("media_id", "member_idx", "name", "size", "offset")
+      .transform(QueryUtil.ordered("media_id", "member_idx"))
+  }
+
+  val tarLongNamesOracle: String =
+    """WITH m AS (SELECT doc_id AS media_id, doc_id % 8 AS slot
+      |  FROM documents),
+      |mem AS (SELECT media_id, slot, CAST(k AS INTEGER) AS member_idx,
+      |    repeat('d', CAST(100 + slot AS INTEGER)) ||
+      |      '/f' || slot || '_' || k || '.bin' AS name,
+      |    CAST(37 * slot + 300 * k AS BIGINT) AS size,
+      |    CAST(CASE WHEN slot % 3 = 0 THEN 0 ELSE 1024 END AS BIGINT)
+      |      AS marker
+      |  FROM m, LATERAL (SELECT unnest(range(0, slot % 3 + 1)) AS k) g),
+      |o AS (SELECT media_id, member_idx, name, size,
+      |    marker * (member_idx + 1) + 512 * (member_idx + 1) +
+      |      coalesce(sum((size + 511) // 512 * 512) OVER (
+      |        PARTITION BY media_id ORDER BY member_idx
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS poff
+      |  FROM mem)
+      |SELECT media_id, member_idx, name, size,
+      |  CAST(poff AS BIGINT) AS "offset"
+      |FROM o ORDER BY media_id, member_idx""".stripMargin
+
   val tarMembersOracle: String =
     """WITH m AS (SELECT doc_id AS media_id, doc_id % 8 AS slot
       |  FROM documents),
@@ -5771,6 +5814,7 @@ object TextQueries {
     "mm_chunks" -> ((mediaChunks _, Some(mediaChunksOracle))),
     "mm_exif_meta" -> ((exifMeta _, Some(exifMetaOracle))),
     "mm_tar_members" -> ((tarMembers _, Some(tarMembersOracle))),
+    "mm_tar_longnames" -> ((tarLongNames _, Some(tarLongNamesOracle))),
     "mm_keyframes" -> ((keyframes _, Some(keyframesOracle))),
     "mm_sps" -> ((sps _, Some(spsOracle))),
     "mm_frame_types" -> ((frameTypes _, Some(frameTypesOracle))),

@@ -1915,6 +1915,63 @@ class OpsSpec extends SparkSpec {
     assert(TarWalk.members(5L, null).head.member_idx == -1)
   }
 
+  test("TarWalk long names: ustar prefix, GNU L markers and pax path records all resolve; malformed markers sentinel (r18)") {
+    import graft.ops.Multimodal.{TarWalk, TarMember}
+    // the three wire encodings of the SAME long paths must enumerate
+    // identically except offsets (markers cost 1024 bytes each)
+    val names = Seq(("d" * 120) + "/deep/f0.bin", ("d" * 120) + "/deep/f1.bin")
+    val payloads = Seq(Array.fill[Byte](10)('a'), Array.fill[Byte](600)('b'))
+    def enc(mode: Char) = TarWalk.members(7L,
+      MediaFixtures.tarLong(names.zip(payloads), mode))
+    val p = enc('P')
+    assert(p.map(r => (r.name, r.size)) ==
+      Seq((names(0), 10L), (names(1), 600L)), s"prefix: $p")
+    assert(p.map(_.offset) == Seq(512L, 1536L), s"prefix offsets: $p")
+    for (mode <- Seq('L', 'x')) {
+      val r = enc(mode)
+      assert(r.map(x => (x.name, x.size)) ==
+        p.map(x => (x.name, x.size)), s"mode $mode: $r")
+      // each member costs one extra 1024-byte marker
+      assert(r.map(_.offset) == Seq(512L + 1024, 1536L + 2048),
+        s"mode $mode offsets: $r")
+    }
+    // planted table: every slot's fields are the stated arithmetic
+    for (m <- 0 until 8) {
+      val rows = TarWalk.members(m.toLong,
+        MediaFixtures.plantedTarLong(m))
+      val marker = if (m % 3 == 0) 0L else 1024L
+      var off = 0L
+      rows.zipWithIndex.foreach { case (r, k) =>
+        val size = 37L * m + 300 * k
+        off += marker + 512
+        assert(r == TarMember(m.toLong, k,
+          ("d" * (100 + m)) + s"/f${m}_$k.bin", size, off),
+          s"slot $m k$k: $r")
+        off += (size + 511) / 512 * 512
+      }
+      assert(rows.size == m % 3 + 1, s"slot $m: ${rows.size}")
+    }
+    // pax 'g' global: applies to every subsequent member with no own
+    // override (POSIX)
+    val grec = MediaFixtures.paxRecord("path", "global/name")
+    val garch = MediaFixtures.tarHeaderTyped("gh", grec.length.toLong,
+      'g', "") ++ grec.padTo(512, 0.toByte) ++
+      MediaFixtures.tarHeader("short1", 0L) ++
+      MediaFixtures.tarHeader("short2", 0L) ++ new Array[Byte](1024)
+    val gm = TarWalk.members(3L, garch)
+    assert(gm.map(_.name) == Seq("global/name", "global/name"), s"$gm")
+    // malformed pax record (garbage length prefix): prefix/sentinel
+    val badRec = "XX path=oops\n".getBytes("US-ASCII")
+    val badArch = MediaFixtures.tarHeaderTyped("bh", badRec.length.toLong,
+      'x', "") ++ badRec.padTo(512, 0.toByte) ++
+      MediaFixtures.tarHeader("after", 0L) ++ new Array[Byte](1024)
+    assert(TarWalk.members(4L, badArch).head.member_idx == -1)
+    // GNU marker whose payload runs past the archive: sentinel
+    val cut = MediaFixtures.tarHeaderTyped("././@LongLink", 600L, 'L', "")
+    assert(TarWalk.members(5L, cut ++ new Array[Byte](100))
+      .head.member_idx == -1)
+  }
+
   test("TarWalk: position arithmetic stays Long near the 2 GiB array limit (no Int wrap)") {
     import graft.ops.Multimodal.TarWalk
     // an archive > 1 GiB whose second checksum-valid header claims a
