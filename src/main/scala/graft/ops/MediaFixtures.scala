@@ -802,7 +802,8 @@ object MediaFixtures {
       childDurLie: Map[(Int, Int), Long] = Map.empty,
       childSizeLie: Map[(Int, Int), Long] = Map.empty,
       parentDurLie: Map[Int, Long] = Map.empty,
-      parentSizeLie: Map[Int, Long] = Map.empty): Array[Byte] = {
+      parentSizeLie: Map[Int, Long] = Map.empty,
+      childEptLie: Map[Int, Long] = Map.empty): Array[Byte] = {
     require("ABC".contains(layout), s"unknown layout $layout")
     require(groups.map(_.size).sum == tfdts.size)
     val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0))
@@ -859,7 +860,7 @@ object MediaFixtures {
     var fi = 0
     var trueTime = ept
     groups.zipWithIndex.foreach { case (counts, g) =>
-      out.write(sidxBox(trueTime,
+      out.write(sidxBox(trueTime + childEptLie.getOrElse(g, 0L),
         childClaims(g).map { case (s, d) => (false, s, d) }))
       counts.foreach { n =>
         out.write(fragBytes(seq, n, tfdts(fi)))
@@ -886,9 +887,15 @@ object MediaFixtures {
     *   - slot 4, group 2: ROOT subsegment_duration overstated by 6 —
     *     `tree_dur_consistent` on every fragment of group 2;
     *   - slot 5, group 3 (its last): ROOT referenced_size overstated
-    *     by 3 — `tree_size_consistent` on every fragment of group 3.
-    * Everything else is exact; the oracle restates every field as
-    * doc_id arithmetic (the [[plantedTimelineMp4]] contract). */
+    *     by 3 — `tree_size_consistent` on every fragment of group 3;
+    *   - slot 6, group 2: CHILD earliest_presentation_time written 4
+    *     ticks late — `tree_ept_consistent` on group 2's fragments.
+    * Slot 2's child-duration lie ALSO surfaces on `tree_ept` for its
+    * group 2: the claimed-duration prefix a seeker sums no longer
+    * matches the next child's truthful ept — the propagation the
+    * column exists to catch. Everything else is exact; the oracle
+    * restates every field as doc_id arithmetic (the
+    * [[plantedTimelineMp4]] contract). */
   def plantedTimelineTreeMp4(m: Int): Array[Byte] = {
     val nGroups = m % 2 + 2
     val d = 40L + m
@@ -903,7 +910,8 @@ object MediaFixtures {
       childDurLie = if (m == 2) Map((0, 0) -> 4L) else Map.empty,
       childSizeLie = if (m == 7) Map((1, 0) -> 2L) else Map.empty,
       parentDurLie = if (m == 4) Map(1 -> 6L) else Map.empty,
-      parentSizeLie = if (m == 5) Map(2 -> 3L) else Map.empty)
+      parentSizeLie = if (m == 5) Map(2 -> 3L) else Map.empty,
+      childEptLie = if (m == 6) Map(1 -> 4L) else Map.empty)
   }
 
   /** MUXED MULTI-TRACK fragmented MP4 (r18): each moof carries one

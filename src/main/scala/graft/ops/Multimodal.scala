@@ -1347,14 +1347,20 @@ object Multimodal {
     * equal the child sidx box plus everything the child covers — a
     * mismatch means the seek tree is internally inconsistent and a
     * player seeking through the parent lands in the wrong place even
-    * when every leaf is truthful. Vacuous-true for flat indexes,
+    * when every leaf is truthful. `tree_ept_consistent` (r18, second
+    * pass) audits each CHILD sidx's earliest_presentation_time
+    * against the sum of every leaf duration CLAIMED before it (from
+    * the root's ept) — the start time a player seeking through the
+    * index computes; a mismatch flags either a lying child ept or a
+    * prior duration lie PROPAGATING into this child's start (both
+    * strand a seek, so both surface). Vacuous-true for flat indexes,
     * top-level media references, and absent/unresolvable sidx. */
   case class TimelineSegment(media_id: Long, frag_idx: Int, seq_no: Int,
       n_samples: Int, dur_sum: Long, tfdt: Long, sidx_dur: Long,
       sidx_size: Long, actual_size: Long, timescale: Long,
       tfdt_consistent: Boolean, sidx_dur_consistent: Boolean,
       sidx_size_consistent: Boolean, tree_dur_consistent: Boolean,
-      tree_size_consistent: Boolean)
+      tree_size_consistent: Boolean, tree_ept_consistent: Boolean)
 
   /** Segment-timeline audit walk (r16, verdict #5): `sidx` (ISO
     * 14496-12 §8.16.3) + `tfdt` (§8.8.12) + trun durations — "does
@@ -1379,7 +1385,8 @@ object Multimodal {
       val sentinel = Seq(TimelineSegment(id, -1, -1, -1, -1L, -1L, -1L,
         -1L, -1L, -1L, tfdt_consistent = false,
         sidx_dur_consistent = false, sidx_size_consistent = false,
-        tree_dur_consistent = false, tree_size_consistent = false))
+        tree_dur_consistent = false, tree_size_consistent = false,
+        tree_ept_consistent = false))
       try {
         if (len < 12 || box4(bytes, 4) != "ftyp") return sentinel
         val top = children(bytes, 0, len)
@@ -1435,26 +1442,36 @@ object Multimodal {
         // unauditable claim must never surface as a false lie.
         val sidxSpans = top.collect { case ("sidx", ss, se) => (ss, se) }
         val sidx: Option[(Long, Long,
-            IndexedSeq[(Long, Long, Boolean, Boolean)])] =
+            IndexedSeq[(Long, Long, Boolean, Boolean, Boolean)])] =
           sidxSpans.headOption.flatMap { case (rs, re) =>
             parseSidx(rs, re).flatMap { case (ts0, ept0, refs0) =>
               var next = 1
               var bad = false
+              // claimed presentation clock: root ept + every leaf
+              // duration CLAIMED so far, in depth-first (= file)
+              // order — what a player seeking through the index
+              // computes for each child's start time
+              var clock = ept0
               def resolve(refs: IndexedSeq[(Boolean, Long, Long)],
                   depth: Int)
-                  : IndexedSeq[(Long, Long, Boolean, Boolean)] =
+                  : IndexedSeq[(Long, Long, Boolean, Boolean, Boolean)] =
                 if (depth > 8) { bad = true; IndexedSeq.empty }
                 else refs.flatMap { case (isChild, size, dur) =>
                   if (bad) IndexedSeq.empty
-                  else if (!isChild) IndexedSeq((dur, size, true, true))
-                  else if (next >= sidxSpans.length) {
+                  else if (!isChild) {
+                    clock += dur
+                    IndexedSeq((dur, size, true, true, true))
+                  } else if (next >= sidxSpans.length) {
                     bad = true; IndexedSeq.empty
                   } else {
                     val (cs, ce) = sidxSpans(next)
                     next += 1
                     parseSidx(cs, ce) match {
                       case None => bad = true; IndexedSeq.empty
-                      case Some((_, _, crefs)) =>
+                      case Some((_, cept, crefs)) =>
+                        // the child's ept claim vs the accumulated
+                        // claimed clock (see tree_ept_consistent)
+                        val eptOk = cept == clock
                         val leaves = resolve(crefs, depth + 1)
                         // the parent's claims vs the child's: duration
                         // must equal the sum of the child's reference
@@ -1463,8 +1480,8 @@ object Multimodal {
                         val durOk = dur == crefs.map(_._3).sum
                         val sizeOk = size == (ce - (cs - 8)).toLong +
                           crefs.map(_._2).sum
-                        leaves.map(l =>
-                          (l._1, l._2, l._3 && durOk, l._4 && sizeOk))
+                        leaves.map(l => (l._1, l._2, l._3 && durOk,
+                          l._4 && sizeOk, l._5 && eptOk))
                     }
                   }
                 }
@@ -1551,11 +1568,11 @@ object Multimodal {
               .collect { case ("mdat", ds, de) => (de - (ds - 8)).toLong }
               .sum
             val actual = moofLen + mdatLen
-            val (sDur, sSize, treeDurOk, treeSizeOk) =
+            val (sDur, sSize, treeDurOk, treeSizeOk, treeEptOk) =
               if (fragIdx < refs.size)
-                (refs(fragIdx)._1, refs(fragIdx)._2,
-                  refs(fragIdx)._3, refs(fragIdx)._4)
-              else (-1L, -1L, true, true)
+                (refs(fragIdx)._1, refs(fragIdx)._2, refs(fragIdx)._3,
+                  refs(fragIdx)._4, refs(fragIdx)._5)
+              else (-1L, -1L, true, true, true)
             val tfdtOk =
               if (tfdtV < 0) true // no decode-time claim to audit
               else if (fragIdx == 0) sidx.isEmpty || tfdtV == ept
@@ -1566,7 +1583,8 @@ object Multimodal {
               sidx_dur_consistent = sDur < 0 || sDur == durSum,
               sidx_size_consistent = sSize < 0 || sSize == actual,
               tree_dur_consistent = treeDurOk,
-              tree_size_consistent = treeSizeOk)
+              tree_size_consistent = treeSizeOk,
+              tree_ept_consistent = treeEptOk)
             expectedTfdt =
               if (tfdtV >= 0) tfdtV + durSum
               else if (expectedTfdt >= 0) expectedTfdt + durSum

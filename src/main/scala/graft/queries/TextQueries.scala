@@ -4634,7 +4634,8 @@ object TextQueries {
       .select("media_id", "frag_idx", "seq_no", "n_samples", "dur_sum",
         "tfdt", "sidx_dur", "sidx_size", "actual_size", "timescale",
         "tfdt_consistent", "sidx_dur_consistent", "sidx_size_consistent",
-        "tree_dur_consistent", "tree_size_consistent")
+        "tree_dur_consistent", "tree_size_consistent",
+        "tree_ept_consistent")
       .transform(QueryUtil.ordered("media_id", "frag_idx"))
   }
 
@@ -4662,7 +4663,8 @@ object TextQueries {
       .select("media_id", "frag_idx", "seq_no", "n_samples", "dur_sum",
         "tfdt", "sidx_dur", "sidx_size", "actual_size", "timescale",
         "tfdt_consistent", "sidx_dur_consistent", "sidx_size_consistent",
-        "tree_dur_consistent", "tree_size_consistent")
+        "tree_dur_consistent", "tree_size_consistent",
+        "tree_ept_consistent")
       .transform(QueryUtil.ordered("media_id", "frag_idx"))
   }
 
@@ -4709,7 +4711,8 @@ object TextQueries {
       |  sidx_dur = dur_sum AS sidx_dur_consistent,
       |  sidx_size = frag_len AS sidx_size_consistent,
       |  NOT (slot = 4 AND g = 2) AS tree_dur_consistent,
-      |  NOT (slot = 5 AND g = 3) AS tree_size_consistent
+      |  NOT (slot = 5 AND g = 3) AS tree_size_consistent,
+      |  NOT (slot IN (2, 6) AND g = 2) AS tree_ept_consistent
       |FROM fr3 ORDER BY media_id, frag_idx""".stripMargin
 
   val timelineOracle: String =
@@ -4752,7 +4755,8 @@ object TextQueries {
       |  sidx_dur = dur_sum AS sidx_dur_consistent,
       |  sidx_size = frag_len AS sidx_size_consistent,
       |  TRUE AS tree_dur_consistent,
-      |  TRUE AS tree_size_consistent
+      |  TRUE AS tree_size_consistent,
+      |  TRUE AS tree_ept_consistent
       |FROM fr3 ORDER BY media_id, frag_idx""".stripMargin
 
   val spsOracle: String =

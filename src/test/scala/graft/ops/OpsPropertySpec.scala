@@ -733,7 +733,7 @@ class OpsPropertySpec extends SparkSpec {
       d <- Gen.choose(20L, 3000L)
       ts <- Gen.choose(600L, 90000L)
       ept <- Gen.choose(0L, 10000L)
-      axis <- Gen.oneOf(0, 1, 2, 3, 4)
+      axis <- Gen.oneOf(0, 1, 2, 3, 4, 5)
       tg <- Gen.choose(0, 11)
       tf <- Gen.choose(0, 11)
       delta <- Gen.choose(1L, 97L)
@@ -753,7 +753,8 @@ class OpsPropertySpec extends SparkSpec {
           childSizeLie =
             if (axis == 2) Map((tg, tf) -> delta) else Map.empty,
           parentDurLie = if (axis == 3) Map(tg -> delta) else Map.empty,
-          parentSizeLie = if (axis == 4) Map(tg -> delta) else Map.empty)
+          parentSizeLie = if (axis == 4) Map(tg -> delta) else Map.empty,
+          childEptLie = if (axis == 5) Map(tg -> delta) else Map.empty)
         val rows = Multimodal.Mp4TimelineWalk.index(i.toLong, b)
         val gfn = for {
           (counts, g) <- groups.zipWithIndex
@@ -785,6 +786,10 @@ class OpsPropertySpec extends SparkSpec {
             s"case $i g$g f$f: $r")
           assert(r.tree_size_consistent == !(axis == 4 && g == tg),
             s"case $i g$g f$f: $r")
+          // a direct ept lie flags its own group; a child-duration
+          // lie offsets the claimed clock for EVERY later group
+          assert(r.tree_ept_consistent == !((axis == 5 && g == tg) ||
+            (axis == 1 && g > tg)), s"case $i g$g f$f: $r")
         }
     }
   }

@@ -2930,6 +2930,13 @@ class OpsSpec extends SparkSpec {
           s"slot $m g$g f$f: $r")
         assert(r.tree_size_consistent == !(m == 5 && g == 3),
           s"slot $m g$g f$f: $r")
+        // ept: slot 6 plants a direct child-ept lie on group 2; slot
+        // 2's child-DURATION lie in group 1 also breaks group 2's
+        // start-time expectation (the claimed-duration prefix a
+        // seeker sums no longer matches the truthful child ept) —
+        // the propagation the column exists to catch
+        assert(r.tree_ept_consistent == !(Set(2, 6)(m) && g == 2),
+          s"slot $m g$g f$f: $r")
       }
     }
     // the flat table's tree axes are vacuous-true everywhere (no
@@ -2937,7 +2944,8 @@ class OpsSpec extends SparkSpec {
     for (m <- 0 until 8) {
       Multimodal.Mp4TimelineWalk.index(m.toLong,
           MediaFixtures.plantedTimelineMp4(m)).foreach { r =>
-        assert(r.tree_dur_consistent && r.tree_size_consistent,
+        assert(r.tree_dur_consistent && r.tree_size_consistent &&
+          r.tree_ept_consistent,
           s"flat slot $m must be tree-vacuous: $r")
       }
     }

@@ -1111,7 +1111,8 @@ class StreamingSpec extends SparkSpec {
       .select("media_id", "frag_idx", "seq_no", "n_samples", "dur_sum",
         "tfdt", "sidx_dur", "sidx_size", "actual_size", "timescale",
         "tfdt_consistent", "sidx_dur_consistent", "sidx_size_consistent",
-        "tree_dur_consistent", "tree_size_consistent")
+        "tree_dur_consistent", "tree_size_consistent",
+        "tree_ept_consistent")
       .collect().map(_.toSeq).toSet
     val streamed = rows(spark.read.parquet(out))
     val batch = rows(graft.ops.Multimodal.timelineIndex(
@@ -1125,11 +1126,14 @@ class StreamingSpec extends SparkSpec {
     val lies = spark.read.parquet(out)
       .filter(!col("tfdt_consistent") || !col("sidx_dur_consistent") ||
         !col("sidx_size_consistent") || !col("tree_dur_consistent") ||
-        !col("tree_size_consistent"))
+        !col("tree_size_consistent") || !col("tree_ept_consistent"))
       .select("media_id", "frag_idx").collect()
       .map(r => (r.getLong(0), r.getInt(1))).toSet
+    // (10,2)/(14,2): the ept axis — slot 2's duration-lie propagation
+    // into its group 2 start, slot 6's direct child-ept lie (r18)
     assert(lies == Set((3L, 1), (5L, 0), (6L, 1),
-      (10L, 0), (15L, 1), (12L, 2), (13L, 3)), s"lie rows: $lies")
+      (10L, 0), (15L, 1), (12L, 2), (13L, 3), (10L, 2), (14L, 2)),
+      s"lie rows: $lies")
     // replay: re-running a batch overwrites its own partition
     StreamingMedia.timelineAppender(out)(mDf((4 until 8) ++ (8 until 16)), 1L)
     assert(rows(spark.read.parquet(out)) == streamed,
