@@ -183,4 +183,6 @@ object SparkEntry {
     "mm_webm_cues",      // Cues seek-table + DefaultDuration audit (r18)
     "mm_zip64_members",  // ZIP64 central-directory walk (r18)
     "mm_tar_longnames")  // ustar-prefix/GNU-L/pax long-path walk (r18)
+  // (mm_tgz_longnames shares the walk behind the gzip envelope; gated
+  // by the driver oracle, not separately benched)
 }

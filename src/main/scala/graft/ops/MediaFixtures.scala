@@ -1982,6 +1982,10 @@ object MediaFixtures {
     * SAME oracle states the member rows. */
   def plantedTgz(m: Int): Array[Byte] = gzip(plantedTar(m))
 
+  /** `.tar.gz` twin of [[plantedTarLong]] (r18) — long-path markers
+    * behind the gzip envelope; shares [[plantedTarLong]]'s oracle. */
+  def plantedTgzLong(m: Int): Array[Byte] = gzip(plantedTarLong(m))
+
   /** The 12-slot planted table assigned by `doc_id % 12` in
     * `mm_meta_oracle`: PNG dims (slots 0–2), WAV rate/channels/samples
     * (3–5), MP3 rate/channels/frame-count across MPEG1/MPEG2, ID3

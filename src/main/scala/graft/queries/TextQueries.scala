@@ -4890,6 +4890,23 @@ object TextQueries {
     * envelope ([[graft.ops.MediaFixtures.plantedTgz]]), so the SAME
     * oracle states the member rows: the engine must gunzip (bomb-
     * capped) and walk to recover them. */
+  /** Compressed twin of [[tarLongNames]] (r18): the long-path marker
+    * encodings behind the gzip envelope — gunzip (bomb-capped), then
+    * the prefix/'L'/pax resolution; SHARES [[tarLongNamesOracle]]. */
+  def tgzLongNames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fixtures = (0 until 8)
+      .map(m => (m.toLong, graft.ops.MediaFixtures.plantedTgzLong(m)))
+      .toDF("slot", "payload")
+    val media = docs(spark, dir)
+      .select(col("doc_id").as("media_id"), (col("doc_id") % 8).as("slot"))
+      .join(broadcast(fixtures), "slot")
+      .select(col("media_id"), col("payload"))
+    graft.ops.Multimodal.tgzMembers(media).toDF()
+      .select("media_id", "member_idx", "name", "size", "offset")
+      .transform(QueryUtil.ordered("media_id", "member_idx"))
+  }
+
   def tgzMembers(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val fixtures = (0 until 8)
@@ -5835,6 +5852,7 @@ object TextQueries {
     "mm_zip_members" -> ((zipMembers _, Some(zipMembersOracle))),
     "mm_zip64_members" -> ((zip64Members _, Some(zipMembersOracle))),
     "mm_tgz_members" -> ((tgzMembers _, Some(tarMembersOracle))),
+    "mm_tgz_longnames" -> ((tgzLongNames _, Some(tarLongNamesOracle))),
     "mm_meta_oracle" -> ((mediaDecode _, Some(mediaDecodeOracle))),
     "mm_frames" -> ((mediaFrames _, Some(mediaFramesOracle))),
     "mm_gif_anim" -> ((mediaGifAnim _, Some(mediaGifAnimOracle))),

@@ -2957,6 +2957,79 @@ class OpsSpec extends SparkSpec {
       "torn tree must sentinel")
   }
 
+  test("Mp4TimelineWalk tree: three-level sidx nesting resolves depth-first; a grandchild lie propagates to the next child's start (r18)") {
+    import graft.ops.Multimodal
+    // hand-assembled THREE-level index (the builders write two):
+    //   root ──type1──> mid A ──type1──> leaf B ──> frag1 (dur 100)
+    //        │                └──type0──> frag2 (dur 200)
+    //        └──type1──> leaf C ──> frag3 (dur 300)
+    // file order: ftyp moov root A B frag1 frag2 C frag3 — depth-
+    // first consumption must match it exactly.
+    def be(v: Long): Array[Byte] = Array(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def bx(t: String, p: Array[Byte]): Array[Byte] =
+      be(8L + p.length) ++ t.getBytes("US-ASCII") ++ p
+    val ts = 1000L
+    val ept0 = 500L
+    def sidx(ept: Long, refs: Seq[(Boolean, Long, Long)]) =
+      bx("sidx", be(0) ++ be(1) ++ be(ts) ++ be(ept) ++ be(0) ++
+        be(refs.size.toLong) ++ refs.toArray.flatMap { case (c, sz, du) =>
+          be((if (c) 0x80000000L else 0L) | sz) ++ be(du) ++
+            be(0x90000000L)
+        })
+    def frag(seq: Long, tfdt: Long, dur: Long) =
+      bx("moof", bx("mfhd", be(0) ++ be(seq)) ++
+        bx("traf", bx("tfhd", be(0x020000) ++ be(1)) ++
+          bx("tfdt", be(0) ++ be(tfdt)) ++
+          bx("trun", be(0x000100) ++ be(1) ++ be(dur)))) ++
+        bx("mdat", new Array[Byte](10))
+    val fragLen = 102L // layout 'A', one sample: 88 + 14
+    def build(lie: Long): Array[Byte] = {
+      // honest parents derive their claims from CHILD CLAIMS — a
+      // grandchild lie rides up the chain without tripping the
+      // parent-vs-child checks
+      val d1c = 100L + lie
+      val leafB = sidx(ept0, Seq((false, fragLen, d1c)))
+      val leafC = sidx(ept0 + 300, Seq((false, fragLen, 300L)))
+      val midA = sidx(ept0, Seq(
+        (true, leafB.length + fragLen, d1c),
+        (false, fragLen, 200L)))
+      val root = sidx(ept0, Seq(
+        (true, midA.length + leafB.length + 2 * fragLen, d1c + 200),
+        (true, leafC.length + fragLen, 300L)))
+      bx("ftyp", "isom".getBytes("US-ASCII") ++ be(0)) ++
+        bx("moov", bx("mvex", bx("trex", be(0) ++ be(1) ++ be(1) ++
+          be(0) ++ be(0) ++ be(0x01010000L)))) ++
+        root ++ midA ++ leafB ++ frag(1, ept0, 100) ++
+        frag(2, ept0 + 100, 200) ++ leafC ++ frag(3, ept0 + 300, 300)
+    }
+    // honest tree: every axis green, leaves aligned depth-first
+    val ok = Multimodal.Mp4TimelineWalk.index(1L, build(0))
+    assert(ok.size == 3 && ok.map(_.sidx_dur) == Seq(100L, 200L, 300L),
+      s"$ok")
+    ok.foreach { r =>
+      assert(r.tfdt_consistent && r.sidx_dur_consistent &&
+        r.sidx_size_consistent && r.tree_dur_consistent &&
+        r.tree_size_consistent && r.tree_ept_consistent, s"$r")
+    }
+    // grandchild (leaf B) duration lie, honest parents: flags the
+    // lied LEAF row only on the leaf axis, and the NEXT top-level
+    // child's start on the ept axis (the claimed clock runs 7 ahead
+    // by the time the seeker reaches C) — never the parent axes
+    val lied = Multimodal.Mp4TimelineWalk.index(2L, build(7))
+    assert(lied.size == 3)
+    assert(!lied(0).sidx_dur_consistent && lied(0).sidx_dur == 107,
+      s"${lied(0)}")
+    assert(lied(0).tree_dur_consistent && lied(0).tree_size_consistent,
+      s"honest parents must stay green: ${lied(0)}")
+    assert(lied(1).sidx_dur_consistent && lied(1).tree_ept_consistent,
+      s"${lied(1)}")
+    assert(!lied(2).tree_ept_consistent,
+      s"the lie must surface on C's start: ${lied(2)}")
+    assert(lied(2).sidx_dur_consistent && lied(2).tree_dur_consistent,
+      s"${lied(2)}")
+  }
+
   test("Mp4TrackTimelineWalk: per-track decode clocks audit independently; a lie on one track never condemns the other (r18)") {
     import graft.ops.{MediaFixtures, Multimodal}
     for (m <- 0 until 8) {
