@@ -72,17 +72,34 @@ object Bpe {
       .groupBy(col("_p.s1").as("s1"), col("_p.s2").as("s2"))
       .agg(sum("cnt").as("total"))
 
+  /** Rounds of [[learnMerges]] whose string-replace maps may CHAIN as
+    * narrow expressions before the vocab frame is re-materialized: a
+    * chain of ≤ 8 replaces over the vocab-sized cached frame costs
+    * far less than 8 eager checkpoint jobs (r18 — the per-round
+    * checkpoint was one full materialization per merge, pure job
+    * overhead at every scale), while the cap keeps the recompute
+    * depth bounded for large k (an unbounded chain would re-apply
+    * O(r) replaces inside round r's pair count — O(k²) total). */
+  private val MergeCheckpointEvery = 8
+
   /** Learn `k` merges. Returns the merge table (rank order) and the
     * final vocab frame (word, ws, cnt, word_len) with all merges
     * applied. Each round's winner is a single collected row
-    * (model-sized by definition); the vocab frame is checkpointed per
-    * round so lineage stays flat (round r would otherwise replay r
-    * string-replace passes). Stops early if no pair remains. */
+    * (model-sized by definition); the vocab frame is persisted once
+    * and re-materialized every [[MergeCheckpointEvery]] merges so
+    * lineage stays bounded without paying one checkpoint job per
+    * round. Stops early if no pair remains. */
   def learnMerges(docsDf: DataFrame, k: Int): (Seq[Merge], DataFrame) = {
-    var vocab = Dedup.checkpointTracked(
+    // the base is CHECKPOINTED (a leaf scan), not persisted: every
+    // round's pair count re-plans the chained-replace tree, and over
+    // a persisted base each of those plannings pays a CacheManager
+    // canonicalization walk of the growing tree (measured 1.8 s of
+    // pure driver gap over 8 rounds, r18) — over a leaf it is flat
+    var vocab: DataFrame = Dedup.checkpointTracked(
       wordTable(docsDf).withColumn("ws", wrapSymbols(col("word"))))
     val merges = Seq.newBuilder[Merge]
     var r = 1
+    var chained = 0
     var exhausted = false
     while (r <= k && !exhausted) {
       val top = pairCounts(vocab)
@@ -92,8 +109,13 @@ object Bpe {
         val (s1, s2) = (top(0).getString(0), top(0).getString(1))
         merges += Merge(r, s1, s2, top(0).getLong(2))
         // s1/s2 are a-z only by construction — safe to inline
-        vocab = Dedup.checkpointTracked(vocab.withColumn("ws",
-          expr(s"replace(ws, '$Sep$s1$Sep$Sep$s2$Sep', '$Sep$s1$s2$Sep')")))
+        vocab = vocab.withColumn("ws",
+          expr(s"replace(ws, '$Sep$s1$Sep$Sep$s2$Sep', '$Sep$s1$s2$Sep')"))
+        chained += 1
+        if (chained >= MergeCheckpointEvery) {
+          vocab = Dedup.checkpointTracked(vocab)
+          chained = 0
+        }
         r += 1
       }
     }

@@ -429,8 +429,17 @@ object Dedup {
     // Streaming anyway; streaming near-dup is [[graft.streaming
     // .StreamingDedup]]'s band-state form.
     // The raw frame is read twice (count side + join side) — persist
-    // it so the shingling runs once.
-    val shRaw = persistTracked(shingleHashFrame(docs, idCol, textCol, k))
+    // it so the shingling runs once. Spread the corpus across the
+    // session parallelism FIRST (r18): a small-SF scan arrives as one
+    // file split, so the shingle explode + per-shingle hashing — the
+    // chain's CPU-heavy narrow stage — would otherwise run, and be
+    // CACHED, single-task, serializing every downstream pass on one
+    // core (the QueryUtil.spreadById lesson applied to the dedup
+    // family; at cluster scale this is the stage-boundary layout
+    // exchange a production pipeline runs anyway).
+    val spread = docs.repartition(
+      docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+    val shRaw = persistTracked(shingleHashFrame(spread, idCol, textCol, k))
     val dfCounts = shRaw.groupBy("shingle").agg(count(lit(1)).as("df"))
     val sh = persistTracked(shRaw.join(dfCounts, Seq("shingle")))
     val sizes = sh.groupBy("sid").agg(count(lit(1)).as("n"))
@@ -532,6 +541,11 @@ object Dedup {
     // it feeds band explosion, the bucket-population cap, the candidate
     // join and the per-doc set sizes (r2 re-ran the whole aggregation
     // for the sizes lookup — the judged dd_minhash_lsh regression).
+    // NO pre-signature spread here (r18, measured): unlike the shingle
+    // explode in ngramJaccardPairs, the codegen MinHashSig pass is
+    // cheap per doc, so repartitioning the raw corpus (text and all)
+    // before it costs more than the single-split parallelism it buys —
+    // tried and reverted at 2.9 → 5.0 s on the bench line
     val sig0 = minhashSigFrame(docs, idCol, textCol, numHashes, k)
     val sig = if (docs.isStreaming) sig0 else persistTracked(sig0)
     // cheap to re-derive from the cached signatures (scan-local explode)

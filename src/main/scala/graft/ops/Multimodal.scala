@@ -31,6 +31,17 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // In-memory ImageInputStreams for every ImageIO decode/encode in
+  // this object (r18): the default file-backed stream cache spools
+  // each byte-array image through a synchronized temp file — under a
+  // 32-way parallel decode stage the temp-file churn serializes the
+  // whole partition set (measured: mm_resize 0.9 → 2.6 s AFTER the
+  // decode was spread across cores, i.e. the cache was the real
+  // bottleneck, not the decode). Every payload here is already a
+  // byte array in memory, so the memory cache is strictly cheaper at
+  // any scale. JVM-global, set once at object init.
+  javax.imageio.ImageIO.setUseCache(false)
+
   case class MediaFeatures(
       media_id: Long,
       mime: String,

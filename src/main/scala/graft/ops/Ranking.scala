@@ -66,6 +66,17 @@ object Ranking {
       .drop("_mid", "_pid", "_idx", "_off")
   }
 
+  /** [[denseRank]] result: the ranked frame, the total distinct-class
+    * count (= the global max rank — already known from the driver-side
+    * cumsum, so callers that need it skip a whole `agg(max)` pass over
+    * the result; each suffix-array doubling round's convergence check
+    * is the motivating caller), and the persisted sorted frame so a
+    * caller that materializes `df` exactly once (the spooled
+    * suffix-array build) can free the cache blocks eagerly instead of
+    * holding one sorted frame per round until end-of-query release. */
+  private[graft] case class DenseRanked(df: DataFrame, classes: Long,
+      sorted: DataFrame)
+
   /** All input columns plus a 1-based DENSE rank of `keys` (ascending)
     * — value-identical to SQL `dense_rank() OVER (ORDER BY keys)`, in
     * ONE range shuffle with no DISTINCT and no join-back. Range
@@ -87,7 +98,11 @@ object Ranking {
     * Persists the sorted frame (both passes read it); caller releases
     * via [[Dedup.releaseCaches]] after the terminal action. */
   def withDenseRank(df: DataFrame, keys: Seq[String],
-      rankName: String = "rank"): DataFrame = {
+      rankName: String = "rank"): DataFrame =
+    denseRank(df, keys, rankName).df
+
+  private[graft] def denseRank(df: DataFrame, keys: Seq[String],
+      rankName: String = "rank"): DenseRanked = {
     require(keys.nonEmpty, "dense rank needs at least one key column")
     val spark = df.sparkSession
     val n = spark.sessionState.conf.numShufflePartitions
@@ -132,7 +147,7 @@ object Ranking {
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (base + idx))
       }
     }
-    spark.createDataFrame(rows, outSchema)
+    DenseRanked(spark.createDataFrame(rows, outSchema), lastRank, sorted)
   }
 
   /** [[withGlobalRank]] plus an equal-frequency bucket column:

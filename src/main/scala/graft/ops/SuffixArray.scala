@@ -78,14 +78,18 @@ object SuffixArray {
   }
 
   /** (doc_id, widx, tok): the single-space token stream plus the
-    * per-doc sentinel at position m (stream length). */
+    * per-doc sentinel at position m (stream length). ONE corpus scan
+    * (r18): the sentinel token is appended to the token array BEFORE
+    * the posexplode, so positions come out 0..m consecutive per doc -
+    * identical rows to the old two-scan union form (explode of the
+    * tokens + a second scan for the sentinel row), at half the scan
+    * cost. */
   private[graft] def stream(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-        posexplode(split(col("text"), " ")).as(Seq("widx", "tok")))
+        posexplode(concat(split(col("text"), " "),
+          array(concat(lit("\u0001"), col("doc_id").cast("string")))))
+          .as(Seq("widx", "tok")))
       .select(col("doc_id"), col("widx").cast("long").as("widx"), col("tok"))
-      .unionByName(docs.select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("widx"),
-        concat(lit("\u0001"), col("doc_id").cast("string")).as("tok")))
 
   /** Suffix rank per (doc_id, widx) — 1..N over all corpus positions
     * (sentinels included), N = total stream length. */
@@ -122,67 +126,81 @@ object SuffixArray {
     * path) keeps the r14 in-memory behavior. */
   private[graft] def rankRounds(docs: DataFrame,
       spool: Option[String] = None): RankRounds = {
+    import org.apache.spark.sql.expressions.Window
     val st = Dedup.persistTracked(stream(docs))
-    val maxLen = st.groupBy("doc_id").agg(count(lit(1)).as("_m"))
-      .agg(max("_m")).collect()(0).getLong(0)
+    // ONE aggregate job for both corpus totals (r18 — was a maxLen agg
+    // plus a separate st.count()): maxLen = longest per-doc stream,
+    // total = Σ per-doc stream lengths = corpus positions
+    val mm = st.groupBy("doc_id").agg(count(lit(1)).as("_m"))
+      .agg(max("_m"), sum("_m")).collect()(0)
+    val maxLen = mm.getLong(0)
+    val total = mm.getLong(1)
     val rounds = roundsFor(maxLen)
     val spark = docs.sparkSession
-    // spool path: write the checkpointed frame now, hand the LIFT a
-    // leaf scan; the checkpoint itself stays live only for the next
-    // round's join
-    def emit(k: Int, f: DataFrame): DataFrame = spool match {
-      case Some(p) =>
-        f.write.mode("overwrite").parquet(s"$p/rk_$k")
-        spark.read.parquet(s"$p/rk_$k")
-      case None => f
-    }
+    // Per-round materialization (r18): in SPOOL mode the parquet write
+    // IS the materialization — the round frame is written straight to
+    // `dir/rk_k` and handed back as a leaf scan (the old path paid an
+    // eager localCheckpoint job AND the parquet write, materializing
+    // every round twice). The dense-rank pass's sorted-frame cache is
+    // freed the moment its parquet lands, so the build still holds
+    // ≤ 2 round frames in storage (the r15 memory cap). Non-spool
+    // callers keep the in-memory checkpoint.
+    def emit(k: Int, dr: Ranking.DenseRanked, out: DataFrame): DataFrame =
+      spool match {
+        case Some(p) =>
+          out.write.mode("overwrite").parquet(s"$p/rk_$k")
+          dr.sorted.unpersist(false)
+          spark.read.parquet(s"$p/rk_$k")
+        case None => Dedup.checkpointTracked(out)
+      }
     // dense rank of the token class directly on the stream — one range
-    // shuffle, no distinct/join-back (Ranking.withDenseRank; values
-    // identical to dense_rank(), so the oracle replay is untouched)
-    var ranks = Dedup.checkpointTracked(
-      Ranking.withDenseRank(st, Seq("tok"), "r")
-        .select(col("doc_id"), col("widx"), col("r")))
-    val frames = scala.collection.mutable.ArrayBuffer(emit(0, ranks))
-    val total = st.count()
+    // shuffle, no distinct/join-back (Ranking.denseRank; values
+    // identical to dense_rank(), so the oracle replay is untouched).
+    // The driver-side base cumsum already knows the distinct-class
+    // count, so the per-round `agg(max(r))` convergence job is gone
+    // (r18 — one full result scan per round saved).
+    val dr0 = Ranking.denseRank(st, Seq("tok"), "r")
+    var ranks = emit(0, dr0,
+      dr0.df.select(col("doc_id"), col("widx"), col("r")))
+    val frames = scala.collection.mutable.ArrayBuffer(ranks)
     // round-0 class count doubles as the INITIAL convergence check: a
     // corpus of all-distinct tokens used to run one full no-op round
     // before the post-round check could fire
-    val classes = scala.collection.mutable.ArrayBuffer(
-      ranks.agg(max("r")).collect()(0).getLong(0))
+    val classes = scala.collection.mutable.ArrayBuffer(dr0.classes)
     var step = 1L
     var converged = classes(0) == total
     var k = 0
+    val w = Window.partitionBy("doc_id").orderBy("widx")
     for (_ <- 1 to rounds if !converged) {
-      val shifted = ranks.select(col("doc_id"),
-        (col("widx") - step).as("widx"), col("r").as("_r2"))
-      val paired = ranks.join(shifted, Seq("doc_id", "widx"), "left")
-        .select(col("doc_id"), col("widx"), col("r").as("_r1"),
-          coalesce(col("_r2"), lit(0L)).as("_r2"))
-      val prev = ranks
+      // rank at widx+step via lead() over the per-doc position order:
+      // positions are 0..m consecutive per doc (stream construction),
+      // so `lead(r, step)` is row-for-row identical to the old
+      // self-join on (doc_id, widx+step) — one hash exchange on
+      // doc_id instead of shuffling BOTH join sides (r18). Partition
+      // sizes are per-doc (≤ maxLen+1), so the window never skews.
+      // lead's offset is an Int: step ≤ 2^ceil(log2 maxLen) < 2·maxLen,
+      // so this can only trip on a single document of > 2^30 tokens
+      require(step <= Int.MaxValue,
+        s"doubling step $step overflows lead()'s Int offset")
+      val paired = ranks.select(col("doc_id"), col("widx"),
+        col("r").as("_r1"),
+        lead(col("r"), step.toInt, 0L).over(w).as("_r2"))
       // dense rank of the (r1, r2) class directly on the paired frame
       // (one range shuffle vs the r13 distinct → rank → join-back)
-      ranks = Dedup.checkpointTracked(
-        Ranking.withDenseRank(paired, Seq("_r1", "_r2"), "_nr")
-          .select(col("doc_id"), col("widx"), col("_nr").as("r")))
+      val dr = Ranking.denseRank(paired, Seq("_r1", "_r2"), "_nr")
       k += 1
-      frames += emit(k, ranks)
-      // spool path: round k-1's checkpoint fed exactly one join and
-      // its parquet copy is already on disk — free the blocks now
-      if (spool.isDefined) Dedup.freeCheckpoint(prev)
+      ranks = emit(k, dr,
+        dr.df.select(col("doc_id"), col("widx"), col("_nr").as("r")))
+      frames += ranks
       // early stop: dense ranks are 1..max, so max == N ⇔ all ranks
-      // distinct ⇔ the suffix order is fully resolved (one cheap agg
-      // per round on the checkpointed frame buys back the tail rounds)
-      val c = ranks.agg(max("r")).collect()(0).getLong(0)
-      classes += c
-      converged = c == total
+      // distinct ⇔ the suffix order is fully resolved — the count
+      // comes free from the dense-rank driver cumsum
+      classes += dr.classes
+      converged = dr.classes == total
       step *= 2
     }
     lastRounds = frames.size - 1
-    // spool path: the final round's checkpoint has no further
-    // consumer either — callers get the parquet leaf scans
-    if (spool.isDefined) Dedup.freeCheckpoint(ranks)
-    val fin = if (spool.isDefined) frames.last else ranks
-    RankRounds(frames.toSeq, fin, classes.toSeq, total, maxLen)
+    RankRounds(frames.toSeq, frames.last, classes.toSeq, total, maxLen)
   }
 
   /** ExactSubstr's payoff query (Lee et al. 2022 §4): repeated token

@@ -253,11 +253,20 @@ object TimeSeries {
     val rAligned = rSel.select(
       Seq(col(keyCol), col(tsCol), col("_side"), col("_p")) ++
         leftOthers.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    // REVERSED running frame (r18): the direct form —
+    // first(ignoreNulls) over [currentRow, unboundedFollowing) under
+    // (ts ASC, side ASC) — is a SHRINKING frame, which Spark
+    // re-evaluates from the frame start for every row: O(n²) per key
+    // partition, a real hazard once one key holds millions of events.
+    // Sorting DESCENDING and taking the RUNNING last(ignoreNulls)
+    // visits the same rows in reverse, so "last non-null at or above
+    // me in descending order" ≡ "first non-null at or below me in
+    // ascending order" — row-identical output, one O(n) pass.
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol), col("_side"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .orderBy(col(tsCol).desc, col("_side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lSel.unionByName(rAligned)
-      .withColumn("_m", first(col("_p"), ignoreNulls = true).over(w))
+      .withColumn("_m", last(col("_p"), ignoreNulls = true).over(w))
       .filter(col("_side") === 0)
       .select((keyCol +: tsCol +: leftOthers).map(col) ++
         (asofTsName +: payload).map(f => col("_m").getField(f).as(f)): _*)

@@ -127,18 +127,27 @@ object CurationArtifacts {
         .join(hold.select(col("doc_id"), col("lang")), Seq("doc_id")),
       col("lang") === "en")
     // isotonic step extension materialized on the 4-dp score GRID
-    // (10001 rows) — pool-side lookups stay broadcast EQUI-joins
+    // (10001 rows) — pool-side lookups stay broadcast EQUI-joins.
+    // The below-the-smallest-knot prefix takes the WHOLE-partition
+    // first non-null fitted value, not a shrinking
+    // [currentRow, unboundedFollowing) frame: Spark re-evaluates a
+    // shrinking frame from its start for every row — O(n²) over the
+    // grid, measured 2.4 s of tx_clf_build's 8 s (r18) — while the
+    // whole-partition frame is computed once (O(n)). Identical
+    // values: the following-first is only ever consulted where ALL
+    // preceding fitted are null (the prefix below the first knot),
+    // and there it equals the partition-wide first non-null.
     val iso4 = iso.select(
       round(col("score") * 10000).cast("long").as("s4"), col("fitted"))
     val wDown = Window.orderBy("s4")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wUp = Window.orderBy("s4")
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wAll = Window.orderBy("s4")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val calGrid = spark.range(0, 10001).select(col("id").as("s4"))
       .join(iso4, Seq("s4"), "left")
       .select(col("s4"), coalesce(
         last(col("fitted"), ignoreNulls = true).over(wDown),
-        first(col("fitted"), ignoreNulls = true).over(wUp))
+        first(col("fitted"), ignoreNulls = true).over(wAll))
         .as("calibrated"))
     Map("model" -> TextAnalysis.clfModelFrame(spark, model),
       "grid" -> calGrid)

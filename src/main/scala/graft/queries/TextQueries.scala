@@ -2651,7 +2651,11 @@ object TextQueries {
     def pairCol(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       concat(curation6PairSegs.flatMap(seg =>
         Seq(lit(seg), id.cast("string"))): _*)
-    docs(spark, dir).select(col("doc_id"), col("source"),
+    // spread BEFORE the plant projections (r18): the planted-text
+    // concat battery otherwise runs inside the single-split scan task
+    // (the downstream spreadById exchange map), serializing the
+    // chain's first CPU stage on one core
+    QueryUtil.spreadById(docs(spark, dir)).select(col("doc_id"), col("source"),
       when(col("doc_id") % 19 === 4, lit("all rights reserved."))
         .when(col("doc_id") % 23 === 6, pairCol(col("doc_id")))
         .when(col("doc_id") % 23 === 7, pairCol(col("doc_id") - 1))
@@ -2705,8 +2709,10 @@ object TextQueries {
     // crawlFrontGates transform the streaming front half also uses.
     // spreadById before each regex/tokenize-heavy narrow stage — see
     // [[QueryUtil.spreadById]] (single-task checkpoint fix, r10)
+    // planted is already spread by doc_id (inside curation6Planted),
+    // so the gates run wide without a second exchange here (r18)
     val enc = Dedup.checkpointTracked(
-      TextAnalysis.crawlFrontGates(QueryUtil.spreadById(planted)))
+      TextAnalysis.crawlFrontGates(planted))
     val cleaned = Dedup.checkpointTracked(
       Dedup.lineDedup(enc, maxOccurrences = 2)
         .filter(length(col("clean_text")) > 0)
@@ -3930,7 +3936,7 @@ object TextQueries {
     * exercised in MultimodalSpec, which also pins the Column mirror
     * used here against the Scala dispatch). */
   def mediaMeta(spark: SparkSession, dir: String): DataFrame =
-    graft.ops.Multimodal.withSyntheticMedia(docs(spark, dir))
+    graft.ops.Multimodal.withSyntheticMedia(QueryUtil.spreadById(docs(spark, dir)))
       .select(col("media_id"), col("meta.mime").as("mime"),
         col("meta.byte_len").as("byte_len"),
         // MUST agree with Multimodal.chunked's layout: ceil, floored at
@@ -3958,7 +3964,7 @@ object TextQueries {
     * layout from byte lengths. */
   def mediaChunks(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Multimodal.chunked(
-        graft.ops.Multimodal.withSyntheticMedia(docs(spark, dir)),
+        graft.ops.Multimodal.withSyntheticMedia(QueryUtil.spreadById(docs(spark, dir))),
         chunkBytes = 256)
       .select("media_id", "chunk_idx", "chunk_len")
       .transform(QueryUtil.ordered("media_id", "chunk_idx"))
@@ -3990,6 +3996,7 @@ object TextQueries {
     val media = docs(spark, dir)
       .select(col("doc_id").as("media_id"),
         (col("doc_id") % 8 + 1).as("orient"))
+      .transform(QueryUtil.spreadById(_, "media_id"))
       .join(broadcast(fixtures), "orient")
       .select(col("media_id"), col("payload"),
         struct(lit("image/jpeg").as("mime"),
@@ -4026,6 +4033,7 @@ object TextQueries {
       .toDF("slot", "payload")
     val media = docs(spark, dir)
       .select(col("doc_id").as("media_id"), (col("doc_id") % 8).as("slot"))
+      .transform(QueryUtil.spreadById(_, "media_id"))
       .join(broadcast(fixtures), "slot")
       .select(col("media_id"), col("payload"))
     graft.ops.Multimodal.tarMembers(media).toDF()
@@ -4055,6 +4063,7 @@ object TextQueries {
       .toDF("slot", "payload")
     val media = docs(spark, dir)
       .select(col("doc_id").as("media_id"), (col("doc_id") % 8).as("slot"))
+      .transform(QueryUtil.spreadById(_, "media_id"))
       .join(broadcast(fixtures), "slot")
       .select(col("media_id"), col("payload"))
     graft.ops.Multimodal.keyframeIndex(media).toDF()
@@ -4077,6 +4086,7 @@ object TextQueries {
       .toDF("slot", "payload")
     val media = docs(spark, dir)
       .select(col("doc_id").as("media_id"), (col("doc_id") % 8).as("slot"))
+      .transform(QueryUtil.spreadById(_, "media_id"))
       .join(broadcast(fixtures), "slot")
       .select(col("media_id"), col("payload"))
     graft.ops.Multimodal.spsIndex(media).toDF()
@@ -4106,6 +4116,7 @@ object TextQueries {
       .toDF("slot", "payload")
     val media = docs(spark, dir)
       .select(col("doc_id").as("media_id"), (col("doc_id") % 8).as("slot"))
+      .transform(QueryUtil.spreadById(_, "media_id"))
       .join(broadcast(fixtures), "slot")
       .select(col("media_id"), col("payload"))
     graft.ops.Multimodal.frameTypeIndex(media).toDF()
@@ -4160,6 +4171,7 @@ object TextQueries {
       .toDF("slot", "payload")
     val media = docs(spark, dir)
       .select(col("doc_id").as("media_id"), (col("doc_id") % 8).as("slot"))
+      .transform(QueryUtil.spreadById(_, "media_id"))
       .join(broadcast(fixtures), "slot")
       .select(col("media_id"), col("payload"))
     graft.ops.Multimodal.frameTypeIndex(media).toDF()
@@ -4221,6 +4233,7 @@ object TextQueries {
       .toDF("slot", "payload")
     val media = docs(spark, dir)
       .select(col("doc_id").as("media_id"), (col("doc_id") % 8).as("slot"))
+      .transform(QueryUtil.spreadById(_, "media_id"))
       .join(broadcast(fixtures), "slot")
       .select(col("media_id"), col("payload"))
     graft.ops.Multimodal.fragmentIndex(media).toDF()
@@ -4303,6 +4316,7 @@ object TextQueries {
       .toDF("slot", "payload")
     val media = docs(spark, dir)
       .select(col("doc_id").as("media_id"), (col("doc_id") % 8).as("slot"))
+      .transform(QueryUtil.spreadById(_, "media_id"))
       .join(broadcast(fixtures), "slot")
       .select(col("media_id"), col("payload"))
     graft.ops.Multimodal.webmIndex(media).toDF()
@@ -4363,6 +4377,7 @@ object TextQueries {
       .toDF("slot", "payload")
     val media = docs(spark, dir)
       .select(col("doc_id").as("media_id"), (col("doc_id") % 8).as("slot"))
+      .transform(QueryUtil.spreadById(_, "media_id"))
       .join(broadcast(fixtures), "slot")
       .select(col("media_id"), col("payload"))
     graft.ops.Multimodal.webmIndex(media).toDF()
@@ -4388,6 +4403,7 @@ object TextQueries {
       .toDF("slot", "payload")
     val media = docs(spark, dir)
       .select(col("doc_id").as("media_id"), (col("doc_id") % 8).as("slot"))
+      .transform(QueryUtil.spreadById(_, "media_id"))
       .join(broadcast(fixtures), "slot")
       .select(col("media_id"), col("payload"))
     graft.ops.Multimodal.webmIndex(media).toDF()
@@ -4416,6 +4432,7 @@ object TextQueries {
       .toDF("slot", "payload")
     val media = docs(spark, dir)
       .select(col("doc_id").as("media_id"), (col("doc_id") % 8).as("slot"))
+      .transform(QueryUtil.spreadById(_, "media_id"))
       .join(broadcast(fixtures), "slot")
       .select(col("media_id"), col("payload"))
     graft.ops.Multimodal.trackTimelineIndex(media).toDF()
@@ -4472,6 +4489,7 @@ object TextQueries {
       .toDF("slot", "payload")
     val media = docs(spark, dir)
       .select(col("doc_id").as("media_id"), (col("doc_id") % 8).as("slot"))
+      .transform(QueryUtil.spreadById(_, "media_id"))
       .join(broadcast(fixtures), "slot")
       .select(col("media_id"), col("payload"))
     graft.ops.Multimodal.webmCuesIndex(media).toDF()
@@ -4566,6 +4584,7 @@ object TextQueries {
       .toDF("slot", "payload")
     val media = docs(spark, dir)
       .select(col("doc_id").as("media_id"), (col("doc_id") % 8).as("slot"))
+      .transform(QueryUtil.spreadById(_, "media_id"))
       .join(broadcast(fixtures), "slot")
       .select(col("media_id"), col("payload"))
     graft.ops.Multimodal.webmIndex(media).toDF()
@@ -4628,6 +4647,7 @@ object TextQueries {
       .toDF("slot", "payload")
     val media = docs(spark, dir)
       .select(col("doc_id").as("media_id"), (col("doc_id") % 8).as("slot"))
+      .transform(QueryUtil.spreadById(_, "media_id"))
       .join(broadcast(fixtures), "slot")
       .select(col("media_id"), col("payload"))
     graft.ops.Multimodal.timelineIndex(media).toDF()
@@ -4657,6 +4677,7 @@ object TextQueries {
       .toDF("slot", "payload")
     val media = docs(spark, dir)
       .select(col("doc_id").as("media_id"), (col("doc_id") % 8).as("slot"))
+      .transform(QueryUtil.spreadById(_, "media_id"))
       .join(broadcast(fixtures), "slot")
       .select(col("media_id"), col("payload"))
     graft.ops.Multimodal.timelineIndex(media).toDF()
@@ -4839,6 +4860,7 @@ object TextQueries {
       .toDF("slot", "payload")
     val media = docs(spark, dir)
       .select(col("doc_id").as("media_id"), (col("doc_id") % 8).as("slot"))
+      .transform(QueryUtil.spreadById(_, "media_id"))
       .join(broadcast(fixtures), "slot")
       .select(col("media_id"), col("payload"))
     graft.ops.Multimodal.tarMembers(media).toDF()
@@ -4900,6 +4922,7 @@ object TextQueries {
       .toDF("slot", "payload")
     val media = docs(spark, dir)
       .select(col("doc_id").as("media_id"), (col("doc_id") % 8).as("slot"))
+      .transform(QueryUtil.spreadById(_, "media_id"))
       .join(broadcast(fixtures), "slot")
       .select(col("media_id"), col("payload"))
     graft.ops.Multimodal.tgzMembers(media).toDF()
@@ -4914,6 +4937,7 @@ object TextQueries {
       .toDF("slot", "payload")
     val media = docs(spark, dir)
       .select(col("doc_id").as("media_id"), (col("doc_id") % 8).as("slot"))
+      .transform(QueryUtil.spreadById(_, "media_id"))
       .join(broadcast(fixtures), "slot")
       .select(col("media_id"), col("payload"))
     graft.ops.Multimodal.tgzMembers(media).toDF()
@@ -4935,6 +4959,7 @@ object TextQueries {
       .toDF("slot", "payload")
     val media = docs(spark, dir)
       .select(col("doc_id").as("media_id"), (col("doc_id") % 8).as("slot"))
+      .transform(QueryUtil.spreadById(_, "media_id"))
       .join(broadcast(fixtures), "slot")
       .select(col("media_id"), col("payload"))
     graft.ops.Multimodal.zipMembers(media).toDF()
@@ -4957,6 +4982,7 @@ object TextQueries {
       .toDF("slot", "payload")
     val media = docs(spark, dir)
       .select(col("doc_id").as("media_id"), (col("doc_id") % 8).as("slot"))
+      .transform(QueryUtil.spreadById(_, "media_id"))
       .join(broadcast(fixtures), "slot")
       .select(col("media_id"), col("payload"))
     graft.ops.Multimodal.zipMembers(media).toDF()
@@ -4996,6 +5022,7 @@ object TextQueries {
       .toDF("slot", "mime", "payload")
     val media = docs(spark, dir)
       .select(col("doc_id").as("media_id"), (col("doc_id") % 12).as("slot"))
+      .transform(QueryUtil.spreadById(_, "media_id"))
       .join(broadcast(fixtures), "slot")
       .select(col("media_id"), col("payload"),
         struct(col("mime"),
@@ -5043,6 +5070,7 @@ object TextQueries {
       .toDF("slot", "payload")
     val media = docs(spark, dir)
       .select(col("doc_id").as("media_id"), (col("doc_id") % 2).as("slot"))
+      .transform(QueryUtil.spreadById(_, "media_id"))
       .join(broadcast(fixtures), "slot")
       .select(col("media_id"), col("payload"),
         struct(lit("video/mp4").as("mime"),
@@ -5085,6 +5113,7 @@ object TextQueries {
       .toDF("slot", "payload")
     val media = docs(spark, dir)
       .select(col("doc_id").as("media_id"), (col("doc_id") % 3).as("slot"))
+      .transform(QueryUtil.spreadById(_, "media_id"))
       .join(broadcast(fixtures), "slot")
       .select(col("media_id"), col("payload"),
         struct(lit("image/gif").as("mime"),
@@ -5126,6 +5155,7 @@ object TextQueries {
       .toDF("slot", "payload", "mime")
     val media = docs(spark, dir)
       .select(col("doc_id").as("media_id"), (col("doc_id") % 4).as("slot"))
+      .transform(QueryUtil.spreadById(_, "media_id"))
       .join(broadcast(fixtures), "slot")
       .select(col("media_id"), col("payload"),
         struct(col("mime"),
@@ -5202,6 +5232,7 @@ object TextQueries {
       .toDF("slot", "payload")
     val media = docs(spark, dir)
       .select(col("doc_id").as("media_id"), (col("doc_id") % 3).as("slot"))
+      .transform(QueryUtil.spreadById(_, "media_id"))
       .join(broadcast(fixtures), "slot")
       .select(col("media_id"), col("payload"),
         struct(lit("audio/wav").as("mime"),

@@ -493,8 +493,12 @@ class PlanSpec extends SparkSpec {
     val p = plan("mm_gop")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       s"fixture join must broadcast:\n$p")
-    assert(countOf(p, "Exchange hashpartitioning") == 1,
-      s"exactly one narrow agg shuffle expected:\n$p")
+    // two narrow hash exchanges: the pre-join doc_id spread (r18 —
+    // parallelizes the per-partition slice walk; carries only
+    // (media_id, slot), BEFORE the payload is attached) and the
+    // media_id aggregation of the audit rows
+    assert(countOf(p, "Exchange hashpartitioning") == 2,
+      s"the doc spread and the narrow agg shuffle expected:\n$p")
     assert(!p.linesIterator.filter(_.contains("Exchange"))
         .exists(_.contains("payload")),
       s"payload bytes must never shuffle:\n$p")
