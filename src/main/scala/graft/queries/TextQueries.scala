@@ -3936,7 +3936,7 @@ object TextQueries {
     * exercised in MultimodalSpec, which also pins the Column mirror
     * used here against the Scala dispatch). */
   def mediaMeta(spark: SparkSession, dir: String): DataFrame =
-    graft.ops.Multimodal.withSyntheticMedia(QueryUtil.spreadById(docs(spark, dir)))
+    graft.ops.Multimodal.withSyntheticMedia(docs(spark, dir))
       .select(col("media_id"), col("meta.mime").as("mime"),
         col("meta.byte_len").as("byte_len"),
         // MUST agree with Multimodal.chunked's layout: ceil, floored at
@@ -3964,7 +3964,7 @@ object TextQueries {
     * layout from byte lengths. */
   def mediaChunks(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Multimodal.chunked(
-        graft.ops.Multimodal.withSyntheticMedia(QueryUtil.spreadById(docs(spark, dir))),
+        graft.ops.Multimodal.withSyntheticMedia(docs(spark, dir)),
         chunkBytes = 256)
       .select("media_id", "chunk_idx", "chunk_len")
       .transform(QueryUtil.ordered("media_id", "chunk_idx"))
@@ -4033,7 +4033,6 @@ object TextQueries {
       .toDF("slot", "payload")
     val media = docs(spark, dir)
       .select(col("doc_id").as("media_id"), (col("doc_id") % 8).as("slot"))
-      .transform(QueryUtil.spreadById(_, "media_id"))
       .join(broadcast(fixtures), "slot")
       .select(col("media_id"), col("payload"))
     graft.ops.Multimodal.tarMembers(media).toDF()
@@ -4063,7 +4062,6 @@ object TextQueries {
       .toDF("slot", "payload")
     val media = docs(spark, dir)
       .select(col("doc_id").as("media_id"), (col("doc_id") % 8).as("slot"))
-      .transform(QueryUtil.spreadById(_, "media_id"))
       .join(broadcast(fixtures), "slot")
       .select(col("media_id"), col("payload"))
     graft.ops.Multimodal.keyframeIndex(media).toDF()
@@ -4086,7 +4084,6 @@ object TextQueries {
       .toDF("slot", "payload")
     val media = docs(spark, dir)
       .select(col("doc_id").as("media_id"), (col("doc_id") % 8).as("slot"))
-      .transform(QueryUtil.spreadById(_, "media_id"))
       .join(broadcast(fixtures), "slot")
       .select(col("media_id"), col("payload"))
     graft.ops.Multimodal.spsIndex(media).toDF()
@@ -4116,7 +4113,6 @@ object TextQueries {
       .toDF("slot", "payload")
     val media = docs(spark, dir)
       .select(col("doc_id").as("media_id"), (col("doc_id") % 8).as("slot"))
-      .transform(QueryUtil.spreadById(_, "media_id"))
       .join(broadcast(fixtures), "slot")
       .select(col("media_id"), col("payload"))
     graft.ops.Multimodal.frameTypeIndex(media).toDF()
@@ -4171,7 +4167,6 @@ object TextQueries {
       .toDF("slot", "payload")
     val media = docs(spark, dir)
       .select(col("doc_id").as("media_id"), (col("doc_id") % 8).as("slot"))
-      .transform(QueryUtil.spreadById(_, "media_id"))
       .join(broadcast(fixtures), "slot")
       .select(col("media_id"), col("payload"))
     graft.ops.Multimodal.frameTypeIndex(media).toDF()
@@ -4233,7 +4228,6 @@ object TextQueries {
       .toDF("slot", "payload")
     val media = docs(spark, dir)
       .select(col("doc_id").as("media_id"), (col("doc_id") % 8).as("slot"))
-      .transform(QueryUtil.spreadById(_, "media_id"))
       .join(broadcast(fixtures), "slot")
       .select(col("media_id"), col("payload"))
     graft.ops.Multimodal.fragmentIndex(media).toDF()
@@ -4316,7 +4310,6 @@ object TextQueries {
       .toDF("slot", "payload")
     val media = docs(spark, dir)
       .select(col("doc_id").as("media_id"), (col("doc_id") % 8).as("slot"))
-      .transform(QueryUtil.spreadById(_, "media_id"))
       .join(broadcast(fixtures), "slot")
       .select(col("media_id"), col("payload"))
     graft.ops.Multimodal.webmIndex(media).toDF()
@@ -4377,7 +4370,6 @@ object TextQueries {
       .toDF("slot", "payload")
     val media = docs(spark, dir)
       .select(col("doc_id").as("media_id"), (col("doc_id") % 8).as("slot"))
-      .transform(QueryUtil.spreadById(_, "media_id"))
       .join(broadcast(fixtures), "slot")
       .select(col("media_id"), col("payload"))
     graft.ops.Multimodal.webmIndex(media).toDF()
@@ -4403,7 +4395,6 @@ object TextQueries {
       .toDF("slot", "payload")
     val media = docs(spark, dir)
       .select(col("doc_id").as("media_id"), (col("doc_id") % 8).as("slot"))
-      .transform(QueryUtil.spreadById(_, "media_id"))
       .join(broadcast(fixtures), "slot")
       .select(col("media_id"), col("payload"))
     graft.ops.Multimodal.webmIndex(media).toDF()
@@ -4432,7 +4423,6 @@ object TextQueries {
       .toDF("slot", "payload")
     val media = docs(spark, dir)
       .select(col("doc_id").as("media_id"), (col("doc_id") % 8).as("slot"))
-      .transform(QueryUtil.spreadById(_, "media_id"))
       .join(broadcast(fixtures), "slot")
       .select(col("media_id"), col("payload"))
     graft.ops.Multimodal.trackTimelineIndex(media).toDF()
@@ -4489,7 +4479,6 @@ object TextQueries {
       .toDF("slot", "payload")
     val media = docs(spark, dir)
       .select(col("doc_id").as("media_id"), (col("doc_id") % 8).as("slot"))
-      .transform(QueryUtil.spreadById(_, "media_id"))
       .join(broadcast(fixtures), "slot")
       .select(col("media_id"), col("payload"))
     graft.ops.Multimodal.webmCuesIndex(media).toDF()
@@ -4584,7 +4573,6 @@ object TextQueries {
       .toDF("slot", "payload")
     val media = docs(spark, dir)
       .select(col("doc_id").as("media_id"), (col("doc_id") % 8).as("slot"))
-      .transform(QueryUtil.spreadById(_, "media_id"))
       .join(broadcast(fixtures), "slot")
       .select(col("media_id"), col("payload"))
     graft.ops.Multimodal.webmIndex(media).toDF()
@@ -4647,7 +4635,6 @@ object TextQueries {
       .toDF("slot", "payload")
     val media = docs(spark, dir)
       .select(col("doc_id").as("media_id"), (col("doc_id") % 8).as("slot"))
-      .transform(QueryUtil.spreadById(_, "media_id"))
       .join(broadcast(fixtures), "slot")
       .select(col("media_id"), col("payload"))
     graft.ops.Multimodal.timelineIndex(media).toDF()
@@ -4677,7 +4664,6 @@ object TextQueries {
       .toDF("slot", "payload")
     val media = docs(spark, dir)
       .select(col("doc_id").as("media_id"), (col("doc_id") % 8).as("slot"))
-      .transform(QueryUtil.spreadById(_, "media_id"))
       .join(broadcast(fixtures), "slot")
       .select(col("media_id"), col("payload"))
     graft.ops.Multimodal.timelineIndex(media).toDF()
@@ -4860,7 +4846,6 @@ object TextQueries {
       .toDF("slot", "payload")
     val media = docs(spark, dir)
       .select(col("doc_id").as("media_id"), (col("doc_id") % 8).as("slot"))
-      .transform(QueryUtil.spreadById(_, "media_id"))
       .join(broadcast(fixtures), "slot")
       .select(col("media_id"), col("payload"))
     graft.ops.Multimodal.tarMembers(media).toDF()
@@ -4922,7 +4907,6 @@ object TextQueries {
       .toDF("slot", "payload")
     val media = docs(spark, dir)
       .select(col("doc_id").as("media_id"), (col("doc_id") % 8).as("slot"))
-      .transform(QueryUtil.spreadById(_, "media_id"))
       .join(broadcast(fixtures), "slot")
       .select(col("media_id"), col("payload"))
     graft.ops.Multimodal.tgzMembers(media).toDF()
@@ -4937,7 +4921,6 @@ object TextQueries {
       .toDF("slot", "payload")
     val media = docs(spark, dir)
       .select(col("doc_id").as("media_id"), (col("doc_id") % 8).as("slot"))
-      .transform(QueryUtil.spreadById(_, "media_id"))
       .join(broadcast(fixtures), "slot")
       .select(col("media_id"), col("payload"))
     graft.ops.Multimodal.tgzMembers(media).toDF()
@@ -4959,7 +4942,6 @@ object TextQueries {
       .toDF("slot", "payload")
     val media = docs(spark, dir)
       .select(col("doc_id").as("media_id"), (col("doc_id") % 8).as("slot"))
-      .transform(QueryUtil.spreadById(_, "media_id"))
       .join(broadcast(fixtures), "slot")
       .select(col("media_id"), col("payload"))
     graft.ops.Multimodal.zipMembers(media).toDF()
@@ -4982,7 +4964,6 @@ object TextQueries {
       .toDF("slot", "payload")
     val media = docs(spark, dir)
       .select(col("doc_id").as("media_id"), (col("doc_id") % 8).as("slot"))
-      .transform(QueryUtil.spreadById(_, "media_id"))
       .join(broadcast(fixtures), "slot")
       .select(col("media_id"), col("payload"))
     graft.ops.Multimodal.zipMembers(media).toDF()
@@ -5113,7 +5094,6 @@ object TextQueries {
       .toDF("slot", "payload")
     val media = docs(spark, dir)
       .select(col("doc_id").as("media_id"), (col("doc_id") % 3).as("slot"))
-      .transform(QueryUtil.spreadById(_, "media_id"))
       .join(broadcast(fixtures), "slot")
       .select(col("media_id"), col("payload"),
         struct(lit("image/gif").as("mime"),
