@@ -510,6 +510,34 @@ object Bench {
       }.mkString("[", ",", "]")
       s"""{"runs":$runsJson,"gc_sec":${numMap(gcRuns)},"load_1m":${numMap(loadRuns)},"load_ambient":${numMap(ambientRuns)},"load_flagged":${numMap(loadFlagged)},"discarded":$discJson,"discard_reason":$discReasonJson,"errors":$errJson,"quiet_ref":$refJson,"sf":"$sfDir","partial":$partial,"truncated":$truncated,"elapsed_sec":$el,"quiet":$quiet,"quiet_ref_total":$quietRefJson,"band_flagged":$bandJson,"queries":$qs,"metric":"total","value":$total,"unit":"sec"}"""
     }
+    /** COMPACT final stdout line (r19, verdict r18 #2): the full
+      * telemetry record (runs/gc/load per query) outgrew the 2000-char
+      * stdout tail the driver stores per round — BENCH_r17 became
+      * unrecoverable (`parsed:null`) exactly this way, which blacked
+      * out the r17→r18 per-query comparison. The full record still
+      * lands in `bench_result.json` and `docs/bench_history.jsonl`
+      * (every consumer of runs/telemetry reads those files); stdout's
+      * LAST line now carries only the driver-contract keys — queries
+      * medians, sf, quiet/truncated flags, metric/value/unit — so a
+      * tail-based consumer can always reparse the headline numbers.
+      * Seconds are rounded to 1e-6 (≈ the timer's noise floor) to keep
+      * the line as short as the contract allows. Measurement
+      * methodology is UNCHANGED — this is record formatting only. */
+    def renderCompact(): String = {
+      def r6(v: Double): Double = math.rint(v * 1e6) / 1e6
+      val results = recs.map { case (n, r) => n -> medianOf(r.map(_._1)) }.toSeq
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + r6(v) }
+        .mkString("{", ",", "}")
+      val loadFlagged = recs.collect {
+        case (n, r) if flaggedOf(r).nonEmpty => n -> flaggedOf(r) }
+      val quiet = loadFlagged.isEmpty
+      val bandJson = results.collect { case (k, v)
+        if v >= 0 && lineRefs.get(k).exists(r => r > 0 && v > 2 * r) =>
+          jstr(k)
+      }.mkString("[", ",", "]")
+      val total = r6(results.map(_._2).filter(_ >= 0).sum)
+      s"""{"sf":"$sfDir","quiet":$quiet,"truncated":$truncated,"band_flagged":$bandJson,"queries":$qs,"metric":"total","value":$total,"unit":"sec"}"""
+    }
     /** Rewrite bench_result.json via temp-file + rename so a kill
       * mid-write can never leave a torn record (r17 #1a). */
     def writeRecord(partial: Boolean): String = {
@@ -651,8 +679,10 @@ object Bench {
     val line = writeRecord(partial = false)
     appendHistory(line, sfDir)
     spark.stop()
-    // after stop() so no executor/shutdown log line can interleave
-    println(line)
+    // after stop() so no executor/shutdown log line can interleave;
+    // COMPACT line on stdout (see renderCompact) — the full telemetry
+    // record is in bench_result.json and docs/bench_history.jsonl
+    println(renderCompact())
   }
 
   /** Append this run's full per-line record to the committed

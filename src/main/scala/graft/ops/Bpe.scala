@@ -119,6 +119,11 @@ object Bpe {
         r += 1
       }
     }
+    // r19 (ADVICE r18): never return an unmaterialized replace chain —
+    // a caller running multiple actions on the returned frame would
+    // re-execute up to MergeCheckpointEvery-1 chained replaces (and
+    // the upstream plan) per action. One checkpoint job at most.
+    if (chained > 0) vocab = Dedup.checkpointTracked(vocab)
     (merges.result(), vocab)
   }
 

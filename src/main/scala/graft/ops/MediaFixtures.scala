@@ -19,6 +19,15 @@ package graft.ops
   */
 object MediaFixtures {
 
+  // Same deliberate JVM-global as [[Multimodal]]'s object init (r19,
+  // ADVICE r18): every ImageIO-using object sets it, so the in-memory
+  // stream cache holds no matter which object's class initializes
+  // first on an executor — the setting is deterministic instead of
+  // class-init-order dependent. All payloads here are in-memory byte
+  // arrays; the default FILE-backed cache serializes parallel
+  // encodes/decodes on temp-file churn (measured r18, Multimodal).
+  javax.imageio.ImageIO.setUseCache(false)
+
   private def be32(v: Long): Array[Byte] = Array(
     ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
     ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)

@@ -77,6 +77,36 @@ object SuffixArray {
     r
   }
 
+  /** Window-partition width for the doubling rounds' segmented lead
+    * (r19, verdict r18 #1): the r18 `lead() over (partition by
+    * doc_id)` put a document's WHOLE stream in one window task per
+    * round, so a single multi-hundred-MB document would serialize
+    * log(maxLen) rounds on one core. Positions now chunk into
+    * fixed-width blocks — window partitions are (doc_id, chunk),
+    * ≤ chunkWidth + step ≤ 2·chunkWidth rows each — and the straggler
+    * bound is the CHUNK, not the longest doc. Scale-parameterised
+    * (`spark.graft.suffix.chunkWidth`); the default bounds a window
+    * task at ~2·2^16 positions regardless of document length. Rounds
+    * whose step exceeds the chunk width (only reachable past a
+    * 2^16-token doc) fall back to the pre-r18 self-join keyed
+    * (doc_id, widx) — fully sharded, skew-free, just one more
+    * exchange for those log(maxLen/chunkWidth) late rounds. */
+  private[graft] val DefaultChunkWidth = 1L << 16
+
+  private def chunkWidth(docs: DataFrame): Long = {
+    val v = docs.sparkSession.conf
+      .get("spark.graft.suffix.chunkWidth", DefaultChunkWidth.toString)
+    // upper bound: lead()'s offset is an Int, and steps ≤ chunk width
+    // ride the lead path — a wider chunk would overflow the offset
+    val p = scala.util.Try(v.toLong).toOption
+      .filter(w => w > 0 && w <= Int.MaxValue)
+    p.getOrElse {
+      System.err.println(
+        s"[suffix] ignoring invalid spark.graft.suffix.chunkWidth='$v'")
+      DefaultChunkWidth
+    }
+  }
+
   /** (doc_id, widx, tok): the single-space token stream plus the
     * per-doc sentinel at position m (stream length). ONE corpus scan
     * (r18): the sentinel token is appended to the token array BEFORE
@@ -126,7 +156,6 @@ object SuffixArray {
     * path) keeps the r14 in-memory behavior. */
   private[graft] def rankRounds(docs: DataFrame,
       spool: Option[String] = None): RankRounds = {
-    import org.apache.spark.sql.expressions.Window
     val st = Dedup.persistTracked(stream(docs))
     // ONE aggregate job for both corpus totals (r18 — was a maxLen agg
     // plus a separate st.count()): maxLen = longest per-doc stream,
@@ -170,21 +199,9 @@ object SuffixArray {
     var step = 1L
     var converged = classes(0) == total
     var k = 0
-    val w = Window.partitionBy("doc_id").orderBy("widx")
+    val cw = chunkWidth(docs)
     for (_ <- 1 to rounds if !converged) {
-      // rank at widx+step via lead() over the per-doc position order:
-      // positions are 0..m consecutive per doc (stream construction),
-      // so `lead(r, step)` is row-for-row identical to the old
-      // self-join on (doc_id, widx+step) — one hash exchange on
-      // doc_id instead of shuffling BOTH join sides (r18). Partition
-      // sizes are per-doc (≤ maxLen+1), so the window never skews.
-      // lead's offset is an Int: step ≤ 2^ceil(log2 maxLen) < 2·maxLen,
-      // so this can only trip on a single document of > 2^30 tokens
-      require(step <= Int.MaxValue,
-        s"doubling step $step overflows lead()'s Int offset")
-      val paired = ranks.select(col("doc_id"), col("widx"),
-        col("r").as("_r1"),
-        lead(col("r"), step.toInt, 0L).over(w).as("_r2"))
+      val paired = shiftRanks(ranks, step, cw)
       // dense rank of the (r1, r2) class directly on the paired frame
       // (one range shuffle vs the r13 distinct → rank → join-back)
       val dr = Ranking.denseRank(paired, Seq("_r1", "_r2"), "_nr")
@@ -201,6 +218,53 @@ object SuffixArray {
     }
     lastRounds = frames.size - 1
     RankRounds(frames.toSeq, frames.last, classes.toSeq, total, maxLen)
+  }
+
+  /** One doubling round's pairing: (doc_id, widx, _r1 = rank at widx,
+    * _r2 = rank at widx+step, 0 past the doc end). Positions are 0..m
+    * consecutive per doc (stream construction), so the rank at
+    * widx+step is a lead(step) over the per-doc position order — one
+    * hash exchange instead of shuffling BOTH sides of the old
+    * self-join (r18). r19 de-skews the window: partitions are
+    * (doc_id, chunk = widx DIV cw), and every row whose position sits
+    * within `step` of its chunk head ALSO ships a patch copy to the
+    * previous chunk (explode of a 1- or 2-element target list — still
+    * the one exchange), so lead(step) stays intra-partition: a native
+    * row at widx sees consecutive positions up to
+    * (chunk+1)·cw + step − 1 ≥ widx + step in its partition, and rows
+    * past the doc end hit lead's 0 default exactly as before (a patch
+    * row's own lead is garbage and is filtered with it). Window tasks
+    * are bounded by cw + step ≤ 2·cw rows regardless of document
+    * length — the r18 form serialized a giant doc's whole stream on
+    * one task per round. Steps wider than a chunk (only reachable
+    * past a cw-token document) fall back to the self-join keyed
+    * (doc_id, widx), which shards a document across the hash space
+    * (the pre-r18 shape; two exchanges, no skew, and no Int-offset
+    * limit on step). */
+  private[graft] def shiftRanks(ranks: DataFrame, step: Long,
+      cw: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    if (step <= cw) {
+      val wc = Window.partitionBy("doc_id", "_tc").orderBy("widx")
+      ranks
+        .withColumn("_c", expr(s"widx DIV $cw"))
+        .select(col("doc_id"), col("widx"), col("r"), col("_c"),
+          explode(when(col("_c") > 0 && col("widx") % cw < step,
+              array(col("_c"), col("_c") - 1L))
+            .otherwise(array(col("_c")))).as("_tc"))
+        .select(col("doc_id"), col("widx"), col("_c"), col("_tc"),
+          col("r").as("_r1"),
+          lead(col("r"), step.toInt, 0L).over(wc).as("_r2"))
+        .where(col("_tc") === col("_c"))
+        .select(col("doc_id"), col("widx"), col("_r1"), col("_r2"))
+    } else {
+      ranks.select(col("doc_id"), col("widx"), col("r").as("_r1"))
+        .join(ranks.select(col("doc_id"),
+            (col("widx") - step).as("widx"), col("r").as("_r2")),
+          Seq("doc_id", "widx"), "left")
+        .select(col("doc_id"), col("widx"), col("_r1"),
+          coalesce(col("_r2"), lit(0L)).as("_r2"))
+    }
   }
 
   /** ExactSubstr's payoff query (Lee et al. 2022 §4): repeated token

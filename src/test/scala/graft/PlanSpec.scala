@@ -485,6 +485,31 @@ class PlanSpec extends SparkSpec {
       s"the stream side must never build:\n$p")
   }
 
+  test("suffix doubling round: the lead window partitions by (doc_id, chunk); wide steps fall back to the sharded join") {
+    // r19 de-skew pin (verdict r18 #1): the r18 lead() windowed by
+    // doc_id ALONE, so one giant document ran each round on a single
+    // task. The round's window spec must carry BOTH keys — doc_id and
+    // the _tc position chunk — and steps wider than a chunk must take
+    // the (doc_id, widx)-keyed join, which shards any document.
+    import spark.implicits._
+    val ranks = Seq((1L, 0L, 1L), (1L, 1L, 2L), (2L, 0L, 1L))
+      .toDF("doc_id", "widx", "r")
+    val lead = graft.ops.SuffixArray.shiftRanks(ranks, step = 4L,
+      cw = graft.ops.SuffixArray.DefaultChunkWidth)
+      .queryExecution.executedPlan.toString
+    assert(lead.contains("windowspecdefinition(doc_id"),
+      s"round shift must stay a window over doc-ordered positions:\n$lead")
+    assert(lead.replaceAll("#\\d+L?", "")
+        .contains("windowspecdefinition(doc_id, _tc"),
+      s"window spec must partition by (doc_id, _tc), never doc_id alone:\n$lead")
+    val wide = graft.ops.SuffixArray.shiftRanks(ranks, step = 16L, cw = 8L)
+      .queryExecution.executedPlan.toString
+    assert(!wide.contains("windowspecdefinition"),
+      s"a step wider than a chunk must not window:\n$wide")
+    assert(wide.contains("Join") && !wide.contains("CartesianProduct"),
+      s"wide-step fallback must be the sharded equi join:\n$wide")
+  }
+
   test("mm_gop: payloads stay in their arrival partition — only the narrow audit rows shuffle") {
     // the fixture table broadcasts into the blob frame, the slice-
     // header walk runs per-partition (mapPartitions), and the only

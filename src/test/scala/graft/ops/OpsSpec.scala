@@ -2123,6 +2123,54 @@ class OpsSpec extends SparkSpec {
     graft.ops.Dedup.releaseCaches()
   }
 
+  test("shiftRanks: segmented lead and join fallback both equal the brute-force shift at every step") {
+    // two docs with positions 0..m consecutive (the stream contract),
+    // ranks arbitrary-but-deterministic; chunk width 8 exercises the
+    // patch path (steps 1..8 via lead, including the step == cw edge)
+    // and the join fallback (steps 16, 32 > cw)
+    val rows = for (doc <- 1L to 2L; i <- 0L until (if (doc == 1) 37L else 5L))
+      yield (doc, i, (i * 7 + doc * 3) % 11 + 1)
+    val ranks = rows.toDF("doc_id", "widx", "r")
+    val byKey = rows.map { case (d, i, r) => (d, i) -> r }.toMap
+    for (step <- Seq(1L, 2L, 4L, 7L, 8L, 16L, 32L)) {
+      val got = SuffixArray.shiftRanks(ranks, step, cw = 8L).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      val want = rows.map { case (d, i, r) =>
+        (d, i) -> (r, byKey.getOrElse((d, i + step), 0L))
+      }.toMap
+      assert(got == want, s"step $step: got $got want $want")
+    }
+  }
+
+  test("suffixRanks: a document spanning many chunks (tiny chunk width) still equals brute force") {
+    // r19 de-skew: with chunkWidth=8, the 75-token doc spans 10 window
+    // chunks per round, and rounds with step > 8 take the join
+    // fallback — the full ladder crosses both paths and every chunk
+    // boundary. Repetitive body maximizes tie depth so every round
+    // does real work.
+    spark.conf.set("spark.graft.suffix.chunkWidth", "8")
+    try {
+      val long = (Seq.fill(37)("a b").mkString(" ")) + " c" // 75 toks
+      val d = Seq((1L, long), (2L, "b a c")).toDF("doc_id", "text")
+      val got = SuffixArray.suffixRanks(d).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val streams = Map(
+        1L -> (long.split(" ").toSeq :+ "1"),
+        2L -> (Seq("b", "a", "c") :+ "2"))
+      val sufs = for ((doc, toks) <- streams.toSeq; i <- toks.indices)
+        yield ((doc, i.toLong), toks.drop(i))
+      import scala.math.Ordering.Implicits.seqOrdering
+      val want = sufs.sortBy(_._2).zipWithIndex
+        .map { case ((k, _), i) => k -> (i + 1).toLong }.toMap
+      assert(got == want)
+      assert(got.values.toSeq.sorted == (1L to got.size.toLong))
+    } finally {
+      spark.conf.unset("spark.graft.suffix.chunkWidth")
+      graft.ops.Dedup.releaseCaches()
+    }
+  }
+
   test("SuffixIndex: artifact round-trip is bit-equal, reload hits, corpus edit triggers rebuild") {
     val dir = java.nio.file.Files.createTempDirectory("sfxidx").toString
     def write(rows: Seq[(Long, String)]): Unit =
