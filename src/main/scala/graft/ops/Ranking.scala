@@ -109,16 +109,39 @@ object Ranking {
     val kc = keys.map(col)
     val sorted = Dedup.persistTracked(
       df.repartitionByRange(n, kc: _*).sortWithinPartitions(kc: _*))
-    val ki = keys.map(sorted.schema.fieldIndex)
-    val sums = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+    val schema = sorted.schema
+    val ki = keys.map(schema.fieldIndex).toArray
+    val kTypes = ki.map(i => schema(i).dataType)
+    // Both passes run on the INTERNAL row format (r19 — was
+    // `sorted.rdd`, which deserialized every row to external objects
+    // in pass 1 and re-encoded every row through a RowEncoder in pass
+    // 2: corpus-sized CPU per suffix doubling round, the engine's
+    // heaviest line). Internal rows may be reused buffers, so any key
+    // retained across next() is deep-copied first (keyOf).
+    val internal = org.apache.spark.sql.graft.Bridge.toInternalRdd(sorted)
+    def keyOf(r: org.apache.spark.sql.catalyst.InternalRow): Seq[Any] = {
+      val out = new Array[Any](ki.length)
+      var j = 0
+      while (j < ki.length) {
+        out(j) = r.get(ki(j), kTypes(j)) match {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.copy()
+          case a: org.apache.spark.sql.catalyst.util.ArrayData => a.copy()
+          case m: org.apache.spark.sql.catalyst.util.MapData => m.copy()
+          case ir: org.apache.spark.sql.catalyst.InternalRow => ir.copy()
+          case v => v // null / boxed primitives / Decimal — immutable
+        }
+        j += 1
+      }
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+    }
+    val sums = internal.mapPartitionsWithIndex { (pid, it) =>
       if (!it.hasNext) Iterator.empty
       else {
-        val first = it.next()
-        val fk = ki.map(first.get)
+        val fk = keyOf(it.next())
         var last = fk
         var nd = 1L
         while (it.hasNext) {
-          val k = ki.map(it.next().get)
+          val k = keyOf(it.next())
           if (k != last) { nd += 1; last = k }
         }
         Iterator((pid, fk, last, nd))
@@ -135,19 +158,26 @@ object Ranking {
       prevLast = lk
     }
     val bc = spark.sparkContext.broadcast(bases.result())
-    val outSchema = sorted.schema.add(rankName,
+    val outSchema = schema.add(rankName,
       org.apache.spark.sql.types.LongType, nullable = false)
-    val rows = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+    val rows = internal.mapPartitionsWithIndex { (pid, it) =>
       val base = bc.value.getOrElse(pid, 0L)
+      // one mutable (row, rank) join per partition: the scan node
+      // re-projects every output row to unsafe, so reuse is safe
+      val rankRow = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(1)
+      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
       var lastKey: Seq[Any] = null
       var idx = 0L
       it.map { r =>
-        val k = ki.map(r.get)
+        val k = keyOf(r)
         if (lastKey == null || k != lastKey) { idx += 1; lastKey = k }
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (base + idx))
+        rankRow.update(0, base + idx)
+        joined(r, rankRow): org.apache.spark.sql.catalyst.InternalRow
       }
     }
-    DenseRanked(spark.createDataFrame(rows, outSchema), lastRank, sorted)
+    DenseRanked(org.apache.spark.sql.graft.Bridge
+      .internalCreateDataFrame(spark, rows, outSchema), lastRank, sorted)
   }
 
   /** [[withGlobalRank]] plus an equal-frequency bucket column:

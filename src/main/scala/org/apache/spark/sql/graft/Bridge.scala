@@ -44,4 +44,29 @@ object Bridge {
       .queryExecution.analyzed.collect {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
       }.foreach(_.unpersist(blocking))
+
+  /** The Dataset's physical result as an RDD[InternalRow] — the
+    * engine's own row format, with NO Row deserialization
+    * (`Dataset.rdd` converts every row to external objects and back;
+    * measured as corpus-sized CPU per suffix doubling round, r19).
+    * CONTRACT: rows may be REUSED buffers — copy any value retained
+    * across `next()` (UTF8String.copy, ArrayData.copy, row.copy). */
+  def toInternalRdd(df: org.apache.spark.sql.Dataset[_])
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.toRdd
+
+  /** DataFrame over an RDD[InternalRow] with a known schema —
+    * `SparkSession.internalCreateDataFrame` is private[sql], hence
+    * here. The inverse of [[toInternalRdd]]: together they let a
+    * two-pass partition algorithm (Ranking.denseRank) run entirely in
+    * the internal format. The physical scan re-projects rows to
+    * unsafe, so emitting reused/joined rows is safe under the
+    * standard operator contract. */
+  def internalCreateDataFrame(spark: org.apache.spark.sql.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
 }
