@@ -111,16 +111,27 @@ object Graph {
     var ranks = Dedup.checkpointTracked(
       withSeed.select(col("src").as("node"), col("_seed"),
         when(col("_seed"), lit(Scale / n)).otherwise(lit(0L)).as("pr")))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val contrib = ed.join(ranks, ed("src") === ranks("node"))
         .select(col("dst"), expr("(pr * w) DIV outw").as("c"))
         .groupBy("dst").agg(sum("c").as("c"))
-      ranks = Dedup.checkpointTracked(
-        ranks.select("node", "_seed")
-          .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
-          .select(col("node"), col("_seed"),
-            (when(col("_seed"), lit(base)).otherwise(lit(0L)) +
-              expr("(85 * coalesce(c, CAST(0 AS BIGINT))) DIV 100")).as("pr")))
+      val upd = ranks.select("node", "_seed")
+        .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"), col("_seed"),
+          (when(col("_seed"), lit(base)).otherwise(lit(0L)) +
+            expr("(85 * coalesce(c, CAST(0 AS BIGINT))) DIV 100")).as("pr"))
+      // checkpoint BETWEEN iterations only (r19): iteration i+1 reads
+      // its predecessor twice (contrib side + teleport side), so the
+      // mid-loop leaves stay eager — but the LAST iteration's only
+      // consumer is the single top-k action below, so its dedicated
+      // materialization job was one full rank-frame write + re-read
+      // for nothing (the plan over the previous leaf is one join
+      // deep). One job per PageRank query saved, identical values.
+      // (A lazy-checkpoint variant of the whole loop was measured and
+      // REVERTED: concurrent branches of one job racing to
+      // materialize the same lazy leaf serialize on block locks —
+      // q_pagerank_weighted 5.0 → 6.8 s, tx_curation6 8.4 → 11.8 s.)
+      ranks = if (i < iterations) Dedup.checkpointTracked(upd) else upd
     }
     ranks.select("node", "pr").orderBy(desc("pr"), asc("node")).limit(k)
   }

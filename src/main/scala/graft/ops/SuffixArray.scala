@@ -129,9 +129,17 @@ object SuffixArray {
     * (frame k = dense rank of the first-2^k-token equivalence class —
     * the LCP lifting tables), the final rank frame, the per-round
     * distinct-class counts (the convergence curve — `classes(k)` =
-    * max rank of frame k), and the corpus totals. */
+    * max rank of frame k), and the corpus totals. `finPrev` (r19) is
+    * the final frame WITH the previous round's rank at each position
+    * (`r_prev` — the final round's `_r1`, kept at emit time instead
+    * of recomputed): the LCP lift's TOP level needs exactly
+    * frames(c−1)'s rank at both pair positions, so carrying it fuses
+    * that level's two position joins into the adjacency join for
+    * free. None when the build converged at round 0 (no previous
+    * round exists — and no lift level either). */
   private[graft] case class RankRounds(frames: Seq[DataFrame],
-      ranks: DataFrame, classes: Seq[Long], total: Long, maxLen: Long)
+      ranks: DataFrame, classes: Seq[Long], total: Long, maxLen: Long,
+      finPrev: Option[DataFrame] = None)
 
   /** Prefix-doubling rounds, derived from the corpus: the round count
     * is ceil(log2(longest stream)) — measured, not a compile-time cap —
@@ -206,18 +214,37 @@ object SuffixArray {
       // (one range shuffle vs the r13 distinct → rank → join-back)
       val dr = Ranking.denseRank(paired, Seq("_r1", "_r2"), "_nr")
       k += 1
-      ranks = emit(k, dr,
-        dr.df.select(col("doc_id"), col("widx"), col("_nr").as("r")))
-      frames += ranks
       // early stop: dense ranks are 1..max, so max == N ⇔ all ranks
       // distinct ⇔ the suffix order is fully resolved — the count
-      // comes free from the dense-rank driver cumsum
+      // comes free from the dense-rank driver cumsum (known BEFORE
+      // the emit, so the final round can be emitted differently)
       classes += dr.classes
       converged = dr.classes == total
+      // the FINAL round's frame keeps `_r1` — the previous round's
+      // rank at the same position — as `r_prev`: the LCP lift's top
+      // level is exactly a frames(c−1) lookup at both pair positions,
+      // and carrying it here removes that level's two corpus-sized
+      // joins (r19; one extra long column on one frame, written once)
+      val isLast = converged || k == rounds
+      val out =
+        if (isLast) dr.df.select(col("doc_id"), col("widx"),
+          col("_nr").as("r"), col("_r1").as("r_prev"))
+        else dr.df.select(col("doc_id"), col("widx"), col("_nr").as("r"))
+      ranks = emit(k, dr, out)
+      frames += ranks
       step *= 2
     }
     lastRounds = frames.size - 1
-    RankRounds(frames.toSeq, frames.last, classes.toSeq, total, maxLen)
+    // the clean 3-column rank frame is the public shape (queries,
+    // streaming sinks and the lift's per-level reads all expect it);
+    // the r_prev-annotated final frame travels separately for lcpPairs
+    val fl = frames.last
+    val (ranksClean, finPrev) =
+      if (fl.columns.contains("r_prev"))
+        (fl.select("doc_id", "widx", "r"), Some(fl))
+      else (fl, None)
+    RankRounds(frames.toSeq, ranksClean, classes.toSeq, total, maxLen,
+      finPrev)
   }
 
   /** One doubling round's pairing: (doc_id, widx, _r1 = rank at widx,
@@ -281,7 +308,8 @@ object SuffixArray {
     * lcp ≥ minLcp. */
   def repeatedSeqPairs(docs: DataFrame, minLcp: Long = 3L): DataFrame = {
     val rr = rankRounds(docs)
-    lcpPairs(rr.frames, rr.ranks).where(col("lcp") >= minLcp)
+    lcpPairs(rr.frames, rr.ranks, finPrev = rr.finPrev)
+      .where(col("lcp") >= minLcp)
   }
 
   /** ExactSubstr REMOVAL (Lee et al. 2022 §4.1's actual payoff): drop
@@ -341,19 +369,46 @@ object SuffixArray {
     * positions, which adjacent pairs never are — a provable no-op
     * join). */
   private[graft] def lcpPairs(frames: Seq[DataFrame], fin: DataFrame,
-      topDistinct: Boolean = true): DataFrame = {
-    val a = fin.select(col("doc_id").as("adoc"), col("widx").as("awidx"),
-      col("r"))
-    val b = fin.select(col("doc_id").as("bdoc"), col("widx").as("bwidx"),
-      (col("r") - 1L).as("r"))
-    var p = a.join(b, "r")
-      .select(col("adoc"), col("awidx"), col("bdoc"), col("bwidx"))
-      .withColumn("lcp", lit(0L))
+      topDistinct: Boolean = true,
+      finPrev: Option[DataFrame] = None): DataFrame = {
     val top = if (topDistinct) frames.size - 2 else frames.size - 1
+    // TOP level fused into the adjacency join (r19): the lift's first
+    // level starts at lcp = 0, so it needs frames(top)'s rank at the
+    // pair's OWN positions — exactly the `r_prev` column the final
+    // doubling round carried through ([[RankRounds.finPrev]];
+    // topDistinct ⇒ top = c−1 = the round r_prev snapshots). The two
+    // corpus-sized position joins of that level collapse to one
+    // equality test inside the a⋈b join. Both frames(top) lookups are
+    // non-null by construction (every position has a rank in every
+    // frame), so `_pa === _pb` is the whole old condition.
+    val fused = finPrev.filter(_ => topDistinct && top >= 0)
+    val (p0, nextTop) = fused match {
+      case Some(fp) =>
+        val a = fp.select(col("doc_id").as("adoc"),
+          col("widx").as("awidx"), col("r"), col("r_prev").as("_pa"))
+        val b = fp.select(col("doc_id").as("bdoc"),
+          col("widx").as("bwidx"), (col("r") - 1L).as("r"),
+          col("r_prev").as("_pb"))
+        (a.join(b, "r")
+          .select(col("adoc"), col("awidx"), col("bdoc"), col("bwidx"),
+            when(col("_pa") === col("_pb"), lit(1L << top))
+              .otherwise(lit(0L)).as("lcp")),
+          top - 1)
+      case None =>
+        val a = fin.select(col("doc_id").as("adoc"),
+          col("widx").as("awidx"), col("r"))
+        val b = fin.select(col("doc_id").as("bdoc"),
+          col("widx").as("bwidx"), (col("r") - 1L).as("r"))
+        (a.join(b, "r")
+          .select(col("adoc"), col("awidx"), col("bdoc"), col("bwidx"))
+          .withColumn("lcp", lit(0L)),
+          top)
+    }
+    var p = p0
     var pOwned = false // only loop-created checkpoints may be freed —
     // the initial adjacency frame's plan reaches into the CALLER's
     // rank checkpoint, whose blocks must outlive the lift
-    for (k <- top to 0 by -1) {
+    for (k <- nextTop to 0 by -1) {
       val step = 1L << k
       val ra = frames(k).select(col("doc_id").as("_ad"),
         col("widx").as("_aw"), col("r").as("_ra"))

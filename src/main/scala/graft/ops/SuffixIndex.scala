@@ -94,7 +94,12 @@ object SuffixIndex {
         }
         val frames = (0 until nFrames)
           .map(k => spark.read.parquet(s"$p/$ver/rk_$k"))
-        val h = Handle(frames, frames.last,
+        // rk_c carries r_prev since r19 (the lift's fused top level);
+        // the public rank frame stays the clean 3-column shape
+        val fl = frames.last
+        val ranks = if (fl.columns.contains("r_prev"))
+          fl.select("doc_id", "widx", "r") else fl
+        val h = Handle(frames, ranks,
           spark.read.parquet(s"$p/$ver/pairs"), total, maxLen)
         resolved(p) = (mfp, ver, h)
         h
@@ -137,7 +142,8 @@ object SuffixIndex {
     // only after meta lands — cross-process torn reads impossible.
     val ver = ArtifactStore.newVersionDir(p)
     val rr = SuffixArray.rankRounds(docs, spool = Some(s"$p/$ver"))
-    val pairs = SuffixArray.lcpPairs(rr.frames, rr.ranks)
+    val pairs = SuffixArray.lcpPairs(rr.frames, rr.ranks,
+      finPrev = rr.finPrev)
     pairs.write.mode("overwrite").parquet(s"$p/$ver/pairs")
     // exact content stamp: build-time only (r17, verdict #3)
     val (fpN, fpXor, fpSum) = ArtifactStore.corpusFingerprint(spark, dir)

@@ -25,6 +25,36 @@ object QueryUtil {
   def spreadById(df: DataFrame, idCol: String = "doc_id"): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism,
       df(idCol))
+
+  /** [[spreadById]] ONLY when the frame's scan parallelism is below
+    * the session parallelism (r19, guide §2 scale-adaptive
+    * partitioning): a single-file local scan needs the exchange to
+    * get a CPU-heavy decode stage off one core, but a multi-split
+    * input already provides the width and the exchange is pure cost —
+    * measured on mm_audio_bands over the 32-file sf1 scaledata corpus
+    * (decode stage 32-wide in BOTH arms): 16.0 s without the spread
+    * vs 20.9 s with it, while the single-file sf0.1 driver corpus
+    * runs the whole FFT on ONE task unless spread. ONLY for frames
+    * whose plan is exchange-free upstream (a bare scan + projections):
+    * `.rdd` on a frame with an upstream exchange would execute those
+    * stages at query-BUILD time under AQE.
+    *
+    * The split count is INPUT LAYOUT, not data: it is probed once per
+    * (memoKey = input dir, parallelism) per JVM and memoized — the
+    * probe is a driver-side file listing (no job), but it still cost
+    * ~0.1–0.3 s per query definition when run inside every timed
+    * region. No query RESULT is cached: the memo holds one boolean of
+    * scan metadata, the same fact every plan's FileSourceScan
+    * recomputes. */
+  private val thinScanMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  def spreadScanIfThin(df: DataFrame, memoKey: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    val thin = thinScanMemo.computeIfAbsent(s"$memoKey#$want",
+      _ => df.rdd.getNumPartitions < want)
+    if (thin) df.repartition(want, df(idCol)) else df
+  }
   def orderedBy(cols: Column*)(df: DataFrame): DataFrame =
     df.repartition(1).sortWithinPartitions(cols: _*)
 

@@ -3996,7 +3996,7 @@ object TextQueries {
     val media = docs(spark, dir)
       .select(col("doc_id").as("media_id"),
         (col("doc_id") % 8 + 1).as("orient"))
-      .transform(QueryUtil.spreadById(_, "media_id"))
+      .transform(QueryUtil.spreadScanIfThin(_, dir, "media_id"))
       .join(broadcast(fixtures), "orient")
       .select(col("media_id"), col("payload"),
         struct(lit("image/jpeg").as("mime"),
@@ -5003,7 +5003,7 @@ object TextQueries {
       .toDF("slot", "mime", "payload")
     val media = docs(spark, dir)
       .select(col("doc_id").as("media_id"), (col("doc_id") % 12).as("slot"))
-      .transform(QueryUtil.spreadById(_, "media_id"))
+      .transform(QueryUtil.spreadScanIfThin(_, dir, "media_id"))
       .join(broadcast(fixtures), "slot")
       .select(col("media_id"), col("payload"),
         struct(col("mime"),
@@ -5051,7 +5051,7 @@ object TextQueries {
       .toDF("slot", "payload")
     val media = docs(spark, dir)
       .select(col("doc_id").as("media_id"), (col("doc_id") % 2).as("slot"))
-      .transform(QueryUtil.spreadById(_, "media_id"))
+      .transform(QueryUtil.spreadScanIfThin(_, dir, "media_id"))
       .join(broadcast(fixtures), "slot")
       .select(col("media_id"), col("payload"),
         struct(lit("video/mp4").as("mime"),
@@ -5094,6 +5094,7 @@ object TextQueries {
       .toDF("slot", "payload")
     val media = docs(spark, dir)
       .select(col("doc_id").as("media_id"), (col("doc_id") % 3).as("slot"))
+      .transform(QueryUtil.spreadScanIfThin(_, dir, "media_id"))
       .join(broadcast(fixtures), "slot")
       .select(col("media_id"), col("payload"),
         struct(lit("image/gif").as("mime"),
@@ -5135,7 +5136,7 @@ object TextQueries {
       .toDF("slot", "payload", "mime")
     val media = docs(spark, dir)
       .select(col("doc_id").as("media_id"), (col("doc_id") % 4).as("slot"))
-      .transform(QueryUtil.spreadById(_, "media_id"))
+      .transform(QueryUtil.spreadScanIfThin(_, dir, "media_id"))
       .join(broadcast(fixtures), "slot")
       .select(col("media_id"), col("payload"),
         struct(col("mime"),
@@ -5212,7 +5213,7 @@ object TextQueries {
       .toDF("slot", "payload")
     val media = docs(spark, dir)
       .select(col("doc_id").as("media_id"), (col("doc_id") % 3).as("slot"))
-      .transform(QueryUtil.spreadById(_, "media_id"))
+      .transform(QueryUtil.spreadScanIfThin(_, dir, "media_id"))
       .join(broadcast(fixtures), "slot")
       .select(col("media_id"), col("payload"),
         struct(lit("audio/wav").as("mime"),
