@@ -672,21 +672,32 @@ object TextAnalysis {
   /** Encoding-quality signals: (n_replacement, n_control, bad_ratio,
     * keep). `keep` = no replacement char at all (one U+FFFD proves a
     * decode error) AND (replacement+control)/chars <= `maxBadRatio`.
-    * Length-difference counting (strip-and-subtract) keeps it three
-    * codegen regexp/length expressions — scan-fused, zero shuffle.
-    * The gate compares the UNROUNDED ratio (the emitted `bad_ratio`
-    * column is rounded for display only) — gating on the rounded value
-    * would keep raw ratios in (maxBadRatio, round-up boundary] that the
-    * exact-arithmetic oracle drops. */
+    * Occurrence counting is split-and-count — `size(split(text, re,
+    * -1)) - 1` references `text` ONCE where the old strip-and-subtract
+    * (`length(text) - length(regexp_replace(text, re, ""))`)
+    * referenced it twice, and `keep` exploits nRepl === 0 to gate on
+    * `nCtrl/len` alone (identical: when nRepl > 0 keep is false
+    * regardless; when nRepl = 0 the ratio's numerator IS nCtrl). Both
+    * count single-char matches, so the values are unchanged — this is
+    * expression-SIZE surgery (r19): the crawl-gate filter predicate
+    * inlines its input tree once per `text` reference (predicate
+    * pushdown substitutes through the extraction projection), and at
+    * 7 references over the planted-corpus CASE battery the generated
+    * method blew janino's 64 KB limit — the whole front-gate stage
+    * silently ran INTERPRETED (with no subexpression elimination, so
+    * the regex battery also evaluated per reference). 3 references
+    * compile. The gate still compares the UNROUNDED ratio (the
+    * emitted `bad_ratio` column is rounded for display only) — gating
+    * on the rounded value would keep raw ratios in (maxBadRatio,
+    * round-up boundary] that the exact-arithmetic oracle drops. */
   def encodingQuality(text: Column, maxBadRatio: Double = 0.01)
       : (Column, Column, Column, Column) = {
-    val nRepl = (length(text) -
-      length(regexp_replace(text, "\\uFFFD", ""))).cast("long")
-    val nCtrl = (length(text) -
-      length(regexp_replace(text, ControlCharRe, ""))).cast("long")
+    val nRepl = (size(split(text, "\\uFFFD", -1)) - 1).cast("long")
+    val nCtrl = (size(split(text, ControlCharRe, -1)) - 1).cast("long")
     val rawRatio = (nRepl + nCtrl).cast("double") /
       greatest(length(text).cast("double"), lit(1.0))
-    val keep = nRepl === 0 && rawRatio <= maxBadRatio
+    val keep = nRepl === 0 && nCtrl.cast("double") /
+      greatest(length(text).cast("double"), lit(1.0)) <= maxBadRatio
     (nRepl, nCtrl, round(rawRatio, 4), keep)
   }
 
